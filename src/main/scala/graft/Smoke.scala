@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev smoke: replicates the driver's t1 check — entry(spark) must return
+  * rows > 0 on sf0.001 — and prints plan + first rows for eyeballing. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.entry(spark)
+    df.explain("formatted")
+    val n = df.count()
+    println(s"[smoke] entry rows = $n")
+    df.show(5, truncate = false)
+    assert(n > 0, "entry returned no rows")
+    spark.stop()
+  }
+}

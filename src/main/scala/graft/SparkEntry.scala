@@ -1,13 +1,390 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Schemas.BBox
+import graft.ops._
+
+/** Driver contract — SURVEY.md §2 operator inventory, each operator
+  * registered as a named query over the shared testdata with a DuckDB
+  * oracle. Queries exercise the engine modules (graft.ops.*) — the testdata
+  * tables stand in for the reference's raster/vector tables per the mapping
+  * in FIXTURES.md §B.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  import Stable.{sumD, avgD, sumSql, avgSql}
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  /** Flagship: the reference's core product — calendar-month mean composite
+    * per band (SURVEY §3.1/§2.9) — on the events stream analogue. */
+  def entry(spark: SparkSession): DataFrame = {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    Windows.monthlyAgg(
+      ev.withColumn("month", col("ts")), "ts", Seq("event_type"),
+      Seq(avgD(col("value")).as("mean_value"), count(lit(1)).as("n")))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.1 scans
+    "s1_scan_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")),
+
+    "s9_partition_index" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(Windows.monthOf(col("o_orderdate")).cast("date").as("month"))
+        .distinct().orderBy("month")),
+
+    // ---- §2.2 filters / predicates
+    "p2_eq_chain" -> ((s, d) =>
+      Filters.eqAll(t(s, d, "customer"),
+          "c_mktsegment" -> "BUILDING", "c_nationkey" -> 5)
+        .select("c_custkey", "c_name", "c_acctbal")),
+
+    "p3_inlist" -> ((s, d) =>
+      Filters.inList(t(s, d, "part"), "p_brand", Seq("Brand#1", "Brand#12"))
+        .select("p_partkey", "p_brand", "p_retailprice")),
+
+    "p4_daterange" -> ((s, d) =>
+      Filters.dateRange(t(s, d, "orders"), "o_orderdate",
+          "1996-01-01", "1997-01-01")
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    "p5_bbox" -> ((s, d) =>
+      Filters.filterBounds(
+          Tables.events(s, d).withColumnRenamed("value", "lon")
+            .withColumn("lat", col("user_id").cast("double")),
+          BBox(10.0, 100.0, 200.0, 500.0))
+        .select(col("event_id"), col("lon").as("value"), col("lat").as("uid"))),
+
+    "p6_clip_mask" -> ((s, d) =>
+      Filters.clipMask(
+          Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")),
+          col("event_type") === "click" && col("value") > 100.0)
+        .select("event_id", "value")),
+
+    "p8_date_lookup" -> ((s, d) =>
+      Filters.dateLookup(
+          t(s, d, "lineitem").withColumn("ship_day", to_date(col("l_shipdate"))),
+          "ship_day", "1997-03-15")
+        .select("l_orderkey", "l_linenumber", "l_quantity")),
+
+    "p9_positive_count" -> ((s, d) =>
+      Tables.events(s, d).filter(Filters.positive("value") && col("value") > 50.0)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))),
+
+    // ---- §2.4 aggregations
+    "a1_mean_composite" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
+        avgD(col("l_quantity")).as("avg_qty"),
+        sumD(col("l_extendedprice"), 2).as("sum_price"),
+        count(lit(1)).as("n"))),
+
+    "a2_max_composite" -> ((s, d) =>
+      Tables.events(s, d).groupBy("user_id").agg(
+        max("value").as("max_value"), min("value").as("min_value"))),
+
+    "a3_count" -> ((s, d) =>
+      t(s, d, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct("o_custkey").as("n_cust"))),
+
+    "a5_minmax" -> ((s, d) =>
+      Composites.globalMinMax(Tables.events(s, d))),
+
+    "a6_grid_resample" -> ((s, d) =>
+      Tables.events(s, d).groupBy(floor(col("value") / 0.5).as("cell")).agg(
+        avgD(col("value")).as("mean_value"),
+        count(col("value")).as("n_px"))),
+
+    "a7_bbox_union" -> ((s, d) =>
+      Composites.bboxUnion(
+        t(s, d, "lineitem").select(col("l_quantity").as("lon"),
+                                   col("l_extendedprice").as("lat")))),
+
+    // ---- §2.5 windows
+    "w1_minmax_norm" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        Normalize.minMaxNorm("l_quantity", "l_returnflag").as("norm"))),
+
+    "w2_zero_preserving" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        Normalize.zeroPreservingNorm("value", "event_type").as("norm"))),
+
+    // ---- §2.8 scalars
+    "f1_nanfill" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"), Normalize.nanFill(col("value")).as("v"))),
+
+    "f3_severity" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("severity", Buckets.severity(col("value"), lit(100.0)))
+        .groupBy("severity").agg(count(lit(1)).as("n"))),
+
+    "f6_quantize" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        Normalize.quantize255(
+          Normalize.minMaxNorm("value", "event_type")).as("q"))),
+
+    "f9_date_format" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"))),
+
+    "f10_month_arith" -> ((s, d) =>
+      t(s, d, "orders").select(
+          Windows.monthOf(col("o_orderdate")).cast("date").as("month_start"),
+          Windows.monthEnd(col("o_orderdate")).as("month_end"))
+        .distinct()),
+
+    "f11_concat" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(concat_ws("_", col("l_returnflag"), col("l_linestatus")).as("key"))
+        .agg(count(lit(1)).as("n"))),
+
+    "f12_upper" -> ((s, d) =>
+      t(s, d, "customer").select(upper(col("c_mktsegment")).as("seg")).distinct()),
+
+    "f14_json" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))),
+
+    "f15_eps_div" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        Normalize.guardedDiv(col("l_extendedprice"), col("l_quantity")).as("r"))),
+
+    // ---- §2.3 joins
+    "j1_cell_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cells = ev.groupBy(floor(col("value") / 50.0).as("cell"))
+        .agg(count(lit(1)).as("cnt"))
+      ev.withColumn("cell", floor(col("value") / 50.0))
+        .join(broadcast(cells), Seq("cell"))
+        .select("event_id", "cell", "cnt")
+    }),
+
+    "j2_semi" -> ((s, d) => {
+      val bld = Filters.eqAll(t(s, d, "customer"), "c_mktsegment" -> "BUILDING")
+      t(s, d, "orders")
+        .join(broadcast(bld), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+    }),
+
+    "j3_broadcast_dim" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sumD(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+               .as("revenue"),
+             count(lit(1)).as("n"))),
+
+    "j4_pivot" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(Windows.monthOf(col("o_orderdate")).cast("date").as("month"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .count().na.fill(0L)),
+
+    // ---- §2.6 sorts / limits
+    "o1_sort_dates" -> ((s, d) =>
+      t(s, d, "lineitem").select(to_date(col("l_shipdate")).as("day"))
+        .distinct().orderBy("day")),
+
+    "o3_latest" -> ((s, d) =>
+      t(s, d, "orders").agg(max("o_orderdate").as("latest"))),
+
+    // ---- §2.7 set ops
+    "u1_union" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val a = ev.filter(col("event_type") === "click")
+        .select(lit("click").as("band"), col("event_id"), col("value"))
+      val b = ev.filter(col("event_type") === "view")
+        .select(lit("view").as("band"), col("event_id"), col("value"))
+      a.unionByName(b)
+    }),
+
+    // ---- §2.9 calendar-month tumbling window (streaming-shaped batch)
+    "t_month_window" -> ((s, d) =>
+      Windows.monthlyAgg(Tables.events(s, d), "ts", Seq("event_type"),
+          Seq(count(lit(1)).as("n"), sumD(col("value")).as("sum_value")))
+        .withColumn("month", col("month").cast("date")))
+  )
+
+  // ----------------------------------------------------------------- oracle
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         WHERE l_orderkey < 1000""",
+
+    "s9_partition_index" ->
+      """SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS month
+         FROM orders ORDER BY month""",
+
+    "p2_eq_chain" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 5""",
+
+    "p3_inlist" ->
+      """SELECT p_partkey, p_brand, p_retailprice FROM part
+         WHERE p_brand IN ('Brand#1', 'Brand#12')""",
+
+    "p4_daterange" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'""",
+
+    "p5_bbox" ->
+      """SELECT event_id, value, CAST(user_id AS DOUBLE) AS uid FROM events
+         WHERE value BETWEEN 10.0 AND 200.0 AND user_id BETWEEN 100 AND 500""",
+
+    "p6_clip_mask" ->
+      """SELECT event_id,
+                CASE WHEN event_type = 'click' AND value > 100.0 THEN value END AS value
+         FROM events""",
+
+    "p8_date_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) = DATE '1997-03-15'""",
+
+    "p9_positive_count" ->
+      """SELECT event_type, COUNT(*) AS n FROM events
+         WHERE value > 0.0 AND value > 50.0 GROUP BY event_type""",
+
+    "a1_mean_composite" ->
+      s"""SELECT l_returnflag, l_linestatus,
+                 ${avgSql("l_quantity")} AS avg_qty,
+                 ${sumSql("l_extendedprice", 2)} AS sum_price,
+                 COUNT(*) AS n
+          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "a2_max_composite" ->
+      """SELECT user_id, MAX(value) AS max_value, MIN(value) AS min_value
+         FROM events GROUP BY user_id""",
+
+    "a3_count" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT o_custkey) AS n_cust FROM orders""",
+
+    "a5_minmax" ->
+      """SELECT MIN(value) AS min_value, MAX(value) AS max_value FROM events""",
+
+    "a6_grid_resample" ->
+      s"""SELECT CAST(FLOOR(value / 0.5) AS BIGINT) AS cell,
+                 ${avgSql("value")} AS mean_value,
+                 COUNT(value) AS n_px
+          FROM events GROUP BY 1""",
+
+    "a7_bbox_union" ->
+      """SELECT MIN(l_quantity) AS min_lon, MIN(l_extendedprice) AS min_lat,
+                MAX(l_quantity) AS max_lon, MAX(l_extendedprice) AS max_lat
+         FROM lineitem""",
+
+    "w1_minmax_norm" ->
+      """SELECT l_orderkey, l_linenumber,
+                (l_quantity - MIN(l_quantity) OVER w)
+                / (MAX(l_quantity) OVER w - MIN(l_quantity) OVER w + 1e-6) AS norm
+         FROM lineitem WINDOW w AS (PARTITION BY l_returnflag)""",
+
+    "w2_zero_preserving" ->
+      """SELECT event_id,
+                CASE WHEN value > 0 THEN
+                  (value - MIN(CASE WHEN value > 0 THEN value END) OVER w)
+                  / (MAX(CASE WHEN value > 0 THEN value END) OVER w
+                     - MIN(CASE WHEN value > 0 THEN value END) OVER w + 1e-6)
+                ELSE 0.0 END AS norm
+         FROM events WINDOW w AS (PARTITION BY event_type)""",
+
+    "f1_nanfill" ->
+      """SELECT event_id, COALESCE(value, 0.0) AS v FROM events""",
+
+    "f3_severity" ->
+      """SELECT CASE WHEN value < 100.0 THEN 'none'
+                     WHEN value < 150.0 THEN 'low'
+                     WHEN value < 200.0 THEN 'mid'
+                     ELSE 'high' END AS severity, COUNT(*) AS n
+         FROM events GROUP BY 1""",
+
+    "f6_quantize" ->
+      """SELECT event_id,
+                LEAST(GREATEST(CAST(TRUNC(
+                  (value - MIN(value) OVER w)
+                  / (MAX(value) OVER w - MIN(value) OVER w + 1e-6) * 255.0
+                ) AS INTEGER), 0), 255) AS q
+         FROM events WINDOW w AS (PARTITION BY event_type)""",
+
+    "f9_date_format" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS ds FROM orders""",
+
+    "f10_month_arith" ->
+      """SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+                last_day(CAST(o_orderdate AS DATE)) AS month_end
+         FROM orders""",
+
+    "f11_concat" ->
+      """SELECT l_returnflag || '_' || l_linestatus AS key, COUNT(*) AS n
+         FROM lineitem GROUP BY 1""",
+
+    "f12_upper" ->
+      """SELECT DISTINCT UPPER(c_mktsegment) AS seg FROM customer""",
+
+    "f14_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         FROM events""",
+
+    "f15_eps_div" ->
+      """SELECT l_orderkey, l_linenumber,
+                l_extendedprice / (l_quantity + 1e-6) AS r FROM lineitem""",
+
+    "j1_cell_join" ->
+      """WITH cells AS (
+           SELECT FLOOR(value / 50.0) AS cell, COUNT(*) AS cnt
+           FROM events GROUP BY 1)
+         SELECT e.event_id, c.cell, c.cnt FROM events e
+         JOIN cells c ON FLOOR(e.value / 50.0) = c.cell""",
+
+    "j2_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_mktsegment = 'BUILDING')""",
+
+    "j3_broadcast_dim" ->
+      s"""SELECT p_brand,
+                 ${sumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+                 COUNT(*) AS n
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand""",
+
+    "j4_pivot" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+                COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+                COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+                COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+                COUNT(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+         FROM orders GROUP BY 1""",
+
+    "o1_sort_dates" ->
+      """SELECT DISTINCT CAST(l_shipdate AS DATE) AS day FROM lineitem ORDER BY day""",
+
+    "o3_latest" ->
+      """SELECT MAX(o_orderdate) AS latest FROM orders""",
+
+    "u1_union" ->
+      """SELECT 'click' AS band, event_id, value FROM events WHERE event_type = 'click'
+         UNION ALL
+         SELECT 'view' AS band, event_id, value FROM events WHERE event_type = 'view'""",
+
+    "t_month_window" ->
+      s"""SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
+                 COUNT(*) AS n, ${sumSql("value")} AS sum_value
+          FROM events GROUP BY 1, 2"""
+  )
 }
