@@ -216,8 +216,128 @@ object SparkEntry {
     "t_month_window" -> ((s, d) =>
       Windows.monthlyAgg(Tables.events(s, d), "ts", Seq("event_type"),
           Seq(count(lit(1)).as("n"), sumD(col("value")).as("sum_value")))
-        .withColumn("month", col("month").cast("date")))
+        .withColumn("month", col("month").cast("date"))),
+
+    // ---- §2.1 S7 GeoJSON source + P11 tooltip projection (rows-only:
+    // reads a repo fixture file, not an sfDir table)
+    "s7_geojson_scan" -> ((s, _) =>
+      graft.sources.GeoJson.read(s,
+        "/root/repo/src/test/resources/powerplants_mini.geojson", "powerplants")
+        .select(col("layer"), col("id"), col("lon"), col("lat"),
+                element_at(col("properties"), "name").as("name"),
+                element_at(col("properties"), "plant:source").as("source"))),
+
+    // ---- J1 spatial overlay, end-to-end: grid unpivot (F8) + GeoJSON
+    // amenities (S7) + broadcast cell join (rows-only: repo fixture input)
+    "j1_spatial_overlay" -> ((s, _) => {
+      val grid = ops.Unpivot.gridToPixels(s, graft.model.GridMeta(
+        "demo", 0.01, 0.0, 76.85, 0.0, -0.01, 29.0, "EPSG:4326",
+        width = 80, height = 80, nodata = None, scaleM = 1000))
+      val amenities = graft.sources.GeoJson.read(s,
+        "/root/repo/src/test/resources/powerplants_mini.geojson", "powerplants")
+      ops.GeoFns.cellJoin(grid, amenities, res = 0.01)
+        .select(col("y"), col("x"), col("id"),
+                element_at(col("properties"), "name").as("name"))
+    }),
+
+    // ---- extensions: deduplication
+    "x1_dedup_exact" -> ((s, d) =>
+      ext.Dedup.exact(t(s, d, "documents"))),
+
+    "x2_dedup_minhash" -> ((s, d) =>
+      ext.Dedup.minhashNearDups(t(s, d, "documents"), threshold = 0.5)),
+
+    "x3_dedup_simhash" -> ((s, d) =>
+      ext.Dedup.simhashNearDups(t(s, d, "documents"), maxDist = 6)),
+
+    "x4_dedup_jaccard" -> ((s, d) =>
+      ext.Dedup.jaccardPairs(t(s, d, "documents"), shingleK = 3,
+        minJaccard = 0.4)),
+
+    // ---- extensions: similarity search
+    // cos is rounded to 6dp for the oracle: engines' SIMD vs sequential
+    // fp accumulation differ in the last ulp; ranking uses the exact value
+    // (ulp gaps never reorder distinct vectors).
+    "x5_ann_cosine" -> ((s, d) => {
+      val q = queryVector
+      ext.Similarity.topKCosine(t(s, d, "embeddings"), q, 10)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+
+    "x6_ann_lsh" -> ((s, d) => {
+      val q = queryVector
+      ext.Similarity.annLsh(t(s, d, "embeddings"), q, 10, dim = 64,
+        nPlanes = 6, probes = 2)
+    }),
+
+    "x11_topk_per_label" -> ((s, d) =>
+      ext.Similarity.topKPerLabel(t(s, d, "embeddings"), queryVector, 3)
+        .withColumn("cos", round(col("cos"), 6))),
+
+    // ---- extensions: text analysis
+    "x7_lang_id" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), ext.TextOps.langId(col("text")).as("pred_lang"))),
+
+    "x8_quality" -> ((s, d) => {
+      val sig = ext.TextOps.qualitySignals(col("text"))
+      t(s, d, "documents").select(
+        (col("doc_id") +: sig.map { case (n, c) => c.as(n) }) :+
+          ext.TextOps.qualityScore(col("text")).as("quality"): _*)
+    }),
+
+    "x9_token_count" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        ext.TextOps.tokenCount(col("text")).as("n_tokens"),
+        ext.TextOps.subwordCount(col("text")).as("n_subwords"))),
+
+    "x10_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"), ext.TextOps.fingerprint(col("text")).as("fp"))),
+
+    "x12_corpus_profile" -> ((s, d) =>
+      t(s, d, "documents").groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        avgD(length(col("text"))).as("avg_chars"),
+        avgD(ext.TextOps.tokenCount(col("text"))).as("avg_tokens"),
+        countDistinct(md5(col("text"))).as("n_distinct"))),
+
+    "x13_topk_events" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_id"), col("value"))
+        .orderBy(desc("value"), col("event_id")).limit(10)),
+
+    // ---- extensions: multimodal plumbing (rows-only: stub codec)
+    "x14_media_features" -> ((s, d) =>
+      ext.Multimodal.extractFeatures(
+        ext.Multimodal.mediaFromDocs(t(s, d, "documents")))
+        .select(col("media_id"), element_at(col("features"), 1).as("f0"),
+                element_at(col("features"), 8).as("f7"))),
+
+    "x15_media_profile" -> ((s, d) =>
+      ext.Multimodal.metaProfile(
+        ext.Multimodal.mediaFromDocs(t(s, d, "documents"))))
   )
+
+  /** Deterministic 64-dim query vector for the ANN queries (shared by Spark
+    * and oracle sides). */
+  lazy val queryVector: Array[Double] =
+    Array.tabulate(64)(i => math.sin(i + 1.0))
+
+  /** Literal DOUBLE[] for the oracle — Double.toString is shortest
+    * round-trip, so DuckDB parses the exact same doubles. */
+  private def queryVectorSql: String =
+    "CAST(" + queryVector.map(_.toString).mkString("[", ", ", "]") + " AS DOUBLE[])"
+
+  /** Exact cosine in DuckDB mirroring Similarity.cosineLiteral's fold
+    * structure (left folds — verified bit-identical to list_dot_product). */
+  private def cosSql: String = {
+    val q = queryVectorSql
+    s"""(list_dot_product(CAST(embedding AS DOUBLE[]), $q)
+        / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[])))
+           * sqrt(list_dot_product($q, $q))))"""
+  }
 
   // ----------------------------------------------------------------- oracle
 
@@ -385,6 +505,109 @@ object SparkEntry {
     "t_month_window" ->
       s"""SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
                  COUNT(*) AS n, ${sumSql("value")} AS sum_value
-          FROM events GROUP BY 1, 2"""
+          FROM events GROUP BY 1, 2""",
+
+    "x1_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+                COUNT(*) AS n_copies
+         FROM documents GROUP BY 1""",
+
+    "x4_dedup_jaccard" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS l
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, unnest(list_filter(
+             list_transform(range(1, greatest(len(l) - 1, 1)),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]),
+             x -> x IS NOT NULL)) AS shingle
+           FROM tok),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+           FROM sh x JOIN sh y ON x.shingle = y.shingle
+           WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.4""",
+
+    "x5_ann_cosine" ->
+      s"""SELECT vec_id, round($cosSql, 6) AS cos FROM embeddings
+          ORDER BY $cosSql DESC, vec_id LIMIT 10""",
+
+    "x11_topk_per_label" ->
+      s"""WITH scored AS (
+            SELECT label, vec_id, $cosSql AS cos FROM embeddings),
+          ranked AS (
+            SELECT label, vec_id, cos,
+                   CAST(row_number() OVER (PARTITION BY label
+                        ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+            FROM scored)
+          SELECT label, vec_id, round(cos, 6) AS cos, rank
+          FROM ranked WHERE rank <= 3""",
+
+    "x7_lang_id" ->
+      """WITH hits AS (
+           SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t IN ('der','die','das','und','ist','nicht','ein','mit','für','von'))) AS h_de,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t IN ('the','and','of','to','in','is','that','with','for','was'))) AS h_en,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t IN ('el','la','los','las','es','una','para','con','del','por'))) AS h_es,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t IN ('le','la','les','et','est','une','dans','pour','que','pas'))) AS h_fr,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t IN ('的','是','不','了','在','人','有','我','他','这'))) AS h_zh
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                WHEN h_zh = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'zh'
+                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+                ELSE 'de' END AS pred_lang
+         FROM hits""",
+
+    "x8_quality" ->
+      """WITH sig AS (
+           SELECT doc_id,
+                  CAST(length(text) AS DOUBLE) AS n_chars,
+                  CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE) AS n_tokens,
+                  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS n_punct,
+                  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+                  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    t -> t IN ('the','and','of','to','in','is','that','with','for','was'))) AS DOUBLE) AS sw_hits
+           FROM documents)
+         SELECT doc_id, n_chars, n_tokens,
+                n_punct / greatest(n_chars, 1.0) AS punct_ratio,
+                n_digit / greatest(n_chars, 1.0) AS digit_ratio,
+                sw_hits / greatest(n_tokens, 1.0) AS stopword_ratio,
+                (n_chars - n_tokens + 1) / greatest(n_tokens, 1.0) AS mean_word_len,
+                (least(n_tokens / 20.0, 1.0)
+                 + greatest(0.0, 1.0 - (n_punct / greatest(n_chars, 1.0)) * 5.0)
+                 + greatest(0.0, 1.0 - (n_digit / greatest(n_chars, 1.0)) * 5.0)
+                 + least((sw_hits / greatest(n_tokens, 1.0)) * 5.0, 1.0)) / 4.0 AS quality
+         FROM sig""",
+
+    "x9_token_count" ->
+      """SELECT doc_id,
+                len(regexp_split_to_array(lower(text), '\s+')) AS n_tokens,
+                len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subwords
+         FROM documents""",
+
+    "x12_corpus_profile" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+                 ${avgSql("length(text)")} AS avg_chars,
+                 ${avgSql("len(regexp_split_to_array(lower(text), '\\s+'))")} AS avg_tokens,
+                 COUNT(DISTINCT md5(text)) AS n_distinct
+          FROM documents GROUP BY lang""",
+
+    "x13_topk_events" ->
+      """SELECT event_id, value FROM events
+         ORDER BY value DESC, event_id LIMIT 10"""
   )
 }

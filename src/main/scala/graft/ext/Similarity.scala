@@ -1,0 +1,124 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a single scan with a codegen'd
+  * zip_with/aggregate dot product against a literal query vector, then a
+  * top-k. At 100 TB the scale path is LSH bucketing (random-hyperplane
+  * signs): each vector maps to a small bucket key; a query probes only its
+  * bucket (plus neighbors), turning the scan into a partition-pruned lookup.
+  */
+object Similarity {
+
+  /** Dot product of an array column with a literal query vector, as a
+    * sequential left fold over zip_with (no UDF, no deserialization).
+    * Deliberately NOT an unrolled `+` chain: Catalyst's
+    * ReorderAssociativeOperator may re-associate a flat Add chain, which
+    * perturbs the low bits vs. a sequential fold — the higher-order
+    * aggregate keeps evaluation order fixed and oracle-exact. */
+  def dotLiteral(vec: Column, q: Array[Double]): Column =
+    aggregate(
+      zip_with(vec, array(q.map(lit): _*), (x, w) => x.cast("double") * w),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** L2 norm of an array column. */
+  def norm(vec: Column): Column =
+    sqrt(aggregate(vec, lit(0.0d), (acc, x) =>
+      acc + x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity against a literal query vector. */
+  def cosineLiteral(vec: Column, q: Array[Double]): Column = {
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    dotLiteral(vec, q) / (norm(vec) * lit(qn))
+  }
+
+  /** Cosine similarity between two array columns. */
+  def cosine(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x) / (norm(a) * norm(b))
+
+  /** Brute-force top-k by cosine against a literal query. Deterministic
+    * tiebreak on id. orderBy+limit compiles to TakeOrderedAndProject —
+    * per-partition top-k then a k-row merge on the driver, no full sort. */
+  def topKCosine(embeddings: DataFrame, q: Array[Double], k: Int,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(col(idCol), cosineLiteral(col(vecCol), q).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+
+  /** Random-hyperplane LSH bucket key: sign bits of dot products with
+    * `nPlanes` deterministic pseudo-random planes (seeded, reproducible
+    * across runs and cluster sizes). */
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int = 8,
+                seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      when(dotLiteral(vec, p) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN via LSH: assign each vector a bucket; answer a query by scanning
+    * only its bucket. `probes` extra buckets (hamming-1 neighbors) trade
+    * recall for work. Returns top-k within the probed buckets. */
+  def annLsh(embeddings: DataFrame, q: Array[Double], k: Int, dim: Int,
+             nPlanes: Int = 8, probes: Int = 0,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val rnd = new scala.util.Random(42L)
+    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    val qBucket = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(q).map { case (a, b) => a * b }.sum
+      if (d > 0) 1L << i else 0L
+    }.sum
+    val buckets = qBucket +: (0 until (if (probes > 0) nPlanes else 0))
+      .take(probes).map(i => qBucket ^ (1L << i))
+    embeddings
+      .withColumn("bucket", lshBucket(col(vecCol), dim, nPlanes))
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col(idCol), cosineLiteral(col(vecCol), q).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-style per-label top-k: nearest neighbors within each coarse
+    * partition (label = cluster id), e.g. for per-cluster diversity
+    * sampling. Window rank — one shuffle on label. */
+  def topKPerLabel(embeddings: DataFrame, q: Array[Double], k: Int,
+                   labelCol: String = "label", idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val w = Window.partitionBy(col(labelCol))
+      .orderBy(desc("cos"), col(idCol))
+    embeddings
+      .select(col(labelCol), col(idCol),
+              cosineLiteral(col(vecCol), q).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** All-pairs near-duplicate detection by embedding cosine within LSH
+    * buckets (the embedding-space analogue of Dedup.minhashNearDups). */
+  def cosineNearDups(embeddings: DataFrame, dim: Int, minCos: Double = 0.95,
+                     nPlanes: Int = 8,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val withBucket = embeddings
+      .withColumn("bucket", lshBucket(col(vecCol), dim, nPlanes))
+    val a = withBucket.select(col(idCol).as("id_a"), col("bucket"),
+                              col(vecCol).as("vec_a"))
+    val b = withBucket.select(col(idCol).as("id_b"), col("bucket"),
+                              col(vecCol).as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language ID, quality scoring,
+  * token counting, document fingerprinting. All pure Column expressions
+  * (whole-stage codegen) — per-document, embarrassingly parallel, no
+  * shuffle.
+  */
+object TextOps {
+
+  /** Tokenize on whitespace, lowercased. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-piece regex — runs of letters, runs of
+    * digits, or single non-space symbols — a cheap proxy for tokenizer
+    * budget accounting. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Language-ID stopword tables (tiny, language-distinctive function
+    * words). N-gram/stopword heuristic — no external models. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with", "for", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "pour", "que", "pas"),
+    "es" -> Seq("el", "la", "los", "las", "es", "una", "para", "con", "del", "por"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  /** Per-language stopword hit count over the token set. */
+  def stopwordHits(text: Column, lang: String): Column =
+    size(filter(tokens(text), t => t.isin(stopwords(lang): _*)))
+
+  /** Language ID: argmax of stopword hit counts; 'und' (undetermined) when
+    * no language scores a hit. */
+  def langId(text: Column): Column = {
+    val scores = stopwords.keys.toSeq.sorted.map(l =>
+      struct(stopwordHits(text, l).as("hits"), lit(l).as("lang")))
+    val best = greatest(scores: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Quality signals, reference heuristics for corpus filtering:
+    * length, punctuation ratio, digit ratio, stopword ratio, mean word
+    * length. */
+  def qualitySignals(text: Column): Seq[(String, Column)] = {
+    val n = length(text).cast("double")
+    val nPunct = (n - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
+    val nDigit = (n - length(regexp_replace(text, "[0-9]", ""))).cast("double")
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val swHits = size(filter(toks, t => t.isin(stopwords("en"): _*))).cast("double")
+    Seq(
+      "n_chars" -> n,
+      "n_tokens" -> nTok,
+      "punct_ratio" -> nPunct / greatest(n, lit(1.0)),
+      "digit_ratio" -> nDigit / greatest(n, lit(1.0)),
+      "stopword_ratio" -> swHits / greatest(nTok, lit(1.0)),
+      "mean_word_len" -> (n - nTok + 1) / greatest(nTok, lit(1.0)))
+  }
+
+  /** Composite quality score in [0,1]: long enough, low punct/digit noise,
+    * has stopwords (i.e. looks like prose). */
+  def qualityScore(text: Column): Column = {
+    val sig = qualitySignals(text).toMap
+    val lenScore = least(sig("n_tokens") / 20.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - sig("punct_ratio") * 5.0)
+    val digitPenalty = greatest(lit(0.0), lit(1.0) - sig("digit_ratio") * 5.0)
+    val swScore = least(sig("stopword_ratio") * 5.0, lit(1.0))
+    (lenScore + punctPenalty + digitPenalty + swScore) / 4.0
+  }
+
+  /** Document fingerprint: order-sensitive rolling hash over tokens —
+    * rotate-left-5 then XOR with the token hash. Equal for exact duplicates,
+    * cheap to compare, pure column algebra, and overflow-free under ANSI
+    * arithmetic (rotation + XOR never overflow, unlike polynomial
+    * multiplication). */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) =>
+      shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
+        .bitwiseXOR(xxhash64(t)))
+
+  /** Standard corpus-profile report per grouping key. */
+  def corpusProfile(docs: DataFrame, keyCol: String,
+                    textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_docs"),
+      graft.ops.Stable.avgD(length(t)).as("avg_chars"),
+      graft.ops.Stable.avgD(tokenCount(t)).as("avg_tokens"),
+      approx_count_distinct(md5(t)).as("approx_distinct"))
+  }
+}

@@ -79,9 +79,10 @@ object GeoFns {
     val (pcx, pcy) = cellKey(pixels("lon"), pixels("lat"), res)
     val withKey = pixels.withColumn("cell_x", pcx).withColumn("cell_y", pcy)
     val (acx, acy) = cellKey(points("lon"), points("lat"), res)
-    val pts = points.withColumnRenamed("lon", "pt_lon")
-      .withColumnRenamed("lat", "pt_lat")
+    val pts = points
       .withColumn("cell_x", acx).withColumn("cell_y", acy)
+      .withColumnRenamed("lon", "pt_lon")
+      .withColumnRenamed("lat", "pt_lat")
     withKey.join(broadcast(pts), Seq("cell_x", "cell_y"), "inner")
   }
 

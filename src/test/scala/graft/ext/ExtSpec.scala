@@ -1,0 +1,155 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    (3L, "completely different content about spark query engines and data"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (5L, "unrelated short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val r = Dedup.exact(docs)
+    assert(r.count() == 4) // 5 docs, one exact pair
+    val dup = r.filter(col("n_copies") === 2).head
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds the near-duplicate pair without cross join") {
+    val r = Dedup.minhashNearDups(docs, threshold = 0.4)
+    val pairs = r.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 4L)))
+    // exact dup pair must have estimated jaccard 1.0
+    val exactPair = r.filter(col("doc_a") === 1 && col("doc_b") === 4)
+    assert(exactPair.head.getAs[Double]("est_jaccard") == 1.0)
+    // no pair with doc 5 (nothing shared)
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, distinct far") {
+    val fp = Dedup.simhash(docs).select("doc_id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(4L))
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(dist(fp(1L), fp(2L)) < dist(fp(1L), fp(3L)))
+  }
+
+  test("exact jaccard on hand-computed pair") {
+    // doc1/doc2 share 10 of 12 distinct 3-shingles (11 shingles each,
+    // differing only in the last) → jaccard = 10/12
+    val r = Dedup.jaccardPairs(docs.filter(col("doc_id").isin(1, 2)),
+      shingleK = 3, minJaccard = 0.1)
+    assert(r.count() == 1)
+    assert(math.abs(r.head.getAs[Double]("jaccard") - 10.0 / 12.0) < 1e-12)
+  }
+
+  test("brute-force top-k cosine matches naive computation") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Array(1.0, 0.0, 0.0)
+    val r = Similarity.topKCosine(vecs, q, 2).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(math.abs(r(0).getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("LSH ANN: query bucket contains the nearest vector") {
+    val n = 50
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val vecs = (1 to n).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))
+    } :+ (99L, base)
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = base.map(_.toDouble)
+    val r = Similarity.annLsh(df, q, 5, dim = 8, nPlanes = 4, probes = 2)
+    // the identical vector shares all hyperplane signs → always in bucket
+    assert(r.collect().map(_.getLong(0)).contains(99L))
+  }
+
+  test("embedding cosine near-dup via LSH buckets") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.999f, 0.01f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.cosineNearDups(vecs, dim = 2, minCos = 0.99, nPlanes = 3)
+    val pairs = r.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("language ID picks the stopword-dominant language") {
+    val d = Seq(
+      (1L, "the cat and the dog went to the house in the morning"),
+      (2L, "der hund und die katze ist nicht mit der maus"),
+      (3L, "le chat est dans la maison pour le matin"),
+      (4L, "xyzzy qwerty asdf")).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"), TextOps.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r(1L) == "en" && r(2L) == "de" && r(3L) == "fr" && r(4L) == "und")
+  }
+
+  test("quality score: prose beats punctuation soup") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs to the forest with great speed"),
+      (2L, "!!! ### $$$ %%% ^^^ &&& *** ((( ))) @@@")).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r(1L) > 0.7 && r(2L) < 0.5 && r(1L) > r(2L))
+  }
+
+  test("token counts: whitespace and subword") {
+    val d = Seq((1L, "hello world42 foo-bar")).toDF("doc_id", "text")
+    val r = d.select(TextOps.tokenCount(col("text")).as("t"),
+                     TextOps.subwordCount(col("text")).as("s")).head
+    assert(r.getInt(0) == 3)
+    // hello | world | 42 | foo | - | bar
+    assert(r.getInt(1) == 6)
+  }
+
+  test("fingerprint: order-sensitive, equal only for identical token streams") {
+    val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a")).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r(1L) == r(2L))
+    assert(r(1L) != r(3L))
+  }
+
+  test("multimodal: feature extraction is deterministic, batch-shaped") {
+    val media = Multimodal.mediaFromDocs(docs)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() == 5)
+    val f = feats.filter(col("media_id") === 1).head
+      .getAs[scala.collection.Seq[Float]]("features").toList
+    assert(f.length == 16)
+    assert(math.abs(f.sum - 1.0f) < 1e-4) // L1-normalized histogram
+    // identical payloads → identical features (docs 1 and 4)
+    val f4 = feats.filter(col("media_id") === 4).head
+      .getAs[scala.collection.Seq[Float]]("features").toList
+    assert(f == f4)
+  }
+
+  test("multimodal: resize updates payload and metadata") {
+    val media = Multimodal.mediaFromDocs(docs)
+    val r = Multimodal.resizeAll(media, 16)
+    val row = r.filter(col("media_id") === 1).head
+    assert(row.getAs[Array[Byte]]("payload").length == 16)
+    assert(row.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width") == 16)
+  }
+
+  test("multimodal: frame sampling explodes payload blocks") {
+    val media = Multimodal.mediaFromDocs(docs)
+    val frames = Multimodal.sampleFrames(media, everyNth = 1)
+    assert(frames.count() == 5) // each text < 256 bytes → 1 frame each
+    assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame"))
+  }
+}

@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  test("§2.9 streaming daily max equals the batch composite") {
+    // bounded file stream over the events table (nanos ts read as long,
+    // converted — same path as Tables.events)
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+
+    val agg = StreamingOps.dailyMaxStream(stream, "ts", Seq("event_type"), "value")
+    val result = StreamingOps.runBounded(spark, agg, "daily_max_test")
+
+    val batch = graft.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 day").as("day"), col("event_type"))
+      .agg(max("value").as("max_value"), count(lit(1)).as("n"))
+
+    val s = result.select("day.start", "event_type", "max_value", "n")
+      .collect().map(_.toSeq).toSet
+    val b = batch.select("day.start", "event_type", "max_value", "n")
+      .collect().map(_.toSeq).toSet
+    assert(s == b && s.nonEmpty)
+  }
+}

@@ -25,7 +25,12 @@ def main(sf_dir, out_dir):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
             continue
-        got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'").df()
+        try:
+            got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL (no output) {name}: {e}")
+            n_fail += 1
+            continue
         if name not in oracle:
             print(f"SKIP (no oracle, rows={len(got)})  {name}")
             n_skip += 1
