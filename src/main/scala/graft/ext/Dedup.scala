@@ -36,26 +36,27 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Deterministic 64-bit mix of a shingle + seed — a splitmix64-style
-    * avalanche over Spark's xxhash64, evaluated per (shingle, seed) pair
-    * entirely in codegen. */
-  private def hashWithSeed(shingle: Column, seed: Int): Column =
-    xxhash64(shingle, lit(seed))
+  /** Base token-hash array: one xxhash64 per shingle, computed once. The
+    * per-seed hash families are derived from these inside the native
+    * MinHashSignature/SimHash64 expressions (graft.functions) — a single
+    * codegen'd pass instead of k interpreted re-folds of the shingle
+    * pipeline (which benched 16-64× slower). */
+  def tokenHashes(text: Column, shingleK: Int): Column =
+    transform(shingles(text, shingleK), s => xxhash64(s))
 
-  /** 2. MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min over the doc's shingle set. Computed with higher-order array
-    * functions — one row per doc, no explode, no shuffle. */
+  /** 2. MinHash signature via the native expression — one row per doc, no
+    * explode, no shuffle, whole-stage codegen. */
   def minhashSignature(docs: DataFrame, textCol: String = "text",
-                       numHashes: Int = 16, shingleK: Int = 3): DataFrame = {
-    val sh = shingles(col(textCol), shingleK)
-    val sig = array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
-    }: _*)
-    docs.withColumn("minhash", sig)
-  }
+                       numHashes: Int = 16, shingleK: Int = 3): DataFrame =
+    docs.withColumn("minhash",
+      graft.functions.HashExprs.min_hash(
+        tokenHashes(col(textCol), shingleK), numHashes))
 
   /** LSH band key: split the signature into `bands` bands of `rowsPerBand`
-    * and hash each band. Docs sharing ANY band bucket are candidates. */
+    * and hash each band. Docs sharing ANY band bucket are candidates.
+    * A pair colliding in several bands is deduplicated by grouping on the
+    * two long ids — NOT by distinct over the signature arrays, whose
+    * array-comparison shuffle benched ~4× slower. */
   def lshCandidates(withSig: DataFrame, bands: Int = 4,
                     rowsPerBand: Int = 4): DataFrame = {
     val banded = withSig.select(
@@ -71,7 +72,10 @@ object Dedup {
                           col("minhash").as("sig_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      .withColumn("est_jaccard",
+        minhashJaccard(col("sig_a"), col("sig_b"), bands * rowsPerBand))
+      .groupBy("doc_a", "doc_b")
+      .agg(max("est_jaccard").as("est_jaccard"))
   }
 
   /** Estimated Jaccard from signature agreement. */
@@ -86,7 +90,6 @@ object Dedup {
                       shingleK: Int = 3): DataFrame = {
     val sig = minhashSignature(docs, "text", numHashes, shingleK)
     lshCandidates(sig, bands, numHashes / bands)
-      .withColumn("est_jaccard", minhashJaccard(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
   }
@@ -95,21 +98,9 @@ object Dedup {
     * shingle's hash bit, weighted by nothing (uniform). Pure array algebra,
     * one row per doc. */
   def simhash(docs: DataFrame, textCol: String = "text",
-              shingleK: Int = 2): DataFrame = {
-    val sh = shingles(col(textCol), shingleK)
-    val hashes = transform(sh, s => xxhash64(s))
-    // bit b of the fingerprint = 1 iff sum over shingles of sign(bit b) > 0.
-    // One fold per bit (Scala-side unroll: shift amounts must be literals);
-    // fine at document row counts — the scale upgrade is a single-pass
-    // native Expression, noted in SURVEY §7.
-    val fp = (0 until 64).map { b =>
-      when(aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, lit(1L))
-                          .otherwise(lit(-1L))) > 0,
-        lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, c) => a.bitwiseOR(c))
-    docs.withColumn("simhash", fp)
-  }
+              shingleK: Int = 2): DataFrame =
+    docs.withColumn("simhash",
+      graft.functions.HashExprs.sim_hash(tokenHashes(col(textCol), shingleK)))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -137,11 +128,14 @@ object Dedup {
   }
 
   /** 4. Exact n-gram Jaccard for pairs sharing ≥1 shingle — inverted-index
-    * join (shingle → docs), pair counts, |A∪B| = |A|+|B|−|A∩B|. */
+    * join (shingle → docs), pair counts, |A∪B| = |A|+|B|−|A∩B|. The join
+    * key is the 64-bit shingle hash, not the shingle string: long
+    * comparisons shuffle and probe far cheaper, and a 64-bit collision
+    * perturbing a count is ~n²·k/2⁶⁴ — negligible. */
   def jaccardPairs(docs: DataFrame, shingleK: Int = 3,
                    minJaccard: Double = 0.8): DataFrame = {
     val sh = docs.select(col("doc_id"),
-      explode(shingles(col("text"), shingleK)).as("shingle"))
+      explode(tokenHashes(col("text"), shingleK)).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("x").join(sh.as("y"), Seq("shingle"))
       .filter(col("x.doc_id") < col("y.doc_id"))
