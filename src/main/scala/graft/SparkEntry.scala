@@ -40,6 +40,12 @@ object SparkEntry {
         .distinct().orderBy("month")),
 
     // ---- §2.2 filters / predicates
+    "p1_band_select" -> ((s, d) =>
+      Filters.bandSelect(
+          Tables.events(s, d).withColumnRenamed("event_type", "band"),
+          "signup")
+        .select(col("event_id"), col("band"), col("value"))),
+
     "p2_eq_chain" -> ((s, d) =>
       Filters.eqAll(t(s, d, "customer"),
           "c_mktsegment" -> "BUILDING", "c_nationkey" -> 5)
@@ -162,6 +168,43 @@ object SparkEntry {
         col("l_orderkey"), col("l_linenumber"),
         Normalize.guardedDiv(col("l_extendedprice"), col("l_quantity")).as("r"))),
 
+    // F4 — conditional recolor: fire pixels (value>0 after thresholding)
+    // dark red w/ alpha, background transparent
+    "f4_recolor" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("fire", when(col("value") > 400.0, col("value") - 400.0)
+                              .otherwise(lit(0.0)))
+        .withColumn("rgba", Buckets.fireRgba(col("fire")))
+        .select(col("event_id"), col("rgba.r").as("r"), col("rgba.g").as("g"),
+                col("rgba.b").as("b"), col("rgba.a").as("a"))),
+
+    // F5 — colormap LUT application via element_at over a literal array
+    "f5_colormap" -> ((s, d) => {
+      val lutR = Render.jetLut.map(_._1)
+      Tables.events(s, d).select(
+        col("event_id"),
+        element_at(
+          array(lutR.map(v => lit(v)): _*),
+          Normalize.quantize255(
+            Normalize.minMaxNorm("value", "event_type")) + 1).as("red"))
+    }),
+
+    // F7 — Web-Mercator → EPSG:4326 (closed-form; rounded for libm parity)
+    "f7_mercator" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        round(GeoFns.mercatorToLon(col("value") * 10000.0), 9).as("lon"),
+        round(GeoFns.mercatorToLat(col("value") * 10000.0), 9).as("lat"))),
+
+    // F13 — query-string parse at the serving edge
+    "f13_qs_parse" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("qs", concat(lit("type="), col("event_type"),
+                                 lit("&user="), col("user_id")))
+        .select(col("event_id"),
+          regexp_extract(col("qs"), "type=([^&]*)", 1).as("qs_type"),
+          regexp_extract(col("qs"), "user=([^&]*)", 1).cast("long").as("qs_user"))),
+
     // ---- §2.3 joins
     "j1_cell_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -198,6 +241,10 @@ object SparkEntry {
     "o1_sort_dates" -> ((s, d) =>
       t(s, d, "lineitem").select(to_date(col("l_shipdate")).as("day"))
         .distinct().orderBy("day")),
+
+    "o2_first" -> ((s, d) =>
+      t(s, d, "orders").orderBy(col("o_orderdate"), col("o_orderkey"))
+        .limit(1).select("o_orderkey", "o_orderdate")),
 
     "o3_latest" -> ((s, d) =>
       t(s, d, "orders").agg(max("o_orderdate").as("latest"))),
@@ -350,6 +397,10 @@ object SparkEntry {
       """SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS month
          FROM orders ORDER BY month""",
 
+    "p1_band_select" ->
+      """SELECT event_id, event_type AS band, value FROM events
+         WHERE event_type = 'signup'""",
+
     "p2_eq_chain" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
          WHERE c_mktsegment = 'BUILDING' AND c_nationkey = 5""",
@@ -494,8 +545,44 @@ object SparkEntry {
     "o1_sort_dates" ->
       """SELECT DISTINCT CAST(l_shipdate AS DATE) AS day FROM lineitem ORDER BY day""",
 
+    "o2_first" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+         ORDER BY o_orderdate, o_orderkey LIMIT 1""",
+
     "o3_latest" ->
       """SELECT MAX(o_orderdate) AS latest FROM orders""",
+
+    "f4_recolor" ->
+      """SELECT event_id,
+                CASE WHEN value > 400.0 THEN 139 ELSE 0 END AS r,
+                0 AS g, 0 AS b,
+                CASE WHEN value > 400.0 THEN 255 ELSE 0 END AS a
+         FROM events""",
+
+    "f5_colormap" -> {
+      val lutR = graft.ops.Render.jetLut.map(_._1).mkString("[", ", ", "]")
+      s"""SELECT event_id,
+                 ($lutR)[LEAST(GREATEST(CAST(TRUNC(
+                   (value - MIN(value) OVER w)
+                   / (MAX(value) OVER w - MIN(value) OVER w + 1e-6) * 255.0
+                 ) AS INTEGER), 0), 255) + 1] AS red
+          FROM events WINDOW w AS (PARTITION BY event_type)"""
+    },
+
+    "f7_mercator" ->
+      """SELECT event_id,
+                round((value * 10000.0) / 6378137.0 * (180.0 / pi()), 9) AS lon,
+                round((atan(exp((value * 10000.0) / 6378137.0)) * 2.0 - pi() / 2.0)
+                      * (180.0 / pi()), 9) AS lat
+         FROM events""",
+
+    "f13_qs_parse" ->
+      """SELECT event_id,
+                regexp_extract('type=' || event_type || '&user=' || user_id,
+                               'type=([^&]*)', 1) AS qs_type,
+                CAST(regexp_extract('type=' || event_type || '&user=' || user_id,
+                                    'user=([^&]*)', 1) AS BIGINT) AS qs_user
+         FROM events""",
 
     "u1_union" ->
       """SELECT 'click' AS band, event_id, value FROM events WHERE event_type = 'click'

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the properties that make these operators scale —
+  * filter pushdown to parquet, column pruning, broadcast joins for
+  * dimensions, partial aggregation, codegen — verified against the actual
+  * optimized plans, not assumed. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executed(name: String): SparkPlan = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan
+  }
+
+  private def planString(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("s1: filter is pushed to the parquet scan, schema pruned to 3 cols") {
+    val p = planString("s1_scan_project")
+    assert(p.contains("PushedFilters") && p.contains("LessThan(l_orderkey,1000)"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema") &&
+      p.contains("struct<l_orderkey:bigint,l_linenumber:int,l_extendedprice:double>"),
+      s"columns not pruned:\n$p")
+  }
+
+  test("p4: date-range predicates reach the scan") {
+    val p = planString("p4_daterange")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") &&
+           p.contains("LessThan(o_orderdate"), s"range not pushed:\n$p")
+  }
+
+  test("j3: dimension join is broadcast, aggregation is partial+final") {
+    val p = planString("j3_broadcast_dim")
+    assert(p.contains("BroadcastHashJoin"), s"not broadcast:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash agg:\n$p")
+    // partial aggregation before the exchange (map-side combine)
+    val ix = p.indexOf("partial_")
+    assert(ix >= 0, s"no partial aggregation:\n$p")
+  }
+
+  test("j2: semi join stays broadcast (no shuffle of the big side)") {
+    val p = planString("j2_semi")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"semi join shape wrong:\n$p")
+  }
+
+  test("a1: whole-stage codegen covers the aggregate") {
+    val df = SparkEntry.queries("a1_mean_composite")(spark, sf)
+    df.collect() // AQE finalizes the plan on execution
+    val p = df.queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark whole-stage-codegen stages in the simple form;
+    // both partial (stage 1) and final (stage 2) aggregates must be inside
+    assert(p.contains("*(1) HashAggregate") || p.contains("*(1) ColumnarToRow"),
+      s"scan+partial agg not codegen'd:\n$p")
+    assert(p.contains("*(2) HashAggregate"), s"final agg not codegen'd:\n$p")
+  }
+
+  test("w1: single window exchange, no extra sort beyond the window's") {
+    val plan = executed("w1_minmax_norm")
+    val exchanges = plan.toString.split("Exchange").length - 1
+    assert(exchanges <= 1, s"window should shuffle once:\n$plan")
+  }
+
+  test("x13 top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = executed("x13_topk_events").toString
+    assert(p.contains("TakeOrderedAndProject"), s"full sort for top-k:\n$p")
+  }
+
+  test("x2 minhash: fingerprints computed without explode/shuffle before LSH") {
+    // signature stage must be a pure projection over the scan: exactly the
+    // exchanges needed for the band-bucket self-join + pair group (no
+    // extra distinct shuffle of signature arrays)
+    val df = ext.Dedup.minhashSignature(
+      Tables.documents(spark, sf))
+    val exchanges = df.queryExecution.executedPlan.toString.split("Exchange").length - 1
+    assert(exchanges == 0, "signature computation must not shuffle")
+  }
+
+  test("partitioned layout: date filter prunes partitions") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("prune").toString
+    Seq(("2025-01-01", "a", 1.0), ("2025-02-01", "b", 2.0))
+      .toDF("month", "band", "v")
+      .write.partitionBy("month", "band").parquet(s"$tmp/t")
+    val read = spark.read.parquet(s"$tmp/t").filter($"month" === "2025-01-01")
+    val scan = read.queryExecution.executedPlan.toString
+    // partition filters present on the scan node (directory-level pruning —
+    // inputFiles lists the unpruned relation, so assert via the plan + rows)
+    assert(scan.contains("PartitionFilters") &&
+           scan.contains("isnotnull(month"), s"no partition pruning:\n$scan")
+    assert(read.count() == 1)
+  }
+}

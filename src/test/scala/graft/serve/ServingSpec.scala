@@ -1,0 +1,39 @@
+package graft.serve
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+
+class ServingSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def gold = Seq(
+    ("2025-08-01", "no2", 1.0), ("2025-08-01", "so2", 2.0),
+    ("2025-09-01", "no2", 3.0))
+    .toDF("month", "band", "mean")
+    .withColumn("month", to_date(col("month")))
+
+  test("P7/P8 lookup prunes to one month × selected layers") {
+    val r = Serving.lookup(gold, "2025-08-01", Seq("no2"))
+    assert(r.collect().map(_.getDouble(2)).toSeq == Seq(1.0))
+  }
+
+  test("P10 existence guard filters absent layers") {
+    assert(Serving.existingLayers(gold, Seq("no2", "frp")) == Seq("no2"))
+  }
+
+  test("F13 query-string parse") {
+    assert(Serving.parseQuery("?layers=no2,so2&start_date=2025-08-01") ==
+      Map("layers" -> "no2,so2", "start_date" -> "2025-08-01"))
+  }
+
+  test("S8 viewer writes months and layers into the page") {
+    val tmp = java.nio.file.Files.createTempDirectory("viewer").toString
+    Serving.writeViewer(gold.select("month", "band"), "assets", s"$tmp/index.html")
+    val html = scala.io.Source.fromFile(s"$tmp/index.html").mkString
+    assert(html.contains("'2025-08-01'") && html.contains("'2025-09-01'"))
+    assert(html.contains(""">no2</label>""") && html.contains(""">so2</label>"""))
+    assert(html.contains("onerror")) // P10 at the browser edge
+  }
+}
