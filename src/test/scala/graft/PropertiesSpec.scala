@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops._
+
+/** SURVEY §5.3 — property-based invariants. Generators drive small
+  * DataFrames through the real operators (not reimplementations).
+  * Deterministic seeds (no scalatest-scalacheck bridge in the offline
+  * cache, so forAll is a seeded sample loop). */
+class PropertiesSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def forAll[A](g: Gen[A], trials: Int = 12)(f: A => Unit): Unit =
+    (1 to trials).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)).foreach(f)
+    }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit =
+    if (cond) body
+
+  private val values: Gen[List[Double]] =
+    Gen.listOfN(12, Gen.chooseNum(-100.0, 100.0))
+
+  test("normalization output is always within [0,1] (epsilon-guarded)") {
+    forAll(values) { vs =>
+      whenever(vs.nonEmpty) {
+        val out = vs.toDF("value").withColumn("band", lit("b"))
+          .select(Normalize.minMaxNorm("value", "band").as("n"))
+          .collect().map(_.getDouble(0))
+        assert(out.forall(v => v >= 0.0 && v <= 1.0))
+      }
+    }
+  }
+
+  test("zero-preserving normalization fixes zeros and stays in [0,1]") {
+    forAll(Gen.listOfN(10, Gen.chooseNum(0.0, 50.0))) { vs =>
+      whenever(vs.nonEmpty) {
+        val out = (0.0 :: vs).toDF("value").withColumn("band", lit("b"))
+          .select(col("value"),
+            Normalize.zeroPreservingNorm("value", "band").as("n"))
+          .collect()
+        out.foreach { r =>
+          val (v, n) = (r.getDouble(0), r.getDouble(1))
+          if (v == 0.0) assert(n == 0.0)
+          else assert(n >= 0.0 && n <= 1.0)
+        }
+      }
+    }
+  }
+
+  test("severity bucketing is total and monotone in value") {
+    val rank = Map("none" -> 0, "low" -> 1, "mid" -> 2, "high" -> 3)
+    forAll(values, Gen.chooseNum(0.1, 50.0)) { (vs, std) =>
+      whenever(vs.nonEmpty) {
+        val out = vs.sorted.toDF("value")
+          .select(col("value"), Buckets.severity(col("value"), lit(std)).as("b"))
+          .orderBy("value").collect().map(_.getString(1))
+        assert(out.forall(rank.contains)) // total
+        val ranks = out.map(rank)
+        assert(ranks.zip(ranks.drop(1)).forall { case (a, b) => a <= b }) // monotone
+      }
+    }
+  }
+
+  test("grid-snap resample is idempotent at the same resolution") {
+    forAll(Gen.listOfN(8, Gen.zip(
+      Gen.chooseNum(70.0, 80.0), Gen.chooseNum(20.0, 30.0),
+      Gen.chooseNum(0.0, 10.0)))) { pts =>
+      whenever(pts.nonEmpty) {
+        val df = pts.toDF("lon", "lat", "value").withColumn("band", lit("b"))
+        val once = Composites.gridResample(df, res = 0.5)
+        // resampling the cell centers again at the same res must not merge
+        // or split cells: cell count is a fixpoint
+        val again = once
+          .withColumn("lon", (col("cell_x") + 0.5) * 0.5)
+          .withColumn("lat", (col("cell_y") + 0.5) * 0.5)
+          .withColumn("value", col("mean_value"))
+        val twice = Composites.gridResample(again, res = 0.5)
+        assert(once.count() == twice.count())
+      }
+    }
+  }
+
+  test("unpivot covers the grid bijectively: h*w rows, distinct (y,x)") {
+    forAll(Gen.chooseNum(1, 6), Gen.chooseNum(1, 6)) { (w, h) =>
+      val g = graft.model.GridMeta("d", 0.1, 0, 70.0, 0, -0.1, 30.0,
+        "EPSG:4326", w, h, None, 1000)
+      val px = Unpivot.gridToPixels(spark, g)
+      assert(px.count() == w.toLong * h)
+      assert(px.select("y", "x").distinct().count() == w.toLong * h)
+    }
+  }
+
+  test("filterDate commutes with mean composite") {
+    val gen = Gen.listOfN(16, Gen.zip(
+      Gen.oneOf("2025-08-01", "2025-08-10", "2025-09-01"),
+      Gen.chooseNum(0, 1), Gen.chooseNum(0.0, 9.0)))
+    forAll(gen) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("date", "x", "value")
+          .withColumn("date", to_date(col("date")))
+          .withColumn("band", lit("b")).withColumn("y", lit(0))
+        val keys = Seq("band", "y", "x")
+        // filter∘mean over the filtered set ≡ mean∘(same filter)
+        val a = Composites.meanComposite(
+          Filters.dateRange(df, "date", "2025-08-01", "2025-09-01"), keys)
+          .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+        val b = Filters.dateRange(df, "date", "2025-08-01", "2025-09-01")
+        val b2 = Composites.meanComposite(b, keys)
+          .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+        assert(a == b2)
+      }
+    }
+  }
+
+  test("minhash estimated jaccard is 1 for identical docs, bounded in [0,1]") {
+    forAll(Gen.listOfN(6, Gen.alphaLowerStr.suchThat(_.nonEmpty))) { words =>
+      whenever(words.size >= 3) {
+        val text = words.mkString(" ")
+        val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+        val r = ext.Dedup.minhashNearDups(docs, threshold = 0.0, shingleK = 1)
+        val est = r.collect().map(_.getAs[Double]("est_jaccard"))
+        assert(est.forall(e => e >= 0.0 && e <= 1.0))
+        assert(est.contains(1.0))
+      }
+    }
+  }
+}
