@@ -36,13 +36,14 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Base token-hash array: one xxhash64 per shingle, computed once. The
-    * per-seed hash families are derived from these inside the native
-    * MinHashSignature/SimHash64 expressions (graft.functions) — a single
-    * codegen'd pass instead of k interpreted re-folds of the shingle
-    * pipeline (which benched 16-64× slower). */
+  /** Base token-hash array: distinct 64-bit shingle hashes, computed in one
+    * native pass (graft.functions.ShingleHashes — tokenizer + k-gram +
+    * hash + dedupe in a single expression; the declarative
+    * split/transform/distinct/xxhash chain's interpreted lambdas dominated
+    * the dedup bench). Per-seed hash families derive from these inside
+    * MinHashSignature/SimHash64. */
   def tokenHashes(text: Column, shingleK: Int): Column =
-    transform(shingles(text, shingleK), s => xxhash64(s))
+    graft.functions.ShingleHashes(text, shingleK)
 
   /** 2. MinHash signature via the native expression — one row per doc, no
     * explode, no shuffle, whole-stage codegen. */

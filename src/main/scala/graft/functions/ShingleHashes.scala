@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tokenize → k-gram shingle → 64-bit hash → distinct, in one pass over
+  * the text. Replaces the declarative split/transform/slice/array_distinct
+  * /xxhash64 chain, whose per-lambda interpreted dispatch dominated the
+  * dedup queries (~2 ms/doc). Hash family: FNV-1a per token, polynomial
+  * combine + splitmix64 finalize per shingle — values are engine-internal
+  * (only distinctness and determinism matter; the Jaccard/minhash/simhash
+  * results are hash-value-independent). */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    new GenericArrayData(ShingleHashes.shingleHashes(s, k))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hashes"
+}
+
+object ShingleHashes {
+
+  def apply(text: Column, k: Int): Column =
+    GraftBridge.column(ShingleHashes(GraftBridge.expression(text), k))
+
+  private final val FNV_OFFSET = 0xCBF29CE484222325L
+  private final val FNV_PRIME = 0x100000001B3L
+  private final val COMBINE = 1000003L
+
+  /** Distinct hashes of all k-gram token shingles of `text` (lowercased,
+    * whitespace-tokenized), first-occurrence order. */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    // single-pass tokenizer: FNV-1a over lowercased bytes of each token
+    val tokHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var h = FNV_OFFSET
+    var inTok = false
+    var i = 0
+    val n = text.length
+    while (i <= n) {
+      val c = if (i < n) text.charAt(i) else ' '
+      if (Character.isWhitespace(c)) {
+        if (inTok) { tokHashes += h; h = FNV_OFFSET; inTok = false }
+      } else {
+        inTok = true
+        val lc = Character.toLowerCase(c)
+        // FNV over the UTF-16 code unit's bytes
+        h = (h ^ (lc & 0xFF)) * FNV_PRIME
+        h = (h ^ ((lc >> 8) & 0xFF)) * FNV_PRIME
+      }
+      i += 1
+    }
+    val m = tokHashes.length
+    if (m < k) return Array.emptyLongArray
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](m)
+    var s = 0
+    while (s <= m - k) {
+      var sh = 0L
+      var j = 0
+      while (j < k) { sh = sh * COMBINE + tokHashes(s + j); j += 1 }
+      val fin = HashExprs.mix64(sh)
+      if (seen.add(fin)) out += fin
+      s += 1
+    }
+    out.toArray
+  }
+}
