@@ -354,6 +354,19 @@ object SparkEntry {
       Tables.events(s, d).select(col("event_id"), col("value"))
         .orderBy(desc("value"), col("event_id")).limit(10)),
 
+    // ---- J5 (extension): as-of join — align each purchase with the
+    // latest prior signup of the same user (union+window, no range join)
+    "j5_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value").as("sig_value"))
+      ops.AsOfJoin.asof(purchases, signups, Seq("user_id"), "ts", "ts",
+          Seq("sig_value"))
+        .select("event_id", "value", "asof_sig_value")
+    }),
+
     // ---- extensions: multimodal plumbing (rows-only: stub codec)
     "x14_media_features" -> ((s, d) =>
       ext.Multimodal.extractFeatures(
@@ -695,6 +708,17 @@ object SparkEntry {
 
     "x13_topk_events" ->
       """SELECT event_id, value FROM events
-         ORDER BY value DESC, event_id LIMIT 10"""
+         ORDER BY value DESC, event_id LIMIT 10""",
+
+    "j5_asof" ->
+      """WITH p AS (SELECT event_id, user_id,
+                           CAST(ts AS TIMESTAMP) AS ts, value
+                    FROM events WHERE event_type = 'purchase'),
+              s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                           value AS sig_value
+                    FROM events WHERE event_type = 'signup')
+         SELECT p.event_id, p.value, s.sig_value AS asof_sig_value
+         FROM p ASOF LEFT JOIN s
+           ON p.user_id = s.user_id AND p.ts >= s.ts"""
   )
 }
