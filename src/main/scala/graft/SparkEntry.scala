@@ -237,6 +237,29 @@ object SparkEntry {
           Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
         .count().na.fill(0L)),
 
+    // ---- J6 anti join (completes the join family)
+    "j6_anti" -> ((s, d) => {
+      val bld = Filters.eqAll(t(s, d, "customer"), "c_mktsegment" -> "BUILDING")
+      t(s, d, "orders")
+        .join(broadcast(bld), col("o_custkey") === col("c_custkey"), "left_anti")
+        .select("o_orderkey", "o_custkey")
+    }),
+
+    // ---- §2.7 true set ops (beyond the reference's unions)
+    "u2_intersect" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+      ord.filter(col("o_totalprice") > 100000.0).select("o_custkey")
+        .intersect(ord.filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey"))
+    }),
+
+    "u3_except" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      c.select("c_nationkey").distinct()
+        .except(c.filter(col("c_custkey") % 100 === 7)
+          .select("c_nationkey"))
+    }),
+
     // ---- §2.6 sorts / limits
     "o1_sort_dates" -> ((s, d) =>
       t(s, d, "lineitem").select(to_date(col("l_shipdate")).as("day"))
@@ -554,6 +577,21 @@ object SparkEntry {
                 COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
                 COUNT(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
          FROM orders GROUP BY 1""",
+
+    "j6_anti" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                 WHERE c_mktsegment = 'BUILDING')""",
+
+    "u2_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""",
+
+    "u3_except" ->
+      """SELECT DISTINCT c_nationkey FROM customer
+         EXCEPT
+         SELECT c_nationkey FROM customer WHERE c_custkey % 100 = 7""",
 
     "o1_sort_dates" ->
       """SELECT DISTINCT CAST(l_shipdate AS DATE) AS day FROM lineitem ORDER BY day""",
