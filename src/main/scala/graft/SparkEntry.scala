@@ -196,6 +196,18 @@ object SparkEntry {
         round(GeoFns.mercatorToLon(col("value") * 10000.0), 9).as("lon"),
         round(GeoFns.mercatorToLat(col("value") * 10000.0), 9).as("lat"))),
 
+    // F7 (UTM case) — full Krüger-series reprojection of a synthetic UTM
+    // pixel grid to EPSG:4326 (rows-only: series SQL not oracle-practical)
+    "f7_utm_reproject" -> ((s, _) => {
+      val grid = ops.Unpivot.gridToPixels(s, graft.model.GridMeta(
+        "utm43", 1000.0, 0.0, 400000.0, 0.0, -1000.0, 3500000.0,
+        "EPSG:32643", width = 50, height = 50, nodata = None, scaleM = 1000))
+      grid.withColumn("ll",
+          ops.Utm.utmToLatLonUdf(43)(col("lon"), col("lat")))
+        .select(col("y"), col("x"), round(col("ll._1"), 9).as("lat"),
+                round(col("ll._2"), 9).as("lon"))
+    }),
+
     // F13 — query-string parse at the serving edge
     "f13_qs_parse" -> ((s, d) =>
       Tables.events(s, d)

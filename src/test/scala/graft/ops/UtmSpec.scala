@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+
+class UtmSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("geometric invariants of the UTM projection") {
+    // a point ON the central meridian maps to easting 500000 exactly
+    val (e1, n1) = Utm.toUtm(30.0, Utm.zoneCentralMeridian(43), 43)
+    assert(math.abs(e1 - 500000.0) < 1e-6)
+    // the equator maps to northing 0
+    val (_, n0) = Utm.toUtm(0.0, 75.0 + 0.5, 43)
+    assert(math.abs(n0) < 1e-6)
+    // northing grows with latitude, easting grows with longitude
+    val (e2, n2) = Utm.toUtm(31.0, 76.0, 43)
+    val (e3, n3) = Utm.toUtm(30.0, 76.0, 43)
+    assert(n2 > n3)
+    val (e4, _) = Utm.toUtm(30.0, 77.0, 43)
+    assert(e4 > e3)
+    // one degree of latitude ≈ 110.6-110.9 km of northing at 30°N
+    assert(math.abs((n2 - n3) - 110857.0) < 500.0)
+    // meridian scale: at the CM, 1° of latitude distance is scaled by k0;
+    // meridian arc on WGS84 from 30° to 31° is ~110861.9 m → ×0.9996
+    val (_, cmN30) = Utm.toUtm(30.0, Utm.zoneCentralMeridian(43), 43)
+    val (_, cmN31) = Utm.toUtm(31.0, Utm.zoneCentralMeridian(43), 43)
+    assert(math.abs((cmN31 - cmN30) / 110861.9 - 0.9996) < 1e-4)
+  }
+
+  test("forward∘inverse is identity to sub-millimeter over the zone") {
+    val rnd = new scala.util.Random(11)
+    (1 to 200).foreach { _ =>
+      val lat = -79.0 + rnd.nextDouble() * 160.0   // UTM validity band
+      val lon = 75.0 + (rnd.nextDouble() - 0.5) * 5.9 // inside zone 43
+      val (e, n) = Utm.toUtm(lat, lon, 43)
+      val (lat2, lon2) = Utm.toLatLon(e, n, 43)
+      assert(math.abs(lat2 - lat) < 1e-9, s"lat $lat → $lat2")
+      assert(math.abs(lon2 - lon) < 1e-9, s"lon $lon → $lon2")
+    }
+  }
+
+  test("southern hemisphere false northing round trip") {
+    val (e, n) = Utm.toUtm(-33.9, 18.6, 34, north = false)
+    assert(n > 0 && n < Utm.toUtm(-0.001, 18.6, 34, north = false)._2)
+    val (lat, lon) = Utm.toLatLon(e, n, 34, north = false)
+    assert(math.abs(lat - (-33.9)) < 1e-9 && math.abs(lon - 18.6) < 1e-9)
+  }
+
+  test("UDF reprojets a pixel table distributively") {
+    val px = Seq((500000.0, 3320000.0), (612000.0, 3430000.0))
+      .toDF("easting", "northing")
+    val r = px.withColumn("ll",
+      Utm.utmToLatLonUdf(43)(org.apache.spark.sql.functions.col("easting"),
+                             org.apache.spark.sql.functions.col("northing")))
+      .select("ll._1", "ll._2").collect()
+    // 500000E on CM of zone 43 → lon exactly 75.0
+    assert(math.abs(r(0).getDouble(1) - 75.0) < 1e-9)
+    assert(r(0).getDouble(0) > 29.0 && r(0).getDouble(0) < 31.0)
+  }
+}
