@@ -24,6 +24,83 @@ object StreamingOps {
       .groupBy((window(col(tsCol), "1 day").as("day") +: keyCols.map(col)): _*)
       .agg(max(valueCol).as("max_value"), count(lit(1)).as("n"))
 
+  /** Fire-episode sessionization: consecutive detections of the same cell
+    * within `gapMinutes` of each other collapse into one episode row
+    * (start, end, peak, n). Custom state via flatMapGroupsWithState —
+    * the one stateful shape the builtin windowed aggs can't express
+    * (variable-length, gap-delimited sessions). */
+  case class FireEvent(cell: Long, ts: java.sql.Timestamp, frp: Double)
+  case class EpisodeState(start: Long, last: Long, peak: Double, n: Long)
+  case class Episode(cell: Long, start: java.sql.Timestamp,
+                     end: java.sql.Timestamp, peak: Double, n: Long)
+
+  def sessionize(events: org.apache.spark.sql.Dataset[FireEvent],
+                 gapMinutes: Long): org.apache.spark.sql.Dataset[Episode] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    def fn(cell: Long, it: Iterator[FireEvent],
+           state: GroupState[EpisodeState]): Iterator[Episode] = {
+      val sorted = it.toSeq.sortBy(_.ts.getTime)
+      var out = List.empty[Episode]
+      var st = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        st match {
+          case Some(s) if t - s.last <= gapMs =>
+            st = Some(s.copy(last = t, peak = math.max(s.peak, e.frp), n = s.n + 1))
+          case Some(s) => // gap exceeded: close the episode, open a new one
+            out ::= Episode(cell, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.peak, s.n)
+            st = Some(EpisodeState(t, t, e.frp, 1))
+          case None =>
+            st = Some(EpisodeState(t, t, e.frp, 1))
+        }
+      }
+      st.foreach(state.update)
+      if (state.hasTimedOut) {
+        state.getOption.foreach { s =>
+          out ::= Episode(cell, new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.last), s.peak, s.n)
+        }
+        state.remove()
+      }
+      out.reverseIterator
+    }
+    events.groupByKey(_.cell)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Batch flush of all open sessions (for bounded/batch runs): closes
+    * every episode. Batch flatMapGroupsWithState never times out states,
+    * so bounded pipelines call this to materialize complete episodes. */
+  def sessionizeBatch(events: org.apache.spark.sql.Dataset[FireEvent],
+                      gapMinutes: Long): org.apache.spark.sql.Dataset[Episode] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.groupByKey(_.cell).flatMapGroups { (cell, it) =>
+      val sorted = it.toSeq.sortBy(_.ts.getTime)
+      val out = scala.collection.mutable.ListBuffer.empty[Episode]
+      var st: Option[EpisodeState] = None
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        st match {
+          case Some(s) if t - s.last <= gapMs =>
+            st = Some(s.copy(last = t, peak = math.max(s.peak, e.frp), n = s.n + 1))
+          case Some(s) =>
+            out += Episode(cell, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.peak, s.n)
+            st = Some(EpisodeState(t, t, e.frp, 1))
+          case None => st = Some(EpisodeState(t, t, e.frp, 1))
+        }
+      }
+      st.foreach(s => out += Episode(cell, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.last), s.peak, s.n))
+      out.iterator
+    }
+  }
+
   /** Run a streaming aggregation over existing parquet as a bounded stream
     * (memory sink), for batch-equivalence testing. Returns the final table.
     */

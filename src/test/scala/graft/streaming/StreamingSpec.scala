@@ -8,6 +8,23 @@ import graft.SharedSpark
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = SharedSpark.spark
 
+  test("sessionization: gap-delimited episodes with peak and count") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val events = Seq(
+      StreamingOps.FireEvent(1L, ts(0), 5.0),
+      StreamingOps.FireEvent(1L, ts(10), 9.0),
+      StreamingOps.FireEvent(1L, ts(200), 3.0),   // > 60 min gap → new episode
+      StreamingOps.FireEvent(2L, ts(5), 7.0)).toDS()
+    val eps = StreamingOps.sessionizeBatch(events, gapMinutes = 60)
+      .collect().sortBy(e => (e.cell, e.start.getTime))
+    assert(eps.length == 3)
+    assert(eps(0).cell == 1L && eps(0).n == 2 && eps(0).peak == 9.0 &&
+           eps(0).end.getTime == ts(10).getTime)
+    assert(eps(1).cell == 1L && eps(1).n == 1 && eps(1).peak == 3.0)
+    assert(eps(2).cell == 2L && eps(2).n == 1)
+  }
+
   test("§2.9 streaming daily max equals the batch composite") {
     // bounded file stream over the events table (nanos ts read as long,
     // converted — same path as Tables.events)
