@@ -322,6 +322,36 @@ object SparkEntry {
                 element_at(col("properties"), "name").as("name"))
     }),
 
+    // ---- A7 exact case: convex-hull dissolve of the amenity point layer
+    // (rows-only: custom Aggregator output, fixture input)
+    "a7_hull_dissolve" -> ((s, _) => {
+      import s.implicits._
+      val pts = graft.sources.GeoJson.read(s,
+        "/root/repo/src/test/resources/powerplants_mini.geojson", "powerplants")
+        .select(col("lon"), col("lat")).as[ops.Pt]
+      // typed aggregator output flattens its product fields → `points`
+      pts.select(ops.HullAggregator.toColumn.name("hull"))
+        .select(posexplode(col("points")).as(Seq("i", "pt")))
+        .select(col("i"), col("pt.lon"), col("pt.lat"))
+    }),
+
+    // ---- P6 polygon case: ray-casting clip of a grid to a triangle
+    // (rows-only: UDF predicate)
+    "p6_polygon_clip" -> ((s, _) => {
+      val grid = ops.Unpivot.gridToPixels(s, graft.model.GridMeta(
+        "demo", 0.1, 0.0, 76.0, 0.0, -0.1, 30.0, "EPSG:4326",
+        width = 20, height = 20, nodata = None, scaleM = 1000))
+      val tri = Seq((76.2, 28.2), (77.8, 28.2), (77.0, 29.8))
+      grid.filter(ops.GeoFns.pointInPolygonUdf(tri)(col("lon"), col("lat")))
+        .select("y", "x", "lon", "lat")
+    }),
+
+    // ---- profiling: HLL approximate distinct (rows-only: sketch-based)
+    "x16_hll_profile" -> ((s, d) =>
+      t(s, d, "documents").groupBy("lang").agg(
+        approx_count_distinct(md5(col("text"))).as("approx_distinct"),
+        count(lit(1)).as("n_docs"))),
+
     // ---- extensions: deduplication
     "x1_dedup_exact" -> ((s, d) =>
       ext.Dedup.exact(t(s, d, "documents"))),
