@@ -594,10 +594,10 @@ object SparkEntry {
 
     "j1_cell_join" ->
       """WITH cells AS (
-           SELECT FLOOR(value / 50.0) AS cell, COUNT(*) AS cnt
+           SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS cell, COUNT(*) AS cnt
            FROM events GROUP BY 1)
          SELECT e.event_id, c.cell, c.cnt FROM events e
-         JOIN cells c ON FLOOR(e.value / 50.0) = c.cell""",
+         JOIN cells c ON CAST(FLOOR(e.value / 50.0) AS BIGINT) = c.cell""",
 
     "j2_semi" ->
       """SELECT o_orderkey, o_totalprice FROM orders

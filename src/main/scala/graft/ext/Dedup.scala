@@ -106,21 +106,48 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** 3. SimHash near-dups: block on 16-bit quarters (a pair within hamming
-    * distance 3 of 64 bits must agree on ≥1 of 4 quarters — pigeonhole), then
-    * verify exact hamming ≤ maxDist. Equi-join on block key: scale-safe. */
+  /** 3. SimHash near-dups: compute fingerprints, then candidate-block and
+    * verify exact hamming ≤ maxDist (see [[simhashNearDupsFromFp]]). */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
-                      shingleK: Int = 2): DataFrame = {
-    val fp = simhash(docs, "text", shingleK)
+                      shingleK: Int = 2): DataFrame =
+    simhashNearDupsFromFp(simhash(docs, "text", shingleK), maxDist)
+
+  /** Blocked near-dup search over precomputed fingerprints
+    * `(doc_id, simhash)`. The blocking scheme adapts to `maxDist` so the
+    * pigeonhole recall guarantee actually covers the requested radius:
+    *
+    *  - maxDist ≤ 3 → 4 blocks of 16 bits (≤3 flips leave ≥1 of 4 blocks
+    *    clean); 4 exploded rows/doc, 16-bit key entropy.
+    *  - maxDist ≤ 6 → ≤6 flips leave ≥2 of 8 byte-blocks clean, so any
+    *    qualifying pair shares at least one *pair of bytes*. Keying on all
+    *    C(8,2)=28 sorted byte-pairs keeps 16-bit key entropy — single-byte
+    *    keys would have only 256 values per position and melt one shuffle
+    *    partition per common byte at corpus scale.
+    *  - maxDist = 7 → single 8-bit byte blocks (8 keys; accepted entropy
+    *    loss, documented smallest-radius guarantee that still holds).
+    *
+    * Verification is always the exact popcount of the XOR, so blocking only
+    * affects recall, never precision. */
+  def simhashNearDupsFromFp(fp: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7,
+      s"simhash blocking supports maxDist in [0,7], got $maxDist")
+    def byteAt(i: Int): Column =
+      shiftright(col("simhash"), i * 8).bitwiseAND(0xFFL)
+    val keys: Seq[Column] =
+      if (maxDist <= 3)
+        (0 until 4).map(q =>
+          shiftright(col("simhash"), q * 16).bitwiseAND(0xFFFFL))
+      else if (maxDist <= 6)
+        for { i <- 0 until 8; j <- (i + 1) until 8 }
+          yield shiftleft(byteAt(i), 8).bitwiseOR(byteAt(j))
+      else (0 until 8).map(byteAt)
     val blocked = fp.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(q =>
-        shiftright(col("simhash"), q * 16).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("quarter", "block")))
-    val a = blocked.select(col("doc_id").as("doc_a"), col("quarter"),
+      posexplode(array(keys: _*)).as(Seq("block_idx", "block")))
+    val a = blocked.select(col("doc_id").as("doc_a"), col("block_idx"),
                            col("block"), col("simhash").as("fp_a"))
-    val b = blocked.select(col("doc_id").as("doc_b"), col("quarter"),
+    val b = blocked.select(col("doc_id").as("doc_b"), col("block_idx"),
                            col("block"), col("simhash").as("fp_b"))
-    a.join(b, Seq("quarter", "block"))
+    a.join(b, Seq("block_idx", "block"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
               hamming(col("fp_a"), col("fp_b")).as("dist"))
@@ -129,33 +156,53 @@ object Dedup {
   }
 
   /** 4. Exact n-gram Jaccard for pairs sharing ≥1 shingle, via the
-    * postings-list pattern: group docs by shingle hash (ONE big shuffle),
-    * emit the pair combinations of each posting map-side, count per pair,
-    * then |A∪B| = |A|+|B|−|A∩B| with the sizes dimension broadcast.
+    * postings-list pattern: group `(doc_id, n_sh)` by shingle hash (ONE big
+    * shuffle) and emit the pair combinations of each posting map-side. Each
+    * posting entry carries its document's set size, so
+    * |A∪B| = |A|+|B|−|A∩B| falls out of the pair aggregation directly — no
+    * per-document sizes dimension and no broadcast of it (the round-1
+    * version broadcast one row per document: a driver OOM at corpus scale).
     * The join key is the 64-bit shingle hash, not the string — cheaper
-    * shuffle, collision odds ~n²·k/2⁶⁴. The previous self-join formulation
-    * shuffled the exploded table twice and benched ~4× slower. */
+    * shuffle, collision odds ~n²·k/2⁶⁴.
+    *
+    * Shingles with document frequency above `maxDf` are dropped before pair
+    * generation: one boilerplate shingle shared by m documents builds an
+    * m-element aggregation buffer and emits m²/2 pairs — quadratic skew on a
+    * single key — while carrying ~no Jaccard signal. The cap is not silent:
+    * the postings stage publishes `observe("jaccard_df_cap")` metrics
+    * (`shingles_kept` / `shingles_dropped`), readable from a
+    * QueryExecutionListener or `Observation`. */
   def jaccardPairs(docs: DataFrame, shingleK: Int = 3,
-                   minJaccard: Double = 0.8): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(tokenHashes(col("text"), shingleK)).as("shingle"))
-    // set sizes straight from the (distinct) shingle array — no shuffle
-    val sizes = docs.select(col("doc_id"),
-      size(tokenHashes(col("text"), shingleK)).cast("long").as("n_sh"))
-    // postings list per shingle → all (a<b) pairs, generated map-side
+                   minJaccard: Double = 0.8,
+                   maxDf: Int = 4096): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), tokenHashes(col("text"), shingleK).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+              explode(col("hs")).as("shingle"))
+    // postings list per shingle → all (a<b) pairs, generated map-side;
+    // sort_array on the struct orders by doc_id (first field)
     val postings = sh.groupBy("shingle")
-      .agg(sort_array(collect_list("doc_id")).as("docs"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh"))))
+        .as("docs"))
       .filter(size(col("docs")) > 1)
+      .observe("jaccard_df_cap",
+        sum(when(size(col("docs")) > maxDf, 1L).otherwise(0L))
+          .as("shingles_dropped"),
+        sum(when(size(col("docs")) <= maxDf, 1L).otherwise(0L))
+          .as("shingles_kept"))
+      .filter(size(col("docs")) <= maxDf)
     val pairs = postings.select(explode(
       flatten(transform(col("docs"), (a, i) =>
         transform(slice(col("docs"), i + 2, size(col("docs"))),
-          b => struct(a.as("doc_a"), b.as("doc_b"))))))
+          b => struct(a.getField("doc_id").as("doc_a"),
+                      b.getField("doc_id").as("doc_b"),
+                      a.getField("n_sh").as("size_a"),
+                      b.getField("n_sh").as("size_b"))))))
       .as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-    val inter = pairs.groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    inter
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("size_a"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("size_b"))), "doc_b")
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.size_a"), col("p.size_b"))
+    pairs.groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"),
+           first("size_a").as("size_a"), first("size_b").as("size_b"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("size_a") + col("size_b") - col("n_common")))

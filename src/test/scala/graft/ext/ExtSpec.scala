@@ -152,4 +152,50 @@ class ExtSpec extends AnyFunSuite {
     assert(frames.count() == 5) // each text < 256 bytes → 1 frame each
     assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame"))
   }
+
+  test("simhash blocking finds a 6-bit-spread pair that quarter blocks miss") {
+    // 6 differing bits, 1-2 in each 16-bit quarter: bits 3, 17, 18, 33, 49, 50.
+    // No quarter is clean, so 4x16 blocking (the maxDist<=3 scheme) cannot
+    // pair them; bytes 1,3,5,7 are clean, so byte-pair blocking must.
+    val base = 0x0123456789ABCDEFL
+    val flipped = base ^ ((1L << 3) | (1L << 17) | (1L << 18) |
+                          (1L << 33) | (1L << 49) | (1L << 50))
+    val fp = Seq((1L, base), (2L, flipped)).toDF("doc_id", "simhash")
+    val found = Dedup.simhashNearDupsFromFp(fp, maxDist = 6)
+      .select("doc_a", "doc_b", "dist").collect()
+    assert(found.length == 1)
+    assert(found.head.getLong(0) == 1L && found.head.getLong(1) == 2L)
+    assert(found.head.getInt(2) == 6)
+    // sanity: the quarter scheme (maxDist=3 path) indeed misses this pair
+    assert(Dedup.simhashNearDupsFromFp(fp, maxDist = 3).count() == 0)
+  }
+
+  test("simhash blocking at maxDist=7 uses single-byte blocks") {
+    // 7 flips spread so exactly one byte (byte 6) stays clean
+    val base = 0x0123456789ABCDEFL
+    val flips = Seq(0, 9, 18, 27, 36, 45, 63)
+    val flipped = base ^ flips.map(1L << _).reduce(_ | _)
+    val fp = Seq((1L, base), (2L, flipped)).toDF("doc_id", "simhash")
+    assert(Dedup.simhashNearDupsFromFp(fp, maxDist = 7).count() == 1)
+  }
+
+  test("jaccard df cap drops ubiquitous shingles but keeps rare-pair signal") {
+    // 'x y z' appears in all 4 docs (df=4 > maxDf=3) and must not generate
+    // pairs; docs 1/2 still pair through their private shared shingles.
+    val d = Seq(
+      (1L, "x y z a b c d e"),
+      (2L, "x y z a b c d f"),
+      (3L, "x y z q r s t u"),
+      (4L, "x y z k l m n o")).toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(d, shingleK = 3, minJaccard = 0.05, maxDf = 3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)))
+    // pairs that ONLY shared the ubiquitous prefix disappear under the cap
+    assert(!capped.contains((3L, 4L)))
+    val uncapped = Dedup.jaccardPairs(d, shingleK = 3, minJaccard = 0.05)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((3L, 4L))) // default cap keeps them
+  }
 }
