@@ -197,7 +197,7 @@ object SparkEntry {
         round(GeoFns.mercatorToLat(col("value") * 10000.0), 9).as("lat"))),
 
     // F7 (UTM case) — full Krüger-series reprojection of a synthetic UTM
-    // pixel grid to EPSG:4326 (rows-only: series SQL not oracle-practical)
+    // pixel grid to EPSG:4326 (oracle: the series mirrored in SQL)
     "f7_utm_reproject" -> ((s, _) => {
       val grid = ops.Unpivot.gridToPixels(s, graft.model.GridMeta(
         "utm43", 1000.0, 0.0, 400000.0, 0.0, -1000.0, 3500000.0,
@@ -300,8 +300,8 @@ object SparkEntry {
           Seq(count(lit(1)).as("n"), sumD(col("value")).as("sum_value")))
         .withColumn("month", col("month").cast("date"))),
 
-    // ---- §2.1 S7 GeoJSON source + P11 tooltip projection (rows-only:
-    // reads a repo fixture file, not an sfDir table)
+    // ---- §2.1 S7 GeoJSON source + P11 tooltip projection (oracle reads
+    // the same fixture file via DuckDB read_json)
     "s7_geojson_scan" -> ((s, _) =>
       graft.sources.GeoJson.read(s,
         "/root/repo/src/test/resources/powerplants_mini.geojson", "powerplants")
@@ -310,7 +310,7 @@ object SparkEntry {
                 element_at(col("properties"), "plant:source").as("source"))),
 
     // ---- J1 spatial overlay, end-to-end: grid unpivot (F8) + GeoJSON
-    // amenities (S7) + broadcast cell join (rows-only: repo fixture input)
+    // amenities (S7) + broadcast cell join
     "j1_spatial_overlay" -> ((s, _) => {
       val grid = ops.Unpivot.gridToPixels(s, graft.model.GridMeta(
         "demo", 0.01, 0.0, 76.85, 0.0, -0.01, 29.0, "EPSG:4326",
@@ -323,7 +323,7 @@ object SparkEntry {
     }),
 
     // ---- A7 exact case: convex-hull dissolve of the amenity point layer
-    // (rows-only: custom Aggregator output, fixture input)
+    // (oracle: hand-computed hull fixture)
     "a7_hull_dissolve" -> ((s, _) => {
       import s.implicits._
       val pts = graft.sources.GeoJson.read(s,
@@ -336,7 +336,7 @@ object SparkEntry {
     }),
 
     // ---- P6 polygon case: ray-casting clip of a grid to a triangle
-    // (rows-only: UDF predicate)
+    // (oracle: the ray-cast expanded per edge in SQL)
     "p6_polygon_clip" -> ((s, _) => {
       val grid = ops.Unpivot.gridToPixels(s, graft.model.GridMeta(
         "demo", 0.1, 0.0, 76.0, 0.0, -0.1, 30.0, "EPSG:4326",
@@ -443,6 +443,57 @@ object SparkEntry {
       ext.Multimodal.metaProfile(
         ext.Multimodal.mediaFromDocs(t(s, d, "documents"))))
   )
+
+  /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
+    * identical expression structure and bit-identical double constants
+    * (pasted via Double.toString), with sinh/cosh expanded to exp form
+    * (DuckDB has no hyperbolics; the ulp difference is absorbed by the
+    * round-to-9dp both queries apply). The Newton loop is unrolled to 8
+    * steps with a convergence flag so the early exit matches exactly. */
+  private def utmOracleSql: String = {
+    val (k0a1, beta, e, e0) = ops.Utm.oracleConstants
+    def sinhS(x: String) = s"((exp($x) - exp(-($x))) / 2)"
+    def coshS(x: String) = s"((exp($x) + exp(-($x))) / 2)"
+    def atanhS(x: String) = s"(0.5 * ln((1 + $x) / (1 - $x)))"
+    def g(phi: String) = {
+      val s = sinhS(s"$e * ${atanhS(s"($e * sin($phi))")}")
+      s"atan(tan(chi) * sqrt(1 + $s * $s) + $s * sqrt(1 + tan(chi) * tan(chi)))"
+    }
+    val xip = "xi" + (1 to 6).map(j =>
+      s" - (${beta(j - 1)} * sin(${2 * j} * xi) * ${coshS(s"${2 * j} * eta")})").mkString
+    val etap = "eta" + (1 to 6).map(j =>
+      s" - (${beta(j - 1)} * cos(${2 * j} * xi) * ${sinhS(s"${2 * j} * eta")})").mkString
+    val newton = (1 to 8).map { k =>
+      s""", it$k AS (SELECT *,
+         CASE WHEN d${k - 1} THEN phi${k - 1} ELSE ${g(s"phi${k - 1}")} END AS phi$k,
+         d${k - 1} OR abs(${g(s"phi${k - 1}")} - phi${k - 1}) < 1e-14 AS d$k
+         FROM it${k - 1})"""
+    }.mkString
+    s"""WITH grid AS (
+         SELECT CAST(y.range AS INTEGER) AS y, CAST(x.range AS INTEGER) AS x,
+                400000.0 + (CAST(x.range AS DOUBLE) + 0.5) * 1000.0 AS easting,
+                3500000.0 + (CAST(y.range AS DOUBLE) + 0.5) * (-1000.0) AS northing
+         FROM range(50) y, range(50) x),
+       base AS (
+         SELECT y, x, (northing - 0.0) / $k0a1 AS xi,
+                      (easting - $e0) / $k0a1 AS eta
+         FROM grid),
+       conf AS (SELECT y, x, $xip AS xip, $etap AS etap FROM base),
+       it0 AS (
+         SELECT y, x, xip, etap,
+                asin(sin(xip) / ${coshS("etap")}) AS chi,
+                asin(sin(xip) / ${coshS("etap")}) AS phi0,
+                FALSE AS d0
+         FROM conf)
+       $newton
+       SELECT y, x,
+              round(phi8 * 180.0 / pi(), 9) AS lat,
+              round(75.0 + atan2(${sinhS("etap")}, cos(xip)) * 180.0 / pi(), 9) AS lon
+       FROM it8"""
+  }
+
+  private val geojsonFixture =
+    "/root/repo/src/test/resources/powerplants_mini.geojson"
 
   /** Deterministic 64-dim query vector for the ANN queries (shared by Spark
     * and oracle sides). */
@@ -789,6 +840,66 @@ object SparkEntry {
     "x13_topk_events" ->
       """SELECT event_id, value FROM events
          ORDER BY value DESC, event_id LIMIT 10""",
+
+    // S7 — DuckDB's JSON reader over the same repo fixture; struct access
+    // mirrors the Spark explode+element_at projection
+    "s7_geojson_scan" ->
+      s"""SELECT 'powerplants' AS layer, f['id'] AS id,
+                 f['geometry']['coordinates'][1] AS lon,
+                 f['geometry']['coordinates'][2] AS lat,
+                 f['properties']['name'] AS name,
+                 f['properties']['plant:source'] AS source
+          FROM (SELECT unnest(features) AS f FROM read_json('$geojsonFixture'))""",
+
+    // J1 overlay — regenerate the 80×80 affine grid with range() and join
+    // on the same floored cell keys (CAST ... AS BIGINT: DuckDB FLOOR is
+    // DOUBLE, Spark floor is LONG)
+    "j1_spatial_overlay" ->
+      s"""WITH grid AS (
+            SELECT CAST(y.range AS INTEGER) AS y, CAST(x.range AS INTEGER) AS x,
+                   76.85 + (CAST(x.range AS DOUBLE) + 0.5) * 0.01 AS lon,
+                   29.0 + (CAST(y.range AS DOUBLE) + 0.5) * (-0.01) AS lat
+            FROM range(80) y, range(80) x),
+          pts AS (
+            SELECT f['id'] AS id, f['properties']['name'] AS name,
+                   f['geometry']['coordinates'][1] AS plon,
+                   f['geometry']['coordinates'][2] AS plat
+            FROM (SELECT unnest(features) AS f FROM read_json('$geojsonFixture')))
+          SELECT g.y, g.x, p.id, p.name
+          FROM grid g JOIN pts p
+            ON CAST(FLOOR(g.lon / 0.01) AS BIGINT) = CAST(FLOOR(p.plon / 0.01) AS BIGINT)
+           AND CAST(FLOOR(g.lat / 0.01) AS BIGINT) = CAST(FLOOR(p.plat / 0.01) AS BIGINT)""",
+
+    // P6 polygon — the ray-cast written out per edge of the literal
+    // triangle, structurally identical arithmetic to GeoFns.pointInPolygon
+    // (edge 2 is horizontal: its crossing test is constant-false, kept for
+    // shape fidelity; DuckDB double division by zero yields inf, not error)
+    "p6_polygon_clip" ->
+      """WITH grid AS (
+           SELECT CAST(y.range AS INTEGER) AS y, CAST(x.range AS INTEGER) AS x,
+                  76.0 + (CAST(x.range AS DOUBLE) + 0.5) * 0.1 AS lon,
+                  30.0 + (CAST(y.range AS DOUBLE) + 0.5) * (-0.1) AS lat
+           FROM range(20) y, range(20) x)
+         SELECT y, x, lon, lat FROM grid
+         WHERE (CAST(((28.2 > lat) != (29.8 > lat)) AND
+                     (lon < (77.0 - 76.2) * (lat - 28.2) / (29.8 - 28.2) + 76.2) AS INTEGER)
+              + CAST(((28.2 > lat) != (28.2 > lat)) AND
+                     (lon < (76.2 - 77.8) * (lat - 28.2) / (28.2 - 28.2) + 77.8) AS INTEGER)
+              + CAST(((29.8 > lat) != (28.2 > lat)) AND
+                     (lon < (77.8 - 77.0) * (lat - 29.8) / (28.2 - 29.8) + 77.0) AS INTEGER)) % 2 = 1""",
+
+    // A7 hull — hand-checked fixture: the 5 fixture points minus the one
+    // interior point (77.30, 28.70), in the aggregator's CCW-from-anchor
+    // emit order
+    "a7_hull_dissolve" ->
+      """SELECT * FROM (VALUES
+           (0, CAST(76.95 AS DOUBLE), CAST(28.30 AS DOUBLE)),
+           (1, CAST(78.20 AS DOUBLE), CAST(29.40 AS DOUBLE)),
+           (2, CAST(77.55 AS DOUBLE), CAST(28.90 AS DOUBLE)),
+           (3, CAST(77.10 AS DOUBLE), CAST(28.55 AS DOUBLE))) AS t(i, lon, lat)""",
+
+    // F7 UTM — full inverse Krüger series mirrored in SQL (see utmOracleSql)
+    "f7_utm_reproject" -> utmOracleSql,
 
     "j5_asof" ->
       """WITH p AS (SELECT event_id, user_id,

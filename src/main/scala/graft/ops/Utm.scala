@@ -97,6 +97,12 @@ object Utm {
 
   private def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
 
+  /** Exact-constant accessors for the DuckDB oracle mirror of [[toLatLon]]
+    * (SparkEntry builds the SQL from these so both sides use bit-identical
+    * doubles). */
+  def oracleConstants: (Double, Array[Double], Double, Double) =
+    (K0 * A1, beta, e, E0)
+
   /** Column UDFs returning struct(lat, lon) / struct(easting, northing). */
   def utmToLatLonUdf(zone: Int, north: Boolean = true) =
     udf((e: Double, n: Double) => toLatLon(e, n, zone, north))
