@@ -34,6 +34,11 @@ object StreamingOps {
   case class Episode(cell: Long, start: java.sql.Timestamp,
                      end: java.sql.Timestamp, peak: Double, n: Long)
 
+  /** Streaming variant. The input MUST carry an event-time watermark
+    * (`events.withWatermark("ts", …)`): the open episode of an idle cell is
+    * closed by an event-time timeout when the watermark passes
+    * `last + gap`, so episodes emit even if their cell never fires again.
+    */
   def sessionize(events: org.apache.spark.sql.Dataset[FireEvent],
                  gapMinutes: Long): org.apache.spark.sql.Dataset[Episode] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
@@ -41,35 +46,43 @@ object StreamingOps {
     val gapMs = gapMinutes * 60000L
     def fn(cell: Long, it: Iterator[FireEvent],
            state: GroupState[EpisodeState]): Iterator[Episode] = {
-      val sorted = it.toSeq.sortBy(_.ts.getTime)
-      var out = List.empty[Episode]
-      var st = state.getOption
-      sorted.foreach { e =>
-        val t = e.ts.getTime
-        st match {
-          case Some(s) if t - s.last <= gapMs =>
-            st = Some(s.copy(last = t, peak = math.max(s.peak, e.frp), n = s.n + 1))
-          case Some(s) => // gap exceeded: close the episode, open a new one
-            out ::= Episode(cell, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.last), s.peak, s.n)
-            st = Some(EpisodeState(t, t, e.frp, 1))
-          case None =>
-            st = Some(EpisodeState(t, t, e.frp, 1))
-        }
-      }
-      st.foreach(state.update)
       if (state.hasTimedOut) {
-        state.getOption.foreach { s =>
-          out ::= Episode(cell, new java.sql.Timestamp(s.start),
+        // watermark passed last + gap with no new events: close and drop
+        val out = state.getOption.map { s =>
+          Episode(cell, new java.sql.Timestamp(s.start),
             new java.sql.Timestamp(s.last), s.peak, s.n)
         }
         state.remove()
+        out.iterator
+      } else {
+        val sorted = it.toSeq.sortBy(_.ts.getTime)
+        var out = List.empty[Episode]
+        var st = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          st match {
+            case Some(s) if t - s.last <= gapMs =>
+              st = Some(s.copy(last = t, peak = math.max(s.peak, e.frp), n = s.n + 1))
+            case Some(s) => // gap exceeded: close the episode, open a new one
+              out ::= Episode(cell, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.last), s.peak, s.n)
+              st = Some(EpisodeState(t, t, e.frp, 1))
+            case None =>
+              st = Some(EpisodeState(t, t, e.frp, 1))
+          }
+        }
+        st.foreach { s =>
+          state.update(s)
+          // must be strictly beyond the current watermark or Spark rejects it
+          state.setTimeoutTimestamp(
+            math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+        }
+        out.reverseIterator
       }
-      out.reverseIterator
     }
     events.groupByKey(_.cell)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(fn)
+        GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
   /** Batch flush of all open sessions (for bounded/batch runs): closes

@@ -25,6 +25,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(eps(2).cell == 2L && eps(2).n == 1)
   }
 
+  test("sessionize closes idle episodes via event-time timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // keep event times well above epoch: the initial watermark is 0 and
+    // stateful operators drop rows with event time <= watermark
+    def ts(min: Long) = new java.sql.Timestamp((100000L + min) * 60000L)
+    val input = MemoryStream[StreamingOps.FireEvent]
+    val events = input.toDS().withWatermark("ts", "10 minutes")
+    val eps = StreamingOps.sessionize(events, gapMinutes = 60)
+    val q = eps.writeStream.outputMode("append").format("memory")
+      .queryName("sessionize_timeout_test").start()
+    try {
+      input.addData(StreamingOps.FireEvent(1L, ts(0), 5.0),
+                    StreamingOps.FireEvent(1L, ts(10), 9.0))
+      q.processAllAvailable()
+      // cell 1's episode is open; nothing may emit yet
+      assert(spark.table("sessionize_timeout_test").count() == 0)
+      // a much later event on ANOTHER cell advances the watermark past
+      // cell 1's last+gap; the next batch fires cell 1's timeout
+      input.addData(StreamingOps.FireEvent(2L, ts(500), 7.0))
+      q.processAllAvailable()
+      input.addData(StreamingOps.FireEvent(2L, ts(510), 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessionize_timeout_test")
+        .as[StreamingOps.Episode].collect()
+      assert(rows.exists(e => e.cell == 1L && e.n == 2 && e.peak == 9.0 &&
+        e.end.getTime == ts(10).getTime))
+    } finally q.stop()
+  }
+
   test("§2.9 streaming daily max equals the batch composite") {
     // bounded file stream over the events table (nanos ts read as long,
     // converted — same path as Tables.events)
