@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen churns one Janino class per stage; the JDK default
+  // 240m code cache fills after ~60 queries × 3 reps, HotSpot stops JIT
+  // compiling ("CodeCache is full"), and later stages run interpreted at
+  // 10-50x cost — observed as 2.4s→126s swings on identical x4 runs.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
+  "-XX:+UseCodeCacheFlushing",
 )

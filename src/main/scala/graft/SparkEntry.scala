@@ -300,6 +300,13 @@ object SparkEntry {
           Seq(count(lit(1)).as("n"), sumD(col("value")).as("sum_value")))
         .withColumn("month", col("month").cast("date"))),
 
+    // ---- §2.1 S4 GeoTIFF source: checked-in fixture emitted by our own
+    // writer (GeoTiffSpec pins the bytes; GenS4Fixture regenerates). The
+    // raster is closed-form (value = k%97, nodata at k%13==0, exact binary
+    // affine), so the oracle rebuilds the identical pixel table from range()
+    "s4_geotiff_scan" -> ((s, _) =>
+      graft.sources.GeoTiff.read(s, "/root/repo/src/test/resources/s4demo.tif")),
+
     // ---- §2.1 S7 GeoJSON source + P11 tooltip projection (oracle reads
     // the same fixture file via DuckDB read_json)
     "s7_geojson_scan" -> ((s, _) =>
@@ -840,6 +847,18 @@ object SparkEntry {
     "x13_topk_events" ->
       """SELECT event_id, value FROM events
          ORDER BY value DESC, event_id LIMIT 10""",
+
+    // S4 — regenerate the fixture raster from its closed-form definition
+    // (GeoTiffFixture): 48x40 grid, a=0.25/e=-0.25/c=10/f=60 (all exact
+    // binary fractions), value = k%97 as float32 (exact), nodata k%13==0
+    "s4_geotiff_scan" ->
+      """SELECT 's4demo.tif' AS dataset,
+                CAST(y.range AS INTEGER) AS y, CAST(x.range AS INTEGER) AS x,
+                10.0 + (CAST(x.range AS DOUBLE) + 0.5) * 0.25 AS lon,
+                60.0 + (CAST(y.range AS DOUBLE) + 0.5) * (-0.25) AS lat,
+                CASE WHEN (y.range * 48 + x.range) % 13 = 0 THEN NULL
+                     ELSE CAST((y.range * 48 + x.range) % 97 AS DOUBLE) END AS value
+         FROM range(40) y, range(48) x""",
 
     // S7 — DuckDB's JSON reader over the same repo fixture; struct access
     // mirrors the Spark explode+element_at projection
