@@ -185,7 +185,7 @@ object SparkEntry {
         col("event_id"),
         element_at(
           array(lutR.map(v => lit(v)): _*),
-          Normalize.quantize255(
+          Render.cmapIndex(
             Normalize.minMaxNorm("value", "event_type")) + 1).as("red"))
     }),
 
@@ -715,7 +715,7 @@ object SparkEntry {
       s"""SELECT event_id,
                  ($lutR)[LEAST(GREATEST(CAST(TRUNC(
                    (value - MIN(value) OVER w)
-                   / (MAX(value) OVER w - MIN(value) OVER w + 1e-6) * 255.0
+                   / (MAX(value) OVER w - MIN(value) OVER w + 1e-6) * 256.0
                  ) AS INTEGER), 0), 255) + 1] AS red
           FROM events WINDOW w AS (PARTITION BY event_type)"""
     },
@@ -761,9 +761,17 @@ object SparkEntry {
              x -> x IS NOT NULL)) AS shingle
            FROM tok),
          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         -- mirror jaccardPairs' document-frequency cap (maxDf=4096): the
+         -- Spark side drops ubiquitous shingles before pair generation, so
+         -- the intersection counts must exclude them here too (sizes stay
+         -- uncapped — n_sh is computed per doc before the cap there as well)
+         capped AS (
+           SELECT x.* FROM sh x
+           WHERE x.shingle IN (SELECT shingle FROM sh
+                               GROUP BY shingle HAVING COUNT(*) <= 4096)),
          inter AS (
            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
-           FROM sh x JOIN sh y ON x.shingle = y.shingle
+           FROM capped x JOIN capped y ON x.shingle = y.shingle
            WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
          SELECT doc_a, doc_b,
                 CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard

@@ -93,6 +93,24 @@ class GeoSpec extends AnyFunSuite {
     assert(named.filter(col("Power Plant Name").isNull).count() == 1)
   }
 
+  test("F5 LUTs reproduce matplotlib's tables at the anchor points") {
+    // jet endpoints: (0, 0, 0.5)*255 trunc -> (0,0,127); (0.5, 0, 0) -> (127,0,0)
+    assert(Render.jetLut(0) == (0, 0, 127, 255))
+    assert(Render.jetLut(255) == (127, 0, 0, 255))
+    // jet plateaus: red=255 on x in [0.66, 0.89] -> idx 169..226; green=255
+    // on [0.375, 0.64] -> idx 96..163; blue=255 on [0.11, 0.34] -> idx 29..86
+    assert((169 to 226).forall(Render.jetLut(_)._1 == 255))
+    assert((96 to 163).forall(Render.jetLut(_)._2 == 255))
+    assert((29 to 86).forall(Render.jetLut(_)._3 == 255))
+    // first byte off the ramp start: red rises after x=0.35 (idx>89.25)
+    assert(Render.jetLut(89)._1 == 0 && Render.jetLut(90)._1 > 0)
+    // Reds endpoints are the first/last ColorBrewer anchors exactly
+    assert(Render.redsLut(0) == (255, 245, 240, 255))
+    assert(Render.redsLut(255) == (103, 0, 13, 255))
+    // monotone nonincreasing green/blue for Reds (white -> dark red)
+    assert(Render.redsLut.sliding(2).forall(p => p(1)._2 <= p(0)._2 && p(1)._3 <= p(0)._3))
+  }
+
   test("S6/F5 render: LUT has 256 entries, PNG sink writes a file") {
     assert(Render.jetLut.length == 256 && Render.redsLut.length == 256)
     assert(Render.jetLut.forall { case (r, g, b, a) =>
@@ -103,5 +121,35 @@ class GeoSpec extends AnyFunSuite {
     val img = javax.imageio.ImageIO.read(new java.io.File(s"$tmp/test.png"))
     assert(img.getWidth == 2 && img.getHeight == 2)
     assert((img.getRGB(0, 0) >> 16 & 0xFF) == 255) // red pixel
+  }
+
+  test("S6 golden PNG: jet-rendered gradient byte-matches the fixture") {
+    val tmp = java.nio.file.Files.createTempDirectory("render").toString
+    Render.writePng(GoldenPng.rows, 16, 16, s"$tmp/jet.png")
+    val got = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/jet.png"))
+    val want = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(GoldenPng.path))
+    assert(got.sameElements(want),
+      "jet render drifted from the golden PNG — if the LUT change is " +
+        "intentional, regenerate with GenGoldenPng")
+  }
+}
+
+/** 16×16 jet gradient, one pixel per LUT entry. Regenerate the golden:
+  * `sbt "Test/runMain graft.ops.GenGoldenPng"`. */
+object GoldenPng {
+  val path = "/root/repo/src/test/resources/golden_jet_16.png"
+  def rows: Array[(Int, Int, Int, Int, Int, Int)] =
+    Array.tabulate(256) { k =>
+      val (r, g, b, a) = Render.jetLut(k)
+      (k / 16, k % 16, r, g, b, a)
+    }
+}
+
+object GenGoldenPng {
+  def main(args: Array[String]): Unit = {
+    Render.writePng(GoldenPng.rows, 16, 16, GoldenPng.path)
+    println(s"wrote ${GoldenPng.path}")
   }
 }
