@@ -440,11 +440,16 @@ object SparkEntry {
     }),
 
     // ---- extensions: multimodal plumbing (rows-only: stub codec)
+    // end-to-end REAL image path: docs → 8×8 gray PNG payloads → ImageIO
+    // decode → 16-bucket pixel histogram. Counts are n/64 (exact in float
+    // and double), and the pixel definition is closed-form over the text
+    // bytes, so DuckDB reproduces every bucket from the characters alone.
     "x14_media_features" -> ((s, d) =>
       ext.Multimodal.extractFeatures(
         ext.Multimodal.mediaFromDocs(t(s, d, "documents")))
-        .select(col("media_id"), element_at(col("features"), 1).as("f0"),
-                element_at(col("features"), 8).as("f7"))),
+        .select(col("media_id") +:
+          (0 until 16).map(b =>
+            element_at(col("features"), b + 1).cast("double").as(s"f$b")): _*)),
 
     "x15_media_profile" -> ((s, d) =>
       ext.Multimodal.metaProfile(
@@ -855,6 +860,32 @@ object SparkEntry {
     "x13_topk_events" ->
       """SELECT event_id, value FROM events
          ORDER BY value DESC, event_id LIMIT 10""",
+
+    // x14 — the media payload is an 8×8 gray PNG whose 64 samples are the
+    // doc's first 64 ASCII bytes zero-padded (Multimodal.mediaFromDocs),
+    // and PNG gray-8 round-trips losslessly, so each decoded histogram
+    // bucket b is |{i < 64 : pixel_i div 16 = b}| / 64 computed from the
+    // text characters directly (testdata documents are pure ASCII: byte i
+    // = codepoint of char i)
+    "x14_media_features" -> {
+      val buckets = (0 until 16).map(b =>
+        s"""CAST(len(list_filter(pix, p -> p // 16 = $b)) AS DOUBLE) / 64.0
+            AS f$b""").mkString(",\n                ")
+      s"""SELECT doc_id AS media_id,
+                $buckets
+         FROM (SELECT doc_id, list_transform(range(0, 64), i ->
+                 CASE WHEN i < length(text)
+                      THEN unicode(substr(text, CAST(i + 1 AS INTEGER), 1))
+                      ELSE 0 END) AS pix
+               FROM documents)"""
+    },
+
+    // x15 — metadata-only profile over the same media table: every row is
+    // kind='image' with an 8×8 meta struct
+    "x15_media_profile" ->
+      """SELECT 'image' AS kind, COUNT(*) AS n,
+                8.0 AS avg_width, 8.0 AS avg_height
+         FROM documents""",
 
     // S4 — regenerate the fixture raster from its closed-form definition
     // (GeoTiffFixture): 48x40 grid, a=0.25/e=-0.25/c=10/f=60 (all exact

@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -8,11 +9,12 @@ import org.apache.spark.sql.types._
   * columns plus typed metadata, with decode / feature-extract / resize /
   * frame-sample as per-partition batch transforms.
   *
-  * The Spark-side plumbing — schema, partitioning, batch iteration — is
-  * real and tested. The codec itself is STUBBED (`FakeCodec`): this
-  * container has no image/audio libraries, so decode produces a
-  * deterministic fake derived from the payload bytes. Swapping in a real
-  * codec is a one-function change; nothing in the plan shape moves.
+  * The image path is REAL: payloads are decoded with `javax.imageio`
+  * (pure-JVM PNG/BMP/GIF/JPEG readers shipped with the JDK — no native
+  * libraries) and features come from the decoded pixel raster. Audio/video
+  * decode remains a declared stub (`FakeCodec`) — this container has no
+  * sound/video codecs — and non-decodable payloads fall back to it rather
+  * than erroring, so mixed-media tables keep flowing.
   *
   * At 100 TB: payloads live in their own parquet column chunk (columnar →
   * metadata-only queries never touch bytes); transforms run as
@@ -33,11 +35,85 @@ object Multimodal {
       StructField("n_frames", IntegerType, nullable = true),
       StructField("mime", StringType, nullable = true))), nullable = true)))
 
-  /** STUB codec — deterministic fakes in place of real image/audio decode.
-    * Real implementation would call e.g. javax.imageio / ffmpeg here. */
+  /** Real image codec on the JDK's ImageIO. All operations are
+    * deterministic: 8-bit gray PNG round-trips samples losslessly. */
+  object ImageCodec {
+    def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (payload == null) None
+      else Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(payload)))
+
+    /** Encode 8-bit grayscale samples (row-major) as PNG bytes. */
+    def encodeGrayPng(samples: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      require(samples.length == width * height, "sample count != w*h")
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var i = 0
+      while (i < samples.length) {
+        img.getRaster.setSample(i % width, i / width, 0, samples(i) & 0xFF)
+        i += 1
+      }
+      val out = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** 16-bucket luminance histogram over DECODED pixels, L1-normalized.
+      * Gray images use band 0 directly; color images use the integer mean
+      * of the first three bands (deterministic, no float colorspace math).
+      * Non-decodable payloads fall back to the byte-histogram stub. */
+    def decodeFeatures(payload: Array[Byte]): Array[Float] =
+      decode(payload) match {
+        case Some(img) =>
+          val raster = img.getRaster
+          val bands = raster.getNumBands
+          val (w, h) = (img.getWidth, img.getHeight)
+          val hist = new Array[Float](16)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val lum =
+                if (bands == 1) raster.getSample(x, y, 0)
+                else (raster.getSample(x, y, 0) + raster.getSample(x, y, 1) +
+                      raster.getSample(x, y, 2)) / 3
+              hist(lum >> 4) += 1f
+              x += 1
+            }
+            y += 1
+          }
+          val n = math.max(1f, (w * h).toFloat)
+          var i = 0
+          while (i < 16) { hist(i) /= n; i += 1 }
+          hist
+        case None => FakeCodec.decodeFeatures(payload)
+      }
+
+    /** Real thumbnail: decode, nearest-neighbor scale to size×size gray,
+      * re-encode PNG. Nearest-neighbor keeps it integer-deterministic. */
+    def resize(payload: Array[Byte], size: Int): Array[Byte] =
+      decode(payload) match {
+        case Some(img) =>
+          val raster = img.getRaster
+          val out = Array.tabulate(size * size) { i =>
+            val (ty, tx) = (i / size, i % size)
+            val sx = tx * img.getWidth / size
+            val sy = ty * img.getHeight / size
+            val lum =
+              if (raster.getNumBands == 1) raster.getSample(sx, sy, 0)
+              else (raster.getSample(sx, sy, 0) + raster.getSample(sx, sy, 1) +
+                    raster.getSample(sx, sy, 2)) / 3
+            lum.toByte
+          }
+          encodeGrayPng(out, size, size)
+        case None => FakeCodec.resize(payload, size)
+      }
+  }
+
+  /** STUB codec for media the JVM cannot decode (audio/video; arbitrary
+    * bytes). Deterministic and clearly declared — real audio/video decode
+    * needs native codecs this container doesn't ship. */
   object FakeCodec {
-    /** "Decode" = byte histogram over 16 buckets, L1-normalized — a
-      * deterministic, content-sensitive stand-in for pixel decoding. */
+    /** Byte histogram over 16 buckets, L1-normalized. */
     def decodeFeatures(payload: Array[Byte]): Array[Float] = {
       val h = new Array[Float](16)
       if (payload != null) {
@@ -49,8 +125,7 @@ object Multimodal {
       h
     }
 
-    /** "Resize" = truncate/pad payload to size — stands in for a real
-      * thumbnail op; preserves determinism. */
+    /** "Resize" = truncate/pad payload to size. */
     def resize(payload: Array[Byte], size: Int): Array[Byte] =
       if (payload == null) null
       else java.util.Arrays.copyOf(payload, size)
@@ -62,23 +137,30 @@ object Multimodal {
         .collect { case (b, i) if i % everyNth == 0 => b }.toSeq
   }
 
-  /** Build a media table from documents (demo ingest: text bytes as the
-    * opaque payload). In production payloads arrive from object storage. */
-  def mediaFromDocs(docs: DataFrame): DataFrame =
+  /** Build a media table from documents: each doc's first 64 UTF-8 bytes
+    * (zero-padded) become an 8×8 grayscale PNG — REAL image payloads with
+    * a closed-form pixel definition, so decoded-feature queries are
+    * oracle-checkable. In production payloads arrive from object storage. */
+  def mediaFromDocs(docs: DataFrame): DataFrame = {
+    val pngUdf = udf((text: String) => {
+      val bs = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
+      val px = Array.tabulate(64)(i => if (i < bs.length) bs(i) else 0: Byte)
+      ImageCodec.encodeGrayPng(px, 8, 8)
+    })
     docs.select(
       col("doc_id").as("media_id"),
       lit("image").as("kind"),
-      encode(col("text"), "UTF-8").as("payload"),
+      pngUdf(col("text")).as("payload"),
       struct(
-        lit(64).as("width"), lit(64).as("height"),
+        lit(8).as("width"), lit(8).as("height"),
         lit(null).cast("int").as("sample_rate"),
         lit(null).cast("int").as("n_frames"),
-        lit("application/octet-stream").as("mime")).as("meta"))
+        lit("image/png").as("mime")).as("meta"))
+  }
 
   /** Feature extraction over payload batches — mapPartitions so per-task
     * codec init happens once. Output: (media_id, features array<float>). */
   def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("features", ArrayType(FloatType), nullable = false)))
@@ -88,14 +170,14 @@ object Multimodal {
       it.map { r =>
         val id = r.getLong(0)
         val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        Row(id, FakeCodec.decodeFeatures(payload).toSeq)
+        Row(id, ImageCodec.decodeFeatures(payload).toSeq)
       }
     }(encoder)
   }
 
   /** Resize pass — payload→payload, metadata updated in place. */
   def resizeAll(media: DataFrame, size: Int): DataFrame = {
-    val resizeUdf = udf((p: Array[Byte]) => FakeCodec.resize(p, size))
+    val resizeUdf = udf((p: Array[Byte]) => ImageCodec.resize(p, size))
     media.withColumn("payload", resizeUdf(col("payload")))
       .withColumn("meta", col("meta")
         .withField("width", lit(size))
@@ -110,10 +192,11 @@ object Multimodal {
         posexplode(framesUdf(col("payload"))).as(Seq("frame_idx", "frame")))
   }
 
-  /** Metadata-only profile — never touches the payload column chunk. */
+  /** Metadata-only profile — reads sidecar struct fields exclusively, so
+    * the payload column chunk is never scanned. */
   def metaProfile(media: DataFrame): DataFrame =
     media.groupBy("kind").agg(
       count(lit(1)).as("n"),
       avg(col("meta.width")).as("avg_width"),
-      count(when(col("payload").isNull, 1)).as("n_null_payload"))
+      avg(col("meta.height")).as("avg_height"))
 }

@@ -138,11 +138,36 @@ class ExtSpec extends AnyFunSuite {
     assert(f == f4)
   }
 
-  test("multimodal: resize updates payload and metadata") {
+  test("multimodal: gray PNG encode→ImageIO decode round-trips pixels") {
+    val px = Array.tabulate(64)(i => (i * 4).toByte)
+    val png = Multimodal.ImageCodec.encodeGrayPng(px, 8, 8)
+    // PNG magic — a real image container, not raw bytes
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val img = Multimodal.ImageCodec.decode(png).get
+    assert(img.getWidth == 8 && img.getHeight == 8)
+    val back = for (y <- 0 until 8; x <- 0 until 8)
+      yield img.getRaster.getSample(x, y, 0)
+    assert(back == px.map(_ & 0xFF).toSeq)
+  }
+
+  test("multimodal: features computed from decoded pixels, not raw bytes") {
+    // samples 0..63 in steps of 4 → exactly 4 pixels per 16-value bucket
+    val png = Multimodal.ImageCodec.encodeGrayPng(
+      Array.tabulate(64)(i => (i * 4).toByte), 8, 8)
+    val f = Multimodal.ImageCodec.decodeFeatures(png)
+    assert(f.toSeq == Seq.fill(16)(4f / 64f))
+    // the PNG *bytes* have a very different histogram — the stub fallback
+    // must disagree with the decoded features (proves we decoded)
+    assert(Multimodal.FakeCodec.decodeFeatures(png).toSeq != f.toSeq)
+  }
+
+  test("multimodal: resize decodes and re-encodes a real thumbnail") {
     val media = Multimodal.mediaFromDocs(docs)
     val r = Multimodal.resizeAll(media, 16)
     val row = r.filter(col("media_id") === 1).head
-    assert(row.getAs[Array[Byte]]("payload").length == 16)
+    val thumb = Multimodal.ImageCodec.decode(
+      row.getAs[Array[Byte]]("payload")).get
+    assert(thumb.getWidth == 16 && thumb.getHeight == 16)
     assert(row.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width") == 16)
   }
 
