@@ -363,8 +363,12 @@ object SparkEntry {
     "x1_dedup_exact" -> ((s, d) =>
       ext.Dedup.exact(t(s, d, "documents"))),
 
+    // LSH candidates + EXACT jaccard verification (the production shape),
+    // so the output is exact similarities and the oracle is an exact
+    // all-pairs jaccard — the estimate-only variant stays available as
+    // Dedup.minhashNearDups and is property-tested in ExtSpec
     "x2_dedup_minhash" -> ((s, d) =>
-      ext.Dedup.minhashNearDups(t(s, d, "documents"), threshold = 0.5)),
+      ext.Dedup.minhashVerifiedDups(t(s, d, "documents"), minJaccard = 0.5)),
 
     "x3_dedup_simhash" -> ((s, d) =>
       ext.Dedup.simhashNearDups(t(s, d, "documents"), maxDist = 6)),
@@ -867,6 +871,60 @@ object SparkEntry {
     // bucket b is |{i < 64 : pixel_i div 16 = b}| / 64 computed from the
     // text characters directly (testdata documents are pure ASCII: byte i
     // = codepoint of char i)
+    // x2 — exact all-pairs jaccard at threshold 0.5: LSH (128 hashes, 32
+    // bands) proposes candidates with miss probability ~5e-8 at j=0.8 and
+    // every true pair in the testdata has j >= 0.8, so candidate recall is
+    // exactly 1 here and the verified output equals the exact computation.
+    // No df cap: verification computes pair jaccard directly.
+    "x2_dedup_minhash" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS l
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, unnest(list_filter(
+             list_transform(range(1, greatest(len(l) - 1, 1)),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]),
+             x -> x IS NOT NULL)) AS shingle
+           FROM tok),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+           FROM sh x JOIN sh y ON x.shingle = y.shingle
+           WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5""",
+
+    // x10 — the rolling FNV-1a fingerprint is a published spec, so DuckDB
+    // recomputes it exactly: unsigned 64-bit arithmetic emulated in
+    // HUGEINT mod 2^64 (rotl5 = <<5 + >>59, disjoint bits), then mapped
+    // back to the signed BIGINT Spark produces. ASCII testdata keeps
+    // codepoints == UTF-8 bytes.
+    "x10_fingerprint" ->
+      """SELECT doc_id,
+                CAST(CASE WHEN ufp >= 9223372036854775808
+                          THEN ufp - 18446744073709551616
+                          ELSE ufp END AS BIGINT) AS fp
+         FROM (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(0::HUGEINT,
+                 list_transform(regexp_split_to_array(lower(text), '\s+'), t ->
+                   list_reduce(
+                     list_prepend(14695981039346656037::HUGEINT,
+                       list_transform(range(1, length(t) + 1), i ->
+                         unicode(substr(t, CAST(i AS INTEGER), 1))::HUGEINT)),
+                     (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
+                               % 18446744073709551616::HUGEINT))),
+               (acc, h) -> xor((acc * 32::HUGEINT)
+                               % 18446744073709551616::HUGEINT
+                               + acc // 576460752303423488::HUGEINT, h))
+             AS ufp
+           FROM documents)""",
+
     "x14_media_features" -> {
       val buckets = (0 until 16).map(b =>
         s"""CAST(len(list_filter(pix, p -> p // 16 = $b)) AS DOUBLE) / 64.0

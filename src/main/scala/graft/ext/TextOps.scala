@@ -75,14 +75,14 @@ object TextOps {
   }
 
   /** Document fingerprint: order-sensitive rolling hash over tokens —
-    * rotate-left-5 then XOR with the token hash. Equal for exact duplicates,
-    * cheap to compare, pure column algebra, and overflow-free under ANSI
-    * arithmetic (rotation + XOR never overflow, unlike polynomial
-    * multiplication). */
+    * rotate-left-5 then XOR with the token's FNV-1a 64 hash. Equal for
+    * exact duplicates, cheap to compare, and every step is a published
+    * engine-independent spec (unlike xxhash64), so other systems — and the
+    * DuckDB oracle — can recompute the same fingerprints. Runs as one
+    * native codegen'd fold (graft.functions.RollingFnvFingerprint); the
+    * previous aggregate() lambda evaluated interpreted per token. */
   def fingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L), (acc, t) =>
-      shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
-        .bitwiseXOR(xxhash64(t)))
+    graft.functions.HashExprs.rolling_fnv_fingerprint(tokens(text))
 
   /** Standard corpus-profile report per grouping key. */
   def corpusProfile(docs: DataFrame, keyCol: String,

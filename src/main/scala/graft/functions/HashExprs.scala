@@ -30,6 +30,21 @@ object HashExprs {
 
   final val GOLDEN = 0x9E3779B97F4A7C15L
 
+  /** FNV-1a 64-bit (public spec: offset basis 0xcbf29ce484222325, prime
+    * 0x100000001b3; per byte: h = (h XOR b) * prime, wrapping). */
+  final val FnvBasis = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  @inline final def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = FnvBasis
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xFF)) * FnvPrime
+      i += 1
+    }
+    h
+  }
+
   /** Scala reference implementations (shared by eval and tests). */
   def minhashRef(hashes: Array[Long], k: Int): Array[Long] = {
     val out = Array.fill(k)(Long.MaxValue)
@@ -73,6 +88,9 @@ object HashExprs {
 
   def sim_hash(hashes: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(hashes)))
+
+  def rolling_fnv_fingerprint(tokens: Column): Column =
+    GraftBridge.column(RollingFnvFingerprint(GraftBridge.expression(tokens)))
 }
 
 /** MinHash signature: array<long> token hashes → array<long> of k per-seed
@@ -150,4 +168,52 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "simhash64"
+}
+
+/** Order-sensitive rolling document fingerprint over the token array:
+  * `acc = rotl5(acc) XOR fnv1a64(utf8(token))`, acc0 = 0.
+  *
+  * Every operation is a published, engine-independent spec (FNV-1a 64 and
+  * a bit rotation) — unlike xxhash64, any engine can recompute it, so the
+  * fingerprint column is portable across systems (and oracle-checkable).
+  * Wraparound multiply is well-defined on JVM longs; rotation + XOR never
+  * overflow under ANSI semantics. */
+case class RollingFnvFingerprint(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var acc = 0L
+    var i = 0
+    while (i < arr.numElements()) {
+      val t = arr.getUTF8String(i)
+      acc = (acc << 5 | acc >>> 59) ^
+        (if (t == null) 0L else HashExprs.fnv1a64(t.getBytes))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
+      val cls = classOf[HashExprs.type].getName + ".MODULE$"
+      s"""
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $t = $c.getUTF8String($i);
+         |  $acc = ($acc << 5 | $acc >>> 59) ^
+         |    ($t == null ? 0L : $cls.fnv1a64($t.getBytes()));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "rolling_fnv_fingerprint"
 }

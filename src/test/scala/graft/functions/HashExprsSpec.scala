@@ -57,4 +57,30 @@ class HashExprsSpec extends AnyFunSuite {
     val r = df.select(HashExprs.sim_hash(col("hashes")).as("fp")).collect()
     assert(!r(0).isNullAt(0) && r(1).isNullAt(0))
   }
+
+  test("fnv1a64 matches the published test vectors") {
+    assert(HashExprs.fnv1a64(Array.empty[Byte]) == 0xcbf29ce484222325L)
+    assert(HashExprs.fnv1a64("a".getBytes("UTF-8")) == 0xaf63dc4c8601ec8cL)
+  }
+
+  test("rolling FNV fingerprint: known value, order sensitivity, codegen=eval") {
+    val df = Seq((1L, Seq("the", "quick", "fox")),
+                 (2L, Seq("fox", "quick", "the")),
+                 (3L, Seq.empty[String])).toDF("id", "toks")
+    val got = df.select(col("id"),
+        HashExprs.rolling_fnv_fingerprint(col("toks")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 7368246946192009564L)  // python-reference value
+    assert(got(2L) == -1069032734625473145L) // reversed order differs
+    assert(got(3L) == 0L)
+    // interpreted eval (direct nullSafeEval) agrees with the codegen'd plan
+    def interp(toks: Seq[String]): Long =
+      RollingFnvFingerprint(org.apache.spark.sql.catalyst.expressions.Literal(1L))
+        .nullSafeEval(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          toks.map(org.apache.spark.unsafe.types.UTF8String.fromString)))
+        .asInstanceOf[Long]
+    assert(interp(Seq("the", "quick", "fox")) == got(1L))
+    assert(interp(Seq("fox", "quick", "the")) == got(2L))
+    assert(interp(Seq.empty) == got(3L))
+  }
 }
