@@ -329,6 +329,27 @@ object SparkEntry {
                 element_at(col("properties"), "name").as("name"))
     }),
 
+    // ---- A7/P6 exact polygon clip: Sutherland–Hodgman coverage area of
+    // each grid cell inside a convex clip polygon. Cells are 0.25-sized
+    // (exact binary) and the clip rectangle sits on 1/16 offsets, so every
+    // intermediate double — intersection vertices, shoelace products — is
+    // exact, and the oracle's closed-form axis-aligned overlap must match
+    // bit-for-bit. The rectangle is the oracle-able case; triangles and
+    // general convex clips are covered by ClipSpec property tests.
+    "a7_clip_area" -> ((s, _) => {
+      val polyX = Seq(73.0625, 85.8125, 85.8125, 73.0625)
+      val polyY = Seq(24.1875, 24.1875, 36.3125, 36.3125) // CCW
+      s.range(6400).select(
+          (col("id") / 80).cast("int").as("y"),
+          (col("id") % 80).cast("int").as("x"))
+        .withColumn("x0", lit(70.0) + col("x") * 0.25)
+        .withColumn("y0", lit(20.0) + col("y") * 0.25)
+        .withColumn("area", ops.PolygonClip.cellCoverage(
+          col("x0"), col("y0"), lit(0.25), polyX, polyY))
+        .filter(col("area") > 0)
+        .select("y", "x", "area")
+    }),
+
     // ---- A7 exact case: convex-hull dissolve of the amenity point layer
     // (oracle: hand-computed hull fixture)
     "a7_hull_dissolve" -> ((s, _) => {
@@ -1013,6 +1034,22 @@ object SparkEntry {
            (1, CAST(78.20 AS DOUBLE), CAST(29.40 AS DOUBLE)),
            (2, CAST(77.55 AS DOUBLE), CAST(28.90 AS DOUBLE)),
            (3, CAST(77.10 AS DOUBLE), CAST(28.55 AS DOUBLE))) AS t(i, lon, lat)""",
+
+    // A7/P6 exact clip — closed-form axis-aligned overlap; all grid and
+    // rectangle coordinates are exact binary fractions, so no rounding
+    "a7_clip_area" ->
+      """SELECT y, x, w * h AS area FROM (
+           SELECT CAST(y.range AS INTEGER) AS y, CAST(x.range AS INTEGER) AS x,
+                  GREATEST(0, LEAST(70.0 + CAST(x.range AS DOUBLE) * 0.25 + 0.25,
+                                    85.8125)
+                            - GREATEST(70.0 + CAST(x.range AS DOUBLE) * 0.25,
+                                       73.0625)) AS w,
+                  GREATEST(0, LEAST(20.0 + CAST(y.range AS DOUBLE) * 0.25 + 0.25,
+                                    36.3125)
+                            - GREATEST(20.0 + CAST(y.range AS DOUBLE) * 0.25,
+                                       24.1875)) AS h
+           FROM range(80) y, range(80) x)
+         WHERE w * h > 0""",
 
     // F7 UTM — full inverse Krüger series mirrored in SQL (see utmOracleSql)
     "f7_utm_reproject" -> utmOracleSql,

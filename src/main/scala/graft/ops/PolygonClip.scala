@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** SURVEY §2.5 A7/P6 exact case — polygon–polygon clipping.
+  *
+  * Sutherland–Hodgman (published classic): clip an arbitrary simple
+  * subject polygon against a CONVEX clip polygon by successively slicing
+  * with each clip edge's half-plane. The reference never clips exactly
+  * (`apply_mask=False` everywhere, e.g. DataDownloader_V1.py:50 — bbox is
+  * its fidelity bar), so this is an extension: exact per-cell coverage
+  * areas for raster–vector overlays, and exact two-polygon union areas via
+  * inclusion–exclusion.
+  *
+  * Scale posture: the clip runs inside a codegen'd projection as a scalar
+  * UDF over cell coordinates (branch-heavy vertex loops — the documented
+  * UDF exception, like UTM and point-in-polygon); no shuffle, no driver
+  * geometry. One convex clip polygon broadcast as literal arguments; cells
+  * stream through map-side.
+  */
+object PolygonClip {
+
+  /** Signed double area (shoelace, CCW positive). */
+  def signedArea2(poly: IndexedSeq[(Double, Double)]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = poly.length
+    while (i < n) {
+      val (x1, y1) = poly(i)
+      val (x2, y2) = poly((i + 1) % n)
+      s += x1 * y2 - x2 * y1
+      i += 1
+    }
+    s
+  }
+
+  /** Polygon area (absolute). */
+  def area(poly: IndexedSeq[(Double, Double)]): Double =
+    math.abs(signedArea2(poly)) / 2.0
+
+  /** Sutherland–Hodgman clip of `subject` against convex `clip` given in
+    * CCW order. Output vertices are in subject order; empty when disjoint.
+    * Degenerate (zero-area) outputs are possible for edge-touching inputs —
+    * callers filtering on area treat them as empty. */
+  def clip(subject: IndexedSeq[(Double, Double)],
+           clipPoly: IndexedSeq[(Double, Double)]): IndexedSeq[(Double, Double)] = {
+    require(signedArea2(clipPoly) > 0, "clip polygon must be convex CCW")
+    var out = subject
+    val n = clipPoly.length
+    var i = 0
+    while (i < n && out.nonEmpty) {
+      val (ax, ay) = clipPoly(i)
+      val (bx, by) = clipPoly((i + 1) % n)
+      // inside = left of (or on) the directed edge a→b
+      @inline def inside(px: Double, py: Double): Boolean =
+        (bx - ax) * (py - ay) - (by - ay) * (px - ax) >= 0
+      @inline def cross(px: Double, py: Double, qx: Double, qy: Double)
+          : (Double, Double) = {
+        // segment p→q against the infinite edge line a→b
+        val t = ((ax - px) * (by - ay) - (ay - py) * (bx - ax)) /
+                ((qx - px) * (by - ay) - (qy - py) * (bx - ax))
+        (px + t * (qx - px), py + t * (qy - py))
+      }
+      val in = out
+      val next = IndexedSeq.newBuilder[(Double, Double)]
+      var j = 0
+      while (j < in.length) {
+        val (px, py) = in(j)
+        val (qx, qy) = in((j + 1) % in.length)
+        (inside(px, py), inside(qx, qy)) match {
+          case (true, true)   => next += ((qx, qy))
+          case (true, false)  => next += cross(px, py, qx, qy)
+          case (false, true)  => next += cross(px, py, qx, qy); next += ((qx, qy))
+          case (false, false) => ()
+        }
+        j += 1
+      }
+      out = next.result()
+      i += 1
+    }
+    out
+  }
+
+  /** Exact intersection area of a simple polygon with a convex polygon. */
+  def intersectionArea(subject: IndexedSeq[(Double, Double)],
+                       clipPoly: IndexedSeq[(Double, Double)]): Double = {
+    val c = clip(subject, clipPoly)
+    if (c.length < 3) 0.0 else area(c)
+  }
+
+  /** A7 exact case for two convex polygons: |A ∪ B| by inclusion–exclusion
+    * (exact because A ∩ B of convex inputs is the Sutherland–Hodgman
+    * output). */
+  def unionArea(a: IndexedSeq[(Double, Double)],
+                b: IndexedSeq[(Double, Double)]): Double =
+    area(a) + area(b) - intersectionArea(a, b)
+
+  /** Column form: exact coverage area of the axis-aligned square cell
+    * [x0, x0+size] × [y0, y0+size] inside the convex CCW polygon
+    * `(polyX, polyY)`. Scalar math per row — map-side only. */
+  def cellCoverage(x0: Column, y0: Column, size: Column,
+                   polyX: Seq[Double], polyY: Seq[Double]): Column = {
+    val poly = polyX.zip(polyY).toIndexedSeq
+    val f = udf((cx: Double, cy: Double, s: Double) =>
+      intersectionArea(
+        IndexedSeq((cx, cy), (cx + s, cy), (cx + s, cy + s), (cx, cy + s)),
+        poly))
+    f(x0, y0, size)
+  }
+}
