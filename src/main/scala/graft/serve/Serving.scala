@@ -37,40 +37,106 @@ object Serving {
     qs.stripPrefix("?").split("&").filter(_.contains("="))
       .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
 
-  /** S8 — HTML map-page sink: date slider + layer checkboxes over the
-    * manifest, one overlay image per (month, band) render artifact. A
-    * template write, driven entirely by the manifest DataFrame. */
-  def writeViewer(manifest: DataFrame, assetDir: String, outPath: String): Unit = {
+  /** S8 — HTML map-page sink at capability parity with the reference
+    * viewer (index.html:130-333): a Leaflet map over an OSM tile basemap,
+    * one `L.imageOverlay` per selected (month, band) render artifact with
+    * an opacity control, an optional inlined GeoJSON point layer with
+    * per-feature property tooltips, and query-string-driven state
+    * (`?layers=a,b&start_date=...`) so every interaction reloads as a
+    * fresh serving query — the reference's exact interaction model. The
+    * page is assembled from the manifest DataFrame; Leaflet loads from its
+    * public CDN.
+    *
+    * `bounds` = ((south, west), (north, east)) image-overlay extent;
+    * `geojson` = a FeatureCollection document to inline (e.g. the S7
+    * fixture file's text). */
+  def writeViewer(manifest: DataFrame, assetDir: String, outPath: String,
+                  center: (Double, Double) = (28.6139, 77.209),
+                  bounds: ((Double, Double), (Double, Double)) =
+                    ((28.2, 76.85), (29.0, 77.65)),
+                  overlayOpacity: Double = 0.7,
+                  geojson: Option[String] = None): Unit = {
     val months = manifest.select("month").distinct().orderBy("month")
       .collect().map(_.get(0).toString)
     val bands = manifest.select("band").distinct().orderBy("band")
       .collect().map(_.getString(0))
+    val ((s, w), (n, e)) = bounds
+    val geojsonBlock = geojson.map { gj =>
+      s"""const plantLayer = L.geoJSON($gj, {
+         |  pointToLayer: (f, ll) => L.circleMarker(ll, {radius: 6, color: '#c00'}),
+         |  onEachFeature: (f, layer) => {
+         |    const p = f.properties || {};
+         |    const rows = Object.keys(p).map(k =>
+         |      `<tr><th>$${k}</th><td>$${p[k]}</td></tr>`).join('');
+         |    layer.bindTooltip(`<table>$${rows}</table>`, {sticky: true});
+         |  }
+         |});
+         |if (sel.includes('powerplants') || sel.length === 0) plantLayer.addTo(map);
+         |""".stripMargin
+    }.getOrElse("")
     val html =
       s"""<!DOCTYPE html>
-         |<html><head><meta charset="utf-8"><title>graft viewer</title></head>
-         |<body>
-         |<input type="range" id="date" min="0" max="${months.length - 1}"
-         |       value="${months.length - 1}">
-         |<span id="datelabel"></span>
+         |<html><head><meta charset="utf-8"><title>graft viewer</title>
+         |<link rel="stylesheet" href="https://unpkg.com/leaflet@1.9.4/dist/leaflet.css"/>
+         |<script src="https://unpkg.com/leaflet@1.9.4/dist/leaflet.js"></script>
+         |<style>#map{height:80vh} .controls{display:flex;gap:2rem;align-items:center}</style>
+         |</head><body>
+         |<div class="controls">
          |<div id="layers">
-         |${bands.map(b => s"""<label><input type="checkbox" value="$b" checked>$b</label>""").mkString("\n")}
+         |${bands.map(b => s"""<label><input type="checkbox" class="layer-checkbox" value="$b" checked>$b</label>""").mkString("\n")}
+         |</div>
+         |<label>date <input type="range" id="date" min="0" max="${months.length - 1}"
+         |       value="${months.length - 1}"> <span id="datelabel"></span></label>
+         |<label>opacity <input type="range" id="opacity" min="0" max="100"
+         |       value="${(overlayOpacity * 100).round}"></label>
          |</div>
          |<div id="map"></div>
          |<script>
          |const months = [${months.map(m => s"'$m'").mkString(",")}];
+         |// query-string state (?layers=a,b&start_date=...) -- same reload
+         |// model as the reference; Serving.parseQuery is the server twin
+         |const params = new URLSearchParams(window.location.search);
+         |const sel = (params.get('layers') || '${bands.mkString(",")}').split(',');
+         |const startDate = params.get('start_date');
          |const slider = document.getElementById('date');
-         |function render() {
-         |  const m = months[slider.value];
-         |  document.getElementById('datelabel').textContent = m;
-         |  const sel = [...document.querySelectorAll('#layers input:checked')]
-         |    .map(c => c.value);
-         |  document.getElementById('map').innerHTML = sel.map(b =>
-         |    `<img src="$assetDir/month=$${m}/band=$${b}/overlay.png"
-         |          onerror="this.style.display='none'" alt="$${b}">`).join('');
+         |if (startDate && months.indexOf(startDate) >= 0)
+         |  slider.value = months.indexOf(startDate);
+         |document.getElementById('datelabel').textContent = months[slider.value];
+         |document.querySelectorAll('.layer-checkbox').forEach(cb => {
+         |  cb.checked = sel.includes(cb.value);
+         |});
+         |function reload() {
+         |  const layers = [...document.querySelectorAll('.layer-checkbox:checked')]
+         |    .map(c => c.value).join(',');
+         |  const url = new URL(window.location.href);
+         |  url.searchParams.set('layers', layers);
+         |  url.searchParams.set('start_date', months[slider.value]);
+         |  window.location.href = url.toString();
          |}
-         |slider.addEventListener('input', render);
-         |document.getElementById('layers').addEventListener('change', render);
-         |render();
+         |slider.addEventListener('change', reload);
+         |document.getElementById('layers').addEventListener('change', reload);
+         |
+         |const map = L.map('map', {center: [${center._1}, ${center._2}], zoom: 10});
+         |L.tileLayer('https://tile.openstreetmap.org/{z}/{x}/{y}.png', {
+         |  maxZoom: 19,
+         |  attribution: '&copy; <a href="https://www.openstreetmap.org/copyright">OpenStreetMap</a> contributors'
+         |}).addTo(map);
+         |const bounds = [[$s, $w], [$n, $e]];
+         |const overlays = [];
+         |const m = months[slider.value];
+         |sel.forEach(b => {
+         |  const ov = L.imageOverlay(`$assetDir/month=$${m}/band=$${b}/overlay.png`,
+         |    bounds, {opacity: ${overlayOpacity}});
+         |  // P10 existence guard at the browser edge: missing artifact
+         |  // -> drop the overlay instead of a broken image
+         |  ov.on('error', () => map.removeLayer(ov));
+         |  ov.addTo(map);
+         |  overlays.push(ov);
+         |});
+         |document.getElementById('opacity').addEventListener('input', ev => {
+         |  overlays.forEach(o => o.setOpacity(ev.target.value / 100));
+         |});
+         |$geojsonBlock
          |</script></body></html>
          |""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), html)

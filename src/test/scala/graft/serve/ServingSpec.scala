@@ -34,6 +34,22 @@ class ServingSpec extends AnyFunSuite {
     val html = scala.io.Source.fromFile(s"$tmp/index.html").mkString
     assert(html.contains("'2025-08-01'") && html.contains("'2025-09-01'"))
     assert(html.contains(""">no2</label>""") && html.contains(""">so2</label>"""))
-    assert(html.contains("onerror")) // P10 at the browser edge
+    assert(html.contains("on('error'")) // P10 at the browser edge
+    // capability parity with the reference viewer: tile basemap, image
+    // overlays with opacity, query-string-driven reloads
+    assert(html.contains("L.tileLayer") && html.contains("openstreetmap"))
+    assert(html.contains("L.imageOverlay") && html.contains("setOpacity"))
+    assert(html.contains("start_date") && html.contains("layers"))
+  }
+
+  test("S8 viewer inlines a GeoJSON layer with property tooltips") {
+    val tmp = java.nio.file.Files.createTempDirectory("viewer").toString
+    val gj = scala.io.Source.fromFile(
+      getClass.getResource("/powerplants_mini.geojson").getPath).mkString
+    Serving.writeViewer(gold.select("month", "band"), "assets",
+      s"$tmp/index.html", geojson = Some(gj))
+    val html = scala.io.Source.fromFile(s"$tmp/index.html").mkString
+    assert(html.contains("L.geoJSON") && html.contains("bindTooltip"))
+    assert(html.contains("FeatureCollection")) // features actually inlined
   }
 }
