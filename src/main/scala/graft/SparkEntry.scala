@@ -487,6 +487,75 @@ object SparkEntry {
     * (DuckDB has no hyperbolics; the ulp difference is absorbed by the
     * round-to-9dp both queries apply). The Newton loop is unrolled to 8
     * steps with a convergence flag so the early exit matches exactly. */
+  /** DuckDB mirror of the full SimHash pipeline (ShingleHashes → SimHash64
+    * → byte-pair blocking with exact hamming verify). Every hash step is a
+    * self-defined public spec (FNV-1a per token, ×1000003 polynomial
+    * 2-gram combine, splitmix64 finalize, per-bit majority vote), so the
+    * oracle recomputes identical fingerprints in HUGEINT mod-2^64
+    * arithmetic — 64-bit wraparound multiplies are split into 32-bit
+    * halves because INT128 would overflow on the splitmix constants. The
+    * pair search is all-pairs here: the engine's byte-pair blocking has an
+    * exact pigeonhole guarantee at maxDist ≤ 6 (≥2 of 8 bytes clean), so
+    * blocked and exhaustive results coincide by construction. */
+  private def simhashOracleSql(maxDist: Int): String = {
+    val M = "18446744073709551616::HUGEINT"
+    val pows = (0 until 64).map(b => (BigInt(1) << b).toString).mkString(", ")
+    // (a * c) mod 2^64 with c split into 32-bit halves (INT128-safe)
+    def mulmod(a: String, c: BigInt): String = {
+      val (bh, bl) = (c >> 32, c & 0xFFFFFFFFL)
+      s"""((($a) * $bl::HUGEINT) % $M +
+         |   ((($a) * $bh::HUGEINT) % 4294967296::HUGEINT)
+         |   * 4294967296::HUGEINT) % $M""".stripMargin
+    }
+    val c1 = BigInt("BF58476D1CE4E5B9", 16)
+    val c2 = BigInt("94D049BB133111EB", 16)
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |                             t -> length(t) > 0) AS ts
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, list_transform(ts, t ->
+       |    list_reduce(
+       |      list_prepend(14695981039346656037::HUGEINT,
+       |        list_transform(range(1, length(t) + 1), i ->
+       |          unicode(substr(t, CAST(i AS INTEGER), 1))::HUGEINT)),
+       |      (h, c) -> ((xor(h, c) * 1099511628211::HUGEINT) % $M
+       |                 * 1099511628211::HUGEINT) % $M)) AS hs
+       |  FROM tok),
+       |sh0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(hs)), i ->
+       |    ((hs[CAST(i AS INTEGER)] * 1000003::HUGEINT) % $M
+       |     + hs[CAST(i AS INTEGER) + 1]) % $M)) AS z0
+       |  FROM th),
+       |sh1 AS (SELECT doc_id,
+       |        ${mulmod("xor(z0, z0 // 1073741824::HUGEINT)", c1)} AS z1 FROM sh0),
+       |sh2 AS (SELECT doc_id,
+       |        ${mulmod("xor(z1, z1 // 134217728::HUGEINT)", c2)} AS z2 FROM sh1),
+       |shf AS (SELECT DISTINCT doc_id, xor(z2, z2 // 2147483648::HUGEINT) AS z3 FROM sh2),
+       |counts AS (SELECT doc_id, COUNT(*) AS m FROM shf GROUP BY 1),
+       |bits AS (
+       |  SELECT s.doc_id, b.range AS b,
+       |         SUM(CAST((s.z3 // [$pows][CAST(b.range AS INTEGER) + 1]::HUGEINT)
+       |                  % 2 AS BIGINT)) AS setc
+       |  FROM shf s, range(64) b GROUP BY 1, 2),
+       |fp AS (
+       |  SELECT bits.doc_id,
+       |         SUM(CASE WHEN 2 * setc > c.m
+       |                  THEN [$pows][CAST(b AS INTEGER) + 1]::HUGEINT
+       |                  ELSE 0::HUGEINT END) AS ufp
+       |  FROM bits JOIN counts c ON c.doc_id = bits.doc_id GROUP BY 1),
+       |sfp AS (
+       |  SELECT doc_id,
+       |         CAST(CASE WHEN ufp >= 9223372036854775808
+       |                   THEN ufp - 18446744073709551616
+       |                   ELSE ufp END AS BIGINT) AS fp
+       |  FROM fp)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS dist
+       |FROM sfp a JOIN sfp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= $maxDist""".stripMargin
+  }
+
   private def utmOracleSql: String = {
     val (k0a1, beta, e, e0) = ops.Utm.oracleConstants
     def sinhS(x: String) = s"((exp($x) - exp(-($x))) / 2)"
@@ -918,6 +987,9 @@ object SparkEntry {
          JOIN sizes sa ON sa.doc_id = doc_a
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5""",
+
+    // x3 — full simhash pipeline recomputed in DuckDB (see simhashOracleSql)
+    "x3_dedup_simhash" -> simhashOracleSql(maxDist = 6),
 
     // x10 — the rolling FNV-1a fingerprint is a published spec, so DuckDB
     // recomputes it exactly: unsigned 64-bit arithmetic emulated in
