@@ -414,6 +414,16 @@ object SparkEntry {
         nPlanes = 6, probes = 2)
     }),
 
+    // IVF with deterministic coarse centroids (first 16 ids): assignment,
+    // probing, and re-rank are all exact computations, so the full
+    // two-level index is oracle-checked (unlike the hash-defined LSH probe)
+    "x17_ann_ivf" -> ((s, d) => {
+      val q = queryVector
+      ext.Similarity.annIvf(t(s, d, "embeddings"), q, 10,
+          nCentroids = 16, nProbe = 2)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+
     "x11_topk_per_label" -> ((s, d) =>
       ext.Similarity.topKPerLabel(t(s, d, "embeddings"), queryVector, 3)
         .withColumn("cos", round(col("cos"), 6))),
@@ -882,6 +892,42 @@ object SparkEntry {
     "x5_ann_cosine" ->
       s"""SELECT vec_id, round($cosSql, 6) AS cos FROM embeddings
           ORDER BY $cosSql DESC, vec_id LIMIT 10""",
+
+    // x17 — IVF mirrored end-to-end: same centroid set (vec_id < 16),
+    // same argmax assignment with (cos, cid) lexicographic tiebreak, same
+    // 2-probe + exact re-rank. Cosines use list_dot_product, bit-identical
+    // to the Spark fold (see cosSql); the 6dp round absorbs nothing here
+    // but keeps the x5 output convention.
+    "x17_ann_ivf" ->
+      s"""WITH cent AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings WHERE vec_id < 16),
+          pairs AS (
+            SELECT e.vec_id, c.cid,
+                   list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(c.cvec, c.cvec))) AS cc
+            FROM embeddings e, cent c),
+          assign AS (
+            SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cc DESC, cid DESC) AS rn
+              FROM pairs) WHERE rn = 1),
+          probes AS (
+            SELECT cid FROM cent
+            ORDER BY list_dot_product(cvec, $queryVectorSql)
+                     / (sqrt(list_dot_product(cvec, cvec))
+                        * sqrt(list_dot_product($queryVectorSql,
+                                                $queryVectorSql))) DESC,
+                     cid
+            LIMIT 2)
+          SELECT e.vec_id, round($cosSql, 6) AS cos
+          FROM embeddings e
+          JOIN assign a ON a.vec_id = e.vec_id
+          JOIN probes p ON p.cid = a.cid
+          ORDER BY $cosSql DESC, e.vec_id LIMIT 10""",
 
     "x11_topk_per_label" ->
       s"""WITH scored AS (

@@ -88,6 +88,44 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN — the standard two-level index: a coarse
+    * quantizer assigns every vector to its nearest centroid (the inverted
+    * lists); a query probes only the `nProbe` lists whose centroids are
+    * closest to it, then exact-re-ranks inside them.
+    *
+    * The coarse centroids here are the first `nCentroids` vectors by id —
+    * deterministic and engine-independent, so the whole index is
+    * oracle-checkable; production swaps in k-means centroids without
+    * changing the plan shape. Scale shape: centroids broadcast (tiny), the
+    * n×k assignment scores reduce map-side into a per-vector argmax (one
+    * hash aggregation — the only shuffle), probing is a broadcast
+    * semi-join, and the re-rank is TakeOrderedAndProject. At 100 TB the
+    * inverted lists become the partitioning key, so a query touches
+    * nProbe/nCentroids of the data. */
+  def annIvf(embeddings: DataFrame, q: Array[Double], k: Int,
+             nCentroids: Int = 16, nProbe: Int = 2,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = embeddings.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    // assignment: argmax cosine over the broadcast centroid set; struct
+    // max = (cos, cid) lexicographic, so ties break to the higher cid
+    val assigned = embeddings
+      .join(broadcast(cent))
+      .withColumn("cc", cosine(col(vecCol), col("cvec")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("cc"), col("cid"))).as("best"),
+           first(col(vecCol)).as(vecCol))
+      .select(col(idCol), col("best.cid").as("cid"), col(vecCol))
+    val probes = cent
+      .withColumn("qc", cosineLiteral(col("cvec"), q))
+      .orderBy(desc("qc"), col("cid")).limit(nProbe)
+      .select("cid")
+    assigned.join(broadcast(probes), "cid")
+      .select(col(idCol), cosineLiteral(col(vecCol), q).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
   /** IVF-style per-label top-k: nearest neighbors within each coarse
     * partition (label = cluster id), e.g. for per-cluster diversity
     * sampling. Window rank — one shuffle on label. */

@@ -6,7 +6,10 @@ import org.apache.spark.sql.expressions.Aggregator
 /** Point with lon/lat — named fields give the aggregator a columnar
   * struct schema (kryo blobs would hide it from the optimizer). */
 case class Pt(lon: Double, lat: Double)
-case class HullBuf(points: List[Pt])
+/** `floor` = re-compress trigger: hull size at the last compression plus
+  * 64 points of slack, so a hull with many vertices pays one O(h log h)
+  * pass per 64 inserts instead of per insert. */
+case class HullBuf(points: List[Pt], floor: Int)
 case class HullOut(points: Seq[Pt])
 
 /** SURVEY §2.4 A7 / §2.10 — geometry dissolve beyond the bbox union: a
@@ -23,19 +26,28 @@ case class HullOut(points: Seq[Pt])
   */
 object HullAggregator extends Aggregator[Pt, HullBuf, HullOut] {
 
-  override def zero: HullBuf = HullBuf(Nil)
+  private val Slack = 64
+
+  override def zero: HullBuf = HullBuf(Nil, Slack)
 
   override def reduce(buf: HullBuf, p: Pt): HullBuf =
-    HullBuf(compress(p :: buf.points))
+    compress(p :: buf.points, buf.floor)
 
   override def merge(a: HullBuf, b: HullBuf): HullBuf =
-    HullBuf(compress(a.points ::: b.points))
+    compress(a.points ::: b.points, math.max(a.floor, b.floor))
 
   override def finish(buf: HullBuf): HullOut = HullOut(hull(buf.points))
 
-  // keep the buffer no larger than its hull once it grows past a chunk
-  private def compress(pts: List[Pt]): List[Pt] =
-    if (pts.length <= 64) pts else hull(pts).toList
+  // Compress to the hull once `Slack` points accumulate beyond the last
+  // hull size: bounds the buffer by hull complexity + slack while paying
+  // one O(h log h) pass per `Slack` inserts — the round-1 fixed threshold
+  // re-hulled on EVERY row once the hull outgrew it.
+  private def compress(pts: List[Pt], floor: Int): HullBuf =
+    if (pts.length <= floor) HullBuf(pts, floor)
+    else {
+      val h = hull(pts).toList
+      HullBuf(h, h.length + Slack)
+    }
 
   /** Andrew's monotone chain; counter-clockwise, first point not
     * repeated. Degenerate inputs (≤2 distinct points, collinear sets)

@@ -38,4 +38,21 @@ class HullSpec extends AnyFunSuite {
       (HullAggregator.hull(a) ++ HullAggregator.hull(b))).toSet
     assert(whole == merged)
   }
+
+  test("buffer stays bounded by hull size plus slack on a circle stream") {
+    // every point is a hull vertex -> worst case for the compressor
+    val pts = (0 until 300).map { i =>
+      val a = 2 * math.Pi * i / 300
+      Pt(math.cos(a), math.sin(a))
+    }
+    var buf = HullAggregator.zero
+    pts.foreach { p =>
+      buf = HullAggregator.reduce(buf, p)
+      assert(buf.points.length <= buf.floor)
+      assert(buf.floor <= 300 + 64)
+    }
+    val out = HullAggregator.finish(buf)
+    // all inputs are extreme points, so the hull keeps every one
+    assert(out.points.length == 300)
+  }
 }
