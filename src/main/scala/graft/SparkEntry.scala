@@ -257,6 +257,18 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey")
     }),
 
+    // ---- J7 salted skew join (extension): result-identical to the plain
+    // equi-join (the oracle IS the plain join) — only the partitioning
+    // differs, so the oracle proves the rewrite loses/duplicates nothing
+    "j7_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val ord = t(s, d, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      ops.Skew.saltedJoin(li, ord, "l_orderkey", "l_linenumber", nSalt = 8)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "o_totalprice")
+    }),
+
     // ---- §2.7 true set ops (beyond the reference's unions)
     "u2_intersect" -> ((s, d) => {
       val ord = t(s, d, "orders")
@@ -791,6 +803,11 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey FROM orders
          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
                                  WHERE c_mktsegment = 'BUILDING')""",
+
+    // J7 — the plain join: salting must be invisible in the result set
+    "j7_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+         FROM lineitem JOIN orders ON o_orderkey = l_orderkey""",
 
     "u2_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0
