@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Schemas.BBox
 import graft.ops._
@@ -387,10 +387,27 @@ object SparkEntry {
     }),
 
     // ---- profiling: HLL approximate distinct (rows-only: sketch-based)
-    "x16_hll_profile" -> ((s, d) =>
+    // HLL sketch as a custom typed Aggregator over the engine-portable
+    // FNV hash (ext.HllAggregator) — the register math is a published
+    // spec, so the estimate / zero-count / register-sum are oracle-checked
+    // exactly; Spark's own approx_count_distinct (HLL++-internal layout)
+    // is kept as a cross-check column in tests, not in the gate
+    "x16_hll_profile" -> ((s, d) => {
+      val hll = udaf(new ext.HllAggregator(10), Encoders.scalaLong)
       t(s, d, "documents").groupBy("lang").agg(
-        approx_count_distinct(md5(col("text"))).as("approx_distinct"),
-        count(lit(1)).as("n_docs"))),
+          count(lit(1)).as("n_docs"),
+          // mix64 finalize: FNV alone leaves the low bits too linear for
+          // HLL's leading-zero statistic (estimate biased +50% without it)
+          hll(graft.functions.HashExprs.mix64_col(
+            graft.functions.HashExprs.rolling_fnv_fingerprint(
+              array(col("text"))))).as("h"))
+        .select(col("lang"), col("n_docs"),
+                // 6dp round absorbs the ln() libm ulp in the linear-
+                // counting branch (f7/x5 convention)
+                round(col("h.estimate"), 6).as("hll_estimate"),
+                col("h.n_zero").as("n_zero"),
+                col("h.reg_sum").as("reg_sum"))
+    }),
 
     // ---- extensions: deduplication
     "x1_dedup_exact" -> ((s, d) =>
@@ -519,18 +536,25 @@ object SparkEntry {
     * pair search is all-pairs here: the engine's byte-pair blocking has an
     * exact pigeonhole guarantee at maxDist ≤ 6 (≥2 of 8 bytes clean), so
     * blocked and exhaustive results coincide by construction. */
+  /** (a * c) mod 2^64 in DuckDB HUGEINT, with c split into 32-bit halves —
+    * a full 64×64 product would overflow INT128. */
+  private def mulmodSql(a: String, c: BigInt): String = {
+    val M = "18446744073709551616::HUGEINT"
+    val (bh, bl) = (c >> 32, c & 0xFFFFFFFFL)
+    s"""((($a) * $bl::HUGEINT) % $M +
+       |   ((($a) * $bh::HUGEINT) % 4294967296::HUGEINT)
+       |   * 4294967296::HUGEINT) % $M""".stripMargin
+  }
+
+  private val Mix64C1 = BigInt("BF58476D1CE4E5B9", 16)
+  private val Mix64C2 = BigInt("94D049BB133111EB", 16)
+
   private def simhashOracleSql(maxDist: Int): String = {
     val M = "18446744073709551616::HUGEINT"
     val pows = (0 until 64).map(b => (BigInt(1) << b).toString).mkString(", ")
-    // (a * c) mod 2^64 with c split into 32-bit halves (INT128-safe)
-    def mulmod(a: String, c: BigInt): String = {
-      val (bh, bl) = (c >> 32, c & 0xFFFFFFFFL)
-      s"""((($a) * $bl::HUGEINT) % $M +
-         |   ((($a) * $bh::HUGEINT) % 4294967296::HUGEINT)
-         |   * 4294967296::HUGEINT) % $M""".stripMargin
-    }
-    val c1 = BigInt("BF58476D1CE4E5B9", 16)
-    val c2 = BigInt("94D049BB133111EB", 16)
+    def mulmod(a: String, c: BigInt): String = mulmodSql(a, c)
+    val c1 = Mix64C1
+    val c2 = Mix64C2
     s"""WITH tok AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
        |                             t -> length(t) > 0) AS ts
@@ -1053,6 +1077,64 @@ object SparkEntry {
 
     // x3 — full simhash pipeline recomputed in DuckDB (see simhashOracleSql)
     "x3_dedup_simhash" -> simhashOracleSql(maxDist = 6),
+
+    // x16 — the HLL sketch recomputed register-by-register: same FNV hash
+    // (one byte per ASCII char), same top-10-bit bucketing, same
+    // rho = 55 - bitlength(54-bit tail), same EXACT integer harmonic sum
+    // (2^(55-r) terms in HUGEINT), same single-division raw estimate with
+    // the identical alpha·m²·2^55 double constant
+    "x16_hll_profile" -> {
+      val pows = (0 to 55).map(b => (BigInt(1) << b).toString).mkString(", ")
+      s"""WITH h0 AS (
+           SELECT lang,
+             list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(range(1, length(text) + 1), i ->
+                   unicode(substr(text, CAST(i AS INTEGER), 1))::HUGEINT)),
+               (hh, c) -> (xor(hh, c) * 1099511628211::HUGEINT)
+                          % 18446744073709551616::HUGEINT) AS u0
+           FROM documents),
+         h1 AS (SELECT lang,
+                ${mulmodSql("xor(u0, u0 // 1073741824::HUGEINT)", Mix64C1)} AS u1
+                FROM h0),
+         h2 AS (SELECT lang,
+                ${mulmodSql("xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2
+                FROM h1),
+         h AS (SELECT lang, xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM h2),
+         rb AS (
+           SELECT lang, uh // 18014398509481984::HUGEINT AS bucket,
+                  CAST(uh % 18014398509481984::HUGEINT AS BIGINT) AS w
+           FROM h),
+         regs AS (
+           SELECT lang, bucket,
+                  MAX(CASE WHEN w = 0 THEN 55
+                           ELSE 55 - length(bin(w)) END) AS r
+           FROM rb GROUP BY 1, 2),
+         grid AS (
+           SELECT l.lang, g.range AS bucket
+           FROM (SELECT DISTINCT lang FROM documents) l, range(1024) g),
+         full_regs AS (
+           SELECT grid.lang, COALESCE(regs.r, 0) AS r
+           FROM grid LEFT JOIN regs
+             ON regs.lang = grid.lang AND regs.bucket = grid.bucket),
+         agg AS (
+           SELECT lang,
+                  SUM([$pows][56 - r]::HUGEINT) AS num,
+                  CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_zero,
+                  SUM(r) AS reg_sum
+           FROM full_regs GROUP BY 1),
+         docs AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+         SELECT d.lang, d.n_docs,
+                round(CASE WHEN ${ext.HllAggregator.alphaM2K(10)}
+                                / CAST(a.num AS DOUBLE) <= 2560.0
+                            AND a.n_zero > 0
+                           THEN 1024.0 * ln(1024.0 / a.n_zero)
+                           ELSE ${ext.HllAggregator.alphaM2K(10)}
+                                / CAST(a.num AS DOUBLE) END, 6)
+                  AS hll_estimate,
+                a.n_zero, CAST(a.reg_sum AS BIGINT) AS reg_sum
+         FROM docs d JOIN agg a ON a.lang = d.lang"""
+    },
 
     // x10 — the rolling FNV-1a fingerprint is a published spec, so DuckDB
     // recomputes it exactly: unsigned 64-bit arithmetic emulated in

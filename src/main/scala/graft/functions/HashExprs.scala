@@ -91,6 +91,9 @@ object HashExprs {
 
   def rolling_fnv_fingerprint(tokens: Column): Column =
     GraftBridge.column(RollingFnvFingerprint(GraftBridge.expression(tokens)))
+
+  def mix64_col(c: Column): Column =
+    GraftBridge.column(Mix64(GraftBridge.expression(c)))
 }
 
 /** MinHash signature: array<long> token hashes → array<long> of k per-seed
@@ -216,4 +219,27 @@ case class RollingFnvFingerprint(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "rolling_fnv_fingerprint"
+}
+
+/** splitmix64 finalizer as a standalone expression — full 64-bit
+  * avalanche over a weakly-mixed input (e.g. FNV-1a's low bits, which are
+  * too linear for HyperLogLog's leading-zero statistic). Same published
+  * constants as HashExprs.mix64; engine-portable (the DuckDB oracle
+  * replays it in HUGEINT mod-2^64 arithmetic). */
+case class Mix64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    HashExprs.mix64(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls = classOf[HashExprs.type].getName + ".MODULE$"
+      s"${ev.value} = $cls.mix64($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "mix64"
 }

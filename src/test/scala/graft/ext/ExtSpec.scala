@@ -106,7 +106,27 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("HLL sketch: estimate near exact, merge-order invariant") {
+    import org.apache.spark.sql.{functions => F, Encoders}
+    val df = (1 to 2000).map(i => (i % 4, s"document number $i")).toDF("g", "text")
+    val hll = F.udaf(new HllAggregator(10), Encoders.scalaLong)
+    def run(parts: Int) = df.repartition(parts).groupBy("g")
+      .agg(hll(graft.functions.HashExprs.mix64_col(
+        graft.functions.HashExprs.rolling_fnv_fingerprint(
+          F.array(F.col("text"))))).as("h"))
+      .select(F.col("g"), F.col("h.estimate"), F.col("h.reg_sum"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val e1 = run(1)
+    val e8 = run(8)
+    assert(e1 == e8) // partial-merge order cannot change the sketch
+    // 500 distinct docs per group; rsd ~ 1.04/sqrt(1024) ~ 3.3%
+    e1.values.foreach { case (est, _) =>
+      assert(math.abs(est - 500.0) / 500.0 < 0.15, s"estimate $est far from 500")
+    }
+  }
+
   test("language ID picks the stopword-dominant language") {
+
     val d = Seq(
       (1L, "the cat and the dog went to the house in the morning"),
       (2L, "der hund und die katze ist nicht mit der maus"),
