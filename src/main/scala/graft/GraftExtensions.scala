@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{MinHashSignature, SimHash64}
+import graft.functions.{Mix64, MinHashSignature, RollingFnvFingerprint, ShingleHashes, SimHash64}
 
 /** SQL surface for the engine's custom expressions.
   *
@@ -45,13 +45,45 @@ object GraftExtensions {
     MinHashSignature(exprs.head, k)
   }
 
+  private def shingleBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      "shingle_hashes(text: string, k: int literal)")
+    val k = exprs(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"shingle_hashes: k must be an integer literal, got $other")
+    }
+    ShingleHashes(exprs.head, k)
+  }
+
+  private def fingerprintBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1,
+      "rolling_fnv_fingerprint(tokens: array<string>)")
+    RollingFnvFingerprint(exprs.head)
+  }
+
+  private def mix64Builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "mix64(h: bigint)")
+    Mix64(exprs.head)
+  }
+
   val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       simhashBuilder _),
     ("minhash_signature",
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
-      minhashBuilder _))
+      minhashBuilder _),
+    ("shingle_hashes",
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      shingleBuilder _),
+    ("rolling_fnv_fingerprint",
+      new ExpressionInfo(classOf[RollingFnvFingerprint].getName,
+        "rolling_fnv_fingerprint"),
+      fingerprintBuilder _),
+    ("mix64",
+      new ExpressionInfo(classOf[Mix64].getName, "mix64"),
+      mix64Builder _))
 
   /** Register into an existing session (temp functions). */
   def registerAll(spark: SparkSession): Unit =

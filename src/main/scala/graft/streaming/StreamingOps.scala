@@ -24,6 +24,21 @@ object StreamingOps {
       .groupBy((window(col(tsCol), "1 day").as("day") +: keyCols.map(col)): _*)
       .agg(max(valueCol).as("max_value"), count(lit(1)).as("n"))
 
+  /** Streaming exact dedup — the x1 content-hash dedup restated for a
+    * document stream: keep the first arrival of each content hash, drop
+    * every later copy. `dropDuplicates` keyed on the hash with an
+    * event-time watermark bounds the state store: a hash older than the
+    * watermark can be evicted because any duplicate arriving later than
+    * `watermark` behind its original is out of contract. At 100 TB/day
+    * this is the shape that keeps dedup state finite — the batch variant
+    * needs the full corpus hash set. */
+  def streamingDedup(docs: DataFrame, tsCol: String, textCol: String = "text",
+                     watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("content_hash")
+
   /** Fire-episode sessionization: consecutive detections of the same cell
     * within `gapMinutes` of each other collapse into one episode row
     * (start, end, peak, n). Custom state via flatMapGroupsWithState —

@@ -24,6 +24,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(byId(1L)._2.length == 8)
   }
 
+  test("shingle_hashes, rolling_fnv_fingerprint, mix64 from plain SQL") {
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT size(shingle_hashes('a b c d', 2)) AS n_shingles,
+                rolling_fnv_fingerprint(array('the', 'quick', 'fox')) AS fp,
+                mix64(0L) AS m0""").head
+    assert(r.getInt(0) == 3) // 4 tokens, k=2 -> 3 shingles
+    assert(r.getLong(1) == 7368246946192009564L) // HashExprsSpec golden value
+    assert(r.getLong(2) == graft.functions.HashExprs.mix64(0L))
+  }
+
   test("extensions install at session-build time") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")

@@ -56,7 +56,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps first arrival of each content hash") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp((100000L + min) * 60000L)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = input.toDS().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.streamingDedup(docs, "ts", watermark = "30 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_dedup_test").start()
+    try {
+      input.addData((1L, ts(0), "alpha"), (2L, ts(1), "beta"))
+      q.processAllAvailable()
+      // duplicate of doc 1 in a later batch: dropped while state lives
+      input.addData((3L, ts(2), "alpha"), (4L, ts(3), "gamma"))
+      q.processAllAvailable()
+      val ids = spark.table("stream_dedup_test")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("§2.9 streaming daily max equals the batch composite") {
+
     // bounded file stream over the events table (nanos ts read as long,
     // converted — same path as Tables.events)
     val dir = "/root/testdata/sf0.001"
