@@ -257,6 +257,24 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey")
     }),
 
+    // ---- J8 star join: fact table through a chain of three broadcast
+    // dimensions (supplier → nation → region), partial+final decimal-
+    // routed agg — the canonical warehouse shape; the 100 TB fact side
+    // never shuffles until the final small group-by
+    "j8_star_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_suppkey"), col("l_extendedprice"))
+      val su = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val na = t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+      val re = t(s, d, "region").select(col("r_regionkey"), col("r_name"))
+      li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(re), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(Stable.sumD(col("l_extendedprice")).as("revenue"),
+             count(lit(1)).as("n_items"))
+    }),
+
     // ---- J7 salted skew join (extension): result-identical to the plain
     // equi-join (the oracle IS the plain join) — only the partitioning
     // differs, so the oracle proves the rewrite loses/duplicates nothing
@@ -827,6 +845,15 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey FROM orders
          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
                                  WHERE c_mktsegment = 'BUILDING')""",
+
+    "j8_star_join" ->
+      s"""SELECT r_name, n_name, ${sumSql("l_extendedprice")} AS revenue,
+                 COUNT(*) AS n_items
+          FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+          JOIN region ON r_regionkey = n_regionkey
+          GROUP BY 1, 2""",
 
     // J7 — the plain join: salting must be invisible in the result set
     "j7_salted_join" ->

@@ -99,4 +99,26 @@ class PlanSpec extends AnyFunSuite {
            scan.contains("isnotnull(month"), s"no partition pruning:\n$scan")
     assert(read.count() == 1)
   }
+
+  test("j8: three chained broadcast joins, fact side shuffles only for the agg") {
+    val p = executed("j8_star_join").toString
+    assert(p.split("BroadcastHashJoin").length - 1 == 3,
+      s"expected 3 broadcast joins:\n$p")
+    // the only hash-partitioned exchange is the final group-by
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"fact side should not shuffle before the final agg:\n$p")
+  }
+
+  test("x17 IVF: broadcast centroids/probes, top-k without a global sort") {
+    val p = executed("x17_ann_ivf").toString
+    assert(p.contains("BroadcastHashJoin"), s"centroid join not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"re-rank sorts globally:\n$p")
+  }
+
+  test("s4 GeoTIFF scan and a7 exact clip run with no exchange") {
+    Seq("s4_geotiff_scan", "a7_clip_area").foreach { q =>
+      val p = executed(q).toString
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+    }
+  }
 }
