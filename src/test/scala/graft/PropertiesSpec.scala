@@ -132,4 +132,29 @@ class PropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("rolling fingerprint composes: fp(xs :+ t) = rotl5(fp(xs)) ^ fnv(t)") {
+    import graft.functions.HashExprs
+    val rnd = new scala.util.Random(17)
+    def fpLocal(tokens: Seq[String]): Long =
+      tokens.foldLeft(0L)((acc, t) =>
+        (acc << 5 | acc >>> 59) ^ HashExprs.fnv1a64(t.getBytes("UTF-8")))
+    (1 to 50).foreach { _ =>
+      val toks = Seq.fill(1 + rnd.nextInt(8))(
+        rnd.alphanumeric.take(1 + rnd.nextInt(10)).mkString)
+      val t = rnd.alphanumeric.take(5).mkString
+      val lhs = fpLocal(toks :+ t)
+      val rhs = {
+        val a = fpLocal(toks)
+        (a << 5 | a >>> 59) ^ HashExprs.fnv1a64(t.getBytes("UTF-8"))
+      }
+      assert(lhs == rhs)
+      // and the local fold agrees with the codegen'd expression
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val viaExpr = Seq(Tuple1(toks)).toDF("toks")
+        .select(HashExprs.rolling_fnv_fingerprint(col("toks"))).head.getLong(0)
+      assert(viaExpr == fpLocal(toks))
+    }
+  }
 }

@@ -94,6 +94,32 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(g.getInt(8) == 48 && g.getInt(9) == 40)
     assert(g.getString(7) == "EPSG:32643")
   }
+  test("malformed inputs fail loudly, never decode wrong") {
+    val good = GeoTiffFixture.bytes
+    // bad byte-order mark
+    val badBom = good.clone(); badBom(0) = 'X'.toByte
+    assertThrows[IllegalArgumentException](GeoTiff.parse("x.tif", badBom))
+    // bad magic
+    val badMagic = good.clone(); badMagic(2) = 0; badMagic(3) = 0
+    assertThrows[IllegalArgumentException](GeoTiff.parse("x.tif", badMagic))
+    // truncated strip data: header promises more pixels than present
+    val truncated = java.util.Arrays.copyOf(good, good.length - 512)
+    assertThrows[Exception](GeoTiff.parse("x.tif", truncated))
+    // unsupported compression tag (259 -> 5 = LZW)
+    val lzw = good.clone()
+    // find tag 259 in the IFD (starts at offset 8 + 2)
+    val n = (lzw(8) & 0xFF) | ((lzw(9) & 0xFF) << 8)
+    var at = 10
+    var patched = false
+    (0 until n).foreach { _ =>
+      val tag = (lzw(at) & 0xFF) | ((lzw(at + 1) & 0xFF) << 8)
+      if (tag == 259) { lzw(at + 8) = 5; patched = true }
+      at += 12
+    }
+    assert(patched)
+    val e = intercept[IllegalArgumentException](GeoTiff.parse("x.tif", lzw))
+    assert(e.getMessage.contains("Compression"))
+  }
 }
 
 /** Regenerates the checked-in fixture: `sbt "Test/runMain graft.sources.GenS4Fixture"`. */
