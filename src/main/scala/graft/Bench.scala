@@ -89,7 +89,9 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_median":$qsMed,"errors":$errJson,"reps":$reps,"other_jvms":$otherJvms,"sf":"$sfDir"}""")
+    // "stat":"min" labels the statistic change vs BENCH_r01/r02 (medians)
+    // so cross-round artifact diffs are not silently apples-to-oranges
+    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"min","queries":$qs,"queries_median":$qsMed,"errors":$errJson,"reps":$reps,"other_jvms":$otherJvms,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -279,11 +279,15 @@ object SparkEntry {
     // equi-join (the oracle IS the plain join) — only the partitioning
     // differs, so the oracle proves the rewrite loses/duplicates nothing
     "j7_salted_join" -> ((s, d) => {
+      // salt on the full row identity (orderkey×8+linenumber): a
+      // low-cardinality source like l_linenumber alone (7 values) could
+      // not spread a hot key over all 8 subkeys
       val li = t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .withColumn("__rid", col("l_orderkey") * 8 + col("l_linenumber"))
       val ord = t(s, d, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
-      ops.Skew.saltedJoin(li, ord, "l_orderkey", "l_linenumber", nSalt = 8)
+      ops.Skew.saltedJoin(li, ord, "l_orderkey", "__rid", nSalt = 8)
         .select("l_orderkey", "l_linenumber", "l_quantity", "o_totalprice")
     }),
 
@@ -412,7 +416,10 @@ object SparkEntry {
     // is kept as a cross-check column in tests, not in the gate
     "x16_hll_profile" -> ((s, d) => {
       val hll = udaf(new ext.HllAggregator(10), Encoders.scalaLong)
-      t(s, d, "documents").groupBy("lang").agg(
+      // NULL text is excluded on BOTH sides: Spark would hash [null] to
+      // mix64(0) while the oracle's per-char fold yields NULL and drops
+      // the row — symmetric filtering keeps the sketch engine-portable
+      t(s, d, "documents").filter(col("text").isNotNull).groupBy("lang").agg(
           count(lit(1)).as("n_docs"),
           // mix64 finalize: FNV alone leaves the low bits too linear for
           // HLL's leading-zero statistic (estimate biased +50% without it)
@@ -1120,7 +1127,7 @@ object SparkEntry {
                    unicode(substr(text, CAST(i AS INTEGER), 1))::HUGEINT)),
                (hh, c) -> (xor(hh, c) * 1099511628211::HUGEINT)
                           % 18446744073709551616::HUGEINT) AS u0
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
          h1 AS (SELECT lang,
                 ${mulmodSql("xor(u0, u0 // 1073741824::HUGEINT)", Mix64C1)} AS u1
                 FROM h0),
@@ -1139,7 +1146,8 @@ object SparkEntry {
            FROM rb GROUP BY 1, 2),
          grid AS (
            SELECT l.lang, g.range AS bucket
-           FROM (SELECT DISTINCT lang FROM documents) l, range(1024) g),
+           FROM (SELECT DISTINCT lang FROM documents
+                 WHERE text IS NOT NULL) l, range(1024) g),
          full_regs AS (
            SELECT grid.lang, COALESCE(regs.r, 0) AS r
            FROM grid LEFT JOIN regs
@@ -1150,7 +1158,8 @@ object SparkEntry {
                   CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_zero,
                   SUM(r) AS reg_sum
            FROM full_regs GROUP BY 1),
-         docs AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+         docs AS (SELECT lang, COUNT(*) AS n_docs FROM documents
+                  WHERE text IS NOT NULL GROUP BY 1)
          SELECT d.lang, d.n_docs,
                 round(CASE WHEN ${ext.HllAggregator.alphaM2K(10)}
                                 / CAST(a.num AS DOUBLE) <= 2560.0

@@ -107,10 +107,19 @@ object Dedup {
   def minhashVerifiedDups(docs: DataFrame, minJaccard: Double = 0.5,
                           numHashes: Int = 128, bands: Int = 32,
                           shingleK: Int = 3): DataFrame = {
-    val sig = minhashSignature(docs, "text", numHashes, shingleK)
-    val cand = lshCandidates(sig, bands, numHashes / bands)
-      .select("doc_a", "doc_b")
+    // one ShingleHashes pass feeds BOTH the signature and the verification
+    // sets. The hash table is consumed by three subtrees (signature scan,
+    // hs_a join, hs_b join) and Spark recomputes unpersisted subtrees per
+    // consumer, so persist it — the shingle scan is the dominant per-doc
+    // cost and would otherwise run 3x. MEMORY_AND_DISK: at corpus scale
+    // the hash arrays are ~2 orders smaller than the text they replace.
     val sh = docs.select(col("doc_id"), tokenHashes(col("text"), shingleK).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = sh.withColumn("minhash",
+      graft.functions.HashExprs.min_hash(col("hs"), numHashes))
+    val cand = lshCandidates(sig.select("doc_id", "minhash"),
+        bands, numHashes / bands)
+      .select("doc_a", "doc_b")
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")

@@ -20,7 +20,7 @@ case class HllRes(estimate: Double, n_zero: Int, reg_sum: Long)
   *    computed EXACTLY as an integer (Σ 2^(55-reg[j]) ≤ m·2^55 fits well
   *    inside 128 bits, accumulated here as BigInt), so the estimate is a
   *    single deterministic division, identical across engines and
-  *    aggregation orders. No small/large-range corrections: they need
+  *    aggregation orders
   *  - small-range correction (the published linear-counting branch):
   *    when the raw estimate ≤ 2.5m and empty registers remain, estimate =
   *    m·ln(m/V). ln()'s last ulp varies by libm, so consumers comparing

@@ -57,26 +57,39 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** 8-bit luminance of pixel (x,y), robust across decoded layouts:
+      * palette images go through the color model (indices are NOT
+      * luminance); gray / gray+alpha use band 0; color uses the integer
+      * mean of the first three bands; >8-bit samples shift down to 8.
+      * Integer-only — no float colorspace math, deterministic. */
+    private def lum8(img: java.awt.image.BufferedImage, x: Int, y: Int): Int = {
+      val raster = img.getRaster
+      if (img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) {
+        val rgb = img.getRGB(x, y)
+        ((rgb >> 16 & 0xFF) + (rgb >> 8 & 0xFF) + (rgb & 0xFF)) / 3
+      } else {
+        val bands = raster.getNumBands
+        val shift = math.max(0, img.getColorModel.getComponentSize(0) - 8)
+        val v =
+          if (bands <= 2) raster.getSample(x, y, 0) // gray or gray+alpha
+          else (raster.getSample(x, y, 0) + raster.getSample(x, y, 1) +
+                raster.getSample(x, y, 2)) / 3
+        math.min(255, v >> shift)
+      }
+    }
+
     /** 16-bucket luminance histogram over DECODED pixels, L1-normalized.
-      * Gray images use band 0 directly; color images use the integer mean
-      * of the first three bands (deterministic, no float colorspace math).
       * Non-decodable payloads fall back to the byte-histogram stub. */
     def decodeFeatures(payload: Array[Byte]): Array[Float] =
       decode(payload) match {
         case Some(img) =>
-          val raster = img.getRaster
-          val bands = raster.getNumBands
           val (w, h) = (img.getWidth, img.getHeight)
           val hist = new Array[Float](16)
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
-              val lum =
-                if (bands == 1) raster.getSample(x, y, 0)
-                else (raster.getSample(x, y, 0) + raster.getSample(x, y, 1) +
-                      raster.getSample(x, y, 2)) / 3
-              hist(lum >> 4) += 1f
+              hist(lum8(img, x, y) >> 4) += 1f
               x += 1
             }
             y += 1
@@ -93,16 +106,9 @@ object Multimodal {
     def resize(payload: Array[Byte], size: Int): Array[Byte] =
       decode(payload) match {
         case Some(img) =>
-          val raster = img.getRaster
           val out = Array.tabulate(size * size) { i =>
             val (ty, tx) = (i / size, i % size)
-            val sx = tx * img.getWidth / size
-            val sy = ty * img.getHeight / size
-            val lum =
-              if (raster.getNumBands == 1) raster.getSample(sx, sy, 0)
-              else (raster.getSample(sx, sy, 0) + raster.getSample(sx, sy, 1) +
-                    raster.getSample(sx, sy, 2)) / 3
-            lum.toByte
+            lum8(img, tx * img.getWidth / size, ty * img.getHeight / size).toByte
           }
           encodeGrayPng(out, size, size)
         case None => FakeCodec.resize(payload, size)

@@ -43,9 +43,23 @@ object PolygonClip {
     * CCW order. Output vertices are in subject order; empty when disjoint.
     * Degenerate (zero-area) outputs are possible for edge-touching inputs —
     * callers filtering on area treat them as empty. */
+  /** True when `poly` is convex and counter-clockwise: every consecutive
+    * edge pair turns left (cross ≥ 0) and the winding is positive. */
+  def isConvexCcw(poly: IndexedSeq[(Double, Double)]): Boolean = {
+    val n = poly.length
+    n >= 3 && signedArea2(poly) > 0 && (0 until n).forall { i =>
+      val (ax, ay) = poly(i)
+      val (bx, by) = poly((i + 1) % n)
+      val (cx, cy) = poly((i + 2) % n)
+      (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) >= 0
+    }
+  }
+
   def clip(subject: IndexedSeq[(Double, Double)],
            clipPoly: IndexedSeq[(Double, Double)]): IndexedSeq[(Double, Double)] = {
-    require(signedArea2(clipPoly) > 0, "clip polygon must be convex CCW")
+    // orientation alone is NOT enough: Sutherland–Hodgman against a
+    // concave clip polygon silently over-clips, so reject those loudly
+    require(isConvexCcw(clipPoly), "clip polygon must be convex CCW")
     var out = subject
     val n = clipPoly.length
     var i = 0

@@ -60,6 +60,10 @@ object Serving {
       .collect().map(_.get(0).toString)
     val bands = manifest.select("band").distinct().orderBy("band")
       .collect().map(_.getString(0))
+    // the GeoJSON point layer behaves like any other layer: it gets a
+    // checkbox (reference: 'Power Plants', index.html:140) and is on by
+    // default
+    val layerNames = bands ++ (if (geojson.isDefined) Seq("powerplants") else Nil)
     val ((s, w), (n, e)) = bounds
     val geojsonBlock = geojson.map { gj =>
       s"""const plantLayer = L.geoJSON($gj, {
@@ -71,7 +75,7 @@ object Serving {
          |    layer.bindTooltip(`<table>$${rows}</table>`, {sticky: true});
          |  }
          |});
-         |if (sel.includes('powerplants') || sel.length === 0) plantLayer.addTo(map);
+         |if (sel.includes('powerplants')) plantLayer.addTo(map);
          |""".stripMargin
     }.getOrElse("")
     val html =
@@ -83,7 +87,7 @@ object Serving {
          |</head><body>
          |<div class="controls">
          |<div id="layers">
-         |${bands.map(b => s"""<label><input type="checkbox" class="layer-checkbox" value="$b" checked>$b</label>""").mkString("\n")}
+         |${layerNames.map(b => s"""<label><input type="checkbox" class="layer-checkbox" value="$b" checked>$b</label>""").mkString("\n")}
          |</div>
          |<label>date <input type="range" id="date" min="0" max="${months.length - 1}"
          |       value="${months.length - 1}"> <span id="datelabel"></span></label>
@@ -96,7 +100,11 @@ object Serving {
          |// query-string state (?layers=a,b&start_date=...) -- same reload
          |// model as the reference; Serving.parseQuery is the server twin
          |const params = new URLSearchParams(window.location.search);
-         |const sel = (params.get('layers') || '${bands.mkString(",")}').split(',');
+         |// absent param -> default all; PRESENT-but-empty -> genuinely none
+         |// (''.split(',') is [''], so filter the empty token out)
+         |const sel = params.has('layers')
+         |  ? params.get('layers').split(',').filter(x => x)
+         |  : '${layerNames.mkString(",")}'.split(',');
          |const startDate = params.get('start_date');
          |const slider = document.getElementById('date');
          |if (startDate && months.indexOf(startDate) >= 0)
@@ -124,7 +132,7 @@ object Serving {
          |const bounds = [[$s, $w], [$n, $e]];
          |const overlays = [];
          |const m = months[slider.value];
-         |sel.forEach(b => {
+         |sel.filter(b => b !== 'powerplants').forEach(b => {
          |  const ov = L.imageOverlay(`$assetDir/month=$${m}/band=$${b}/overlay.png`,
          |    bounds, {opacity: ${overlayOpacity}});
          |  // P10 existence guard at the browser edge: missing artifact

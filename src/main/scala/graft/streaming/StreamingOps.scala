@@ -26,18 +26,20 @@ object StreamingOps {
 
   /** Streaming exact dedup — the x1 content-hash dedup restated for a
     * document stream: keep the first arrival of each content hash, drop
-    * every later copy. `dropDuplicates` keyed on the hash with an
-    * event-time watermark bounds the state store: a hash older than the
-    * watermark can be evicted because any duplicate arriving later than
-    * `watermark` behind its original is out of contract. At 100 TB/day
-    * this is the shape that keeps dedup state finite — the batch variant
-    * needs the full corpus hash set. */
+    * every copy that arrives within `watermark` of it.
+    * `dropDuplicatesWithinWatermark` is the variant whose state actually
+    * expires — plain `dropDuplicates("content_hash")` would keep one state
+    * entry per distinct hash FOREVER (the watermark only evicts dedup
+    * state when the event-time column is part of the key, which it is not
+    * here). At 100 TB/day this is the shape that keeps dedup state finite;
+    * the contract is correspondingly windowed: a duplicate arriving more
+    * than `watermark` after its original passes through. */
   def streamingDedup(docs: DataFrame, tsCol: String, textCol: String = "text",
                      watermark: String = "1 hour"): DataFrame =
     docs
       .withColumn("content_hash", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash")
 
   /** Fire-episode sessionization: consecutive detections of the same cell
     * within `gapMinutes` of each other collapse into one episode row

@@ -200,7 +200,30 @@ class ExtSpec extends AnyFunSuite {
     assert(Multimodal.FakeCodec.decodeFeatures(png).toSeq != f.toSeq)
   }
 
+  test("multimodal: 16-bit and palette images decode, never crash the task") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    // 16-bit gray: samples up to 65535 must scale into the 16 buckets
+    val img16 = new BufferedImage(4, 4, BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img16.getRaster.setSample(x, y, 0, (y * 4 + x) * 4096)
+    val o16 = new ByteArrayOutputStream
+    javax.imageio.ImageIO.write(img16, "png", o16)
+    val f16 = Multimodal.ImageCodec.decodeFeatures(o16.toByteArray)
+    assert(math.abs(f16.sum - 1f) < 1e-4)
+    assert(f16(15) > 0f) // top samples land in the top bucket, not OOB
+    // palette image: indices are not luminance — must go through the LUT
+    val idx = new BufferedImage(4, 4, BufferedImage.TYPE_BYTE_INDEXED)
+    val g = idx.createGraphics()
+    g.setColor(java.awt.Color.WHITE); g.fillRect(0, 0, 4, 4); g.dispose()
+    val oIdx = new ByteArrayOutputStream
+    javax.imageio.ImageIO.write(idx, "png", oIdx)
+    val fIdx = Multimodal.ImageCodec.decodeFeatures(oIdx.toByteArray)
+    assert(fIdx(15) == 1f) // all-white -> luminance 255 -> bucket 15
+  }
+
   test("multimodal: resize decodes and re-encodes a real thumbnail") {
+
     val media = Multimodal.mediaFromDocs(docs)
     val r = Multimodal.resizeAll(media, 16)
     val row = r.filter(col("media_id") === 1).head

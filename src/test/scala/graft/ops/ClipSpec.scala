@@ -73,7 +73,19 @@ class ClipSpec extends AnyFunSuite {
     }
   }
 
+  test("concave clip polygons are rejected, not silently over-clipped") {
+    // CCW L-shape: positive area but a reflex vertex
+    val ell = IndexedSeq((0.0, 0.0), (2.0, 0.0), (2.0, 1.0),
+                         (1.0, 1.0), (1.0, 2.0), (0.0, 2.0))
+    assert(PolygonClip.signedArea2(ell) > 0) // orientation alone passes
+    assert(!PolygonClip.isConvexCcw(ell))
+    assertThrows[IllegalArgumentException](clip(unitSq, ell))
+    // convex inputs still accepted
+    assert(PolygonClip.isConvexCcw(unitSq))
+  }
+
   test("A7 exact union: disjoint boxes sum, nested boxes collapse") {
+
     val a = unitSq
     val b = unitSq.map { case (x, y) => (x + 5, y) }
     assert(unionArea(a, b) == 2.0)

@@ -51,5 +51,10 @@ class ServingSpec extends AnyFunSuite {
     val html = scala.io.Source.fromFile(s"$tmp/index.html").mkString
     assert(html.contains("L.geoJSON") && html.contains("bindTooltip"))
     assert(html.contains("FeatureCollection")) // features actually inlined
+    // the layer is reachable: it has its own checkbox and is selected by
+    // default, and an empty ?layers= means none (not silently all)
+    assert(html.contains(""">powerplants</label>"""))
+    assert(html.contains("params.has('layers')"))
+    assert(html.contains(".filter(x => x)"))
   }
 }
