@@ -384,6 +384,26 @@ object SparkEntry {
         .select("y", "x", "area")
     }),
 
+    // ---- A7/P6 CONCAVE clip: same grid, but the clip polygon is an
+    // L-shape — ear-clipped into triangles driver-side, per-cell SH area
+    // summed map-side. The L decomposes into two disjoint axis-aligned
+    // rectangles, so the oracle is the sum of two closed-form overlaps;
+    // triangle diagonals make intermediate doubles inexact, so both sides
+    // round to 9dp (the f7_mercator convention)
+    "a7_concave_clip" -> ((s, _) => {
+      val polyX = Seq(73.0625, 80.3125, 80.3125, 76.6875, 76.6875, 73.0625)
+      val polyY = Seq(24.1875, 24.1875, 30.6875, 30.6875, 35.1875, 35.1875)
+      s.range(6400).select(
+          (col("id") / 80).cast("int").as("y"),
+          (col("id") % 80).cast("int").as("x"))
+        .withColumn("x0", lit(70.0) + col("x") * 0.25)
+        .withColumn("y0", lit(20.0) + col("y") * 0.25)
+        .withColumn("area", round(ops.PolygonClip.cellCoverageSimple(
+          col("x0"), col("y0"), lit(0.25), polyX, polyY), 9))
+        .filter(col("area") > 0)
+        .select("y", "x", "area")
+    }),
+
     // ---- A7 exact case: convex-hull dissolve of the amenity point layer
     // (oracle: hand-computed hull fixture)
     "a7_hull_dissolve" -> ((s, _) => {
@@ -1303,6 +1323,32 @@ object SparkEntry {
                                        24.1875)) AS h
            FROM range(80) y, range(80) x)
          WHERE w * h > 0""",
+
+    // A7 concave clip — the L-shape = two disjoint axis-aligned rectangles
+    // ([73.0625,80.3125]×[24.1875,30.6875] ∪ [73.0625,76.6875]×
+    // [30.6875,35.1875]), so cell coverage is the sum of two closed-form
+    // overlaps; 9dp round on both sides absorbs the SH diagonal arithmetic
+    "a7_concave_clip" ->
+      """SELECT y, x, round(wa * ha + wb * hb, 9) AS area FROM (
+           SELECT CAST(y.range AS INTEGER) AS y, CAST(x.range AS INTEGER) AS x,
+                  GREATEST(0, LEAST(70.0 + CAST(x.range AS DOUBLE) * 0.25 + 0.25,
+                                    80.3125)
+                            - GREATEST(70.0 + CAST(x.range AS DOUBLE) * 0.25,
+                                       73.0625)) AS wa,
+                  GREATEST(0, LEAST(20.0 + CAST(y.range AS DOUBLE) * 0.25 + 0.25,
+                                    30.6875)
+                            - GREATEST(20.0 + CAST(y.range AS DOUBLE) * 0.25,
+                                       24.1875)) AS ha,
+                  GREATEST(0, LEAST(70.0 + CAST(x.range AS DOUBLE) * 0.25 + 0.25,
+                                    76.6875)
+                            - GREATEST(70.0 + CAST(x.range AS DOUBLE) * 0.25,
+                                       73.0625)) AS wb,
+                  GREATEST(0, LEAST(20.0 + CAST(y.range AS DOUBLE) * 0.25 + 0.25,
+                                    35.1875)
+                            - GREATEST(20.0 + CAST(y.range AS DOUBLE) * 0.25,
+                                       30.6875)) AS hb
+           FROM range(80) y, range(80) x)
+         WHERE wa * ha + wb * hb > 0""",
 
     // F7 UTM — full inverse Krüger series mirrored in SQL (see utmOracleSql)
     "f7_utm_reproject" -> utmOracleSql,

@@ -110,6 +110,89 @@ object PolygonClip {
                 b: IndexedSeq[(Double, Double)]): Double =
     area(a) + area(b) - intersectionArea(a, b)
 
+  // ------------------------------------------------------- simple polygons
+
+  /** Ear-clipping triangulation of a SIMPLE polygon (no self-intersection,
+    * no duplicate vertices); the triangles partition the polygon, so any
+    * per-triangle area computation sums exactly. O(n²) — clip polygons are
+    * small (boundaries, districts), the data side is where the rows are. */
+  def triangulate(poly: IndexedSeq[(Double, Double)])
+      : Seq[IndexedSeq[(Double, Double)]] = {
+    require(poly.length >= 3, "triangulate: need at least 3 vertices")
+    @inline def cross(o: (Double, Double), a: (Double, Double),
+                      b: (Double, Double)): Double =
+      (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+    def inTriangle(p: (Double, Double), a: (Double, Double),
+                   b: (Double, Double), c: (Double, Double)): Boolean = {
+      val (d1, d2, d3) = (cross(a, b, p), cross(b, c, p), cross(c, a, p))
+      // INCLUSIVE: a vertex exactly on an ear edge (e.g. a reflex vertex
+      // on the diagonal) must block the ear, or the cut slices through it
+      d1 >= 0 && d2 >= 0 && d3 >= 0
+    }
+    val ccw = if (signedArea2(poly) < 0) poly.reverse else poly
+    val verts = scala.collection.mutable.ArrayBuffer(ccw: _*)
+    val out = Seq.newBuilder[IndexedSeq[(Double, Double)]]
+    var guard = 0
+    while (verts.length > 3) {
+      val n = verts.length
+      var i = 0
+      var clipped = false
+      while (i < n && !clipped) {
+        val (p, q, r) = (verts((i + n - 1) % n), verts(i), verts((i + 1) % n))
+        val convex = cross(p, q, r) > 0
+        if (convex && !verts.indices.exists { j =>
+              val v = verts(j)
+              v != p && v != q && v != r && inTriangle(v, p, q, r)
+            }) {
+          out += IndexedSeq(p, q, r)
+          verts.remove(i)
+          clipped = true
+        }
+        i += 1
+      }
+      guard += 1
+      require(clipped && guard <= poly.length * 2,
+        "triangulate: no ear found — polygon is not simple")
+    }
+    out += IndexedSeq(verts(0), verts(1), verts(2))
+    // collinear-vertex inputs can leave a zero-area final triangle —
+    // drop degenerates (they contribute nothing and SH would reject them)
+    out.result().filter(t => signedArea2(t) > 0)
+  }
+
+  /** Exact intersection area of a simple subject with a simple (possibly
+    * CONCAVE) clip polygon: decompose the clip into triangles (each convex)
+    * and sum the per-triangle Sutherland–Hodgman areas — the triangles
+    * partition the clip polygon, so the sum is the exact intersection. */
+  def intersectionAreaSimple(subject: IndexedSeq[(Double, Double)],
+                             clipPoly: IndexedSeq[(Double, Double)]): Double =
+    triangulate(clipPoly).map(tri => intersectionArea(subject, tri)).sum
+
+  /** Exact union area of two simple polygons by inclusion–exclusion;
+    * |A ∩ B| = Σᵢⱼ |triAᵢ ∩ triBⱼ| since each triangulation partitions
+    * its polygon. */
+  def unionAreaSimple(a: IndexedSeq[(Double, Double)],
+                      b: IndexedSeq[(Double, Double)]): Double = {
+    val inter = (for {
+      ta <- triangulate(a)
+      tb <- triangulate(b)
+    } yield intersectionArea(ta, tb)).sum
+    area(a) + area(b) - inter
+  }
+
+  /** Column form for a simple (possibly concave) polygon: the
+    * triangulation runs ONCE driver-side; each row sums per-triangle
+    * Sutherland–Hodgman areas map-side. */
+  def cellCoverageSimple(x0: Column, y0: Column, size: Column,
+                         polyX: Seq[Double], polyY: Seq[Double]): Column = {
+    val tris = triangulate(polyX.zip(polyY).toIndexedSeq)
+    val f = udf((cx: Double, cy: Double, s: Double) => {
+      val cell = IndexedSeq((cx, cy), (cx + s, cy), (cx + s, cy + s), (cx, cy + s))
+      tris.map(t => intersectionArea(cell, t)).sum
+    })
+    f(x0, y0, size)
+  }
+
   /** Column form: exact coverage area of the axis-aligned square cell
     * [x0, x0+size] × [y0, y0+size] inside the convex CCW polygon
     * `(polyX, polyY)`. Scalar math per row — map-side only. */

@@ -94,7 +94,45 @@ class ClipSpec extends AnyFunSuite {
     assert(unionArea(inner, a) == 1.0)
   }
 
+  test("ear-clipping triangulation partitions simple polygons exactly") {
+    val ell = IndexedSeq((0.0, 0.0), (2.0, 0.0), (2.0, 1.0),
+                         (1.0, 1.0), (1.0, 2.0), (0.0, 2.0))
+    val tris = triangulate(ell)
+    assert(tris.length == 4) // n-2 triangles for a simple hexagon
+    assert(math.abs(tris.map(area).sum - area(ell)) < 1e-12)
+    assert(math.abs(area(ell) - 3.0) < 1e-12)
+    // star-shaped concave pentagon
+    val star = IndexedSeq((0.0, 0.0), (4.0, 0.0), (4.0, 3.0),
+                          (2.0, 1.0), (0.0, 3.0))
+    assert(math.abs(triangulate(star).map(area).sum - area(star)) < 1e-12)
+  }
+
+  test("concave clip via triangle decomposition: L-shape hand case") {
+    val ell = IndexedSeq((0.0, 0.0), (2.0, 0.0), (2.0, 1.0),
+                         (1.0, 1.0), (1.0, 2.0), (0.0, 2.0))
+    // unit square at (0.5, 0.5): overlap = full square minus the quarter
+    // beyond the L's notch = 1 - 0.25 = 0.75
+    val sq = unitSq.map { case (x, y) => (x + 0.5, y + 0.5) }
+    assert(math.abs(intersectionAreaSimple(sq, ell) - 0.75) < 1e-12)
+    // convex clip: decomposition agrees with direct Sutherland-Hodgman
+    val tri0 = tri((0.2, 0.1), (1.8, 0.3), (0.9, 1.9))
+    assert(math.abs(intersectionAreaSimple(tri0, unitSq) -
+                    intersectionArea(tri0, unitSq)) < 1e-12)
+  }
+
+  test("union of simple (concave) polygons by inclusion-exclusion") {
+    val ell = IndexedSeq((0.0, 0.0), (2.0, 0.0), (2.0, 1.0),
+                         (1.0, 1.0), (1.0, 2.0), (0.0, 2.0))
+    val far = ell.map { case (x, y) => (x + 10, y) }
+    assert(math.abs(unionAreaSimple(ell, far) - 6.0) < 1e-12) // disjoint: 3+3
+    // overlapping L-shapes: |A|+|B|-|A inter B| with the hand case above
+    val sq = unitSq.map { case (x, y) => (x + 0.5, y + 0.5) }
+    assert(math.abs(unionAreaSimple(ell, sq) - (3.0 + 1.0 - 0.75)) < 1e-12)
+    assert(math.abs(unionAreaSimple(sq, ell) - 3.25) < 1e-12) // symmetric
+  }
+
   test("cellCoverage column over a grid matches scalar computation") {
+
     val spark = SharedSpark.spark
     import spark.implicits._
     val polyX = Seq(0.25, 2.75, 2.75, 0.25)
