@@ -79,6 +79,30 @@ object Dedup {
       .agg(max("est_jaccard").as("est_jaccard"))
   }
 
+  /** Candidates-only banding: same band-bucket equi-join as
+    * [[lshCandidates]] but carrying ONLY `doc_id` through the exchange — no
+    * signature arrays (128 longs ≈ 2 KB/row at verification settings, ~30×
+    * the width of the three small columns kept here) and no similarity
+    * estimate, which the exact-verification path recomputes anyway. Pair
+    * dedup is a distinct over two longs. */
+  def lshCandidatePairs(withSig: DataFrame, bands: Int,
+                        rowsPerBand: Int): DataFrame = {
+    val banded = withSig.select(
+      col("doc_id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          (0 until rowsPerBand).map(r =>
+            element_at(col("minhash"), b * rowsPerBand + r + 1)): _*), lit(b))
+      }: _*)).as(Seq("band", "bucket")))
+      .select("doc_id", "band", "bucket")
+    val a = banded.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
   /** Estimated Jaccard from signature agreement. */
   def minhashJaccard(sigA: Column, sigB: Column, numHashes: Int = 16): Column =
     size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
@@ -109,17 +133,18 @@ object Dedup {
                           shingleK: Int = 3): DataFrame = {
     // one ShingleHashes pass feeds BOTH the signature and the verification
     // sets. The hash table is consumed by three subtrees (signature scan,
-    // hs_a join, hs_b join) and Spark recomputes unpersisted subtrees per
-    // consumer, so persist it — the shingle scan is the dominant per-doc
-    // cost and would otherwise run 3x. MEMORY_AND_DISK: at corpus scale
-    // the hash arrays are ~2 orders smaller than the text they replace.
+    // hs_a join, hs_b join) and Spark recomputes unscoped subtrees per
+    // consumer; the explicit repartition makes all three read the SAME
+    // exchange (ReuseExchange: identical canonicalized subtrees dedupe to
+    // one shuffle write + three reads), so the shingle scan — the dominant
+    // per-doc cost — runs once. Shuffle files are cleaned by the
+    // ContextCleaner when the query ends, unlike a persist(), which pinned
+    // executor storage for the session lifetime (round-3 leak).
     val sh = docs.select(col("doc_id"), tokenHashes(col("text"), shingleK).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = sh.withColumn("minhash",
-      graft.functions.HashExprs.min_hash(col("hs"), numHashes))
-    val cand = lshCandidates(sig.select("doc_id", "minhash"),
-        bands, numHashes / bands)
-      .select("doc_a", "doc_b")
+      .repartition(col("doc_id"))
+    val sig = sh.select(col("doc_id"),
+      graft.functions.HashExprs.min_hash(col("hs"), numHashes).as("minhash"))
+    val cand = lshCandidatePairs(sig, bands, numHashes / bands)
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
@@ -186,8 +211,8 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
               hamming(col("fp_a"), col("fp_b")).as("dist"))
-      .distinct()
-      .filter(col("dist") <= maxDist)
+      .filter(col("dist") <= maxDist) // prune BEFORE the distinct exchange:
+      .distinct()                     // far pairs never shuffle
   }
 
   /** 4. Exact n-gram Jaccard for pairs sharing ≥1 shingle, via the

@@ -85,6 +85,49 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 0, "signature computation must not shuffle")
   }
 
+  test("x2: banding exchange carries doc ids only, no signature arrays") {
+    // a fresh session (own SQLConf, shared context) with broadcast off gives
+    // the at-scale shuffle-join plan even on the tiny test file
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false") // plain tree, so
+    // EnsureRequirements' exchanges are visible without executing
+    val df = SparkEntry.queries("x2_dedup_minhash")(s2, sf)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val banding = shuffles.filter(_.outputPartitioning.toString.contains("band"))
+    assert(banding.nonEmpty, "banding exchange not found")
+    banding.foreach { e =>
+      assert(!e.output.exists(_.dataType.isInstanceOf[
+        org.apache.spark.sql.types.ArrayType]),
+        s"signature array shuffled through the banding exchange: ${e.output}")
+    }
+  }
+
+  test("x2: the shingle-hash scan is computed once (exchange reuse)") {
+    val df = SparkEntry.queries("x2_dedup_minhash")(spark, sf)
+    df.collect() // let AQE finalize so stage reuse is visible
+    // AdaptiveSparkPlanExec.toString prints Final + Initial plans; only the
+    // final one is what ran
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = p.split("FileScan").length - 1
+    assert(scans == 1, s"document scan ran $scans times — reuse lost:\n$p")
+  }
+
+  test("x3: hamming distance pruned before the pair-distinct exchange") {
+    val lp = SparkEntry.queries("x3_dedup_simhash")(spark, sf)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val aggs = lp.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty, s"distinct did not compile to Aggregate:\n$lp")
+    // the dist <= 6 predicate must sit below the Aggregate (Catalyst folds
+    // it all the way into the block-join condition)
+    assert(aggs.exists(_.child.toString.contains("<= 6")),
+      s"far pairs shuffle through the distinct:\n$lp")
+  }
+
   test("partitioned layout: date filter prunes partitions") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("prune").toString

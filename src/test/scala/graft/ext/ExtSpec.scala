@@ -35,6 +35,14 @@ class ExtSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("minhashVerifiedDups leaves no persisted RDDs behind") {
+    val r = Dedup.minhashVerifiedDups(docs, minJaccard = 0.4)
+    val pairs = r.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup pair always survives
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "minhashVerifiedDups must not pin executor storage (round-3 leak)")
+  }
+
   test("simhash: identical docs distance 0, near-dups close, distinct far") {
     val fp = Dedup.simhash(docs).select("doc_id", "simhash")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
