@@ -10,9 +10,12 @@ import graft.model.GridMeta
   * Scoped to the subset the reference's pipeline actually emits and reads
   * back (regenerate_viirs_pngs.py:13-15 `src.read(1)`, `src.transform`;
   * fix_transparency.py:55-60 nodata handling): single-band float32,
-  * striped, uncompressed, north-up affine from the ModelTiepoint +
-  * ModelPixelScale GeoTIFF tags, CRS from the GeoKeyDirectory, nodata from
-  * GDAL_NODATA. Anything outside that subset fails loudly rather than
+  * striped, north-up affine from the ModelTiepoint + ModelPixelScale
+  * GeoTIFF tags, CRS from the GeoKeyDirectory, nodata from GDAL_NODATA.
+  * Strips may be uncompressed (1), LZW (5, TIFF6 MSB-first with early
+  * change), or Deflate (8/32946) — the codecs rasterio/GDAL actually emit
+  * when re-writing the reference's exports. Anything outside that subset
+  * (tiles, predictors, other sample formats) fails loudly rather than
   * decoding wrong.
   *
   * Spark integration is the `binaryFile` source → per-file parse →
@@ -61,7 +64,7 @@ object GeoTiff {
     * inspection stays cheap on big rasters). Returns the grid plus the
     * strip layout needed to read pixels. */
   private def parseMeta(dataset: String, bytes: Array[Byte])
-      : (GridMeta, IndexedSeq[(Long, Long)], ByteBuffer) = {
+      : (GridMeta, IndexedSeq[(Long, Long)], ByteBuffer, Int) = {
     require(bytes.length >= 8, "not a TIFF: truncated header")
     val order = (bytes(0).toChar, bytes(1).toChar) match {
       case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
@@ -87,10 +90,14 @@ object GeoTiff {
     val width = req(256, "ImageWidth").ints.head.toInt
     val height = req(257, "ImageLength").ints.head.toInt
     val bits = intOr(258, 1)
-    val compression = intOr(259, 1)
+    val compression = intOr(259, 1).toInt
     val spp = intOr(277, 1)
     val fmt = intOr(339, 1)
-    require(compression == 1, s"GeoTIFF $dataset: only uncompressed supported (Compression=$compression)")
+    val predictor = intOr(317, 1)
+    require(Set(1, 5, 8, 32946)(compression),
+      s"GeoTIFF $dataset: unsupported Compression=$compression (1/5/8/32946)")
+    require(predictor == 1,
+      s"GeoTIFF $dataset: only Predictor=1 supported (got $predictor)")
     require(bits == 32 && fmt == 3,
       s"GeoTIFF $dataset: only float32 supported (BitsPerSample=$bits, SampleFormat=$fmt)")
     require(spp == 1, s"GeoTIFF $dataset: only single-band supported (SamplesPerPixel=$spp)")
@@ -122,20 +129,42 @@ object GeoTiff {
       else math.max(1, math.round(sx)).toInt
     val meta = GridMeta(dataset, sx, 0.0, c, 0.0, -sy, f, crs,
       width, height, nodata, scaleM)
-    (meta, stripOffsets.zip(stripCounts), buf)
+    (meta, stripOffsets.zip(stripCounts), buf, compression)
   }
 
   /** Parse a whole raster: metadata + row-major float32 pixels. */
   def parse(dataset: String, bytes: Array[Byte]): Raster = {
-    val (meta, strips, buf) = parseMeta(dataset, bytes)
+    val (meta, strips, buf, compression) = parseMeta(dataset, bytes)
     val values = new Array[Float](meta.width * meta.height)
     var k = 0
     strips.foreach { case (off, count) =>
-      val fb = buf.duplicate().order(buf.order())
-      fb.position(off.toInt)
-      var b = 0L
-      while (b < count && k < values.length) {
-        values(k) = fb.getFloat; k += 1; b += 4
+      val raw: ByteBuffer = compression match {
+        case 1 =>
+          val fb = buf.duplicate().order(buf.order())
+          fb.position(off.toInt).limit((off + count).toInt)
+          fb
+        case 5 =>
+          val src = new Array[Byte](count.toInt)
+          buf.duplicate().position(off.toInt).get(src)
+          ByteBuffer.wrap(Lzw.decode(src)).order(buf.order())
+        case 8 | 32946 =>
+          val src = new Array[Byte](count.toInt)
+          buf.duplicate().position(off.toInt).get(src)
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(src)
+          val out = new java.io.ByteArrayOutputStream(src.length * 4)
+          val chunk = new Array[Byte](8192)
+          while (!inf.finished() && !inf.needsInput()) {
+            val n = inf.inflate(chunk)
+            if (n > 0) out.write(chunk, 0, n)
+            else if (!inf.finished()) throw new IllegalArgumentException(
+              s"GeoTIFF ${meta.dataset}: truncated deflate strip")
+          }
+          inf.end()
+          ByteBuffer.wrap(out.toByteArray).order(buf.order())
+      }
+      while (raw.remaining() >= 4 && k < values.length) {
+        values(k) = raw.getFloat; k += 1
       }
     }
     require(k == values.length,
@@ -188,20 +217,42 @@ object GeoTiff {
 
   /** Encode a single-band float32 striped GeoTIFF for `meta` (north-up
     * affine only: b = d = 0, a > 0, e < 0). The exact inverse of [[parse]];
-    * deterministic bytes so fixtures pin byte-for-byte. */
+    * deterministic bytes so fixtures pin byte-for-byte. `compression`:
+    * 1 = none, 5 = LZW, 8 = Deflate. */
   def write(meta: GridMeta, values: Array[Float], rowsPerStrip: Int = 64,
-            bigEndian: Boolean = false): Array[Byte] = {
+            bigEndian: Boolean = false, compression: Int = 1): Array[Byte] = {
     require(meta.b == 0.0 && meta.d == 0.0 && meta.a > 0 && meta.e < 0,
       "GeoTIFF writer: only north-up affine grids")
     require(values.length == meta.width * meta.height,
       s"GeoTIFF writer: ${values.length} values for ${meta.width}x${meta.height}")
+    require(Set(1, 5, 8)(compression),
+      s"GeoTIFF writer: unsupported compression $compression (1/5/8)")
     val epsg = meta.crs.stripPrefix("EPSG:").toInt
     val geographic = epsg == 4326
     val nStrips = (meta.height + rowsPerStrip - 1) / rowsPerStrip
-    val stripBytes = (0 until nStrips).map { s =>
+    val stripData: IndexedSeq[Array[Byte]] = (0 until nStrips).map { s =>
       val rows = math.min(rowsPerStrip, meta.height - s * rowsPerStrip)
-      rows * meta.width * 4
+      val bb = ByteBuffer.allocate(rows * meta.width * 4)
+        .order(if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < rows * meta.width) {
+        bb.putFloat(values(s * rowsPerStrip * meta.width + i)); i += 1
+      }
+      compression match {
+        case 1 => bb.array()
+        case 5 => Lzw.encode(bb.array())
+        case 8 =>
+          // fixed level so fixture bytes stay deterministic across JDKs
+          val d = new java.util.zip.Deflater(6)
+          d.setInput(bb.array()); d.finish()
+          val out = new java.io.ByteArrayOutputStream(bb.capacity() / 2 + 16)
+          val chunk = new Array[Byte](8192)
+          while (!d.finished()) out.write(chunk, 0, d.deflate(chunk))
+          d.end()
+          out.toByteArray
+      }
     }
+    val stripBytes = stripData.map(_.length)
     val nodataAscii = meta.nodata.map(nd =>
       (if (nd == nd.toLong.toDouble) nd.toLong.toString else nd.toString) + "\u0000")
 
@@ -249,7 +300,7 @@ object GeoTiff {
     tag(256, 3, 1, meta.width)
     tag(257, 3, 1, meta.height)
     tag(258, 3, 1, 32)
-    tag(259, 3, 1, 1)
+    tag(259, 3, 1, compression)
     tag(262, 3, 1, 1)
     if (nStrips > 1) tag(273, 4, nStrips, stripOffsetsAt)
     else tag(273, 4, 1, stripOffsets.head)
@@ -296,7 +347,9 @@ object GeoTiff {
       s.getBytes("US-ASCII").zipWithIndex
         .foreach { case (b, i) => buf.put(nodataAt + i, b) }
     }
-    values.zipWithIndex.foreach { case (v, i) => buf.putFloat(dataAt + 4 * i, v) }
+    stripData.zip(stripOffsets).foreach { case (data, off) =>
+      System.arraycopy(data, 0, buf.array(), off, data.length)
+    }
     buf.array()
   }
 }
