@@ -7,21 +7,28 @@ import org.apache.spark.sql.SparkSession
   * cross-run comparisons); a warmup action absorbs JVM/codegen start-up so
   * the first measured query isn't charged for it.
   *
-  * Robustness (rounds 2-3 hardening): each query runs `SPARK_GRAFT_REPS`
-  * (default 3) times; `queries` reports the MIN rep (timeit-style — on this
-  * shared VM, CPU-steal bursts inflate arbitrary reps 5-50x, and the
-  * fastest rep is the only statistic they cannot touch), with the MEDIAN
-  * alongside in `queries_median` so a contended run is visible as a
-  * min/median gap. Failures are never silently timed: a failing run records
-  * its exception message under `errors` and is excluded; a query with no
-  * successful run reports -1. `other_jvms` counts concurrently running
-  * non-child JVMs (the sbt parent accounts for 1).
+  * Robustness (rounds 2-4 hardening): the suite runs as
+  * `SPARK_GRAFT_PASSES` (default 2) temporally separated FULL passes of
+  * `SPARK_GRAFT_REPS` (default 2) reps each; `queries` reports the MIN
+  * across all runs. Rationale: on this shared VM, host CPU-steal bursts
+  * inflate wall times 5-50x, and a burst long enough to span one query's
+  * adjacent reps is common (round 3 shipped a 46 s artifact for a 1.3 s
+  * query that way) — but a burst spanning two full-suite passes minutes
+  * apart is not. Any query whose per-pass minima still diverge >5x is
+  * named in `contended`, so a poisoned artifact is self-describing.
+  * The MEDIAN across all runs ships alongside in `queries_median` /
+  * `total_median` (the statistic BENCH_r01/r02 reported) so cross-round
+  * totals stay apples-to-apples. Failures are never silently timed: a
+  * failing run records its exception under `errors` and is excluded; a
+  * query with no successful run reports -1. `other_jvms` counts
+  * concurrently running non-child JVMs (the sbt parent accounts for 1).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -54,44 +61,54 @@ object Bench {
 
     // dev aid: SPARK_GRAFT_ONLY=x3_dedup_simhash,x4_dedup_jaccard benches a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // runs(name)(pass) = successful rep times in that pass
+    val runs = suite.map { case (n, _) =>
+      n -> Array.fill(passes)(Vector.empty[Double])
+    }.toMap
+    for (pass <- 0 until passes; (name, fn) <- suite) {
       // Spark's ContextCleaner frees shuffle files / broadcasts only when
       // their weak refs are collected; without an explicit GC a long
       // many-query run ages the JVM and later queries pay for earlier ones.
       System.gc()
-      val times = (1 to reps).flatMap { _ =>
+      (1 to reps).foreach { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
+        try {
+          fn(spark, sfDir).count()
+          runs(name)(pass) :+= (System.nanoTime() - t0) / 1e9
+        } catch {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               .linesIterator.take(1).mkString.take(200)
-            None
         }
       }
-      // min = intrinsic engine cost (timeit-style: host CPU-steal bursts on
-      // this shared VM inflate arbitrary reps by 5-50x; the fastest rep is
-      // the only statistic they cannot touch). median kept for comparison —
-      // a large min/median gap in the artifact flags a contended run.
-      val mn = if (times.isEmpty) -1.0 else times.min
-      val median =
-        if (times.isEmpty) -1.0
-        else times.sorted.apply(times.size / 2)
-      name -> (mn, median)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v._1 }
+    val results = suite.map { case (name, _) =>
+      val all = runs(name).toVector.flatten
+      val mn = if (all.isEmpty) -1.0 else all.min
+      val median = if (all.isEmpty) -1.0 else all.sorted.apply(all.size / 2)
+      // a query is contended when its per-pass minima disagree wildly:
+      // the min statistic is then unreliable for it even across passes
+      val passMins = runs(name).toVector.filter(_.nonEmpty).map(_.min)
+      val contended = passMins.size >= 2 &&
+        passMins.max > 5.0 * math.max(passMins.min, 1e-9)
+      (name, mn, median, contended)
+    }
+    val qs = results.map { case (k, mn, _, _) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val qsMed = results.map { case (k, v) => "\"" + k + "\":" + v._2 }
+    val qsMed = results.map { case (k, _, md, _) => "\"" + k + "\":" + md }
       .mkString("{", ",", "}")
+    val contendedJson = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val totalMed = results.map(_._3).filter(_ >= 0).sum
     // "stat":"min" labels the statistic change vs BENCH_r01/r02 (medians)
     // so cross-round artifact diffs are not silently apples-to-oranges
-    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"min","queries":$qs,"queries_median":$qsMed,"errors":$errJson,"reps":$reps,"other_jvms":$otherJvms,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"min","total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"contended":$contendedJson,"errors":$errJson,"reps":$reps,"passes":$passes,"other_jvms":$otherJvms,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
