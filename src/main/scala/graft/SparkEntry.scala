@@ -486,6 +486,7 @@ object SparkEntry {
       val q = queryVector
       ext.Similarity.annLsh(t(s, d, "embeddings"), q, 10, dim = 64,
         nPlanes = 6, probes = 2)
+        .withColumn("cos", round(col("cos"), 6))
     }),
 
     // IVF with deterministic coarse centroids (first 16 ids): assignment,
@@ -562,7 +563,16 @@ object SparkEntry {
 
     "x15_media_profile" -> ((s, d) =>
       ext.Multimodal.metaProfile(
-        ext.Multimodal.mediaFromDocs(t(s, d, "documents"))))
+        ext.Multimodal.mediaFromDocs(t(s, d, "documents")))),
+
+    // end-to-end REAL audio path: docs → WAV payloads (closed-form 16-bit
+    // PCM) → javax.sound.sampled decode → scalar features. Every feature
+    // is an integer or an exactly-computed double (sqrt of an exact
+    // integer ratio), so DuckDB reproduces them bit-for-bit from the
+    // sample formula alone — the audio twin of x14.
+    "x18_audio_features" -> ((s, d) =>
+      ext.Multimodal.extractAudioFeatures(
+        ext.Multimodal.audioFromDocs(t(s, d, "documents"))))
   )
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
@@ -701,6 +711,36 @@ object SparkEntry {
     * round-trip, so DuckDB parses the exact same doubles. */
   private def queryVectorSql: String =
     "CAST(" + queryVector.map(_.toString).mkString("[", ", ", "]") + " AS DOUBLE[])"
+
+  /** The x6 LSH index's seeded hyperplanes, regenerated with the identical
+    * Random(42) draw order as Similarity.annLsh/lshBucket (nPlanes=6,
+    * dim=64), so the oracle can recompute bucket assignment from literals —
+    * the same technique as [[queryVectorSql]]. */
+  private lazy val lshPlanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42L)
+    Array.fill(6, 64)(rnd.nextGaussian())
+  }
+
+  /** Row-bucket expression in DuckDB: sign bits of the plane dot products,
+    * bit i worth 2^i — mirrors Similarity.lshBucket bit for bit. */
+  private def lshBucketSql: String =
+    lshPlanes.zipWithIndex.map { case (p, i) =>
+      val lit = "CAST(" + p.map(_.toString).mkString("[", ", ", "]") +
+        " AS DOUBLE[])"
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $lit) > 0" +
+        s" THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** The query vector's bucket and its `probes`=2 hamming-1 neighbors,
+    * computed with the same scalar arithmetic as annLsh's driver-side
+    * qBucket. */
+  private lazy val lshProbeBuckets: Seq[Long] = {
+    val qBucket = lshPlanes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(queryVector).map { case (a, b) => a * b }.sum
+      if (d > 0) 1L << i else 0L
+    }.sum
+    qBucket +: (0 until 2).map(i => qBucket ^ (1L << i))
+  }
 
   /** Exact cosine in DuckDB mirroring Similarity.cosineLiteral's fold
     * structure (left folds — verified bit-identical to list_dot_product). */
@@ -988,6 +1028,16 @@ object SparkEntry {
       s"""SELECT vec_id, round($cosSql, 6) AS cos FROM embeddings
           ORDER BY $cosSql DESC, vec_id LIMIT 10""",
 
+    // x6 — the whole LSH index mirrored: the seeded hyperplanes are pasted
+    // as literals, bucket assignment recomputed per row, the probe set
+    // (query bucket + 2 hamming-1 neighbors) evaluated as an IN list, then
+    // exact top-k inside the probed buckets — closing the last no_oracle
+    // gap (the hash-defined path is deterministic, so it IS checkable).
+    "x6_ann_lsh" ->
+      s"""SELECT vec_id, round($cosSql, 6) AS cos FROM embeddings
+          WHERE $lshBucketSql IN (${lshProbeBuckets.mkString(", ")})
+          ORDER BY $cosSql DESC, vec_id LIMIT 10""",
+
     // x17 — IVF mirrored end-to-end: same centroid set (vec_id < 16),
     // same argmax assignment with (cos, cid) lexicographic tiebreak, same
     // 2-probe + exact re-rank. Cosines use list_dot_product, bit-identical
@@ -1238,6 +1288,37 @@ object SparkEntry {
       """SELECT 'image' AS kind, COUNT(*) AS n,
                 8.0 AS avg_width, 8.0 AS avg_height
          FROM documents""",
+
+    // x18 — the WAV sample formula replayed: n = 400 + (doc_id%32)*8
+    // samples of ((doc_id*31 + i*7) % 2048) - 1024 at 8 kHz. sum-of-squares
+    // and counts are exact integers; rms/duration are single exact-integer
+    // divisions + one correctly-rounded sqrt, so no rounding tolerance is
+    // needed anywhere.
+    "x18_audio_features" ->
+      """WITH base AS (
+           SELECT doc_id, 400 + (doc_id % 32) * 8 AS n FROM documents),
+         samp AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM base),
+         vals AS (
+           SELECT doc_id, n, i,
+                  ((doc_id * 31 + i * 7) % 2048) - 1024 AS s
+           FROM samp),
+         lagd AS (
+           SELECT doc_id, n, s,
+                  lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+           FROM vals),
+         agg AS (
+           SELECT doc_id, MAX(n) AS n, SUM(s * s) AS sumsq,
+                  MAX(ABS(s)) AS peak,
+                  SUM(CASE WHEN prev IS NOT NULL AND ((prev >= 0) <> (s >= 0))
+                           THEN 1 ELSE 0 END) AS zc
+           FROM lagd GROUP BY doc_id)
+         SELECT doc_id AS media_id, 8000 AS sample_rate,
+                CAST(n AS BIGINT) AS n_samples,
+                CAST(n AS DOUBLE) / 8000.0 AS duration_sec,
+                sqrt(CAST(sumsq AS DOUBLE) / n) AS rms,
+                CAST(peak AS BIGINT) AS peak,
+                CAST(zc AS BIGINT) AS zero_crossings
+         FROM agg""",
 
     // S4 — regenerate the fixture raster from its closed-form definition
     // (GeoTiffFixture): 48x40 grid, a=0.25/e=-0.25/c=10/f=60 (all exact

@@ -11,10 +11,12 @@ import org.apache.spark.sql.types._
   *
   * The image path is REAL: payloads are decoded with `javax.imageio`
   * (pure-JVM PNG/BMP/GIF/JPEG readers shipped with the JDK — no native
-  * libraries) and features come from the decoded pixel raster. Audio/video
-  * decode remains a declared stub (`FakeCodec`) — this container has no
-  * sound/video codecs — and non-decodable payloads fall back to it rather
-  * than erroring, so mixed-media tables keep flowing.
+  * libraries) and features come from the decoded pixel raster. The audio
+  * path is REAL too: WAV/PCM via `javax.sound.sampled` (also in-JDK) —
+  * sample-rate/duration/RMS/zero-crossing features come from decoded
+  * samples. Video decode remains the one declared stub (`FakeCodec`) —
+  * this container has no video codecs — and non-decodable payloads fall
+  * back to it rather than erroring, so mixed-media tables keep flowing.
   *
   * At 100 TB: payloads live in their own parquet column chunk (columnar →
   * metadata-only queries never touch bytes); transforms run as
@@ -115,8 +117,103 @@ object Multimodal {
       }
   }
 
-  /** STUB codec for media the JVM cannot decode (audio/video; arbitrary
-    * bytes). Deterministic and clearly declared — real audio/video decode
+  /** Real audio codec on the JDK's `javax.sound.sampled` — WAV/PCM read
+    * and write with zero native dependencies. Scoped to what the sampled
+    * API decodes losslessly: PCM_SIGNED 16-bit and PCM_UNSIGNED 8-bit,
+    * any channel count (channel 0 is taken), either endianness. */
+  object AudioCodec {
+    final case class Pcm(sampleRate: Int, samples: Array[Int])
+
+    /** Decode a WAV payload to channel-0 integer samples. None when the
+      * payload is not a WAV the JDK can read (caller falls back). */
+    def decodeWav(payload: Array[Byte]): Option[Pcm] = {
+      if (payload == null) return None
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(payload))
+        val f = in.getFormat
+        val enc = f.getEncoding
+        val ok = (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                    f.getSampleSizeInBits == 16) ||
+                 (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
+                    f.getSampleSizeInBits == 8)
+        if (!ok) return None
+        val bytes = in.readAllBytes()
+        val frameSize = f.getFrameSize
+        val n = bytes.length / frameSize
+        val out = new Array[Int](n)
+        var i = 0
+        if (f.getSampleSizeInBits == 16) {
+          val (lo, hi) = if (f.isBigEndian) (1, 0) else (0, 1)
+          while (i < n) { // channel 0 = first sample of the frame
+            out(i) = ((bytes(i * frameSize + hi) << 8) |
+                      (bytes(i * frameSize + lo) & 0xFF)).toShort.toInt
+            i += 1
+          }
+        } else {
+          while (i < n) { out(i) = (bytes(i * frameSize) & 0xFF) - 128; i += 1 }
+        }
+        Some(Pcm(math.round(f.getSampleRate), out))
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+    }
+
+    /** Encode mono 16-bit signed PCM as WAV bytes (deterministic — the
+      * JDK writer emits a plain RIFF/fmt/data layout). */
+    def encodeWavPcm16(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false)
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        val s = samples(i)
+        require(s >= Short.MinValue && s <= Short.MaxValue,
+          s"sample $s out of 16-bit range")
+        bytes(2 * i) = (s & 0xFF).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val out = new ByteArrayOutputStream(bytes.length + 64)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Scalar features of a decoded payload: all integer or
+      * exactly-computed doubles (sqrt of an exact integer ratio), so an
+      * independent engine recomputing them from the sample definition gets
+      * bit-identical values. */
+    final case class AudioFeatures(sampleRate: Int, nSamples: Long,
+                                   durationSec: Double, rms: Double,
+                                   peak: Long, zeroCrossings: Long)
+
+    def features(pcm: Pcm): AudioFeatures = {
+      var sumSq = 0L
+      var peak = 0L
+      var zc = 0L
+      var i = 0
+      val s = pcm.samples
+      while (i < s.length) {
+        val v = s(i).toLong
+        sumSq += v * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        if (i > 0 && ((s(i - 1) >= 0) != (s(i) >= 0))) zc += 1
+        i += 1
+      }
+      val n = s.length.toLong
+      AudioFeatures(pcm.sampleRate, n,
+        n.toDouble / pcm.sampleRate,
+        if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n),
+        peak, zc)
+    }
+  }
+
+  /** STUB codec for media the JVM cannot decode (video; arbitrary
+    * bytes). Deterministic and clearly declared — real video decode
     * needs native codecs this container doesn't ship. */
   object FakeCodec {
     /** Byte histogram over 16 buckets, L1-normalized. */
@@ -162,6 +259,56 @@ object Multimodal {
         lit(null).cast("int").as("sample_rate"),
         lit(null).cast("int").as("n_frames"),
         lit("image/png").as("mime")).as("meta"))
+  }
+
+  /** Build an audio table from documents: each doc gets a REAL WAV payload
+    * whose 16-bit PCM samples follow a closed integer formula of
+    * (doc_id, i) — `((doc_id*31 + i*7) mod 2048) − 1024`, `n = 400 +
+    * (doc_id mod 32)·8`, 8 kHz — so decoded-feature queries are
+    * oracle-checkable end-to-end through the codec, like the x14 image
+    * path. In production payloads arrive from object storage. */
+  def audioFromDocs(docs: DataFrame): DataFrame = {
+    val wavUdf = udf((docId: Long) => {
+      val n = 400 + (docId % 32).toInt * 8
+      val samples = Array.tabulate(n)(i =>
+        ((docId * 31 + i.toLong * 7) % 2048).toInt - 1024)
+      AudioCodec.encodeWavPcm16(samples, 8000)
+    })
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("audio").as("kind"),
+      wavUdf(col("doc_id")).as("payload"),
+      struct(
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(8000).as("sample_rate"),
+        lit(null).cast("int").as("n_frames"),
+        lit("audio/wav").as("mime")).as("meta"))
+  }
+
+  /** Audio feature extraction over payload batches — decodes REAL WAV via
+    * the JDK sampled API inside mapPartitions (per-task codec init, no
+    * shuffle). Rows whose payload is not decodable WAV are dropped —
+    * their features would be meaningless. */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("duration_sec", DoubleType, nullable = false),
+      StructField("rms", DoubleType, nullable = false),
+      StructField("peak", LongType, nullable = false),
+      StructField("zero_crossings", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        AudioCodec.decodeWav(payload).map { pcm =>
+          val f = AudioCodec.features(pcm)
+          Row(r.getLong(0), f.sampleRate, f.nSamples, f.durationSec,
+            f.rms, f.peak, f.zeroCrossings)
+        }
+      }
+    }(encoder)
   }
 
   /** Feature extraction over payload batches — mapPartitions so per-task

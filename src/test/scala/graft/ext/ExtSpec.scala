@@ -248,6 +248,40 @@ class ExtSpec extends AnyFunSuite {
     assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame"))
   }
 
+  test("audio codec: WAV round trip preserves samples; junk is rejected") {
+    val samples = Array.tabulate(500)(i => ((i * 37) % 2048) - 1024)
+    val wav = Multimodal.AudioCodec.encodeWavPcm16(samples, 8000)
+    val pcm = Multimodal.AudioCodec.decodeWav(wav).get
+    assert(pcm.sampleRate == 8000)
+    assert(pcm.samples.sameElements(samples))
+    assert(Multimodal.AudioCodec.decodeWav("not audio at all".getBytes).isEmpty)
+    assert(Multimodal.AudioCodec.decodeWav(null).isEmpty)
+  }
+
+  test("audio features: exact integer statistics over decoded samples") {
+    val samples = Array(100, -100, 50, -50, 0, 25)
+    val f = Multimodal.AudioCodec.features(
+      Multimodal.AudioCodec.Pcm(8000, samples))
+    assert(f.zeroCrossings == 4) // sign flips incl. -50→0 (0 counts as +)
+    assert(f.peak == 100)
+    assert(f.nSamples == 6)
+    val sumSq = samples.map(s => s.toLong * s).sum
+    assert(f.rms == math.sqrt(sumSq.toDouble / 6))
+    assert(f.durationSec == 6.0 / 8000)
+  }
+
+  test("x18 pipeline: features flow from a real WAV decode, no shuffle") {
+    val out = Multimodal.extractAudioFeatures(Multimodal.audioFromDocs(docs))
+    assert(out.count() == 5)
+    val r = out.filter(col("media_id") === 1).head
+    assert(r.getAs[Int]("sample_rate") == 8000)
+    assert(r.getAs[Long]("n_samples") == 408) // 400 + (1 % 32) * 8
+    // the formula's sample 0 for doc 1: (31 % 2048) - 1024 = -993
+    assert(r.getAs[Long]("peak") <= 1024)
+    assert(out.queryExecution.executedPlan.toString
+      .split("Exchange").length - 1 == 0, "audio features must not shuffle")
+  }
+
   test("simhash blocking finds a 6-bit-spread pair that quarter blocks miss") {
     // 6 differing bits, 1-2 in each 16-bit quarter: bits 3, 17, 18, 33, 49, 50.
     // No quarter is clean, so 4x16 blocking (the maxDist<=3 scheme) cannot
