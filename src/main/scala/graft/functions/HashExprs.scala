@@ -99,8 +99,9 @@ object HashExprs {
 /** MinHash signature: array<long> token hashes → array<long> of k per-seed
   * minima. Seed family derived via splitmix64(h + GOLDEN*(i+1)). */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
@@ -138,8 +139,9 @@ case class MinHashSignature(child: Expression, k: Int)
 /** SimHash: array<long> token hashes → 64-bit fingerprint (majority vote
   * per bit). */
 case class SimHash64(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any =
@@ -182,8 +184,9 @@ case class SimHash64(child: Expression)
   * Wraparound multiply is well-defined on JVM longs; rotation + XOR never
   * overflow under ANSI semantics. */
 case class RollingFnvFingerprint(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = {
@@ -226,8 +229,13 @@ case class RollingFnvFingerprint(child: Expression)
   * too linear for HyperLogLog's leading-zero statistic). Same published
   * constants as HashExprs.mix64; engine-portable (the DuckDB oracle
   * replays it in HUGEINT mod-2^64 arithmetic). */
-case class Mix64(child: Expression) extends UnaryExpression {
+case class Mix64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
 
+  // the analyzer casts narrower integrals up (so SQL `mix64(0)` works) and
+  // rejects non-numeric input with a readable analysis error instead of a
+  // runtime ClassCastException
+  override def inputTypes = Seq(LongType)
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any =

@@ -16,8 +16,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * (only distinctness and determinism matter; the Jaccard/minhash/simhash
   * results are hash-value-independent). */
 case class ShingleHashes(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {

@@ -30,9 +30,15 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltSource: String, nSalt: Int = 8): DataFrame = {
     require(nSalt >= 1, "nSalt must be positive")
-    val salted = left.withColumn("__salt", pmod(xxhash64(col(saltSource)), lit(nSalt)))
-    val replicated = right.withColumn("__salt",
+    // pick a salt column name that collides with neither input, so a
+    // pre-existing __salt (e.g. a nested saltedJoin) is never overwritten
+    val taken = (left.columns ++ right.columns).toSet
+    val saltCol = Iterator.from(0)
+      .map(i => if (i == 0) "__salt" else s"__salt_$i")
+      .find(!taken.contains(_)).get
+    val salted = left.withColumn(saltCol, pmod(xxhash64(col(saltSource)), lit(nSalt)))
+    val replicated = right.withColumn(saltCol,
       explode(array((0 until nSalt).map(s => lit(s.toLong)): _*)))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    salted.join(replicated, Seq(key, saltCol)).drop(saltCol)
   }
 }

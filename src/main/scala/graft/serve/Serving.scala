@@ -65,13 +65,29 @@ object Serving {
     // default
     val layerNames = bands ++ (if (geojson.isDefined) Seq("powerplants") else Nil)
     val ((s, w), (n, e)) = bounds
+    // untrusted-content hygiene: the GeoJSON document is inlined as a JS
+    // STRING literal (escaped, `<` as < so `</script>` can't break
+    // out) and parsed with JSON.parse; feature property keys/values are
+    // HTML-escaped before tooltip interpolation — feature data can render
+    // text but never inject markup or script
+    def jsStr(v: String): String = "\"" + v.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '<' => "\\u003c"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val geojsonBlock = geojson.map { gj =>
-      s"""const plantLayer = L.geoJSON($gj, {
+      s"""const escHtml = v => String(v).replace(/&/g, '&amp;')
+         |  .replace(/</g, '&lt;').replace(/>/g, '&gt;').replace(/"/g, '&quot;');
+         |const plantLayer = L.geoJSON(JSON.parse(${jsStr(gj)}), {
          |  pointToLayer: (f, ll) => L.circleMarker(ll, {radius: 6, color: '#c00'}),
          |  onEachFeature: (f, layer) => {
          |    const p = f.properties || {};
          |    const rows = Object.keys(p).map(k =>
-         |      `<tr><th>$${k}</th><td>$${p[k]}</td></tr>`).join('');
+         |      `<tr><th>$${escHtml(k)}</th><td>$${escHtml(p[k])}</td></tr>`).join('');
          |    layer.bindTooltip(`<table>$${rows}</table>`, {sticky: true});
          |  }
          |});

@@ -35,6 +35,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(2) == graft.functions.HashExprs.mix64(0L))
   }
 
+  test("SQL functions cast narrower integrals and reject junk with analysis errors") {
+    GraftExtensions.registerAll(spark)
+    // INT literal: the analyzer upcasts to BIGINT instead of a runtime
+    // ClassCastException (round-3 advice)
+    assert(spark.sql("SELECT mix64(0) AS m").head.getLong(0) ==
+      graft.functions.HashExprs.mix64(0L))
+    assert(spark.sql("SELECT simhash64(array(1, 2)) AS fp").head.getLong(0) ==
+      graft.functions.HashExprs.simhashRef(Array(1L, 2L)))
+    // non-castable input fails at analysis, with a readable message
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT mix64(map('a', 1))").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT shingle_hashes(array(1L), 2)").collect()
+    }
+  }
+
   test("extensions install at session-build time") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")

@@ -21,6 +21,16 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("salted join tolerates a pre-existing __salt column on either side") {
+    val left = (1 to 50).map(i => (1L, i, i % 3)).toDF("k", "row_id", "__salt")
+    val right = (1L to 5L).map(k => (k, s"v$k", 9)).toDF("k", "payload", "__salt")
+    val out = Skew.saltedJoin(left, right, "k", "row_id", nSalt = 4)
+    assert(out.count() == 50) // k=1 matches all 50 left rows
+    // caller's columns survive untouched (the join salt picked a fresh name)
+    assert(out.columns.count(_ == "__salt") == 2)
+    assert(out.select("payload").distinct().head.getString(0) == "v1")
+  }
+
   test("salt spreads the hot key over multiple partitions") {
     val left = (1 to 1000).map(i => (1L, i)).toDF("k", "row_id")
     val salts = left

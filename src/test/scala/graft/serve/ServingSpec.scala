@@ -57,4 +57,23 @@ class ServingSpec extends AnyFunSuite {
     assert(html.contains("params.has('layers')"))
     assert(html.contains(".filter(x => x)"))
   }
+
+  test("S8 viewer escapes untrusted GeoJSON: no raw markup reaches the page") {
+    val tmp = java.nio.file.Files.createTempDirectory("viewer").toString
+    // hostile feature properties: a script-block breakout and an HTML tag
+    val gj = """{"type":"FeatureCollection","features":[{"type":"Feature",
+      |"geometry":{"type":"Point","coordinates":[77.1,28.6]},
+      |"properties":{"name":"</script><script>alert(1)</script>",
+      |"<b>k</b>":"v"}}]}""".stripMargin
+    Serving.writeViewer(gold.select("month", "band"), "assets",
+      s"$tmp/index.html", geojson = Some(gj))
+    val html = scala.io.Source.fromFile(s"$tmp/index.html").mkString
+    // the document is inlined as an escaped JS string fed to JSON.parse —
+    // every '<' from the payload is \u003c, so '</script>' cannot break out
+    assert(html.contains("JSON.parse("))
+    assert(!html.contains("</script><script>alert(1)"))
+    assert(html.contains("\\u003c/script>\\u003cscript>alert(1)"))
+    // tooltip rows HTML-escape keys and values before interpolation
+    assert(html.contains("escHtml(k)") && html.contains("escHtml(p[k])"))
+  }
 }
