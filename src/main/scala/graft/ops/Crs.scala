@@ -1,0 +1,47 @@
+package graft.ops
+
+/** EPSG → projection registry — the general form of the reference's
+  * "accept any source CRS" reprojection (`rasterio.warp.transform(src.crs,
+  * 'EPSG:4326', …)`, fix_transparency.py:72). Each registered code routes
+  * to one of the engine's projection cores: geographic pass-through,
+  * the Web-Mercator closed form (GeoFns), or the Krüger transverse-
+  * Mercator inverse (Utm) parametrized by zone and hemisphere — which
+  * covers every WGS84 UTM export GDAL can emit (EPSG:32601-60 north,
+  * 32701-60 south). Unregistered codes resolve to None so callers fail
+  * loudly instead of mislabeling coordinates.
+  */
+object Crs {
+
+  sealed trait Projection
+  case object Geographic extends Projection    // EPSG:4326, degrees as-is
+  case object WebMercator extends Projection   // EPSG:3857, spherical
+  final case class UtmZone(zone: Int, north: Boolean) extends Projection
+
+  def fromEpsg(code: Int): Option[Projection] = code match {
+    case 4326 => Some(Geographic)
+    case 3857 => Some(WebMercator)
+    case c if c >= 32601 && c <= 32660 => Some(UtmZone(c - 32600, north = true))
+    case c if c >= 32701 && c <= 32760 => Some(UtmZone(c - 32700, north = false))
+    case _ => None
+  }
+
+  /** Parse an `EPSG:nnnn` string (the form GeoTiff.parse produces). */
+  def fromCrsString(crs: String): Option[Projection] =
+    if (crs != null && crs.startsWith("EPSG:"))
+      crs.stripPrefix("EPSG:").toIntOption.flatMap(fromEpsg)
+    else None
+
+  /** Scalar inverse: projected model (x, y) → (lon°, lat°). Mirrors the
+    * column-level math (GeoFns.mercatorToLon/Lat, Utm.toLatLon) exactly. */
+  def toLonLat(p: Projection, x: Double, y: Double): (Double, Double) =
+    p match {
+      case Geographic => (x, y)
+      case WebMercator =>
+        (x / 6378137.0 * (180.0 / math.Pi),
+         (math.atan(math.exp(y / 6378137.0)) * 2.0 - math.Pi / 2.0) *
+           (180.0 / math.Pi))
+      case UtmZone(zone, north) =>
+        val (lat, lon) = Utm.toLatLon(x, y, zone, north)
+        (lon, lat)
+    }
+}

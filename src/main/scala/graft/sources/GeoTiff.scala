@@ -213,6 +213,42 @@ object GeoTiff {
       .toDF("dataset", "y", "x", "lon", "lat", "value")
   }
 
+  /** S4 + F7 — scan raster file(s) with CRS-aware reprojection: the affine
+    * model coordinates are routed through the EPSG registry
+    * (graft.ops.Crs — geographic pass-through, Web-Mercator closed form,
+    * all WGS84 UTM zones incl. southern via the Krüger inverse), so
+    * `lon`/`lat` are true EPSG:4326 degrees whatever CRS the export used —
+    * the general form of the reference's `rasterio.warp.transform(src.crs,
+    * 'EPSG:4326')`. Files in an unregistered CRS fail loudly rather than
+    * mislabeling projected meters as degrees. Reprojection is scalar math
+    * inside the same per-file task as the decode — no extra stage, no
+    * shuffle. */
+  def readLonLat(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val r = parse(path.substring(path.lastIndexOf('/') + 1), bytes)
+        val m = r.meta
+        val proj = graft.ops.Crs.fromCrsString(m.crs).getOrElse(
+          throw new IllegalArgumentException(
+            s"GeoTIFF ${m.dataset}: no reprojection registered for ${m.crs}"))
+        val ndF = m.nodata.map(_.toFloat)
+        Iterator.range(0, m.height).flatMap { y =>
+          Iterator.range(0, m.width).map { x =>
+            val v = r.values(y * m.width + x)
+            val value: Option[Double] =
+              if (v.isNaN || ndF.exists(_ == v)) None else Some(v.toDouble)
+            val mx = m.c + (x + 0.5) * m.a + (y + 0.5) * m.b
+            val my = m.f + (x + 0.5) * m.d + (y + 0.5) * m.e
+            val (lon, lat) = graft.ops.Crs.toLonLat(proj, mx, my)
+            (m.dataset, y, x, lon, lat, value)
+          }
+        }
+      }
+      .toDF("dataset", "y", "x", "lon", "lat", "value")
+  }
+
   // ------------------------------------------------------------------ write
 
   /** Encode a single-band float32 striped GeoTIFF for `meta` (north-up

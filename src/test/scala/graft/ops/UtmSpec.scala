@@ -48,6 +48,34 @@ class UtmSpec extends AnyFunSuite {
     assert(math.abs(lat - (-33.9)) < 1e-9 && math.abs(lon - 18.6) < 1e-9)
   }
 
+  test("EPSG registry routes every UTM zone, both hemispheres, and fails closed") {
+    assert(Crs.fromEpsg(32643).contains(Crs.UtmZone(43, north = true)))
+    assert(Crs.fromEpsg(32743).contains(Crs.UtmZone(43, north = false)))
+    assert(Crs.fromEpsg(32601).contains(Crs.UtmZone(1, north = true)))
+    assert(Crs.fromEpsg(32760).contains(Crs.UtmZone(60, north = false)))
+    assert(Crs.fromEpsg(4326).contains(Crs.Geographic))
+    assert(Crs.fromEpsg(3857).contains(Crs.WebMercator))
+    assert(Crs.fromEpsg(32661).isEmpty) // UPS — not a TM zone
+    assert(Crs.fromEpsg(27700).isEmpty) // OSGB — unregistered datum
+    assert(Crs.fromCrsString("EPSG:32743").contains(Crs.UtmZone(43, false)))
+    assert(Crs.fromCrsString("garbage").isEmpty)
+    assert(Crs.fromCrsString(null).isEmpty)
+  }
+
+  test("registry inverse agrees with the projection cores it routes to") {
+    // southern UTM through the registry = Utm.toLatLon with north=false
+    val (e, n) = Utm.toUtm(-17.3, 75.4, 43, north = false)
+    val (lon, lat) = Crs.toLonLat(Crs.UtmZone(43, north = false), e, n)
+    assert(math.abs(lat - (-17.3)) < 1e-9 && math.abs(lon - 75.4) < 1e-9)
+    // geographic pass-through
+    assert(Crs.toLonLat(Crs.Geographic, 77.2, 28.6) == ((77.2, 28.6)))
+    // Web-Mercator: registry inverse undoes the closed-form forward
+    val x = 77.2 * math.Pi / 180.0 * 6378137.0
+    val y = math.log(math.tan(math.Pi / 4.0 + 28.6 * math.Pi / 360.0)) * 6378137.0
+    val (lonM, latM) = Crs.toLonLat(Crs.WebMercator, x, y)
+    assert(math.abs(lonM - 77.2) < 1e-9 && math.abs(latM - 28.6) < 1e-9)
+  }
+
   test("UDF reprojets a pixel table distributively") {
     val px = Seq((500000.0, 3320000.0), (612000.0, 3430000.0))
       .toDF("easting", "northing")

@@ -187,6 +187,36 @@ class GeoTiffSpec extends AnyFunSuite {
     }
   }
 
+  test("readLonLat reprojects a southern-UTM (EPSG:32743) raster to WGS84") {
+    // a small zone-43-south raster near 17.3°S: 100 m pixels around
+    // (500 km E, 8.086 Mm N)
+    val meta = GridMeta("south.tif", a = 100.0, b = 0.0, c = 499000.0,
+      d = 0.0, e = -100.0, f = 8087000.0, crs = "EPSG:32743",
+      width = 8, height = 6, nodata = None, scaleM = 100)
+    val values = Array.tabulate(48)(_.toFloat)
+    val dir = java.nio.file.Files.createTempDirectory("utms").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/south.tif"),
+      GeoTiff.write(meta, values, compression = 8))
+    val rows = GeoTiff.readLonLat(spark, s"$dir/south.tif")
+      .collect().map(r => ((r.getInt(1), r.getInt(2)),
+        (r.getDouble(3), r.getDouble(4)))).toMap
+    // pixel (0,0) center = model (499050, 8086950) → Krüger inverse
+    val (expLat, expLon) = graft.ops.Utm.toLatLon(499050.0, 8086950.0, 43,
+      north = false)
+    val (gotLon, gotLat) = rows((0, 0))
+    assert(math.abs(gotLat - expLat) < 1e-12 && math.abs(gotLon - expLon) < 1e-12)
+    assert(gotLat < -17.0 && gotLat > -17.6, s"latitude $gotLat not southern")
+    // an unregistered CRS fails loudly, never mislabels meters as degrees
+    val bad = meta.copy(dataset = "bad.tif", crs = "EPSG:27700")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.tif"),
+      GeoTiff.write(bad, values))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      GeoTiff.readLonLat(spark, s"$dir/bad.tif").collect()
+    }
+    assert(e2.getMessage.contains("no reprojection") ||
+      Option(e2.getCause).exists(_.getMessage.contains("no reprojection")))
+  }
+
   test("s4demo fixture bytes match the writer output exactly") {
     val onDisk = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(GeoTiffFixture.path))
