@@ -390,6 +390,27 @@ object SparkEntry {
     // rectangles, so the oracle is the sum of two closed-form overlaps;
     // triangle diagonals make intermediate doubles inexact, so both sides
     // round to 9dp (the f7_mercator convention)
+    // A7 full dissolve — exact N-polygon union area via the typed
+    // disjoint-convex-piece Aggregator (PolyUnion.DissolveAggregator).
+    // 25 axis-aligned rectangles derived from nation keys, dims powers of
+    // two so every intersection coordinate is dyadic → the fold is exact
+    // and order-independent; the oracle recomputes the union area by
+    // coordinate compression (slab grid), a completely different
+    // algorithm — agreement is a strong independent check.
+    "a7_polygon_dissolve" -> ((s, d) => {
+      val x0 = (col("n_nationkey") % 5).cast("double") * 3.0
+      val y0 = floor(col("n_nationkey") / 5).cast("double") * 3.0
+      val w = element_at(array(lit(1.0), lit(2.0), lit(4.0)),
+        (col("n_nationkey") % 3) + 1)
+      val h = element_at(array(lit(2.0), lit(4.0)),
+        (col("n_nationkey") % 2) + 1)
+      t(s, d, "nation").select(
+          array(x0, x0 + w, x0 + w, x0).as("xs"),
+          array(y0, y0, y0 + h, y0 + h).as("ys"))
+        .agg(ops.PolyUnion.dissolveArea(col("xs"), col("ys")).as("union_area"),
+             count(lit(1)).as("n_polys"))
+    }),
+
     "a7_concave_clip" -> ((s, _) => {
       val polyX = Seq(73.0625, 80.3125, 80.3125, 76.6875, 76.6875, 73.0625)
       val polyY = Seq(24.1875, 24.1875, 30.6875, 30.6875, 35.1875, 35.1875)
@@ -1409,6 +1430,35 @@ object SparkEntry {
     // ([73.0625,80.3125]×[24.1875,30.6875] ∪ [73.0625,76.6875]×
     // [30.6875,35.1875]), so cell coverage is the sum of two closed-form
     // overlaps; 9dp round on both sides absorbs the SH diagonal arithmetic
+    // a7_polygon_dissolve — union area by coordinate compression: distinct
+    // x/y bounds slice the plane into slabs; a slab cell is covered iff
+    // some rectangle contains it; union area = Σ covered-cell areas. All
+    // coordinates are small integers, so the double sums are exact.
+    "a7_polygon_dissolve" ->
+      """WITH rects AS (
+           SELECT (n_nationkey % 5) * 3.0 AS x0,
+                  (n_nationkey // 5) * 3.0 AS y0,
+                  (n_nationkey % 5) * 3.0
+                    + [1.0, 2.0, 4.0][(n_nationkey % 3) + 1] AS x1,
+                  (n_nationkey // 5) * 3.0
+                    + [2.0, 4.0][(n_nationkey % 2) + 1] AS y1
+           FROM nation),
+         xs AS (SELECT DISTINCT x FROM (
+                  SELECT x0 AS x FROM rects UNION ALL SELECT x1 FROM rects)),
+         xsl AS (SELECT x AS xa, lead(x) OVER (ORDER BY x) AS xb FROM xs),
+         ys AS (SELECT DISTINCT y FROM (
+                  SELECT y0 AS y FROM rects UNION ALL SELECT y1 FROM rects)),
+         ysl AS (SELECT y AS ya, lead(y) OVER (ORDER BY y) AS yb FROM ys),
+         cells AS (SELECT xa, xb, ya, yb FROM xsl, ysl
+                   WHERE xb IS NOT NULL AND yb IS NOT NULL),
+         cov AS (SELECT DISTINCT xa, xb, ya, yb
+                 FROM cells c JOIN rects r
+                   ON c.xa >= r.x0 AND c.xb <= r.x1
+                  AND c.ya >= r.y0 AND c.yb <= r.y1)
+         SELECT SUM((xb - xa) * (yb - ya)) AS union_area,
+                (SELECT COUNT(*) FROM nation) AS n_polys
+         FROM cov""",
+
     "a7_concave_clip" ->
       """SELECT y, x, round(wa * ha + wb * hb, 9) AS area FROM (
            SELECT CAST(y.range AS INTEGER) AS y, CAST(x.range AS INTEGER) AS x,

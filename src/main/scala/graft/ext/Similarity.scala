@@ -107,6 +107,15 @@ object Similarity {
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cent = embeddings.filter(col(idCol) < nCentroids)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    ivfQuery(embeddings, cent, q, k, nProbe, idCol, vecCol)
+  }
+
+  /** IVF query against an explicit centroid table `(cid, cvec)` — shared
+    * by the deterministic first-k index (oracle-checked) and the k-means-
+    * trained one. */
+  def ivfQuery(embeddings: DataFrame, cent: DataFrame, q: Array[Double],
+               k: Int, nProbe: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // assignment: argmax cosine over the broadcast centroid set; struct
     // max = (cos, cid) lexicographic, so ties break to the higher cid
     val assigned = embeddings
@@ -124,6 +133,79 @@ object Similarity {
       .select(col(idCol), cosineLiteral(col(vecCol), q).as("cos"))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
+  }
+
+  /** Lloyd-refined IVF centroids, seeded from the deterministic first-k
+    * set. Each iteration is two DataFrame aggregations:
+    *
+    *   1. assignment — argmax cosine against the BROADCAST centroids (one
+    *      hash-agg shuffle keyed on vector id);
+    *   2. new means — posexplode to (cid, pos, component) and hash-agg
+    *      sum/count. Partial aggregation combines map-side, so the shuffle
+    *      carries only nCentroids × dim × nPartitions rows however big the
+    *      corpus is.
+    *
+    * Only the k × dim centroid matrix ever reaches the driver (per
+    * iteration, to rebroadcast). Empty clusters keep their previous
+    * centroid. Deterministic: seed, assignment tiebreak (higher cid), and
+    * decimal-routed means are all order-independent. */
+  def trainIvfCentroids(embeddings: DataFrame, nCentroids: Int = 16,
+                        iters: Int = 3,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Array[Array[Double]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    var cents: Array[Array[Double]] = embeddings
+      .filter(col(idCol) < nCentroids).orderBy(idCol).select(vecCol)
+      .collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    for (_ <- 0 until iters) {
+      val centDf = cents.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("cid", "cvec")
+      val assigned = embeddings
+        .join(broadcast(centDf))
+        .withColumn("cc", cosine(col(vecCol), col("cvec")))
+        .groupBy(col(idCol))
+        .agg(max(struct(col("cc"), col("cid"))).as("best"),
+             first(col(vecCol)).as(vecCol))
+        .select(col("best.cid").as("cid"), col(vecCol))
+      // decimal-routed sum: component means independent of partition order
+      val parts = assigned
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(graft.ops.Stable.sumD(col("v").cast("double")).as("s"),
+             count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      parts.groupBy(_.getLong(0)).foreach { case (cid, rows) =>
+        val mean = new Array[Double](dim)
+        rows.foreach { r =>
+          mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+        }
+        next(cid.toInt) = mean
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** IVF with k-means-trained centroids: train, then query — the
+    * production path; the deterministic first-k variant stays for the
+    * oracle. */
+  def annIvfTrained(embeddings: DataFrame, q: Array[Double], k: Int,
+                    nCentroids: Int = 16, nProbe: Int = 2, iters: Int = 3,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = trainIvfCentroids(embeddings, nCentroids, iters, idCol, vecCol)
+    val centDf = cents.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("cid", "cvec")
+    ivfQuery(embeddings, centDf, q, k, nProbe, idCol, vecCol)
   }
 
   /** IVF-style per-label top-k: nearest neighbors within each coarse

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Aggregator
+
+/** A7 full dissolve — exact N-polygon union as a typed Aggregator (the
+  * true `punjab.geometry()` semantics: DataDownloader_SNPP_VIIRS_V1.py:36
+  * dissolves every district geometry into one region before filtering).
+  *
+  * Representation: the running union is a set of DISJOINT CONVEX pieces.
+  * Adding a polygon = triangulate it (PolygonClip.triangulate), then for
+  * each triangle subtract every existing piece and keep what remains. The
+  * subtraction uses the classic convex-difference decomposition: for a
+  * convex clip C with CCW edges e1..ek,
+  *
+  *   T \ C  =  ⋃ᵢ  T ∩ outside(eᵢ) ∩ inside(e₁) ∩ … ∩ inside(eᵢ₋₁)
+  *
+  * — disjoint by construction, each piece convex (an intersection of
+  * half-planes with a convex set), each computed by single-edge
+  * Sutherland–Hodgman passes. Union area = Σ piece areas, exact.
+  *
+  * Scale posture: polygons are the SMALL side (districts, boundaries —
+  * tens to thousands), so an O(pieces²) driver-free fold inside a typed
+  * Aggregator is the right shape: partial unions build map-side per
+  * partition, merge() dissolves partial piece-sets pairwise, and only
+  * piece lists (not input rows) cross the shuffle.
+  */
+object PolyUnion {
+
+  type Poly = IndexedSeq[(Double, Double)]
+
+  /** Clip a convex CCW polygon against one directed edge's half-plane.
+    * keepLeft=true keeps the inside (left) side — same inside test and
+    * intersection arithmetic as PolygonClip.clip, one edge at a time. */
+  def clipHalfPlane(poly: Poly, ax: Double, ay: Double,
+                    bx: Double, by: Double, keepLeft: Boolean): Poly = {
+    if (poly.isEmpty) return poly
+    @inline def side(px: Double, py: Double): Double =
+      (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    @inline def in(px: Double, py: Double): Boolean =
+      if (keepLeft) side(px, py) >= 0 else side(px, py) <= 0
+    @inline def cross(px: Double, py: Double, qx: Double, qy: Double)
+        : (Double, Double) = {
+      val t = ((ax - px) * (by - ay) - (ay - py) * (bx - ax)) /
+              ((qx - px) * (by - ay) - (qy - py) * (bx - ax))
+      (px + t * (qx - px), py + t * (qy - py))
+    }
+    val next = IndexedSeq.newBuilder[(Double, Double)]
+    var j = 0
+    while (j < poly.length) {
+      val (px, py) = poly(j)
+      val (qx, qy) = poly((j + 1) % poly.length)
+      (in(px, py), in(qx, qy)) match {
+        case (true, true)   => next += ((qx, qy))
+        case (true, false)  => next += cross(px, py, qx, qy)
+        case (false, true)  => next += cross(px, py, qx, qy); next += ((qx, qy))
+        case (false, false) => ()
+      }
+      j += 1
+    }
+    // drop consecutive duplicates (a vertex exactly on the line enters
+    // twice via the two cross cases) — downstream edge loops must never
+    // see zero-length edges
+    val raw = next.result()
+    if (raw.isEmpty) raw
+    else raw.indices.collect {
+      case i if raw(i) != raw((i + 1) % raw.length) => raw(i)
+    }
+  }
+
+  /** `part \ c` as disjoint convex pieces (c convex CCW). */
+  def convexDifference(part: Poly, c: Poly): List[Poly] = {
+    // no-overlap fast path — ESSENTIAL, not just fast: the edge-by-edge
+    // decomposition below slices by INFINITE edge lines, so without this
+    // check a part far away from c still fragments into |c| slivers, and
+    // fragment counts compound exponentially across subtractions
+    val inter = PolygonClip.clip(part, c)
+    if (inter.length < 3 || PolygonClip.area(inter) == 0) return List(part)
+    val out = List.newBuilder[Poly]
+    var rem = part
+    var i = 0
+    val n = c.length
+    while (i < n && rem.length >= 3) {
+      val (ax, ay) = c(i)
+      val (bx, by) = c((i + 1) % n)
+      // a zero-length edge has no outside half-plane; treating it like a
+      // real edge would copy ALL of rem into the output (double-count)
+      if (ax != bx || ay != by) {
+        val outside = clipHalfPlane(rem, ax, ay, bx, by, keepLeft = false)
+        if (outside.length >= 3 && PolygonClip.area(outside) > 0) out += outside
+        rem = clipHalfPlane(rem, ax, ay, bx, by, keepLeft = true)
+      }
+      i += 1
+    }
+    out.result() // rem (= part ∩ c) is already covered — dropped
+  }
+
+  /** Fold one simple polygon into the disjoint-piece union. */
+  def addPolygon(pieces: List[Poly], p: Poly): List[Poly] = {
+    var acc = pieces
+    PolygonClip.triangulate(p).foreach { t =>
+      var parts: List[Poly] = List(t)
+      var it = acc
+      while (it.nonEmpty && parts.nonEmpty) {
+        val c = it.head
+        parts = parts.flatMap(part => convexDifference(part, c))
+        it = it.tail
+      }
+      acc = acc ::: parts.filter(PolygonClip.area(_) > 0)
+    }
+    acc
+  }
+
+  /** Exact union area of simple polygons (local form, shared by tests). */
+  def unionArea(polys: Seq[Poly]): Double =
+    polys.foldLeft(List.empty[Poly])(addPolygon)
+      .map(PolygonClip.area).sum
+
+  /** One input polygon as parallel vertex arrays. */
+  final case class PolyRow(xs: Seq[Double], ys: Seq[Double])
+
+  /** Disjoint convex pieces, each as interleaved x,y coordinates. */
+  final case class UnionBuf(pieces: Seq[Seq[Double]])
+
+  /** Typed Aggregator: rows of (xs, ys) vertex arrays → exact union area.
+    * merge() dissolves one buffer's pieces into the other, so partial
+    * aggregation works map-side and input order is irrelevant (union is
+    * commutative; the arithmetic is exact for dyadic-rational inputs). */
+  class DissolveAggregator extends Aggregator[PolyRow, UnionBuf, Double] {
+
+    private def decode(b: UnionBuf): List[Poly] =
+      b.pieces.map(flat =>
+        flat.grouped(2).map(p => (p(0), p(1))).toIndexedSeq).toList
+    private def encode(ps: List[Poly]): UnionBuf =
+      UnionBuf(ps.map(_.flatMap { case (x, y) => Seq(x, y) }))
+
+    override def zero: UnionBuf = UnionBuf(Seq.empty)
+
+    override def reduce(b: UnionBuf, in: PolyRow): UnionBuf =
+      encode(PolyUnion.addPolygon(decode(b), in.xs.zip(in.ys).toIndexedSeq))
+
+    override def merge(b1: UnionBuf, b2: UnionBuf): UnionBuf =
+      encode(decode(b2).foldLeft(decode(b1))(PolyUnion.addPolygon))
+
+    override def finish(b: UnionBuf): Double =
+      decode(b).map(PolygonClip.area).sum
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[UnionBuf] =
+      org.apache.spark.sql.Encoders.product[UnionBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  /** Column form, usable in an agg(): `dissolveArea(xs, ys)`. */
+  def dissolveArea(xs: org.apache.spark.sql.Column,
+                   ys: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udaf(new DissolveAggregator,
+      org.apache.spark.sql.Encoders.product[PolyRow]).apply(xs, ys)
+}

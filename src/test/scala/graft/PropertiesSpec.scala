@@ -133,6 +133,48 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("polygon dissolve: union area matches grid reference on seeded rects") {
+    // seeded axis-aligned rectangles with power-of-2 dims → the
+    // piece-fold arithmetic is dyadic-exact, so equality is exact
+    val rnd = new scala.util.Random(23)
+    val rects = (1 to 12).map { _ =>
+      val x0 = rnd.nextInt(12).toDouble
+      val y0 = rnd.nextInt(12).toDouble
+      val w = (1 << rnd.nextInt(3)).toDouble
+      val h = (1 << rnd.nextInt(3)).toDouble
+      (x0, y0, x0 + w, y0 + h)
+    }
+    // independent reference: coordinate compression over slab cells
+    def gridUnion(rs: Seq[(Double, Double, Double, Double)]): Double = {
+      val xs = rs.flatMap(r => Seq(r._1, r._3)).distinct.sorted
+      val ys = rs.flatMap(r => Seq(r._2, r._4)).distinct.sorted
+      (for {
+        (xa, xb) <- xs.zip(xs.tail)
+        (ya, yb) <- ys.zip(ys.tail)
+        if rs.exists(r => xa >= r._1 && xb <= r._3 && ya >= r._2 && yb <= r._4)
+      } yield (xb - xa) * (yb - ya)).sum
+    }
+    def polys(rs: Seq[(Double, Double, Double, Double)]) = rs.map {
+      case (x0, y0, x1, y1) =>
+        IndexedSeq((x0, y0), (x1, y0), (x1, y1), (x0, y1))
+    }
+    val expected = gridUnion(rects)
+    assert(PolyUnion.unionArea(polys(rects)) == expected)
+    // order invariance: union is commutative and the arithmetic exact
+    assert(PolyUnion.unionArea(polys(rects.reverse)) == expected)
+    assert(PolyUnion.unionArea(polys(rnd.shuffle(rects))) == expected)
+    // two-polygon case agrees with the inclusion–exclusion path
+    val two = polys(rects.take(2))
+    assert(math.abs(PolyUnion.unionArea(two) -
+      PolygonClip.unionAreaSimple(two(0), two(1))) < 1e-9)
+    // the distributed Aggregator returns the same exact value
+    val df = rects.map { case (x0, y0, x1, y1) =>
+      (Seq(x0, x1, x1, x0), Seq(y0, y0, y1, y1)) }.toDF("xs", "ys")
+      .repartition(4) // force partial buffers + merge()
+    val got = df.agg(PolyUnion.dissolveArea(col("xs"), col("ys"))).head.getDouble(0)
+    assert(got == expected)
+  }
+
   test("rolling fingerprint composes: fp(xs :+ t) = rotl5(fp(xs)) ^ fnv(t)") {
     import graft.functions.HashExprs
     val rnd = new scala.util.Random(17)

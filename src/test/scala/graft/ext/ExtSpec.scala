@@ -104,6 +104,36 @@ class ExtSpec extends AnyFunSuite {
     assert(one.contains(brute.head))
   }
 
+  test("k-means IVF: trained centroids beat first-k recall on skewed ids") {
+    // adversarial id layout: the first 4 ids (the deterministic centroid
+    // seed) all live in cluster A, so the untrained index has no centroid
+    // near cluster B and a B-query's single probe lands in a mixed list
+    def jitter(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (v, d) => v + 0.01f * ((i + d) % 5) }
+    val a = Array(1f, 0f, 0f, 0f)
+    val b = Array(0f, 1f, 0f, 0f)
+    val vecs = (0L until 20L).map(i => (i, jitter(a, i.toInt))) ++
+               (20L until 40L).map(i => (i, jitter(b, i.toInt)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = Array(0.0, 1.0, 0.05, 0.0) // firmly in cluster B
+    val brute = Similarity.topKCosine(df, q, 10)
+      .collect().map(_.getLong(0)).toSet
+    def recall(ids: Set[Long]): Double =
+      ids.intersect(brute).size.toDouble / brute.size
+    val firstK = Similarity.annIvf(df, q, 10, nCentroids = 4, nProbe = 1)
+      .collect().map(_.getLong(0)).toSet
+    val trained = Similarity.annIvfTrained(df, q, 10, nCentroids = 4,
+      nProbe = 1, iters = 3).collect().map(_.getLong(0)).toSet
+    assert(recall(trained) >= recall(firstK),
+      s"trained ${recall(trained)} < first-k ${recall(firstK)}")
+    assert(recall(trained) == 1.0,
+      s"a trained centroid should own cluster B (recall ${recall(trained)})")
+    // training is deterministic: same input → same centroids
+    val c1 = Similarity.trainIvfCentroids(df, 4, 2)
+    val c2 = Similarity.trainIvfCentroids(df, 4, 2)
+    assert(c1.zip(c2).forall { case (x, y) => x.sameElements(y) })
+  }
+
   test("embedding cosine near-dup via LSH buckets") {
 
     val vecs = Seq(
