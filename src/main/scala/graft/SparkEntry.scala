@@ -593,7 +593,15 @@ object SparkEntry {
     // sample formula alone — the audio twin of x14.
     "x18_audio_features" -> ((s, d) =>
       ext.Multimodal.extractAudioFeatures(
-        ext.Multimodal.audioFromDocs(t(s, d, "documents"))))
+        ext.Multimodal.audioFromDocs(t(s, d, "documents")))),
+
+    // end-to-end REAL video path: docs → 4-frame animated GIF (8×8 gray,
+    // closed-form pixels) → ImageIO multi-frame decode → every-2nd-frame
+    // sampling → per-frame mean luminance. Integer pixel sums / 64 are
+    // exact doubles, so the oracle replays the formula with no rounding.
+    "x19_video_frames" -> ((s, d) =>
+      ext.Multimodal.sampleVideoFrames(
+        ext.Multimodal.videoFromDocs(t(s, d, "documents")), everyNth = 2))
   )
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
@@ -1340,6 +1348,18 @@ object SparkEntry {
                 CAST(peak AS BIGINT) AS peak,
                 CAST(zc AS BIGINT) AS zero_crossings
          FROM agg""",
+
+    // x19 — the GIF frame formula replayed: frames 0 and 2 (everyNth=2 of
+    // 4), mean luminance = Σᵢ ((doc_id·7 + k·13 + i·3) mod 251) / 64
+    "x19_video_frames" ->
+      """WITH frames AS (
+           SELECT doc_id, unnest([0, 2]) AS frame_idx FROM documents),
+         px AS (
+           SELECT doc_id, frame_idx, unnest(range(0, 64)) AS i FROM frames)
+         SELECT doc_id AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+                CAST(SUM((doc_id * 7 + frame_idx * 13 + i * 3) % 251)
+                     AS DOUBLE) / 64.0 AS mean_lum
+         FROM px GROUP BY doc_id, frame_idx""",
 
     // S4 — regenerate the fixture raster from its closed-form definition
     // (GeoTiffFixture): 48x40 grid, a=0.25/e=-0.25/c=10/f=60 (all exact

@@ -9,14 +9,14 @@ import org.apache.spark.sql.types._
   * columns plus typed metadata, with decode / feature-extract / resize /
   * frame-sample as per-partition batch transforms.
   *
-  * The image path is REAL: payloads are decoded with `javax.imageio`
-  * (pure-JVM PNG/BMP/GIF/JPEG readers shipped with the JDK — no native
-  * libraries) and features come from the decoded pixel raster. The audio
-  * path is REAL too: WAV/PCM via `javax.sound.sampled` (also in-JDK) —
-  * sample-rate/duration/RMS/zero-crossing features come from decoded
-  * samples. Video decode remains the one declared stub (`FakeCodec`) —
-  * this container has no video codecs — and non-decodable payloads fall
-  * back to it rather than erroring, so mixed-media tables keep flowing.
+  * All three modalities decode REAL payloads with in-JDK codecs, no
+  * native libraries: images via `javax.imageio` (PNG/BMP/GIF/JPEG) to
+  * pixel-histogram features; audio via `javax.sound.sampled` (WAV/PCM) to
+  * sample-rate/duration/RMS/zero-crossing features; video via animated
+  * GIF (`VideoCodec`) to temporally sampled per-frame features. Payloads
+  * in containers the JDK cannot read (mp4/webm, compressed audio) fall
+  * back to the clearly-declared `FakeCodec` stub rather than erroring, so
+  * mixed-media tables keep flowing.
   *
   * At 100 TB: payloads live in their own parquet column chunk (columnar →
   * metadata-only queries never touch bytes); transforms run as
@@ -64,7 +64,7 @@ object Multimodal {
       * luminance); gray / gray+alpha use band 0; color uses the integer
       * mean of the first three bands; >8-bit samples shift down to 8.
       * Integer-only — no float colorspace math, deterministic. */
-    private def lum8(img: java.awt.image.BufferedImage, x: Int, y: Int): Int = {
+    private[ext] def lum8(img: java.awt.image.BufferedImage, x: Int, y: Int): Int = {
       val raster = img.getRaster
       if (img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) {
         val rgb = img.getRGB(x, y)
@@ -212,9 +212,57 @@ object Multimodal {
     }
   }
 
-  /** STUB codec for media the JVM cannot decode (video; arbitrary
-    * bytes). Deterministic and clearly declared — real video decode
-    * needs native codecs this container doesn't ship. */
+  /** Real video-frame codec on the JDK's animated-GIF ImageIO support —
+    * the one multi-frame container the JVM decodes without native libs.
+    * 8-bit gray frames round-trip losslessly (a 256-entry gray palette).
+    * Containers the JDK cannot read (mp4/webm/…) fall back to the
+    * declared [[FakeCodec]] stub. */
+  object VideoCodec {
+    /** Encode gray frames (row-major, all w×h) as an animated GIF. */
+    def encodeAnimatedGifGray(frames: Seq[Array[Byte]], width: Int,
+                              height: Int): Array[Byte] = {
+      require(frames.nonEmpty, "need at least one frame")
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      val bos = new ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        require(f.length == width * height, "frame size != w*h")
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        img.getRaster.setDataElements(0, 0, width, height, f)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+
+    /** Decode every frame; empty when the payload is not a readable
+      * image container. */
+    def decodeFrames(payload: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+      if (payload == null) return Seq.empty
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return Seq.empty
+        val r = readers.next()
+        r.setInput(iis)
+        val n = r.getNumImages(true)
+        val out = (0 until n).map(r.read(_))
+        r.dispose()
+        out
+      } catch { case _: Exception => Seq.empty }
+    }
+  }
+
+  /** STUB codec for media the JVM cannot decode (non-GIF video
+    * containers; arbitrary bytes). Deterministic and clearly declared —
+    * real mp4/webm decode needs native codecs this container doesn't
+    * ship. */
   object FakeCodec {
     /** Byte histogram over 16 buckets, L1-normalized. */
     def decodeFeatures(payload: Array[Byte]): Array[Float] = {
@@ -307,6 +355,60 @@ object Multimodal {
           Row(r.getLong(0), f.sampleRate, f.nSamples, f.durationSec,
             f.rms, f.peak, f.zeroCrossings)
         }
+      }
+    }(encoder)
+  }
+
+  /** Build a video table from documents: each doc gets a REAL 4-frame
+    * animated GIF whose 8×8 gray frames follow a closed integer formula —
+    * pixel i of frame k = `(doc_id·7 + k·13 + i·3) mod 251` — so sampled-
+    * frame features are oracle-checkable end-to-end through the codec
+    * (the video twin of x14/x18). */
+  def videoFromDocs(docs: DataFrame, nFrames: Int = 4): DataFrame = {
+    val gifUdf = udf((docId: Long) => {
+      val frames = (0 until nFrames).map { k =>
+        Array.tabulate(64)(i =>
+          ((docId * 7 + k * 13 + i * 3) % 251).toByte)
+      }
+      VideoCodec.encodeAnimatedGifGray(frames, 8, 8)
+    })
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("video").as("kind"),
+      gifUdf(col("doc_id")).as("payload"),
+      struct(
+        lit(8).as("width"), lit(8).as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(nFrames).as("n_frames"),
+        lit("image/gif").as("mime")).as("meta"))
+  }
+
+  /** Temporal frame sampling + per-frame features over REAL decoded
+    * frames: every `everyNth` frame → (media_id, frame_idx, mean_lum).
+    * mapPartitions (per-task codec init); undecodable payloads drop. */
+  def sampleVideoFrames(media: DataFrame, everyNth: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("mean_lum", DoubleType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        VideoCodec.decodeFrames(payload).zipWithIndex
+          .collect { case (img, k) if k % everyNth == 0 =>
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sum += ImageCodec.lum8(img, x, y); x += 1
+              }
+              y += 1
+            }
+            Row(r.getLong(0), k,
+              sum.toDouble / (img.getWidth * img.getHeight))
+          }
       }
     }(encoder)
   }

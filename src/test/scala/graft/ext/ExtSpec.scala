@@ -312,6 +312,31 @@ class ExtSpec extends AnyFunSuite {
       .split("Exchange").length - 1 == 0, "audio features must not shuffle")
   }
 
+  test("video codec: animated GIF round-trips gray frames losslessly") {
+    val frames = (0 until 3).map(k =>
+      Array.tabulate(64)(i => ((k * 50 + i * 3) % 251).toByte))
+    val gif = Multimodal.VideoCodec.encodeAnimatedGifGray(frames, 8, 8)
+    val decoded = Multimodal.VideoCodec.decodeFrames(gif)
+    assert(decoded.length == 3)
+    decoded.zip(frames).foreach { case (img, expect) =>
+      val got = Array.tabulate(64)(i =>
+        Multimodal.ImageCodec.lum8(img, i % 8, i / 8).toByte)
+      assert(got.sameElements(expect), "gray pixels must survive the GIF")
+    }
+    assert(Multimodal.VideoCodec.decodeFrames("junk".getBytes).isEmpty)
+    assert(Multimodal.VideoCodec.decodeFrames(null).isEmpty)
+  }
+
+  test("x19 pipeline: temporal sampling over real decoded frames") {
+    val out = Multimodal.sampleVideoFrames(
+      Multimodal.videoFromDocs(docs), everyNth = 2)
+    assert(out.count() == 10) // 5 docs × frames {0, 2}
+    val r = out.filter(col("media_id") === 2 && col("frame_idx") === 2).head
+    // Σᵢ ((2·7 + 2·13 + 3i) mod 251) / 64 from the closed form
+    val expect = (0 until 64).map(i => (14 + 26 + 3 * i) % 251).sum / 64.0
+    assert(r.getDouble(2) == expect)
+  }
+
   test("simhash blocking finds a 6-bit-spread pair that quarter blocks miss") {
     // 6 differing bits, 1-2 in each 16-bit quarter: bits 3, 17, 18, 33, 49, 50.
     // No quarter is clean, so 4x16 blocking (the maxDist<=3 scheme) cannot
