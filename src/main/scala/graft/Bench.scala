@@ -88,7 +88,16 @@ object Bench {
     val results = suite.map { case (name, _) =>
       val all = runs(name).toVector.flatten
       val mn = if (all.isEmpty) -1.0 else all.min
-      val median = if (all.isEmpty) -1.0 else all.sorted.apply(all.size / 2)
+      // true median (mean of middles when even) — the default run count is
+      // now even, and the upper-middle element would bias total_median up
+      // vs the odd-rep rounds it is documented to stay comparable with
+      val median =
+        if (all.isEmpty) -1.0
+        else {
+          val s = all.sorted
+          if (s.size % 2 == 1) s(s.size / 2)
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+        }
       // a query is contended when its per-pass minima disagree wildly:
       // the min statistic is then unreliable for it even across passes
       val passMins = runs(name).toVector.filter(_.nonEmpty).map(_.min)

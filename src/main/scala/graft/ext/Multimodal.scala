@@ -140,6 +140,7 @@ object Multimodal {
         if (!ok) return None
         val bytes = in.readAllBytes()
         val frameSize = f.getFrameSize
+        if (frameSize <= 0) return None // AudioSystem.NOT_SPECIFIED = -1
         val n = bytes.length / frameSize
         val out = new Array[Int](n)
         var i = 0
@@ -155,8 +156,10 @@ object Multimodal {
         }
         Some(Pcm(math.round(f.getSampleRate), out))
       } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
-        case _: java.io.IOException => None
+        // the JDK's RIFF header parser throws unchecked exceptions on some
+        // malformed payloads (index/negative-size errors) — any decode
+        // failure means "not decodable audio", never a crashed task
+        case scala.util.control.NonFatal(_) => None
       }
     }
 
@@ -240,22 +243,79 @@ object Multimodal {
       bos.toByteArray
     }
 
-    /** Decode every frame; empty when the payload is not a readable
-      * image container. */
+    /** Per-frame (left, top) offset from the GIF image descriptor — GIF
+      * optimizers store later frames as changed-region patches positioned
+      * on the logical screen, NOT full frames. */
+    private def frameOffset(reader: javax.imageio.ImageReader,
+                            i: Int): (Int, Int) =
+      try {
+        val fmt = "javax_imageio_gif_image_1.0"
+        val md = reader.getImageMetadata(i)
+        if (md == null || !md.getMetadataFormatNames.contains(fmt)) (0, 0)
+        else {
+          val root = md.getAsTree(fmt).asInstanceOf[org.w3c.dom.Element]
+          val nodes = root.getElementsByTagName("ImageDescriptor")
+          if (nodes.getLength == 0) (0, 0)
+          else {
+            val e = nodes.item(0).asInstanceOf[org.w3c.dom.Element]
+            (e.getAttribute("imageLeftPosition").toInt,
+             e.getAttribute("imageTopPosition").toInt)
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => (0, 0) }
+
+    /** Decode every frame COMPOSITED onto the logical screen: delta-
+      * encoded GIFs (later frames = offset sub-rectangle patches) render
+      * each patch over the previous state, so per-frame features always
+      * see the full picture, not the patch. Disposal modes are treated as
+      * do-not-dispose — correct for the overwhelmingly common case and
+      * never wrong by more than the disposed background. Empty when the
+      * payload is not a readable image container. */
     def decodeFrames(payload: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
       if (payload == null) return Seq.empty
-      try {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+      val iis =
+        try javax.imageio.ImageIO.createImageInputStream(
           new ByteArrayInputStream(payload))
+        catch { case scala.util.control.NonFatal(_) => return Seq.empty }
+      var reader: javax.imageio.ImageReader = null
+      try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) return Seq.empty
-        val r = readers.next()
-        r.setInput(iis)
-        val n = r.getNumImages(true)
-        val out = (0 until n).map(r.read(_))
-        r.dispose()
-        out
-      } catch { case _: Exception => Seq.empty }
+        reader = readers.next()
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        var canvas: java.awt.image.BufferedImage = null
+        (0 until n).map { i =>
+          val img = reader.read(i)
+          val (ox, oy) = frameOffset(reader, i)
+          val needW = ox + img.getWidth
+          val needH = oy + img.getHeight
+          if (canvas == null ||
+              needW > canvas.getWidth || needH > canvas.getHeight) {
+            val w = math.max(Option(canvas).map(_.getWidth).getOrElse(0), needW)
+            val h = math.max(Option(canvas).map(_.getHeight).getOrElse(0), needH)
+            val grown = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            if (canvas != null) {
+              val g = grown.createGraphics()
+              g.drawImage(canvas, 0, 0, null); g.dispose()
+            }
+            canvas = grown
+          }
+          val g = canvas.createGraphics()
+          g.drawImage(img, ox, oy, null)
+          g.dispose()
+          val copy = new java.awt.image.BufferedImage(canvas.getWidth,
+            canvas.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g2 = copy.createGraphics()
+          g2.drawImage(canvas, 0, 0, null); g2.dispose()
+          copy
+        }
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      finally {
+        if (reader != null) reader.dispose() // also on the exception path
+        iis.close()
+      }
     }
   }
 

@@ -67,13 +67,32 @@ object PolyUnion {
     }
   }
 
+  /** part ∩ c by folding half-plane clips over c's edges — equivalent to
+    * Sutherland–Hodgman for convex c, but with NO convexity `require`:
+    * stored pieces can carry ~1-ulp concave turns from inexact
+    * intersection arithmetic on non-dyadic inputs, and a strict check
+    * would abort the whole job over measure-zero noise. */
+  private def intersectHalfPlanes(part: Poly, c: Poly): Poly = {
+    var rem = part
+    var i = 0
+    val n = c.length
+    while (i < n && rem.length >= 3) {
+      val (ax, ay) = c(i)
+      val (bx, by) = c((i + 1) % n)
+      if (ax != bx || ay != by)
+        rem = clipHalfPlane(rem, ax, ay, bx, by, keepLeft = true)
+      i += 1
+    }
+    if (rem.length < 3) IndexedSeq.empty else rem
+  }
+
   /** `part \ c` as disjoint convex pieces (c convex CCW). */
   def convexDifference(part: Poly, c: Poly): List[Poly] = {
     // no-overlap fast path — ESSENTIAL, not just fast: the edge-by-edge
     // decomposition below slices by INFINITE edge lines, so without this
     // check a part far away from c still fragments into |c| slivers, and
     // fragment counts compound exponentially across subtractions
-    val inter = PolygonClip.clip(part, c)
+    val inter = intersectHalfPlanes(part, c)
     if (inter.length < 3 || PolygonClip.area(inter) == 0) return List(part)
     val out = List.newBuilder[Poly]
     var rem = part
@@ -118,34 +137,29 @@ object PolyUnion {
   /** One input polygon as parallel vertex arrays. */
   final case class PolyRow(xs: Seq[Double], ys: Seq[Double])
 
-  /** Disjoint convex pieces, each as interleaved x,y coordinates. */
-  final case class UnionBuf(pieces: Seq[Seq[Double]])
-
   /** Typed Aggregator: rows of (xs, ys) vertex arrays → exact union area.
     * merge() dissolves one buffer's pieces into the other, so partial
     * aggregation works map-side and input order is irrelevant (union is
-    * commutative; the arithmetic is exact for dyadic-rational inputs). */
-  class DissolveAggregator extends Aggregator[PolyRow, UnionBuf, Double] {
+    * commutative; the arithmetic is exact for dyadic-rational inputs).
+    *
+    * The buffer is the piece list itself: ScalaAggregator keeps it as a
+    * JVM object between updates, so no per-row decode/encode; the kryo
+    * encoder only runs at partial-output / spill boundaries. */
+  class DissolveAggregator extends Aggregator[PolyRow, List[Poly], Double] {
 
-    private def decode(b: UnionBuf): List[Poly] =
-      b.pieces.map(flat =>
-        flat.grouped(2).map(p => (p(0), p(1))).toIndexedSeq).toList
-    private def encode(ps: List[Poly]): UnionBuf =
-      UnionBuf(ps.map(_.flatMap { case (x, y) => Seq(x, y) }))
+    override def zero: List[Poly] = Nil
 
-    override def zero: UnionBuf = UnionBuf(Seq.empty)
+    override def reduce(b: List[Poly], in: PolyRow): List[Poly] =
+      PolyUnion.addPolygon(b, in.xs.zip(in.ys).toIndexedSeq)
 
-    override def reduce(b: UnionBuf, in: PolyRow): UnionBuf =
-      encode(PolyUnion.addPolygon(decode(b), in.xs.zip(in.ys).toIndexedSeq))
+    override def merge(b1: List[Poly], b2: List[Poly]): List[Poly] =
+      b2.foldLeft(b1)(PolyUnion.addPolygon)
 
-    override def merge(b1: UnionBuf, b2: UnionBuf): UnionBuf =
-      encode(decode(b2).foldLeft(decode(b1))(PolyUnion.addPolygon))
+    override def finish(b: List[Poly]): Double =
+      b.map(PolygonClip.area).sum
 
-    override def finish(b: UnionBuf): Double =
-      decode(b).map(PolygonClip.area).sum
-
-    override def bufferEncoder: org.apache.spark.sql.Encoder[UnionBuf] =
-      org.apache.spark.sql.Encoders.product[UnionBuf]
+    override def bufferEncoder: org.apache.spark.sql.Encoder[List[Poly]] =
+      org.apache.spark.sql.Encoders.kryo[List[Poly]]
     override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
       org.apache.spark.sql.Encoders.scalaDouble
   }

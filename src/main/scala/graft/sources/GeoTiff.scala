@@ -185,33 +185,43 @@ object GeoTiff {
             "width", "height", "nodata", "scale_m")
   }
 
-  /** S4 — scan raster file(s) into the long pixel-coordinate table
-    * (dataset, y, x, lon, lat, value); nodata/NaN → null value. Affine uses
-    * the same center-offset expression as Unpivot.gridToPixels, evaluated
-    * in the same operand order, so coordinates are bit-identical across the
-    * two ingest paths. */
-  def read(spark: SparkSession, pathGlob: String): DataFrame = {
+  /** Shared pixel-scan core: per-file parse → per-pixel rows, with a
+    * per-file coordinate projection chosen from the grid metadata. The
+    * affine model coordinates use the same center-offset expression as
+    * Unpivot.gridToPixels, evaluated in the same operand order, so
+    * coordinates are bit-identical across the ingest paths. */
+  private def scanPixels(spark: SparkSession, pathGlob: String,
+                         projectionOf: GridMeta => (Double, Double) => (Double, Double))
+      : DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(pathGlob)
       .select(col("path"), col("content")).as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         val r = parse(path.substring(path.lastIndexOf('/') + 1), bytes)
         val m = r.meta
+        val project = projectionOf(m)
         val ndF = m.nodata.map(_.toFloat)
         Iterator.range(0, m.height).flatMap { y =>
           Iterator.range(0, m.width).map { x =>
             val v = r.values(y * m.width + x)
             val value: Option[Double] =
               if (v.isNaN || ndF.exists(_ == v)) None else Some(v.toDouble)
-            (m.dataset, y, x,
-             m.c + (x + 0.5) * m.a + (y + 0.5) * m.b,
-             m.f + (x + 0.5) * m.d + (y + 0.5) * m.e,
-             value)
+            val mx = m.c + (x + 0.5) * m.a + (y + 0.5) * m.b
+            val my = m.f + (x + 0.5) * m.d + (y + 0.5) * m.e
+            val (lon, lat) = project(mx, my)
+            (m.dataset, y, x, lon, lat, value)
           }
         }
       }
       .toDF("dataset", "y", "x", "lon", "lat", "value")
   }
+
+  /** S4 — scan raster file(s) into the long pixel-coordinate table
+    * (dataset, y, x, lon, lat, value); nodata/NaN → null value. Emits RAW
+    * model coordinates in the lon/lat columns — correct only for
+    * EPSG:4326 exports; use [[readLonLat]] for projected CRSs. */
+  def read(spark: SparkSession, pathGlob: String): DataFrame =
+    scanPixels(spark, pathGlob, _ => (mx, my) => (mx, my))
 
   /** S4 + F7 — scan raster file(s) with CRS-aware reprojection: the affine
     * model coordinates are routed through the EPSG registry
@@ -223,31 +233,13 @@ object GeoTiff {
     * mislabeling projected meters as degrees. Reprojection is scalar math
     * inside the same per-file task as the decode — no extra stage, no
     * shuffle. */
-  def readLonLat(spark: SparkSession, pathGlob: String): DataFrame = {
-    import spark.implicits._
-    spark.read.format("binaryFile").load(pathGlob)
-      .select(col("path"), col("content")).as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        val r = parse(path.substring(path.lastIndexOf('/') + 1), bytes)
-        val m = r.meta
-        val proj = graft.ops.Crs.fromCrsString(m.crs).getOrElse(
-          throw new IllegalArgumentException(
-            s"GeoTIFF ${m.dataset}: no reprojection registered for ${m.crs}"))
-        val ndF = m.nodata.map(_.toFloat)
-        Iterator.range(0, m.height).flatMap { y =>
-          Iterator.range(0, m.width).map { x =>
-            val v = r.values(y * m.width + x)
-            val value: Option[Double] =
-              if (v.isNaN || ndF.exists(_ == v)) None else Some(v.toDouble)
-            val mx = m.c + (x + 0.5) * m.a + (y + 0.5) * m.b
-            val my = m.f + (x + 0.5) * m.d + (y + 0.5) * m.e
-            val (lon, lat) = graft.ops.Crs.toLonLat(proj, mx, my)
-            (m.dataset, y, x, lon, lat, value)
-          }
-        }
-      }
-      .toDF("dataset", "y", "x", "lon", "lat", "value")
-  }
+  def readLonLat(spark: SparkSession, pathGlob: String): DataFrame =
+    scanPixels(spark, pathGlob, m => {
+      val proj = graft.ops.Crs.fromCrsString(m.crs).getOrElse(
+        throw new IllegalArgumentException(
+          s"GeoTIFF ${m.dataset}: no reprojection registered for ${m.crs}"))
+      (mx, my) => graft.ops.Crs.toLonLat(proj, mx, my)
+    })
 
   // ------------------------------------------------------------------ write
 
