@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver captures only the tail of this process's output
+// and parses the last JSON line from it. sbt's default logger prefixes
+// every forked-stdout line with "[info] " and appends a "[success] Total
+// time" banner — both of which corrupt that parse. Route forked run output
+// straight to stdout and drop the success banner so graft.Bench's JSON
+// line is the unadorned last line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

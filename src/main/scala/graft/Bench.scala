@@ -105,7 +105,19 @@ object Bench {
         passMins.max > 5.0 * math.max(passMins.min, 1e-9)
       (name, mn, median, contended)
     }
-    val qs = results.map { case (k, mn, _, _) => "\"" + k + "\":" + mn }
+    // The driver keeps only the LAST ~2000 chars of this process's output
+    // and parses the JSON line found there. Two consequences drive the
+    // layout below: (1) the canonical line must come last and fit the
+    // window WITH margin — per-query seconds are rounded to 3 decimals
+    // (ms precision; a 74-query map at full double precision is ~5 KB and
+    // was truncated mid-line in rounds 1-4, leaving every BENCH artifact
+    // unparsed); (2) full-precision values, medians, and the contended
+    // diagnosis ship on a separate diagnostic line BEFORE it, where
+    // truncation is harmless.
+    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, mn, _, _) => "\"" + k + "\":" + f3(mn) }
+      .mkString("{", ",", "}")
+    val qsFull = results.map { case (k, mn, _, _) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val qsMed = results.map { case (k, _, md, _) => "\"" + k + "\":" + md }
       .mkString("{", ",", "}")
@@ -115,9 +127,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMed = results.map(_._3).filter(_ >= 0).sum
+    println(s"""{"diag":"bench_full_precision","total_median":$totalMed,"queries_full":$qsFull,"queries_median":$qsMed}""")
     // "stat":"min" labels the statistic change vs BENCH_r01/r02 (medians)
     // so cross-round artifact diffs are not silently apples-to-oranges
-    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"min","total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"contended":$contendedJson,"errors":$errJson,"reps":$reps,"passes":$passes,"other_jvms":$otherJvms,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","stat":"min","queries":$qs,"contended":$contendedJson,"errors":$errJson,"reps":$reps,"passes":$passes,"other_jvms":$otherJvms,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -251,15 +251,20 @@ object Dedup {
         sum(when(size(col("docs")) <= maxDf, 1L).otherwise(0L))
           .as("shingles_kept"))
       .filter(size(col("docs")) <= maxDf)
-    val pairs = postings.select(explode(
-      flatten(transform(col("docs"), (a, i) =>
-        transform(slice(col("docs"), i + 2, size(col("docs"))),
-          b => struct(a.getField("doc_id").as("doc_a"),
-                      b.getField("doc_id").as("doc_b"),
-                      a.getField("n_sh").as("size_a"),
-                      b.getField("n_sh").as("size_b"))))))
-      .as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("p.size_a"), col("p.size_b"))
+    // pair emission as two chained generates (posexplode anchor + explode
+    // of the tail slice) rather than one nested transform/flatten lambda:
+    // generates and slice() are whole-stage-codegen'd, while higher-order
+    // lambdas run interpreted with a per-element closure allocation — the
+    // lambda version was the suite's only allocation-heavy interpreted hot
+    // path and degraded 15x under host memory pressure (BENCH_r03/r04)
+    // while codegen'd queries degraded ~1.5x. Pairs stream row-by-row; no
+    // m²/2 intermediate array is ever materialized.
+    val pairs = postings
+      .select(posexplode(col("docs")).as(Seq("i", "a")), col("docs"))
+      .select(col("a"), explode(
+        slice(col("docs"), col("i") + lit(2), size(col("docs")))).as("b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.n_sh").as("size_a"), col("b.n_sh").as("size_b"))
     pairs.groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_common"),
            first("size_a").as("size_a"), first("size_b").as("size_b"))
