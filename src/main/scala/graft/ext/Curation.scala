@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingest and training: benchmark-contamination detection,
+  * deterministic sampling, and repetition-based quality filtering.
+  *
+  * Scale shapes: the benchmark set in [[contamination]] is eval-benchmark
+  * sized (thousands of docs), so its shingle set broadcasts and the only
+  * shuffle is the per-doc re-aggregation; [[hashSample]] is a pure filter
+  * (no shuffle, no RNG state — reproducible across retries, executors, and
+  * engine versions); [[repetitionRatio]] is pure column algebra over the
+  * native ShingleHashes expression.
+  */
+object Curation {
+
+  /** Benchmark-contamination check: for every document, the fraction of
+    * its distinct k-gram shingles that appear anywhere in `benchmark` —
+    * the standard train/eval overlap audit (an n-gram analogue of the
+    * GPT-3/PaLM "13-gram overlap" decontamination reports). Hash-based:
+    * both sides shingle through the native 64-bit ShingleHashes path, so
+    * membership tests compare longs, not strings (collision odds
+    * ~n·k/2^64 — immaterial to counts at any realistic corpus size).
+    *
+    * Output: one row per input doc — doc_id, n_sh (distinct shingles),
+    * n_hit (shingles also present in the benchmark), contamination
+    * (n_hit/n_sh). Docs whose shingle set is empty are dropped (no
+    * meaningful ratio exists).
+    *
+    * 100 TB posture: the benchmark shingle set is DISTINCT'd then
+    * broadcast — a left join against a broadcast hash table plus one
+    * hash-partitioned re-aggregation on doc_id. The corpus side never
+    * shuffles its text, only (doc_id, shingle-long) pairs. */
+  def contamination(docs: DataFrame, benchmark: DataFrame,
+                    shingleK: Int = 3): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(Dedup.tokenHashes(col("text"), shingleK)).as("shingle"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    docs
+      .select(col("doc_id"), Dedup.tokenHashes(col("text"), shingleK).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+              explode(col("hs")).as("shingle"))
+      .join(broadcast(benchShingles), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(first("n_sh").as("n_sh"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("contamination",
+        col("n_hit").cast("double") / col("n_sh"))
+  }
+
+  /** Deterministic hash-based sampling: keep a document iff
+    * pmod(mix64(doc_id), den) < num — an exact num/den-rate sample that is
+    * reproducible across runs, retries, partitionings, and engines
+    * (splitmix64 is a published spec; no RNG state, no seed plumbing).
+    * This is how a production pipeline pins a dev subset or an ablation
+    * split of a 100 TB corpus: pure narrow filter, pushed to the scan,
+    * zero shuffles. */
+  def hashSample(docs: DataFrame, num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"bad sample rate $num/$den")
+    docs.filter(
+      pmod(graft.functions.HashExprs.mix64_col(col("doc_id")), lit(den.toLong))
+        < num.toLong)
+  }
+
+  /** Repetition ratio — the duplicate-k-gram fraction of each document
+    * (Gopher/MassiveText-style repetition quality signal): 1 −
+    * distinct_kgrams / total_kgrams. Boilerplate-heavy or looping text
+    * scores high; `keep` flags docs at or under `maxRatio`. total =
+    * max(n_tokens − k + 1, 0) by construction; distinct comes from the
+    * same native ShingleHashes pass the dedup tier uses. Pure column
+    * algebra — no shuffle, no UDF. Docs with zero k-grams (shorter than k
+    * tokens) report ratio 0 and keep=true: no evidence of repetition. */
+  def repetitionRatio(docs: DataFrame, k: Int = 2,
+                      maxRatio: Double = 0.5): DataFrame = {
+    val toks = split(lower(col("text")), "\\s+")
+    val total = greatest(size(toks) - (k - 1), lit(0)).cast("long")
+    val distinctK =
+      size(Dedup.tokenHashes(col("text"), k)).cast("long")
+    docs
+      .select(col("doc_id"), total.as("n_grams"), distinctK.as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_grams") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
+        .otherwise(lit(0.0)))
+      .withColumn("keep", col("rep_ratio") <= maxRatio)
+  }
+}

@@ -514,4 +514,47 @@ object Multimodal {
       count(lit(1)).as("n"),
       avg(col("meta.width")).as("avg_width"),
       avg(col("meta.height")).as("avg_height"))
+
+  /** Content-derived profile: decode every payload and aggregate facts of
+    * the DECODED images — dimensions read from the codec, mean luminance
+    * over real pixels — rather than trusting the metadata sidecar. This is
+    * the profile a pipeline runs to AUDIT its metadata: a corrupt or
+    * mislabeled payload shows up as a dimension/luminance drift. Per-image
+    * mean is an exact multiple of 1/(w·h); the corpus average routes
+    * through Stable.avgD (decimal) so it is partition-order-independent
+    * and oracle-exact. Undecodable payloads are counted separately, never
+    * silently dropped. */
+  def contentProfile(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("kind", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("mean_luma", DoubleType, nullable = true)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    val decoded = media.select("kind", "payload").mapPartitions { it =>
+      it.map { r =>
+        val kind = r.getString(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        ImageCodec.decode(payload) match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += ImageCodec.lum8(img, x, y); x += 1 }
+              y += 1
+            }
+            Row(kind, w, h, sum.toDouble / (w * h))
+          case None => Row(kind, null, null, null)
+        }
+      }
+    }(encoder)
+    decoded.groupBy("kind").agg(
+      count(lit(1)).as("n"),
+      count(col("width")).as("n_decoded"),
+      avg(col("width")).as("avg_width"),
+      avg(col("height")).as("avg_height"),
+      graft.ops.Stable.avgD(col("mean_luma")).as("avg_luma"))
+  }
 }

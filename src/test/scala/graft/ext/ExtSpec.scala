@@ -382,4 +382,46 @@ class ExtSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.contains((3L, 4L))) // default cap keeps them
   }
+
+  test("contamination: benchmark members score 1.0, disjoint docs 0.0") {
+    // benchmark = docs 1 and 4 (identical text). Doc 2 shares most of its
+    // shingles with them; docs 3/5 share none.
+    val bench = docs.filter(col("doc_id").isin(1L, 4L))
+    val r = Curation.contamination(docs, bench)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L)._3 == 1.0 && r(4L)._3 == 1.0) // self-hit positive control
+    assert(r(2L)._3 > 0.5 && r(2L)._3 < 1.0)   // near-dup: high but partial
+    assert(r(3L)._3 == 0.0)                    // disjoint content
+    assert(r(2L)._2 <= r(2L)._1)               // n_hit ≤ n_sh invariant
+  }
+
+  test("hashSample is deterministic and roughly rate-proportional") {
+    val big = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val s1 = Curation.hashSample(big, 10, 100).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Curation.hashSample(big, 10, 100).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)                        // reproducible, no RNG state
+    assert(s1.size > 50 && s1.size < 200)   // ~10% of 1000
+    // nesting: pmod < 5 implies pmod < 10, so smaller rates are subsets —
+    // the property that makes dev subsets consistent as they grow
+    val s3 = Curation.hashSample(big, 5, 100).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s3.subsetOf(s1))
+  }
+
+  test("repetitionRatio flags looping text and passes varied text") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam"), // 8 bigrams, 1 distinct
+      (2L, "one two three four five six seven eight nine"), // all distinct
+      (3L, "ab")                                            // < k tokens
+    ).toDF("doc_id", "text")
+    val r = Curation.repetitionRatio(d, k = 2, maxRatio = 0.5)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getBoolean(4))).toMap
+    assert(r(1L) == ((8L, 1L, 1.0 - 1.0 / 8, false)))
+    assert(r(2L) == ((8L, 8L, 0.0, true)))
+    assert(r(3L) == ((0L, 0L, 0.0, true))) // no evidence → keep
+  }
 }
