@@ -15,21 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of an array column with a literal query vector, as a
-    * sequential left fold over zip_with (no UDF, no deserialization).
+  /** Dot product of an array column with a literal query vector, via the
+    * native codegen'd [[graft.functions.DotFold]] — a sequential left fold
+    * in element order (no UDF, no deserialization, no per-element closure).
     * Deliberately NOT an unrolled `+` chain: Catalyst's
     * ReorderAssociativeOperator may re-associate a flat Add chain, which
-    * perturbs the low bits vs. a sequential fold — the higher-order
-    * aggregate keeps evaluation order fixed and oracle-exact. */
+    * perturbs the low bits vs. a sequential fold — DotFold keeps
+    * evaluation order fixed and oracle-exact (VectorExprsSpec pins it
+    * bit-identical to the declarative aggregate/zip_with chain it
+    * replaced). */
   def dotLiteral(vec: Column, q: Array[Double]): Column =
-    aggregate(
-      zip_with(vec, array(q.map(lit): _*), (x, w) => x.cast("double") * w),
-      lit(0.0d), (acc, x) => acc + x)
+    graft.functions.VectorExprs.dot_fold(vec, array(q.map(lit): _*))
 
-  /** L2 norm of an array column. */
+  /** L2 norm of an array column — sqrt of the self-dot fold. */
   def norm(vec: Column): Column =
-    sqrt(aggregate(vec, lit(0.0d), (acc, x) =>
-      acc + x.cast("double") * x.cast("double")))
+    sqrt(graft.functions.VectorExprs.dot_fold(vec, vec))
 
   /** Cosine similarity against a literal query vector. */
   def cosineLiteral(vec: Column, q: Array[Double]): Column = {
@@ -39,8 +39,7 @@ object Similarity {
 
   /** Cosine similarity between two array columns. */
   def cosine(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, x) => acc + x) / (norm(a) * norm(b))
+    graft.functions.VectorExprs.dot_fold(a, b) / (norm(a) * norm(b))
 
   /** Brute-force top-k by cosine against a literal query. Deterministic
     * tiebreak on id. orderBy+limit compiles to TakeOrderedAndProject —

@@ -131,6 +131,35 @@ object StreamingOps {
     }
   }
 
+  /** Streaming benchmark-contamination gate: score each arriving document
+    * against a STATIC benchmark shingle set (stream-static join — the
+    * standard shape for enrich-against-reference-data; no state, no
+    * watermark needed because the static side is bounded). Emits the same
+    * columns as the batch `ext.Curation.contamination`, so the ingest
+    * pipeline can drop contaminated docs before they ever land. The
+    * benchmark side is distinct'd and broadcast once per micro-batch
+    * plan — at 100 TB/day the stream side stays a narrow explode +
+    * per-doc re-aggregation within the micro-batch. */
+  def streamingContamination(docStream: DataFrame, benchmark: DataFrame,
+                             shingleK: Int = 3): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(
+        graft.ext.Dedup.tokenHashes(col("text"), shingleK)).as("shingle"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    docStream
+      .select(col("doc_id"),
+        graft.ext.Dedup.tokenHashes(col("text"), shingleK).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+              explode(col("hs")).as("shingle"))
+      .join(broadcast(benchShingles), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(first("n_sh").as("n_sh"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("contamination",
+        col("n_hit").cast("double") / col("n_sh"))
+  }
+
   /** Run a streaming aggregation over existing parquet as a bounded stream
     * (memory sink), for batch-equivalence testing. Returns the final table.
     */

@@ -164,4 +164,26 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
     }
   }
+
+  test("x22 hash sample: a pure narrow filter, no exchange of any kind") {
+    val p = executed("x22_hash_sample").toString
+    assert(!p.contains("Exchange"), s"sample shuffles:\n$p")
+  }
+
+  test("x21 contamination: benchmark shingles broadcast, corpus never " +
+       "broadcast") {
+    val p = planString("x21_contamination")
+    assert(p.contains("BroadcastExchange"), s"benchmark not broadcast:\n$p")
+    // the broadcast subtree must be the DISTINCT'd benchmark side (an
+    // aggregate below the broadcast), never the raw corpus
+    assert(p.contains("BroadcastHashJoin"), s"not a broadcast join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+  }
+
+  test("x23 repetition ratio: no shuffle, no UDF — one codegen'd stage") {
+    val p = executed("x23_repetition").toString
+    assert(!p.contains("Exchange"), s"repetition shuffles:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"UDF in the hot path:\n$p")
+  }
 }

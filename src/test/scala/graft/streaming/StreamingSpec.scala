@@ -106,4 +106,27 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(s == b && s.nonEmpty)
   }
+
+  test("streaming contamination gate equals the batch audit") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val docsBatch = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = docsBatch.filter(col("source") === "src0")
+
+    val streamed = StreamingOps.runBounded(spark,
+      StreamingOps.streamingContamination(docStream, bench),
+      "contamination_gate_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val batch = graft.ext.Curation.contamination(docsBatch, bench)
+
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b && s.nonEmpty)
+  }
 }
