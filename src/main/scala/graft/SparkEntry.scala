@@ -554,6 +554,12 @@ object SparkEntry {
       ext.Curation.repetitionRatio(t(s, d, "documents"), k = 2,
         maxRatio = 0.5)),
 
+    // equal-count domain mixing: 20 docs per source, picked by splitmix64
+    // rank — deterministic, grows append-only as a stratum grows
+    "x24_stratified_sample" -> ((s, d) =>
+      ext.Curation.stratifiedSample(t(s, d, "documents"), "source", 20)
+        .select("doc_id", "lang", "source")),
+
     // ---- extensions: text analysis
     "x7_lang_id" -> ((s, d) =>
       t(s, d, "documents")
@@ -1192,6 +1198,23 @@ object SparkEntry {
                                       ELSE uh END AS BIGINT) AS sh FROM m3)
           SELECT doc_id, lang, source, n_chars FROM sgn
           WHERE ((sh % 100) + 100) % 100 < 10""",
+
+    // x24 — the same splitmix64 replay as x22, then the window rank with
+    // the identical (signed hash, doc_id) total order
+    "x24_stratified_sample" ->
+      s"""WITH m0 AS (SELECT *, doc_id::HUGEINT AS u0 FROM documents),
+          m1 AS (SELECT *, ${mulmodSql("xor(u0, u0 // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM m0),
+          m2 AS (SELECT *, ${mulmodSql("xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM m1),
+          m3 AS (SELECT *, xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM m2),
+          sgn AS (SELECT *, CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+                                      THEN uh - 18446744073709551616::HUGEINT
+                                      ELSE uh END AS BIGINT) AS sh FROM m3),
+          ranked AS (
+            SELECT doc_id, lang, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY sh, doc_id) AS rk
+            FROM sgn)
+          SELECT doc_id, lang, source FROM ranked WHERE rk <= 20""",
 
     // x23 — repetition ratio from unhashed 2-grams; exact rational both
     // sides, so the keep cut at 0.5 is bit-stable

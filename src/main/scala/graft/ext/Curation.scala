@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a large-scale training-data pipeline runs
@@ -63,6 +64,30 @@ object Curation {
     docs.filter(
       pmod(graft.functions.HashExprs.mix64_col(col("doc_id")), lit(den.toLong))
         < num.toLong)
+  }
+
+  /** Deterministic stratified sample: the `perStratum` documents of each
+    * stratum (source/domain/language) that rank first by splitmix64 of
+    * their id — equal-count domain mixing with the same reproducibility
+    * guarantees as [[hashSample]] (no RNG state; the picked set is stable
+    * across runs, engines, and partitionings, and growing a stratum only
+    * appends to its pick order, it never reshuffles it). One shuffle, on
+    * the stratum key; rank is a window row_number with a unique
+    * (hash, id) tiebreak so the cut is total-order deterministic.
+    *
+    * 100 TB note: a single giant stratum serializes into one window
+    * partition — acceptable when strata are domains/sources (thousands of
+    * docs each); for pathological strata sizes, pre-filter with
+    * [[hashSample]] at a rate that over-samples `perStratum` and rank the
+    * survivors. */
+  def stratifiedSample(docs: DataFrame, strataCol: String,
+                       perStratum: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(graft.functions.HashExprs.mix64_col(col("doc_id")),
+               col("doc_id"))
+    docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perStratum)
+      .drop("rk")
   }
 
   /** Repetition ratio — the duplicate-k-gram fraction of each document

@@ -411,6 +411,20 @@ class ExtSpec extends AnyFunSuite {
     assert(s3.subsetOf(s1))
   }
 
+  test("stratifiedSample picks a deterministic, append-stable per-stratum set") {
+    val d = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val s1 = Curation.stratifiedSample(d, "source", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val s2 = Curation.stratifiedSample(d, "source", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(s1 == s2 && s1.size == 30)
+    assert(s1.groupBy(_._2).forall(_._2.size == 10)) // exactly 10 per stratum
+    // append-stability: a smaller cut is a prefix of the larger one
+    val s3 = Curation.stratifiedSample(d, "source", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(s3.subsetOf(s1) && s3.size == 15)
+  }
+
   test("repetitionRatio flags looping text and passes varied text") {
     val d = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam"), // 8 bigrams, 1 distinct
