@@ -560,6 +560,12 @@ object SparkEntry {
       ext.Curation.stratifiedSample(t(s, d, "documents"), "source", 20)
         .select("doc_id", "lang", "source")),
 
+    // length-distribution report per language: DISCRETE quantiles by
+    // explicit rank arithmetic (value at ceil(p·n)) — engine-portable,
+    // no interpolation convention to disagree on
+    "x25_length_quantiles" -> ((s, d) =>
+      ext.TextOps.lengthQuantiles(t(s, d, "documents"), "lang", "n_chars")),
+
     // ---- extensions: text analysis
     "x7_lang_id" -> ((s, d) =>
       t(s, d, "documents")
@@ -1215,6 +1221,27 @@ object SparkEntry {
                                       ORDER BY sh, doc_id) AS rk
             FROM sgn)
           SELECT doc_id, lang, source FROM ranked WHERE rk <= 20""",
+
+    // x25 — identical rank arithmetic: row_number in the same (value, id)
+    // order, pick at ceil(p·n) (both engines compute the same double
+    // product, so the same rank), conditional-max to columns
+    "x25_length_quantiles" ->
+      """WITH ranked AS (
+           SELECT lang, n_chars,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY n_chars, doc_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY lang) AS n
+           FROM documents),
+         picks AS (
+           SELECT lang, n_chars, p
+           FROM ranked CROSS JOIN (VALUES (0.25), (0.5), (0.75), (0.95)) AS ps(p)
+           WHERE rn = CEIL(p * n))
+         SELECT lang,
+           MAX(CASE WHEN p = 0.25 THEN n_chars END) AS q25,
+           MAX(CASE WHEN p = 0.5  THEN n_chars END) AS q50,
+           MAX(CASE WHEN p = 0.75 THEN n_chars END) AS q75,
+           MAX(CASE WHEN p = 0.95 THEN n_chars END) AS q95
+         FROM picks GROUP BY lang""",
 
     // x23 — repetition ratio from unhashed 2-grams; exact rational both
     // sides, so the keep cut at 0.5 is bit-stable

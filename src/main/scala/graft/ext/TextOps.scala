@@ -94,4 +94,29 @@ object TextOps {
       graft.ops.Stable.avgD(tokenCount(t)).as("avg_tokens"),
       approx_count_distinct(md5(t)).as("approx_distinct"))
   }
+
+  /** Exact length-distribution quantiles per group — the report a
+    * pipeline reads before picking truncation/packing lengths. DISCRETE
+    * quantiles by explicit rank arithmetic (value at row ceil(p·n) in the
+    * (value, id) total order) rather than any engine's quantile builtin:
+    * interpolation conventions differ across engines, exact rank picks
+    * don't — every reported value is a value that exists in the data, and
+    * the computation is engine-portable integer arithmetic. One window
+    * shuffle on the group key + one tiny aggregation. */
+  def lengthQuantiles(docs: DataFrame, keyCol: String,
+                      valueCol: String, idCol: String = "doc_id",
+                      ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(valueCol), col(idCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val ranked = docs
+      .select(col(keyCol), col(valueCol), col(idCol))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .filter(col("rn") === ceil(col("p") * col("n")))
+    val aggs = ps.map(p => max(when(col("p") === p, col(valueCol)))
+      .as(s"q${(p * 100).round}"))
+    ranked.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -425,6 +425,20 @@ class ExtSpec extends AnyFunSuite {
     assert(s3.subsetOf(s1) && s3.size == 15)
   }
 
+  test("lengthQuantiles picks exact rank values (no interpolation)") {
+    val d = (1L to 100L).map(i => (i, "en", i * 10)).toDF("doc_id", "lang", "len")
+    val r = TextOps.lengthQuantiles(d, "lang", "len").head
+    // n=100: ranks ceil(25)=25, 50, 75, 95 → values 250/500/750/950
+    assert(r.getString(0) == "en" && r.getLong(1) == 250L &&
+      r.getLong(2) == 500L && r.getLong(3) == 750L && r.getLong(4) == 950L)
+    // every quantile is an actual data value even at awkward n
+    val odd = (1L to 7L).map(i => (i, "de", i)).toDF("doc_id", "lang", "len")
+    val ro = TextOps.lengthQuantiles(odd, "lang", "len").head
+    // n=7: ceil(1.75)=2, ceil(3.5)=4, ceil(5.25)=6, ceil(6.65)=7
+    assert(ro.getLong(1) == 2L && ro.getLong(2) == 4L &&
+      ro.getLong(3) == 6L && ro.getLong(4) == 7L)
+  }
+
   test("repetitionRatio flags looping text and passes varied text") {
     val d = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam"), // 8 bigrams, 1 distinct
