@@ -106,31 +106,47 @@ object Bench {
       (name, mn, median, contended)
     }
     // The driver keeps only the LAST ~2000 chars of this process's output
-    // and parses the JSON line found there. Two consequences drive the
+    // and parses the JSON line found there. Three consequences drive the
     // layout below: (1) the canonical line must come last and fit the
-    // window WITH margin — per-query seconds are rounded to 3 decimals
-    // (ms precision; a 74-query map at full double precision is ~5 KB and
-    // was truncated mid-line in rounds 1-4, leaving every BENCH artifact
-    // unparsed); (2) full-precision values, medians, and the contended
-    // diagnosis ship on a separate diagnostic line BEFORE it, where
-    // truncation is harmless.
-    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.map { case (k, mn, _, _) => "\"" + k + "\":" + f3(mn) }
-      .mkString("{", ",", "}")
+    // window WITH margin at any query count and in any failure mode — so
+    // it carries ONLY the driver contract (metric/value/unit/queries/sf)
+    // plus two fixed-width counters, never unbounded content like error
+    // messages or contended-name lists (a 74-query map at full double
+    // precision is ~5 KB and was truncated mid-line in rounds 1-4,
+    // leaving every BENCH artifact unparsed); (2) full-precision values,
+    // medians, error texts, and the contended diagnosis ship on a
+    // separate diagnostic line BEFORE it, where truncation is harmless;
+    // (3) number formatting is pinned to Locale.ROOT — the default-locale
+    // interpolator would print a decimal COMMA on de_DE/fr_FR JVMs and
+    // corrupt the JSON.
+    def fmt(v: Double, dp: Int): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    def qLine(dp: Int): String =
+      results.map { case (k, mn, _, _) => "\"" + k + "\":" + fmt(mn, dp) }
+        .mkString("{", ",", "}")
     val qsFull = results.map { case (k, mn, _, _) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val qsMed = results.map { case (k, _, md, _) => "\"" + k + "\":" + md }
       .mkString("{", ",", "}")
     val contendedJson = results.collect { case (k, _, _, true) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val nContended = results.count(_._4)
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMed = results.map(_._3).filter(_ >= 0).sum
-    println(s"""{"diag":"bench_full_precision","total_median":$totalMed,"queries_full":$qsFull,"queries_median":$qsMed}""")
     // "stat":"min" labels the statistic change vs BENCH_r01/r02 (medians)
     // so cross-round artifact diffs are not silently apples-to-oranges
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","stat":"min","queries":$qs,"contended":$contendedJson,"errors":$errJson,"reps":$reps,"passes":$passes,"other_jvms":$otherJvms,"sf":"$sfDir"}""")
+    println(s"""{"diag":"bench_detail","stat":"min","total_median":$totalMed,"queries_full":$qsFull,"queries_median":$qsMed,"contended":$contendedJson,"errors":$errJson,"reps":$reps,"passes":$passes,"other_jvms":$otherJvms}""")
+    def canonical(dp: Int): String =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${qLine(dp)},"n_errors":${errors.size},"n_contended":$nContended,"sf":"$sfDir"}"""
+    // 2 decimals (10 ms floor) fits ~88 queries in the window; if the
+    // suite outgrows that, degrade per-query precision before ever
+    // letting the line overflow — the diag line keeps full precision.
+    val line = Seq(canonical(2), canonical(1))
+      .find(_.length <= 1900).getOrElse(canonical(0))
+    println(line)
     spark.stop()
   }
 }

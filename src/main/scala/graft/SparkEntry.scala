@@ -566,6 +566,11 @@ object SparkEntry {
     "x25_length_quantiles" -> ((s, d) =>
       ext.TextOps.lengthQuantiles(t(s, d, "documents"), "lang", "n_chars")),
 
+    // sequence packing to a 2048-token budget, sharded by source —
+    // contiguous window packing, integer arithmetic only
+    "x26_pack_sequences" -> ((s, d) =>
+      ext.Curation.packSequences(t(s, d, "documents"), "source", 2048L)),
+
     // ---- extensions: text analysis
     "x7_lang_id" -> ((s, d) =>
       t(s, d, "documents")
@@ -1071,9 +1076,13 @@ object SparkEntry {
                 COUNT(*) AS n_copies
          FROM documents GROUP BY 1""",
 
+    // tok filters empty tokens (leading/repeated whitespace) — the same
+    // tokenization ShingleHashes applies on the engine side
     "x4_dedup_jaccard" ->
       """WITH tok AS (
-           SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS l
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              t -> length(t) > 0) AS l
            FROM documents),
          sh AS (
            SELECT DISTINCT doc_id, unnest(list_filter(
@@ -1175,7 +1184,8 @@ object SparkEntry {
     "x21_contamination" ->
       """WITH tok AS (
            SELECT doc_id, source,
-                  regexp_split_to_array(lower(text), '\s+') AS l
+                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              t -> length(t) > 0) AS l
            FROM documents),
          sh AS (
            SELECT DISTINCT doc_id, source, unnest(list_filter(
@@ -1243,11 +1253,30 @@ object SparkEntry {
            MAX(CASE WHEN p = 0.95 THEN n_chars END) AS q95
          FROM picks GROUP BY lang""",
 
+    // x26 — identical window cumsum + integer division; token count is
+    // the x9 whitespace mirror
+    "x26_pack_sequences" ->
+      """WITH toks AS (
+           SELECT doc_id, source,
+                  CAST(len(regexp_split_to_array(lower(text), '\s+'))
+                       AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_tokens,
+                  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+           FROM toks)
+         SELECT doc_id, source, n_tokens,
+                (cum - n_tokens) // 2048 AS pack_id
+         FROM c""",
+
     // x23 — repetition ratio from unhashed 2-grams; exact rational both
     // sides, so the keep cut at 0.5 is bit-stable
     "x23_repetition" ->
       """WITH tok AS (
-           SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS l
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              t -> length(t) > 0) AS l
            FROM documents),
          g AS (
            SELECT doc_id,
@@ -1460,6 +1489,8 @@ object SparkEntry {
              AS ufp
            FROM documents)""",
 
+    // x14 — ASSUMES AN ASCII CORPUS (see the x15 note): codepoints stand
+    // in for the UTF-8 bytes the engine encodes into the PNG.
     "x14_media_features" -> {
       val buckets = (0 until 16).map(b =>
         s"""CAST(len(list_filter(pix, p -> p // 16 = $b)) AS DOUBLE) / 64.0
@@ -1478,6 +1509,10 @@ object SparkEntry {
     // decoded mean luminance is list_sum(pix)/64 and the corpus average
     // routes through the same decimal path as the Spark side. Dimensions
     // are read from the decoded images (8×8 by construction).
+    // ASSUMES AN ASCII CORPUS (verified for the generated testdata, same
+    // assumption as x14): unicode(substr(...)) reads CODEPOINTS and
+    // length() counts CHARS, which equal the UTF-8 bytes the engine
+    // actually encodes only when every char is single-byte.
     "x15_media_profile" ->
       s"""SELECT 'image' AS kind, COUNT(*) AS n, COUNT(*) AS n_decoded,
                  8.0 AS avg_width, 8.0 AS avg_height,

@@ -90,6 +90,34 @@ object Curation {
       .drop("rk")
   }
 
+  /** Sequence packing — assign documents to fixed-token-budget packs for
+    * training (the "pack to context length" step): within each shard
+    * (source/domain), documents are taken in deterministic id order and a
+    * document starts in the pack its running token count lands in:
+    * `pack_id = (cumsum_before_this_doc) div budget`. This is contiguous
+    * packing, not bin packing — a doc may straddle a budget boundary (the
+    * consumer truncates or spills), in exchange for a shape that is pure
+    * window algebra: one shuffle on the shard key, a cumulative sum, an
+    * integer division. A true first-fit recurrence would need a
+    * sequential pass per shard (flatMapGroups) and buys <1 budget of
+    * wasted tail per pack over this.
+    *
+    * Deterministic: (shard, doc_id) is a total order, integer arithmetic
+    * only — the same doc lands in the same pack on every engine. */
+  def packSequences(docs: DataFrame, shardCol: String, budget: Long,
+                    textCol: String = "text"): DataFrame = {
+    require(budget > 0, s"pack budget must be positive, got $budget")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col(shardCol),
+              TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        expr(s"(cum - n_tokens) DIV $budget"))
+      .select("doc_id", shardCol, "n_tokens", "pack_id")
+  }
+
   /** Repetition ratio — the duplicate-k-gram fraction of each document
     * (Gopher/MassiveText-style repetition quality signal): 1 −
     * distinct_kgrams / total_kgrams. Boilerplate-heavy or looping text
@@ -100,7 +128,11 @@ object Curation {
     * tokens) report ratio 0 and keep=true: no evidence of repetition. */
   def repetitionRatio(docs: DataFrame, k: Int = 2,
                       maxRatio: Double = 0.5): DataFrame = {
-    val toks = split(lower(col("text")), "\\s+")
+    // the FILTERED token count (empty strings from leading/repeated
+    // whitespace dropped) — the same tokenization ShingleHashes applies,
+    // so total and distinct count the same gram population
+    val toks = filter(split(lower(col("text")), "\\s+"),
+      t => length(t) > 0)
     val total = greatest(size(toks) - (k - 1), lit(0)).cast("long")
     val distinctK =
       size(Dedup.tokenHashes(col("text"), k)).cast("long")

@@ -19,17 +19,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word shingles (k-grams of tokens) as the document's feature set. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = split(lower(text), "\\s+")
-    // sliding k-grams: transform over token index
-    array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
-        i => when(i + k <= size(toks),
-          concat_ws(" ", slice(toks, i + 1, lit(k))))),
-      x => x.isNotNull))
-  }
-
   /** 1. Exact dedup: md5 of normalized text → group; keeps the smallest
     * doc_id as the canonical representative. */
   def exact(docs: DataFrame, textCol: String = "text"): DataFrame =

@@ -141,24 +141,11 @@ object StreamingOps {
     * plan — at 100 TB/day the stream side stays a narrow explode +
     * per-doc re-aggregation within the micro-batch. */
   def streamingContamination(docStream: DataFrame, benchmark: DataFrame,
-                             shingleK: Int = 3): DataFrame = {
-    val benchShingles = benchmark
-      .select(explode(
-        graft.ext.Dedup.tokenHashes(col("text"), shingleK)).as("shingle"))
-      .distinct()
-      .withColumn("hit", lit(1L))
-    docStream
-      .select(col("doc_id"),
-        graft.ext.Dedup.tokenHashes(col("text"), shingleK).as("hs"))
-      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
-              explode(col("hs")).as("shingle"))
-      .join(broadcast(benchShingles), Seq("shingle"), "left")
-      .groupBy("doc_id")
-      .agg(first("n_sh").as("n_sh"),
-           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-      .withColumn("contamination",
-        col("n_hit").cast("double") / col("n_sh"))
-  }
+                             shingleK: Int = 3): DataFrame =
+    // the batch audit is pure column algebra, so the identical plan works
+    // over a streaming DataFrame — one implementation, one set of fixes
+    // (StreamingSpec pins streaming ≡ batch)
+    graft.ext.Curation.contamination(docStream, benchmark, shingleK)
 
   /** Run a streaming aggregation over existing parquet as a bounded stream
     * (memory sink), for batch-equivalence testing. Returns the final table.

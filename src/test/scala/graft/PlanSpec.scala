@@ -174,10 +174,21 @@ class PlanSpec extends AnyFunSuite {
        "broadcast") {
     val p = planString("x21_contamination")
     assert(p.contains("BroadcastExchange"), s"benchmark not broadcast:\n$p")
-    // the broadcast subtree must be the DISTINCT'd benchmark side (an
-    // aggregate below the broadcast), never the raw corpus
     assert(p.contains("BroadcastHashJoin"), s"not a broadcast join:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+    // the broadcast SUBTREE must be the DISTINCT'd benchmark side — an
+    // aggregate strictly below the BroadcastExchange in the tree — never
+    // the raw corpus. Walk the indented tree text: take the lines deeper-
+    // indented than the BroadcastExchange node and demand the distinct's
+    // HashAggregate among them.
+    val tree = executed("x21_contamination").toString.linesIterator.toVector
+    val bxIdx = tree.indexWhere(_.contains("BroadcastExchange"))
+    assert(bxIdx >= 0, s"no BroadcastExchange in executed plan:\n$tree")
+    def indent(s: String): Int = s.segmentLength(c => !c.isLetter)
+    val bxIndent = indent(tree(bxIdx))
+    val subtree = tree.drop(bxIdx + 1).takeWhile(l => indent(l) > bxIndent)
+    assert(subtree.exists(_.contains("HashAggregate")),
+      s"broadcast side is not the distinct'd benchmark set:\n${tree.mkString("\n")}")
   }
 
   test("x23 repetition ratio: no shuffle, no UDF — one codegen'd stage") {

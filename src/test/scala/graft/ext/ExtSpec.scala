@@ -439,6 +439,19 @@ class ExtSpec extends AnyFunSuite {
       ro.getLong(3) == 6L && ro.getLong(4) == 7L)
   }
 
+  test("packSequences assigns docs to budget packs by running token count") {
+    // budget 5 tokens; doc order by id within the shard
+    val d = Seq(
+      (1L, "a", "t1 t2 t3"),      // cum before = 0 → pack 0
+      (2L, "a", "t1 t2 t3"),      // cum before = 3 → pack 0 (straddles)
+      (3L, "a", "t1 t2"),         // cum before = 6 → pack 1
+      (4L, "b", "t1")             // separate shard → pack 0
+    ).toDF("doc_id", "source", "text")
+    val r = Curation.packSequences(d, "source", 5L)
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(r == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
   test("repetitionRatio flags looping text and passes varied text") {
     val d = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam"), // 8 bigrams, 1 distinct
