@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{Mix64, MinHashSignature, RollingFnvFingerprint, ShingleHashes, SimHash64}
+import graft.functions.{Mix64, MinHashSignature, RollingFnvFingerprint, ShingleHashes, SimHash64, StringShingles}
 
 /** SQL surface for the engine's custom expressions.
   *
@@ -56,6 +56,17 @@ object GraftExtensions {
     ShingleHashes(exprs.head, k)
   }
 
+  private def stringShingleBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      "string_shingles(text: string, k: int literal)")
+    val k = exprs(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"string_shingles: k must be an integer literal, got $other")
+    }
+    StringShingles(exprs.head, k)
+  }
+
   private def fingerprintBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 1,
       "rolling_fnv_fingerprint(tokens: array<string>)")
@@ -77,6 +88,9 @@ object GraftExtensions {
     ("shingle_hashes",
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       shingleBuilder _),
+    ("string_shingles",
+      new ExpressionInfo(classOf[StringShingles].getName, "string_shingles"),
+      stringShingleBuilder _),
     ("rolling_fnv_fingerprint",
       new ExpressionInfo(classOf[RollingFnvFingerprint].getName,
         "rolling_fnv_fingerprint"),

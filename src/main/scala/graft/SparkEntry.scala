@@ -571,6 +571,32 @@ object SparkEntry {
     "x26_pack_sequences" -> ((s, d) =>
       ext.Curation.packSequences(t(s, d, "documents"), "source", 2048L)),
 
+    // duplicate clusters: connected components (large-star/small-star)
+    // over the exact-jaccard pair edges — the dedup completion step that
+    // turns pairwise similarity into removable cluster structure
+    "x27_dup_clusters" -> ((s, d) =>
+      ext.Dedup.connectedComponents(
+        ext.Dedup.jaccardPairs(t(s, d, "documents"), shingleK = 3,
+          minJaccard = 0.4).select("doc_a", "doc_b"))),
+
+    // the dedup PRODUCT: the corpus minus non-representative cluster
+    // members (cluster rep = component-min doc_id; unclustered docs pass)
+    "x28_dedup_corpus" -> ((s, d) =>
+      ext.Dedup.dedupCorpus(t(s, d, "documents"),
+          ext.Dedup.jaccardPairs(t(s, d, "documents"), shingleK = 3,
+            minJaccard = 0.4).select("doc_a", "doc_b"))
+        .select("doc_id", "lang", "source", "n_chars")),
+
+    // per-doc salient terms by tf/df (the exact-rational tf-idf core) —
+    // rank deterministic via the (score DESC, term) total order
+    "x29_salient_terms" -> ((s, d) =>
+      ext.TextOps.salientTerms(t(s, d, "documents"), topN = 3)),
+
+    // corpus boilerplate census: top-20 3-grams by document frequency via
+    // the native StringShingles expression + TakeOrderedAndProject
+    "x30_boilerplate_ngrams" -> ((s, d) =>
+      ext.TextOps.boilerplateNgrams(t(s, d, "documents"), k = 3, topN = 20)),
+
     // ---- extensions: text analysis
     "x7_lang_id" -> ((s, d) =>
       t(s, d, "documents")
@@ -836,6 +862,58 @@ object SparkEntry {
 
   // ----------------------------------------------------------------- oracle
 
+  /** Exact n-gram Jaccard edge CTEs at threshold 0.4 — shared by x4 (the
+    * pair query), x27 (connected components over the pairs), and x28 (the
+    * deduplicated corpus). Tokenization/df-cap commentary at the x4 entry. */
+  private val jaccardEdgeCtes =
+    """tok AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              t -> length(t) > 0) AS l
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, unnest(list_filter(
+             list_transform(range(1, greatest(len(l) - 1, 1)),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]),
+             x -> x IS NOT NULL)) AS shingle
+           FROM tok),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         -- mirror jaccardPairs' document-frequency cap (maxDf=4096): the
+         -- Spark side drops ubiquitous shingles before pair generation, so
+         -- the intersection counts must exclude them here too (sizes stay
+         -- uncapped — n_sh is computed per doc before the cap there as well)
+         capped AS (
+           SELECT x.* FROM sh x
+           WHERE x.shingle IN (SELECT shingle FROM sh
+                               GROUP BY shingle HAVING COUNT(*) <= 4096)),
+         inter AS (
+           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+           FROM capped x JOIN capped y ON x.shingle = y.shingle
+           WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+         edges AS (
+           SELECT doc_a, doc_b,
+                  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.4)"""
+
+  /** Transitive closure over the jaccard edges → per-node component
+    * minimum (the oracle's independent algorithm for what the engine
+    * computes with large-star/small-star): breadth-first reachability as a
+    * recursive CTE with set-semantics UNION for termination, then
+    * MIN(reachable) per node. */
+  private val componentCtes =
+    s"""$jaccardEdgeCtes,
+         und AS (SELECT doc_a AS s, doc_b AS t FROM edges
+                 UNION ALL SELECT doc_b, doc_a FROM edges),
+         cnodes AS (SELECT DISTINCT s AS id FROM und),
+         walk(id, cur) AS (
+           SELECT id, id FROM cnodes
+           UNION
+           SELECT w.id, u.t FROM walk w JOIN und u ON u.s = w.cur),
+         cc AS (SELECT id, MIN(cur) AS rep FROM walk GROUP BY id)"""
+
   def oracleSql: Map[String, String] = Map(
     "s1_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
@@ -1079,36 +1157,23 @@ object SparkEntry {
     // tok filters empty tokens (leading/repeated whitespace) — the same
     // tokenization ShingleHashes applies on the engine side
     "x4_dedup_jaccard" ->
-      """WITH tok AS (
-           SELECT doc_id,
-                  list_filter(regexp_split_to_array(lower(text), '\s+'),
-                              t -> length(t) > 0) AS l
-           FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id, unnest(list_filter(
-             list_transform(range(1, greatest(len(l) - 1, 1)),
-               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]),
-             x -> x IS NOT NULL)) AS shingle
-           FROM tok),
-         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-         -- mirror jaccardPairs' document-frequency cap (maxDf=4096): the
-         -- Spark side drops ubiquitous shingles before pair generation, so
-         -- the intersection counts must exclude them here too (sizes stay
-         -- uncapped — n_sh is computed per doc before the cap there as well)
-         capped AS (
-           SELECT x.* FROM sh x
-           WHERE x.shingle IN (SELECT shingle FROM sh
-                               GROUP BY shingle HAVING COUNT(*) <= 4096)),
-         inter AS (
-           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
-           FROM capped x JOIN capped y ON x.shingle = y.shingle
-           WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
-         SELECT doc_a, doc_b,
-                CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
-         FROM inter
-         JOIN sizes sa ON sa.doc_id = doc_a
-         JOIN sizes sb ON sb.doc_id = doc_b
-         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.4""",
+      s"""WITH $jaccardEdgeCtes
+          SELECT doc_a, doc_b, jaccard FROM edges""",
+
+    // x27 — the oracle computes components by a DIFFERENT algorithm
+    // (recursive-CTE transitive closure + min-reachable) than the engine's
+    // large-star/small-star contraction, so agreement is evidence of the
+    // clustering itself, not of a shared implementation
+    "x27_dup_clusters" ->
+      s"""WITH RECURSIVE $componentCtes
+          SELECT id AS doc_id, rep AS rep_id FROM cc""",
+
+    // x28 — the dedup product: drop non-representative cluster members,
+    // pass everything else through
+    "x28_dedup_corpus" ->
+      s"""WITH RECURSIVE $componentCtes
+          SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE doc_id NOT IN (SELECT id FROM cc WHERE rep <> id)""",
 
     "x5_ann_cosine" ->
       s"""SELECT vec_id, round($cosSql, 6) AS cos FROM embeddings
@@ -1269,6 +1334,45 @@ object SparkEntry {
          SELECT doc_id, source, n_tokens,
                 (cum - n_tokens) // 2048 AS pack_id
          FROM c""",
+
+    // x29 — identical tokenization, integer tf/df counts, and one IEEE
+    // division (correctly rounded in both engines, so the score doubles
+    // are bit-identical and the (score DESC, term) rank order coincides)
+    "x29_salient_terms" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(lower(text), '\s+'),
+             t -> length(t) > 0)) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         scored AS (
+           SELECT t.doc_id, t.term, t.tf, d.df,
+                  CAST(t.tf AS DOUBLE) / d.df AS score
+           FROM tf t JOIN dfreq d ON d.term = t.term),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, term) AS rk
+           FROM scored)
+         SELECT doc_id, term, tf, df, score FROM ranked WHERE rk <= 3""",
+
+    // x30 — same gram construction as x4's shingle CTE but keeping the
+    // STRING; distinct per doc so COUNT(*) is document frequency; the
+    // (df DESC, gram) tiebreak pins the top-20 cut deterministically
+    "x30_boilerplate_ngrams" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              t -> length(t) > 0) AS l
+           FROM documents),
+         g AS (
+           SELECT DISTINCT doc_id, unnest(list_filter(
+             list_transform(range(1, greatest(len(l) - 1, 1)),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]),
+             x -> x IS NOT NULL)) AS gram
+           FROM tok)
+         SELECT gram, COUNT(*) AS df FROM g
+         GROUP BY 1 ORDER BY df DESC, gram LIMIT 20""",
 
     // x23 — repetition ratio from unhashed 2-grams; exact rational both
     // sides, so the keep cut at 0.5 is bit-stable

@@ -204,6 +204,108 @@ object Dedup {
       .distinct()                     // far pairs never shuffle
   }
 
+  /** Connected components over an undirected edge list — the dedup
+    * COMPLETION step: near-dup tiers emit pairwise edges, but the unit of
+    * removal is the duplicate CLUSTER (a∼b, b∼c ⇒ {a,b,c} keep one), i.e.
+    * the connected component of the similarity graph.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — each round is two
+    * window-min passes + distincts, pure hash-partitioned DataFrame ops on
+    * the node key, and the edge set contracts toward a star forest rooted
+    * at each component's minimum id in O(log²) rounds regardless of
+    * component diameter. A naive min-label propagation needs
+    * diameter-many rounds — a 1000-hop chain of near-dups (common in
+    * crawl data: a∼b∼c∼… shingle chains) would need 1000 shuffles; this
+    * needs ~10. Each round's result is `localCheckpoint`ed to truncate
+    * lineage (iterative plans otherwise grow exponentially in the
+    * optimizer); on a fault-tolerant production cluster, substitute
+    * `checkpoint` to a reliable store.
+    *
+    * Convergence is detected by an order-independent edge-set checksum
+    * (count + XOR of xxhash64(u,v)) — two scalar aggregations per round,
+    * no edge-set `except` join. Throws if `maxIter` rounds do not
+    * converge rather than returning a partial clustering.
+    *
+    * Input: two long id columns (undirected; self-loops and duplicate /
+    * reversed pairs tolerated). Output: `(doc_id, rep_id)` for EVERY node
+    * appearing in the edge list, with `rep_id` = min doc_id of its
+    * component (representatives map to themselves). */
+  def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
+                          dstCol: String = "doc_b",
+                          maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    // canonical (u > v) undirected pairs
+    var e = edges
+      .select(greatest(col(srcCol), col(dstCol)).as("u"),
+              least(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    // large-star: every neighbor b > a re-points at m = min(N(a) ∪ {a});
+    // small-star: every neighbor b < a (plus a itself) re-points at
+    // m = min of those neighbors. Both emit canonical (child > parent).
+    def largeStar(df: DataFrame): DataFrame = {
+      val nbrs = df.select(col("u").as("a"), col("v").as("b"))
+        .union(df.select(col("v").as("a"), col("u").as("b")))
+      nbrs
+        .withColumn("m",
+          least(min(col("b")).over(Window.partitionBy("a")), col("a")))
+        .where(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(df: DataFrame): DataFrame = {
+      val nbrs = df.select(col("u").as("a"), col("v").as("b"))
+        .union(df.select(col("v").as("a"), col("u").as("b")))
+      val sm = nbrs.where(col("b") < col("a"))
+        .withColumn("m", min(col("b")).over(Window.partitionBy("a")))
+      sm.select(col("b").as("u"), col("m").as("v"))
+        .union(sm.select(col("a").as("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var cur = checksum(e)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nxt = checksum(next)
+      converged = nxt == cur
+      e = next
+      cur = nxt
+      it += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds")
+
+    // e is now a star forest: (child, componentMin). Roots map to self.
+    val children = e.select(col("u").as("doc_id"), col("v").as("rep_id"))
+    val roots = e.select(col("v").as("doc_id")).distinct()
+      .join(children.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("rep_id"))
+    children.union(roots)
+  }
+
+  /** Deduplicated corpus: the actual dedup PRODUCT — every document except
+    * the non-representative members of each near-dup cluster. Docs in no
+    * cluster pass through untouched (the anti-join's left side is the
+    * full corpus; the right side is only the bounded drop-list). */
+  def dedupCorpus(docs: DataFrame, edges: DataFrame): DataFrame = {
+    val drop = connectedComponents(edges)
+      .where(col("rep_id") =!= col("doc_id"))
+      .select("doc_id")
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   /** 4. Exact n-gram Jaccard for pairs sharing ≥1 shingle, via the
     * postings-list pattern: group `(doc_id, n_sh)` by shingle hash (ONE big
     * shuffle) and emit the pair combinations of each posting map-side. Each

@@ -95,6 +95,50 @@ object TextOps {
       approx_count_distinct(md5(t)).as("approx_distinct"))
   }
 
+  /** Per-document salient terms: the `topN` tokens of each document ranked
+    * by tf/df — term frequency in the doc over document frequency in the
+    * corpus (the exact-rational core of tf-idf; a log around 1/df is
+    * monotone per-term but transcendental, and ln() differs across engines
+    * in the last ulp while +−×÷ are IEEE-correctly-rounded everywhere, so
+    * the plain ratio keeps ranking and output engine-portable). Ties break
+    * on term ascending, making the pick total-order deterministic.
+    *
+    * Two shuffles at scale: one hash agg on (doc_id, term) for tf — which
+    * also yields df as a count over its distinct rows — and one window on
+    * doc_id for the rank. The df side is a per-term aggregate joined back
+    * by term: bounded by vocabulary size, not corpus size. */
+  def salientTerms(docs: DataFrame, topN: Int = 3,
+                   textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN)
+      .select("doc_id", "term", "tf", "df", "score")
+  }
+
+  /** Corpus boilerplate n-gram report: the `topN` k-gram shingles by
+    * DOCUMENT frequency — the census a pipeline runs to find templated
+    * boilerplate ("click here to subscribe") before stripping it. Gram
+    * strings come from the native StringShingles expression (one pass,
+    * distinct per doc — so the count is docs-containing, not occurrences),
+    * then one partial+final hash agg on the gram and a
+    * TakeOrderedAndProject for the top-k: no sort of the full gram table,
+    * no window. At 100 TB the agg key cardinality is the distinct-gram
+    * count, and partial aggregation collapses repeats map-side. */
+  def boilerplateNgrams(docs: DataFrame, k: Int = 3, topN: Int = 20,
+                        textCol: String = "text"): DataFrame =
+    docs.select(explode(
+        graft.functions.StringShingles(col(textCol), k)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram"))
+      .limit(topN)
+
   /** Exact length-distribution quantiles per group — the report a
     * pipeline reads before picking truncation/packing lengths. DISCRETE
     * quantiles by explicit rank arithmetic (value at row ceil(p·n) in the

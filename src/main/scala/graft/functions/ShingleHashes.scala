@@ -32,6 +32,68 @@ case class ShingleHashes(child: Expression, k: Int)
   override def prettyName: String = "shingle_hashes"
 }
 
+/** String sibling of [[ShingleHashes]]: tokenize → k-gram shingle →
+  * distinct, but emitting the space-joined lowercased gram STRINGS rather
+  * than hashes — for operators whose output is the gram itself (boilerplate
+  * n-gram reports, x30) where a hash would be unreadable. Same
+  * tokenization (whitespace split, per-char lowercase, empties dropped) so
+  * gram populations line up with the hashed tier. */
+case class StringShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val grams = StringShingles.stringShingles(s, k)
+    new GenericArrayData(grams.map(UTF8String.fromString(_): AnyRef))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "string_shingles"
+}
+
+object StringShingles {
+
+  def apply(text: Column, k: Int): Column =
+    GraftBridge.column(StringShingles(GraftBridge.expression(text), k))
+
+  /** Distinct k-gram token shingles of `text` (lowercased,
+    * whitespace-tokenized, space-joined), first-occurrence order. */
+  def stringShingles(text: String, k: Int): Array[String] = {
+    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val n = text.length
+    while (i <= n) {
+      val c = if (i < n) text.charAt(i) else ' '
+      if (Character.isWhitespace(c)) {
+        if (sb.length > 0) { toks += sb.toString; sb.setLength(0) }
+      } else sb.append(Character.toLowerCase(c))
+      i += 1
+    }
+    val m = toks.length
+    if (m < k) return Array.empty[String]
+    val seen = new java.util.LinkedHashSet[String](m * 2)
+    var s = 0
+    while (s <= m - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(s + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      s += 1
+    }
+    seen.toArray(Array.empty[String])
+  }
+}
+
 object ShingleHashes {
 
   def apply(text: Column, k: Int): Column =

@@ -35,6 +35,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(2) == graft.functions.HashExprs.mix64(0L))
   }
 
+  test("string_shingles from plain SQL: gram strings, lowercased, distinct") {
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql("SELECT string_shingles('The quick THE quick', 2) AS g")
+      .head.getSeq[String](0)
+    assert(r == Seq("the quick", "quick the"))
+  }
+
   test("SQL functions cast narrower integrals and reject junk with analysis errors") {
     GraftExtensions.registerAll(spark)
     // INT literal: the analyzer upcasts to BIGINT instead of a runtime

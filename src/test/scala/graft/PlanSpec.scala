@@ -197,4 +197,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
       s"UDF in the hot path:\n$p")
   }
+
+  test("x30 boilerplate census: partial agg + top-k, no global sort or window") {
+    val p = executed("x30_boilerplate_ngrams").toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-k is a full sort:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"no map-side combine before the gram exchange:\n$p")
+    assert(!p.contains("Window"), s"needless window:\n$p")
+  }
+
+  test("x29 salient terms: df side aggregates before its join — no " +
+       "corpus-sized broadcast, no cartesian") {
+    val p = executed("x29_salient_terms").toString
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), s"quadratic join:\n$p")
+    // exactly one window (the per-doc rank); tf/df are hash aggs
+    assert(p.contains("HashAggregate"), s"no hash agg:\n$p")
+  }
 }

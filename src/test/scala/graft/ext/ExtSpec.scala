@@ -465,4 +465,104 @@ class ExtSpec extends AnyFunSuite {
     assert(r(2L) == ((8L, 8L, 0.0, true)))
     assert(r(3L) == ((0L, 0L, 0.0, true))) // no evidence → keep
   }
+
+  /** Reference union-find for the connected-components tests. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connectedComponents matches union-find on random graphs") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 20 + trial * 15
+      val edges = Seq.fill(n)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      val expected = unionFind(edges.filter(e => e._1 != e._2))
+      val got = Dedup.connectedComponents(
+          edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  test("connectedComponents handles chains, cycles, and messy input") {
+    // 40-node chain: diameter 39 >> the handful of star rounds — the
+    // log-round contraction is what makes this converge, not luck
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val gotChain = Dedup.connectedComponents(chain.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotChain.size == 40 && gotChain.values.forall(_ == 1L))
+    // cycle + self-loops + duplicate and reversed pairs + isolated pair
+    val messy = Seq((10L, 11L), (11L, 12L), (12L, 10L), (10L, 10L),
+      (11L, 10L), (10L, 11L), (20L, 21L))
+    val got = Dedup.connectedComponents(messy.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    // empty edge list → empty mapping, no iteration blowup
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+  }
+
+  test("dedupCorpus keeps cluster representatives and untouched docs") {
+    // docs 1,2 near-dup and 1,4 exact-dup → one cluster {1,2,4}, rep 1
+    val edges = Dedup.jaccardPairs(docs, shingleK = 3, minJaccard = 0.4)
+      .select("doc_a", "doc_b")
+    val kept = Dedup.dedupCorpus(docs, edges)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L))
+  }
+
+  test("salientTerms ranks by tf/df with deterministic tiebreak") {
+    val d = Seq(
+      (1L, "alpha alpha beta common"),
+      (2L, "beta beta gamma common"),
+      (3L, "common common delta gamma")
+    ).toDF("doc_id", "text")
+    val r = TextOps.salientTerms(d, topN = 2)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+        x.getLong(3), x.getDouble(4)))
+    val byDoc = r.groupBy(_._1).view.mapValues(_.sortBy(_._5)(Ordering[Double].reverse))
+    // doc 1: alpha tf=2 df=1 → 2.0 best; beta tf=1 df=2 → 0.5 beats
+    // common (tf=1 df=3 → 1/3)
+    assert(byDoc(1L).map(t => t._2).toSeq == Seq("alpha", "beta"))
+    assert(byDoc(1L).head._5 == 2.0)
+    // doc 2: beta tf=2 df=2 → 1.0; gamma tf=1 df=2 → 0.5
+    assert(byDoc(2L).map(_._2).toSeq == Seq("beta", "gamma"))
+    // doc 3: common tf=2 df=3 → 2/3; delta tf=1 df=1 → 1.0 ranks first
+    assert(byDoc(3L).map(_._2).toSeq == Seq("delta", "common"))
+  }
+
+  test("boilerplateNgrams counts document frequency, not occurrences") {
+    val d = Seq(
+      (1L, "click here to subscribe click here to subscribe"), // gram repeats in-doc
+      (2L, "click here to unsubscribe"),
+      (3L, "nothing shared at all")
+    ).toDF("doc_id", "text")
+    val r = TextOps.boilerplateNgrams(d, k = 3, topN = 5)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("click here to") == 2L) // docs 1 and 2 — NOT 3 occurrences
+    assert(r("here to subscribe") == 1L)
+    assert(r.size == 5)
+  }
+
+  test("StringShingles: distinct grams, first-occurrence order, short-doc empty") {
+    import graft.functions.StringShingles
+    assert(StringShingles.stringShingles("A  b\tA b c", 2).toSeq ==
+      Seq("a b", "b a", "b c"))
+    assert(StringShingles.stringShingles("one two", 3).isEmpty)
+    // population parity with the hashed tier: same count per doc
+    val s = "the quick brown fox jumps over the quick brown fox"
+    assert(StringShingles.stringShingles(s, 3).length ==
+      graft.functions.ShingleHashes.shingleHashes(s, 3).length)
+  }
 }
