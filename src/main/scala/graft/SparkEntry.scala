@@ -597,6 +597,62 @@ object SparkEntry {
     "x30_boilerplate_ngrams" -> ((s, d) =>
       ext.TextOps.boilerplateNgrams(t(s, d, "documents"), k = 3, topN = 20)),
 
+    // ---- extensions: cleansing
+    // x31 — ingestion normalization: NFC + control/NBSP→space + whitespace
+    // collapse + trim. The appended tail injects the noise classes the
+    // synthetic corpus lacks (decomposed e+◌́, composed é, tab, NBSP,
+    // vertical tab, double spaces) so every normalization step is
+    // exercised; DuckDB replays it via nfc_normalize + the same regexes.
+    "x31_normalize" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        ext.Cleanse.normalizeText(concat(col("text"),
+          lit("  caf\u00e9 cafe\u0301\tden\u00a0x\u000b."))).as("text"))),
+
+    // x32 — PII redaction over deterministic doc_id-derived plants (the
+    // synthetic text has no PII, so the query injects an email, an IPv4,
+    // and an international phone per doc, then scrubs them; the oracle
+    // builds the identical plants and replays the same regex chain)
+    "x32_pii_redact" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        ext.Cleanse.redactPii(concat_ws(" ", col("text"),
+          concat(lit("user"), col("doc_id").cast("string"),
+            lit("@example.com")),
+          concat(lit("10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+            lit("."), pmod(col("doc_id"), lit(100L)).cast("string")),
+          concat(lit("+1 (202) 555-0"),
+            lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"))))
+          .as("text"))),
+
+    // x33 — corpus-wide line-level boilerplate removal (CCNet/RefinedWeb
+    // step) on a re-lined corpus: the flat synthetic text is chunked into
+    // 2-token lines (deterministically, mirrored in the oracle), then any
+    // line occurring in >= 20 distinct docs is dropped from every doc
+    "x33_line_dedup" -> ((s, d) => {
+      val toks = filter(split(lower(col("text")), "\\s+"),
+        t => length(t) > 0)
+      val nLines = greatest(((size(toks) + lit(1)) / lit(2)).cast("int"),
+        lit(1))
+      val relined = array_join(
+        transform(sequence(lit(0), nLines - 1),
+          i => array_join(slice(toks, i * 2 + 1, lit(2)), " ")), "\n")
+      ext.Cleanse.removeBoilerplateLines(
+        t(s, d, "documents").withColumn("text", relined), minDf = 20L)
+    }),
+
+    // x34 — BM25 retrieval (rational-idf variant — exact IEEE replay, no
+    // rounding tolerance in the oracle): top-10 docs for a 3-term query
+    "x34_bm25" -> ((s, d) =>
+      ext.TextOps.bm25Search(t(s, d, "documents"),
+        Seq("spark", "table", "query"), topN = 10)),
+
+    // x35 — temperature-flavored domain rebalancing: per-source keep rate
+    // min(1, 3/sqrt(n_d)) decided by the splitmix64 coin mod 2^20 (sqrt
+    // is IEEE-correctly-rounded, so DuckDB reproduces the exact cut)
+    "x35_temp_resample" -> ((s, d) =>
+      ext.Curation.inverseSqrtSample(t(s, d, "documents"), "source",
+          target = 3.0)
+        .select("doc_id", "lang", "source", "n_chars")),
+
     // ---- extensions: text analysis
     "x7_lang_id" -> ((s, d) =>
       t(s, d, "documents")
@@ -1397,6 +1453,123 @@ object SparkEntry {
                       THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_grams
                       ELSE 0.0 END) <= 0.5 AS keep
          FROM g""",
+
+    // x31 — DuckDB ships nfc_normalize (UAX #15, same normalization the
+    // JDK Normalizer implements); the injected tail is rebuilt from chr()
+    // codepoints (233 = é composed, 769 = combining acute, 9/160/11 =
+    // tab/NBSP/VT), then the identical strip-and-collapse regex chain runs
+    "x31_normalize" ->
+      """SELECT doc_id,
+           trim(regexp_replace(regexp_replace(
+             nfc_normalize(text || '  caf' || chr(233) || ' cafe' ||
+                           chr(769) || chr(9) || 'den' || chr(160) || 'x' ||
+                           chr(11) || '.'),
+             '[\x00-\x1f\x7f\xa0]', ' ', 'g'), ' +', ' ', 'g')) AS text
+         FROM documents""",
+
+    // x32 — identical plants from doc_id arithmetic, identical regex
+    // chain (the patterns sit in the Java/RE2-common subset), same order:
+    // emails, then IPv4, then +-prefixed phones
+    "x32_pii_redact" ->
+      """SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             text || ' ' || 'user' || doc_id || '@example.com' ||
+             ' ' || '10.0.' || (doc_id % 256) || '.' || (doc_id % 100) ||
+             ' ' || '+1 (202) 555-0' ||
+             lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+             '\+[0-9][0-9 ()./-]{5,18}[0-9]', '<PHONE>', 'g') AS text
+         FROM documents""",
+
+    // x33 — same 2-token re-lining, line df over distinct docs, drop at
+    // df >= 20, reassemble in line order (the engine keys df on the
+    // line's xxhash64; string keys coincide absent 64-bit collisions)
+    "x33_line_dedup" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '\s+'),
+             t -> length(t) > 0) AS l
+           FROM documents),
+         lines AS (
+           SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+                  array_to_string(l[u.i*2+1 : u.i*2+2], ' ') AS line
+           FROM tok, unnest(range(0, greatest((len(l)+1)//2, 1))) AS u(i)),
+         dfq AS (SELECT line, COUNT(DISTINCT doc_id) AS df
+                 FROM lines GROUP BY 1),
+         kept AS (SELECT * FROM lines
+                  WHERE line NOT IN (SELECT line FROM dfq WHERE df >= 20)),
+         agg AS (SELECT doc_id,
+                        string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                        COUNT(*) AS n_kept
+                 FROM kept GROUP BY 1),
+         base AS (SELECT doc_id,
+                         CAST(greatest((len(l)+1)//2, 1) AS BIGINT) AS n_lines
+                  FROM tok)
+         SELECT b.doc_id, COALESCE(a.clean_text, '') AS text, b.n_lines,
+                CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept
+         FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id""",
+
+    // x34 — identical rational-BM25 arithmetic, term by term in the same
+    // parenthesization (every op is correctly-rounded IEEE, so scores are
+    // bit-equal — no rounding in the compare)
+    "x34_bm25" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '\s+'),
+             t -> length(t) > 0) AS l
+           FROM documents),
+         per AS (
+           SELECT doc_id, CAST(len(l) AS DOUBLE) AS dl,
+             CAST(len(list_filter(l, t -> t = 'spark')) AS DOUBLE) AS tf_spark,
+             CAST(len(list_filter(l, t -> t = 'table')) AS DOUBLE) AS tf_table,
+             CAST(len(list_filter(l, t -> t = 'query')) AS DOUBLE) AS tf_query
+           FROM tok),
+         stats AS (
+           SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl,
+             SUM(CASE WHEN tf_spark > 0 THEN 1.0 ELSE 0.0 END) AS df_spark,
+             SUM(CASE WHEN tf_table > 0 THEN 1.0 ELSE 0.0 END) AS df_table,
+             SUM(CASE WHEN tf_query > 0 THEN 1.0 ELSE 0.0 END) AS df_query
+           FROM per),
+         scored AS (
+           SELECT p.doc_id, p.dl,
+             ((s.n_docs - s.df_spark + 0.5) / (s.df_spark + 0.5))
+               * (p.tf_spark * (1.2 + 1.0))
+               / (p.tf_spark + 1.2 * (1.0 - 0.75 + 0.75 * p.dl
+                                      / (s.sum_dl / s.n_docs)))
+             + ((s.n_docs - s.df_table + 0.5) / (s.df_table + 0.5))
+               * (p.tf_table * (1.2 + 1.0))
+               / (p.tf_table + 1.2 * (1.0 - 0.75 + 0.75 * p.dl
+                                      / (s.sum_dl / s.n_docs)))
+             + ((s.n_docs - s.df_query + 0.5) / (s.df_query + 0.5))
+               * (p.tf_query * (1.2 + 1.0))
+               / (p.tf_query + 1.2 * (1.0 - 0.75 + 0.75 * p.dl
+                                      / (s.sum_dl / s.n_docs))) AS score
+           FROM per p CROSS JOIN stats s)
+         SELECT doc_id, dl, score FROM scored WHERE score > 0
+         ORDER BY score DESC, doc_id LIMIT 10""",
+
+    // x35 — per-source keep threshold floor(min(1, 3/sqrt(n))·2^20)
+    // (sqrt/division/product all correctly-rounded, so the thresholds are
+    // bit-equal), then the x22 splitmix64 HUGEINT replay and the signed
+    // pmod against 2^20
+    "x35_temp_resample" ->
+      s"""WITH cnt AS (SELECT source, COUNT(*) AS n_d FROM documents GROUP BY 1),
+          thr AS (SELECT source,
+                    CAST(floor(least(1.0, 3.0 / sqrt(CAST(n_d AS DOUBLE)))
+                               * 1048576) AS BIGINT) AS keep_below
+                  FROM cnt),
+          m0 AS (SELECT d.doc_id, d.lang, d.source, d.n_chars, t.keep_below,
+                        d.doc_id::HUGEINT AS u0
+                 FROM documents d JOIN thr t ON t.source = d.source),
+          m1 AS (SELECT *, ${mulmodSql("xor(u0, u0 // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM m0),
+          m2 AS (SELECT *, ${mulmodSql("xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM m1),
+          m3 AS (SELECT *, xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM m2),
+          sgn AS (SELECT *, CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+                                      THEN uh - 18446744073709551616::HUGEINT
+                                      ELSE uh END AS BIGINT) AS sh FROM m3)
+          SELECT doc_id, lang, source, n_chars FROM sgn
+          WHERE ((sh % 1048576) + 1048576) % 1048576 < keep_below""",
 
     "x11_topk_per_label" ->
       s"""WITH scored AS (

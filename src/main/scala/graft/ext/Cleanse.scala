@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text cleansing for training-data ingestion: canonicalization, PII
+  * redaction, and corpus-wide line-level boilerplate removal — the steps a
+  * pipeline runs BEFORE content-keyed operators (dedup, fingerprinting),
+  * because un-normalized or boilerplate-wrapped text defeats content
+  * hashing.
+  *
+  * Scale shapes: [[normalizeText]] and [[redactPii]] are pure per-row
+  * column expressions (no shuffle, whole-stage codegen'd);
+  * [[removeBoilerplateLines]] shuffles `(line, doc)` pairs twice on the
+  * line key — both stages bounded by distinct-line cardinality, never
+  * quadratic, and the hot boilerplate lines collapse map-side in partial
+  * aggregation.
+  */
+object Cleanse {
+
+  /** Canonical text normalization: Unicode NFC (composed forms — see
+    * [[graft.functions.NfcNormalize]]), control characters and NBSP to
+    * spaces, whitespace runs collapsed to one space, ends trimmed. After
+    * this, byte-equality means text-equality for the usual crawl-noise
+    * equivalence classes, so exact dedup and shingle hashing behave.
+    *
+    * Every step is engine-portable: DuckDB replays it as
+    * `trim(regexp_replace(regexp_replace(nfc_normalize(t), ctrl, ' ', 'g'),
+    * '\s+', ' ', 'g'))`. The control-class replacement runs FIRST so the
+    * Java-vs-RE2 disagreement about `\s` (Java includes `\x0B`, RE2 does
+    * not) is moot — `\x0B` is already a plain space by the collapse step. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.NfcNormalize(text),
+        "[\\x00-\\x1F\\x7F\\u00A0]", " "),
+      " +", " "))
+
+  // PII patterns restricted to the regex subset Java and RE2 parse
+  // identically (no backrefs, no lookaround, no \b-adjacent unicode):
+  // local@domain.tld; dotted-quad with 1-3 digit octets; international
+  // phone shapes (+country, separators) with >= 7 digits total.
+  private[ext] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[ext] val Ipv4Re =
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private[ext] val PhoneRe =
+    "\\+[0-9][0-9 ()./-]{5,18}[0-9]"
+
+  /** PII redaction: emails → `<EMAIL>`, IPv4 literals → `<IP>`,
+    * international-format phone numbers → `<PHONE>` — the standard scrub a
+    * training pipeline applies before text leaves the ingest boundary.
+    * Order matters and is fixed: emails first (their local parts can
+    * contain digit runs a phone pattern would eat), then IPs (dotted
+    * quads), then phones (which by then can only match digit runs that
+    * survived both). Pure column algebra, three codegen'd regex passes.
+    *
+    * Scope note: only unambiguous international (`+`-prefixed) phone
+    * shapes are redacted — bare 7-digit runs are more often quantities,
+    * ids, or timestamps than phone numbers, and a false redaction
+    * destroys training signal silently. Widen per-deployment as policy
+    * dictates. */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Re, "<IP>")
+    regexp_replace(noIp, PhoneRe, "<PHONE>")
+  }
+
+  /** Corpus-wide line-level boilerplate removal (the CCNet/RefinedWeb
+    * step): a line that occurs in `minDf` or more DISTINCT documents is
+    * template chrome ("subscribe to our newsletter", cookie banners,
+    * nav bars), not content — drop it from every document and reassemble
+    * the survivors in original order.
+    *
+    * Output: `(doc_id, text, n_lines, n_kept)` — `text` is the cleaned
+    * document (empty string when every line was boilerplate; the document
+    * row itself is never dropped, so downstream joins see the full
+    * corpus).
+    *
+    * 100 TB posture: document frequency is computed on the line's 64-bit
+    * xxhash, not the line string — the two aggregation shuffles carry
+    * `(long, long)` pairs, and the df table is bounded by distinct-line
+    * cardinality (map-side partial aggregation collapses each hot
+    * boilerplate line to one row per task). The df side joins back to the
+    * exploded lines on the hash — a plain shuffled equi-join; for corpora
+    * where the boilerplate table is small (it usually is: df >= minDf is
+    * a tiny survivor set), Spark's AQE converts it to a broadcast join at
+    * runtime. Collision odds on 64-bit hashes are ~n²/2⁶⁵ across
+    * distinct lines — at 10¹⁰ lines that is ~0.003, and a collision
+    * costs one wrongly-dropped line, not a wrong corpus. */
+  def removeBoilerplateLines(docs: DataFrame, minDf: Long,
+                             textCol: String = "text",
+                             sep: String = "\n"): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "line")))
+      .withColumn("line_h", xxhash64(col("line")))
+    // df on (line_h): per-doc distinct first so in-doc repeats count once
+    val boiler = lines.select("line_h", "doc_id").distinct()
+      .groupBy("line_h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("line_h")
+    val kept = lines.join(boiler, Seq("line_h"), "left_anti")
+    val reassembled = kept.groupBy("doc_id")
+      .agg(array_join(transform(
+             sort_array(collect_list(struct(col("pos"), col("line")))),
+             s => s.getField("line")), sep).as("clean_text"),
+           count(lit(1)).as("n_kept"))
+    docs
+      .select(col("doc_id"),
+        (size(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+          .cast("long").as("n_lines"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("text"),
+        col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+}

@@ -118,6 +118,38 @@ object Curation {
       .select("doc_id", shardCol, "n_tokens", "pack_id")
   }
 
+  /** Temperature-flavored domain rebalancing: down-sample each stratum
+    * (source/domain) at `rate(d) = min(1, target / sqrt(n_d))` — small
+    * domains pass through whole, large domains are thinned toward
+    * `target·sqrt(n_d)` docs, flattening the domain distribution the way
+    * temperature sampling (α = 0.5) does but WITHOUT cross-domain
+    * normalization, so each domain's keep-set is independent of every
+    * other domain (append-stable, and engine-portable: `sqrt` is an IEEE
+    * correctly-rounded primitive, unlike `pow`, so DuckDB reproduces the
+    * rates bit-exactly).
+    *
+    * Membership is the same deterministic splitmix64 coin as
+    * [[hashSample]]: keep iff `mix64(doc_id) mod 2²⁰ < floor(rate·2²⁰)`.
+    * A power-of-two modulus keeps the threshold arithmetic exact (no
+    * double-rounding ambiguity at the cut). Plan: one count per stratum
+    * (tiny), broadcast back, then a pure filter — one aggregation
+    * shuffle at any corpus size. */
+  def inverseSqrtSample(docs: DataFrame, strataCol: String,
+                        target: Double): DataFrame = {
+    require(target > 0, s"target must be positive, got $target")
+    val denom = 1L << 20
+    val counts = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_d"))
+      .withColumn("keep_below",
+        floor(least(lit(1.0), lit(target) / sqrt(col("n_d").cast("double")))
+          * denom).cast("long"))
+      .select(col(strataCol), col("keep_below"))
+    docs.join(broadcast(counts), strataCol)
+      .filter(pmod(graft.functions.HashExprs.mix64_col(col("doc_id")),
+        lit(denom)) < col("keep_below"))
+      .drop("keep_below")
+  }
+
   /** Repetition ratio — the duplicate-k-gram fraction of each document
     * (Gopher/MassiveText-style repetition quality signal): 1 −
     * distinct_kgrams / total_kgrams. Boilerplate-heavy or looping text

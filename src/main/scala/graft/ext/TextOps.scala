@@ -139,6 +139,63 @@ object TextOps {
       .orderBy(col("df").desc, col("gram"))
       .limit(topN)
 
+  /** BM25 keyword search over the corpus: score every document against a
+    * fixed bag of query terms and return the top `topN` — the retrieval
+    * primitive behind quality-targeted corpus selection ("find docs about
+    * X to upsample") and search-style eval-set mining.
+    *
+    * The scoring function is BM25 with the log replaced by its rational
+    * idf core: `idf(t) = (N - df + 0.5) / (df + 0.5)` (the argument of
+    * the standard `log`-idf). Per-document, per-term:
+    * `idf * (tf*(k1+1)) / (tf + k1*(1 - b + b*dl/avgdl))`, summed over
+    * terms in their given order. Dropping the monotone `log` changes the
+    * relative weighting between terms (rare terms weigh more than
+    * log-BM25 would), but every remaining operation — `+ − × ÷` on
+    * IEEE doubles — is correctly rounded and engine-portable, so scores
+    * (not just ranks) replay exactly in any engine: the DuckDB oracle
+    * checks score equality with NO rounding tolerance. (ln() differs
+    * across libm implementations in the last ulp; see [[salientTerms]]
+    * for the same trade.)
+    *
+    * Plan shape: one hash-agg on (doc_id) builds tf for the |terms|
+    * query terms via conditional counters (no explode-groupBy on the full
+    * vocabulary — the agg width is |terms|, tiny); corpus stats
+    * (N, avgdl, per-term df) reduce to ONE row and cross-join back as a
+    * broadcast; the top-k is a TakeOrderedAndProject. At 100 TB: one
+    * scan, one single-row broadcast, no vocabulary-sized state. */
+  def bm25Search(docs: DataFrame, terms: Seq[String], topN: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75,
+                 textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "bm25Search needs at least one query term")
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    def tfOf(term: String): Column =
+      size(filter(toks, t => t === term)).cast("double")
+    val perDoc = docs.select(
+      (col("doc_id") +: size(toks).cast("double").as("dl") +:
+        terms.map(t => tfOf(t).as(s"tf_${t}"))): _*)
+    // corpus stats: one row — N, total token count, and df per term
+    val statCols = count(lit(1)).cast("double").as("n_docs") +:
+      sum(col("dl")).as("sum_dl") +:
+      terms.map(t =>
+        sum(when(col(s"tf_${t}") > 0, 1.0).otherwise(0.0)).as(s"df_${t}"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val scored = perDoc.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+    val termScores = terms.map { t =>
+      val tf = col(s"tf_${t}")
+      val idf = (col("n_docs") - col(s"df_${t}") + lit(0.5)) /
+        (col(s"df_${t}") + lit(0.5))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    }
+    scored
+      .withColumn("score", termScores.reduceLeft(_ + _))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+      .select("doc_id", "dl", "score")
+  }
+
   /** Exact length-distribution quantiles per group — the report a
     * pipeline reads before picking truncation/packing lengths. DISCRETE
     * quantiles by explicit rank arithmetic (value at row ceil(p·n) in the

@@ -555,6 +555,40 @@ class ExtSpec extends AnyFunSuite {
     assert(r.size == 5)
   }
 
+  test("bm25Search ranks term-dense short docs first, drops non-matches") {
+    val d = Seq(
+      (1L, "spark spark spark tiny"),            // dense + short
+      (2L, "spark appears once in a much longer document about other things entirely here"),
+      (3L, "table table query"),                 // two query terms
+      (4L, "nothing relevant whatsoever")        // no match → dropped
+    ).toDF("doc_id", "text")
+    val r = TextOps.bm25Search(d, Seq("spark", "table", "query"), topN = 10)
+      .collect().map(x => (x.getLong(0), x.getDouble(2)))
+    assert(r.map(_._1).toSet == Set(1L, 2L, 3L)) // doc 4 filtered
+    // doc 1 (tf=3, dl=4) must outscore doc 2 (tf=1, long)
+    val byId = r.toMap
+    assert(byId(1L) > byId(2L))
+    // scores strictly positive and sorted descending
+    assert(r.map(_._2).toSeq == r.map(_._2).sorted(Ordering[Double].reverse).toSeq)
+  }
+
+  test("inverseSqrtSample thins big strata, passes small ones whole") {
+    val d = (0L until 2000L).map(i =>
+      (i, if (i < 1600) "big" else "small", s"t$i")).toDF("doc_id", "source", "text")
+    val r = Curation.inverseSqrtSample(d, "source", target = 4.0)
+    val bySrc = r.groupBy("source").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // small stratum: 4/sqrt(400)=0.2 → ~80 kept; big: 4/sqrt(1600)=0.1 → ~160
+    assert(bySrc("big") > 100 && bySrc("big") < 220)
+    assert(bySrc("small") > 50 && bySrc("small") < 115)
+    // deterministic: identical keep-set on re-run
+    val again = Curation.inverseSqrtSample(d, "source", target = 4.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == r.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // target large enough → whole strata pass
+    assert(Curation.inverseSqrtSample(d, "source", target = 100.0).count() == 2000)
+  }
+
   test("StringShingles: distinct grams, first-occurrence order, short-doc empty") {
     import graft.functions.StringShingles
     assert(StringShingles.stringShingles("A  b\tA b c", 2).toSeq ==
