@@ -10,13 +10,17 @@ import graft.model.GridMeta
   * Scoped to the subset the reference's pipeline actually emits and reads
   * back (regenerate_viirs_pngs.py:13-15 `src.read(1)`, `src.transform`;
   * fix_transparency.py:55-60 nodata handling): single-band float32,
-  * striped, north-up affine from the ModelTiepoint + ModelPixelScale
-  * GeoTIFF tags, CRS from the GeoKeyDirectory, nodata from GDAL_NODATA.
-  * Strips may be uncompressed (1), LZW (5, TIFF6 MSB-first with early
-  * change), or Deflate (8/32946) — the codecs rasterio/GDAL actually emit
-  * when re-writing the reference's exports. Anything outside that subset
-  * (tiles, predictors, other sample formats) fails loudly rather than
-  * decoding wrong.
+  * striped OR tiled, north-up affine from the ModelTiepoint +
+  * ModelPixelScale GeoTIFF tags, CRS from the GeoKeyDirectory, nodata
+  * from GDAL_NODATA. Pixel chunks may be uncompressed (1), LZW (5, TIFF6
+  * MSB-first with early change), or Deflate (8/32946) — the codecs
+  * rasterio/GDAL actually emit when re-writing the reference's exports.
+  * The tiled layout (TileWidth/TileLength/TileOffsets/TileByteCounts,
+  * edge tiles padded to full size) is what GDAL writes by default for
+  * anything beyond small rasters (`-co TILED=YES`, rasterio
+  * `tiled=True`), so real exported artifacts routinely arrive tiled.
+  * Anything outside that subset (predictors, other sample formats) fails
+  * loudly rather than decoding wrong.
   *
   * Spark integration is the `binaryFile` source → per-file parse →
   * pixel-row iterator: each file decodes inside its own task (binaryFile
@@ -60,11 +64,17 @@ object GeoTiff {
     }
   }
 
-  /** Parse metadata only — never touches strip data (S11 metadata
+  /** Pixel-chunk layout: offsets/byte-counts of strips or tiles, plus the
+    * tile geometry when tiled (None = striped, chunks are consecutive
+    * row bands). */
+  private final case class Layout(chunks: IndexedSeq[(Long, Long)],
+                                  tile: Option[(Int, Int)])
+
+  /** Parse metadata only — never touches pixel data (S11 metadata
     * inspection stays cheap on big rasters). Returns the grid plus the
-    * strip layout needed to read pixels. */
+    * chunk layout needed to read pixels. */
   private def parseMeta(dataset: String, bytes: Array[Byte])
-      : (GridMeta, IndexedSeq[(Long, Long)], ByteBuffer, Int) = {
+      : (GridMeta, Layout, ByteBuffer, Int) = {
     require(bytes.length >= 8, "not a TIFF: truncated header")
     val order = (bytes(0).toChar, bytes(1).toChar) match {
       case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
@@ -102,10 +112,27 @@ object GeoTiff {
       s"GeoTIFF $dataset: only float32 supported (BitsPerSample=$bits, SampleFormat=$fmt)")
     require(spp == 1, s"GeoTIFF $dataset: only single-band supported (SamplesPerPixel=$spp)")
 
-    val stripOffsets = req(273, "StripOffsets").ints
-    val stripCounts = req(279, "StripByteCounts").ints
-    require(stripOffsets.length == stripCounts.length,
-      s"GeoTIFF $dataset: strip offset/count mismatch")
+    val layout =
+      if (entries.contains(324) || entries.contains(322)) {
+        val tw = req(322, "TileWidth").ints.head.toInt
+        val th = req(323, "TileLength").ints.head.toInt
+        require(tw > 0 && th > 0 && tw % 16 == 0 && th % 16 == 0,
+          s"GeoTIFF $dataset: bad tile size ${tw}x$th (must be positive multiples of 16)")
+        val offs = req(324, "TileOffsets").ints
+        val counts = req(325, "TileByteCounts").ints
+        require(offs.length == counts.length,
+          s"GeoTIFF $dataset: tile offset/count mismatch")
+        val expect = ((width + tw - 1) / tw) * ((height + th - 1) / th)
+        require(offs.length == expect,
+          s"GeoTIFF $dataset: ${offs.length} tiles for a $expect-tile grid")
+        Layout(offs.zip(counts), Some((tw, th)))
+      } else {
+        val stripOffsets = req(273, "StripOffsets").ints
+        val stripCounts = req(279, "StripByteCounts").ints
+        require(stripOffsets.length == stripCounts.length,
+          s"GeoTIFF $dataset: strip offset/count mismatch")
+        Layout(stripOffsets.zip(stripCounts), None)
+      }
 
     val scale = req(33550, "ModelPixelScale").doubles
     val tie = req(33922, "ModelTiepoint").doubles
@@ -129,46 +156,78 @@ object GeoTiff {
       else math.max(1, math.round(sx)).toInt
     val meta = GridMeta(dataset, sx, 0.0, c, 0.0, -sy, f, crs,
       width, height, nodata, scaleM)
-    (meta, stripOffsets.zip(stripCounts), buf, compression)
+    (meta, layout, buf, compression)
   }
+
+  /** Decompress one pixel chunk (strip or tile) to a float-readable view. */
+  private def decodeChunk(dataset: String, buf: ByteBuffer, compression: Int,
+                          off: Long, count: Long): ByteBuffer =
+    compression match {
+      case 1 =>
+        val fb = buf.duplicate().order(buf.order())
+        fb.position(off.toInt).limit((off + count).toInt)
+        fb
+      case 5 =>
+        val src = new Array[Byte](count.toInt)
+        buf.duplicate().position(off.toInt).get(src)
+        ByteBuffer.wrap(Lzw.decode(src)).order(buf.order())
+      case 8 | 32946 =>
+        val src = new Array[Byte](count.toInt)
+        buf.duplicate().position(off.toInt).get(src)
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(src)
+        val out = new java.io.ByteArrayOutputStream(src.length * 4)
+        val chunk = new Array[Byte](8192)
+        while (!inf.finished() && !inf.needsInput()) {
+          val n = inf.inflate(chunk)
+          if (n > 0) out.write(chunk, 0, n)
+          else if (!inf.finished()) throw new IllegalArgumentException(
+            s"GeoTIFF $dataset: truncated deflate chunk")
+        }
+        inf.end()
+        ByteBuffer.wrap(out.toByteArray).order(buf.order())
+    }
 
   /** Parse a whole raster: metadata + row-major float32 pixels. */
   def parse(dataset: String, bytes: Array[Byte]): Raster = {
-    val (meta, strips, buf, compression) = parseMeta(dataset, bytes)
+    val (meta, layout, buf, compression) = parseMeta(dataset, bytes)
     val values = new Array[Float](meta.width * meta.height)
-    var k = 0
-    strips.foreach { case (off, count) =>
-      val raw: ByteBuffer = compression match {
-        case 1 =>
-          val fb = buf.duplicate().order(buf.order())
-          fb.position(off.toInt).limit((off + count).toInt)
-          fb
-        case 5 =>
-          val src = new Array[Byte](count.toInt)
-          buf.duplicate().position(off.toInt).get(src)
-          ByteBuffer.wrap(Lzw.decode(src)).order(buf.order())
-        case 8 | 32946 =>
-          val src = new Array[Byte](count.toInt)
-          buf.duplicate().position(off.toInt).get(src)
-          val inf = new java.util.zip.Inflater()
-          inf.setInput(src)
-          val out = new java.io.ByteArrayOutputStream(src.length * 4)
-          val chunk = new Array[Byte](8192)
-          while (!inf.finished() && !inf.needsInput()) {
-            val n = inf.inflate(chunk)
-            if (n > 0) out.write(chunk, 0, n)
-            else if (!inf.finished()) throw new IllegalArgumentException(
-              s"GeoTIFF ${meta.dataset}: truncated deflate strip")
+    layout match {
+      case Layout(strips, None) =>
+        var k = 0
+        strips.foreach { case (off, count) =>
+          val raw = decodeChunk(dataset, buf, compression, off, count)
+          while (raw.remaining() >= 4 && k < values.length) {
+            values(k) = raw.getFloat; k += 1
           }
-          inf.end()
-          ByteBuffer.wrap(out.toByteArray).order(buf.order())
-      }
-      while (raw.remaining() >= 4 && k < values.length) {
-        values(k) = raw.getFloat; k += 1
-      }
+        }
+        require(k == values.length,
+          s"GeoTIFF $dataset: strip data holds $k pixels, header promises ${values.length}")
+      case Layout(tiles, Some((tw, th))) =>
+        // tiles are row-major over a ceil(w/tw) x ceil(h/th) grid; edge
+        // tiles are PADDED to full tw x th (TIFF6) — clip the scatter-copy
+        val tilesAcross = (meta.width + tw - 1) / tw
+        tiles.zipWithIndex.foreach { case ((off, count), idx) =>
+          val raw = decodeChunk(dataset, buf, compression, off, count)
+          require(raw.remaining() >= tw * th * 4,
+            s"GeoTIFF $dataset: tile $idx holds ${raw.remaining() / 4} pixels, expected ${tw * th}")
+          val x0 = (idx % tilesAcross) * tw
+          val y0 = (idx / tilesAcross) * th
+          var ty = 0
+          while (ty < th) {
+            val y = y0 + ty
+            var tx = 0
+            while (tx < tw) {
+              val v = raw.getFloat((ty * tw + tx) * 4 + raw.position())
+              val x = x0 + tx
+              if (x < meta.width && y < meta.height)
+                values(y * meta.width + x) = v
+              tx += 1
+            }
+            ty += 1
+          }
+        }
     }
-    require(k == values.length,
-      s"GeoTIFF $dataset: strip data holds $k pixels, header promises ${values.length}")
     Raster(meta, values)
   }
 
@@ -243,50 +302,83 @@ object GeoTiff {
 
   // ------------------------------------------------------------------ write
 
-  /** Encode a single-band float32 striped GeoTIFF for `meta` (north-up
-    * affine only: b = d = 0, a > 0, e < 0). The exact inverse of [[parse]];
+  /** Encode a single-band float32 GeoTIFF for `meta` (north-up affine
+    * only: b = d = 0, a > 0, e < 0). The exact inverse of [[parse]];
     * deterministic bytes so fixtures pin byte-for-byte. `compression`:
-    * 1 = none, 5 = LZW, 8 = Deflate. */
+    * 1 = none, 5 = LZW, 8 = Deflate. `tileSize` = 0 writes the striped
+    * layout (`rowsPerStrip` row bands); a positive multiple of 16 writes
+    * the tiled layout GDAL emits for larger rasters (square tiles, edge
+    * tiles zero-padded to full size per TIFF6). */
   def write(meta: GridMeta, values: Array[Float], rowsPerStrip: Int = 64,
-            bigEndian: Boolean = false, compression: Int = 1): Array[Byte] = {
+            bigEndian: Boolean = false, compression: Int = 1,
+            tileSize: Int = 0): Array[Byte] = {
     require(meta.b == 0.0 && meta.d == 0.0 && meta.a > 0 && meta.e < 0,
       "GeoTIFF writer: only north-up affine grids")
     require(values.length == meta.width * meta.height,
       s"GeoTIFF writer: ${values.length} values for ${meta.width}x${meta.height}")
     require(Set(1, 5, 8)(compression),
       s"GeoTIFF writer: unsupported compression $compression (1/5/8)")
+    require(tileSize == 0 || (tileSize > 0 && tileSize % 16 == 0),
+      s"GeoTIFF writer: tileSize must be 0 (striped) or a positive multiple of 16, got $tileSize")
     val epsg = meta.crs.stripPrefix("EPSG:").toInt
     val geographic = epsg == 4326
-    val nStrips = (meta.height + rowsPerStrip - 1) / rowsPerStrip
-    val stripData: IndexedSeq[Array[Byte]] = (0 until nStrips).map { s =>
-      val rows = math.min(rowsPerStrip, meta.height - s * rowsPerStrip)
-      val bb = ByteBuffer.allocate(rows * meta.width * 4)
-        .order(if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
-      var i = 0
-      while (i < rows * meta.width) {
-        bb.putFloat(values(s * rowsPerStrip * meta.width + i)); i += 1
-      }
-      compression match {
-        case 1 => bb.array()
-        case 5 => Lzw.encode(bb.array())
-        case 8 =>
-          // fixed level so fixture bytes stay deterministic across JDKs
-          val d = new java.util.zip.Deflater(6)
-          d.setInput(bb.array()); d.finish()
-          val out = new java.io.ByteArrayOutputStream(bb.capacity() / 2 + 16)
-          val chunk = new Array[Byte](8192)
-          while (!d.finished()) out.write(chunk, 0, d.deflate(chunk))
-          d.end()
-          out.toByteArray
-      }
+    val tiled = tileSize > 0
+    def pack(bb: ByteBuffer): Array[Byte] = compression match {
+      case 1 => bb.array()
+      case 5 => Lzw.encode(bb.array())
+      case 8 =>
+        // fixed level so fixture bytes stay deterministic across JDKs
+        val d = new java.util.zip.Deflater(6)
+        d.setInput(bb.array()); d.finish()
+        val out = new java.io.ByteArrayOutputStream(bb.capacity() / 2 + 16)
+        val chunk = new Array[Byte](8192)
+        while (!d.finished()) out.write(chunk, 0, d.deflate(chunk))
+        d.end()
+        out.toByteArray
     }
+    def newBuf(n: Int): ByteBuffer = ByteBuffer.allocate(n)
+      .order(if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    val tilesAcross = if (tiled) (meta.width + tileSize - 1) / tileSize else 0
+    val tilesDown = if (tiled) (meta.height + tileSize - 1) / tileSize else 0
+    val nStrips =
+      if (tiled) tilesAcross * tilesDown
+      else (meta.height + rowsPerStrip - 1) / rowsPerStrip
+    val stripData: IndexedSeq[Array[Byte]] =
+      if (tiled) (0 until nStrips).map { idx =>
+        val x0 = (idx % tilesAcross) * tileSize
+        val y0 = (idx / tilesAcross) * tileSize
+        val bb = newBuf(tileSize * tileSize * 4)
+        var ty = 0
+        while (ty < tileSize) {
+          var tx = 0
+          while (tx < tileSize) {
+            val (x, y) = (x0 + tx, y0 + ty)
+            bb.putFloat(
+              if (x < meta.width && y < meta.height) values(y * meta.width + x)
+              else 0.0f)
+            tx += 1
+          }
+          ty += 1
+        }
+        pack(bb)
+      }
+      else (0 until nStrips).map { s =>
+        val rows = math.min(rowsPerStrip, meta.height - s * rowsPerStrip)
+        val bb = newBuf(rows * meta.width * 4)
+        var i = 0
+        while (i < rows * meta.width) {
+          bb.putFloat(values(s * rowsPerStrip * meta.width + i)); i += 1
+        }
+        pack(bb)
+      }
     val stripBytes = stripData.map(_.length)
     val nodataAscii = meta.nodata.map(nd =>
       (if (nd == nd.toLong.toDouble) nd.toLong.toString else nd.toString) + "\u0000")
 
-    // tags in ascending order, as the spec requires: 13 fixed tags
-    // (256,257,258,259,262,273,277,278,279,339,33550,33922,34735) + nodata
-    val nTags = 13 + nodataAscii.size
+    // tags in ascending order, as the spec requires: 13 fixed striped tags
+    // (256,257,258,259,262,273,277,278,279,339,33550,33922,34735) or 14
+    // tiled ones (277 then 322,323,324,325 replacing 273/278/279) + nodata
+    val nTags = (if (tiled) 14 else 13) + nodataAscii.size
     val ifdAt = 8
     val ifdSize = 2 + nTags * 12 + 4
     var extAt = ifdAt + ifdSize // external value area cursor
@@ -330,12 +422,23 @@ object GeoTiff {
     tag(258, 3, 1, 32)
     tag(259, 3, 1, compression)
     tag(262, 3, 1, 1)
-    if (nStrips > 1) tag(273, 4, nStrips, stripOffsetsAt)
-    else tag(273, 4, 1, stripOffsets.head)
+    if (!tiled) {
+      if (nStrips > 1) tag(273, 4, nStrips, stripOffsetsAt)
+      else tag(273, 4, 1, stripOffsets.head)
+    }
     tag(277, 3, 1, 1)
-    tag(278, 3, 1, rowsPerStrip)
-    if (nStrips > 1) tag(279, 4, nStrips, stripCountsAt)
-    else tag(279, 4, 1, stripBytes.head)
+    if (!tiled) {
+      tag(278, 3, 1, rowsPerStrip)
+      if (nStrips > 1) tag(279, 4, nStrips, stripCountsAt)
+      else tag(279, 4, 1, stripBytes.head)
+    } else {
+      tag(322, 3, 1, tileSize)
+      tag(323, 3, 1, tileSize)
+      if (nStrips > 1) tag(324, 4, nStrips, stripOffsetsAt)
+      else tag(324, 4, 1, stripOffsets.head)
+      if (nStrips > 1) tag(325, 4, nStrips, stripCountsAt)
+      else tag(325, 4, 1, stripBytes.head)
+    }
     tag(339, 3, 1, 3)
     tag(33550, 12, 3, scaleAt)
     tag(33922, 12, 6, tieAt)

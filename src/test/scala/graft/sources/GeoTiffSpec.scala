@@ -89,6 +89,51 @@ class GeoTiffSpec extends AnyFunSuite {
     }
   }
 
+  test("S4 round trip: tiled layout, edge tiles clipped, all codecs") {
+    // 48x40 with 16px tiles → 3x3 grid, bottom row padded (40 % 16 = 8):
+    // exercises the scatter-copy clip on BOTH axes via the 16-multiple
+    // minimum tile size against a non-multiple height
+    for (comp <- Seq(1, 5, 8); be <- Seq(false, true)) {
+      val meta = GeoTiffFixture.meta.copy(dataset = s"tiled_${comp}_$be.tif")
+      val bytes = GeoTiff.write(meta, GeoTiffFixture.values,
+        bigEndian = be, compression = comp, tileSize = 16)
+      val r = GeoTiff.parse(meta.dataset, bytes)
+      assert(r.meta.crs == "EPSG:32643" && r.meta.nodata.contains(-1.0))
+      assert(r.values.sameElements(GeoTiffFixture.values),
+        s"tiled pixel mismatch at comp=$comp be=$be")
+    }
+  }
+
+  test("S4 tiled: single-tile raster uses the inline offset path") {
+    val meta = GridMeta("one.tif", 0.01, 0.0, 77.0, 0.0, -0.01, 29.0,
+      "EPSG:4326", width = 7, height = 5, nodata = None, scaleM = 1113)
+    val values = Array.tabulate(35)(_.toFloat)
+    val r = GeoTiff.parse("one.tif",
+      GeoTiff.write(meta, values, tileSize = 16)) // 1 tile ≥ whole raster
+    assert(r.values.sameElements(values))
+  }
+
+  test("S4 tiled: bad tile geometry fails loudly") {
+    val meta = GeoTiffFixture.meta
+    intercept[IllegalArgumentException] {
+      GeoTiff.write(meta, GeoTiffFixture.values, tileSize = 20) // not 16-mult
+    }
+    // a tiled file whose tile count disagrees with the grid must not parse
+    val good = GeoTiff.write(meta, GeoTiffFixture.values, tileSize = 16)
+    val buf = java.nio.ByteBuffer.wrap(good.clone())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // find tag 257 (ImageLength) in the IFD and shrink the image: the
+    // promised 3x3 tile grid then disagrees with the stored tile count
+    val ifd = buf.getInt(4)
+    val n = buf.getShort(ifd) & 0xFFFF
+    val at = (0 until n).map(i => ifd + 2 + i * 12)
+      .find(a => (buf.getShort(a) & 0xFFFF) == 257).get
+    buf.putShort(at + 8, 8.toShort)
+    intercept[IllegalArgumentException] {
+      GeoTiff.parse("bad.tif", buf.array())
+    }
+  }
+
   test("LZW codec round-trips data that forces 10-bit codes and a known vector") {
     // > 253 distinct-phrase additions forces the 9→10-bit early change
     val rnd = new scala.util.Random(7)
@@ -106,10 +151,10 @@ class GeoTiffSpec extends AnyFunSuite {
     // cross-validation against an independent codec: the JDK ImageIO TIFF
     // plugin (Java 9+) reads our compressed output, so encoder bugs can't
     // hide behind a mirrored decoder bug
-    for (comp <- Seq(5, 8)) {
-      val meta = GeoTiffFixture.meta.copy(dataset = s"xval_$comp.tif")
+    for (comp <- Seq(5, 8); tile <- Seq(0, 16)) {
+      val meta = GeoTiffFixture.meta.copy(dataset = s"xval_${comp}_$tile.tif")
       val bytes = GeoTiff.write(meta, GeoTiffFixture.values,
-        rowsPerStrip = 16, compression = comp)
+        rowsPerStrip = 16, compression = comp, tileSize = tile)
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -120,7 +165,7 @@ class GeoTiffSpec extends AnyFunSuite {
       val got = new Array[Float](meta.width * meta.height)
       raster.getPixels(0, 0, meta.width, meta.height, got)
       assert(got.sameElements(GeoTiffFixture.values),
-        s"JDK decode of compression=$comp disagrees with the input")
+        s"JDK decode of compression=$comp tile=$tile disagrees with the input")
       reader.dispose()
     }
   }
