@@ -653,6 +653,17 @@ object SparkEntry {
           target = 3.0)
         .select("doc_id", "lang", "source", "n_chars")),
 
+    // x36 — the END-TO-END curation product: language, quality,
+    // repetition, and decontamination gates plus near-dup cluster removal
+    // composed into the kept corpus. Every gate is the oracle-proven
+    // x7/x8/x23/x21/x27 logic; the COMPOSITION itself is oracle-checked
+    // (src0 plays the eval benchmark, as in x21).
+    "x36_curation_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      ext.Curation.curationPipeline(docs,
+        docs.filter(col("source") === "src0"))
+    }),
+
     // ---- extensions: text analysis
     "x7_lang_id" -> ((s, d) =>
       t(s, d, "documents")
@@ -969,6 +980,105 @@ object SparkEntry {
            UNION
            SELECT w.id, u.t FROM walk w JOIN und u ON u.s = w.cur),
          cc AS (SELECT id, MIN(cur) AS rep FROM walk GROUP BY id)"""
+
+  /** x7's stopword-argmax language CTEs → `lang(doc_id, pred_lang)` —
+    * shared by x7 and the composed x36 pipeline. The CASE priority (zh >
+    * fr > es > en > de on tied hit counts) mirrors the engine's
+    * greatest-of-structs tiebreak: max (hits, lang) lexicographically. */
+  private val langCtes =
+    """lhits AS (
+           SELECT doc_id,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t IN ('der','die','das','und','ist','nicht','ein','mit','für','von'))) AS h_de,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t IN ('the','and','of','to','in','is','that','with','for','was'))) AS h_en,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t IN ('el','la','los','las','es','una','para','con','del','por'))) AS h_es,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t IN ('le','la','les','et','est','une','dans','pour','que','pas'))) AS h_fr,
+             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               t -> t IN ('的','是','不','了','在','人','有','我','他','这'))) AS h_zh
+           FROM documents),
+         lang AS (
+           SELECT doc_id,
+             CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                  WHEN h_zh = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'zh'
+                  WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+                  WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+                  WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+                  ELSE 'de' END AS pred_lang
+           FROM lhits)"""
+
+  /** x8's quality-signal CTEs → `qual(doc_id, …signals…, quality)` —
+    * shared by x8 and x36. */
+  private val qualityCtes =
+    """qsig AS (
+           SELECT doc_id,
+                  CAST(length(text) AS DOUBLE) AS n_chars,
+                  CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE) AS n_tokens,
+                  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS n_punct,
+                  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digit,
+                  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    t -> t IN ('the','and','of','to','in','is','that','with','for','was'))) AS DOUBLE) AS sw_hits
+           FROM documents),
+         qual AS (
+           SELECT doc_id, n_chars, n_tokens,
+                  n_punct / greatest(n_chars, 1.0) AS punct_ratio,
+                  n_digit / greatest(n_chars, 1.0) AS digit_ratio,
+                  sw_hits / greatest(n_tokens, 1.0) AS stopword_ratio,
+                  (n_chars - n_tokens + 1) / greatest(n_tokens, 1.0) AS mean_word_len,
+                  (least(n_tokens / 20.0, 1.0)
+                   + greatest(0.0, 1.0 - (n_punct / greatest(n_chars, 1.0)) * 5.0)
+                   + greatest(0.0, 1.0 - (n_digit / greatest(n_chars, 1.0)) * 5.0)
+                   + least((sw_hits / greatest(n_tokens, 1.0)) * 5.0, 1.0)) / 4.0 AS quality
+           FROM qsig)"""
+
+  /** x23's repetition-ratio CTEs → `rep(doc_id, n_grams, n_distinct,
+    * rep_ratio, keep)` — shared by x23 and x36. */
+  private val repCtes =
+    """rtok AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              t -> length(t) > 0) AS l
+           FROM documents),
+         rep AS (
+           SELECT doc_id,
+                  CAST(greatest(len(l) - 1, 0) AS BIGINT) AS n_grams,
+                  CAST(len(list_distinct(
+                    list_transform(range(1, greatest(len(l), 1)),
+                      i -> l[i] || ' ' || l[i+1]))) AS BIGINT) AS n_distinct,
+                  CASE WHEN greatest(len(l) - 1, 0) > 0
+                       THEN 1.0 - CAST(len(list_distinct(
+                              list_transform(range(1, greatest(len(l), 1)),
+                                i -> l[i] || ' ' || l[i+1]))) AS DOUBLE)
+                            / greatest(len(l) - 1, 0)
+                       ELSE 0.0 END AS rep_ratio
+           FROM rtok)"""
+
+  /** x21's benchmark-contamination CTEs → `cont(doc_id, n_sh, n_hit,
+    * contamination)` (benchmark = src0) — shared by x21 and x36. String
+    * shingles mirror the engine's 64-bit hash comparison: counts coincide
+    * because collisions are immaterial, the same equivalence x4 uses. */
+  private val contamCtes =
+    """ctok AS (
+           SELECT doc_id, source,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              t -> length(t) > 0) AS l
+           FROM documents),
+         csh AS (
+           SELECT DISTINCT doc_id, source, unnest(list_filter(
+             list_transform(range(1, greatest(len(l) - 1, 1)),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]),
+             x -> x IS NOT NULL)) AS shingle
+           FROM ctok),
+         cbench AS (SELECT DISTINCT shingle FROM csh WHERE source = 'src0'),
+         csizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM csh GROUP BY 1),
+         chits AS (SELECT s.doc_id, COUNT(*) AS n_hit FROM csh s
+                   JOIN cbench b ON b.shingle = s.shingle GROUP BY 1),
+         cont AS (
+           SELECT z.doc_id, z.n_sh, COALESCE(h.n_hit, 0) AS n_hit,
+                  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / z.n_sh AS contamination
+           FROM csizes z LEFT JOIN chits h ON h.doc_id = z.doc_id)"""
 
   def oracleSql: Map[String, String] = Map(
     "s1_scan_project" ->
@@ -1303,24 +1413,8 @@ object SparkEntry {
     // 64-bit shingle hashes; counts coincide because collisions are
     // immaterial — the same equivalence x4 relies on)
     "x21_contamination" ->
-      """WITH tok AS (
-           SELECT doc_id, source,
-                  list_filter(regexp_split_to_array(lower(text), '\s+'),
-                              t -> length(t) > 0) AS l
-           FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id, source, unnest(list_filter(
-             list_transform(range(1, greatest(len(l) - 1, 1)),
-               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]),
-             x -> x IS NOT NULL)) AS shingle
-           FROM tok),
-         bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
-         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-         hits AS (SELECT s.doc_id, COUNT(*) AS n_hit FROM sh s
-                  JOIN bench b ON b.shingle = s.shingle GROUP BY 1)
-         SELECT z.doc_id, z.n_sh, COALESCE(h.n_hit, 0) AS n_hit,
-                CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / z.n_sh AS contamination
-         FROM sizes z LEFT JOIN hits h ON h.doc_id = z.doc_id""",
+      s"""WITH $contamCtes
+          SELECT doc_id, n_sh, n_hit, contamination FROM cont""",
 
     // x22 — splitmix64 finalizer replayed in HUGEINT (the x3/x16 mulmod
     // technique), then Spark's signed pmod(·,100) mirrored on the
@@ -1433,26 +1527,10 @@ object SparkEntry {
     // x23 — repetition ratio from unhashed 2-grams; exact rational both
     // sides, so the keep cut at 0.5 is bit-stable
     "x23_repetition" ->
-      """WITH tok AS (
-           SELECT doc_id,
-                  list_filter(regexp_split_to_array(lower(text), '\s+'),
-                              t -> length(t) > 0) AS l
-           FROM documents),
-         g AS (
-           SELECT doc_id,
-                  CAST(greatest(len(l) - 1, 0) AS BIGINT) AS n_grams,
-                  CAST(len(list_distinct(
-                    list_transform(range(1, greatest(len(l), 1)),
-                      i -> l[i] || ' ' || l[i+1]))) AS BIGINT) AS n_distinct
-           FROM tok)
-         SELECT doc_id, n_grams, n_distinct,
-                CASE WHEN n_grams > 0
-                     THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_grams
-                     ELSE 0.0 END AS rep_ratio,
-                (CASE WHEN n_grams > 0
-                      THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_grams
-                      ELSE 0.0 END) <= 0.5 AS keep
-         FROM g""",
+      s"""WITH $repCtes
+          SELECT doc_id, n_grams, n_distinct, rep_ratio,
+                 rep_ratio <= 0.5 AS keep
+          FROM rep""",
 
     // x31 — DuckDB ships nfc_normalize (UAX #15, same normalization the
     // JDK Normalizer implements); the injected tail is rebuilt from chr()
@@ -1571,6 +1649,29 @@ object SparkEntry {
           SELECT doc_id, lang, source, n_chars FROM sgn
           WHERE ((sh % 1048576) + 1048576) % 1048576 < keep_below""",
 
+    // x36 — the full curation chain composed from the shared fragments
+    // each single-gate oracle already proves (lang/qual/rep/cont CTEs and
+    // the jaccard-edge + recursive-component closure), so the only new
+    // assertion here is the composition semantics: inner joins on the
+    // per-doc gates (contamination's inner join drops shingle-less docs,
+    // the x21 convention), conjunctive cuts, and the cluster anti-join
+    "x36_curation_pipeline" ->
+      s"""WITH RECURSIVE $componentCtes,
+          $langCtes,
+          $qualityCtes,
+          $repCtes,
+          $contamCtes
+          SELECT d.doc_id, d.lang, d.source, d.n_chars, q.quality,
+                 c.contamination
+          FROM documents d
+          JOIN lang l ON l.doc_id = d.doc_id
+          JOIN qual q ON q.doc_id = d.doc_id
+          JOIN rep r ON r.doc_id = d.doc_id
+          JOIN cont c ON c.doc_id = d.doc_id
+          WHERE l.pred_lang = 'en' AND q.quality >= 0.5
+            AND r.rep_ratio <= 0.5 AND c.contamination < 0.5
+            AND d.doc_id NOT IN (SELECT id FROM cc WHERE rep <> id)""",
+
     "x11_topk_per_label" ->
       s"""WITH scored AS (
             SELECT label, vec_id, $cosSql AS cos FROM embeddings),
@@ -1583,48 +1684,14 @@ object SparkEntry {
           FROM ranked WHERE rank <= 3""",
 
     "x7_lang_id" ->
-      """WITH hits AS (
-           SELECT doc_id,
-             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-               t -> t IN ('der','die','das','und','ist','nicht','ein','mit','für','von'))) AS h_de,
-             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-               t -> t IN ('the','and','of','to','in','is','that','with','for','was'))) AS h_en,
-             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-               t -> t IN ('el','la','los','las','es','una','para','con','del','por'))) AS h_es,
-             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-               t -> t IN ('le','la','les','et','est','une','dans','pour','que','pas'))) AS h_fr,
-             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-               t -> t IN ('的','是','不','了','在','人','有','我','他','这'))) AS h_zh
-           FROM documents)
-         SELECT doc_id,
-           CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
-                WHEN h_zh = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'zh'
-                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
-                WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
-                WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
-                ELSE 'de' END AS pred_lang
-         FROM hits""",
+      s"""WITH $langCtes
+          SELECT doc_id, pred_lang FROM lang""",
 
     "x8_quality" ->
-      """WITH sig AS (
-           SELECT doc_id,
-                  CAST(length(text) AS DOUBLE) AS n_chars,
-                  CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE) AS n_tokens,
-                  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS n_punct,
-                  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digit,
-                  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-                    t -> t IN ('the','and','of','to','in','is','that','with','for','was'))) AS DOUBLE) AS sw_hits
-           FROM documents)
-         SELECT doc_id, n_chars, n_tokens,
-                n_punct / greatest(n_chars, 1.0) AS punct_ratio,
-                n_digit / greatest(n_chars, 1.0) AS digit_ratio,
-                sw_hits / greatest(n_tokens, 1.0) AS stopword_ratio,
-                (n_chars - n_tokens + 1) / greatest(n_tokens, 1.0) AS mean_word_len,
-                (least(n_tokens / 20.0, 1.0)
-                 + greatest(0.0, 1.0 - (n_punct / greatest(n_chars, 1.0)) * 5.0)
-                 + greatest(0.0, 1.0 - (n_digit / greatest(n_chars, 1.0)) * 5.0)
-                 + least((sw_hits / greatest(n_tokens, 1.0)) * 5.0, 1.0)) / 4.0 AS quality
-         FROM sig""",
+      s"""WITH $qualityCtes
+          SELECT doc_id, n_chars, n_tokens, punct_ratio, digit_ratio,
+                 stopword_ratio, mean_word_len, quality
+          FROM qual""",
 
     "x9_token_count" ->
       """SELECT doc_id,

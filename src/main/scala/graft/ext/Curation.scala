@@ -159,21 +159,81 @@ object Curation {
     * algebra — no shuffle, no UDF. Docs with zero k-grams (shorter than k
     * tokens) report ratio 0 and keep=true: no evidence of repetition. */
   def repetitionRatio(docs: DataFrame, k: Int = 2,
-                      maxRatio: Double = 0.5): DataFrame = {
-    // the FILTERED token count (empty strings from leading/repeated
-    // whitespace dropped) — the same tokenization ShingleHashes applies,
-    // so total and distinct count the same gram population
-    val toks = filter(split(lower(col("text")), "\\s+"),
-      t => length(t) > 0)
-    val total = greatest(size(toks) - (k - 1), lit(0)).cast("long")
-    val distinctK =
-      size(Dedup.tokenHashes(col("text"), k)).cast("long")
+                      maxRatio: Double = 0.5): DataFrame =
     docs
-      .select(col("doc_id"), total.as("n_grams"), distinctK.as("n_distinct"))
+      .select(col("doc_id"), repGramCounts(k)._1.as("n_grams"),
+              repGramCounts(k)._2.as("n_distinct"))
       .withColumn("rep_ratio",
         when(col("n_grams") > 0,
           lit(1.0) - col("n_distinct").cast("double") / col("n_grams"))
         .otherwise(lit(0.0)))
       .withColumn("keep", col("rep_ratio") <= maxRatio)
+
+  /** (total, distinct) k-gram counts of the `text` column — the FILTERED
+    * token count (empty strings from leading/repeated whitespace dropped)
+    * matches the tokenization ShingleHashes applies, so total and
+    * distinct count the same gram population. Pure columns, reusable
+    * inline by composite pipelines without a join. */
+  private def repGramCounts(k: Int): (org.apache.spark.sql.Column,
+                                      org.apache.spark.sql.Column) = {
+    val toks = filter(split(lower(col("text")), "\\s+"),
+      t => length(t) > 0)
+    (greatest(size(toks) - (k - 1), lit(0)).cast("long"),
+     size(Dedup.tokenHashes(col("text"), k)).cast("long"))
+  }
+
+  /** The repetition keep-flag as a single column (see
+    * [[repetitionRatio]]). */
+  def repetitionKeep(k: Int = 2, maxRatio: Double = 0.5)
+      : org.apache.spark.sql.Column = {
+    val (total, dist) = repGramCounts(k)
+    when(total > 0,
+      lit(1.0) - dist.cast("double") / total <= maxRatio)
+      .otherwise(lit(true))
+  }
+
+  /** END-TO-END corpus curation — the composed product every upstream
+    * operator exists to feed: the KEPT corpus after the standard filter
+    * chain of a training-data pipeline:
+    *
+    *  1. language gate   — predicted language == `keepLang` (x7's langId)
+    *  2. quality gate    — composite quality score >= `minQuality` (x8)
+    *  3. repetition gate — duplicate-2-gram ratio <= `maxRep` (x23)
+    *  4. decontamination — benchmark shingle overlap < `maxContam` (x21)
+    *  5. near-dedup      — drop non-representative members of exact-
+    *                       jaccard duplicate clusters (x4 edges → x27
+    *                       components → x28 semantics)
+    *
+    * Gates 1-3 are pure columns computed in ONE scan (no joins); gate 4
+    * joins the per-doc contamination aggregate (benchmark side broadcast);
+    * gate 5 anti-joins the bounded cluster drop-list. At 100 TB the plan
+    * is: one corpus scan for the signal columns, the x21-shaped
+    * contamination join, the x4/x27 dedup machinery on its own key space,
+    * one anti-join — nothing quadratic, nothing driver-side. Docs whose
+    * shingle set is empty cannot be contamination-scored and are dropped
+    * (the x21 convention). */
+  def curationPipeline(docs: DataFrame, benchmark: DataFrame,
+                       keepLang: String = "en", minQuality: Double = 0.5,
+                       maxRep: Double = 0.5, maxContam: Double = 0.5,
+                       minJaccard: Double = 0.4): DataFrame = {
+    val sig = docs.select(col("doc_id"), col("lang"), col("source"),
+      col("n_chars"),
+      TextOps.langId(col("text")).as("pred_lang"),
+      TextOps.qualityScore(col("text")).as("quality"),
+      repetitionKeep(k = 2, maxRatio = maxRep).as("rep_keep"))
+    val cont = contamination(docs, benchmark)
+      .select(col("doc_id"), col("contamination"))
+    val drop = Dedup.connectedComponents(
+        Dedup.jaccardPairs(docs, shingleK = 3, minJaccard = minJaccard)
+          .select("doc_a", "doc_b"))
+      .where(col("rep_id") =!= col("doc_id"))
+      .select("doc_id")
+    sig.join(cont, "doc_id")
+      .filter(col("pred_lang") === keepLang &&
+        col("quality") >= minQuality && col("rep_keep") &&
+        col("contamination") < maxContam)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars", "quality",
+        "contamination")
   }
 }

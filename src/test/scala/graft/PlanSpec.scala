@@ -214,4 +214,53 @@ class PlanSpec extends AnyFunSuite {
     // exactly one window (the per-doc rank); tf/df are hash aggs
     assert(p.contains("HashAggregate"), s"no hash agg:\n$p")
   }
+
+  test("x31/x32 cleansing: pure narrow column work, no exchange, no UDF") {
+    for (q <- Seq("x31_normalize", "x32_pii_redact")) {
+      val p = executed(q).toString
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+      assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+        s"$q uses a UDF:\n$p")
+    }
+  }
+
+  test("x34 bm25: single-row stats broadcast, top-k without a global sort") {
+    val p = executed("x34_bm25").toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-k is a full sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+           p.contains("BroadcastExchange"),
+      s"stats row not broadcast:\n$p")
+    // the per-doc tf/dl side must NOT shuffle — it is a narrow projection
+    // feeding the broadcast join directly
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus side shuffled for the stats join:\n$p")
+  }
+
+  test("x35 inverse-sqrt resample: stratum counts broadcast back, corpus " +
+       "side never shuffles") {
+    val p = executed("x35_temp_resample").toString
+    assert(p.contains("BroadcastHashJoin"), s"counts join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus shuffled for the rate join:\n$p")
+  }
+
+  test("x36 curation pipeline: gates fused into the scan, benchmark " +
+       "broadcast, nothing quadratic") {
+    val p = executed("x36_curation_pipeline").toString
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), s"quadratic join:\n$p")
+    // the contamination benchmark side must broadcast (x21 shape)
+    assert(p.contains("BroadcastHashJoin"), s"benchmark not broadcast:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"UDF in the gate columns:\n$p")
+  }
+
+  test("x33 line dedup: df keyed on line hashes — aggregates before the " +
+       "join-back, no cartesian") {
+    val p = executed("x33_line_dedup").toString
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), s"quadratic join:\n$p")
+    assert(p.contains("xxhash64"), s"line df not keyed on the hash:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash agg for line df:\n$p")
+  }
 }

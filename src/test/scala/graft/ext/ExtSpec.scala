@@ -589,6 +589,28 @@ class ExtSpec extends AnyFunSuite {
     assert(Curation.inverseSqrtSample(d, "source", target = 100.0).count() == 2000)
   }
 
+  test("curationPipeline: each gate drops its target, survivors pass all") {
+    val en = "the cat and the dog went to the market in town for food and water was there"
+    val corpus = Seq(
+      (1L, en + " extra words here", "web", "keeper"),          // survives
+      (2L, "le chat est dans la maison pour le moment et pas une", "web", "french"), // lang gate
+      (3L, "spam spam spam spam spam spam spam spam spam spam", "web", "repeat"), // repetition gate
+      (4L, en + " extra words here too", "web", "neardup"),     // near-dup of 1 → cluster, rep kept is min id
+      (5L, en + " benchmark copy", "bench", "contaminated")     // high overlap with benchmark
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val bench = corpus.filter(col("source") === "bench")
+    val kept = Curation.curationPipeline(corpus, bench,
+        keepLang = "en", minQuality = 0.3, maxRep = 0.5,
+        maxContam = 0.6, minJaccard = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L), "the clean English doc must survive")
+    assert(!kept.contains(2L), "French doc must fail the language gate")
+    assert(!kept.contains(3L), "looping doc must fail the repetition gate")
+    assert(!kept.contains(4L), "near-dup cluster member must be dropped (rep = min id 1)")
+    assert(!kept.contains(5L), "benchmark-overlapping doc must be dropped")
+  }
+
   test("StringShingles: distinct grams, first-occurrence order, short-doc empty") {
     import graft.functions.StringShingles
     assert(StringShingles.stringShingles("A  b\tA b c", 2).toSeq ==
