@@ -64,11 +64,12 @@ object GeoTiff {
     }
   }
 
-  /** Pixel-chunk layout: offsets/byte-counts of strips or tiles, plus the
+  /** Pixel-chunk layout: offsets/byte-counts of strips or tiles, the
     * tile geometry when tiled (None = striped, chunks are consecutive
-    * row bands). */
+    * row bands), and the predictor applied inside each chunk. */
   private final case class Layout(chunks: IndexedSeq[(Long, Long)],
-                                  tile: Option[(Int, Int)])
+                                  tile: Option[(Int, Int)],
+                                  predictor: Int)
 
   /** Parse metadata only — never touches pixel data (S11 metadata
     * inspection stays cheap on big rasters). Returns the grid plus the
@@ -103,11 +104,15 @@ object GeoTiff {
     val compression = intOr(259, 1).toInt
     val spp = intOr(277, 1)
     val fmt = intOr(339, 1)
-    val predictor = intOr(317, 1)
+    val predictor = intOr(317, 1).toInt
     require(Set(1, 5, 8, 32946)(compression),
       s"GeoTIFF $dataset: unsupported Compression=$compression (1/5/8/32946)")
-    require(predictor == 1,
-      s"GeoTIFF $dataset: only Predictor=1 supported (got $predictor)")
+    // 1 = none; 3 = TIFF TechNote 3 floating-point predictor (byte-plane
+    // split + horizontal differencing), what GDAL emits for float rasters
+    // with PREDICTOR=3. Predictor 2 (integer differencing) cannot apply to
+    // the float32-only subset and stays rejected.
+    require(predictor == 1 || predictor == 3,
+      s"GeoTIFF $dataset: only Predictor=1/3 supported (got $predictor)")
     require(bits == 32 && fmt == 3,
       s"GeoTIFF $dataset: only float32 supported (BitsPerSample=$bits, SampleFormat=$fmt)")
     require(spp == 1, s"GeoTIFF $dataset: only single-band supported (SamplesPerPixel=$spp)")
@@ -125,13 +130,13 @@ object GeoTiff {
         val expect = ((width + tw - 1) / tw) * ((height + th - 1) / th)
         require(offs.length == expect,
           s"GeoTIFF $dataset: ${offs.length} tiles for a $expect-tile grid")
-        Layout(offs.zip(counts), Some((tw, th)))
+        Layout(offs.zip(counts), Some((tw, th)), predictor)
       } else {
         val stripOffsets = req(273, "StripOffsets").ints
         val stripCounts = req(279, "StripByteCounts").ints
         require(stripOffsets.length == stripCounts.length,
           s"GeoTIFF $dataset: strip offset/count mismatch")
-        Layout(stripOffsets.zip(stripCounts), None)
+        Layout(stripOffsets.zip(stripCounts), None, predictor)
       }
 
     val scale = req(33550, "ModelPixelScale").doubles
@@ -188,27 +193,94 @@ object GeoTiff {
         ByteBuffer.wrap(out.toByteArray).order(buf.order())
     }
 
+  /** Undo the TIFF TechNote 3 floating-point predictor over one chunk:
+    * per `rowBytes`-wide row, cumulative-sum the horizontal byte deltas,
+    * then reassemble each float from its four byte planes (most
+    * significant first — the predictor's layout is defined big-endian
+    * independent of the file's byte order). Returns a BIG_ENDIAN buffer
+    * of plain float32 rows. */
+  private def undoFpPredictor(raw: ByteBuffer, rowBytes: Int): ByteBuffer = {
+    val data = new Array[Byte](raw.remaining())
+    raw.duplicate().get(data)
+    require(data.length % rowBytes == 0,
+      s"fp-predictor chunk of ${data.length} bytes is not whole $rowBytes-byte rows")
+    val w = rowBytes / 4
+    val out = new Array[Byte](data.length)
+    var r = 0
+    while (r < data.length / rowBytes) {
+      val base = r * rowBytes
+      var i = 1
+      while (i < rowBytes) { // undo horizontal differencing
+        data(base + i) = (data(base + i) + data(base + i - 1)).toByte
+        i += 1
+      }
+      var j = 0
+      while (j < w) { // de-interleave the four byte planes
+        out(base + 4 * j) = data(base + j)
+        out(base + 4 * j + 1) = data(base + w + j)
+        out(base + 4 * j + 2) = data(base + 2 * w + j)
+        out(base + 4 * j + 3) = data(base + 3 * w + j)
+        j += 1
+      }
+      r += 1
+    }
+    ByteBuffer.wrap(out).order(ByteOrder.BIG_ENDIAN)
+  }
+
+  /** Apply the floating-point predictor (inverse of [[undoFpPredictor]]):
+    * split each row's floats into big-endian byte planes, then difference
+    * horizontally. */
+  private def applyFpPredictor(rows: Int, w: Int,
+                               get: Int => Float): Array[Byte] = {
+    val rowBytes = w * 4
+    val out = new Array[Byte](rows * rowBytes)
+    var r = 0
+    while (r < rows) {
+      val base = r * rowBytes
+      var j = 0
+      while (j < w) {
+        val bits = java.lang.Float.floatToIntBits(get(r * w + j))
+        out(base + j) = (bits >>> 24).toByte
+        out(base + w + j) = (bits >>> 16).toByte
+        out(base + 2 * w + j) = (bits >>> 8).toByte
+        out(base + 3 * w + j) = bits.toByte
+        j += 1
+      }
+      var i = rowBytes - 1
+      while (i >= 1) {
+        out(base + i) = (out(base + i) - out(base + i - 1)).toByte
+        i -= 1
+      }
+      r += 1
+    }
+    out
+  }
+
   /** Parse a whole raster: metadata + row-major float32 pixels. */
   def parse(dataset: String, bytes: Array[Byte]): Raster = {
     val (meta, layout, buf, compression) = parseMeta(dataset, bytes)
     val values = new Array[Float](meta.width * meta.height)
+    def chunk(off: Long, count: Long, rowBytes: Int): ByteBuffer = {
+      val raw = decodeChunk(dataset, buf, compression, off, count)
+      if (layout.predictor == 3) undoFpPredictor(raw, rowBytes) else raw
+    }
     layout match {
-      case Layout(strips, None) =>
+      case Layout(strips, None, _) =>
         var k = 0
         strips.foreach { case (off, count) =>
-          val raw = decodeChunk(dataset, buf, compression, off, count)
+          val raw = chunk(off, count, meta.width * 4)
           while (raw.remaining() >= 4 && k < values.length) {
             values(k) = raw.getFloat; k += 1
           }
         }
         require(k == values.length,
           s"GeoTIFF $dataset: strip data holds $k pixels, header promises ${values.length}")
-      case Layout(tiles, Some((tw, th))) =>
+      case Layout(tiles, Some((tw, th)), _) =>
         // tiles are row-major over a ceil(w/tw) x ceil(h/th) grid; edge
         // tiles are PADDED to full tw x th (TIFF6) — clip the scatter-copy
         val tilesAcross = (meta.width + tw - 1) / tw
         tiles.zipWithIndex.foreach { case ((off, count), idx) =>
-          val raw = decodeChunk(dataset, buf, compression, off, count)
+          val raw = chunk(off, count, tw * 4)
           require(raw.remaining() >= tw * th * 4,
             s"GeoTIFF $dataset: tile $idx holds ${raw.remaining() / 4} pixels, expected ${tw * th}")
           val x0 = (idx % tilesAcross) * tw
@@ -311,7 +383,7 @@ object GeoTiff {
     * tiles zero-padded to full size per TIFF6). */
   def write(meta: GridMeta, values: Array[Float], rowsPerStrip: Int = 64,
             bigEndian: Boolean = false, compression: Int = 1,
-            tileSize: Int = 0): Array[Byte] = {
+            tileSize: Int = 0, predictor: Int = 1): Array[Byte] = {
     require(meta.b == 0.0 && meta.d == 0.0 && meta.a > 0 && meta.e < 0,
       "GeoTIFF writer: only north-up affine grids")
     require(values.length == meta.width * meta.height,
@@ -320,17 +392,19 @@ object GeoTiff {
       s"GeoTIFF writer: unsupported compression $compression (1/5/8)")
     require(tileSize == 0 || (tileSize > 0 && tileSize % 16 == 0),
       s"GeoTIFF writer: tileSize must be 0 (striped) or a positive multiple of 16, got $tileSize")
+    require(predictor == 1 || predictor == 3,
+      s"GeoTIFF writer: predictor must be 1 or 3, got $predictor")
     val epsg = meta.crs.stripPrefix("EPSG:").toInt
     val geographic = epsg == 4326
     val tiled = tileSize > 0
-    def pack(bb: ByteBuffer): Array[Byte] = compression match {
-      case 1 => bb.array()
-      case 5 => Lzw.encode(bb.array())
+    def pack(arr: Array[Byte]): Array[Byte] = compression match {
+      case 1 => arr
+      case 5 => Lzw.encode(arr)
       case 8 =>
         // fixed level so fixture bytes stay deterministic across JDKs
         val d = new java.util.zip.Deflater(6)
-        d.setInput(bb.array()); d.finish()
-        val out = new java.io.ByteArrayOutputStream(bb.capacity() / 2 + 16)
+        d.setInput(arr); d.finish()
+        val out = new java.io.ByteArrayOutputStream(arr.length / 2 + 16)
         val chunk = new Array[Byte](8192)
         while (!d.finished()) out.write(chunk, 0, d.deflate(chunk))
         d.end()
@@ -347,29 +421,32 @@ object GeoTiff {
       if (tiled) (0 until nStrips).map { idx =>
         val x0 = (idx % tilesAcross) * tileSize
         val y0 = (idx / tilesAcross) * tileSize
-        val bb = newBuf(tileSize * tileSize * 4)
-        var ty = 0
-        while (ty < tileSize) {
-          var tx = 0
-          while (tx < tileSize) {
-            val (x, y) = (x0 + tx, y0 + ty)
-            bb.putFloat(
-              if (x < meta.width && y < meta.height) values(y * meta.width + x)
-              else 0.0f)
-            tx += 1
-          }
-          ty += 1
+        def at(k: Int): Float = {
+          val (x, y) = (x0 + k % tileSize, y0 + k / tileSize)
+          if (x < meta.width && y < meta.height) values(y * meta.width + x)
+          else 0.0f
         }
-        pack(bb)
+        pack(
+          if (predictor == 3) applyFpPredictor(tileSize, tileSize, at)
+          else {
+            val bb = newBuf(tileSize * tileSize * 4)
+            var k = 0
+            while (k < tileSize * tileSize) { bb.putFloat(at(k)); k += 1 }
+            bb.array()
+          })
       }
       else (0 until nStrips).map { s =>
         val rows = math.min(rowsPerStrip, meta.height - s * rowsPerStrip)
-        val bb = newBuf(rows * meta.width * 4)
-        var i = 0
-        while (i < rows * meta.width) {
-          bb.putFloat(values(s * rowsPerStrip * meta.width + i)); i += 1
-        }
-        pack(bb)
+        val base = s * rowsPerStrip * meta.width
+        pack(
+          if (predictor == 3)
+            applyFpPredictor(rows, meta.width, k => values(base + k))
+          else {
+            val bb = newBuf(rows * meta.width * 4)
+            var i = 0
+            while (i < rows * meta.width) { bb.putFloat(values(base + i)); i += 1 }
+            bb.array()
+          })
       }
     val stripBytes = stripData.map(_.length)
     val nodataAscii = meta.nodata.map(nd =>
@@ -377,8 +454,10 @@ object GeoTiff {
 
     // tags in ascending order, as the spec requires: 13 fixed striped tags
     // (256,257,258,259,262,273,277,278,279,339,33550,33922,34735) or 14
-    // tiled ones (277 then 322,323,324,325 replacing 273/278/279) + nodata
-    val nTags = (if (tiled) 14 else 13) + nodataAscii.size
+    // tiled ones (277 then 322,323,324,325 replacing 273/278/279),
+    // + Predictor (317) when used, + nodata
+    val nTags = (if (tiled) 14 else 13) +
+      (if (predictor == 3) 1 else 0) + nodataAscii.size
     val ifdAt = 8
     val ifdSize = 2 + nTags * 12 + 4
     var extAt = ifdAt + ifdSize // external value area cursor
@@ -431,7 +510,9 @@ object GeoTiff {
       tag(278, 3, 1, rowsPerStrip)
       if (nStrips > 1) tag(279, 4, nStrips, stripCountsAt)
       else tag(279, 4, 1, stripBytes.head)
-    } else {
+    }
+    if (predictor == 3) tag(317, 3, 1, 3)
+    if (tiled) {
       tag(322, 3, 1, tileSize)
       tag(323, 3, 1, tileSize)
       if (nStrips > 1) tag(324, 4, nStrips, stripOffsetsAt)

@@ -113,6 +113,35 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(r.values.sameElements(values))
   }
 
+  test("S4 round trip: floating-point predictor (Predictor=3), striped " +
+       "and tiled, both codecs and endiannesses") {
+    // GDAL's COMPRESS=DEFLATE + PREDICTOR=3 is the standard float-raster
+    // export recipe; byte-plane splitting must round-trip bit-exactly
+    // (including NaN payloads and negative zero)
+    val special = GeoTiffFixture.values.clone()
+    special(0) = Float.NaN; special(1) = -0.0f
+    special(2) = Float.MinPositiveValue; special(3) = Float.NegativeInfinity
+    for (comp <- Seq(1, 5, 8); tile <- Seq(0, 16); be <- Seq(false, true)) {
+      val meta = GeoTiffFixture.meta.copy(dataset = s"fp_${comp}_${tile}_$be.tif")
+      val bytes = GeoTiff.write(meta, special, rowsPerStrip = 16,
+        bigEndian = be, compression = comp, tileSize = tile, predictor = 3)
+      val r = GeoTiff.parse(meta.dataset, bytes)
+      assert(r.meta.crs == "EPSG:32643" && r.meta.nodata.contains(-1.0))
+      // bit-exact compare (sameElements treats NaN != NaN)
+      assert(r.values.map(java.lang.Float.floatToRawIntBits)
+        .sameElements(special.map(java.lang.Float.floatToRawIntBits)),
+        s"fp-predictor mismatch at comp=$comp tile=$tile be=$be")
+    }
+    // predictor should actually help deflate on smooth data
+    val smooth = Array.tabulate(GeoTiffFixture.meta.width *
+      GeoTiffFixture.meta.height)(k => 1000.0f + k * 0.25f)
+    val plain = GeoTiff.write(GeoTiffFixture.meta, smooth, compression = 8)
+    val pred = GeoTiff.write(GeoTiffFixture.meta, smooth, compression = 8,
+      predictor = 3)
+    assert(pred.length < plain.length,
+      s"predictor did not shrink smooth data: ${pred.length} vs ${plain.length}")
+  }
+
   test("S4 tiled: bad tile geometry fails loudly") {
     val meta = GeoTiffFixture.meta
     intercept[IllegalArgumentException] {
