@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{Mix64, MinHashSignature, RollingFnvFingerprint, ShingleHashes, SimHash64, StringShingles}
+import graft.functions.{Mix64, MinHashSignature, RollingFnvFingerprint, ShingleHashes, ShingleHashesAll, SimHash64, StringShingles}
 
 /** SQL surface for the engine's custom expressions.
   *
@@ -56,6 +56,17 @@ object GraftExtensions {
     ShingleHashes(exprs.head, k)
   }
 
+  private def shingleAllBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      "shingle_hashes_all(text: string, k: int literal)")
+    val k = exprs(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"shingle_hashes_all: k must be an integer literal, got $other")
+    }
+    ShingleHashesAll(exprs.head, k)
+  }
+
   private def stringShingleBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2,
       "string_shingles(text: string, k: int literal)")
@@ -88,6 +99,10 @@ object GraftExtensions {
     ("shingle_hashes",
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       shingleBuilder _),
+    ("shingle_hashes_all",
+      new ExpressionInfo(classOf[ShingleHashesAll].getName,
+        "shingle_hashes_all"),
+      shingleAllBuilder _),
     ("string_shingles",
       new ExpressionInfo(classOf[StringShingles].getName, "string_shingles"),
       stringShingleBuilder _),

@@ -664,6 +664,16 @@ object SparkEntry {
         docs.filter(col("source") === "src0"))
     }),
 
+    // x37 — exact repeated-substring spans (suffix-array-style dedup, the
+    // Lee-et-al span census): maximal token spans whose 8-token windows
+    // all occur >= 2 times corpus-wide. The oracle replays the whole
+    // pipeline string-keyed (window hashes are engine-internal; 64-bit
+    // collisions are impossible at fixture scale), including the identical
+    // gaps-and-islands merge.
+    "x37_repeated_spans" -> ((s, d) =>
+      ext.Dedup.repeatedSpans(t(s, d, "documents"), windowK = 8,
+        minCount = 2)),
+
     // ---- extensions: text analysis
     "x7_lang_id" -> ((s, d) =>
       t(s, d, "documents")
@@ -1671,6 +1681,37 @@ object SparkEntry {
           WHERE l.pred_lang = 'en' AND q.quality >= 0.5
             AND r.rep_ratio <= 0.5 AND c.contamination < 0.5
             AND d.doc_id NOT IN (SELECT id FROM cc WHERE rep <> id)""",
+
+    // x37 — string-keyed replay of the window census: same tokenizer
+    // (lowercase, whitespace split, empties dropped), every 8-token
+    // window in position, corpus-wide occurrence count, and the identical
+    // gaps-and-islands span merge (windows chain while pos gap <= k)
+    "x37_repeated_spans" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '\s+'),
+             t -> length(t) > 0) AS l
+           FROM documents),
+         win AS (
+           SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+                  array_to_string(l[u.i+1 : u.i+8], ' ') AS gram
+           FROM tok, unnest(range(0, greatest(len(l)-8+1, 0))) AS u(i)),
+         dup AS (SELECT gram FROM win GROUP BY 1 HAVING COUNT(*) >= 2),
+         hits AS (SELECT w.doc_id, w.pos FROM win w
+                  WHERE w.gram IN (SELECT gram FROM dup)),
+         isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                       ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS brk
+           FROM hits),
+         grp AS (
+           SELECT doc_id, pos,
+                  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+           FROM isl)
+         SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+                CAST(MAX(pos)+7 AS BIGINT) AS span_end,
+                CAST(COUNT(*) AS BIGINT) AS n_windows
+         FROM grp GROUP BY doc_id, g""",
 
     "x11_topk_per_label" ->
       s"""WITH scored AS (

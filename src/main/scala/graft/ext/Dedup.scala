@@ -365,4 +365,83 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** 5. Exact repeated-substring spans — the distributed analogue of
+    * suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", which removes repeated
+    * ≥50-token spans rather than whole near-dup documents). A suffix
+    * array is inherently sequential; the shuffle-friendly equivalent is
+    * k-token window hashing: a span of ≥ k tokens repeats corpus-wide iff
+    * every one of its k-windows repeats, so
+    *
+    *  1. hash every k-token window IN POSITION (native ShingleHashesAll —
+    *     one interpreted-free pass per doc, duplicates kept),
+    *  2. count corpus-wide occurrences per window hash (ONE hash-agg
+    *     shuffle on the 64-bit key, partials combine map-side),
+    *  3. semi-join positions whose window repeats (`n_occ >= minCount`,
+    *     same-doc repeats included, matching the suffix-array census),
+    *  4. merge surviving positions into maximal spans per doc
+    *     (gaps-and-islands: window positions p, p' chain while
+    *     p' - p <= k, i.e. their token ranges overlap or touch; one
+    *     shuffle on doc_id).
+    *
+    * Output: one row per maximal span — (doc_id, span_start, span_end
+    * inclusive token indexes, n_windows). Spans shorter than k tokens
+    * cannot be detected (window resolution), exactly as the reference
+    * suffix-array approach bounds detection at its minimum match length.
+    *
+    * 100 TB posture: two content-keyed shuffles (window hash, doc_id) and
+    * a semi-join whose right side is the repeated-window set (heavy-tail
+    * bounded; AQE broadcasts it when small). No all-pairs, no driver
+    * state, no per-doc broadcast. Hash values are engine-internal —
+    * results depend only on hash distinctness (collision odds ~n²/2⁶⁴). */
+  def repeatedSpans(docs: DataFrame, windowK: Int = 8, minCount: Long = 2,
+                    textCol: String = "text"): DataFrame = {
+    require(windowK >= 2, s"windowK must be >= 2, got $windowK")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    import org.apache.spark.sql.expressions.Window
+    val win = docs.select(col("doc_id"),
+      posexplode(graft.functions.ShingleHashesAll(col(textCol), windowK))
+        .as(Seq("pos", "wh")))
+    val dup = win.groupBy("wh").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minCount)
+      .select("wh")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    win.join(dup, Seq("wh"), "left_semi")
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= windowK, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("g", sum("brk").over(byDoc))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min("pos").cast("long").as("span_start"),
+           (max("pos") + lit(windowK - 1)).cast("long").as("span_end"),
+           count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
+  /** Companion to [[repeatedSpans]]: rebuild each document's text with
+    * every repeated-span token removed (ALL occurrences — the
+    * conservative variant; Lee et al. keep one arbitrary occurrence,
+    * which requires electing a global owner per duplicate cluster). Docs
+    * with no spans pass through untouched via the left join. The per-doc
+    * span list is bounded (≤ nTokens/k maximal spans), so the
+    * collect_list/array lambda work is map-side small. */
+  def stripRepeatedSpans(docs: DataFrame, spans: DataFrame,
+                         textCol: String = "text"): DataFrame = {
+    val sp = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("spans"))
+    val toks = filter(split(lower(col(textCol)), "\\s+"),
+      t => length(t) > 0)
+    docs.join(sp, Seq("doc_id"), "left")
+      .withColumn("clean_text",
+        when(col("spans").isNull, lower(col(textCol)))
+          .otherwise(array_join(
+            filter(transform(toks, (t, i) => struct(i.as("i"), t.as("t"))),
+              s => !exists(col("spans"),
+                sp => s.getField("i").between(
+                  sp.getField("span_start"), sp.getField("span_end"))))
+            .getField("t"), " ")))
+      .select(col("doc_id"), col("clean_text"))
+  }
 }

@@ -32,6 +32,35 @@ case class ShingleHashes(child: Expression, k: Int)
   override def prettyName: String = "shingle_hashes"
 }
 
+/** Positional sibling of [[ShingleHashes]]: same tokenizer and hash
+  * family, but emitting EVERY k-gram window hash in document order with
+  * duplicates kept — element i is the hash of the window starting at token
+  * i. `posexplode` over the result yields (token position, window hash)
+  * pairs, the input shape for repeated-substring span detection
+  * (suffix-array-style dedup), where both the position and the repeat
+  * multiplicity matter and a distinct set would destroy them. */
+case class ShingleHashesAll(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    new GenericArrayData(ShingleHashes.shingleHashesAll(s, k))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hashes_all"
+}
+
+object ShingleHashesAll {
+  def apply(text: Column, k: Int): Column =
+    GraftBridge.column(ShingleHashesAll(GraftBridge.expression(text), k))
+}
+
 /** String sibling of [[ShingleHashes]]: tokenize → k-gram shingle →
   * distinct, but emitting the space-joined lowercased gram STRINGS rather
   * than hashes — for operators whose output is the gram itself (boilerplate
@@ -139,5 +168,40 @@ object ShingleHashes {
       s += 1
     }
     out.toArray
+  }
+
+  /** ALL k-gram window hashes of `text` in document order, duplicates
+    * kept — same tokenizer and hash family as [[shingleHashes]]; element i
+    * is the window starting at token i (length max(0, nTokens-k+1)). */
+  def shingleHashesAll(text: String, k: Int): Array[Long] = {
+    val tokHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var h = FNV_OFFSET
+    var inTok = false
+    var i = 0
+    val n = text.length
+    while (i <= n) {
+      val c = if (i < n) text.charAt(i) else ' '
+      if (Character.isWhitespace(c)) {
+        if (inTok) { tokHashes += h; h = FNV_OFFSET; inTok = false }
+      } else {
+        inTok = true
+        val lc = Character.toLowerCase(c)
+        h = (h ^ (lc & 0xFF)) * FNV_PRIME
+        h = (h ^ ((lc >> 8) & 0xFF)) * FNV_PRIME
+      }
+      i += 1
+    }
+    val m = tokHashes.length
+    if (m < k) return Array.emptyLongArray
+    val out = new Array[Long](m - k + 1)
+    var s = 0
+    while (s <= m - k) {
+      var sh = 0L
+      var j = 0
+      while (j < k) { sh = sh * COMBINE + tokHashes(s + j); j += 1 }
+      out(s) = HashExprs.mix64(sh)
+      s += 1
+    }
+    out
   }
 }

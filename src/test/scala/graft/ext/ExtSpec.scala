@@ -513,6 +513,46 @@ class ExtSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
   }
 
+  test("repeatedSpans finds maximal duplicated token spans") {
+    // doc1 = doc4 (13 tokens): all 6 of their 8-token windows repeat →
+    // one maximal span covering the whole doc. doc2 shares the 12-token
+    // prefix → its windows 0..4 repeat (3 occurrences each), window 5
+    // ("...river bend") is unique → span [0, 11]. doc3 shares nothing;
+    // doc5 is shorter than one window.
+    val r = Dedup.repeatedSpans(docs, windowK = 8, minCount = 2)
+      .collect().map(x => (x.getLong(0),
+        (x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r.keySet == Set(1L, 2L, 4L))
+    assert(r(1L) == ((0L, 12L, 6L)))
+    assert(r(4L) == ((0L, 12L, 6L)))
+    assert(r(2L) == ((0L, 11L, 5L)))
+  }
+
+  test("repeatedSpans merges disjoint repeats into separate spans") {
+    // two repeated 4-gram regions separated by unique middles → two
+    // maximal spans per doc, not one
+    val d = Seq(
+      (1L, "a b c d unique1 middle1 filler1 pad1 w x y z"),
+      (2L, "a b c d unique2 middle2 filler2 pad2 w x y z")
+    ).toDF("doc_id", "text")
+    val r = Dedup.repeatedSpans(d, windowK = 4, minCount = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(r.toSeq == Seq((1L, 0L, 3L), (1L, 8L, 11L),
+      (2L, 0L, 3L), (2L, 8L, 11L)))
+  }
+
+  test("stripRepeatedSpans removes exactly the covered tokens") {
+    val spans = Dedup.repeatedSpans(docs, windowK = 8, minCount = 2)
+    val cleaned = Dedup.stripRepeatedSpans(docs, spans)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L) == "" && cleaned(4L) == "")
+    assert(cleaned(2L) == "bend") // only the unique 13th token survives
+    assert(cleaned(3L) ==
+      "completely different content about spark query engines and data")
+    assert(cleaned(5L) == "unrelated short text")
+  }
+
   test("dedupCorpus keeps cluster representatives and untouched docs") {
     // docs 1,2 near-dup and 1,4 exact-dup → one cluster {1,2,4}, rep 1
     val edges = Dedup.jaccardPairs(docs, shingleK = 3, minJaccard = 0.4)
