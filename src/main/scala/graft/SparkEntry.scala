@@ -674,6 +674,15 @@ object SparkEntry {
       ext.Dedup.repeatedSpans(t(s, d, "documents"), windowK = 8,
         minCount = 2)),
 
+    // x38 — SemDeDup: semantic dedup through the embedding space. The
+    // full product is oracled: deterministic first-16 centroids, argmax
+    // assignment (the x17 fragment), within-cluster exact-cosine edges,
+    // recursive-CTE component closure (the x27 fragment), min-id
+    // representatives, anti-join to the kept corpus.
+    "x38_semdedup" -> ((s, d) =>
+      ext.Similarity.semDeDup(t(s, d, "embeddings"), nClusters = 16,
+        minCos = 0.3)),
+
     // ---- extensions: text analysis
     "x7_lang_id" -> ((s, d) =>
       t(s, d, "documents")
@@ -1712,6 +1721,47 @@ object SparkEntry {
                 CAST(MAX(pos)+7 AS BIGINT) AS span_end,
                 CAST(COUNT(*) AS BIGINT) AS n_windows
          FROM grp GROUP BY doc_id, g""",
+
+    // x38 — SemDeDup end-to-end: assignment argmax mirrored with the
+    // x17 row_number technique (ties to the higher cid), within-cluster
+    // pairwise cosine via list_dot_product (bit-equal to the Spark fold,
+    // x5/x20-verified), and the x27 recursive-walk component closure
+    "x38_semdedup" ->
+      """WITH RECURSIVE cent AS (
+           SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+           FROM embeddings WHERE vec_id < 16),
+         p0 AS (
+           SELECT e.vec_id, c.cid,
+                  list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                  / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])))
+                     * sqrt(list_dot_product(c.cvec, c.cvec))) AS cc
+           FROM embeddings e, cent c),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY cc DESC, cid DESC) AS rn
+             FROM p0) WHERE rn = 1),
+         av AS (
+           SELECT a.vec_id, a.cid, CAST(e.embedding AS DOUBLE[]) AS v
+           FROM assign a JOIN embeddings e USING (vec_id)),
+         sedges AS (
+           SELECT x.vec_id AS s, y.vec_id AS t
+           FROM av x JOIN av y ON x.cid = y.cid AND x.vec_id < y.vec_id
+           WHERE list_dot_product(x.v, y.v)
+                 / (sqrt(list_dot_product(x.v, x.v))
+                    * sqrt(list_dot_product(y.v, y.v))) >= 0.3),
+         sund AS (SELECT s, t FROM sedges
+                  UNION ALL SELECT t, s FROM sedges),
+         snodes AS (SELECT DISTINCT s AS id FROM sund),
+         swalk(id, cur) AS (
+           SELECT id, id FROM snodes
+           UNION
+           SELECT w.id, u.t FROM swalk w JOIN sund u ON u.s = w.cur),
+         scc AS (SELECT id, MIN(cur) AS rep FROM swalk GROUP BY id)
+         SELECT a.vec_id, a.cid FROM assign a
+         WHERE a.vec_id NOT IN (SELECT id FROM scc WHERE rep <> id)""",
 
     "x11_topk_per_label" ->
       s"""WITH scored AS (

@@ -240,4 +240,61 @@ object Similarity {
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space, compare pairs ONLY within a cluster, and keep one
+    * representative per within-cluster similarity group. The clustering
+    * is what makes semantic dedup tractable — candidate pairs fall from
+    * O(n²) to Σ|cluster|², and each cluster's pair generation is an
+    * equi-join on the cluster id.
+    *
+    * Stages (all shapes already oracle-proven elsewhere):
+    *  1. deterministic coarse centroids (first-k, as [[annIvf]]) broadcast
+    *     to an argmax-cosine assignment — one hash-agg shuffle;
+    *  2. within-cluster pair generation via a cid equi-join self-join,
+    *     exact pairwise cosine ≥ `minCos` → similarity edges;
+    *  3. duplicate groups completed with
+    *     [[Dedup.connectedComponents]] (a similarity edge is not
+    *     transitive; the paper's per-cluster "keep one" needs the
+    *     component, not the pair) — min-id representative;
+    *  4. kept corpus = assignment anti-joined against the non-
+    *     representative members.
+    *
+    * Returns (idCol, cid) of KEPT vectors. For production k-means
+    * centroids, pass the [[trainIvfCentroids]] output through the same
+    * pipeline; the deterministic variant is the oracle-checkable one.
+    *
+    * 100 TB posture: centroids broadcast (k×dim doubles); the corpus
+    * shuffles once for assignment and once per self-join side on cid;
+    * cluster sizes bound the quadratic term (pick nClusters ~ n/expected
+    * cluster size; the paper uses 50k clusters for 8B embeddings). The
+    * component step runs on the edge set only — corpus-independent. */
+  def semDeDup(embeddings: DataFrame, nClusters: Int = 16,
+               minCos: Double = 0.3,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val cent = embeddings.filter(col(idCol) < nClusters)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val assigned = embeddings
+      .join(broadcast(cent))
+      .withColumn("cc", cosine(col(vecCol), col("cvec")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("cc"), col("cid"))).as("best"),
+           first(col(vecCol)).as(vecCol))
+      .select(col(idCol), col("best.cid").as("cid"), col(vecCol))
+    val a = assigned.select(col("cid"), col(idCol).as("id_a"),
+                            col(vecCol).as("vec_a"))
+    val b = assigned.select(col("cid"), col(idCol).as("id_b"),
+                            col(vecCol).as("vec_b"))
+    val edges = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("vec_a"), col("vec_b")) >= minCos)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val drop = Dedup.connectedComponents(edges)
+      .where(col("rep_id") =!= col("doc_id"))
+      .select(col("doc_id").as(idCol))
+    assigned.select(col(idCol), col("cid"))
+      .join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -144,6 +144,29 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("semDeDup keeps one representative per within-cluster group") {
+    // two tight groups near the axes plus one isolated vector; centroids
+    // = first 2 vectors, one per group. Group members are mutually
+    // cos>0.99; cross-group cos ~0 → each group collapses to its min id,
+    // the isolated vector (assigned to cluster 1's centroid but below
+    // the threshold with its members... it IS above 0.9 with nothing)
+    // survives untouched.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),   // centroid/rep of group A
+      (1L, Array(0.0f, 1.0f, 0.0f)),   // centroid/rep of group B
+      (2L, Array(0.999f, 0.02f, 0.0f)), // A member → dropped
+      (3L, Array(0.02f, 0.999f, 0.0f)), // B member → dropped
+      (4L, Array(0.999f, 0.01f, 0.0f)), // A member → dropped
+      (5L, Array(0.0f, 0.0f, 1.0f))    // isolated → kept
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.semDeDup(vecs, nClusters = 2, minCos = 0.9)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.keySet == Set(0L, 1L, 5L))
+    assert(r(0L) == 0L && r(1L) == 1L)
+    // transitivity through the component: 2~4 via 0 even if 2·4 < minCos
+    // would not matter — all of {0,2,4} share one component, rep 0
+  }
+
   test("HLL sketch: estimate near exact, merge-order invariant") {
     import org.apache.spark.sql.{functions => F, Encoders}
     val df = (1 to 2000).map(i => (i % 4, s"document number $i")).toDF("g", "text")
