@@ -674,6 +674,22 @@ object SparkEntry {
       ext.Dedup.repeatedSpans(t(s, d, "documents"), windowK = 8,
         minCount = 2)),
 
+    // x39 — Bloom-pre-filtered drop-list subtraction: the near-dup
+    // cluster members (the x27/x28 drop-list) are sketched into a typed
+    // Bloom UDAF; the corpus passes a codegen'd k-probe membership filter
+    // and only Bloom-positive rows reach the exact anti-join. No false
+    // negatives ⇒ result ≡ the plain anti-join, which IS the oracle (the
+    // j7 convention: the rewrite must lose and leak nothing).
+    "x39_bloom_anti" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edges = ext.Dedup.jaccardPairs(docs, shingleK = 3,
+        minJaccard = 0.4).select("doc_a", "doc_b")
+      val drop = ext.Dedup.connectedComponents(edges)
+        .where(col("rep_id") =!= col("doc_id")).select("doc_id")
+      ext.Bloom.antiJoinWithBloom(docs, drop)
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
     // x38 — SemDeDup: semantic dedup through the embedding space. The
     // full product is oracled: deterministic first-16 centroids, argmax
     // assignment (the x17 fragment), within-cluster exact-cosine edges,
@@ -1356,6 +1372,13 @@ object SparkEntry {
     // x28 — the dedup product: drop non-representative cluster members,
     // pass everything else through
     "x28_dedup_corpus" ->
+      s"""WITH RECURSIVE $componentCtes
+          SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE doc_id NOT IN (SELECT id FROM cc WHERE rep <> id)""",
+
+    // x39 — the Bloom pre-filter is semantics-transparent, so the oracle
+    // is the PLAIN drop-list subtraction (same kept corpus as x28)
+    "x39_bloom_anti" ->
       s"""WITH RECURSIVE $componentCtes
           SELECT doc_id, lang, source, n_chars FROM documents
           WHERE doc_id NOT IN (SELECT id FROM cc WHERE rep <> id)""",

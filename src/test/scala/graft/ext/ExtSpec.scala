@@ -167,6 +167,37 @@ class ExtSpec extends AnyFunSuite {
     // would not matter — all of {0,2,4} share one component, rep 0
   }
 
+  test("Bloom filter: no false negatives, bounded false positives, " +
+       "partition-order invariant") {
+    val keys = (0L until 2000L).map(i => i * 7919L) // arbitrary spread
+    val keysDf = keys.toDF("doc_id")
+    val mBits = 1 << 16
+    val words = Bloom.build(keysDf, "doc_id", mBits, 4)
+    val words8 = Bloom.build(keysDf.repartition(8), "doc_id", mBits, 4)
+    assert(words.sameElements(words8)) // OR-merge order cannot matter
+    // membership column vs the driver-side definition, and the guarantees
+    val probe = (0L until 20000L).map(i => i * 31L + 3L).toDF("doc_id")
+    val inSet = keys.toSet
+    val got = probe.withColumn("hit",
+        Bloom.contains(words, col("doc_id"), mBits, 4))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1))
+    val fn = got.count { case (k, hit) => inSet(k) && !hit }
+    val fp = got.count { case (k, hit) => !inSet(k) && hit }
+    val neg = got.count { case (k, _) => !inSet(k) }
+    assert(fn == 0, "a Bloom filter must never false-negative")
+    // kn/m = 4*2000/65536 = 0.122 → fp ~ (1-e^-0.122)^4 ≈ 0.017%; allow 10x
+    assert(fp.toDouble / neg < 0.002, s"fp rate ${fp.toDouble / neg}")
+  }
+
+  test("antiJoinWithBloom equals the plain anti-join exactly") {
+    val corpus = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val drop = Seq(3L, 77L, 400L, 401L, 499L).toDF("doc_id")
+    val got = Bloom.antiJoinWithBloom(corpus, drop, mBits = 1 << 12)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = (0L until 500L).toSet -- Set(3L, 77L, 400L, 401L, 499L)
+    assert(got == want)
+  }
+
   test("HLL sketch: estimate near exact, merge-order invariant") {
     import org.apache.spark.sql.{functions => F, Encoders}
     val df = (1 to 2000).map(i => (i % 4, s"document number $i")).toDF("g", "text")
