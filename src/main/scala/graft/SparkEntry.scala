@@ -334,6 +334,23 @@ object SparkEntry {
           Seq(count(lit(1)).as("n"), sumD(col("value")).as("sum_value")))
         .withColumn("month", col("month").cast("date"))),
 
+    // t2 — temporal gap-fill: the orders monthly series per priority with
+    // every month ≡ 2 (mod 5) deterministically removed, then densified
+    // and linearly interpolated from the bracketing observations. The
+    // interpolation arithmetic is mirrored in the same parenthesization
+    // (integer month diffs cast to double — every op correctly-rounded
+    // IEEE, so filled values are bit-equal, no rounding tolerance).
+    "t2_gap_fill" -> ((s, d) => {
+      val monthly = t(s, d, "orders")
+        .groupBy(Windows.monthOf(col("o_orderdate")).cast("date")
+            .as("month"), col("o_orderpriority"))
+        .agg(sumD(col("o_totalprice")).as("v"))
+      val holed = monthly.filter(
+        pmod(year(col("month")) * 12 + month(col("month")) - 1, lit(5))
+          =!= 2)
+      Windows.gapFillMonths(holed, "o_orderpriority", "month", "v")
+    }),
+
     // ---- §2.1 S4 GeoTIFF source: checked-in fixture emitted by our own
     // writer (GeoTiffSpec pins the bytes; GenS4Fixture regenerates). The
     // raster is closed-form (value = k%97, nodata at k%13==0, exact binary
@@ -1349,6 +1366,53 @@ object SparkEntry {
       s"""SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
                  COUNT(*) AS n, ${sumSql("value")} AS sum_value
           FROM events GROUP BY 1, 2""",
+
+    // t2 — identical hole-punch, dense grid, IGNORE NULLS bracketing, and
+    // interpolation parenthesization
+    "t2_gap_fill" ->
+      s"""WITH m AS (
+            SELECT o_orderpriority,
+                   CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   ${sumSql("o_totalprice")} AS v
+            FROM orders GROUP BY 1, 2),
+          mi0 AS (
+            SELECT o_orderpriority AS k,
+                   (year(month)*12 + month(month) - 1) AS mi, v FROM m
+            WHERE ((year(month)*12 + month(month) - 1) % 5) <> 2),
+          bounds AS (SELECT k, min(mi) AS lo, max(mi) AS hi
+                     FROM mi0 GROUP BY 1),
+          grid AS (SELECT k, CAST(u.m AS BIGINT) AS mi
+                   FROM bounds, unnest(range(lo, hi+1)) AS u(m)),
+          j AS (SELECT g.k, g.mi, b.v FROM grid g
+                LEFT JOIN mi0 b ON b.k = g.k AND b.mi = g.mi),
+          w AS (
+            SELECT k, mi, v,
+                   last_value(v IGNORE NULLS) OVER
+                     (PARTITION BY k ORDER BY mi ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN mi END
+                     IGNORE NULLS) OVER
+                     (PARTITION BY k ORDER BY mi ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS pm,
+                   first_value(v IGNORE NULLS) OVER
+                     (PARTITION BY k ORDER BY mi ROWS BETWEEN CURRENT ROW
+                      AND UNBOUNDED FOLLOWING) AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN mi END
+                     IGNORE NULLS) OVER
+                     (PARTITION BY k ORDER BY mi ROWS BETWEEN CURRENT ROW
+                      AND UNBOUNDED FOLLOWING) AS nm
+            FROM j)
+          SELECT k AS o_orderpriority,
+                 make_date(CAST(mi // 12 AS INTEGER),
+                           CAST(mi % 12 AS INTEGER) + 1, 1) AS month,
+                 CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL
+                        THEN pv + (nv - pv) *
+                             (CAST(mi - pm AS DOUBLE)
+                              / CAST(nm - pm AS DOUBLE))
+                      ELSE COALESCE(pv, nv) END AS value,
+                 v IS NOT NULL AS observed
+          FROM w""",
 
     "x1_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,

@@ -24,4 +24,57 @@ object Windows {
                  aggs: Seq[Column]): DataFrame =
     df.groupBy((monthOf(col(tsCol)).as("month") +: keys.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
+
+  /** Temporal gap-fill with linear interpolation — the raster-time-series
+    * step the reference pipeline needs when a month has no usable
+    * acquisitions (cloud cover, sensor outage): its monthly loop
+    * (DataDownloader_V2.py:170-183) simply skips empty months, leaving
+    * holes downstream consumers must handle. This op densifies each
+    * series to every calendar month between its first and last
+    * observation and fills holes from the bracketing observations:
+    *
+    *  - interior hole: linear interpolation in month index
+    *    `v = pv + (nv - pv) · (mi - pm)/(nm - pm)` — exact IEEE, engine-
+    *    portable parenthesization;
+    *  - leading/trailing hole: nearest-edge carry (no extrapolation).
+    *
+    * Input: one row per (key, month, value); month is any date/timestamp
+    * in the month. Output: (key, month [first-of-month], value, observed).
+    *
+    * Shape: one aggregation for per-key [lo, hi] bounds, a generate for
+    * the dense grid, a left join of observations, and ONE window exchange
+    * on the key (all four frame variants share the partition/order).
+    * Series length bounds the window partition (hundreds of months), so
+    * skew is impossible; at 100 TB the key count is the parallelism. */
+  def gapFillMonths(df: DataFrame, keyCol: String, monthCol: String,
+                    valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mi = (year(col(monthCol)) * 12 + month(col(monthCol)) - 1).as("mi")
+    val base = df.select(col(keyCol), mi, col(valueCol).cast("double").as("v"))
+    val grid = base.groupBy(keyCol)
+      .agg(min("mi").as("lo"), max("mi").as("hi"))
+      .select(col(keyCol), explode(sequence(col("lo"), col("hi"))).as("mi"))
+    val past = Window.partitionBy(keyCol).orderBy("mi")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val future = Window.partitionBy(keyCol).orderBy("mi")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(base, Seq(keyCol, "mi"), "left")
+      .withColumn("pv", last("v", ignoreNulls = true).over(past))
+      .withColumn("pm", last(when(col("v").isNotNull, col("mi")),
+        ignoreNulls = true).over(past))
+      .withColumn("nv", first("v", ignoreNulls = true).over(future))
+      .withColumn("nm", first(when(col("v").isNotNull, col("mi")),
+        ignoreNulls = true).over(future))
+      .withColumn("value",
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            col("pv") + (col("nv") - col("pv")) *
+              ((col("mi") - col("pm")).cast("double") /
+               (col("nm") - col("pm")).cast("double")))
+          .otherwise(coalesce(col("pv"), col("nv"))))
+      .withColumn("month",
+        make_date(expr("mi DIV 12"), pmod(col("mi"), lit(12)) + 1, lit(1)))
+      .withColumn("observed", col("v").isNotNull)
+      .select(col(keyCol), col("month"), col("value"), col("observed"))
+  }
 }

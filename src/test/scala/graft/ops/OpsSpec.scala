@@ -123,4 +123,37 @@ class OpsSpec extends AnyFunSuite {
     assert(r.filter($"value" === 7.0).head.getAs[String]("severity") == "high")
     assert(r.filter($"value" === 1.0).head.getAs[String]("severity") == "none")
   }
+
+  test("gapFillMonths interpolates interior holes, carries edges") {
+    import spark.implicits._
+    // series a: Jan=10, [Feb,Mar missing], Apr=40 → Feb=20, Mar=30;
+    // series b: [Jan missing in grid? no: b starts Feb], Feb=5, Mar
+    // missing, May=11 → Mar=7, Apr=9 (two-month linear ramp)
+    val df = Seq(
+      ("a", "2024-01-15", 10.0), ("a", "2024-04-02", 40.0),
+      ("b", "2024-02-01", 5.0), ("b", "2024-05-20", 11.0)
+    ).toDF("k", "d", "v").withColumn("d", col("d").cast("date"))
+    val r = Windows.gapFillMonths(df, "k", "d", "v")
+      .collect().map(x => (x.getString(0), x.getDate(1).toString,
+        x.getDouble(2), x.getBoolean(3))).sortBy(t => (t._1, t._2))
+    assert(r.toSeq == Seq(
+      ("a", "2024-01-01", 10.0, true), ("a", "2024-02-01", 20.0, false),
+      ("a", "2024-03-01", 30.0, false), ("a", "2024-04-01", 40.0, true),
+      ("b", "2024-02-01", 5.0, true), ("b", "2024-03-01", 7.0, false),
+      ("b", "2024-04-01", 9.0, false), ("b", "2024-05-01", 11.0, true)))
+  }
+
+  test("gapFillMonths: leading/trailing holes carry the nearest edge") {
+    import spark.implicits._
+    // one observed month in the middle of a punched series → the grid is
+    // only [lo,hi] of OBSERVED months, so no extrapolation can occur; a
+    // doubly-bracketed single hole still interpolates
+    val df = Seq(("k", "2024-03-01", 6.0), ("k", "2024-05-01", 6.0))
+      .toDF("k", "d", "v").withColumn("d", col("d").cast("date"))
+    val r = Windows.gapFillMonths(df, "k", "d", "v")
+      .collect().map(x => (x.getDate(1).toString, x.getDouble(2)))
+      .sortBy(_._1)
+    assert(r.toSeq == Seq(("2024-03-01", 6.0), ("2024-04-01", 6.0),
+      ("2024-05-01", 6.0)))
+  }
 }
