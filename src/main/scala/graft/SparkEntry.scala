@@ -367,6 +367,15 @@ object SparkEntry {
                 element_at(col("properties"), "name").as("name"),
                 element_at(col("properties"), "plant:source").as("source"))),
 
+    // s12 — JSONL corpus ingest (the LLM-corpus interchange format):
+    // schema-pinned line-delimited read, nested meta flattened, missing
+    // fields null. Oracle reads the same fixture with DuckDB read_json
+    // under the identical explicit column spec.
+    "s12_jsonl_scan" -> ((s, _) =>
+      graft.sources.JsonLines.read(s, jsonlFixture)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+                col("quality"), col("n_tags"))),
+
     // ---- J1 spatial overlay, end-to-end: grid unpivot (F8) + GeoJSON
     // amenities (S7) + broadcast cell join
     "j1_spatial_overlay" -> ((s, _) => {
@@ -929,6 +938,9 @@ object SparkEntry {
   private val geojsonFixture =
     "/root/repo/src/test/resources/powerplants_mini.geojson"
 
+  private val jsonlFixture =
+    "/root/repo/src/test/resources/corpus_mini.jsonl"
+
   /** Deterministic 64-dim query vector for the ANN queries (shared by Spark
     * and oracle sides). */
   lazy val queryVector: Array[Double] =
@@ -1366,6 +1378,18 @@ object SparkEntry {
       s"""SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
                  COUNT(*) AS n, ${sumSql("value")} AS sum_value
           FROM events GROUP BY 1, 2""",
+
+    // s12 — DuckDB reads the same JSONL fixture with the same pinned
+    // column spec (no inference on either side)
+    "s12_jsonl_scan" ->
+      s"""SELECT doc_id, text, lang, meta.source AS source,
+                 meta.quality AS quality,
+                 CAST(len(tags) AS INTEGER) AS n_tags
+          FROM read_json('$jsonlFixture', format='newline_delimited',
+                 columns = {doc_id: 'BIGINT', text: 'VARCHAR',
+                            lang: 'VARCHAR',
+                            meta: 'STRUCT(source VARCHAR, quality DOUBLE)',
+                            tags: 'VARCHAR[]'})""",
 
     // t2 — identical hole-punch, dense grid, IGNORE NULLS bracketing, and
     // interpolation parenthesization
