@@ -77,8 +77,11 @@ object Bloom {
     * `shiftleft`'s amount must be a literal; `shiftright(pos, 6)` handles
     * the word index directly. */
   def contains(words: Array[Long], key: Column, mBits: Int, kProbes: Int): Column = {
-    val wordsLit = array(words.map(lit): _*)
-    val maskLit = array((0 until 64).map(b => lit(1L << b)): _*)
+    // ONE array Literal each, not array(lit, lit, …): a CreateArray of
+    // 16384 child expressions would dominate analysis/codegen time and
+    // re-evaluate per row; a Literal array is a single constant object
+    val wordsLit = lit(words)
+    val maskLit = lit((0 until 64).map(b => 1L << b).toArray)
     (1 to kProbes).map { i =>
       val pos = pmod(HashExprs.mix64_col(key.cast("long") + lit(i * GOLDEN)),
         lit(mBits.toLong))

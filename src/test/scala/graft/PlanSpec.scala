@@ -263,4 +263,51 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("xxhash64"), s"line df not keyed on the hash:\n$p")
     assert(p.contains("HashAggregate"), s"no hash agg for line df:\n$p")
   }
+
+  test("x37 repeated spans: window census is a hash agg on the 64-bit " +
+       "key; positions semi-join; no cartesian") {
+    val p = executed("x37_repeated_spans").toString
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), s"quadratic join:\n$p")
+    assert(p.contains("LeftSemi"), s"duplicated-window probe not a semi-join:\n$p")
+    assert(p.contains("shingle_hashes_all"),
+      s"window hashing not the native single-pass expression:\n$p")
+    assert(p.contains("HashAggregate"), s"window census not a hash agg:\n$p")
+  }
+
+  test("x38 semdedup: centroids broadcast, pair generation is a cid " +
+       "equi-join, never all-pairs") {
+    val p = executed("x38_semdedup").toString
+    assert(!p.contains("CartesianProduct"), s"all-pairs blowup:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+           p.contains("BroadcastHashJoin"), s"centroids not broadcast:\n$p")
+    // the within-cluster self-join must be keyed on cid
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+           p.contains("ShuffledHashJoin"), s"no keyed pair join:\n$p")
+  }
+
+  test("x39 bloom anti-join: the sketch rides as ONE literal (no " +
+       "16k-element CreateArray), probes are codegen'd, drop join is anti") {
+    val p = executed("x39_bloom_anti").toString
+    assert(p.contains("LeftAnti"), s"no exact anti-join behind the bloom:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), s"quadratic join:\n$p")
+    // a CreateArray of thousands of literals would print as array(1,2,…;
+    // the single Literal prints as a truncated opaque constant instead
+    assert(!p.contains("array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0"),
+      s"bloom words materialized as a per-row CreateArray:\n$p")
+  }
+
+  test("t2 gap fill: all four bracketing frames share one window " +
+       "exchange on the series key") {
+    val p = executed("t2_gap_fill").toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(p).length
+    // one for the monthly agg, one for the per-key bounds agg, one for
+    // the window (join reuses) — the four IGNORE NULLS frames must NOT
+    // each add their own
+    assert(exchanges <= 4, s"window frames not sharing exchanges ($exchanges):\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"no window operator:\n$p")
+  }
 }
