@@ -367,6 +367,19 @@ object SparkEntry {
                 element_at(col("properties"), "name").as("name"),
                 element_at(col("properties"), "plant:source").as("source"))),
 
+    // t3 — centered 3-row moving mean per priority over the monthly
+    // order totals (ROWS frame over the observed months; compose with t2
+    // gap-fill first when month-exact smoothing matters). Decimal-routed
+    // frame sums + one double division ⇒ bit-equal replay, no tolerance.
+    "t3_moving_avg" -> ((s, d) => {
+      val monthly = t(s, d, "orders")
+        .groupBy(Windows.monthOf(col("o_orderdate")).cast("date")
+            .as("month"), col("o_orderpriority"))
+        .agg(sumD(col("o_totalprice")).as("v"))
+      Windows.centeredMovingMean(monthly, "o_orderpriority", "month", "v")
+        .select("o_orderpriority", "month", "v", "smoothed")
+    }),
+
     // s12 — JSONL corpus ingest (the LLM-corpus interchange format):
     // schema-pinned line-delimited read, nested meta flattened, missing
     // fields null. Oracle reads the same fixture with DuckDB read_json
@@ -1378,6 +1391,20 @@ object SparkEntry {
       s"""SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
                  COUNT(*) AS n, ${sumSql("value")} AS sum_value
           FROM events GROUP BY 1, 2""",
+
+    // t3 — identical decimal-routed frame sum and final double division
+    "t3_moving_avg" ->
+      s"""WITH m AS (
+            SELECT o_orderpriority,
+                   CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   ${sumSql("o_totalprice")} AS v
+            FROM orders GROUP BY 1, 2)
+          SELECT o_orderpriority, month, v,
+                 CAST(SUM(CAST(v AS DECIMAL(28,6))) OVER w AS DOUBLE)
+                   / COUNT(v) OVER w AS smoothed
+          FROM m
+          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month
+                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)""",
 
     // s12 — DuckDB reads the same JSONL fixture with the same pinned
     // column spec (no inference on either side)

@@ -25,6 +25,30 @@ object Windows {
     df.groupBy((monthOf(col(tsCol)).as("month") +: keys.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** Centered moving mean over an ordered series — the temporal smoothing
+    * pass a monthly composite pipeline runs before trend display (the
+    * reference's viewer shows raw monthly layers; any anomaly/trend
+    * product needs the smoothed baseline). Frame is ±halfWidth ROWS per
+    * key, so feed a DENSE series (compose with [[gapFillMonths]] when
+    * months can be missing); edges average over the truncated frame.
+    *
+    * Numerically engine-portable: values route through DECIMAL(28,6) (the
+    * [[graft.Stable]] convention — exact for ≤6dp inputs like money/
+    * composite sums), the frame sum is exact decimal arithmetic
+    * (order-independent), and the single double division at the end is
+    * correctly-rounded IEEE — so smoothed values replay bit-equal in any
+    * engine. One window exchange on the key. */
+  def centeredMovingMean(df: DataFrame, keyCol: String, orderCol: String,
+                         valueCol: String, halfWidth: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+      .rowsBetween(-halfWidth, halfWidth)
+    df.withColumn("smoothed",
+      sum(col(valueCol).cast(DecimalType(28, 6))).over(w).cast("double")
+        / count(col(valueCol)).over(w))
+  }
+
   /** Temporal gap-fill with linear interpolation — the raster-time-series
     * step the reference pipeline needs when a month has no usable
     * acquisitions (cloud cover, sensor outage): its monthly loop

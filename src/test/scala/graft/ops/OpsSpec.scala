@@ -143,6 +143,15 @@ class OpsSpec extends AnyFunSuite {
       ("b", "2024-04-01", 9.0, false), ("b", "2024-05-01", 11.0, true)))
   }
 
+  test("centeredMovingMean averages the truncated frame at the edges") {
+    import spark.implicits._
+    val df = Seq(("k", 1, 3.0), ("k", 2, 6.0), ("k", 3, 9.0), ("k", 4, 12.0))
+      .toDF("k", "i", "v")
+    val r = Windows.centeredMovingMean(df, "k", "i", "v")
+      .orderBy("i").collect().map(_.getAs[Double]("smoothed"))
+    assert(r.toSeq == Seq(4.5, 6.0, 9.0, 10.5)) // edges avg 2, interior 3
+  }
+
   test("gapFillMonths: leading/trailing holes carry the nearest edge") {
     import spark.implicits._
     // one observed month in the middle of a punched series → the grid is

@@ -36,6 +36,26 @@ class JsonLinesSpec extends AnyFunSuite {
     assert(extra.getAs[String]("source") == "web")
   }
 
+  test("S12 reads gzip-compressed shards transparently") {
+    // crawl shards ship as .jsonl.gz; the codec is picked by extension,
+    // per-file (a .gz file is one task — document-level parallelism comes
+    // from the shard count, which is how crawls are laid out anyway)
+    val dir = java.nio.file.Files.createTempDirectory("jsonlgz").toFile
+    val f = new java.io.File(dir, "shard.jsonl.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(f))
+    out.write(
+      """{"doc_id": 1, "text": "compressed line one"}
+        |{"doc_id": 2, "text": "compressed line two", "lang": "en"}
+        |""".stripMargin.getBytes("UTF-8"))
+    out.close()
+    val rows = JsonLines.read(spark, f.getAbsolutePath)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("text") == "compressed line one")
+    assert(rows(1).getAs[String]("lang") == "en")
+  }
+
   test("S12 corrupt lines surface in bad_line instead of failing the job") {
     val dir = java.nio.file.Files.createTempDirectory("jsonl").toFile
     val f = new java.io.File(dir, "shard.jsonl")
