@@ -713,6 +713,12 @@ object SparkEntry {
       ext.Dedup.repeatedSpans(t(s, d, "documents"), windowK = 8,
         minCount = 2)),
 
+    // x40 — vocabulary-coverage audit: top-200 corpus tokens as the
+    // vocabulary (count DESC, token ASC — a total order, so the cut
+    // replays exactly), per-doc OOV fraction
+    "x40_vocab_coverage" -> ((s, d) =>
+      ext.TextOps.vocabCoverage(t(s, d, "documents"), vocabSize = 200)),
+
     // x39 — Bloom-pre-filtered drop-list subtraction: the near-dup
     // cluster members (the x27/x28 drop-list) are sketched into a typed
     // Bloom UDAF; the corpus passes a codegen'd k-probe membership filter
@@ -1490,6 +1496,26 @@ object SparkEntry {
       s"""WITH RECURSIVE $componentCtes
           SELECT doc_id, lang, source, n_chars FROM documents
           WHERE doc_id NOT IN (SELECT id FROM cc WHERE rep <> id)""",
+
+    // x40 — same census, same deterministic vocabulary cut, same
+    // per-doc re-aggregation
+    "x40_vocab_coverage" ->
+      """WITH toks AS (
+           SELECT doc_id, u.tok FROM (
+             SELECT doc_id, list_filter(
+               regexp_split_to_array(lower(text), '\s+'),
+               t -> length(t) > 0) AS l
+             FROM documents), unnest(l) AS u(tok)),
+         vocab AS (
+           SELECT tok FROM toks GROUP BY tok
+           ORDER BY COUNT(*) DESC, tok LIMIT 200)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                CAST(SUM(CASE WHEN tok IN (SELECT tok FROM vocab)
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+                CAST(SUM(CASE WHEN tok IN (SELECT tok FROM vocab)
+                         THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*)
+                  AS oov_rate
+         FROM toks GROUP BY doc_id""",
 
     // x39 — the Bloom pre-filter is semantics-transparent, so the oracle
     // is the PLAIN drop-list subtraction (same kept corpus as x28)

@@ -122,6 +122,38 @@ object TextOps {
       .select("doc_id", "term", "tf", "df", "score")
   }
 
+  /** Vocabulary-coverage / OOV audit — the tokenizer-prep step of a
+    * training pipeline: fix a vocabulary (the `vocabSize` most frequent
+    * corpus tokens, ties broken by token order so the cut is total-order
+    * deterministic) and report, per document, how much of it falls
+    * outside that vocabulary. High OOV rate flags encoding damage,
+    * boilerplate languages, or domain mismatch before tokenizer training
+    * wastes budget on them.
+    *
+    * Output: (doc_id, n_tokens, n_oov, oov_rate); empty-token docs are
+    * dropped (no meaningful rate — the x21 convention).
+    *
+    * 100 TB posture: the census is ONE partial+final hash agg on the
+    * token (repeats collapse map-side) and a TakeOrderedAndProject cut at
+    * `vocabSize`; the vocabulary then BROADCASTS (bounded by vocabSize,
+    * not the corpus) into a left join against the exploded token stream,
+    * and the per-doc re-aggregation is the only corpus-sized shuffle. */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 1000,
+                    textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(vocabSize)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens"))
+  }
+
   /** Corpus boilerplate n-gram report: the `topN` k-gram shingles by
     * DOCUMENT frequency — the census a pipeline runs to find templated
     * boilerplate ("click here to subscribe") before stripping it. Gram

@@ -616,6 +616,21 @@ class ExtSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L, 5L))
   }
 
+  test("vocabCoverage: deterministic vocab cut, per-doc OOV rate") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aa aa aa bb bb cc"), // aa:3 bb:2 cc:1
+      (2L, "aa bb zz yy")        // zz:1 yy:1
+    ).toDF("doc_id", "text")
+    // counts: aa=4 bb=3 cc=1 yy=1 zz=1 → top-3 vocab = {aa, bb, cc}
+    // (ties at cnt=1 break by token order: cc < yy < zz)
+    val r = TextOps.vocabCoverage(d, vocabSize = 3)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((6L, 0L, 0.0)))
+    assert(r(2L) == ((4L, 2L, 0.5))) // zz, yy out of vocab
+  }
+
   test("salientTerms ranks by tf/df with deterministic tiebreak") {
     val d = Seq(
       (1L, "alpha alpha beta common"),
