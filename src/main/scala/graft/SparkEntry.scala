@@ -358,6 +358,13 @@ object SparkEntry {
     "s4_geotiff_scan" -> ((s, _) =>
       graft.sources.GeoTiff.read(s, "/root/repo/src/test/resources/s4demo.tif")),
 
+    // S4 multi-band: the RGB fixture (tiled + deflate + fp-predictor —
+    // the layout GDAL emits for real multi-band float exports) through
+    // the chunky-interleave decode; per-sample closed form in the oracle
+    "s4b_geotiff_multiband" -> ((s, _) =>
+      graft.sources.GeoTiff.readBands(s,
+        "/root/repo/src/test/resources/s4rgb.tif")),
+
     // ---- §2.1 S7 GeoJSON source + P11 tooltip projection (oracle reads
     // the same fixture file via DuckDB read_json)
     "s7_geojson_scan" -> ((s, _) =>
@@ -2176,6 +2183,19 @@ object SparkEntry {
                 CASE WHEN (y.range * 48 + x.range) % 13 = 0 THEN NULL
                      ELSE CAST((y.range * 48 + x.range) % 97 AS DOUBLE) END AS value
          FROM range(40) y, range(48) x""",
+
+    // S4 multi-band — the fixture raster is closed-form (sample s of
+    // pixel k is (k*(s+1))%89, per-pixel nodata at k%17==0, exact binary
+    // affine), so the oracle rebuilds the identical sample table
+    "s4b_geotiff_multiband" ->
+      """SELECT 's4rgb.tif' AS dataset, CAST(b.range AS INTEGER) AS band,
+                CAST(y.range AS INTEGER) AS y, CAST(x.range AS INTEGER) AS x,
+                -4.0 + (CAST(x.range AS DOUBLE) + 0.5) * 0.5 AS lon,
+                52.0 + (CAST(y.range AS DOUBLE) + 0.5) * (-0.5) AS lat,
+                CASE WHEN (y.range * 40 + x.range) % 17 = 0 THEN NULL
+                     ELSE CAST(((y.range * 40 + x.range) * (b.range + 1))
+                               % 89 AS DOUBLE) END AS value
+         FROM range(24) y, range(40) x, range(3) b""",
 
     // S7 — DuckDB's JSON reader over the same repo fixture; struct access
     // mirrors the Spark explode+element_at projection

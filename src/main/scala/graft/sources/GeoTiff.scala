@@ -34,6 +34,12 @@ object GeoTiff {
 
   final case class Raster(meta: GridMeta, values: Array[Float])
 
+  /** Multi-band raster: `values` is pixel-interleaved (chunky,
+    * PlanarConfiguration=1) — sample s of pixel (x,y) lives at
+    * `(y*width + x)*nBands + s`, exactly the order the file stores. */
+  final case class MultiRaster(meta: GridMeta, nBands: Int,
+                               values: Array[Float])
+
   private val TypeSizes = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 11 -> 4, 12 -> 8)
 
   private final case class Entry(tag: Int, typ: Int, count: Int, at: Int,
@@ -66,10 +72,12 @@ object GeoTiff {
 
   /** Pixel-chunk layout: offsets/byte-counts of strips or tiles, the
     * tile geometry when tiled (None = striped, chunks are consecutive
-    * row bands), and the predictor applied inside each chunk. */
+    * row bands), the predictor applied inside each chunk, and the
+    * samples-per-pixel (bands, chunky-interleaved). */
   private final case class Layout(chunks: IndexedSeq[(Long, Long)],
                                   tile: Option[(Int, Int)],
-                                  predictor: Int)
+                                  predictor: Int,
+                                  spp: Int)
 
   /** Parse metadata only — never touches pixel data (S11 metadata
     * inspection stays cheap on big rasters). Returns the grid plus the
@@ -100,10 +108,11 @@ object GeoTiff {
 
     val width = req(256, "ImageWidth").ints.head.toInt
     val height = req(257, "ImageLength").ints.head.toInt
-    val bits = intOr(258, 1)
+    val bits = entries.get(258).map(_.ints).getOrElse(IndexedSeq(1L))
     val compression = intOr(259, 1).toInt
-    val spp = intOr(277, 1)
-    val fmt = intOr(339, 1)
+    val spp = intOr(277, 1).toInt
+    val fmt = entries.get(339).map(_.ints).getOrElse(IndexedSeq(1L))
+    val planar = intOr(284, 1).toInt
     val predictor = intOr(317, 1).toInt
     require(Set(1, 5, 8, 32946)(compression),
       s"GeoTIFF $dataset: unsupported Compression=$compression (1/5/8/32946)")
@@ -113,9 +122,13 @@ object GeoTiff {
     // the float32-only subset and stays rejected.
     require(predictor == 1 || predictor == 3,
       s"GeoTIFF $dataset: only Predictor=1/3 supported (got $predictor)")
-    require(bits == 32 && fmt == 3,
+    require(bits.forall(_ == 32L) && fmt.forall(_ == 3L),
       s"GeoTIFF $dataset: only float32 supported (BitsPerSample=$bits, SampleFormat=$fmt)")
-    require(spp == 1, s"GeoTIFF $dataset: only single-band supported (SamplesPerPixel=$spp)")
+    require(spp >= 1, s"GeoTIFF $dataset: bad SamplesPerPixel=$spp")
+    // chunky (pixel-interleaved) only — the TIFF default and what GDAL
+    // writes unless INTERLEAVE=BAND is forced; planar files fail loudly
+    require(spp == 1 || planar == 1,
+      s"GeoTIFF $dataset: only chunky interleave supported (PlanarConfiguration=$planar)")
 
     val layout =
       if (entries.contains(324) || entries.contains(322)) {
@@ -130,13 +143,13 @@ object GeoTiff {
         val expect = ((width + tw - 1) / tw) * ((height + th - 1) / th)
         require(offs.length == expect,
           s"GeoTIFF $dataset: ${offs.length} tiles for a $expect-tile grid")
-        Layout(offs.zip(counts), Some((tw, th)), predictor)
+        Layout(offs.zip(counts), Some((tw, th)), predictor, spp)
       } else {
         val stripOffsets = req(273, "StripOffsets").ints
         val stripCounts = req(279, "StripByteCounts").ints
         require(stripOffsets.length == stripCounts.length,
           s"GeoTIFF $dataset: strip offset/count mismatch")
-        Layout(stripOffsets.zip(stripCounts), None, predictor)
+        Layout(stripOffsets.zip(stripCounts), None, predictor, spp)
       }
 
     val scale = req(33550, "ModelPixelScale").doubles
@@ -256,33 +269,44 @@ object GeoTiff {
     out
   }
 
-  /** Parse a whole raster: metadata + row-major float32 pixels. */
+  /** Parse a whole single-band raster: metadata + row-major float32
+    * pixels. Multi-band files fail loudly here — use [[parseBands]]. */
   def parse(dataset: String, bytes: Array[Byte]): Raster = {
+    val mr = parseBands(dataset, bytes)
+    require(mr.nBands == 1,
+      s"GeoTIFF $dataset: ${mr.nBands} bands — use parseBands/readBands for multi-band rasters")
+    Raster(mr.meta, mr.values)
+  }
+
+  /** Parse a whole raster of any band count: metadata + pixel-interleaved
+    * float32 samples (chunky layout, the file's own order). */
+  def parseBands(dataset: String, bytes: Array[Byte]): MultiRaster = {
     val (meta, layout, buf, compression) = parseMeta(dataset, bytes)
-    val values = new Array[Float](meta.width * meta.height)
+    val spp = layout.spp
+    val values = new Array[Float](meta.width * meta.height * spp)
     def chunk(off: Long, count: Long, rowBytes: Int): ByteBuffer = {
       val raw = decodeChunk(dataset, buf, compression, off, count)
       if (layout.predictor == 3) undoFpPredictor(raw, rowBytes) else raw
     }
     layout match {
-      case Layout(strips, None, _) =>
+      case Layout(strips, None, _, _) =>
         var k = 0
         strips.foreach { case (off, count) =>
-          val raw = chunk(off, count, meta.width * 4)
+          val raw = chunk(off, count, meta.width * spp * 4)
           while (raw.remaining() >= 4 && k < values.length) {
             values(k) = raw.getFloat; k += 1
           }
         }
         require(k == values.length,
-          s"GeoTIFF $dataset: strip data holds $k pixels, header promises ${values.length}")
-      case Layout(tiles, Some((tw, th)), _) =>
+          s"GeoTIFF $dataset: strip data holds $k samples, header promises ${values.length}")
+      case Layout(tiles, Some((tw, th)), _, _) =>
         // tiles are row-major over a ceil(w/tw) x ceil(h/th) grid; edge
         // tiles are PADDED to full tw x th (TIFF6) — clip the scatter-copy
         val tilesAcross = (meta.width + tw - 1) / tw
         tiles.zipWithIndex.foreach { case ((off, count), idx) =>
-          val raw = chunk(off, count, tw * 4)
-          require(raw.remaining() >= tw * th * 4,
-            s"GeoTIFF $dataset: tile $idx holds ${raw.remaining() / 4} pixels, expected ${tw * th}")
+          val raw = chunk(off, count, tw * spp * 4)
+          require(raw.remaining() >= tw * th * spp * 4,
+            s"GeoTIFF $dataset: tile $idx holds ${raw.remaining() / 4} samples, expected ${tw * th * spp}")
           val x0 = (idx % tilesAcross) * tw
           val y0 = (idx / tilesAcross) * th
           var ty = 0
@@ -290,17 +314,22 @@ object GeoTiff {
             val y = y0 + ty
             var tx = 0
             while (tx < tw) {
-              val v = raw.getFloat((ty * tw + tx) * 4 + raw.position())
               val x = x0 + tx
-              if (x < meta.width && y < meta.height)
-                values(y * meta.width + x) = v
+              if (x < meta.width && y < meta.height) {
+                var s = 0
+                while (s < spp) {
+                  values((y * meta.width + x) * spp + s) = raw.getFloat(
+                    ((ty * tw + tx) * spp + s) * 4 + raw.position())
+                  s += 1
+                }
+              }
               tx += 1
             }
             ty += 1
           }
         }
     }
-    Raster(meta, values)
+    MultiRaster(meta, spp, values)
   }
 
   /** Grid metadata of the raster(s) at `pathGlob` — S11 inspection; strip
@@ -372,22 +401,56 @@ object GeoTiff {
       (mx, my) => graft.ops.Crs.toLonLat(proj, mx, my)
     })
 
+  /** S4 multi-band — scan raster file(s) of any band count into the long
+    * pixel table (dataset, band, y, x, lon, lat, value), one row per
+    * sample; band is 0-based in file order. Same per-file-task shape as
+    * [[read]]; nodata applies per sample (GDAL_NODATA is per-file). */
+  def readBands(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val r = parseBands(path.substring(path.lastIndexOf('/') + 1), bytes)
+        val m = r.meta
+        val ndF = m.nodata.map(_.toFloat)
+        Iterator.range(0, m.height).flatMap { y =>
+          Iterator.range(0, m.width).flatMap { x =>
+            val mx = m.c + (x + 0.5) * m.a + (y + 0.5) * m.b
+            val my = m.f + (x + 0.5) * m.d + (y + 0.5) * m.e
+            Iterator.range(0, r.nBands).map { s =>
+              val v = r.values((y * m.width + x) * r.nBands + s)
+              val value: Option[Double] =
+                if (v.isNaN || ndF.exists(_ == v)) None else Some(v.toDouble)
+              (m.dataset, s, y, x, mx, my, value)
+            }
+          }
+        }
+      }
+      .toDF("dataset", "band", "y", "x", "lon", "lat", "value")
+  }
+
   // ------------------------------------------------------------------ write
 
-  /** Encode a single-band float32 GeoTIFF for `meta` (north-up affine
-    * only: b = d = 0, a > 0, e < 0). The exact inverse of [[parse]];
-    * deterministic bytes so fixtures pin byte-for-byte. `compression`:
-    * 1 = none, 5 = LZW, 8 = Deflate. `tileSize` = 0 writes the striped
-    * layout (`rowsPerStrip` row bands); a positive multiple of 16 writes
-    * the tiled layout GDAL emits for larger rasters (square tiles, edge
-    * tiles zero-padded to full size per TIFF6). */
+  /** Encode a float32 GeoTIFF for `meta` (north-up affine only:
+    * b = d = 0, a > 0, e < 0). The exact inverse of [[parse]]/
+    * [[parseBands]]; deterministic bytes so fixtures pin byte-for-byte.
+    * `compression`: 1 = none, 5 = LZW, 8 = Deflate. `tileSize` = 0 writes
+    * the striped layout (`rowsPerStrip` row bands); a positive multiple
+    * of 16 writes the tiled layout GDAL emits for larger rasters (square
+    * tiles, edge tiles zero-padded to full size per TIFF6). `bands` > 1
+    * writes chunky pixel-interleaved samples (`values` in
+    * [[MultiRaster]] order) with explicit PlanarConfiguration and
+    * ExtraSamples tags; the single-band byte stream is unchanged. */
   def write(meta: GridMeta, values: Array[Float], rowsPerStrip: Int = 64,
             bigEndian: Boolean = false, compression: Int = 1,
-            tileSize: Int = 0, predictor: Int = 1): Array[Byte] = {
+            tileSize: Int = 0, predictor: Int = 1,
+            bands: Int = 1): Array[Byte] = {
     require(meta.b == 0.0 && meta.d == 0.0 && meta.a > 0 && meta.e < 0,
       "GeoTIFF writer: only north-up affine grids")
-    require(values.length == meta.width * meta.height,
-      s"GeoTIFF writer: ${values.length} values for ${meta.width}x${meta.height}")
+    require(bands >= 1 && bands <= 4,
+      s"GeoTIFF writer: bands must be 1..4, got $bands")
+    require(values.length == meta.width * meta.height * bands,
+      s"GeoTIFF writer: ${values.length} values for ${meta.width}x${meta.height}x$bands")
     require(Set(1, 5, 8)(compression),
       s"GeoTIFF writer: unsupported compression $compression (1/5/8)")
     require(tileSize == 0 || (tileSize > 0 && tileSize % 16 == 0),
@@ -417,34 +480,40 @@ object GeoTiff {
     val nStrips =
       if (tiled) tilesAcross * tilesDown
       else (meta.height + rowsPerStrip - 1) / rowsPerStrip
+    val rowSamples = meta.width * bands       // samples per raster row
+    val tileRowSamples = tileSize * bands     // samples per tile row
     val stripData: IndexedSeq[Array[Byte]] =
       if (tiled) (0 until nStrips).map { idx =>
         val x0 = (idx % tilesAcross) * tileSize
         val y0 = (idx / tilesAcross) * tileSize
         def at(k: Int): Float = {
-          val (x, y) = (x0 + k % tileSize, y0 + k / tileSize)
-          if (x < meta.width && y < meta.height) values(y * meta.width + x)
+          val y = y0 + k / tileRowSamples
+          val rem = k % tileRowSamples
+          val x = x0 + rem / bands
+          val s = rem % bands
+          if (x < meta.width && y < meta.height)
+            values((y * meta.width + x) * bands + s)
           else 0.0f
         }
         pack(
-          if (predictor == 3) applyFpPredictor(tileSize, tileSize, at)
+          if (predictor == 3) applyFpPredictor(tileSize, tileRowSamples, at)
           else {
-            val bb = newBuf(tileSize * tileSize * 4)
+            val bb = newBuf(tileSize * tileRowSamples * 4)
             var k = 0
-            while (k < tileSize * tileSize) { bb.putFloat(at(k)); k += 1 }
+            while (k < tileSize * tileRowSamples) { bb.putFloat(at(k)); k += 1 }
             bb.array()
           })
       }
       else (0 until nStrips).map { s =>
         val rows = math.min(rowsPerStrip, meta.height - s * rowsPerStrip)
-        val base = s * rowsPerStrip * meta.width
+        val base = s * rowsPerStrip * rowSamples
         pack(
           if (predictor == 3)
-            applyFpPredictor(rows, meta.width, k => values(base + k))
+            applyFpPredictor(rows, rowSamples, k => values(base + k))
           else {
-            val bb = newBuf(rows * meta.width * 4)
+            val bb = newBuf(rows * rowSamples * 4)
             var i = 0
-            while (i < rows * meta.width) { bb.putFloat(values(base + i)); i += 1 }
+            while (i < rows * rowSamples) { bb.putFloat(values(base + i)); i += 1 }
             bb.array()
           })
       }
@@ -455,9 +524,11 @@ object GeoTiff {
     // tags in ascending order, as the spec requires: 13 fixed striped tags
     // (256,257,258,259,262,273,277,278,279,339,33550,33922,34735) or 14
     // tiled ones (277 then 322,323,324,325 replacing 273/278/279),
-    // + Predictor (317) when used, + nodata
+    // + Predictor (317) when used, + nodata, + PlanarConfiguration (284)
+    // and ExtraSamples (338) for multi-band
     val nTags = (if (tiled) 14 else 13) +
-      (if (predictor == 3) 1 else 0) + nodataAscii.size
+      (if (predictor == 3) 1 else 0) + nodataAscii.size +
+      (if (bands > 1) 2 else 0)
     val ifdAt = 8
     val ifdSize = 2 + nTags * 12 + 4
     var extAt = ifdAt + ifdSize // external value area cursor
@@ -467,6 +538,10 @@ object GeoTiff {
     val scaleAt = reserve(24)
     val tieAt = reserve(48)
     val geoKeysAt = reserve(2 * 16) // 4 header + 3 keys of 4 shorts
+    // short arrays of count >= 3 exceed the 4-byte inline field
+    val bitsAt = if (bands >= 3) reserve(2 * bands) else -1
+    val fmtAt = if (bands >= 3) reserve(2 * bands) else -1
+    val extraAt = if (bands - 1 >= 3) reserve(2 * (bands - 1)) else -1
     // values of size*count <= 4 live inline in the tag's value field (TIFF
     // spec; parseMeta's Entry.dataAt applies the same rule) — only reserve
     // external space for longer nodata strings
@@ -496,21 +571,34 @@ object GeoTiff {
       }
       tagCursor += 12
     }
+    // two SHORT values fit the 4-byte inline field (written explicitly —
+    // an int-packed write would depend on byte order)
+    def tag2Shorts(id: Int, a: Int, b: Int): Unit = {
+      buf.putShort(tagCursor, id.toShort)
+      buf.putShort(tagCursor + 2, 3.toShort)
+      buf.putInt(tagCursor + 4, 2)
+      buf.putShort(tagCursor + 8, a.toShort)
+      buf.putShort(tagCursor + 10, b.toShort)
+      tagCursor += 12
+    }
     tag(256, 3, 1, meta.width)
     tag(257, 3, 1, meta.height)
-    tag(258, 3, 1, 32)
+    if (bands == 1) tag(258, 3, 1, 32)
+    else if (bands == 2) tag2Shorts(258, 32, 32)
+    else tag(258, 3, bands, bitsAt)
     tag(259, 3, 1, compression)
     tag(262, 3, 1, 1)
     if (!tiled) {
       if (nStrips > 1) tag(273, 4, nStrips, stripOffsetsAt)
       else tag(273, 4, 1, stripOffsets.head)
     }
-    tag(277, 3, 1, 1)
+    tag(277, 3, 1, bands)
     if (!tiled) {
       tag(278, 3, 1, rowsPerStrip)
       if (nStrips > 1) tag(279, 4, nStrips, stripCountsAt)
       else tag(279, 4, 1, stripBytes.head)
     }
+    if (bands > 1) tag(284, 3, 1, 1) // chunky interleave, explicit
     if (predictor == 3) tag(317, 3, 1, 3)
     if (tiled) {
       tag(322, 3, 1, tileSize)
@@ -520,7 +608,12 @@ object GeoTiff {
       if (nStrips > 1) tag(325, 4, nStrips, stripCountsAt)
       else tag(325, 4, 1, stripBytes.head)
     }
-    tag(339, 3, 1, 3)
+    if (bands == 2) tag(338, 3, 1, 0)            // 1 unspecified extra
+    else if (bands == 3) tag2Shorts(338, 0, 0)   // 2 unspecified extras
+    else if (bands == 4) tag(338, 3, 3, extraAt) // 3 unspecified extras
+    if (bands == 1) tag(339, 3, 1, 3)
+    else if (bands == 2) tag2Shorts(339, 3, 3)
+    else tag(339, 3, bands, fmtAt)
     tag(33550, 12, 3, scaleAt)
     tag(33922, 12, 6, tieAt)
     tag(34735, 3, 16, geoKeysAt)
@@ -558,6 +651,13 @@ object GeoTiff {
     nodataAscii.filter(_.length > 4).foreach { s =>
       s.getBytes("US-ASCII").zipWithIndex
         .foreach { case (b, i) => buf.put(nodataAt + i, b) }
+    }
+    if (bands >= 3) (0 until bands).foreach { i =>
+      buf.putShort(bitsAt + 2 * i, 32)
+      buf.putShort(fmtAt + 2 * i, 3)
+    }
+    if (extraAt >= 0) (0 until bands - 1).foreach { i =>
+      buf.putShort(extraAt + 2 * i, 0)
     }
     stripData.zip(stripOffsets).foreach { case (data, off) =>
       System.arraycopy(data, 0, buf.array(), off, data.length)

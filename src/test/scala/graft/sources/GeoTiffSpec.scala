@@ -21,6 +21,23 @@ object GeoTiffFixture {
     if (k % 13 == 0) -1.0f else (k % 97).toFloat)
   def bytes: Array[Byte] = GeoTiff.write(meta, values, rowsPerStrip = 16)
   val path = "/root/repo/src/test/resources/s4demo.tif"
+
+  // RGB sibling (s4b): tiled + deflate + fp-predictor — the layout GDAL
+  // emits for a real multi-band float export. Sample s of pixel k is
+  // (k*(s+1)) % 89 with per-band nodata at k%17==0 — closed-form, exact
+  // in float32, reproducible in SQL.
+  val rgbMeta: GridMeta = GridMeta("s4rgb.tif",
+    a = 0.5, b = 0.0, c = -4.0, d = 0.0, e = -0.5, f = 52.0,
+    crs = "EPSG:4326", width = 40, height = 24, nodata = Some(-9.0),
+    scaleM = 55660)
+  val rgbValues: Array[Float] =
+    Array.tabulate(rgbMeta.width * rgbMeta.height * 3) { i =>
+      val (k, s) = (i / 3, i % 3)
+      if (k % 17 == 0) -9.0f else ((k * (s + 1)) % 89).toFloat
+    }
+  def rgbBytes: Array[Byte] = GeoTiff.write(rgbMeta, rgbValues,
+    compression = 8, tileSize = 16, predictor = 3, bands = 3)
+  val rgbPath = "/root/repo/src/test/resources/s4rgb.tif"
 }
 
 class GeoTiffSpec extends AnyFunSuite {
@@ -163,6 +180,62 @@ class GeoTiffSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-band: chunky RGB round-trips across layouts and codecs") {
+    val m = GeoTiffFixture.meta.copy(dataset = "rgb.tif", nodata = None)
+    // closed-form 3-band samples, exact in float32
+    val vals = Array.tabulate(m.width * m.height * 3) { i =>
+      val (k, s) = (i / 3, i % 3)
+      ((k * (s + 1)) % 89).toFloat
+    }
+    for (comp <- Seq(1, 5, 8); tile <- Seq(0, 16); pred <- Seq(1, 3)) {
+      val bytes = GeoTiff.write(m, vals, rowsPerStrip = 16,
+        compression = comp, tileSize = tile, predictor = pred, bands = 3)
+      val r = GeoTiff.parseBands(s"rgb_${comp}_${tile}_$pred.tif", bytes)
+      assert(r.nBands == 3)
+      assert(r.meta.width == m.width && r.meta.crs == m.crs)
+      assert(r.values.sameElements(vals),
+        s"comp=$comp tile=$tile pred=$pred")
+    }
+    // 2- and 4-band variants exercise the inline/external tag paths
+    for (nb <- Seq(2, 4)) {
+      val v = Array.tabulate(m.width * m.height * nb)(i => (i % 53).toFloat)
+      val b = GeoTiff.write(m, v, bands = nb)
+      val r = GeoTiff.parseBands(s"b$nb.tif", b)
+      assert(r.nBands == nb && r.values.sameElements(v))
+    }
+  }
+
+  test("multi-band: single-band parse() refuses multi-band bytes loudly") {
+    val m = GeoTiffFixture.meta.copy(dataset = "rgb.tif", nodata = None)
+    val vals = new Array[Float](m.width * m.height * 3)
+    val bytes = GeoTiff.write(m, vals, bands = 3)
+    val e = intercept[IllegalArgumentException] {
+      GeoTiff.parse("rgb.tif", bytes)
+    }
+    assert(e.getMessage.contains("parseBands"))
+  }
+
+  test("multi-band: JDK ImageIO reads our RGB float strips") {
+    val m = GeoTiffFixture.meta.copy(dataset = "rgbx.tif", nodata = None)
+    val vals = Array.tabulate(m.width * m.height * 3)(i => (i % 89).toFloat)
+    for (comp <- Seq(1, 8)) {
+      val bytes = GeoTiff.write(m, vals, rowsPerStrip = 16,
+        compression = comp, bands = 3)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      assert(readers.hasNext, "JDK TIFF ImageIO plugin missing")
+      val reader = readers.next()
+      reader.setInput(iis)
+      val raster = reader.read(0).getRaster
+      assert(raster.getNumBands == 3)
+      val got = new Array[Float](m.width * m.height * 3)
+      raster.getPixels(0, 0, m.width, m.height, got)
+      assert(got.sameElements(vals), s"JDK decode of RGB comp=$comp disagrees")
+      reader.dispose()
+    }
+  }
+
   test("LZW codec round-trips data that forces 10-bit codes and a known vector") {
     // > 253 distinct-phrase additions forces the 9→10-bit early change
     val rnd = new scala.util.Random(7)
@@ -299,6 +372,14 @@ class GeoTiffSpec extends AnyFunSuite {
         "with GeoTiffFixture.bytes")
   }
 
+  test("s4rgb fixture bytes match the writer output exactly") {
+    val onDisk = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(GeoTiffFixture.rgbPath))
+    assert(onDisk.sameElements(GeoTiffFixture.rgbBytes),
+      "checked-in s4rgb.tif drifted from GeoTiffFixture — regenerate it " +
+        "with GenS4Fixture")
+  }
+
   test("S4 scan: fixture -> pixel table with nodata as null") {
     val df = GeoTiff.read(spark, GeoTiffFixture.path)
     val n = df.count()
@@ -354,11 +435,14 @@ class GeoTiffSpec extends AnyFunSuite {
   }
 }
 
-/** Regenerates the checked-in fixture: `sbt "Test/runMain graft.sources.GenS4Fixture"`. */
+/** Regenerates the checked-in fixtures: `sbt "Test/runMain graft.sources.GenS4Fixture"`. */
 object GenS4Fixture {
   def main(args: Array[String]): Unit = {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(GeoTiffFixture.path), GeoTiffFixture.bytes)
     println(s"wrote ${GeoTiffFixture.bytes.length} bytes to ${GeoTiffFixture.path}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(GeoTiffFixture.rgbPath), GeoTiffFixture.rgbBytes)
+    println(s"wrote ${GeoTiffFixture.rgbBytes.length} bytes to ${GeoTiffFixture.rgbPath}")
   }
 }
