@@ -102,6 +102,20 @@ object SparkEntry {
     "a5_minmax" -> ((s, d) =>
       Composites.globalMinMax(Tables.events(s, d))),
 
+    // a9 — ROLLUP subtotal hierarchy (extension; §2.4 notes the reference
+    // has no grouping sets): per-(priority, month) totals, per-priority
+    // subtotals, and the grand total in one pass. grouping_id
+    // disambiguates subtotal rows from genuine nulls; decimal-routed sums
+    // keep every tier order-independent.
+    "a9_rollup" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("month",
+          Windows.monthOf(col("o_orderdate")).cast("date"))
+        .rollup(col("o_orderpriority"), col("month"))
+        .agg(count(lit(1)).as("n"),
+             sumD(col("o_totalprice")).as("total"),
+             grouping_id().as("gid"))),
+
     "a6_grid_resample" -> ((s, d) =>
       Tables.events(s, d).groupBy(floor(col("value") / 0.5).as("cell")).agg(
         avgD(col("value")).as("mean_value"),
@@ -1404,6 +1418,18 @@ object SparkEntry {
       s"""SELECT CAST(date_trunc('month', ts) AS DATE) AS month, event_type,
                  COUNT(*) AS n, ${sumSql("value")} AS sum_value
           FROM events GROUP BY 1, 2""",
+
+    // a9 — DuckDB ROLLUP with the same GROUPING bitmask convention
+    "a9_rollup" ->
+      s"""WITH m AS (
+            SELECT o_orderpriority,
+                   CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   o_totalprice
+            FROM orders)
+          SELECT o_orderpriority, month, COUNT(*) AS n,
+                 ${sumSql("o_totalprice")} AS total,
+                 CAST(GROUPING(o_orderpriority, month) AS BIGINT) AS gid
+          FROM m GROUP BY ROLLUP(o_orderpriority, month)""",
 
     // t3 — identical decimal-routed frame sum and final double division
     "t3_moving_avg" ->
