@@ -734,6 +734,12 @@ object SparkEntry {
       ext.Dedup.repeatedSpans(t(s, d, "documents"), windowK = 8,
         minCount = 2)),
 
+    // x41 — deterministic training-order shuffle: shard by mix64(id),
+    // order within shard by the composed mix64∘mix64 stream — the global
+    // reorder before sequence packing, reproducible with no RNG state
+    "x41_shuffle_shards" -> ((s, d) =>
+      ext.Curation.shuffleShards(t(s, d, "documents"), nShards = 8)),
+
     // x40 — vocabulary-coverage audit: top-200 corpus tokens as the
     // vocabulary (count DESC, token ASC — a total order, so the cut
     // replays exactly), per-doc OOV fraction
@@ -1529,6 +1535,30 @@ object SparkEntry {
       s"""WITH RECURSIVE $componentCtes
           SELECT doc_id, lang, source, n_chars FROM documents
           WHERE doc_id NOT IN (SELECT id FROM cc WHERE rep <> id)""",
+
+    // x41 — the x22 splitmix64 HUGEINT replay applied twice (the second
+    // round starts from the first round's unsigned result), Spark's
+    // signed pmod for the shard, identical (ord, id) window order
+    "x41_shuffle_shards" ->
+      s"""WITH m0 AS (SELECT doc_id, doc_id::HUGEINT AS u0 FROM documents),
+          m1 AS (SELECT *, ${mulmodSql("xor(u0, u0 // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM m0),
+          m2 AS (SELECT *, ${mulmodSql("xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM m1),
+          m3 AS (SELECT *, xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM m2),
+          n1 AS (SELECT *, ${mulmodSql("xor(uh, uh // 1073741824::HUGEINT)", Mix64C1)} AS v1 FROM m3),
+          n2 AS (SELECT *, ${mulmodSql("xor(v1, v1 // 134217728::HUGEINT)", Mix64C2)} AS v2 FROM n1),
+          n3 AS (SELECT *, xor(v2, v2 // 2147483648::HUGEINT) AS vh FROM n2),
+          sgn AS (SELECT doc_id,
+                    CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+                              THEN uh - 18446744073709551616::HUGEINT
+                              ELSE uh END AS BIGINT) AS sh,
+                    CAST(CASE WHEN vh >= 9223372036854775808::HUGEINT
+                              THEN vh - 18446744073709551616::HUGEINT
+                              ELSE vh END AS BIGINT) AS ord
+                  FROM n3)
+          SELECT doc_id, ((sh % 8) + 8) % 8 AS shard,
+                 CAST(row_number() OVER (PARTITION BY ((sh % 8) + 8) % 8
+                      ORDER BY ord, doc_id) AS BIGINT) AS pos
+          FROM sgn""",
 
     // x40 — same census, same deterministic vocabulary cut, same
     // per-doc re-aggregation

@@ -90,6 +90,33 @@ object Curation {
       .drop("rk")
   }
 
+  /** Deterministic training-order shuffle + sharding — the global
+    * reorder a pipeline runs before sequence packing so training never
+    * consumes documents in crawl/source order (adjacent near-identical
+    * pages poison gradient batches). Two INDEPENDENT splitmix64 streams:
+    * `shard = mix64(doc_id) mod nShards` balances shards, and the order
+    * WITHIN a shard follows the composed `mix64(mix64(doc_id))` —
+    * decorrelated from the shard hash (composition, not addition:
+    * Catalyst's ANSI Add would throw on extreme ids, the native
+    * expression wraps like every hash). No RNG state: the same corpus shuffles
+    * identically on every run, engine, partitioning, and retry, and the
+    * (hash, doc_id) tiebreak makes the order a total one.
+    *
+    * 100 TB posture: one shuffle (the window on the shard key); shard
+    * sizes are binomially tight around n/nShards, so pick nShards to cap
+    * the per-shard window partition (e.g. corpus/nShards ~ 10M docs). */
+  def shuffleShards(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val h1 = graft.functions.HashExprs.mix64_col(col("doc_id"))
+    val h2 = graft.functions.HashExprs.mix64_col(h1)
+    val w = Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))
+    docs.select(col("doc_id"),
+        pmod(h1, lit(nShards.toLong)).as("shard"), h2.as("ord"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+  }
+
   /** Sequence packing — assign documents to fixed-token-budget packs for
     * training (the "pack to context length" step): within each shard
     * (source/domain), documents are taken in deterministic id order and a

@@ -631,6 +631,25 @@ class ExtSpec extends AnyFunSuite {
     assert(r(2L) == ((4L, 2L, 0.5))) // zz, yy out of vocab
   }
 
+  test("shuffleShards: partition-invariant, contiguous positions, " +
+       "order decorrelated from id order") {
+    import spark.implicits._
+    val d = (0L until 256L).toDF("doc_id")
+    def run(parts: Int) = Curation.shuffleShards(d.repartition(parts), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = run(1)
+    assert(a == run(13)) // no RNG state → partitioning cannot matter
+    // every shard's positions are exactly 1..count
+    val byShard = a.groupBy(_._2)
+    assert(byShard.size == 8)
+    byShard.foreach { case (_, rows) =>
+      assert(rows.map(_._3) == (1L to rows.size).toSet)
+    }
+    // the within-shard order must not be id order (the whole point)
+    val shard0 = byShard(a.head._2).toSeq.sortBy(_._3).map(_._1)
+    assert(shard0 != shard0.sorted)
+  }
+
   test("salientTerms ranks by tf/df with deterministic tiebreak") {
     val d = Seq(
       (1L, "alpha alpha beta common"),
