@@ -734,6 +734,26 @@ object SparkEntry {
       ext.Dedup.repeatedSpans(t(s, d, "documents"), windowK = 8,
         minCount = 2)),
 
+    // j9 — interval containment join: the 20 highest-value error events
+    // open 2-hour incident windows; every event inside a window joins to
+    // it — via hourly bucketing (equi-join + refine), never a nested
+    // loop. All times are integer micros (Spark DIV 1000 truncation ≡
+    // DuckDB epoch_us), so the oracle's plain BETWEEN join is exact.
+    "j9_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .select("event_id", "event_type", "value", "ts_us")
+      val incidents = ev.filter(col("event_type") === "error")
+        .orderBy(col("value").desc, col("event_id")).limit(20)
+        .select(col("event_id").as("incident_id"),
+                col("ts_us").as("start_us"),
+                (col("ts_us") + lit(7200000000L)).as("end_us"))
+      ops.IntervalJoin.pointsInIntervals(
+          ev.select("event_id", "event_type", "ts_us"), "ts_us",
+          incidents, "start_us", "end_us")
+        .select("incident_id", "event_id", "event_type", "ts_us")
+    }),
+
     // x41 — deterministic training-order shuffle: shard by mix64(id),
     // order within shard by the composed mix64∘mix64 stream — the global
     // reorder before sequence packing, reproducible with no RNG state
@@ -1535,6 +1555,21 @@ object SparkEntry {
       s"""WITH RECURSIVE $componentCtes
           SELECT doc_id, lang, source, n_chars FROM documents
           WHERE doc_id NOT IN (SELECT id FROM cc WHERE rep <> id)""",
+
+    // j9 — the oracle is the PLAIN containment join (the bucketing is a
+    // semantics-transparent rewrite, like j7's salt)
+    "j9_interval_join" ->
+      """WITH ev AS (
+           SELECT event_id, event_type, value, epoch_us(ts) AS ts_us
+           FROM events),
+         inc AS (
+           SELECT event_id AS incident_id, ts_us AS start_us,
+                  ts_us + 7200000000 AS end_us
+           FROM ev WHERE event_type = 'error'
+           ORDER BY value DESC, event_id LIMIT 20)
+         SELECT i.incident_id, e.event_id, e.event_type, e.ts_us
+         FROM ev e JOIN inc i
+           ON e.ts_us BETWEEN i.start_us AND i.end_us""",
 
     // x41 — the x22 splitmix64 HUGEINT replay applied twice (the second
     // round starts from the first round's unsigned result), Spark's

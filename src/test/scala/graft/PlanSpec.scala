@@ -298,6 +298,13 @@ class PlanSpec extends AnyFunSuite {
       s"bloom words materialized as a per-row CreateArray:\n$p")
   }
 
+  test("j9 interval join: bucket equi-join, never a nested loop") {
+    val p = executed("j9_interval_join").toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"),
+      s"interval join fell back to a nested loop:\n$p")
+  }
+
   test("t2 gap fill: all four bracketing frames share one window " +
        "exchange on the series key") {
     val p = executed("t2_gap_fill").toString

@@ -124,6 +124,25 @@ class OpsSpec extends AnyFunSuite {
     assert(r.filter($"value" === 1.0).head.getAs[String]("severity") == "none")
   }
 
+  test("J9 interval join: containment semantics, bucket-boundary exactness") {
+    import spark.implicits._
+    // intervals chosen to straddle bucket boundaries (bucket = 100):
+    // [50, 250] spans 3 buckets, [400, 400] is a point interval
+    val points = Seq((1L, 49L), (2L, 50L), (3L, 150L), (4L, 250L),
+      (5L, 251L), (6L, 400L), (7L, 399L)).toDF("pid", "ts_us")
+    val ivals = Seq((10L, 50L, 250L), (11L, 400L, 400L))
+      .toDF("iid", "start_us", "end_us")
+    val r = IntervalJoin.pointsInIntervals(points, "ts_us", ivals,
+        "start_us", "end_us", bucketMicros = 100L)
+      .select("iid", "pid").collect().map(x => (x.getLong(0), x.getLong(1)))
+      .toSet
+    assert(r == Set((10L, 2L), (10L, 3L), (10L, 4L), (11L, 6L)))
+    // each qualifying pair appears exactly once (a point has ONE bucket)
+    val all = IntervalJoin.pointsInIntervals(points, "ts_us", ivals,
+      "start_us", "end_us", bucketMicros = 100L).collect()
+    assert(all.length == 4)
+  }
+
   test("gapFillMonths interpolates interior holes, carries edges") {
     import spark.implicits._
     // series a: Jan=10, [Feb,Mar missing], Apr=40 → Feb=20, Mar=30;
