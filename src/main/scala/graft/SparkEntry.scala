@@ -734,6 +734,18 @@ object SparkEntry {
       ext.Dedup.repeatedSpans(t(s, d, "documents"), windowK = 8,
         minCount = 2)),
 
+    // x42 — incremental dedup: docs 0..399 play the stored corpus index,
+    // 400..499 the daily increment; new docs near-dup-check against the
+    // index AND each other in one banding pass. Oracle = exact all-pairs
+    // jaccard restricted to pairs whose larger member is new (the x2
+    // all-pairs CTE + the increment filter).
+    "x42_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      ext.Dedup.incrementalVerifiedDups(
+        ext.Dedup.minhashIndex(docs.filter(col("doc_id") < 400)),
+        docs.filter(col("doc_id") >= 400), minJaccard = 0.5)
+    }),
+
     // j9 — interval containment join: the 20 highest-value error events
     // open 2-hour incident windows; every event inside a window joins to
     // it — via hourly bucketing (equi-join + refine), never a nested
@@ -1555,6 +1567,31 @@ object SparkEntry {
       s"""WITH RECURSIVE $componentCtes
           SELECT doc_id, lang, source, n_chars FROM documents
           WHERE doc_id NOT IN (SELECT id FROM cc WHERE rep <> id)""",
+
+    // x42 — exact 3-gram all-pairs (the x2 CTEs) cut to pairs whose
+    // larger member belongs to the increment
+    "x42_incremental_dedup" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS l
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, unnest(list_filter(
+             list_transform(range(1, greatest(len(l) - 1, 1)),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]),
+             x -> x IS NOT NULL)) AS shingle
+           FROM tok),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+           FROM sh x JOIN sh y ON x.shingle = y.shingle
+           WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+                CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+           AND doc_b >= 400""",
 
     // j9 — the oracle is the PLAIN containment join (the bucketing is a
     // semantics-transparent rewrite, like j7's salt)

@@ -144,6 +144,68 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** 2b'. Stored MinHash index — one row per doc: (doc_id, hs, minhash).
+    * A production pipeline writes this once per corpus snapshot (parquet,
+    * partitioned/bucketed on doc_id) so the daily increment never
+    * re-shingles the corpus. */
+  def minhashIndex(docs: DataFrame, numHashes: Int = 128,
+                   shingleK: Int = 3): DataFrame =
+    docs.select(col("doc_id"), tokenHashes(col("text"), shingleK).as("hs"))
+      .withColumn("minhash",
+        graft.functions.HashExprs.min_hash(col("hs"), numHashes))
+
+  /** 2d. Incremental verified near-dups — the daily-increment shape: new
+    * documents are checked against the STORED corpus index (built by
+    * [[minhashIndex]], never recomputed here) and against each other, in
+    * one banding pass. Candidate generation restricts the banding join's
+    * probe side to the increment, so its size is O(increment × bands),
+    * not O(corpus × bands); verification is the same exact-jaccard
+    * equi-join as [[minhashVerifiedDups]]. Output pairs are
+    * (existing-or-earlier doc_a, new doc_b); doc ids must be unique
+    * across both inputs.
+    *
+    * 100 TB posture: the corpus side contributes only its banded keys
+    * (3 longs/row/band) and the hash sets of verified candidates; with
+    * the index bucketed on doc_id the verify joins are co-located, and
+    * the whole daily job touches O(corpus) cheap keys + O(increment)
+    * text. */
+  def incrementalVerifiedDups(index: DataFrame, incoming: DataFrame,
+                              minJaccard: Double = 0.5,
+                              numHashes: Int = 128, bands: Int = 32,
+                              shingleK: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    val inc = minhashIndex(incoming, numHashes, shingleK)
+    val all = index.select("doc_id", "hs", "minhash")
+      .withColumn("is_new", lit(false))
+      .unionByName(inc.withColumn("is_new", lit(true)))
+      .repartition(col("doc_id")) // one shared exchange for all consumers
+    def banded(df: DataFrame) = df.select(col("doc_id"), col("is_new"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          (0 until rows).map(r =>
+            element_at(col("minhash"), b * rows + r + 1)): _*), lit(b))
+      }: _*)).as(Seq("band", "bucket")))
+      .select("doc_id", "is_new", "band", "bucket")
+    val a = banded(all).select(col("doc_id").as("doc_a"),
+      col("is_new").as("new_a"), col("band"), col("bucket"))
+    val b = banded(all.filter(col("is_new")))
+      .select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      // new-new pairs appear in both orders: keep the (smaller, larger)
+      // one; corpus-new pairs only ever appear as (corpus, new)
+      .filter(!col("new_a") || col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(all.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), "doc_a")
+      .join(all.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** 3. SimHash: 64-bit fingerprint — per bit, sum +1/-1 votes of each
     * shingle's hash bit, weighted by nothing (uniform). Pure array algebra,
     * one row per doc. */

@@ -43,6 +43,25 @@ class ExtSpec extends AnyFunSuite {
       "minhashVerifiedDups must not pin executor storage (round-3 leak)")
   }
 
+  test("incrementalVerifiedDups checks new docs against index AND " +
+       "each other, never index-vs-index") {
+    // docs 1-3 are the stored corpus (1 and 4 identical, but 4 is NEW);
+    // 2 is 1's near-dup inside the corpus — that pair must NOT re-emerge
+    val base = docs.filter(col("doc_id") <= 3)
+    val incoming = docs.filter(col("doc_id") >= 4)
+      .unionByName(Seq((6L,
+        "the quick brown fox jumps over the lazy dog near the river bank"))
+        .toDF("doc_id", "text")) // new exact dup of both 1 (corpus) and 4 (new)
+    val r = Dedup.incrementalVerifiedDups(Dedup.minhashIndex(base),
+        incoming, minJaccard = 0.4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.contains((1L, 4L))) // corpus vs new
+    assert(r.contains((1L, 6L)))
+    assert(r.contains((4L, 6L))) // new vs new, emitted once as (4,6)
+    assert(!r.contains((1L, 2L)), "corpus-internal pair must not re-emerge")
+    assert(r.forall { case (a, b) => b >= 4L && a < b })
+  }
+
   test("simhash: identical docs distance 0, near-dups close, distinct far") {
     val fp = Dedup.simhash(docs).select("doc_id", "simhash")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
