@@ -175,6 +175,76 @@ class PropertiesSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("interval join equals the brute-force containment join on " +
+       "random data, at every bucket width") {
+    val rnd = new scala.util.Random(31)
+    (1 to 6).foreach { _ =>
+      val points = (1L to 40L).map(i => (i, rnd.nextInt(1000).toLong))
+      val ivals = (100L to 110L).map { i =>
+        val s = rnd.nextInt(900).toLong
+        (i, s, s + rnd.nextInt(200).toLong)
+      }
+      val pdf = points.toDF("pid", "ts_us")
+      val idf = ivals.toDF("iid", "start_us", "end_us")
+      val want = (for ((p, t) <- points; (i, s, e) <- ivals
+                      if t >= s && t <= e) yield (i, p)).toSet
+      for (bucket <- Seq(1L, 7L, 100L, 5000L)) {
+        val got = IntervalJoin.pointsInIntervals(pdf, "ts_us", idf,
+            "start_us", "end_us", bucketMicros = bucket)
+          .select("iid", "pid").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        assert(got.length == got.toSet.size, s"dupes at bucket=$bucket")
+        assert(got.toSet == want, s"bucket=$bucket")
+      }
+    }
+  }
+
+  test("repeatedSpans: spans disjoint per doc, in bounds, and absent " +
+       "when every window is unique") {
+    val rnd = new scala.util.Random(41)
+    (1 to 6).foreach { trial =>
+      // half the docs share a planted phrase; half are unique noise
+      val phrase = (1 to 6).map(i => s"p$i").mkString(" ")
+      val docs = (1L to 8L).map { i =>
+        val noise = Seq.fill(10)("n" + rnd.nextInt(100000)).mkString(" ")
+        (i, if (i % 2 == 0) s"$noise $phrase" else noise)
+      }.toDF("doc_id", "text")
+      val spans = graft.ext.Dedup.repeatedSpans(docs, windowK = 4,
+          minCount = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // only planted docs can have spans, and a span stays inside the doc
+      assert(spans.forall(_._1 % 2 == 0), s"trial $trial: $spans")
+      assert(spans.forall { case (_, s, e) => s >= 0 && e >= s && e < 17 })
+      // spans of one doc never overlap (maximal-merge invariant)
+      spans.groupBy(_._1).values.foreach { ss =>
+        val sorted = ss.sortBy(_._2)
+        sorted.zip(sorted.drop(1)).foreach { case ((_, _, e1), (_, s2, _)) =>
+          assert(e1 < s2, s"trial $trial: overlapping spans $ss")
+        }
+      }
+      // unique-noise-only corpus has no spans at all
+      val clean = (1L to 5L).map(i =>
+        (i, Seq.fill(12)("u" + rnd.nextInt(1000000)).mkString(" ")))
+        .toDF("doc_id", "text")
+      assert(graft.ext.Dedup.repeatedSpans(clean, 4, 2).count() == 0)
+    }
+  }
+
+  test("bloom anti-join equals the plain anti-join on random drop sets") {
+    val rnd = new scala.util.Random(53)
+    (1 to 4).foreach { _ =>
+      val corpus = (0 until 300).map(_ => rnd.nextLong() >> 16).distinct
+      val drop = rnd.shuffle(corpus).take(rnd.nextInt(40)) ++
+        Seq.fill(10)(rnd.nextLong() >> 16) // non-members too
+      val cdf = corpus.toDF("doc_id")
+      val ddf = drop.toDF("doc_id")
+      val got = graft.ext.Bloom.antiJoinWithBloom(cdf, ddf,
+          mBits = 1 << 12, kProbes = 3)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == (corpus.toSet -- drop.toSet))
+    }
+  }
+
   test("rolling fingerprint composes: fp(xs :+ t) = rotl5(fp(xs)) ^ fnv(t)") {
     import graft.functions.HashExprs
     val rnd = new scala.util.Random(17)
