@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 
@@ -146,6 +146,49 @@ object StreamingOps {
     // over a streaming DataFrame — one implementation, one set of fixes
     // (StreamingSpec pins streaming ≡ batch)
     graft.ext.Curation.contamination(docStream, benchmark, shingleK)
+
+  /** Streaming near-dup ingest gate: every incoming document is checked
+    * against the STORED corpus fingerprint index
+    * ([[graft.ext.Dedup.minhashIndex]] — (doc_id, hs, minhash)) as it
+    * arrives, so near-dups of the existing corpus are flagged before
+    * they land. Two stream-static equi-joins, both stateless: the
+    * stream's banded keys probe the index's banded keys, then verified
+    * candidates fetch the index doc's hash set for the EXACT jaccard —
+    * the same arithmetic as the batch [[graft.ext.Dedup
+    * .incrementalVerifiedDups]] (StreamingSpec pins stream ≡ batch).
+    * The final per-pair aggregation only dedups multi-band collisions
+    * (state is bounded by emitted matches, not the stream).
+    *
+    * Scope: gates against the index only — increment-internal dups are
+    * the batch job's business (they need cross-batch state). */
+  def streamingNearDupGate(docStream: DataFrame, index: DataFrame,
+                           minJaccard: Double = 0.5, numHashes: Int = 128,
+                           bands: Int = 32, shingleK: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    def bandCols(mh: Column): Column = array((0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        (0 until rows).map(r => element_at(mh, b * rows + r + 1)): _*),
+        lit(b))
+    }: _*)
+    val bInc = docStream
+      .select(col("doc_id").as("doc_b"),
+        graft.ext.Dedup.tokenHashes(col("text"), shingleK).as("hs_b"))
+      .withColumn("mh",
+        graft.functions.HashExprs.min_hash(col("hs_b"), numHashes))
+      .select(col("doc_b"), col("hs_b"),
+        posexplode(bandCols(col("mh"))).as(Seq("band", "bucket")))
+    val aKeys = index.select(col("doc_id").as("doc_a"),
+      posexplode(bandCols(col("minhash"))).as(Seq("band", "bucket")))
+    val aSets = index.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    bInc.join(aKeys, Seq("band", "bucket"))
+      .select("doc_a", "doc_b", "hs_b")
+      .join(aSets, "doc_a")
+      .withColumn("jaccard",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))))
+      .filter(col("jaccard") >= minJaccard)
+      .groupBy("doc_a", "doc_b").agg(max("jaccard").as("jaccard"))
+  }
 
   /** Run a streaming aggregation over existing parquet as a bounded stream
     * (memory sink), for batch-equivalence testing. Returns the final table.

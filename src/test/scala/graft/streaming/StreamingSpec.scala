@@ -129,4 +129,34 @@ class StreamingSpec extends AnyFunSuite {
     val b = batch.collect().map(_.toSeq).toSet
     assert(s == b && s.nonEmpty)
   }
+
+  test("streaming near-dup gate equals the batch incremental check " +
+       "against the same stored index") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docsBatch = spark.read.parquet(s"$dir/documents.parquet")
+    val index = graft.ext.Dedup.minhashIndex(
+      docsBatch.filter(col("doc_id") < 40))
+    val docStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(col("doc_id") >= 40)
+
+    val streamed = StreamingOps.runBounded(spark,
+      StreamingOps.streamingNearDupGate(docStream, index, minJaccard = 0.4),
+      "neardup_gate_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    // batch reference: the incremental check, corpus-vs-new pairs only
+    // (the gate's scope — increment-internal dups need cross-batch state)
+    val batch = graft.ext.Dedup.incrementalVerifiedDups(index,
+        docsBatch.filter(col("doc_id") >= 40), minJaccard = 0.4)
+      .filter(col("doc_a") < 40)
+
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b && s.nonEmpty, s"stream=$s\nbatch=$b")
+  }
 }
