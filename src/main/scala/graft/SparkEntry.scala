@@ -401,6 +401,12 @@ object SparkEntry {
         .select("o_orderpriority", "month", "v", "smoothed")
     }),
 
+    // s13 — S5's read side: the reference's (lat,lon,mean) CSV pixel
+    // table parsed back (headerless golden fixture; lowercase nan → null)
+    "s13_csv_pixel_scan" -> ((s, _) =>
+      pipeline.MonthlyPipeline.readCsvPixelTable(s,
+        "/root/repo/src/test/resources/golden_pixels.csv", header = false)),
+
     // s12 — JSONL corpus ingest (the LLM-corpus interchange format):
     // schema-pinned line-delimited read, nested meta flattened, missing
     // fields null. Oracle reads the same fixture with DuckDB read_json
@@ -1482,6 +1488,15 @@ object SparkEntry {
           FROM m
           WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month
                        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)""",
+
+    // s13 — DuckDB parses the same CSV under the same pinned schema;
+    // 'nan' reads as NaN and nulls out identically
+    "s13_csv_pixel_scan" ->
+      """SELECT lat, lon,
+                CASE WHEN isnan(mean) THEN NULL ELSE mean END AS mean
+         FROM read_csv('/root/repo/src/test/resources/golden_pixels.csv',
+                header = false,
+                columns = {lat: 'DOUBLE', lon: 'DOUBLE', mean: 'DOUBLE'})""",
 
     // s12 — DuckDB reads the same JSONL fixture with the same pinned
     // column spec (no inference on either side)

@@ -65,6 +65,22 @@ object MonthlyPipeline {
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).option("header", true).csv(path)
 
+  /** S5 read side — parse a (lat,lon,mean) CSV pixel table back into
+    * typed rows (schema pinned, no inference pass; the reference writes
+    * lowercase `nan` for transparent pixels — mapped to null like every
+    * other ingest path). Closes the export loop: artifacts written by
+    * [[writeCsv]] (or the reference's own `fix_transparency.py`) read
+    * back as relational pixels. */
+  def readCsvPixelTable(spark: org.apache.spark.sql.SparkSession,
+                        path: String, header: Boolean = true): DataFrame =
+    spark.read
+      .schema("lat DOUBLE, lon DOUBLE, mean DOUBLE")
+      .option("header", header)
+      .option("nanValue", "nan")
+      .csv(path)
+      .withColumn("mean",
+        when(isnan(col("mean")), lit(null)).otherwise(col("mean")))
+
   /** S9 — serving manifest: the date index the wrapper page iterates
     * (sorted distinct partitions, DataDownloader_V2.py:186-265). */
   def manifest(composite: DataFrame): DataFrame =

@@ -58,6 +58,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(lines.toSeq == golden)
   }
 
+  test("S5 CSV write -> read round trip recovers the pixel table") {
+    val c = MonthlyPipeline.monthlyComposite(
+      pixels, BBox(76.0, 28.0, 78.0, 30.0), "2025-08-01", "2025-09-01")
+    val tmp = java.nio.file.Files.createTempDirectory("csvrt").toString
+    MonthlyPipeline.writeCsv(c, s"$tmp/pixels")
+    val back = MonthlyPipeline.readCsvPixelTable(spark, s"$tmp/pixels")
+    assert(back.count() == 16)
+    val want = c.select(col("lat"), col("lon"), col("mean"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    val got = back.collect().map(r => (r.getDouble(0), r.getDouble(1),
+      if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(got == want) // values survive the 6dp format (grid is 6dp-exact)
+    assert(back.filter(col("mean").isNull).count() == 1) // the nan cell
+  }
+
   test("partitioned write + manifest round trip") {
     val c = MonthlyPipeline.monthlyComposite(
       pixels, BBox(76.0, 28.0, 78.0, 30.0), "2025-08-01", "2025-09-01")
