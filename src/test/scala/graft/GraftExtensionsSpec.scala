@@ -35,6 +35,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(2) == graft.functions.HashExprs.mix64(0L))
   }
 
+  test("shingle_hashes_all from plain SQL: positional, duplicates kept") {
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT shingle_hashes_all('a b a b', 2) AS all_h,
+                shingle_hashes('a b a b', 2) AS distinct_h""").head
+    val all = r.getSeq[Long](0)
+    val dist = r.getSeq[Long](1)
+    assert(all.length == 3)        // windows at positions 0,1,2
+    assert(all(0) == all(2))       // "a b" repeats in position
+    assert(dist.toSet == all.toSet) // same hash family
+    assert(dist.length == 2)       // distinct collapses the repeat
+  }
+
   test("string_shingles from plain SQL: gram strings, lowercased, distinct") {
     GraftExtensions.registerAll(spark)
     val r = spark.sql("SELECT string_shingles('The quick THE quick', 2) AS g")
