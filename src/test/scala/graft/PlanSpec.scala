@@ -305,6 +305,21 @@ class PlanSpec extends AnyFunSuite {
       s"interval join fell back to a nested loop:\n$p")
   }
 
+  test("x41 shuffle-shards: ONE window exchange on the shard key, " +
+       "hashes codegen'd") {
+    val p = executed("x41_shuffle_shards").toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly the window exchange ($exchanges):\n$p")
+    assert(p.contains("mix64"), s"shard/order hashes not the native expression:\n$p")
+  }
+
+  test("x42 incremental dedup: banding equi-joins only, nothing quadratic") {
+    val p = executed("x42_incremental_dedup").toString
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), s"quadratic join:\n$p")
+    assert(p.contains("xxhash64"), s"banding keys missing:\n$p")
+  }
+
   test("t2 gap fill: all four bracketing frames share one window " +
        "exchange on the series key") {
     val p = executed("t2_gap_fill").toString
