@@ -740,6 +740,15 @@ object SparkEntry {
       ext.Dedup.repeatedSpans(t(s, d, "documents"), windowK = 8,
         minCount = 2)),
 
+    // x43 — contamination-safe split: doc_id ≡ 7 (mod 10) plays the eval
+    // partition; train loses every near-dup (jaccard ≥ 0.5) of any eval
+    // doc. Oracle = the exact all-pairs census, mixed pairs only, train
+    // member dropped whichever side of the (a<b) order it landed on.
+    "x43_decontaminated_split" -> ((s, d) =>
+      ext.Curation.decontaminatedTrainSplit(t(s, d, "documents"),
+          isEval = pmod(col("doc_id"), lit(10)) === 7, minJaccard = 0.5)
+        .select("doc_id", "lang", "source", "n_chars")),
+
     // x42 — incremental dedup: docs 0..399 play the stored corpus index,
     // 400..499 the daily increment; new docs near-dup-check against the
     // index AND each other in one banding pass. Oracle = exact all-pairs
@@ -1582,6 +1591,35 @@ object SparkEntry {
       s"""WITH RECURSIVE $componentCtes
           SELECT doc_id, lang, source, n_chars FROM documents
           WHERE doc_id NOT IN (SELECT id FROM cc WHERE rep <> id)""",
+
+    // x43 — exact all-pairs census; a mixed (eval, train) pair drops its
+    // train member regardless of which side of doc_a < doc_b it is on
+    "x43_decontaminated_split" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS l
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, unnest(list_filter(
+             list_transform(range(1, greatest(len(l) - 1, 1)),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]),
+             x -> x IS NOT NULL)) AS shingle
+           FROM tok),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+           FROM sh x JOIN sh y ON x.shingle = y.shingle
+           WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+         sim AS (
+           SELECT doc_a, doc_b FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+         drops AS (
+           SELECT CASE WHEN doc_a % 10 = 7 THEN doc_b ELSE doc_a END AS did
+           FROM sim WHERE (doc_a % 10 = 7) <> (doc_b % 10 = 7))
+         SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE doc_id % 10 <> 7
+           AND doc_id NOT IN (SELECT did FROM drops)""",
 
     // x42 — exact 3-gram all-pairs (the x2 CTEs) cut to pairs whose
     // larger member belongs to the increment

@@ -90,6 +90,35 @@ object Curation {
       .drop("rk")
   }
 
+  /** Contamination-safe train split — the split-hygiene step run before
+    * training (the GPT-3/Pile convention: benchmark/eval material is
+    * removed from train at the NEAR-DUP level, not just exact matches,
+    * because a paraphrased eval document leaks just as hard): given a
+    * deterministic eval partition, drop from train every document that
+    * near-duplicates ANY eval document (exact-verified jaccard ≥
+    * `minJaccard`), and return the surviving train corpus.
+    *
+    * Machinery is the proven incremental-dedup shape
+    * ([[Dedup.incrementalVerifiedDups]] with eval as the stored index):
+    * banding probe side = train, candidates exact-verified, and only
+    * eval↔train pairs feed the drop list (train-internal near-dups are
+    * dedup's business, not the split's). One anti-join back.
+    *
+    * 100 TB posture: eval is benchmark-sized, so its banded keys and
+    * hash sets are small; train contributes the banding probe and one
+    * anti-join — the same costs x42 already pays. */
+  def decontaminatedTrainSplit(docs: DataFrame, isEval: org.apache.spark.sql.Column,
+                               minJaccard: Double = 0.5): DataFrame = {
+    val evalDocs = docs.filter(isEval)
+    val train = docs.filter(!isEval)
+    val pairs = Dedup.incrementalVerifiedDups(
+      Dedup.minhashIndex(evalDocs), train, minJaccard = minJaccard)
+    val drop = pairs
+      .join(evalDocs.select(col("doc_id").as("doc_a")), "doc_a")
+      .select(col("doc_b").as("doc_id")).distinct()
+    train.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   /** Deterministic training-order shuffle + sharding — the global
     * reorder a pipeline runs before sequence packing so training never
     * consumes documents in crawl/source order (adjacent near-identical

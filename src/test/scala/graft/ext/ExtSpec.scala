@@ -62,6 +62,15 @@ class ExtSpec extends AnyFunSuite {
     assert(r.forall { case (a, b) => b >= 4L && a < b })
   }
 
+  test("decontaminatedTrainSplit drops eval near-dups from train only") {
+    // eval = doc 1; docs 2 (near-dup) and 4 (exact dup) must leave train;
+    // 3 and 5 (unrelated) survive; eval docs never appear in the output
+    val r = Curation.decontaminatedTrainSplit(docs,
+        isEval = col("doc_id") === 1, minJaccard = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(r == Set(3L, 5L))
+  }
+
   test("simhash: identical docs distance 0, near-dups close, distinct far") {
     val fp = Dedup.simhash(docs).select("doc_id", "simhash")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
