@@ -740,6 +740,21 @@ object SparkEntry {
       ext.Dedup.repeatedSpans(t(s, d, "documents"), windowK = 8,
         minCount = 2)),
 
+    // x44 — dup-cluster size report: the summary every dedup run prints
+    // (how many clusters of what size, docs removable). Composes the
+    // proven x27 components; the oracle reuses the independent
+    // recursive-closure algorithm and aggregates identically.
+    "x44_cluster_sizes" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val edges = ext.Dedup.jaccardPairs(docs, shingleK = 3,
+        minJaccard = 0.4).select("doc_a", "doc_b")
+      ext.Dedup.connectedComponents(edges)
+        .groupBy("rep_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+             sum(col("cluster_size") - 1).as("docs_removable"))
+    }),
+
     // x43 — contamination-safe split: doc_id ≡ 7 (mod 10) plays the eval
     // partition; train loses every near-dup (jaccard ≥ 0.5) of any eval
     // doc. Oracle = the exact all-pairs census, mixed pairs only, train
@@ -1591,6 +1606,14 @@ object SparkEntry {
       s"""WITH RECURSIVE $componentCtes
           SELECT doc_id, lang, source, n_chars FROM documents
           WHERE doc_id NOT IN (SELECT id FROM cc WHERE rep <> id)""",
+
+    // x44 — the x27 recursive closure, aggregated to the size histogram
+    "x44_cluster_sizes" ->
+      s"""WITH RECURSIVE $componentCtes,
+          per AS (SELECT rep, COUNT(*) AS cluster_size FROM cc GROUP BY 1)
+          SELECT cluster_size, COUNT(*) AS n_clusters,
+                 SUM(cluster_size - 1) AS docs_removable
+          FROM per GROUP BY 1""",
 
     // x43 — exact all-pairs census; a mixed (eval, train) pair drops its
     // train member regardless of which side of doc_a < doc_b it is on

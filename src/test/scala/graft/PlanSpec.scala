@@ -320,6 +320,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("xxhash64"), s"banding keys missing:\n$p")
   }
 
+  test("x43 decontaminated split: anti-join product, nothing quadratic") {
+    val p = executed("x43_decontaminated_split").toString
+    assert(p.contains("LeftAnti"), s"no anti-join back to train:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), s"quadratic join:\n$p")
+  }
+
   test("t2 gap fill: all four bracketing frames share one window " +
        "exchange on the series key") {
     val p = executed("t2_gap_fill").toString
