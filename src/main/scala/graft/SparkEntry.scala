@@ -1612,7 +1612,7 @@ object SparkEntry {
       s"""WITH RECURSIVE $componentCtes,
           per AS (SELECT rep, COUNT(*) AS cluster_size FROM cc GROUP BY 1)
           SELECT cluster_size, COUNT(*) AS n_clusters,
-                 SUM(cluster_size - 1) AS docs_removable
+                 CAST(SUM(cluster_size - 1) AS BIGINT) AS docs_removable
           FROM per GROUP BY 1""",
 
     // x43 — exact all-pairs census; a mixed (eval, train) pair drops its
@@ -1876,7 +1876,7 @@ object SparkEntry {
                                       ROWS UNBOUNDED PRECEDING) AS cum
            FROM toks)
          SELECT doc_id, source, n_tokens,
-                (cum - n_tokens) // 2048 AS pack_id
+                CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
          FROM c""",
 
     // x29 — identical tokenization, integer tf/df counts, and one IEEE

@@ -23,7 +23,16 @@ object Stable {
   def avgD(c: Column, scale: Int = 6): Column =
     sumD(c, scale) / count(c)
 
-  /** DuckDB-side SQL for the same expressions (oracle strings). */
+  /** DuckDB-side SQL for the same expressions (oracle strings).
+    *
+    * Oracle-authoring convention: DuckDB widens integer aggregates —
+    * `SUM(BIGINT)` (plain or windowed) returns HUGEINT, which hash-mismatches
+    * Spark's BIGINT even when every cell is equal. Any oracle integer sum, or
+    * arithmetic derived from one, must be wrapped in `CAST(... AS BIGINT)`
+    * to mirror Spark's type, exactly as this helper casts decimal sums back
+    * to DOUBLE. `tools/check_oracle.py` compares result types and fails on
+    * HUGEINT drift before comparing values.
+    */
   def sumSql(col: String, scale: Int = 6): String =
     s"CAST(SUM(CAST($col AS DECIMAL(28,$scale))) AS DOUBLE)"
 

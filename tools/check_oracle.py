@@ -26,7 +26,9 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(qdir):
             continue
         try:
-            got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'").df()
+            got_rel = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+            got_types = dict(zip(got_rel.columns, [str(t) for t in got_rel.types]))
+            got = got_rel.df()
         except Exception as e:
             print(f"FAIL (no output) {name}: {e}")
             n_fail += 1
@@ -36,12 +38,16 @@ def main(sf_dir, out_dir):
             n_skip += 1
             continue
         try:
-            exp = con.sql(oracle[name]).df()
+            exp_rel = con.sql(oracle[name])
+            exp_types = dict(zip(exp_rel.columns, [str(t) for t in exp_rel.types]))
+            exp = exp_rel.df()
         except Exception as e:
             print(f"FAIL (oracle error) {name}: {e}")
             n_fail += 1
             continue
-        ok, msg = compare(got, exp)
+        ok, msg = compare_types(got_types, exp_types)
+        if ok:
+            ok, msg = compare(got, exp)
         if ok:
             print(f"PASS  {name}  ({len(got)} rows)")
             n_pass += 1
@@ -50,6 +56,36 @@ def main(sf_dir, out_dir):
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
     return 1 if n_fail else 0
+
+INT_KINDS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+# HUGEINT has no numpy integer wide enough, so .df() lands it in float64 —
+# which is why a DuckDB SUM(BIGINT) oracle (HUGEINT) hash-mismatches a Spark
+# BIGINT column at the driver even when every cell value is equal.
+FLOAT_KINDS = {"FLOAT", "DOUBLE", "HUGEINT", "UHUGEINT"}
+
+def type_kind(t):
+    t = t.upper()
+    if t in INT_KINDS:
+        return "int"
+    if t in FLOAT_KINDS or t.startswith("DECIMAL"):
+        return "float"
+    return t
+
+def compare_types(got_types, exp_types):
+    """The driver hashes values AFTER pandas conversion, so what matters is
+    the pandas-level kind: all DuckDB integer widths land in int64-ish dtypes
+    and print '5', while HUGEINT/DECIMAL/DOUBLE land in float64 and print
+    '5.0'.  An oracle that widens an integer aggregate (DuckDB SUM(BIGINT) ->
+    HUGEINT, plain or windowed) therefore fails the driver's hash even when
+    every cell is equal — wrap it in CAST(... AS BIGINT).  This check catches
+    that class before the driver does."""
+    for c in sorted(set(got_types) & set(exp_types)):
+        g, e = type_kind(got_types[c]), type_kind(exp_types[c])
+        if g != e:
+            return False, (f"col {c} TYPE-KIND mismatch: spark={got_types[c]}"
+                           f" ({g}) vs oracle={exp_types[c]} ({e})")
+    return True, ""
 
 def compare(got, exp):
     import pandas as pd
