@@ -66,7 +66,11 @@ object Bloom {
     * the 2^20 default), independent of drop-list cardinality. */
   def build(keys: DataFrame, keyCol: String, mBits: Int, kProbes: Int): Array[Long] = {
     val agg = udaf(new BloomAggregator(mBits, kProbes), Encoders.scalaLong)
-    keys.select(agg(col(keyCol).cast("long")).as("bf"))
+    // null keys never match any join key, so they contribute nothing to the
+    // drop set — exclude them rather than let the primitive-Long encoder
+    // coerce them into a spurious 0L probe
+    keys.filter(col(keyCol).isNotNull)
+      .select(agg(col(keyCol).cast("long")).as("bf"))
       .head.getStruct(0).getAs[scala.collection.Seq[Long]]("words").toArray
   }
 
@@ -83,7 +87,11 @@ object Bloom {
     val wordsLit = lit(words)
     val maskLit = lit((0 until 64).map(b => 1L << b).toArray)
     (1 to kProbes).map { i =>
-      val pos = pmod(HashExprs.mix64_col(key.cast("long") + lit(i * GOLDEN)),
+      // WRAPPING key + i·GOLDEN inside the native expression: a Catalyst Add
+      // throws ARITHMETIC_OVERFLOW under ANSI for |key| beyond ~5e17, while
+      // BloomAggregator.reduce wraps — the two sides must agree over the
+      // full 64-bit key range or membership gets false negatives/crashes
+      val pos = pmod(HashExprs.mix64_add_col(key.cast("long"), i * GOLDEN),
         lit(mBits.toLong))
       val word = element_at(wordsLit, shiftright(pos, 6).cast("int") + lit(1))
       val mask = element_at(maskLit, pmod(pos, lit(64L)).cast("int") + lit(1))
@@ -111,7 +119,12 @@ object Bloom {
                         keyCol: String = "doc_id",
                         mBits: Int = 1 << 20, kProbes: Int = 4): DataFrame = {
     val words = build(dropList, keyCol, mBits, kProbes)
-    val cand = contains(words, col(keyCol), mBits, kProbes)
+    // null-key rows: `cand` evaluates to NULL, which fails BOTH filter(cand)
+    // and filter(!cand) — but a plain left_anti KEEPS null-key rows (a null
+    // join key matches nothing). Route on coalesce(cand, false) so null-key
+    // rows go straight to the kept side and the invariant
+    // `result ≡ corpus ANTI JOIN dropList` holds on nullable keys.
+    val cand = coalesce(contains(words, col(keyCol), mBits, kProbes), lit(false))
     corpus.filter(cand)
       .join(dropList.select(keyCol), Seq(keyCol), "left_anti")
       .unionByName(corpus.filter(!cand))

@@ -493,8 +493,10 @@ object Dedup {
     val sp = spans.groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("spans"))
-    val toks = filter(split(lower(col(textCol)), "\\s+"),
-      t => length(t) > 0)
+    // the SAME tokenizer (Character.isWhitespace boundaries) that produced
+    // the span positions in repeatedSpans — a regex \s+ split is ASCII-only
+    // and misaligns indexes on Unicode-whitespace documents
+    val toks = graft.functions.TokenSplit(col(textCol))
     docs.join(sp, Seq("doc_id"), "left")
       .withColumn("clean_text",
         when(col("spans").isNull, lower(col(textCol)))

@@ -94,6 +94,9 @@ object HashExprs {
 
   def mix64_col(c: Column): Column =
     GraftBridge.column(Mix64(GraftBridge.expression(c)))
+
+  def mix64_add_col(c: Column, offset: Long): Column =
+    GraftBridge.column(Mix64Add(GraftBridge.expression(c), offset))
 }
 
 /** MinHash signature: array<long> token hashes → array<long> of k per-seed
@@ -250,4 +253,30 @@ case class Mix64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "mix64"
+}
+
+/** `mix64(input + offset)` with WRAPPING two's-complement addition — the
+  * splitmix64 stream step (offset = i·GOLDEN) used by Bloom probe
+  * derivation. A Catalyst `Add` would throw ARITHMETIC_OVERFLOW under ANSI
+  * mode for keys beyond ~±5e17 (most full-range hashed ids), while the
+  * JVM aggregator side wraps; this expression keeps build and probe in the
+  * same wrapping arithmetic for the whole 64-bit key range. */
+case class Mix64Add(child: Expression, offset: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    HashExprs.mix64(input.asInstanceOf[Long] + offset)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cls = classOf[HashExprs.type].getName + ".MODULE$"
+      s"${ev.value} = $cls.mix64($c + ${offset}L);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "mix64_add"
 }

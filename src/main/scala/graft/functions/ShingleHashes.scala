@@ -85,14 +85,42 @@ case class StringShingles(child: Expression, k: Int)
   override def prettyName: String = "string_shingles"
 }
 
-object StringShingles {
+/** Tokenizer twin of [[ShingleHashesAll]], emitting the TOKENS instead of
+  * window hashes: per-char lowercased, split on `Character.isWhitespace`,
+  * empties dropped — element i here is the token at window position i
+  * reported by repeated-span detection, so span token indexes align by
+  * construction. A regex `\\s+` split is NOT equivalent (ASCII-only), and
+  * `(?U)\\s` over-matches (it adds U+00A0/U+2007/U+202F no-break spaces,
+  * which `Character.isWhitespace` excludes) — on documents with Unicode
+  * whitespace either regex shifts the indexes and the wrong tokens get
+  * removed. */
+case class TokenSplit(child: Expression)
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
-  def apply(text: Column, k: Int): Column =
-    GraftBridge.column(StringShingles(GraftBridge.expression(text), k))
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  /** Distinct k-gram token shingles of `text` (lowercased,
-    * whitespace-tokenized, space-joined), first-occurrence order. */
-  def stringShingles(text: String, k: Int): Array[String] = {
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    new GenericArrayData(
+      TokenSplit.tokenize(s).map(UTF8String.fromString(_): AnyRef))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "token_split"
+}
+
+object TokenSplit {
+
+  def apply(text: Column): Column =
+    GraftBridge.column(TokenSplit(GraftBridge.expression(text)))
+
+  /** THE token boundary definition shared by every shingle/span operator:
+    * per-char `Character.toLowerCase`, split on `Character.isWhitespace`,
+    * empty tokens dropped. */
+  def tokenize(text: String): Array[String] = {
     val toks = new scala.collection.mutable.ArrayBuffer[String](64)
     val sb = new java.lang.StringBuilder
     var i = 0
@@ -104,6 +132,20 @@ object StringShingles {
       } else sb.append(Character.toLowerCase(c))
       i += 1
     }
+    toks.toArray
+  }
+}
+
+object StringShingles {
+
+  def apply(text: Column, k: Int): Column =
+    GraftBridge.column(StringShingles(GraftBridge.expression(text), k))
+
+  /** Distinct k-gram token shingles of `text` (lowercased,
+    * whitespace-tokenized, space-joined), first-occurrence order. */
+  def stringShingles(text: String, k: Int): Array[String] = {
+    val toks = TokenSplit.tokenize(text)
+    val sb = new java.lang.StringBuilder
     val m = toks.length
     if (m < k) return Array.empty[String]
     val seen = new java.util.LinkedHashSet[String](m * 2)

@@ -245,6 +245,36 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom anti-join survives full-range 64-bit keys (ANSI wrapping probes)") {
+    // unshifted nextLong() + the extremes: probe arithmetic key + i·GOLDEN
+    // overflows a signed 64-bit Add for most of this range — build and
+    // probe must both WRAP, not throw, and must agree
+    val rnd = new scala.util.Random(71)
+    val corpus = (Seq(Long.MaxValue, Long.MinValue, Long.MaxValue - 3,
+      Long.MinValue + 7, -1L, 0L) ++ (0 until 300).map(_ => rnd.nextLong())).distinct
+    val drop = rnd.shuffle(corpus).take(30) ++ Seq.fill(10)(rnd.nextLong())
+    val cdf = corpus.toDF("doc_id")
+    val ddf = drop.toDF("doc_id")
+    val got = graft.ext.Bloom.antiJoinWithBloom(cdf, ddf,
+        mBits = 1 << 12, kProbes = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (corpus.toSet -- drop.toSet))
+  }
+
+  test("bloom anti-join keeps null-key rows, matching plain left_anti") {
+    val corpus = Seq[(java.lang.Long, String)](
+      (1L, "keep"), (2L, "drop"), (null, "null-keep"), (4L, "keep2"),
+      (null, "null-keep2")).toDF("doc_id", "text")
+    val drop = Seq[java.lang.Long](2L, 99L, null).toDF("doc_id")
+    val plain = corpus.join(drop, Seq("doc_id"), "left_anti")
+      .collect().map(_.getString(1)).toSet
+    val got = graft.ext.Bloom.antiJoinWithBloom(corpus, drop,
+        mBits = 1 << 12, kProbes = 3)
+      .collect().map(_.getString(1)).toSet
+    assert(plain == Set("keep", "keep2", "null-keep", "null-keep2"))
+    assert(got == plain)
+  }
+
   test("rolling fingerprint composes: fp(xs :+ t) = rotl5(fp(xs)) ^ fnv(t)") {
     import graft.functions.HashExprs
     val rnd = new scala.util.Random(17)

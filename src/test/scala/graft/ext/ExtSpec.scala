@@ -635,6 +635,36 @@ class ExtSpec extends AnyFunSuite {
     assert(cleaned(5L) == "unrelated short text")
   }
 
+  test("stripRepeatedSpans aligns span indexes on Unicode whitespace") {
+    // U+3000 ideographic space and U+2028 line separator are token
+    // boundaries for Character.isWhitespace (hence for repeatedSpans'
+    // window positions) but NOT for an ASCII \s+ split — a mismatched
+    // re-tokenization removes the wrong tokens here
+    val d = Seq(
+      (1L, "u1　a b c d e f u2 u3"),
+      (2L, "v1 v2　a b c d e f v3 v4")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(d, windowK = 6, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // the shared run "a b c d e f" is tokens 1..6 of doc 1, 2..7 of doc 2
+    assert(spans.sortBy(_._1) == Seq((1L, 1L, 6L), (2L, 2L, 7L)))
+    val cleaned = Dedup.stripRepeatedSpans(d, d.sparkSession.createDataFrame(
+        d.sparkSession.sparkContext.parallelize(spans.map(s =>
+          org.apache.spark.sql.Row(s._1, s._2, s._3, 1L))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("span_start",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("span_end",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_windows",
+            org.apache.spark.sql.types.LongType)))))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L) == "u1 u2 u3")
+    assert(cleaned(2L) == "v1 v2 v3 v4")
+  }
+
   test("dedupCorpus keeps cluster representatives and untouched docs") {
     // docs 1,2 near-dup and 1,4 exact-dup → one cluster {1,2,4}, rep 1
     val edges = Dedup.jaccardPairs(docs, shingleK = 3, minJaccard = 0.4)
