@@ -222,6 +222,23 @@ object SparkEntry {
                 round(col("ll._2"), 9).as("lon"))
     }),
 
+    // F7 (conic case) — Lambert-93 (EPSG:2154) pixel grid → EPSG:4326 via
+    // the LCC closed-form inverse (oracle: the same closed form + the
+    // fixed-point latitude iteration mirrored in SQL, lccOracleSql)
+    "f7_lcc_reproject" -> ((s, _) => {
+      val grid = ops.Unpivot.gridToPixels(s, graft.model.GridMeta(
+        "lcc93", 1000.0, 0.0, 600000.0, 0.0, -1000.0, 6700000.0,
+        "EPSG:2154", width = 50, height = 50, nodata = None, scaleM = 1000))
+      val p = ops.Crs.fromEpsg(2154).get match {
+        case ops.Crs.LambertConic(q) => q
+        case other => throw new IllegalStateException(s"not LCC: $other")
+      }
+      grid.withColumn("ll",
+          ops.Conic.lccToLonLatUdf(p)(col("lon"), col("lat")))
+        .select(col("y"), col("x"), round(col("ll._2"), 9).as("lat"),
+                round(col("ll._1"), 9).as("lon"))
+    }),
+
     // F13 — query-string parse at the serving edge
     "f13_qs_parse" -> ((s, d) =>
       Tables.events(s, d)
@@ -1041,6 +1058,53 @@ object SparkEntry {
               round(phi8 * 180.0 / pi(), 9) AS lat,
               round(75.0 + atan2(${sinhS("etap")}, cos(xip)) * 180.0 / pi(), 9) AS lon
        FROM it8"""
+  }
+
+  /** DuckDB mirror of Conic.Lcc.inverse for the EPSG:2154 grid in
+    * f7_lcc_reproject: closed form for ρ/θ/λ, ten fixed-point latitude
+    * steps with the same 1e-14 freeze, every projection constant pasted
+    * as the exact Scala double (Double.toString is shortest round-trip),
+    * and every power composed as exp(k·ln(b)) exactly as the Scala side
+    * computes it — the utmOracleSql technique. */
+  private def lccOracleSql: String = {
+    val p = ops.Crs.fromEpsg(2154).get match {
+      case ops.Crs.LambertConic(q) => q
+      case other => throw new IllegalStateException(s"not LCC: $other")
+    }
+    val e = p.e
+    val halfE = e / 2
+    val invN = 1.0 / p.n
+    def g(phi: String) =
+      s"(pi() / 2 - 2 * atan(tp * exp($halfE * ln((1 - $e * sin($phi)) / (1 + $e * sin($phi))))))"
+    val iters = (1 to 10).map { k =>
+      s""", it$k AS (SELECT *,
+         CASE WHEN d${k - 1} THEN phi${k - 1} ELSE ${g(s"phi${k - 1}")} END AS phi$k,
+         d${k - 1} OR abs(${g(s"phi${k - 1}")} - phi${k - 1}) < 1e-14 AS d$k
+         FROM it${k - 1})"""
+    }.mkString
+    s"""WITH grid AS (
+         SELECT CAST(y.range AS INTEGER) AS y, CAST(x.range AS INTEGER) AS x,
+                600000.0 + (CAST(x.range AS DOUBLE) + 0.5) * 1000.0 AS px,
+                6700000.0 + (CAST(y.range AS DOUBLE) + 0.5) * (-1000.0) AS py
+         FROM range(50) y, range(50) x),
+       base AS (
+         SELECT y, x, px - ${p.falseE} AS xp,
+                      ${p.rho0} - (py - ${p.falseN}) AS yp
+         FROM grid),
+       pol AS (
+         SELECT y, x, sqrt(xp * xp + yp * yp) AS rho, atan2(xp, yp) AS theta
+         FROM base),
+       it0 AS (
+         SELECT y, x, theta,
+                exp($invN * ln(rho / ${p.aFk0})) AS tp,
+                pi() / 2 - 2 * atan(exp($invN * ln(rho / ${p.aFk0}))) AS phi0,
+                FALSE AS d0
+         FROM pol)
+       $iters
+       SELECT y, x,
+              round(phi10 * 180.0 / pi(), 9) AS lat,
+              round((${p.lam0} + theta / ${p.n}) * 180.0 / pi(), 9) AS lon
+       FROM it10"""
   }
 
   private val geojsonFixture =
@@ -2531,6 +2595,9 @@ object SparkEntry {
 
     // F7 UTM — full inverse Krüger series mirrored in SQL (see utmOracleSql)
     "f7_utm_reproject" -> utmOracleSql,
+
+    // F7 LCC — Lambert-93 closed-form inverse mirrored in SQL
+    "f7_lcc_reproject" -> lccOracleSql,
 
     "j5_asof" ->
       """WITH p AS (SELECT event_id, user_id,

@@ -16,12 +16,35 @@ object Crs {
   case object Geographic extends Projection    // EPSG:4326, degrees as-is
   case object WebMercator extends Projection   // EPSG:3857, spherical
   final case class UtmZone(zone: Int, north: Boolean) extends Projection
+  final case class LambertConic(p: Conic.Lcc) extends Projection
+  final case class AlbersConic(p: Conic.Albers) extends Projection
+
+  /** Registered conic codes — the LCC/Albers products national met/stat
+    * agencies actually publish rasters in. All are ETRS89/NAD83-family
+    * (≤ ~1-2 m from WGS84, below raster resolution; see Conic scaladoc).
+    * Parameters are the EPSG-registry definitions. */
+  private val Lambert93 = Conic.Lcc(Ellipsoid.GRS80,
+    phi1Deg = 49.0, phi2Deg = 44.0, phi0Deg = 46.5, lam0Deg = 3.0,
+    falseE = 700000.0, falseN = 6600000.0)              // EPSG:2154 (France)
+  private val CanadaAtlasLcc = Conic.Lcc(Ellipsoid.GRS80,
+    phi1Deg = 49.0, phi2Deg = 77.0, phi0Deg = 49.0, lam0Deg = -95.0)
+                                                         // EPSG:3978
+  private val ConusAlbers = Conic.Albers(Ellipsoid.GRS80,
+    phi1Deg = 29.5, phi2Deg = 45.5, phi0Deg = 23.0, lam0Deg = -96.0)
+                                                         // EPSG:5070
+  private val CaliforniaAlbers = Conic.Albers(Ellipsoid.GRS80,
+    phi1Deg = 34.0, phi2Deg = 40.5, phi0Deg = 0.0, lam0Deg = -120.0,
+    falseE = 0.0, falseN = -4000000.0)                   // EPSG:3310
 
   def fromEpsg(code: Int): Option[Projection] = code match {
     case 4326 => Some(Geographic)
     case 3857 => Some(WebMercator)
     case c if c >= 32601 && c <= 32660 => Some(UtmZone(c - 32600, north = true))
     case c if c >= 32701 && c <= 32760 => Some(UtmZone(c - 32700, north = false))
+    case 2154 => Some(LambertConic(Lambert93))
+    case 3978 => Some(LambertConic(CanadaAtlasLcc))
+    case 5070 => Some(AlbersConic(ConusAlbers))
+    case 3310 => Some(AlbersConic(CaliforniaAlbers))
     case _ => None
   }
 
@@ -43,5 +66,7 @@ object Crs {
       case UtmZone(zone, north) =>
         val (lat, lon) = Utm.toLatLon(x, y, zone, north)
         (lon, lat)
+      case LambertConic(p) => p.inverse(x, y)
+      case AlbersConic(p) => p.inverse(x, y)
     }
 }

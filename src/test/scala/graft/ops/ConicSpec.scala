@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConicSpec extends AnyFunSuite {
+
+  // Snyder, USGS PP 1395, numerical examples (Appendix A) — both use
+  // Clarke 1866, lat0 = 23°, lon0 = -96°, test point (35°N, 75°W).
+  val snyderLcc = Conic.Lcc(Ellipsoid.Clarke1866,
+    phi1Deg = 33.0, phi2Deg = 45.0, phi0Deg = 23.0, lam0Deg = -96.0)
+  val snyderAlbers = Conic.Albers(Ellipsoid.Clarke1866,
+    phi1Deg = 29.5, phi2Deg = 45.5, phi0Deg = 23.0, lam0Deg = -96.0)
+
+  test("LCC forward matches Snyder's published worked example") {
+    val (x, y) = snyderLcc.forward(35.0, -75.0)
+    // published: x = 1,894,410.9 m, y = 1,564,649.5 m
+    assert(math.abs(x - 1894410.9) < 1.0, s"x=$x")
+    assert(math.abs(y - 1564649.5) < 1.0, s"y=$y")
+  }
+
+  test("Albers forward matches Snyder's published worked example") {
+    val (x, y) = snyderAlbers.forward(35.0, -75.0)
+    // published: x = 1,885,472.7 m, y = 1,535,925.0 m
+    assert(math.abs(x - 1885472.7) < 1.0, s"x=$x")
+    assert(math.abs(y - 1535925.0) < 1.0, s"y=$y")
+  }
+
+  test("Lambert-93 maps its grid origin to the false origin exactly") {
+    // EPSG:2154 origin: (3°E, 46.5°N) → (700000, 6600000) by construction
+    // (2SP: rho0 = rho(phi0))
+    val p = Crs.fromEpsg(2154).get.asInstanceOf[Crs.LambertConic].p
+    val (x, y) = p.forward(46.5, 3.0)
+    assert(math.abs(x - 700000.0) < 1e-6 && math.abs(y - 6600000.0) < 1e-6)
+    val (lon, lat) = p.inverse(700000.0, 6600000.0)
+    assert(math.abs(lon - 3.0) < 1e-12 && math.abs(lat - 46.5) < 1e-12)
+  }
+
+  test("LCC round-trips forward→inverse across its valid domain") {
+    val projs = Seq(snyderLcc,
+      Crs.fromEpsg(2154).get.asInstanceOf[Crs.LambertConic].p,
+      Crs.fromEpsg(3978).get.asInstanceOf[Crs.LambertConic].p,
+      // 1SP variant with a non-unit scale factor
+      Conic.Lcc(Ellipsoid.WGS84, 40.0, 40.0, 40.0, 10.0, k0 = 0.9998,
+        falseE = 500000.0, falseN = 200000.0))
+    val rnd = new scala.util.Random(11)
+    projs.foreach { p =>
+      (1 to 300).foreach { _ =>
+        val lat = p.phi0Deg + (rnd.nextDouble() - 0.5) * 30.0
+        val lon = p.lam0Deg + (rnd.nextDouble() - 0.5) * 30.0
+        val (x, y) = p.forward(lat, lon)
+        val (lon2, lat2) = p.inverse(x, y)
+        assert(math.abs(lat2 - lat) < 1e-9 && math.abs(lon2 - lon) < 1e-9,
+          s"$p: ($lat,$lon) -> ($x,$y) -> ($lat2,$lon2)")
+      }
+    }
+  }
+
+  test("Albers round-trips forward→inverse across its valid domain") {
+    val projs = Seq(snyderAlbers,
+      Crs.fromEpsg(5070).get.asInstanceOf[Crs.AlbersConic].p,
+      Crs.fromEpsg(3310).get.asInstanceOf[Crs.AlbersConic].p,
+      // coincident-parallel (1SP limit) variant
+      Conic.Albers(Ellipsoid.WGS84, 35.0, 35.0, 30.0, -100.0))
+    val rnd = new scala.util.Random(13)
+    projs.foreach { p =>
+      (1 to 300).foreach { _ =>
+        val lat = math.max(-80, math.min(80,
+          p.phi1Deg + (rnd.nextDouble() - 0.5) * 25.0))
+        val lon = p.lam0Deg + (rnd.nextDouble() - 0.5) * 30.0
+        val (x, y) = p.forward(lat, lon)
+        val (lon2, lat2) = p.inverse(x, y)
+        assert(math.abs(lat2 - lat) < 1e-9 && math.abs(lon2 - lon) < 1e-9,
+          s"$p: ($lat,$lon) -> ($x,$y) -> ($lat2,$lon2)")
+      }
+    }
+  }
+
+  test("LCC is conformal: local scale is direction-independent") {
+    // at any point, the east-west and north-south ground-scale factors of
+    // a conformal projection agree; finite-difference both at h=0.1" arc
+    val p = Crs.fromEpsg(2154).get.asInstanceOf[Crs.LambertConic].p
+    val ell = Ellipsoid.GRS80
+    def dist(a: (Double, Double), b: (Double, Double)) =
+      math.hypot(a._1 - b._1, a._2 - b._2)
+    Seq((48.85, 2.35), (43.6, 1.44), (49.5, 7.7), (44.0, -0.57)).foreach {
+      case (lat, lon) =>
+        val h = 0.1 / 3600.0
+        val phi = math.toRadians(lat)
+        val sin2 = math.sin(phi) * math.sin(phi)
+        // ellipsoid ground distances for h of latitude / longitude
+        val m = ell.a * (1 - ell.e2) / math.pow(1 - ell.e2 * sin2, 1.5)
+        val nRad = ell.a / math.sqrt(1 - ell.e2 * sin2)
+        val dNorth = math.toRadians(h) * m
+        val dEast = math.toRadians(h) * nRad * math.cos(phi)
+        val kNS = dist(p.forward(lat + h, lon), p.forward(lat - h, lon)) / (2 * dNorth)
+        val kEW = dist(p.forward(lat, lon + h), p.forward(lat, lon - h)) / (2 * dEast)
+        assert(math.abs(kNS / kEW - 1.0) < 1e-7, s"($lat,$lon): $kNS vs $kEW")
+        // scale ~1 inside the standard-parallel band
+        assert(kEW > 0.998 && kEW < 1.002)
+    }
+  }
+
+  test("LCC scale is exactly 1 on both standard parallels") {
+    val p = snyderLcc
+    val ell = Ellipsoid.Clarke1866
+    Seq(33.0, 45.0).foreach { lat =>
+      val phi = math.toRadians(lat)
+      val mPar = math.cos(phi) /
+        math.sqrt(1 - ell.e2 * math.sin(phi) * math.sin(phi))
+      val h = 0.1 / 3600.0
+      val dEast = math.toRadians(h) * ell.a * mPar
+      val (x1, y1) = p.forward(lat, -96.0 + h)
+      val (x2, y2) = p.forward(lat, -96.0 - h)
+      val kEW = math.hypot(x1 - x2, y1 - y2) / (2 * dEast)
+      assert(math.abs(kEW - 1.0) < 1e-9, s"parallel $lat: k=$kEW")
+    }
+  }
+
+  test("Albers preserves area: Jacobian equals the ellipsoid area element") {
+    val p = Crs.fromEpsg(5070).get.asInstanceOf[Crs.AlbersConic].p
+    val ell = Ellipsoid.GRS80
+    Seq((35.0, -100.0), (45.0, -80.0), (30.0, -115.0), (40.0, -96.0))
+      .foreach { case (lat, lon) =>
+        val h = 0.5 / 3600.0
+        val hr = math.toRadians(h)
+        def fd(f: Double => (Double, Double)): (Double, Double) = {
+          val (xa, ya) = f(h); val (xb, yb) = f(-h)
+          ((xa - xb) / (2 * hr), (ya - yb) / (2 * hr))
+        }
+        val (dxdphi, dydphi) = fd(d => p.forward(lat + d, lon))
+        val (dxdlam, dydlam) = fd(d => p.forward(lat, lon + d))
+        val jac = math.abs(dxdphi * dydlam - dxdlam * dydphi)
+        val phi = math.toRadians(lat)
+        val sin2 = math.sin(phi) * math.sin(phi)
+        val truth = ell.a * ell.a * (1 - ell.e2) * math.cos(phi) /
+          ((1 - ell.e2 * sin2) * (1 - ell.e2 * sin2))
+        assert(math.abs(jac / truth - 1.0) < 1e-6, s"($lat,$lon): $jac vs $truth")
+      }
+  }
+
+  test("registry: conic codes resolve, unknown codes still fail closed") {
+    assert(Crs.fromEpsg(2154).isDefined && Crs.fromEpsg(3978).isDefined)
+    assert(Crs.fromEpsg(5070).isDefined && Crs.fromEpsg(3310).isDefined)
+    assert(Crs.fromEpsg(27700).isEmpty)  // OSGB TM: not registered
+    assert(Crs.fromEpsg(2193).isEmpty)   // NZTM: not registered
+    // Crs.toLonLat dispatch for the conic branches
+    val (lon, lat) = Crs.toLonLat(Crs.fromEpsg(2154).get, 700000.0, 6600000.0)
+    assert(math.abs(lon - 3.0) < 1e-12 && math.abs(lat - 46.5) < 1e-12)
+  }
+}

@@ -364,6 +364,28 @@ class GeoTiffSpec extends AnyFunSuite {
       Option(e2.getCause).exists(_.getMessage.contains("no reprojection")))
   }
 
+  test("readLonLat reprojects a Lambert-93 (EPSG:2154) raster to WGS84") {
+    // 100 m pixels near Paris: model (651 km E, 6.862 Mm N) in the French
+    // national LCC grid — exercises the conic branch of the CRS registry
+    val meta = GridMeta("lcc.tif", a = 100.0, b = 0.0, c = 651000.0,
+      d = 0.0, e = -100.0, f = 6862000.0, crs = "EPSG:2154",
+      width = 8, height = 6, nodata = None, scaleM = 100)
+    val values = Array.tabulate(48)(_.toFloat)
+    val dir = java.nio.file.Files.createTempDirectory("lccs").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/lcc.tif"),
+      GeoTiff.write(meta, values, compression = 5))
+    val rows = GeoTiff.readLonLat(spark, s"$dir/lcc.tif")
+      .collect().map(r => ((r.getInt(1), r.getInt(2)),
+        (r.getDouble(3), r.getDouble(4)))).toMap
+    // pixel (0,0) center = model (651050, 6861950) → LCC inverse
+    val (expLon, expLat) = graft.ops.Crs.toLonLat(
+      graft.ops.Crs.fromEpsg(2154).get, 651050.0, 6861950.0)
+    val (gotLon, gotLat) = rows((0, 0))
+    assert(math.abs(gotLat - expLat) < 1e-12 && math.abs(gotLon - expLon) < 1e-12)
+    assert(gotLat > 48.5 && gotLat < 49.2 && gotLon > 2.0 && gotLon < 2.6,
+      s"($gotLon, $gotLat) not near Paris")
+  }
+
   test("s4demo fixture bytes match the writer output exactly") {
     val onDisk = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(GeoTiffFixture.path))
