@@ -508,6 +508,29 @@ object SparkEntry {
         .select("y", "x", "area")
     }),
 
+    // ---- A7/P6 polygon WITH HOLES: the GAUL ADM ring shape. L-shaped
+    // outer boundary with two rectangular interior rings; per-cell
+    // coverage = Σ outer-triangle SH areas − Σ hole-triangle SH areas
+    // (PolygonClip.cellCoverageWithHoles). The L and the holes are
+    // axis-aligned with dyadic coordinates, so the oracle is pure
+    // inclusion–exclusion over four closed-form rectangle overlaps.
+    "a7_holes_clip" -> ((s, _) => {
+      val outerX = Seq(72.0, 86.0, 86.0, 79.0, 79.0, 72.0)
+      val outerY = Seq(23.0, 23.0, 30.0, 30.0, 37.0, 37.0)
+      val holes = Seq(
+        (Seq(74.0, 78.0, 78.0, 74.0), Seq(25.0, 25.0, 29.0, 29.0)),
+        (Seq(73.0, 76.0, 76.0, 73.0), Seq(31.0, 31.0, 35.0, 35.0)))
+      s.range(6400).select(
+          (col("id") / 80).cast("int").as("y"),
+          (col("id") % 80).cast("int").as("x"))
+        .withColumn("x0", lit(70.0) + col("x") * 0.25)
+        .withColumn("y0", lit(20.0) + col("y") * 0.25)
+        .withColumn("area", round(ops.PolygonClip.cellCoverageWithHoles(
+          col("x0"), col("y0"), lit(0.25), outerX, outerY, holes), 9))
+        .filter(col("area") > 0)
+        .select("y", "x", "area")
+    }),
+
     // ---- A7 exact case: convex-hull dissolve of the amenity point layer
     // (oracle: hand-computed hull fixture)
     "a7_hull_dissolve" -> ((s, _) => {
@@ -933,7 +956,16 @@ object SparkEntry {
     // exact doubles, so the oracle replays the formula with no rounding.
     "x19_video_frames" -> ((s, d) =>
       ext.Multimodal.sampleVideoFrames(
-        ext.Multimodal.videoFromDocs(t(s, d, "documents")), everyNth = 2))
+        ext.Multimodal.videoFromDocs(t(s, d, "documents")), everyNth = 2)),
+
+    // end-to-end REAL telephone-band audio path: docs → G.711 WAVs
+    // (closed-form code bytes; A-law odd doc_id, μ-law even) → JDK codec
+    // expansion to 16-bit linear → the same scalar features as x18. The
+    // G.711 expansion is a published piecewise-integer table, so the
+    // oracle replays it in SQL and every feature is exact.
+    "x46_g711_features" -> ((s, d) =>
+      ext.Multimodal.extractAudioFeatures(
+        ext.Multimodal.g711FromDocs(t(s, d, "documents"))))
   )
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
@@ -2428,6 +2460,50 @@ object SparkEntry {
                 CAST(zc AS BIGINT) AS zero_crossings
          FROM agg""",
 
+    // x46 — the G.711 WAV replayed end-to-end: code byte (doc_id*31 +
+    // i*17) % 256, then the published expansion tables — μ-law (even
+    // doc_id): u = NOT code, s = ±((man*8+132)·2^exp − 132); A-law (odd):
+    // a = code XOR 0x55 with sign bit set = POSITIVE, segment 0 linear.
+    // Integer throughout; same exact aggregates as x18.
+    "x46_g711_features" ->
+      """WITH base AS (
+           SELECT doc_id, 240 + (doc_id % 16) * 8 AS n FROM documents),
+         samp AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM base),
+         pre AS (
+           SELECT doc_id, n, i,
+                  255 - ((doc_id * 31 + i * 17) % 256) AS u,
+                  xor((doc_id * 31 + i * 17) % 256, 85) AS a
+           FROM samp),
+         dec AS (
+           SELECT doc_id, n, i,
+                  CASE WHEN doc_id % 2 = 0 THEN
+                    (CASE WHEN u >= 128 THEN -1 ELSE 1 END) *
+                      (((u % 16) * 8 + 132) * (1 << CAST((u // 16) % 8 AS INTEGER)) - 132)
+                  ELSE
+                    (CASE WHEN a >= 128 THEN 1 ELSE -1 END) *
+                      (CASE WHEN (a % 128) // 16 = 0 THEN (a % 16) * 16 + 8
+                            ELSE ((a % 16) * 16 + 264) *
+                                 (1 << CAST((a % 128) // 16 - 1 AS INTEGER)) END)
+                  END AS s
+           FROM pre),
+         lagd AS (
+           SELECT doc_id, n, s,
+                  lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+           FROM dec),
+         agg AS (
+           SELECT doc_id, MAX(n) AS n, SUM(s * s) AS sumsq,
+                  MAX(ABS(s)) AS peak,
+                  SUM(CASE WHEN prev IS NOT NULL AND ((prev >= 0) <> (s >= 0))
+                           THEN 1 ELSE 0 END) AS zc
+           FROM lagd GROUP BY doc_id)
+         SELECT doc_id AS media_id, 8000 AS sample_rate,
+                CAST(n AS BIGINT) AS n_samples,
+                CAST(n AS DOUBLE) / 8000.0 AS duration_sec,
+                sqrt(CAST(sumsq AS DOUBLE) / n) AS rms,
+                CAST(peak AS BIGINT) AS peak,
+                CAST(zc AS BIGINT) AS zero_crossings
+         FROM agg""",
+
     // x19 — the GIF frame formula replayed: frames 0 and 2 (everyNth=2 of
     // 4), mean luminance = Σᵢ ((doc_id·7 + k·13 + i·3) mod 251) / 64
     "x19_video_frames" ->
@@ -2592,6 +2668,34 @@ object SparkEntry {
                                        30.6875)) AS hb
            FROM range(80) y, range(80) x)
          WHERE wa * ha + wb * hb > 0""",
+
+    // A7 holes — inclusion–exclusion over closed-form rectangle overlaps:
+    // the L outer = [72,86]×[23,30] ∪ [72,79]×[30,37] (disjoint), minus
+    // holes [74,78]×[25,29] and [73,76]×[31,35]; holes sit inside the
+    // outer region and are disjoint, so no higher-order terms exist.
+    // 9dp round on both sides absorbs the SH diagonal arithmetic.
+    "a7_holes_clip" ->
+      """SELECT y, x, round(wa * ha + wb * hb - w1 * h1 - w2 * h2, 9) AS area
+         FROM (
+           SELECT CAST(y.range AS INTEGER) AS y, CAST(x.range AS INTEGER) AS x,
+                  GREATEST(0, LEAST(70.0 + CAST(x.range AS DOUBLE) * 0.25 + 0.25, 86.0)
+                            - GREATEST(70.0 + CAST(x.range AS DOUBLE) * 0.25, 72.0)) AS wa,
+                  GREATEST(0, LEAST(20.0 + CAST(y.range AS DOUBLE) * 0.25 + 0.25, 30.0)
+                            - GREATEST(20.0 + CAST(y.range AS DOUBLE) * 0.25, 23.0)) AS ha,
+                  GREATEST(0, LEAST(70.0 + CAST(x.range AS DOUBLE) * 0.25 + 0.25, 79.0)
+                            - GREATEST(70.0 + CAST(x.range AS DOUBLE) * 0.25, 72.0)) AS wb,
+                  GREATEST(0, LEAST(20.0 + CAST(y.range AS DOUBLE) * 0.25 + 0.25, 37.0)
+                            - GREATEST(20.0 + CAST(y.range AS DOUBLE) * 0.25, 30.0)) AS hb,
+                  GREATEST(0, LEAST(70.0 + CAST(x.range AS DOUBLE) * 0.25 + 0.25, 78.0)
+                            - GREATEST(70.0 + CAST(x.range AS DOUBLE) * 0.25, 74.0)) AS w1,
+                  GREATEST(0, LEAST(20.0 + CAST(y.range AS DOUBLE) * 0.25 + 0.25, 29.0)
+                            - GREATEST(20.0 + CAST(y.range AS DOUBLE) * 0.25, 25.0)) AS h1,
+                  GREATEST(0, LEAST(70.0 + CAST(x.range AS DOUBLE) * 0.25 + 0.25, 76.0)
+                            - GREATEST(70.0 + CAST(x.range AS DOUBLE) * 0.25, 73.0)) AS w2,
+                  GREATEST(0, LEAST(20.0 + CAST(y.range AS DOUBLE) * 0.25 + 0.25, 35.0)
+                            - GREATEST(20.0 + CAST(y.range AS DOUBLE) * 0.25, 31.0)) AS h2
+           FROM range(80) y, range(80) x)
+         WHERE wa * ha + wb * hb - w1 * h1 - w2 * h2 > 0""",
 
     // F7 UTM — full inverse Krüger series mirrored in SQL (see utmOracleSql)
     "f7_utm_reproject" -> utmOracleSql,

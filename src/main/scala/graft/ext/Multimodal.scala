@@ -120,17 +120,37 @@ object Multimodal {
   /** Real audio codec on the JDK's `javax.sound.sampled` — WAV/PCM read
     * and write with zero native dependencies. Scoped to what the sampled
     * API decodes losslessly: PCM_SIGNED 16-bit and PCM_UNSIGNED 8-bit,
-    * any channel count (channel 0 is taken), either endianness. */
+    * any channel count (channel 0 is taken), either endianness — plus
+    * G.711 μ-law/A-law (telephone-band WAVs), which the JDK's codec SPI
+    * expands to 16-bit linear with the published G.711 tables (verified
+    * bit-exact against the spec formula for all 256 code bytes in
+    * MultimodalSpec). */
   object AudioCodec {
     final case class Pcm(sampleRate: Int, samples: Array[Int])
+
+    private val ULAW = javax.sound.sampled.AudioFormat.Encoding.ULAW
+    private val ALAW = javax.sound.sampled.AudioFormat.Encoding.ALAW
 
     /** Decode a WAV payload to channel-0 integer samples. None when the
       * payload is not a WAV the JDK can read (caller falls back). */
     def decodeWav(payload: Array[Byte]): Option[Pcm] = {
       if (payload == null) return None
       try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        val in0 = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new ByteArrayInputStream(payload))
+        // G.711 companded WAVs: route through the JDK's μ-law/A-law codec
+        // to PCM_SIGNED 16-bit (the exact spec expansion table), then fall
+        // into the common PCM path below
+        val in =
+          if (in0.getFormat.getEncoding == ULAW ||
+              in0.getFormat.getEncoding == ALAW) {
+            val f0 = in0.getFormat
+            javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new javax.sound.sampled.AudioFormat(
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+                f0.getSampleRate, 16, f0.getChannels, f0.getChannels * 2,
+                f0.getSampleRate, false), in0)
+          } else in0
         val f = in.getFormat
         val enc = f.getEncoding
         val ok = (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
@@ -181,6 +201,23 @@ object Multimodal {
       val ais = new javax.sound.sampled.AudioInputStream(
         new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
       val out = new ByteArrayOutputStream(bytes.length + 64)
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Encode raw G.711 code bytes (one byte per mono sample) as a μ-law
+      * or A-law WAV — the container telephone-band corpora ship in
+      * (WAVE_FORMAT_MULAW/ALAW). Deterministic bytes: the JDK WAVE writer
+      * passes code bytes through untouched. */
+    def encodeWavG711(codes: Array[Byte], sampleRate: Int,
+                      aLaw: Boolean): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        if (aLaw) ALAW else ULAW, sampleRate.toFloat, 8, 1, 1,
+        sampleRate.toFloat, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(codes), fmt, codes.length.toLong)
+      val out = new ByteArrayOutputStream(codes.length + 64)
       javax.sound.sampled.AudioSystem.write(ais,
         javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
       out.toByteArray
@@ -381,6 +418,30 @@ object Multimodal {
       val samples = Array.tabulate(n)(i =>
         ((docId * 31 + i.toLong * 7) % 2048).toInt - 1024)
       AudioCodec.encodeWavPcm16(samples, 8000)
+    })
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("audio").as("kind"),
+      wavUdf(col("doc_id")).as("payload"),
+      struct(
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(8000).as("sample_rate"),
+        lit(null).cast("int").as("n_frames"),
+        lit("audio/wav").as("mime")).as("meta"))
+  }
+
+  /** Build a telephone-band audio table from documents: each doc gets a
+    * REAL G.711 WAV (A-law for odd doc_id, μ-law for even) whose code
+    * BYTES follow a closed formula — `(doc_id·31 + i·17) mod 256`,
+    * `n = 240 + (doc_id mod 16)·8`, 8 kHz — so decoded-feature queries
+    * are oracle-checkable end-to-end through the JDK's G.711 expansion
+    * (the spec table is SQL-expressible, see the x46 oracle). */
+  def g711FromDocs(docs: DataFrame): DataFrame = {
+    val wavUdf = udf((docId: Long) => {
+      val n = 240 + (docId % 16).toInt * 8
+      val codes = Array.tabulate(n)(i =>
+        ((docId * 31 + i.toLong * 17) % 256).toByte)
+      AudioCodec.encodeWavG711(codes, 8000, aLaw = docId % 2 == 1)
     })
     docs.select(
       col("doc_id").as("media_id"),

@@ -113,21 +113,51 @@ object PolyUnion {
     out.result() // rem (= part ∩ c) is already covered — dropped
   }
 
-  /** Fold one simple polygon into the disjoint-piece union. */
-  def addPolygon(pieces: List[Poly], p: Poly): List[Poly] = {
-    var acc = pieces
-    PolygonClip.triangulate(p).foreach { t =>
-      var parts: List[Poly] = List(t)
-      var it = acc
-      while (it.nonEmpty && parts.nonEmpty) {
-        val c = it.head
-        parts = parts.flatMap(part => convexDifference(part, c))
-        it = it.tail
-      }
-      acc = acc ::: parts.filter(PolygonClip.area(_) > 0)
+  /** Fold one convex piece into the disjoint-piece union: subtract every
+    * existing piece, keep the remainder. */
+  private def addConvexPiece(pieces: List[Poly], t: Poly): List[Poly] = {
+    var parts: List[Poly] = List(t)
+    var it = pieces
+    while (it.nonEmpty && parts.nonEmpty) {
+      val c = it.head
+      parts = parts.flatMap(part => convexDifference(part, c))
+      it = it.tail
     }
-    acc
+    pieces ::: parts.filter(PolygonClip.area(_) > 0)
   }
+
+  /** Fold one simple polygon into the disjoint-piece union. */
+  def addPolygon(pieces: List[Poly], p: Poly): List[Poly] =
+    PolygonClip.triangulate(p).foldLeft(pieces)(addConvexPiece)
+
+  /** Disjoint convex decomposition of (outer − holes): triangulate the
+    * outer ring, then carve each hole triangle out of every piece with the
+    * same convex-difference machinery the union fold uses. Exact under the
+    * OGC validity contract (holes inside outer, pairwise disjoint); holes
+    * may be concave. */
+  def polygonWithHolesPieces(outer: Poly, holes: Seq[Poly]): List[Poly] = {
+    var pieces: List[Poly] = PolygonClip.triangulate(outer).toList
+    holes.foreach { h =>
+      PolygonClip.triangulate(h).foreach { ht =>
+        pieces = pieces.flatMap(p => convexDifference(p, ht))
+      }
+    }
+    pieces.filter(PolygonClip.area(_) > 0)
+  }
+
+  /** Fold a polygon WITH HOLES into the disjoint-piece union — the GAUL
+    * multipolygon dissolve case. The part's region is decomposed first,
+    * so overlap with other parts is handled identically to the simple
+    * fold (a hole of one part covered by another part stays covered). */
+  def addPolygonWithHoles(pieces: List[Poly], outer: Poly,
+                          holes: Seq[Poly]): List[Poly] =
+    polygonWithHolesPieces(outer, holes).foldLeft(pieces)(addConvexPiece)
+
+  /** Exact union area of polygons with holes (local form). */
+  def unionAreaWithHoles(parts: Seq[(Poly, Seq[Poly])]): Double =
+    parts.foldLeft(List.empty[Poly]) { case (acc, (o, hs)) =>
+      addPolygonWithHoles(acc, o, hs)
+    }.map(PolygonClip.area).sum
 
   /** Exact union area of simple polygons (local form, shared by tests). */
   def unionArea(polys: Seq[Poly]): Double =
@@ -169,4 +199,45 @@ object PolyUnion {
                    ys: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.udaf(new DissolveAggregator,
       org.apache.spark.sql.Encoders.product[PolyRow]).apply(xs, ys)
+
+  /** One multipolygon part as ring lists: ring 0 is the outer boundary,
+    * the rest are holes — the GeoJSON/GAUL coordinate layout. */
+  final case class MultiPolyRow(xs: Seq[Seq[Double]], ys: Seq[Seq[Double]])
+
+  /** Typed Aggregator over parts WITH HOLES — same disjoint-piece buffer
+    * and merge as [[DissolveAggregator]], so partial aggregation and
+    * order-independence carry over unchanged. */
+  class DissolveHolesAggregator
+      extends Aggregator[MultiPolyRow, List[Poly], Double] {
+
+    override def zero: List[Poly] = Nil
+
+    override def reduce(b: List[Poly], in: MultiPolyRow): List[Poly] = {
+      require(in.xs.nonEmpty && in.xs.length == in.ys.length,
+        "MultiPolyRow needs ring 0 (outer) with matching xs/ys")
+      val rings = in.xs.zip(in.ys).map { case (x, y) =>
+        x.zip(y).toIndexedSeq
+      }
+      PolyUnion.addPolygonWithHoles(b, rings.head, rings.tail)
+    }
+
+    override def merge(b1: List[Poly], b2: List[Poly]): List[Poly] =
+      b2.foldLeft(b1)(PolyUnion.addPolygon)
+
+    override def finish(b: List[Poly]): Double =
+      b.map(PolygonClip.area).sum
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[List[Poly]] =
+      org.apache.spark.sql.Encoders.kryo[List[Poly]]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  /** Column form: `dissolveAreaWithHoles(ringXs, ringYs)` where the
+    * arguments are array<array<double>> ring lists. */
+  def dissolveAreaWithHoles(xs: org.apache.spark.sql.Column,
+                            ys: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udaf(new DissolveHolesAggregator,
+      org.apache.spark.sql.Encoders.product[MultiPolyRow]).apply(xs, ys)
 }

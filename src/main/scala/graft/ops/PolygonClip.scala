@@ -180,6 +180,52 @@ object PolygonClip {
     area(a) + area(b) - inter
   }
 
+  // ------------------------------------------------- rings with holes
+
+  /** One polygon part in OGC ring form: an outer boundary plus interior
+    * rings (holes). Validity assumptions (the GAUL/GeoJSON contract):
+    * holes lie inside the outer ring and are pairwise disjoint — exactly
+    * what makes the subtraction forms below exact. Ring orientation is
+    * irrelevant (areas are absolute). */
+  final case class PolygonWithHoles(outer: IndexedSeq[(Double, Double)],
+                                    holes: Seq[IndexedSeq[(Double, Double)]])
+
+  /** Area of outer − holes (exact by containment + disjointness). */
+  def areaWithHoles(p: PolygonWithHoles): Double =
+    area(p.outer) - p.holes.map(area).sum
+
+  /** Exact |subject ∩ (outer − holes)| = |subject ∩ outer| −
+    * Σ |subject ∩ holeᵢ| — holes are inside the outer ring, so every
+    * hole-overlap is also an outer-overlap (inclusion–exclusion needs no
+    * higher terms), and disjoint holes never double-subtract. */
+  def intersectionAreaWithHoles(subject: IndexedSeq[(Double, Double)],
+                                p: PolygonWithHoles): Double =
+    intersectionAreaSimple(subject, p.outer) -
+      p.holes.map(h => intersectionAreaSimple(subject, h)).sum
+
+  /** Multipolygon area over disjoint parts (the GAUL ADM shape). */
+  def multiPolygonArea(parts: Seq[PolygonWithHoles]): Double =
+    parts.map(areaWithHoles).sum
+
+  /** Column form for a polygon with holes: triangulate outer and holes
+    * ONCE driver-side; each row sums outer-triangle SH areas and
+    * subtracts hole-triangle SH areas map-side — same shape as
+    * [[cellCoverageSimple]], still zero shuffle. */
+  def cellCoverageWithHoles(x0: Column, y0: Column, size: Column,
+                            outerX: Seq[Double], outerY: Seq[Double],
+                            holes: Seq[(Seq[Double], Seq[Double])]): Column = {
+    val outerTris = triangulate(outerX.zip(outerY).toIndexedSeq)
+    val holeTris = holes.flatMap { case (hx, hy) =>
+      triangulate(hx.zip(hy).toIndexedSeq)
+    }
+    val f = udf((cx: Double, cy: Double, s: Double) => {
+      val cell = IndexedSeq((cx, cy), (cx + s, cy), (cx + s, cy + s), (cx, cy + s))
+      outerTris.map(t => intersectionArea(cell, t)).sum -
+        holeTris.map(t => intersectionArea(cell, t)).sum
+    })
+    f(x0, y0, size)
+  }
+
   /** Column form for a simple (possibly concave) polygon: the
     * triangulation runs ONCE driver-side; each row sums per-triangle
     * Sutherland–Hodgman areas map-side. */

@@ -370,6 +370,46 @@ class ExtSpec extends AnyFunSuite {
     assert(Multimodal.AudioCodec.decodeWav(null).isEmpty)
   }
 
+  test("G.711 μ-law/A-law WAVs decode bit-exactly to the spec tables") {
+    // published G.711 expansion formulas, written independently here;
+    // assert the JDK codec path produces EXACTLY these for all 256 codes
+    def ulawSpec(b: Int): Int = {
+      val u = ~b & 0xFF
+      val mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+      if ((u & 0x80) != 0) -mag else mag
+    }
+    def alawSpec(b: Int): Int = {
+      val a = b ^ 0x55
+      val exp = (a >> 4) & 7
+      val man = a & 0x0F
+      val mag = if (exp == 0) (man << 4) + 8 else ((man << 4) + 0x108) << (exp - 1)
+      if ((a & 0x80) != 0) mag else -mag  // sign bit SET = positive
+    }
+    val codes = Array.tabulate(256)(_.toByte)
+    val uPcm = Multimodal.AudioCodec.decodeWav(
+      Multimodal.AudioCodec.encodeWavG711(codes, 8000, aLaw = false)).get
+    assert(uPcm.sampleRate == 8000 && uPcm.samples.length == 256)
+    (0 until 256).foreach { i =>
+      assert(uPcm.samples(i) == ulawSpec(i), s"ulaw code $i")
+    }
+    val aPcm = Multimodal.AudioCodec.decodeWav(
+      Multimodal.AudioCodec.encodeWavG711(codes, 8000, aLaw = true)).get
+    (0 until 256).foreach { i =>
+      assert(aPcm.samples(i) == alawSpec(i), s"alaw code $i")
+    }
+  }
+
+  test("x46 pipeline: features flow from a real G.711 decode, no shuffle") {
+    val out = Multimodal.extractAudioFeatures(Multimodal.g711FromDocs(docs))
+    assert(out.count() == 5)
+    val r = out.filter(col("media_id") === 2).head  // even → μ-law
+    assert(r.getAs[Int]("sample_rate") == 8000)
+    assert(r.getAs[Long]("n_samples") == 256) // 240 + (2 % 16) * 8
+    assert(r.getAs[Long]("peak") <= 32124)    // μ-law max magnitude
+    assert(out.queryExecution.executedPlan.toString
+      .split("Exchange").length - 1 == 0, "G.711 features must not shuffle")
+  }
+
   test("audio features: exact integer statistics over decoded samples") {
     val samples = Array(100, -100, 50, -50, 0, 25)
     val f = Multimodal.AudioCodec.features(

@@ -152,4 +152,60 @@ class ClipSpec extends AnyFunSuite {
       assert(got((x, y)) == expect)
     })
   }
+
+  test("polygon with holes: area and clip follow inclusion-exclusion") {
+    // outer 10×10 square, two disjoint holes (2×2 and 3×1)
+    val outer = IndexedSeq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0))
+    val h1 = IndexedSeq((1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0))
+    val h2 = IndexedSeq((5.0, 6.0), (8.0, 6.0), (8.0, 7.0), (5.0, 7.0))
+    val p = PolygonWithHoles(outer, Seq(h1, h2))
+    assert(areaWithHoles(p) == 100.0 - 4.0 - 3.0)
+    // a window overlapping outer and hole 1
+    val win = IndexedSeq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
+    assert(intersectionAreaWithHoles(win, p) == 16.0 - 4.0)
+    // a window entirely inside hole 1 covers nothing
+    val inHole = IndexedSeq((1.5, 1.5), (2.5, 1.5), (2.5, 2.5), (1.5, 2.5))
+    assert(intersectionAreaWithHoles(inHole, p) == 0.0)
+    // multipolygon: two disjoint parts sum
+    val part2 = PolygonWithHoles(
+      IndexedSeq((20.0, 0.0), (24.0, 0.0), (24.0, 4.0), (20.0, 4.0)),
+      Seq(IndexedSeq((21.0, 1.0), (22.0, 1.0), (22.0, 2.0), (21.0, 2.0))))
+    assert(multiPolygonArea(Seq(p, part2)) == 93.0 + 15.0)
+  }
+
+  test("dissolve with holes: filled holes, disjoint parts, order-free") {
+    import PolyUnion._
+    val outer = IndexedSeq((0.0, 0.0), (8.0, 0.0), (8.0, 8.0), (0.0, 8.0))
+    val hole = IndexedSeq((2.0, 2.0), (6.0, 2.0), (6.0, 6.0), (2.0, 6.0))
+    // part alone: 64 − 16
+    assert(unionAreaWithHoles(Seq((outer, Seq(hole)))) == 48.0)
+    // a second part that completely fills the hole → full square again
+    val filler = IndexedSeq((2.0, 2.0), (6.0, 2.0), (6.0, 6.0), (2.0, 6.0))
+    assert(unionAreaWithHoles(
+      Seq((outer, Seq(hole)), (filler, Nil))) == 64.0)
+    // order-independence (union is commutative)
+    assert(unionAreaWithHoles(
+      Seq((filler, Nil), (outer, Seq(hole)))) == 64.0)
+    // partial filler: covers half the hole
+    val half = IndexedSeq((2.0, 2.0), (4.0, 2.0), (4.0, 6.0), (2.0, 6.0))
+    assert(unionAreaWithHoles(
+      Seq((outer, Seq(hole)), (half, Nil))) == 48.0 + 8.0)
+  }
+
+  test("dissolveAreaWithHoles aggregator matches the local fold") {
+    val spark = SharedSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // three parts: square-with-hole, hole filler, offset plain square
+    val rows = Seq(
+      (Seq(Seq(0.0, 8.0, 8.0, 0.0), Seq(2.0, 6.0, 6.0, 2.0)),
+       Seq(Seq(0.0, 0.0, 8.0, 8.0), Seq(2.0, 2.0, 6.0, 6.0))),
+      (Seq(Seq(2.0, 6.0, 6.0, 2.0)), Seq(Seq(2.0, 2.0, 6.0, 6.0))),
+      (Seq(Seq(10.0, 14.0, 14.0, 10.0)), Seq(Seq(0.0, 0.0, 4.0, 4.0))))
+    val got = rows.toDF("xs", "ys")
+      .repartition(3)
+      .agg(PolyUnion.dissolveAreaWithHoles(col("xs"), col("ys")).as("a"))
+      .head.getDouble(0)
+    assert(got == 64.0 + 16.0) // full 8×8 (hole filled) + offset 4×4
+  }
 }
