@@ -693,6 +693,15 @@ object SparkEntry {
             minJaccard = 0.4).select("doc_a", "doc_b"))
         .select("doc_id", "lang", "source", "n_chars")),
 
+    // the dedup products FUSED: one jaccardPairs + connectedComponents
+    // pays for the component map, cluster census, and kept/removed split
+    // together (x27/x28/x44 each recompute the same edges independently —
+    // kept for the oracle surface; this is the shape a pipeline runs).
+    // The bench line shows the shared-scan total vs the sum of the parts.
+    "x45_dedup_products" -> ((s, d) =>
+      ext.Dedup.dedupProducts(t(s, d, "documents"), shingleK = 3,
+        minJaccard = 0.4)),
+
     // per-doc salient terms by tf/df (the exact-rational tf-idf core) —
     // rank deterministic via the (score DESC, term) total order
     "x29_salient_terms" -> ((s, d) =>
@@ -1710,6 +1719,27 @@ object SparkEntry {
           SELECT cluster_size, COUNT(*) AS n_clusters,
                  CAST(SUM(cluster_size - 1) AS BIGINT) AS docs_removable
           FROM per GROUP BY 1""",
+
+    // x45 — the fused per-source report: the same recursive closure, with
+    // cluster sizes keyed at the rep doc. Integer sums cast to BIGINT per
+    // the HUGEINT convention (Stable.sumSql scaladoc).
+    "x45_dedup_products" ->
+      s"""WITH RECURSIVE $componentCtes,
+          csizes AS (SELECT rep, COUNT(*) AS cluster_size FROM cc GROUP BY 1),
+          j AS (
+            SELECT d.doc_id, d.source, c.rep, s2.cluster_size AS rep_size
+            FROM documents d
+            LEFT JOIN cc c ON c.id = d.doc_id
+            LEFT JOIN csizes s2 ON s2.rep = d.doc_id)
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(CASE WHEN rep IS NULL OR rep = doc_id
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(SUM(CASE WHEN rep IS NOT NULL AND rep <> doc_id
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                 CAST(SUM(CASE WHEN rep = doc_id THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_clusters,
+                 MAX(rep_size) AS max_cluster
+          FROM j GROUP BY source""",
 
     // x43 — exact all-pairs census; a mixed (eval, train) pair drops its
     // train member regardless of which side of doc_a < doc_b it is on

@@ -13,8 +13,9 @@ import graft.model.GridMeta
   * striped OR tiled, north-up affine from the ModelTiepoint +
   * ModelPixelScale GeoTIFF tags, CRS from the GeoKeyDirectory, nodata
   * from GDAL_NODATA. Pixel chunks may be uncompressed (1), LZW (5, TIFF6
-  * MSB-first with early change), or Deflate (8/32946) — the codecs
-  * rasterio/GDAL actually emit when re-writing the reference's exports.
+  * MSB-first with early change), Deflate (8/32946) — the codecs
+  * rasterio/GDAL actually emit when re-writing the reference's exports —
+  * or PackBits (32773, legacy scanner/Mac exports).
   * The tiled layout (TileWidth/TileLength/TileOffsets/TileByteCounts,
   * edge tiles padded to full size) is what GDAL writes by default for
   * anything beyond small rasters (`-co TILED=YES`, rasterio
@@ -114,8 +115,8 @@ object GeoTiff {
     val fmt = entries.get(339).map(_.ints).getOrElse(IndexedSeq(1L))
     val planar = intOr(284, 1).toInt
     val predictor = intOr(317, 1).toInt
-    require(Set(1, 5, 8, 32946)(compression),
-      s"GeoTIFF $dataset: unsupported Compression=$compression (1/5/8/32946)")
+    require(Set(1, 5, 8, 32946, 32773)(compression),
+      s"GeoTIFF $dataset: unsupported Compression=$compression (1/5/8/32946/32773)")
     // 1 = none; 3 = TIFF TechNote 3 floating-point predictor (byte-plane
     // split + horizontal differencing), what GDAL emits for float rasters
     // with PREDICTOR=3. Predictor 2 (integer differencing) cannot apply to
@@ -189,6 +190,10 @@ object GeoTiff {
         val src = new Array[Byte](count.toInt)
         buf.duplicate().position(off.toInt).get(src)
         ByteBuffer.wrap(Lzw.decode(src)).order(buf.order())
+      case 32773 =>
+        val src = new Array[Byte](count.toInt)
+        buf.duplicate().position(off.toInt).get(src)
+        ByteBuffer.wrap(PackBits.decode(src)).order(buf.order())
       case 8 | 32946 =>
         val src = new Array[Byte](count.toInt)
         buf.duplicate().position(off.toInt).get(src)
@@ -434,7 +439,8 @@ object GeoTiff {
   /** Encode a float32 GeoTIFF for `meta` (north-up affine only:
     * b = d = 0, a > 0, e < 0). The exact inverse of [[parse]]/
     * [[parseBands]]; deterministic bytes so fixtures pin byte-for-byte.
-    * `compression`: 1 = none, 5 = LZW, 8 = Deflate. `tileSize` = 0 writes
+    * `compression`: 1 = none, 5 = LZW, 8 = Deflate, 32773 = PackBits.
+    * `tileSize` = 0 writes
     * the striped layout (`rowsPerStrip` row bands); a positive multiple
     * of 16 writes the tiled layout GDAL emits for larger rasters (square
     * tiles, edge tiles zero-padded to full size per TIFF6). `bands` > 1
@@ -451,8 +457,8 @@ object GeoTiff {
       s"GeoTIFF writer: bands must be 1..4, got $bands")
     require(values.length == meta.width * meta.height * bands,
       s"GeoTIFF writer: ${values.length} values for ${meta.width}x${meta.height}x$bands")
-    require(Set(1, 5, 8)(compression),
-      s"GeoTIFF writer: unsupported compression $compression (1/5/8)")
+    require(Set(1, 5, 8, 32773)(compression),
+      s"GeoTIFF writer: unsupported compression $compression (1/5/8/32773)")
     require(tileSize == 0 || (tileSize > 0 && tileSize % 16 == 0),
       s"GeoTIFF writer: tileSize must be 0 (striped) or a positive multiple of 16, got $tileSize")
     require(predictor == 1 || predictor == 3,
@@ -463,6 +469,7 @@ object GeoTiff {
     def pack(arr: Array[Byte]): Array[Byte] = compression match {
       case 1 => arr
       case 5 => Lzw.encode(arr)
+      case 32773 => PackBits.encode(arr)
       case 8 =>
         // fixed level so fixture bytes stay deterministic across JDKs
         val d = new java.util.zip.Deflater(6)

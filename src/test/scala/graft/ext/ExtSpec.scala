@@ -705,6 +705,23 @@ class ExtSpec extends AnyFunSuite {
     assert(cleaned(2L) == "v1 v2 v3 v4")
   }
 
+  test("dedupProducts fuses component map, census, and kept split") {
+    import spark.implicits._
+    // reuse the shared fixture clusters ({1,2,4} rep 1; 3,5 unclustered)
+    // but attach sources: 1,2 -> "web", 3,4,5 -> "books"
+    val d = docs.withColumn("source",
+      when(col("doc_id") <= 2, "web").otherwise("books"))
+    val r = Dedup.dedupProducts(d, shingleK = 3, minJaccard = 0.4)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+         if (x.isNullAt(5)) -1L else x.getLong(5))).toMap
+    // web: docs {1,2}; kept {1} (2 is a member), removed {2}; rep 1 lives
+    // here, cluster size 3
+    assert(r("web") == ((2L, 1L, 1L, 1L, 3L)))
+    // books: docs {3,4,5}; kept {3,5}, removed {4}; no rep -> null max
+    assert(r("books") == ((3L, 2L, 1L, 0L, -1L)))
+  }
+
   test("dedupCorpus keeps cluster representatives and untouched docs") {
     // docs 1,2 near-dup and 1,4 exact-dup → one cluster {1,2,4}, rep 1
     val edges = Dedup.jaccardPairs(docs, shingleK = 3, minJaccard = 0.4)

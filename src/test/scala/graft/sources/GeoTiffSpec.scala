@@ -364,6 +364,46 @@ class GeoTiffSpec extends AnyFunSuite {
       Option(e2.getCause).exists(_.getMessage.contains("no reprojection")))
   }
 
+  test("PackBits codec: spec vectors, runs, literals, round trips") {
+    import PackBits._
+    // the TIFF6 worked example decodes to AA AA AA 80 00 2A AA AA AA AA
+    // 80 00 2A 22 AA AA AA AA AA AA AA AA AA AA
+    val tiff6 = Array(0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA,
+      0x03, 0x80, 0x00, 0x2A, 0x22, 0xF7, 0xAA).map(_.toByte)
+    val expect = (Seq.fill(3)(0xAA) ++ Seq(0x80, 0x00, 0x2A) ++
+      Seq.fill(4)(0xAA) ++ Seq(0x80, 0x00, 0x2A, 0x22) ++
+      Seq.fill(10)(0xAA)).map(_.toByte).toArray
+    assert(decode(tiff6).sameElements(expect))
+    // -128 control bytes are no-ops
+    assert(decode(Array[Byte](-128, 0, 65, -128)).sameElements(Array[Byte](65)))
+    // round trips: all-run, all-literal, mixed, long runs crossing the
+    // 128 packet cap, empty
+    val rnd = new scala.util.Random(29)
+    val cases = Seq(
+      Array.fill[Byte](300)(7),
+      Array.tabulate[Byte](257)(i => i.toByte),
+      Array.tabulate[Byte](1000)(i => if ((i / 13) % 2 == 0) 42 else i.toByte),
+      Array.empty[Byte]) ++
+      (1 to 20).map(_ => Array.fill(rnd.nextInt(600))(
+        if (rnd.nextBoolean()) 0x55.toByte else rnd.nextInt(256).toByte))
+    cases.foreach { c =>
+      assert(decode(encode(c)).sameElements(c), s"len ${c.length}")
+    }
+  }
+
+  test("PackBits (Compression=32773) GeoTIFF round-trips") {
+    val meta = GeoTiffFixture.meta.copy(dataset = "pb.tif")
+    val bytes = GeoTiff.write(meta, GeoTiffFixture.values, compression = 32773)
+    val r = GeoTiff.parse("pb.tif", bytes)
+    assert(r.meta.width == meta.width && r.meta.height == meta.height)
+    val want = GeoTiffFixture.values
+    assert(r.values.length == want.length)
+    r.values.indices.foreach { i =>
+      val (a, b) = (r.values(i), want(i))
+      assert((a.isNaN && b.isNaN) || a == b, s"pixel $i: $a vs $b")
+    }
+  }
+
   test("readLonLat reprojects a Lambert-93 (EPSG:2154) raster to WGS84") {
     // 100 m pixels near Paris: model (651 km E, 6.862 Mm N) in the French
     // national LCC grid — exercises the conic branch of the CRS registry
