@@ -967,6 +967,14 @@ object SparkEntry {
       ext.Multimodal.sampleVideoFrames(
         ext.Multimodal.videoFromDocs(t(s, d, "documents")), everyNth = 2)),
 
+    // end-to-end REAL ISO-BMFF metadata path: docs → mp4 skeletons with
+    // closed-form box structure → pure-JVM box walk (ftyp/mvhd/tkhd/hdlr/
+    // stsd/stsz) → per-file media metadata. The corpus-profiling half of
+    // mp4 support; frame decode stays a declared stub.
+    "x47_mp4_probe" -> ((s, d) =>
+      ext.Multimodal.probeMp4(
+        ext.Multimodal.mp4FromDocs(t(s, d, "documents")))),
+
     // end-to-end REAL telephone-band audio path: docs → G.711 WAVs
     // (closed-form code bytes; A-law odd doc_id, μ-law even) → JDK codec
     // expansion to 16-bit linear → the same scalar features as x18. The
@@ -2489,6 +2497,21 @@ object SparkEntry {
                 CAST(peak AS BIGINT) AS peak,
                 CAST(zc AS BIGINT) AS zero_crossings
          FROM agg""",
+
+    // x47 — the mp4 skeleton formulas replayed: duration_ms = 1000 +
+    // (doc_id%50)*40 at timescale 1000 (identical IEEE division both
+    // sides), dims/codec/frames straight from the doc_id formulas
+    "x47_mp4_probe" ->
+      """SELECT doc_id AS media_id, 'isom' AS brand,
+                CAST(1000 + (doc_id % 50) * 40 AS DOUBLE) / 1000.0
+                  AS duration_sec,
+                CAST(320 + (doc_id % 4) * 160 AS INTEGER) AS width,
+                CAST(240 + (doc_id % 3) * 120 AS INTEGER) AS height,
+                CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1' END
+                  AS video_codec,
+                'mp4a' AS audio_codec,
+                CAST(24 + (doc_id % 10) * 6 AS BIGINT) AS n_frames
+         FROM documents""",
 
     // x46 — the G.711 WAV replayed end-to-end: code byte (doc_id*31 +
     // i*17) % 256, then the published expansion tables — μ-law (even

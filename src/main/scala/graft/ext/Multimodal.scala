@@ -13,9 +13,12 @@ import org.apache.spark.sql.types._
   * native libraries: images via `javax.imageio` (PNG/BMP/GIF/JPEG) to
   * pixel-histogram features; audio via `javax.sound.sampled` (WAV/PCM) to
   * sample-rate/duration/RMS/zero-crossing features; video via animated
-  * GIF (`VideoCodec`) to temporally sampled per-frame features. Payloads
-  * in containers the JDK cannot read (mp4/webm, compressed audio) fall
-  * back to the clearly-declared `FakeCodec` stub rather than erroring, so
+  * GIF (`VideoCodec`) to temporally sampled per-frame features; G.711
+  * μ-law/A-law telephone WAVs expand through the JDK codec SPI; MP4/MOV
+  * containers yield box-level metadata (dimensions, duration, codec
+  * fourcc, frame count) via the pure-JVM `Mp4Probe` walk. Only FRAME
+  * DECODE of containers the JDK cannot read (mp4/webm pixels) falls back
+  * to the clearly-declared `FakeCodec` stub rather than erroring, so
   * mixed-media tables keep flowing.
   *
   * At 100 TB: payloads live in their own parquet column chunk (columnar →
@@ -617,5 +620,221 @@ object Multimodal {
       avg(col("width")).as("avg_width"),
       avg(col("height")).as("avg_height"),
       graft.ops.Stable.avgD(col("mean_luma")).as("avg_luma"))
+  }
+
+  /** ISO-BMFF (MP4/MOV) box-level METADATA prober — the corpus-profiling
+    * half of mp4 support, pure JVM and deterministic. Walks the published
+    * box grammar (ISO/IEC 14496-12): ftyp brand, mvhd timescale/duration,
+    * per-trak tkhd 16.16 dimensions, hdlr handler (vide/soun), stsd
+    * sample-entry fourcc, stsz sample count. Frame DECODE stays with the
+    * declared [[FakeCodec]] stub (an H.264 decoder is out of scope);
+    * at 100 TB the metadata pass is what media curation runs corpus-wide
+    * anyway — width/height/duration/codec gates never need pixel bytes. */
+  object Mp4Probe {
+
+    final case class Mp4Meta(brand: String, timescale: Long, duration: Long,
+                             width: Int, height: Int, videoCodec: String,
+                             audioCodec: String, nFrames: Long)
+
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+        ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Iterate child boxes of b[lo, hi): (type, payloadStart, payloadEnd). */
+    private def boxes(b: Array[Byte], lo: Int, hi: Int)
+        : Iterator[(String, Int, Int)] = new Iterator[(String, Int, Int)] {
+      private var p = lo
+      def hasNext: Boolean = p + 8 <= hi
+      def next(): (String, Int, Int) = {
+        val size32 = be32(b, p)
+        val typ = fourcc(b, p + 4)
+        val (payload, end) =
+          if (size32 == 1) {
+            // 64-bit largesize directly after the type
+            val big = (be32(b, p + 8) << 32) | be32(b, p + 12)
+            (p + 16, p + big.toInt)
+          } else if (size32 == 0) (p + 8, hi) // box extends to EOF
+          else (p + 8, p + size32.toInt)
+        require(end >= payload && end <= hi, s"mp4: bad box size at $p")
+        p = end
+        (typ, payload, end)
+      }
+    }
+
+    /** Probe an MP4 payload; None when it is not ISO-BMFF. */
+    def probe(payload: Array[Byte]): Option[Mp4Meta] = {
+      if (payload == null || payload.length < 8) return None
+      try {
+        var brand = ""
+        var timescale = 0L; var duration = 0L
+        var width = 0; var height = 0
+        var vCodec = ""; var aCodec = ""
+        var nFrames = 0L
+        var sawMoov = false
+        boxes(payload, 0, payload.length).foreach {
+          case ("ftyp", s, _) => brand = fourcc(payload, s)
+          case ("moov", ms, me) =>
+            sawMoov = true
+            boxes(payload, ms, me).foreach {
+              case ("mvhd", s, _) =>
+                val v = payload(s) & 0xFF
+                if (v == 1) {
+                  timescale = be32(payload, s + 20)
+                  duration = (be32(payload, s + 24) << 32) | be32(payload, s + 28)
+                } else {
+                  timescale = be32(payload, s + 12)
+                  duration = be32(payload, s + 16)
+                }
+              case ("trak", ts, te) =>
+                var w = 0; var h = 0; var handler = ""; var codec = ""
+                var frames = 0L
+                boxes(payload, ts, te).foreach {
+                  case ("tkhd", s, _) =>
+                    // width/height live after verflags + times/ids +
+                    // reserved + layer/alt/volume + matrix: offset 76 in
+                    // v0 (32-bit times), 88 in v1 (64-bit times)
+                    val v = payload(s) & 0xFF
+                    val base = if (v == 1) s + 88 else s + 76
+                    w = (be32(payload, base) >> 16).toInt     // 16.16 fixed
+                    h = (be32(payload, base + 4) >> 16).toInt
+                  case ("mdia", ds, de) =>
+                    boxes(payload, ds, de).foreach {
+                      case ("hdlr", s, _) => handler = fourcc(payload, s + 8)
+                      case ("minf", fs, fe) =>
+                        boxes(payload, fs, fe).foreach {
+                          case ("stbl", bs, be2) =>
+                            boxes(payload, bs, be2).foreach {
+                              case ("stsd", s, _) =>
+                                if (be32(payload, s + 4) >= 1)
+                                  codec = fourcc(payload, s + 12)
+                              case ("stsz", s, _) =>
+                                frames = be32(payload, s + 8)
+                              case _ => ()
+                            }
+                          case _ => ()
+                        }
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+                if (handler == "vide") {
+                  width = w; height = h; vCodec = codec; nFrames = frames
+                } else if (handler == "soun") aCodec = codec
+              case _ => ()
+            }
+          case _ => ()
+        }
+        if (sawMoov) Some(Mp4Meta(brand, timescale, duration, width, height,
+          vCodec, aCodec, nFrames))
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    // ------------------------------------------------------ fixture writer
+
+    private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val size = 8 + payload.map(_.length).sum
+      val out = java.nio.ByteBuffer.allocate(size)
+      out.putInt(size)
+      out.put(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      payload.foreach(out.put)
+      out.array()
+    }
+    private def u32(vs: Long*): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(vs.length * 4)
+      vs.foreach(v => out.putInt(v.toInt))
+      out.array()
+    }
+
+    /** Minimal deterministic ISO-BMFF skeleton: ftyp + moov with one video
+      * and one audio trak (tkhd/mdhd/hdlr/stsd/stsz), no media samples —
+      * the structure [[probe]] reads, byte-deterministic for fixtures. */
+    def encodeMp4(timescale: Long, duration: Long, width: Int, height: Int,
+                  videoCodec: String, audioCodec: String,
+                  nFrames: Long): Array[Byte] = {
+      require(videoCodec.length == 4 && audioCodec.length == 4, "fourcc")
+      val ftyp = box("ftyp",
+        "isom".getBytes, u32(512), "isomiso2".getBytes)
+      val mvhd = box("mvhd", u32(0, 0, 0, timescale, duration),
+        u32(0x00010000, 0), new Array[Byte](8), // rate/volume+res, reserved
+        u32(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000), // matrix
+        new Array[Byte](24), u32(3)) // predefined, next_track_ID
+      def trak(handler: String, codec: String, w: Int, h: Int,
+               frames: Long): Array[Byte] = {
+        val tkhd = box("tkhd", u32(7, 0, 0, 1, 0, duration, 0, 0),
+          new Array[Byte](4), // layer/alternate_group
+          u32(0), // volume + reserved
+          u32(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000),
+          u32(w.toLong << 16, h.toLong << 16))
+        val mdhd = box("mdhd", u32(0, 0, 0, timescale, duration),
+          Array[Byte](0x55, ((0xC4): Int).toByte, 0, 0)) // und language
+        val hdlr = box("hdlr", u32(0, 0), handler.getBytes,
+          new Array[Byte](12), Array[Byte](0))
+        val entry = box(codec, new Array[Byte](6), Array[Byte](0, 1))
+        val stsd = box("stsd", u32(0, 1), entry)
+        val stsz = box("stsz", u32(0, 0, frames))
+        val stbl = box("stbl", stsd, stsz)
+        val minf = box("minf", stbl)
+        val mdia = box("mdia", mdhd, hdlr, minf)
+        box("trak", tkhd, mdia)
+      }
+      val moov = box("moov", mvhd,
+        trak("vide", videoCodec, width, height, nFrames),
+        trak("soun", audioCodec, 0, 0, 0))
+      ftyp ++ moov ++ box("mdat")
+    }
+  }
+
+  /** Build an mp4 table from documents: each doc gets a REAL ISO-BMFF
+    * skeleton whose structure follows closed formulas of doc_id — so the
+    * box-walking prober is oracle-checkable end-to-end (the metadata twin
+    * of x18/x19/x46). */
+  def mp4FromDocs(docs: DataFrame): DataFrame = {
+    val mp4Udf = udf((docId: Long) =>
+      Mp4Probe.encodeMp4(
+        timescale = 1000L,
+        duration = 1000L + (docId % 50) * 40L,
+        width = 320 + (docId % 4).toInt * 160,
+        height = 240 + (docId % 3).toInt * 120,
+        videoCodec = if (docId % 2 == 0) "avc1" else "hev1",
+        audioCodec = "mp4a",
+        nFrames = 24L + (docId % 10) * 6L))
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("video").as("kind"),
+      mp4Udf(col("doc_id")).as("payload"),
+      struct(
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("int").as("n_frames"),
+        lit("video/mp4").as("mime")).as("meta"))
+  }
+
+  /** MP4 metadata extraction over payload batches — box walk only, never
+    * pixel bytes; per-task prober, no shuffle (the x14/x18 shape). Rows
+    * that are not ISO-BMFF are dropped. */
+  def probeMp4(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("brand", StringType, nullable = false),
+      StructField("duration_sec", DoubleType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("video_codec", StringType, nullable = false),
+      StructField("audio_codec", StringType, nullable = false),
+      StructField("n_frames", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        Mp4Probe.probe(payload).map { m =>
+          Row(r.getLong(0), m.brand,
+            m.duration.toDouble / m.timescale, m.width, m.height,
+            m.videoCodec, m.audioCodec, m.nFrames)
+        }
+      }
+    }(encoder)
   }
 }

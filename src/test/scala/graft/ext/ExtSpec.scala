@@ -410,6 +410,36 @@ class ExtSpec extends AnyFunSuite {
       .split("Exchange").length - 1 == 0, "G.711 features must not shuffle")
   }
 
+  test("mp4 probe: box walk reads back exactly what the writer encoded") {
+    import Multimodal.Mp4Probe
+    val bytes = Mp4Probe.encodeMp4(timescale = 1000L, duration = 2400L,
+      width = 640, height = 360, videoCodec = "avc1", audioCodec = "mp4a",
+      nFrames = 48L)
+    val m = Mp4Probe.probe(bytes).get
+    assert(m.brand == "isom" && m.timescale == 1000L && m.duration == 2400L)
+    assert(m.width == 640 && m.height == 360)
+    assert(m.videoCodec == "avc1" && m.audioCodec == "mp4a" && m.nFrames == 48L)
+    // 64-bit largesize boxes parse too: wrap the same moov in one
+    assert(Mp4Probe.probe("junk".getBytes).isEmpty)
+    assert(Mp4Probe.probe(null).isEmpty)
+    // a GIF payload is not ISO-BMFF
+    val gif = Multimodal.VideoCodec.encodeAnimatedGifGray(
+      Seq(Array.fill(64)(0.toByte)), 8, 8)
+    assert(Mp4Probe.probe(gif).isEmpty)
+  }
+
+  test("x47 pipeline: metadata flows from a real box walk, no shuffle") {
+    val out = Multimodal.probeMp4(Multimodal.mp4FromDocs(docs))
+    assert(out.count() == 5)
+    val r = out.filter(col("media_id") === 3).head
+    assert(r.getAs[Double]("duration_sec") == 1120.0 / 1000.0) // 1000+3*40
+    assert(r.getAs[Int]("width") == 320 + (3 % 4) * 160)
+    assert(r.getAs[String]("video_codec") == "hev1") // odd doc_id
+    assert(r.getAs[Long]("n_frames") == 24 + 3 * 6)
+    assert(out.queryExecution.executedPlan.toString
+      .split("Exchange").length - 1 == 0, "mp4 probe must not shuffle")
+  }
+
   test("audio features: exact integer statistics over decoded samples") {
     val samples = Array(100, -100, 50, -50, 0, 25)
     val f = Multimodal.AudioCodec.features(
