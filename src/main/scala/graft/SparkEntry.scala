@@ -239,6 +239,23 @@ object SparkEntry {
                 round(col("ll._1"), 9).as("lon"))
     }),
 
+    // F7 (azimuthal case) — ETRS89-LAEA (EPSG:3035) pixel grid →
+    // EPSG:4326 via the equal-area inverse (oracle: closed form + the
+    // q fixed-point latitude iteration mirrored in SQL, laeaOracleSql)
+    "f7_laea_reproject" -> ((s, _) => {
+      val grid = ops.Unpivot.gridToPixels(s, graft.model.GridMeta(
+        "laea35", 1000.0, 0.0, 4000000.0, 0.0, -1000.0, 3500000.0,
+        "EPSG:3035", width = 50, height = 50, nodata = None, scaleM = 1000))
+      val p = ops.Crs.fromEpsg(3035).get match {
+        case ops.Crs.LaeaAzimuthal(q) => q
+        case other => throw new IllegalStateException(s"not LAEA: $other")
+      }
+      grid.withColumn("ll",
+          ops.Conic.laeaToLonLatUdf(p)(col("lon"), col("lat")))
+        .select(col("y"), col("x"), round(col("ll._2"), 9).as("lat"),
+                round(col("ll._1"), 9).as("lon"))
+    }),
+
     // F13 — query-string parse at the serving edge
     "f13_qs_parse" -> ((s, d) =>
       Tables.events(s, d)
@@ -1154,6 +1171,63 @@ object SparkEntry {
               round(phi10 * 180.0 / pi(), 9) AS lat,
               round((${p.lam0} + theta / ${p.n}) * 180.0 / pi(), 9) AS lon
        FROM it10"""
+  }
+
+  /** DuckDB mirror of Conic.Laea.inverse for the EPSG:3035 grid in
+    * f7_laea_reproject — closed form for ρ/ce/q'/λ, fifteen fixed-point
+    * latitude steps with the 1e-14 freeze, every constant (including
+    * sin/cos of the authalic center latitude) pasted as the exact Scala
+    * double. Same technique as utmOracleSql/lccOracleSql. */
+  private def laeaOracleSql: String = {
+    val p = ops.Crs.fromEpsg(3035).get match {
+      case ops.Crs.LaeaAzimuthal(q) => q
+      case other => throw new IllegalStateException(s"not LAEA: $other")
+    }
+    val ell = graft.ops.Ellipsoid.GRS80
+    val e = ell.e
+    val e2 = ell.e2
+    def g(phi: String) =
+      s"""($phi + (1 - $e2 * sin($phi) * sin($phi)) *
+           (1 - $e2 * sin($phi) * sin($phi)) / (2 * cos($phi)) *
+           (qd / ${1 - e2} - sin($phi) / (1 - $e2 * sin($phi) * sin($phi)) +
+            ${1 / (2 * e)} * ln((1 - $e * sin($phi)) / (1 + $e * sin($phi)))))"""
+    val iters = (1 to 15).map { k =>
+      s""", it$k AS (SELECT *,
+         CASE WHEN d${k - 1} THEN phi${k - 1} ELSE ${g(s"phi${k - 1}")} END AS phi$k,
+         d${k - 1} OR abs(${g(s"phi${k - 1}")} - phi${k - 1}) < 1e-14 AS d$k
+         FROM it${k - 1})"""
+    }.mkString
+    s"""WITH grid AS (
+         SELECT CAST(y.range AS INTEGER) AS y, CAST(x.range AS INTEGER) AS x,
+                4000000.0 + (CAST(x.range AS DOUBLE) + 0.5) * 1000.0 AS px,
+                3500000.0 + (CAST(y.range AS DOUBLE) + 0.5) * (-1000.0) AS py
+         FROM range(50) y, range(50) x),
+       base AS (
+         SELECT y, x, (px - ${p.falseE}) / ${p.d} AS xp,
+                      (py - ${p.falseN}) * ${p.d} AS yp
+         FROM grid),
+       pol AS (
+         SELECT y, x, xp, yp, sqrt(xp * xp + yp * yp) AS rho FROM base),
+       ang AS (
+         SELECT y, x, xp, yp, rho,
+                2 * asin(rho / (2 * ${p.rq})) AS ce
+         FROM pol),
+       it0 AS (
+         SELECT y, x,
+                ${p.qp} * (cos(ce) * ${p.sinB0} +
+                           yp * sin(ce) * ${p.cosB0} / rho) AS qd,
+                atan2(xp * sin(ce),
+                      rho * ${p.cosB0} * cos(ce) -
+                        yp * ${p.sinB0} * sin(ce)) AS theta,
+                asin((${p.qp} * (cos(ce) * ${p.sinB0} +
+                                 yp * sin(ce) * ${p.cosB0} / rho)) / 2) AS phi0,
+                FALSE AS d0
+         FROM ang)
+       $iters
+       SELECT y, x,
+              round(phi15 * 180.0 / pi(), 9) AS lat,
+              round((${p.lam0} + theta) * 180.0 / pi(), 9) AS lon
+       FROM it15"""
   }
 
   private val geojsonFixture =
@@ -2755,6 +2829,9 @@ object SparkEntry {
 
     // F7 LCC — Lambert-93 closed-form inverse mirrored in SQL
     "f7_lcc_reproject" -> lccOracleSql,
+
+    // F7 LAEA — ETRS89-LAEA equal-area inverse mirrored in SQL
+    "f7_laea_reproject" -> laeaOracleSql,
 
     "j5_asof" ->
       """WITH p AS (SELECT event_id, user_id,

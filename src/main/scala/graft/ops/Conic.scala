@@ -174,9 +174,67 @@ object Conic {
     }
   }
 
+  /** Lambert AZIMUTHAL equal-area, oblique aspect, on the ellipsoid
+    * (Snyder 24-2..24-31 via the authalic sphere) — not a conic, but it
+    * shares the q(φ) machinery and completes the equal-area pair: this is
+    * the ETRS89-LAEA (EPSG:3035) grid EU environmental rasters ship in. */
+  final case class Laea(ell: Ellipsoid, phi0Deg: Double, lam0Deg: Double,
+                        falseE: Double = 0.0, falseN: Double = 0.0) {
+    private val phi0 = math.toRadians(phi0Deg)
+    val lam0: Double = math.toRadians(lam0Deg)
+    val qp: Double = qOf(ell, math.Pi / 2)
+    private val q0 = qOf(ell, phi0)
+    private val beta0 = math.asin(q0 / qp)
+    // cached so the oracle pastes the EXACT doubles the engine multiplies
+    // with, instead of re-deriving sin/cos of a pasted beta0 in another
+    // engine's libm
+    val sinB0: Double = math.sin(beta0)
+    val cosB0: Double = math.cos(beta0)
+    val rq: Double = ell.a * math.sqrt(qp / 2)
+    val d: Double = ell.a * mOf(ell.e2, phi0) / (rq * cosB0)
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val beta = math.asin(qOf(ell, math.toRadians(latDeg)) / qp)
+      val dl = math.toRadians(lonDeg) - lam0
+      val b = rq * math.sqrt(2 / (1 + sinB0 * math.sin(beta) +
+        cosB0 * math.cos(beta) * math.cos(dl)))
+      (falseE + b * d * math.cos(beta) * math.sin(dl),
+       falseN + (b / d) * (cosB0 * math.sin(beta) -
+         sinB0 * math.cos(beta) * math.cos(dl)))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val xp = (x - falseE) / d
+      val yp = (y - falseN) * d
+      val rho = math.sqrt(xp * xp + yp * yp)
+      if (rho == 0) return (math.toDegrees(lam0), math.toDegrees(phi0))
+      val ce = 2 * math.asin(rho / (2 * rq))
+      val qp2 = qp * (math.cos(ce) * sinB0 +
+        yp * math.sin(ce) * cosB0 / rho)
+      val lon = lam0 + math.atan2(xp * math.sin(ce),
+        rho * cosB0 * math.cos(ce) -
+          yp * sinB0 * math.sin(ce))
+      // same fixed-point from q as the Albers inverse
+      var phi = math.asin(qp2 / 2)
+      var i = 0
+      while (i < 15) {
+        val s = math.sin(phi)
+        val oneMe2s2 = 1 - ell.e2 * s * s
+        val next = phi + oneMe2s2 * oneMe2s2 / (2 * math.cos(phi)) *
+          (qp2 / (1 - ell.e2) - s / oneMe2s2 +
+            (1 / (2 * ell.e)) *
+              math.log((1 - ell.e * s) / (1 + ell.e * s)))
+        if (math.abs(next - phi) < 1e-14) { phi = next; i = 15 }
+        else { phi = next; i += 1 }
+      }
+      (math.toDegrees(lon), math.toDegrees(phi))
+    }
+  }
+
   /** Column UDFs returning struct(lon, lat) from projected model (x, y) —
     * same shape as Utm.utmToLatLonUdf; branch-heavy scalar math, one JVM
     * call per row, fully distributed. */
   def lccToLonLatUdf(p: Lcc) = udf((x: Double, y: Double) => p.inverse(x, y))
   def albersToLonLatUdf(p: Albers) = udf((x: Double, y: Double) => p.inverse(x, y))
+  def laeaToLonLatUdf(p: Laea) = udf((x: Double, y: Double) => p.inverse(x, y))
 }

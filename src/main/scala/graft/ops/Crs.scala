@@ -18,6 +18,7 @@ object Crs {
   final case class UtmZone(zone: Int, north: Boolean) extends Projection
   final case class LambertConic(p: Conic.Lcc) extends Projection
   final case class AlbersConic(p: Conic.Albers) extends Projection
+  final case class LaeaAzimuthal(p: Conic.Laea) extends Projection
 
   /** Registered conic codes — the LCC/Albers products national met/stat
     * agencies actually publish rasters in. All are ETRS89/NAD83-family
@@ -35,6 +36,9 @@ object Crs {
   private val CaliforniaAlbers = Conic.Albers(Ellipsoid.GRS80,
     phi1Deg = 34.0, phi2Deg = 40.5, phi0Deg = 0.0, lam0Deg = -120.0,
     falseE = 0.0, falseN = -4000000.0)                   // EPSG:3310
+  private val EuropeLaea = Conic.Laea(Ellipsoid.GRS80,
+    phi0Deg = 52.0, lam0Deg = 10.0,
+    falseE = 4321000.0, falseN = 3210000.0)              // EPSG:3035
 
   def fromEpsg(code: Int): Option[Projection] = code match {
     case 4326 => Some(Geographic)
@@ -45,6 +49,7 @@ object Crs {
     case 3978 => Some(LambertConic(CanadaAtlasLcc))
     case 5070 => Some(AlbersConic(ConusAlbers))
     case 3310 => Some(AlbersConic(CaliforniaAlbers))
+    case 3035 => Some(LaeaAzimuthal(EuropeLaea))
     case _ => None
   }
 
@@ -68,5 +73,6 @@ object Crs {
         (lon, lat)
       case LambertConic(p) => p.inverse(x, y)
       case AlbersConic(p) => p.inverse(x, y)
+      case LaeaAzimuthal(p) => p.inverse(x, y)
     }
 }

@@ -138,9 +138,56 @@ class ConicSpec extends AnyFunSuite {
       }
   }
 
+  test("LAEA forward matches Snyder's published worked example") {
+    // Snyder PP 1395 LAEA ellipsoidal example: Clarke 1866, center
+    // (40°N, 100°W), point (30°N, 110°W) → x = -965,932.1, y = -1,056,814.9
+    val p = Conic.Laea(Ellipsoid.Clarke1866, phi0Deg = 40.0, lam0Deg = -100.0)
+    val (x, y) = p.forward(30.0, -110.0)
+    assert(math.abs(x - -965932.1) < 1.0, s"x=$x")
+    assert(math.abs(y - -1056814.9) < 1.0, s"y=$y")
+  }
+
+  test("EPSG:3035 maps its grid origin to the false origin and round-trips") {
+    val p = Crs.fromEpsg(3035).get.asInstanceOf[Crs.LaeaAzimuthal].p
+    val (x, y) = p.forward(52.0, 10.0)
+    assert(math.abs(x - 4321000.0) < 1e-6 && math.abs(y - 3210000.0) < 1e-6)
+    val rnd = new scala.util.Random(17)
+    (1 to 300).foreach { _ =>
+      val lat = 35.0 + rnd.nextDouble() * 35.0   // Europe band
+      val lon = -10.0 + rnd.nextDouble() * 40.0
+      val (px, py) = p.forward(lat, lon)
+      val (lon2, lat2) = p.inverse(px, py)
+      assert(math.abs(lat2 - lat) < 1e-9 && math.abs(lon2 - lon) < 1e-9,
+        s"($lat,$lon) -> ($px,$py) -> ($lat2,$lon2)")
+    }
+  }
+
+  test("LAEA preserves area: Jacobian equals the ellipsoid area element") {
+    val p = Crs.fromEpsg(3035).get.asInstanceOf[Crs.LaeaAzimuthal].p
+    val ell = Ellipsoid.GRS80
+    Seq((48.8, 2.3), (60.2, 25.0), (38.7, -9.1), (52.5, 13.4)).foreach {
+      case (lat, lon) =>
+        val h = 0.5 / 3600.0
+        val hr = math.toRadians(h)
+        def fd(f: Double => (Double, Double)): (Double, Double) = {
+          val (xa, ya) = f(h); val (xb, yb) = f(-h)
+          ((xa - xb) / (2 * hr), (ya - yb) / (2 * hr))
+        }
+        val (dxdphi, dydphi) = fd(dd => p.forward(lat + dd, lon))
+        val (dxdlam, dydlam) = fd(dd => p.forward(lat, lon + dd))
+        val jac = math.abs(dxdphi * dydlam - dxdlam * dydphi)
+        val phi = math.toRadians(lat)
+        val sin2 = math.sin(phi) * math.sin(phi)
+        val truth = ell.a * ell.a * (1 - ell.e2) * math.cos(phi) /
+          ((1 - ell.e2 * sin2) * (1 - ell.e2 * sin2))
+        assert(math.abs(jac / truth - 1.0) < 1e-6, s"($lat,$lon): $jac vs $truth")
+    }
+  }
+
   test("registry: conic codes resolve, unknown codes still fail closed") {
     assert(Crs.fromEpsg(2154).isDefined && Crs.fromEpsg(3978).isDefined)
     assert(Crs.fromEpsg(5070).isDefined && Crs.fromEpsg(3310).isDefined)
+    assert(Crs.fromEpsg(3035).isDefined)
     assert(Crs.fromEpsg(27700).isEmpty)  // OSGB TM: not registered
     assert(Crs.fromEpsg(2193).isEmpty)   // NZTM: not registered
     // Crs.toLonLat dispatch for the conic branches
