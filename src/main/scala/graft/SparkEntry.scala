@@ -992,6 +992,13 @@ object SparkEntry {
       ext.Multimodal.probeMp4(
         ext.Multimodal.mp4FromDocs(t(s, d, "documents")))),
 
+    // end-to-end REAL EBML metadata path: docs → WebM skeletons with
+    // closed-form element structure → pure-JVM EBML walk (Segment/Info/
+    // Tracks/TrackEntry/Video) — the webm twin of x47
+    "x48_webm_probe" -> ((s, d) =>
+      ext.Multimodal.probeWebm(
+        ext.Multimodal.webmFromDocs(t(s, d, "documents")))),
+
     // end-to-end REAL telephone-band audio path: docs → G.711 WAVs
     // (closed-form code bytes; A-law odd doc_id, μ-law even) → JDK codec
     // expansion to 16-bit linear → the same scalar features as x18. The
@@ -2585,6 +2592,20 @@ object SparkEntry {
                   AS video_codec,
                 'mp4a' AS audio_codec,
                 CAST(24 + (doc_id % 10) * 6 AS BIGINT) AS n_frames
+         FROM documents""",
+
+    // x48 — the webm skeleton formulas replayed: Duration float64 of
+    // 2000 + (doc_id%40)*125 units at the default 1 ms TimestampScale →
+    // seconds via the same * 1e6 / 1e9 IEEE products
+    "x48_webm_probe" ->
+      """SELECT doc_id AS media_id,
+                CAST(2000 + (doc_id % 40) * 125 AS DOUBLE)
+                  * 1000000.0 / 1000000000.0 AS duration_sec,
+                CAST(256 + (doc_id % 5) * 128 AS INTEGER) AS width,
+                CAST(144 + (doc_id % 4) * 96 AS INTEGER) AS height,
+                CASE WHEN doc_id % 2 = 0 THEN 'V_VP9' ELSE 'V_VP8' END
+                  AS video_codec,
+                'A_OPUS' AS audio_codec
          FROM documents""",
 
     // x46 — the G.711 WAV replayed end-to-end: code byte (doc_id*31 +

@@ -787,6 +787,212 @@ object Multimodal {
     }
   }
 
+  /** Matroska/WebM (EBML) box-level METADATA prober — the webm twin of
+    * [[Mp4Probe]], pure JVM. Walks the published EBML grammar (RFC 8794 +
+    * the Matroska element registry): Segment > Info (TimestampScale,
+    * Duration) and Segment > Tracks > TrackEntry (TrackType, CodecID,
+    * Video > PixelWidth/PixelHeight). Cluster/frame data is never read. */
+  object EbmlProbe {
+
+    final case class WebmMeta(durationSec: Double, width: Int, height: Int,
+                              videoCodec: String, audioCodec: String)
+
+    private def vintLen(first: Int): Int = {
+      var mask = 0x80
+      var len = 1
+      while (len <= 8 && (first & mask) == 0) { mask >>= 1; len += 1 }
+      len
+    }
+
+    /** Read (id, size, payloadStart, payloadEnd) at p. Element IDs keep
+      * their marker bit (the registry convention); sizes strip it. */
+    private def element(b: Array[Byte], p: Int, hi: Int)
+        : (Long, Int, Int) = {
+      val idLen = vintLen(b(p) & 0xFF)
+      var id = 0L
+      (0 until idLen).foreach(i => id = (id << 8) | (b(p + i) & 0xFFL))
+      val sp = p + idLen
+      val szLen = vintLen(b(sp) & 0xFF)
+      var size = (b(sp) & 0xFFL) & ((1L << (8 - szLen)) - 1)
+      (1 until szLen).foreach(i => size = (size << 8) | (b(sp + i) & 0xFFL))
+      val payload = sp + szLen
+      val allOnes = size == (1L << (7 * szLen)) - 1
+      val end = if (allOnes) hi else payload + size.toInt // unknown-size → to hi
+      require(end >= payload && end <= hi, s"ebml: bad element size at $p")
+      (id, payload, end)
+    }
+
+    private def elements(b: Array[Byte], lo: Int, hi: Int)
+        : Iterator[(Long, Int, Int)] = new Iterator[(Long, Int, Int)] {
+      private var p = lo
+      def hasNext: Boolean = p + 2 <= hi
+      def next(): (Long, Int, Int) = {
+        val e = element(b, p, hi)
+        p = e._3
+        e
+      }
+    }
+
+    private def uint(b: Array[Byte], lo: Int, hi: Int): Long = {
+      var v = 0L
+      (lo until hi).foreach(i => v = (v << 8) | (b(i) & 0xFFL))
+      v
+    }
+    private def float(b: Array[Byte], lo: Int, hi: Int): Double =
+      if (hi - lo == 4)
+        java.lang.Float.intBitsToFloat(uint(b, lo, hi).toInt).toDouble
+      else java.lang.Double.longBitsToDouble(uint(b, lo, hi))
+
+    /** Probe a WebM/Matroska payload; None when it is not EBML. */
+    def probe(payload: Array[Byte]): Option[WebmMeta] = {
+      if (payload == null || payload.length < 4) return None
+      try {
+        // must start with the EBML header element 0x1A45DFA3
+        if (uint(payload, 0, 4) != 0x1A45DFA3L) return None
+        var scale = 1000000L // TimestampScale default: 1 ms in ns
+        var duration = 0.0
+        var width = 0; var height = 0
+        var vCodec = ""; var aCodec = ""
+        elements(payload, 0, payload.length).foreach {
+          case (0x18538067L, ss, se) => // Segment
+            elements(payload, ss, se).foreach {
+              case (0x1549A966L, is, ie) => // Info
+                elements(payload, is, ie).foreach {
+                  case (0x2AD7B1L, s, e) => scale = uint(payload, s, e)
+                  case (0x4489L, s, e) => duration = float(payload, s, e)
+                  case _ => ()
+                }
+              case (0x1654AE6BL, ts, te) => // Tracks
+                elements(payload, ts, te).foreach {
+                  case (0xAEL, es, ee) => // TrackEntry
+                    var typ = 0L; var codec = ""; var w = 0; var h = 0
+                    elements(payload, es, ee).foreach {
+                      case (0x83L, s, e) => typ = uint(payload, s, e)
+                      case (0x86L, s, e) => codec = new String(payload, s,
+                        e - s, java.nio.charset.StandardCharsets.US_ASCII)
+                      case (0xE0L, vs, ve) => // Video
+                        elements(payload, vs, ve).foreach {
+                          case (0xB0L, s, e) => w = uint(payload, s, e).toInt
+                          case (0xBAL, s, e) => h = uint(payload, s, e).toInt
+                          case _ => ()
+                        }
+                      case _ => ()
+                    }
+                    if (typ == 1L) { vCodec = codec; width = w; height = h }
+                    else if (typ == 2L) aCodec = codec
+                  case _ => ()
+                }
+              case _ => ()
+            }
+          case _ => ()
+        }
+        Some(WebmMeta(duration * scale / 1e9, width, height, vCodec, aCodec))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    // ------------------------------------------------------ fixture writer
+
+    private def vint(n: Long): Array[Byte] = {
+      // shortest data-size form: marker bit in the first byte
+      var len = 1
+      while (len < 8 && n >= (1L << (7 * len)) - 1) len += 1
+      val out = new Array[Byte](len)
+      var v = n | (1L << (7 * len))
+      (len - 1 to 0 by -1).foreach { i => out(i) = (v & 0xFF).toByte; v >>= 8 }
+      out
+    }
+    private def idBytes(id: Long): Array[Byte] = {
+      var len = 1
+      while (len < 8 && (id >> (8 * len)) != 0) len += 1
+      val out = new Array[Byte](len)
+      var v = id
+      (len - 1 to 0 by -1).foreach { i => out(i) = (v & 0xFF).toByte; v >>= 8 }
+      out
+    }
+    private def el(id: Long, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.foldLeft(Array.empty[Byte])(_ ++ _)
+      idBytes(id) ++ vint(body.length.toLong) ++ body
+    }
+    private def uintBytes(v: Long): Array[Byte] = {
+      var len = 1
+      while (len < 8 && (v >> (8 * len)) != 0) len += 1
+      val out = new Array[Byte](len)
+      var x = v
+      (len - 1 to 0 by -1).foreach { i => out(i) = (x & 0xFF).toByte; x >>= 8 }
+      out
+    }
+
+    /** Minimal deterministic WebM skeleton: EBML header + Segment with
+      * Info and two TrackEntry elements, no clusters. */
+    def encodeWebm(durationUnits: Double, width: Int, height: Int,
+                   videoCodec: String, audioCodec: String): Array[Byte] = {
+      val header = el(0x1A45DFA3L,
+        el(0x4282L, "webm".getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+      val info = el(0x1549A966L,
+        el(0x2AD7B1L, uintBytes(1000000L)),
+        el(0x4489L, {
+          val bb = java.nio.ByteBuffer.allocate(8)
+          bb.putDouble(durationUnits)
+          bb.array()
+        }))
+      def track(typ: Long, codec: String, video: Option[(Int, Int)]) =
+        el(0xAEL,
+          el(0x83L, uintBytes(typ)),
+          el(0x86L, codec.getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+          video.map { case (w, h) =>
+            el(0xE0L, el(0xB0L, uintBytes(w.toLong)),
+              el(0xBAL, uintBytes(h.toLong)))
+          }.getOrElse(Array.empty[Byte]))
+      val tracks = el(0x1654AE6BL,
+        track(1L, videoCodec, Some((width, height))),
+        track(2L, audioCodec, None))
+      header ++ el(0x18538067L, info, tracks)
+    }
+  }
+
+  /** Build a webm table from documents with closed-form structure (the
+    * EBML twin of [[mp4FromDocs]]). */
+  def webmFromDocs(docs: DataFrame): DataFrame = {
+    val webmUdf = udf((docId: Long) =>
+      EbmlProbe.encodeWebm(
+        durationUnits = (2000L + (docId % 40) * 125L).toDouble,
+        width = 256 + (docId % 5).toInt * 128,
+        height = 144 + (docId % 4).toInt * 96,
+        videoCodec = if (docId % 2 == 0) "V_VP9" else "V_VP8",
+        audioCodec = "A_OPUS"))
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("video").as("kind"),
+      webmUdf(col("doc_id")).as("payload"),
+      struct(
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("int").as("n_frames"),
+        lit("video/webm").as("mime")).as("meta"))
+  }
+
+  /** WebM metadata extraction over payload batches — EBML walk only, no
+    * shuffle; non-EBML rows are dropped. */
+  def probeWebm(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("duration_sec", DoubleType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("video_codec", StringType, nullable = false),
+      StructField("audio_codec", StringType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        EbmlProbe.probe(payload).map { m =>
+          Row(r.getLong(0), m.durationSec, m.width, m.height,
+            m.videoCodec, m.audioCodec)
+        }
+      }
+    }(encoder)
+  }
+
   /** Build an mp4 table from documents: each doc gets a REAL ISO-BMFF
     * skeleton whose structure follows closed formulas of doc_id — so the
     * box-walking prober is oracle-checkable end-to-end (the metadata twin

@@ -440,6 +440,34 @@ class ExtSpec extends AnyFunSuite {
       .split("Exchange").length - 1 == 0, "mp4 probe must not shuffle")
   }
 
+  test("webm probe: EBML walk reads back exactly what the writer encoded") {
+    import Multimodal.EbmlProbe
+    val bytes = EbmlProbe.encodeWebm(durationUnits = 4500.0, width = 640,
+      height = 480, videoCodec = "V_VP9", audioCodec = "A_OPUS")
+    val m = EbmlProbe.probe(bytes).get
+    assert(m.durationSec == 4500.0 * 1000000.0 / 1e9)
+    assert(m.width == 640 && m.height == 480)
+    assert(m.videoCodec == "V_VP9" && m.audioCodec == "A_OPUS")
+    assert(EbmlProbe.probe("RIFFjunk".getBytes).isEmpty)
+    assert(EbmlProbe.probe(null).isEmpty)
+    // an mp4 payload is not EBML
+    val mp4 = Multimodal.Mp4Probe.encodeMp4(1000, 1000, 320, 240,
+      "avc1", "mp4a", 24)
+    assert(EbmlProbe.probe(mp4).isEmpty)
+  }
+
+  test("x48 pipeline: metadata flows from a real EBML walk, no shuffle") {
+    val out = Multimodal.probeWebm(Multimodal.webmFromDocs(docs))
+    assert(out.count() == 5)
+    val r = out.filter(col("media_id") === 4).head
+    assert(r.getAs[Double]("duration_sec") ==
+      (2000.0 + 4 * 125) * 1000000.0 / 1e9)
+    assert(r.getAs[Int]("width") == 256 + (4 % 5) * 128)
+    assert(r.getAs[String]("video_codec") == "V_VP9") // even doc_id
+    assert(out.queryExecution.executedPlan.toString
+      .split("Exchange").length - 1 == 0, "webm probe must not shuffle")
+  }
+
   test("audio features: exact integer statistics over decoded samples") {
     val samples = Array(100, -100, 50, -50, 0, 25)
     val f = Multimodal.AudioCodec.features(
