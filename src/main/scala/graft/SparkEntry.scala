@@ -413,6 +413,13 @@ object SparkEntry {
       graft.sources.GeoTiff.readBands(s,
         "/root/repo/src/test/resources/s4rgb.tif")),
 
+    // S4 integer: the uint8 + predictor-2 + deflate fixture (the layout
+    // GDAL emits for byte products) through the integer decode path;
+    // nodata byte 255 → null, samples surface as exact doubles
+    "s4c_geotiff_int" -> ((s, _) =>
+      graft.sources.GeoTiff.read(s,
+        "/root/repo/src/test/resources/s4int.tif")),
+
     // ---- §2.1 S7 GeoJSON source + P11 tooltip projection (oracle reads
     // the same fixture file via DuckDB read_json)
     "s7_geojson_scan" -> ((s, _) =>
@@ -2675,6 +2682,18 @@ object SparkEntry {
                 CASE WHEN (y.range * 48 + x.range) % 13 = 0 THEN NULL
                      ELSE CAST((y.range * 48 + x.range) % 97 AS DOUBLE) END AS value
          FROM range(40) y, range(48) x""",
+
+    // S4 integer — the uint8 fixture is closed-form: pixel k = (k*7)%251,
+    // nodata (255) at k%19==0, exact binary affine
+    "s4c_geotiff_int" ->
+      """SELECT 's4int.tif' AS dataset,
+                CAST(y.range AS INTEGER) AS y, CAST(x.range AS INTEGER) AS x,
+                70.0 + (CAST(x.range AS DOUBLE) + 0.5) * 0.125 AS lon,
+                32.0 + (CAST(y.range AS DOUBLE) + 0.5) * (-0.125) AS lat,
+                CASE WHEN (y.range * 40 + x.range) % 19 = 0 THEN NULL
+                     ELSE CAST(((y.range * 40 + x.range) * 7) % 251 AS DOUBLE)
+                END AS value
+         FROM range(32) y, range(40) x""",
 
     // S4 multi-band — the fixture raster is closed-form (sample s of
     // pixel k is (k*(s+1))%89, per-pixel nodata at k%17==0, exact binary

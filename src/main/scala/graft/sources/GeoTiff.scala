@@ -78,7 +78,11 @@ object GeoTiff {
   private final case class Layout(chunks: IndexedSeq[(Long, Long)],
                                   tile: Option[(Int, Int)],
                                   predictor: Int,
-                                  spp: Int)
+                                  spp: Int,
+                                  sampleBits: Int = 32,
+                                  sampleFmt: Int = 3) {
+    def bytesPer: Int = sampleBits / 8
+  }
 
   /** Parse metadata only — never touches pixel data (S11 metadata
     * inspection stays cheap on big rasters). Returns the grid plus the
@@ -117,14 +121,26 @@ object GeoTiff {
     val predictor = intOr(317, 1).toInt
     require(Set(1, 5, 8, 32946, 32773)(compression),
       s"GeoTIFF $dataset: unsupported Compression=$compression (1/5/8/32946/32773)")
-    // 1 = none; 3 = TIFF TechNote 3 floating-point predictor (byte-plane
-    // split + horizontal differencing), what GDAL emits for float rasters
-    // with PREDICTOR=3. Predictor 2 (integer differencing) cannot apply to
-    // the float32-only subset and stays rejected.
-    require(predictor == 1 || predictor == 3,
-      s"GeoTIFF $dataset: only Predictor=1/3 supported (got $predictor)")
-    require(bits.forall(_ == 32L) && fmt.forall(_ == 3L),
-      s"GeoTIFF $dataset: only float32 supported (BitsPerSample=$bits, SampleFormat=$fmt)")
+    // sample formats: float32 (SampleFormat=3, BitsPerSample=32 — the
+    // reference's export format) plus the integer rasters GDAL emits for
+    // byte/int16 products (quality flags, scaled indices): uint8/uint16
+    // (SampleFormat=1, the TIFF default) and int16 (SampleFormat=2).
+    // Bands must agree on one format (GDAL always writes them uniform).
+    require(bits.nonEmpty && bits.forall(_ == bits.head),
+      s"GeoTIFF $dataset: mixed per-band BitsPerSample=$bits unsupported")
+    require(fmt.forall(_ == fmt.head),
+      s"GeoTIFF $dataset: mixed per-band SampleFormat=$fmt unsupported")
+    val sampleBits = bits.head.toInt
+    val sampleFmt = fmt.head.toInt
+    require((sampleBits == 32 && sampleFmt == 3) ||
+            (Set(8, 16)(sampleBits) && Set(1, 2)(sampleFmt)),
+      s"GeoTIFF $dataset: unsupported sample type (BitsPerSample=$sampleBits, SampleFormat=$sampleFmt)")
+    // 1 = none; 3 = TIFF TechNote 3 floating-point predictor (float32
+    // only); 2 = horizontal integer differencing (integer samples only)
+    require(predictor == 1 ||
+            (predictor == 3 && sampleBits == 32) ||
+            (predictor == 2 && sampleBits < 32),
+      s"GeoTIFF $dataset: Predictor=$predictor invalid for $sampleBits-bit samples")
     require(spp >= 1, s"GeoTIFF $dataset: bad SamplesPerPixel=$spp")
     // chunky (pixel-interleaved) only — the TIFF default and what GDAL
     // writes unless INTERLEAVE=BAND is forced; planar files fail loudly
@@ -144,13 +160,15 @@ object GeoTiff {
         val expect = ((width + tw - 1) / tw) * ((height + th - 1) / th)
         require(offs.length == expect,
           s"GeoTIFF $dataset: ${offs.length} tiles for a $expect-tile grid")
-        Layout(offs.zip(counts), Some((tw, th)), predictor, spp)
+        Layout(offs.zip(counts), Some((tw, th)), predictor, spp,
+          sampleBits, sampleFmt)
       } else {
         val stripOffsets = req(273, "StripOffsets").ints
         val stripCounts = req(279, "StripByteCounts").ints
         require(stripOffsets.length == stripCounts.length,
           s"GeoTIFF $dataset: strip offset/count mismatch")
-        Layout(stripOffsets.zip(stripCounts), None, predictor, spp)
+        Layout(stripOffsets.zip(stripCounts), None, predictor, spp,
+          sampleBits, sampleFmt)
       }
 
     val scale = req(33550, "ModelPixelScale").doubles
@@ -245,6 +263,57 @@ object GeoTiff {
     ByteBuffer.wrap(out).order(ByteOrder.BIG_ENDIAN)
   }
 
+  /** Undo TIFF Predictor=2 (horizontal integer differencing) over one
+    * chunk: per `rowBytes`-wide row, each sample accumulates the previous
+    * SAME-BAND sample (stride = spp), in the sample's own width with
+    * wrapping two's-complement arithmetic — correct for signed and
+    * unsigned alike. Returns a buffer in the chunk's own byte order. */
+  private def undoIntPredictor(raw: ByteBuffer, rowBytes: Int, spp: Int,
+                               bytesPer: Int): ByteBuffer = {
+    val data = new Array[Byte](raw.remaining())
+    raw.duplicate().get(data)
+    val bb = ByteBuffer.wrap(data).order(raw.order())
+    val samplesPerRow = rowBytes / bytesPer
+    var rowStart = 0
+    while (rowStart + rowBytes <= data.length) {
+      var s = spp
+      while (s < samplesPerRow) {
+        val pos = rowStart + s * bytesPer
+        val prev = rowStart + (s - spp) * bytesPer
+        if (bytesPer == 1)
+          data(pos) = (data(pos) + data(prev)).toByte
+        else
+          bb.putShort(pos, (bb.getShort(pos) + bb.getShort(prev)).toShort)
+        s += 1
+      }
+      rowStart += rowBytes
+    }
+    bb
+  }
+
+  /** Apply Predictor=2 in place (inverse of [[undoIntPredictor]]): right
+    * to left, each sample becomes the delta from the previous same-band
+    * sample. */
+  private def applyIntPredictor(data: Array[Byte], rowBytes: Int, spp: Int,
+                                bytesPer: Int, order: ByteOrder): Unit = {
+    val bb = ByteBuffer.wrap(data).order(order)
+    val samplesPerRow = rowBytes / bytesPer
+    var rowStart = 0
+    while (rowStart + rowBytes <= data.length) {
+      var s = samplesPerRow - 1
+      while (s >= spp) {
+        val pos = rowStart + s * bytesPer
+        val prev = rowStart + (s - spp) * bytesPer
+        if (bytesPer == 1)
+          data(pos) = (data(pos) - data(prev)).toByte
+        else
+          bb.putShort(pos, (bb.getShort(pos) - bb.getShort(prev)).toShort)
+        s -= 1
+      }
+      rowStart += rowBytes
+    }
+  }
+
   /** Apply the floating-point predictor (inverse of [[undoFpPredictor]]):
     * split each row's floats into big-endian byte planes, then difference
     * horizontally. */
@@ -288,30 +357,53 @@ object GeoTiff {
   def parseBands(dataset: String, bytes: Array[Byte]): MultiRaster = {
     val (meta, layout, buf, compression) = parseMeta(dataset, bytes)
     val spp = layout.spp
+    val bp = layout.bytesPer
+    val signed = layout.sampleFmt == 2
     val values = new Array[Float](meta.width * meta.height * spp)
+    // sequential + positional sample reads, closed over the sample type —
+    // integer samples surface as exact floats (|v| ≤ 65535 < 2^24)
+    def nextSample(bb: ByteBuffer): Float = layout.sampleBits match {
+      case 32 => bb.getFloat
+      case 16 => if (signed) bb.getShort.toFloat
+                 else (bb.getShort & 0xFFFF).toFloat
+      case _ => if (signed) bb.get.toFloat else (bb.get & 0xFF).toFloat
+    }
+    def sampleAt(bb: ByteBuffer, k: Int): Float = {
+      val pos = k * bp + bb.position()
+      layout.sampleBits match {
+        case 32 => bb.getFloat(pos)
+        case 16 => if (signed) bb.getShort(pos).toFloat
+                   else (bb.getShort(pos) & 0xFFFF).toFloat
+        case _ => if (signed) bb.get(pos).toFloat else (bb.get(pos) & 0xFF).toFloat
+      }
+    }
     def chunk(off: Long, count: Long, rowBytes: Int): ByteBuffer = {
       val raw = decodeChunk(dataset, buf, compression, off, count)
-      if (layout.predictor == 3) undoFpPredictor(raw, rowBytes) else raw
+      layout.predictor match {
+        case 3 => undoFpPredictor(raw, rowBytes)
+        case 2 => undoIntPredictor(raw, rowBytes, spp, bp)
+        case _ => raw
+      }
     }
     layout match {
-      case Layout(strips, None, _, _) =>
+      case Layout(strips, None, _, _, _, _) =>
         var k = 0
         strips.foreach { case (off, count) =>
-          val raw = chunk(off, count, meta.width * spp * 4)
-          while (raw.remaining() >= 4 && k < values.length) {
-            values(k) = raw.getFloat; k += 1
+          val raw = chunk(off, count, meta.width * spp * bp)
+          while (raw.remaining() >= bp && k < values.length) {
+            values(k) = nextSample(raw); k += 1
           }
         }
         require(k == values.length,
           s"GeoTIFF $dataset: strip data holds $k samples, header promises ${values.length}")
-      case Layout(tiles, Some((tw, th)), _, _) =>
+      case Layout(tiles, Some((tw, th)), _, _, _, _) =>
         // tiles are row-major over a ceil(w/tw) x ceil(h/th) grid; edge
         // tiles are PADDED to full tw x th (TIFF6) — clip the scatter-copy
         val tilesAcross = (meta.width + tw - 1) / tw
         tiles.zipWithIndex.foreach { case ((off, count), idx) =>
-          val raw = chunk(off, count, tw * spp * 4)
-          require(raw.remaining() >= tw * th * spp * 4,
-            s"GeoTIFF $dataset: tile $idx holds ${raw.remaining() / 4} samples, expected ${tw * th * spp}")
+          val raw = chunk(off, count, tw * spp * bp)
+          require(raw.remaining() >= tw * th * spp * bp,
+            s"GeoTIFF $dataset: tile $idx holds ${raw.remaining() / bp} samples, expected ${tw * th * spp}")
           val x0 = (idx % tilesAcross) * tw
           val y0 = (idx / tilesAcross) * th
           var ty = 0
@@ -323,8 +415,8 @@ object GeoTiff {
               if (x < meta.width && y < meta.height) {
                 var s = 0
                 while (s < spp) {
-                  values((y * meta.width + x) * spp + s) = raw.getFloat(
-                    ((ty * tw + tx) * spp + s) * 4 + raw.position())
+                  values((y * meta.width + x) * spp + s) =
+                    sampleAt(raw, (ty * tw + tx) * spp + s)
                   s += 1
                 }
               }
@@ -436,7 +528,8 @@ object GeoTiff {
 
   // ------------------------------------------------------------------ write
 
-  /** Encode a float32 GeoTIFF for `meta` (north-up affine only:
+  /** Encode a GeoTIFF for `meta` — float32 (default) or single-band
+    * uint8/uint16/int16 via `sampleBits`/`sampleFormat` (north-up affine only:
     * b = d = 0, a > 0, e < 0). The exact inverse of [[parse]]/
     * [[parseBands]]; deterministic bytes so fixtures pin byte-for-byte.
     * `compression`: 1 = none, 5 = LZW, 8 = Deflate, 32773 = PackBits.
@@ -450,7 +543,8 @@ object GeoTiff {
   def write(meta: GridMeta, values: Array[Float], rowsPerStrip: Int = 64,
             bigEndian: Boolean = false, compression: Int = 1,
             tileSize: Int = 0, predictor: Int = 1,
-            bands: Int = 1): Array[Byte] = {
+            bands: Int = 1, sampleBits: Int = 32,
+            sampleFormat: Int = 3): Array[Byte] = {
     require(meta.b == 0.0 && meta.d == 0.0 && meta.a > 0 && meta.e < 0,
       "GeoTIFF writer: only north-up affine grids")
     require(bands >= 1 && bands <= 4,
@@ -461,8 +555,35 @@ object GeoTiff {
       s"GeoTIFF writer: unsupported compression $compression (1/5/8/32773)")
     require(tileSize == 0 || (tileSize > 0 && tileSize % 16 == 0),
       s"GeoTIFF writer: tileSize must be 0 (striped) or a positive multiple of 16, got $tileSize")
-    require(predictor == 1 || predictor == 3,
-      s"GeoTIFF writer: predictor must be 1 or 3, got $predictor")
+    require((sampleBits == 32 && sampleFormat == 3) ||
+            (Set(8, 16)(sampleBits) && Set(1, 2)(sampleFormat)),
+      s"GeoTIFF writer: unsupported sample type ($sampleBits-bit, SampleFormat=$sampleFormat)")
+    require(sampleBits == 32 || bands == 1,
+      "GeoTIFF writer: integer samples are single-band only")
+    require(predictor == 1 ||
+            (predictor == 3 && sampleBits == 32) ||
+            (predictor == 2 && sampleBits < 32),
+      s"GeoTIFF writer: Predictor=$predictor invalid for $sampleBits-bit samples")
+    val bytesPer = sampleBits / 8
+    val signed = sampleFormat == 2
+    // integer samples must BE integers in range — refuse silent truncation
+    def checkInt(v: Float): Int = {
+      val i = v.toInt
+      val (lo, hi) = (sampleBits, signed) match {
+        case (8, false) => (0, 255)
+        case (8, true) => (-128, 127)
+        case (16, false) => (0, 65535)
+        case _ => (-32768, 32767)
+      }
+      require(i.toFloat == v && i >= lo && i <= hi,
+        s"GeoTIFF writer: $v not a valid $sampleBits-bit ${if (signed) "signed" else "unsigned"} sample")
+      i
+    }
+    def putSample(bb: ByteBuffer, v: Float): Unit = sampleBits match {
+      case 32 => bb.putFloat(v)
+      case 16 => bb.putShort(checkInt(v).toShort)
+      case _ => bb.put(checkInt(v).toByte)
+    }
     val epsg = meta.crs.stripPrefix("EPSG:").toInt
     val geographic = epsg == 4326
     val tiled = tileSize > 0
@@ -505,9 +626,12 @@ object GeoTiff {
         pack(
           if (predictor == 3) applyFpPredictor(tileSize, tileRowSamples, at)
           else {
-            val bb = newBuf(tileSize * tileRowSamples * 4)
+            val bb = newBuf(tileSize * tileRowSamples * bytesPer)
             var k = 0
-            while (k < tileSize * tileRowSamples) { bb.putFloat(at(k)); k += 1 }
+            while (k < tileSize * tileRowSamples) { putSample(bb, at(k)); k += 1 }
+            if (predictor == 2)
+              applyIntPredictor(bb.array(), tileRowSamples * bytesPer,
+                bands, bytesPer, bb.order())
             bb.array()
           })
       }
@@ -518,9 +642,12 @@ object GeoTiff {
           if (predictor == 3)
             applyFpPredictor(rows, rowSamples, k => values(base + k))
           else {
-            val bb = newBuf(rows * rowSamples * 4)
+            val bb = newBuf(rows * rowSamples * bytesPer)
             var i = 0
-            while (i < rows * rowSamples) { bb.putFloat(values(base + i)); i += 1 }
+            while (i < rows * rowSamples) { putSample(bb, values(base + i)); i += 1 }
+            if (predictor == 2)
+              applyIntPredictor(bb.array(), rowSamples * bytesPer,
+                bands, bytesPer, bb.order())
             bb.array()
           })
       }
@@ -534,7 +661,7 @@ object GeoTiff {
     // + Predictor (317) when used, + nodata, + PlanarConfiguration (284)
     // and ExtraSamples (338) for multi-band
     val nTags = (if (tiled) 14 else 13) +
-      (if (predictor == 3) 1 else 0) + nodataAscii.size +
+      (if (predictor != 1) 1 else 0) + nodataAscii.size +
       (if (bands > 1) 2 else 0)
     val ifdAt = 8
     val ifdSize = 2 + nTags * 12 + 4
@@ -590,7 +717,7 @@ object GeoTiff {
     }
     tag(256, 3, 1, meta.width)
     tag(257, 3, 1, meta.height)
-    if (bands == 1) tag(258, 3, 1, 32)
+    if (bands == 1) tag(258, 3, 1, sampleBits)
     else if (bands == 2) tag2Shorts(258, 32, 32)
     else tag(258, 3, bands, bitsAt)
     tag(259, 3, 1, compression)
@@ -606,7 +733,7 @@ object GeoTiff {
       else tag(279, 4, 1, stripBytes.head)
     }
     if (bands > 1) tag(284, 3, 1, 1) // chunky interleave, explicit
-    if (predictor == 3) tag(317, 3, 1, 3)
+    if (predictor != 1) tag(317, 3, 1, predictor)
     if (tiled) {
       tag(322, 3, 1, tileSize)
       tag(323, 3, 1, tileSize)
@@ -618,7 +745,7 @@ object GeoTiff {
     if (bands == 2) tag(338, 3, 1, 0)            // 1 unspecified extra
     else if (bands == 3) tag2Shorts(338, 0, 0)   // 2 unspecified extras
     else if (bands == 4) tag(338, 3, 3, extraAt) // 3 unspecified extras
-    if (bands == 1) tag(339, 3, 1, 3)
+    if (bands == 1) tag(339, 3, 1, sampleFormat)
     else if (bands == 2) tag2Shorts(339, 3, 3)
     else tag(339, 3, bands, fmtAt)
     tag(33550, 12, 3, scaleAt)

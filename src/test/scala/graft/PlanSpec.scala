@@ -339,4 +339,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"),
       s"no window operator:\n$p")
   }
+
+  test("f7 conic/azimuthal reprojections: pure projection, zero exchange") {
+    Seq("f7_lcc_reproject", "f7_laea_reproject").foreach { q =>
+      val p = executed(q).toString
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+    }
+  }
+
+  test("x47/x48 container probes: metadata walk in the scan stage, " +
+       "zero exchange") {
+    Seq("x47_mp4_probe", "x48_webm_probe").foreach { q =>
+      val p = executed(q).toString
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+    }
+  }
+
+  test("x45 fused dedup products: cluster map re-joins are broadcast, " +
+       "no shuffled join on the corpus side") {
+    val p = executed("x45_dedup_products").toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"cluster map not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side got a shuffled join:\n$p")
+  }
 }

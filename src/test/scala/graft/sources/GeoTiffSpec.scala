@@ -38,6 +38,21 @@ object GeoTiffFixture {
   def rgbBytes: Array[Byte] = GeoTiff.write(rgbMeta, rgbValues,
     compression = 8, tileSize = 16, predictor = 3, bands = 3)
   val rgbPath = "/root/repo/src/test/resources/s4rgb.tif"
+
+  // uint8 sibling (s4c): deflate + predictor 2 — the layout GDAL emits
+  // for byte products (quality flags, scaled indices). Pixel k = (k*7)%251
+  // with nodata at k%19==0 (value 255) — closed-form, reproducible in SQL.
+  val intMeta: GridMeta = GridMeta("s4int.tif",
+    a = 0.125, b = 0.0, c = 70.0, d = 0.0, e = -0.125, f = 32.0,
+    crs = "EPSG:32644", width = 40, height = 32, nodata = Some(255.0),
+    scaleM = 1)
+  val intValues: Array[Float] =
+    Array.tabulate(intMeta.width * intMeta.height)(k =>
+      if (k % 19 == 0) 255.0f else ((k * 7) % 251).toFloat)
+  def intBytes: Array[Byte] = GeoTiff.write(intMeta, intValues,
+    compression = 8, predictor = 2, sampleBits = 8, sampleFormat = 1,
+    rowsPerStrip = 16)
+  val intPath = "/root/repo/src/test/resources/s4int.tif"
 }
 
 class GeoTiffSpec extends AnyFunSuite {
@@ -364,6 +379,69 @@ class GeoTiffSpec extends AnyFunSuite {
       Option(e2.getCause).exists(_.getMessage.contains("no reprojection")))
   }
 
+  test("integer rasters round-trip: uint8/uint16/int16 × predictor 2 × codecs") {
+    val meta = GeoTiffFixture.meta.copy(dataset = "int.tif", nodata = None)
+    val n = meta.width * meta.height
+    val cases = Seq(
+      (8, 1, Array.tabulate(n)(i => (i % 251).toFloat)),
+      (16, 1, Array.tabulate(n)(i => ((i * 131) % 60001).toFloat)),
+      (16, 2, Array.tabulate(n)(i => (((i * 73) % 60001) - 30000).toFloat)))
+    for ((bits, fmt, vals) <- cases;
+         pred <- Seq(1, 2);
+         comp <- Seq(1, 5, 8, 32773);
+         be <- Seq(false, true)) {
+      val bytes = GeoTiff.write(meta, vals, compression = comp,
+        bigEndian = be, predictor = pred, sampleBits = bits,
+        sampleFormat = fmt)
+      val r = GeoTiff.parse("int.tif", bytes)
+      assert(r.values.sameElements(vals),
+        s"bits=$bits fmt=$fmt pred=$pred comp=$comp be=$be")
+    }
+    // tiled integer layout too
+    val tiledBytes = GeoTiff.write(meta, cases(2)._3, compression = 8,
+      tileSize = 16, predictor = 2, sampleBits = 16, sampleFormat = 2)
+    assert(GeoTiff.parse("int.tif", tiledBytes).values.sameElements(cases(2)._3))
+    // out-of-range / non-integral samples are refused, never truncated
+    intercept[IllegalArgumentException] {
+      GeoTiff.write(meta, Array.tabulate(n)(_ => 256.0f),
+        sampleBits = 8, sampleFormat = 1)
+    }
+    intercept[IllegalArgumentException] {
+      GeoTiff.write(meta, Array.tabulate(n)(_ => 0.5f),
+        sampleBits = 16, sampleFormat = 2)
+    }
+    // predictor rules fail closed
+    intercept[IllegalArgumentException] {
+      GeoTiff.write(meta, cases(0)._3, predictor = 2) // 2 on float32
+    }
+    intercept[IllegalArgumentException] {
+      GeoTiff.write(meta, cases(0)._3, predictor = 3,
+        sampleBits = 8, sampleFormat = 1) // 3 on integers
+    }
+  }
+
+  test("JDK ImageIO agrees with our uint8 predictor-2 strips") {
+    val meta = GeoTiffFixture.meta.copy(dataset = "u8.tif", nodata = None)
+    val n = meta.width * meta.height
+    val vals = Array.tabulate(n)(i => ((i * 7) % 251).toFloat)
+    val bytes = GeoTiff.write(meta, vals, compression = 8, predictor = 2,
+      sampleBits = 8, sampleFormat = 1)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    assert(readers.hasNext, "JDK TIFF ImageIO plugin missing")
+    val reader = readers.next()
+    reader.setInput(iis)
+    val img = reader.read(0)
+    val got = img.getRaster
+    (0 until meta.height).foreach { y =>
+      (0 until meta.width).foreach { x =>
+        assert(got.getSample(x, y, 0) == vals(y * meta.width + x).toInt,
+          s"pixel ($x,$y)")
+      }
+    }
+  }
+
   test("PackBits codec: spec vectors, runs, literals, round trips") {
     import PackBits._
     // the TIFF6 worked example decodes to AA AA AA 80 00 2A AA AA AA AA
@@ -432,6 +510,14 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(onDisk.sameElements(GeoTiffFixture.bytes),
       "checked-in s4demo.tif drifted from GeoTiffFixture — regenerate it " +
         "with GeoTiffFixture.bytes")
+  }
+
+  test("s4int fixture bytes match the writer output exactly") {
+    val onDisk = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(GeoTiffFixture.intPath))
+    assert(onDisk.sameElements(GeoTiffFixture.intBytes),
+      "checked-in s4int.tif drifted from GeoTiffFixture — regenerate it " +
+        "with GenS4Fixture")
   }
 
   test("s4rgb fixture bytes match the writer output exactly") {
@@ -506,5 +592,8 @@ object GenS4Fixture {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(GeoTiffFixture.rgbPath), GeoTiffFixture.rgbBytes)
     println(s"wrote ${GeoTiffFixture.rgbBytes.length} bytes to ${GeoTiffFixture.rgbPath}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(GeoTiffFixture.intPath), GeoTiffFixture.intBytes)
+    println(s"wrote ${GeoTiffFixture.intBytes.length} bytes to ${GeoTiffFixture.intPath}")
   }
 }
