@@ -1013,7 +1013,43 @@ object SparkEntry {
     // oracle replays it in SQL and every feature is exact.
     "x46_g711_features" -> ((s, d) =>
       ext.Multimodal.extractAudioFeatures(
-        ext.Multimodal.g711FromDocs(t(s, d, "documents"))))
+        ext.Multimodal.g711FromDocs(t(s, d, "documents")))),
+
+    // end-to-end REAL perceptual-hash path: docs → 8×8 gray PNGs →
+    // ImageIO decode → aHash (two unsigned 32-bit halves) + dHash (56
+    // gradient bits). The pixel definition is closed-form over the text
+    // bytes, so the oracle rebuilds both hashes bit-by-bit from the
+    // characters alone.
+    "x49_image_hash" -> ((s, d) =>
+      ext.Multimodal.imageHashes(
+        ext.Multimodal.mediaFromDocs(t(s, d, "documents")))),
+
+    // image near-dup: banded Hamming search over the aHash (4×16-bit
+    // pigeonhole blocks, exact popcount verify — the simhash machinery
+    // pointed at decoded pixels). The oracle searches ALL pairs, so the
+    // blocked and exhaustive results must coincide.
+    "x50_image_neardup" -> ((s, d) =>
+      ext.Multimodal.imageNearDups(
+        ext.Multimodal.imageHashes(
+          ext.Multimodal.mediaFromDocs(t(s, d, "documents"))), maxDist = 3)),
+
+    // bigram-LM fluency score (CCNet-style perplexity bucketing signal,
+    // rational core): mean inverse smoothed conditional probability over
+    // each doc's bigrams, folded in sorted order for bit-exact parity
+    "x51_lm_score" -> ((s, d) =>
+      ext.TextOps.bigramLmScore(t(s, d, "documents"))),
+
+    // deterministic PPS sample: inclusion probability proportional to
+    // n_chars (expected size 25), drawn by integer splitmix arithmetic
+    "x52_pps_sample" -> ((s, d) =>
+      ext.Curation.ppsSample(t(s, d, "documents"), "n_chars", 25)
+        .select("doc_id", "lang", "source", "n_chars")),
+
+    // batch sessionization of the event log: 30-minute gap rule, exact
+    // epoch-microsecond arithmetic, one exchange (window + rollup share
+    // the user partitioning)
+    "x53_sessionize" -> ((s, d) =>
+      ops.Sessions.sessionize(Tables.events(s, d), gapSec = 1800))
   )
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
@@ -1044,6 +1080,37 @@ object SparkEntry {
 
   private val Mix64C1 = BigInt("BF58476D1CE4E5B9", 16)
   private val Mix64C2 = BigInt("94D049BB133111EB", 16)
+
+  /** Shared CTE prefix for the x49/x50 oracles: the media payload is an
+    * 8×8 gray PNG whose 64 samples are the doc's first 64 ASCII bytes
+    * zero-padded (Multimodal.mediaFromDocs; PNG gray-8 round-trips
+    * losslessly and the 8×8 → 8×8 resample is the identity), so both
+    * perceptual hashes rebuild bit-by-bit from the text characters:
+    * `h(doc_id, ahash_hi, ahash_lo, dhash)`. */
+  private val imageHashCtes: String =
+    """pix AS (
+      |  SELECT doc_id, list_transform(range(0, 64), i ->
+      |    CASE WHEN i < length(text)
+      |         THEN unicode(substr(text, CAST(i + 1 AS INTEGER), 1))
+      |         ELSE 0 END) AS p
+      |  FROM documents),
+      |ps AS (SELECT doc_id, p, list_sum(p) AS tot FROM pix),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(32, 64), i ->
+      |      CASE WHEN p[CAST(i + 1 AS INTEGER)] * 64 > tot
+      |           THEN 1::BIGINT << CAST(i - 32 AS INTEGER)
+      |           ELSE 0::BIGINT END)) AS BIGINT) AS ahash_hi,
+      |    CAST(list_sum(list_transform(range(0, 32), i ->
+      |      CASE WHEN p[CAST(i + 1 AS INTEGER)] * 64 > tot
+      |           THEN 1::BIGINT << CAST(i AS INTEGER)
+      |           ELSE 0::BIGINT END)) AS BIGINT) AS ahash_lo,
+      |    CAST(list_sum(list_transform(range(0, 56), i ->
+      |      CASE WHEN p[CAST((i // 7) * 8 + (i % 7) + 2 AS INTEGER)]
+      |             > p[CAST((i // 7) * 8 + (i % 7) + 1 AS INTEGER)]
+      |           THEN 1::BIGINT << CAST(i AS INTEGER)
+      |           ELSE 0::BIGINT END)) AS BIGINT) AS dhash
+      |  FROM ps)""".stripMargin
 
   private def simhashOracleSql(maxDist: Int): String = {
     val M = "18446744073709551616::HUGEINT"
@@ -2658,6 +2725,102 @@ object SparkEntry {
                 CAST(peak AS BIGINT) AS peak,
                 CAST(zc AS BIGINT) AS zero_crossings
          FROM agg""",
+
+    // x49 — both perceptual hashes rebuilt bit-by-bit from the text
+    // characters (pixel i = byte i of the doc, zero-padded; PNG gray-8
+    // round-trips losslessly; the 8×8 → 8×8 resample is the identity):
+    // aHash bit i set iff pixel_i·64 > Σ pixels, dHash bit y·7+x set iff
+    // pixel(y,x+1) > pixel(y,x)
+    "x49_image_hash" ->
+      s"WITH $imageHashCtes SELECT doc_id AS media_id, ahash_hi, ahash_lo, dhash FROM h",
+
+    // x50 — exhaustive all-pairs Hamming search over the same rebuilt
+    // aHash: the engine's 4×16-bit banding has an exact pigeonhole
+    // guarantee at maxDist ≤ 3, so blocked and exhaustive coincide
+    "x50_image_neardup" ->
+      s"""WITH $imageHashCtes
+         SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+                CAST(bit_count(xor(a.ahash_hi, b.ahash_hi)) +
+                     bit_count(xor(a.ahash_lo, b.ahash_lo)) AS INTEGER) AS dist
+         FROM h a JOIN h b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.ahash_hi, b.ahash_hi)) +
+               bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 3""",
+
+    // x51 — the bigram model rebuilt from scratch: same tokenization as
+    // x3/x9, add-one smoothing over the corpus vocabulary, and the same
+    // (w1, w2)-sorted sequential fold so the double sum is bit-exact
+    "x51_lm_score" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                      t -> length(t) > 0) AS ts
+           FROM documents),
+         occ AS (
+           SELECT doc_id, w1, w2, COUNT(*) AS m
+           FROM (SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+                 FROM (SELECT doc_id,
+                              unnest(list_transform(range(1, len(ts)), i ->
+                                [ts[CAST(i AS INTEGER)],
+                                 ts[CAST(i + 1 AS INTEGER)]])) AS bg
+                       FROM tok))
+           GROUP BY doc_id, w1, w2),
+         c2t AS (SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS c2
+                 FROM occ GROUP BY w1, w2),
+         c1t AS (SELECT w1, CAST(SUM(m) AS BIGINT) AS c1
+                 FROM occ GROUP BY w1),
+         vt AS (SELECT COUNT(DISTINCT t) AS v
+                FROM (SELECT unnest(ts) AS t FROM tok)),
+         valued AS (
+           SELECT o.doc_id, o.w1, o.w2, o.m,
+                  o.m * ((c1t.c1 + vt.v) / (c2t.c2 + 1)) AS val
+           FROM occ o
+           JOIN c2t ON o.w1 = c2t.w1 AND o.w2 = c2t.w2
+           JOIN c1t ON o.w1 = c1t.w1
+           CROSS JOIN vt)
+         SELECT doc_id,
+                CAST(SUM(m) AS BIGINT) AS n_bigrams,
+                list_reduce(list(val ORDER BY w1, w2), (a, b) -> a + b)
+                  / CAST(SUM(m) AS BIGINT) AS lm_score
+         FROM valued GROUP BY doc_id""",
+
+    // x52 — the x22 splitmix64 HUGEINT replay, the corpus weight as one
+    // aggregate, and Spark's signed pmod against expected·w
+    "x52_pps_sample" ->
+      s"""WITH m0 AS (SELECT doc_id, lang, source, n_chars,
+                             doc_id::HUGEINT AS u0 FROM documents),
+          m1 AS (SELECT *, ${mulmodSql("xor(u0, u0 // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM m0),
+          m2 AS (SELECT *, ${mulmodSql("xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM m1),
+          m3 AS (SELECT *, xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM m2),
+          sgn AS (SELECT *, CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+                                      THEN uh - 18446744073709551616::HUGEINT
+                                      ELSE uh END AS BIGINT) AS sh FROM m3),
+          wt AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS w_total FROM documents)
+          SELECT doc_id, lang, source, n_chars
+          FROM sgn, wt
+          WHERE ((sh % w_total) + w_total) % w_total
+                  < CAST(n_chars AS BIGINT) * 25""",
+
+    // x53 — the same gap rule over exact epoch microseconds; windowed
+    // SUM routes through CAST AS BIGINT (DuckDB widens to HUGEINT)
+    "x53_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+                           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+                    FROM events),
+         g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                                OR ts_us - lag(ts_us) OVER w > 1800000000
+                              THEN 1 ELSE 0 END AS new_sess
+               FROM e WINDOW w AS (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id)),
+         s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                              ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+               FROM g)
+         SELECT user_id, session_id,
+                COUNT(*) AS n_events,
+                MIN(ts_us) AS start_us,
+                MAX(ts_us) AS end_us,
+                MAX(ts_us) - MIN(ts_us) AS duration_us,
+                MAX(value) AS peak_value
+         FROM s GROUP BY user_id, session_id""",
 
     // x19 — the GIF frame formula replayed: frames 0 and 2 (everyNth=2 of
     // 4), mean luminance = Σᵢ ((doc_id·7 + k·13 + i·3) mod 251) / 64

@@ -206,6 +206,31 @@ object Curation {
       .drop("keep_below")
   }
 
+  /** Probability-proportional-to-size sample — deterministic PPS
+    * (Poisson) sampling, the token-aware way to subsample a mixed corpus:
+    * include a document iff `floorMod(splitmix64(id), W) < expected·w`,
+    * where `w` is the document's weight (chars/tokens/bytes), `W = Σw`
+    * over the corpus, so the inclusion probability is `expected·w / W`
+    * (capped at 1 for heavyweight docs) and the expected sample size is
+    * `expected`. Like [[hashSample]], the draw is pure integer
+    * arithmetic on the splitmix hash — no RNG state, engine-replayable,
+    * and the picked set is stable across runs and partitionings.
+    *
+    * Shape: ONE single-row aggregate (the corpus weight) broadcast back;
+    * the corpus side is a narrow codegen'd filter — it never shuffles. */
+  def ppsSample(docs: DataFrame, weightCol: String, expected: Int,
+                idCol: String = "doc_id"): DataFrame = {
+    require(expected > 0, s"expected sample size must be positive: $expected")
+    val total = docs.agg(
+      sum(col(weightCol).cast("long")).as("pps_w_total"))
+    docs.crossJoin(broadcast(total))
+      .filter(
+        pmod(graft.functions.HashExprs.mix64_col(col(idCol)),
+             col("pps_w_total"))
+          < col(weightCol).cast("long") * expected)
+      .drop("pps_w_total")
+  }
+
   /** Repetition ratio — the duplicate-k-gram fraction of each document
     * (Gopher/MassiveText-style repetition quality signal): 1 −
     * distinct_kgrams / total_kgrams. Boilerplate-heavy or looping text

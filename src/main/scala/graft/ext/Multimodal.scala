@@ -554,6 +554,82 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Perceptual image hashes over REAL decoded pixels — the image-dedup
+    * primitive (a training corpus carries the same photo re-encoded,
+    * resized, or re-compressed thousands of times; byte-level dedup sees
+    * none of that, pixel-level hashes do). Each payload decodes through
+    * ImageIO, is nearest-neighbor resampled to the canonical 8×8
+    * luminance grid (integer index math, deterministic), and yields
+    *
+    *  - aHash: bit i set iff pixel_i·64 > Σ pixels — strictly above the
+    *    mean, compared in exact integer arithmetic (no float mean), split
+    *    into two unsigned 32-bit halves `ahash_hi`/`ahash_lo` so both
+    *    values stay positive BIGINTs;
+    *  - dHash: bit y·7+x set iff pixel(y,x+1) > pixel(y,x) — 56 row
+    *    gradient-sign bits in one positive long, robust to global
+    *    brightness shifts the way aHash is not.
+    *
+    * mapPartitions (per-task codec init), no shuffle; undecodable
+    * payloads drop. At 100 TB this is a narrow pass over the payload
+    * column chunk — the expensive part is the decode, and it runs exactly
+    * once per image with both hashes extracted from one pixel pass. */
+  def imageHashes(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash_hi", LongType, nullable = false),
+      StructField("ahash_lo", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        ImageCodec.decode(payload).map { img =>
+          val pix = Array.tabulate(64) { i =>
+            ImageCodec.lum8(img, (i % 8) * img.getWidth / 8,
+                                 (i / 8) * img.getHeight / 8)
+          }
+          val sum = pix.sum
+          var hi = 0L
+          var lo = 0L
+          var i = 0
+          while (i < 64) {
+            if (pix(i) * 64 > sum) {
+              if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+            }
+            i += 1
+          }
+          var dh = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 7) {
+              if (pix(y * 8 + x + 1) > pix(y * 8 + x)) dh |= 1L << (y * 7 + x)
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getLong(0), hi, lo, dh)
+        }
+      }
+    }(encoder)
+  }
+
+  /** Near-duplicate image pairs by Hamming distance over the aHash.
+    * Reuses the proven simhash machinery ([[graft.ext.Dedup
+    * .simhashNearDupsFromFp]]): the reassembled 64-bit hash blocks into
+    * four 16-bit bands (pigeonhole: ≤3 flipped bits leave ≥1 band clean,
+    * so candidates come from band-keyed equi-joins — never an all-pairs
+    * product), and the exact popcount verify runs only on bucket
+    * collisions. Output: (media_a, media_b, dist), dist ≤ maxDist. */
+  def imageNearDups(hashes: DataFrame, maxDist: Int = 3): DataFrame =
+    Dedup.simhashNearDupsFromFp(
+      hashes.select(col("media_id").as("doc_id"),
+        shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo"))
+          .as("simhash")),
+      maxDist)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+              col("dist"))
+
   /** Resize pass — payload→payload, metadata updated in place. */
   def resizeAll(media: DataFrame, size: Int): DataFrame = {
     val resizeUdf = udf((p: Array[Byte]) => ImageCodec.resize(p, size))

@@ -228,6 +228,59 @@ object TextOps {
       .select("doc_id", "dl", "score")
   }
 
+  /** Bigram language-model quality score — the perplexity-style fluency
+    * signal (CCNet buckets a crawl by LM perplexity; docs the corpus
+    * model finds surprising are boilerplate, gibberish, or wrong-language
+    * and get down-weighted). The model is the corpus itself: bigram
+    * counts c2(w1,w2), history counts c1(w1) = Σ_w2 c2, vocabulary V,
+    * add-one smoothing. Per the repo's rational-core convention (see
+    * [[salientTerms]], [[bm25Search]]: ln() differs across engines in the
+    * last ulp, +−×÷ are IEEE-correctly-rounded everywhere), the score
+    * keeps the log's argument: the mean INVERSE smoothed conditional
+    * probability over the document's bigrams,
+    * `mean_i (c1(w1_i) + V) / (c2(w1_i, w2_i) + 1)` — low for fluent
+    * text, up to c1+V for bigrams the corpus never saw. The per-doc mean
+    * folds in (w1, w2)-sorted order so the double sum is sequential and
+    * bit-exact across engines and partitionings (the DotFold discipline),
+    * not an order-dependent aggregate.
+    *
+    * Shape at 100 TB: occurrences collapse map-side to (doc, w1, w2, m);
+    * the model tables are aggregates bounded by distinct-bigram
+    * cardinality joined back by content key; V is ONE row broadcast back.
+    * No vocabulary-sized driver state, no cartesian beyond the single-row
+    * broadcast. */
+  def bigramLmScore(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val nTok = size(toks)
+    val bigrams = docs.select(col(idCol),
+        explode(arrays_zip(
+          slice(toks, lit(1), greatest(nTok - 1, lit(0))),
+          slice(toks, lit(2), greatest(nTok - 1, lit(0))))).as("bg"))
+      .select(col(idCol), col("bg.0").as("w1"), col("bg.1").as("w2"))
+    val occ = bigrams.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    val c2 = occ.groupBy("w1", "w2").agg(sum("m").as("c2"))
+    val c1 = occ.groupBy("w1").agg(sum("m").as("c1"))
+    val vocab = docs
+      .select(explode(toks).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    val valued = occ
+      .join(c2, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("val", col("m").cast("double") *
+        ((col("c1") + col("v")).cast("double") /
+         (col("c2") + lit(1L)).cast("double")))
+    valued.groupBy(col(idCol)).agg(
+        sum("m").as("n_bigrams"),
+        aggregate(
+          array_sort(collect_list(struct(col("w1"), col("w2"), col("val")))),
+          lit(0.0), (acc, x) => acc + x.getField("val")).as("val_sum"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("val_sum") / col("n_bigrams")).as("lm_score"))
+  }
+
   /** Exact length-distribution quantiles per group — the report a
     * pipeline reads before picking truncation/packing lengths. DISCRETE
     * quantiles by explicit rank arithmetic (value at row ceil(p·n) in the

@@ -355,6 +355,43 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x49 image hashes: decode in the scan stage, zero exchange") {
+    val p = executed("x49_image_hash").toString
+    assert(!p.contains("Exchange"), s"hash extraction shuffles:\n$p")
+  }
+
+  test("x50 image near-dup: band-keyed equi-join, never all-pairs") {
+    val p = executed("x50_image_neardup").toString
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), s"quadratic join:\n$p")
+  }
+
+  test("x51 bigram LM: model joins are content-keyed equi-joins, the " +
+       "only nested loop is the single-row vocabulary broadcast") {
+    val p = executed("x51_lm_score").toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in the plan:\n$p")
+    // the vocabulary is ONE row: its crossJoin must ride a broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+           p.contains("BroadcastExchange"),
+      s"vocabulary row not broadcast:\n$p")
+  }
+
+  test("x52 pps sample: corpus-weight row broadcast back, corpus side " +
+       "never shuffles") {
+    val p = executed("x52_pps_sample").toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus shuffled for the weight total:\n$p")
+    assert(p.contains("mix64"), s"draw not the native hash expression:\n$p")
+  }
+
+  test("x53 sessionize: window and session rollup share ONE exchange " +
+       "on the user key") {
+    val p = executed("x53_sessionize").toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected exactly the user-key exchange ($exchanges):\n$p")
+  }
+
   test("x45 fused dedup products: cluster map re-joins are broadcast, " +
        "no shuffled join on the corpus side") {
     val p = executed("x45_dedup_products").toString

@@ -912,6 +912,107 @@ class ExtSpec extends AnyFunSuite {
     assert(!kept.contains(5L), "benchmark-overlapping doc must be dropped")
   }
 
+  /** Reference perceptual hashes straight from the pixel definition (text
+    * byte i, zero-padded to 64) — what imageHashes must reproduce through
+    * the PNG encode→ImageIO decode→resample path. */
+  private def refHashes(text: String): (Long, Long, Long) = {
+    val bs = text.getBytes("UTF-8")
+    val pix = Array.tabulate(64)(i => if (i < bs.length) bs(i) & 0xFF else 0)
+    val sum = pix.sum
+    var hi = 0L; var lo = 0L
+    for (i <- 0 until 64 if pix(i) * 64 > sum)
+      if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+    var dh = 0L
+    for (y <- 0 until 8; x <- 0 until 7 if pix(y * 8 + x + 1) > pix(y * 8 + x))
+      dh |= 1L << (y * 7 + x)
+    (hi, lo, dh)
+  }
+
+  test("image perceptual hashes match the pixel definition through the codec") {
+    val hashes = Multimodal.imageHashes(Multimodal.mediaFromDocs(docs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(hashes.size == 5)
+    for ((id, text) <- docs.collect().map(r => (r.getLong(0), r.getString(1))))
+      assert(hashes(id) == refHashes(text), s"hash mismatch for doc $id")
+    // exact-dup payloads (docs 1 and 4) → identical hashes
+    assert(hashes(1L) == hashes(4L))
+    // near-dup text (doc 2 differs from doc 1 only in the final word,
+    // inside the 64-byte pixel window) → small aHash distance
+    val d = java.lang.Long.bitCount(hashes(1L)._1 ^ hashes(2L)._1) +
+            java.lang.Long.bitCount(hashes(1L)._2 ^ hashes(2L)._2)
+    assert(d >= 0 && d <= 8, s"near-dup aHash distance out of range: $d")
+  }
+
+  test("image hashes resample non-8x8 images to the canonical grid") {
+    // 16×16 image that nearest-neighbor-samples to the same 8×8 grid as
+    // a reference 8×8 image: pixel (2x, 2y) carries the value
+    val small = Array.tabulate(64)(i => ((i * 37) % 251).toByte)
+    val big = Array.tabulate(256) { i =>
+      val (y, x) = (i / 16, i % 16)
+      small((y / 2) * 8 + (x / 2))
+    }
+    val media = Seq(
+      (1L, "image", Multimodal.ImageCodec.encodeGrayPng(small, 8, 8)),
+      (2L, "image", Multimodal.ImageCodec.encodeGrayPng(big, 16, 16))
+    ).toDF("media_id", "kind", "payload")
+    val h = Multimodal.imageHashes(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(h(1L) == h(2L), "16×16 upscale must hash identically to its 8×8 source")
+  }
+
+  test("image near-dup: banded search equals brute force, finds exact dups") {
+    val hashes = Multimodal.imageHashes(Multimodal.mediaFromDocs(docs))
+    val got = Multimodal.imageNearDups(hashes, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the same hashes
+    val hs = hashes.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1) << 32) | r.getLong(2))).toMap
+    val brute = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got == brute, s"blocked=$got brute=$brute")
+    assert(got.exists { case (a, b, d) => a == 1L && b == 4L && d == 0 })
+  }
+
+  test("bigram LM score: closed-form smoothed inverse probabilities") {
+    val tiny = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c c"))
+      .toDF("doc_id", "text")
+    // c2: (a,b)=3, (b,a)=1, (c,c)=1; c1: a=3, b=1, c=1; V=3
+    // doc1: 2·(3+3)/(3+1) + (1+3)/(1+1) = 3 + 2 = 5 over n=3
+    // doc2: (3+3)/(3+1) = 1.5 over n=1;  doc3: (1+3)/(1+1) = 2 over n=1
+    val r = TextOps.bigramLmScore(tiny).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r(1L) == ((3L, 5.0 / 3)))
+    assert(r(2L) == ((1L, 1.5)))
+    assert(r(3L) == ((1L, 2.0)))
+  }
+
+  test("pps sample: deterministic, weight-proportional, heavy doc certain") {
+    val corpus = Seq(
+      (1L, 10), (2L, 10), (3L, 10), (4L, 10), (5L, 100000)
+    ).toDF("doc_id", "w")
+    // doc 5 carries >~expected·w/W ≥ 1 of the mass → always included
+    val s1 = Curation.ppsSample(corpus, "w", 2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Curation.ppsSample(corpus, "w", 2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "PPS draw must be deterministic")
+    assert(s1.contains(5L), "probability-1 doc must always be included")
+    // replay the rule directly through the same hash expression
+    val w = Map(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 10L, 5L -> 100000L)
+    val total = w.values.sum
+    val mixed = corpus.select(col("doc_id"),
+        graft.functions.HashExprs.mix64_col(col("doc_id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = w.keys.filter { id =>
+      java.lang.Math.floorMod(mixed(id), total) < w(id) * 2
+    }.toSet
+    assert(s1 == expect)
+  }
+
   test("StringShingles: distinct grams, first-occurrence order, short-doc empty") {
     import graft.functions.StringShingles
     assert(StringShingles.stringShingles("A  b\tA b c", 2).toSeq ==
