@@ -620,12 +620,19 @@ object Multimodal {
     * four 16-bit bands (pigeonhole: ≤3 flipped bits leave ≥1 band clean,
     * so candidates come from band-keyed equi-joins — never an all-pairs
     * product), and the exact popcount verify runs only on bucket
-    * collisions. Output: (media_a, media_b, dist), dist ≤ maxDist. */
+    * collisions. Output: (media_a, media_b, dist), dist ≤ maxDist.
+    *
+    * The decode is the dominant cost and the banding self-join has two
+    * consumers of the hash table — the explicit repartition makes both
+    * sides read the SAME exchange (ReuseExchange, the
+    * [[graft.ext.Dedup.minhashVerifiedDups]] discipline), so every image
+    * decodes exactly once; the extra shuffle carries 16-byte rows. */
   def imageNearDups(hashes: DataFrame, maxDist: Int = 3): DataFrame =
     Dedup.simhashNearDupsFromFp(
       hashes.select(col("media_id").as("doc_id"),
         shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo"))
-          .as("simhash")),
+          .as("simhash"))
+        .repartition(col("doc_id")),
       maxDist)
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
               col("dist"))
