@@ -1049,7 +1049,21 @@ object SparkEntry {
     // epoch-microsecond arithmetic, one exchange (window + rollup share
     // the user partitioning)
     "x53_sessionize" -> ((s, d) =>
-      ops.Sessions.sessionize(Tables.events(s, d), gapSec = 1800))
+      ops.Sessions.sessionize(Tables.events(s, d), gapSec = 1800)),
+
+    // end-to-end REAL AVI frame path: docs → uncompressed-DIB RIFF
+    // containers with closed-form 8×8 frames → pure-JVM chunk walk +
+    // frame de-pad/flip → temporally sampled per-frame features (the
+    // AVI twin of the x19 GIF path — full decode, not a probe)
+    "x54_avi_frames" -> ((s, d) =>
+      ext.Multimodal.sampleAviFrames(
+        ext.Multimodal.aviFromDocs(t(s, d, "documents")), everyNth = 2)),
+
+    // token-budget domain mixing: every language capped at 8000 tokens
+    // (under-budget languages pass through whole), integer splitmix draw
+    "x55_token_mix" -> ((s, d) =>
+      ext.Curation.tokenBudgetMix(t(s, d, "documents"), "lang", 8000L)
+        .select("doc_id", "lang", "source", "n_chars"))
   )
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
@@ -2821,6 +2835,38 @@ object SparkEntry {
                 MAX(ts_us) - MIN(ts_us) AS duration_us,
                 MAX(value) AS peak_value
          FROM s GROUP BY user_id, session_id""",
+
+    // x55 — the x22 splitmix replay joined to per-language token totals
+    // (x9's tokenization), Spark's signed pmod against min(total, budget)
+    "x55_token_mix" ->
+      s"""WITH m0 AS (SELECT doc_id, lang, source, n_chars,
+                             doc_id::HUGEINT AS u0 FROM documents),
+          m1 AS (SELECT *, ${mulmodSql("xor(u0, u0 // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM m0),
+          m2 AS (SELECT *, ${mulmodSql("xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM m1),
+          m3 AS (SELECT *, xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM m2),
+          sgn AS (SELECT *, CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+                                      THEN uh - 18446744073709551616::HUGEINT
+                                      ELSE uh END AS BIGINT) AS sh FROM m3),
+          tot AS (SELECT lang,
+                         CAST(SUM(len(regexp_split_to_array(lower(text), '\\s+')))
+                              AS BIGINT) AS t_total
+                  FROM documents GROUP BY lang)
+          SELECT doc_id, lang, source, n_chars
+          FROM sgn JOIN tot USING (lang)
+          WHERE ((sh % t_total) + t_total) % t_total
+                  < LEAST(t_total, 8000)""",
+
+    // x54 — the AVI frame formula replayed: frames 0 and 2 (everyNth=2
+    // of 4), mean luminance = Σᵢ ((doc_id·11 + k·17 + i·5) mod 241) / 64
+    "x54_avi_frames" ->
+      """WITH frames AS (
+           SELECT doc_id, unnest([0, 2]) AS frame_idx FROM documents),
+         px AS (
+           SELECT doc_id, frame_idx, unnest(range(0, 64)) AS i FROM frames)
+         SELECT doc_id AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+                CAST(SUM((doc_id * 11 + frame_idx * 17 + i * 5) % 241)
+                     AS DOUBLE) / 64.0 AS mean_lum
+         FROM px GROUP BY doc_id, frame_idx""",
 
     // x19 — the GIF frame formula replayed: frames 0 and 2 (everyNth=2 of
     // 4), mean luminance = Σᵢ ((doc_id·7 + k·13 + i·3) mod 251) / 64

@@ -231,6 +231,34 @@ object Curation {
       .drop("pps_w_total")
   }
 
+  /** Token-budget domain mixing — the Pile/Dolma-style recipe step:
+    * every stratum (language/source/domain) is cut to at most `budget`
+    * tokens, so no domain can dominate the training mix. Per stratum,
+    * the keep rate is `min(1, budget / T)` where `T` is the stratum's
+    * token total, drawn per document as
+    * `floorMod(splitmix64(id), T) < min(T, budget)` — expected kept
+    * tokens per stratum = min(T, budget), pure integer splitmix
+    * arithmetic (no RNG state, engine-replayable), and strata under
+    * budget pass through whole because the rule degenerates to
+    * `floorMod < T` ≡ always true.
+    *
+    * Shape: one tiny per-stratum token-total aggregate broadcast back;
+    * the corpus side is a broadcast join + narrow codegen'd filter — it
+    * never shuffles. */
+  def tokenBudgetMix(docs: DataFrame, strataCol: String, budget: Long,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    val totals = docs.groupBy(col(strataCol))
+      .agg(sum(TextOps.tokenCount(col(textCol)).cast("long")).as("t_total"))
+      .withColumn("keep_below", least(col("t_total"), lit(budget)))
+    docs.join(broadcast(totals), strataCol)
+      .filter(
+        pmod(graft.functions.HashExprs.mix64_col(col(idCol)), col("t_total"))
+          < col("keep_below"))
+      .drop("t_total", "keep_below")
+  }
+
   /** Repetition ratio — the duplicate-k-gram fraction of each document
     * (Gopher/MassiveText-style repetition quality signal): 1 −
     * distinct_kgrams / total_kgrams. Boilerplate-heavy or looping text

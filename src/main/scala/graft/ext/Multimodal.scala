@@ -1,6 +1,7 @@
 package graft.ext
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -357,6 +358,238 @@ object Multimodal {
         iis.close()
       }
     }
+  }
+
+  /** Pure-JVM AVI (RIFF) container codec for uncompressed 8-bit DIB
+    * video — full FRAME decode, not just a metadata probe: the third
+    * real video path next to animated GIF (decode) and mp4/webm
+    * (probers). Uncompressed AVI is what scientific capture rigs and
+    * `ffmpeg -c:v rawvideo` emit, and RIFF is a length-prefixed chunk
+    * walk — no entropy coding, so a standalone engine can own the whole
+    * format.
+    *
+    * Writer: RIFF('AVI ') → LIST hdrl (avih, LIST strl (strh
+    * 'vids'/'DIB ', strf BITMAPINFOHEADER biBitCount=8 + 256-entry gray
+    * palette)) → LIST movi ('00db' raw frames, bottom-up rows padded to
+    * 4-byte stride) → idx1. Deterministic bytes. Reader: chunk walk that
+    * validates fourccs and sizes, reads dimensions/fps from the headers,
+    * and de-pads + flips each '00db' frame back to row-major gray.
+    * Gray-8 round-trips losslessly. */
+  object AviCodec {
+    final case class Avi(width: Int, height: Int, fps: Int,
+                         frames: Seq[Array[Byte]])
+
+    private def le32(out: ByteArrayOutputStream, v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+    }
+    private def le16(out: ByteArrayOutputStream, v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+    }
+    private def fourcc(out: ByteArrayOutputStream, s: String): Unit =
+      out.write(s.getBytes("US-ASCII"), 0, 4)
+
+    private def stride(width: Int): Int = (width + 3) / 4 * 4
+
+    /** Encode row-major gray frames as an uncompressed 8-bit DIB AVI. */
+    def encodeAviGray(frames: Seq[Array[Byte]], width: Int, height: Int,
+                      fps: Int = 10): Array[Byte] = {
+      require(frames.nonEmpty, "need at least one frame")
+      require(fps > 0, s"fps must be positive: $fps")
+      frames.foreach(f => require(f.length == width * height,
+        "frame size != w*h"))
+      val pad = stride(width)
+      val frameBytes = pad * height
+
+      def chunk(id: String)(body: ByteArrayOutputStream => Unit): Array[Byte] = {
+        val b = new ByteArrayOutputStream()
+        body(b)
+        val payload = b.toByteArray
+        val out = new ByteArrayOutputStream()
+        fourcc(out, id); le32(out, payload.length)
+        out.write(payload, 0, payload.length)
+        if (payload.length % 2 == 1) out.write(0) // RIFF word alignment
+        out.toByteArray
+      }
+      def list(kind: String)(parts: Array[Byte]*): Array[Byte] = {
+        val out = new ByteArrayOutputStream()
+        fourcc(out, "LIST")
+        le32(out, 4 + parts.map(_.length).sum)
+        fourcc(out, kind)
+        parts.foreach(p => out.write(p, 0, p.length))
+        out.toByteArray
+      }
+
+      val avih = chunk("avih") { b =>
+        le32(b, 1000000 / fps)        // dwMicroSecPerFrame
+        le32(b, frameBytes * fps)     // dwMaxBytesPerSec
+        le32(b, 0)                    // dwPaddingGranularity
+        le32(b, 0x10)                 // dwFlags: AVIF_HASINDEX
+        le32(b, frames.length)        // dwTotalFrames
+        le32(b, 0)                    // dwInitialFrames
+        le32(b, 1)                    // dwStreams
+        le32(b, frameBytes)           // dwSuggestedBufferSize
+        le32(b, width); le32(b, height)
+        (0 until 4).foreach(_ => le32(b, 0)) // dwReserved
+      }
+      val strh = chunk("strh") { b =>
+        fourcc(b, "vids"); fourcc(b, "DIB ")
+        le32(b, 0)                    // dwFlags
+        le16(b, 0); le16(b, 0)        // wPriority, wLanguage
+        le32(b, 0)                    // dwInitialFrames
+        le32(b, 1); le32(b, fps)      // dwScale / dwRate = frame rate
+        le32(b, 0)                    // dwStart
+        le32(b, frames.length)        // dwLength
+        le32(b, frameBytes)           // dwSuggestedBufferSize
+        le32(b, -1)                   // dwQuality (default)
+        le32(b, 0)                    // dwSampleSize
+        le16(b, 0); le16(b, 0); le16(b, width); le16(b, height) // rcFrame
+      }
+      val strf = chunk("strf") { b =>
+        le32(b, 40)                   // biSize
+        le32(b, width); le32(b, height)
+        le16(b, 1); le16(b, 8)        // biPlanes, biBitCount
+        le32(b, 0)                    // biCompression = BI_RGB
+        le32(b, frameBytes)           // biSizeImage
+        le32(b, 0); le32(b, 0)        // ppm
+        le32(b, 256); le32(b, 0)      // biClrUsed, biClrImportant
+        var i = 0
+        while (i < 256) {             // gray RGBQUAD palette (b, g, r, 0)
+          b.write(i); b.write(i); b.write(i); b.write(0); i += 1
+        }
+      }
+      val frameChunks = frames.map { f =>
+        chunk("00db") { b =>
+          var y = height - 1          // DIB rows are bottom-up
+          while (y >= 0) {
+            b.write(f, y * width, width)
+            var p = width
+            while (p < pad) { b.write(0); p += 1 }
+            y -= 1
+          }
+        }
+      }
+      val movi = list("movi")(frameChunks: _*)
+      val idx1 = chunk("idx1") { b =>
+        var off = 4                   // offsets relative to 'movi' fourcc
+        frameChunks.foreach { fc =>
+          fourcc(b, "00db"); le32(b, 0x10) // AVIIF_KEYFRAME
+          le32(b, off); le32(b, fc.length - 8)
+          off += fc.length
+        }
+      }
+      val hdrl = list("hdrl")(avih, list("strl")(strh, strf))
+      val out = new ByteArrayOutputStream()
+      fourcc(out, "RIFF")
+      le32(out, 4 + hdrl.length + movi.length + idx1.length)
+      fourcc(out, "AVI ")
+      out.write(hdrl, 0, hdrl.length)
+      out.write(movi, 0, movi.length)
+      out.write(idx1, 0, idx1.length)
+      out.toByteArray
+    }
+
+    /** Decode an uncompressed 8-bit DIB AVI to row-major gray frames.
+      * None when the payload is not such an AVI (other containers, other
+      * bit depths, compressed streams — a probe, never a crash). */
+    def decodeAviGray(payload: Array[Byte]): Option[Avi] = {
+      if (payload == null || payload.length < 24) return None
+      val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+      def cc(pos: Int): String =
+        new String(payload, pos, 4, "US-ASCII")
+      if (cc(0) != "RIFF" || cc(8) != "AVI ") return None
+      var width = -1; var height = -1; var fps = -1; var bits = -1
+      var compression = -1
+      val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      // flat chunk walk: LIST headers recurse into their body, plain
+      // chunks skip their payload (word-aligned)
+      def walk(from: Int, to: Int): Unit = {
+        var pos = from
+        while (pos + 8 <= to) {
+          val id = cc(pos)
+          val size = bb.getInt(pos + 4)
+          if (size < 0 || pos + 8 + size > to) return // malformed: stop
+          if (id == "LIST") walk(pos + 12, pos + 8 + size)
+          else if (id == "avih" && size >= 32) {
+            val usPerFrame = bb.getInt(pos + 8)
+            if (usPerFrame > 0) fps = 1000000 / usPerFrame
+          } else if (id == "strf" && size >= 40) {
+            width = bb.getInt(pos + 12)
+            height = bb.getInt(pos + 16)
+            bits = bb.getShort(pos + 22).toInt
+            compression = bb.getInt(pos + 24)
+          } else if (id == "00db" && width > 0 && height > 0) {
+            val pad = stride(width)
+            if (size >= pad * height) {
+              val f = new Array[Byte](width * height)
+              var y = 0
+              while (y < height) {
+                System.arraycopy(payload,
+                  pos + 8 + (height - 1 - y) * pad, f, y * width, width)
+                y += 1
+              }
+              frames += f
+            }
+          }
+          pos += 8 + size + (size & 1)
+        }
+      }
+      try walk(12, math.min(payload.length, 8 + bb.getInt(4)))
+      catch { case scala.util.control.NonFatal(_) => return None }
+      if (width <= 0 || height <= 0 || bits != 8 || compression != 0 ||
+          fps <= 0 || frames.isEmpty) None
+      else Some(Avi(width, height, fps, frames.toSeq))
+    }
+  }
+
+  /** Build an AVI video table from documents: each doc gets a REAL
+    * uncompressed-DIB AVI whose 8×8 gray frames follow a closed integer
+    * formula — pixel i of frame k = `(doc_id·11 + k·17 + i·5) mod 241` —
+    * so sampled-frame features are oracle-checkable end-to-end through
+    * the container walk (the AVI twin of the x19 GIF path). */
+  def aviFromDocs(docs: DataFrame, nFrames: Int = 4): DataFrame = {
+    val aviUdf = udf((docId: Long) => {
+      val frames = (0 until nFrames).map { k =>
+        Array.tabulate(64)(i =>
+          ((docId * 11 + k * 17 + i * 5) % 241).toByte)
+      }
+      AviCodec.encodeAviGray(frames, 8, 8, fps = 10)
+    })
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("video").as("kind"),
+      aviUdf(col("doc_id")).as("payload"),
+      struct(
+        lit(8).as("width"), lit(8).as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(nFrames).as("n_frames"),
+        lit("video/x-msvideo").as("mime")).as("meta"))
+  }
+
+  /** Temporal frame sampling over REAL decoded AVI frames: every
+    * `everyNth` frame → (media_id, frame_idx, mean_lum). The exact
+    * shape of [[sampleVideoFrames]] with the RIFF walk as the decoder;
+    * mapPartitions, no shuffle, non-AVI payloads drop. */
+  def sampleAviFrames(media: DataFrame, everyNth: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("mean_lum", DoubleType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        AviCodec.decodeAviGray(payload).toSeq.flatMap { avi =>
+          avi.frames.zipWithIndex
+            .collect { case (f, k) if k % everyNth == 0 =>
+              var sum = 0L
+              var i = 0
+              while (i < f.length) { sum += f(i) & 0xFF; i += 1 }
+              Row(r.getLong(0), k, sum.toDouble / f.length)
+            }
+        }
+      }
+    }(encoder)
   }
 
   /** STUB codec for media the JVM cannot decode (non-GIF video

@@ -360,6 +360,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"hash extraction shuffles:\n$p")
   }
 
+  test("x54 AVI frames: container walk in the scan stage, zero exchange") {
+    val p = executed("x54_avi_frames").toString
+    assert(!p.contains("Exchange"), s"frame sampling shuffles:\n$p")
+  }
+
   test("x50 image near-dup: band-keyed equi-join, never all-pairs") {
     val p = executed("x50_image_neardup").toString
     assert(!p.contains("CartesianProduct") &&
@@ -382,6 +387,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       s"corpus shuffled for the weight total:\n$p")
     assert(p.contains("mix64"), s"draw not the native hash expression:\n$p")
+  }
+
+  test("x55 token mix: per-stratum totals broadcast back, corpus side " +
+       "never shuffles") {
+    val p = executed("x55_token_mix").toString
+    assert(p.contains("BroadcastHashJoin"), s"totals join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus shuffled for the totals join:\n$p")
   }
 
   test("x53 sessionize: window and session rollup share ONE exchange " +

@@ -912,6 +912,46 @@ class ExtSpec extends AnyFunSuite {
     assert(!kept.contains(5L), "benchmark-overlapping doc must be dropped")
   }
 
+  test("AVI codec: uncompressed-DIB round trip is lossless, incl. padding") {
+    // width 6 → stride 8: exercises the row padding and bottom-up flip
+    val frames = Seq(
+      Array.tabulate(6 * 4)(i => (i * 11 % 256).toByte),
+      Array.tabulate(6 * 4)(i => (255 - i * 7 % 256).toByte))
+    val avi = Multimodal.AviCodec.encodeAviGray(frames, 6, 4, fps = 25)
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF" &&
+           new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    val dec = Multimodal.AviCodec.decodeAviGray(avi).get
+    assert(dec.width == 6 && dec.height == 4 && dec.fps == 25)
+    assert(dec.frames.length == 2)
+    assert(dec.frames(0).toSeq == frames(0).toSeq)
+    assert(dec.frames(1).toSeq == frames(1).toSeq)
+  }
+
+  test("AVI decoder probes, never crashes: junk, GIF, and truncation") {
+    assert(Multimodal.AviCodec.decodeAviGray(null).isEmpty)
+    assert(Multimodal.AviCodec.decodeAviGray("not an avi at all".getBytes).isEmpty)
+    val gif = Multimodal.VideoCodec.encodeAnimatedGifGray(
+      Seq(Array.fill(64)(7.toByte)), 8, 8)
+    assert(Multimodal.AviCodec.decodeAviGray(gif).isEmpty)
+    val avi = Multimodal.AviCodec.encodeAviGray(
+      Seq(Array.fill(64)(9.toByte)), 8, 8)
+    // truncated container: the walk stops at the malformed chunk
+    assert(Multimodal.AviCodec.decodeAviGray(
+      java.util.Arrays.copyOf(avi, avi.length / 3)).isEmpty)
+  }
+
+  test("x54 pipeline: temporal sampling over real decoded AVI frames") {
+    val media = Multimodal.aviFromDocs(docs, nFrames = 4)
+    val r = Multimodal.sampleAviFrames(media, everyNth = 2).collect()
+      .map(x => (x.getLong(0), x.getInt(1)) -> x.getDouble(2)).toMap
+    assert(r.size == 10) // 5 docs × frames {0, 2}
+    // closed form: mean of (doc_id*11 + k*17 + i*5) % 241 over i < 64
+    for (((id, k), lum) <- r) {
+      val want = (0 until 64).map(i => (id * 11 + k * 17 + i * 5) % 241).sum / 64.0
+      assert(lum == want, s"doc $id frame $k")
+    }
+  }
+
   /** Reference perceptual hashes straight from the pixel definition (text
     * byte i, zero-padded to 64) — what imageHashes must reproduce through
     * the PNG encode→ImageIO decode→resample path. */
@@ -1011,6 +1051,34 @@ class ExtSpec extends AnyFunSuite {
       java.lang.Math.floorMod(mixed(id), total) < w(id) * 2
     }.toSet
     assert(s1 == expect)
+  }
+
+  test("token-budget mix: under-budget strata pass whole, heavy strata cut") {
+    val corpus = Seq(
+      (1L, "en", "a b c"), (2L, "en", "d e"),                  // 5 tokens
+      (3L, "de", "w x y z " * 50 + "end"), (4L, "de", "k l m n o " * 40)
+    ).toDF("doc_id", "lang", "text")
+    val kept = Curation.tokenBudgetMix(corpus, "lang", budget = 10L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // en total (5) ≤ budget → both docs survive unconditionally
+    assert(kept.contains(1L) && kept.contains(2L))
+    // de total (hundreds of tokens) > budget → the draw applies;
+    // replay the rule to pin exactly which de docs survive
+    val de = corpus.filter(col("lang") === "de")
+    val deTotal = de.select(
+        sum(TextOps.tokenCount(col("text")).cast("long")))
+      .head.getLong(0)
+    assert(deTotal > 10L)
+    val mixed = de.select(col("doc_id"),
+        graft.functions.HashExprs.mix64_col(col("doc_id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val deKept = mixed.keys.filter(id =>
+      java.lang.Math.floorMod(mixed(id), deTotal) < 10L).toSet
+    assert((kept - 1L - 2L) == deKept)
+    // deterministic
+    val again = Curation.tokenBudgetMix(corpus, "lang", budget = 10L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept)
   }
 
   test("StringShingles: distinct grams, first-occurrence order, short-doc empty") {
