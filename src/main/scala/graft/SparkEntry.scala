@@ -1063,7 +1063,19 @@ object SparkEntry {
     // (under-budget languages pass through whole), integer splitmix draw
     "x55_token_mix" -> ((s, d) =>
       ext.Curation.tokenBudgetMix(t(s, d, "documents"), "lang", 8000L)
-        .select("doc_id", "lang", "source", "n_chars"))
+        .select("doc_id", "lang", "source", "n_chars")),
+
+    // context-length chunking: 32-token windows with 8-token overlap,
+    // pure narrow algebra (split → window starts → posexplode)
+    "x56_chunk_docs" -> ((s, d) =>
+      ext.Curation.chunkDocs(t(s, d, "documents"), chunkTokens = 32,
+        overlap = 8)),
+
+    // signup→purchase conversion funnel, 7-day window, exact epoch
+    // microseconds; window + rollup share the user-key exchange
+    "x57_funnel" -> ((s, d) =>
+      ops.Sessions.conversionFunnel(Tables.events(s, d), "signup",
+        "purchase", windowSec = 7L * 86400))
   )
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
@@ -2855,6 +2867,46 @@ object SparkEntry {
           FROM sgn JOIN tot USING (lang)
           WHERE ((sh % t_total) + t_total) % t_total
                   < LEAST(t_total, 8000)""",
+
+    // x56 — identical tokenization (x3's non-empty filter), identical
+    // window-start rule (start < n − overlap, at least one window), and
+    // list-slice + single-space re-join
+    "x56_chunk_docs" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                      t -> length(t) > 0) AS ts
+           FROM documents),
+         nt AS (SELECT doc_id, ts, len(ts) AS n FROM tok WHERE len(ts) > 0),
+         st AS (SELECT doc_id, ts, n,
+                       unnest(range(0, greatest(n - 8, 1), 24)) AS start
+                FROM nt)
+         SELECT doc_id,
+                CAST(start // 24 AS INTEGER) AS chunk_idx,
+                CAST(LEAST(32, n - start) AS INTEGER) AS chunk_tokens,
+                array_to_string(ts[CAST(start + 1 AS INTEGER):
+                                   CAST(start + 32 AS INTEGER)], ' ')
+                  AS chunk_text
+         FROM st""",
+
+    // x57 — first signup per user, first purchase at-or-after it, 7-day
+    // conversion flag; LEFT-JOIN null → converted = false
+    "x57_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+                           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+                    FROM events),
+         s AS (SELECT user_id,
+                      MIN(CASE WHEN event_type = 'signup' THEN ts_us END)
+                        AS from_us
+               FROM e GROUP BY user_id),
+         p AS (SELECT e.user_id, MIN(e.ts_us) AS to_us
+               FROM e JOIN s USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts_us >= s.from_us
+               GROUP BY e.user_id)
+         SELECT s.user_id, s.from_us, p.to_us,
+                COALESCE(p.to_us - s.from_us <= 604800000000, FALSE)
+                  AS converted
+         FROM s LEFT JOIN p USING (user_id)
+         WHERE s.from_us IS NOT NULL""",
 
     // x54 — the AVI frame formula replayed: frames 0 and 2 (everyNth=2
     // of 4), mean luminance = Σᵢ ((doc_id·11 + k·17 + i·5) mod 241) / 64

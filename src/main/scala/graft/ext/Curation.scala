@@ -174,6 +174,44 @@ object Curation {
       .select("doc_id", shardCol, "n_tokens", "pack_id")
   }
 
+  /** Document chunking — the "split to context length" preprocessing
+    * twin of [[packSequences]]: long documents split into windows of at
+    * most `chunkTokens` tokens, consecutive windows overlapping by
+    * `overlap` tokens (overlap preserves cross-boundary context; 0 for
+    * disjoint splits). Tokens are the non-empty whitespace tokens; the
+    * chunk text is the window re-joined with single spaces (the
+    * normalization a tokenizer sees anyway). Documents with no tokens
+    * yield no chunks.
+    *
+    * Pure narrow algebra: token split, a per-doc `sequence` of window
+    * starts, one posexplode — zero shuffles, embarrassingly parallel at
+    * any corpus size. Deterministic: (doc_id, chunk_idx) is a total
+    * order. */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int, overlap: Int = 0,
+                textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens > 0, s"chunk size must be positive: $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens): $overlap")
+    val step = chunkTokens - overlap
+    val toks = filter(TextOps.tokens(col(textCol)), t => length(t) > 0)
+    docs
+      .select(col(idCol), toks.as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .select(col(idCol), col("toks"), col("n"),
+        // window starts: 0, step, 2·step, … while the window still adds
+        // tokens beyond the previous one's overlap (start < n − overlap);
+        // docs shorter than the overlap still get their single chunk
+        posexplode(sequence(lit(0),
+          greatest(col("n") - overlap - 1, lit(0)), lit(step)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col(idCol), col("chunk_idx"),
+        least(lit(chunkTokens), col("n") - col("start")).as("chunk_tokens"),
+        array_join(slice(col("toks"), col("start") + 1, lit(chunkTokens)),
+          " ").as("chunk_text"))
+  }
+
   /** Temperature-flavored domain rebalancing: down-sample each stratum
     * (source/domain) at `rate(d) = min(1, target / sqrt(n_d))` — small
     * domains pass through whole, large domains are thinned toward

@@ -45,4 +45,32 @@ object Sessions {
       (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"),
       max(col("value")).as("peak_value"))
   }
+
+  /** Two-step conversion funnel over the event log: for every user with
+    * a `fromType` event, the first `toType` event at-or-after their
+    * first `fromType`, and whether it arrived within `windowSec`
+    * (classic signup→purchase conversion). Exact epoch-microsecond
+    * arithmetic throughout.
+    *
+    * Shape: a per-user window pins the first `fromType` timestamp, the
+    * rollup groups on the same user key — hash partitioning on user
+    * satisfies both, so the plan carries ONE exchange (the sessionize
+    * discipline, asserted in PlanSpec). Skew bound: one user's events. */
+  def conversionFunnel(events: DataFrame, fromType: String, toType: String,
+                       windowSec: Long): DataFrame = {
+    require(windowSec > 0, s"conversion window must be positive: $windowSec")
+    val w = Window.partitionBy("user_id")
+    val withFrom = events
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("from_us",
+        min(when(col("event_type") === fromType, col("ts_us"))).over(w))
+      .filter(col("from_us").isNotNull)
+    withFrom.groupBy(col("user_id")).agg(
+        min(col("from_us")).as("from_us"),
+        min(when(col("event_type") === toType
+              && col("ts_us") >= col("from_us"), col("ts_us"))).as("to_us"))
+      .withColumn("converted",
+        coalesce(col("to_us") - col("from_us") <= windowSec * 1000000L,
+          lit(false)))
+  }
 }

@@ -405,6 +405,18 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly the user-key exchange ($exchanges):\n$p")
   }
 
+  test("x56 chunking: pure narrow algebra, zero exchange") {
+    val p = executed("x56_chunk_docs").toString
+    assert(!p.contains("Exchange"), s"chunking shuffles:\n$p")
+  }
+
+  test("x57 funnel: window and rollup share ONE exchange on the user key") {
+    val p = executed("x57_funnel").toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected exactly the user-key exchange ($exchanges):\n$p")
+  }
+
   test("x45 fused dedup products: cluster map re-joins are broadcast, " +
        "no shuffled join on the corpus side") {
     val p = executed("x45_dedup_products").toString

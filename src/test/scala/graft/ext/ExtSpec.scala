@@ -1081,6 +1081,24 @@ class ExtSpec extends AnyFunSuite {
     assert(again == kept)
   }
 
+  test("doc chunking: overlapping windows cover the doc, no redundant tail") {
+    val tiny = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "a b"),
+      (3L, "   ")) // no tokens → no chunks
+      .toDF("doc_id", "text")
+    val r = Curation.chunkDocs(tiny, chunkTokens = 4, overlap = 1)
+      .collect().map(x => (x.getLong(0), x.getInt(1)) ->
+        (x.getInt(2), x.getString(3))).toMap
+    // starts 0, 3, 6 (start < n − overlap = 9): full coverage, each new
+    // window adds tokens, and no fully-contained trailing chunk
+    assert(r.keySet == Set((1L, 0), (1L, 1), (1L, 2), (2L, 0)))
+    assert(r((1L, 0)) == ((4, "t1 t2 t3 t4")))
+    assert(r((1L, 1)) == ((4, "t4 t5 t6 t7")))
+    assert(r((1L, 2)) == ((4, "t7 t8 t9 t10")))
+    assert(r((2L, 0)) == ((2, "a b")))
+  }
+
   test("StringShingles: distinct grams, first-occurrence order, short-doc empty") {
     import graft.functions.StringShingles
     assert(StringShingles.stringShingles("A  b\tA b c", 2).toSeq ==

@@ -40,4 +40,32 @@ class SessionsSpec extends AnyFunSuite {
     val b = Sessions.sessionize(events.coalesce(1), 1800).count()
     assert(a == 4 && b == 4)
   }
+
+  private def funnelEvents = Seq(
+    // user 1: signup at 100, purchase at 200 → converted
+    (1L, 1L, 100L, "signup"), (2L, 1L, 200L, "purchase"),
+    // user 2: purchase BEFORE signup only → not converted, to_us null
+    (3L, 2L, 50L, "purchase"), (4L, 2L, 500L, "signup"),
+    // user 3: purchase beyond the window → found but not converted
+    (5L, 3L, 0L, "signup"), (6L, 3L, 2000L, "purchase"),
+    // user 4: never signed up → excluded
+    (7L, 4L, 10L, "purchase"),
+    // user 5: purchase at exactly window edge → converted (≤)
+    (8L, 5L, 0L, "signup"), (9L, 5L, 1000L, "purchase")
+  ).toDF("event_id", "user_id", "sec", "event_type")
+    .withColumn("ts", timestamp_micros(col("sec") * 1000000L)).drop("sec")
+
+  test("conversion funnel: first-from, first-to-after, window edge, exclusions") {
+    val r = Sessions.conversionFunnel(funnelEvents, "signup", "purchase",
+        windowSec = 1000).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1),
+         if (x.isNullAt(2)) None else Some(x.getLong(2)),
+         x.getBoolean(3))).toMap
+    assert(r.keySet == Set(1L, 2L, 3L, 5L))
+    assert(r(1L) == ((100000000L, Some(200000000L), true)))
+    assert(r(2L) == ((500000000L, None, false)))
+    assert(r(3L) == ((0L, Some(2000000000L), false)))
+    assert(r(5L) == ((0L, Some(1000000000L), true)))
+  }
 }
