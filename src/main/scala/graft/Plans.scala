@@ -38,7 +38,12 @@ object Plans {
       "j9_interval_join" -> "Interval containment join: intervals explode to time buckets, points own one bucket — an equi-join plus map-side refine, no BroadcastNestedLoopJoin.",
       "f7_lcc_reproject" -> "Conic CRS reprojection: range source + one scalar projection (the LCC inverse UDF), no exchange — reprojection is free at any scale.",
       "x45_dedup_products" -> "Fused dedup products: ONE jaccardPairs + connected-components pays for the component map, census, and kept split; the corpus re-joins the bounded cluster map (AQE broadcast) and aggregates per source.",
-      "x47_mp4_probe" -> "Container metadata probe: per-row box walk inside the scan stage via mapPartitions, no exchange — corpus-wide media profiling never touches pixel bytes.")
+      "x47_mp4_probe" -> "Container metadata probe: per-row box walk inside the scan stage via mapPartitions, no exchange — corpus-wide media profiling never touches pixel bytes.",
+      "x50_image_neardup" -> "Perceptual image near-dup: ImageIO decode feeds ONE repartition exchange that both banding sides reuse (decode runs once), band-keyed equi-join, exact popcount verify — never all-pairs.",
+      "x51_lm_score" -> "Bigram-LM fluency score: occurrences collapse map-side to (doc, w1, w2, m); model joins are content-keyed equi-joins bounded by distinct-bigram cardinality; the vocabulary is ONE broadcast row.",
+      "x53_sessionize" -> "Batch sessionization: the gap-rule window and the session rollup share ONE user-key exchange; skew bound is one user's event count.",
+      "x55_token_mix" -> "Token-budget domain mixing: per-stratum token totals reduce small and broadcast back; the corpus side is scan → broadcast-join → codegen'd splitmix filter, never shuffled.",
+      "x56_chunk_docs" -> "Context-length chunking: token split, per-doc window starts, one posexplode — pure narrow algebra, zero exchange at any corpus size.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")

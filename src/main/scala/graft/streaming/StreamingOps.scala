@@ -190,6 +190,39 @@ object StreamingOps {
       .groupBy("doc_a", "doc_b").agg(max("jaccard").as("jaccard"))
   }
 
+  /** Streaming image near-dup ingest gate — the perceptual-hash twin of
+    * [[streamingNearDupGate]]: incoming image payloads decode to aHashes
+    * (narrow mapPartitions, valid on a stream), band into the 4×16-bit
+    * pigeonhole keys, and probe the STORED hash index through a
+    * stateless stream-static equi-join; the exact popcount verify runs
+    * only on bucket collisions. State is bounded by emitted matches.
+    *
+    * `hashIndex` is an [[graft.ext.Multimodal.imageHashes]] table the
+    * batch job persists once per corpus snapshot. Scope: gates against
+    * the index only (increment-internal dups are the batch job's
+    * business). */
+  def streamingImageDupGate(mediaStream: DataFrame, hashIndex: DataFrame,
+                            maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4×16-bit pigeonhole blocking guarantees maxDist ≤ 3, got $maxDist")
+    def fp: Column =
+      shiftleft(col("ahash_hi"), 32).bitwiseOR(col("ahash_lo"))
+    def banded(hashes: DataFrame, side: String): DataFrame =
+      hashes.select(col("media_id").as(s"media_$side"),
+          fp.as(s"fp_$side"))
+        .select(col(s"media_$side"), col(s"fp_$side"),
+          posexplode(array((0 until 4).map(q =>
+            shiftright(col(s"fp_$side"), q * 16).bitwiseAND(0xFFFFL)): _*))
+            .as(Seq("band", "bucket")))
+    val inc = banded(graft.ext.Multimodal.imageHashes(mediaStream), "b")
+    val idx = banded(hashIndex, "a")
+    inc.join(idx, Seq("band", "bucket"))
+      .withColumn("dist",
+        graft.ext.Dedup.hamming(col("fp_a"), col("fp_b")))
+      .filter(col("dist") <= maxDist)
+      .groupBy("media_a", "media_b").agg(min("dist").as("dist"))
+  }
+
   /** Run a streaming aggregation over existing parquet as a bounded stream
     * (memory sink), for batch-equivalence testing. Returns the final table.
     */

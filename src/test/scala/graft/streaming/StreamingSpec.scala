@@ -159,4 +159,37 @@ class StreamingSpec extends AnyFunSuite {
     val b = batch.collect().map(_.toSeq).toSet
     assert(s == b && s.nonEmpty, s"stream=$s\nbatch=$b")
   }
+
+  test("streaming image-dup gate equals the batch banded search against " +
+       "the same stored hash index") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docsBatch = spark.read.parquet(s"$dir/documents.parquet")
+    val index = graft.ext.Multimodal.imageHashes(
+      graft.ext.Multimodal.mediaFromDocs(docsBatch.filter(col("doc_id") < 40)))
+    val mediaStream = graft.ext.Multimodal.mediaFromDocs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .filter(col("doc_id") >= 40))
+
+    val streamed = StreamingOps.runBounded(spark,
+      StreamingOps.streamingImageDupGate(mediaStream, index, maxDist = 3),
+      "imagedup_gate_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    // batch reference: banded pairs over the union, cut to index-vs-new
+    // (all index ids < 40 ≤ new ids, so a<b ordering lines up)
+    val batch = graft.ext.Multimodal.imageNearDups(
+        graft.ext.Multimodal.imageHashes(
+          graft.ext.Multimodal.mediaFromDocs(docsBatch)), maxDist = 3)
+      .filter(col("media_a") < 40 && col("media_b") >= 40)
+      .withColumn("dist", col("dist").cast("int"))
+
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b && s.nonEmpty, s"stream=$s\nbatch=$b")
+  }
 }
