@@ -1075,7 +1075,14 @@ object SparkEntry {
     // microseconds; window + rollup share the user-key exchange
     "x57_funnel" -> ((s, d) =>
       ops.Sessions.conversionFunnel(Tables.events(s, d), "signup",
-        "purchase", windowSec = 7L * 86400))
+        "purchase", windowSec = 7L * 86400)),
+
+    // END-TO-END image-corpus dedup: perceptual-hash pairs → duplicate
+    // clusters (connected components) → anti-join, keep min-id reps
+    "x58_dedup_images" -> ((s, d) =>
+      ext.Multimodal.dedupImages(
+        ext.Multimodal.mediaFromDocs(t(s, d, "documents")), maxDist = 3)
+        .select("media_id", "kind"))
   )
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
@@ -2867,6 +2874,29 @@ object SparkEntry {
           FROM sgn JOIN tot USING (lang)
           WHERE ((sh % t_total) + t_total) % t_total
                   < LEAST(t_total, 8000)""",
+
+    // x58 — the image dedup product replayed end-to-end: the rebuilt
+    // aHash table, exhaustive pair search (≡ the engine's banding by the
+    // pigeonhole guarantee), the x27-style recursive-closure components,
+    // and the same min-id representative rule
+    "x58_dedup_images" ->
+      s"""WITH RECURSIVE $imageHashCtes,
+         iedges AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM h a JOIN h b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.ahash_hi, b.ahash_hi)) +
+                 bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 3),
+         und AS (SELECT doc_a AS s, doc_b AS t FROM iedges
+                 UNION ALL SELECT doc_b, doc_a FROM iedges),
+         cnodes AS (SELECT DISTINCT s AS id FROM und),
+         walk(id, cur) AS (
+           SELECT id, id FROM cnodes
+           UNION
+           SELECT w.id, u.t FROM walk w JOIN und u ON u.s = w.cur),
+         cc AS (SELECT id, MIN(cur) AS rep FROM walk GROUP BY id)
+         SELECT doc_id AS media_id, 'image' AS kind
+         FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM cc WHERE rep <> id)""",
 
     // x56 — identical tokenization (x3's non-empty filter), identical
     // window-start rule (start < n − overlap, at least one window), and

@@ -870,6 +870,23 @@ object Multimodal {
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
               col("dist"))
 
+  /** End-to-end image-corpus dedup — the multimodal twin of
+    * [[graft.ext.Dedup.dedupCorpus]]: perceptual-hash near-dup pairs
+    * (banded, exact-verified) complete to duplicate CLUSTERS via
+    * connected components (a∼b, b∼c ⇒ {a,b,c} keep one), and every
+    * non-representative cluster member leaves the media table through
+    * one anti-join. Representatives are the minimum media_id of each
+    * cluster, so the kept set is deterministic. All three stages are the
+    * proven scale shapes: one decode, banded equi-joins, log-round CC. */
+  def dedupImages(media: DataFrame, maxDist: Int = 3): DataFrame = {
+    val pairs = imageNearDups(imageHashes(media), maxDist)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+    val drop = Dedup.connectedComponents(pairs)
+      .where(col("rep_id") =!= col("doc_id"))
+      .select(col("doc_id").as("media_id"))
+    media.join(drop, Seq("media_id"), "left_anti")
+  }
+
   /** Resize pass — payload→payload, metadata updated in place. */
   def resizeAll(media: DataFrame, size: Int): DataFrame = {
     val resizeUdf = udf((p: Array[Byte]) => ImageCodec.resize(p, size))

@@ -371,6 +371,13 @@ class PlanSpec extends AnyFunSuite {
            !p.contains("BroadcastNestedLoopJoin"), s"quadratic join:\n$p")
   }
 
+  test("x58 image dedup: banded pairs + anti-join, nothing quadratic") {
+    val p = executed("x58_dedup_images").toString
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), s"quadratic join:\n$p")
+    assert(p.contains("LeftAnti"), s"drop list not an anti-join:\n$p")
+  }
+
   test("x51 bigram LM: model joins are content-keyed equi-joins, the " +
        "only nested loop is the single-row vocabulary broadcast") {
     val p = executed("x51_lm_score").toString

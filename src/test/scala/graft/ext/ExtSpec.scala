@@ -1017,6 +1017,14 @@ class ExtSpec extends AnyFunSuite {
     assert(got.exists { case (a, b, d) => a == 1L && b == 4L && d == 0 })
   }
 
+  test("image-corpus dedup: cluster completed, min-id representative kept") {
+    // docs 1 and 4 are exact payload dups → one cluster {1, 4}, keep 1
+    val kept = Multimodal.dedupImages(Multimodal.mediaFromDocs(docs))
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && !kept.contains(4L))
+    assert(kept.contains(3L) && kept.contains(5L)) // non-dups survive
+  }
+
   test("bigram LM score: closed-form smoothed inverse probabilities") {
     val tiny = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c c"))
       .toDF("doc_id", "text")
