@@ -1082,7 +1082,12 @@ object SparkEntry {
     "x58_dedup_images" -> ((s, d) =>
       ext.Multimodal.dedupImages(
         ext.Multimodal.mediaFromDocs(t(s, d, "documents")), maxDist = 3)
-        .select("media_id", "kind"))
+        .select("media_id", "kind")),
+
+    // feature-hashed 64-dim document embeddings (sparse rows), the
+    // engine's own text→vector path: mix64∘fnv dims, exact L2 norm
+    "x59_hash_embed" -> ((s, d) =>
+      ext.Similarity.hashEmbed(t(s, d, "documents"), dim = 64))
   )
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
@@ -2874,6 +2879,41 @@ object SparkEntry {
           FROM sgn JOIN tot USING (lang)
           WHERE ((sh % t_total) + t_total) % t_total
                   < LEAST(t_total, 8000)""",
+
+    // x59 — the hashing-trick embedding replayed: per-token FNV-1a (the
+    // x3 char fold), the x22 mix64 chain, signed floor-mod dims, exact
+    // integer Σc², one correctly-rounded sqrt per doc
+    "x59_hash_embed" -> {
+      val M = "18446744073709551616::HUGEINT"
+      s"""WITH tok AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                      t -> length(t) > 0) AS ts
+           FROM documents),
+         th AS (
+           SELECT doc_id, unnest(list_transform(ts, t ->
+             list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(range(1, length(t) + 1), i ->
+                   unicode(substr(t, CAST(i AS INTEGER), 1))::HUGEINT)),
+               (h, c) -> ((xor(h, c) * 1099511628211::HUGEINT) % $M
+                          * 1099511628211::HUGEINT) % $M))) AS f
+           FROM tok),
+         z1 AS (SELECT doc_id, ${mulmodSql("xor(f, f // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM th),
+         z2 AS (SELECT doc_id, ${mulmodSql("xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM z1),
+         zf AS (SELECT doc_id, xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM z2),
+         sgn AS (SELECT doc_id,
+                   CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+                             THEN uh - 18446744073709551616::HUGEINT
+                             ELSE uh END AS BIGINT) AS sh FROM zf),
+         cnt AS (SELECT doc_id, ((sh % 64) + 64) % 64 AS dim,
+                        COUNT(*) AS c
+                 FROM sgn GROUP BY doc_id, ((sh % 64) + 64) % 64),
+         nrm AS (SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS ss
+                 FROM cnt GROUP BY doc_id)
+         SELECT c.doc_id, CAST(c.dim AS BIGINT) AS dim,
+                c.c / sqrt(CAST(n.ss AS DOUBLE)) AS w
+         FROM cnt c JOIN nrm n USING (doc_id)""".stripMargin
+    },
 
     // x58 — the image dedup product replayed end-to-end: the rebuilt
     // aHash table, exhaustive pair search (≡ the engine's banding by the

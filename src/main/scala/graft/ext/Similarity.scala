@@ -297,4 +297,37 @@ object Similarity {
     assigned.select(col(idCol), col("cid"))
       .join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Feature-hashed document embeddings — the engine's own text→vector
+    * path (hashing trick / random-feature TF vectors), so the
+    * similarity family (ANN, SemDeDup, embedding near-dup) can run on
+    * corpora that arrive WITHOUT precomputed embeddings: token t lands
+    * in dimension `floorMod(mix64(fnv(t)), dim)` (the repo's one hash
+    * family, native codegen'd [[graft.functions.ShingleHashesAll]] at
+    * k=1), counts accumulate per (doc, dim), and the vector is
+    * L2-normalized. Emitted SPARSE as (doc_id, dim, w) rows — the dense
+    * collect is one `groupBy(doc).pivot`-free array_sort away, but
+    * sparse is what the bucketed joins consume. Every arithmetic step is
+    * exact (integer counts, Σc² integer, one correctly-rounded sqrt and
+    * one IEEE division per row), so the oracle replays it bit-exactly.
+    *
+    * Shape at 100 TB: the (doc, dim) count aggregates with map-side
+    * partials (bounded by doc×min(tokens, dim) rows); the norm is a
+    * per-doc window over ≤dim rows. Two content-keyed exchanges, no
+    * vocabulary state. */
+  def hashEmbed(docs: DataFrame, dim: Int = 64,
+                textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    require(dim > 0, s"embedding dim must be positive: $dim")
+    val th = docs.select(col(idCol),
+      explode(graft.functions.ShingleHashesAll(col(textCol), 1)).as("h"))
+    val cnt = th
+      .groupBy(col(idCol), pmod(col("h"), lit(dim.toLong)).as("dim"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(idCol))
+    cnt
+      .withColumn("ss", sum(col("c") * col("c")).over(w))
+      .select(col(idCol), col("dim"),
+        (col("c").cast("double") / sqrt(col("ss").cast("double"))).as("w"))
+  }
 }

@@ -371,6 +371,18 @@ class PlanSpec extends AnyFunSuite {
            !p.contains("BroadcastNestedLoopJoin"), s"quadratic join:\n$p")
   }
 
+  test("x59 hash embeddings: native hash expr, partial-agged counts, " +
+       "one window for the norm — two exchanges, no join") {
+    val p = executed("x59_hash_embed").toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected (doc,dim) agg + doc window ($exchanges):\n$p")
+    assert(p.contains("shingle_hashes_all") || p.contains("ShingleHashesAll") ||
+           p.contains("shinglehashesall"),
+      s"token hashing not the native expression:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"norm computed via a join instead of the window:\n$p")
+  }
+
   test("x58 image dedup: banded pairs + anti-join, nothing quadratic") {
     val p = executed("x58_dedup_images").toString
     assert(!p.contains("CartesianProduct") &&

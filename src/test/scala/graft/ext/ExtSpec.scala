@@ -1025,6 +1025,29 @@ class ExtSpec extends AnyFunSuite {
     assert(kept.contains(3L) && kept.contains(5L)) // non-dups survive
   }
 
+  test("hash embeddings: dims from the repo hash family, exact L2 norm") {
+    val r = Similarity.hashEmbed(docs, dim = 64).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2))
+      .toMap
+    // replay directly through the same hash kernel
+    for ((id, text) <- docs.collect().map(x => (x.getLong(0), x.getString(1)))) {
+      val hs = graft.functions.ShingleHashes.shingleHashesAll(text, 1)
+      val cnt = hs.groupBy(h => java.lang.Math.floorMod(h, 64L))
+        .view.mapValues(_.length.toLong).toMap
+      val ss = cnt.values.map(c => c * c).sum
+      for ((d, c) <- cnt)
+        assert(r((id, d)) == c.toDouble / math.sqrt(ss.toDouble),
+          s"doc $id dim $d")
+      // unit L2 norm (up to float rounding); toSeq — a Set.map would
+      // collapse the equal w² of count-1 dims
+      val norm = cnt.keys.toSeq.map(d => r((id, d)) * r((id, d))).sum
+      assert(math.abs(norm - 1.0) < 1e-12)
+    }
+    // identical docs (1 and 4) → identical vectors
+    assert(r.collect { case ((1L, d), w) => d -> w }.toMap ==
+           r.collect { case ((4L, d), w) => d -> w }.toMap)
+  }
+
   test("bigram LM score: closed-form smoothed inverse probabilities") {
     val tiny = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c c"))
       .toDF("doc_id", "text")
