@@ -1087,7 +1087,14 @@ object SparkEntry {
     // feature-hashed 64-dim document embeddings (sparse rows), the
     // engine's own text→vector path: mix64∘fnv dims, exact L2 norm
     "x59_hash_embed" -> ((s, d) =>
-      ext.Similarity.hashEmbed(t(s, d, "documents"), dim = 64))
+      ext.Similarity.hashEmbed(t(s, d, "documents"), dim = 64)),
+
+    // free-text retrieval over the hashed vectors: query weights ride
+    // as a literal map, sparse dot folds in dim order, top-10 on the
+    // (score DESC, doc_id) total order
+    "x60_hash_ann" -> ((s, d) =>
+      ext.Similarity.hashAnnTopK(t(s, d, "documents"), HashAnnQuery,
+        k = 10, dim = 64))
   )
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
@@ -1118,6 +1125,47 @@ object SparkEntry {
 
   private val Mix64C1 = BigInt("BF58476D1CE4E5B9", 16)
   private val Mix64C2 = BigInt("94D049BB133111EB", 16)
+
+  /** The x60 retrieval query text (shared by the Spark query and the
+    * oracle's literal-weight construction). */
+  private val HashAnnQuery = "spark query table join fast"
+
+  /** Shared CTE chain for the x59/x60 oracles — the hashing-trick
+    * embedding rebuilt from scratch: per-token FNV-1a (the x3 char
+    * fold), the x22 mix64 chain, signed floor-mod dims, exact integer
+    * Σc², one correctly-rounded sqrt per doc →
+    * `emb(doc_id, dim BIGINT, w DOUBLE)`. */
+  private val hashEmbedCtes: String = {
+    val M = "18446744073709551616::HUGEINT"
+    s"""tok AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |                             t -> length(t) > 0) AS ts
+       |  FROM documents),
+       |th AS (
+       |  SELECT doc_id, unnest(list_transform(ts, t ->
+       |    list_reduce(
+       |      list_prepend(14695981039346656037::HUGEINT,
+       |        list_transform(range(1, length(t) + 1), i ->
+       |          unicode(substr(t, CAST(i AS INTEGER), 1))::HUGEINT)),
+       |      (h, c) -> ((xor(h, c) * 1099511628211::HUGEINT) % $M
+       |                 * 1099511628211::HUGEINT) % $M))) AS f
+       |  FROM tok),
+       |z1 AS (SELECT doc_id, ${mulmodSql("xor(f, f // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM th),
+       |z2 AS (SELECT doc_id, ${mulmodSql("xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM z1),
+       |zf AS (SELECT doc_id, xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM z2),
+       |sgn AS (SELECT doc_id,
+       |          CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+       |                    THEN uh - 18446744073709551616::HUGEINT
+       |                    ELSE uh END AS BIGINT) AS sh FROM zf),
+       |cnt AS (SELECT doc_id, ((sh % 64) + 64) % 64 AS dim,
+       |               COUNT(*) AS c
+       |        FROM sgn GROUP BY doc_id, ((sh % 64) + 64) % 64),
+       |nrm AS (SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS ss
+       |        FROM cnt GROUP BY doc_id),
+       |emb AS (SELECT c.doc_id, CAST(c.dim AS BIGINT) AS dim,
+       |               c.c / sqrt(CAST(n.ss AS DOUBLE)) AS w
+       |        FROM cnt c JOIN nrm n USING (doc_id))""".stripMargin
+  }
 
   /** Shared CTE prefix for the x49/x50 oracles: the media payload is an
     * 8×8 gray PNG whose 64 samples are the doc's first 64 ASCII bytes
@@ -2883,36 +2931,25 @@ object SparkEntry {
     // x59 — the hashing-trick embedding replayed: per-token FNV-1a (the
     // x3 char fold), the x22 mix64 chain, signed floor-mod dims, exact
     // integer Σc², one correctly-rounded sqrt per doc
-    "x59_hash_embed" -> {
-      val M = "18446744073709551616::HUGEINT"
-      s"""WITH tok AS (
-           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                                      t -> length(t) > 0) AS ts
-           FROM documents),
-         th AS (
-           SELECT doc_id, unnest(list_transform(ts, t ->
-             list_reduce(
-               list_prepend(14695981039346656037::HUGEINT,
-                 list_transform(range(1, length(t) + 1), i ->
-                   unicode(substr(t, CAST(i AS INTEGER), 1))::HUGEINT)),
-               (h, c) -> ((xor(h, c) * 1099511628211::HUGEINT) % $M
-                          * 1099511628211::HUGEINT) % $M))) AS f
-           FROM tok),
-         z1 AS (SELECT doc_id, ${mulmodSql("xor(f, f // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM th),
-         z2 AS (SELECT doc_id, ${mulmodSql("xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM z1),
-         zf AS (SELECT doc_id, xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM z2),
-         sgn AS (SELECT doc_id,
-                   CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
-                             THEN uh - 18446744073709551616::HUGEINT
-                             ELSE uh END AS BIGINT) AS sh FROM zf),
-         cnt AS (SELECT doc_id, ((sh % 64) + 64) % 64 AS dim,
-                        COUNT(*) AS c
-                 FROM sgn GROUP BY doc_id, ((sh % 64) + 64) % 64),
-         nrm AS (SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS ss
-                 FROM cnt GROUP BY doc_id)
-         SELECT c.doc_id, CAST(c.dim AS BIGINT) AS dim,
-                c.c / sqrt(CAST(n.ss AS DOUBLE)) AS w
-         FROM cnt c JOIN nrm n USING (doc_id)""".stripMargin
+    "x59_hash_embed" ->
+      s"WITH $hashEmbedCtes SELECT doc_id, dim, w FROM emb",
+
+    // x60 — retrieval over the same rebuilt vectors: the query's weights
+    // are pasted as literals (the x6 hyperplane convention; the kernel is
+    // replayed driver-side by Similarity.queryWeights), the sparse dot
+    // folds in dim order, the cut is the (score DESC, doc_id) total order
+    "x60_hash_ann" -> {
+      val qw = ext.Similarity.queryWeights(HashAnnQuery, 64).toSeq.sortBy(_._1)
+      val whens = qw.map { case (d, w) => s"WHEN $d THEN $w" }.mkString(" ")
+      val dims = qw.map(_._1).mkString(", ")
+      s"""WITH $hashEmbedCtes,
+         prod AS (SELECT doc_id, dim,
+                         w * (CASE dim $whens ELSE 0 END) AS p
+                  FROM emb WHERE dim IN ($dims))
+         SELECT doc_id,
+                list_reduce(list(p ORDER BY dim), (a, b) -> a + b) AS score
+         FROM prod GROUP BY doc_id
+         ORDER BY score DESC, doc_id LIMIT 10"""
     },
 
     // x58 — the image dedup product replayed end-to-end: the rebuilt

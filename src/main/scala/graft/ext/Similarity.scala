@@ -330,4 +330,43 @@ object Similarity {
       .select(col(idCol), col("dim"),
         (col("c").cast("double") / sqrt(col("ss").cast("double"))).as("w"))
   }
+
+  /** Top-k retrieval over the [[hashEmbed]] vectors for a free-text
+    * query — the composition that makes the hashed embeddings USEFUL
+    * without precomputed vectors: the query hashes driver-side through
+    * the same kernel into a ≤dim-entry literal weight map that rides
+    * into the scan (no join for the query side), each doc's cosine is
+    * the sparse dot product of its rows against the map, folded in dim
+    * order so the double sum is bit-exact across partitionings (the
+    * DotFold discipline), and the cut is a TakeOrderedAndProject on the
+    * (score DESC, doc_id) total order. Both vectors are unit-L2, so the
+    * dot IS the cosine. */
+  def hashAnnTopK(docs: DataFrame, queryText: String, k: Int = 10,
+                  dim: Int = 64, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val qw = queryWeights(queryText, dim)
+    require(qw.nonEmpty, "query text has no tokens")
+    val emb = hashEmbed(docs, dim, textCol, idCol)
+    val qCol = coalesce(element_at(typedLit(qw), col("dim")), lit(0.0))
+    emb
+      .withColumn("p", col("w") * qCol)
+      .filter(col("p") =!= 0.0) // dims the query does not touch
+      .groupBy(col(idCol))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("dim"), col("p")))),
+        lit(0.0), (acc, x) => acc + x.getField("p")).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Driver-side replay of the [[hashEmbed]] kernel for a query string:
+    * dim → L2-normalized weight (exact integer counts, one sqrt). */
+  def queryWeights(queryText: String, dim: Int): Map[Long, Double] = {
+    val qh = graft.functions.ShingleHashes.shingleHashesAll(queryText, 1)
+    val qcnt = qh.groupBy(h => java.lang.Math.floorMod(h, dim.toLong))
+      .view.mapValues(_.length.toLong).toMap
+    val qnorm = math.sqrt(qcnt.values.map(c => c * c).sum.toDouble)
+    qcnt.map { case (d, c) => d -> c.toDouble / qnorm }
+  }
 }

@@ -383,6 +383,13 @@ class PlanSpec extends AnyFunSuite {
       s"norm computed via a join instead of the window:\n$p")
   }
 
+  test("x60 hash ANN: query weights ride as a literal (no join for the " +
+       "query side), top-k without a global sort") {
+    val p = executed("x60_hash_ann").toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-k is a full sort:\n$p")
+    assert(!p.contains("Join"), s"query side joined instead of literal:\n$p")
+  }
+
   test("x58 image dedup: banded pairs + anti-join, nothing quadratic") {
     val p = executed("x58_dedup_images").toString
     assert(!p.contains("CartesianProduct") &&

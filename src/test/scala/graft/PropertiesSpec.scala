@@ -299,4 +299,60 @@ class PropertiesSpec extends AnyFunSuite {
       assert(viaExpr == fpLocal(toks))
     }
   }
+
+  test("chunking with overlap=0 partitions the token stream exactly") {
+    val word = Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)
+    val texts = Gen.listOfN(4, Gen.chooseNum(0, 23).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" "))))
+    forAll(texts, Gen.chooseNum(1, 7)) { (ts, size) =>
+      val docs = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val chunks = ext.Curation.chunkDocs(docs, size, overlap = 0)
+        .orderBy("doc_id", "chunk_idx").collect()
+      // disjoint chunks re-join to the original token stream, and every
+      // chunk except the last is exactly `size` tokens
+      for ((t, i) <- ts.zipWithIndex) {
+        val mine = chunks.filter(_.getLong(0) == i.toLong)
+        val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+        assert(mine.flatMap(_.getString(3).split(" ").filter(_.nonEmpty))
+          .toSeq == toks, s"doc $i loses tokens")
+        mine.dropRight(1).foreach(c => assert(c.getInt(2) == size))
+        assert(mine.map(_.getInt(2)).sum == toks.length)
+      }
+    }
+  }
+
+  test("perceptual hash: deterministic through the codec, and invariant " +
+       "under a global brightness shift") {
+    val pixels = Gen.listOfN(64, Gen.chooseNum(0, 200))
+    forAll(Gen.zip(pixels, Gen.chooseNum(1, 55)), trials = 6) { case (ps, shift) =>
+      def hashOf(px: Seq[Int]): (Long, Long, Long) = {
+        val media = Seq((1L, "image",
+          ext.Multimodal.ImageCodec.encodeGrayPng(
+            px.map(_.toByte).toArray, 8, 8))).toDF("media_id", "kind", "payload")
+        val r = ext.Multimodal.imageHashes(media).head
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      val h0 = hashOf(ps)
+      assert(h0 == hashOf(ps)) // encode→decode→hash is deterministic
+      // +c to every pixel (no clamping): every pairwise comparison and
+      // the exact above-mean test are preserved — both hashes identical,
+      // the property that makes them PERCEPTUAL (re-exposed copies of an
+      // image collide at distance 0)
+      assert(hashOf(ps.map(_ + shift)) == h0)
+    }
+  }
+
+  test("PPS sampling: scaling the expected size only ever grows the set") {
+    val weights = Gen.listOfN(12, Gen.chooseNum(1, 500))
+    forAll(weights) { ws =>
+      val docs = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "w")
+      def pick(k: Int) = ext.Curation.ppsSample(docs, "w", k)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val s2 = pick(2); val s5 = pick(5); val s20 = pick(20)
+      // nested thresholds: floorMod(h, W) < k·w is monotone in k
+      assert(s2.subsetOf(s5) && s5.subsetOf(s20))
+    }
+  }
 }

@@ -1048,6 +1048,28 @@ class ExtSpec extends AnyFunSuite {
            r.collect { case ((4L, d), w) => d -> w }.toMap)
   }
 
+  test("hash ANN: engine top-k equals the driver-side replay, fold-exact") {
+    val query = "the quick fox and spark data"
+    val got = Similarity.hashAnnTopK(docs, query, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // replay: sparse dot of unit vectors, folded in dim order from 0.0
+    val qw = Similarity.queryWeights(query, 64)
+    val expect = docs.collect().map { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val hs = graft.functions.ShingleHashes.shingleHashesAll(text, 1)
+      val cnt = hs.groupBy(h => java.lang.Math.floorMod(h, 64L))
+        .view.mapValues(_.length.toLong).toMap
+      val norm = math.sqrt(cnt.values.map(c => c * c).sum.toDouble)
+      val score = cnt.toSeq.sortBy(_._1)
+        .collect { case (d, c) if qw.contains(d) =>
+          (c.toDouble / norm) * qw(d) }
+        .foldLeft(0.0)(_ + _)
+      (id, score)
+    }.filter(_._2 != 0.0).sortBy { case (id, s) => (-s, id) }.take(5)
+    assert(got.toSeq == expect.toSeq, s"got=${got.toSeq}\nexpect=${expect.toSeq}")
+    assert(got.nonEmpty)
+  }
+
   test("bigram LM score: closed-form smoothed inverse probabilities") {
     val tiny = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c c"))
       .toDF("doc_id", "text")
