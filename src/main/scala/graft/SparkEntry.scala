@@ -2879,7 +2879,8 @@ object SparkEntry {
           sgn AS (SELECT *, CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
                                       THEN uh - 18446744073709551616::HUGEINT
                                       ELSE uh END AS BIGINT) AS sh FROM m3),
-          wt AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS w_total FROM documents)
+          wt AS (SELECT GREATEST(1, CAST(SUM(n_chars) AS BIGINT)) AS w_total
+                 FROM documents)
           SELECT doc_id, lang, source, n_chars
           FROM sgn, wt
           WHERE ((sh % w_total) + w_total) % w_total

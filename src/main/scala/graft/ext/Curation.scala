@@ -259,8 +259,10 @@ object Curation {
   def ppsSample(docs: DataFrame, weightCol: String, expected: Int,
                 idCol: String = "doc_id"): DataFrame = {
     require(expected > 0, s"expected sample size must be positive: $expected")
+    // greatest(1): an all-zero-weight corpus must yield the empty sample
+    // (nothing satisfies floorMod < 0), not an ANSI divide-by-zero in pmod
     val total = docs.agg(
-      sum(col(weightCol).cast("long")).as("pps_w_total"))
+      greatest(lit(1L), sum(col(weightCol).cast("long"))).as("pps_w_total"))
     docs.crossJoin(broadcast(total))
       .filter(
         pmod(graft.functions.HashExprs.mix64_col(col(idCol)),

@@ -1106,6 +1106,11 @@ class ExtSpec extends AnyFunSuite {
     assert(s1 == expect)
   }
 
+  test("pps sample: an all-zero-weight corpus yields empty, not an error") {
+    val corpus = Seq((1L, 0), (2L, 0)).toDF("doc_id", "w")
+    assert(Curation.ppsSample(corpus, "w", 5).count() == 0)
+  }
+
   test("token-budget mix: under-budget strata pass whole, heavy strata cut") {
     val corpus = Seq(
       (1L, "en", "a b c"), (2L, "en", "d e"),                  // 5 tokens
