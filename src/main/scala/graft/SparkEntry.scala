@@ -1094,7 +1094,22 @@ object SparkEntry {
     // (score DESC, doc_id) total order
     "x60_hash_ann" -> ((s, d) =>
       ext.Similarity.hashAnnTopK(t(s, d, "documents"), HashAnnQuery,
-        k = 10, dim = 64))
+        k = 10, dim = 64)),
+
+    // end-to-end REAL acoustic-fingerprint path: docs → 16-bit PCM WAVs
+    // with closed-form samples → JDK decode → 64 energy-gradient sign
+    // bits over 65 frames (the audio dHash)
+    "x61_audio_fingerprint" -> ((s, d) =>
+      ext.Multimodal.audioFingerprints(
+        ext.Multimodal.audioFromTextDocs(t(s, d, "documents")))),
+
+    // audio near-dup: the same pigeonhole banding as images, exhaustive
+    // all-pairs oracle — the third member of the dedup triad
+    "x62_audio_neardup" -> ((s, d) =>
+      ext.Multimodal.audioNearDups(
+        ext.Multimodal.audioFingerprints(
+          ext.Multimodal.audioFromTextDocs(t(s, d, "documents"))),
+        maxDist = 3))
   )
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
@@ -1166,6 +1181,37 @@ object SparkEntry {
        |               c.c / sqrt(CAST(n.ss AS DOUBLE)) AS w
        |        FROM cnt c JOIN nrm n USING (doc_id))""".stripMargin
   }
+
+  /** Shared CTE chain for the x61/x62 oracles: the WAV payload's 16-bit
+    * PCM samples are the doc's first 200 ASCII bytes zero-padded
+    * (Multimodal.audioFromTextDocs; PCM round-trips losslessly), so the
+    * energy-envelope fingerprint rebuilds bit-by-bit from the text:
+    * 65 equal frames, exact integer Σ s² per frame, bit k set iff
+    * E(k+1) > E(k) → `af(doc_id, afp_hi, afp_lo)`. */
+  private val audioFpCtes: String =
+    """aud AS (
+      |  SELECT doc_id, list_transform(range(0, 200), i ->
+      |    CASE WHEN i < length(text)
+      |         THEN unicode(substr(text, CAST(i + 1 AS INTEGER), 1))
+      |         ELSE 0 END) AS s
+      |  FROM documents),
+      |en AS (
+      |  SELECT doc_id, list_transform(range(0, 65), k ->
+      |    list_sum(list_transform(
+      |      range(k * 200 // 65, (k + 1) * 200 // 65),
+      |      i -> s[CAST(i + 1 AS INTEGER)]::BIGINT * s[CAST(i + 1 AS INTEGER)]))) AS e
+      |  FROM aud),
+      |af AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(32, 64), k ->
+      |      CASE WHEN e[CAST(k + 2 AS INTEGER)] > e[CAST(k + 1 AS INTEGER)]
+      |           THEN 1::BIGINT << CAST(k - 32 AS INTEGER)
+      |           ELSE 0::BIGINT END)) AS BIGINT) AS afp_hi,
+      |    CAST(list_sum(list_transform(range(0, 32), k ->
+      |      CASE WHEN e[CAST(k + 2 AS INTEGER)] > e[CAST(k + 1 AS INTEGER)]
+      |           THEN 1::BIGINT << CAST(k AS INTEGER)
+      |           ELSE 0::BIGINT END)) AS BIGINT) AS afp_lo
+      |  FROM en)""".stripMargin
 
   /** Shared CTE prefix for the x49/x50 oracles: the media payload is an
     * 8×8 gray PNG whose 64 samples are the doc's first 64 ASCII bytes
@@ -2811,6 +2857,22 @@ object SparkEntry {
                 CAST(peak AS BIGINT) AS peak,
                 CAST(zc AS BIGINT) AS zero_crossings
          FROM agg""",
+
+    // x61 — the acoustic fingerprint rebuilt from the text bytes through
+    // exact integer frame energies
+    "x61_audio_fingerprint" ->
+      s"WITH $audioFpCtes SELECT doc_id AS media_id, afp_hi, afp_lo FROM af",
+
+    // x62 — exhaustive all-pairs Hamming search over the same rebuilt
+    // fingerprints (blocked ≡ exhaustive by the pigeonhole guarantee)
+    "x62_audio_neardup" ->
+      s"""WITH $audioFpCtes
+         SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+                CAST(bit_count(xor(a.afp_hi, b.afp_hi)) +
+                     bit_count(xor(a.afp_lo, b.afp_lo)) AS INTEGER) AS dist
+         FROM af a JOIN af b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.afp_hi, b.afp_hi)) +
+               bit_count(xor(a.afp_lo, b.afp_lo)) <= 3""",
 
     // x49 — both perceptual hashes rebuilt bit-by-bit from the text
     // characters (pixel i = byte i of the doc, zero-padded; PNG gray-8

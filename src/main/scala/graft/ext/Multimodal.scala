@@ -870,6 +870,89 @@ object Multimodal {
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
               col("dist"))
 
+  /** Build a text-derived audio table: each doc's first `n` UTF-8 bytes
+    * (zero-padded) become the 16-bit PCM samples of a REAL WAV — the
+    * audio twin of [[mediaFromDocs]]'s closed-form pixel definition, so
+    * fingerprint queries are oracle-checkable end-to-end through the
+    * codec, and duplicate documents yield byte-identical audio. */
+  def audioFromTextDocs(docs: DataFrame, n: Int = 200): DataFrame = {
+    val wavUdf = udf((text: String) => {
+      val bs = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
+      val samples = Array.tabulate(n)(i =>
+        if (i < bs.length) bs(i) & 0xFF else 0)
+      AudioCodec.encodeWavPcm16(samples, 8000)
+    })
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("audio").as("kind"),
+      wavUdf(col("text")).as("payload"),
+      struct(
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(8000).as("sample_rate"),
+        lit(null).cast("int").as("n_frames"),
+        lit("audio/wav").as("mime")).as("meta"))
+  }
+
+  /** Acoustic fingerprints over REAL decoded PCM — the audio-dedup
+    * primitive (the same clip re-encoded or re-exported keeps its energy
+    * envelope; byte-level dedup misses it, the envelope hash does not):
+    * the clip is cut into 65 equal frames, each frame's energy is the
+    * exact integer Σ s², and bit k is set iff `E(k+1) > E(k)` — 64
+    * energy-gradient sign bits (the audio analogue of dHash; the
+    * envelope SHAPE, invariant to uniform gain applied as an exact
+    * integer factor). Split into two unsigned 32-bit halves
+    * `afp_hi`/`afp_lo` so both stay positive BIGINTs.
+    *
+    * mapPartitions, no shuffle, non-WAV payloads drop; clips shorter
+    * than 65 samples yield well-defined (mostly-empty-frame) bits. */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("afp_hi", LongType, nullable = false),
+      StructField("afp_lo", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        AudioCodec.decodeWav(payload).map { pcm =>
+          val s = pcm.samples
+          val n = s.length
+          val e = Array.tabulate(65) { k =>
+            var sum = 0L
+            var i = k * n / 65
+            val end = (k + 1) * n / 65
+            while (i < end) { sum += s(i).toLong * s(i); i += 1 }
+            sum
+          }
+          var hi = 0L
+          var lo = 0L
+          var k = 0
+          while (k < 64) {
+            if (e(k + 1) > e(k)) {
+              if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k
+            }
+            k += 1
+          }
+          Row(r.getLong(0), hi, lo)
+        }
+      }
+    }(encoder)
+  }
+
+  /** Near-duplicate audio pairs by Hamming distance over the acoustic
+    * fingerprint — the audio member of the dedup triad (text shingles,
+    * image aHash, audio envelope), riding the same pigeonhole banding
+    * machinery as [[imageNearDups]]. Output: (media_a, media_b, dist). */
+  def audioNearDups(fps: DataFrame, maxDist: Int = 3): DataFrame =
+    Dedup.simhashNearDupsFromFp(
+      fps.select(col("media_id").as("doc_id"),
+        shiftleft(col("afp_hi"), 32).bitwiseOR(col("afp_lo"))
+          .as("simhash"))
+        .repartition(col("doc_id")),
+      maxDist)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+              col("dist"))
+
   /** End-to-end image-corpus dedup — the multimodal twin of
     * [[graft.ext.Dedup.dedupCorpus]]: perceptual-hash near-dup pairs
     * (banded, exact-verified) complete to duplicate CLUSTERS via

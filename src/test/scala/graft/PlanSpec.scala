@@ -390,6 +390,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"query side joined instead of literal:\n$p")
   }
 
+  test("x61/x62 audio fingerprints: decode in the scan stage; pair " +
+       "search is the banded equi-join, never all-pairs") {
+    val p61 = executed("x61_audio_fingerprint").toString
+    assert(!p61.contains("Exchange"), s"fingerprinting shuffles:\n$p61")
+    val p62 = executed("x62_audio_neardup").toString
+    assert(!p62.contains("CartesianProduct") &&
+           !p62.contains("BroadcastNestedLoopJoin"), s"quadratic join:\n$p62")
+  }
+
   test("x58 image dedup: banded pairs + anti-join, nothing quadratic") {
     val p = executed("x58_dedup_images").toString
     assert(!p.contains("CartesianProduct") &&

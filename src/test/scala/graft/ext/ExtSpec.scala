@@ -1017,6 +1017,56 @@ class ExtSpec extends AnyFunSuite {
     assert(got.exists { case (a, b, d) => a == 1L && b == 4L && d == 0 })
   }
 
+  /** Reference fingerprint straight from the sample definition (text
+    * byte i zero-padded to 200, 65 frames, integer energies). */
+  private def refAudioFp(text: String): (Long, Long) = {
+    val bs = text.getBytes("UTF-8")
+    val s = Array.tabulate(200)(i => if (i < bs.length) bs(i) & 0xFF else 0)
+    val e = Array.tabulate(65) { k =>
+      (k * 200 / 65 until (k + 1) * 200 / 65).map(i => s(i).toLong * s(i)).sum
+    }
+    var hi = 0L; var lo = 0L
+    for (k <- 0 until 64 if e(k + 1) > e(k))
+      if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k
+    (hi, lo)
+  }
+
+  test("audio fingerprints match the sample definition through the codec") {
+    val fps = Multimodal.audioFingerprints(
+        Multimodal.audioFromTextDocs(docs))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fps.size == 5)
+    for ((id, text) <- docs.collect().map(r => (r.getLong(0), r.getString(1))))
+      assert(fps(id) == refAudioFp(text), s"fingerprint mismatch for doc $id")
+    // identical audio (docs 1 and 4) → identical fingerprints
+    assert(fps(1L) == fps(4L))
+    // uniform gain (doubling every sample) preserves the envelope SHAPE
+    val doubled = Multimodal.AudioCodec.encodeWavPcm16(
+      Array.tabulate(200) { i =>
+        val bs = docs.head.getString(1).getBytes("UTF-8")
+        2 * (if (i < bs.length) bs(i) & 0xFF else 0)
+      }, 8000)
+    import spark.implicits._
+    val g = Multimodal.audioFingerprints(
+      Seq((9L, "audio", doubled)).toDF("media_id", "kind", "payload")).head
+    assert((g.getLong(1), g.getLong(2)) == fps(1L))
+  }
+
+  test("audio near-dup: banded search equals brute force, dups at zero") {
+    val fps = Multimodal.audioFingerprints(
+      Multimodal.audioFromTextDocs(docs))
+    val got = Multimodal.audioNearDups(fps, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hs = fps.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1) << 32) | r.getLong(2))).toMap
+    val brute = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got == brute, s"blocked=$got brute=$brute")
+    assert(got.exists { case (a, b, d) => a == 1L && b == 4L && d == 0 })
+  }
+
   test("image-corpus dedup: cluster completed, min-id representative kept") {
     // docs 1 and 4 are exact payload dups → one cluster {1, 4}, keep 1
     val kept = Multimodal.dedupImages(Multimodal.mediaFromDocs(docs))
