@@ -1109,7 +1109,14 @@ object SparkEntry {
       ext.Multimodal.audioNearDups(
         ext.Multimodal.audioFingerprints(
           ext.Multimodal.audioFromTextDocs(t(s, d, "documents"))),
-        maxDist = 3))
+        maxDist = 3)),
+
+    // cross-modal duplicate-consistency audit: text-dup vs image-dup
+    // pair sets merged with per-modality flags — mismatches are
+    // association-error candidates
+    "x63_crossmodal_audit" -> ((s, d) =>
+      ext.Multimodal.crossModalAudit(t(s, d, "documents"),
+        minJaccard = 0.4, maxDist = 3))
   )
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
@@ -2873,6 +2880,24 @@ object SparkEntry {
          FROM af a JOIN af b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.afp_hi, b.afp_hi)) +
                bit_count(xor(a.afp_lo, b.afp_lo)) <= 3""",
+
+    // x63 — both independently rebuilt pair sets (the x4 jaccard edges
+    // at 0.4, the x50 exhaustive aHash pairs) merged with the same
+    // full-outer flags
+    "x63_crossmodal_audit" ->
+      s"""WITH $jaccardEdgeCtes, $imageHashCtes,
+         ipairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM h a JOIN h b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.ahash_hi, b.ahash_hi)) +
+                 bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 3),
+         tpairs AS (SELECT doc_a, doc_b FROM edges)
+         SELECT COALESCE(t.doc_a, i.doc_a) AS doc_a,
+                COALESCE(t.doc_b, i.doc_b) AS doc_b,
+                t.doc_a IS NOT NULL AS text_dup,
+                i.doc_a IS NOT NULL AS image_dup
+         FROM tpairs t FULL OUTER JOIN ipairs i
+           ON t.doc_a = i.doc_a AND t.doc_b = i.doc_b""",
 
     // x49 — both perceptual hashes rebuilt bit-by-bit from the text
     // characters (pixel i = byte i of the doc, zero-padded; PNG gray-8

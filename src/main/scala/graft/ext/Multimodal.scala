@@ -970,6 +970,28 @@ object Multimodal {
     media.join(drop, Seq("media_id"), "left_anti")
   }
 
+  /** Cross-modal duplicate-consistency audit — the QA report a curation
+    * pipeline reads when a corpus carries more than one modality per
+    * document: the union of text near-dup pairs (exact-verified jaccard)
+    * and image near-dup pairs (perceptual hash), flagged per modality.
+    * A pair that is a text-dup but not an image-dup (or vice versa) is a
+    * labeling/association error candidate — same article re-crawled
+    * with a different lead image, or the same image attached to
+    * unrelated articles. Both pair sets are the proven banded shapes;
+    * the merge is one full-outer equi-join on the pair key. */
+  def crossModalAudit(docs: DataFrame, minJaccard: Double = 0.4,
+                      maxDist: Int = 3): DataFrame = {
+    val textPairs = Dedup.jaccardPairs(docs, shingleK = 3, minJaccard)
+      .select(col("doc_a"), col("doc_b"), lit(true).as("text_dup"))
+    val imagePairs = imageNearDups(imageHashes(mediaFromDocs(docs)), maxDist)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"),
+        lit(true).as("image_dup"))
+    textPairs.join(imagePairs, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("text_dup"), lit(false)).as("text_dup"),
+        coalesce(col("image_dup"), lit(false)).as("image_dup"))
+  }
+
   /** Resize pass — payload→payload, metadata updated in place. */
   def resizeAll(media: DataFrame, size: Int): DataFrame = {
     val resizeUdf = udf((p: Array[Byte]) => ImageCodec.resize(p, size))

@@ -399,6 +399,13 @@ class PlanSpec extends AnyFunSuite {
            !p62.contains("BroadcastNestedLoopJoin"), s"quadratic join:\n$p62")
   }
 
+  test("x63 cross-modal audit: both pair searches banded, merge is an " +
+       "equi-join — nothing quadratic") {
+    val p = executed("x63_crossmodal_audit").toString
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"), s"quadratic join:\n$p")
+  }
+
   test("x58 image dedup: banded pairs + anti-join, nothing quadratic") {
     val p = executed("x58_dedup_images").toString
     assert(!p.contains("CartesianProduct") &&

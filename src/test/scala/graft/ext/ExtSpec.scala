@@ -1067,6 +1067,24 @@ class ExtSpec extends AnyFunSuite {
     assert(got.exists { case (a, b, d) => a == 1L && b == 4L && d == 0 })
   }
 
+  test("cross-modal audit: flags agree with the standalone pair searches") {
+    val r = Multimodal.crossModalAudit(docs, minJaccard = 0.4, maxDist = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getBoolean(2), x.getBoolean(3))).toMap
+    val tp = Dedup.jaccardPairs(docs, shingleK = 3, minJaccard = 0.4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val ip = Multimodal.imageNearDups(
+        Multimodal.imageHashes(Multimodal.mediaFromDocs(docs)), 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r.keySet == (tp ++ ip) && r.nonEmpty)
+    for ((k, (t, i)) <- r) {
+      assert(t == tp.contains(k), s"text flag wrong for $k")
+      assert(i == ip.contains(k), s"image flag wrong for $k")
+    }
+    // docs 1 and 4 are exact dups in BOTH modalities
+    assert(r((1L, 4L)) == ((true, true)))
+  }
+
   test("image-corpus dedup: cluster completed, min-id representative kept") {
     // docs 1 and 4 are exact payload dups → one cluster {1, 4}, keep 1
     val kept = Multimodal.dedupImages(Multimodal.mediaFromDocs(docs))
