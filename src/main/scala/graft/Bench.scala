@@ -181,9 +181,11 @@ object Bench {
           Some(s"existing record is faster (${prevMin.get} s < ${fmt(total, 3)} s)")
         else None
       } catch { case _: Throwable => None }
-    if (keepReason.isDefined)
-      println(s"[bench] BENCH_DETAIL.json kept: ${keepReason.get}; " +
+    if (keepReason.isDefined) {
+      val verb = if (Files.exists(path)) "kept" else "not written"
+      println(s"[bench] BENCH_DETAIL.json $verb: ${keepReason.get}; " +
         "rerun with --force to overwrite")
+    }
     else
       try Files.writeString(path,
         detail.replaceFirst("\"diag\":\"bench_detail\",",

@@ -571,6 +571,7 @@ object Multimodal {
     * shape of [[sampleVideoFrames]] with the RIFF walk as the decoder;
     * mapPartitions, no shuffle, non-AVI payloads drop. */
   def sampleAviFrames(media: DataFrame, everyNth: Int): DataFrame = {
+    require(everyNth > 0, s"everyNth must be positive, got $everyNth")
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("frame_idx", IntegerType, nullable = false),
@@ -744,6 +745,7 @@ object Multimodal {
     * frames: every `everyNth` frame → (media_id, frame_idx, mean_lum).
     * mapPartitions (per-task codec init); undecodable payloads drop. */
   def sampleVideoFrames(media: DataFrame, everyNth: Int): DataFrame = {
+    require(everyNth > 0, s"everyNth must be positive, got $everyNth")
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("frame_idx", IntegerType, nullable = false),
@@ -1090,8 +1092,11 @@ object Multimodal {
         val typ = fourcc(b, p + 4)
         val (payload, end) =
           if (size32 == 1) {
-            // 64-bit largesize directly after the type
+            // 64-bit largesize directly after the type; reject sizes that
+            // cannot fit this payload rather than letting toInt wrap
             val big = (be32(b, p + 8) << 32) | be32(b, p + 12)
+            require(big >= 16 && big <= (hi - p).toLong,
+              s"mp4: largesize $big out of range at $p")
             (p + 16, p + big.toInt)
           } else if (size32 == 0) (p + 8, hi) // box extends to EOF
           else (p + 8, p + size32.toInt)
@@ -1291,8 +1296,10 @@ object Multimodal {
         var duration = 0.0
         var width = 0; var height = 0
         var vCodec = ""; var aCodec = ""
+        var sawSegment = false // EBML magic alone is not a WebM file
         elements(payload, 0, payload.length).foreach {
           case (0x18538067L, ss, se) => // Segment
+            sawSegment = true
             elements(payload, ss, se).foreach {
               case (0x1549A966L, is, ie) => // Info
                 elements(payload, is, ie).foreach {
@@ -1324,7 +1331,9 @@ object Multimodal {
             }
           case _ => ()
         }
-        Some(WebmMeta(duration * scale / 1e9, width, height, vCodec, aCodec))
+        if (sawSegment)
+          Some(WebmMeta(duration * scale / 1e9, width, height, vCodec, aCodec))
+        else None
       } catch { case scala.util.control.NonFatal(_) => None }
     }
 

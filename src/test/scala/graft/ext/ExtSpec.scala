@@ -426,6 +426,11 @@ class ExtSpec extends AnyFunSuite {
     val gif = Multimodal.VideoCodec.encodeAnimatedGifGray(
       Seq(Array.fill(64)(0.toByte)), 8, 8)
     assert(Mp4Probe.probe(gif).isEmpty)
+    // a 64-bit largesize that wraps Int (4 GiB + 16) must be rejected, not
+    // silently truncated into an empty in-bounds moov
+    val wrap = java.nio.ByteBuffer.allocate(16)
+      .putInt(1).put("moov".getBytes("US-ASCII")).putLong(0x100000010L).array()
+    assert(Mp4Probe.probe(wrap).isEmpty)
   }
 
   test("x47 pipeline: metadata flows from a real box walk, no shuffle") {
@@ -454,6 +459,10 @@ class ExtSpec extends AnyFunSuite {
     val mp4 = Multimodal.Mp4Probe.encodeMp4(1000, 1000, 320, 240,
       "avc1", "mp4a", 24)
     assert(EbmlProbe.probe(mp4).isEmpty)
+    // a bare EBML header with no Segment is junk, not a zero-valued WebM
+    val bareHeader = Array[Byte](0x1A, 0x45, 0xDF.toByte, 0xA3.toByte,
+      0x80.toByte)
+    assert(EbmlProbe.probe(bareHeader).isEmpty)
   }
 
   test("x48 pipeline: metadata flows from a real EBML walk, no shuffle") {
@@ -950,6 +959,9 @@ class ExtSpec extends AnyFunSuite {
       val want = (0 until 64).map(i => (id * 11 + k * 17 + i * 5) % 241).sum / 64.0
       assert(lum == want, s"doc $id frame $k")
     }
+    // everyNth must be validated on the driver, not explode in a task
+    intercept[IllegalArgumentException](Multimodal.sampleAviFrames(media, 0))
+    intercept[IllegalArgumentException](Multimodal.sampleVideoFrames(media, 0))
   }
 
   /** Reference perceptual hashes straight from the pixel definition (text
