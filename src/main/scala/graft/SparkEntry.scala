@@ -1116,7 +1116,18 @@ object SparkEntry {
     // association-error candidates
     "x63_crossmodal_audit" -> ((s, d) =>
       ext.Multimodal.crossModalAudit(t(s, d, "documents"),
-        minJaccard = 0.4, maxDist = 3))
+        minJaccard = 0.4, maxDist = 3)),
+
+    // count-min heavy hitters: ONE 32 KiB mergeable sketch pass (map-side
+    // partial arrays) + an exact census for validation; the estimate
+    // probes the LITERAL counter array — no join (the Bloom discipline)
+    "x64_cms_heavyhitters" -> ((s, d) => {
+      val keyed = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(explode(graft.functions.TokenSplit(col("text"))).as("token"))
+        .withColumn("h",
+          element_at(graft.functions.ShingleHashesAll(col("token"), 1), 1))
+      ext.Cms.heavyHitters(keyed, "token", "h", k = 20)
+    })
   )
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
@@ -1195,6 +1206,47 @@ object SparkEntry {
     * energy-envelope fingerprint rebuilds bit-by-bit from the text:
     * 65 equal frames, exact integer Σ s² per frame, bit k set iff
     * E(k+1) > E(k) → `af(doc_id, afp_hi, afp_lo)`. */
+  /** Shared CTE chain for the x64 oracle — the count-min sketch rebuilt
+    * from scratch, token-string-keyed: per-occurrence token rows, the
+    * same FNV fold + mix64 finalize as [[hashEmbedCtes]] →
+    * `tuh` (the unsigned ShingleHashesAll k=1 hash), then for sketch
+    * row i = 1..4 the splitmix64 probe stream `mix64(tuh + i·GOLDEN)`
+    * mod 1024 (the Bloom/Cms probe construction, each mix64 as the x22
+    * three-step replay) → `cells(t, cell1..cell4)` with one row per
+    * token OCCURRENCE, so `GROUP BY cellᵢ` sums are exactly the
+    * engine's counters. */
+  private val cmsCtes: String = {
+    val M = "18446744073709551616::HUGEINT"
+    val base =
+      s"""tokc AS (
+         |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                            t -> length(t) > 0)) AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |tf AS (
+         |  SELECT t,
+         |    list_reduce(
+         |      list_prepend(14695981039346656037::HUGEINT,
+         |        list_transform(range(1, length(t) + 1), i ->
+         |          unicode(substr(t, CAST(i AS INTEGER), 1))::HUGEINT)),
+         |      (h, c) -> ((xor(h, c) * 1099511628211::HUGEINT) % $M
+         |                 * 1099511628211::HUGEINT) % $M) AS f
+         |  FROM tokc),
+         |tz1 AS (SELECT t, ${mulmodSql("xor(f, f // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM tf),
+         |tz2 AS (SELECT t, ${mulmodSql("xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM tz1),
+         |tzf AS (SELECT t, xor(u2, u2 // 2147483648::HUGEINT) AS tuh FROM tz2)""".stripMargin
+    val rows = (1 to 4).flatMap { i =>
+      val g = java.lang.Long.toUnsignedString(i * ext.Cms.GOLDEN)
+      val src = if (i == 1) "tzf" else s"i${i - 1}d"
+      Seq(
+        s"i${i}a AS (SELECT *, (tuh + $g::HUGEINT) % $M AS v$i FROM $src)",
+        s"i${i}b AS (SELECT *, ${mulmodSql(s"xor(v$i, v$i // 1073741824::HUGEINT)", Mix64C1)} AS w$i FROM i${i}a)",
+        s"i${i}c AS (SELECT *, ${mulmodSql(s"xor(w$i, w$i // 134217728::HUGEINT)", Mix64C2)} AS x$i FROM i${i}b)",
+        s"i${i}d AS (SELECT *, xor(x$i, x$i // 2147483648::HUGEINT) % 1024 AS cell$i FROM i${i}c)")
+    }
+    base + ",\n" + rows.mkString(",\n") +
+      ",\ncells AS (SELECT t, cell1, cell2, cell3, cell4 FROM i4d)"
+  }
+
   private val audioFpCtes: String =
     """aud AS (
       |  SELECT doc_id, list_transform(range(0, 200), i ->
@@ -2898,6 +2950,34 @@ object SparkEntry {
                 i.doc_a IS NOT NULL AS image_dup
          FROM tpairs t FULL OUTER JOIN ipairs i
            ON t.doc_a = i.doc_a AND t.doc_b = i.doc_b""",
+
+    // x64 — the count-min sketch rebuilt counter-exact: per-occurrence
+    // cells from the replayed probe stream, GROUP BY cell sums ≡ the
+    // engine's counter array, estimate = LEAST over the four rows, and
+    // the same (count DESC, token) top-20 total order. CASTs route
+    // DuckDB's HUGEINT counts back to BIGINT (the sumSql discipline).
+    "x64_cms_heavyhitters" ->
+      s"""WITH $cmsCtes,
+         cnt1 AS (SELECT cell1 AS cell, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM cells GROUP BY cell1),
+         cnt2 AS (SELECT cell2 AS cell, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM cells GROUP BY cell2),
+         cnt3 AS (SELECT cell3 AS cell, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM cells GROUP BY cell3),
+         cnt4 AS (SELECT cell4 AS cell, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM cells GROUP BY cell4),
+         exact AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS exact_count
+                   FROM cells GROUP BY t
+                   ORDER BY exact_count DESC, t LIMIT 20),
+         tc AS (SELECT DISTINCT t, cell1, cell2, cell3, cell4 FROM cells)
+         SELECT e.t AS token, e.exact_count,
+                LEAST(c1.c, c2.c, c3.c, c4.c) AS cms_estimate
+         FROM exact e
+         JOIN tc ON tc.t = e.t
+         JOIN cnt1 c1 ON c1.cell = tc.cell1
+         JOIN cnt2 c2 ON c2.cell = tc.cell2
+         JOIN cnt3 c3 ON c3.cell = tc.cell3
+         JOIN cnt4 c4 ON c4.cell = tc.cell4""",
 
     // x49 — both perceptual hashes rebuilt bit-by-bit from the text
     // characters (pixel i = byte i of the doc, zero-padded; PNG gray-8

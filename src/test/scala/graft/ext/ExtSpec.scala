@@ -226,6 +226,50 @@ class ExtSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("CMS sketch: never underestimates, counts conserve, " +
+       "merge-order invariant") {
+    // key i·9973 occurs (i mod 7)+1 times — known multiplicities
+    val occs = (1 to 500).flatMap(i => Seq.fill(i % 7 + 1)(i.toLong * 9973L))
+    val keyed = occs.toDF("k")
+    val counters = Cms.build(keyed, "k", depth = 4, logWidth = 10)
+    val counters8 = Cms.build(keyed.repartition(8), "k", depth = 4, logWidth = 10)
+    assert(counters.sameElements(counters8)) // sum-merge order cannot matter
+    // every occurrence lands in exactly one cell per row
+    assert(counters.sum == occs.length.toLong * 4)
+    val exact = occs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = keyed.distinct()
+      .withColumn("est", Cms.estimate(counters, col("k"), 4, 10))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    got.foreach { case (k, est) =>
+      assert(est >= exact(k), s"CMS underestimated key $k: $est < ${exact(k)}")
+    }
+    // 500 distinct keys in 1024 cells: the deterministic layout happens to
+    // be collision-free in at least one of the 4 rows for most keys; the
+    // aggregate gap stays small (this pins the estimate actually reads the
+    // right cells — an off-by-one row/cell would inflate everything)
+    val totalGap = got.map { case (k, est) => est - exact(k) }.sum
+    assert(totalGap < occs.length / 2, s"collision mass too high: $totalGap")
+  }
+
+  test("CMS heavy hitters: top token exact, estimates bound counts, no join") {
+    val keyed = docs
+      .select(explode(graft.functions.TokenSplit(col("text"))).as("token"))
+      .withColumn("h",
+        element_at(graft.functions.ShingleHashesAll(col("token"), 1), 1))
+    val r = Cms.heavyHitters(keyed, "token", "h", k = 5)
+    val rows = r.collect()
+    assert(rows.length == 5)
+    // "the" appears 3x in docs 1, 2, 4 → 9, the corpus heavy hitter
+    assert(rows.head.getAs[String]("token") == "the")
+    assert(rows.head.getAs[Long]("exact_count") == 9L)
+    rows.foreach { row =>
+      assert(row.getAs[Long]("cms_estimate") >= row.getAs[Long]("exact_count"))
+    }
+    // the probe is a literal-array read — the plan must carry no join
+    assert(!r.queryExecution.executedPlan.toString.contains("Join"),
+      "CMS estimate must not join")
+  }
+
   test("HLL sketch: estimate near exact, merge-order invariant") {
     import org.apache.spark.sql.{functions => F, Encoders}
     val df = (1 to 2000).map(i => (i % 4, s"document number $i")).toDF("g", "text")
