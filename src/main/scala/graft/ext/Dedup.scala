@@ -289,13 +289,29 @@ object Dedup {
     * no edge-set `except` join. Throws if `maxIter` rounds do not
     * converge rather than returning a partial clustering.
     *
+    * ADAPTIVE small-graph path: dedup edge sets are bounded by actual
+    * duplication, not corpus size — a 100 TB crawl with 20 % near-dups
+    * yields an edge set orders of magnitude smaller than the corpus, and
+    * it is ALREADY materialized (the canonical-distinct exchange) before
+    * iteration starts, so its size is known for free. When it fits one
+    * task (`localEdgeThreshold` edges, ≤ ~hundreds of MB), the star
+    * rounds' ~8 × 4-stage shuffle schedule costs more than the graph is
+    * worth: a single-task union-find (the same AQE philosophy — re-plan
+    * on observed size) finishes in one narrow pass with the identical
+    * output. Above the threshold the O(log²)-round distributed
+    * contraction runs as before. Both paths emit the same (doc_id,
+    * rep_id = component-min) mapping — property-tested against each
+    * other.
+    *
     * Input: two long id columns (undirected; self-loops and duplicate /
     * reversed pairs tolerated). Output: `(doc_id, rep_id)` for EVERY node
     * appearing in the edge list, with `rep_id` = min doc_id of its
     * component (representatives map to themselves). */
   def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
                           dstCol: String = "doc_b",
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          localEdgeThreshold: Long = 4L * 1000 * 1000)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
     // canonical (u > v) undirected pairs
@@ -305,6 +321,39 @@ object Dedup {
       .where(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+
+    val nEdges = e.count()
+    if (nEdges <= localEdgeThreshold) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return e.select(col("u"), col("v")).as[(Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          // union-find with path compression; merging always roots the
+          // smaller id, so each tree root IS its component's min id
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) {
+              val nxt = parent(c); parent(c) = r; c = nxt
+            }
+            r
+          }
+          val nodes = scala.collection.mutable.ArrayBuffer.empty[Long]
+          it.foreach { case (u, v) =>
+            if (!parent.contains(u)) { parent(u) = u; nodes += u }
+            if (!parent.contains(v)) { parent(v) = v; nodes += v }
+            val ru = find(u); val rv = find(v)
+            if (ru != rv) {
+              if (ru < rv) parent(rv) = ru else parent(ru) = rv
+            }
+          }
+          nodes.iterator.map(n => (n, find(n)))
+        }
+        .toDF("doc_id", "rep_id")
+    }
 
     def checksum(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()

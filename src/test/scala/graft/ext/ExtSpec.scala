@@ -727,6 +727,33 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents local and distributed paths agree") {
+    // localEdgeThreshold = -1 forces the large/small-star rounds even on
+    // a small graph; the default threshold takes the single-task
+    // union-find path. Same random graphs through both → identical maps.
+    val rng = new scala.util.Random(23)
+    for (trial <- 1 to 2) {
+      val n = 30 + trial * 20
+      val edges = Seq.fill(n)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      val df = edges.toDF("doc_a", "doc_b")
+      val viaLocal = Dedup.connectedComponents(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaStars = Dedup.connectedComponents(df,
+          localEdgeThreshold = -1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaLocal == viaStars, s"trial $trial")
+      assert(viaLocal == unionFind(edges.filter(e => e._1 != e._2)),
+        s"trial $trial vs reference")
+    }
+    // chain through the distributed path: diameter 39 >> star rounds
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val gotChain = Dedup.connectedComponents(
+        chain.toDF("doc_a", "doc_b"), localEdgeThreshold = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotChain.size == 40 && gotChain.values.forall(_ == 1L))
+  }
+
   test("connectedComponents handles chains, cycles, and messy input") {
     // 40-node chain: diameter 39 >> the handful of star rounds — the
     // log-round contraction is what makes this converge, not luck
