@@ -15,17 +15,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw long nanos and convert
-    * to a microsecond timestamp with integer division — nanos-since-epoch
-    * (~1.7e18) exceeds double precision, so `DIV`, never `/`. Truncation
-    * toward zero matches how nano-timestamps round-trip through
-    * micro-precision engines. */
+  /** events.ts has shipped as either parquet TIMESTAMP(NANOS) or
+    * TIMESTAMP(MICROS) across testdata generations, so branch on the type
+    * Spark actually read rather than assuming one encoding:
+    *  - NANOS: Spark's vectorized reader rejects it ([PARQUET_TYPE_ILLEGAL]),
+    *    so `nanosAsLong` reads raw long nanos, converted with integer
+    *    division — nanos-since-epoch (~1.7e18) exceeds double precision, so
+    *    `DIV`, never `/`. Truncation toward zero matches how nano-timestamps
+    *    round-trip through micro-precision engines.
+    *  - MICROS (isAdjustedToUTC=false): arrives as TIMESTAMP_NTZ; cast to
+    *    TIMESTAMP so downstream time arithmetic sees one type. The session
+    *    timezone is pinned to UTC everywhere, so the cast is value-identity.
+    */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -80,18 +80,25 @@ class StreamingSpec extends AnyFunSuite {
 
   test("§2.9 streaming daily max equals the batch composite") {
 
-    // bounded file stream over the events table (nanos ts read as long,
-    // converted — same path as Tables.events)
+    // bounded file stream over the events table — same ts handling as
+    // Tables.events: branch the stream schema on the physical parquet
+    // type (long nanos in older testdata generations, TIMESTAMP_NTZ
+    // micros in newer ones) so the spec survives regeneration.
     val dir = "/root/testdata/sf0.001"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = graft.Tables(spark, dir, "events").schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    val stream = tsType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
 
     val agg = StreamingOps.dailyMaxStream(stream, "ts", Seq("event_type"), "value")
     val result = StreamingOps.runBounded(spark, agg, "daily_max_test")
