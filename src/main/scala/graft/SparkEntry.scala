@@ -1127,6 +1127,27 @@ object SparkEntry {
         .withColumn("h",
           element_at(graft.functions.ShingleHashesAll(col("token"), 1), 1))
       ext.Cms.heavyHitters(keyed, "token", "h", k = 20)
+    }),
+
+    // x65 — the PQ quantizer table: every vector's 8 subspace codes
+    // against the deterministic first-16 codebooks (Jégou et al. 2011).
+    // ONE narrow codegen'd map, zero shuffle — the stored form that
+    // compresses a 100 TB vector corpus 32× before ANN ever runs.
+    "x65_pq_codes" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      ext.Similarity.pqEncode(emb,
+        ext.Similarity.pqCodebooks(emb, m = 8, k = 16))
+    }),
+
+    // x66 — PQ ADC retrieval: the query's 8×16 distance table rides as
+    // literals, approx distance is 8 lookups + a fixed-order sum,
+    // rerank=50 TakeOrdered carries vectors into an exact cosine top-10
+    "x66_pq_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      ext.Similarity.annPq(emb, queryVector, 10, m = 8, nCent = 16,
+          rerank = 50)
+        .withColumn("adist", round(col("adist"), 6))
+        .withColumn("cos", round(col("cos"), 6))
     })
   )
 
@@ -1556,6 +1577,29 @@ object SparkEntry {
         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                  CAST(embedding AS DOUBLE[])))
            * sqrt(list_dot_product($q, $q))))"""
+  }
+
+  /** DuckDB mirror of the PQ quantizer (x65/x66): codebooks are the
+    * subspace slices of the first-16 vectors, assignment is the argmin of
+    * the identical three-dot squared distance d = <x,x> − 2<x,c> + <c,c>
+    * (sequential list_dot_product ≡ DotFold, the x17 convention), ties to
+    * the lower code. */
+  private def pqCtes: String = {
+    val m = 8; val k = 16; val dsub = 8
+    def sl(e: String) = s"list_slice($e, sub*$dsub + 1, sub*$dsub + $dsub)"
+    s"""pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pcent AS (SELECT vec_id AS cid, v AS cv FROM pe WHERE vec_id < $k),
+        psub AS (SELECT range AS sub FROM range($m)),
+        psd AS (SELECT pe.vec_id, psub.sub, pcent.cid,
+                       list_dot_product(${sl("pe.v")}, ${sl("pe.v")})
+                       - 2*list_dot_product(${sl("pe.v")}, ${sl("pcent.cv")})
+                       + list_dot_product(${sl("pcent.cv")}, ${sl("pcent.cv")}) AS d
+                FROM pe, psub, pcent),
+        pcodes AS (SELECT vec_id, sub, cid AS code FROM (
+                   SELECT vec_id, sub, cid,
+                          row_number() OVER (PARTITION BY vec_id, sub
+                                             ORDER BY d, cid) AS rn
+                   FROM psd) WHERE rn = 1)"""
   }
 
   // ----------------------------------------------------------------- oracle
@@ -2978,6 +3022,48 @@ object SparkEntry {
          JOIN cnt2 c2 ON c2.cell = tc.cell2
          JOIN cnt3 c3 ON c3.cell = tc.cell3
          JOIN cnt4 c4 ON c4.cell = tc.cell4""",
+
+    // x65 — the PQ quantizer replayed row-exact: per (vector, subspace)
+    // the argmin code over the 16 sliced centroids, pivoted wide. The
+    // squared distances compose the same three sequential dot folds on
+    // both engines, so assignment agrees bitwise, not just to tolerance.
+    "x65_pq_codes" ->
+      s"""WITH $pqCtes
+          SELECT vec_id,
+                 ${(0 until 8).map(s =>
+                   s"MAX(CASE WHEN sub = $s THEN code END) AS code_$s")
+                   .mkString(", ")}
+          FROM pcodes GROUP BY vec_id""",
+
+    // x66 — ADC retrieval replayed: the query-to-centroid table is
+    // recomputed in SQL from the same slices (bit-equal to the literal
+    // table the engine ships), the 8-term approximate distance sums in
+    // the same left-to-right order, the rerank-50 cut is the (adist,
+    // vec_id) total order, and the final 10 re-rank by exact cosine.
+    "x66_pq_ann" -> {
+      val dsub = 8
+      val qsl = s"list_slice($queryVectorSql, sub*$dsub + 1, sub*$dsub + $dsub)"
+      val csl = s"list_slice(pcent.cv, sub*$dsub + 1, sub*$dsub + $dsub)"
+      s"""WITH $pqCtes,
+          ptab AS (SELECT psub.sub, pcent.cid,
+                          list_dot_product($qsl, $qsl)
+                          - 2*list_dot_product($qsl, $csl)
+                          + list_dot_product($csl, $csl) AS dq
+                   FROM psub, pcent),
+          padist AS (SELECT c.vec_id,
+                     ${(0 until 8).map(s =>
+                       s"MAX(CASE WHEN c.sub = $s THEN t.dq END) AS d_$s")
+                       .mkString(", ")}
+                     FROM pcodes c
+                     JOIN ptab t ON t.sub = c.sub AND t.cid = c.code
+                     GROUP BY c.vec_id),
+          pcand AS (SELECT vec_id,
+                           ${(0 until 8).map(s => s"d_$s").mkString(" + ")} AS adist
+                    FROM padist ORDER BY adist, vec_id LIMIT 50)
+          SELECT p.vec_id, round(p.adist, 6) AS adist, round($cosSql, 6) AS cos
+          FROM pcand p JOIN embeddings ON embeddings.vec_id = p.vec_id
+          ORDER BY $cosSql DESC, p.vec_id LIMIT 10"""
+    },
 
     // x49 — both perceptual hashes rebuilt bit-by-bit from the text
     // characters (pixel i = byte i of the doc, zero-padded; PNG gray-8

@@ -369,4 +369,199 @@ object Similarity {
     val qnorm = math.sqrt(qcnt.values.map(c => c * c).sum.toDouble)
     qcnt.map { case (d, c) => d -> c.toDouble / qnorm }
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (Jégou, Douze & Schmid, "Product Quantization
+  // for Nearest Neighbor Search", IEEE TPAMI 2011) — the embedding-
+  // compression ANN tier between IVF coarse pruning and exact re-rank.
+  // The D-dim space splits into `m` subspaces of D/m dims; each subspace
+  // gets its own `k`-entry codebook, and a vector is stored as m small
+  // codes (m bytes at k=256; here k=16 → m nibbles) instead of D floats
+  // — a 32×+ compression that is what makes billion-vector (100 TB)
+  // similarity search memory-feasible. Queries score candidates with an
+  // asymmetric-distance (ADC) table lookup: m adds per vector, no
+  // per-vector float math.
+  //
+  // Numeric discipline (the x17/x5 convention): every squared distance
+  // is composed from the SAME three in-order dot folds on both engines
+  // — d(x,c) = <x,x> − 2<x,c> + <c,c> with [[graft.functions.DotFold]]
+  // on the Spark side and DuckDB's sequential list_dot_product in the
+  // oracle — so code assignment (an argmin over those doubles, ties to
+  // the lower code) replays bit-exactly; reported distances round to 6.
+
+  /** Deterministic PQ codebooks: subspace slices of the first `k`
+    * vectors by id (the [[annIvf]] seed convention — engine-independent
+    * and oracle-checkable; production swaps in [[trainPqCodebooks]]
+    * without changing any downstream shape). Returns books[sub][cid] =
+    * centroid of length D/m, floats widened exactly to double. Only
+    * k×D doubles ever reach the driver — an index artifact, not data. */
+  def pqCodebooks(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val rows = embeddings.filter(col(idCol) < k).orderBy(col(idCol))
+      .select(col(vecCol)).collect()
+    require(rows.length == k,
+      s"need the first $k ids as seed centroids, got ${rows.length}")
+    val vecs = rows.map(_.getSeq[Any](0).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray)
+    val dim = vecs.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    Array.tabulate(m, k)((s, j) => vecs(j).slice(s * dsub, (s + 1) * dsub))
+  }
+
+  /** Per-subspace code columns for one vector column: code_s = argmin
+    * over the book of the squared L2 distance on the subspace slice,
+    * ties to the lower code (struct `least` is lexicographic). Pure
+    * codegen'd column algebra — encoding a corpus is one narrow map
+    * with zero shuffle, the shape that lets 100 TB of vectors compress
+    * in a single scan. The `<x,x>` term is constant across the k
+    * candidates of a subspace and Catalyst CSE evaluates it once. */
+  def pqCodeCols(vec: Column, books: Array[Array[Array[Double]]]): Seq[Column] =
+    books.indices.map { s =>
+      val dsub = books(s)(0).length
+      val sub = slice(vec, s * dsub + 1, dsub)
+      val xx = graft.functions.VectorExprs.dot_fold(sub, sub)
+      val cands = books(s).zipWithIndex.map { case (c, j) =>
+        val cc = c.foldLeft(0.0)((a, v) => a + v * v)
+        val xc = graft.functions.VectorExprs.dot_fold(sub, array(c.map(lit): _*))
+        struct((xx - lit(2.0) * xc + lit(cc)).as("d"), lit(j).as("cid"))
+      }
+      least(cands: _*).getField("cid")
+    }
+
+  /** PQ-encode a corpus: (id, code_0 … code_{m-1}). The stored form a
+    * production index persists — m small ints per vector in place of D
+    * floats. */
+  def pqEncode(embeddings: DataFrame, books: Array[Array[Array[Double]]],
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val codes = pqCodeCols(col(vecCol), books).zipWithIndex
+      .map { case (c, s) => c.as(s"code_$s") }
+    embeddings.select(col(idCol) +: codes: _*)
+  }
+
+  /** ADC top-k: the query's m×k distance table is computed driver-side
+    * (in-order folds over the same doubles the encoder used) and rides
+    * into the scan as literal arrays; each vector's approximate distance
+    * is m table lookups summed left-to-right (a fixed-order chain —
+    * Catalyst only re-associates integral Adds, so the double sum stays
+    * sequential and oracle-exact). The best `rerank` candidates by
+    * (adist, id) — a TakeOrderedAndProject, no full sort — carry their
+    * vectors along and re-rank by exact cosine for the final k.
+    *
+    * 100 TB posture: the scan-side state is the literal table (m×k
+    * doubles); against a STORED code table ([[pqEncode]] output) the
+    * same query plan never touches a raw vector until the `rerank`-row
+    * re-rank join. */
+  def annPq(embeddings: DataFrame, q: Array[Double], k: Int,
+            m: Int = 8, nCent: Int = 16, rerank: Int = 50,
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val books = pqCodebooks(embeddings, m, nCent, idCol, vecCol)
+    annPqWithBooks(embeddings, books, q, k, rerank, idCol, vecCol)
+  }
+
+  /** [[annPq]] against explicit codebooks — shared by the deterministic
+    * (oracle-checked) and [[trainPqCodebooks]]-trained variants. */
+  def annPqWithBooks(embeddings: DataFrame, books: Array[Array[Array[Double]]],
+                     q: Array[Double], k: Int, rerank: Int = 50,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && rerank >= k, s"need rerank >= k > 0, got k=$k rerank=$rerank")
+    val dsub = books(0)(0).length
+    val tables: Seq[Seq[Double]] = books.indices.map { s =>
+      val qs = q.slice(s * dsub, (s + 1) * dsub)
+      val qq = qs.foldLeft(0.0)((a, v) => a + v * v)
+      books(s).toSeq.map { c =>
+        val qc = qs.indices.foldLeft(0.0)((a, i) => a + qs(i) * c(i))
+        val cc = c.foldLeft(0.0)((a, v) => a + v * v)
+        qq - 2.0 * qc + cc
+      }
+    }
+    val adist = pqCodeCols(col(vecCol), books).zipWithIndex.map { case (cc, s) =>
+      element_at(typedLit(tables(s)), cc + 1)
+    }.reduce(_ + _)
+    embeddings
+      .select(col(idCol), col(vecCol), adist.as("adist"))
+      .orderBy(col("adist"), col(idCol)).limit(rerank)
+      .select(col(idCol), col("adist"),
+        cosineLiteral(col(vecCol), q).as("cos"))
+      .orderBy(desc("cos"), col(idCol)).limit(k)
+  }
+
+  /** Mean total quantization distortion of a codebook set over the
+    * corpus — Σ over subspaces of the distance to the chosen centroid,
+    * averaged over vectors. The training objective; lets specs assert
+    * trained books beat the deterministic seed. */
+  def pqDistortion(embeddings: DataFrame, books: Array[Array[Array[Double]]],
+                   vecCol: String = "embedding"): Double = {
+    val perSub = books.indices.map { s =>
+      val dsub = books(s)(0).length
+      val sub = slice(col(vecCol), s * dsub + 1, dsub)
+      val xx = graft.functions.VectorExprs.dot_fold(sub, sub)
+      val cands = books(s).zipWithIndex.map { case (c, j) =>
+        val cc = c.foldLeft(0.0)((a, v) => a + v * v)
+        val xc = graft.functions.VectorExprs.dot_fold(sub, array(c.map(lit): _*))
+        struct((xx - lit(2.0) * xc + lit(cc)).as("d"), lit(j).as("cid"))
+      }
+      least(cands: _*).getField("d")
+    }.reduce(_ + _)
+    embeddings.select(perSub.as("d")).agg(avg(col("d"))).head().getDouble(0)
+  }
+
+  /** Lloyd-trained PQ codebooks, seeded from [[pqCodebooks]]. ALL
+    * subspaces train in the same pass: each iteration explodes every
+    * vector into its m subspace slices once, assigns against the
+    * broadcast (sub, cid, cvec) book table with the same three-fold
+    * squared distance, and re-means via posexplode + partial+final hash
+    * agg — the shuffle carries only m×k×dsub×nPartitions partial rows
+    * regardless of corpus size, and only the m×k×dsub means reach the
+    * driver per iteration (to rebroadcast). Empty cells keep their
+    * previous centroid. Deterministic end to end: seed order, argmin
+    * tiebreak (lower cid), decimal-routed means. */
+  def trainPqCodebooks(embeddings: DataFrame, m: Int = 8, k: Int = 16,
+                       iters: Int = 3, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    var books = pqCodebooks(embeddings, m, k, idCol, vecCol)
+    val dsub = books(0)(0).length
+    val subs = embeddings.select(col(idCol),
+        explode(array(books.indices.map(s =>
+          struct(lit(s).as("sub"),
+            slice(col(vecCol), s * dsub + 1, dsub).cast("array<double>")
+              .as("svec"))): _*)).as("e"))
+      .select(col(idCol), col("e.sub").as("sub"), col("e.svec").as("svec"))
+    for (_ <- 0 until iters) {
+      val bookDf = books.zipWithIndex.flatMap { case (bk, s) =>
+        bk.zipWithIndex.map { case (c, j) => (s, j.toLong, c.toSeq) }
+      }.toSeq.toDF("sub", "cid", "cvec")
+      val assigned = subs.join(broadcast(bookDf), "sub")
+        .withColumn("d",
+          graft.functions.VectorExprs.dot_fold(col("svec"), col("svec"))
+            - lit(2.0) * graft.functions.VectorExprs.dot_fold(col("svec"), col("cvec"))
+            + graft.functions.VectorExprs.dot_fold(col("cvec"), col("cvec")))
+        .groupBy(col(idCol), col("sub"))
+        .agg(min(struct(col("d"), col("cid"))).as("best"),
+             first(col("svec")).as("svec"))
+        .select(col("sub"), col("best.cid").as("cid"), col("svec"))
+      val parts = assigned
+        .select(col("sub"), col("cid"),
+          posexplode(col("svec")).as(Seq("pos", "v")))
+        .groupBy("sub", "cid", "pos")
+        .agg(graft.ops.Stable.sumD(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      parts.groupBy(r => (r.getInt(0), r.getLong(1))).foreach {
+        case ((s, cid), rs) =>
+          val mean = new Array[Double](dsub)
+          rs.foreach(r => mean(r.getInt(2)) = r.getDouble(3) / r.getLong(4))
+          next(s)(cid.toInt) = mean
+      }
+      books = next
+    }
+    books
+  }
 }

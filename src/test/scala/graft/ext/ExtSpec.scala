@@ -162,6 +162,76 @@ class ExtSpec extends AnyFunSuite {
     assert(c1.zip(c2).forall { case (x, y) => x.sameElements(y) })
   }
 
+  test("PQ encode equals the brute-force subspace argmin") {
+    val rnd = new scala.util.Random(13)
+    val df = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(df, m = 4, k = 4)
+    // driver-side reference with the same fold math (floats widened once)
+    def refCodes(v: Array[Double]): Seq[Int] = books.indices.map { s =>
+      val dsub = books(s)(0).length
+      val sub = v.slice(s * dsub, (s + 1) * dsub)
+      val xx = sub.foldLeft(0.0)((a, x) => a + x * x)
+      books(s).zipWithIndex.map { case (c, j) =>
+        val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+        val xc = sub.indices.foldLeft(0.0)((a, i) => a + sub(i) * c(i))
+        (xx - 2.0 * xc + cc, j)
+      }.min._2
+    }
+    val got = Similarity.pqEncode(df, books).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getInt)).toMap
+    val raw = df.collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    raw.foreach { case (id, v) =>
+      assert(got(id) == refCodes(v), s"vec $id")
+    }
+    // self-consistency: a vector that IS a centroid row encodes to itself
+    // in every subspace (distance 0 beats all, ties to the lower code)
+    (0L until 4L).foreach { id =>
+      assert(got(id) == Seq.fill(4)(id.toInt), s"centroid $id")
+    }
+  }
+
+  test("PQ ADC: rerank over everything equals brute force; distortion sane") {
+    val rnd = new scala.util.Random(17)
+    val df = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = Array.fill(8)(rnd.nextGaussian())
+    val brute = Similarity.topKCosine(df, q, 5).collect().map(_.getLong(0)).toSeq
+    // rerank = n: every vector reaches the exact re-rank → identical top-k
+    val all = Similarity.annPq(df, q, 5, m = 4, nCent = 4, rerank = 40)
+      .collect().map(_.getLong(0)).toSeq
+    assert(all == brute)
+    // small rerank still returns k rows from the corpus
+    val narrow = Similarity.annPq(df, q, 5, m = 4, nCent = 4, rerank = 10)
+      .collect().map(_.getLong(0))
+    assert(narrow.length == 5 && narrow.toSet.subsetOf((0L until 40L).toSet))
+  }
+
+  test("PQ training: distortion non-increasing, deterministic, shape-stable") {
+    // adversarial seed layout (the IVF spec's trick): all 4 seed ids in
+    // cluster A, so the untrained books quantize cluster B poorly
+    def jitter(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (v, d) => v + 0.01f * ((i + d) % 5) }
+    val a = Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)
+    val b = Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f)
+    val vecs = (0L until 20L).map(i => (i, jitter(a, i.toInt))) ++
+               (20L until 40L).map(i => (i, jitter(b, i.toInt)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val seed = Similarity.pqCodebooks(df, m = 2, k = 4)
+    val trained = Similarity.trainPqCodebooks(df, m = 2, k = 4, iters = 3)
+    val d0 = Similarity.pqDistortion(df, seed)
+    val d1 = Similarity.pqDistortion(df, trained)
+    assert(d1 <= d0, s"trained distortion $d1 > seed $d0")
+    assert(d1 < d0 * 0.5, s"cluster B should get its own cells: $d1 vs $d0")
+    val t2 = Similarity.trainPqCodebooks(df, m = 2, k = 4, iters = 3)
+    assert(trained.zip(t2).forall { case (x, y) =>
+      x.zip(y).forall { case (u, v) => u.sameElements(v) } })
+    assert(trained.length == 2 && trained.forall(_.length == 4) &&
+      trained.forall(_.forall(_.length == 4)))
+  }
+
   test("embedding cosine near-dup via LSH buckets") {
 
     val vecs = Seq(
