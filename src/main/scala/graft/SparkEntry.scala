@@ -1148,7 +1148,20 @@ object SparkEntry {
           rerank = 50)
         .withColumn("adist", round(col("adist"), 6))
         .withColumn("cos", round(col("cos"), 6))
-    })
+    }),
+
+    // x67 — int8 scalar-quantization audit: per-vector scale, saturated
+    // lanes, exact reconstruction MSE (element-order residual fold);
+    // zero shuffle
+    "x67_int8_quant" -> ((s, d) =>
+      ext.Similarity.int8QuantAudit(t(s, d, "embeddings"))
+        .withColumn("q_scale", round(col("q_scale"), 9))
+        .withColumn("mse", round(col("mse"), 9))),
+
+    // x68 — the Gopher/MassiveText rule filter: five word-shape rules +
+    // conjunctive keep, all exact integer/boolean algebra; zero shuffle
+    "x68_gopher_rules" -> ((s, d) =>
+      ext.TextOps.gopherRules(t(s, d, "documents")))
   )
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
@@ -3064,6 +3077,72 @@ object SparkEntry {
           FROM pcand p JOIN embeddings ON embeddings.vec_id = p.vec_id
           ORDER BY $cosSql DESC, p.vec_id LIMIT 10"""
     },
+
+    // x67 — the int8 quantizer replayed: scale = list_max(|x|)/127,
+    // codes via TRUNC (Spark INT cast truncates, so TRUNC matches), the
+    // residual fold as one sequential list_dot_product. All-zero
+    // vectors short-circuit to (0, 0, 0) on both sides.
+    "x67_int8_quant" ->
+      """WITH qv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+          qs AS (SELECT vec_id, v,
+                        list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+                 FROM qv)
+          SELECT vec_id, round(s, 9) AS q_scale,
+                 CASE WHEN s = 0 THEN 0
+                      ELSE len(list_filter(v, x -> abs(trunc(x/s)) = 127.0))
+                 END AS n_sat,
+                 CASE WHEN s = 0 THEN 0.0
+                      ELSE round(list_dot_product(
+                             list_transform(v, x -> x - trunc(x/s)*s),
+                             list_transform(v, x -> x - trunc(x/s)*s))
+                           / len(v), 9)
+                 END AS mse
+          FROM qs""",
+
+    // x68 — the Gopher rule flags replayed: the same filtered lowercase
+    // tokenization as x9, integer char sums (CAST routes DuckDB's
+    // widened list_sum back to BIGINT), one IEEE division per ratio,
+    // per-stopword list_contains terms summed — every flag bit-equal,
+    // no rounding tolerance anywhere.
+    "x68_gopher_rules" ->
+      """WITH g0 AS (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> len(x) > 0) AS toks,
+                 length(text) - length(replace(text, '#', '')) AS n_hash,
+                 (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) // 3 AS n_ell
+               FROM documents),
+          g1 AS (SELECT doc_id, toks, n_hash, n_ell,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS tot_len,
+                 CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+                 (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END) AS sw_hits
+               FROM g0),
+          g2 AS (SELECT doc_id, n_words,
+                 CAST(tot_len AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS mean_word_len,
+                 CAST(n_hash + n_ell AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS symbol_ratio,
+                 CAST(n_alpha AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS alpha_frac,
+                 sw_hits,
+                 (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+                 (CAST(tot_len AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) >= 3.0
+                  AND CAST(tot_len AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) <= 10.0) AS r_mean_word_len,
+                 (CAST(n_hash + n_ell AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) < 0.1) AS r_symbol_ratio,
+                 (CAST(n_alpha AS DOUBLE) > 0.8 * CAST(n_words AS DOUBLE)) AS r_alpha_words,
+                 (sw_hits >= 2) AS r_stopwords
+               FROM g1)
+          SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+                 sw_hits, r_word_count, r_mean_word_len, r_symbol_ratio,
+                 r_alpha_words, r_stopwords,
+                 (r_word_count AND r_mean_word_len AND r_symbol_ratio
+                  AND r_alpha_words AND r_stopwords) AS keep
+          FROM g2""",
 
     // x49 — both perceptual hashes rebuilt bit-by-bit from the text
     // characters (pixel i = byte i of the doc, zero-padded; PNG gray-8

@@ -511,6 +511,39 @@ object Similarity {
     embeddings.select(perSub.as("d")).agg(avg(col("d"))).head().getDouble(0)
   }
 
+  /** Int8 scalar-quantization audit — the OTHER standard embedding
+    * compression (faiss SQ8 / GGML-style): per vector, scale =
+    * max|x|/127, code_i = trunc(x_i/scale) ∈ [−127,127], and the report
+    * carries the scale, the saturated-lane count, and the exact
+    * reconstruction MSE Σ(x_i − code_i·scale)²/D — what a pipeline reads
+    * to decide whether 4× embedding compression is safe for its recall
+    * budget. Pure per-row column algebra, zero shuffle.
+    *
+    * Numeric discipline: abs/max/division/trunc are all exact or
+    * correctly rounded and engine-portable; the error fold runs in
+    * element order via [[graft.functions.DotFold]] on the residual array
+    * (Spark) ≡ sequential list_dot_product (oracle). All-zero vectors
+    * report scale 0, zero codes, zero error (no division). */
+  def int8QuantAudit(embeddings: DataFrame,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
+    val codes = when(col("q_scale") === 0.0,
+        transform(col("v"), _ => lit(0).cast("int")))
+      .otherwise(transform(col("v"), x => (x / col("q_scale")).cast("int")))
+    embeddings
+      .select(col(idCol), v.as("v"), scale.as("q_scale"))
+      .withColumn("codes", codes)
+      .withColumn("resid",
+        zip_with(col("v"), col("codes"),
+          (x, c) => x - c.cast("double") * col("q_scale")))
+      .select(col(idCol), col("q_scale"),
+        size(filter(col("codes"), c => abs(c) === 127)).as("n_sat"),
+        (graft.functions.VectorExprs.dot_fold(col("resid"), col("resid"))
+          / size(col("v"))).as("mse"))
+  }
+
   /** Lloyd-trained PQ codebooks, seeded from [[pqCodebooks]]. ALL
     * subspaces train in the same pass: each iteration explodes every
     * vector into its m subspace slices once, assigns against the

@@ -281,6 +281,68 @@ object TextOps {
         (col("val_sum") / col("n_bigrams")).as("lm_score"))
   }
 
+  /** Gopher/MassiveText quality-rule flags (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", App. A1.1) — the rule-based document filter every crawl
+    * pipeline runs before model-based scoring. Per document:
+    *
+    *  - `r_word_count`: 50 ≤ words ≤ 100,000
+    *  - `r_mean_word_len`: mean word length in [3, 10] characters
+    *  - `r_symbol_ratio`: (`#` chars + `...` occurrences) / words < 0.1
+    *  - `r_alpha_words`: > 80% of words contain ≥ 1 letter
+    *  - `r_stopwords`: ≥ 2 distinct hits from the paper's 8-stopword list
+    *  - `keep` = conjunction of all five.
+    *
+    * (The paper's two line-shape rules — bullet-start and ellipsis-end
+    * line ratios — need line structure the single-line testdata lacks;
+    * [[Cleanse.removeBoilerplateLines]] covers the line tier.)
+    *
+    * Every signal is exact integer/boolean algebra or one IEEE division
+    * — engine-portable, so the oracle replays flags bit-for-bit. Pure
+    * per-row columns: zero shuffle at any corpus size. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherSignals(text: Column): Seq[(String, Column)] = {
+    val toks = filter(tokens(text), t => length(t) > 0)
+    val nWords = size(toks).cast("long")
+    val totLen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val meanLen = totLen.cast("double") / greatest(nWords, lit(1L)).cast("double")
+    val nHash = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+    val nEll = ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3)
+      .cast("long")
+    val symbolRatio = (nHash + nEll).cast("double") /
+      greatest(nWords, lit(1L)).cast("double")
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val swHits = gopherStopwords.map(w =>
+      when(array_contains(toks, w), 1).otherwise(0)).reduce(_ + _)
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> meanLen,
+      "symbol_ratio" -> symbolRatio,
+      "alpha_frac" -> (nAlpha.cast("double") /
+        greatest(nWords, lit(1L)).cast("double")),
+      "sw_hits" -> swHits,
+      "r_word_count" -> (nWords >= 50L && nWords <= 100000L),
+      "r_mean_word_len" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "r_symbol_ratio" -> (symbolRatio < 0.1),
+      "r_alpha_words" -> (nAlpha.cast("double") >
+        lit(0.8) * nWords.cast("double")),
+      "r_stopwords" -> (swHits >= 2))
+  }
+
+  /** [[gopherSignals]] as a per-document report with the conjunctive
+    * `keep` verdict. */
+  def gopherRules(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val sig = gopherSignals(col(textCol))
+    val flags = sig.collect { case (n, c) if n.startsWith("r_") => c }
+    docs.select(
+      (col(idCol) +: sig.map { case (n, c) => c.as(n) }) :+
+        flags.reduce(_ && _).as("keep"): _*)
+  }
+
   /** Exact length-distribution quantiles per group — the report a
     * pipeline reads before picking truncation/packing lengths. DISCRETE
     * quantiles by explicit rank arithmetic (value at row ceil(p·n) in the

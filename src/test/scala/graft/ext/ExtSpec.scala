@@ -232,6 +232,65 @@ class ExtSpec extends AnyFunSuite {
       trained.forall(_.forall(_.length == 4)))
   }
 
+  test("int8 quantization audit: exact scale, codes, and residual MSE") {
+    val vecs = Seq(
+      (1L, Array(1.27f, -0.635f, 0.0f, 0.3f)),   // max 1.27 → scale 0.01
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),        // all-zero → no division
+      (3L, Array(-2.54f, 2.54f, 1.0f, -1.0f))     // two saturated lanes
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.int8QuantAudit(vecs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def ref(v: Array[Float]): (Double, Int, Double) = {
+      val d = v.map(_.toDouble)
+      val s = d.map(math.abs).max / 127.0
+      if (s == 0.0) (0.0, 0, 0.0)
+      else {
+        val codes = d.map(x => (x / s).toInt)
+        val resid = d.zip(codes).map { case (x, c) => x - c * s }
+        (s, codes.count(c => math.abs(c) == 127),
+          resid.foldLeft(0.0)((a, x) => a + x * x) / d.length)
+      }
+    }
+    Seq(1L -> Array(1.27f, -0.635f, 0.0f, 0.3f),
+        2L -> Array(0.0f, 0.0f, 0.0f, 0.0f),
+        3L -> Array(-2.54f, 2.54f, 1.0f, -1.0f)).foreach { case (id, v) =>
+      val (s, sat, mse) = ref(v)
+      assert(r(id).getDouble(1) == s, s"scale vec $id")
+      assert(r(id).getInt(2) == sat, s"n_sat vec $id")
+      assert(r(id).getDouble(3) == mse, s"mse vec $id")
+    }
+    // the max-|x| lane always saturates exactly when the vector is nonzero
+    assert(r(1L).getInt(2) >= 1 && r(3L).getInt(2) == 2)
+    // reconstruction error is bounded by (scale/2)² per lane... for trunc,
+    // by scale² per lane
+    val s1 = r(1L).getDouble(1)
+    assert(r(1L).getDouble(3) <= s1 * s1)
+  }
+
+  test("Gopher rules: each flag trips on its own adversarial document") {
+    val the50 = (1 to 50).map(i => s"the and of to word$i").mkString(" ")
+    val rows = Seq(
+      // 250 words, mean len ~4, no symbols, all alpha, stopwords present
+      (1L, the50),
+      (2L, "short text with the and of"),                      // word count < 50
+      (3L, (1 to 60).map(_ => "a b").mkString(" ") + " the of"), // mean len < 3
+      (4L, (1 to 60).map(i => s"### word$i #### the of ...").mkString(" ")), // symbols
+      (5L, (1 to 60).map(i => s"123 456 the of word$i").mkString(" "))  // digits: alpha<0.8? 3/5 alpha
+    ).toDF("doc_id", "text")
+    val r = TextOps.gopherRules(rows).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Boolean]("keep"), "clean doc must pass")
+    assert(!r(2L).getAs[Boolean]("r_word_count") && !r(2L).getAs[Boolean]("keep"))
+    assert(!r(3L).getAs[Boolean]("r_mean_word_len"))
+    assert(!r(4L).getAs[Boolean]("r_symbol_ratio"))
+    assert(!r(5L).getAs[Boolean]("r_alpha_words"))
+    // rule independence: doc 5 still passes the stopword rule
+    assert(r(5L).getAs[Boolean]("r_stopwords"))
+    // signal sanity on the clean doc
+    assert(r(1L).getAs[Long]("n_words") == 250L)
+    assert(r(1L).getAs[Int]("sw_hits") == 4)
+  }
+
   test("embedding cosine near-dup via LSH buckets") {
 
     val vecs = Seq(
