@@ -467,4 +467,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"corpus side got a shuffled join:\n$p")
   }
+
+  test("x65 PQ encode: codegen'd map, zero exchange, no join") {
+    val p = executed("x65_pq_codes").toString
+    assert(!p.contains("Exchange"), s"PQ encode shuffles:\n$p")
+    assert(!p.contains("Join"), s"PQ encode joins:\n$p")
+  }
+
+  test("x66 PQ ADC: literal distance table (no join), rerank cut is a " +
+       "TakeOrdered, never a full sort") {
+    val p = executed("x66_pq_ann").toString
+    assert(!p.contains("Join"), s"ADC table became a join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k cut:\n$p")
+    assert(!p.toLowerCase.contains("sortexec"), s"full sort crept in:\n$p")
+  }
+
+  test("x67 int8 audit and x68 gopher rules: pure per-row algebra, " +
+       "zero exchange") {
+    Seq("x67_int8_quant", "x68_gopher_rules").foreach { q =>
+      val p = executed(q).toString
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+    }
+  }
 }
