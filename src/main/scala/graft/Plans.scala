@@ -43,7 +43,11 @@ object Plans {
       "x51_lm_score" -> "Bigram-LM fluency score: occurrences collapse map-side to (doc, w1, w2, m); model joins are content-keyed equi-joins bounded by distinct-bigram cardinality; the vocabulary is ONE broadcast row.",
       "x53_sessionize" -> "Batch sessionization: the gap-rule window and the session rollup share ONE user-key exchange; skew bound is one user's event count.",
       "x55_token_mix" -> "Token-budget domain mixing: per-stratum token totals reduce small and broadcast back; the corpus side is scan → broadcast-join → codegen'd splitmix filter, never shuffled.",
-      "x56_chunk_docs" -> "Context-length chunking: token split, per-doc window starts, one posexplode — pure narrow algebra, zero exchange at any corpus size.")
+      "x56_chunk_docs" -> "Context-length chunking: token split, per-doc window starts, one posexplode — pure narrow algebra, zero exchange at any corpus size.",
+      "x65_pq_codes" -> "PQ encode: all 8 subspace argmins as codegen'd column algebra in the scan stage — zero exchange, zero join; a 100 TB corpus compresses 32x in one narrow map.",
+      "x66_pq_ann" -> "PQ ADC retrieval: the 8x16 query distance table rides as literal arrays (no join), approximate distances stream through a TakeOrderedAndProject rerank cut, exact cosine re-ranks 50 rows.",
+      "x67_int8_quant" -> "Int8 quantization audit: scale, codes, saturation, and residual MSE all per-row in the scan stage — zero exchange.",
+      "x68_gopher_rules" -> "Gopher rule filter: five rule flags + keep as exact integer/boolean algebra fused into the scan — zero exchange.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")

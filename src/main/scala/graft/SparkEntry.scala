@@ -1161,7 +1161,14 @@ object SparkEntry {
     // x68 — the Gopher/MassiveText rule filter: five word-shape rules +
     // conjunctive keep, all exact integer/boolean algebra; zero shuffle
     "x68_gopher_rules" -> ((s, d) =>
-      ext.TextOps.gopherRules(t(s, d, "documents")))
+      ext.TextOps.gopherRules(t(s, d, "documents"))),
+
+    // x69 — ANN index acceptance gate: recall@10 of the PQ ADC index
+    // against the exact scan; both cuts TakeOrdered, overlap join on 2k
+    // rows
+    "x69_pq_recall" -> ((s, d) =>
+      ext.Similarity.annRecall(t(s, d, "embeddings"), queryVector, 10,
+        m = 8, nCent = 16, rerank = 50))
   )
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
@@ -3143,6 +3150,38 @@ object SparkEntry {
                  (r_word_count AND r_mean_word_len AND r_symbol_ratio
                   AND r_alpha_words AND r_stopwords) AS keep
           FROM g2""",
+
+    // x69 — the recall gate replayed: the x66 candidate pipeline cut to
+    // its exact-cosine top-10, intersected with the x5 brute-force
+    // top-10, one count row
+    "x69_pq_recall" -> {
+      val dsub = 8
+      val qsl = s"list_slice($queryVectorSql, sub*$dsub + 1, sub*$dsub + $dsub)"
+      val csl = s"list_slice(pcent.cv, sub*$dsub + 1, sub*$dsub + $dsub)"
+      s"""WITH $pqCtes,
+          ptab AS (SELECT psub.sub, pcent.cid,
+                          list_dot_product($qsl, $qsl)
+                          - 2*list_dot_product($qsl, $csl)
+                          + list_dot_product($csl, $csl) AS dq
+                   FROM psub, pcent),
+          padist AS (SELECT c.vec_id,
+                     ${(0 until 8).map(s =>
+                       s"MAX(CASE WHEN c.sub = $s THEN t.dq END) AS d_$s")
+                       .mkString(", ")}
+                     FROM pcodes c
+                     JOIN ptab t ON t.sub = c.sub AND t.cid = c.code
+                     GROUP BY c.vec_id),
+          pcand AS (SELECT vec_id,
+                           ${(0 until 8).map(s => s"d_$s").mkString(" + ")} AS adist
+                    FROM padist ORDER BY adist, vec_id LIMIT 50),
+          pq10 AS (SELECT p.vec_id
+                   FROM pcand p JOIN embeddings ON embeddings.vec_id = p.vec_id
+                   ORDER BY $cosSql DESC, p.vec_id LIMIT 10),
+          brute10 AS (SELECT vec_id FROM embeddings
+                      ORDER BY $cosSql DESC, vec_id LIMIT 10)
+          SELECT COUNT(*) AS n_overlap, COUNT(*) / 10.0 AS recall_at_10
+          FROM pq10 JOIN brute10 USING (vec_id)"""
+    },
 
     // x49 — both perceptual hashes rebuilt bit-by-bit from the text
     // characters (pixel i = byte i of the doc, zero-padded; PNG gray-8

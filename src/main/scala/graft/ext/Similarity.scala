@@ -491,6 +491,24 @@ object Similarity {
       .orderBy(desc("cos"), col(idCol)).limit(k)
   }
 
+  /** Index-quality audit: recall@k of the PQ ADC index against the
+    * exact top-k — the acceptance gate a pipeline runs before swapping
+    * an exact scan for a compressed index (faiss's recall benchmark as
+    * a first-class relational op). One output row: (n_overlap,
+    * recall_at_k). Both sides are TakeOrderedAndProject cuts; the
+    * overlap join touches 2k rows. */
+  def annRecall(embeddings: DataFrame, q: Array[Double], k: Int,
+                m: Int = 8, nCent: Int = 16, rerank: Int = 50,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val approx = annPq(embeddings, q, k, m, nCent, rerank, idCol, vecCol)
+      .select(col(idCol))
+    val exact = topKCosine(embeddings, q, k, idCol, vecCol).select(col(idCol))
+    approx.join(exact, Seq(idCol)).agg(
+      count(lit(1)).as("n_overlap"),
+      (count(lit(1)).cast("double") / k).as(s"recall_at_$k"))
+  }
+
   /** Mean total quantization distortion of a codebook set over the
     * corpus — Σ over subspaces of the distance to the chosen centroid,
     * averaged over vectors. The training objective; lets specs assert

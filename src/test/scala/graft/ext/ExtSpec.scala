@@ -209,6 +209,21 @@ class ExtSpec extends AnyFunSuite {
     assert(narrow.length == 5 && narrow.toSet.subsetOf((0L until 40L).toSet))
   }
 
+  test("PQ recall audit: full rerank scores 1.0; report is one row") {
+    val rnd = new scala.util.Random(19)
+    val df = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = Array.fill(8)(rnd.nextGaussian())
+    val full = Similarity.annRecall(df, q, 5, m = 4, nCent = 4, rerank = 40)
+      .collect()
+    assert(full.length == 1)
+    assert(full(0).getLong(0) == 5L && full(0).getDouble(1) == 1.0)
+    val narrow = Similarity.annRecall(df, q, 5, m = 4, nCent = 4, rerank = 6)
+      .head()
+    assert(narrow.getLong(0) <= 5L &&
+      narrow.getDouble(1) == narrow.getLong(0) / 5.0)
+  }
+
   test("PQ training: distortion non-increasing, deterministic, shape-stable") {
     // adversarial seed layout (the IVF spec's trick): all 4 seed ids in
     // cluster A, so the untrained books quantize cluster B poorly
