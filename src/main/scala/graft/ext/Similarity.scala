@@ -398,6 +398,8 @@ object Similarity {
   def pqCodebooks(embeddings: DataFrame, m: Int = 8, k: Int = 16,
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    require(m >= 1, s"need at least one subspace, got m=$m")
+    require(k >= 2, s"a codebook needs at least two entries, got k=$k")
     val rows = embeddings.filter(col(idCol) < k).orderBy(col(idCol))
       .select(col(vecCol)).collect()
     require(rows.length == k,

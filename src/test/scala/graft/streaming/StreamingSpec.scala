@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SharedSpark
@@ -76,6 +77,42 @@ class StreamingSpec extends AnyFunSuite {
         .select("doc_id").as[Long].collect().sorted.toSeq
       assert(ids == Seq(1L, 2L, 4L))
     } finally q.stop()
+  }
+
+  test("stateless PQ/int8 encoders and Gopher gate run unmodified in a stream") {
+    // the compression/quality tier is pure per-row algebra, so the SAME
+    // column expressions run in a readStream with no watermark or state —
+    // the property that lets an ingest stream quantize and gate documents
+    // before they ever land
+    val dir = "/root/testdata/sf0.001"
+    val embBatch = spark.read.parquet(s"$dir/embeddings.parquet")
+    val books = graft.ext.Similarity.pqCodebooks(embBatch, m = 8, k = 16)
+    val embStream = spark.readStream.schema(embBatch.schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val pqStreamed = graft.streaming.StreamingOps.runBounded(spark,
+      graft.ext.Similarity.pqEncode(embStream, books),
+      "pq_stream_test", OutputMode.Append())
+    assert(pqStreamed.collect().map(_.toSeq).toSet ==
+      graft.ext.Similarity.pqEncode(embBatch, books)
+        .collect().map(_.toSeq).toSet)
+    assert(pqStreamed.count() == embBatch.count())
+    val sqStreamed = graft.streaming.StreamingOps.runBounded(spark,
+      graft.ext.Similarity.int8QuantAudit(embStream),
+      "int8_stream_test", OutputMode.Append())
+    assert(sqStreamed.collect().map(_.toSeq).toSet ==
+      graft.ext.Similarity.int8QuantAudit(embBatch)
+        .collect().map(_.toSeq).toSet)
+
+    val docsBatch = spark.read.parquet(s"$dir/documents.parquet")
+    val docsStream = spark.readStream.schema(docsBatch.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val gateStream = graft.streaming.StreamingOps.runBounded(spark,
+      graft.ext.TextOps.gopherRules(docsStream).filter(col("keep")),
+      "gopher_stream_test", OutputMode.Append())
+    val gateBatch = graft.ext.TextOps.gopherRules(docsBatch)
+      .filter(col("keep"))
+    assert(gateStream.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      gateBatch.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
   test("§2.9 streaming daily max equals the batch composite") {
