@@ -1168,7 +1168,15 @@ object SparkEntry {
     // rows
     "x69_pq_recall" -> ((s, d) =>
       ext.Similarity.annRecall(t(s, d, "embeddings"), queryVector, 10,
-        m = 8, nCent = 16, rerank = 50))
+        m = 8, nCent = 16, rerank = 50)),
+
+    // x70 — IVF-PQ composed (faiss-style): coarse 2-probe prune, ADC
+    // scoring only on the surviving sliver, exact re-rank
+    "x70_ivfpq_ann" -> ((s, d) =>
+      ext.Similarity.annIvfPq(t(s, d, "embeddings"), queryVector, 10,
+          nCoarse = 16, nProbe = 2, m = 8, nCent = 16, rerank = 50)
+        .withColumn("adist", round(col("adist"), 6))
+        .withColumn("cos", round(col("cos"), 6)))
   )
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
@@ -3181,6 +3189,62 @@ object SparkEntry {
                       ORDER BY $cosSql DESC, vec_id LIMIT 10)
           SELECT COUNT(*) AS n_overlap, COUNT(*) / 10.0 AS recall_at_10
           FROM pq10 JOIN brute10 USING (vec_id)"""
+    },
+
+    // x70 — IVF-PQ replayed: the x17 assignment/probe fragment prunes
+    // the corpus, the x66 ADC pipeline scores only the pruned ids, same
+    // rerank cut and exact re-rank. Every tiebreak and fold matches the
+    // engine bitwise.
+    "x70_ivfpq_ann" -> {
+      val dsub = 8
+      val qsl = s"list_slice($queryVectorSql, sub*$dsub + 1, sub*$dsub + $dsub)"
+      val csl = s"list_slice(pcent.cv, sub*$dsub + 1, sub*$dsub + $dsub)"
+      s"""WITH cent AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings WHERE vec_id < 16),
+          pairs AS (
+            SELECT e.vec_id, c.cid,
+                   list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(c.cvec, c.cvec))) AS cc
+            FROM embeddings e, cent c),
+          assign AS (
+            SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cc DESC, cid DESC) AS rn
+              FROM pairs) WHERE rn = 1),
+          probes AS (
+            SELECT cid FROM cent
+            ORDER BY list_dot_product(cvec, $queryVectorSql)
+                     / (sqrt(list_dot_product(cvec, cvec))
+                        * sqrt(list_dot_product($queryVectorSql,
+                                                $queryVectorSql))) DESC,
+                     cid
+            LIMIT 2),
+          pruned AS (
+            SELECT a.vec_id FROM assign a JOIN probes p ON p.cid = a.cid),
+          $pqCtes,
+          ptab AS (SELECT psub.sub, pcent.cid,
+                          list_dot_product($qsl, $qsl)
+                          - 2*list_dot_product($qsl, $csl)
+                          + list_dot_product($csl, $csl) AS dq
+                   FROM psub, pcent),
+          padist AS (SELECT c.vec_id,
+                     ${(0 until 8).map(s =>
+                       s"MAX(CASE WHEN c.sub = $s THEN t.dq END) AS d_$s")
+                       .mkString(", ")}
+                     FROM pcodes c
+                     JOIN pruned r ON r.vec_id = c.vec_id
+                     JOIN ptab t ON t.sub = c.sub AND t.cid = c.code
+                     GROUP BY c.vec_id),
+          pcand AS (SELECT vec_id,
+                           ${(0 until 8).map(s => s"d_$s").mkString(" + ")} AS adist
+                    FROM padist ORDER BY adist, vec_id LIMIT 50)
+          SELECT p.vec_id, round(p.adist, 6) AS adist, round($cosSql, 6) AS cos
+          FROM pcand p JOIN embeddings ON embeddings.vec_id = p.vec_id
+          ORDER BY $cosSql DESC, p.vec_id LIMIT 10"""
     },
 
     // x49 — both perceptual hashes rebuilt bit-by-bit from the text

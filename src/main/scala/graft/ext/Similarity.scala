@@ -493,6 +493,44 @@ object Similarity {
       .orderBy(desc("cos"), col(idCol)).limit(k)
   }
 
+  /** IVF-PQ — the two tiers composed the way a billion-vector (faiss
+    * IVFPQ-style) index deploys them: the coarse quantizer prunes the
+    * corpus to `nProbe` inverted lists, and ONLY the surviving sliver
+    * pays the ADC scoring + exact re-rank. (This is the
+    * no-residual-encoding variant — codes quantize raw vectors, not
+    * list-relative residuals — which keeps every stage independently
+    * oracle-checkable; residual encoding changes constants, not plan
+    * shape.)
+    *
+    * 100 TB posture: with the inverted list as the partitioning key the
+    * scan prunes to nProbe/nCoarse of the data BEFORE any distance math;
+    * the ADC table and coarse probe list are literals/broadcasts; the
+    * only corpus-sized shuffle is the assignment hash-agg (one-time
+    * index build in production, recomputed here for self-containment). */
+  def annIvfPq(embeddings: DataFrame, q: Array[Double], k: Int,
+               nCoarse: Int = 16, nProbe: Int = 2,
+               m: Int = 8, nCent: Int = 16, rerank: Int = 50,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && rerank >= k, s"need rerank >= k > 0, got k=$k rerank=$rerank")
+    val cent = embeddings.filter(col(idCol) < nCoarse)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val assigned = embeddings
+      .join(broadcast(cent))
+      .withColumn("cc", cosine(col(vecCol), col("cvec")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("cc"), col("cid"))).as("best"),
+           first(col(vecCol)).as(vecCol))
+      .select(col(idCol), col("best.cid").as("cid"), col(vecCol))
+    val probes = cent
+      .withColumn("qc", cosineLiteral(col("cvec"), q))
+      .orderBy(desc("qc"), col("cid")).limit(nProbe)
+      .select("cid")
+    val pruned = assigned.join(broadcast(probes), "cid")
+    val books = pqCodebooks(embeddings, m, nCent, idCol, vecCol)
+    annPqWithBooks(pruned, books, q, k, rerank, idCol, vecCol)
+  }
+
   /** Index-quality audit: recall@k of the PQ ADC index against the
     * exact top-k — the acceptance gate a pipeline runs before swapping
     * an exact scan for a compressed index (faiss's recall benchmark as

@@ -209,6 +209,26 @@ class ExtSpec extends AnyFunSuite {
     assert(narrow.length == 5 && narrow.toSet.subsetOf((0L until 40L).toSet))
   }
 
+  test("IVF-PQ: probe-all + full rerank equals brute force; pruning prunes") {
+    val rnd = new scala.util.Random(29)
+    val df = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = Array.fill(8)(rnd.nextGaussian())
+    val brute = Similarity.topKCosine(df, q, 5).collect().map(_.getLong(0)).toSeq
+    val all = Similarity.annIvfPq(df, q, 5, nCoarse = 4, nProbe = 4,
+        m = 4, nCent = 4, rerank = 40)
+      .collect().map(_.getLong(0)).toSeq
+    assert(all == brute, "probing every list with full rerank must be exact")
+    // 1-probe results live inside the probed inverted list only
+    val probed = Similarity.annIvfPq(df, q, 5, nCoarse = 4, nProbe = 1,
+        m = 4, nCent = 4, rerank = 40)
+      .collect().map(_.getLong(0)).toSet
+    val oneList = Similarity.annIvf(df, q, 40, nCentroids = 4, nProbe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(probed.subsetOf(oneList),
+      s"IVF-PQ leaked outside its probed list: ${probed -- oneList}")
+  }
+
   test("PQ recall audit: full rerank scores 1.0; report is one row") {
     val rnd = new scala.util.Random(19)
     val df = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
