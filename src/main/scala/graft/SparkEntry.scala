@@ -1176,7 +1176,13 @@ object SparkEntry {
       ext.Similarity.annIvfPq(t(s, d, "embeddings"), queryVector, 10,
           nCoarse = 16, nProbe = 2, m = 8, nCent = 16, rerank = 50)
         .withColumn("adist", round(col("adist"), 6))
-        .withColumn("cos", round(col("cos"), 6)))
+        .withColumn("cos", round(col("cos"), 6))),
+
+    // x71 — inverted-list balance audit: per-cell member counts +
+    // corpus fraction (the partition-sizing health report for IVF/
+    // IVF-PQ at scale)
+    "x71_ivf_balance" -> ((s, d) =>
+      ext.Similarity.ivfListBalance(t(s, d, "embeddings"), nCentroids = 16))
   )
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
@@ -3246,6 +3252,33 @@ object SparkEntry {
           FROM pcand p JOIN embeddings ON embeddings.vec_id = p.vec_id
           ORDER BY $cosSql DESC, p.vec_id LIMIT 10"""
     },
+
+    // x71 — the balance report replayed on the x17 assignment fragment:
+    // per-cell counts, single-row total, one exact division
+    "x71_ivf_balance" ->
+      s"""WITH cent AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings WHERE vec_id < 16),
+          pairs AS (
+            SELECT e.vec_id, c.cid,
+                   list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(c.cvec, c.cvec))) AS cc
+            FROM embeddings e, cent c),
+          assign AS (
+            SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cc DESC, cid DESC) AS rn
+              FROM pairs) WHERE rn = 1),
+          counts AS (
+            SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vectors
+            FROM assign GROUP BY cid)
+          SELECT cid, n_vectors,
+                 CAST(n_vectors AS DOUBLE)
+                   / CAST((SELECT SUM(n_vectors) FROM counts) AS DOUBLE) AS frac
+          FROM counts""",
 
     // x49 — both perceptual hashes rebuilt bit-by-bit from the text
     // characters (pixel i = byte i of the doc, zero-padded; PNG gray-8

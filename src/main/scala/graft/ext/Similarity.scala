@@ -531,6 +531,31 @@ object Similarity {
     annPqWithBooks(pruned, books, q, k, rerank, idCol, vecCol)
   }
 
+  /** Inverted-list balance audit — the operational health report behind
+    * IVF/IVF-PQ partition sizing: per coarse cell, its member count and
+    * corpus fraction. At 100 TB the inverted list IS the partitioning
+    * key, so a skewed cell is a straggler executor and an oversized one
+    * defeats pruning; this is the report that says so before queries
+    * do. One assignment hash-agg + one per-cell count; the corpus total
+    * is a single-row broadcast back. */
+  def ivfListBalance(embeddings: DataFrame, nCentroids: Int = 16,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val cent = embeddings.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val assigned = embeddings
+      .join(broadcast(cent))
+      .withColumn("cc", cosine(col(vecCol), col("cvec")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("cc"), col("cid"))).as("best"))
+      .select(col("best.cid").as("cid"))
+    val counts = assigned.groupBy("cid").agg(count(lit(1)).as("n_vectors"))
+    val total = counts.agg(sum("n_vectors").as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("cid"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("n_total")).as("frac"))
+  }
+
   /** Index-quality audit: recall@k of the PQ ADC index against the
     * exact top-k — the acceptance gate a pipeline runs before swapping
     * an exact scan for a compressed index (faiss's recall benchmark as

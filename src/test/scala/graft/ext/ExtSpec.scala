@@ -229,6 +229,57 @@ class ExtSpec extends AnyFunSuite {
       s"IVF-PQ leaked outside its probed list: ${probed -- oneList}")
   }
 
+  test("PQ stored-codes flow: ADC from a persisted code table matches inline") {
+    // the production 100 TB flow: encode once, persist m small ints per
+    // vector, answer queries from the stored codes — raw vectors touched
+    // only by the rerank join
+    val rnd = new scala.util.Random(31)
+    val df = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(df, m = 4, k = 4)
+    val dir = java.nio.file.Files.createTempDirectory("pq_codes").toString
+    Similarity.pqEncode(df, books).write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val q = Array.fill(8)(rnd.nextGaussian())
+    val dsub = 2
+    val tables = books.indices.map { s =>
+      val qs = q.slice(s * dsub, (s + 1) * dsub)
+      val qq = qs.foldLeft(0.0)((a, v) => a + v * v)
+      books(s).toSeq.map { c =>
+        val qc = qs.indices.foldLeft(0.0)((a, i) => a + qs(i) * c(i))
+        val cc = c.foldLeft(0.0)((a, v) => a + v * v)
+        qq - 2.0 * qc + cc
+      }
+    }
+    val adistStored = books.indices.map { s =>
+      element_at(typedLit(tables(s)), col(s"code_$s") + 1)
+    }.reduce(_ + _)
+    val candStored = stored.select(col("vec_id"), adistStored.as("adist"))
+      .orderBy(col("adist"), col("vec_id")).limit(10)
+      .join(df, "vec_id")
+      .select(col("vec_id"),
+        Similarity.cosineLiteral(col("embedding"), q).as("cos"))
+      .orderBy(desc("cos"), col("vec_id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    val inline = Similarity.annPqWithBooks(df, books, q, 5, rerank = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(candStored == inline,
+      "stored-code retrieval must equal the inline encode path")
+  }
+
+  test("IVF list balance: counts partition the corpus, fractions sum to 1") {
+    val rnd = new scala.util.Random(37)
+    val df = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.ivfListBalance(df, nCentroids = 4).collect()
+    assert(r.map(_.getLong(1)).sum == 60L, "every vector in exactly one list")
+    assert(math.abs(r.map(_.getDouble(2)).sum - 1.0) < 1e-12)
+    assert(r.map(_.getLong(0)).toSet.subsetOf((0L until 4L).toSet))
+    // each seed centroid's own vector lands in its own list → no empty
+    // seed cell can out-count the corpus
+    assert(r.forall(x => x.getLong(1) >= 1L))
+  }
+
   test("PQ recall audit: full rerank scores 1.0; report is one row") {
     val rnd = new scala.util.Random(19)
     val df = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
