@@ -493,6 +493,34 @@ object Similarity {
       .orderBy(desc("cos"), col(idCol)).limit(k)
   }
 
+  /** Literal coarse centroids: the first `n` vectors by id, widened
+    * exactly to double — the same deterministic seed convention as
+    * [[pqCodebooks]], collected once driver-side (n×D doubles, an index
+    * artifact). */
+  def coarseCentroids(embeddings: DataFrame, n: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Array[Array[Double]] = {
+    val rows = embeddings.filter(col(idCol) < n).orderBy(col(idCol))
+      .select(col(vecCol)).collect()
+    require(rows.length == n,
+      s"need the first $n ids as coarse centroids, got ${rows.length}")
+    rows.map(_.getSeq[Any](0).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray)
+  }
+
+  /** Coarse cell id as a PURE COLUMN: argmax cosine over the literal
+    * centroid set, ties to the higher cid (struct `greatest` is
+    * lexicographic — the same tiebreak as [[annIvf]]'s max(struct)
+    * assignment, so the two encodings agree row-for-row). Zero shuffle,
+    * zero join: cell assignment fuses into the scan the way [[pqCodeCols]]
+    * does. */
+  def coarseCellCol(vec: Column, cents: Array[Array[Double]]): Column =
+    greatest(cents.zipWithIndex.map { case (c, j) =>
+      struct(cosineLiteral(vec, c).as("cc"), lit(j.toLong).as("cid"))
+    }: _*).getField("cid")
+
   /** IVF-PQ — the two tiers composed the way a billion-vector (faiss
     * IVFPQ-style) index deploys them: the coarse quantizer prunes the
     * corpus to `nProbe` inverted lists, and ONLY the surviving sliver
@@ -502,31 +530,33 @@ object Similarity {
     * oracle-checkable; residual encoding changes constants, not plan
     * shape.)
     *
-    * 100 TB posture: with the inverted list as the partitioning key the
-    * scan prunes to nProbe/nCoarse of the data BEFORE any distance math;
-    * the ADC table and coarse probe list are literals/broadcasts; the
-    * only corpus-sized shuffle is the assignment hash-agg (one-time
-    * index build in production, recomputed here for self-containment). */
+    * 100 TB posture: the probe list is chosen DRIVER-side (nCoarse
+    * cosines against the literal centroids), cell assignment is a pure
+    * column argmax fused into the scan, and the prune is a codegen'd
+    * `isin` filter — so the whole query is scan → filter → ADC →
+    * TakeOrdered with ZERO exchanges and zero joins. With the inverted
+    * list as the partitioning key the filter becomes partition pruning
+    * and the scan reads nProbe/nCoarse of the data. */
   def annIvfPq(embeddings: DataFrame, q: Array[Double], k: Int,
                nCoarse: Int = 16, nProbe: Int = 2,
                m: Int = 8, nCent: Int = 16, rerank: Int = 50,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
     require(k > 0 && rerank >= k, s"need rerank >= k > 0, got k=$k rerank=$rerank")
-    val cent = embeddings.filter(col(idCol) < nCoarse)
-      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-    val assigned = embeddings
-      .join(broadcast(cent))
-      .withColumn("cc", cosine(col(vecCol), col("cvec")))
-      .groupBy(col(idCol))
-      .agg(max(struct(col("cc"), col("cid"))).as("best"),
-           first(col(vecCol)).as(vecCol))
-      .select(col(idCol), col("best.cid").as("cid"), col(vecCol))
-    val probes = cent
-      .withColumn("qc", cosineLiteral(col("cvec"), q))
-      .orderBy(desc("qc"), col("cid")).limit(nProbe)
-      .select("cid")
-    val pruned = assigned.join(broadcast(probes), "cid")
+    require(nProbe >= 1 && nProbe <= nCoarse,
+      s"need 1 <= nProbe <= nCoarse, got nProbe=$nProbe nCoarse=$nCoarse")
+    val cents = coarseCentroids(embeddings, nCoarse, idCol, vecCol)
+    // driver-side probe ranking with the same fold/sqrt/division tree the
+    // oracle uses: cos = <c,q> / (sqrt(<c,c>) * sqrt(<q,q>)); ties to the
+    // LOWER cid (the annIvf orderBy convention)
+    val qn = math.sqrt(q.foldLeft(0.0)((a, v) => a + v * v))
+    val probeCids: Seq[Long] = cents.zipWithIndex.map { case (c, j) =>
+      val dot = c.indices.foldLeft(0.0)((a, i) => a + c(i) * q(i))
+      val cn = math.sqrt(c.foldLeft(0.0)((a, v) => a + v * v))
+      (dot / (cn * qn), j.toLong)
+    }.sortBy { case (cc, j) => (-cc, j) }.take(nProbe).map(_._2).toSeq
+    val pruned = embeddings.filter(
+      coarseCellCol(col(vecCol), cents).isin(probeCids: _*))
     val books = pqCodebooks(embeddings, m, nCent, idCol, vecCol)
     annPqWithBooks(pruned, books, q, k, rerank, idCol, vecCol)
   }
@@ -541,15 +571,12 @@ object Similarity {
   def ivfListBalance(embeddings: DataFrame, nCentroids: Int = 16,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val cent = embeddings.filter(col(idCol) < nCentroids)
-      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-    val assigned = embeddings
-      .join(broadcast(cent))
-      .withColumn("cc", cosine(col(vecCol), col("cvec")))
-      .groupBy(col(idCol))
-      .agg(max(struct(col("cc"), col("cid"))).as("best"))
-      .select(col("best.cid").as("cid"))
-    val counts = assigned.groupBy("cid").agg(count(lit(1)).as("n_vectors"))
+    val cents = coarseCentroids(embeddings, nCentroids, idCol, vecCol)
+    // cell assignment is the literal-argmax column — the only exchange in
+    // the whole report is the nCentroids-key count (map-side partials)
+    val counts = embeddings
+      .select(coarseCellCol(col(vecCol), cents).as("cid"))
+      .groupBy("cid").agg(count(lit(1)).as("n_vectors"))
     val total = counts.agg(sum("n_vectors").as("n_total"))
     counts.crossJoin(broadcast(total))
       .select(col("cid"), col("n_vectors"),

@@ -489,4 +489,26 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
     }
   }
+
+  test("x70 IVF-PQ: probe list and cell argmax are literals — scan → " +
+       "filter → ADC → TakeOrdered, zero exchange, zero join") {
+    val p = executed("x70_ivfpq_ann").toString
+    assert(!p.contains("Exchange"), s"IVF-PQ shuffles:\n$p")
+    assert(!p.contains("Join"), s"IVF-PQ joins:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no rerank cut:\n$p")
+  }
+
+  test("x71 IVF balance: ONE exchange (the nCentroids-key count), " +
+       "partial aggregation map-side") {
+    val p = executed("x71_ivf_balance").toString
+    assert(p.contains("partial_count"), s"no map-side partials:\n$p")
+    // the assignment itself must be scan-stage column algebra: nothing
+    // between the file scan and the partial count but the argmax Project
+    val scanIx = p.indexOf("FileScan")
+    val partialIx = p.indexOf("partial_count")
+    assert(partialIx >= 0 && scanIx > partialIx,
+      s"partial count not directly over the scan:\n$p")
+    assert(!p.substring(partialIx, scanIx).contains("Exchange"),
+      s"assignment shuffles before the count:\n$p")
+  }
 }
