@@ -47,7 +47,9 @@ object Plans {
       "x65_pq_codes" -> "PQ encode: all 8 subspace argmins as codegen'd column algebra in the scan stage — zero exchange, zero join; a 100 TB corpus compresses 32x in one narrow map.",
       "x66_pq_ann" -> "PQ ADC retrieval: the 8x16 query distance table rides as literal arrays (no join), approximate distances stream through a TakeOrderedAndProject rerank cut, exact cosine re-ranks 50 rows.",
       "x67_int8_quant" -> "Int8 quantization audit: scale, codes, saturation, and residual MSE all per-row in the scan stage — zero exchange.",
-      "x68_gopher_rules" -> "Gopher rule filter: five rule flags + keep as exact integer/boolean algebra fused into the scan — zero exchange.")
+      "x68_gopher_rules" -> "Gopher rule filter: five rule flags + keep as exact integer/boolean algebra fused into the scan — zero exchange.",
+      "x70_ivfpq_ann" -> "IVF-PQ: the probe list is chosen driver-side and cell assignment is a literal argmax, so the whole query is scan -> codegen'd isin filter -> ADC -> TakeOrdered — zero exchange, zero join.",
+      "x71_ivf_balance" -> "IVF list balance: literal-argmax assignment fused into the scan; the only exchange is the nCentroids-key count with map-side partials.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")

@@ -473,6 +473,10 @@ object Similarity {
                      vecCol: String = "embedding"): DataFrame = {
     require(k > 0 && rerank >= k, s"need rerank >= k > 0, got k=$k rerank=$rerank")
     val dsub = books(0)(0).length
+    require(books.forall(_.forall(_.length == dsub)),
+      "ragged codebooks: every centroid must have the same subspace width")
+    require(q.length == books.length * dsub,
+      s"query dim ${q.length} != m*dsub = ${books.length * dsub}")
     val tables: Seq[Seq[Double]] = books.indices.map { s =>
       val qs = q.slice(s * dsub, (s + 1) * dsub)
       val qq = qs.foldLeft(0.0)((a, v) => a + v * v)
@@ -500,6 +504,8 @@ object Similarity {
   def coarseCentroids(embeddings: DataFrame, n: Int,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): Array[Array[Double]] = {
+    // n >= 2 also keeps coarseCellCol's greatest() arity legal
+    require(n >= 2, s"need at least two coarse cells, got n=$n")
     val rows = embeddings.filter(col(idCol) < n).orderBy(col(idCol))
       .select(col(vecCol)).collect()
     require(rows.length == n,
@@ -633,7 +639,10 @@ object Similarity {
     * correctly rounded and engine-portable; the error fold runs in
     * element order via [[graft.functions.DotFold]] on the residual array
     * (Spark) ≡ sequential list_dot_product (oracle). All-zero vectors
-    * report scale 0, zero codes, zero error (no division). */
+    * report scale 0, zero codes, zero error (no division). Defined for
+    * FINITE embeddings (the testdata guarantee): a NaN/Inf lane
+    * poisons that vector's scale and MSE — by design, since silently
+    * quantizing a poisoned vector would hide upstream damage. */
   def int8QuantAudit(embeddings: DataFrame,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
