@@ -1182,7 +1182,16 @@ object SparkEntry {
     // corpus fraction (the partition-sizing health report for IVF/
     // IVF-PQ at scale)
     "x71_ivf_balance" -> ((s, d) =>
-      ext.Similarity.ivfListBalance(t(s, d, "embeddings"), nCentroids = 16))
+      ext.Similarity.ivfListBalance(t(s, d, "embeddings"), nCentroids = 16)),
+
+    // x72 — residual-encoded IVF-PQ (exact faiss IVFADC): codes
+    // quantize x − c(x), the query carries one ADC table per probed
+    // list; same zero-exchange zero-join plan as x70
+    "x72_ivfadc_ann" -> ((s, d) =>
+      ext.Similarity.annIvfPqResidual(t(s, d, "embeddings"), queryVector,
+          10, nCoarse = 16, nProbe = 2, m = 8, kCent = 16, rerank = 50)
+        .withColumn("adist", round(col("adist"), 6))
+        .withColumn("cos", round(col("cos"), 6)))
   )
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
@@ -3279,6 +3288,86 @@ object SparkEntry {
                  CAST(n_vectors AS DOUBLE)
                    / CAST((SELECT SUM(n_vectors) FROM counts) AS DOUBLE) AS frac
           FROM counts""",
+
+    // x72 — residual IVFADC replayed end to end: the x17 assignment
+    // fragment yields every vector's residual (list_zip subtraction),
+    // residual codebooks are the seeds' own residuals (ids 16..31),
+    // codes are the argmin of the three-fold distance on residual
+    // slices, the per-probed-list tables rebuild from the query's
+    // residuals, and the rerank/re-rank cuts are the x70 total orders.
+    "x72_ivfadc_ann" -> {
+      val dsub = 8
+      def sl(e: String) = s"list_slice($e, sub*$dsub + 1, sub*$dsub + $dsub)"
+      s"""WITH cent AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id < 16),
+          pairs AS (
+            SELECT e.vec_id, c.cid,
+                   list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(c.cv, c.cv))) AS cc
+            FROM embeddings e, cent c),
+          assign AS (
+            SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cc DESC, cid DESC) AS rn
+              FROM pairs) WHERE rn = 1),
+          pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings),
+          rsub AS (SELECT range AS sub FROM range(8)),
+          rv AS (SELECT pe.vec_id, a.cid,
+                        list_transform(list_zip(pe.v, c.cv),
+                                       p2 -> p2[1] - p2[2]) AS r
+                 FROM pe
+                 JOIN assign a ON a.vec_id = pe.vec_id
+                 JOIN cent c ON c.cid = a.cid),
+          rbook AS (SELECT vec_id - 16 AS bid, r FROM rv
+                    WHERE vec_id >= 16 AND vec_id < 32),
+          rsd AS (SELECT rv.vec_id, s.sub, b.bid,
+                         list_dot_product(${sl("rv.r")}, ${sl("rv.r")})
+                         - 2*list_dot_product(${sl("rv.r")}, ${sl("b.r")})
+                         + list_dot_product(${sl("b.r")}, ${sl("b.r")}) AS d
+                  FROM rv, rsub s, rbook b),
+          rcodes AS (SELECT vec_id, sub, bid AS code FROM (
+                     SELECT vec_id, sub, bid,
+                            row_number() OVER (PARTITION BY vec_id, sub
+                                               ORDER BY d, bid) AS rn
+                     FROM rsd) WHERE rn = 1),
+          probes AS (
+            SELECT cid FROM cent
+            ORDER BY list_dot_product(cv, $queryVectorSql)
+                     / (sqrt(list_dot_product(cv, cv))
+                        * sqrt(list_dot_product($queryVectorSql,
+                                                $queryVectorSql))) DESC,
+                     cid
+            LIMIT 2),
+          qr AS (SELECT c.cid,
+                        list_transform(list_zip($queryVectorSql, c.cv),
+                                       p2 -> p2[1] - p2[2]) AS qr
+                 FROM probes p JOIN cent c ON c.cid = p.cid),
+          rtab AS (SELECT q0.cid AS pcid, s.sub, b.bid,
+                          list_dot_product(${sl("q0.qr")}, ${sl("q0.qr")})
+                          - 2*list_dot_product(${sl("q0.qr")}, ${sl("b.r")})
+                          + list_dot_product(${sl("b.r")}, ${sl("b.r")}) AS dq
+                   FROM qr q0, rsub s, rbook b),
+          radist AS (SELECT c.vec_id,
+                     ${(0 until 8).map(s =>
+                       s"MAX(CASE WHEN c.sub = $s THEN t.dq END) AS d_$s")
+                       .mkString(", ")}
+                     FROM rcodes c
+                     JOIN rv ON rv.vec_id = c.vec_id
+                     JOIN rtab t ON t.pcid = rv.cid AND t.sub = c.sub
+                                AND t.bid = c.code
+                     GROUP BY c.vec_id),
+          rcand AS (SELECT vec_id,
+                           ${(0 until 8).map(s => s"d_$s").mkString(" + ")} AS adist
+                    FROM radist ORDER BY adist, vec_id LIMIT 50)
+          SELECT r.vec_id, round(r.adist, 6) AS adist, round($cosSql, 6) AS cos
+          FROM rcand r JOIN embeddings ON embeddings.vec_id = r.vec_id
+          ORDER BY $cosSql DESC, r.vec_id LIMIT 10"""
+    },
 
     // x49 — both perceptual hashes rebuilt bit-by-bit from the text
     // characters (pixel i = byte i of the doc, zero-padded; PNG gray-8

@@ -567,6 +567,110 @@ object Similarity {
     annPqWithBooks(pruned, books, q, k, rerank, idCol, vecCol)
   }
 
+  /** Residual-encoded IVF-PQ — the exact faiss IVFADC layout (Jégou et
+    * al. 2011 §IV-A): a vector quantizes its RESIDUAL r = x − c(x)
+    * against shared per-subspace codebooks, and the query builds one
+    * ADC table PER probed list from that list's own query residual
+    * q − cℓ. Residuals concentrate near the origin, so the same k
+    * codebook entries spend their resolution on a much smaller ball
+    * than raw-vector PQ — the accuracy gain that made IVFADC the
+    * standard billion-vector layout.
+    *
+    * Determinism/oracle: residual codebooks seed from the residuals of
+    * ids [nCoarse, nCoarse + kCent) — the first-k convention shifted
+    * past the coarse seed, whose own residuals are identically zero.
+    * Assignment, residuals, argmins, and tables all reuse the repo's
+    * in-order fold discipline, so the whole index replays bit-exactly
+    * in the oracle.
+    *
+    * Plan shape: identical to [[annIvfPq]] — scan → literal-argmax cid
+    * → isin prune → residual zip_with → code argmin → per-list CASE
+    * table lookup → TakeOrdered rerank → exact re-rank. Zero exchanges,
+    * zero joins. */
+  def annIvfPqResidual(embeddings: DataFrame, q: Array[Double], k: Int,
+                       nCoarse: Int = 16, nProbe: Int = 2,
+                       m: Int = 8, kCent: Int = 16, rerank: Int = 50,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && rerank >= k, s"need rerank >= k > 0, got k=$k rerank=$rerank")
+    require(nProbe >= 1 && nProbe <= nCoarse,
+      s"need 1 <= nProbe <= nCoarse, got nProbe=$nProbe nCoarse=$nCoarse")
+    val cents = coarseCentroids(embeddings, nCoarse, idCol, vecCol)
+    val dim = cents(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    // driver-side replica of coarseCellCol's fold math (ties → higher cid)
+    def assignOf(v: Array[Double]): Int = {
+      val vv = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      var bestCc = Double.NegativeInfinity
+      var bestJ = -1
+      cents.zipWithIndex.foreach { case (c, j) =>
+        val dot = c.indices.foldLeft(0.0)((a, i) => a + v(i) * c(i))
+        val cn = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
+        val cc = dot / (vv * cn)
+        if (cc >= bestCc) { bestCc = cc; bestJ = j }
+      }
+      bestJ
+    }
+    // residual codebook seed: ids [nCoarse, nCoarse+kCent)
+    val seedRows = embeddings
+      .filter(col(idCol) >= nCoarse && col(idCol) < nCoarse + kCent)
+      .orderBy(col(idCol)).select(col(vecCol)).collect()
+    require(seedRows.length == kCent,
+      s"need ids [$nCoarse, ${nCoarse + kCent}) as residual seeds, got ${seedRows.length}")
+    val residSeeds = seedRows.map(_.getSeq[Any](0).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray).map { v =>
+      val c = cents(assignOf(v))
+      Array.tabulate(dim)(i => v(i) - c(i))
+    }
+    val books = Array.tabulate(m, kCent)((s, j) =>
+      residSeeds(j).slice(s * dsub, (s + 1) * dsub))
+    // probe ranking (same driver math as annIvfPq; ties → lower cid)
+    val qn = math.sqrt(q.foldLeft(0.0)((a, v) => a + v * v))
+    val probeCids: Seq[Long] = cents.zipWithIndex.map { case (c, j) =>
+      val dot = c.indices.foldLeft(0.0)((a, i) => a + c(i) * q(i))
+      val cn = math.sqrt(c.foldLeft(0.0)((a, v) => a + v * v))
+      (dot / (cn * qn), j.toLong)
+    }.sortBy { case (cc, j) => (-cc, j) }.take(nProbe).map(_._2).toSeq
+    // one ADC table per probed list, from that list's query residual
+    val tables: Map[Long, Seq[Seq[Double]]] = probeCids.map { l =>
+      val cl = cents(l.toInt)
+      val qres = Array.tabulate(dim)(i => q(i) - cl(i))
+      l -> books.indices.map { s =>
+        val qs = qres.slice(s * dsub, (s + 1) * dsub)
+        val qq = qs.foldLeft(0.0)((a, v) => a + v * v)
+        books(s).toSeq.map { c =>
+          val qc = qs.indices.foldLeft(0.0)((a, i) => a + qs(i) * c(i))
+          val cc = c.foldLeft(0.0)((a, v) => a + v * v)
+          qq - 2.0 * qc + cc
+        }
+      }
+    }.toMap
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val pruned = embeddings
+      .withColumn("cid", coarseCellCol(col(vecCol), cents))
+      .filter(col("cid").isin(probeCids: _*))
+      .withColumn("resid", zip_with(col(vecCol).cast("array<double>"),
+        element_at(centsLit, (col("cid") + 1).cast("int")), (x, c) => x - c))
+    val codeCols = pqCodeCols(col("resid"), books)
+    val adist = probeCids.map { l =>
+      val sumL = codeCols.zipWithIndex.map { case (cc, s) =>
+        element_at(typedLit(tables(l)(s)), cc + 1)
+      }.reduce(_ + _)
+      (l, sumL)
+    }.foldRight(lit(Double.NaN): Column) { case ((l, sumL), acc) =>
+      when(col("cid") === l, sumL).otherwise(acc)
+    }
+    pruned
+      .select(col(idCol), col(vecCol), adist.as("adist"))
+      .orderBy(col("adist"), col(idCol)).limit(rerank)
+      .select(col(idCol), col("adist"),
+        cosineLiteral(col(vecCol), q).as("cos"))
+      .orderBy(desc("cos"), col(idCol)).limit(k)
+  }
+
   /** Inverted-list balance audit — the operational health report behind
     * IVF/IVF-PQ partition sizing: per coarse cell, its member count and
     * corpus fraction. At 100 TB the inverted list IS the partitioning

@@ -498,6 +498,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"no rerank cut:\n$p")
   }
 
+  test("x72 residual IVFADC: same zero-exchange zero-join shape as x70") {
+    val p = executed("x72_ivfadc_ann").toString
+    assert(!p.contains("Exchange"), s"residual IVFADC shuffles:\n$p")
+    assert(!p.contains("Join"), s"residual IVFADC joins:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no rerank cut:\n$p")
+  }
+
   test("x71 IVF balance: ONE exchange (the nCentroids-key count), " +
        "partial aggregation map-side") {
     val p = executed("x71_ivf_balance").toString

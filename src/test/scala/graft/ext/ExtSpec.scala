@@ -229,6 +229,27 @@ class ExtSpec extends AnyFunSuite {
       s"IVF-PQ leaked outside its probed list: ${probed -- oneList}")
   }
 
+  test("residual IVFADC: probe-all + full rerank equals brute force; " +
+       "pruning stays in-list") {
+    val rnd = new scala.util.Random(41)
+    val df = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = Array.fill(8)(rnd.nextGaussian())
+    val brute = Similarity.topKCosine(df, q, 5).collect().map(_.getLong(0)).toSeq
+    val all = Similarity.annIvfPqResidual(df, q, 5, nCoarse = 4, nProbe = 4,
+        m = 4, kCent = 4, rerank = 40)
+      .collect().map(_.getLong(0)).toSeq
+    assert(all == brute,
+      "probing every list with full rerank must be exact under residual codes")
+    val probed = Similarity.annIvfPqResidual(df, q, 5, nCoarse = 4, nProbe = 1,
+        m = 4, kCent = 4, rerank = 40)
+      .collect().map(_.getLong(0)).toSet
+    val oneList = Similarity.annIvf(df, q, 40, nCentroids = 4, nProbe = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(probed.subsetOf(oneList),
+      s"residual IVFADC leaked outside its probed list: ${probed -- oneList}")
+  }
+
   test("PQ stored-codes flow: ADC from a persisted code table matches inline") {
     // the production 100 TB flow: encode once, persist m small ints per
     // vector, answer queries from the stored codes — raw vectors touched
