@@ -49,7 +49,8 @@ object Plans {
       "x67_int8_quant" -> "Int8 quantization audit: scale, codes, saturation, and residual MSE all per-row in the scan stage — zero exchange.",
       "x68_gopher_rules" -> "Gopher rule filter: five rule flags + keep as exact integer/boolean algebra fused into the scan — zero exchange.",
       "x70_ivfpq_ann" -> "IVF-PQ: the probe list is chosen driver-side and cell assignment is a literal argmax, so the whole query is scan -> codegen'd isin filter -> ADC -> TakeOrdered — zero exchange, zero join.",
-      "x71_ivf_balance" -> "IVF list balance: literal-argmax assignment fused into the scan; the only exchange is the nCentroids-key count with map-side partials.")
+      "x71_ivf_balance" -> "IVF list balance: literal-argmax assignment fused into the scan; the only exchange is the nCentroids-key count with map-side partials.",
+      "x72_ivfadc_ann" -> "Residual IVFADC: prune, residual zip_with, code argmin, per-list CASE table lookup — all scan-stage column algebra; zero exchange, zero join, TakeOrdered rerank.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")
