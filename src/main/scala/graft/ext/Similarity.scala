@@ -399,15 +399,7 @@ object Similarity {
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
     require(m >= 1, s"need at least one subspace, got m=$m")
-    require(k >= 2, s"a codebook needs at least two entries, got k=$k")
-    val rows = embeddings.filter(col(idCol) < k).orderBy(col(idCol))
-      .select(col(vecCol)).collect()
-    require(rows.length == k,
-      s"need the first $k ids as seed centroids, got ${rows.length}")
-    val vecs = rows.map(_.getSeq[Any](0).map {
-      case f: Float => f.toDouble
-      case d: Double => d
-    }.toArray)
+    val vecs = coarseCentroids(embeddings, k, idCol, vecCol)
     val dim = vecs.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
@@ -516,6 +508,20 @@ object Similarity {
     }.toArray)
   }
 
+  /** Driver-side probe ranking shared by the IVF-PQ variants: cosine of
+    * each literal centroid to the query with the oracle's exact fold/
+    * sqrt/division tree — cos = <c,q> / (sqrt(<c,c>) · sqrt(<q,q>)) —
+    * ties to the LOWER cid (the [[annIvf]] orderBy convention). */
+  private def rankProbes(cents: Array[Array[Double]], q: Array[Double],
+                         nProbe: Int): Seq[Long] = {
+    val qn = math.sqrt(q.foldLeft(0.0)((a, v) => a + v * v))
+    cents.zipWithIndex.map { case (c, j) =>
+      val dot = c.indices.foldLeft(0.0)((a, i) => a + c(i) * q(i))
+      val cn = math.sqrt(c.foldLeft(0.0)((a, v) => a + v * v))
+      (dot / (cn * qn), j.toLong)
+    }.sortBy { case (cc, j) => (-cc, j) }.take(nProbe).map(_._2).toSeq
+  }
+
   /** Coarse cell id as a PURE COLUMN: argmax cosine over the literal
     * centroid set, ties to the higher cid (struct `greatest` is
     * lexicographic — the same tiebreak as [[annIvf]]'s max(struct)
@@ -552,15 +558,7 @@ object Similarity {
     require(nProbe >= 1 && nProbe <= nCoarse,
       s"need 1 <= nProbe <= nCoarse, got nProbe=$nProbe nCoarse=$nCoarse")
     val cents = coarseCentroids(embeddings, nCoarse, idCol, vecCol)
-    // driver-side probe ranking with the same fold/sqrt/division tree the
-    // oracle uses: cos = <c,q> / (sqrt(<c,c>) * sqrt(<q,q>)); ties to the
-    // LOWER cid (the annIvf orderBy convention)
-    val qn = math.sqrt(q.foldLeft(0.0)((a, v) => a + v * v))
-    val probeCids: Seq[Long] = cents.zipWithIndex.map { case (c, j) =>
-      val dot = c.indices.foldLeft(0.0)((a, i) => a + c(i) * q(i))
-      val cn = math.sqrt(c.foldLeft(0.0)((a, v) => a + v * v))
-      (dot / (cn * qn), j.toLong)
-    }.sortBy { case (cc, j) => (-cc, j) }.take(nProbe).map(_._2).toSeq
+    val probeCids = rankProbes(cents, q, nProbe)
     val pruned = embeddings.filter(
       coarseCellCol(col(vecCol), cents).isin(probeCids: _*))
     val books = pqCodebooks(embeddings, m, nCent, idCol, vecCol)
@@ -627,13 +625,7 @@ object Similarity {
     }
     val books = Array.tabulate(m, kCent)((s, j) =>
       residSeeds(j).slice(s * dsub, (s + 1) * dsub))
-    // probe ranking (same driver math as annIvfPq; ties → lower cid)
-    val qn = math.sqrt(q.foldLeft(0.0)((a, v) => a + v * v))
-    val probeCids: Seq[Long] = cents.zipWithIndex.map { case (c, j) =>
-      val dot = c.indices.foldLeft(0.0)((a, i) => a + c(i) * q(i))
-      val cn = math.sqrt(c.foldLeft(0.0)((a, v) => a + v * v))
-      (dot / (cn * qn), j.toLong)
-    }.sortBy { case (cc, j) => (-cc, j) }.take(nProbe).map(_._2).toSeq
+    val probeCids = rankProbes(cents, q, nProbe)
     // one ADC table per probed list, from that list's query residual
     val tables: Map[Long, Seq[Seq[Double]]] = probeCids.map { l =>
       val cl = cents(l.toInt)
