@@ -355,4 +355,58 @@ class PropertiesSpec extends AnyFunSuite {
       assert(s2.subsetOf(s5) && s5.subsetOf(s20))
     }
   }
+
+  test("PQ codes: in-range, partition-invariant, deterministic") {
+    val vecGen = Gen.listOfN(12,
+      Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f)))
+    forAll(vecGen, trials = 6) { vss =>
+      val df = vss.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val books = ext.Similarity.pqCodebooks(df, m = 4, k = 4)
+      def codes(d: org.apache.spark.sql.DataFrame) =
+        ext.Similarity.pqEncode(d, books).collect()
+          .map(r => r.getLong(0) -> (1 to 4).map(r.getInt)).toMap
+      val c1 = codes(df)
+      assert(c1.values.forall(_.forall(c => c >= 0 && c < 4)),
+        "codes must index the codebook")
+      // the codes a vector gets cannot depend on how the corpus is
+      // partitioned — the property that makes distributed encode correct
+      assert(codes(df.repartition(7)) == c1)
+      assert(codes(df) == c1)
+    }
+  }
+
+  test("int8 audit: MSE bounded by scale² (trunc residual < one step)") {
+    val vecGen = Gen.listOfN(10,
+      Gen.listOfN(6, Gen.chooseNum(-50.0f, 50.0f)))
+    forAll(vecGen, trials = 6) { vss =>
+      val df = vss.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      ext.Similarity.int8QuantAudit(df).collect().foreach { r =>
+        val s = r.getDouble(1); val mse = r.getDouble(3)
+        assert(mse >= 0.0 && mse <= s * s + 1e-18,
+          s"vec ${r.getLong(0)}: mse $mse vs scale² ${s * s}")
+      }
+    }
+  }
+
+  test("Gopher keep is monotone under stopword insertion") {
+    // appending stopwords can only help r_stopwords and never flips a
+    // passing word-count/alpha rule doc to failing on those two rules'
+    // directions tested here: a doc passing keep with stopwords added
+    // still passes the stopword rule
+    val wordGen = Gen.listOfN(60, Gen.identifier.map(_.take(6).toLowerCase))
+    forAll(wordGen, trials = 6) { ws =>
+      whenever(ws.nonEmpty) {
+        val base = ws.mkString(" ")
+        val withSw = base + " the of and that"
+        val df = Seq((1L, base), (2L, withSw)).toDF("doc_id", "text")
+        val r = ext.TextOps.gopherRules(df).collect()
+          .map(x => x.getLong(0) -> x).toMap
+        assert(r(2L).getAs[Boolean]("r_stopwords"),
+          "stopword-augmented doc must pass the stopword rule")
+        assert(r(2L).getAs[Int]("sw_hits") >= r(1L).getAs[Int]("sw_hits"))
+      }
+    }
+  }
 }
