@@ -4,14 +4,26 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Approximate-nearest-neighbor search over an embedding column
-  * (`array<float>`).
+/** Similarity search and embedding compression over an embedding column
+  * (`array<float>`) — the full index ladder a 100 TB vector corpus climbs:
   *
-  * Baseline: brute-force cosine top-k — a single scan with a codegen'd
-  * zip_with/aggregate dot product against a literal query vector, then a
-  * top-k. At 100 TB the scale path is LSH bucketing (random-hyperplane
-  * signs): each vector maps to a small bucket key; a query probes only its
-  * bucket (plus neighbors), turning the scan into a partition-pruned lookup.
+  *  - brute-force cosine top-k (the exactness baseline every tier is
+  *    measured against — see [[annRecall]]);
+  *  - LSH bucketing (random-hyperplane signs) for partition-pruned probes;
+  *  - IVF inverted lists ([[annIvf]], Lloyd-trainable) with the
+  *    [[ivfListBalance]] partition-sizing report;
+  *  - product quantization ([[pqCodebooks]]/[[pqEncode]]/[[annPq]],
+  *    Jégou et al. 2011) — 32× compression, ADC table-lookup scoring;
+  *  - the composed [[annIvfPq]] and residual-encoded [[annIvfPqResidual]]
+  *    (exact faiss IVFADC layout) — coarse prune, then ADC on the sliver;
+  *  - int8 scalar quantization ([[int8QuantAudit]]) and feature-hashed
+  *    text embeddings ([[hashEmbed]]) for corpora without vectors;
+  *  - SemDeDup and embedding near-dup for semantic corpus dedup.
+  *
+  * Numeric discipline throughout: every dot product is an in-order fold
+  * ([[graft.functions.DotFold]] ≡ DuckDB's sequential list_dot_product),
+  * every argmin/argmax tiebreak is total-ordered, so each index replays
+  * bit-exactly in the oracle.
   */
 object Similarity {
 
