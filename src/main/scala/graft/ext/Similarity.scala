@@ -409,13 +409,18 @@ object Similarity {
     * k×D doubles ever reach the driver — an index artifact, not data. */
   def pqCodebooks(embeddings: DataFrame, m: Int = 8, k: Int = 16,
                   idCol: String = "vec_id",
-                  vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+                  vecCol: String = "embedding"): Array[Array[Array[Double]]] =
+    sliceBooks(coarseCentroids(embeddings, k, idCol, vecCol), m)
+
+  /** Cut full-dim seed vectors into per-subspace codebooks. */
+  private def sliceBooks(vecs: Array[Array[Double]],
+                         m: Int): Array[Array[Array[Double]]] = {
     require(m >= 1, s"need at least one subspace, got m=$m")
-    val vecs = coarseCentroids(embeddings, k, idCol, vecCol)
     val dim = vecs.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
-    Array.tabulate(m, k)((s, j) => vecs(j).slice(s * dsub, (s + 1) * dsub))
+    Array.tabulate(m, vecs.length)((s, j) =>
+      vecs(j).slice(s * dsub, (s + 1) * dsub))
   }
 
   /** Per-subspace code columns for one vector column: code_s = argmin
@@ -426,17 +431,23 @@ object Similarity {
     * in a single scan. The `<x,x>` term is constant across the k
     * candidates of a subspace and Catalyst CSE evaluates it once. */
   def pqCodeCols(vec: Column, books: Array[Array[Array[Double]]]): Seq[Column] =
-    books.indices.map { s =>
-      val dsub = books(s)(0).length
-      val sub = slice(vec, s * dsub + 1, dsub)
-      val xx = graft.functions.VectorExprs.dot_fold(sub, sub)
-      val cands = books(s).zipWithIndex.map { case (c, j) =>
-        val cc = c.foldLeft(0.0)((a, v) => a + v * v)
-        val xc = graft.functions.VectorExprs.dot_fold(sub, array(c.map(lit): _*))
-        struct((xx - lit(2.0) * xc + lit(cc)).as("d"), lit(j).as("cid"))
-      }
-      least(cands: _*).getField("cid")
+    books.indices.map(s => pqBestStruct(vec, books, s).getField("cid"))
+
+  /** The (d, cid) struct-argmin for one subspace — THE quantizer kernel:
+    * [[pqCodeCols]] projects its cid, [[pqDistortion]] its d, so both
+    * are guaranteed to use the same distances and tiebreak. */
+  private def pqBestStruct(vec: Column, books: Array[Array[Array[Double]]],
+                           s: Int): Column = {
+    val dsub = books(s)(0).length
+    val sub = slice(vec, s * dsub + 1, dsub)
+    val xx = graft.functions.VectorExprs.dot_fold(sub, sub)
+    val cands = books(s).zipWithIndex.map { case (c, j) =>
+      val cc = c.foldLeft(0.0)((a, v) => a + v * v)
+      val xc = graft.functions.VectorExprs.dot_fold(sub, array(c.map(lit): _*))
+      struct((xx - lit(2.0) * xc + lit(cc)).as("d"), lit(j).as("cid"))
     }
+    least(cands: _*)
+  }
 
   /** PQ-encode a corpus: (id, code_0 … code_{m-1}). The stored form a
     * production index persists — m small ints per vector in place of D
@@ -510,10 +521,22 @@ object Similarity {
                       vecCol: String = "embedding"): Array[Array[Double]] = {
     // n >= 2 also keeps coarseCellCol's greatest() arity legal
     require(n >= 2, s"need at least two coarse cells, got n=$n")
-    val rows = embeddings.filter(col(idCol) < n).orderBy(col(idCol))
-      .select(col(vecCol)).collect()
-    require(rows.length == n,
-      s"need the first $n ids as coarse centroids, got ${rows.length}")
+    collectIdRange(embeddings, 0L, n.toLong, idCol, vecCol)
+  }
+
+  /** Collect vectors with ids in [lo, hi), floats widened exactly to
+    * double — the one seed-extraction path shared by the coarse
+    * centroids, the PQ codebook seed, and the residual-codebook seed
+    * (divergent widening in any copy would break the bit-exact oracle
+    * replay). */
+  private def collectIdRange(embeddings: DataFrame, lo: Long, hi: Long,
+                             idCol: String,
+                             vecCol: String): Array[Array[Double]] = {
+    val rows = embeddings
+      .filter(col(idCol) >= lo && col(idCol) < hi)
+      .orderBy(col(idCol)).select(col(vecCol)).collect()
+    require(rows.length == hi - lo,
+      s"need ids [$lo, $hi) as seed vectors, got ${rows.length}")
     rows.map(_.getSeq[Any](0).map {
       case f: Float => f.toDouble
       case d: Double => d
@@ -540,10 +563,16 @@ object Similarity {
     * assignment, so the two encodings agree row-for-row). Zero shuffle,
     * zero join: cell assignment fuses into the scan the way [[pqCodeCols]]
     * does. */
-  def coarseCellCol(vec: Column, cents: Array[Array[Double]]): Column =
+  def coarseCellCol(vec: Column, cents: Array[Array[Double]]): Column = {
+    // a zero-norm centroid makes every cosine against it NaN, which Spark's
+    // ordering ranks ABOVE all finite values — silently stealing the whole
+    // corpus into one never-probed cell. Fail fast driver-side instead.
+    require(cents.forall(_.exists(_ != 0.0)),
+      "zero-norm coarse centroid: cosine cell assignment is undefined")
     greatest(cents.zipWithIndex.map { case (c, j) =>
       struct(cosineLiteral(vec, c).as("cc"), lit(j.toLong).as("cid"))
     }: _*).getField("cid")
+  }
 
   /** IVF-PQ — the two tiers composed the way a billion-vector (faiss
     * IVFPQ-style) index deploys them: the coarse quantizer prunes the
@@ -573,7 +602,11 @@ object Similarity {
     val probeCids = rankProbes(cents, q, nProbe)
     val pruned = embeddings.filter(
       coarseCellCol(col(vecCol), cents).isin(probeCids: _*))
-    val books = pqCodebooks(embeddings, m, nCent, idCol, vecCol)
+    // at the default nCent == nCoarse the PQ seed IS the coarse seed —
+    // slice what was already collected instead of a second driver job
+    val books =
+      if (nCent == nCoarse) sliceBooks(cents, m)
+      else pqCodebooks(embeddings, m, nCent, idCol, vecCol)
     annPqWithBooks(pruned, books, q, k, rerank, idCol, vecCol)
   }
 
@@ -618,23 +651,25 @@ object Similarity {
         val dot = c.indices.foldLeft(0.0)((a, i) => a + v(i) * c(i))
         val cn = math.sqrt(c.foldLeft(0.0)((a, x) => a + x * x))
         val cc = dot / (vv * cn)
-        if (cc >= bestCc) { bestCc = cc; bestJ = j }
+        // match Spark's ordering exactly: NaN ranks above every finite
+        // value, and equal keys (incl. NaN == NaN) tie to the higher cid
+        // — so a zero-norm SEED vector (all cosines NaN) lands in the
+        // same cell here as coarseCellCol would put it
+        val replace =
+          if (cc.isNaN) true
+          else if (bestCc.isNaN) false
+          else cc >= bestCc
+        if (replace) { bestCc = cc; bestJ = j }
       }
       bestJ
     }
     // residual codebook seed: ids [nCoarse, nCoarse+kCent)
-    val seedRows = embeddings
-      .filter(col(idCol) >= nCoarse && col(idCol) < nCoarse + kCent)
-      .orderBy(col(idCol)).select(col(vecCol)).collect()
-    require(seedRows.length == kCent,
-      s"need ids [$nCoarse, ${nCoarse + kCent}) as residual seeds, got ${seedRows.length}")
-    val residSeeds = seedRows.map(_.getSeq[Any](0).map {
-      case f: Float => f.toDouble
-      case d: Double => d
-    }.toArray).map { v =>
-      val c = cents(assignOf(v))
-      Array.tabulate(dim)(i => v(i) - c(i))
-    }
+    val residSeeds = collectIdRange(embeddings, nCoarse.toLong,
+        (nCoarse + kCent).toLong, idCol, vecCol)
+      .map { v =>
+        val c = cents(assignOf(v))
+        Array.tabulate(dim)(i => v(i) - c(i))
+      }
     val books = Array.tabulate(m, kCent)((s, j) =>
       residSeeds(j).slice(s * dsub, (s + 1) * dsub))
     val probeCids = rankProbes(cents, q, nProbe)
@@ -721,17 +756,9 @@ object Similarity {
     * trained books beat the deterministic seed. */
   def pqDistortion(embeddings: DataFrame, books: Array[Array[Array[Double]]],
                    vecCol: String = "embedding"): Double = {
-    val perSub = books.indices.map { s =>
-      val dsub = books(s)(0).length
-      val sub = slice(col(vecCol), s * dsub + 1, dsub)
-      val xx = graft.functions.VectorExprs.dot_fold(sub, sub)
-      val cands = books(s).zipWithIndex.map { case (c, j) =>
-        val cc = c.foldLeft(0.0)((a, v) => a + v * v)
-        val xc = graft.functions.VectorExprs.dot_fold(sub, array(c.map(lit): _*))
-        struct((xx - lit(2.0) * xc + lit(cc)).as("d"), lit(j).as("cid"))
-      }
-      least(cands: _*).getField("d")
-    }.reduce(_ + _)
+    val perSub = books.indices
+      .map(s => pqBestStruct(col(vecCol), books, s).getField("d"))
+      .reduce(_ + _)
     embeddings.select(perSub.as("d")).agg(avg(col("d"))).head().getDouble(0)
   }
 
@@ -772,44 +799,35 @@ object Similarity {
   }
 
   /** Lloyd-trained PQ codebooks, seeded from [[pqCodebooks]]. ALL
-    * subspaces train in the same pass: each iteration explodes every
-    * vector into its m subspace slices once, assigns against the
-    * broadcast (sub, cid, cvec) book table with the same three-fold
-    * squared distance, and re-means via posexplode + partial+final hash
-    * agg — the shuffle carries only m×k×dsub×nPartitions partial rows
-    * regardless of corpus size, and only the m×k×dsub means reach the
-    * driver per iteration (to rebroadcast). Empty cells keep their
+    * subspaces train in the same pass, and assignment is the SAME
+    * literal-codebook argmin the encoder ships ([[pqCodeCols]]) fused
+    * into the scan — no join, no corpus-keyed aggregation. Each
+    * iteration's ONLY exchange is the (sub, cid, pos) partial+final
+    * hash agg of the re-means, carrying m×k×dsub×nPartitions partial
+    * rows regardless of corpus size; only the m×k×dsub means reach the
+    * driver per iteration (to re-literalize). Empty cells keep their
     * previous centroid. Deterministic end to end: seed order, argmin
     * tiebreak (lower cid), decimal-routed means. */
   def trainPqCodebooks(embeddings: DataFrame, m: Int = 8, k: Int = 16,
                        iters: Int = 3, idCol: String = "vec_id",
                        vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
     var books = pqCodebooks(embeddings, m, k, idCol, vecCol)
     val dsub = books(0)(0).length
-    val subs = embeddings.select(col(idCol),
-        explode(array(books.indices.map(s =>
-          struct(lit(s).as("sub"),
-            slice(col(vecCol), s * dsub + 1, dsub).cast("array<double>")
-              .as("svec"))): _*)).as("e"))
-      .select(col(idCol), col("e.sub").as("sub"), col("e.svec").as("svec"))
     for (_ <- 0 until iters) {
-      val bookDf = books.zipWithIndex.flatMap { case (bk, s) =>
-        bk.zipWithIndex.map { case (c, j) => (s, j.toLong, c.toSeq) }
-      }.toSeq.toDF("sub", "cid", "cvec")
-      val assigned = subs.join(broadcast(bookDf), "sub")
-        .withColumn("d",
-          graft.functions.VectorExprs.dot_fold(col("svec"), col("svec"))
-            - lit(2.0) * graft.functions.VectorExprs.dot_fold(col("svec"), col("cvec"))
-            + graft.functions.VectorExprs.dot_fold(col("cvec"), col("cvec")))
-        .groupBy(col(idCol), col("sub"))
-        .agg(min(struct(col("d"), col("cid"))).as("best"),
-             first(col("svec")).as("svec"))
-        .select(col("sub"), col("best.cid").as("cid"), col("svec"))
-      val parts = assigned
-        .select(col("sub"), col("cid"),
-          posexplode(col("svec")).as(Seq("pos", "v")))
+      // assignment is the SAME literal-codebook argmin the encoder uses
+      // (pqBestStruct via pqCodeCols) fused into the scan — zero shuffle;
+      // the one exchange per iteration is the (sub, cid, pos) partial+
+      // final agg, bounded by m×k×dsub×nPartitions however big the corpus
+      val codeCols = pqCodeCols(col(vecCol), books)
+      val perSub = books.indices.map { s =>
+        struct(lit(s).as("sub"), codeCols(s).cast("long").as("cid"),
+          slice(col(vecCol), s * dsub + 1, dsub).cast("array<double>")
+            .as("svec"))
+      }
+      val parts = embeddings
+        .select(explode(array(perSub: _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("e.cid").as("cid"),
+          posexplode(col("e.svec")).as(Seq("pos", "v")))
         .groupBy("sub", "cid", "pos")
         .agg(graft.ops.Stable.sumD(col("v")).as("s"), count(lit(1)).as("n"))
         .collect()

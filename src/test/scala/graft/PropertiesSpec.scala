@@ -390,11 +390,10 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
-  test("Gopher keep is monotone under stopword insertion") {
-    // appending stopwords can only help r_stopwords and never flips a
-    // passing word-count/alpha rule doc to failing on those two rules'
-    // directions tested here: a doc passing keep with stopwords added
-    // still passes the stopword rule
+  test("Gopher stopword rule: insertion satisfies it, sw_hits monotone") {
+    // note this is deliberately NOT a keep-monotonicity claim: appending
+    // short stopwords legitimately shifts mean_word_len and can flip
+    // that rule, so only the stopword signal itself is monotone
     val wordGen = Gen.listOfN(60, Gen.identifier.map(_.take(6).toLowerCase))
     forAll(wordGen, trials = 6) { ws =>
       whenever(ws.nonEmpty) {
@@ -406,6 +405,8 @@ class PropertiesSpec extends AnyFunSuite {
         assert(r(2L).getAs[Boolean]("r_stopwords"),
           "stopword-augmented doc must pass the stopword rule")
         assert(r(2L).getAs[Int]("sw_hits") >= r(1L).getAs[Int]("sw_hits"))
+        // and the word-count signal grows by exactly the four inserted
+        assert(r(2L).getAs[Long]("n_words") == r(1L).getAs[Long]("n_words") + 4)
       }
     }
   }
