@@ -1191,7 +1191,15 @@ object SparkEntry {
       ext.Similarity.annIvfPqResidual(t(s, d, "embeddings"), queryVector,
           10, nCoarse = 16, nProbe = 2, m = 8, kCent = 16, rerank = 50)
         .withColumn("adist", round(col("adist"), 6))
-        .withColumn("cos", round(col("cos"), 6)))
+        .withColumn("cos", round(col("cos"), 6))),
+
+    // x73 — the curation AUDIT: x36's gates as per-doc verdict flags
+    // ("why was this document dropped"), kept ≡ the pipeline's output
+    "x73_curation_audit" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      ext.Curation.curationAudit(docs,
+        docs.filter(col("source") === "src0"))
+    })
   )
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
@@ -3368,6 +3376,30 @@ object SparkEntry {
           FROM rcand r JOIN embeddings ON embeddings.vec_id = r.vec_id
           ORDER BY $cosSql DESC, r.vec_id LIMIT 10"""
     },
+
+    // x73 — the audit replayed from the same five proven fragments as
+    // x36, flags instead of filters; kept is the identical conjunction
+    "x73_curation_audit" ->
+      s"""WITH RECURSIVE $componentCtes,
+          $langCtes,
+          $qualityCtes,
+          $repCtes,
+          $contamCtes
+          SELECT d.doc_id, d.source,
+                 (l.pred_lang = 'en') AS pass_lang,
+                 (q.quality >= 0.5) AS pass_quality,
+                 (r.rep_ratio <= 0.5) AS pass_rep,
+                 (c.contamination < 0.5) AS pass_contam,
+                 (d.doc_id IN (SELECT id FROM cc WHERE rep <> id)) AS is_dup,
+                 ((l.pred_lang = 'en') AND q.quality >= 0.5
+                  AND r.rep_ratio <= 0.5 AND c.contamination < 0.5
+                  AND d.doc_id NOT IN (SELECT id FROM cc WHERE rep <> id))
+                   AS kept
+          FROM documents d
+          JOIN lang l ON l.doc_id = d.doc_id
+          JOIN qual q ON q.doc_id = d.doc_id
+          JOIN rep r ON r.doc_id = d.doc_id
+          JOIN cont c ON c.doc_id = d.doc_id""",
 
     // x49 — both perceptual hashes rebuilt bit-by-bit from the text
     // characters (pixel i = byte i of the doc, zero-padded; PNG gray-8

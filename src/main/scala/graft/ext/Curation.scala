@@ -341,6 +341,39 @@ object Curation {
       .otherwise(lit(true))
   }
 
+  /** Per-document curation AUDIT — the "why was this document dropped"
+    * view of [[curationPipeline]]: every gate's verdict as a boolean
+    * flag plus the near-dup census, with `kept` ≡ membership in the
+    * pipeline's output (spec-asserted against it). At 100 TB this is
+    * the debugging product a corpus owner reads — per-source gate
+    * pass-rates — before touching any threshold. Same universe and
+    * same plan shapes as the pipeline (the flags are free: the filters
+    * just become projections); shingle-less docs stay out of scope,
+    * the x21 convention. */
+  def curationAudit(docs: DataFrame, benchmark: DataFrame,
+                    keepLang: String = "en", minQuality: Double = 0.5,
+                    maxRep: Double = 0.5, maxContam: Double = 0.5,
+                    minJaccard: Double = 0.4): DataFrame = {
+    val sig = docs.select(col("doc_id"), col("source"),
+      (TextOps.langId(col("text")) === keepLang).as("pass_lang"),
+      (TextOps.qualityScore(col("text")) >= minQuality).as("pass_quality"),
+      repetitionKeep(k = 2, maxRatio = maxRep).as("pass_rep"))
+    val cont = contamination(docs, benchmark)
+      .select(col("doc_id"),
+        (col("contamination") < maxContam).as("pass_contam"))
+    val dup = Dedup.connectedComponents(
+        Dedup.jaccardPairs(docs, shingleK = 3, minJaccard = minJaccard)
+          .select("doc_a", "doc_b"))
+      .where(col("rep_id") =!= col("doc_id"))
+      .select(col("doc_id"), lit(true).as("dup_hit"))
+    sig.join(cont, "doc_id")
+      .join(dup, Seq("doc_id"), "left")
+      .withColumn("is_dup", coalesce(col("dup_hit"), lit(false)))
+      .drop("dup_hit")
+      .withColumn("kept", col("pass_lang") && col("pass_quality") &&
+        col("pass_rep") && col("pass_contam") && !col("is_dup"))
+  }
+
   /** END-TO-END corpus curation — the composed product every upstream
     * operator exists to feed: the KEPT corpus after the standard filter
     * chain of a training-data pipeline:

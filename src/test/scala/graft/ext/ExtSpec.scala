@@ -229,6 +229,38 @@ class ExtSpec extends AnyFunSuite {
       s"IVF-PQ leaked outside its probed list: ${probed -- oneList}")
   }
 
+  test("curation audit: kept flag is exactly pipeline membership") {
+    val rnd = new scala.util.Random(43)
+    val corpus = (1L to 30L).map { i =>
+      val words = Seq.fill(25)(s"w${rnd.nextInt(40)}") ++
+        (if (i % 3 == 0) Seq("the", "and", "of", "to", "in", "is") else Nil)
+      (i, words.mkString(" "), "en", if (i % 5 == 0) "src0" else "srcX", 100L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bench = corpus.filter(col("source") === "src0")
+    val keptIds = Curation.curationPipeline(corpus, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val audit = Curation.curationAudit(corpus, bench).collect()
+    val auditKept = audit.filter(_.getAs[Boolean]("kept"))
+      .map(_.getLong(0)).toSet
+    assert(auditKept == keptIds,
+      s"audit kept $auditKept != pipeline $keptIds")
+    // kept implies every gate passed and not a duplicate
+    audit.filter(_.getAs[Boolean]("kept")).foreach { r =>
+      assert(r.getAs[Boolean]("pass_lang") && r.getAs[Boolean]("pass_quality")
+        && r.getAs[Boolean]("pass_rep") && r.getAs[Boolean]("pass_contam")
+        && !r.getAs[Boolean]("is_dup"))
+    }
+    // a dropped doc fails at least one gate
+    audit.filterNot(_.getAs[Boolean]("kept")).foreach { r =>
+      assert(!r.getAs[Boolean]("pass_lang") || !r.getAs[Boolean]("pass_quality")
+        || !r.getAs[Boolean]("pass_rep") || !r.getAs[Boolean]("pass_contam")
+        || r.getAs[Boolean]("is_dup"))
+    }
+    // the benchmark source's self-hit shows up as a contamination failure
+    assert(audit.filter(r => r.getString(1) == "src0")
+      .forall(!_.getAs[Boolean]("pass_contam")))
+  }
+
   test("residual IVFADC: probe-all + full rerank equals brute force; " +
        "pruning stays in-list") {
     val rnd = new scala.util.Random(41)
