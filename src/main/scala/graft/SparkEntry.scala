@@ -1199,6 +1199,14 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       ext.Curation.curationAudit(docs,
         docs.filter(col("source") === "src0"))
+    }),
+
+    // x74 — per-source gate pass-rate rollup of the same audit: exact
+    // integer counts, one hash agg on the source key
+    "x74_gate_rates" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      ext.Curation.gateRates(ext.Curation.curationAudit(docs,
+        docs.filter(col("source") === "src0")))
     })
   )
 
@@ -1629,6 +1637,30 @@ object SparkEntry {
                                  CAST(embedding AS DOUBLE[])))
            * sqrt(list_dot_product($q, $q))))"""
   }
+
+  /** The x73 curation-audit oracle body — x36's five proven fragments
+    * with flags instead of filters; shared verbatim by the x74 rollup. */
+  private def auditBodySql: String =
+    s"""WITH RECURSIVE $componentCtes,
+        $langCtes,
+        $qualityCtes,
+        $repCtes,
+        $contamCtes
+        SELECT d.doc_id, d.source,
+               (l.pred_lang = 'en') AS pass_lang,
+               (q.quality >= 0.5) AS pass_quality,
+               (r.rep_ratio <= 0.5) AS pass_rep,
+               (c.contamination < 0.5) AS pass_contam,
+               (d.doc_id IN (SELECT id FROM cc WHERE rep <> id)) AS is_dup,
+               ((l.pred_lang = 'en') AND q.quality >= 0.5
+                AND r.rep_ratio <= 0.5 AND c.contamination < 0.5
+                AND d.doc_id NOT IN (SELECT id FROM cc WHERE rep <> id))
+                 AS kept
+        FROM documents d
+        JOIN lang l ON l.doc_id = d.doc_id
+        JOIN qual q ON q.doc_id = d.doc_id
+        JOIN rep r ON r.doc_id = d.doc_id
+        JOIN cont c ON c.doc_id = d.doc_id"""
 
   /** DuckDB mirror of the PQ quantizer (x65/x66): codebooks are the
     * subspace slices of the first-16 vectors, assignment is the argmin of
@@ -3379,27 +3411,20 @@ object SparkEntry {
 
     // x73 — the audit replayed from the same five proven fragments as
     // x36, flags instead of filters; kept is the identical conjunction
-    "x73_curation_audit" ->
-      s"""WITH RECURSIVE $componentCtes,
-          $langCtes,
-          $qualityCtes,
-          $repCtes,
-          $contamCtes
-          SELECT d.doc_id, d.source,
-                 (l.pred_lang = 'en') AS pass_lang,
-                 (q.quality >= 0.5) AS pass_quality,
-                 (r.rep_ratio <= 0.5) AS pass_rep,
-                 (c.contamination < 0.5) AS pass_contam,
-                 (d.doc_id IN (SELECT id FROM cc WHERE rep <> id)) AS is_dup,
-                 ((l.pred_lang = 'en') AND q.quality >= 0.5
-                  AND r.rep_ratio <= 0.5 AND c.contamination < 0.5
-                  AND d.doc_id NOT IN (SELECT id FROM cc WHERE rep <> id))
-                   AS kept
-          FROM documents d
-          JOIN lang l ON l.doc_id = d.doc_id
-          JOIN qual q ON q.doc_id = d.doc_id
-          JOIN rep r ON r.doc_id = d.doc_id
-          JOIN cont c ON c.doc_id = d.doc_id""",
+    "x73_curation_audit" -> auditBodySql,
+
+    // x74 — the per-source rollup of the same audit: exact integer
+    // pass counts per gate (CASTs route DuckDB's HUGEINT sums back)
+    "x74_gate_rates" ->
+      s"""SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(CASE WHEN pass_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+                 CAST(SUM(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+                 CAST(SUM(CASE WHEN pass_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+                 CAST(SUM(CASE WHEN pass_contam THEN 1 ELSE 0 END) AS BIGINT) AS n_contam,
+                 CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                 CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          FROM ($auditBodySql) audit GROUP BY source""",
 
     // x49 — both perceptual hashes rebuilt bit-by-bit from the text
     // characters (pixel i = byte i of the doc, zero-padded; PNG gray-8

@@ -374,6 +374,21 @@ object Curation {
         col("pass_rep") && col("pass_contam") && !col("is_dup"))
   }
 
+  /** Per-key gate pass-rate rollup over a [[curationAudit]] frame — the
+    * one-screen summary a corpus owner reads before touching thresholds:
+    * how many docs each gate passes, per source (or any key). Exact
+    * integer counts (no rate division — engine-portable by
+    * construction); ONE partial+final hash agg on the key. */
+  def gateRates(audit: DataFrame, keyCol: String = "source"): DataFrame =
+    audit.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("pass_lang").cast("long")).as("n_lang"),
+      sum(col("pass_quality").cast("long")).as("n_quality"),
+      sum(col("pass_rep").cast("long")).as("n_rep"),
+      sum(col("pass_contam").cast("long")).as("n_contam"),
+      sum(col("is_dup").cast("long")).as("n_dup"),
+      sum(col("kept").cast("long")).as("n_kept"))
+
   /** END-TO-END corpus curation — the composed product every upstream
     * operator exists to feed: the KEPT corpus after the standard filter
     * chain of a training-data pipeline:

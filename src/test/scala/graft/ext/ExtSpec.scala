@@ -259,6 +259,17 @@ class ExtSpec extends AnyFunSuite {
     // the benchmark source's self-hit shows up as a contamination failure
     assert(audit.filter(r => r.getString(1) == "src0")
       .forall(!_.getAs[Boolean]("pass_contam")))
+    // the rollup is exactly the audit's per-source flag sums
+    val rates = Curation.gateRates(Curation.curationAudit(corpus, bench))
+      .collect().map(r => r.getString(0) -> r).toMap
+    audit.groupBy(_.getString(1)).foreach { case (src, rows) =>
+      val r = rates(src)
+      assert(r.getAs[Long]("n_docs") == rows.length)
+      assert(r.getAs[Long]("n_kept") ==
+        rows.count(_.getAs[Boolean]("kept")))
+      assert(r.getAs[Long]("n_dup") ==
+        rows.count(_.getAs[Boolean]("is_dup")))
+    }
   }
 
   test("residual IVFADC: probe-all + full rerank equals brute force; " +
