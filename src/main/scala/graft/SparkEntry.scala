@@ -1207,7 +1207,15 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       ext.Curation.gateRates(ext.Curation.curationAudit(docs,
         docs.filter(col("source") === "src0")))
-    })
+    }),
+
+    // x75 — PQ codes as a dedup BLOCKING key: band-collision candidate
+    // pairs (equi-join, never all-pairs) + exact cosine verify — the
+    // banded-MinHash shape over the quantized corpus
+    "x75_pq_neardup" -> ((s, d) =>
+      ext.Similarity.pqNearDups(t(s, d, "embeddings"), minCos = 0.3,
+          m = 8, k = 16, bands = 4)
+        .withColumn("cos", round(col("cos"), 6)))
   )
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
@@ -3425,6 +3433,37 @@ object SparkEntry {
                  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
                  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
           FROM ($auditBodySql) audit GROUP BY source""",
+
+    // x75 — the PQ blocking replayed: wide codes from the x65 fragment,
+    // base-16 band keys, DISTINCT collision pairs, exact cosine verify
+    // at the x20 threshold
+    "x75_pq_neardup" -> {
+      val cosAb =
+        """(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                             CAST(eb.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(ea.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]),
+                                       CAST(eb.embedding AS DOUBLE[])))))"""
+      s"""WITH $pqCtes,
+          pw AS (SELECT vec_id,
+                 ${(0 until 8).map(s =>
+                   s"MAX(CASE WHEN sub = $s THEN code END) AS c$s")
+                   .mkString(", ")}
+                 FROM pcodes GROUP BY vec_id),
+          pbk AS (${(0 until 4).map(b =>
+                    s"SELECT vec_id, $b AS band, c${2 * b} + c${2 * b + 1} * 16 AS key FROM pw")
+                    .mkString("\n                  UNION ALL ")}),
+          ppairs AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+                     FROM pbk x JOIN pbk y
+                       ON y.band = x.band AND y.key = x.key
+                     WHERE x.vec_id < y.vec_id)
+          SELECT p.id_a, p.id_b, round($cosAb, 6) AS cos
+          FROM ppairs p
+          JOIN embeddings ea ON ea.vec_id = p.id_a
+          JOIN embeddings eb ON eb.vec_id = p.id_b
+          WHERE $cosAb >= 0.3"""
+    },
 
     // x49 — both perceptual hashes rebuilt bit-by-bit from the text
     // characters (pixel i = byte i of the doc, zero-padded; PNG gray-8

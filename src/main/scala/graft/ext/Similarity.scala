@@ -732,6 +732,58 @@ object Similarity {
         (col("n_vectors").cast("double") / col("n_total")).as("frac"))
   }
 
+  /** PQ-blocked near-duplicate search — the dedup-side use of the PQ
+    * codes (alongside retrieval in [[annPq]] and compression audit in
+    * [[int8QuantAudit]]): the m codes split into `bands`, vectors
+    * agreeing on ANY whole band become candidate pairs (an equi-join on
+    * the band key — the banded-MinHash shape), and only candidates pay
+    * the exact cosine ≥ `minCos` verify. At 100 TB the all-pairs cosine
+    * is impossible; band collisions are one content-keyed self-join
+    * whose buckets are bounded by code-space collisions, never n².
+    * Output: (id_a, id_b, cos), id_a < id_b, each pair once however
+    * many bands it collides in. */
+  def pqNearDups(embeddings: DataFrame, minCos: Double = 0.3,
+                 m: Int = 8, k: Int = 16, bands: Int = 4,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(bands >= 1 && m % bands == 0,
+      s"m=$m must split into whole bands, got bands=$bands")
+    val perBand = m / bands
+    val books = pqCodebooks(embeddings, m, k, idCol, vecCol)
+    val codeCols = pqCodeCols(col(vecCol), books)
+    // band key: the band's codes packed positionally in base k
+    val bandStructs = (0 until bands).map { b =>
+      val key = (0 until perBand).map(i =>
+        codeCols(b * perBand + i) * lit(math.pow(k, i).toInt)).reduce(_ + _)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    // norms ride with the banded rows, so a candidate pair pays ONE dot
+    // fold, not three — same a·b/(‖a‖·‖b‖) tree the oracle replays
+    val banded = embeddings.select(col(idCol), col(vecCol),
+        norm(col(vecCol)).as("nrm"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col(vecCol), col("nrm"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"),
+      col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("nrm").as("nrm_a"))
+    val b = banded.select(col("band"), col("key"),
+      col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("nrm").as("nrm_b"))
+    // verify BEFORE deduplicating pair hits: the cosine is deterministic
+    // per pair, so multi-band duplicates are identical rows and the
+    // dedup exchange carries only surviving (id, id, cos) triples —
+    // never the vector payloads (a multi-band hit costs a re-verify,
+    // but multi-band collisions are precisely the near-dups, which are
+    // the rare rows)
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        graft.functions.VectorExprs.dot_fold(col("vec_a"), col("vec_b"))
+          / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Index-quality audit: recall@k of the PQ ADC index against the
     * exact top-k — the acceptance gate a pipeline runs before swapping
     * an exact scan for a compressed index (faiss's recall benchmark as

@@ -293,6 +293,25 @@ class ExtSpec extends AnyFunSuite {
       s"residual IVFADC leaked outside its probed list: ${probed -- oneList}")
   }
 
+  test("PQ blocking: identical vectors always collide; verify is exact") {
+    val rnd = new scala.util.Random(47)
+    val base = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val vecs = (0L until 30L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat))) :+
+      (97L, base) :+ (98L, base) // identical pair — all bands collide
+    val df = vecs.toDF("vec_id", "embedding")
+    val r = Similarity.pqNearDups(df, minCos = 0.999, m = 4, k = 4, bands = 2)
+      .collect()
+    val pairs = r.map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs.contains((97L, 98L)),
+      "identical vectors share every code, so every band collides")
+    val exact = r.find(x => x.getLong(0) == 97L).get
+    assert(math.abs(exact.getDouble(2) - 1.0) < 1e-12)
+    // each surviving pair appears exactly once despite multi-band hits
+    assert(r.length == pairs.size)
+    // all survivors genuinely meet the threshold
+    assert(r.forall(_.getDouble(2) >= 0.999))
+  }
+
   test("PQ stored-codes flow: ADC from a persisted code table matches inline") {
     // the production 100 TB flow: encode once, persist m small ints per
     // vector, answer queries from the stored codes — raw vectors touched
