@@ -3205,19 +3205,21 @@ object SparkEntry {
                FROM g0),
           g2 AS (SELECT doc_id, n_words,
                  CAST(tot_len AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS mean_word_len,
-                 CAST(n_hash + n_ell AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS symbol_ratio,
+                 CAST(n_hash AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS hash_ratio,
+                 CAST(n_ell AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS ellipsis_ratio,
                  CAST(n_alpha AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS alpha_frac,
                  sw_hits,
                  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
                  (CAST(tot_len AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) >= 3.0
                   AND CAST(tot_len AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) <= 10.0) AS r_mean_word_len,
-                 (CAST(n_hash + n_ell AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) < 0.1) AS r_symbol_ratio,
+                 (CAST(n_hash AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) < 0.1
+                  AND CAST(n_ell AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) < 0.1) AS r_symbol_ratio,
                  (CAST(n_alpha AS DOUBLE) > 0.8 * CAST(n_words AS DOUBLE)) AS r_alpha_words,
                  (sw_hits >= 2) AS r_stopwords
                FROM g1)
-          SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
-                 sw_hits, r_word_count, r_mean_word_len, r_symbol_ratio,
-                 r_alpha_words, r_stopwords,
+          SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+                 alpha_frac, sw_hits, r_word_count, r_mean_word_len,
+                 r_symbol_ratio, r_alpha_words, r_stopwords,
                  (r_word_count AND r_mean_word_len AND r_symbol_ratio
                   AND r_alpha_words AND r_stopwords) AS keep
           FROM g2""",

@@ -147,25 +147,26 @@ object Similarity {
   }
 
   /** Lloyd-refined IVF centroids, seeded from the deterministic first-k
-    * set. Each iteration is two DataFrame aggregations:
+    * set. Each iteration is ONE DataFrame aggregation:
     *
-    *   1. assignment — argmax cosine against the BROADCAST centroids (one
-    *      hash-agg shuffle keyed on vector id);
+    *   1. assignment — [[coarseCellCol]], the literal-centroid argmax as
+    *      a pure codegen'd column fused into the scan: no join, no
+    *      exchange, and the vector payload never rides a shuffle;
     *   2. new means — posexplode to (cid, pos, component) and hash-agg
-    *      sum/count. Partial aggregation combines map-side, so the shuffle
-    *      carries only nCentroids × dim × nPartitions rows however big the
-    *      corpus is.
+    *      sum/count. Partial aggregation combines map-side, so the only
+    *      exchange of the whole iteration carries nCentroids × dim ×
+    *      nPartitions scalar rows however big the corpus is.
     *
     * Only the k × dim centroid matrix ever reaches the driver (per
-    * iteration, to rebroadcast). Empty clusters keep their previous
-    * centroid. Deterministic: seed, assignment tiebreak (higher cid), and
-    * decimal-routed means are all order-independent. */
+    * iteration, to re-literalize). Empty clusters keep their previous
+    * centroid. Deterministic: seed, assignment tiebreak (higher cid —
+    * [[coarseCellCol]]'s struct-greatest convention, identical to the
+    * max(struct) tiebreak [[ivfQuery]] uses), and decimal-routed means
+    * are all order-independent. */
   def trainIvfCentroids(embeddings: DataFrame, nCentroids: Int = 16,
                         iters: Int = 3,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): Array[Array[Double]] = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
     var cents: Array[Array[Double]] = embeddings
       .filter(col(idCol) < nCentroids).orderBy(idCol).select(vecCol)
       .collect()
@@ -175,22 +176,8 @@ object Similarity {
       }.toArray)
     val dim = cents.headOption.map(_.length).getOrElse(0)
     for (_ <- 0 until iters) {
-      val centDf = cents.zipWithIndex
-        .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("cid", "cvec")
-      val assigned = embeddings
-        .join(broadcast(centDf))
-        .withColumn("cc", cosine(col(vecCol), col("cvec")))
-        .groupBy(col(idCol))
-        .agg(max(struct(col("cc"), col("cid"))).as("best"),
-             first(col(vecCol)).as(vecCol))
-        .select(col("best.cid").as("cid"), col(vecCol))
       // decimal-routed sum: component means independent of partition order
-      val parts = assigned
-        .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "v")))
-        .groupBy("cid", "pos")
-        .agg(graft.ops.Stable.sumD(col("v").cast("double")).as("s"),
-             count(lit(1)).as("n"))
-        .collect()
+      val parts = lloydAssignAgg(embeddings, cents, vecCol).collect()
       val next = cents.map(_.clone())
       parts.groupBy(_.getLong(0)).foreach { case (cid, rows) =>
         val mean = new Array[Double](dim)
@@ -203,6 +190,20 @@ object Similarity {
     }
     cents
   }
+
+  /** One Lloyd iteration's dataframe — assignment + per-(cid, pos)
+    * partial sums — exposed so PlanSpec can pin the plan shape: no Join
+    * anywhere, and the single Exchange carries only (cid, pos, sum,
+    * count) scalars, never the vector column. */
+  private[graft] def lloydAssignAgg(embeddings: DataFrame,
+                                    cents: Array[Array[Double]],
+                                    vecCol: String): DataFrame =
+    embeddings
+      .select(coarseCellCol(col(vecCol), cents).as("cid"),
+              posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg(graft.ops.Stable.sumD(col("v").cast("double")).as("s"),
+           count(lit(1)).as("n"))
 
   /** IVF with k-means-trained centroids: train, then query — the
     * production path; the deterministic first-k variant stays for the

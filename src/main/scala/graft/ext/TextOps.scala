@@ -288,7 +288,9 @@ object TextOps {
     *
     *  - `r_word_count`: 50 ≤ words ≤ 100,000
     *  - `r_mean_word_len`: mean word length in [3, 10] characters
-    *  - `r_symbol_ratio`: (`#` chars + `...` occurrences) / words < 0.1
+    *  - `r_symbol_ratio`: `#` chars / words < 0.1 AND `...` occurrences
+    *    / words < 0.1 — the paper applies the 0.1 threshold to each
+    *    symbol's ratio separately (App. A1.1), not to their sum
     *  - `r_alpha_words`: > 80% of words contain ≥ 1 letter
     *  - `r_stopwords`: ≥ 2 distinct hits from the paper's 8-stopword list
     *  - `keep` = conjunction of all five.
@@ -312,7 +314,9 @@ object TextOps {
     val nHash = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
     val nEll = ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3)
       .cast("long")
-    val symbolRatio = (nHash + nEll).cast("double") /
+    val hashRatio = nHash.cast("double") /
+      greatest(nWords, lit(1L)).cast("double")
+    val ellRatio = nEll.cast("double") /
       greatest(nWords, lit(1L)).cast("double")
     val nAlpha = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
     val swHits = gopherStopwords.map(w =>
@@ -320,13 +324,14 @@ object TextOps {
     Seq(
       "n_words" -> nWords,
       "mean_word_len" -> meanLen,
-      "symbol_ratio" -> symbolRatio,
+      "hash_ratio" -> hashRatio,
+      "ellipsis_ratio" -> ellRatio,
       "alpha_frac" -> (nAlpha.cast("double") /
         greatest(nWords, lit(1L)).cast("double")),
       "sw_hits" -> swHits,
       "r_word_count" -> (nWords >= 50L && nWords <= 100000L),
       "r_mean_word_len" -> (meanLen >= 3.0 && meanLen <= 10.0),
-      "r_symbol_ratio" -> (symbolRatio < 0.1),
+      "r_symbol_ratio" -> (hashRatio < 0.1 && ellRatio < 0.1),
       "r_alpha_words" -> (nAlpha.cast("double") >
         lit(0.8) * nWords.cast("double")),
       "r_stopwords" -> (swHits >= 2))

@@ -505,6 +505,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"no rerank cut:\n$p")
   }
 
+  test("Lloyd iteration: no join, and no exchange carries the vector " +
+       "column — assignment is a literal argmax fused into the scan") {
+    // AQE-off session so EnsureRequirements' exchanges are visible in the
+    // plan tree without executing (the x2 banding-test convention)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val emb = Tables.embeddings(s2, sf)
+    val cents = ext.Similarity.coarseCentroids(emb, 4)
+    val df = ext.Similarity.lloydAssignAgg(emb, cents, "embedding")
+    val plan = df.queryExecution.executedPlan
+    assert(!plan.toString.contains("Join"), s"Lloyd assignment joins:\n$plan")
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.nonEmpty, "expected the (cid, pos) partial-sum exchange")
+    shuffles.foreach { e =>
+      assert(!e.output.exists(_.dataType.isInstanceOf[
+        org.apache.spark.sql.types.ArrayType]),
+        s"vector payload rides the Lloyd exchange: ${e.output}")
+    }
+  }
+
   test("x71 IVF balance: ONE exchange (the nCentroids-key count), " +
        "partial aggregation map-side") {
     val p = executed("x71_ivf_balance").toString

@@ -460,6 +460,20 @@ class ExtSpec extends AnyFunSuite {
     assert(r(1L).getAs[Int]("sw_hits") == 4)
   }
 
+  test("Gopher symbol rule thresholds each symbol separately (Rae A1.1)") {
+    // 280 words, 15 '#' and 15 '...': each ratio ≈ 0.054 < 0.1 but the
+    // pooled ratio ≈ 0.107 — the paper keeps this document
+    val the50 = (1 to 50).map(i => s"the and of to word$i").mkString(" ")
+    val mixed = the50 + (" #" * 15) + (" ..." * 15)
+    val r = TextOps.gopherRules(Seq((1L, mixed)).toDF("doc_id", "text"))
+      .collect().head
+    assert(r.getAs[Double]("hash_ratio") < 0.1)
+    assert(r.getAs[Double]("ellipsis_ratio") < 0.1)
+    assert(r.getAs[Double]("hash_ratio") + r.getAs[Double]("ellipsis_ratio") > 0.1)
+    assert(r.getAs[Boolean]("r_symbol_ratio"), "per-symbol rule must keep it")
+    assert(r.getAs[Boolean]("keep"))
+  }
+
   test("embedding cosine near-dup via LSH buckets") {
 
     val vecs = Seq(
