@@ -1211,11 +1211,20 @@ object SparkEntry {
 
     // x75 — PQ codes as a dedup BLOCKING key: band-collision candidate
     // pairs (equi-join, never all-pairs) + exact cosine verify — the
-    // banded-MinHash shape over the quantized corpus
+    // banded-MinHash shape over the quantized corpus. 2 bands × 4 codes
+    // = 65,536 keys per band; ids only through the banding exchange
     "x75_pq_neardup" -> ((s, d) =>
       ext.Similarity.pqNearDups(t(s, d, "embeddings"), minCos = 0.3,
-          m = 8, k = 16, bands = 4)
-        .withColumn("cos", round(col("cos"), 6)))
+          m = 8, k = 16, bands = 2)
+        .withColumn("cos", round(col("cos"), 6))),
+
+    // x78 — the blocking pre-flight: per band, occupied keys, largest
+    // bucket, and the candidate-pair mass Σ n(n−1)/2 the verify stage
+    // will pay — a collapsed code space is a one-line number here
+    // before it is a straggler executor in the dedup job
+    "x78_pq_band_balance" -> ((s, d) =>
+      ext.Similarity.pqBandBalance(t(s, d, "embeddings"),
+        m = 8, k = 16, bands = 2))
   )
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
@@ -1691,6 +1700,18 @@ object SparkEntry {
                           row_number() OVER (PARTITION BY vec_id, sub
                                              ORDER BY d, cid) AS rn
                    FROM psd) WHERE rn = 1)"""
+  }
+
+  /** The PQ blocking key replayed (x75/x78): per band, codes packed
+    * positionally in base 16 — 2 bands × 4 codes over the `pw` wide-code
+    * fragment, mirroring Similarity.pqBandKeys' Long arithmetic. */
+  private def pqBandKeySql: String = {
+    val weights = Array.iterate(1L, 4)(_ * 16)
+    (0 until 2).map { b =>
+      val key = (0 until 4).map(i =>
+        s"c${4 * b + i} * ${weights(i)}").mkString(" + ")
+      s"SELECT vec_id, $b AS band, $key AS key FROM pw"
+    }.mkString("\n                  UNION ALL ")
   }
 
   // ----------------------------------------------------------------- oracle
@@ -3437,8 +3458,8 @@ object SparkEntry {
           FROM ($auditBodySql) audit GROUP BY source""",
 
     // x75 — the PQ blocking replayed: wide codes from the x65 fragment,
-    // base-16 band keys, DISTINCT collision pairs, exact cosine verify
-    // at the x20 threshold
+    // base-16 positional band keys (2 bands × 4 codes), DISTINCT
+    // collision pairs, exact cosine verify at the x20 threshold
     "x75_pq_neardup" -> {
       val cosAb =
         """(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
@@ -3453,9 +3474,7 @@ object SparkEntry {
                    s"MAX(CASE WHEN sub = $s THEN code END) AS c$s")
                    .mkString(", ")}
                  FROM pcodes GROUP BY vec_id),
-          pbk AS (${(0 until 4).map(b =>
-                    s"SELECT vec_id, $b AS band, c${2 * b} + c${2 * b + 1} * 16 AS key FROM pw")
-                    .mkString("\n                  UNION ALL ")}),
+          pbk AS ($pqBandKeySql),
           ppairs AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
                      FROM pbk x JOIN pbk y
                        ON y.band = x.band AND y.key = x.key
@@ -3466,6 +3485,23 @@ object SparkEntry {
           JOIN embeddings eb ON eb.vec_id = p.id_b
           WHERE $cosAb >= 0.3"""
     },
+
+    // x78 — the occupancy report replayed: same band keys, per-(band,
+    // key) counts, per-band rollup with exact integer pair mass
+    "x78_pq_band_balance" ->
+      s"""WITH $pqCtes,
+          pw AS (SELECT vec_id,
+                 ${(0 until 8).map(s =>
+                   s"MAX(CASE WHEN sub = $s THEN code END) AS c$s")
+                   .mkString(", ")}
+                 FROM pcodes GROUP BY vec_id),
+          pbk AS ($pqBandKeySql),
+          bc AS (SELECT band, key, COUNT(*) AS n
+                 FROM pbk GROUP BY band, key)
+          SELECT band, CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(MAX(n) AS BIGINT) AS max_bucket,
+                 CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS n_candidate_pairs
+          FROM bc GROUP BY band""",
 
     // x49 — both perceptual hashes rebuilt bit-by-bit from the text
     // characters (pixel i = byte i of the doc, zero-padded; PNG gray-8

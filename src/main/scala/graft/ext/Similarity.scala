@@ -733,6 +733,20 @@ object Similarity {
         (col("n_vectors").cast("double") / col("n_total")).as("frac"))
   }
 
+  /** Exact base-`k` positional weights for a band of `perBand` codes,
+    * computed in Long with an overflow guard — `math.pow(k, i).toInt`
+    * saturates silently for large k^i, which would collapse distinct
+    * band codes into spurious collisions (correct output, degenerate
+    * blocking). Fails fast instead. */
+  private def bandKeyWeights(k: Int, perBand: Int): Array[Long] = {
+    require(k >= 2 && perBand >= 1,
+      s"need k >= 2 and perBand >= 1, got k=$k perBand=$perBand")
+    require(BigInt(k).pow(perBand) <= BigInt(Long.MaxValue),
+      s"band key space k^perBand = $k^$perBand overflows Long — " +
+        "use fewer codes per band or smaller codebooks")
+    Array.iterate(1L, perBand)(_ * k)
+  }
+
   /** PQ-blocked near-duplicate search — the dedup-side use of the PQ
     * codes (alongside retrieval in [[annPq]] and compression audit in
     * [[int8QuantAudit]]): the m codes split into `bands`, vectors
@@ -742,47 +756,93 @@ object Similarity {
     * is impossible; band collisions are one content-keyed self-join
     * whose buckets are bounded by code-space collisions, never n².
     * Output: (id_a, id_b, cos), id_a < id_b, each pair once however
-    * many bands it collides in. */
+    * many bands it collides in.
+    *
+    * Scale discipline (the [[Dedup.minhashVerifiedDups]] shape): only
+    * (id, band, key) rides the banding exchange — never the vector
+    * payload — candidate pairs deduplicate as bare id pairs, and the
+    * vectors join back for the bounded candidate set alone. The default
+    * banding is 2 bands × 4 codes = k⁴ = 65,536 keys per band, so
+    * bucket occupancy ~n/65,536 keeps the self-join linear-ish at
+    * corpus scale (the old 4 × 2 default had 256 keys per band — n²/256
+    * candidate pairs, quadratic at 10⁹ vectors). [[pqBandBalance]] is
+    * the pre-flight occupancy report that makes a skewed band visible
+    * before it stragglers. */
   def pqNearDups(embeddings: DataFrame, minCos: Double = 0.3,
-                 m: Int = 8, k: Int = 16, bands: Int = 4,
+                 m: Int = 8, k: Int = 16, bands: Int = 2,
                  idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
-    require(bands >= 1 && m % bands == 0,
-      s"m=$m must split into whole bands, got bands=$bands")
-    val perBand = m / bands
-    val books = pqCodebooks(embeddings, m, k, idCol, vecCol)
-    val codeCols = pqCodeCols(col(vecCol), books)
-    // band key: the band's codes packed positionally in base k
-    val bandStructs = (0 until bands).map { b =>
-      val key = (0 until perBand).map(i =>
-        codeCols(b * perBand + i) * lit(math.pow(k, i).toInt)).reduce(_ + _)
-      struct(lit(b).as("band"), key.as("key"))
-    }
-    // norms ride with the banded rows, so a candidate pair pays ONE dot
-    // fold, not three — same a·b/(‖a‖·‖b‖) tree the oracle replays
-    val banded = embeddings.select(col(idCol), col(vecCol),
-        norm(col(vecCol)).as("nrm"),
-        explode(array(bandStructs: _*)).as("bk"))
-      .select(col(idCol), col(vecCol), col("nrm"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.select(col("band"), col("key"),
-      col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("nrm").as("nrm_a"))
-    val b = banded.select(col("band"), col("key"),
-      col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("nrm").as("nrm_b"))
-    // verify BEFORE deduplicating pair hits: the cosine is deterministic
-    // per pair, so multi-band duplicates are identical rows and the
-    // dedup exchange carries only surviving (id, id, cos) triples —
-    // never the vector payloads (a multi-band hit costs a re-verify,
-    // but multi-band collisions are precisely the near-dups, which are
-    // the rare rows)
-    a.join(b, Seq("band", "key"))
+    val banded = pqBandKeys(embeddings, m, k, bands, idCol, vecCol)
+    val cand = banded
+      .select(col("band"), col("key"), col(idCol).as("id_a"))
+      .join(banded.select(col("band"), col("key"), col(idCol).as("id_b")),
+            Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    // vectors re-enter only here, keyed by id against the bounded
+    // candidate set — two equi-joins, co-located under id bucketing
+    val vn = embeddings.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("nrm"))
+    cand
+      .join(vn.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+        col("nrm").as("nrm_a")), "id_a")
+      .join(vn.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+        col("nrm").as("nrm_b")), "id_b")
       .withColumn("cos",
         graft.functions.VectorExprs.dot_fold(col("vec_a"), col("vec_b"))
           / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
-      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** The banding projection shared by [[pqNearDups]] and
+    * [[pqBandBalance]]: one row per (vector, band) carrying ONLY the id
+    * and the band's codes packed positionally in base k as a Long key —
+    * codes fuse into the scan ([[pqCodeCols]]), nothing wider than
+    * (id, int, long) ever reaches an exchange. */
+  private[graft] def pqBandKeys(embeddings: DataFrame, m: Int, k: Int,
+                                bands: Int, idCol: String,
+                                vecCol: String): DataFrame = {
+    require(bands >= 1 && m % bands == 0,
+      s"m=$m must split into whole bands, got bands=$bands")
+    val perBand = m / bands
+    val weights = bandKeyWeights(k, perBand)
+    val books = pqCodebooks(embeddings, m, k, idCol, vecCol)
+    val codeCols = pqCodeCols(col(vecCol), books)
+    val bandStructs = (0 until bands).map { b =>
+      val key = (0 until perBand).map(i =>
+        codeCols(b * perBand + i).cast("long") * lit(weights(i)))
+        .reduce(_ + _)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    embeddings
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Band-occupancy report for the PQ blocking key — the
+    * [[ivfListBalance]] discipline applied to [[pqNearDups]]'s buckets:
+    * per band, the occupied-key count, the largest bucket, and the
+    * candidate-pair mass Σ n·(n−1)/2 that band will feed the verify
+    * stage. A band whose max_bucket is a large corpus fraction (codes
+    * collapsed, key space too narrow) shows up HERE as a one-line
+    * number before it shows up as a straggler executor in the dedup
+    * job. One banding scan + one (band, key) count + one per-band
+    * rollup — map-side partials throughout. */
+  def pqBandBalance(embeddings: DataFrame,
+                    m: Int = 8, k: Int = 16, bands: Int = 2,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val counts = pqBandKeys(embeddings, m, k, bands, idCol, vecCol)
+      .groupBy("band", "key").agg(count(lit(1)).as("n"))
+    counts.groupBy("band").agg(
+      count(lit(1)).as("n_keys"),
+      max(col("n")).as("max_bucket"),
+      // `div` keeps the pair mass in exact Long arithmetic (Column `/`
+      // would route through double, which loses exactness past 2^53)
+      sum(expr("n * (n - 1) div 2")).as("n_candidate_pairs"))
+      .orderBy("band")
   }
 
   /** Index-quality audit: recall@k of the PQ ADC index against the

@@ -505,6 +505,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"no rerank cut:\n$p")
   }
 
+  test("x75: the banding exchange carries ids and Long keys only — " +
+       "no vector arrays (the minhash ids-only discipline)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = SparkEntry.queries("x75_pq_neardup")(s2, sf)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val banding = shuffles.filter(_.outputPartitioning.toString.contains("band"))
+    assert(banding.nonEmpty, "banding exchange not found")
+    banding.foreach { e =>
+      assert(!e.output.exists(_.dataType.isInstanceOf[
+        org.apache.spark.sql.types.ArrayType]),
+        s"vector payload rides the banding exchange: ${e.output}")
+    }
+  }
+
   test("Lloyd iteration: no join, and no exchange carries the vector " +
        "column — assignment is a literal argmax fused into the scan") {
     // AQE-off session so EnsureRequirements' exchanges are visible in the

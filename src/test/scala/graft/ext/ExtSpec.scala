@@ -312,6 +312,36 @@ class ExtSpec extends AnyFunSuite {
     assert(r.forall(_.getDouble(2) >= 0.999))
   }
 
+  test("PQ blocking fails fast when the band key space overflows Long") {
+    val df = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    // k=256, one band of 8 codes → 256^8 = 2^64 > Long.MaxValue
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqNearDups(df, m = 8, k = 256, bands = 1)
+    }
+    assert(e.getMessage.contains("overflows Long"))
+  }
+
+  test("PQ band balance: occupancy counts and exact pair mass per band") {
+    val rnd = new scala.util.Random(47)
+    val base = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val vecs = (0L until 30L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))) :+
+      (97L, base) :+ (98L, base)
+    val df = vecs.toDF("vec_id", "embedding")
+    val r = Similarity.pqBandBalance(df, m = 4, k = 4, bands = 2)
+      .collect().map(x => x.getInt(0) -> x).toMap
+    assert(r.keySet == Set(0, 1), "one rollup row per band")
+    r.values.foreach { row =>
+      val nKeys = row.getLong(1); val maxB = row.getLong(2)
+      val pairs = row.getLong(3)
+      assert(nKeys >= 1L && nKeys <= 16L, "k^perBand = 16 possible keys")
+      // the identical pair shares every code, so every band has a
+      // bucket of >= 2 and pair mass >= 1
+      assert(maxB >= 2L)
+      assert(pairs >= 1L && pairs >= maxB * (maxB - 1) / 2)
+    }
+  }
+
   test("PQ stored-codes flow: ADC from a persisted code table matches inline") {
     // the production 100 TB flow: encode once, persist m small ints per
     // vector, answer queries from the stored codes — raw vectors touched
