@@ -1006,6 +1006,16 @@ object SparkEntry {
       ext.Multimodal.probeWebm(
         ext.Multimodal.webmFromDocs(t(s, d, "documents")))),
 
+    // end-to-end REAL compressed-audio metadata path: docs → ADTS/AAC
+    // (even ids) or MPEG-1 Layer III (odd ids) streams with closed-form
+    // headers → pure-JVM frame-header walk (sync, rate/channel fields,
+    // spec frame-size arithmetic) → sample rate, frame census, duration,
+    // measured bitrate. The profiling half of AAC/MP3; payload decode
+    // stays out of scope (the x47/x48 convention).
+    "x76_frame_audio_probe" -> ((s, d) =>
+      ext.Multimodal.probeFrameAudio(
+        ext.Multimodal.frameAudioFromDocs(t(s, d, "documents")))),
+
     // end-to-end REAL telephone-band audio path: docs → G.711 WAVs
     // (closed-form code bytes; A-law odd doc_id, μ-law even) → JDK codec
     // expansion to 16-bit linear → the same scalar features as x18. The
@@ -3028,6 +3038,47 @@ object SparkEntry {
                   AS video_codec,
                 'A_OPUS' AS audio_codec
          FROM documents""",
+
+    // x76 — the frame-header formulas replayed: per format, the header
+    // field formulas (rate/channel tables indexed by doc_id), the spec
+    // frame sizes (ADTS: 7 + payload; Layer III: 144·bitrate/fs integer
+    // division), samples-per-frame constants (1024 / 1152), and the same
+    // exact-integer-product + IEEE-division duration and bitrate trees
+    "x76_frame_audio_probe" ->
+      """WITH f AS (
+           SELECT doc_id, doc_id % 2 = 0 AS is_aac, doc_id // 2 AS d2,
+                  8 + doc_id % 16 AS nf
+           FROM documents),
+         g AS (
+           SELECT doc_id, is_aac, nf,
+             CASE WHEN is_aac THEN
+               CASE d2 % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+                 ELSE 32000 END
+             ELSE
+               CASE d2 % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                 ELSE 32000 END
+             END AS sr,
+             CASE WHEN is_aac THEN 1 + d2 % 2
+                  WHEN d2 % 2 = 0 THEN 1 ELSE 2 END AS ch,
+             CASE WHEN is_aac THEN 1024 ELSE 1152 END AS spf
+           FROM f),
+         h AS (
+           SELECT doc_id, is_aac, nf, sr, ch, spf,
+             CASE WHEN is_aac THEN 23 + doc_id % 32
+               ELSE 144 * 1000 * list_extract(
+                 [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                  256, 320], CAST(1 + doc_id % 14 AS INTEGER)) // sr
+             END AS frame_len
+           FROM g)
+         SELECT doc_id AS media_id,
+                CASE WHEN is_aac THEN 'aac' ELSE 'mp3' END AS format,
+                CAST(sr AS INTEGER) AS sample_rate,
+                CAST(ch AS INTEGER) AS n_channels,
+                CAST(nf AS BIGINT) AS n_frames,
+                CAST(nf * spf AS DOUBLE) / sr AS duration_sec,
+                CAST(nf * frame_len * 8 AS DOUBLE)
+                  / (CAST(nf * spf AS DOUBLE) / sr) AS bitrate_bps
+         FROM h""",
 
     // x46 — the G.711 WAV replayed end-to-end: code byte (doc_id*31 +
     // i*17) % 256, then the published expansion tables — μ-law (even

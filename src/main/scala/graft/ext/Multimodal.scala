@@ -1490,4 +1490,190 @@ object Multimodal {
       }
     }(encoder)
   }
+
+  /** Compressed-audio FRAME-HEADER prober — the metadata half of AAC/MP3
+    * support (the [[Mp4Probe]] convention: profile the stream, never
+    * decode payload bits). Walks ADTS (ISO/IEC 13818-7 §6.2) and MPEG-1
+    * Layer III (ISO/IEC 11172-3 §2.4.1.3) frame headers: per stream, the
+    * sample rate / channel count from the first header, a full frame
+    * census, and the measured duration + bitrate
+    *
+    *   duration_sec = Σ samples-per-frame / sample_rate
+    *   bitrate_bps  = stream_bytes · 8 / duration_sec
+    *
+    * (1024 samples per ADTS raw-data block, 1152 per Layer III frame —
+    * the spec constants). Both formulas are one exact integer product
+    * and one IEEE division each, so the oracle replays them bit-for-bit.
+    * Payload bits after each header are never inspected. */
+  object FrameAudioProbe {
+
+    final case class FrameAudioMeta(format: String, sampleRate: Int,
+                                    nChannels: Int, nFrames: Long,
+                                    durationSec: Double, bitrateBps: Double)
+
+    /** ADTS sampling_frequency_index table (13818-7 table 35). */
+    val adtsRates: Array[Int] = Array(96000, 88200, 64000, 48000, 44100,
+      32000, 24000, 22050, 16000, 12000, 11025, 8000, 7350)
+    /** MPEG-1 sampling rates, header index order (11172-3 §2.4.2.3). */
+    val mp3Rates: Array[Int] = Array(44100, 48000, 32000)
+    /** MPEG-1 Layer III bitrates, kbit/s, index 1–14 (11172-3 table B.2;
+      * index 0 = free format, 15 = forbidden). */
+    val mp3BitratesKbps: Array[Int] = Array(0, 32, 40, 48, 56, 64, 80, 96,
+      112, 128, 160, 192, 224, 256, 320)
+
+    /** Probe a payload; None unless it is a whole number of well-formed
+      * ADTS or MPEG-1 Layer III frames from byte 0. The two syncs are
+      * disjoint in byte 1's layer bits: ADTS is 1111_0xx0 (layer '00'),
+      * MPEG-1 Layer III is 1111_101x — so 0xF6/0xFE masks dispatch
+      * unambiguously. */
+    def probe(b: Array[Byte]): Option[FrameAudioMeta] = {
+      if (b == null || b.length < 4) return None
+      if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xF6) == 0xF0) probeAdts(b)
+      else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFE) == 0xFA) probeMp3(b)
+      else None
+    }
+
+    private def probeAdts(b: Array[Byte]): Option[FrameAudioMeta] = {
+      var p = 0; var nFrames = 0L; var samples = 0L
+      var sr = -1; var ch = -1
+      while (p + 7 <= b.length) {
+        if ((b(p) & 0xFF) != 0xFF || (b(p + 1) & 0xF0) != 0xF0 ||
+            ((b(p + 1) >> 1) & 3) != 0) return None // sync + layer '00'
+        val sfi = (b(p + 2) >> 2) & 0xF
+        if (sfi >= adtsRates.length) return None
+        val chan = ((b(p + 2) & 1) << 2) | ((b(p + 3) >> 6) & 3)
+        val frameLen = ((b(p + 3) & 3) << 11) | ((b(p + 4) & 0xFF) << 3) |
+          ((b(p + 5) >> 5) & 7)
+        if (frameLen < 7 || p + frameLen > b.length) return None
+        val nBlocks = (b(p + 6) & 3) + 1
+        if (sr < 0) { sr = adtsRates(sfi); ch = chan }
+        else if (sr != adtsRates(sfi) || ch != chan) return None
+        samples += 1024L * nBlocks
+        nFrames += 1
+        p += frameLen
+      }
+      if (nFrames == 0 || p != b.length) return None
+      val dur = samples.toDouble / sr
+      Some(FrameAudioMeta("aac", sr, ch, nFrames, dur, b.length * 8L / dur))
+    }
+
+    private def probeMp3(b: Array[Byte]): Option[FrameAudioMeta] = {
+      var p = 0; var nFrames = 0L
+      var sr = -1; var ch = -1
+      while (p + 4 <= b.length) {
+        // sync + MPEG-1 ('11') + Layer III ('01'): FF FA/FB
+        if ((b(p) & 0xFF) != 0xFF || (b(p + 1) & 0xFE) != 0xFA) return None
+        val bIdx = (b(p + 2) >> 4) & 0xF
+        val srIdx = (b(p + 2) >> 2) & 3
+        val pad = (b(p + 2) >> 1) & 1
+        val chan = if (((b(p + 3) >> 6) & 3) == 3) 1 else 2
+        if (bIdx == 0 || bIdx == 15 || srIdx == 3) return None
+        val rate = mp3Rates(srIdx)
+        // frame size, 11172-3 §2.4.3.1: 144 · bitrate / fs + padding
+        val frameLen = 144 * mp3BitratesKbps(bIdx) * 1000 / rate + pad
+        if (frameLen < 4 || p + frameLen > b.length) return None
+        if (sr < 0) { sr = rate; ch = chan }
+        else if (sr != rate || ch != chan) return None
+        nFrames += 1
+        p += frameLen
+      }
+      if (nFrames == 0 || p != b.length) return None
+      val dur = nFrames * 1152L.toDouble / sr
+      Some(FrameAudioMeta("mp3", sr, ch, nFrames, dur, b.length * 8L / dur))
+    }
+
+    // ------------------------------------------------------ fixture writer
+
+    /** Deterministic ADTS stream: `nFrames` frames of `payloadLen` junk
+      * bytes each behind correct headers (AAC-LC, protection absent, one
+      * raw data block per frame). */
+    def encodeAdts(sfi: Int, channels: Int, nFrames: Int,
+                   payloadLen: Int): Array[Byte] = {
+      require(sfi < adtsRates.length && channels >= 1 && channels <= 7)
+      val frameLen = 7 + payloadLen
+      require(frameLen < (1 << 13), s"ADTS frame length $frameLen overflows")
+      val out = new ByteArrayOutputStream()
+      (0 until nFrames).foreach { _ =>
+        out.write(0xFF)
+        out.write(0xF1)                // MPEG-4, layer 00, protection absent
+        out.write((1 << 6) | (sfi << 2) | (channels >> 2)) // AAC-LC profile
+        out.write(((channels & 3) << 6) | ((frameLen >> 11) & 3))
+        out.write((frameLen >> 3) & 0xFF)
+        out.write(((frameLen & 7) << 5) | 0x1F) // buffer fullness hi (VBR)
+        out.write(0xFC)               // fullness lo + single raw data block
+        out.write(new Array[Byte](payloadLen))
+      }
+      out.toByteArray
+    }
+
+    /** Deterministic MPEG-1 Layer III stream: headers + zero payload to
+      * the exact spec frame size, no padding. */
+    def encodeMp3(bitrateIdx: Int, srIdx: Int, mono: Boolean,
+                  nFrames: Int): Array[Byte] = {
+      require(bitrateIdx >= 1 && bitrateIdx <= 14 && srIdx >= 0 && srIdx <= 2)
+      val frameLen = 144 * mp3BitratesKbps(bitrateIdx) * 1000 / mp3Rates(srIdx)
+      val out = new ByteArrayOutputStream()
+      (0 until nFrames).foreach { _ =>
+        out.write(0xFF)
+        out.write(0xFB)                       // MPEG-1, Layer III, no CRC
+        out.write((bitrateIdx << 4) | (srIdx << 2))
+        out.write(if (mono) 3 << 6 else 0)
+        out.write(new Array[Byte](frameLen - 4))
+      }
+      out.toByteArray
+    }
+  }
+
+  /** Build a compressed-audio table from documents: even doc_ids get an
+    * ADTS/AAC stream, odd a MPEG-1 Layer III stream, every header field
+    * a closed formula of doc_id — so the frame-header prober is
+    * oracle-checkable end-to-end (the audio twin of x47/x48). */
+  def frameAudioFromDocs(docs: DataFrame): DataFrame = {
+    val enc = udf((docId: Long) =>
+      if (docId % 2 == 0)
+        FrameAudioProbe.encodeAdts(
+          sfi = 3 + ((docId / 2) % 3).toInt,          // 48000/44100/32000
+          channels = 1 + ((docId / 2) % 2).toInt,
+          nFrames = 8 + (docId % 16).toInt,
+          payloadLen = 16 + (docId % 32).toInt)
+      else
+        FrameAudioProbe.encodeMp3(
+          bitrateIdx = 1 + (docId % 14).toInt,
+          srIdx = ((docId / 2) % 3).toInt,            // 44100/48000/32000
+          mono = (docId / 2) % 2 == 0,
+          nFrames = 8 + (docId % 16).toInt))
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("audio").as("kind"),
+      enc(col("doc_id")).as("payload"),
+      struct(
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("int").as("n_frames"),
+        lit("audio/aac-or-mpeg").as("mime")).as("meta"))
+  }
+
+  /** Frame-header metadata extraction over payload batches — header walk
+    * only, payload bits never read; per-task prober, no shuffle (the
+    * x47/x48 shape). Rows that are not ADTS or MPEG-1 Layer III drop. */
+  def probeFrameAudio(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("n_channels", IntegerType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("duration_sec", DoubleType, nullable = false),
+      StructField("bitrate_bps", DoubleType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        FrameAudioProbe.probe(payload).map { m =>
+          Row(r.getLong(0), m.format, m.sampleRate, m.nChannels,
+            m.nFrames, m.durationSec, m.bitrateBps)
+        }
+      }
+    }(encoder)
+  }
 }

@@ -347,9 +347,9 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("x47/x48 container probes: metadata walk in the scan stage, " +
+  test("x47/x48/x76 media probes: metadata walk in the scan stage, " +
        "zero exchange") {
-    Seq("x47_mp4_probe", "x48_webm_probe").foreach { q =>
+    Seq("x47_mp4_probe", "x48_webm_probe", "x76_frame_audio_probe").foreach { q =>
       val p = executed(q).toString
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
     }

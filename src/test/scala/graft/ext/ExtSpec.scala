@@ -863,6 +863,57 @@ class ExtSpec extends AnyFunSuite {
       .split("Exchange").length - 1 == 0, "webm probe must not shuffle")
   }
 
+  test("frame-audio probe reads back exactly what the writers encoded") {
+    import Multimodal.FrameAudioProbe
+    // ADTS: sfi 3 = 48000 Hz, stereo, 3 frames of 20 payload bytes
+    val adts = FrameAudioProbe.encodeAdts(sfi = 3, channels = 2,
+      nFrames = 3, payloadLen = 20)
+    assert(adts.length == 3 * 27)
+    val a = FrameAudioProbe.probe(adts).get
+    assert(a.format == "aac" && a.sampleRate == 48000 && a.nChannels == 2)
+    assert(a.nFrames == 3L)
+    assert(a.durationSec == 3 * 1024L.toDouble / 48000)
+    assert(a.bitrateBps == adts.length * 8L / a.durationSec)
+    // MP3: index 9 = 128 kbit/s, 44100 Hz, mono, 5 frames; spec frame
+    // size 144·128000/44100 = 417 (integer division)
+    val mp3 = FrameAudioProbe.encodeMp3(bitrateIdx = 9, srIdx = 0,
+      mono = true, nFrames = 5)
+    assert(mp3.length == 5 * 417)
+    val m = FrameAudioProbe.probe(mp3).get
+    assert(m.format == "mp3" && m.sampleRate == 44100 && m.nChannels == 1)
+    assert(m.nFrames == 5L)
+    assert(m.durationSec == 5 * 1152L.toDouble / 44100)
+    // junk, truncation, and cross-format payloads all refuse cleanly
+    assert(FrameAudioProbe.probe(null).isEmpty)
+    assert(FrameAudioProbe.probe("RIFFjunk".getBytes).isEmpty)
+    assert(FrameAudioProbe.probe(adts.dropRight(1)).isEmpty)
+    assert(FrameAudioProbe.probe(mp3.dropRight(1)).isEmpty)
+    val mp4 = Multimodal.Mp4Probe.encodeMp4(1000, 1000, 320, 240,
+      "avc1", "mp4a", 24)
+    assert(FrameAudioProbe.probe(mp4).isEmpty)
+    // a mid-stream sample-rate change is a malformed stream, not a value
+    val mixed = adts ++ FrameAudioProbe.encodeAdts(sfi = 4, channels = 2,
+      nFrames = 1, payloadLen = 20)
+    assert(FrameAudioProbe.probe(mixed).isEmpty)
+  }
+
+  test("x76 pipeline: metadata flows from a real header walk, no shuffle") {
+    val out = Multimodal.probeFrameAudio(Multimodal.frameAudioFromDocs(docs))
+    assert(out.count() == 5)
+    val r2 = out.filter(col("media_id") === 2).head // even → ADTS, d2 = 1
+    assert(r2.getAs[String]("format") == "aac")
+    assert(r2.getAs[Int]("sample_rate") == 44100) // sfi 3 + 1%3 = 4
+    assert(r2.getAs[Int]("n_channels") == 2)      // 1 + 1%2
+    assert(r2.getAs[Long]("n_frames") == 10L)     // 8 + 2%16
+    val r3 = out.filter(col("media_id") === 3).head // odd → MP3, d2 = 1
+    assert(r3.getAs[String]("format") == "mp3")
+    assert(r3.getAs[Int]("sample_rate") == 48000) // srIdx 1%3 = 1
+    assert(r3.getAs[Int]("n_channels") == 2)      // d2 odd → stereo
+    assert(r3.getAs[Double]("duration_sec") == 11 * 1152L.toDouble / 48000)
+    assert(out.queryExecution.executedPlan.toString
+      .split("Exchange").length - 1 == 0, "frame-audio probe must not shuffle")
+  }
+
   test("audio features: exact integer statistics over decoded samples") {
     val samples = Array(100, -100, 50, -50, 0, 25)
     val f = Multimodal.AudioCodec.features(
