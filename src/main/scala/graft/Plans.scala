@@ -50,7 +50,12 @@ object Plans {
       "x68_gopher_rules" -> "Gopher rule filter: five rule flags + keep as exact integer/boolean algebra fused into the scan — zero exchange.",
       "x70_ivfpq_ann" -> "IVF-PQ: the probe list is chosen driver-side and cell assignment is a literal argmax, so the whole query is scan -> codegen'd isin filter -> ADC -> TakeOrdered — zero exchange, zero join.",
       "x71_ivf_balance" -> "IVF list balance: literal-argmax assignment fused into the scan; the only exchange is the nCentroids-key count with map-side partials.",
-      "x72_ivfadc_ann" -> "Residual IVFADC: prune, residual zip_with, code argmin, per-list CASE table lookup — all scan-stage column algebra; zero exchange, zero join, TakeOrdered rerank.")
+      "x72_ivfadc_ann" -> "Residual IVFADC: prune, residual zip_with, code argmin, per-list CASE table lookup — all scan-stage column algebra; zero exchange, zero join, TakeOrdered rerank.",
+      "x75_pq_neardup" -> "PQ-blocked near-dup: ids-only banding exchange (65,536 keys/band), candidate pairs dedupe as bare ids, vectors re-enter only at the bounded verify join — never all-pairs, never an array on the wire.",
+      "x77_pq_stored_ann" -> "Stored-codes ADC retrieval: the code table scans from parquet at rest, the query table rides as literals, raw vectors enter only at the 50-row rerank join.",
+      "x78_pq_band_balance" -> "PQ band occupancy report: one banding scan, one (band, key) count with map-side partials, one per-band rollup — the pre-flight that prices the dedup self-join.",
+      "x76_frame_audio_probe" -> "Compressed-audio frame-header probe: per-row header walk inside the scan stage via mapPartitions, no exchange — corpus audio profiling never reads payload bits.",
+      "f7_ps_reproject" -> "Polar stereographic CRS: range source + one scalar projection (the PS inverse UDF + longitude wrap), no exchange.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")

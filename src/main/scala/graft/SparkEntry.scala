@@ -256,6 +256,24 @@ object SparkEntry {
                 round(col("ll._1"), 9).as("lon"))
     }),
 
+    // F7 (polar case) — NSIDC sea-ice north (EPSG:3413) pixel grid →
+    // EPSG:4326 via the polar stereographic inverse; the grid sits
+    // southwest of the pole so λ0 + θ crosses ±180° and exercises the
+    // longitude wrap (oracle: psOracleSql)
+    "f7_ps_reproject" -> ((s, _) => {
+      val grid = ops.Unpivot.gridToPixels(s, graft.model.GridMeta(
+        "ps3413", 1000.0, 0.0, -300000.0, 0.0, -1000.0, 300000.0,
+        "EPSG:3413", width = 50, height = 50, nodata = None, scaleM = 1000))
+      val p = ops.Crs.fromEpsg(3413).get match {
+        case ops.Crs.PolarStereographic(q) => q
+        case other => throw new IllegalStateException(s"not PS: $other")
+      }
+      grid.withColumn("ll",
+          ops.Conic.psToLonLatUdf(p)(col("lon"), col("lat")))
+        .select(col("y"), col("x"), round(col("ll._2"), 9).as("lat"),
+                round(col("ll._1"), 9).as("lon"))
+    }),
+
     // F13 — query-string parse at the serving edge
     "f13_qs_parse" -> ((s, d) =>
       Tables.events(s, d)
@@ -1160,6 +1178,20 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 6))
     }),
 
+    // x77 — the stored-index lifecycle: train → persist codes+books as
+    // parquet → answer the query FROM STORAGE (books reload into the
+    // literal ADC tables, the code scan never touches a raw vector
+    // until the 50-row re-rank join). Bit-equal to x66's inline encode
+    // — parquet stores binary64/int32 exactly — so the oracle is the
+    // same replay.
+    "x77_pq_stored_ann" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("pq_store").toString
+      ext.Similarity.annPqStored(t(s, d, "embeddings"), dir, queryVector,
+          10, m = 8, nCent = 16, rerank = 50)
+        .withColumn("adist", round(col("adist"), 6))
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+
     // x67 — int8 scalar-quantization audit: per-vector scale, saturated
     // lanes, exact reconstruction MSE (element-order residual fold);
     // zero shuffle
@@ -1609,6 +1641,49 @@ object SparkEntry {
        FROM it15"""
   }
 
+  /** DuckDB mirror of Conic.PolarStereo.inverse for the EPSG:3413 grid
+    * in f7_ps_reproject — ρ/t'/λ closed forms, the SAME ten-step 7-9
+    * latitude fixed point as the LCC oracle, the floor-identity
+    * longitude wrap, every constant pasted as the exact Scala double.
+    * North aspect: s = +1, so θ = atan2(xp, −yp) and φ needs no sign
+    * fold. */
+  private def psOracleSql: String = {
+    val p = ops.Crs.fromEpsg(3413).get match {
+      case ops.Crs.PolarStereographic(q) => q
+      case other => throw new IllegalStateException(s"not PS: $other")
+    }
+    val e = p.e
+    val halfE = e / 2
+    def g(phi: String) =
+      s"(pi() / 2 - 2 * atan(tp * exp($halfE * ln((1 - $e * sin($phi)) / (1 + $e * sin($phi))))))"
+    val iters = (1 to 10).map { k =>
+      s""", it$k AS (SELECT *,
+         CASE WHEN d${k - 1} THEN phi${k - 1} ELSE ${g(s"phi${k - 1}")} END AS phi$k,
+         d${k - 1} OR abs(${g(s"phi${k - 1}")} - phi${k - 1}) < 1e-14 AS d$k
+         FROM it${k - 1})"""
+    }.mkString
+    s"""WITH grid AS (
+         SELECT CAST(y.range AS INTEGER) AS y, CAST(x.range AS INTEGER) AS x,
+                -300000.0 + (CAST(x.range AS DOUBLE) + 0.5) * 1000.0 AS xp,
+                300000.0 + (CAST(y.range AS DOUBLE) + 0.5) * (-1000.0) AS yp
+         FROM range(50) y, range(50) x),
+       pol AS (
+         SELECT y, x, xp, yp, sqrt(xp * xp + yp * yp) AS rho FROM grid),
+       it0 AS (
+         SELECT y, x,
+                rho / ${p.aMcOverTc} AS tp,
+                (${p.lam0} + atan2(xp, -yp)) * 180.0 / pi() AS lon_raw,
+                pi() / 2 - 2 * atan(rho / ${p.aMcOverTc}) AS phi0,
+                FALSE AS d0
+         FROM pol)
+       $iters
+       SELECT y, x,
+              round(phi10 * 180.0 / pi(), 9) AS lat,
+              round(lon_raw - 360.0 * floor((lon_raw + 180.0) / 360.0), 9)
+                AS lon
+       FROM it10"""
+  }
+
   private val geojsonFixture =
     "/root/repo/src/test/resources/powerplants_mini.geojson"
 
@@ -1710,6 +1785,35 @@ object SparkEntry {
                           row_number() OVER (PARTITION BY vec_id, sub
                                              ORDER BY d, cid) AS rn
                    FROM psd) WHERE rn = 1)"""
+  }
+
+  /** The ADC retrieval replayed (x66 inline, x77 stored-codes — the two
+    * are value-identical, parquet round-trips binary64/int32 exactly):
+    * per-subspace query tables from the x65 code fragment, 8-lookup
+    * approximate distance, rerank-50 cut, exact cosine top-10. */
+  private def pqAdcAnnOracleSql: String = {
+    val dsub = 8
+    val qsl = s"list_slice($queryVectorSql, sub*$dsub + 1, sub*$dsub + $dsub)"
+    val csl = s"list_slice(pcent.cv, sub*$dsub + 1, sub*$dsub + $dsub)"
+    s"""WITH $pqCtes,
+        ptab AS (SELECT psub.sub, pcent.cid,
+                        list_dot_product($qsl, $qsl)
+                        - 2*list_dot_product($qsl, $csl)
+                        + list_dot_product($csl, $csl) AS dq
+                 FROM psub, pcent),
+        padist AS (SELECT c.vec_id,
+                   ${(0 until 8).map(s =>
+                     s"MAX(CASE WHEN c.sub = $s THEN t.dq END) AS d_$s")
+                     .mkString(", ")}
+                   FROM pcodes c
+                   JOIN ptab t ON t.sub = c.sub AND t.cid = c.code
+                   GROUP BY c.vec_id),
+        pcand AS (SELECT vec_id,
+                         ${(0 until 8).map(s => s"d_$s").mkString(" + ")} AS adist
+                  FROM padist ORDER BY adist, vec_id LIMIT 50)
+        SELECT p.vec_id, round(p.adist, 6) AS adist, round($cosSql, 6) AS cos
+        FROM pcand p JOIN embeddings ON embeddings.vec_id = p.vec_id
+        ORDER BY $cosSql DESC, p.vec_id LIMIT 10"""
   }
 
   /** The PQ blocking key replayed (x75/x78): per band, codes packed
@@ -3203,30 +3307,13 @@ object SparkEntry {
     // table the engine ships), the 8-term approximate distance sums in
     // the same left-to-right order, the rerank-50 cut is the (adist,
     // vec_id) total order, and the final 10 re-rank by exact cosine.
-    "x66_pq_ann" -> {
-      val dsub = 8
-      val qsl = s"list_slice($queryVectorSql, sub*$dsub + 1, sub*$dsub + $dsub)"
-      val csl = s"list_slice(pcent.cv, sub*$dsub + 1, sub*$dsub + $dsub)"
-      s"""WITH $pqCtes,
-          ptab AS (SELECT psub.sub, pcent.cid,
-                          list_dot_product($qsl, $qsl)
-                          - 2*list_dot_product($qsl, $csl)
-                          + list_dot_product($csl, $csl) AS dq
-                   FROM psub, pcent),
-          padist AS (SELECT c.vec_id,
-                     ${(0 until 8).map(s =>
-                       s"MAX(CASE WHEN c.sub = $s THEN t.dq END) AS d_$s")
-                       .mkString(", ")}
-                     FROM pcodes c
-                     JOIN ptab t ON t.sub = c.sub AND t.cid = c.code
-                     GROUP BY c.vec_id),
-          pcand AS (SELECT vec_id,
-                           ${(0 until 8).map(s => s"d_$s").mkString(" + ")} AS adist
-                    FROM padist ORDER BY adist, vec_id LIMIT 50)
-          SELECT p.vec_id, round(p.adist, 6) AS adist, round($cosSql, 6) AS cos
-          FROM pcand p JOIN embeddings ON embeddings.vec_id = p.vec_id
-          ORDER BY $cosSql DESC, p.vec_id LIMIT 10"""
-    },
+    "x66_pq_ann" -> pqAdcAnnOracleSql,
+
+    // x77 — the stored-codes lifecycle is value-identical to the inline
+    // encode (parquet round-trips binary64/int32 exactly), so the
+    // oracle IS the x66 replay — a hash match here proves the stored
+    // path bit-equal end to end
+    "x77_pq_stored_ann" -> pqAdcAnnOracleSql,
 
     // x67 — the int8 quantizer replayed: scale = list_max(|x|)/127,
     // codes via TRUNC (Spark INT cast truncates, so TRUNC matches), the
@@ -3983,6 +4070,9 @@ object SparkEntry {
 
     // F7 LAEA — ETRS89-LAEA equal-area inverse mirrored in SQL
     "f7_laea_reproject" -> laeaOracleSql,
+
+    // F7 polar stereographic — EPSG:3413 inverse mirrored in SQL
+    "f7_ps_reproject" -> psOracleSql,
 
     "j5_asof" ->
       """WITH p AS (SELECT event_id, user_id,

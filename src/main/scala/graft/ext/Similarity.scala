@@ -493,7 +493,26 @@ object Similarity {
       "ragged codebooks: every centroid must have the same subspace width")
     require(q.length == books.length * dsub,
       s"query dim ${q.length} != m*dsub = ${books.length * dsub}")
-    val tables: Seq[Seq[Double]] = books.indices.map { s =>
+    val tables = adcTables(books, q)
+    val adist = pqCodeCols(col(vecCol), books).zipWithIndex.map { case (cc, s) =>
+      element_at(typedLit(tables(s)), cc + 1)
+    }.reduce(_ + _)
+    embeddings
+      .select(col(idCol), col(vecCol), adist.as("adist"))
+      .orderBy(col("adist"), col(idCol)).limit(rerank)
+      .select(col(idCol), col("adist"),
+        cosineLiteral(col(vecCol), q).as("cos"))
+      .orderBy(desc("cos"), col(idCol)).limit(k)
+  }
+
+  /** The query's per-subspace ADC distance table: in-order folds over
+    * the same doubles the encoder used — shared by the inline
+    * ([[annPqWithBooks]]) and stored-codes ([[annPqStored]]) paths so
+    * the two are bit-equal by construction. */
+  private def adcTables(books: Array[Array[Array[Double]]],
+                        q: Array[Double]): Seq[Seq[Double]] = {
+    val dsub = books(0)(0).length
+    books.indices.map { s =>
       val qs = q.slice(s * dsub, (s + 1) * dsub)
       val qq = qs.foldLeft(0.0)((a, v) => a + v * v)
       books(s).toSeq.map { c =>
@@ -502,12 +521,64 @@ object Similarity {
         qq - 2.0 * qc + cc
       }
     }
-    val adist = pqCodeCols(col(vecCol), books).zipWithIndex.map { case (cc, s) =>
-      element_at(typedLit(tables(s)), cc + 1)
+  }
+
+  /** The stored-index LIFECYCLE as one first-class operation — the
+    * "32× compression at rest" claim proven end to end:
+    *
+    *   1. TRAIN the deterministic seed codebooks and PERSIST the index:
+    *      the [[pqEncode]] code table (m small ints per vector — the
+    *      artifact that replaces D floats at rest) and the codebooks
+    *      themselves, both as parquet under `storageDir`;
+    *   2. QUERY FROM STORAGE ONLY: codebooks reload from parquet into
+    *      the literal ADC tables, the code scan pays m `element_at`
+    *      lookups + a fixed-order sum, and raw vectors are touched
+    *      only by the `rerank`-row re-rank equi-join.
+    *
+    * Parquet stores binary64 and int32 exactly, so the stored path is
+    * bit-equal to the inline [[annPqWithBooks]] encode (spec-asserted,
+    * and the x77 oracle hash-matches the same replay as x66). At
+    * 100 TB the codes table is what lives hot (3 TB per 100 TB of raw
+    * float32 vectors at m=8); the vector table is cold storage the
+    * rerank join reads ~50 rows of. */
+  def annPqStored(embeddings: DataFrame, storageDir: String,
+                  q: Array[Double], k: Int,
+                  m: Int = 8, nCent: Int = 16, rerank: Int = 50,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && rerank >= k, s"need rerank >= k > 0, got k=$k rerank=$rerank")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // ---- write-once half: train + persist codes and books
+    val books0 = pqCodebooks(embeddings, m, nCent, idCol, vecCol)
+    pqEncode(embeddings, books0, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$storageDir/codes")
+    books0.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, cid) => (s, cid, c.toSeq) }
+    }.toSeq.toDF("sub", "cid", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$storageDir/books")
+    // ---- query half: nothing below reads `embeddings` except the
+    // bounded re-rank join
+    val books = spark.read.parquet(s"$storageDir/books")
+      .collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1))
+          .map(_.getSeq[Double](2).toArray)
+      }
+    require(books.length == m && books.forall(_.length == nCent),
+      s"stored books are ${books.length}x${books.headOption.map(_.length)}, " +
+        s"expected ${m}x$nCent")
+    require(q.length == books.length * books(0)(0).length,
+      s"query dim ${q.length} != stored index dim")
+    val tables = adcTables(books, q)
+    val adist = books.indices.map { s =>
+      element_at(typedLit(tables(s)), col(s"code_$s") + 1)
     }.reduce(_ + _)
-    embeddings
-      .select(col(idCol), col(vecCol), adist.as("adist"))
+    spark.read.parquet(s"$storageDir/codes")
+      .select(col(idCol), adist.as("adist"))
       .orderBy(col("adist"), col(idCol)).limit(rerank)
+      .join(embeddings.select(col(idCol), col(vecCol)), Seq(idCol))
       .select(col(idCol), col("adist"),
         cosineLiteral(col(vecCol), q).as("cos"))
       .orderBy(desc("cos"), col(idCol)).limit(k)

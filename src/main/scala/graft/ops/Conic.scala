@@ -231,10 +231,67 @@ object Conic {
     }
   }
 
+  /** Polar stereographic, standard-parallel form, on the ellipsoid
+    * (Snyder PP 1395 pp. 160-163: forward 21-33/21-34, t 15-9, m 14-15,
+    * inverse 21-39/21-40 + the 7-9 fixed point — the same latitude
+    * iteration the LCC inverse uses, so the oracle CTE chain is shared
+    * machinery). North (latTs > 0) and south polar aspects fold through
+    * one sign: Snyder's south-aspect rule "reverse the signs of x, y,
+    * λ0, λ, φc, φ" reduces to
+    *
+    *   ρ = (a·mc/tc) · t(s·φ),  x = FE + ρ sin(λ−λ0),
+    *   y = FN − s·ρ cos(λ−λ0),  λ = λ0 + atan2(x−FE, −s·(y−FN))
+    *
+    * with s = ±1. These are the polar raster products the reference
+    * would otherwise refuse: NSIDC sea-ice grids (EPSG:3413) and
+    * Antarctic mosaics (EPSG:3031). */
+  final case class PolarStereo(ell: Ellipsoid, latTsDeg: Double,
+                               lam0Deg: Double, falseE: Double = 0.0,
+                               falseN: Double = 0.0) {
+    require(math.abs(latTsDeg) > 0.0 && math.abs(latTsDeg) <= 90.0,
+      s"standard parallel $latTsDeg must be polar-signed and nonzero")
+    val north: Boolean = latTsDeg > 0
+    private val s = if (north) 1.0 else -1.0
+    val lam0: Double = math.toRadians(lam0Deg)
+    val e: Double = ell.e
+    private val phiC = math.toRadians(latTsDeg * s)
+    /** a·m(φc)/t(φc) — ρ per unit t (21-34); exposed for the oracle. */
+    val aMcOverTc: Double =
+      ell.a * mOf(ell.e2, phiC) / tOf(e, phiC)
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val rho = aMcOverTc * tOf(e, s * math.toRadians(latDeg))
+      val dl = math.toRadians(lonDeg) - lam0
+      (falseE + rho * math.sin(dl), falseN - s * rho * math.cos(dl))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val xp = x - falseE
+      val yp = y - falseN
+      val rho = math.sqrt(xp * xp + yp * yp)
+      val tp = rho / aMcOverTc
+      // λ0 + θ can leave (−180°, 180°] (the azimuthal θ spans the full
+      // circle); normalize with the floor identity the oracle replays
+      val lonRaw = math.toDegrees(lam0 + math.atan2(xp, -s * yp))
+      val lon = lonRaw - 360.0 * math.floor((lonRaw + 180.0) / 360.0)
+      var phi = math.Pi / 2 - 2 * math.atan(tp)
+      var i = 0
+      while (i < 10) {
+        val sn = e * math.sin(phi)
+        val next = math.Pi / 2 -
+          2 * math.atan(tp * powEL((1 - sn) / (1 + sn), e / 2))
+        if (math.abs(next - phi) < 1e-14) { phi = next; i = 10 }
+        else { phi = next; i += 1 }
+      }
+      (lon, s * math.toDegrees(phi))
+    }
+  }
+
   /** Column UDFs returning struct(lon, lat) from projected model (x, y) —
     * same shape as Utm.utmToLatLonUdf; branch-heavy scalar math, one JVM
     * call per row, fully distributed. */
   def lccToLonLatUdf(p: Lcc) = udf((x: Double, y: Double) => p.inverse(x, y))
   def albersToLonLatUdf(p: Albers) = udf((x: Double, y: Double) => p.inverse(x, y))
   def laeaToLonLatUdf(p: Laea) = udf((x: Double, y: Double) => p.inverse(x, y))
+  def psToLonLatUdf(p: PolarStereo) = udf((x: Double, y: Double) => p.inverse(x, y))
 }

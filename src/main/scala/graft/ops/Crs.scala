@@ -19,6 +19,7 @@ object Crs {
   final case class LambertConic(p: Conic.Lcc) extends Projection
   final case class AlbersConic(p: Conic.Albers) extends Projection
   final case class LaeaAzimuthal(p: Conic.Laea) extends Projection
+  final case class PolarStereographic(p: Conic.PolarStereo) extends Projection
 
   /** Registered conic codes — the LCC/Albers products national met/stat
     * agencies actually publish rasters in. All are ETRS89/NAD83-family
@@ -39,6 +40,12 @@ object Crs {
   private val EuropeLaea = Conic.Laea(Ellipsoid.GRS80,
     phi0Deg = 52.0, lam0Deg = 10.0,
     falseE = 4321000.0, falseN = 3210000.0)              // EPSG:3035
+  /** Polar products (WGS84, standard-parallel form): NSIDC sea-ice
+    * north and Antarctic south grids. */
+  private val ArcticPs = Conic.PolarStereo(Ellipsoid.WGS84,
+    latTsDeg = 70.0, lam0Deg = -45.0)                    // EPSG:3413
+  private val AntarcticPs = Conic.PolarStereo(Ellipsoid.WGS84,
+    latTsDeg = -71.0, lam0Deg = 0.0)                     // EPSG:3031
 
   def fromEpsg(code: Int): Option[Projection] = code match {
     case 4326 => Some(Geographic)
@@ -50,6 +57,8 @@ object Crs {
     case 5070 => Some(AlbersConic(ConusAlbers))
     case 3310 => Some(AlbersConic(CaliforniaAlbers))
     case 3035 => Some(LaeaAzimuthal(EuropeLaea))
+    case 3413 => Some(PolarStereographic(ArcticPs))
+    case 3031 => Some(PolarStereographic(AntarcticPs))
     case _ => None
   }
 
@@ -74,5 +83,6 @@ object Crs {
       case LambertConic(p) => p.inverse(x, y)
       case AlbersConic(p) => p.inverse(x, y)
       case LaeaAzimuthal(p) => p.inverse(x, y)
+      case PolarStereographic(p) => p.inverse(x, y)
     }
 }

@@ -41,20 +41,34 @@ object GeoTiff {
   final case class MultiRaster(meta: GridMeta, nBands: Int,
                                values: Array[Float])
 
-  private val TypeSizes = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 11 -> 4, 12 -> 8)
+  // 16 = LONG8, the BigTIFF 64-bit unsigned integer type
+  private val TypeSizes =
+    Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 11 -> 4, 12 -> 8, 16 -> 8)
 
+  /** One IFD entry. `big` switches the BigTIFF conventions: the value
+    * field is 8 bytes (values of ≤ 8 bytes live inline — the spec's
+    * if-and-only-if rule), and external offsets are 64-bit. In-memory
+    * payloads are capped at Array[Byte] size, so resolved offsets fit an
+    * Int; a >2 GiB offset in a crafted small file fails loudly below. */
   private final case class Entry(tag: Int, typ: Int, count: Int, at: Int,
-                                 buf: ByteBuffer) {
+                                 buf: ByteBuffer, big: Boolean = false) {
     private def dataAt: Int = {
       val size = TypeSizes.getOrElse(typ,
         throw new IllegalArgumentException(s"TIFF tag $tag: unsupported type $typ"))
-      if (size * count <= 4) at else buf.getInt(at)
+      if (size * count <= (if (big) 8 else 4)) at
+      else if (big) {
+        val off = buf.getLong(at)
+        require(off >= 0 && off <= Int.MaxValue,
+          s"TIFF tag $tag: offset $off outside the loaded payload")
+        off.toInt
+      } else buf.getInt(at)
     }
     def ints: IndexedSeq[Long] = {
       val off = dataAt
       typ match {
         case 3 => (0 until count).map(i => (buf.getShort(off + 2 * i) & 0xFFFF).toLong)
         case 4 => (0 until count).map(i => buf.getInt(off + 4 * i) & 0xFFFFFFFFL)
+        case 16 => (0 until count).map(i => buf.getLong(off + 8 * i))
         case t => throw new IllegalArgumentException(s"TIFF tag $tag: expected int type, got $t")
       }
     }
@@ -96,13 +110,37 @@ object GeoTiff {
       case _ => throw new IllegalArgumentException("not a TIFF: bad byte-order mark")
     }
     val buf = ByteBuffer.wrap(bytes).order(order)
-    require(buf.getShort(2) == 42, "not a TIFF: bad magic")
-    val ifd = buf.getInt(4)
-    val n = buf.getShort(ifd) & 0xFFFF
+    val magic = buf.getShort(2)
+    // 42 = classic TIFF; 43 = BigTIFF (8-byte offsets/counts, 20-byte
+    // IFD entries) — the format any >4 GiB GDAL export arrives in
+    val big = magic == 43
+    require(magic == 42 || big, "not a TIFF: bad magic")
+    val (entriesStart, n, stride, countAt, valueAt) =
+      if (big) {
+        require(buf.getShort(4) == 8 && buf.getShort(6) == 0,
+          s"BigTIFF $dataset: bad offset-size header")
+        val ifd8 = buf.getLong(8)
+        require(ifd8 >= 16 && ifd8 <= Int.MaxValue,
+          s"BigTIFF $dataset: IFD offset $ifd8 outside the loaded payload")
+        val nEnt = buf.getLong(ifd8.toInt)
+        require(nEnt >= 1 && nEnt <= 65535,
+          s"BigTIFF $dataset: implausible IFD entry count $nEnt")
+        (ifd8.toInt + 8, nEnt.toInt, 20, 4, 12)
+      } else {
+        val ifd = buf.getInt(4)
+        (ifd + 2, buf.getShort(ifd) & 0xFFFF, 12, 4, 8)
+      }
     val entries: Map[Int, Entry] = (0 until n).map { i =>
-      val at = ifd + 2 + i * 12
+      val at = entriesStart + i * stride
+      val cnt =
+        if (big) {
+          val c = buf.getLong(at + countAt)
+          require(c >= 0 && c <= Int.MaxValue,
+            s"BigTIFF $dataset: tag count $c outside the loaded payload")
+          c.toInt
+        } else buf.getInt(at + countAt)
       val e = Entry(buf.getShort(at) & 0xFFFF, buf.getShort(at + 2) & 0xFFFF,
-                    buf.getInt(at + 4), at + 8, buf)
+                    cnt, at + valueAt, buf, big)
       e.tag -> e
     }.toMap
     def req(tag: Int, what: String): Entry =
@@ -539,12 +577,18 @@ object GeoTiff {
     * tiles, edge tiles zero-padded to full size per TIFF6). `bands` > 1
     * writes chunky pixel-interleaved samples (`values` in
     * [[MultiRaster]] order) with explicit PlanarConfiguration and
-    * ExtraSamples tags; the single-band byte stream is unchanged. */
+    * ExtraSamples tags; the single-band byte stream is unchanged.
+    * `bigTiff` writes the BigTIFF container (version 43, 8-byte
+    * offsets/counts, 20-byte IFD entries, LONG8 chunk offset arrays —
+    * what GDAL emits past 4 GiB); single-band only, and values of ≤ 8
+    * bytes go inline per the BigTIFF if-and-only-if rule. */
   def write(meta: GridMeta, values: Array[Float], rowsPerStrip: Int = 64,
             bigEndian: Boolean = false, compression: Int = 1,
             tileSize: Int = 0, predictor: Int = 1,
             bands: Int = 1, sampleBits: Int = 32,
-            sampleFormat: Int = 3): Array[Byte] = {
+            sampleFormat: Int = 3, bigTiff: Boolean = false): Array[Byte] = {
+    require(!bigTiff || bands == 1,
+      "GeoTIFF writer: BigTIFF output is single-band only")
     require(meta.b == 0.0 && meta.d == 0.0 && meta.a > 0 && meta.e < 0,
       "GeoTIFF writer: only north-up affine grids")
     require(bands >= 1 && bands <= 4,
@@ -663,12 +707,14 @@ object GeoTiff {
     val nTags = (if (tiled) 14 else 13) +
       (if (predictor != 1) 1 else 0) + nodataAscii.size +
       (if (bands > 1) 2 else 0)
-    val ifdAt = 8
-    val ifdSize = 2 + nTags * 12 + 4
+    val ifdAt = if (bigTiff) 16 else 8
+    val ifdSize =
+      if (bigTiff) 8 + nTags * 20 + 8 else 2 + nTags * 12 + 4
     var extAt = ifdAt + ifdSize // external value area cursor
     def reserve(n: Int): Int = { val at = extAt; extAt += n; at }
-    val stripOffsetsAt = if (nStrips > 1) reserve(4 * nStrips) else -1
-    val stripCountsAt = if (nStrips > 1) reserve(4 * nStrips) else -1
+    val offBytes = if (bigTiff) 8 else 4 // LONG8 vs LONG chunk arrays
+    val stripOffsetsAt = if (nStrips > 1) reserve(offBytes * nStrips) else -1
+    val stripCountsAt = if (nStrips > 1) reserve(offBytes * nStrips) else -1
     val scaleAt = reserve(24)
     val tieAt = reserve(48)
     val geoKeysAt = reserve(2 * 16) // 4 header + 3 keys of 4 shorts
@@ -679,7 +725,7 @@ object GeoTiff {
     // values of size*count <= 4 live inline in the tag's value field (TIFF
     // spec; parseMeta's Entry.dataAt applies the same rule) — only reserve
     // external space for longer nodata strings
-    val nodataAt = nodataAscii.filter(_.length > 4)
+    val nodataAt = nodataAscii.filter(_.length > (if (bigTiff) 8 else 4))
       .map(s => reserve(s.length)).getOrElse(-1)
     val dataAt = extAt
     val stripOffsets = stripBytes.scanLeft(dataAt)(_ + _).init
@@ -689,21 +735,37 @@ object GeoTiff {
       .order(if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     buf.put(0, (if (bigEndian) 'M' else 'I').toByte)
     buf.put(1, (if (bigEndian) 'M' else 'I').toByte)
-    buf.putShort(2, 42)
-    buf.putInt(4, ifdAt)
+    if (bigTiff) {
+      buf.putShort(2, 43)
+      buf.putShort(4, 8) // offset byte size
+      buf.putShort(6, 0)
+      buf.putLong(8, ifdAt.toLong)
+    } else {
+      buf.putShort(2, 42)
+      buf.putInt(4, ifdAt)
+    }
 
-    var tagCursor = ifdAt + 2
-    buf.putShort(ifdAt, nTags.toShort)
-    def tag(id: Int, typ: Int, count: Int, inline: Int): Unit = {
+    var tagCursor = ifdAt + (if (bigTiff) 8 else 2)
+    if (bigTiff) buf.putLong(ifdAt, nTags.toLong)
+    else buf.putShort(ifdAt, nTags.toShort)
+    def tag(id: Int, typ: Int, count: Int, value: Int): Unit = {
       buf.putShort(tagCursor, id.toShort)
       buf.putShort(tagCursor + 2, typ.toShort)
-      buf.putInt(tagCursor + 4, count)
-      typ match {
-        case 3 if count == 1 => buf.putShort(tagCursor + 8, inline.toShort)
-          buf.putShort(tagCursor + 10, 0)
-        case _ => buf.putInt(tagCursor + 8, inline)
+      if (bigTiff) buf.putLong(tagCursor + 4, count.toLong)
+      else buf.putInt(tagCursor + 4, count)
+      val vAt = tagCursor + (if (bigTiff) 12 else 8)
+      // inline iff the payload fits the value field (4 / 8 bytes): the
+      // TIFF/BigTIFF if-and-only-if rule Entry.dataAt applies on read
+      val inline = TypeSizes(typ) * count <= (if (bigTiff) 8 else 4)
+      (typ, inline) match {
+        case (3, true) => buf.putShort(vAt, value.toShort) // count == 1
+        case (4, true) => buf.putInt(vAt, value)
+        case (16, true) => buf.putLong(vAt, value.toLong)
+        case _ =>
+          if (bigTiff) buf.putLong(vAt, value.toLong)
+          else buf.putInt(vAt, value)
       }
-      tagCursor += 12
+      tagCursor += (if (bigTiff) 20 else 12)
     }
     // two SHORT values fit the 4-byte inline field (written explicitly —
     // an int-packed write would depend on byte order)
@@ -722,25 +784,26 @@ object GeoTiff {
     else tag(258, 3, bands, bitsAt)
     tag(259, 3, 1, compression)
     tag(262, 3, 1, 1)
+    val offTyp = if (bigTiff) 16 else 4 // LONG8 chunk arrays in BigTIFF
     if (!tiled) {
-      if (nStrips > 1) tag(273, 4, nStrips, stripOffsetsAt)
-      else tag(273, 4, 1, stripOffsets.head)
+      if (nStrips > 1) tag(273, offTyp, nStrips, stripOffsetsAt)
+      else tag(273, offTyp, 1, stripOffsets.head)
     }
     tag(277, 3, 1, bands)
     if (!tiled) {
       tag(278, 3, 1, rowsPerStrip)
-      if (nStrips > 1) tag(279, 4, nStrips, stripCountsAt)
-      else tag(279, 4, 1, stripBytes.head)
+      if (nStrips > 1) tag(279, offTyp, nStrips, stripCountsAt)
+      else tag(279, offTyp, 1, stripBytes.head)
     }
     if (bands > 1) tag(284, 3, 1, 1) // chunky interleave, explicit
     if (predictor != 1) tag(317, 3, 1, predictor)
     if (tiled) {
       tag(322, 3, 1, tileSize)
       tag(323, 3, 1, tileSize)
-      if (nStrips > 1) tag(324, 4, nStrips, stripOffsetsAt)
-      else tag(324, 4, 1, stripOffsets.head)
-      if (nStrips > 1) tag(325, 4, nStrips, stripCountsAt)
-      else tag(325, 4, 1, stripBytes.head)
+      if (nStrips > 1) tag(324, offTyp, nStrips, stripOffsetsAt)
+      else tag(324, offTyp, 1, stripOffsets.head)
+      if (nStrips > 1) tag(325, offTyp, nStrips, stripCountsAt)
+      else tag(325, offTyp, 1, stripBytes.head)
     }
     if (bands == 2) tag(338, 3, 1, 0)            // 1 unspecified extra
     else if (bands == 3) tag2Shorts(338, 0, 0)   // 2 unspecified extras
@@ -752,21 +815,29 @@ object GeoTiff {
     tag(33922, 12, 6, tieAt)
     tag(34735, 3, 16, geoKeysAt)
     nodataAscii.foreach { s =>
-      if (s.length <= 4) {
+      if (s.length <= (if (bigTiff) 8 else 4)) {
         // short NUL-terminated string: bytes go inline in the value field
         buf.putShort(tagCursor, 42113.toShort)
         buf.putShort(tagCursor + 2, 2.toShort)
-        buf.putInt(tagCursor + 4, s.length)
+        if (bigTiff) buf.putLong(tagCursor + 4, s.length.toLong)
+        else buf.putInt(tagCursor + 4, s.length)
+        val vAt = tagCursor + (if (bigTiff) 12 else 8)
         s.getBytes("US-ASCII").zipWithIndex
-          .foreach { case (b, i) => buf.put(tagCursor + 8 + i, b) }
-        tagCursor += 12
+          .foreach { case (b, i) => buf.put(vAt + i, b) }
+        tagCursor += (if (bigTiff) 20 else 12)
       } else tag(42113, 2, s.length, nodataAt)
     }
-    buf.putInt(tagCursor, 0) // next IFD
+    if (bigTiff) buf.putLong(tagCursor, 0L) // next IFD
+    else buf.putInt(tagCursor, 0)
 
     if (nStrips > 1) (0 until nStrips).foreach { s =>
-      buf.putInt(stripOffsetsAt + 4 * s, stripOffsets(s))
-      buf.putInt(stripCountsAt + 4 * s, stripBytes(s))
+      if (bigTiff) {
+        buf.putLong(stripOffsetsAt + 8 * s, stripOffsets(s).toLong)
+        buf.putLong(stripCountsAt + 8 * s, stripBytes(s).toLong)
+      } else {
+        buf.putInt(stripOffsetsAt + 4 * s, stripOffsets(s))
+        buf.putInt(stripCountsAt + 4 * s, stripBytes(s))
+      }
     }
     buf.putDouble(scaleAt, meta.a)
     buf.putDouble(scaleAt + 8, -meta.e)

@@ -340,8 +340,9 @@ class PlanSpec extends AnyFunSuite {
       s"no window operator:\n$p")
   }
 
-  test("f7 conic/azimuthal reprojections: pure projection, zero exchange") {
-    Seq("f7_lcc_reproject", "f7_laea_reproject").foreach { q =>
+  test("f7 conic/azimuthal/polar reprojections: pure projection, " +
+       "zero exchange") {
+    Seq("f7_lcc_reproject", "f7_laea_reproject", "f7_ps_reproject").foreach { q =>
       val p = executed(q).toString
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
     }

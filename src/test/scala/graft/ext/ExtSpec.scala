@@ -380,6 +380,32 @@ class ExtSpec extends AnyFunSuite {
       "stored-code retrieval must equal the inline encode path")
   }
 
+  test("annPqStored: lifecycle query from persisted codes is bit-equal " +
+       "to the inline encode") {
+    val rnd = new scala.util.Random(31)
+    val df = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = Array.fill(8)(rnd.nextGaussian())
+    val dir = java.nio.file.Files.createTempDirectory("pq_lifecycle").toString
+    val stored = Similarity.annPqStored(df, dir, q, 5, m = 4, nCent = 4,
+      rerank = 10).collect()
+    val inline = Similarity.annPq(df, q, 5, m = 4, nCent = 4, rerank = 10)
+      .collect()
+    assert(stored.length == inline.length)
+    stored.zip(inline).foreach { case (s, i) =>
+      assert(s.getLong(0) == i.getLong(0), "rank order diverged")
+      assert(s.getDouble(1) == i.getDouble(1), "adist not bit-equal")
+      assert(s.getDouble(2) == i.getDouble(2), "cos not bit-equal")
+    }
+    // the at-rest artifacts are really there, in the compressed shape
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.columns.toSeq ==
+      Seq("vec_id", "code_0", "code_1", "code_2", "code_3"))
+    assert(codes.count() == 40)
+    assert(spark.read.parquet(s"$dir/books").count() == 16) // m=4 × k=4
+  }
+
   test("IVF list balance: counts partition the corpus, fractions sum to 1") {
     val rnd = new scala.util.Random(37)
     val df = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))

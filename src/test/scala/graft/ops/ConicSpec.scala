@@ -184,10 +184,74 @@ class ConicSpec extends AnyFunSuite {
     }
   }
 
+  test("polar stereographic forward matches Snyder's published example") {
+    // Snyder PP 1395 numerical example: International ellipsoid, south
+    // polar aspect, φc = −71°, λ0 = −100°, point (−75°, 150°E)
+    //   → x = −1,540,033.6 m, y = −560,526.4 m
+    val intl = Ellipsoid(6378388.0, 297.0)
+    val p = Conic.PolarStereo(intl, latTsDeg = -71.0, lam0Deg = -100.0)
+    val (x, y) = p.forward(-75.0, 150.0)
+    assert(math.abs(x - -1540033.6) < 1.0, s"x=$x")
+    assert(math.abs(y - -560526.4) < 1.0, s"y=$y")
+    // inverse recovers the point, including the ±180° longitude wrap
+    // (λ0 + θ = −210° here)
+    val (lon, lat) = p.inverse(x, y)
+    assert(math.abs(lon - 150.0) < 1e-9 && math.abs(lat - -75.0) < 1e-9)
+  }
+
+  test("polar stereographic round-trips both aspects across the cap") {
+    val projs = Seq(
+      Crs.fromEpsg(3413).get.asInstanceOf[Crs.PolarStereographic].p,
+      Crs.fromEpsg(3031).get.asInstanceOf[Crs.PolarStereographic].p)
+    val rnd = new scala.util.Random(19)
+    projs.foreach { p =>
+      val s = if (p.north) 1.0 else -1.0
+      (1 to 300).foreach { _ =>
+        val lat = s * (55.0 + rnd.nextDouble() * 34.9)
+        val lon = -180.0 + rnd.nextDouble() * 360.0
+        val (x, y) = p.forward(lat, lon)
+        val (lon2, lat2) = p.inverse(x, y)
+        assert(math.abs(lat2 - lat) < 1e-9 && math.abs(lon2 - lon) < 1e-9,
+          s"$p: ($lat,$lon) -> ($x,$y) -> ($lat2,$lon2)")
+      }
+      // the pole itself maps to the false origin and back
+      val (px, py) = p.forward(s * 90.0, 123.0)
+      assert(math.abs(px - 0.0) < 1e-6 && math.abs(py - 0.0) < 1e-6)
+      val (_, latPole) = p.inverse(px, py)
+      assert(math.abs(latPole - s * 90.0) < 1e-9)
+    }
+  }
+
+  test("polar stereographic is conformal: local scale direction-free, " +
+       "exactly 1 on the standard parallel") {
+    val p = Crs.fromEpsg(3413).get.asInstanceOf[Crs.PolarStereographic].p
+    val ell = Ellipsoid.WGS84
+    def dist(a: (Double, Double), b: (Double, Double)) =
+      math.hypot(a._1 - b._1, a._2 - b._2)
+    Seq((70.0, -45.0), (70.0, 120.0), (85.0, 10.0), (62.0, -100.0)).foreach {
+      case (lat, lon) =>
+        val h = 0.1 / 3600.0
+        val phi = math.toRadians(lat)
+        val sin2 = math.sin(phi) * math.sin(phi)
+        val m = ell.a * (1 - ell.e2) / math.pow(1 - ell.e2 * sin2, 1.5)
+        val nRad = ell.a / math.sqrt(1 - ell.e2 * sin2)
+        val dNorth = math.toRadians(h) * m
+        val dEast = math.toRadians(h) * nRad * math.cos(phi)
+        val kNS = dist(p.forward(lat + h, lon), p.forward(lat - h, lon)) /
+          (2 * dNorth)
+        val kEW = dist(p.forward(lat, lon + h), p.forward(lat, lon - h)) /
+          (2 * dEast)
+        assert(math.abs(kNS / kEW - 1.0) < 1e-7, s"($lat,$lon): $kNS vs $kEW")
+        if (lat == 70.0) assert(math.abs(kEW - 1.0) < 1e-9,
+          s"standard parallel: k=$kEW")
+    }
+  }
+
   test("registry: conic codes resolve, unknown codes still fail closed") {
     assert(Crs.fromEpsg(2154).isDefined && Crs.fromEpsg(3978).isDefined)
     assert(Crs.fromEpsg(5070).isDefined && Crs.fromEpsg(3310).isDefined)
     assert(Crs.fromEpsg(3035).isDefined)
+    assert(Crs.fromEpsg(3413).isDefined && Crs.fromEpsg(3031).isDefined)
     assert(Crs.fromEpsg(27700).isEmpty)  // OSGB TM: not registered
     assert(Crs.fromEpsg(2193).isEmpty)   // NZTM: not registered
     // Crs.toLonLat dispatch for the conic branches

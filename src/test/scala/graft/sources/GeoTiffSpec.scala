@@ -504,6 +504,68 @@ class GeoTiffSpec extends AnyFunSuite {
       s"($gotLon, $gotLat) not near Paris")
   }
 
+  test("BigTIFF round-trips: version 43, LONG8 offsets, striped + tiled") {
+    // nodata string > 8 chars exercises the external-ASCII path under
+    // the BigTIFF 8-byte inline rule
+    val meta = GeoTiffFixture.meta.copy(dataset = "big.tif",
+      nodata = Some(-99999.25))
+    val values = GeoTiffFixture.values
+    Seq(
+      ("striped deflate", () => GeoTiff.write(meta, values,
+        rowsPerStrip = 4, compression = 8, bigTiff = true)),
+      ("striped fp-predictor lzw", () => GeoTiff.write(meta, values,
+        rowsPerStrip = 4, compression = 5, predictor = 3, bigTiff = true)),
+      ("single-strip", () => GeoTiff.write(meta, values,
+        rowsPerStrip = meta.height, bigTiff = true)),
+      ("tiled", () => GeoTiff.write(meta, values, compression = 8,
+        tileSize = 16, bigTiff = true)),
+      ("big-endian", () => GeoTiff.write(meta, values, rowsPerStrip = 4,
+        bigEndian = true, bigTiff = true))
+    ).foreach { case (label, mk) =>
+      val bytes = mk()
+      val order = if (bytes(0) == 'M') java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN
+      val hdr = java.nio.ByteBuffer.wrap(bytes).order(order)
+      assert(hdr.getShort(2) == 43, s"$label: not BigTIFF")
+      assert(hdr.getShort(4) == 8 && hdr.getShort(6) == 0, s"$label: header")
+      val r = GeoTiff.parse("big.tif", bytes)
+      assert(r.meta.width == meta.width && r.meta.height == meta.height,
+        s"$label: dims")
+      assert(r.meta.crs == meta.crs && r.meta.nodata == meta.nodata,
+        s"$label: meta")
+      r.values.indices.foreach { i =>
+        val (a, b) = (r.values(i), values(i))
+        assert((a.isNaN && b.isNaN) || a == b, s"$label pixel $i: $a vs $b")
+      }
+    }
+    // BigTIFF is single-band only in this writer — fails loudly
+    intercept[IllegalArgumentException] {
+      GeoTiff.write(meta, Array.fill(meta.width * meta.height * 2)(1.0f),
+        bands = 2, bigTiff = true)
+    }
+  }
+
+  test("readLonLat reprojects a polar-stereographic (EPSG:3413) raster") {
+    // 100 m pixels ~400 km from the north pole on the NSIDC sea-ice grid
+    // — exercises the polar branch of the CRS registry
+    val meta = GridMeta("ps.tif", a = 100.0, b = 0.0, c = -300000.0,
+      d = 0.0, e = -100.0, f = 300000.0, crs = "EPSG:3413",
+      width = 8, height = 6, nodata = None, scaleM = 100)
+    val values = Array.tabulate(48)(_.toFloat)
+    val dir = java.nio.file.Files.createTempDirectory("pss").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/ps.tif"),
+      GeoTiff.write(meta, values, compression = 5))
+    val rows = GeoTiff.readLonLat(spark, s"$dir/ps.tif")
+      .collect().map(r => ((r.getInt(1), r.getInt(2)),
+        (r.getDouble(3), r.getDouble(4)))).toMap
+    // pixel (0,0) center = model (-299950, 299950) → PS inverse
+    val (expLon, expLat) = graft.ops.Crs.toLonLat(
+      graft.ops.Crs.fromEpsg(3413).get, -299950.0, 299950.0)
+    val (gotLon, gotLat) = rows((0, 0))
+    assert(math.abs(gotLat - expLat) < 1e-12 && math.abs(gotLon - expLon) < 1e-12)
+    assert(gotLat > 86.0 && gotLat < 87.0, s"latitude $gotLat not polar")
+  }
+
   test("s4demo fixture bytes match the writer output exactly") {
     val onDisk = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(GeoTiffFixture.path))
