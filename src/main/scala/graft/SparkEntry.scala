@@ -274,6 +274,21 @@ object SparkEntry {
                 round(col("ll._1"), 9).as("lon"))
     }),
 
+    // F7 (pseudocylindrical case) — a MODIS-land-grid sinusoidal tile
+    // (GCTP authalic sphere R = 6,371,007.181) → EPSG:4326 via the
+    // two-multiply spherical inverse (oracle: sinuOracleSql)
+    "f7_sinu_reproject" -> ((s, _) => {
+      val grid = ops.Unpivot.gridToPixels(s, graft.model.GridMeta(
+        "sinu_modis", 1000.0, 0.0, 1000000.0, 0.0, -1000.0, 5000000.0,
+        "GCTP:sinusoidal", width = 50, height = 50, nodata = None,
+        scaleM = 1000))
+      grid.withColumn("ll",
+          ops.Conic.sinuToLonLatUdf(ops.Crs.ModisSinusoidal)(
+            col("lon"), col("lat")))
+        .select(col("y"), col("x"), round(col("ll._2"), 9).as("lat"),
+                round(col("ll._1"), 9).as("lon"))
+    }),
+
     // F13 — query-string parse at the serving edge
     "f13_qs_parse" -> ((s, d) =>
       Tables.events(s, d)
@@ -4073,6 +4088,22 @@ object SparkEntry {
 
     // F7 polar stereographic — EPSG:3413 inverse mirrored in SQL
     "f7_ps_reproject" -> psOracleSql,
+
+    // F7 sinusoidal — the MODIS-sphere inverse is two divisions and a
+    // cosine; same IEEE ops in both engines, no iteration needed
+    "f7_sinu_reproject" ->
+      s"""WITH grid AS (
+           SELECT CAST(y.range AS INTEGER) AS y, CAST(x.range AS INTEGER) AS x,
+                  1000000.0 + (CAST(x.range AS DOUBLE) + 0.5) * 1000.0 AS px,
+                  5000000.0 + (CAST(y.range AS DOUBLE) + 0.5) * (-1000.0) AS py
+           FROM range(50) y, range(50) x),
+         inv AS (
+           SELECT y, x, py / 6371007.181 AS phi, px FROM grid)
+         SELECT y, x,
+                round(phi * 180.0 / pi(), 9) AS lat,
+                round((px / (6371007.181 * cos(phi))) * 180.0 / pi(), 9)
+                  AS lon
+         FROM inv""",
 
     "j5_asof" ->
       """WITH p AS (SELECT event_id, user_id,

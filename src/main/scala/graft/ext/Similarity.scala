@@ -843,7 +843,11 @@ object Similarity {
                  m: Int = 8, k: Int = 16, bands: Int = 2,
                  idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
+    // the explicit repartition on the join key makes both self-join
+    // sides read ONE exchange (ReuseExchange — the minhash discipline),
+    // so the m×k literal-argmin encode pass runs once, not twice
     val banded = pqBandKeys(embeddings, m, k, bands, idCol, vecCol)
+      .repartition(col("band"), col("key"))
     val cand = banded
       .select(col("band"), col("key"), col(idCol).as("id_a"))
       .join(banded.select(col("band"), col("key"), col(idCol).as("id_b")),

@@ -287,6 +287,37 @@ object Conic {
     }
   }
 
+  /** Spherical sinusoidal — the MODIS land-grid projection family
+    * (HDF-EOS/GCTP projection 16 runs it on the R = 6,371,007.181 m
+    * authalic sphere; ESRI's Sphere_Sinusoidal/World_Sinusoidal run the
+    * same spherical equations on other radii). Snyder PP 1395 pp.
+    * 243-248, sphere forms 30-1/30-2:
+    *
+    *   x = R·(λ−λ0)·cos φ,   y = R·φ
+    *   φ = y/R,              λ = λ0 + x/(R·cos φ)
+    *
+    * Equal-area, pseudocylindrical, exactly two multiplies per
+    * direction — and at the poles (cos φ = 0) λ is indeterminate, so
+    * the inverse returns λ0 there (Snyder's convention). */
+  final case class Sinusoidal(r: Double, lam0Deg: Double = 0.0,
+                              falseE: Double = 0.0, falseN: Double = 0.0) {
+    require(r > 0, s"sphere radius must be positive, got $r")
+    val lam0: Double = math.toRadians(lam0Deg)
+
+    def forward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      (falseE + r * (math.toRadians(lonDeg) - lam0) * math.cos(phi),
+       falseN + r * phi)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val phi = (y - falseN) / r
+      val c = math.cos(phi)
+      val lam = if (c == 0.0) lam0 else lam0 + (x - falseE) / (r * c)
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   /** Column UDFs returning struct(lon, lat) from projected model (x, y) —
     * same shape as Utm.utmToLatLonUdf; branch-heavy scalar math, one JVM
     * call per row, fully distributed. */
@@ -294,4 +325,5 @@ object Conic {
   def albersToLonLatUdf(p: Albers) = udf((x: Double, y: Double) => p.inverse(x, y))
   def laeaToLonLatUdf(p: Laea) = udf((x: Double, y: Double) => p.inverse(x, y))
   def psToLonLatUdf(p: PolarStereo) = udf((x: Double, y: Double) => p.inverse(x, y))
+  def sinuToLonLatUdf(p: Sinusoidal) = udf((x: Double, y: Double) => p.inverse(x, y))
 }

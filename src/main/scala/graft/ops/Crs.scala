@@ -20,6 +20,7 @@ object Crs {
   final case class AlbersConic(p: Conic.Albers) extends Projection
   final case class LaeaAzimuthal(p: Conic.Laea) extends Projection
   final case class PolarStereographic(p: Conic.PolarStereo) extends Projection
+  final case class SphericalSinusoidal(p: Conic.Sinusoidal) extends Projection
 
   /** Registered conic codes — the LCC/Albers products national met/stat
     * agencies actually publish rasters in. All are ETRS89/NAD83-family
@@ -46,6 +47,14 @@ object Crs {
     latTsDeg = 70.0, lam0Deg = -45.0)                    // EPSG:3413
   private val AntarcticPs = Conic.PolarStereo(Ellipsoid.WGS84,
     latTsDeg = -71.0, lam0Deg = 0.0)                     // EPSG:3031
+  /** The MODIS land grid (HDF-EOS/GCTP sinusoidal on the authalic
+    * sphere) — the CRS of MOD09/MCD43-family products. GDAL-converted
+    * MODIS GeoTIFFs carry it in the ProjectedCSTypeGeoKey under the
+    * ESRI extended range (53008 Sphere_Sinusoidal is the same spherical
+    * equation set on the R = 6,371,000 sphere); the exact GCTP radius
+    * variant is exposed for direct use. */
+  val ModisSinusoidal: Conic.Sinusoidal = Conic.Sinusoidal(6371007.181)
+  private val SphereSinu = Conic.Sinusoidal(6371000.0)   // ESRI:53008
 
   def fromEpsg(code: Int): Option[Projection] = code match {
     case 4326 => Some(Geographic)
@@ -59,6 +68,8 @@ object Crs {
     case 3035 => Some(LaeaAzimuthal(EuropeLaea))
     case 3413 => Some(PolarStereographic(ArcticPs))
     case 3031 => Some(PolarStereographic(AntarcticPs))
+    // ESRI extended range, as written by GDAL into ProjectedCSTypeGeoKey
+    case 53008 => Some(SphericalSinusoidal(SphereSinu))
     case _ => None
   }
 
@@ -84,5 +95,6 @@ object Crs {
       case AlbersConic(p) => p.inverse(x, y)
       case LaeaAzimuthal(p) => p.inverse(x, y)
       case PolarStereographic(p) => p.inverse(x, y)
+      case SphericalSinusoidal(p) => p.inverse(x, y)
     }
 }

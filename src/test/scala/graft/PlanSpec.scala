@@ -342,7 +342,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("f7 conic/azimuthal/polar reprojections: pure projection, " +
        "zero exchange") {
-    Seq("f7_lcc_reproject", "f7_laea_reproject", "f7_ps_reproject").foreach { q =>
+    Seq("f7_lcc_reproject", "f7_laea_reproject", "f7_ps_reproject",
+        "f7_sinu_reproject").foreach { q =>
       val p = executed(q).toString
       assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
     }

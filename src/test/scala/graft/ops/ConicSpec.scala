@@ -247,11 +247,51 @@ class ConicSpec extends AnyFunSuite {
     }
   }
 
+  test("sinusoidal: anchors, round trip, and equal-area Jacobian") {
+    val p = Crs.ModisSinusoidal
+    val r = p.r
+    // anchors straight from the closed forms
+    assert(p.forward(0.0, 0.0) == (0.0, 0.0))
+    val (xe, ye) = p.forward(0.0, 10.0) // equator: x = R·Δλ, y = 0
+    assert(math.abs(xe - r * math.toRadians(10.0)) < 1e-9 && ye == 0.0)
+    val (x0, y0) = p.forward(45.0, 0.0) // central meridian: x = 0
+    assert(x0 == 0.0 && math.abs(y0 - r * math.toRadians(45.0)) < 1e-9)
+    // round trip across the MODIS-latitude band
+    val rnd = new scala.util.Random(23)
+    (1 to 300).foreach { _ =>
+      val lat = -85.0 + rnd.nextDouble() * 170.0
+      val lon = -170.0 + rnd.nextDouble() * 340.0
+      val (px, py) = p.forward(lat, lon)
+      val (lon2, lat2) = p.inverse(px, py)
+      assert(math.abs(lat2 - lat) < 1e-9 && math.abs(lon2 - lon) < 1e-9,
+        s"($lat,$lon) -> ($px,$py) -> ($lat2,$lon2)")
+    }
+    // pole point on the central meridian: x = 0 → λ0, φ = 90
+    val (lonP, latP) = p.inverse(0.0, r * math.Pi / 2)
+    assert(lonP == 0.0 && math.abs(latP - 90.0) < 1e-9)
+    // equal-area on the sphere: |J| = R² cos φ
+    Seq((10.0, 20.0), (45.0, -60.0), (70.0, 100.0)).foreach {
+      case (lat, lon) =>
+        val h = 0.5 / 3600.0
+        val hr = math.toRadians(h)
+        def fd(f: Double => (Double, Double)): (Double, Double) = {
+          val (xa, ya) = f(h); val (xb, yb) = f(-h)
+          ((xa - xb) / (2 * hr), (ya - yb) / (2 * hr))
+        }
+        val (dxdphi, dydphi) = fd(d => p.forward(lat + d, lon))
+        val (dxdlam, dydlam) = fd(d => p.forward(lat, lon + d))
+        val jac = math.abs(dxdphi * dydlam - dxdlam * dydphi)
+        val truth = r * r * math.cos(math.toRadians(lat))
+        assert(math.abs(jac / truth - 1.0) < 1e-7, s"($lat,$lon): $jac vs $truth")
+    }
+  }
+
   test("registry: conic codes resolve, unknown codes still fail closed") {
     assert(Crs.fromEpsg(2154).isDefined && Crs.fromEpsg(3978).isDefined)
     assert(Crs.fromEpsg(5070).isDefined && Crs.fromEpsg(3310).isDefined)
     assert(Crs.fromEpsg(3035).isDefined)
     assert(Crs.fromEpsg(3413).isDefined && Crs.fromEpsg(3031).isDefined)
+    assert(Crs.fromEpsg(53008).isDefined) // ESRI Sphere_Sinusoidal
     assert(Crs.fromEpsg(27700).isEmpty)  // OSGB TM: not registered
     assert(Crs.fromEpsg(2193).isEmpty)   // NZTM: not registered
     // Crs.toLonLat dispatch for the conic branches

@@ -566,6 +566,26 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(gotLat > 86.0 && gotLat < 87.0, s"latitude $gotLat not polar")
   }
 
+  test("readLonLat reprojects a sphere-sinusoidal (ESRI:53008) raster") {
+    // 1 km pixels mid-latitude on the sinusoidal grid — the MODIS-style
+    // pseudocylindrical branch of the CRS registry
+    val meta = GridMeta("sinu.tif", a = 1000.0, b = 0.0, c = 1000000.0,
+      d = 0.0, e = -1000.0, f = 5000000.0, crs = "EPSG:53008",
+      width = 8, height = 6, nodata = None, scaleM = 1000)
+    val values = Array.tabulate(48)(_.toFloat)
+    val dir = java.nio.file.Files.createTempDirectory("sinus").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/sinu.tif"),
+      GeoTiff.write(meta, values, compression = 8))
+    val rows = GeoTiff.readLonLat(spark, s"$dir/sinu.tif")
+      .collect().map(r => ((r.getInt(1), r.getInt(2)),
+        (r.getDouble(3), r.getDouble(4)))).toMap
+    val (expLon, expLat) = graft.ops.Crs.toLonLat(
+      graft.ops.Crs.fromEpsg(53008).get, 1000500.0, 4999500.0)
+    val (gotLon, gotLat) = rows((0, 0))
+    assert(math.abs(gotLat - expLat) < 1e-12 && math.abs(gotLon - expLon) < 1e-12)
+    assert(gotLat > 44.0 && gotLat < 46.0, s"latitude $gotLat not mid-band")
+  }
+
   test("s4demo fixture bytes match the writer output exactly") {
     val onDisk = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(GeoTiffFixture.path))
