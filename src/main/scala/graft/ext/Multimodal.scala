@@ -1522,12 +1522,25 @@ object Multimodal {
       112, 128, 160, 192, 224, 256, 320)
 
     /** Probe a payload; None unless it is a whole number of well-formed
-      * ADTS or MPEG-1 Layer III frames from byte 0. The two syncs are
-      * disjoint in byte 1's layer bits: ADTS is 1111_0xx0 (layer '00'),
-      * MPEG-1 Layer III is 1111_101x — so 0xF6/0xFE masks dispatch
-      * unambiguously. */
-    def probe(b: Array[Byte]): Option[FrameAudioMeta] = {
-      if (b == null || b.length < 4) return None
+      * ADTS or MPEG-1 Layer III frames (after an optional leading ID3v2
+      * tag — real-world MP3s almost always carry one). The two syncs
+      * are disjoint in byte 1's layer bits: ADTS is 1111_0xx0 (layer
+      * '00'), MPEG-1 Layer III is 1111_101x — so 0xF6/0xFE masks
+      * dispatch unambiguously. */
+    def probe(payload: Array[Byte]): Option[FrameAudioMeta] = {
+      if (payload == null || payload.length < 4) return None
+      // ID3v2 prefix (id3.org spec): "ID3" + version(2) + flags(1) +
+      // 28-bit syncsafe size (4 × 7 bits); frames start right after
+      val b =
+        if (payload.length > 10 && payload(0) == 'I' && payload(1) == 'D' &&
+            payload(2) == '3' &&
+            (6 to 9).forall(i => (payload(i) & 0x80) == 0)) {
+          val size = ((payload(6) & 0x7F) << 21) | ((payload(7) & 0x7F) << 14) |
+            ((payload(8) & 0x7F) << 7) | (payload(9) & 0x7F)
+          if (10 + size >= payload.length) return None
+          java.util.Arrays.copyOfRange(payload, 10 + size, payload.length)
+        } else payload
+      if (b.length < 4) return None
       if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xF6) == 0xF0) probeAdts(b)
       else if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFE) == 0xFA) probeMp3(b)
       else None

@@ -921,6 +921,16 @@ class ExtSpec extends AnyFunSuite {
     val mixed = adts ++ FrameAudioProbe.encodeAdts(sfi = 4, channels = 2,
       nFrames = 1, payloadLen = 20)
     assert(FrameAudioProbe.probe(mixed).isEmpty)
+    // a leading ID3v2 tag (syncsafe size) is skipped, not rejected
+    val tagBody = Array.fill[Byte](200)(0x41)
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0,
+      0, 0, (200 >> 7).toByte, (200 & 0x7F).toByte) ++ tagBody
+    val tagged = FrameAudioProbe.probe(id3 ++ mp3).get
+    assert(tagged.format == "mp3" && tagged.nFrames == 5L)
+    assert(tagged.bitrateBps == m.bitrateBps, "tag bytes excluded from census")
+    assert(FrameAudioProbe.probe(id3).isEmpty, "tag with no frames is junk")
+    assert(FrameAudioProbe.probe(id3.take(40)).isEmpty,
+      "truncated tag is junk")
   }
 
   test("x76 pipeline: metadata flows from a real header walk, no shuffle") {
