@@ -1281,7 +1281,31 @@ object SparkEntry {
     // before it is a straggler executor in the dedup job
     "x78_pq_band_balance" -> ((s, d) =>
       ext.Similarity.pqBandBalance(t(s, d, "embeddings"),
-        m = 8, k = 16, bands = 2))
+        m = 8, k = 16, bands = 2)),
+
+    // x79 — the crawl-ingest path end to end: docs → REAL `.warc.gz`
+    // archives (per-record gzip members, HTTP/1.1 response blocks, the
+    // ISO 28500 framing) → the Warc reader's member inflation + header
+    // walk. Every header field is closed-form over the documents table,
+    // and Content-Length is the byte length of the HTTP block the
+    // oracle reassembles character by character.
+    "x79_warc_scan" -> ((s, d) =>
+      ext.Html.parseDocArchives(
+        ext.Html.warcFromDocs(t(s, d, "documents")))
+        .select(col("media_id"), col("record_type"), col("record_id"),
+          col("warc_date"), col("target_uri"), col("http_status"),
+          col("http_content_type").as("mime"), col("content_length"))),
+
+    // x80 — HTML → training text: the parsed WARC records' entity
+    // bodies through comment/script/style removal, body isolation, tag
+    // stripping, entity decode, whitespace collapse. The page wrapper
+    // is deterministic, so the oracle rebuilds the EXTRACTION (not just
+    // the page) from the documents table: title, link count, and the
+    // visible text with the escape→decode round trip cancelled out.
+    "x80_html_extract" -> ((s, d) =>
+      ext.Html.extractFromRecords(
+        ext.Html.parseDocArchives(
+          ext.Html.warcFromDocs(t(s, d, "documents")))))
   )
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
@@ -4114,6 +4138,66 @@ object SparkEntry {
                     FROM events WHERE event_type = 'signup')
          SELECT p.event_id, p.value, s.sig_value AS asof_sig_value
          FROM p ASOF LEFT JOIN s
-           ON p.user_id = s.user_id AND p.ts >= s.ts"""
+           ON p.user_id = s.user_id AND p.ts >= s.ts""",
+
+    // x79 — the archive reassembled character-for-character: the page
+    // wrapper is closed form over (doc_id, source, text), the HTTP head
+    // is the writer's literal, Content-Length is byte length (strlen)
+    // of head + entity body, and the WARC date is integer clock
+    // arithmetic. The engine parses real gzip members; the oracle
+    // never sees a byte of gzip — agreement proves the whole
+    // write→compress→inflate→parse loop.
+    "x79_warc_scan" ->
+      """WITH p AS (
+           SELECT doc_id, source,
+             '<html><head><title>Doc ' || doc_id::VARCHAR || ' - ' || source ||
+             '</title><style>p{margin:0}</style><script>var id=' || doc_id::VARCHAR ||
+             ';</script></head><body><h1>' || source || '/' || doc_id::VARCHAR ||
+             '</h1><!-- crawler note --><p>' ||
+             replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+             '</p><p>Tom &amp; Jerry &lt;3 &gt;&#33;</p>' ||
+             array_to_string(list_transform(range(0, 1 + doc_id % 5), i ->
+               '<a href="/' || source || '/' || (doc_id + i + 1)::VARCHAR || '">ref-' ||
+               i::VARCHAR || '</a>'), '') ||
+             '</body></html>' AS html
+           FROM documents)
+         SELECT doc_id AS media_id,
+           'response' AS record_type,
+           '<urn:graft:' || doc_id::VARCHAR || '>' AS record_id,
+           printf('2024-01-01T%02d:%02d:%02dZ',
+                  (doc_id % 86400) // 3600, (doc_id % 86400) // 60 % 60,
+                  doc_id % 60) AS warc_date,
+           'https://crawl.example/' || source || '/' || doc_id::VARCHAR AS target_uri,
+           CAST(200 AS INTEGER) AS http_status,
+           'text/html; charset=utf-8' AS mime,
+           strlen('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+                  'Content-Type: text/html; charset=utf-8' || chr(13) || chr(10) ||
+                  'Content-Length: ' || strlen(html)::VARCHAR || chr(13) || chr(10) ||
+                  chr(13) || chr(10)) + strlen(html) AS content_length
+         FROM p""",
+
+    // x80 — the extraction rebuilt WITHOUT the page: escape→decode
+    // cancels, tags become separators, so visible text is h1 + the
+    // original text + the decoded footer + the anchor labels, collapsed
+    // under the same explicit [ \t\n\r\f] class (RE2's \s — pinned on
+    // the Scala side too, where java \s would differ on \x0B). Chars
+    // count as UTF-16 units vs codepoints agree on this corpus (ASCII);
+    // the engine itself is unicode-clean either way.
+    "x80_html_extract" ->
+      """WITH e AS (
+           SELECT doc_id, source,
+             trim(regexp_replace(
+               source || '/' || doc_id::VARCHAR || ' ' || text ||
+               ' Tom & Jerry <3 >! ' ||
+               array_to_string(list_transform(range(0, 1 + doc_id % 5),
+                 i -> 'ref-' || i::VARCHAR), ' '),
+               '[ \t\n\r\f]+', ' ', 'g')) AS txt
+           FROM documents)
+         SELECT doc_id AS media_id,
+           'Doc ' || doc_id::VARCHAR || ' - ' || source AS title,
+           CAST(1 + doc_id % 5 AS INTEGER) AS n_links,
+           CAST(length(txt) AS INTEGER) AS n_chars_text,
+           txt AS text
+         FROM e"""
   )
 }

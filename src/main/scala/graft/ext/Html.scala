@@ -1,0 +1,189 @@
+package graft.ext
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Warc
+
+/** HTML → training-text extraction — the step between a WARC crawl scan
+  * ([[graft.sources.Warc]]) and every text gate in [[Curation]]: strip
+  * markup, scripts, styles and comments, decode character entities,
+  * collapse whitespace, and surface the structural signals (title, link
+  * count, text density) that web-corpus quality filters key on
+  * (jusText/trafilatura-style, here the deterministic core of that
+  * family rather than a DOM heuristic).
+  *
+  * The reference has no crawl side (its inputs are GEE collections);
+  * this module exists because a 100 TB training corpus starts as HTML
+  * and the engine must own the HTML→text hop, not outsource it.
+  *
+  * Everything here is a per-row scalar transform — the extraction stage
+  * is a narrow projection over the record scan with NO exchange; at
+  * cluster scale it rides inside the same task that inflated the WARC
+  * member. Branch-heavy string parsing is exactly the documented UDF
+  * carve-out (the [[graft.ops.Utm]] rule): the surrounding pipeline
+  * stays Column algebra.
+  */
+object Html {
+
+  // -------------------------------------------------------------- extract
+
+  private val ReComment = "(?s)<!--.*?-->".r
+  private val ReScript = "(?is)<script\\b[^>]*>.*?</script>".r
+  private val ReStyle = "(?is)<style\\b[^>]*>.*?</style>".r
+  private val ReTitle = "(?is)<title[^>]*>(.*?)</title>".r
+  private val ReBody = "(?is)<body[^>]*>(.*)</body>".r
+  private val ReTag = "(?s)<[^>]*>".r
+  private val ReLink = "(?is)<a\\s[^>]*href".r
+  // The exact RE2 \s class, so the DuckDB oracle's '\s+' collapse is the
+  // same operation (java.util.regex \s additionally matches \x0B — using
+  // it would silently diverge on vertical tabs).
+  private val ReWs = "[ \\t\\n\\r\\f]+".r
+  private val ReEntity = "&(#x?[0-9a-fA-F]+|[a-zA-Z]+);".r
+
+  /** Decode the HTML 4 core entities plus numeric references, one pass
+    * left-to-right (decoded output is never re-scanned, so pre-escaped
+    * corpus text round-trips exactly). Unknown named entities pass
+    * through verbatim — a crawl contains broken markup, not exceptions. */
+  def decodeEntities(s: String): String =
+    ReEntity.replaceAllIn(s, m => {
+      val e = m.group(1)
+      val out =
+        if (e.startsWith("#x") || e.startsWith("#X"))
+          parseInt(e.drop(2), 16).filter(Character.isValidCodePoint)
+            .map(cp => new String(Character.toChars(cp))).getOrElse(m.matched)
+        else if (e.startsWith("#"))
+          parseInt(e.drop(1), 10).filter(Character.isValidCodePoint)
+            .map(cp => new String(Character.toChars(cp))).getOrElse(m.matched)
+        else e match {
+          case "amp" => "&"
+          case "lt" => "<"
+          case "gt" => ">"
+          case "quot" => "\""
+          case "apos" => "'"
+          case "nbsp" => " "
+          case _ => m.matched
+        }
+      scala.util.matching.Regex.quoteReplacement(out)
+    })
+
+  private def parseInt(s: String, radix: Int): Option[Int] =
+    try Some(java.lang.Integer.parseInt(s, radix)) catch {
+      case _: NumberFormatException => None
+    }
+
+  private def collapse(s: String): String = ReWs.replaceAllIn(s, " ").trim
+
+  final case class Extracted(title: String, nLinks: Int, text: String)
+
+  /** Extract (title, link count, visible text) from one HTML document.
+    * Order of operations matters and is pinned: comments out first (a
+    * commented-out script must not survive), then script/style WITH
+    * their content, then the body is isolated (title text must not leak
+    * into body text), tags become separators, entities decode LAST (so
+    * `&lt;p&gt;` in content can never be re-parsed as markup). */
+  def extract(html: String): Extracted = {
+    val noComment = ReComment.replaceAllIn(html, " ")
+    val noScript = ReStyle.replaceAllIn(ReScript.replaceAllIn(noComment, " "), " ")
+    val title = ReTitle.findFirstMatchIn(noScript)
+      .map(m => collapse(decodeEntities(m.group(1)))).getOrElse("")
+    val nLinks = ReLink.findAllMatchIn(noScript).length
+    val bodyHtml = ReBody.findFirstMatchIn(noScript).map(_.group(1)).getOrElse(noScript)
+    val text = collapse(decodeEntities(ReTag.replaceAllIn(bodyHtml, " ")))
+    Extracted(title, nLinks, text)
+  }
+
+  val extractSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("title", StringType, nullable = false),
+    StructField("n_links", IntegerType, nullable = false),
+    StructField("n_chars_text", IntegerType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  /** Extraction over WARC records: keep `response` rows with an HTML
+    * content type, decode the entity body as UTF-8, extract. Expects the
+    * [[Warc.recordSchema]] plus a `media_id` column; narrow, no shuffle. */
+  def extractFromRecords(records: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(extractSchema)
+    records
+      .filter(col("record_type") === "response" &&
+        col("http_content_type").startsWith("text/html"))
+      .select(col("media_id"), col("html"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val e = extract(new String(r.getAs[Array[Byte]](1), UTF_8))
+          Row(r.getLong(0), e.title, e.nLinks, e.text.length, e.text)
+        }
+      }(enc)
+  }
+
+  // ----------------------------------------------- deterministic crawl gen
+
+  /** Escape text for embedding in HTML (the writer half of the entity
+    * round trip — only the three structurally dangerous characters). */
+  def escape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Deterministic HTML page for a corpus document — every structural
+    * hazard the extractor must survive, each in closed form so the
+    * DuckDB oracle can rebuild the page (and the extraction) from the
+    * documents table alone: a styled head, an inline script, a comment,
+    * the escaped document text, a pre-escaped entity footer, and
+    * `1 + doc_id % 5` nav links. */
+  def pageFor(docId: Long, source: String, text: String): String = {
+    val nLinks = (docId % 5).toInt + 1
+    val nav = (0 until nLinks).map(i =>
+      s"""<a href="/$source/${docId + i + 1}">ref-$i</a>""").mkString
+    s"<html><head><title>Doc $docId - $source</title>" +
+      "<style>p{margin:0}</style>" +
+      s"<script>var id=$docId;</script></head>" +
+      s"<body><h1>$source/$docId</h1><!-- crawler note -->" +
+      s"<p>${escape(text)}</p>" +
+      "<p>Tom &amp; Jerry &lt;3 &gt;&#33;</p>" +
+      nav + "</body></html>"
+  }
+
+  private def two(n: Long): String = f"$n%02d"
+
+  /** Deterministic WARC timestamp: 2024-01-01 plus `docId % 86400` s. */
+  def dateFor(docId: Long): String = {
+    val s = ((docId % 86400) + 86400) % 86400
+    s"2024-01-01T${two(s / 3600)}:${two(s / 60 % 60)}:${two(s % 60)}Z"
+  }
+
+  def uriFor(docId: Long, source: String): String =
+    s"https://crawl.example/$source/$docId"
+
+  /** documents → single-record `.warc.gz` archives (media_id, archive
+    * bytes): the real writer, the real gzip member layout, one archive
+    * per document so the scan stays row-parallel in the query harness.
+    * Multi-record member concatenation is exercised in WarcSpec. */
+  def warcFromDocs(docs: DataFrame): DataFrame = {
+    val enc = udf((docId: Long, source: String, text: String) =>
+      Warc.gzipMembers(Seq(Warc.writeResponse(
+        s"<urn:graft:$docId>", dateFor(docId), uriFor(docId, source),
+        pageFor(docId, source, text).getBytes(UTF_8)))))
+    docs.select(
+      col("doc_id").as("media_id"),
+      enc(col("doc_id"), col("source"), col("text")).as("content"))
+  }
+
+  /** Parse per-document archives into records keyed by `media_id`. */
+  def parseDocArchives(archives: DataFrame): DataFrame = {
+    val schema = StructType(StructField("media_id", LongType, nullable = false)
+      +: Warc.recordSchema.fields.filterNot(_.name == "archive").toSeq)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    archives.select(col("media_id"), col("content")).mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        Warc.readAll(r.getAs[Array[Byte]](1)).iterator.map { w =>
+          Row(id, w.recordType, w.recordId, w.warcDate, w.targetUri,
+            w.contentLength, w.httpStatus, w.httpContentType, w.body)
+        }
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,229 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WARC (ISO 28500) web-archive ingest — the container format the web
+  * crawls behind every large LLM corpus actually ship in (Common Crawl
+  * publishes ~100 TB of WARC per monthly snapshot). The reference's
+  * ingest side reads GEE collections; a training pipeline's crawl side
+  * reads WARC response records, extracts the HTTP payload, and hands the
+  * HTML to text extraction ([[graft.ext.Html]]), so this source is the
+  * crawl-facing sibling of [[JsonLines]].
+  *
+  * Format facts this reader follows (all from the WARC 1.0/1.1 spec and
+  * the Common Crawl reality):
+  *  - A record is a `WARC/1.0` version line, CRLF-separated named
+  *    headers, a blank line, `Content-Length` octets of block, and a
+  *    trailing CRLF CRLF. Header names are case-insensitive; order is
+  *    arbitrary. Framing is by `Content-Length` ONLY — the block is
+  *    binary and may contain anything, so scanning for separators would
+  *    be wrong.
+  *  - `.warc.gz` files are a CONCATENATION of per-record gzip members
+  *    (the spec's recommendation precisely so that archives remain
+  *    record-splittable: an index can seek to any member boundary and
+  *    inflate one record without touching the rest). The reader
+  *    inflates the member stream sequentially; the writer emits one
+  *    member per record so its output has the real splittability
+  *    property.
+  *  - A `response` record's block is an HTTP/1.1 message: status line,
+  *    CRLF headers, blank line, entity body. The entity body length is
+  *    the remainder of the block (the stored message is already
+  *    de-chunked by the crawler).
+  *
+  * Scale posture: one archive file = one input blob (`binaryFile`), one
+  * task inflates members and emits records with no shuffle — parallelism
+  * is across archive files, which is how Common Crawl is laid out
+  * (64,000 × ~1 GB segments per snapshot). Records flow straight into
+  * narrow extraction columns; nothing driver-side.
+  */
+object Warc {
+
+  private val CRLF = "\r\n"
+
+  /** One parsed WARC record: the headers every consumer needs, plus the
+    * undecoded block body (for `response` records, the HTTP entity body
+    * after the HTTP head is split off). */
+  final case class WarcRec(
+      recordType: String,
+      recordId: String,
+      warcDate: String,
+      targetUri: String,
+      contentLength: Long,
+      httpStatus: Int,         // -1 when the block is not an HTTP message
+      httpContentType: String, // null when absent
+      body: Array[Byte])       // HTTP entity body (or raw block)
+
+  // ---------------------------------------------------------------- write
+
+  /** Serialize one `response` record (uncompressed): WARC head, HTTP
+    * head, HTML body — the exact framing the parser consumes. */
+  def writeResponse(recordId: String, date: String, uri: String,
+                    html: Array[Byte]): Array[Byte] = {
+    val httpHead =
+      "HTTP/1.1 200 OK" + CRLF +
+      "Content-Type: text/html; charset=utf-8" + CRLF +
+      s"Content-Length: ${html.length}" + CRLF + CRLF
+    val block = httpHead.getBytes(UTF_8) ++ html
+    val warcHead =
+      "WARC/1.0" + CRLF +
+      "WARC-Type: response" + CRLF +
+      s"WARC-Record-ID: $recordId" + CRLF +
+      s"WARC-Date: $date" + CRLF +
+      s"WARC-Target-URI: $uri" + CRLF +
+      "Content-Type: application/http; msgtype=response" + CRLF +
+      s"Content-Length: ${block.length}" + CRLF + CRLF
+    warcHead.getBytes(UTF_8) ++ block ++ (CRLF + CRLF).getBytes(UTF_8)
+  }
+
+  /** Gzip-compress each record as its OWN member and concatenate — the
+    * spec's record-per-member layout that keeps archives splittable. */
+  def gzipMembers(records: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    records.foreach { r =>
+      val gz = new GZIPOutputStream(out)
+      gz.write(r); gz.finish(); gz.close()
+    }
+    out.toByteArray
+  }
+
+  // ----------------------------------------------------------------- read
+
+  private def isGzip(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+
+  /** Inflate a (possibly multi-member) gzip stream; pass non-gzip bytes
+    * through. JDK `GZIPInputStream` consumes concatenated members. */
+  private def inflate(bytes: Array[Byte]): Array[Byte] =
+    if (!isGzip(bytes)) bytes
+    else {
+      val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 65536)
+      val out = new ByteArrayOutputStream(bytes.length * 4)
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      out.toByteArray
+    }
+
+  /** Find the next CRLF from `from`; -1 when absent. */
+  private def crlfAt(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 1 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  private def headerLines(b: Array[Byte], start: Int): (Map[String, String], Int) = {
+    var pos = start
+    val hs = Map.newBuilder[String, String]
+    var done = false
+    while (!done) {
+      val e = crlfAt(b, pos)
+      if (e < 0) { done = true }
+      else if (e == pos) { pos = e + 2; done = true } // blank line
+      else {
+        val line = new String(b, pos, e - pos, UTF_8)
+        val c = line.indexOf(':')
+        if (c > 0)
+          hs += line.substring(0, c).trim.toLowerCase -> line.substring(c + 1).trim
+        pos = e + 2
+      }
+    }
+    (hs.result(), pos)
+  }
+
+  /** Split an HTTP/1.1 message block into (status, content-type, body).
+    * Returns status -1 and the raw block when it is not HTTP. */
+  private def splitHttp(block: Array[Byte]): (Int, String, Array[Byte]) = {
+    val e0 = crlfAt(block, 0)
+    val statusLine = if (e0 < 0) "" else new String(block, 0, e0, UTF_8)
+    if (!statusLine.startsWith("HTTP/")) return (-1, null, block)
+    val parts = statusLine.split(" ")
+    val status = if (parts.length >= 2) parts(1).toIntOption.getOrElse(-1) else -1
+    val (hs, bodyAt) = headerLines(block, e0 + 2)
+    (status, hs.getOrElse("content-type", null),
+      java.util.Arrays.copyOfRange(block, bodyAt, block.length))
+  }
+
+  /** Parse every record in an archive (gzip members or plain). Truncated
+    * or malformed trailing bytes are dropped, never thrown — a 100 TB
+    * crawl always has a torn final record somewhere. */
+  def readAll(archive: Array[Byte]): Seq[WarcRec] = {
+    val b = inflate(archive)
+    val out = ArrayBuffer.empty[WarcRec]
+    var pos = 0
+    var ok = true
+    while (ok && pos < b.length) {
+      // skip inter-record CRLFs
+      while (pos + 1 < b.length && b(pos) == '\r' && b(pos + 1) == '\n') pos += 2
+      if (pos >= b.length) ok = false
+      else {
+        val e0 = crlfAt(b, pos)
+        if (e0 < 0 || !new String(b, pos, e0 - pos, UTF_8).startsWith("WARC/")) ok = false
+        else {
+          val (hs, blockAt) = headerLines(b, e0 + 2)
+          hs.get("content-length").flatMap(_.toLongOption) match {
+            case Some(len) if blockAt + len <= b.length =>
+              val block = java.util.Arrays.copyOfRange(b, blockAt, blockAt + len.toInt)
+              val (status, ctype, body) = splitHttp(block)
+              out += WarcRec(
+                hs.getOrElse("warc-type", ""),
+                hs.getOrElse("warc-record-id", ""),
+                hs.getOrElse("warc-date", ""),
+                hs.getOrElse("warc-target-uri", ""),
+                len, status, ctype, body)
+              pos = blockAt + len.toInt
+            case _ => ok = false // torn record: stop, keep what we have
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  // -------------------------------------------------------- DataFrame API
+
+  val recordSchema: StructType = StructType(Seq(
+    StructField("archive", StringType, nullable = true),
+    StructField("record_type", StringType, nullable = false),
+    StructField("record_id", StringType, nullable = false),
+    StructField("warc_date", StringType, nullable = false),
+    StructField("target_uri", StringType, nullable = false),
+    StructField("content_length", LongType, nullable = false),
+    StructField("http_status", IntegerType, nullable = false),
+    StructField("http_content_type", StringType, nullable = true),
+    StructField("html", BinaryType, nullable = true)))
+
+  /** Read `.warc`/`.warc.gz` files under `path` into records — one blob
+    * per file via `binaryFile`, per-task member inflation, no shuffle. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    parseArchives(
+      spark.read.format("binaryFile").load(path)
+        .select(col("path").as("archive"), col("content")))
+
+  /** Parse a (archive-name, bytes) DataFrame into records. */
+  def parseArchives(archives: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(recordSchema)
+    archives.mapPartitions { it =>
+      it.flatMap { r =>
+        val name = if (r.isNullAt(0)) null else r.getString(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (bytes == null) Iterator.empty
+        else readAll(bytes).iterator.map { w =>
+          Row(name, w.recordType, w.recordId, w.warcDate, w.targetUri,
+            w.contentLength, w.httpStatus, w.httpContentType, w.body)
+        }
+      }
+    }(enc)
+  }
+}

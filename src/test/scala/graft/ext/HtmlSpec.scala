@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SharedSpark
+
+class HtmlSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  test("extract: tags, comments, script/style and entities") {
+    val e = Html.extract(
+      """<html><head><title> My &amp; Title </title>
+        |<style>body { color: red }</style>
+        |<script type="text/javascript">var x = "<p>not text</p>";</script>
+        |</head><body>
+        |<!-- a comment <a href="/x">not a link</a> -->
+        |<h1>Head</h1><p>alpha &lt;beta&gt; gamma</p>
+        |<a href="/1">one</a> <a class="z" href="/2">two</a>
+        |</body></html>""".stripMargin)
+    assert(e.title == "My & Title")
+    assert(e.nLinks == 2)
+    assert(e.text == "Head alpha <beta> gamma one two")
+  }
+
+  test("commented-out script dies with the comment; title never leaks to body") {
+    val e = Html.extract(
+      "<html><head><title>T</title></head><body>" +
+        "<!-- <script>var y=1;</script> -->only</body></html>")
+    assert(e.text == "only")
+    assert(!e.text.contains("T"))
+  }
+
+  test("entity decode is single-pass: pre-escaped corpus text round-trips") {
+    // '&amp;amp;' must decode to '&amp;' (once), never recurse to '&'
+    assert(Html.decodeEntities("&amp;amp;") == "&amp;")
+    assert(Html.decodeEntities("&#65;&#x42;c") == "ABc")
+    assert(Html.decodeEntities("&bogus; &#xZZ; &#99999999999;") ==
+      "&bogus; &#xZZ; &#99999999999;")
+    // escape then extract-decode is the identity on arbitrary text
+    val nasty = "a & b < c > d &lt; already-escaped &#65;"
+    val e = Html.extract(s"<html><body><p>${Html.escape(nasty)}</p></body></html>")
+    assert(e.text == nasty)
+  }
+
+  test("no <body>: falls back to whole document text") {
+    val e = Html.extract("<p>free floating</p>")
+    assert(e.text == "free floating")
+    assert(e.title == "")
+    assert(e.nLinks == 0)
+  }
+
+  test("whitespace collapse uses the RE2 class: vertical tab is NOT whitespace") {
+    val e = Html.extract("<body>a  b   \t\n c</body>")
+    assert(e.text == "a  b c")
+  }
+
+  test("docs → warc.gz → records → extraction equals the closed form") {
+    import spark.implicits._
+    val docs = Seq(
+      (3L, "srcA", "plain words here"),
+      (4L, "srcB", "multi   space\tand\nnewline"),
+      (9L, "srcC", "x & y < z")).toDF("doc_id", "source", "text")
+    val out = Html.extractFromRecords(
+      Html.parseDocArchives(Html.warcFromDocs(docs)))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getString(4))).toMap
+    assert(out(3L) == (("Doc 3 - srcA", 4,
+      "srcA/3 plain words here Tom & Jerry <3 >! ref-0 ref-1 ref-2 ref-3")))
+    assert(out(4L) == (("Doc 4 - srcB", 5,
+      "srcB/4 multi space and newline Tom & Jerry <3 >! ref-0 ref-1 ref-2 ref-3 ref-4")))
+    assert(out(9L) == (("Doc 9 - srcC", 5,
+      "srcC/9 x & y < z Tom & Jerry <3 >! ref-0 ref-1 ref-2 ref-3 ref-4")))
+  }
+
+  test("extraction stage is narrow: no exchange below the record scan") {
+    import spark.implicits._
+    val docs = Seq((1L, "s", "t")).toDF("doc_id", "source", "text")
+    val plan = Html.extractFromRecords(
+      Html.parseDocArchives(Html.warcFromDocs(docs)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
