@@ -55,7 +55,11 @@ object Plans {
       "x77_pq_stored_ann" -> "Stored-codes ADC retrieval: the code table scans from parquet at rest, the query table rides as literals, raw vectors enter only at the 50-row rerank join.",
       "x78_pq_band_balance" -> "PQ band occupancy report: one banding scan, one (band, key) count with map-side partials, one per-band rollup — the pre-flight that prices the dedup self-join.",
       "x76_frame_audio_probe" -> "Compressed-audio frame-header probe: per-row header walk inside the scan stage via mapPartitions, no exchange — corpus audio profiling never reads payload bits.",
-      "f7_ps_reproject" -> "Polar stereographic CRS: range source + one scalar projection (the PS inverse UDF + longitude wrap), no exchange.")
+      "f7_ps_reproject" -> "Polar stereographic CRS: range source + one scalar projection (the PS inverse UDF + longitude wrap), no exchange.",
+      "x80_html_extract" -> "WARC → HTML → text: archive synthesis, gzip-member inflation, record parse and extraction all in ONE narrow task chain — zero exchange; at scale the unit of parallelism is the archive file.",
+      "x84_crawl_curation" -> "Crawl curation composition: extraction feeds langid + Gopher flags as fused column algebra on the same pass — the whole ingest-to-gate pipeline has zero exchanges.",
+      "x82_quality_classifier" -> "Hashed linear classifier: per-token buckets collapse in a map-side partial count; the weight table is a codegen'd FORMULA (no join); one per-doc aggregate with an ordered fold.",
+      "x85_trained_quality" -> "Trained logistic scoring: the final weights fold back as literals — scoring is scan → project, zero exchange (training itself is iters × one bounded aggregate).")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")

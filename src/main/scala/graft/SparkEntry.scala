@@ -1305,7 +1305,65 @@ object SparkEntry {
     "x80_html_extract" -> ((s, d) =>
       ext.Html.extractFromRecords(
         ext.Html.parseDocArchives(
-          ext.Html.warcFromDocs(t(s, d, "documents")))))
+          ext.Html.warcFromDocs(t(s, d, "documents"))))),
+
+    // x81 — CCNet perplexity terciles: the x51 bigram-LM score bucketed
+    // per LANGUAGE (CCNet's rule — perplexity scales aren't comparable
+    // across languages) by exact rank arithmetic, head = most fluent
+    // third. One per-lang window over doc-count rows.
+    "x81_ppl_buckets" -> ((s, d) =>
+      ext.TextOps.perplexityBuckets(t(s, d, "documents"))),
+
+    // x82 — the fastText-shaped hashed linear quality classifier: bag
+    // of hashed unigrams · deterministic weight table → mean score →
+    // keep/drop sign. The hash is the x59 kernel; the weights are the
+    // Bloom probe stream as a stand-in for trained parameters.
+    "x82_quality_classifier" -> ((s, d) =>
+      ext.TextOps.hashedLinearScore(t(s, d, "documents"))),
+
+    // x84 — the crawl tiers COMPOSED: WARC archives → member inflation
+    // → HTML extraction → language ID + Gopher rules on the EXTRACTED
+    // text, all in the same task that inflated the archive (the whole
+    // pipeline is one narrow pass — zero exchanges before the output).
+    // What a Common Crawl ingest job actually runs.
+    "x84_crawl_curation" -> ((s, d) => {
+      val ex = ext.Html.extractFromRecords(
+        ext.Html.parseDocArchives(
+          ext.Html.warcFromDocs(t(s, d, "documents"))))
+      val sig = ext.TextOps.gopherSignals(col("text"))
+      val flags = sig.collect { case (n, c) if n.startsWith("r_") => c }
+      ex.select(
+        col("media_id"),
+        ext.TextOps.langId(col("text")).as("pred_lang"),
+        sig.toMap.apply("n_words").as("n_words"),
+        flags.reduce(_ && _).as("keep"))
+    }),
+
+    // x85 — a model TRAINED in the engine: 8 full-batch logistic-
+    // regression rounds over portable text signals, gradients as
+    // decimal-routed sums (partitioning-invariant, engine-replayable),
+    // final weights folded back as literals for zero-shuffle scoring.
+    // The label is a deterministic supervision stand-in; a labeled
+    // column drops in with nothing else changing.
+    "x85_trained_quality" -> ((s, d) =>
+      ext.TextOps.trainLogisticQuality(t(s, d, "documents"))),
+
+    // x86 — monthly-recrawl bookkeeping: two REAL WARC snapshots (the
+    // second with deterministic deletions %7, edits %5, additions %3)
+    // hash their pages IN the archive scan and full-outer-join on URL →
+    // added/removed/changed/unchanged. Payloads never cross the wire.
+    "x86_crawl_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def snap(df: DataFrame) =
+        ext.Html.parseDocArchives(ext.Html.warcFromDocs(df))
+          .select(col("target_uri"), md5(col("html")).as("h"))
+      val newDocs = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" updated"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      ext.Curation.crawlDiff(snap(docs), snap(newDocs))
+    })
   )
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
@@ -1346,6 +1404,45 @@ object SparkEntry {
     * fold), the x22 mix64 chain, signed floor-mod dims, exact integer
     * Σc², one correctly-rounded sqrt per doc →
     * `emb(doc_id, dim BIGINT, w DOUBLE)`. */
+  /** Shared CTE chain for the x51/x81 oracles: the corpus bigram LM
+    * rebuilt from scratch (x3/x9 tokenization, add-one smoothing over
+    * the corpus vocabulary) with the (w1, w2)-sorted sequential fold so
+    * the per-doc double sum is bit-exact → `scored(doc_id, n_bigrams,
+    * lm_score)`. */
+  private val lmScoreCtes: String =
+    """tok AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                             t -> length(t) > 0) AS ts
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id, w1, w2, COUNT(*) AS m
+      |  FROM (SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+      |        FROM (SELECT doc_id,
+      |                     unnest(list_transform(range(1, len(ts)), i ->
+      |                       [ts[CAST(i AS INTEGER)],
+      |                        ts[CAST(i + 1 AS INTEGER)]])) AS bg
+      |              FROM tok))
+      |  GROUP BY doc_id, w1, w2),
+      |c2t AS (SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS c2
+      |        FROM occ GROUP BY w1, w2),
+      |c1t AS (SELECT w1, CAST(SUM(m) AS BIGINT) AS c1
+      |        FROM occ GROUP BY w1),
+      |vt AS (SELECT COUNT(DISTINCT t) AS v
+      |       FROM (SELECT unnest(ts) AS t FROM tok)),
+      |valued AS (
+      |  SELECT o.doc_id, o.w1, o.w2, o.m,
+      |         o.m * ((c1t.c1 + vt.v) / (c2t.c2 + 1)) AS val
+      |  FROM occ o
+      |  JOIN c2t ON o.w1 = c2t.w1 AND o.w2 = c2t.w2
+      |  JOIN c1t ON o.w1 = c1t.w1
+      |  CROSS JOIN vt),
+      |scored AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(m) AS BIGINT) AS n_bigrams,
+      |         list_reduce(list(val ORDER BY w1, w2), (a, b) -> a + b)
+      |           / CAST(SUM(m) AS BIGINT) AS lm_score
+      |  FROM valued GROUP BY doc_id)""".stripMargin
+
   private val hashEmbedCtes: String = {
     val M = "18446744073709551616::HUGEINT"
     s"""tok AS (
@@ -1925,20 +2022,23 @@ object SparkEntry {
     * shared by x7 and the composed x36 pipeline. The CASE priority (zh >
     * fr > es > en > de on tied hit counts) mirrors the engine's
     * greatest-of-structs tiebreak: max (hits, lang) lexicographically. */
-  private val langCtes =
-    """lhits AS (
+  /** The x7 langid CTEs over an arbitrary (doc_id, `tcol`) relation
+    * `src` — shared by x7 (documents.text) and x84 (extracted crawl
+    * text). */
+  private def langCtesOver(src: String, tcol: String) =
+    s"""lhits AS (
            SELECT doc_id,
-             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+             len(list_filter(regexp_split_to_array(lower($tcol), '\\s+'),
                t -> t IN ('der','die','das','und','ist','nicht','ein','mit','für','von'))) AS h_de,
-             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+             len(list_filter(regexp_split_to_array(lower($tcol), '\\s+'),
                t -> t IN ('the','and','of','to','in','is','that','with','for','was'))) AS h_en,
-             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+             len(list_filter(regexp_split_to_array(lower($tcol), '\\s+'),
                t -> t IN ('el','la','los','las','es','una','para','con','del','por'))) AS h_es,
-             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+             len(list_filter(regexp_split_to_array(lower($tcol), '\\s+'),
                t -> t IN ('le','la','les','et','est','une','dans','pour','que','pas'))) AS h_fr,
-             len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+             len(list_filter(regexp_split_to_array(lower($tcol), '\\s+'),
                t -> t IN ('的','是','不','了','在','人','有','我','他','这'))) AS h_zh
-           FROM documents),
+           FROM $src),
          lang AS (
            SELECT doc_id,
              CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
@@ -1948,6 +2048,75 @@ object SparkEntry {
                   WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
                   ELSE 'de' END AS pred_lang
            FROM lhits)"""
+
+  private val langCtes = langCtesOver("documents", "text")
+
+  /** The x68 Gopher-rule CTEs over an arbitrary (doc_id, `tcol`)
+    * relation `src` → `g2(doc_id, n_words, …signals…, r_* flags)` —
+    * shared by x68 (documents.text) and x84 (extracted crawl text). */
+  private def gopherCtesOver(src: String, tcol: String) =
+    s"""g0 AS (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower($tcol), '\\s+'),
+                             x -> len(x) > 0) AS toks,
+                 length($tcol) - length(replace($tcol, '#', '')) AS n_hash,
+                 (length($tcol) - length(regexp_replace($tcol, '\\.\\.\\.', '', 'g'))) // 3 AS n_ell
+               FROM $src),
+          g1 AS (SELECT doc_id, toks, n_hash, n_ell,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS tot_len,
+                 CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+                 (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
+                  + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END) AS sw_hits
+               FROM g0),
+          g2 AS (SELECT doc_id, n_words,
+                 CAST(tot_len AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS mean_word_len,
+                 CAST(n_hash AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS hash_ratio,
+                 CAST(n_ell AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS ellipsis_ratio,
+                 CAST(n_alpha AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS alpha_frac,
+                 sw_hits,
+                 (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+                 (CAST(tot_len AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) >= 3.0
+                  AND CAST(tot_len AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) <= 10.0) AS r_mean_word_len,
+                 (CAST(n_hash AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) < 0.1
+                  AND CAST(n_ell AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) < 0.1) AS r_symbol_ratio,
+                 (CAST(n_alpha AS DOUBLE) > 0.8 * CAST(n_words AS DOUBLE)) AS r_alpha_words,
+                 (sw_hits >= 2) AS r_stopwords
+               FROM g1)"""
+
+  /** The deterministic crawl page rebuilt as one SQL expression over
+    * (doc_id, source, text) — shared by x79 (Content-Length), x86
+    * (content hashing); [[crawlTextCtes]] is its extraction image. */
+  private val pageSqlExpr: String =
+    """'<html><head><title>Doc ' || doc_id::VARCHAR || ' - ' || source ||
+      |'</title><style>p{margin:0}</style><script>var id=' || doc_id::VARCHAR ||
+      |';</script></head><body><h1>' || source || '/' || doc_id::VARCHAR ||
+      |'</h1><!-- crawler note --><p>' ||
+      |replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+      |'</p><p>Tom &amp; Jerry &lt;3 &gt;&#33;</p>' ||
+      |array_to_string(list_transform(range(0, 1 + doc_id % 5), i ->
+      |  '<a href="/' || source || '/' || (doc_id + i + 1)::VARCHAR || '">ref-' ||
+      |  i::VARCHAR || '</a>'), '') ||
+      |'</body></html>'""".stripMargin
+
+  /** The x80 extraction CTE → `etxt(doc_id, txt)` — the crawl page's
+    * visible text rebuilt closed-form (escape→decode cancels). Shared by
+    * x80 and x84. */
+  private val crawlTextCtes: String =
+    """etxt AS (
+      |  SELECT doc_id, source,
+      |    trim(regexp_replace(
+      |      source || '/' || doc_id::VARCHAR || ' ' || text ||
+      |      ' Tom & Jerry <3 >! ' ||
+      |      array_to_string(list_transform(range(0, 1 + doc_id % 5),
+      |        i -> 'ref-' || i::VARCHAR), ' '),
+      |      '[ \t\n\r\f]+', ' ', 'g')) AS txt
+      |  FROM documents)""".stripMargin
 
   /** x8's quality-signal CTEs → `qual(doc_id, …signals…, quality)` —
     * shared by x8 and x36. */
@@ -3382,39 +3551,7 @@ object SparkEntry {
     // per-stopword list_contains terms summed — every flag bit-equal,
     // no rounding tolerance anywhere.
     "x68_gopher_rules" ->
-      """WITH g0 AS (SELECT doc_id,
-                 list_filter(regexp_split_to_array(lower(text), '\s+'),
-                             x -> len(x) > 0) AS toks,
-                 length(text) - length(replace(text, '#', '')) AS n_hash,
-                 (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) // 3 AS n_ell
-               FROM documents),
-          g1 AS (SELECT doc_id, toks, n_hash, n_ell,
-                 CAST(len(toks) AS BIGINT) AS n_words,
-                 CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS tot_len,
-                 CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
-                 (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
-                  + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
-                  + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
-                  + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
-                  + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
-                  + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
-                  + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
-                  + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END) AS sw_hits
-               FROM g0),
-          g2 AS (SELECT doc_id, n_words,
-                 CAST(tot_len AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS mean_word_len,
-                 CAST(n_hash AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS hash_ratio,
-                 CAST(n_ell AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS ellipsis_ratio,
-                 CAST(n_alpha AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS alpha_frac,
-                 sw_hits,
-                 (n_words >= 50 AND n_words <= 100000) AS r_word_count,
-                 (CAST(tot_len AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) >= 3.0
-                  AND CAST(tot_len AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) <= 10.0) AS r_mean_word_len,
-                 (CAST(n_hash AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) < 0.1
-                  AND CAST(n_ell AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) < 0.1) AS r_symbol_ratio,
-                 (CAST(n_alpha AS DOUBLE) > 0.8 * CAST(n_words AS DOUBLE)) AS r_alpha_words,
-                 (sw_hits >= 2) AS r_stopwords
-               FROM g1)
+      s"""WITH ${gopherCtesOver("documents", "text")}
           SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
                  alpha_frac, sw_hits, r_word_count, r_mean_word_len,
                  r_symbol_ratio, r_alpha_words, r_stopwords,
@@ -3704,37 +3841,24 @@ object SparkEntry {
     // x3/x9, add-one smoothing over the corpus vocabulary, and the same
     // (w1, w2)-sorted sequential fold so the double sum is bit-exact
     "x51_lm_score" ->
-      """WITH tok AS (
-           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
-                                      t -> length(t) > 0) AS ts
-           FROM documents),
-         occ AS (
-           SELECT doc_id, w1, w2, COUNT(*) AS m
-           FROM (SELECT doc_id, bg[1] AS w1, bg[2] AS w2
-                 FROM (SELECT doc_id,
-                              unnest(list_transform(range(1, len(ts)), i ->
-                                [ts[CAST(i AS INTEGER)],
-                                 ts[CAST(i + 1 AS INTEGER)]])) AS bg
-                       FROM tok))
-           GROUP BY doc_id, w1, w2),
-         c2t AS (SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS c2
-                 FROM occ GROUP BY w1, w2),
-         c1t AS (SELECT w1, CAST(SUM(m) AS BIGINT) AS c1
-                 FROM occ GROUP BY w1),
-         vt AS (SELECT COUNT(DISTINCT t) AS v
-                FROM (SELECT unnest(ts) AS t FROM tok)),
-         valued AS (
-           SELECT o.doc_id, o.w1, o.w2, o.m,
-                  o.m * ((c1t.c1 + vt.v) / (c2t.c2 + 1)) AS val
-           FROM occ o
-           JOIN c2t ON o.w1 = c2t.w1 AND o.w2 = c2t.w2
-           JOIN c1t ON o.w1 = c1t.w1
-           CROSS JOIN vt)
-         SELECT doc_id,
-                CAST(SUM(m) AS BIGINT) AS n_bigrams,
-                list_reduce(list(val ORDER BY w1, w2), (a, b) -> a + b)
-                  / CAST(SUM(m) AS BIGINT) AS lm_score
-         FROM valued GROUP BY doc_id""",
+      s"WITH $lmScoreCtes SELECT doc_id, n_bigrams, lm_score FROM scored",
+
+    // x81 — the x51 scores joined back to lang, then the same exact
+    // rank arithmetic both engines share (rn·3 vs n, ties broken by
+    // doc_id on a bit-identical double score)
+    "x81_ppl_buckets" ->
+      s"""WITH $lmScoreCtes,
+         wl AS (
+           SELECT s.doc_id, d.lang, s.lm_score,
+                  row_number() OVER (PARTITION BY d.lang
+                                     ORDER BY s.lm_score, s.doc_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY d.lang) AS n
+           FROM scored s JOIN documents d USING (doc_id))
+         SELECT doc_id, lang, lm_score,
+                CASE WHEN rn * 3 <= n THEN 'head'
+                     WHEN rn * 3 <= 2 * n THEN 'middle'
+                     ELSE 'tail' END AS ppl_bucket
+         FROM wl""",
 
     // x52 — the x22 splitmix64 HUGEINT replay, the corpus weight as one
     // aggregate, and Spark's signed pmod against expected·w
@@ -4148,18 +4272,8 @@ object SparkEntry {
     // never sees a byte of gzip — agreement proves the whole
     // write→compress→inflate→parse loop.
     "x79_warc_scan" ->
-      """WITH p AS (
-           SELECT doc_id, source,
-             '<html><head><title>Doc ' || doc_id::VARCHAR || ' - ' || source ||
-             '</title><style>p{margin:0}</style><script>var id=' || doc_id::VARCHAR ||
-             ';</script></head><body><h1>' || source || '/' || doc_id::VARCHAR ||
-             '</h1><!-- crawler note --><p>' ||
-             replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
-             '</p><p>Tom &amp; Jerry &lt;3 &gt;&#33;</p>' ||
-             array_to_string(list_transform(range(0, 1 + doc_id % 5), i ->
-               '<a href="/' || source || '/' || (doc_id + i + 1)::VARCHAR || '">ref-' ||
-               i::VARCHAR || '</a>'), '') ||
-             '</body></html>' AS html
+      s"""WITH p AS (
+           SELECT doc_id, source, $pageSqlExpr AS html
            FROM documents)
          SELECT doc_id AS media_id,
            'response' AS record_type,
@@ -4184,20 +4298,149 @@ object SparkEntry {
     // count as UTF-16 units vs codepoints agree on this corpus (ASCII);
     // the engine itself is unicode-clean either way.
     "x80_html_extract" ->
-      """WITH e AS (
-           SELECT doc_id, source,
-             trim(regexp_replace(
-               source || '/' || doc_id::VARCHAR || ' ' || text ||
-               ' Tom & Jerry <3 >! ' ||
-               array_to_string(list_transform(range(0, 1 + doc_id % 5),
-                 i -> 'ref-' || i::VARCHAR), ' '),
-               '[ \t\n\r\f]+', ' ', 'g')) AS txt
-           FROM documents)
+      s"""WITH $crawlTextCtes
          SELECT doc_id AS media_id,
            'Doc ' || doc_id::VARCHAR || ' - ' || source AS title,
            CAST(1 + doc_id % 5 AS INTEGER) AS n_links,
            CAST(length(txt) AS INTEGER) AS n_chars_text,
            txt AS text
-         FROM e"""
+         FROM etxt""",
+
+    // x84 — the crawl-curation composition replayed: the x80 extraction
+    // CTE feeds the x7 langid and x68 Gopher CTE families retargeted at
+    // the extracted text, all joined back on doc_id
+    "x84_crawl_curation" ->
+      s"""WITH $crawlTextCtes,
+         ${langCtesOver("etxt", "txt")},
+         ${gopherCtesOver("etxt", "txt")}
+         SELECT e.doc_id AS media_id, lang.pred_lang, g2.n_words,
+                (g2.r_word_count AND g2.r_mean_word_len AND
+                 g2.r_symbol_ratio AND g2.r_alpha_words AND
+                 g2.r_stopwords) AS keep
+         FROM etxt e
+         JOIN lang ON e.doc_id = lang.doc_id
+         JOIN g2 ON e.doc_id = g2.doc_id""",
+
+    // x85 — the training loop REPLAYED: the oracle runs the same 8
+    // gradient-descent rounds as unrolled CTEs (decimal-routed gradient
+    // sums ⇒ the weights agree bit-for-bit at every round), then scores
+    // with the identical expression tree; round-to-9dp absorbs the
+    // ≤1-ulp cross-engine exp() difference (the F7 convention)
+    "x85_trained_quality" -> {
+      val iters = 8
+      val lr = "4.0"
+      val sig = "1.0/(1.0 + exp(-(w.w0 + w.w1 * f.f1 + w.w2 * f.f2)))"
+      val steps = (1 to iters).map { k =>
+        s"""p$k AS (SELECT f.doc_id, f.y, f.f1, f.f2, $sig AS p
+           FROM feats f CROSS JOIN it${k - 1} w),
+         g$k AS (SELECT ${graft.ops.Stable.sumSql("(p - y)")} AS s0,
+                        ${graft.ops.Stable.sumSql("(p - y) * f1")} AS s1,
+                        ${graft.ops.Stable.sumSql("(p - y) * f2")} AS s2,
+                        COUNT(*) AS n FROM p$k),
+         it$k AS (SELECT w.w0 - $lr * (g.s0 / g.n) AS w0,
+                         w.w1 - $lr * (g.s1 / g.n) AS w1,
+                         w.w2 - $lr * (g.s2 / g.n) AS w2
+                  FROM it${k - 1} w CROSS JOIN g$k g)"""
+      }.mkString(",\n         ")
+      s"""WITH feats AS (
+           SELECT doc_id,
+             CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y,
+             CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS DOUBLE)
+               / 100.0 AS f1,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                    t -> t IN ('the','and','of','to','in','is','that','with','for','was')))
+                  AS DOUBLE)
+               / GREATEST(CAST(len(regexp_split_to_array(lower(text), '\\s+'))
+                               AS DOUBLE), 1.0) AS f2
+           FROM documents),
+         it0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+         $steps
+         SELECT f.doc_id, round($sig, 9) AS p_keep,
+                round($sig, 9) >= 0.5 AS pred_keep
+         FROM feats f CROSS JOIN it$iters w"""
+    },
+
+    // x86 — both snapshots' pages rebuilt closed-form, md5'd as the
+    // engine md5s the real parsed bytes, and the same full-outer
+    // URL-join classification
+    "x86_crawl_diff" ->
+      s"""WITH oldd AS (SELECT doc_id, source, text FROM documents),
+         newd AS (
+           SELECT doc_id, source,
+                  CASE WHEN doc_id % 5 = 0 THEN text || ' updated'
+                       ELSE text END AS text
+           FROM documents WHERE doc_id % 7 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, source, text
+           FROM documents WHERE doc_id % 3 = 0),
+         oh AS (SELECT 'https://crawl.example/' || source || '/' ||
+                         doc_id::VARCHAR AS target_uri,
+                       md5($pageSqlExpr) AS h
+                FROM oldd),
+         nh AS (SELECT 'https://crawl.example/' || source || '/' ||
+                         doc_id::VARCHAR AS target_uri,
+                       md5($pageSqlExpr) AS h
+                FROM newd)
+         SELECT COALESCE(o.target_uri, n.target_uri) AS target_uri,
+                CASE WHEN o.target_uri IS NULL THEN 'added'
+                     WHEN n.target_uri IS NULL THEN 'removed'
+                     WHEN o.h <> n.h THEN 'changed'
+                     ELSE 'unchanged' END AS status
+         FROM oh o FULL OUTER JOIN nh n ON o.target_uri = n.target_uri""",
+
+    // x82 — the classifier replayed from scratch: per-token FNV-1a +
+    // mix64 (the x59 chain) into 65,536 buckets, the weight table as a
+    // SECOND mix64 replay on (bucket + GOLDEN) mod 2^64, terms folded
+    // in bucket order so the double mean is bit-exact
+    "x82_quality_classifier" -> {
+      val M = "18446744073709551616::HUGEINT"
+      s"""WITH tok AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                      t -> length(t) > 0) AS ts
+           FROM documents),
+         th AS (
+           SELECT doc_id, unnest(list_transform(ts, t ->
+             list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(range(1, length(t) + 1), i ->
+                   unicode(substr(t, CAST(i AS INTEGER), 1))::HUGEINT)),
+               (h, c) -> ((xor(h, c) * 1099511628211::HUGEINT) % $M
+                          * 1099511628211::HUGEINT) % $M))) AS f
+           FROM tok),
+         z1 AS (SELECT doc_id, ${mulmodSql("xor(f, f // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM th),
+         z2 AS (SELECT doc_id, ${mulmodSql("xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM z1),
+         zf AS (SELECT doc_id, xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM z2),
+         sgn AS (SELECT doc_id,
+                   CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+                             THEN uh - 18446744073709551616::HUGEINT
+                             ELSE uh END AS BIGINT) AS sh FROM zf),
+         cnt AS (SELECT doc_id, ((sh % 65536) + 65536) % 65536 AS b,
+                        COUNT(*) AS c
+                 FROM sgn GROUP BY doc_id, ((sh % 65536) + 65536) % 65536),
+         w0 AS (SELECT doc_id, b, c,
+                       (b::HUGEINT + 11400714819323198485::HUGEINT) % $M AS v0
+                FROM cnt),
+         w1 AS (SELECT *, ${mulmodSql("xor(v0, v0 // 1073741824::HUGEINT)", Mix64C1)} AS v1 FROM w0),
+         w2 AS (SELECT *, ${mulmodSql("xor(v1, v1 // 134217728::HUGEINT)", Mix64C2)} AS v2 FROM w1),
+         wf AS (SELECT doc_id, b, c, xor(v2, v2 // 2147483648::HUGEINT) AS vh FROM w2),
+         wsgn AS (SELECT doc_id, b, c,
+                    CAST(CASE WHEN vh >= 9223372036854775808::HUGEINT
+                              THEN vh - 18446744073709551616::HUGEINT
+                              ELSE vh END AS BIGINT) AS sw FROM wf),
+         terms AS (SELECT doc_id, b,  c,
+                          c::DOUBLE * (sw::DOUBLE / 9223372036854775808.0) AS term
+                   FROM wsgn),
+         agg AS (SELECT doc_id,
+                        CAST(SUM(c) AS BIGINT) AS n_tokens,
+                        list_reduce(list(term ORDER BY b), (a, x) -> a + x)
+                          AS tsum
+                 FROM terms GROUP BY doc_id),
+         sc AS (SELECT doc_id, n_tokens,
+                       tsum / CAST(n_tokens AS DOUBLE) AS q_score
+                FROM agg)
+         SELECT doc_id, n_tokens, q_score,
+                CASE WHEN q_score >= 0.0 THEN 'keep' ELSE 'drop' END AS label
+         FROM sc"""
+    }
   )
 }

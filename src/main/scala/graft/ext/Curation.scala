@@ -433,4 +433,29 @@ object Curation {
       .select("doc_id", "lang", "source", "n_chars", "quality",
         "contamination")
   }
+
+  /** Crawl snapshot diff — the monthly-recrawl bookkeeping step every
+    * web corpus needs (Common Crawl ships a fresh snapshot every month;
+    * an incremental pipeline wants to re-process only what moved): two
+    * (url, content-hash) snapshots full-outer-join on the URL and each
+    * row classifies as `added` / `removed` / `changed` / `unchanged`.
+    *
+    * Shape at 100 TB: content hashes are computed IN the archive scan
+    * (16 bytes per page), so the join shuffles (url, hash) pairs only —
+    * page payloads never cross the wire; the full-outer hash join is
+    * the canonical two-snapshot shape and AQE handles snapshot-size
+    * asymmetry. Downstream, `added ∪ changed` is the re-process set and
+    * `removed` is the tombstone set. */
+  def crawlDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                keyCol: String = "target_uri",
+                hashCol: String = "h"): DataFrame = {
+    val o = oldSnap.select(col(keyCol).as("k"), col(hashCol).as("oh"))
+    val n = newSnap.select(col(keyCol).as("k"), col(hashCol).as("nh"))
+    o.join(n, Seq("k"), "full_outer")
+      .select(col("k").as(keyCol),
+        when(col("oh").isNull, "added")
+          .when(col("nh").isNull, "removed")
+          .when(col("oh") =!= col("nh"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

@@ -372,4 +372,124 @@ object TextOps {
       .as(s"q${(p * 100).round}"))
     ranked.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * document under the corpus bigram LM ([[bigramLmScore]]) and split
+    * each LANGUAGE into exact fluency terciles — `head` (most fluent
+    * third, what CCNet keeps unconditionally), `middle`, `tail`. CCNet
+    * buckets per language because perplexity scales are not comparable
+    * across languages; the tercile rule here is exact rank arithmetic
+    * (`rn·3 ≤ n` / `rn·3 ≤ 2n` in the (score, id) total order — integer
+    * portable, no quantile-interpolation convention to disagree on).
+    *
+    * Shape at 100 TB: the LM scoring is x51's bounded-aggregate shape;
+    * the bucketing adds ONE per-lang window (range-partitioned sort — the
+    * x24/x25 posture) over the doc-level score rows, which are corpus
+    * row count, not token count. Docs with no bigram (< 2 tokens) have
+    * no score and are not bucketed, matching x51's domain. */
+  def perplexityBuckets(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id",
+                        langCol: String = "lang"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol)).orderBy(col("lm_score"), col(idCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(langCol))
+    bigramLmScore(docs, textCol, idCol)
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .select(col(idCol), col(langCol), col("lm_score"),
+        when(col("rn") * 3 <= col("n"), "head")
+          .when(col("rn") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
+  /** Hashed linear text classifier — the fastText/DCLM quality-filter
+    * SHAPE (bag of hashed unigram features · weight vector → mean →
+    * sign), with the weight vector supplied as a deterministic function
+    * of the bucket id so the whole path is engine-portable: feature
+    * bucket `floorMod(mix64(fnv(t)), dim)` (the [[Similarity.hashEmbed]]
+    * kernel), weight `mix64(b + GOLDEN) / 2^63 ∈ [−1, 1)` (the Bloom/Cms
+    * probe stream as a pseudo-trained weight table — swap in real
+    * trained weights as a literal map and nothing else changes). The
+    * per-doc score folds bucket terms in bucket order, so the double sum
+    * is bit-exact across partitionings (the x51 discipline).
+    *
+    * Shape at 100 TB: one (doc, bucket) count aggregate with map-side
+    * partials (≤ min(tokens, dim) rows per doc), one per-doc aggregate;
+    * the weight table is a column FORMULA, not a join — a real trained
+    * vector rides as a broadcast literal the same way the ADC tables do. */
+  def hashedLinearScore(docs: DataFrame, dim: Int = 65536,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(dim > 0, s"feature dim must be positive: $dim")
+    val th = docs.select(col(idCol),
+      explode(graft.functions.ShingleHashesAll(col(textCol), 1)).as("h"))
+    val cnt = th
+      .groupBy(col(idCol), pmod(col("h"), lit(dim.toLong)).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val weight = graft.functions.HashExprs
+      .mix64_add_col(col("b"), Bloom.GOLDEN)
+      .cast("double") / lit(9.223372036854775808e18)
+    cnt
+      .withColumn("term", col("c").cast("double") * weight)
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_tokens"),
+        aggregate(array_sort(collect_list(struct(col("b"), col("term")))),
+          lit(0.0), (a, x) => a + x.getField("term")).as("tsum"))
+      .select(col(idCol), col("n_tokens"),
+        (col("tsum") / col("n_tokens").cast("double")).as("q_score"))
+      .withColumn("label",
+        when(col("q_score") >= 0.0, "keep").otherwise("drop"))
+  }
+
+  /** TRAINED quality model — full-batch logistic regression run INSIDE
+    * the engine (the model-based filtering step of CCNet/DCLM pipelines,
+    * here with the training loop itself distributed instead of imported):
+    * features are engine-portable text signals (token count / 100,
+    * English-stopword ratio, plus a bias), the label is a deterministic
+    * supervision stand-in (`n_chars ≥ 300` — substitute any labeled
+    * column and nothing else changes), and each of the `iters` Lloyd-style
+    * rounds is ONE bounded aggregate: gradient components are
+    * decimal-routed sums ([[graft.ops.Stable.sumD]]), so the learned
+    * weights are bit-identical under any partitioning and replayable by
+    * an independent engine step for step. Scoring folds the final
+    * weights back as literals; probabilities round to 9 dp to absorb the
+    * ≤1-ulp cross-engine `exp` difference (the F7 conic convention).
+    *
+    * Shape at 100 TB: per iteration, one narrow scan + a 4-number
+    * partial+final aggregate to the driver (cache the feature projection
+    * to pay the scan once); scoring is a zero-shuffle projection. Driver
+    * state is 3 doubles — no vocabulary, no model table. */
+  def trainLogisticQuality(docs: DataFrame, iters: Int = 8, lr: Double = 4.0,
+                           textCol: String = "text",
+                           idCol: String = "doc_id",
+                           labelCol: String = "n_chars"): DataFrame = {
+    require(iters >= 1 && lr > 0, s"need iters >= 1, lr > 0: $iters, $lr")
+    val toks = tokens(col(textCol))
+    val feats = docs.select(
+      col(idCol),
+      when(col(labelCol) >= 300L, 1.0).otherwise(0.0).as("y"),
+      (size(toks).cast("double") / lit(100.0)).as("f1"),
+      (size(filter(toks, t => t.isin(stopwords("en"): _*))).cast("double") /
+        greatest(size(toks).cast("double"), lit(1.0))).as("f2"))
+    var w = Array(0.0, 0.0, 0.0)
+    def zOf(wv: Array[Double]) =
+      lit(wv(0)) + lit(wv(1)) * col("f1") + lit(wv(2)) * col("f2")
+    for (_ <- 0 until iters) {
+      val p = lit(1.0) / (lit(1.0) + exp(-zOf(w)))
+      val r = feats.agg(
+        graft.ops.Stable.sumD(p - col("y")).as("s0"),
+        graft.ops.Stable.sumD((p - col("y")) * col("f1")).as("s1"),
+        graft.ops.Stable.sumD((p - col("y")) * col("f2")).as("s2"),
+        count(lit(1)).as("n")).head()
+      val n = r.getLong(3).toDouble
+      w = Array(
+        w(0) - lr * (r.getDouble(0) / n),
+        w(1) - lr * (r.getDouble(1) / n),
+        w(2) - lr * (r.getDouble(2) / n))
+    }
+    val p = lit(1.0) / (lit(1.0) + exp(-zOf(w)))
+    feats.select(col(idCol), round(p, 9).as("p_keep"),
+      (round(p, 9) >= 0.5).as("pred_keep"))
+  }
 }

@@ -560,4 +560,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.substring(partialIx, scanIx).contains("Exchange"),
       s"assignment shuffles before the count:\n$p")
   }
+
+  test("x79/x80/x84 crawl tier: archive parse, extraction and gates all " +
+       "ride one narrow pass — zero exchange") {
+    Seq("x79_warc_scan", "x80_html_extract", "x84_crawl_curation").foreach { q =>
+      val p = executed(q).toString
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+    }
+  }
+
+  test("x82 classifier: map-side partial counts; weight table is a " +
+       "formula, not a join") {
+    val p = executed("x82_quality_classifier").toString
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"no map-side partials:\n$p")
+    assert(!p.contains("Join"), s"weight lookup joined instead of computed:\n$p")
+  }
 }

@@ -1747,4 +1747,78 @@ class ExtSpec extends AnyFunSuite {
     assert(StringShingles.stringShingles(s, 3).length ==
       graft.functions.ShingleHashes.shingleHashes(s, 3).length)
   }
+
+  test("perplexity buckets: per-lang terciles, monotone in score, exact sizes") {
+    // 6 scored docs per lang -> exactly 2 head, 2 middle, 2 tail;
+    // plus a one-token doc that has no bigram and must not be bucketed
+    val corpus = (0L until 6L).flatMap(i => Seq(
+      (i, "en", "the " * (i + 2).toInt + "end"),
+      (i + 10L, "de", "das " * (i + 2).toInt + "ende"))) :+
+      ((99L, "en", "solo"))
+    val df = corpus.toDF("doc_id", "lang", "text")
+    val r = TextOps.perplexityBuckets(df).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getDouble(2), x.getString(3)))
+    assert(!r.exists(_._1 == 99L))
+    for (lang <- Seq("en", "de")) {
+      val l = r.filter(_._2 == lang)
+      assert(l.length == 6)
+      assert(l.count(_._4 == "head") == 2)
+      assert(l.count(_._4 == "middle") == 2)
+      assert(l.count(_._4 == "tail") == 2)
+      // every head score <= every middle score <= every tail score
+      def scores(b: String) = l.filter(_._4 == b).map(_._3)
+      assert(scores("head").max <= scores("middle").min)
+      assert(scores("middle").max <= scores("tail").min)
+    }
+  }
+
+  test("hashed linear classifier: deterministic, partitioning-invariant, sane") {
+    val df = docs.withColumn("text", col("text"))
+    val base = TextOps.hashedLinearScore(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toMap
+    // n_tokens is the whitespace token count
+    assert(base(1L)._1 == 13L)
+    assert(base(5L)._1 == 3L)
+    // exact duplicates score identically; label is the sign of the score
+    assert(base(1L)._2 == base(4L)._2)
+    base.values.foreach { case (_, s, l) =>
+      assert(if (s >= 0.0) l == "keep" else l == "drop")
+      assert(s >= -1.0 && s < 1.0) // mean of [-1,1) weights
+    }
+    // bit-identical under a different partitioning (the sorted-fold claim)
+    val shuffled = TextOps.hashedLinearScore(df.repartition(7)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toMap
+    assert(shuffled == base)
+  }
+
+  test("trained logistic quality: learns the label, partitioning-invariant") {
+    // short docs (few tokens) vs long docs — the n_chars>=300 label is
+    // recoverable from the token-count feature, so a trained model must
+    // beat the w=0 coin flip (which predicts p=0.5 for everyone)
+    val corpus = (0L until 30L).map { i =>
+      if (i % 2 == 0) (i, "tiny doc", 8L)
+      else (i, Seq.fill(80)("w").mkString(" "), 400L)
+    }.toDF("doc_id", "text", "n_chars")
+    val scored = TextOps.trainLogisticQuality(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    // every long doc scores above every short doc, and accuracy is 100%
+    val (short, long) = scored.partition(_._1 % 2 == 0)
+    assert(short.values.map(_._1).max < long.values.map(_._1).min)
+    assert(short.values.forall(!_._2) && long.values.forall(_._2))
+    // decimal-routed gradients: bit-identical under a different partitioning
+    val re = TextOps.trainLogisticQuality(corpus.repartition(5)).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(re == scored)
+  }
+
+  test("crawl diff: added/removed/changed/unchanged partition the URL union") {
+    val a = Seq(("u1", "h1"), ("u2", "h2"), ("u3", "h3")).toDF("target_uri", "h")
+    val b = Seq(("u2", "h2"), ("u3", "hX"), ("u4", "h4")).toDF("target_uri", "h")
+    val r = Curation.crawlDiff(a, b).collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(r == Map("u1" -> "removed", "u2" -> "unchanged",
+      "u3" -> "changed", "u4" -> "added"))
+  }
 }

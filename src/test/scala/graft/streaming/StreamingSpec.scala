@@ -115,6 +115,25 @@ class StreamingSpec extends AnyFunSuite {
       gateBatch.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("WARC parse + HTML extraction run unmodified in an ingest stream") {
+    // the whole crawl hop is stateless per-archive work, so the same
+    // archive→records→text chain runs in a readStream with no watermark:
+    // a live crawl can gate pages before anything lands on disk
+    val dir = "/root/testdata/sf0.001"
+    val docsBatch = spark.read.parquet(s"$dir/documents.parquet")
+    val docsStream = spark.readStream.schema(docsBatch.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    def pipe(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Html.extractFromRecords(
+        graft.ext.Html.parseDocArchives(
+          graft.ext.Html.warcFromDocs(df)))
+    val streamed = graft.streaming.StreamingOps.runBounded(spark,
+      pipe(docsStream), "warc_stream_test", OutputMode.Append())
+    assert(streamed.count() == docsBatch.count())
+    assert(streamed.collect().map(_.toSeq).toSet ==
+      pipe(docsBatch).collect().map(_.toSeq).toSet)
+  }
+
   test("§2.9 streaming daily max equals the batch composite") {
 
     // bounded file stream over the events table — same ts handling as
