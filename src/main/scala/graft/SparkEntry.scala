@@ -1363,7 +1363,51 @@ object SparkEntry {
         .unionByName(docs.filter(col("doc_id") % 3 === 0)
           .withColumn("doc_id", col("doc_id") + 1000000L))
       ext.Curation.crawlDiff(snap(docs), snap(newDocs))
-    })
+    }),
+
+    // x87 — the Common Crawl segment layout proper: 16 multi-record
+    // `.warc.gz` archives (concatenated gzip members, records in doc_id
+    // order), read back through the same member-iterating parser. The
+    // per-record truth must equal x79's single-record case exactly.
+    "x87_warc_segments" -> ((s, d) =>
+      graft.sources.Warc.parseArchives(
+        ext.Html.warcSegmentsFromDocs(t(s, d, "documents"))
+          .select(col("segment").cast("string").as("archive"), col("content")))
+        .select(
+          regexp_extract(col("record_id"), "[0-9]+", 0).cast("long")
+            .as("media_id"),
+          col("record_type"), col("record_id"), col("warc_date"),
+          col("target_uri"), col("http_status"),
+          col("http_content_type").as("mime"), col("content_length")))
+,
+
+    // x88 — the pack audit a pipeline owner reads before resizing the
+    // context budget: per shard, pack count, token mass, largest pack,
+    // boundary-straddle overflows, fill ratio vs n_packs × 2048.
+    "x88_pack_efficiency" -> ((s, d) =>
+      ext.Curation.packEfficiency(t(s, d, "documents"), "source", 2048L)),
+
+    // x89 — keep-BEST dedup: same clusters as x28, but the survivor is
+    // the longest member (ties to the smallest id) — the policy real
+    // pipelines run, as one per-cluster argmax on the bounded map.
+    "x89_dedup_keep_best" -> ((s, d) =>
+      ext.Dedup.dedupCorpusByScore(t(s, d, "documents"),
+          ext.Dedup.jaccardPairs(t(s, d, "documents"), shingleK = 3,
+            minJaccard = 0.4).select("doc_a", "doc_b"), "n_chars")
+        .select("doc_id", "lang", "source", "n_chars")),
+
+    // x91 — the corrupt-rate audit an ingest job alerts on: every 9th
+    // archive is truncated to 30% of its gzip bytes (a torn transfer),
+    // and the health scan must report exactly which archives tore and
+    // that intact ones carry their one record. Tears cost records,
+    // never tasks.
+    "x91_warc_health" -> ((s, d) =>
+      graft.sources.Warc.archiveHealth(
+        ext.Html.warcFromDocs(t(s, d, "documents"))
+          .select(col("media_id").cast("string").as("archive"),
+            when(col("media_id") % 9 === 0,
+              expr("substring(content, 1, cast(length(content)*3/10 as int))"))
+              .otherwise(col("content")).as("content"))))
   )
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
@@ -2103,6 +2147,31 @@ object SparkEntry {
       |  '<a href="/' || source || '/' || (doc_id + i + 1)::VARCHAR || '">ref-' ||
       |  i::VARCHAR || '</a>'), '') ||
       |'</body></html>'""".stripMargin
+
+  /** The x79/x87 oracle: every WARC header field closed-form over the
+    * documents table, Content-Length as the byte length of the HTTP
+    * block the oracle reassembles character by character. The engine
+    * parses real gzip members (single-record archives in x79, 16-way
+    * multi-member segments in x87); the oracle never sees a byte of
+    * gzip, and the per-record truth is identical by construction. */
+  private lazy val warcScanOracleSql: String =
+    s"""WITH p AS (
+           SELECT doc_id, source, $pageSqlExpr AS html
+           FROM documents)
+         SELECT doc_id AS media_id,
+           'response' AS record_type,
+           '<urn:graft:' || doc_id::VARCHAR || '>' AS record_id,
+           printf('2024-01-01T%02d:%02d:%02dZ',
+                  (doc_id % 86400) // 3600, (doc_id % 86400) // 60 % 60,
+                  doc_id % 60) AS warc_date,
+           'https://crawl.example/' || source || '/' || doc_id::VARCHAR AS target_uri,
+           CAST(200 AS INTEGER) AS http_status,
+           'text/html; charset=utf-8' AS mime,
+           strlen('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+                  'Content-Type: text/html; charset=utf-8' || chr(13) || chr(10) ||
+                  'Content-Length: ' || strlen(html)::VARCHAR || chr(13) || chr(10) ||
+                  chr(13) || chr(10)) + strlen(html) AS content_length
+         FROM p"""
 
   /** The x80 extraction CTE → `etxt(doc_id, txt)` — the crawl page's
     * visible text rebuilt closed-form (escape→decode cancels). Shared by
@@ -4271,24 +4340,66 @@ object SparkEntry {
     // arithmetic. The engine parses real gzip members; the oracle
     // never sees a byte of gzip — agreement proves the whole
     // write→compress→inflate→parse loop.
-    "x79_warc_scan" ->
-      s"""WITH p AS (
-           SELECT doc_id, source, $pageSqlExpr AS html
-           FROM documents)
-         SELECT doc_id AS media_id,
-           'response' AS record_type,
-           '<urn:graft:' || doc_id::VARCHAR || '>' AS record_id,
-           printf('2024-01-01T%02d:%02d:%02dZ',
-                  (doc_id % 86400) // 3600, (doc_id % 86400) // 60 % 60,
-                  doc_id % 60) AS warc_date,
-           'https://crawl.example/' || source || '/' || doc_id::VARCHAR AS target_uri,
-           CAST(200 AS INTEGER) AS http_status,
-           'text/html; charset=utf-8' AS mime,
-           strlen('HTTP/1.1 200 OK' || chr(13) || chr(10) ||
-                  'Content-Type: text/html; charset=utf-8' || chr(13) || chr(10) ||
-                  'Content-Length: ' || strlen(html)::VARCHAR || chr(13) || chr(10) ||
-                  chr(13) || chr(10)) + strlen(html) AS content_length
-         FROM p""",
+    "x79_warc_scan" -> warcScanOracleSql,
+
+    // x87 — identical per-record truth: re-packing the same records
+    // into multi-member segment archives must change NOTHING about
+    // what the reader reports, so the oracle is x79's verbatim
+    "x87_warc_segments" -> warcScanOracleSql,
+
+    // x88 — the x26 cumulative-window pack assignment, rolled up twice
+    // with exact integer arithmetic and one IEEE division
+    "x88_pack_efficiency" ->
+      """WITH toks AS (
+           SELECT doc_id, source,
+                  CAST(len(regexp_split_to_array(lower(text), '\s+'))
+                       AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_tokens,
+                  SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+           FROM toks),
+         packs AS (
+           SELECT source, CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+                  n_tokens
+           FROM c),
+         per AS (
+           SELECT source, pack_id, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+           FROM packs GROUP BY source, pack_id)
+         SELECT source,
+                CAST(COUNT(*) AS BIGINT) AS n_packs,
+                CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+                CAST(MAX(pack_tokens) AS BIGINT) AS max_pack_tokens,
+                CAST(SUM(CASE WHEN pack_tokens > 2048 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_overflow,
+                CAST(SUM(pack_tokens) AS DOUBLE)
+                  / CAST(COUNT(*) * 2048 AS DOUBLE) AS fill_ratio
+         FROM per GROUP BY source""",
+
+    // x89 — the x28 recursive closure with the keep-longest argmax: the
+    // survivor ranks first in the (n_chars DESC, id ASC) order, exactly
+    // the engine's max(struct(score, −id)) pick
+    "x89_dedup_keep_best" ->
+      s"""WITH RECURSIVE $componentCtes,
+          members AS (SELECT c.id, c.rep, d.n_chars
+                      FROM cc c JOIN documents d ON d.doc_id = c.id),
+          win AS (SELECT id, rep,
+                         row_number() OVER (PARTITION BY rep
+                                            ORDER BY n_chars DESC, id) AS rk
+                  FROM members)
+          SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE doc_id NOT IN (SELECT id FROM win WHERE rk > 1)""",
+
+    // x91 — deterministic truth: a 30%-truncated single-record gzip can
+    // never yield its record (plaintext tears mid-block), an intact one
+    // always does
+    "x91_warc_health" ->
+      """SELECT doc_id::VARCHAR AS archive,
+                CAST(CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 1 END AS INTEGER)
+                  AS n_records,
+                (doc_id % 9 = 0) AS torn
+         FROM documents""",
 
     // x80 — the extraction rebuilt WITHOUT the page: escape→decode
     // cancels, tags become separators, so visible text is h1 + the

@@ -174,6 +174,28 @@ object Curation {
       .select("doc_id", shardCol, "n_tokens", "pack_id")
   }
 
+  /** Packing-efficiency report over [[packSequences]] — the number a
+    * pipeline owner reads before touching the pack budget: per shard,
+    * pack count, token mass, the largest pack, how many packs overflow
+    * the budget (a doc straddling a boundary lands whole in its pack —
+    * the sequential-greedy contract), and the fill ratio against
+    * `n_packs × budget`. Two bounded hash aggregations on top of the
+    * packing window; output rows = shard count. */
+  def packEfficiency(docs: DataFrame, shardCol: String, budget: Long,
+                     textCol: String = "text"): DataFrame =
+    packSequences(docs, shardCol, budget, textCol)
+      .groupBy(col(shardCol), col("pack_id"))
+      .agg(sum("n_tokens").as("pack_tokens"))
+      .groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_packs"),
+        sum("pack_tokens").as("total_tokens"),
+        max("pack_tokens").as("max_pack_tokens"),
+        sum(when(col("pack_tokens") > budget, 1L).otherwise(0L))
+          .as("n_overflow"))
+      .withColumn("fill_ratio",
+        col("total_tokens").cast("double") /
+          (col("n_packs") * lit(budget)).cast("double"))
+
   /** Document chunking — the "split to context length" preprocessing
     * twin of [[packSequences]]: long documents split into windows of at
     * most `chunkTokens` tokens, consecutive windows overlapping by

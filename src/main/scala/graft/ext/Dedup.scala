@@ -417,6 +417,32 @@ object Dedup {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** Policy-based survivor selection — [[dedupCorpus]] keeps the min-id
+    * member of each duplicate cluster; real pipelines keep the BEST copy
+    * (longest, highest quality score, most recent). Survivor = the
+    * cluster member maximizing `scoreCol`, ties to the smallest id (the
+    * `max(struct(score, −id))` argmax — one aggregate per cluster, no
+    * window). Unclustered docs pass through untouched.
+    *
+    * Shape at 100 TB: the component map is bounded by CLUSTERED docs;
+    * the score join and the per-cluster argmax live entirely on that
+    * bounded set, and the corpus pays one anti-join against the loser
+    * ids — identical cost to the min-id policy. */
+  def dedupCorpusByScore(docs: DataFrame, edges: DataFrame,
+                         scoreCol: String): DataFrame = {
+    val cc = connectedComponents(edges)
+    val best = cc
+      .join(docs.select(col("doc_id"), col(scoreCol)), Seq("doc_id"))
+      .groupBy("rep_id")
+      .agg(max(struct(col(scoreCol).as("s"), (-col("doc_id")).as("nid")))
+        .as("b"))
+      .select(col("rep_id"), (-col("b.nid")).as("keep_id"))
+    val losers = cc.join(best, Seq("rep_id"))
+      .where(col("doc_id") =!= col("keep_id"))
+      .select("doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** The dedup products FUSED: x27's component map, x44's cluster-size
     * census, and x28's kept/removed split all derive from one
     * jaccardPairs + connectedComponents computation here, instead of each

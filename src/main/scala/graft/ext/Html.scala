@@ -171,6 +171,26 @@ object Html {
       enc(col("doc_id"), col("source"), col("text")).as("content"))
   }
 
+  /** documents → multi-record `.warc.gz` SEGMENT archives, the Common
+    * Crawl layout proper: `doc_id % nSegments` docs per archive, records
+    * in doc_id order, one gzip member per record. ONE exchange (the
+    * segment groupBy); at corpus scale nSegments is the file-level
+    * parallelism knob exactly as in the real dataset. */
+  def warcSegmentsFromDocs(docs: DataFrame, nSegments: Int = 16): DataFrame = {
+    require(nSegments > 0, s"nSegments must be positive: $nSegments")
+    val seg = udf((rows: Seq[Row]) =>
+      Warc.gzipMembers(rows.map { r =>
+        val (id, src, txt) = (r.getLong(0), r.getString(1), r.getString(2))
+        Warc.writeResponse(s"<urn:graft:$id>", dateFor(id), uriFor(id, src),
+          pageFor(id, src, txt).getBytes(UTF_8))
+      }))
+    docs
+      .groupBy((col("doc_id") % nSegments).as("segment"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("source"), col("text")))).as("recs"))
+      .select(col("segment"), seg(col("recs")).as("content"))
+  }
+
   /** Parse per-document archives into records keyed by `media_id`. */
   def parseDocArchives(archives: DataFrame): DataFrame = {
     val schema = StructType(StructField("media_id", LongType, nullable = false)

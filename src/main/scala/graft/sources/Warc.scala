@@ -100,17 +100,23 @@ object Warc {
     b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
 
   /** Inflate a (possibly multi-member) gzip stream; pass non-gzip bytes
-    * through. JDK `GZIPInputStream` consumes concatenated members. */
-  private def inflate(bytes: Array[Byte]): Array[Byte] =
-    if (!isGzip(bytes)) bytes
+    * through. JDK `GZIPInputStream` consumes concatenated members. A
+    * truncated or corrupt stream yields the bytes inflated so far with
+    * `clean = false` — a torn tail must cost its records, not the task. */
+  private def inflate(bytes: Array[Byte]): (Array[Byte], Boolean) =
+    if (!isGzip(bytes)) (bytes, true)
     else {
-      val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 65536)
       val out = new ByteArrayOutputStream(bytes.length * 4)
-      val buf = new Array[Byte](65536)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      in.close()
-      out.toByteArray
+      val clean =
+        try {
+          val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 65536)
+          val buf = new Array[Byte](65536)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          in.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      (out.toByteArray, clean)
     }
 
   /** Find the next CRLF from `from`; -1 when absent. */
@@ -158,19 +164,28 @@ object Warc {
   /** Parse every record in an archive (gzip members or plain). Truncated
     * or malformed trailing bytes are dropped, never thrown — a 100 TB
     * crawl always has a torn final record somewhere. */
-  def readAll(archive: Array[Byte]): Seq[WarcRec] = {
-    val b = inflate(archive)
+  def readAll(archive: Array[Byte]): Seq[WarcRec] =
+    readAllWithStats(archive)._1
+
+  /** [[readAll]] plus the operational truth a crawl-health audit needs:
+    * whether the parse consumed the archive cleanly or stopped at torn/
+    * malformed trailing bytes (`torn = true` — the records BEFORE the
+    * tear are still returned and still good). */
+  def readAllWithStats(archive: Array[Byte]): (Seq[WarcRec], Boolean) = {
+    val (b, cleanGzip) = inflate(archive)
     val out = ArrayBuffer.empty[WarcRec]
     var pos = 0
     var ok = true
+    var torn = !cleanGzip
     while (ok && pos < b.length) {
       // skip inter-record CRLFs
       while (pos + 1 < b.length && b(pos) == '\r' && b(pos + 1) == '\n') pos += 2
       if (pos >= b.length) ok = false
       else {
         val e0 = crlfAt(b, pos)
-        if (e0 < 0 || !new String(b, pos, e0 - pos, UTF_8).startsWith("WARC/")) ok = false
-        else {
+        if (e0 < 0 || !new String(b, pos, e0 - pos, UTF_8).startsWith("WARC/")) {
+          ok = false; torn = true
+        } else {
           val (hs, blockAt) = headerLines(b, e0 + 2)
           hs.get("content-length").flatMap(_.toLongOption) match {
             case Some(len) if blockAt + len <= b.length =>
@@ -183,12 +198,12 @@ object Warc {
                 hs.getOrElse("warc-target-uri", ""),
                 len, status, ctype, body)
               pos = blockAt + len.toInt
-            case _ => ok = false // torn record: stop, keep what we have
+            case _ => ok = false; torn = true // torn: stop, keep what we have
           }
         }
       }
     }
-    out.toSeq
+    (out.toSeq, torn)
   }
 
   // -------------------------------------------------------- DataFrame API
@@ -210,6 +225,30 @@ object Warc {
     parseArchives(
       spark.read.format("binaryFile").load(path)
         .select(col("path").as("archive"), col("content")))
+
+  val healthSchema: StructType = StructType(Seq(
+    StructField("archive", StringType, nullable = true),
+    StructField("n_records", IntegerType, nullable = false),
+    StructField("torn", BooleanType, nullable = false)))
+
+  /** Crawl-health audit over (archive, bytes) blobs: records recovered
+    * and whether the parse hit a torn tail — the corrupt-rate metric an
+    * ingest job alerts on (the [[JsonLines]] `bad_line` discipline at
+    * archive granularity). Same narrow no-shuffle shape as
+    * [[parseArchives]]; records before a tear still count. */
+  def archiveHealth(archives: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(healthSchema)
+    archives.mapPartitions { it =>
+      it.map { r =>
+        val name = if (r.isNullAt(0)) null else r.getString(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val (recs, torn) =
+          if (bytes == null) (Seq.empty[WarcRec], true)
+          else readAllWithStats(bytes)
+        Row(name, recs.length, torn)
+      }
+    }(enc)
+  }
 
   /** Parse a (archive-name, bytes) DataFrame into records. */
   def parseArchives(archives: DataFrame): DataFrame = {

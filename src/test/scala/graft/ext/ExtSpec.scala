@@ -1813,6 +1813,56 @@ class ExtSpec extends AnyFunSuite {
     assert(re == scored)
   }
 
+  test("warc segments: multi-member archives carry the same records as " +
+       "per-doc archives") {
+    val df = Seq(
+      (0L, "sA", "first doc"), (1L, "sB", "second doc"),
+      (2L, "sA", "third doc"), (17L, "sB", "doc seventeen"))
+      .toDF("doc_id", "source", "text")
+    val seg = graft.sources.Warc.parseArchives(
+      Html.warcSegmentsFromDocs(df, nSegments = 2)
+        .select(col("segment").cast("string").as("archive"), col("content")))
+    // 2 archives, 4 records total, ids recoverable, record-per-member
+    assert(seg.select("archive").distinct().count() == 2)
+    val perDoc = Html.parseDocArchives(Html.warcFromDocs(df))
+    assert(seg.select("record_id", "target_uri", "content_length")
+      .collect().map(_.toSeq).toSet ==
+      perDoc.select("record_id", "target_uri", "content_length")
+        .collect().map(_.toSeq).toSet)
+  }
+
+  test("pack efficiency: exact pack census incl. boundary-straddle overflow") {
+    // one shard, budget 10. Cumulative starts: 0,4,8,12 -> docs 1-3 all
+    // START inside pack 0 (the straddling doc 3 lands whole there, 12
+    // tokens, overflow), doc 4's 12 tokens own pack 1 (also overflow)
+    val df = Seq(
+      (1L, "s", "a b c d"), (2L, "s", "a b c d"), (3L, "s", "a b c d"),
+      (4L, "s", (1 to 12).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val r = Curation.packEfficiency(df, "source", 10L).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_packs") == 2)
+    assert(row.getAs[Long]("total_tokens") == 24)
+    assert(row.getAs[Long]("max_pack_tokens") == 12)
+    assert(row.getAs[Long]("n_overflow") == 2)
+    assert(row.getAs[Double]("fill_ratio") == 24.0 / 20.0)
+  }
+
+  test("keep-best dedup: survivor is the highest-score member, ties to min id") {
+    // cluster {1,2,4}: doc 2 longest -> 2 survives; 3 and 5 untouched
+    val scored = docs.withColumn("n_chars",
+      when(col("doc_id") === 2L, 100L).otherwise(10L))
+    val edges = Seq((1L, 2L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.dedupCorpusByScore(scored, edges, "n_chars")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 5L))
+    // equal scores: min id wins (the dedupCorpus policy as a special case)
+    val flat = Dedup.dedupCorpusByScore(docs.withColumn("n_chars", lit(7L)),
+      edges, "n_chars").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flat == Set(1L, 3L, 5L))
+  }
+
   test("crawl diff: added/removed/changed/unchanged partition the URL union") {
     val a = Seq(("u1", "h1"), ("u2", "h2"), ("u3", "h3")).toDF("target_uri", "h")
     val b = Seq(("u2", "h2"), ("u3", "hX"), ("u4", "h4")).toDF("target_uri", "h")

@@ -82,6 +82,24 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.readAll(Array.empty[Byte]).isEmpty)
   }
 
+  test("readAllWithStats: torn flags for gzip tears, WARC tears, and junk " +
+       "— clean parses stay unflagged") {
+    val whole = Warc.gzipMembers(Seq(rec(1, "intact doc")))
+    val (r0, t0) = Warc.readAllWithStats(whole)
+    assert(r0.map(_.recordId) == Seq("<urn:graft:1>") && !t0)
+    // gzip truncated mid-stream: no record, torn
+    val (r1, t1) = Warc.readAllWithStats(whole.take(whole.length * 3 / 10))
+    assert(r1.isEmpty && t1)
+    // plain WARC truncated mid-block: records before the tear survive
+    val two = rec(1, "first") ++ rec(2, "second")
+    val (r2, t2) = Warc.readAllWithStats(two.take(two.length - 40))
+    assert(r2.length == 1 && t2)
+    // junk bytes: torn; empty archive: clean nothing
+    assert(Warc.readAllWithStats("garbage".getBytes(UTF_8)) ==
+      ((Seq.empty, true)))
+    assert(Warc.readAllWithStats(Array.empty[Byte]) == ((Seq.empty, false)))
+  }
+
   test("non-HTTP block keeps raw bytes with status -1") {
     val payload = "just bytes".getBytes(UTF_8)
     val r = ("WARC/1.0\r\nWARC-Type: resource\r\nWARC-Record-ID: <urn:x:2>\r\n" +
