@@ -1396,6 +1396,49 @@ object SparkEntry {
             minJaccard = 0.4).select("doc_a", "doc_b"), "n_chars")
         .select("doc_id", "lang", "source", "n_chars")),
 
+    // x90 — spectral machinery trained in the engine: decimal-routed
+    // corpus moments (ONE pass, map-side-collapsing 2,080 keys), 20
+    // driver-side power-iteration rounds on the 64×64 covariance, and
+    // zero-shuffle scoring with the principal direction as a literal.
+    // The oracle re-derives the moments AND all 20 iterations.
+    "x90_pca_projection" -> ((s, d) =>
+      ext.Similarity.pcaTopComponent(t(s, d, "embeddings"))),
+
+    // x94 — cross-modal alignment audit: the x92 transcript clock
+    // joined to the x76 container clock per media id; a transcript that
+    // outruns its audio is an association-error candidate (the x63
+    // discipline pointed at the time axis).
+    "x94_av_alignment" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cues = graft.sources.Vtt
+        .parseDocVtts(graft.sources.Vtt.vttFromDocs(docs))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_cues"), max("end_ms").as("transcript_ms"))
+      val media = ext.Multimodal.probeFrameAudio(
+        ext.Multimodal.frameAudioFromDocs(docs))
+        .select(col("media_id"), col("duration_sec"))
+      cues.join(media, Seq("media_id"))
+        .select(col("media_id"), col("n_cues"), col("transcript_ms"),
+          col("duration_sec"),
+          (col("transcript_ms").cast("double") >
+            col("duration_sec") * 1000.0).as("overrun"))
+    }),
+
+    // x93 — SFT data prep: conversations built as REAL JSON turn
+    // arrays, parsed back through from_json with a pinned schema, and
+    // folded into the template-rendered training string with role
+    // sentinels — all fused into the scan, zero shuffle.
+    "x93_chat_render" -> ((s, d) =>
+      ext.Curation.chatRender(t(s, d, "documents"))),
+
+    // x92 — the transcript half of audio-visual corpora: docs → REAL
+    // WebVTT documents (timestamped 5-word cues) → the W3C-essentials
+    // parser (short/long timings, cue ids, NOTE/STYLE skip, CRLF). Cue
+    // clocks and payloads are closed-form over the text.
+    "x92_vtt_cues" -> ((s, d) =>
+      graft.sources.Vtt.parseDocVtts(
+        graft.sources.Vtt.vttFromDocs(t(s, d, "documents")))),
+
     // x91 — the corrupt-rate audit an ingest job alerts on: every 9th
     // archive is truncated to 30% of its gzip bytes (a torn transfer),
     // and the health scan must report exactly which archives tore and
@@ -2172,6 +2215,48 @@ object SparkEntry {
                   'Content-Length: ' || strlen(html)::VARCHAR || chr(13) || chr(10) ||
                   chr(13) || chr(10)) + strlen(html) AS content_length
          FROM p"""
+
+  /** The x76 frame-header replay → `fap(media_id, format, sample_rate,
+    * n_channels, n_frames, duration_sec, bitrate_bps)` — header field
+    * formulas, spec frame sizes (incl. the 144·bitrate/fs integer
+    * division) and the exact-product duration/bitrate trees. Shared by
+    * x76 and the x94 alignment audit. */
+  private val frameAudioCtes: String =
+    """f AS (
+      |  SELECT doc_id, doc_id % 2 = 0 AS is_aac, doc_id // 2 AS d2,
+      |         8 + doc_id % 16 AS nf
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, is_aac, nf,
+      |    CASE WHEN is_aac THEN
+      |      CASE d2 % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
+      |        ELSE 32000 END
+      |    ELSE
+      |      CASE d2 % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+      |        ELSE 32000 END
+      |    END AS sr,
+      |    CASE WHEN is_aac THEN 1 + d2 % 2
+      |         WHEN d2 % 2 = 0 THEN 1 ELSE 2 END AS ch,
+      |    CASE WHEN is_aac THEN 1024 ELSE 1152 END AS spf
+      |  FROM f),
+      |h AS (
+      |  SELECT doc_id, is_aac, nf, sr, ch, spf,
+      |    CASE WHEN is_aac THEN 23 + doc_id % 32
+      |      ELSE 144 * 1000 * list_extract(
+      |        [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+      |         256, 320], CAST(1 + doc_id % 14 AS INTEGER)) // sr
+      |    END AS frame_len
+      |  FROM g),
+      |fap AS (
+      |  SELECT doc_id AS media_id,
+      |         CASE WHEN is_aac THEN 'aac' ELSE 'mp3' END AS format,
+      |         CAST(sr AS INTEGER) AS sample_rate,
+      |         CAST(ch AS INTEGER) AS n_channels,
+      |         CAST(nf AS BIGINT) AS n_frames,
+      |         CAST(nf * spf AS DOUBLE) / sr AS duration_sec,
+      |         CAST(nf * frame_len * 8 AS DOUBLE)
+      |           / (CAST(nf * spf AS DOUBLE) / sr) AS bitrate_bps
+      |  FROM h)""".stripMargin
 
   /** The x80 extraction CTE → `etxt(doc_id, txt)` — the crawl page's
     * visible text rebuilt closed-form (escape→decode cancels). Shared by
@@ -3426,40 +3511,31 @@ object SparkEntry {
     // division), samples-per-frame constants (1024 / 1152), and the same
     // exact-integer-product + IEEE-division duration and bitrate trees
     "x76_frame_audio_probe" ->
-      """WITH f AS (
-           SELECT doc_id, doc_id % 2 = 0 AS is_aac, doc_id // 2 AS d2,
-                  8 + doc_id % 16 AS nf
+      s"""WITH $frameAudioCtes
+         SELECT media_id, format, sample_rate, n_channels, n_frames,
+                duration_sec, bitrate_bps
+         FROM fap""",
+
+    // x94 — cross-modal alignment audit: the x92 transcript clock
+    // against the x76 container clock; cue census is closed form
+    // ((n+4)//5 cues, last ends at (k−1)·1500+1400 ms), overrun is one
+    // double comparison on proven quantities
+    "x94_av_alignment" ->
+      s"""WITH $frameAudioCtes,
+         tok AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                      t -> length(t) > 0) AS ts
            FROM documents),
-         g AS (
-           SELECT doc_id, is_aac, nf,
-             CASE WHEN is_aac THEN
-               CASE d2 % 3 WHEN 0 THEN 48000 WHEN 1 THEN 44100
-                 ELSE 32000 END
-             ELSE
-               CASE d2 % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
-                 ELSE 32000 END
-             END AS sr,
-             CASE WHEN is_aac THEN 1 + d2 % 2
-                  WHEN d2 % 2 = 0 THEN 1 ELSE 2 END AS ch,
-             CASE WHEN is_aac THEN 1024 ELSE 1152 END AS spf
-           FROM f),
-         h AS (
-           SELECT doc_id, is_aac, nf, sr, ch, spf,
-             CASE WHEN is_aac THEN 23 + doc_id % 32
-               ELSE 144 * 1000 * list_extract(
-                 [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
-                  256, 320], CAST(1 + doc_id % 14 AS INTEGER)) // sr
-             END AS frame_len
-           FROM g)
-         SELECT doc_id AS media_id,
-                CASE WHEN is_aac THEN 'aac' ELSE 'mp3' END AS format,
-                CAST(sr AS INTEGER) AS sample_rate,
-                CAST(ch AS INTEGER) AS n_channels,
-                CAST(nf AS BIGINT) AS n_frames,
-                CAST(nf * spf AS DOUBLE) / sr AS duration_sec,
-                CAST(nf * frame_len * 8 AS DOUBLE)
-                  / (CAST(nf * spf AS DOUBLE) / sr) AS bitrate_bps
-         FROM h""",
+         nt AS (SELECT doc_id, len(ts) AS n FROM tok WHERE len(ts) > 0),
+         tr AS (SELECT doc_id AS media_id,
+                       CAST((n + 4) // 5 AS BIGINT) AS n_cues,
+                       CAST(((n + 4) // 5 - 1) * 1500 + 1400 AS BIGINT)
+                         AS transcript_ms
+                FROM nt)
+         SELECT t.media_id, t.n_cues, t.transcript_ms, p.duration_sec,
+                (CAST(t.transcript_ms AS DOUBLE) > p.duration_sec * 1000.0)
+                  AS overrun
+         FROM tr t JOIN fap p ON p.media_id = t.media_id""",
 
     // x46 — the G.711 WAV replayed end-to-end: code byte (doc_id*31 +
     // i*17) % 256, then the published expansion tables — μ-law (even
@@ -4390,6 +4466,105 @@ object SparkEntry {
                   FROM members)
           SELECT doc_id, lang, source, n_chars FROM documents
           WHERE doc_id NOT IN (SELECT id FROM win WHERE rk > 1)""",
+
+    // x90 — the whole spectral path replayed: decimal-routed moment
+    // sums (bit-equal to the engine's), the same covariance algebra,
+    // all 20 power iterations as unrolled CTEs with 0.0-init ascending
+    // folds (the DotFold discipline), and the same literal projection
+    "x90_pca_projection" -> {
+      val dim = 64
+      val iters = 20
+      def fold(l: String) =
+        s"list_reduce(list_prepend(0.0::DOUBLE, $l), (a, b) -> a + b)"
+      val iterCtes = (1 to iters).map { k =>
+        s"""u$k AS MATERIALIZED (
+               SELECT m.i AS i, ${fold("list(m.c * v.w ORDER BY m.j)")} AS u
+               FROM m JOIN it${k - 1} v ON v.i = m.j GROUP BY m.i),
+           nr$k AS MATERIALIZED (
+               SELECT sqrt(${fold("list(u * u ORDER BY i)")}) AS nrm FROM u$k),
+           it$k AS MATERIALIZED (SELECT i, u / nrm AS w FROM u$k, nr$k)"""
+      }.mkString(",\n           ")
+      s"""WITH cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+           ex AS (SELECT unnest(flatten(list_transform(range(0, $dim), i ->
+                    list_transform(range(i, $dim), j ->
+                      {'i': i, 'j': j,
+                       'p': CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+                            * CAST(embedding[CAST(j + 1 AS INTEGER)] AS DOUBLE)})))) AS s
+                  FROM embeddings),
+           pg AS MATERIALIZED (SELECT s.i AS i, s.j AS j, ${graft.ops.Stable.sumSql("s.p")} AS g
+                  FROM ex GROUP BY s.i, s.j),
+           me AS MATERIALIZED (SELECT t.i AS i,
+                    ${graft.ops.Stable.sumSql(
+                      "CAST(embedding[CAST(t.i + 1 AS INTEGER)] AS DOUBLE)")} / c.n AS mu
+                  FROM embeddings, range(0, $dim) t(i), cnt c
+                  GROUP BY t.i, c.n),
+           fg AS (SELECT i, j, g FROM pg
+                  UNION ALL SELECT j AS i, i AS j, g FROM pg WHERE i <> j),
+           m AS MATERIALIZED (SELECT f.i, f.j, f.g / c.n - a.mu * b.mu AS c
+                 FROM fg f
+                 JOIN me a ON a.i = f.i JOIN me b ON b.i = f.j
+                 CROSS JOIN cnt c),
+           it0 AS MATERIALIZED (SELECT t.i AS i,
+                     CAST(1.0 AS DOUBLE) / sqrt(CAST($dim AS DOUBLE)) AS w
+                   FROM range(0, $dim) t(i)),
+           $iterCtes,
+           muw AS (SELECT ${fold("list(a.mu * v.w ORDER BY a.i)")} AS c0
+                   FROM me a JOIN it$iters v ON v.i = a.i),
+           proj AS (SELECT e.vec_id,
+                      ${fold(s"list(CAST(e.embedding[CAST(v.i + 1 AS INTEGER)] AS DOUBLE) * v.w ORDER BY v.i)")} AS dp
+                    FROM embeddings e CROSS JOIN it$iters v GROUP BY e.vec_id)
+           SELECT p.vec_id, round(p.dp - w.c0, 6) AS pc1
+           FROM proj p CROSS JOIN muw w"""
+    },
+
+    // x93 — the JSON round trip cancels (build → parse is the
+    // identity on these payloads), so the oracle renders straight from
+    // the token groups with the same template fold
+    "x93_chat_render" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                      t -> length(t) > 0) AS ts
+           FROM documents),
+         nt AS (SELECT doc_id, ts, len(ts) AS n FROM tok WHERE len(ts) > 0),
+         r AS (SELECT doc_id, ts, n, (n + 7) // 8 AS k FROM nt),
+         rend AS (
+           SELECT doc_id, k,
+             '<|system|>' || chr(10) || 'You are a helpful assistant.' || chr(10) ||
+             array_to_string(list_transform(range(0, k), i ->
+               '<|' || CASE WHEN i % 2 = 0 THEN 'user' ELSE 'assistant' END ||
+               '|>' || chr(10) ||
+               array_to_string(
+                 ts[CAST(i * 8 + 1 AS INTEGER):CAST(LEAST(n, i * 8 + 8) AS INTEGER)],
+                 ' ') || chr(10)), '') ||
+             '<|end|>' AS rendered
+           FROM r)
+         SELECT doc_id,
+                CAST(k AS INTEGER) AS n_turns,
+                CAST((k + 1) // 2 AS INTEGER) AS n_user_turns,
+                CAST(length(rendered) AS INTEGER) AS rendered_chars,
+                rendered
+         FROM rend""",
+
+    // x92 — the cue algebra replayed: token groups of 5, cue i clocked
+    // at [i·1500, i·1500+1400] ms, inclusive 1-based list slices
+    "x92_vtt_cues" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                      t -> length(t) > 0) AS ts
+           FROM documents),
+         nt AS (SELECT doc_id, ts, len(ts) AS n FROM tok WHERE len(ts) > 0),
+         cues AS (SELECT doc_id, ts, n,
+                         unnest(range(0, (n + 4) // 5)) AS i
+                  FROM nt)
+         SELECT doc_id AS media_id,
+                CAST(i AS INTEGER) AS cue_idx,
+                CAST(i * 1500 AS BIGINT) AS start_ms,
+                CAST(i * 1500 + 1400 AS BIGINT) AS end_ms,
+                CAST(LEAST(5, n - i * 5) AS INTEGER) AS n_words,
+                array_to_string(
+                  ts[CAST(i * 5 + 1 AS INTEGER):CAST(LEAST(n, i * 5 + 5) AS INTEGER)],
+                  ' ') AS cue_text
+         FROM cues""",
 
     // x91 — deterministic truth: a 30%-truncated single-record gzip can
     // never yield its record (plaintext tears mid-block), an intact one

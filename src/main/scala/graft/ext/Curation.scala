@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
 
 /** Corpus-curation operators a large-scale training-data pipeline runs
   * between ingest and training: benchmark-contamination detection,
@@ -454,6 +455,52 @@ object Curation {
       .join(drop, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars", "quality",
         "contamination")
+  }
+
+  /** Conversation rendering — the SFT/chat-data prep step: corpora ship
+    * conversations as JSON turn arrays (the interchange reality), and
+    * training consumes ONE template-rendered string per conversation
+    * with role sentinels. This op does the full round trip in-plan:
+    * build the turn-array JSON (here synthesized deterministically from
+    * the document tokens — `turnTokens` words per turn, roles
+    * alternating user/assistant), parse it back through Spark's real
+    * JSON machinery (`from_json` with a pinned schema — never inferred,
+    * the [[graft.sources.JsonLines]] rule), and fold the turns into the
+    * rendered training text with a deterministic template.
+    *
+    * Everything is narrow column algebra — JSON build, parse, render
+    * and the per-role counters all fuse into the scan; zero shuffle at
+    * any corpus size. */
+  def chatRender(docs: DataFrame, turnTokens: Int = 8,
+                 textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    require(turnTokens > 0, s"turnTokens must be positive: $turnTokens")
+    val toks = filter(TextOps.tokens(col(textCol)), t => length(t) > 0)
+    val k = ceil(size(toks).cast("double") / lit(turnTokens.toDouble))
+      .cast("int")
+    val turnsOut = transform(
+      sequence(lit(0), k - 1),
+      i => struct(
+        when(i % 2 === 0, "user").otherwise("assistant").as("role"),
+        array_join(slice(toks, i * turnTokens + 1, lit(turnTokens)), " ")
+          .as("content")))
+    val convSchema = ArrayType(StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType))))
+    val conv = docs
+      .filter(size(toks) > 0)
+      .select(col(idCol), to_json(turnsOut).as("conv_json"))
+    val turns = from_json(col("conv_json"), convSchema)
+    val rendered = concat(
+      lit("<|system|>\nYou are a helpful assistant.\n"),
+      aggregate(turns, lit(""), (acc, t) => concat(acc,
+        lit("<|"), t.getField("role"), lit("|>\n"),
+        t.getField("content"), lit("\n"))),
+      lit("<|end|>"))
+    conv.select(col(idCol),
+      size(turns).as("n_turns"),
+      size(filter(turns, t => t.getField("role") === "user")).as("n_user_turns"),
+      length(rendered).as("rendered_chars"),
+      rendered.as("rendered"))
   }
 
   /** Crawl snapshot diff — the monthly-recrawl bookkeeping step every

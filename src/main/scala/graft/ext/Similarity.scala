@@ -1030,4 +1030,67 @@ object Similarity {
     }
     books
   }
+
+  /** Top principal component trained IN the engine — the spectral core
+    * behind OPQ rotations, embedding whitening, and drift monitoring,
+    * with the same reproducibility discipline as [[graft.ext.TextOps
+    * .trainLogisticQuality]]: the corpus moments (mean vector and Gram
+    * upper triangle) are decimal-routed sums, so they are bit-identical
+    * under any partitioning and replayable by an independent engine;
+    * the covariance `C = G/n − μμᵀ` and `iters` power-iteration rounds
+    * (`w ← Cw / ‖Cw‖`, deterministic 1/√d·1 start, every fold 0.0-init
+    * ascending — the DotFold discipline) run driver-side on the d×d
+    * matrix; scoring projects `v·w − μ·w` with the trained direction as
+    * a LITERAL — a zero-shuffle codegen'd fold over the scan.
+    *
+    * Shape at 100 TB: the d(d+1)/2 per-row products collapse map-side to
+    * ≤2,080 keys per partition (ONE moment pass, no d²-row state on any
+    * executor), driver state is one d×d matrix, and scoring is narrow.
+    * Sign convention: the start orientation is pinned (no per-engine
+    * sign ambiguity because the start and every operation are pinned). */
+  def pcaTopComponent(embeddings: DataFrame, dim: Int = 64, iters: Int = 20,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(dim > 0 && iters >= 1, s"need dim > 0, iters >= 1: $dim, $iters")
+    // ONE moment pass: per row, the d(d+1)/2 upper-triangle products
+    // PLUS the d first-moment components ride the same flatten (marked
+    // j = −1), so mean and Gram collapse in a single map-side-partial
+    // aggregation and a single driver pull
+    val momentsExpr = expr(
+      s"""concat(
+            transform(sequence(0, ${dim - 1}), i ->
+              struct(i, -1 as j, cast($vecCol[i] as double) as p)),
+            flatten(transform(sequence(0, ${dim - 1}), i ->
+              transform(sequence(i, ${dim - 1}), j ->
+                struct(i, j, cast($vecCol[i] as double)
+                             * cast($vecCol[j] as double) as p)))))""")
+    val moments = embeddings.select(explode(momentsExpr).as("s"))
+      .groupBy(col("s.i").as("i"), col("s.j").as("j"))
+      .agg(graft.ops.Stable.sumD(col("s.p")).as("g"),
+        count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getDouble(2), r.getLong(3))))
+      .toMap
+    val gram = moments.collect { case ((i, j), (g, _)) if j >= 0 => (i, j) -> g }
+    val n = moments((0, -1))._2.toDouble
+    val mu = Array.tabulate(dim)(i => moments((i, -1))._1 / n)
+    val cm = Array.tabulate(dim, dim) { (i, j) =>
+      val gij = gram(if (i <= j) (i, j) else (j, i))
+      gij / n - mu(i) * mu(j)
+    }
+    // start with mass on EVERY axis (1/√d · 1) — an e₀ start has zero
+    // overlap with any principal axis orthogonal to it and stalls
+    var w = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 0 until iters) {
+      val u = Array.tabulate(dim)(i =>
+        (0 until dim).foldLeft(0.0)((a, j) => a + cm(i)(j) * w(j)))
+      val nrm = math.sqrt((0 until dim).foldLeft(0.0)((a, i) => a + u(i) * u(i)))
+      require(nrm > 0.0, "covariance is identically zero — no principal axis")
+      w = u.map(_ / nrm)
+    }
+    val muw = (0 until dim).foldLeft(0.0)((a, i) => a + mu(i) * w(i))
+    embeddings.select(col(idCol),
+      round(graft.functions.VectorExprs.dot_fold(col(vecCol),
+        array(w.toIndexedSeq.map(lit): _*)) - lit(muw), 6).as("pc1"))
+  }
 }

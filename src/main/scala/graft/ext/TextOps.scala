@@ -466,12 +466,16 @@ object TextOps {
                            labelCol: String = "n_chars"): DataFrame = {
     require(iters >= 1 && lr > 0, s"need iters >= 1, lr > 0: $iters, $lr")
     val toks = tokens(col(textCol))
+    // materialize the tiny feature projection ONCE (localCheckpoint, the
+    // x45 discipline): the training loop re-reads it iters times and the
+    // scorer once more — without this the corpus scan would be paid 9×
     val feats = docs.select(
       col(idCol),
       when(col(labelCol) >= 300L, 1.0).otherwise(0.0).as("y"),
       (size(toks).cast("double") / lit(100.0)).as("f1"),
       (size(filter(toks, t => t.isin(stopwords("en"): _*))).cast("double") /
         greatest(size(toks).cast("double"), lit(1.0))).as("f2"))
+      .localCheckpoint()
     var w = Array(0.0, 0.0, 0.0)
     def zOf(wv: Array[Double]) =
       lit(wv(0)) + lit(wv(1)) * col("f1") + lit(wv(2)) * col("f2")

@@ -569,6 +569,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x85/x90 trained-model scoring: weights fold back as literals — " +
+       "scan → project, zero exchange, no join") {
+    Seq("x85_trained_quality", "x90_pca_projection").foreach { q =>
+      val p = executed(q).toString
+      assert(!p.contains("Exchange"), s"$q scoring shuffles:\n$p")
+      assert(!p.contains("Join"), s"$q scoring joins:\n$p")
+    }
+  }
+
   test("x82 classifier: map-side partial counts; weight table is a " +
        "formula, not a join") {
     val p = executed("x82_quality_classifier").toString

@@ -1863,6 +1863,44 @@ class ExtSpec extends AnyFunSuite {
     assert(flat == Set(1L, 3L, 5L))
   }
 
+  test("chat render: JSON round trip, alternating roles, exact template") {
+    val df = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
+      .toDF("doc_id", "text")
+    val r = Curation.chatRender(df, turnTokens = 4).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Int]("n_turns") == 3)
+    assert(row.getAs[Int]("n_user_turns") == 2)
+    val expected =
+      "<|system|>\nYou are a helpful assistant.\n" +
+        "<|user|>\nw1 w2 w3 w4\n" +
+        "<|assistant|>\nw5 w6 w7 w8\n" +
+        "<|user|>\nw9 w10\n" +
+        "<|end|>"
+    assert(row.getAs[String]("rendered") == expected)
+    assert(row.getAs[Int]("rendered_chars") == expected.length)
+  }
+
+  test("pca top component: recovers a planted dominant axis, " +
+       "partitioning-invariant") {
+    // coordinate 7 carries all the variance; every other axis is constant
+    val vecs = (0 until 40).map { r =>
+      val v = Array.fill(64)(0.5f)
+      v(7) = r.toFloat
+      (r.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.pcaTopComponent(vecs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // projection = ±(v7 − mean7); mean7 = 19.5
+    (0 until 40).foreach { r =>
+      assert(math.abs(math.abs(out(r.toLong)) - math.abs(r - 19.5)) < 1e-3,
+        s"row $r: ${out(r.toLong)}")
+    }
+    val re = Similarity.pcaTopComponent(vecs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(re == out)
+  }
+
   test("crawl diff: added/removed/changed/unchanged partition the URL union") {
     val a = Seq(("u1", "h1"), ("u2", "h2"), ("u3", "h3")).toDF("target_uri", "h")
     val b = Seq(("u2", "h2"), ("u3", "hX"), ("u4", "h4")).toDF("target_uri", "h")
