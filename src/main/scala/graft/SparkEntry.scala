@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import graft.model.Schemas.BBox
 import graft.ops._
 
@@ -1403,6 +1404,28 @@ object SparkEntry {
     // The oracle re-derives the moments AND all 20 iterations.
     "x90_pca_projection" -> ((s, d) =>
       ext.Similarity.pcaTopComponent(t(s, d, "embeddings"))),
+
+    // x95 — the WebDataset shard layout (LAION/img2dataset): docs →
+    // REAL ustar `.tar` shards of (caption, json-sidecar) samples →
+    // entry parse + per-key sample grouping inside the shard task →
+    // sidecar fields through from_json. The tar layer (headers, octal
+    // fields, checksums, padding) is the machinery under test.
+    "x95_webdataset_scan" -> ((s, d) => {
+      val shards = graft.sources.Tar
+        .webdatasetFromDocs(t(s, d, "documents"))
+        .select(col("shard").cast("string").as("archive"), col("content"))
+      val metaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("lang", StringType)))
+      graft.sources.Tar.webdatasetSamples(shards)
+        .select(col("key").cast("long").as("doc_id"),
+          col("parts").getItem("txt").cast("string").as("caption"),
+          from_json(col("parts").getItem("json").cast("string"), metaSchema)
+            .as("meta"))
+        .select(col("doc_id"), col("caption"),
+          col("meta.source").as("source"), col("meta.lang").as("lang"),
+          length(col("caption")).as("caption_chars"))
+    }),
 
     // x94 — cross-modal alignment audit: the x92 transcript clock
     // joined to the x76 container clock per media id; a transcript that
@@ -4516,6 +4539,15 @@ object SparkEntry {
            SELECT p.vec_id, round(p.dp - w.c0, 6) AS pc1
            FROM proj p CROSS JOIN muw w"""
     },
+
+    // x95 — the tar/json layers cancel: caption bytes round-trip and
+    // the sidecar was built from the table, so per-sample truth is the
+    // table row itself — agreement proves headers, octal fields,
+    // checksums, padding, pairing and the JSON hop all at once
+    "x95_webdataset_scan" ->
+      """SELECT doc_id, text AS caption, source, lang,
+                CAST(length(text) AS INTEGER) AS caption_chars
+         FROM documents""",
 
     // x93 — the JSON round trip cancels (build → parse is the
     // identity on these payloads), so the oracle renders straight from
