@@ -1201,7 +1201,11 @@ object SparkEntry {
     // — parquet stores binary64/int32 exactly — so the oracle is the
     // same replay.
     "x77_pq_stored_ann" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("pq_store").toString
+      // deterministic per-JVM path + overwrite mode: rebuilding the
+      // query (Verify, Bench reps, Plans) re-uses ONE store instead of
+      // leaking a fresh temp directory per construction
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_pq_store_${ProcessHandle.current().pid()}").toString
       ext.Similarity.annPqStored(t(s, d, "embeddings"), dir, queryVector,
           10, m = 8, nCent = 16, rerank = 50)
         .withColumn("adist", round(col("adist"), 6))

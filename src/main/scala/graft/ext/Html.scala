@@ -37,6 +37,8 @@ object Html {
   private val ReTitle = "(?is)<title[^>]*>(.*?)</title>".r
   private val ReBody = "(?is)<body[^>]*>(.*)</body>".r
   private val ReTag = "(?s)<[^>]*>".r
+  private val ReHead = "(?is)<head\\b[^>]*>.*?</head>".r
+  private val ReTitleElem = "(?is)<title[^>]*>.*?</title>".r
   private val ReLink = "(?is)<a\\s[^>]*href".r
   // The exact RE2 \s class, so the DuckDB oracle's '\s+' collapse is the
   // same operation (java.util.regex \s additionally matches \x0B — using
@@ -53,10 +55,10 @@ object Html {
       val e = m.group(1)
       val out =
         if (e.startsWith("#x") || e.startsWith("#X"))
-          parseInt(e.drop(2), 16).filter(Character.isValidCodePoint)
+          parseInt(e.drop(2), 16).filter(isScalar)
             .map(cp => new String(Character.toChars(cp))).getOrElse(m.matched)
         else if (e.startsWith("#"))
-          parseInt(e.drop(1), 10).filter(Character.isValidCodePoint)
+          parseInt(e.drop(1), 10).filter(isScalar)
             .map(cp => new String(Character.toChars(cp))).getOrElse(m.matched)
         else e match {
           case "amp" => "&"
@@ -75,23 +77,37 @@ object Html {
       case _: NumberFormatException => None
     }
 
+  /** Valid scalar code point: in range and NOT a surrogate — a numeric
+    * reference to U+D800–DFFF would otherwise materialize a lone
+    * surrogate (an ill-formed String that mangles on any UTF-8 hop). */
+  private def isScalar(cp: Int): Boolean =
+    Character.isValidCodePoint(cp) &&
+      (cp < Character.MIN_SURROGATE || cp > Character.MAX_SURROGATE)
+
   private def collapse(s: String): String = ReWs.replaceAllIn(s, " ").trim
 
   final case class Extracted(title: String, nLinks: Int, text: String)
 
   /** Extract (title, link count, visible text) from one HTML document.
-    * Order of operations matters and is pinned: comments out first (a
-    * commented-out script must not survive), then script/style WITH
-    * their content, then the body is isolated (title text must not leak
-    * into body text), tags become separators, entities decode LAST (so
-    * `&lt;p&gt;` in content can never be re-parsed as markup). */
+    * Order of operations matters and is pinned: script/style out FIRST
+    * with their content (per the HTML parsing rules, `<!--` inside a
+    * script is not a comment — stripping comments first would let a
+    * script-string `"<!--"` swallow real page text), then comments
+    * (which also kills any commented-out script the first pass could
+    * not match), then the body is isolated — when no `<body>…</body>`
+    * pair exists the fallback strips the head and any `<title>` element
+    * so title text still never leaks into body text — tags become
+    * separators, entities decode LAST (so `&lt;p&gt;` in content can
+    * never be re-parsed as markup). */
   def extract(html: String): Extracted = {
-    val noComment = ReComment.replaceAllIn(html, " ")
-    val noScript = ReStyle.replaceAllIn(ReScript.replaceAllIn(noComment, " "), " ")
-    val title = ReTitle.findFirstMatchIn(noScript)
+    val noScript = ReStyle.replaceAllIn(ReScript.replaceAllIn(html, " "), " ")
+    val noComment = ReComment.replaceAllIn(noScript, " ")
+    val title = ReTitle.findFirstMatchIn(noComment)
       .map(m => collapse(decodeEntities(m.group(1)))).getOrElse("")
-    val nLinks = ReLink.findAllMatchIn(noScript).length
-    val bodyHtml = ReBody.findFirstMatchIn(noScript).map(_.group(1)).getOrElse(noScript)
+    val nLinks = ReLink.findAllMatchIn(noComment).length
+    val bodyHtml = ReBody.findFirstMatchIn(noComment).map(_.group(1))
+      .getOrElse(ReTitleElem.replaceAllIn(
+        ReHead.replaceAllIn(noComment, " "), " "))
     val text = collapse(decodeEntities(ReTag.replaceAllIn(bodyHtml, " ")))
     Extracted(title, nLinks, text)
   }
@@ -110,7 +126,7 @@ object Html {
     val enc = org.apache.spark.sql.Encoders.row(extractSchema)
     records
       .filter(col("record_type") === "response" &&
-        col("http_content_type").startsWith("text/html"))
+        lower(col("http_content_type")).startsWith("text/html"))
       .select(col("media_id"), col("html"))
       .mapPartitions { it =>
         it.map { r =>

@@ -1537,8 +1537,13 @@ object Multimodal {
             (6 to 9).forall(i => (payload(i) & 0x80) == 0)) {
           val size = ((payload(6) & 0x7F) << 21) | ((payload(7) & 0x7F) << 14) |
             ((payload(8) & 0x7F) << 7) | (payload(9) & 0x7F)
-          if (10 + size >= payload.length) return None
-          java.util.Arrays.copyOfRange(payload, 10 + size, payload.length)
+          // ID3v2.4 footer flag (0x10): the tag carries a 10-byte '3DI'
+          // footer AFTER the syncsafe-sized body — skip it too, or the
+          // sync test lands on the footer and drops a valid stream
+          val footer = if ((payload(5) & 0x10) != 0) 10 else 0
+          if (10 + size + footer >= payload.length) return None
+          java.util.Arrays.copyOfRange(payload, 10 + size + footer,
+            payload.length)
         } else payload
       if (b.length < 4) return None
       if ((b(0) & 0xFF) == 0xFF && (b(1) & 0xF6) == 0xF0) probeAdts(b)

@@ -143,13 +143,26 @@ object Tar {
     * metadata sidecar (the img2dataset layout with the image slot left
     * to the media tier), entries in id order. ONE exchange (the shard
     * groupBy) — the same segment discipline as the WARC writer. */
+  /** Minimal JSON string escape (RFC 8259): backslash, quote, control
+    * chars — a source/lang value containing a quote must not produce a
+    * malformed sidecar. */
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def webdatasetFromDocs(docs: DataFrame, nShards: Int = 8): DataFrame = {
     require(nShards > 0, s"nShards must be positive: $nShards")
+    // rows arrive already doc_id-ordered: the aggregation below wraps
+    // collect_list in sort_array on a struct led by doc_id
     val mk = udf((rows: Seq[Row]) =>
-      write(rows.sortBy(_.getLong(0)).flatMap { r =>
+      write(rows.flatMap { r =>
         val id = r.getLong(0)
-        val json = s"""{"doc_id":$id,"source":"${r.getString(1)}",""" +
-          s""""lang":"${r.getString(2)}"}"""
+        val json = s"""{"doc_id":$id,"source":${jsonStr(r.getString(1))},""" +
+          s""""lang":${jsonStr(r.getString(2))}}"""
         Seq(s"$id.txt" -> r.getString(3).getBytes(UTF_8),
           s"$id.json" -> json.getBytes(UTF_8))
       }))

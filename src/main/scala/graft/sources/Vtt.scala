@@ -52,7 +52,14 @@ object Vtt {
         val blockStart = i
         while (i < lines.length && lines(i).trim.nonEmpty) i += 1
         val block = lines.slice(blockStart, i)
-        if (!block.head.startsWith("NOTE") && !block.head.startsWith("STYLE")) {
+        // a block is a comment/style ONLY per the W3C rule — NOTE alone
+        // or NOTE followed by whitespace, STYLE exactly; a cue id that
+        // merely STARTS with "NOTE" (e.g. "NOTES-on-intro") is a cue
+        val head = block.head
+        val isComment = head == "NOTE" || head.startsWith("NOTE ") ||
+          head.startsWith("NOTE\t")
+        val isStyle = head.trim == "STYLE"
+        if (!isComment && !isStyle) {
           // optional cue identifier line before the timing line
           val tIx = block.indexWhere(l => ReTiming.pattern.matcher(l).matches())
           if (tIx >= 0 && tIx <= 1 && block.length > tIx) {

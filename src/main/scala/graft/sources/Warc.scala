@@ -129,14 +129,19 @@ object Warc {
     -1
   }
 
-  private def headerLines(b: Array[Byte], start: Int): (Map[String, String], Int) = {
+  /** Parse CRLF header lines from `start`. The third component is true
+    * only when the terminating blank line was actually seen — a header
+    * section cut off mid-stream must read as torn, not as a shorter
+    * header list ([[readAllWithStats]] relies on this). */
+  private def headerLines(b: Array[Byte], start: Int): (Map[String, String], Int, Boolean) = {
     var pos = start
     val hs = Map.newBuilder[String, String]
     var done = false
+    var terminated = false
     while (!done) {
       val e = crlfAt(b, pos)
       if (e < 0) { done = true }
-      else if (e == pos) { pos = e + 2; done = true } // blank line
+      else if (e == pos) { pos = e + 2; done = true; terminated = true }
       else {
         val line = new String(b, pos, e - pos, UTF_8)
         val c = line.indexOf(':')
@@ -145,7 +150,7 @@ object Warc {
         pos = e + 2
       }
     }
-    (hs.result(), pos)
+    (hs.result(), pos, terminated)
   }
 
   /** Split an HTTP/1.1 message block into (status, content-type, body).
@@ -156,7 +161,7 @@ object Warc {
     if (!statusLine.startsWith("HTTP/")) return (-1, null, block)
     val parts = statusLine.split(" ")
     val status = if (parts.length >= 2) parts(1).toIntOption.getOrElse(-1) else -1
-    val (hs, bodyAt) = headerLines(block, e0 + 2)
+    val (hs, bodyAt, _) = headerLines(block, e0 + 2)
     (status, hs.getOrElse("content-type", null),
       java.util.Arrays.copyOfRange(block, bodyAt, block.length))
   }
@@ -186,9 +191,9 @@ object Warc {
         if (e0 < 0 || !new String(b, pos, e0 - pos, UTF_8).startsWith("WARC/")) {
           ok = false; torn = true
         } else {
-          val (hs, blockAt) = headerLines(b, e0 + 2)
+          val (hs, blockAt, headsDone) = headerLines(b, e0 + 2)
           hs.get("content-length").flatMap(_.toLongOption) match {
-            case Some(len) if blockAt + len <= b.length =>
+            case Some(len) if headsDone && blockAt + len <= b.length =>
               val block = java.util.Arrays.copyOfRange(b, blockAt, blockAt + len.toInt)
               val (status, ctype, body) = splitHttp(block)
               out += WarcRec(

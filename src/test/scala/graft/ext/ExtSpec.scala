@@ -931,6 +931,15 @@ class ExtSpec extends AnyFunSuite {
     assert(FrameAudioProbe.probe(id3).isEmpty, "tag with no frames is junk")
     assert(FrameAudioProbe.probe(id3.take(40)).isEmpty,
       "truncated tag is junk")
+    // ID3v2.4 footer flag (0x10): body is followed by a 10-byte '3DI'
+    // footer that must ALSO be skipped before the sync test
+    val footer = Array[Byte]('3', 'D', 'I', 4, 0, 0,
+      0, 0, (200 >> 7).toByte, (200 & 0x7F).toByte)
+    val id3f = Array[Byte]('I', 'D', '3', 4, 0, 0x10,
+      0, 0, (200 >> 7).toByte, (200 & 0x7F).toByte) ++ tagBody ++ footer
+    val footed = FrameAudioProbe.probe(id3f ++ mp3).get
+    assert(footed.format == "mp3" && footed.nFrames == 5L,
+      "footer bytes must not shadow the first frame sync")
   }
 
   test("x76 pipeline: metadata flows from a real header walk, no shuffle") {

@@ -49,6 +49,37 @@ class HtmlSpec extends AnyFunSuite {
     assert(e.nLinks == 0)
   }
 
+  test("no <body>: head and title still never leak into text") {
+    val e = Html.extract(
+      "<html><head><title>T-LEAK</title></head><p>hello</p></html>")
+    assert(e.title == "T-LEAK")
+    assert(e.text == "hello")
+    // title element without a head wrapper
+    val e2 = Html.extract("<title>ALSO-LEAK</title><p>body text</p>")
+    assert(e2.title == "ALSO-LEAK")
+    assert(e2.text == "body text")
+  }
+
+  test("'<!--' inside a script string must not swallow page text") {
+    val e = Html.extract(
+      """<script>var s="<!--";</script><p>KEEP</p><!-- note --><p>rest</p>""")
+    assert(e.text == "KEEP rest")
+  }
+
+  test("surrogate numeric references pass through undecoded") {
+    assert(Html.decodeEntities("&#xD800; &#55296; &#x10FFFF;") ==
+      "&#xD800; &#55296; " + new String(Character.toChars(0x10FFFF)))
+  }
+
+  test("content-type match is case-insensitive") {
+    import spark.implicits._
+    val recs = Seq((1L, "response", "Text/HTML; charset=utf-8",
+        "<body>cased</body>".getBytes("UTF-8")))
+      .toDF("media_id", "record_type", "http_content_type", "html")
+    val out = Html.extractFromRecords(recs).collect()
+    assert(out.length == 1 && out.head.getString(4) == "cased")
+  }
+
   test("whitespace collapse uses the RE2 class: vertical tab is NOT whitespace") {
     val e = Html.extract("<body>a  b   \t\n c</body>")
     assert(e.text == "a  b c")

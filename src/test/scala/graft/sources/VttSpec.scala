@@ -28,6 +28,14 @@ class VttSpec extends AnyFunSuite {
       Vtt.Cue(1, 3723250L, 3724000L, "hour-scale cue"))
   }
 
+  test("cue id merely starting with NOTE is a cue, not a comment") {
+    val vtt = "WEBVTT\n\nNOTES-on-intro\n00:00.000 --> 00:01.400\nhello\n" +
+      "\nNOTE a real comment\n\n00:01.500 --> 00:02.000\nworld\n"
+    val cues = Vtt.parse(vtt)
+    assert(cues.map(_.text) == Seq("hello", "world"))
+    assert(cues.map(_.idx) == Seq(0, 1))
+  }
+
   test("parse: non-VTT input and malformed blocks drop, never throw") {
     assert(Vtt.parse("not a vtt").isEmpty)
     assert(Vtt.parse("").isEmpty)

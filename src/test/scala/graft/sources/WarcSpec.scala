@@ -98,6 +98,13 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.readAllWithStats("garbage".getBytes(UTF_8)) ==
       ((Seq.empty, true)))
     assert(Warc.readAllWithStats(Array.empty[Byte]) == ((Seq.empty, false)))
+    // tear INSIDE the header section (blank line never arrives): the
+    // remaining bytes must not be mis-framed as a block
+    val midHeaders =
+      "WARC/1.0\r\nWARC-Type: response\r\ncontent-length: 3\r\nabc"
+        .getBytes(UTF_8)
+    val (r3, t3) = Warc.readAllWithStats(midHeaders)
+    assert(r3.isEmpty && t3, "unterminated headers fabricated a record")
   }
 
   test("non-HTTP block keeps raw bytes with status -1") {
