@@ -60,7 +60,8 @@ object Plans {
       "x84_crawl_curation" -> "Crawl curation composition: extraction feeds langid + Gopher flags as fused column algebra on the same pass — the whole ingest-to-gate pipeline has zero exchanges.",
       "x82_quality_classifier" -> "Hashed linear classifier: per-token buckets collapse in a map-side partial count; the weight table is a codegen'd FORMULA (no join); one per-doc aggregate with an ordered fold.",
       "x85_trained_quality" -> "Trained logistic scoring: the final weights fold back as literals — scoring is scan → project, zero exchange (training itself is iters × one bounded aggregate).",
-      "x90_pca_projection" -> "PCA projection: the trained principal direction rides as a literal into a codegen'd dot fold — scan → project, zero exchange (the one moment pass collapses map-side to 2,080 keys).")
+      "x90_pca_projection" -> "PCA projection: the trained principal direction rides as a literal into a codegen'd dot fold — scan → project, zero exchange (the one moment pass collapses map-side to 2,080 keys).",
+      "x96_bm25_stored" -> "Stored BM25: the query terms' postings scan (partition-prunable by term at scale), one per-doc conditional-max agg, doclens join, literal stats — the corpus table appears nowhere in the plan.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")

@@ -818,6 +818,19 @@ object SparkEntry {
       ext.TextOps.bm25Search(t(s, d, "documents"),
         Seq("spark", "table", "query"), topN = 10)),
 
+    // x96 — the retrieval-index lifecycle (the x77 discipline for text):
+    // build + persist postings/doclens as parquet, then answer the SAME
+    // 3-term query from storage alone — stats and dfs ride as literals,
+    // the corpus is never scanned at query time, and the result is
+    // bit-equal to x34's inline scoring.
+    "x96_bm25_stored" -> ((s, d) => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_bm25_store_${ProcessHandle.current().pid()}").toString
+      ext.TextOps.bm25BuildIndex(t(s, d, "documents"), dir)
+      ext.TextOps.bm25SearchStored(s, dir,
+        Seq("spark", "table", "query"), topN = 10)
+    }),
+
     // x35 — temperature-flavored domain rebalancing: per-source keep rate
     // min(1, 3/sqrt(n_d)) decided by the splitmix64 coin mod 2^20 (sqrt
     // is IEEE-correctly-rounded, so DuckDB reproduces the exact cut)
@@ -1518,6 +1531,43 @@ object SparkEntry {
     * fold), the x22 mix64 chain, signed floor-mod dims, exact integer
     * Σc², one correctly-rounded sqrt per doc →
     * `emb(doc_id, dim BIGINT, w DOUBLE)`. */
+  /** The x34 BM25 oracle — shared verbatim by x96 (stored ≡ inline). */
+  private val bm25OracleSql: String =
+    """WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '\s+'),
+             t -> length(t) > 0) AS l
+           FROM documents),
+         per AS (
+           SELECT doc_id, CAST(len(l) AS DOUBLE) AS dl,
+             CAST(len(list_filter(l, t -> t = 'spark')) AS DOUBLE) AS tf_spark,
+             CAST(len(list_filter(l, t -> t = 'table')) AS DOUBLE) AS tf_table,
+             CAST(len(list_filter(l, t -> t = 'query')) AS DOUBLE) AS tf_query
+           FROM tok),
+         stats AS (
+           SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl,
+             SUM(CASE WHEN tf_spark > 0 THEN 1.0 ELSE 0.0 END) AS df_spark,
+             SUM(CASE WHEN tf_table > 0 THEN 1.0 ELSE 0.0 END) AS df_table,
+             SUM(CASE WHEN tf_query > 0 THEN 1.0 ELSE 0.0 END) AS df_query
+           FROM per),
+         scored AS (
+           SELECT p.doc_id, p.dl,
+             ((s.n_docs - s.df_spark + 0.5) / (s.df_spark + 0.5))
+               * (p.tf_spark * (1.2 + 1.0))
+               / (p.tf_spark + 1.2 * (1.0 - 0.75 + 0.75 * p.dl
+                                      / (s.sum_dl / s.n_docs)))
+             + ((s.n_docs - s.df_table + 0.5) / (s.df_table + 0.5))
+               * (p.tf_table * (1.2 + 1.0))
+               / (p.tf_table + 1.2 * (1.0 - 0.75 + 0.75 * p.dl
+                                      / (s.sum_dl / s.n_docs)))
+             + ((s.n_docs - s.df_query + 0.5) / (s.df_query + 0.5))
+               * (p.tf_query * (1.2 + 1.0))
+               / (p.tf_query + 1.2 * (1.0 - 0.75 + 0.75 * p.dl
+                                      / (s.sum_dl / s.n_docs))) AS score
+           FROM per p CROSS JOIN stats s)
+         SELECT doc_id, dl, score FROM scored WHERE score > 0
+         ORDER BY score DESC, doc_id LIMIT 10"""
+
   /** Shared CTE chain for the x51/x81 oracles: the corpus bigram LM
     * rebuilt from scratch (x3/x9 tokenization, add-one smoothing over
     * the corpus vocabulary) with the (w1, w2)-sorted sequential fold so
@@ -3124,43 +3174,13 @@ object SparkEntry {
     // x34 — identical rational-BM25 arithmetic, term by term in the same
     // parenthesization (every op is correctly-rounded IEEE, so scores are
     // bit-equal — no rounding in the compare)
-    "x34_bm25" ->
-      """WITH tok AS (
-           SELECT doc_id, list_filter(
-             regexp_split_to_array(lower(text), '\s+'),
-             t -> length(t) > 0) AS l
-           FROM documents),
-         per AS (
-           SELECT doc_id, CAST(len(l) AS DOUBLE) AS dl,
-             CAST(len(list_filter(l, t -> t = 'spark')) AS DOUBLE) AS tf_spark,
-             CAST(len(list_filter(l, t -> t = 'table')) AS DOUBLE) AS tf_table,
-             CAST(len(list_filter(l, t -> t = 'query')) AS DOUBLE) AS tf_query
-           FROM tok),
-         stats AS (
-           SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl,
-             SUM(CASE WHEN tf_spark > 0 THEN 1.0 ELSE 0.0 END) AS df_spark,
-             SUM(CASE WHEN tf_table > 0 THEN 1.0 ELSE 0.0 END) AS df_table,
-             SUM(CASE WHEN tf_query > 0 THEN 1.0 ELSE 0.0 END) AS df_query
-           FROM per),
-         scored AS (
-           SELECT p.doc_id, p.dl,
-             ((s.n_docs - s.df_spark + 0.5) / (s.df_spark + 0.5))
-               * (p.tf_spark * (1.2 + 1.0))
-               / (p.tf_spark + 1.2 * (1.0 - 0.75 + 0.75 * p.dl
-                                      / (s.sum_dl / s.n_docs)))
-             + ((s.n_docs - s.df_table + 0.5) / (s.df_table + 0.5))
-               * (p.tf_table * (1.2 + 1.0))
-               / (p.tf_table + 1.2 * (1.0 - 0.75 + 0.75 * p.dl
-                                      / (s.sum_dl / s.n_docs)))
-             + ((s.n_docs - s.df_query + 0.5) / (s.df_query + 0.5))
-               * (p.tf_query * (1.2 + 1.0))
-               / (p.tf_query + 1.2 * (1.0 - 0.75 + 0.75 * p.dl
-                                      / (s.sum_dl / s.n_docs))) AS score
-           FROM per p CROSS JOIN stats s)
-         SELECT doc_id, dl, score FROM scored WHERE score > 0
-         ORDER BY score DESC, doc_id LIMIT 10""",
+    "x34_bm25" -> bm25OracleSql,
 
-    // x35 — per-source keep threshold floor(min(1, 3/sqrt(n))·2^20)
+    // x96 — stored ≡ inline: the oracle is x34's verbatim; a hash match
+    // proves the persisted postings path end to end
+    "x96_bm25_stored" -> bm25OracleSql,
+
+        // x35 — per-source keep threshold floor(min(1, 3/sqrt(n))·2^20)
     // (sqrt/division/product all correctly-rounded, so the thresholds are
     // bit-equal), then the x22 splitmix64 HUGEINT replay and the signed
     // pmod against 2^20

@@ -228,6 +228,68 @@ object TextOps {
       .select("doc_id", "dl", "score")
   }
 
+  /** Build and persist the inverted index behind [[bm25SearchStored]]:
+    * `postings(term, doc_id, tf)` and `doclens(doc_id, dl)` as parquet —
+    * the retrieval twin of the x77 stored-PQ lifecycle (build once,
+    * query many). At 100 TB the postings table is list-partitioned by
+    * term prefix so a query's terms prune to their partitions; tf/dl are
+    * whole numbers stored as the doubles the scorer consumes, so the
+    * stored path replays [[bm25Search]] bit-for-bit. */
+  def bm25BuildIndex(docs: DataFrame, dir: String,
+                     textCol: String = "text"): Unit = {
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val base = docs.select(col("doc_id"), toks.as("ts"))
+    base.select(col("doc_id"), explode(col("ts")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .write.mode("overwrite").parquet(s"$dir/postings")
+    base.select(col("doc_id"), size(col("ts")).cast("double").as("dl"))
+      .write.mode("overwrite").parquet(s"$dir/doclens")
+  }
+
+  /** BM25 retrieval FROM STORAGE — answers the query from the persisted
+    * postings alone: the query terms' postings load (partition-pruned at
+    * scale), per-doc tf columns rebuild in term order, the one-row
+    * corpus stats and per-term dfs collect to the driver and ride as
+    * literals (the ADC discipline — no stats join in the plan), and the
+    * scoring tree is [[bm25Search]]'s exactly, so stored ≡ inline
+    * bit-for-bit. The corpus itself is never scanned at query time. */
+  def bm25SearchStored(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, terms: Seq[String], topN: Int = 10,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25SearchStored needs at least one query term")
+    val doclens = spark.read.parquet(s"$dir/doclens")
+    val stats = doclens.agg(
+      count(lit(1)).cast("double").as("n"), sum("dl").as("s")).head()
+    val (nDocs, sumDl) = (stats.getDouble(0), stats.getDouble(1))
+    val dfs = spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val tfAggs = terms.map(t =>
+      coalesce(max(when(col("term") === t, col("tf"))), lit(0.0))
+        .as(s"tf_$t"))
+    val perDoc = spark.read.parquet(s"$dir/postings")
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(tfAggs.head, tfAggs.tail: _*)
+      .join(doclens, Seq("doc_id"))
+    val avgdl = lit(sumDl) / lit(nDocs)
+    val termScores = terms.map { t =>
+      val tf = col(s"tf_$t")
+      val df = lit(dfs.getOrElse(t, 0.0))
+      val idf = (lit(nDocs) - df + lit(0.5)) / (df + lit(0.5))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    }
+    perDoc
+      .withColumn("score", termScores.reduceLeft(_ + _))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+      .select("doc_id", "dl", "score")
+  }
+
   /** Bigram language-model quality score — the perplexity-style fluency
     * signal (CCNet buckets a crawl by LM perplexity; docs the corpus
     * model finds surprising are boilerplate, gibberish, or wrong-language

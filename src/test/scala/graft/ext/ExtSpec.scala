@@ -1872,6 +1872,23 @@ class ExtSpec extends AnyFunSuite {
     assert(flat == Set(1L, 3L, 5L))
   }
 
+  test("stored BM25 index: query-from-storage is bit-equal to inline") {
+    val corpus = Seq(
+      (1L, "spark query engine with a table"),
+      (2L, "table table table spark"),
+      (3L, "nothing relevant here"),
+      (4L, "query query spark")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25spec").toString
+    TextOps.bm25BuildIndex(corpus, dir)
+    val terms = Seq("spark", "table", "query")
+    val inline = TextOps.bm25Search(corpus, terms, topN = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val stored = TextOps.bm25SearchStored(spark, dir, terms, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(stored.toSeq == inline.toSeq) // same docs, same order, same bits
+    assert(inline.map(_._1).toSet == Set(1L, 2L, 4L)) // doc 3 never scores
+  }
+
   test("chat render: JSON round trip, alternating roles, exact template") {
     val df = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
       .toDF("doc_id", "text")
