@@ -1052,28 +1052,62 @@ object Similarity {
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
     require(dim > 0 && iters >= 1, s"need dim > 0, iters >= 1: $dim, $iters")
-    // ONE moment pass: per row, the d(d+1)/2 upper-triangle products
-    // PLUS the d first-moment components ride the same flatten (marked
-    // j = −1), so mean and Gram collapse in a single map-side-partial
-    // aggregation and a single driver pull
-    val momentsExpr = expr(
-      s"""concat(
-            transform(sequence(0, ${dim - 1}), i ->
-              struct(i, -1 as j, cast($vecCol[i] as double) as p)),
-            flatten(transform(sequence(0, ${dim - 1}), i ->
-              transform(sequence(i, ${dim - 1}), j ->
-                struct(i, j, cast($vecCol[i] as double)
-                             * cast($vecCol[j] as double) as p)))))""")
-    val moments = embeddings.select(explode(momentsExpr).as("s"))
-      .groupBy(col("s.i").as("i"), col("s.j").as("j"))
-      .agg(graft.ops.Stable.sumD(col("s.p")).as("g"),
-        count(lit(1)).as("cnt"))
-      .collect()
-      .map(r => ((r.getInt(0), r.getInt(1)), (r.getDouble(2), r.getLong(3))))
-      .toMap
-    val gram = moments.collect { case ((i, j), (g, _)) if j >= 0 => (i, j) -> g }
-    val n = moments((0, -1))._2.toDouble
-    val mu = Array.tabulate(dim)(i => moments((i, -1))._1 / n)
+    // ONE moment pass with NO row expansion: each task accumulates the
+    // d(d+1)/2 upper-triangle products plus the d first moments as
+    // scaled-long decimals (each addend is the double rounded exactly
+    // as Spark's DOUBLE→DECIMAL(28,6) cast rounds it — BigDecimal
+    // shortest-string HALF_UP — so the per-partition partials sum to
+    // the SAME exact decimal total the Stable.sumD hash-agg would
+    // produce, associatively, on any partitioning), and ships ONE
+    // (d²+3d)/2-long vector to the driver. Replaces an explode of
+    // d(d+3)/2 rows per input row and its exchange; Math.addExact
+    // fails loud long before a partition could overflow the scale.
+    val nUpper = dim * (dim + 1) / 2
+    def scaled(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    val parts = embeddings.select(col(vecCol)).rdd.mapPartitions { it =>
+      val acc = new Array[Long](nUpper + dim)
+      var cnt = 0L
+      it.foreach { row =>
+        if (!row.isNullAt(0)) {
+          val v = row.getSeq[Float](0)
+          require(v.length == dim, s"vector dim ${v.length} != $dim")
+          cnt += 1
+          var k = 0
+          var i = 0
+          while (i < dim) {
+            val vi = v(i).toDouble
+            acc(nUpper + i) = Math.addExact(acc(nUpper + i), scaled(vi))
+            var j = i
+            while (j < dim) {
+              acc(k) = Math.addExact(acc(k), scaled(vi * v(j).toDouble))
+              k += 1
+              j += 1
+            }
+            i += 1
+          }
+        }
+      }
+      Iterator.single((acc, cnt))
+    }.collect()
+    val totals = new Array[Long](nUpper + dim)
+    parts.foreach { case (a, _) =>
+      var k = 0
+      while (k < totals.length) { totals(k) = Math.addExact(totals(k), a(k)); k += 1 }
+    }
+    def toD(s: Long): Double = java.math.BigDecimal.valueOf(s, 6).doubleValue()
+    val n = parts.map(_._2).sum.toDouble
+    val upperIx = {
+      val ix = Array.ofDim[Int](dim, dim)
+      var k = 0
+      for (i <- 0 until dim; j <- i until dim) { ix(i)(j) = k; k += 1 }
+      ix
+    }
+    val gram = (for (i <- 0 until dim; j <- i until dim)
+      yield (i, j) -> toD(totals(upperIx(i)(j)))).toMap
+    val mu = Array.tabulate(dim)(i => toD(totals(nUpper + i)) / n)
     val cm = Array.tabulate(dim, dim) { (i, j) =>
       val gij = gram(if (i <= j) (i, j) else (j, i))
       gij / n - mu(i) * mu(j)
