@@ -1422,6 +1422,14 @@ object SparkEntry {
     "x90_pca_projection" -> ((s, d) =>
       ext.Similarity.pcaTopComponent(t(s, d, "embeddings"))),
 
+    // x97 — the one-row spectral report a practitioner actually reads:
+    // Rayleigh quotient λ = wᵀCw of the trained axis, total variance
+    // tr(C), and the variance-explained ratio — all from the same
+    // exact decimal moments, so the oracle's full re-derivation (the
+    // x90 chain + two more folds) matches before the final rounding.
+    "x97_pca_variance" -> ((s, d) =>
+      ext.Similarity.pcaVarianceReport(t(s, d, "embeddings"))),
+
     // x95 — the WebDataset shard layout (LAION/img2dataset): docs →
     // REAL ustar `.tar` shards of (caption, json-sidecar) samples →
     // entry parse + per-key sample grouping inside the shard task →
@@ -1531,6 +1539,52 @@ object SparkEntry {
     * fold), the x22 mix64 chain, signed floor-mod dims, exact integer
     * Σc², one correctly-rounded sqrt per doc →
     * `emb(doc_id, dim BIGINT, w DOUBLE)`. */
+  /** 0.0-init ascending fold — the SQL image of the DotFold discipline,
+    * shared by every PCA-oracle reduction. */
+  private def pcaFold(l: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, $l), (a, b) -> a + b)"
+
+  /** The x90/x97 oracle training chain: exact decimal moments, the
+    * covariance, and all 20 power-iteration rounds as MATERIALIZED CTEs
+    * (DuckDB would otherwise inline the chain exponentially), ending at
+    * `it20(i, w)` with `m(i, j, c)` and `me(i, mu)` in scope. */
+  private lazy val pcaOracleCtes: String = {
+    val dim = 64
+    val iters = 20
+    val iterCtes = (1 to iters).map { k =>
+      s"""u$k AS MATERIALIZED (
+             SELECT m.i AS i, ${pcaFold("list(m.c * v.w ORDER BY m.j)")} AS u
+             FROM m JOIN it${k - 1} v ON v.i = m.j GROUP BY m.i),
+         nr$k AS MATERIALIZED (
+             SELECT sqrt(${pcaFold("list(u * u ORDER BY i)")}) AS nrm FROM u$k),
+         it$k AS MATERIALIZED (SELECT i, u / nrm AS w FROM u$k, nr$k)"""
+    }.mkString(",\n         ")
+    s"""cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+         ex AS (SELECT unnest(flatten(list_transform(range(0, $dim), i ->
+                  list_transform(range(i, $dim), j ->
+                    {'i': i, 'j': j,
+                     'p': CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+                          * CAST(embedding[CAST(j + 1 AS INTEGER)] AS DOUBLE)})))) AS s
+                FROM embeddings),
+         pg AS MATERIALIZED (SELECT s.i AS i, s.j AS j, ${graft.ops.Stable.sumSql("s.p")} AS g
+                FROM ex GROUP BY s.i, s.j),
+         me AS MATERIALIZED (SELECT t.i AS i,
+                  ${graft.ops.Stable.sumSql(
+                    "CAST(embedding[CAST(t.i + 1 AS INTEGER)] AS DOUBLE)")} / c.n AS mu
+                FROM embeddings, range(0, $dim) t(i), cnt c
+                GROUP BY t.i, c.n),
+         fg AS (SELECT i, j, g FROM pg
+                UNION ALL SELECT j AS i, i AS j, g FROM pg WHERE i <> j),
+         m AS MATERIALIZED (SELECT f.i, f.j, f.g / c.n - a.mu * b.mu AS c
+               FROM fg f
+               JOIN me a ON a.i = f.i JOIN me b ON b.i = f.j
+               CROSS JOIN cnt c),
+         it0 AS MATERIALIZED (SELECT t.i AS i,
+                   CAST(1.0 AS DOUBLE) / sqrt(CAST($dim AS DOUBLE)) AS w
+                 FROM range(0, $dim) t(i)),
+         $iterCtes"""
+  }
+
   /** The x34 BM25 oracle — shared verbatim by x96 (stored ≡ inline). */
   private val bm25OracleSql: String =
     """WITH tok AS (
@@ -4518,53 +4572,33 @@ object SparkEntry {
     // sums (bit-equal to the engine's), the same covariance algebra,
     // all 20 power iterations as unrolled CTEs with 0.0-init ascending
     // folds (the DotFold discipline), and the same literal projection
-    "x90_pca_projection" -> {
-      val dim = 64
-      val iters = 20
-      def fold(l: String) =
-        s"list_reduce(list_prepend(0.0::DOUBLE, $l), (a, b) -> a + b)"
-      val iterCtes = (1 to iters).map { k =>
-        s"""u$k AS MATERIALIZED (
-               SELECT m.i AS i, ${fold("list(m.c * v.w ORDER BY m.j)")} AS u
-               FROM m JOIN it${k - 1} v ON v.i = m.j GROUP BY m.i),
-           nr$k AS MATERIALIZED (
-               SELECT sqrt(${fold("list(u * u ORDER BY i)")}) AS nrm FROM u$k),
-           it$k AS MATERIALIZED (SELECT i, u / nrm AS w FROM u$k, nr$k)"""
-      }.mkString(",\n           ")
-      s"""WITH cnt AS (SELECT COUNT(*) AS n FROM embeddings),
-           ex AS (SELECT unnest(flatten(list_transform(range(0, $dim), i ->
-                    list_transform(range(i, $dim), j ->
-                      {'i': i, 'j': j,
-                       'p': CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
-                            * CAST(embedding[CAST(j + 1 AS INTEGER)] AS DOUBLE)})))) AS s
-                  FROM embeddings),
-           pg AS MATERIALIZED (SELECT s.i AS i, s.j AS j, ${graft.ops.Stable.sumSql("s.p")} AS g
-                  FROM ex GROUP BY s.i, s.j),
-           me AS MATERIALIZED (SELECT t.i AS i,
-                    ${graft.ops.Stable.sumSql(
-                      "CAST(embedding[CAST(t.i + 1 AS INTEGER)] AS DOUBLE)")} / c.n AS mu
-                  FROM embeddings, range(0, $dim) t(i), cnt c
-                  GROUP BY t.i, c.n),
-           fg AS (SELECT i, j, g FROM pg
-                  UNION ALL SELECT j AS i, i AS j, g FROM pg WHERE i <> j),
-           m AS MATERIALIZED (SELECT f.i, f.j, f.g / c.n - a.mu * b.mu AS c
-                 FROM fg f
-                 JOIN me a ON a.i = f.i JOIN me b ON b.i = f.j
-                 CROSS JOIN cnt c),
-           it0 AS MATERIALIZED (SELECT t.i AS i,
-                     CAST(1.0 AS DOUBLE) / sqrt(CAST($dim AS DOUBLE)) AS w
-                   FROM range(0, $dim) t(i)),
-           $iterCtes,
-           muw AS (SELECT ${fold("list(a.mu * v.w ORDER BY a.i)")} AS c0
-                   FROM me a JOIN it$iters v ON v.i = a.i),
+    "x90_pca_projection" ->
+      s"""WITH $pcaOracleCtes,
+           muw AS (SELECT ${pcaFold("list(a.mu * v.w ORDER BY a.i)")} AS c0
+                   FROM me a JOIN it20 v ON v.i = a.i),
            proj AS (SELECT e.vec_id,
-                      ${fold(s"list(CAST(e.embedding[CAST(v.i + 1 AS INTEGER)] AS DOUBLE) * v.w ORDER BY v.i)")} AS dp
-                    FROM embeddings e CROSS JOIN it$iters v GROUP BY e.vec_id)
+                      ${pcaFold("list(CAST(e.embedding[CAST(v.i + 1 AS INTEGER)] AS DOUBLE) * v.w ORDER BY v.i)")} AS dp
+                    FROM embeddings e CROSS JOIN it20 v GROUP BY e.vec_id)
            SELECT p.vec_id, round(p.dp - w.c0, 6) AS pc1
-           FROM proj p CROSS JOIN muw w"""
-    },
+           FROM proj p CROSS JOIN muw w""",
 
-    // x95 — the tar/json layers cancel: caption bytes round-trip and
+    // x97 — the variance report re-derived: the same materialized
+    // moment/iteration CTEs, then Rayleigh quotient and trace as
+    // 0.0-init ascending folds, identical to the driver's arithmetic
+    "x97_pca_variance" ->
+      s"""WITH $pcaOracleCtes,
+           cw AS MATERIALIZED (
+             SELECT m.i AS i, ${pcaFold("list(m.c * v.w ORDER BY m.j)")} AS u
+             FROM m JOIN it20 v ON v.i = m.j GROUP BY m.i),
+           lam AS (SELECT ${pcaFold("list(v.w * c.u ORDER BY v.i)")} AS lambda
+                   FROM it20 v JOIN cw c ON c.i = v.i),
+           tra AS (SELECT ${pcaFold("list(c ORDER BY i)")} AS trace
+                   FROM m WHERE i = j)
+           SELECT round(lambda, 6) AS lambda, round(trace, 6) AS trace,
+                  round(lambda / trace, 9) AS var_ratio
+           FROM lam, tra""",
+
+        // x95 — the tar/json layers cancel: caption bytes round-trip and
     // the sidecar was built from the table, so per-sample truth is the
     // table row itself — agreement proves headers, octal fields,
     // checksums, padding, pairing and the JSON hop all at once

@@ -1051,6 +1051,18 @@ object Similarity {
   def pcaTopComponent(embeddings: DataFrame, dim: Int = 64, iters: Int = 20,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
+    val (_, mu, w) = pcaTrain(embeddings, dim, iters, vecCol)
+    val muw = (0 until dim).foldLeft(0.0)((a, i) => a + mu(i) * w(i))
+    embeddings.select(col(idCol),
+      round(graft.functions.VectorExprs.dot_fold(col(vecCol),
+        array(w.toIndexedSeq.map(lit): _*)) - lit(muw), 6).as("pc1"))
+  }
+
+  /** Shared training half of the PCA tier: exact moments → covariance →
+    * `iters` power-iteration rounds. Returns (covariance, mean, axis). */
+  private def pcaTrain(embeddings: DataFrame, dim: Int, iters: Int,
+                       vecCol: String)
+      : (Array[Array[Double]], Array[Double], Array[Double]) = {
     require(dim > 0 && iters >= 1, s"need dim > 0, iters >= 1: $dim, $iters")
     // ONE moment pass with NO row expansion: each task accumulates the
     // d(d+1)/2 upper-triangle products plus the d first moments as
@@ -1122,9 +1134,26 @@ object Similarity {
       require(nrm > 0.0, "covariance is identically zero — no principal axis")
       w = u.map(_ / nrm)
     }
-    val muw = (0 until dim).foldLeft(0.0)((a, i) => a + mu(i) * w(i))
-    embeddings.select(col(idCol),
-      round(graft.functions.VectorExprs.dot_fold(col(vecCol),
-        array(w.toIndexedSeq.map(lit): _*)) - lit(muw), 6).as("pc1"))
+    (cm, mu, w)
+  }
+
+  /** Variance-explained report for the trained axis — the one-row
+    * answer "how much of the corpus does the top component carry":
+    * Rayleigh quotient λ = wᵀCw, total variance tr(C), and their ratio.
+    * All three recompute driver-side from the SAME exact moments with
+    * 0.0-init ascending folds, so an independent engine re-deriving the
+    * training reproduces every bit before the final rounding. */
+  def pcaVarianceReport(embeddings: DataFrame, dim: Int = 64,
+                        iters: Int = 20,
+                        vecCol: String = "embedding"): DataFrame = {
+    val (cm, _, w) = pcaTrain(embeddings, dim, iters, vecCol)
+    val cw = Array.tabulate(dim)(i =>
+      (0 until dim).foldLeft(0.0)((a, j) => a + cm(i)(j) * w(j)))
+    val lambda = (0 until dim).foldLeft(0.0)((a, i) => a + w(i) * cw(i))
+    val trace = (0 until dim).foldLeft(0.0)((a, i) => a + cm(i)(i))
+    embeddings.sparkSession.range(1).select(
+      round(lit(lambda), 6).as("lambda"),
+      round(lit(trace), 6).as("trace"),
+      round(lit(lambda / trace), 9).as("var_ratio"))
   }
 }

@@ -1927,6 +1927,22 @@ class ExtSpec extends AnyFunSuite {
     assert(re == out)
   }
 
+  test("pca variance report: planted single axis carries ~all variance") {
+    val vecs = (0 until 40).map { r =>
+      val v = Array.fill(64)(0.5f)
+      v(7) = r.toFloat
+      (r.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val row = Similarity.pcaVarianceReport(vecs).head()
+    val (lambda, trace, ratio) =
+      (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    // one variance-carrying axis: lambda ≈ trace, ratio ≈ 1
+    assert(math.abs(lambda - trace) < 1e-3 * trace)
+    assert(ratio > 0.999 && ratio <= 1.0 + 1e-9)
+    // trace of the 7-only covariance = Var(0..39) = (40²−1)/12
+    assert(math.abs(trace - (40.0 * 40.0 - 1) / 12.0) < 1e-3)
+  }
+
   test("crawl diff: added/removed/changed/unchanged partition the URL union") {
     val a = Seq(("u1", "h1"), ("u2", "h2"), ("u3", "h3")).toDF("target_uri", "h")
     val b = Seq(("u2", "h2"), ("u3", "hX"), ("u4", "h4")).toDF("target_uri", "h")
