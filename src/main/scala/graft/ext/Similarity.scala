@@ -546,10 +546,22 @@ object Similarity {
                   m: Int = 8, nCent: Int = 16, rerank: Int = 50,
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
-    require(k > 0 && rerank >= k, s"need rerank >= k > 0, got k=$k rerank=$rerank")
+    annPqStoredBuild(embeddings, storageDir, m, nCent, idCol, vecCol)
+    annPqStoredQuery(embeddings, storageDir, q, k, m, nCent, rerank,
+      idCol, vecCol)
+  }
+
+  /** Write-once half of [[annPqStored]]: train the seed codebooks and
+    * persist codes + books as parquet under `storageDir`. Exposed so a
+    * session builds the store ONCE and then pays only the query half —
+    * the benchmark of the stored path should time retrieval, not
+    * re-training. */
+  def annPqStoredBuild(embeddings: DataFrame, storageDir: String,
+                       m: Int = 8, nCent: Int = 16,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    // ---- write-once half: train + persist codes and books
     val books0 = pqCodebooks(embeddings, m, nCent, idCol, vecCol)
     pqEncode(embeddings, books0, idCol, vecCol)
       .write.mode("overwrite").parquet(s"$storageDir/codes")
@@ -557,8 +569,18 @@ object Similarity {
       book.zipWithIndex.map { case (c, cid) => (s, cid, c.toSeq) }
     }.toSeq.toDF("sub", "cid", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$storageDir/books")
-    // ---- query half: nothing below reads `embeddings` except the
-    // bounded re-rank join
+  }
+
+  /** Query half of [[annPqStored]] — answers from the persisted store
+    * alone; nothing below reads `embeddings` except the bounded
+    * re-rank join. */
+  def annPqStoredQuery(embeddings: DataFrame, storageDir: String,
+                       q: Array[Double], k: Int,
+                       m: Int = 8, nCent: Int = 16, rerank: Int = 50,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && rerank >= k, s"need rerank >= k > 0, got k=$k rerank=$rerank")
+    val spark = embeddings.sparkSession
     val books = spark.read.parquet(s"$storageDir/books")
       .collect()
       .groupBy(_.getInt(0)).toArray.sortBy(_._1)

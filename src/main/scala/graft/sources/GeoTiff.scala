@@ -471,6 +471,7 @@ object GeoTiff {
     * data is never read. */
   def grids(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
+    Blobs.requireReadable(spark, pathGlob, "GeoTiff.grids")
     spark.read.format("binaryFile").load(pathGlob)
       .select(col("path"), col("content")).as[(String, Array[Byte])]
       .map { case (path, bytes) =>
@@ -489,6 +490,7 @@ object GeoTiff {
                          projectionOf: GridMeta => (Double, Double) => (Double, Double))
       : DataFrame = {
     import spark.implicits._
+    Blobs.requireReadable(spark, pathGlob, "GeoTiff.read")
     spark.read.format("binaryFile").load(pathGlob)
       .select(col("path"), col("content")).as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
@@ -542,6 +544,7 @@ object GeoTiff {
     * [[read]]; nodata applies per sample (GDAL_NODATA is per-file). */
   def readBands(spark: SparkSession, pathGlob: String): DataFrame = {
     import spark.implicits._
+    Blobs.requireReadable(spark, pathGlob, "GeoTiff.readBands")
     spark.read.format("binaryFile").load(pathGlob)
       .select(col("path"), col("content")).as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>

@@ -89,12 +89,24 @@ object Tar {
       copy.map(_ & 0xff).sum.toLong == stored
     }
 
+  /** NUL-terminated string field (the whole field when no NUL). */
+  private def strField(h: Array[Byte], off: Int, len: Int): String = {
+    var end = off
+    while (end < off + len && h(end) != 0) end += 1
+    new String(h, off, end - off, UTF_8)
+  }
+
   /** Parse every regular-file entry; stops cleanly at the zero-block
-    * terminator; torn or checksum-bad tails drop the bad entry only. */
+    * terminator; torn or checksum-bad tails drop the bad entry only.
+    * Long paths from standard tools resolve both ways they ship: the
+    * ustar `prefix` field (offset 345, POSIX.1-1988 — joined as
+    * `prefix/name`) and GNU tar's 'L' long-name pseudo-entry (the data
+    * block carries the NUL-terminated name of the NEXT entry). */
   def readAll(tar: Array[Byte]): Seq[Entry] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
     var pos = 0
     var done = false
+    var pendingLongName: Option[String] = None
     while (!done && pos + 512 <= tar.length) {
       val h = java.util.Arrays.copyOfRange(tar, pos, pos + 512)
       if (h.forall(_ == 0)) done = true // terminator
@@ -104,13 +116,30 @@ object Tar {
           pos + 512 + size.get > tar.length) done = true // torn/bad: stop
         else {
           val sz = size.get.toInt
-          val nameEnd = h.indexOf(0.toByte) match { case -1 => 100; case i => math.min(i, 100) }
-          val name = new String(h, 0, nameEnd, UTF_8)
+          def data = java.util.Arrays.copyOfRange(tar, pos + 512, pos + 512 + sz)
           val tf = h(156)
-          if (tf == '0'.toByte || tf == 0.toByte)
-            out += Entry(name,
-              java.util.Arrays.copyOfRange(tar, pos + 512, pos + 512 + sz))
-          // non-regular entries (dirs, links, pax headers) skip
+          if (tf == 'L'.toByte) {
+            // GNU long name: names the immediately following entry
+            val raw = data
+            val end = raw.indexOf(0.toByte) match {
+              case -1 => raw.length; case i => i
+            }
+            pendingLongName = Some(new String(raw, 0, end, UTF_8))
+          } else {
+            // the pending 'L' name belongs to THIS entry whatever its
+            // type — consume it even when the entry is skipped below
+            val name = pendingLongName.getOrElse {
+              val base = strField(h, 0, 100)
+              // prefix only exists under the ustar magic (POSIX "ustar\0"
+              // or GNU "ustar "); pre-ustar headers end at the name field
+              val magic = new String(h, 257, 5, UTF_8)
+              val prefix = if (magic == "ustar") strField(h, 345, 155) else ""
+              if (prefix.nonEmpty) prefix + "/" + base else base
+            }
+            pendingLongName = None
+            if (tf == '0'.toByte || tf == 0.toByte) out += Entry(name, data)
+            // non-regular entries (dirs, links, pax headers) skip
+          }
           pos += 512 + sz + (512 - sz % 512) % 512
         }
       }

@@ -98,7 +98,10 @@ object Vtt {
     * parse without seeing a byte of VTT. */
   def vttFromDocs(docs: DataFrame, wordsPerCue: Int = 5): DataFrame = {
     val gen = udf((text: String) => {
-      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      // Locale.ROOT: must match Spark's lower() / the DuckDB oracle on a
+      // Turkish-locale JVM (default toLowerCase maps I to dotless ı)
+      val toks = text.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
       val cues = toks.grouped(wordsPerCue).zipWithIndex.map { case (ws, i) =>
         Cue(i, i * 1500L, i * 1500L + 1400L, ws.mkString(" "))
       }.toSeq

@@ -1,8 +1,8 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.util.zip.{CRC32, DataFormatException, GZIPOutputStream, Inflater}
 
 import scala.collection.mutable.ArrayBuffer
 
@@ -99,23 +99,78 @@ object Warc {
   private def isGzip(b: Array[Byte]): Boolean =
     b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
 
+  /** Little-endian uint32 at `at` (callers bounds-check). */
+  private def le32(b: Array[Byte], at: Int): Long =
+    (b(at) & 0xffL) | ((b(at + 1) & 0xffL) << 8) |
+      ((b(at + 2) & 0xffL) << 16) | ((b(at + 3) & 0xffL) << 24)
+
+  /** Offset of the deflate data of the gzip member starting at `pos`,
+    * walking the RFC 1952 header (magic, CM=8, optional FEXTRA/FNAME/
+    * FCOMMENT/FHCRC fields); None when the header is torn or not gzip. */
+  private def memberDataAt(b: Array[Byte], pos: Int): Option[Int] = {
+    if (pos + 10 > b.length || (b(pos) & 0xff) != 0x1f ||
+      (b(pos + 1) & 0xff) != 0x8b || (b(pos + 2) & 0xff) != 8) return None
+    val flg = b(pos + 3) & 0xff
+    var p = pos + 10
+    if ((flg & 4) != 0) { // FEXTRA
+      if (p + 2 > b.length) return None
+      p += 2 + ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))
+    }
+    def pastNul(from: Int): Int = {
+      var i = from
+      while (i < b.length && b(i) != 0) i += 1
+      if (i >= b.length) -1 else i + 1
+    }
+    if ((flg & 8) != 0) { p = pastNul(p); if (p < 0) return None }  // FNAME
+    if ((flg & 16) != 0) { p = pastNul(p); if (p < 0) return None } // FCOMMENT
+    if ((flg & 2) != 0) p += 2                                     // FHCRC
+    if (p > b.length) None else Some(p)
+  }
+
   /** Inflate a (possibly multi-member) gzip stream; pass non-gzip bytes
-    * through. JDK `GZIPInputStream` consumes concatenated members. A
-    * truncated or corrupt stream yields the bytes inflated so far with
-    * `clean = false` — a torn tail must cost its records, not the task. */
+    * through. Members are walked EXPLICITLY (header → `Inflater` →
+    * CRC32+ISIZE trailer) rather than through `GZIPInputStream`, which
+    * treats a truncated or corrupt next-member header as clean
+    * end-of-stream and would silently drop the records behind a tear:
+    * here `clean` is true only when every compressed byte was consumed
+    * by a member whose trailer checks out. A truncated or corrupt
+    * stream yields the bytes inflated so far with `clean = false` — a
+    * torn tail must cost its records, not the task. */
   private def inflate(bytes: Array[Byte]): (Array[Byte], Boolean) =
     if (!isGzip(bytes)) (bytes, true)
     else {
       val out = new ByteArrayOutputStream(bytes.length * 4)
-      val clean =
-        try {
-          val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 65536)
-          val buf = new Array[Byte](65536)
-          var n = in.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-          in.close()
-          true
-        } catch { case _: java.io.IOException => false }
+      var pos = 0
+      var clean = true
+      while (clean && pos < bytes.length) {
+        memberDataAt(bytes, pos) match {
+          case None => clean = false // tear landed inside a member header
+          case Some(dataAt) =>
+            val inf = new Inflater(true)
+            try {
+              inf.setInput(bytes, dataAt, bytes.length - dataAt)
+              val crc = new CRC32
+              var memberLen = 0L
+              val buf = new Array[Byte](65536)
+              var torn = false
+              while (!torn && !inf.finished()) {
+                val n =
+                  try inf.inflate(buf)
+                  catch { case _: DataFormatException => torn = true; 0 }
+                if (n > 0) {
+                  out.write(buf, 0, n); crc.update(buf, 0, n); memberLen += n
+                } else if (!torn && !inf.finished() && inf.needsInput())
+                  torn = true // deflate stream ran off the end of the file
+              }
+              val trailerAt = dataAt + inf.getBytesRead.toInt
+              if (torn || trailerAt + 8 > bytes.length ||
+                le32(bytes, trailerAt) != crc.getValue ||
+                le32(bytes, trailerAt + 4) != (memberLen & 0xffffffffL))
+                clean = false
+              else pos = trailerAt + 8
+            } finally inf.end()
+        }
+      }
       (out.toByteArray, clean)
     }
 
@@ -146,7 +201,10 @@ object Warc {
         val line = new String(b, pos, e - pos, UTF_8)
         val c = line.indexOf(':')
         if (c > 0)
-          hs += line.substring(0, c).trim.toLowerCase -> line.substring(c + 1).trim
+          // Locale.ROOT: a Turkish-locale JVM lowercases 'I' to dotless ı,
+          // which would silently miss the WARC-*/Content-* lookups below
+          hs += line.substring(0, c).trim
+            .toLowerCase(java.util.Locale.ROOT) -> line.substring(c + 1).trim
         pos = e + 2
       }
     }
@@ -193,7 +251,9 @@ object Warc {
         } else {
           val (hs, blockAt, headsDone) = headerLines(b, e0 + 2)
           hs.get("content-length").flatMap(_.toLongOption) match {
-            case Some(len) if headsDone && blockAt + len <= b.length =>
+            // len >= 0: a malformed negative Content-Length must take the
+            // torn branch, not reach copyOfRange and throw
+            case Some(len) if len >= 0 && headsDone && blockAt + len <= b.length =>
               val block = java.util.Arrays.copyOfRange(b, blockAt, blockAt + len.toInt)
               val (status, ctype, body) = splitHttp(block)
               out += WarcRec(
@@ -225,11 +285,15 @@ object Warc {
     StructField("html", BinaryType, nullable = true)))
 
   /** Read `.warc`/`.warc.gz` files under `path` into records — one blob
-    * per file via `binaryFile`, per-task member inflation, no shuffle. */
-  def read(spark: SparkSession, path: String): DataFrame =
+    * per file via `binaryFile`, per-task member inflation, no shuffle.
+    * Files over the 2 GiB blob cap fail closed at plan time
+    * ([[Blobs.requireReadable]]). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    Blobs.requireReadable(spark, path, "Warc.read")
     parseArchives(
       spark.read.format("binaryFile").load(path)
         .select(col("path").as("archive"), col("content")))
+  }
 
   val healthSchema: StructType = StructType(Seq(
     StructField("archive", StringType, nullable = true),

@@ -54,6 +54,24 @@ class TarSpec extends AnyFunSuite {
     assert(got == Map("a.txt" -> "alpha", "sub/b.txt" -> "beta"))
   }
 
+  test("long entry names: ustar prefix field and GNU 'L' entries") {
+    val dir = Files.createTempDirectory("tarspec2")
+    val deep = "d" * 80 + "/" + "e" * 40 // 121 chars: overflows the name field
+    val src = dir.resolve("src")
+    Files.createDirectories(src.resolve("d" * 80))
+    Files.write(src.resolve(deep), "deep".getBytes(UTF_8))
+    // ustar splits prefix/name at offset 345; gnu emits an 'L' pseudo-entry
+    for (fmt <- Seq("ustar", "gnu")) {
+      val out = dir.resolve(s"$fmt.tar")
+      val p = new ProcessBuilder("tar", s"--format=$fmt", "-cf",
+        out.toString, "-C", src.toString, deep).start()
+      assert(p.waitFor() == 0, s"system tar --format=$fmt failed")
+      val got = Tar.readAll(Files.readAllBytes(out))
+        .map(e => e.name -> new String(e.bytes, UTF_8)).toMap
+      assert(got == Map(deep -> "deep"), s"format $fmt mangled the long name")
+    }
+  }
+
   test("torn tail and corrupt checksum drop cleanly, junk parses empty") {
     val tar = Tar.write(entries)
     // first header + its (short) payload block: the complete first entry

@@ -107,6 +107,44 @@ class WarcSpec extends AnyFunSuite {
     assert(r3.isEmpty && t3, "unterminated headers fabricated a record")
   }
 
+  test("negative Content-Length takes the torn branch, never throws") {
+    val evil =
+      ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:x:9>\r\n" +
+        "Content-Length: -5\r\n\r\nbody\r\n\r\n").getBytes(UTF_8)
+    val (r, torn) = Warc.readAllWithStats(rec(1, "fine") ++ evil)
+    assert(r.map(_.recordId) == Seq("<urn:graft:1>") && torn)
+  }
+
+  test("gzip tear inside a member HEADER is torn, not silent clean EOF") {
+    // JDK GZIPInputStream treats a truncated next-member header as clean
+    // end-of-stream; the explicit member walk must flag it instead
+    val m1 = Warc.gzipMembers(Seq(rec(1, "whole member")))
+    val m2 = Warc.gzipMembers(Seq(rec(2, "lost member")))
+    val (r, torn) = Warc.readAllWithStats(m1 ++ m2.take(5))
+    assert(r.map(_.recordId) == Seq("<urn:graft:1>"))
+    assert(torn, "tear inside a gzip member header went undetected")
+    // corrupt member CRC: bytes inflate but the trailer must flag it
+    val bad = m1.clone()
+    bad(bad.length - 8) = (bad(bad.length - 8) ^ 0x55).toByte
+    val (r2, torn2) = Warc.readAllWithStats(bad)
+    assert(r2.length == 1 && torn2, "corrupt member CRC went undetected")
+    // trailing garbage after a clean member: torn, records kept
+    val (r3, torn3) = Warc.readAllWithStats(m1 ++ Array[Byte](1, 2, 3))
+    assert(r3.length == 1 && torn3)
+  }
+
+  test("2 GiB blob cap fails closed with an actionable diagnostic") {
+    val e = intercept[IllegalArgumentException] {
+      Blobs.requireUnderCap(
+        Seq("ok.warc.gz" -> 1000L, "big.warc.gz" -> (3L << 30)), "Warc.read")
+    }
+    assert(e.getMessage.contains("2 GiB"))
+    assert(e.getMessage.contains("big.warc.gz"))
+    assert(e.getMessage.contains("Warc.read"))
+    // under the cap: no throw, including exactly at the cap
+    Blobs.requireUnderCap(Seq("a" -> Int.MaxValue.toLong), "Warc.read")
+  }
+
   test("non-HTTP block keeps raw bytes with status -1") {
     val payload = "just bytes".getBytes(UTF_8)
     val r = ("WARC/1.0\r\nWARC-Type: resource\r\nWARC-Record-ID: <urn:x:2>\r\n" +
