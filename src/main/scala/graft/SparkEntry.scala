@@ -849,6 +849,46 @@ object SparkEntry {
         Seq("spark", "table", "query"), topN = 10)
     }),
 
+    // x99 — RFC 3986 syntactic URL normalization + public-suffix
+    // registered domain, per URL — the canonical crawl id behind
+    // URL-keyed dedup and domain-level curation. The fixture URL is ONE
+    // shared SQL expression evaluated by BOTH engines (urlSqlExpr),
+    // exercising every rule: scheme/host case, default and non-default
+    // ports, trailing slash, fragment drop, query preservation,
+    // multi-label public suffixes (co.uk), and the implicit-* fallback.
+    "x99_url_domains" -> ((s, d) =>
+      t(s, d, "documents")
+        .withColumn("url", expr(urlSqlExpr))
+        .select(col("doc_id"), col("url"),
+          ext.UrlOps.normalizeUrl(col("url")).as("norm_url"),
+          ext.UrlOps.hostOf(col("url")).as("host"),
+          ext.UrlOps.registeredDomain(ext.UrlOps.hostOf(col("url")))
+            .as("domain"))),
+
+    // x104 — the registered-domain rollup those URLs feed: per domain,
+    // URL mass, URL-dedup survivor count, deterministic sample. One
+    // hash agg on the domain key.
+    "x104_domain_rollup" -> ((s, d) =>
+      ext.UrlOps.domainRollup(
+        t(s, d, "documents").withColumn("url", expr(urlSqlExpr)))),
+
+    // x98 — EXACT tokenization: greedy byte-pair encoding (the published
+    // subword algorithm) over the in-repo rank-ordered merge table, as
+    // ONE native zero-shuffle expression with a per-thread distinct-word
+    // cache. Per doc: word count, exact BPE token count, fertility. The
+    // oracle replays the merge loop rule by rule over the corpus'
+    // distinct-word vocabulary and joins the counts back by word.
+    "x98_bpe_tokens" -> ((s, d) =>
+      ext.TextOps.bpeReport(t(s, d, "documents"))),
+
+    // x103 — the x26 packing operator re-denominated in EXACT BPE tokens
+    // (the token counter is a parameter of packSequences): same
+    // contiguous-window pack algebra, but the 2048 budget now counts real
+    // subword tokens, not the whitespace proxy.
+    "x103_bpe_pack" -> ((s, d) =>
+      ext.Curation.packSequences(t(s, d, "documents"), "source", 2048L,
+        tokenCount = c => ext.TextOps.bpeTokenCount(c))),
+
     // x35 — temperature-flavored domain rebalancing: per-source keep rate
     // min(1, 3/sqrt(n_d)) decided by the splitmix64 coin mod 2^20 (sqrt
     // is IEEE-correctly-rounded, so DuckDB reproduces the exact cut)
@@ -1396,7 +1436,17 @@ object SparkEntry {
           concat(col("text"), lit(" updated"))).otherwise(col("text")))
         .unionByName(docs.filter(col("doc_id") % 3 === 0)
           .withColumn("doc_id", col("doc_id") + 1000000L))
-      ext.Curation.crawlDiff(snap(docs), snap(newDocs))
+      // the new snapshot's URIs arrive MESSY (upper-cased scheme+host,
+      // explicit default :443) and the diff keys on the NORMALIZED URL
+      // (x99's normalizer): a broken normalizer would mis-key every new
+      // row into spurious added+removed pairs and hash-mismatch the
+      // unchanged oracle — agreement proves the diff is case/port-proof
+      val messyNew = snap(newDocs).withColumn("target_uri",
+        concat(lit("HTTPS://CRAWL.Example:443"),
+          col("target_uri").substr(lit(22), length(col("target_uri")))))
+      def canon(df: DataFrame) = df.withColumn("target_uri",
+        ext.UrlOps.normalizeUrl(col("target_uri")))
+      ext.Curation.crawlDiff(canon(snap(docs)), canon(messyNew))
     }),
 
     // x87 — the Common Crawl segment layout proper: 16 multi-record
@@ -1599,6 +1649,127 @@ object SparkEntry {
                    CAST(1.0 AS DOUBLE) / sqrt(CAST($dim AS DOUBLE)) AS w
                  FROM range(0, $dim) t(i)),
          $iterCtes"""
+  }
+
+  /** The x99/x104 messy-URL fixture as ONE SQL expression over
+    * (doc_id, source), valid verbatim in BOTH Spark SQL and DuckDB
+    * (`||`, CASE, CAST AS STRING are common dialect), so the two
+    * engines construct bit-identical inputs. Exercises every
+    * normalization rule: scheme/host case, default ports (`:80` only
+    * default for http, `:443` only for https — both appear with BOTH
+    * schemes across ids), a non-default `:8080`, trailing slash,
+    * query, fragment, and six host shapes across the suffix fixture. */
+  private val urlSqlExpr: String =
+    """CASE CAST(doc_id % 6 AS INTEGER)
+         WHEN 0 THEN 'http' WHEN 1 THEN 'HTTPS' WHEN 2 THEN 'https'
+         WHEN 3 THEN 'HTTP' WHEN 4 THEN 'https' ELSE 'http' END ||
+       '://' ||
+       CASE CAST(doc_id % 6 AS INTEGER)
+         WHEN 0 THEN 'WWW.News.Example.COM'
+         WHEN 1 THEN 'blog.example.co.uk'
+         WHEN 2 THEN 'cdn.Example.net'
+         WHEN 3 THEN 'example.io'
+         WHEN 4 THEN 'weird.internal'
+         ELSE 'Sub.Site.example.ORG' END ||
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 1 THEN ':80' WHEN 2 THEN ':443' WHEN 3 THEN ':8080'
+         ELSE '' END ||
+       '/' || source || '/Page' ||
+       CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END ||
+       CASE WHEN doc_id % 5 = 0 THEN '?q=' || CAST(doc_id AS STRING)
+            ELSE '' END ||
+       CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END"""
+
+  /** [[ext.UrlOps.normalizeUrl]] replayed step for step in DuckDB —
+    * chained CTEs ending at `n(doc_id, url, host, norm_url)`. Every
+    * step is the exact twin of a Spark function call (split_part ↔
+    * substring_index, strpos ↔ instr, substr ↔ substr). */
+  private lazy val urlNormCtes: String =
+    s"""u0 AS (SELECT doc_id, $urlSqlExpr AS url FROM documents),
+       u1 AS (SELECT doc_id, url, split_part(url, '#', 1) AS nf FROM u0),
+       u2 AS (SELECT *, lower(split_part(nf, '://', 1)) AS sch FROM u1),
+       u3 AS (SELECT *, substr(nf, CAST(length(sch) + 4 AS INTEGER))
+                          AS rest FROM u2),
+       u4 AS (SELECT *, split_part(split_part(rest, '/', 1), '?', 1) AS hp
+              FROM u3),
+       u5 AS (SELECT *, substr(rest, CAST(length(hp) + 1 AS INTEGER)) AS tl,
+                     lower(split_part(hp, ':', 1)) AS host,
+                     CASE WHEN strpos(hp, ':') > 0
+                          THEN split_part(hp, ':', 2) ELSE '' END AS prt
+              FROM u4),
+       u6 AS (SELECT *, CASE WHEN prt <> '' AND NOT
+                               ((sch = 'http' AND prt = '80') OR
+                                (sch = 'https' AND prt = '443'))
+                             THEN ':' || prt ELSE '' END AS pp,
+                     strpos(tl, '?') AS qp FROM u5),
+       u7 AS (SELECT *,
+                CASE WHEN qp > 0 THEN substr(tl, 1, CAST(qp - 1 AS INTEGER))
+                     ELSE tl END AS praw,
+                CASE WHEN qp > 0 THEN substr(tl, CAST(qp AS INTEGER))
+                     ELSE '' END AS q FROM u6),
+       n AS (SELECT doc_id, url, host,
+                    sch || '://' || host || pp ||
+                    CASE WHEN praw LIKE '%/'
+                         THEN substr(praw, 1, CAST(length(praw) - 1 AS INTEGER))
+                         ELSE praw END || q AS norm_url
+             FROM u7)"""
+
+  /** [[ext.UrlOps.registeredDomain]] as a DuckDB CASE chain generated
+    * from the SAME precedence-ordered suffix fixture — most-labels-first,
+    * whole-label matches via the literal `%.suffix` LIKE, implicit-*
+    * fallback to the last two labels. */
+  private def regDomainSql(h: String): String = {
+    val cases = ext.UrlOps.suffixesByPrecedence.map { s =>
+      val cut = s.length + 1
+      s"""WHEN $h = '$s' THEN $h
+          WHEN $h LIKE '%.$s'
+            THEN string_split(substr($h, 1,
+                   CAST(length($h) - $cut AS INTEGER)), '.')[-1] || '.$s'"""
+    }.mkString("\n          ")
+    s"""CASE $cases
+          ELSE CASE WHEN len(string_split($h, '.')) >= 2
+                    THEN string_split($h, '.')[-2] || '.' ||
+                         string_split($h, '.')[-1]
+                    ELSE $h END END"""
+  }
+
+  /** The x98/x103 BPE oracle training chain: the corpus' DISTINCT words
+    * char-split, then ONE MATERIALIZED CTE per merge rank applying that
+    * rule's left-to-right pass as an accumulator fold (acc ends with the
+    * rule's left symbol and the next element is its right → replace the
+    * tail with the merged symbol; the merged symbol can never itself be
+    * the left of the same rule, so single-pass semantics match the
+    * kernel exactly). Ends at `wbpe(w, k)` — subword count per distinct
+    * word — with `wordocc(doc_id, w)` in scope to join counts back per
+    * occurrence. Distinct-word shape: the loop runs over the vocabulary,
+    * not the corpus, mirroring the engine's per-thread word cache. */
+  private lazy val bpeOracleCtes: String = {
+    val steps = ext.TextOps.bpeFixtureMerges.zipWithIndex.map {
+      case ((p1, p2), k) =>
+        s"""b${k + 1} AS MATERIALIZED (
+           SELECT w, list_reduce(
+               list_prepend(CAST([] AS VARCHAR[]),
+                            list_transform(syms, s -> [s])),
+               (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = '$p1'
+                                AND x[1] = '$p2'
+                           THEN list_append(acc[1:len(acc) - 1], '$p1$p2')
+                           ELSE list_concat(acc, x) END) AS syms
+           FROM b$k)"""
+    }.mkString(",\n         ")
+    s"""wordocc AS MATERIALIZED (
+         SELECT doc_id, unnest(l) AS w
+         FROM (SELECT doc_id, list_filter(
+                 regexp_split_to_array(lower(text), '\\s+'),
+                 t -> length(t) > 0) AS l
+               FROM documents)),
+       b0 AS MATERIALIZED (
+         SELECT w, list_transform(range(1, length(w) + 1),
+           i -> substr(w, CAST(i AS INTEGER), 1)) AS syms
+         FROM (SELECT DISTINCT w FROM wordocc)),
+       $steps,
+       wbpe AS MATERIALIZED (
+         SELECT w, CAST(len(syms) AS BIGINT) AS k
+         FROM b${ext.TextOps.bpeFixtureMerges.length})"""
   }
 
   /** The x34 BM25 oracle — shared verbatim by x96 (stored ≡ inline). */
@@ -4583,6 +4754,57 @@ object SparkEntry {
                   FROM members)
           SELECT doc_id, lang, source, n_chars FROM documents
           WHERE doc_id NOT IN (SELECT id FROM win WHERE rk > 1)""",
+
+    // x99 — the normalizer replayed step for step; the domain by the
+    // same precedence-ordered suffix CASE chain
+    "x99_url_domains" ->
+      s"""WITH $urlNormCtes
+           SELECT doc_id, url, norm_url, host,
+                  ${regDomainSql("host")} AS domain
+           FROM n""",
+
+    // x104 — rollup over the same normalized URLs and domains
+    "x104_domain_rollup" ->
+      s"""WITH $urlNormCtes,
+           dd AS (SELECT norm_url, ${regDomainSql("host")} AS domain FROM n)
+           SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+                  CAST(COUNT(DISTINCT norm_url) AS BIGINT) AS n_norm_distinct,
+                  MIN(norm_url) AS sample_url
+           FROM dd GROUP BY domain""",
+
+    // x98 — the BPE merge loop replayed rule by rule over the distinct
+    // vocabulary; counts join back per word occurrence; fertility is one
+    // IEEE division, bit-equal in both engines
+    "x98_bpe_tokens" ->
+      s"""WITH $bpeOracleCtes,
+           agg AS (SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                          CAST(SUM(v.k) AS BIGINT) AS n_bpe_tokens
+                   FROM wordocc o JOIN wbpe v USING (w)
+                   GROUP BY o.doc_id)
+           SELECT doc_id, n_words, n_bpe_tokens,
+                  CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
+                    AS fertility
+           FROM agg""",
+
+    // x103 — the x26 pack window denominated by the replayed BPE counts;
+    // docs with no words pack at zero tokens (LEFT JOIN + COALESCE)
+    "x103_bpe_pack" ->
+      s"""WITH $bpeOracleCtes,
+           toks AS (
+             SELECT d.doc_id, d.source,
+                    CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens
+             FROM documents d
+             LEFT JOIN (SELECT o.doc_id, SUM(v.k) AS n
+                        FROM wordocc o JOIN wbpe v USING (w)
+                        GROUP BY o.doc_id) a USING (doc_id)),
+           c AS (
+             SELECT doc_id, source, n_tokens,
+                    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+             FROM toks)
+           SELECT doc_id, source, n_tokens,
+                  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
+           FROM c""",
 
     // x90 — the whole spectral path replayed: decimal-routed moment
     // sums (bit-equal to the engine's), the same covariance algebra,

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
@@ -162,13 +162,15 @@ object Curation {
     * Deterministic: (shard, doc_id) is a total order, integer arithmetic
     * only — the same doc lands in the same pack on every engine. */
   def packSequences(docs: DataFrame, shardCol: String, budget: Long,
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text",
+                    tokenCount: Column => Column = TextOps.tokenCount)
+      : DataFrame = {
     require(budget > 0, s"pack budget must be positive, got $budget")
     val w = Window.partitionBy(col(shardCol)).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col("doc_id"), col(shardCol),
-              TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+              tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .withColumn("pack_id",
         expr(s"(cum - n_tokens) DIV $budget"))

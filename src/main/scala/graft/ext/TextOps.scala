@@ -22,6 +22,78 @@ object TextOps {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
+  /** The in-repo BPE merge table: 32 rank-ordered rules over common
+    * English character pairs, WELL-FORMED by construction (every
+    * component is a single char or an earlier rule's output — validated
+    * by [[graft.functions.BpeKernel.compile]]). This is the vocabulary
+    * FIXTURE standing in for a trained tokenizer's merges file: swap in
+    * a real merges table (one pair per rank, exactly this shape) and
+    * nothing else changes — the kernel, the budget operators, and the
+    * oracle replay are all parameterized on the table. */
+  val bpeFixtureMerges: Seq[(String, String)] = Seq(
+    "t" -> "h",   // th
+    "th" -> "e",  // the
+    "i" -> "n",   // in
+    "a" -> "n",   // an
+    "o" -> "n",   // on
+    "r" -> "e",   // re
+    "e" -> "r",   // er
+    "e" -> "d",   // ed
+    "e" -> "s",   // es
+    "o" -> "r",   // or
+    "a" -> "t",   // at
+    "s" -> "t",   // st
+    "a" -> "r",   // ar
+    "o" -> "u",   // ou
+    "an" -> "d",  // and
+    "in" -> "g",  // ing
+    "t" -> "o",   // to
+    "e" -> "n",   // en
+    "o" -> "f",   // of
+    "a" -> "l",   // al
+    "i" -> "s",   // is
+    "l" -> "e",   // le
+    "c" -> "h",   // ch
+    "s" -> "h",   // sh
+    "q" -> "u",   // qu
+    "i" -> "on",  // ion
+    "t" -> "ion", // tion
+    "er" -> "s",  // ers
+    "l" -> "y",   // ly
+    "d" -> "e",   // de
+    "p" -> "r",   // pr
+    "u" -> "s")   // us
+
+  /** The document's exact BPE subword sequence under the fixture table
+    * (or a supplied one) — one native expression, zero shuffle. */
+  def bpeSubwords(text: Column,
+                  merges: Seq[(String, String)] = bpeFixtureMerges): Column =
+    graft.functions.BpeSubwords(text, merges)
+
+  /** Exact BPE token count — the real denomination for packing /
+    * mixing / chunking budgets (vs the whitespace proxy
+    * [[tokenCount]]). */
+  def bpeTokenCount(text: Column,
+                    merges: Seq[(String, String)] = bpeFixtureMerges): Column =
+    size(bpeSubwords(text, merges))
+
+  /** Per-document tokenizer report: whitespace word count, exact BPE
+    * token count, and fertility (BPE tokens per word — the
+    * tokenizer-quality number reported for every real tokenizer;
+    * one IEEE division, engine-portable). Empty docs (no words) are
+    * dropped — no meaningful fertility, the x21 convention. */
+  def bpeReport(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val subs = bpeSubwords(col(textCol))
+    docs.select(col(idCol),
+        size(filter(tokens(col(textCol)), t => length(t) > 0))
+          .cast("long").as("n_words"),
+        size(subs).cast("long").as("n_bpe_tokens"))
+      .filter(col("n_words") > 0L)
+      .withColumn("fertility",
+        col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+  }
+
   /** Language-ID stopword tables (tiny, language-distinctive function
     * words). N-gram/stopword heuristic — no external models. */
   val stopwords: Map[String, Seq[String]] = Map(

@@ -1,0 +1,119 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL operators for the crawl tier — the normalization and domain
+  * rollup every real crawl pipeline runs before URL-keyed dedup, diffing
+  * and domain-level quality/mixing decisions (the reference's pipelines
+  * key assets by canonical ids; a crawl's canonical id IS the normalized
+  * URL).
+  *
+  * Everything is portable string algebra over `org.apache.spark.sql
+  * .functions` (split/substr/instr/lower/concat — all codegen'd, all
+  * with exact DuckDB twins), so the oracle replays normalization
+  * character for character. Pure per-row columns: zero shuffle at any
+  * corpus size; the rollup is one partial+final hash agg on the
+  * registered domain.
+  */
+object UrlOps {
+
+  /** RFC 3986-style syntactic normalization, the safe subset every
+    * crawler applies (c.f. the RFC's §6.2.2 "syntax-based
+    * normalization"):
+    *
+    *  - drop the fragment (`#…` — never sent to the server);
+    *  - lowercase the scheme and host (case-insensitive by spec);
+    *  - drop an explicit default port (`:80` for http, `:443` for
+    *    https);
+    *  - drop ONE trailing slash from the path (`/a/` ≡ `/a`, and the
+    *    bare root `/` ≡ empty — the dedup-key convention);
+    *  - keep the query string verbatim (parameter reordering is NOT
+    *    safe — `?a=1&b=2` may differ from `?b=2&a=1` server-side).
+    *
+    * Strings without `://` pass through unchanged (not a URL this
+    * normalizer understands — fail open to the identity, never
+    * fabricate). Path and query case are preserved (case-significant
+    * by spec). */
+  def normalizeUrl(u: Column): Column = {
+    val noFrag = substring_index(u, "#", 1)
+    val hasScheme = instr(noFrag, "://") > 0
+    val scheme = lower(substring_index(noFrag, "://", 1))
+    val rest = noFrag.substr(length(scheme) + lit(4), length(noFrag))
+    val hostport = substring_index(substring_index(rest, "/", 1), "?", 1)
+    val tail = rest.substr(length(hostport) + lit(1), length(rest))
+    val host = lower(substring_index(hostport, ":", 1))
+    val port = when(instr(hostport, ":") > 0,
+      substring_index(hostport, ":", -1)).otherwise(lit(""))
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val portPart = when(keepPort, concat(lit(":"), port)).otherwise(lit(""))
+    val qpos = instr(tail, "?")
+    val pathRaw = when(qpos > 0, tail.substr(lit(1), qpos - 1)).otherwise(tail)
+    val qPart = when(qpos > 0, tail.substr(qpos, length(tail))).otherwise(lit(""))
+    val path = when(pathRaw.endsWith("/"),
+      pathRaw.substr(lit(1), length(pathRaw) - 1)).otherwise(pathRaw)
+    when(hasScheme, concat(scheme, lit("://"), host, portPart, path, qPart))
+      .otherwise(u)
+  }
+
+  /** Host of a URL under the same parse as [[normalizeUrl]] (lowercased,
+    * port stripped); the input itself when there is no `://`. */
+  def hostOf(u: Column): Column = {
+    val noFrag = substring_index(u, "#", 1)
+    val scheme = lower(substring_index(noFrag, "://", 1))
+    val rest = noFrag.substr(length(scheme) + lit(4), length(noFrag))
+    val hostport = substring_index(substring_index(rest, "/", 1), "?", 1)
+    when(instr(noFrag, "://") > 0, lower(substring_index(hostport, ":", 1)))
+      .otherwise(lower(u))
+  }
+
+  /** The in-repo public-suffix FIXTURE: the handful of suffixes the
+    * testdata exercises, standing in for the full Mozilla Public Suffix
+    * List (thousands of rules, same shape — swap the list, keep the
+    * algorithm). Multi-label rules like `co.uk` are why naive
+    * "last two labels" is wrong for UK/JP/AU domains. */
+  val publicSuffixes: Seq[String] =
+    Seq("co.uk", "ac.uk", "com", "org", "net", "io", "edu", "gov", "example")
+
+  /** PSL precedence: the rule with the MOST labels wins (ties by
+    * length, then lexicographic — total order for determinism). */
+  def suffixesByPrecedence: Seq[String] =
+    publicSuffixes.sortBy(s => (-s.count(_ == '.'), -s.length, s))
+
+  /** Registered (a.k.a. pay-level) domain of a lowercase host, by the
+    * public-suffix algorithm: find the matching suffix with the most
+    * labels; the registered domain is that suffix plus the one label
+    * left of it. A host that IS a suffix maps to itself; a host
+    * matching no rule falls back to the PSL's implicit `*` rule (the
+    * last label is the suffix → last two labels). */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val fallback = when(size(labels) >= 2,
+      concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
+      .otherwise(host)
+    suffixesByPrecedence.foldRight(fallback) { (s, acc) =>
+      val pre = host.substr(lit(1), length(host) - lit(s.length + 1))
+      val lastLabel = element_at(split(pre, "\\."), -1)
+      when(host === s, host)
+        .when(host.endsWith("." + s), concat(lastLabel, lit("." + s)))
+        .otherwise(acc)
+    }
+  }
+
+  /** Per-registered-domain rollup of a URL column — the crawl analogue
+    * of the per-source gate-rate report: URL count, distinct normalized
+    * URLs (what survives URL-keyed dedup), and the lexicographic min as
+    * a deterministic sample. One hash agg on the domain key; partials
+    * collapse map-side at any corpus size. */
+  def domainRollup(df: DataFrame, urlCol: String = "url"): DataFrame = {
+    val norm = normalizeUrl(col(urlCol))
+    df.select(norm.as("norm_url"),
+        registeredDomain(hostOf(col(urlCol))).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col("norm_url")).as("n_norm_distinct"),
+        min("norm_url").as("sample_url"))
+  }
+}

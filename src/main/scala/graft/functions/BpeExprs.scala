@@ -1,0 +1,191 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding tokenization (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units") — the real
+  * subword segmentation behind every token-budget decision a training
+  * pipeline makes (packing, mixing, chunking, context-length audits),
+  * replacing the whitespace/regex PROXY counts of
+  * [[graft.ext.TextOps.tokenCount]]/`subwordCount`.
+  *
+  * Algorithm: a word starts as its character sequence; merge rules
+  * `(left, right) → left+right` apply IN RANK ORDER, each rule merging
+  * its adjacent occurrences left-to-right in one pass (Sennrich's
+  * "apply the learned operations in the order they were learned").
+  * For a WELL-FORMED merge table — every rule's components are single
+  * characters or outputs of strictly earlier rules, which is exactly
+  * what BPE training produces and what [[BpeKernel.compile]] enforces —
+  * this is provably identical to the repeated-min-rank formulation
+  * (GPT-2's encoder): merging rule k can only create adjacencies
+  * involving its own output symbol, which no rule < k can reference,
+  * so no earlier rule ever becomes applicable again.
+  * [[graft.ext.BpeSpec]] cross-checks the two formulations.
+  *
+  * Everything is deterministic string algebra — no floats, no hashes —
+  * so an independent engine (the DuckDB oracle) replays the merge loop
+  * rule by rule and reproduces the exact segmentation.
+  *
+  * Scale shape: pure per-row expression, zero shuffle at any corpus
+  * size; the merge table rides inside the expression tree (serialized
+  * with the task closure — the broadcast-literal discipline of the ADC
+  * tables). A per-thread word→segments cache exploits the Zipfian
+  * repetition of natural-language words: the loop runs per DISTINCT
+  * word per task, not per occurrence.
+  */
+object BpeKernel {
+
+  /** A compiled rule: left symbol, right symbol, concatenation. */
+  final case class Rule(p1: String, p2: String, merged: String)
+
+  /** Validate well-formedness and precompute merged strings. Every
+    * component must be a single character or the output of a STRICTLY
+    * earlier rule, and outputs must be distinct and multi-char — the
+    * invariants under which rank-order application ≡ repeated-min
+    * (see object scaladoc). Fails closed: a malformed table would
+    * silently produce a different segmentation than the published
+    * algorithm. */
+  def compile(merges: Seq[(String, String)]): Array[Rule] = {
+    require(merges.nonEmpty, "BPE merge table is empty")
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val rules = merges.zipWithIndex.map { case ((p1, p2), r) =>
+      def okComponent(c: String): Boolean =
+        c.length == 1 || seen.contains(c)
+      require(p1.nonEmpty && p2.nonEmpty,
+        s"BPE merge $r has an empty component")
+      require(okComponent(p1) && okComponent(p2),
+        s"BPE merge $r ($p1, $p2): components must be single chars or " +
+          "outputs of earlier merges (well-formed table)")
+      val m = p1 + p2
+      require(m.length > 1, s"BPE merge $r output is a single char")
+      require(seen.add(m), s"BPE merge $r duplicates output symbol '$m'")
+      Rule(p1, p2, m)
+    }
+    rules.toArray
+  }
+
+  /** Greedy BPE segmentation of one word: rank-order merge loop. */
+  def encodeWord(word: String, rules: Array[Rule]): Array[String] = {
+    val n = word.length
+    if (n == 0) return Array.empty[String]
+    val syms = new Array[String](n)
+    var i = 0
+    while (i < n) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
+    var len = n
+    var r = 0
+    while (r < rules.length && len > 1) {
+      val rule = rules(r)
+      var read = 0
+      var write = 0
+      while (read < len) {
+        if (read + 1 < len && syms(read) == rule.p1 &&
+          syms(read + 1) == rule.p2) {
+          syms(write) = rule.merged
+          read += 2
+        } else {
+          syms(write) = syms(read)
+          read += 1
+        }
+        write += 1
+      }
+      len = write
+      r += 1
+    }
+    java.util.Arrays.copyOfRange(syms, 0, len)
+  }
+
+  /** Reference repeated-min-rank formulation (the GPT-2 encoder loop) —
+    * used by the spec to assert the equivalence the oracle relies on;
+    * not on any hot path. */
+  def encodeWordMinRank(word: String, rules: Array[Rule]): Array[String] = {
+    val rank = rules.iterator.zipWithIndex
+      .map { case (r, i) => (r.p1, r.p2) -> i }.toMap
+    var syms = word.toCharArray.map(String.valueOf)
+    var done = syms.length <= 1
+    while (!done) {
+      var best = Int.MaxValue
+      var at = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        rank.get((syms(i), syms(i + 1))).foreach { r =>
+          if (r < best) { best = r; at = i }
+        }
+        i += 1
+      }
+      if (at < 0) done = true
+      else {
+        // merge ALL occurrences of the best pair, left to right
+        val rule = rules(best)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == rule.p1 &&
+            syms(j + 1) == rule.p2) { out += rule.merged; j += 2 }
+          else { out += syms(j); j += 1 }
+        }
+        syms = out.toArray
+        done = syms.length <= 1
+      }
+    }
+    syms
+  }
+
+  /** The shared text→subwords pass: lowercase, whitespace-split (the
+    * `split(lower(text), "\\s+")` convention every text operator uses,
+    * empties dropped), then per-word greedy BPE — with a per-thread
+    * word cache (Zipf: the same words recur constantly; the cap bounds
+    * task memory and simply resets on overflow). */
+  private val CacheCap = 1 << 16
+
+  private val cache: ThreadLocal[java.util.HashMap[String, Array[String]]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, Array[String]]())
+
+  def encodeText(text: String, rules: Array[Rule]): Array[Array[String]] = {
+    val words = TokenSplit.tokenize(text)
+    val c = cache.get()
+    if (c.size > CacheCap) c.clear()
+    words.map { w =>
+      var r = c.get(w)
+      if (r == null) { r = encodeWord(w, rules); c.put(w, r) }
+      r
+    }
+  }
+}
+
+/** `bpe_subwords(text)`: the document's full subword-token sequence —
+  * lowercased whitespace words, each greedily BPE-segmented against the
+  * compiled merge table, concatenated in order. `size()` of it is the
+  * exact token count that denominates packing / mixing / chunking
+  * budgets. */
+case class BpeSubwords(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val rules = BpeKernel.compile(merges)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val segs = BpeKernel.encodeText(s, rules)
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](s.length / 4 + 4)
+    segs.foreach(_.foreach(t => out += UTF8String.fromString(t)))
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_subwords"
+}
+
+object BpeSubwords {
+  def apply(text: Column, merges: Seq[(String, String)]): Column =
+    GraftBridge.column(BpeSubwords(GraftBridge.expression(text), merges))
+}

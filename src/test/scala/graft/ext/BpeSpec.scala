@@ -1,0 +1,120 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.SharedSpark
+import graft.functions.{BpeKernel, BpeSubwords}
+
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  private val rules = BpeKernel.compile(TextOps.bpeFixtureMerges)
+
+  private def enc(w: String): Seq[String] =
+    BpeKernel.encodeWord(w, rules).toSeq
+
+  test("hand-computed segmentations under the fixture table") {
+    // "the": t h e → (t,h) → th e → (th,e) → the
+    assert(enc("the") == Seq("the"))
+    // "another": a n o t h e r → th → (th,e)→the → (a,n)→an; no (e,r):
+    // the e is inside "the"
+    assert(enc("another") == Seq("an", "o", "the", "r"))
+    // "standing": s t a n d i n g → th:no → in → an → (s,t)→st →
+    // (an,d)→and → (in,g)→ing
+    assert(enc("standing") == Seq("st", "and", "ing"))
+    // "question": q u e s t i o n → on → (e,s)→es → (q,u)→qu →
+    // (i,on)→ion → (t,ion)→tion
+    assert(enc("question") == Seq("qu", "es", "tion"))
+    // "papers": p a p e r s → (e,r)→er → (er,s)→ers
+    assert(enc("papers") == Seq("p", "a", "p", "ers"))
+    // left-to-right within a rank: "ttt" under (t,h)? no pair; "aaa"
+    // has no rule; "thth" → th th
+    assert(enc("thth") == Seq("th", "th"))
+    // single char and empty
+    assert(enc("x") == Seq("x"))
+    assert(enc("") == Seq())
+    // unknown alphabet passes through as chars
+    assert(enc("zzz") == Seq("z", "z", "z"))
+  }
+
+  test("rank-order application ≡ repeated-min-rank (the GPT-2 loop) " +
+       "on the well-formed fixture table") {
+    // deterministic pseudo-random words over the fixture alphabet
+    val alpha = "theinandorsqugylcfp"
+    var x = 0x12345678L
+    def nextInt(bound: Int): Int = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (((x >>> 33) % bound).toInt + bound) % bound
+    }
+    (0 until 2000).foreach { _ =>
+      val len = 1 + nextInt(14)
+      val w = new String(Array.fill(len)(alpha(nextInt(alpha.length))))
+      val a = BpeKernel.encodeWord(w, rules).toSeq
+      val b = BpeKernel.encodeWordMinRank(w, rules).toSeq
+      assert(a == b, s"formulations diverge on '$w': $a vs $b")
+      assert(a.mkString == w, s"segmentation of '$w' lost characters")
+    }
+  }
+
+  test("compile rejects malformed tables (fail closed)") {
+    // component that is neither a char nor an earlier output
+    intercept[IllegalArgumentException] {
+      BpeKernel.compile(Seq("th" -> "e"))
+    }
+    // duplicate output symbol
+    intercept[IllegalArgumentException] {
+      BpeKernel.compile(Seq("t" -> "h", "t" -> "h"))
+    }
+    // empty component
+    intercept[IllegalArgumentException] {
+      BpeKernel.compile(Seq("" -> "h"))
+    }
+    // well-formed multi-level table compiles
+    assert(BpeKernel.compile(Seq("t" -> "h", "th" -> "e")).length == 2)
+  }
+
+  test("expression: whole-text subwords, counts, nulls, report") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The question THE standing"),
+      (2L, "zzz"),
+      (3L, "   "),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      BpeSubwords(col("text"), TextOps.bpeFixtureMerges).as("subs")).collect()
+    assert(out.find(_.getLong(0) == 1L).get.getSeq[String](1) ==
+      Seq("the", "qu", "es", "tion", "the", "st", "and", "ing"))
+    assert(out.find(_.getLong(0) == 2L).get.getSeq[String](1) ==
+      Seq("z", "z", "z"))
+    assert(out.find(_.getLong(0) == 3L).get.getSeq[String](1).isEmpty)
+    assert(out.find(_.getLong(0) == 4L).get.isNullAt(1))
+
+    val rep = TextOps.bpeReport(df).collect()
+    // empty and null docs drop; fertility is exact division
+    assert(rep.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    val r1 = rep.find(_.getLong(0) == 1L).get
+    assert(r1.getLong(1) == 4L && r1.getLong(2) == 8L &&
+      r1.getDouble(3) == 2.0)
+  }
+
+  test("packSequences re-denominated: BPE budget vs whitespace budget") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s", "the question"),      // 2 words, 4 bpe tokens
+      (2L, "s", "standing papers"),   // 2 words, 7 bpe tokens
+      (3L, "s", "zzz")                // 1 word, 3 bpe tokens
+    ).toDF("doc_id", "source", "text")
+    val bpe = Curation.packSequences(docs, "source", 8L,
+        tokenCount = c => TextOps.bpeTokenCount(c))
+      .orderBy("doc_id").collect()
+    assert(bpe.map(_.getAs[Long]("n_tokens")).toSeq == Seq(4L, 7L, 3L))
+    // cum-before: 0, 4, 11 → packs 0, 0, 1 at budget 8
+    assert(bpe.map(_.getAs[Long]("pack_id")).toSeq == Seq(0L, 0L, 1L))
+    // whitespace denomination would have packed all three together
+    val ws = Curation.packSequences(docs, "source", 8L)
+      .orderBy("doc_id").collect()
+    assert(ws.map(_.getAs[Long]("pack_id")).toSeq == Seq(0L, 0L, 0L))
+  }
+}

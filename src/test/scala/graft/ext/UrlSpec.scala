@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.SharedSpark
+
+class UrlSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+
+  private def norm(u: String): String = {
+    import spark.implicits._
+    Seq(u).toDF("u").select(UrlOps.normalizeUrl(col("u"))).head().getString(0)
+  }
+
+  private def dom(h: String): String = {
+    import spark.implicits._
+    Seq(h).toDF("h").select(UrlOps.registeredDomain(col("h")))
+      .head().getString(0)
+  }
+
+  test("normalizeUrl: case, default ports, slash, fragment, query") {
+    assert(norm("HTTPS://CRAWL.Example:443/src0/7") ==
+      "https://crawl.example/src0/7")
+    assert(norm("http://Host.COM:80/A/?x=1#f") == "http://host.com/A?x=1")
+    // :80 is only default for http; :443 only for https
+    assert(norm("https://h.io:80/a") == "https://h.io:80/a")
+    assert(norm("HTTP://h.io:443/a") == "http://h.io:443/a")
+    assert(norm("https://h.io:8080/") == "https://h.io:8080")
+    assert(norm("http://h.net") == "http://h.net")
+    assert(norm("http://h.net/") == "http://h.net")
+    // query and path case preserved; only ONE trailing slash drops
+    assert(norm("http://h.net/A/B//") == "http://h.net/A/B/")
+    assert(norm("http://h.net/p?B=2&a=1") == "http://h.net/p?B=2&a=1")
+    // query before any path slash
+    assert(norm("http://H.net?q=1#x") == "http://h.net?q=1")
+    // non-URLs pass through untouched
+    assert(norm("not a url") == "not a url")
+  }
+
+  test("registeredDomain: PSL precedence, multi-label, fallback") {
+    assert(dom("blog.example.co.uk") == "example.co.uk")
+    assert(dom("a.b.example.co.uk") == "example.co.uk")
+    assert(dom("www.news.example.com") == "example.com")
+    assert(dom("example.io") == "example.io")
+    assert(dom("crawl.example") == "crawl.example")
+    // a host that IS a suffix
+    assert(dom("co.uk") == "co.uk")
+    // implicit-* fallback: last two labels / bare host
+    assert(dom("weird.internal") == "weird.internal")
+    assert(dom("a.weird.internal") == "weird.internal")
+    assert(dom("localhost") == "localhost")
+  }
+
+  test("hostOf strips port and lowercases under the same parse") {
+    import spark.implicits._
+    val got = Seq("HTTPS://A.B.Example.COM:8443/x?y#z").toDF("u")
+      .select(UrlOps.hostOf(col("u"))).head().getString(0)
+    assert(got == "a.b.example.com")
+  }
+}
