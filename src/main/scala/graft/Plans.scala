@@ -61,7 +61,16 @@ object Plans {
       "x82_quality_classifier" -> "Hashed linear classifier: per-token buckets collapse in a map-side partial count; the weight table is a codegen'd FORMULA (no join); one per-doc aggregate with an ordered fold.",
       "x85_trained_quality" -> "Trained logistic scoring: the final weights fold back as literals — scoring is scan → project, zero exchange (training itself is iters × one bounded aggregate).",
       "x90_pca_projection" -> "PCA projection: the trained principal direction rides as a literal into a codegen'd dot fold — scan → project, zero exchange (the one moment pass collapses map-side to 2,080 keys).",
-      "x96_bm25_stored" -> "Stored BM25: the query terms' postings scan (partition-prunable by term at scale), one per-doc conditional-max agg, doclens join, literal stats — the corpus table appears nowhere in the plan.")
+      "x96_bm25_stored" -> "Stored BM25: the query terms' postings scan (partition-prunable by term at scale), one per-doc conditional-max agg, doclens join, literal stats — the corpus table appears nowhere in the plan.",
+      "x97_pca_variance" -> "PCA variance report: the moments collapse map-side in ONE allocation-free pass; the report itself is a one-row literal projection — no exchange anywhere.",
+      "x98_bpe_tokens" -> "Exact BPE tokenization: the merge loop is one native expression fused into the scan (merge table rides in the expression tree, per-thread word cache) — zero exchange at any corpus size.",
+      "x103_bpe_pack" -> "BPE-denominated packing: the exact token count replaces the whitespace proxy inside the same single window exchange — re-denominating budgets changes no plan shape.",
+      "x99_url_domains" -> "URL normalization + registered domain: pure codegen'd string algebra per row — zero exchange; the suffix table is a literal CASE chain.",
+      "x104_domain_rollup" -> "Registered-domain rollup: narrow normalize/domain projection into ONE partial+final hash agg on the domain key.",
+      "x100_quantile_sketch" -> "HDR quantile sketch: typed UDAF with map-side partial merge (vector adds) — one exchange carrying 14.8 KiB sketches per partition, no sort of the corpus.",
+      "x101_pca_topk" -> "Top-k PCA projections: all three deflated axes ride as literals into codegen'd dot folds — scan → project, zero exchange (training reused ONE moment pass).",
+      "x102_mjpeg_frames" -> "MJPEG frame sampling: per-container RIFF walk + JPEG entropy decode inside the scan task via mapPartitions — no exchange; the unit of parallelism is the container.",
+      "f7_tmerc_reproject" -> "Parameterized TM CRS: range source + one scalar projection (the EPSG:27700 Krüger inverse UDF with the rectified-origin offset), no exchange.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")

@@ -242,6 +242,22 @@ object SparkEntry {
                 round(col("ll._2"), 9).as("lon"))
     }),
 
+    // F7 (parameterized TM case) — British National Grid (EPSG:27700,
+    // Airy 1830, k0 = 0.9996012717, origin 49°N 2°W, FN −100000) pixel
+    // grid → EPSG:4326 via the generalized Krüger inverse with the
+    // rectified-origin offset ξ0 (oracle: the same series + Newton loop
+    // with every constant pasted, the f7_utm technique)
+    "f7_tmerc_reproject" -> ((s, _) => {
+      val grid = ops.Unpivot.gridToPixels(s, graft.model.GridMeta(
+        "osgb", 1000.0, 0.0, 300000.0, 0.0, -1000.0, 500000.0,
+        "EPSG:27700", width = 50, height = 50, nodata = None, scaleM = 1000))
+      grid.withColumn("ll",
+          ops.Utm.Tmerc.toLatLonUdf(ops.Utm.Tmerc.BritishNationalGrid)(
+            col("lon"), col("lat")))
+        .select(col("y"), col("x"), round(col("ll._1"), 9).as("lat"),
+                round(col("ll._2"), 9).as("lon"))
+    }),
+
     // F7 (conic case) — Lambert-93 (EPSG:2154) pixel grid → EPSG:4326 via
     // the LCC closed-form inverse (oracle: the same closed form + the
     // fixed-point latitude iteration mirrored in SQL, lccOracleSql)
@@ -847,6 +863,35 @@ object SparkEntry {
         ext.TextOps.bm25BuildIndex(t(s, d, "documents"), p))
       ext.TextOps.bm25SearchStored(s, dir,
         Seq("spark", "table", "query"), topN = 10)
+    }),
+
+    // x102 — REAL compressed-video decode: MJPEG-in-AVI ('MJPG' RIFF
+    // stream, each 00dc chunk a baseline JPEG decoded by the JDK's own
+    // codec) — the first entropy-coded video path, narrowing FakeCodec
+    // to codecs the JVM genuinely lacks. Frames are FLAT blocks, which
+    // JPEG at quality 1.0 round-trips EXACTLY (DC-only; MjpegSpec
+    // asserts it), so per-frame luminance is closed-form for the oracle
+    // while the engine runs the full container walk + JPEG decode.
+    "x102_mjpeg_frames" -> ((s, d) =>
+      ext.Multimodal.sampleMjpegFrames(
+        ext.Multimodal.mjpegFromDocs(t(s, d, "documents")), everyNth = 2)),
+
+    // x100 — quantile SKETCH (HDR histogram — integer exponent+mantissa
+    // buckets, the published hdrhistogram.org layout; DDSketch's
+    // guarantee in pure integer arithmetic): exact-rank quantiles with
+    // ≤2^-5 relative value error from a ≤1,888-bucket sketch. Chosen
+    // over GK/KLL because bucket counts are SUMS — deterministic under
+    // any partitioning/merge order, so the oracle replays the census and
+    // the same integer rank walk with no tolerance. x25's per-group
+    // total sort becomes a bounded in-sketch walk at 100 TB.
+    "x100_quantile_sketch" -> ((s, d) => {
+      val hdr = udaf(new ext.HdrQuantileAggregator(5), Encoders.scalaLong)
+      t(s, d, "documents").groupBy("lang")
+        .agg(hdr(col("n_chars").cast("long")).as("q"))
+        .select(col("lang"), col("q.n").as("n"),
+          col("q.n_buckets").as("n_buckets"),
+          col("q.q25").as("q25"), col("q.q50").as("q50"),
+          col("q.q75").as("q75"), col("q.q95").as("q95"))
     }),
 
     // x99 — RFC 3986 syntactic URL normalization + public-suffix
@@ -1485,6 +1530,17 @@ object SparkEntry {
     // driver-side power-iteration rounds on the 64×64 covariance, and
     // zero-shuffle scoring with the principal direction as a literal.
     // The oracle re-derives the moments AND all 20 iterations.
+    // x101 — top-3 principal axes by Hotelling deflation on the SAME
+    // exact moment pass (λ = Rayleigh quotient of the trained axis
+    // against the CURRENT matrix, then rank-one subtraction, then a
+    // fresh 20-round power iteration — the textbook sequence), each
+    // per-vector projection a zero-shuffle literal fold. The spectral
+    // half of an OPQ rotation; PcaSpec shows the recall gain of the
+    // rotated subspace over raw coordinate slices on a correlated
+    // fixture.
+    "x101_pca_topk" -> ((s, d) =>
+      ext.Similarity.pcaProjectTopK(t(s, d, "embeddings"), nComp = 3)),
+
     "x90_pca_projection" -> ((s, d) =>
       ext.Similarity.pcaTopComponent(t(s, d, "embeddings"))),
 
@@ -1609,6 +1665,29 @@ object SparkEntry {
     * shared by every PCA-oracle reduction. */
   private def pcaFold(l: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, $l), (a, b) -> a + b)"
+
+  /** One power-iteration chain (`iters` rounds) over matrix CTE `mat`,
+    * CTE names prefixed with `p` — the generalized image of the x90
+    * chain, reused per deflation component in x101. Ends at
+    * `${p}it$iters(i, w)`. */
+  private def pcaIterChain(mat: String, p: String, iters: Int,
+                           dim: Int): String = {
+    val it0 =
+      s"""${p}it0 AS MATERIALIZED (SELECT t.i AS i,
+             CAST(1.0 AS DOUBLE) / sqrt(CAST($dim AS DOUBLE)) AS w
+           FROM range(0, $dim) t(i))"""
+    val rounds = (1 to iters).map { k =>
+      s"""${p}u$k AS MATERIALIZED (
+             SELECT m.i AS i, ${pcaFold("list(m.c * v.w ORDER BY m.j)")} AS u
+             FROM $mat m JOIN ${p}it${k - 1} v ON v.i = m.j GROUP BY m.i),
+         ${p}nr$k AS MATERIALIZED (
+             SELECT sqrt(${pcaFold("list(u * u ORDER BY i)")}) AS nrm
+             FROM ${p}u$k),
+         ${p}it$k AS MATERIALIZED (SELECT i, u / nrm AS w
+             FROM ${p}u$k, ${p}nr$k)"""
+    }
+    (it0 +: rounds).mkString(",\n         ")
+  }
 
   /** The x90/x97 oracle training chain: exact decimal moments, the
     * covariance, and all 20 power-iteration rounds as MATERIALIZED CTEs
@@ -1770,6 +1849,53 @@ object SparkEntry {
        wbpe AS MATERIALIZED (
          SELECT w, CAST(len(syms) AS BIGINT) AS k
          FROM b${ext.TextOps.bpeFixtureMerges.length})"""
+  }
+
+  /** The x101 oracle: [[pcaOracleCtes]] (component 1 = `it20`), then
+    * Hotelling deflation per further component — Rayleigh λ of the
+    * current axis against the CURRENT matrix, rank-one subtraction
+    * `c − λ·wᵢ·wⱼ`, and a fresh [[pcaIterChain]] — ending in the three
+    * per-vector projection folds joined by vec_id. Every reduction is
+    * the 0.0-init ascending fold, so the driver's deflation replays
+    * bit for bit. */
+  private lazy val pcaTopKOracleSql: String = {
+    val dim = 64
+    def lamCtes(mat: String, it: String, p: String) =
+      s"""${p}cw AS MATERIALIZED (
+           SELECT m.i AS i, ${pcaFold("list(m.c * v.w ORDER BY m.j)")} AS u
+           FROM $mat m JOIN $it v ON v.i = m.j GROUP BY m.i),
+         ${p}lam AS MATERIALIZED (
+           SELECT ${pcaFold("list(v.w * c.u ORDER BY v.i)")} AS l
+           FROM $it v JOIN ${p}cw c ON c.i = v.i)"""
+    def deflate(mat: String, it: String, lam: String, next: String) =
+      s"""$next AS MATERIALIZED (
+           SELECT m.i AS i, m.j AS j, m.c - l.l * wi.w * wj.w AS c
+           FROM $mat m JOIN $it wi ON wi.i = m.i
+           JOIN $it wj ON wj.i = m.j CROSS JOIN $lam l)"""
+    def projCtes(it: String, p: String) =
+      s"""${p}muw AS (SELECT ${pcaFold("list(a.mu * v.w ORDER BY a.i)")} AS c0
+           FROM me a JOIN $it v ON v.i = a.i),
+         ${p}proj AS MATERIALIZED (SELECT e.vec_id,
+           ${pcaFold("list(CAST(e.embedding[CAST(v.i + 1 AS INTEGER)] AS DOUBLE) * v.w ORDER BY v.i)")} AS dp
+           FROM embeddings e CROSS JOIN $it v GROUP BY e.vec_id)"""
+    s"""WITH $pcaOracleCtes,
+         ${lamCtes("m", "it20", "c1")},
+         ${deflate("m", "it20", "c1lam", "m2")},
+         ${pcaIterChain("m2", "c2", 20, dim)},
+         ${lamCtes("m2", "c2it20", "c2")},
+         ${deflate("m2", "c2it20", "c2lam", "m3")},
+         ${pcaIterChain("m3", "c3", 20, dim)},
+         ${projCtes("it20", "p1")},
+         ${projCtes("c2it20", "p2")},
+         ${projCtes("c3it20", "p3")}
+         SELECT p1.vec_id,
+                round(p1.dp - w1.c0, 6) AS pc1,
+                round(p2.dp - w2.c0, 6) AS pc2,
+                round(p3.dp - w3.c0, 6) AS pc3
+         FROM p1proj p1
+         JOIN p2proj p2 ON p2.vec_id = p1.vec_id
+         JOIN p3proj p3 ON p3.vec_id = p1.vec_id
+         CROSS JOIN p1muw w1 CROSS JOIN p2muw w2 CROSS JOIN p3muw w3"""
   }
 
   /** The x34 BM25 oracle — shared verbatim by x96 (stored ≡ inline). */
@@ -2075,6 +2201,54 @@ object SparkEntry {
        SELECT y, x,
               round(phi8 * 180.0 / pi(), 9) AS lat,
               round(75.0 + atan2(${sinhS("etap")}, cos(xip)) * 180.0 / pi(), 9) AS lon
+       FROM it8"""
+  }
+
+  /** DuckDB mirror of the parameterized Krüger inverse (Utm.Tmerc) for
+    * the EPSG:27700 grid in f7_tmerc_reproject — the utmOracleSql
+    * technique with this grid's constants: Airy-1830 β coefficients,
+    * k₀A₁, e, FE/FN, the rectified-origin offset ξ₀ pasted as the exact
+    * driver-side double, and λ₀ = −2°. */
+  private def tmercOracleSql: String = {
+    val (k0a1, beta, e, fe, fn, xi0, lon0) =
+      ops.Utm.Tmerc.BritishNationalGrid.oracleConstants
+    def sinhS(x: String) = s"((exp($x) - exp(-($x))) / 2)"
+    def coshS(x: String) = s"((exp($x) + exp(-($x))) / 2)"
+    def atanhS(x: String) = s"(0.5 * ln((1 + $x) / (1 - $x)))"
+    def g(phi: String) = {
+      val s = sinhS(s"$e * ${atanhS(s"($e * sin($phi))")}")
+      s"atan(tan(chi) * sqrt(1 + $s * $s) + $s * sqrt(1 + tan(chi) * tan(chi)))"
+    }
+    val xip = "xi" + (1 to 6).map(j =>
+      s" - (${beta(j - 1)} * sin(${2 * j} * xi) * ${coshS(s"${2 * j} * eta")})").mkString
+    val etap = "eta" + (1 to 6).map(j =>
+      s" - (${beta(j - 1)} * cos(${2 * j} * xi) * ${sinhS(s"${2 * j} * eta")})").mkString
+    val newton = (1 to 8).map { k =>
+      s""", it$k AS (SELECT *,
+         CASE WHEN d${k - 1} THEN phi${k - 1} ELSE ${g(s"phi${k - 1}")} END AS phi$k,
+         d${k - 1} OR abs(${g(s"phi${k - 1}")} - phi${k - 1}) < 1e-14 AS d$k
+         FROM it${k - 1})"""
+    }.mkString
+    s"""WITH grid AS (
+         SELECT CAST(y.range AS INTEGER) AS y, CAST(x.range AS INTEGER) AS x,
+                300000.0 + (CAST(x.range AS DOUBLE) + 0.5) * 1000.0 AS easting,
+                500000.0 + (CAST(y.range AS DOUBLE) + 0.5) * (-1000.0) AS northing
+         FROM range(50) y, range(50) x),
+       base AS (
+         SELECT y, x, (northing - $fn) / $k0a1 + $xi0 AS xi,
+                      (easting - $fe) / $k0a1 AS eta
+         FROM grid),
+       conf AS (SELECT y, x, $xip AS xip, $etap AS etap FROM base),
+       it0 AS (
+         SELECT y, x, xip, etap,
+                asin(sin(xip) / ${coshS("etap")}) AS chi,
+                asin(sin(xip) / ${coshS("etap")}) AS phi0,
+                FALSE AS d0
+         FROM conf)
+       $newton
+       SELECT y, x,
+              round(phi8 * 180.0 / pi(), 9) AS lat,
+              round($lon0 + atan2(${sinhS("etap")}, cos(xip)) * 180.0 / pi(), 9) AS lon
        FROM it8"""
   }
 
@@ -4661,6 +4835,10 @@ object SparkEntry {
     // F7 UTM — full inverse Krüger series mirrored in SQL (see utmOracleSql)
     "f7_utm_reproject" -> utmOracleSql,
 
+    // F7 parameterized TM — the same series for EPSG:27700 with the
+    // rectified-origin offset (see tmercOracleSql)
+    "f7_tmerc_reproject" -> tmercOracleSql,
+
     // F7 LCC — Lambert-93 closed-form inverse mirrored in SQL
     "f7_lcc_reproject" -> lccOracleSql,
 
@@ -4755,6 +4933,54 @@ object SparkEntry {
           SELECT doc_id, lang, source, n_chars FROM documents
           WHERE doc_id NOT IN (SELECT id FROM win WHERE rk > 1)""",
 
+    // x102 — the flat-frame formula directly: frames 0 and 2 of 4
+    // (everyNth = 2), mean luminance = the frame's single gray value
+    "x102_mjpeg_frames" ->
+      """SELECT doc_id AS media_id, CAST(k AS INTEGER) AS frame_idx,
+                CAST((doc_id * 13 + k * 29) % 256 AS DOUBLE) AS mean_lum
+         FROM documents CROSS JOIN (VALUES (0), (2)) AS ks(k)""",
+
+    // x100 — the HDR census rebuilt with the same integer algebra:
+    // bucket = exponent (via bin-string length) + top mantissa bits,
+    // cumulative walk per lang, integer-ceiled ranks, lower-bound
+    // recovery — every op integer, no tolerance anywhere
+    "x100_quantile_sketch" -> {
+      def lb(b: String): String =
+        s"""CASE WHEN $b < 32 THEN $b
+            ELSE (32 + ($b % 32)) *
+                 CAST(POWER(2, ($b // 32) - 1) AS BIGINT) END"""
+      s"""WITH b AS (
+           SELECT lang,
+             CASE WHEN n_chars < 32 THEN CAST(n_chars AS BIGINT)
+                  ELSE (CAST(length(bin(CAST(n_chars AS BIGINT))) - 1
+                             AS BIGINT) - 4) * 32
+                       + (CAST(n_chars AS BIGINT)
+                          // CAST(POWER(2, length(bin(CAST(n_chars AS BIGINT)))
+                                          - 6) AS BIGINT)) - 32
+             END AS bucket
+           FROM documents),
+         cnt AS (SELECT lang, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+         cum AS (SELECT lang, bucket, c,
+                        SUM(c) OVER (PARTITION BY lang ORDER BY bucket
+                                     ROWS UNBOUNDED PRECEDING) AS cum,
+                        SUM(c) OVER (PARTITION BY lang) AS n
+                 FROM cnt),
+         qs AS (SELECT lang,
+                  CAST(MAX(n) AS BIGINT) AS n,
+                  CAST(COUNT(*) AS INTEGER) AS n_buckets,
+                  MIN(CASE WHEN cum >= (n + 3) // 4 THEN bucket END) AS b25,
+                  MIN(CASE WHEN cum >= (n + 1) // 2 THEN bucket END) AS b50,
+                  MIN(CASE WHEN cum >= (3 * n + 3) // 4 THEN bucket END)
+                    AS b75,
+                  MIN(CASE WHEN cum >= (19 * n + 19) // 20 THEN bucket END)
+                    AS b95
+                FROM cum GROUP BY lang)
+         SELECT lang, n, n_buckets,
+                ${lb("b25")} AS q25, ${lb("b50")} AS q50,
+                ${lb("b75")} AS q75, ${lb("b95")} AS q95
+         FROM qs"""
+    },
+
     // x99 — the normalizer replayed step for step; the domain by the
     // same precedence-ordered suffix CASE chain
     "x99_url_domains" ->
@@ -4819,6 +5045,11 @@ object SparkEntry {
                     FROM embeddings e CROSS JOIN it20 v GROUP BY e.vec_id)
            SELECT p.vec_id, round(p.dp - w.c0, 6) AS pc1
            FROM proj p CROSS JOIN muw w""",
+
+    // x101 — the x90 chain, then per deflation component: Rayleigh λ,
+    // rank-one subtraction, and a fresh unrolled 20-round chain; the
+    // three projections join back per vector
+    "x101_pca_topk" -> pcaTopKOracleSql,
 
     // x97 — the variance report re-derived: the same materialized
     // moment/iteration CTEs, then Rayleigh quotient and trace as

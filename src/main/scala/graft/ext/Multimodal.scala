@@ -542,6 +542,254 @@ object Multimodal {
     }
   }
 
+  /** Motion-JPEG sibling of [[AviCodec]] — the FIRST compressed video
+    * codec the engine decodes for real, because the JDK already ships a
+    * JPEG codec (javax.imageio): an MJPEG AVI is the same RIFF walk
+    * with `MJPG` as the stream handler and each `00dc` chunk a complete
+    * baseline JPEG. Capture hardware, webcams and ffmpeg's `-c:v mjpeg`
+    * emit exactly this. Narrows the [[FakeCodec]] boundary to codecs
+    * the JVM genuinely lacks (H.264/VP9).
+    *
+    * Writer: gray frames → per-frame JPEG at compressionQuality 1.0
+    * (all-ones quantization) → `00dc` chunks in the [[AviCodec]]
+    * container layout with biCompression = 'MJPG'. Reader: RIFF walk →
+    * ImageIO decode per chunk → row-major gray.
+    *
+    * Determinism note: JPEG is lossy in general, but a FLAT 8×8 block
+    * is DC-only — every AC coefficient is exactly zero and the DC
+    * quantizer is 1 at quality 1.0 — so single-valued frames round-trip
+    * EXACTLY (MjpegSpec asserts it, and x102's closed-form oracle
+    * depends on it); textured frames round-trip within the usual ±few
+    * gray levels. */
+  object MjpegCodec {
+    /** 'MJPG' as the little-endian biCompression dword. */
+    val MJPG: Int = 0x47504A4D
+
+    private def le32(out: ByteArrayOutputStream, v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+      out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
+    }
+    private def le16(out: ByteArrayOutputStream, v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
+    }
+    private def fourcc(out: ByteArrayOutputStream, s: String): Unit =
+      out.write(s.getBytes("US-ASCII"), 0, 4)
+
+    /** One gray frame → baseline JPEG bytes at quality 1.0. */
+    def jpegEncodeGray(gray: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      require(gray.length == w * h, "frame size != w*h")
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, gray)
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      val bos = new ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+
+    /** JPEG bytes → (row-major gray, w, h); None on undecodable bytes.
+      * Non-gray sources convert by the integer Rec.601 luma
+      * `(299r + 587g + 114b + 500) / 1000` — deterministic, no AWT
+      * color-management path. */
+    def jpegDecodeGray(bytes: Array[Byte]): Option[(Array[Byte], Int, Int)] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val out = new Array[Byte](w * h)
+          if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+            img.getRaster.getDataElements(0, 0, w, h, out)
+          } else {
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xFF
+                val g = (rgb >> 8) & 0xFF
+                val b = rgb & 0xFF
+                out(y * w + x) = ((299 * r + 587 * g + 114 * b + 500) / 1000).toByte
+                x += 1
+              }
+              y += 1
+            }
+          }
+          Some((out, w, h))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Encode gray frames as an MJPEG AVI ('MJPG' handler, `00dc`
+      * JPEG chunks) — the [[AviCodec]] container layout. */
+    def encodeAviMjpeg(frames: Seq[Array[Byte]], width: Int, height: Int,
+                       fps: Int = 10): Array[Byte] = {
+      require(frames.nonEmpty, "need at least one frame")
+      require(fps > 0, s"fps must be positive: $fps")
+      val jpegs = frames.map(jpegEncodeGray(_, width, height))
+      val bufSize = jpegs.map(_.length).max
+
+      def chunk(id: String)(body: ByteArrayOutputStream => Unit): Array[Byte] = {
+        val b = new ByteArrayOutputStream()
+        body(b)
+        val payload = b.toByteArray
+        val out = new ByteArrayOutputStream()
+        fourcc(out, id); le32(out, payload.length)
+        out.write(payload, 0, payload.length)
+        if (payload.length % 2 == 1) out.write(0)
+        out.toByteArray
+      }
+      def list(kind: String)(parts: Array[Byte]*): Array[Byte] = {
+        val out = new ByteArrayOutputStream()
+        fourcc(out, "LIST")
+        le32(out, 4 + parts.map(_.length).sum)
+        fourcc(out, kind)
+        parts.foreach(p => out.write(p, 0, p.length))
+        out.toByteArray
+      }
+
+      val avih = chunk("avih") { b =>
+        le32(b, 1000000 / fps); le32(b, bufSize * fps)
+        le32(b, 0); le32(b, 0x10)
+        le32(b, frames.length); le32(b, 0); le32(b, 1)
+        le32(b, bufSize); le32(b, width); le32(b, height)
+        (0 until 4).foreach(_ => le32(b, 0))
+      }
+      val strh = chunk("strh") { b =>
+        fourcc(b, "vids"); fourcc(b, "MJPG")
+        le32(b, 0); le16(b, 0); le16(b, 0); le32(b, 0)
+        le32(b, 1); le32(b, fps); le32(b, 0)
+        le32(b, frames.length); le32(b, bufSize); le32(b, -1); le32(b, 0)
+        le16(b, 0); le16(b, 0); le16(b, width); le16(b, height)
+      }
+      val strf = chunk("strf") { b =>
+        le32(b, 40); le32(b, width); le32(b, height)
+        le16(b, 1); le16(b, 24)       // MJPEG decodes to 24-bit
+        le32(b, MJPG)                 // biCompression = 'MJPG'
+        le32(b, bufSize)
+        le32(b, 0); le32(b, 0); le32(b, 0); le32(b, 0)
+      }
+      val frameChunks = jpegs.map(j => chunk("00dc")(_.write(j, 0, j.length)))
+      val movi = list("movi")(frameChunks: _*)
+      val idx1 = chunk("idx1") { b =>
+        var off = 4
+        frameChunks.foreach { fc =>
+          fourcc(b, "00dc"); le32(b, 0x10)
+          le32(b, off); le32(b, fc.length - 8)
+          off += fc.length
+        }
+      }
+      val hdrl = list("hdrl")(avih, list("strl")(strh, strf))
+      val out = new ByteArrayOutputStream()
+      fourcc(out, "RIFF")
+      le32(out, 4 + hdrl.length + movi.length + idx1.length)
+      fourcc(out, "AVI ")
+      out.write(hdrl, 0, hdrl.length)
+      out.write(movi, 0, movi.length)
+      out.write(idx1, 0, idx1.length)
+      out.toByteArray
+    }
+
+    /** Decode an MJPEG AVI to row-major gray frames; None for other
+      * containers/codecs (the [[AviCodec.decodeAviGray]] probe
+      * contract — never a crash). */
+    def decodeAviMjpeg(payload: Array[Byte]): Option[AviCodec.Avi] = {
+      if (payload == null || payload.length < 24) return None
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def cc(pos: Int): String = new String(payload, pos, 4, "US-ASCII")
+      if (cc(0) != "RIFF" || cc(8) != "AVI ") return None
+      var width = -1; var height = -1; var fps = -1; var compression = -1
+      val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      def walk(from: Int, to: Int): Unit = {
+        var pos = from
+        while (pos + 8 <= to) {
+          val id = cc(pos)
+          val size = bb.getInt(pos + 4)
+          if (size < 0 || pos + 8 + size > to) return
+          if (id == "LIST") walk(pos + 12, pos + 8 + size)
+          else if (id == "avih" && size >= 32) {
+            val usPerFrame = bb.getInt(pos + 8)
+            if (usPerFrame > 0) fps = 1000000 / usPerFrame
+          } else if (id == "strf" && size >= 40) {
+            compression = bb.getInt(pos + 24)
+          } else if (id == "00dc" && size > 0) {
+            jpegDecodeGray(java.util.Arrays.copyOfRange(
+                payload, pos + 8, pos + 8 + size)).foreach {
+              case (f, w, h) =>
+                if (width < 0) { width = w; height = h }
+                if (w == width && h == height) frames += f
+            }
+          }
+          pos += 8 + size + (size & 1)
+        }
+      }
+      try walk(12, math.min(payload.length, 8 + bb.getInt(4)))
+      catch { case scala.util.control.NonFatal(_) => return None }
+      if (compression != MJPG || width <= 0 || fps <= 0 || frames.isEmpty)
+        None
+      else Some(AviCodec.Avi(width, height, fps, frames.toSeq))
+    }
+  }
+
+  /** MJPEG video table from documents: each doc gets a REAL MJPEG AVI of
+    * `nFrames` FLAT 8×8 frames, frame k uniformly
+    * `(doc_id·13 + k·29) mod 256` — flat blocks are DC-only, so the
+    * JPEG layer is exact (see [[MjpegCodec]]) and per-frame luminance is
+    * closed-form for the oracle, while the engine runs the full
+    * container walk + entropy decode. */
+  def mjpegFromDocs(docs: DataFrame, nFrames: Int = 4): DataFrame = {
+    val aviUdf = udf((docId: Long) => {
+      val frames = (0 until nFrames).map { k =>
+        Array.fill[Byte](64)(((docId * 13 + k * 29) % 256).toByte)
+      }
+      MjpegCodec.encodeAviMjpeg(frames, 8, 8, fps = 10)
+    })
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("video").as("kind"),
+      aviUdf(col("doc_id")).as("payload"),
+      struct(
+        lit(8).as("width"), lit(8).as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(nFrames).as("n_frames"),
+        lit("video/x-msvideo").as("mime")).as("meta"))
+  }
+
+  /** [[sampleAviFrames]] with the MJPEG decoder: every `everyNth`
+    * decoded frame → (media_id, frame_idx, mean_lum); mapPartitions,
+    * no shuffle, non-MJPEG payloads drop. */
+  def sampleMjpegFrames(media: DataFrame, everyNth: Int): DataFrame = {
+    require(everyNth > 0, s"everyNth must be positive, got $everyNth")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("mean_lum", DoubleType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        MjpegCodec.decodeAviMjpeg(payload).toSeq.flatMap { avi =>
+          avi.frames.zipWithIndex
+            .collect { case (f, k) if k % everyNth == 0 =>
+              var sum = 0L
+              var i = 0
+              while (i < f.length) { sum += f(i) & 0xFF; i += 1 }
+              Row(r.getLong(0), k, sum.toDouble / f.length)
+            }
+        }
+      }
+    }(encoder)
+  }
+
   /** Build an AVI video table from documents: each doc gets a REAL
     * uncompressed-DIB AVI whose 8×8 gray frames follow a closed integer
     * formula — pixel i of frame k = `(doc_id·11 + k·17 + i·5) mod 241` —

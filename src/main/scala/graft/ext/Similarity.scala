@@ -1146,6 +1146,15 @@ object Similarity {
       val gij = gram(if (i <= j) (i, j) else (j, i))
       gij / n - mu(i) * mu(j)
     }
+    (cm, mu, powerIterate(cm, dim, iters))
+  }
+
+  /** `iters` power-iteration rounds on a d×d matrix: deterministic
+    * 1/√d·1 start, every fold 0.0-init ascending (the DotFold
+    * discipline) — shared by the top-component and deflation paths so
+    * both replay identically in the oracle. */
+  private def powerIterate(cm: Array[Array[Double]], dim: Int,
+                           iters: Int): Array[Double] = {
     // start with mass on EVERY axis (1/√d · 1) — an e₀ start has zero
     // overlap with any principal axis orthogonal to it and stalls
     var w = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
@@ -1156,7 +1165,59 @@ object Similarity {
       require(nrm > 0.0, "covariance is identically zero — no principal axis")
       w = u.map(_ / nrm)
     }
-    (cm, mu, w)
+    w
+  }
+
+  /** Top-`nComp` principal axes by DEFLATION: pay the exact moment pass
+    * ONCE, then per component run the power iteration and subtract the
+    * captured rank-one term `λ_c · w_c w_cᵀ` (Hotelling deflation, the
+    * textbook sequence) from the working matrix — all driver-side on
+    * the d×d state, with λ_c the Rayleigh quotient of w_c against the
+    * CURRENT (deflated) matrix and every reduction a 0.0-init ascending
+    * fold, so an independent engine replays axis after axis bit for
+    * bit. Returns (mean, axes, lambdas), axes in λ-descending training
+    * order.
+    *
+    * This is the spectral half of an OPQ-style rotation: projecting
+    * onto the top axes concentrates the corpus' energy into the leading
+    * coordinates, which is what makes rotated product quantization
+    * beat coordinate-sliced PQ on correlated embeddings
+    * (ExtSpec demonstrates the recall gain on a correlated fixture). */
+  def pcaTopAxes(embeddings: DataFrame, nComp: Int, dim: Int = 64,
+                 iters: Int = 20, vecCol: String = "embedding")
+      : (Array[Double], Array[Array[Double]], Array[Double]) = {
+    require(nComp >= 1 && nComp <= dim, s"need 1 <= nComp <= $dim: $nComp")
+    val (cm0, mu, _) = pcaTrain(embeddings, dim, 1, vecCol)
+    var cm = cm0
+    val axes = new Array[Array[Double]](nComp)
+    val lambdas = new Array[Double](nComp)
+    for (c <- 0 until nComp) {
+      val w = powerIterate(cm, dim, iters)
+      val cw = Array.tabulate(dim)(i =>
+        (0 until dim).foldLeft(0.0)((a, j) => a + cm(i)(j) * w(j)))
+      val lambda = (0 until dim).foldLeft(0.0)((a, i) => a + w(i) * cw(i))
+      axes(c) = w
+      lambdas(c) = lambda
+      if (c + 1 < nComp)
+        cm = Array.tabulate(dim, dim)((i, j) => cm(i)(j) - lambda * w(i) * w(j))
+    }
+    (mu, axes, lambdas)
+  }
+
+  /** Per-vector projections onto the top `nComp` deflated axes —
+    * (id, pc1..pcK), each a zero-shuffle literal fold `v·w_c − μ·w_c`
+    * (the [[pcaTopComponent]] shape per component), rounded to 6 dp. */
+  def pcaProjectTopK(embeddings: DataFrame, nComp: Int = 3, dim: Int = 64,
+                     iters: Int = 20, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val (mu, axes, _) = pcaTopAxes(embeddings, nComp, dim, iters, vecCol)
+    val cols = (0 until nComp).map { c =>
+      val w = axes(c)
+      val muw = (0 until dim).foldLeft(0.0)((a, i) => a + mu(i) * w(i))
+      round(graft.functions.VectorExprs.dot_fold(col(vecCol),
+        array(w.toIndexedSeq.map(lit): _*)) - lit(muw), 6).as(s"pc${c + 1}")
+    }
+    embeddings.select((col(idCol) +: cols): _*)
   }
 
   /** Variance-explained report for the trained axis — the one-row

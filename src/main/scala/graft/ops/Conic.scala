@@ -17,6 +17,8 @@ object Ellipsoid {
   val GRS80: Ellipsoid = Ellipsoid(6378137.0, 298.257222101)
   /** Defined by (a, b), not (a, 1/f): 1/f = a / (a - b). */
   val Clarke1866: Ellipsoid = Ellipsoid(6378206.4, 6378206.4 / (6378206.4 - 6356583.8))
+  /** EPSG:7001 — the OSGB36 / British National Grid ellipsoid. */
+  val Airy1830: Ellipsoid = Ellipsoid(6377563.396, 299.3249646)
 }
 
 /** Conic projections on the ellipsoid — Lambert conformal conic (1- and

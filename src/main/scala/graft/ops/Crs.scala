@@ -16,6 +16,7 @@ object Crs {
   case object Geographic extends Projection    // EPSG:4326, degrees as-is
   case object WebMercator extends Projection   // EPSG:3857, spherical
   final case class UtmZone(zone: Int, north: Boolean) extends Projection
+  final case class TransverseMercator(p: Utm.Tmerc) extends Projection
   final case class LambertConic(p: Conic.Lcc) extends Projection
   final case class AlbersConic(p: Conic.Albers) extends Projection
   final case class LaeaAzimuthal(p: Conic.Laea) extends Projection
@@ -61,6 +62,10 @@ object Crs {
     case 3857 => Some(WebMercator)
     case c if c >= 32601 && c <= 32660 => Some(UtmZone(c - 32600, north = true))
     case c if c >= 32701 && c <= 32760 => Some(UtmZone(c - 32700, north = false))
+    // national TM grids that are NOT UTM zones: the parameterized
+    // Krüger core with per-code (ellipsoid, k0, phi0, lam0, FE, FN)
+    case 27700 => Some(TransverseMercator(Utm.Tmerc.BritishNationalGrid))
+    case 2193 => Some(TransverseMercator(Utm.Tmerc.Nztm2000))
     case 2154 => Some(LambertConic(Lambert93))
     case 3978 => Some(LambertConic(CanadaAtlasLcc))
     case 5070 => Some(AlbersConic(ConusAlbers))
@@ -90,6 +95,9 @@ object Crs {
            (180.0 / math.Pi))
       case UtmZone(zone, north) =>
         val (lat, lon) = Utm.toLatLon(x, y, zone, north)
+        (lon, lat)
+      case TransverseMercator(p) =>
+        val (lat, lon) = p.inverse(x, y)
         (lon, lat)
       case LambertConic(p) => p.inverse(x, y)
       case AlbersConic(p) => p.inverse(x, y)

@@ -585,4 +585,26 @@ class PlanSpec extends AnyFunSuite {
       s"no map-side partials:\n$p")
     assert(!p.contains("Join"), s"weight lookup joined instead of computed:\n$p")
   }
+
+  test("x98 BPE / x99 URL / x101 top-k PCA: merge table, suffix rules " +
+       "and axes all ride as literals — zero exchange, zero join") {
+    Seq("x98_bpe_tokens", "x99_url_domains", "x101_pca_topk").foreach { q =>
+      val p = executed(q).toString
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+      assert(!p.contains("Join"), s"$q joins:\n$p")
+    }
+  }
+
+  test("x100 HDR sketch: ONE exchange carrying per-partition sketch " +
+       "partials, no sort of the corpus") {
+    val p = executed("x100_quantile_sketch").toString
+    assert("Exchange".r.findAllIn(p).length == 1, s"extra exchanges:\n$p")
+    assert(!p.contains("Sort"), s"sketch path sorts the corpus:\n$p")
+  }
+
+  test("x102 MJPEG sampling: per-container decode in the scan task — " +
+       "zero exchange") {
+    val p = executed("x102_mjpeg_frames").toString
+    assert(!p.contains("Exchange"), s"x102 shuffles:\n$p")
+  }
 }

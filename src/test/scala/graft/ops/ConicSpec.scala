@@ -292,8 +292,9 @@ class ConicSpec extends AnyFunSuite {
     assert(Crs.fromEpsg(3035).isDefined)
     assert(Crs.fromEpsg(3413).isDefined && Crs.fromEpsg(3031).isDefined)
     assert(Crs.fromEpsg(53008).isDefined) // ESRI Sphere_Sinusoidal
-    assert(Crs.fromEpsg(27700).isEmpty)  // OSGB TM: not registered
-    assert(Crs.fromEpsg(2193).isEmpty)   // NZTM: not registered
+    assert(Crs.fromEpsg(27700).isDefined) // OSGB TM (round 9)
+    assert(Crs.fromEpsg(2193).isDefined)  // NZTM (round 9)
+    assert(Crs.fromEpsg(23700).isEmpty)   // HD72/EOV: not registered
     // Crs.toLonLat dispatch for the conic branches
     val (lon, lat) = Crs.toLonLat(Crs.fromEpsg(2154).get, 700000.0, 6600000.0)
     assert(math.abs(lon - 3.0) < 1e-12 && math.abs(lat - 46.5) < 1e-12)

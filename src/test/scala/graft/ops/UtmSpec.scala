@@ -56,7 +56,7 @@ class UtmSpec extends AnyFunSuite {
     assert(Crs.fromEpsg(4326).contains(Crs.Geographic))
     assert(Crs.fromEpsg(3857).contains(Crs.WebMercator))
     assert(Crs.fromEpsg(32661).isEmpty) // UPS — not a TM zone
-    assert(Crs.fromEpsg(27700).isEmpty) // OSGB — unregistered datum
+    assert(Crs.fromEpsg(23700).isEmpty) // HD72/EOV — unregistered datum
     assert(Crs.fromCrsString("EPSG:32743").contains(Crs.UtmZone(43, false)))
     assert(Crs.fromCrsString("garbage").isEmpty)
     assert(Crs.fromCrsString(null).isEmpty)
@@ -74,6 +74,45 @@ class UtmSpec extends AnyFunSuite {
     val y = math.log(math.tan(math.Pi / 4.0 + 28.6 * math.Pi / 360.0)) * 6378137.0
     val (lonM, latM) = Crs.toLonLat(Crs.WebMercator, x, y)
     assert(math.abs(lonM - 77.2) < 1e-9 && math.abs(latM - 28.6) < 1e-9)
+  }
+
+  test("parameterized TM: the OS worked example round-trips on the " +
+       "British National Grid (EPSG:27700)") {
+    // Ordnance Survey "A guide to coordinate systems in Great Britain",
+    // worked example: 52°39'27.2531"N 1°43'4.5177"E ↔
+    // E 651409.903 N 313177.270
+    val lat = 52.0 + 39.0 / 60.0 + 27.2531 / 3600.0
+    val lon = 1.0 + 43.0 / 60.0 + 4.5177 / 3600.0
+    val bng = Utm.Tmerc.BritishNationalGrid
+    val (e, n) = bng.forward(lat, lon)
+    assert(math.abs(e - 651409.903) < 5e-3, s"easting $e")
+    assert(math.abs(n - 313177.270) < 5e-3, s"northing $n")
+    val (latB, lonB) = bng.inverse(651409.903, 313177.270)
+    assert(math.abs(latB - lat) < 2e-7 && math.abs(lonB - lon) < 2e-7)
+    // the non-zero origin enters as a rectified offset, not zero
+    assert(bng.xi0 > 0.0)
+  }
+
+  test("parameterized TM: NZTM2000 (EPSG:2193) round-trip and anchors") {
+    val nz = Utm.Tmerc.Nztm2000
+    // central meridian maps to the false easting exactly
+    assert(math.abs(nz.forward(-41.0, 173.0)._1 - 1600000.0) < 1e-6)
+    // forward∘inverse identity across the NZ extent
+    for ((la, lo) <- Seq((-36.8485, 174.7633), (-41.2889, 174.7772),
+                         (-45.8788, 170.5028))) {
+      val (e, n) = nz.forward(la, lo)
+      assert(e > 1.0e6 && e < 2.2e6 && n > 4.7e6 && n < 6.2e6,
+        s"NZTM coords out of range: $e $n")
+      val (la2, lo2) = nz.inverse(e, n)
+      assert(math.abs(la2 - la) < 1e-9 && math.abs(lo2 - lo) < 1e-9)
+    }
+    // registry routes both codes and fails closed on near misses
+    assert(Crs.fromEpsg(27700).nonEmpty && Crs.fromEpsg(2193).nonEmpty)
+    assert(Crs.fromEpsg(27701).isEmpty)
+    val (e, n) = nz.forward(-41.2889, 174.7772)
+    val (lonR, latR) = Crs.toLonLat(Crs.fromEpsg(2193).get, e, n)
+    assert(math.abs(latR - (-41.2889)) < 1e-9 &&
+      math.abs(lonR - 174.7772) < 1e-9)
   }
 
   test("UDF reprojets a pixel table distributively") {

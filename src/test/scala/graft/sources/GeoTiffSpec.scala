@@ -369,7 +369,7 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(math.abs(gotLat - expLat) < 1e-12 && math.abs(gotLon - expLon) < 1e-12)
     assert(gotLat < -17.0 && gotLat > -17.6, s"latitude $gotLat not southern")
     // an unregistered CRS fails loudly, never mislabels meters as degrees
-    val bad = meta.copy(dataset = "bad.tif", crs = "EPSG:27700")
+    val bad = meta.copy(dataset = "bad.tif", crs = "EPSG:23700")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.tif"),
       GeoTiff.write(bad, values))
     val e2 = intercept[org.apache.spark.SparkException] {
@@ -564,6 +564,28 @@ class GeoTiffSpec extends AnyFunSuite {
     val (gotLon, gotLat) = rows((0, 0))
     assert(math.abs(gotLat - expLat) < 1e-12 && math.abs(gotLon - expLon) < 1e-12)
     assert(gotLat > 86.0 && gotLat < 87.0, s"latitude $gotLat not polar")
+  }
+
+  test("readLonLat reprojects an NZTM2000 (EPSG:2193) raster via the " +
+       "parameterized TM registry branch") {
+    // 1 km pixels around Wellington on the NZ national grid — a TM code
+    // that is NOT a UTM zone (lam0 = 173°E, FE 1.6e6, FN 1e7)
+    val meta = GridMeta("nztm.tif", a = 1000.0, b = 0.0, c = 1740000.0,
+      d = 0.0, e = -1000.0, f = 5440000.0, crs = "EPSG:2193",
+      width = 8, height = 6, nodata = None, scaleM = 1000)
+    val values = Array.tabulate(48)(_.toFloat)
+    val dir = java.nio.file.Files.createTempDirectory("nztm").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/nztm.tif"),
+      GeoTiff.write(meta, values, compression = 5))
+    val rows = GeoTiff.readLonLat(spark, s"$dir/nztm.tif")
+      .collect().map(r => ((r.getInt(1), r.getInt(2)),
+        (r.getDouble(3), r.getDouble(4)))).toMap
+    val (expLon, expLat) = graft.ops.Crs.toLonLat(
+      graft.ops.Crs.fromEpsg(2193).get, 1740500.0, 5439500.0)
+    val (gotLon, gotLat) = rows((0, 0))
+    assert(math.abs(gotLat - expLat) < 1e-12 && math.abs(gotLon - expLon) < 1e-12)
+    assert(gotLat > -41.6 && gotLat < -41.0, s"latitude $gotLat not NZ")
+    assert(gotLon > 174.0 && gotLon < 175.5, s"longitude $gotLon not NZ")
   }
 
   test("readLonLat reprojects a sphere-sinusoidal (ESRI:53008) raster") {
