@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{Mix64, MinHashSignature, RollingFnvFingerprint, ShingleHashes, ShingleHashesAll, SimHash64, StringShingles}
+import graft.functions.{BpeSubwords, Mix64, MinHashSignature, RollingFnvFingerprint, ShingleHashes, ShingleHashesAll, SimHash64, StringShingles}
 
 /** SQL surface for the engine's custom expressions.
   *
@@ -89,6 +89,13 @@ object GraftExtensions {
     Mix64(exprs.head)
   }
 
+  private def bpeBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "bpe_subwords(text: string)")
+    // SQL binds the in-repo fixture table (SQL cannot pass a merge
+    // table); the programmatic API takes any table, incl. x105-trained
+    BpeSubwords(exprs.head, graft.ext.TextOps.bpeFixtureMerges)
+  }
+
   val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
@@ -112,7 +119,10 @@ object GraftExtensions {
       fingerprintBuilder _),
     ("mix64",
       new ExpressionInfo(classOf[Mix64].getName, "mix64"),
-      mix64Builder _))
+      mix64Builder _),
+    ("bpe_subwords",
+      new ExpressionInfo(classOf[BpeSubwords].getName, "bpe_subwords"),
+      bpeBuilder _))
 
   /** Register into an existing session (temp functions). */
   def registerAll(spark: SparkSession): Unit =

@@ -27,6 +27,16 @@ object SparkEntry {
     * writes, so nothing leaks across reps. */
   private val storeBuilt =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** x105/x106 trained BPE merges, memoized per data dir (the
+    * [[storedDir]] discipline): training runs once per JVM, every
+    * later query construction reads the learned table. */
+  private val trainedBpe = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, String, Long)]]()
+  private def bpeTrained(s: SparkSession, d: String)
+      : Seq[(String, String, Long)] =
+    trainedBpe.computeIfAbsent(d, _ =>
+      ext.TextOps.trainBpeMerges(t(s, d, "documents"), nMerges = 12))
   private def storedDir(kind: String, d: String)(build: String => Unit): String =
     storeBuilt.computeIfAbsent(s"$kind|$d", _ => {
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -916,6 +926,44 @@ object SparkEntry {
     "x104_domain_rollup" -> ((s, d) =>
       ext.UrlOps.domainRollup(
         t(s, d, "documents").withColumn("url", expr(urlSqlExpr)))),
+
+    // x107 — domain-aware crawl rebalancing: the x99 registered domain
+    // becomes the stratum key of the x35 inverse-sqrt resampler — the
+    // decision real crawl pipelines make (cap over-crawled registered
+    // domains, not raw hosts, so www./cdn./blog. subdomains pool into
+    // one budget). Composes two proven fragments; the splitmix coin and
+    // thresholds replay exactly.
+    "x107_domain_mix" -> ((s, d) =>
+      ext.Curation.inverseSqrtSample(
+        t(s, d, "documents")
+          .withColumn("url", expr(urlSqlExpr))
+          .withColumn("domain",
+            ext.UrlOps.registeredDomain(ext.UrlOps.hostOf(col("url")))),
+        "domain", target = 8.0)
+        .select("doc_id", "domain", "source", "n_chars")),
+
+    // x105 — BPE TRAINING inside the engine (the x85/x90 discipline
+    // promoted to subword vocabularies): 12 rounds of occurrence-
+    // weighted pair counting (one vocabulary-bounded aggregate each,
+    // total-order argmax) over the distinct-word state. Output = the
+    // learned merge table itself; the oracle re-learns it round by
+    // round — count CTE, 1-row argmax CTE, merge-apply CTE per rank —
+    // and must reproduce every rule AND its count exactly.
+    "x105_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      bpeTrained(s, d).zipWithIndex
+        .map { case ((p1, p2, c), i) => (i + 1, p1, p2, c) }
+        .toDF("rank", "l_sym", "r_sym", "pair_count")
+    }),
+
+    // x106 — the trained tokenizer APPLIED: per-doc fertility report
+    // under the x105-learned merges (train → tokenize, the full
+    // lifecycle; the oracle tokenizes from its own re-learned table's
+    // final vocabulary state, so a single diverging rule anywhere in
+    // training would cascade into a hash mismatch here).
+    "x106_bpe_trained_tokens" -> ((s, d) =>
+      ext.TextOps.bpeReport(t(s, d, "documents"),
+        merges = bpeTrained(s, d).map(m => (m._1, m._2)))),
 
     // x98 — EXACT tokenization: greedy byte-pair encoding (the published
     // subword algorithm) over the in-repo rank-ordered merge table, as
@@ -1896,6 +1944,51 @@ object SparkEntry {
          JOIN p2proj p2 ON p2.vec_id = p1.vec_id
          JOIN p3proj p3 ON p3.vec_id = p1.vec_id
          CROSS JOIN p1muw w1 CROSS JOIN p2muw w2 CROSS JOIN p3muw w3"""
+  }
+
+  /** The x105/x106 BPE TRAINING replay: the corpus word census with
+    * occurrence multiplicities, then per round — a pair-count CTE
+    * (occurrence-weighted, vocabulary-bounded), a 1-row argmax CTE
+    * (cnt DESC, pair ASC — the engine's total order), and a merge-apply
+    * CTE whose list_reduce fold reads the learned rule FROM the argmax
+    * row (CROSS JOIN — the rule is DATA here, not a pasted literal,
+    * because the oracle must re-learn it). Ends at `tw$rounds` (the
+    * fully-merged vocabulary) with `twordocc` and every `tt$k` rule row
+    * in scope. */
+  private def bpeTrainCtes(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""tp$k AS MATERIALIZED (
+           SELECT m, unnest(list_transform(range(1, len(syms)), i ->
+             {'a': syms[CAST(i AS INTEGER)],
+              'b': syms[CAST(i + 1 AS INTEGER)]})) AS pr
+           FROM tw${k - 1}),
+         tt$k AS MATERIALIZED (
+           SELECT pr.a AS p1, pr.b AS p2, CAST(SUM(m) AS BIGINT) AS cnt
+           FROM tp$k GROUP BY 1, 2
+           ORDER BY cnt DESC, p1, p2 LIMIT 1),
+         tw$k AS MATERIALIZED (
+           SELECT w, m, list_reduce(
+               list_prepend(CAST([] AS VARCHAR[]),
+                            list_transform(syms, s -> [s])),
+               (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.p1
+                                AND x[1] = t.p2
+                           THEN list_append(acc[1:len(acc) - 1],
+                                            t.p1 || t.p2)
+                           ELSE list_concat(acc, x) END) AS syms
+           FROM tw${k - 1} CROSS JOIN tt$k t)"""
+    }.mkString(",\n       ")
+    s"""twordocc AS MATERIALIZED (
+         SELECT doc_id, unnest(l) AS w
+         FROM (SELECT doc_id, list_filter(
+                 regexp_split_to_array(lower(text), '\\s+'),
+                 t -> length(t) > 0) AS l
+               FROM documents)),
+       tw0 AS MATERIALIZED (
+         SELECT w, CAST(COUNT(*) AS BIGINT) AS m,
+                list_transform(range(1, length(w) + 1),
+                  i -> substr(w, CAST(i AS INTEGER), 1)) AS syms
+         FROM twordocc GROUP BY w),
+       $steps"""
   }
 
   /** The x34 BM25 oracle — shared verbatim by x96 (stored ≡ inline). */
@@ -4997,6 +5090,53 @@ object SparkEntry {
                   CAST(COUNT(DISTINCT norm_url) AS BIGINT) AS n_norm_distinct,
                   MIN(norm_url) AS sample_url
            FROM dd GROUP BY domain""",
+
+    // x107 — the x99 domain chain feeding the x35 threshold + splitmix
+    // coin, replayed end to end
+    "x107_domain_mix" ->
+      s"""WITH $urlNormCtes,
+          dom AS MATERIALIZED (
+            SELECT doc_id, ${regDomainSql("host")} AS domain FROM n),
+          cnt AS (SELECT domain, COUNT(*) AS n_d FROM dom GROUP BY 1),
+          thr AS (SELECT domain,
+                    CAST(floor(least(1.0, 8.0 / sqrt(CAST(n_d AS DOUBLE)))
+                               * 1048576) AS BIGINT) AS keep_below
+                  FROM cnt),
+          m0 AS (SELECT d.doc_id, g.domain, d.source, d.n_chars,
+                        t.keep_below, d.doc_id::HUGEINT AS u0
+                 FROM documents d JOIN dom g USING (doc_id)
+                 JOIN thr t ON t.domain = g.domain),
+          m1 AS (SELECT *, ${mulmodSql("xor(u0, u0 // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM m0),
+          m2 AS (SELECT *, ${mulmodSql("xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM m1),
+          m3 AS (SELECT *, xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM m2),
+          sgn AS (SELECT *, CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+                                      THEN uh - 18446744073709551616::HUGEINT
+                                      ELSE uh END AS BIGINT) AS sh FROM m3)
+          SELECT doc_id, domain, source, n_chars FROM sgn
+          WHERE ((sh % 1048576) + 1048576) % 1048576 < keep_below""",
+
+    // x105 — training re-learned round by round; every rule and count
+    // must match the engine's argmax sequence exactly
+    "x105_bpe_train" -> {
+      val union = (1 to 12).map(k =>
+        s"""SELECT CAST($k AS INTEGER) AS rank, p1 AS l_sym,
+                   p2 AS r_sym, cnt AS pair_count FROM tt$k""")
+        .mkString("\n UNION ALL ")
+      s"WITH ${bpeTrainCtes(12)} $union"
+    },
+
+    // x106 — tokenize with the re-learned table: per-word subword
+    // counts come straight from the final training state tw12
+    "x106_bpe_trained_tokens" ->
+      s"""WITH ${bpeTrainCtes(12)},
+           agg AS (SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                          CAST(SUM(len(v.syms)) AS BIGINT) AS n_bpe_tokens
+                   FROM twordocc o JOIN tw12 v USING (w)
+                   GROUP BY o.doc_id)
+           SELECT doc_id, n_words, n_bpe_tokens,
+                  CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
+                    AS fertility
+           FROM agg""",
 
     // x98 — the BPE merge loop replayed rule by rule over the distinct
     // vocabulary; counts join back per word occurrence; fertility is one

@@ -83,8 +83,10 @@ object TextOps {
     * one IEEE division, engine-portable). Empty docs (no words) are
     * dropped — no meaningful fertility, the x21 convention. */
   def bpeReport(docs: DataFrame, textCol: String = "text",
-                idCol: String = "doc_id"): DataFrame = {
-    val subs = bpeSubwords(col(textCol))
+                idCol: String = "doc_id",
+                merges: Seq[(String, String)] = bpeFixtureMerges)
+      : DataFrame = {
+    val subs = bpeSubwords(col(textCol), merges)
     docs.select(col(idCol),
         size(filter(tokens(col(textCol)), t => length(t) > 0))
           .cast("long").as("n_words"),
@@ -92,6 +94,78 @@ object TextOps {
       .filter(col("n_words") > 0L)
       .withColumn("fertility",
         col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+  }
+
+  /** One left-to-right merge pass of the rule (p1, p2) over a symbol
+    * array — the Column image of [[graft.functions.BpeKernel]]'s inner
+    * loop and the exact twin of the oracle's list_reduce fold: the
+    * accumulator ends with p1 and the next element is p2 → replace the
+    * tail with the merged symbol (which can never itself be the left of
+    * the same rule, so one pass suffices). */
+  private def applyMergePass(syms: Column, p1: String, p2: String): Column =
+    aggregate(
+      transform(syms, s => array(s)),
+      array().cast("array<string>"),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === p1 && element_at(x, 1) === p2,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(p1 + p2))))
+        .otherwise(concat(acc, x)))
+
+  /** TRAIN a BPE merge table FROM the corpus, inside the engine — the
+    * tokenizer-training step itself distributed (the x85/x90 discipline
+    * promoted to subword vocabularies; Sennrich 2016's learning loop):
+    * start from the per-word character sequences, and per round pick
+    * the adjacent symbol pair with the highest occurrence-weighted
+    * count — ties broken on (pair) ascending, a total order — then
+    * merge it everywhere. Returns the rules in training order with
+    * their counts; the result is well-formed by construction, so
+    * [[bpeSubwords]] re-tokenizes with it directly.
+    *
+    * Every round is ONE bounded aggregate: pair counts collapse
+    * map-side (keyed by symbol pair — vocabulary-bounded, not corpus-
+    * bounded), a 1-row argmax reaches the driver, and the merge applies
+    * to the DISTINCT-word state (localCheckpoint per round, the x45
+    * lineage discipline). The corpus is scanned ONCE (the initial
+    * word census); all `nMerges` rounds run over the vocabulary table,
+    * whose size is Heaps-law sublinear in corpus size. Integer counts +
+    * total-order argmax ⇒ the learned table is bit-identical under any
+    * partitioning, replayable rule for rule by an independent engine. */
+  def trainBpeMerges(docs: DataFrame, nMerges: Int,
+                     textCol: String = "text")
+      : Seq[(String, String, Long)] = {
+    require(nMerges >= 1, s"need nMerges >= 1: $nMerges")
+    var vocab = docs
+      .select(explode(filter(tokens(col(textCol)), t => length(t) > 0))
+        .as("w"))
+      .groupBy("w").agg(count(lit(1)).as("m"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var r = 0
+    var dry = false
+    while (r < nMerges && !dry) {
+      val n1 = greatest(size(col("syms")) - 1, lit(0))
+      val top = vocab
+        .select(col("m"), explode(arrays_zip(
+          slice(col("syms"), lit(1), n1),
+          slice(col("syms"), lit(2), n1))).as("pr"))
+        .select(col("pr.0").as("p1"), col("pr.1").as("p2"), col("m"))
+        .groupBy("p1", "p2").agg(sum("m").as("cnt"))
+        .orderBy(col("cnt").desc, col("p1"), col("p2")).limit(1)
+        .collect()
+      if (top.isEmpty) dry = true
+      else {
+        val (p1, p2, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((p1, p2, cnt))
+        vocab = vocab
+          .withColumn("syms", applyMergePass(col("syms"), p1, p2))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    out.toSeq
   }
 
   /** Language-ID stopword tables (tiny, language-distinctive function

@@ -138,21 +138,22 @@ object BpeKernel {
 
   /** The shared text→subwords pass: lowercase, whitespace-split (the
     * `split(lower(text), "\\s+")` convention every text operator uses,
-    * empties dropped), then per-word greedy BPE — with a per-thread
-    * word cache (Zipf: the same words recur constantly; the cap bounds
-    * task memory and simply resets on overflow). */
-  private val CacheCap = 1 << 16
+    * empties dropped), then per-word greedy BPE through the CALLER'S
+    * word cache (Zipf: the same words recur constantly). The cache must
+    * belong to one (merge table, thread) — a table-blind shared cache
+    * would serve one tokenizer's segmentations to another (x98's
+    * fixture table vs x106's trained table in one JVM). The cap bounds
+    * task memory and simply resets on overflow. */
+  val CacheCap = 1 << 16
 
-  private val cache: ThreadLocal[java.util.HashMap[String, Array[String]]] =
-    ThreadLocal.withInitial(() => new java.util.HashMap[String, Array[String]]())
-
-  def encodeText(text: String, rules: Array[Rule]): Array[Array[String]] = {
+  def encodeText(text: String, rules: Array[Rule],
+                 cache: java.util.HashMap[String, Array[String]])
+      : Array[Array[String]] = {
     val words = TokenSplit.tokenize(text)
-    val c = cache.get()
-    if (c.size > CacheCap) c.clear()
+    if (cache.size > CacheCap) cache.clear()
     words.map { w =>
-      var r = c.get(w)
-      if (r == null) { r = encodeWord(w, rules); c.put(w, r) }
+      var r = cache.get(w)
+      if (r == null) { r = encodeWord(w, rules); cache.put(w, r) }
       r
     }
   }
@@ -172,9 +173,17 @@ case class BpeSubwords(child: Expression, merges: Seq[(String, String)])
 
   @transient private lazy val rules = BpeKernel.compile(merges)
 
+  // per-(instance, thread) word cache: instances are per-task after
+  // deserialization, and each instance carries exactly one merge table,
+  // so entries can never leak across tokenizers
+  @transient private lazy val cache
+      : ThreadLocal[java.util.HashMap[String, Array[String]]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.HashMap[String, Array[String]]())
+
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    val segs = BpeKernel.encodeText(s, rules)
+    val segs = BpeKernel.encodeText(s, rules, cache.get())
     val out = new scala.collection.mutable.ArrayBuffer[AnyRef](s.length / 4 + 4)
     segs.foreach(_.foreach(t => out += UTF8String.fromString(t)))
     new GenericArrayData(out.toArray)

@@ -96,17 +96,51 @@ object Tar {
     new String(h, off, end - off, UTF_8)
   }
 
+  /** `path` override from a PAX extended header (POSIX.1-2001): the
+    * data block is a sequence of `"<len> <key>=<value>\n"` records,
+    * `len` counting the WHOLE record in bytes including the length
+    * digits, the space, and the newline; values are UTF-8. Returns the
+    * last `path` value, None when absent or malformed (malformed pax
+    * data degrades to no override, never a throw). */
+  private def paxPath(data: Array[Byte]): Option[String] = {
+    var pos = 0
+    var found: Option[String] = None
+    var ok = true
+    while (ok && pos < data.length) {
+      var sp = pos
+      while (sp < data.length && data(sp) != ' '.toByte) sp += 1
+      val len =
+        if (sp >= data.length) -1
+        else new String(data, pos, sp - pos, UTF_8).toIntOption.getOrElse(-1)
+      if (len <= 0 || pos + len > data.length ||
+        data(pos + len - 1) != '\n'.toByte) ok = false
+      else {
+        val rec = new String(data, sp + 1, pos + len - 1 - (sp + 1), UTF_8)
+        val eq = rec.indexOf('=')
+        if (eq > 0 && rec.substring(0, eq) == "path")
+          found = Some(rec.substring(eq + 1))
+        pos += len
+      }
+    }
+    found
+  }
+
   /** Parse every regular-file entry; stops cleanly at the zero-block
     * terminator; torn or checksum-bad tails drop the bad entry only.
-    * Long paths from standard tools resolve both ways they ship: the
-    * ustar `prefix` field (offset 345, POSIX.1-1988 — joined as
-    * `prefix/name`) and GNU tar's 'L' long-name pseudo-entry (the data
-    * block carries the NUL-terminated name of the NEXT entry). */
+    * Long paths from standard tools resolve all THREE ways they ship:
+    * the ustar `prefix` field (offset 345, POSIX.1-1988 — joined as
+    * `prefix/name`), GNU tar's 'L' long-name pseudo-entry (the data
+    * block carries the NUL-terminated name of the NEXT entry), and a
+    * PAX 'x' extended header's `path` record (POSIX.1-2001 — what
+    * modern bsdtar and `tar --format=pax` emit; highest precedence,
+    * per the pax spec). Global 'g' headers skip without consuming a
+    * pending override. */
   def readAll(tar: Array[Byte]): Seq[Entry] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
     var pos = 0
     var done = false
     var pendingLongName: Option[String] = None
+    var pendingPaxPath: Option[String] = None
     while (!done && pos + 512 <= tar.length) {
       val h = java.util.Arrays.copyOfRange(tar, pos, pos + 512)
       if (h.forall(_ == 0)) done = true // terminator
@@ -125,10 +159,15 @@ object Tar {
               case -1 => raw.length; case i => i
             }
             pendingLongName = Some(new String(raw, 0, end, UTF_8))
+          } else if (tf == 'x'.toByte) {
+            // PAX per-file extended header: path= names the next entry
+            paxPath(data).foreach(p => pendingPaxPath = Some(p))
+          } else if (tf == 'g'.toByte) {
+            // PAX global header: defaults only — skip, don't consume
           } else {
-            // the pending 'L' name belongs to THIS entry whatever its
-            // type — consume it even when the entry is skipped below
-            val name = pendingLongName.getOrElse {
+            // pending pax/'L' overrides belong to THIS entry whatever
+            // its type — consume even when the entry is skipped below
+            val name = pendingPaxPath.orElse(pendingLongName).getOrElse {
               val base = strField(h, 0, 100)
               // prefix only exists under the ustar magic (POSIX "ustar\0"
               // or GNU "ustar "); pre-ustar headers end at the name field
@@ -137,8 +176,9 @@ object Tar {
               if (prefix.nonEmpty) prefix + "/" + base else base
             }
             pendingLongName = None
+            pendingPaxPath = None
             if (tf == '0'.toByte || tf == 0.toByte) out += Entry(name, data)
-            // non-regular entries (dirs, links, pax headers) skip
+            // other non-regular entries (dirs, links) skip
           }
           pos += 512 + sz + (512 - sz % 512) % 512
         }

@@ -35,6 +35,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(2) == graft.functions.HashExprs.mix64(0L))
   }
 
+  test("bpe_subwords from plain SQL: fixture-table segmentation") {
+    GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT bpe_subwords('The question'), size(bpe_subwords('zzz'))").head
+    assert(r.getSeq[String](0) == Seq("the", "qu", "es", "tion"))
+    assert(r.getInt(1) == 3)
+  }
+
   test("shingle_hashes_all from plain SQL: positional, duplicates kept") {
     GraftExtensions.registerAll(spark)
     val r = spark.sql(

@@ -99,6 +99,44 @@ class BpeSpec extends AnyFunSuite {
       r1.getDouble(3) == 2.0)
   }
 
+  test("two merge tables in one session never share cache entries") {
+    import spark.implicits._
+    val df = Seq((1L, "standing standing")).toDF("doc_id", "text")
+    def seg(m: Seq[(String, String)]): Seq[String] =
+      df.select(BpeSubwords(org.apache.spark.sql.functions.col("text"), m))
+        .head.getSeq[String](0)
+    val fixture = seg(TextOps.bpeFixtureMerges)
+    assert(fixture == Seq("st", "and", "ing", "st", "and", "ing"))
+    // a different table over the same words must NOT reuse the
+    // fixture's cached segmentations (the x98-vs-x106 poisoning bug)
+    assert(seg(Seq("s" -> "t")) ==
+      Seq("st", "a", "n", "d", "i", "n", "g",
+        "st", "a", "n", "d", "i", "n", "g"))
+    assert(seg(TextOps.bpeFixtureMerges) == fixture)
+  }
+
+  test("trainBpeMerges: hand-checked learning sequence, early stop, " +
+       "and the learned table feeds the kernel") {
+    import spark.implicits._
+    // words: aa ×2, ab ×1 → round 1 merges (a,a) at count 2;
+    // round 2 merges (a,b) at count 1; round 3 finds nothing and stops
+    val docs = Seq((1L, "aa ab"), (2L, "aa")).toDF("doc_id", "text")
+    val learned = TextOps.trainBpeMerges(docs, nMerges = 5)
+    assert(learned == Seq(("a", "a", 2L), ("a", "b", 1L)))
+    // the learned table is well-formed: the kernel compiles and applies
+    val rules2 = graft.functions.BpeKernel.compile(learned.map(m => (m._1, m._2)))
+    assert(graft.functions.BpeKernel.encodeWord("aab", rules2).toSeq ==
+      Seq("aa", "b"))
+    // tie-break is (cnt DESC, pair ASC): "ba ca" both count 1 → (b,a)
+    val tie = Seq((1L, "ba ca")).toDF("doc_id", "text")
+    assert(TextOps.trainBpeMerges(tie, nMerges = 1) == Seq(("b", "a", 1L)))
+    // multi-round evolution: merged symbols join later pairs
+    val deep = Seq((1L, "abc abc abc ab")).toDF("doc_id", "text")
+    val l2 = TextOps.trainBpeMerges(deep, nMerges = 2)
+    // (a,b) ×4 first, then (ab,c) ×3
+    assert(l2 == Seq(("a", "b", 4L), ("ab", "c", 3L)))
+  }
+
   test("packSequences re-denominated: BPE budget vs whitespace budget") {
     import spark.implicits._
     val docs = Seq(

@@ -60,8 +60,9 @@ class TarSpec extends AnyFunSuite {
     val src = dir.resolve("src")
     Files.createDirectories(src.resolve("d" * 80))
     Files.write(src.resolve(deep), "deep".getBytes(UTF_8))
-    // ustar splits prefix/name at offset 345; gnu emits an 'L' pseudo-entry
-    for (fmt <- Seq("ustar", "gnu")) {
+    // ustar splits prefix/name at offset 345; gnu emits an 'L'
+    // pseudo-entry; pax (the modern default) an 'x' path= record
+    for (fmt <- Seq("ustar", "gnu", "pax")) {
       val out = dir.resolve(s"$fmt.tar")
       val p = new ProcessBuilder("tar", s"--format=$fmt", "-cf",
         out.toString, "-C", src.toString, deep).start()
