@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{BpeSubwords, Mix64, MinHashSignature, RollingFnvFingerprint, ShingleHashes, ShingleHashesAll, SimHash64, StringShingles}
+import graft.functions.{BpeExplode, BpeSubwords, Mix64, MinHashSignature, RollingFnvFingerprint, ShingleHashes, ShingleHashesAll, SimHash64, StringShingles}
 
 /** SQL surface for the engine's custom expressions.
   *
@@ -96,6 +96,11 @@ object GraftExtensions {
     BpeSubwords(exprs.head, graft.ext.TextOps.bpeFixtureMerges)
   }
 
+  private def bpeExplodeBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "bpe_explode(text: string)")
+    BpeExplode(exprs.head, graft.ext.TextOps.bpeFixtureMerges)
+  }
+
   val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
@@ -122,7 +127,10 @@ object GraftExtensions {
       mix64Builder _),
     ("bpe_subwords",
       new ExpressionInfo(classOf[BpeSubwords].getName, "bpe_subwords"),
-      bpeBuilder _))
+      bpeBuilder _),
+    ("bpe_explode",
+      new ExpressionInfo(classOf[BpeExplode].getName, "bpe_explode"),
+      bpeExplodeBuilder _))
 
   /** Register into an existing session (temp functions). */
   def registerAll(spark: SparkSession): Unit =

@@ -70,7 +70,9 @@ object Plans {
       "x100_quantile_sketch" -> "HDR quantile sketch: typed UDAF with map-side partial merge (vector adds) — one exchange carrying 14.8 KiB sketches per partition, no sort of the corpus.",
       "x101_pca_topk" -> "Top-k PCA projections: all three deflated axes ride as literals into codegen'd dot folds — scan → project, zero exchange (training reused ONE moment pass).",
       "x102_mjpeg_frames" -> "MJPEG frame sampling: per-container RIFF walk + JPEG entropy decode inside the scan task via mapPartitions — no exchange; the unit of parallelism is the container.",
-      "f7_tmerc_reproject" -> "Parameterized TM CRS: range source + one scalar projection (the EPSG:27700 Krüger inverse UDF with the rectified-origin offset), no exchange.")
+      "f7_tmerc_reproject" -> "Parameterized TM CRS: range source + one scalar projection (the EPSG:27700 Krüger inverse UDF with the rectified-origin offset), no exchange.",
+      "x108_subword_census" -> "Subword census via the custom Generator: scan → Generate(bpe_explode) → partial+final hash agg → TakeOrderedAndProject — one exchange, no array materialization, no global sort.",
+      "x107_domain_mix" -> "Domain-aware rebalancing: per-domain counts reduce small and broadcast back; the corpus side is scan → derived-domain project → broadcast-join → splitmix filter, never shuffled.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")

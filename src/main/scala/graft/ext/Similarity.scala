@@ -1072,8 +1072,11 @@ object Similarity {
     * sign ambiguity because the start and every operation are pinned). */
   def pcaTopComponent(embeddings: DataFrame, dim: Int = 64, iters: Int = 20,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
-    val (_, mu, w) = pcaTrain(embeddings, dim, iters, vecCol)
+                      vecCol: String = "embedding",
+                      moments: Option[(Array[Array[Double]], Array[Double])] = None)
+      : DataFrame = {
+    val (cm, mu) = moments.getOrElse(pcaMoments(embeddings, dim, vecCol))
+    val w = powerIterate(cm, dim, iters)
     val muw = (0 until dim).foldLeft(0.0)((a, i) => a + mu(i) * w(i))
     embeddings.select(col(idCol),
       round(graft.functions.VectorExprs.dot_fold(col(vecCol),
@@ -1085,7 +1088,19 @@ object Similarity {
   private def pcaTrain(embeddings: DataFrame, dim: Int, iters: Int,
                        vecCol: String)
       : (Array[Array[Double]], Array[Double], Array[Double]) = {
-    require(dim > 0 && iters >= 1, s"need dim > 0, iters >= 1: $dim, $iters")
+    val (cm, mu) = pcaMoments(embeddings, dim, vecCol)
+    (cm, mu, powerIterate(cm, dim, iters))
+  }
+
+  /** The ONE exact moment pass behind the whole spectral family
+    * (x90 / x97 / x101): covariance matrix + mean vector from
+    * decimal-routed sums. Public so a session computes it ONCE and
+    * feeds every spectral product (the `moments` parameter) — three
+    * queries over the same corpus should pay one scan, not three. */
+  def pcaMoments(embeddings: DataFrame, dim: Int = 64,
+                 vecCol: String = "embedding")
+      : (Array[Array[Double]], Array[Double]) = {
+    require(dim > 0, s"need dim > 0: $dim")
     // ONE moment pass with NO row expansion: each task accumulates the
     // d(d+1)/2 upper-triangle products plus the d first moments as
     // scaled-long decimals (each addend is the double rounded exactly
@@ -1146,7 +1161,7 @@ object Similarity {
       val gij = gram(if (i <= j) (i, j) else (j, i))
       gij / n - mu(i) * mu(j)
     }
-    (cm, mu, powerIterate(cm, dim, iters))
+    (cm, mu)
   }
 
   /** `iters` power-iteration rounds on a d×d matrix: deterministic
@@ -1184,10 +1199,11 @@ object Similarity {
     * beat coordinate-sliced PQ on correlated embeddings
     * (ExtSpec demonstrates the recall gain on a correlated fixture). */
   def pcaTopAxes(embeddings: DataFrame, nComp: Int, dim: Int = 64,
-                 iters: Int = 20, vecCol: String = "embedding")
+                 iters: Int = 20, vecCol: String = "embedding",
+                 moments: Option[(Array[Array[Double]], Array[Double])] = None)
       : (Array[Double], Array[Array[Double]], Array[Double]) = {
     require(nComp >= 1 && nComp <= dim, s"need 1 <= nComp <= $dim: $nComp")
-    val (cm0, mu, _) = pcaTrain(embeddings, dim, 1, vecCol)
+    val (cm0, mu) = moments.getOrElse(pcaMoments(embeddings, dim, vecCol))
     var cm = cm0
     val axes = new Array[Array[Double]](nComp)
     val lambdas = new Array[Double](nComp)
@@ -1209,8 +1225,11 @@ object Similarity {
     * (the [[pcaTopComponent]] shape per component), rounded to 6 dp. */
   def pcaProjectTopK(embeddings: DataFrame, nComp: Int = 3, dim: Int = 64,
                      iters: Int = 20, idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
-    val (mu, axes, _) = pcaTopAxes(embeddings, nComp, dim, iters, vecCol)
+                     vecCol: String = "embedding",
+                     moments: Option[(Array[Array[Double]], Array[Double])] = None)
+      : DataFrame = {
+    val (mu, axes, _) =
+      pcaTopAxes(embeddings, nComp, dim, iters, vecCol, moments)
     val cols = (0 until nComp).map { c =>
       val w = axes(c)
       val muw = (0 until dim).foldLeft(0.0)((a, i) => a + mu(i) * w(i))
@@ -1228,8 +1247,11 @@ object Similarity {
     * training reproduces every bit before the final rounding. */
   def pcaVarianceReport(embeddings: DataFrame, dim: Int = 64,
                         iters: Int = 20,
-                        vecCol: String = "embedding"): DataFrame = {
-    val (cm, _, w) = pcaTrain(embeddings, dim, iters, vecCol)
+                        vecCol: String = "embedding",
+                        moments: Option[(Array[Array[Double]], Array[Double])] = None)
+      : DataFrame = {
+    val (cm, _) = moments.getOrElse(pcaMoments(embeddings, dim, vecCol))
+    val w = powerIterate(cm, dim, iters)
     val cw = Array.tabulate(dim)(i =>
       (0 until dim).foldLeft(0.0)((a, j) => a + cm(i)(j) * w(j)))
     val lambda = (0 until dim).foldLeft(0.0)((a, i) => a + w(i) * cw(i))

@@ -55,28 +55,45 @@ object BpeKernel {
     require(merges.nonEmpty, "BPE merge table is empty")
     val seen = scala.collection.mutable.HashSet.empty[String]
     val rules = merges.zipWithIndex.map { case ((p1, p2), r) =>
-      def okComponent(c: String): Boolean =
-        c.length == 1 || seen.contains(c)
+      def isOneCp(c: String): Boolean =
+        c.nonEmpty && c.codePointCount(0, c.length) == 1
+      def okComponent(c: String): Boolean = isOneCp(c) || seen.contains(c)
       require(p1.nonEmpty && p2.nonEmpty,
         s"BPE merge $r has an empty component")
       require(okComponent(p1) && okComponent(p2),
-        s"BPE merge $r ($p1, $p2): components must be single chars or " +
-          "outputs of earlier merges (well-formed table)")
+        s"BPE merge $r ($p1, $p2): components must be single code points " +
+          "or outputs of earlier merges (well-formed table)")
       val m = p1 + p2
-      require(m.length > 1, s"BPE merge $r output is a single char")
+      require(m.codePointCount(0, m.length) > 1,
+        s"BPE merge $r output is a single code point")
       require(seen.add(m), s"BPE merge $r duplicates output symbol '$m'")
       Rule(p1, p2, m)
     }
     rules.toArray
   }
 
+  /** Initial symbol sequence of a word: one symbol per CODE POINT, not
+    * per UTF-16 unit — supplementary characters (emoji, rare CJK) must
+    * not split into lone surrogates, and this matches how Spark's
+    * `substring`/`length` (the x105 training projection) and DuckDB's
+    * `substr` (the oracle) count characters. */
+  def codePoints(word: String): Array[String] = {
+    if (word.isEmpty) return Array.empty[String]
+    val out = new scala.collection.mutable.ArrayBuffer[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
   /** Greedy BPE segmentation of one word: rank-order merge loop. */
   def encodeWord(word: String, rules: Array[Rule]): Array[String] = {
-    val n = word.length
+    val syms = codePoints(word)
+    val n = syms.length
     if (n == 0) return Array.empty[String]
-    val syms = new Array[String](n)
-    var i = 0
-    while (i < n) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
     var len = n
     var r = 0
     while (r < rules.length && len > 1) {
@@ -106,7 +123,7 @@ object BpeKernel {
   def encodeWordMinRank(word: String, rules: Array[Rule]): Array[String] = {
     val rank = rules.iterator.zipWithIndex
       .map { case (r, i) => (r.p1, r.p2) -> i }.toMap
-    var syms = word.toCharArray.map(String.valueOf)
+    var syms = codePoints(word)
     var done = syms.length <= 1
     while (!done) {
       var best = Int.MaxValue
@@ -197,4 +214,59 @@ case class BpeSubwords(child: Expression, merges: Seq[(String, String)])
 object BpeSubwords {
   def apply(text: Column, merges: Seq[(String, String)]): Column =
     GraftBridge.column(BpeSubwords(GraftBridge.expression(text), merges))
+}
+
+/** `bpe_explode(text)`: the GENERATOR (UDTF-shaped) sibling of
+  * [[BpeSubwords]] — one output row per subword token, with the
+  * 0-based index of the word it came from: the row shape census /
+  * vocabulary queries consume directly, without an intermediate array
+  * column + `explode` pass. Plans as a `Generate` exactly like the
+  * built-in explode family; null/empty text generates nothing. */
+case class BpeExplode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("word_idx", IntegerType, nullable = false),
+    StructField("subword", StringType, nullable = false)))
+
+  @transient private lazy val rules = BpeKernel.compile(merges)
+  @transient private lazy val cache
+      : ThreadLocal[java.util.HashMap[String, Array[String]]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.HashMap[String, Array[String]]())
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Nil
+    else {
+      val segs = BpeKernel.encodeText(
+        t.asInstanceOf[UTF8String].toString, rules, cache.get())
+      val out = new scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.catalyst.InternalRow](segs.length * 2)
+      var i = 0
+      while (i < segs.length) {
+        val ws = segs(i)
+        var j = 0
+        while (j < ws.length) {
+          out += org.apache.spark.sql.catalyst.InternalRow(
+            i, UTF8String.fromString(ws(j)))
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "bpe_explode"
+}
+
+object BpeExplode {
+  def apply(text: Column, merges: Seq[(String, String)]): Column =
+    GraftBridge.column(BpeExplode(GraftBridge.expression(text), merges))
 }

@@ -43,6 +43,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(1) == 3)
   }
 
+  test("bpe_explode from plain SQL: generator rows with word indexes") {
+    GraftExtensions.registerAll(spark)
+    val rows = spark.sql("SELECT bpe_explode('The question')")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((0, "the"), (1, "qu"), (1, "es"), (1, "tion")))
+    // null and empty generate nothing, and LATERAL VIEW works
+    assert(spark.sql(
+      "SELECT bpe_explode(CAST(NULL AS STRING))").count() == 0)
+    val lv = spark.sql(
+      """SELECT t.doc, s.subword
+         FROM VALUES ('standing'), ('') AS t(doc)
+         LATERAL VIEW bpe_explode(t.doc) s AS word_idx, subword""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(lv == Seq(("standing", "st"), ("standing", "and"),
+      ("standing", "ing")))
+  }
+
   test("shingle_hashes_all from plain SQL: positional, duplicates kept") {
     GraftExtensions.registerAll(spark)
     val r = spark.sql(

@@ -99,6 +99,19 @@ class BpeSpec extends AnyFunSuite {
       r1.getDouble(3) == 2.0)
   }
 
+  test("supplementary characters split by CODE POINT, never into " +
+       "surrogate halves — matching Spark substring and DuckDB substr") {
+    val rocket = new String(Character.toChars(0x1F680)) // U+1F680, non-BMP
+    assert(graft.functions.BpeKernel.codePoints(s"a${rocket}b").toSeq ==
+      Seq("a", rocket, "b"))
+    // no rule touches it → passes through whole, count = 3 not 4
+    assert(enc(s"a${rocket}b") == Seq("a", rocket, "b"))
+    // a merge table may use a supplementary char as a component
+    val r2 = graft.functions.BpeKernel.compile(Seq(rocket -> "x"))
+    assert(graft.functions.BpeKernel.encodeWord(s"$rocket" + "x", r2).toSeq ==
+      Seq(rocket + "x"))
+  }
+
   test("two merge tables in one session never share cache entries") {
     import spark.implicits._
     val df = Seq((1L, "standing standing")).toDF("doc_id", "text")

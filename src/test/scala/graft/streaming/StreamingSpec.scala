@@ -115,6 +115,30 @@ class StreamingSpec extends AnyFunSuite {
       gateBatch.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("BPE tokenization and URL canonicalization run unmodified in a " +
+       "stream — exact token budgets and crawl keys at the ingest edge") {
+    // both are pure per-row expressions (the merge table and suffix
+    // rules ride as literals), so the SAME columns run in a readStream
+    val dir = "/root/testdata/sf0.001"
+    val docsBatch = spark.read.parquet(s"$dir/documents.parquet")
+    val docsStream = spark.readStream.schema(docsBatch.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    def pipe(df: org.apache.spark.sql.DataFrame) = {
+      val url = concat(lit("HTTPS://Sub.Example.COM:443/p/"),
+        col("doc_id").cast("string"))
+      df.select(col("doc_id"),
+        graft.ext.TextOps.bpeTokenCount(col("text")).as("n_bpe"),
+        graft.ext.UrlOps.normalizeUrl(url).as("norm"),
+        graft.ext.UrlOps.registeredDomain(
+          graft.ext.UrlOps.hostOf(url)).as("domain"))
+    }
+    val streamed = graft.streaming.StreamingOps.runBounded(spark,
+      pipe(docsStream), "bpe_url_stream_test", OutputMode.Append())
+    assert(streamed.collect().map(_.toSeq).toSet ==
+      pipe(docsBatch).collect().map(_.toSeq).toSet)
+    assert(streamed.count() == docsBatch.count())
+  }
+
   test("WARC parse + HTML extraction run unmodified in an ingest stream") {
     // the whole crawl hop is stateless per-archive work, so the same
     // archive→records→text chain runs in a readStream with no watermark:
