@@ -939,6 +939,51 @@ object SparkEntry {
       ext.UrlOps.domainRollup(
         t(s, d, "documents").withColumn("url", expr(urlSqlExpr)))),
 
+    // x110 — Unicode-script profile over a MIXED-SCRIPT corpus: the
+    // ASCII fixture text gains closed-form Han/Cyrillic runs (so the
+    // census is non-degenerate), then per-doc script counts, fractions,
+    // and the dominant script — the pre-language-ID signal multilingual
+    // crawls compute. Script properties are stable across engines for
+    // the major scripts; counts are code-point algebra, no tolerance.
+    "x110_script_profile" -> ((s, d) =>
+      ext.TextOps.scriptProfile(
+        t(s, d, "documents").withColumn("text",
+          concat(col("text"),
+            expr("repeat('水', CAST(doc_id % 4 AS INT))"),
+            expr("repeat('д', CAST(doc_id % 3 AS INT))"))))),
+
+    // x109 — robots.txt compliance gate (RFC 9309): per-domain robots
+    // documents are SYNTHESIZED closed-form (rule set keyed on
+    // (i + len(domain)) so domains publish different rules), PARSED
+    // into the prefix-rule table by the engine, and every URL gets the
+    // longest-prefix-match verdict with Allow beating Disallow on ties
+    // — the gate a compliant crawler runs before fetching. The oracle
+    // generates the rule table directly (the text layer cancels, the
+    // x95 convention) and replays the precedence with a window rank.
+    "x109_robots_gate" -> ((s, d) => {
+      val urls = t(s, d, "documents")
+        .withColumn("url", expr(urlSqlExpr))
+        .withColumn("domain", coalesce(
+          ext.UrlOps.registeredDomain(ext.UrlOps.hostOf(col("url"))),
+          lit("")))
+        .withColumn("path", ext.UrlOps.pathOf(col("url")))
+        .select("doc_id", "domain", "path")
+      val ld = length(col("domain"))
+      val lines = flatten(transform(sequence(lit(0), lit(9)), i =>
+        concat(
+          when(((i + ld) % 3) === 0,
+            array(concat(lit("Disallow: /src"), i.cast("string"))))
+            .otherwise(array().cast("array<string>")),
+          when(((i + ld) % 2) === 0,
+            array(concat(lit("Allow: /src"), i.cast("string"),
+              lit("/Page"))))
+            .otherwise(array().cast("array<string>")))))
+      val robots = urls.select("domain").distinct()
+        .withColumn("robots_txt",
+          concat_ws("\n", concat(array(lit("User-agent: *")), lines)))
+      ext.UrlOps.robotsGate(urls, ext.UrlOps.parseRobots(robots))
+    }),
+
     // x108 — corpus SUBWORD census through the custom GENERATOR
     // (bpe_explode — the §2.10 UDTF surface): one row per subword
     // straight out of the Generate, one partial+final hash agg, a
@@ -5124,6 +5169,69 @@ object SparkEntry {
                   CAST(COUNT(DISTINCT norm_url) AS BIGINT) AS n_norm_distinct,
                   MIN(norm_url) AS sample_url
            FROM dd GROUP BY domain""",
+
+    // x110 — the same code-point census in RE2 script classes; the
+    // dominant pick replays greatest-of-structs as row comparisons
+    "x110_script_profile" ->
+      s"""WITH t0 AS (
+           SELECT doc_id,
+                  text || repeat('水', CAST(doc_id % 4 AS INTEGER))
+                       || repeat('д', CAST(doc_id % 3 AS INTEGER)) AS t
+           FROM documents),
+         c AS (
+           SELECT doc_id, CAST(length(t) AS BIGINT) AS n_total,
+             CAST(length(t) - length(regexp_replace(t, '\\p{Latin}', '', 'g'))
+                  AS BIGINT) AS n_latin,
+             CAST(length(t) - length(regexp_replace(t, '\\p{Han}', '', 'g'))
+                  AS BIGINT) AS n_han,
+             CAST(length(t) - length(regexp_replace(t, '\\p{Cyrillic}', '', 'g'))
+                  AS BIGINT) AS n_cyr
+           FROM t0)
+         SELECT doc_id, n_total, n_latin, n_han, n_cyr,
+                CAST(n_latin AS DOUBLE) / GREATEST(n_total, 1) AS latin_frac,
+                CAST(n_han AS DOUBLE) / GREATEST(n_total, 1) AS han_frac,
+                CAST(n_cyr AS DOUBLE) / GREATEST(n_total, 1) AS cyr_frac,
+                CASE WHEN n_latin + n_han + n_cyr = 0 THEN 'und'
+                     WHEN (n_latin, 'latin') >= (n_han, 'han')
+                      AND (n_latin, 'latin') >= (n_cyr, 'cyrillic')
+                       THEN 'latin'
+                     WHEN (n_han, 'han') >= (n_cyr, 'cyrillic') THEN 'han'
+                     ELSE 'cyrillic' END AS dominant
+         FROM c""",
+
+    // x109 — the rule table regenerated from the same closed form, the
+    // same longest-prefix / allow-wins precedence as a window rank
+    "x109_robots_gate" ->
+      s"""WITH $urlNormCtes,
+           p0 AS (SELECT u.doc_id, ${regDomainSql("u.host")} AS domain,
+                         CASE WHEN u.praw LIKE '%/'
+                              THEN substr(u.praw, 1,
+                                     CAST(length(u.praw) - 1 AS INTEGER))
+                              ELSE u.praw END AS path
+                  FROM u7 u),
+           doms AS (SELECT DISTINCT domain FROM p0),
+           rl AS (
+             SELECT domain, '/src' || CAST(t.i AS STRING) AS prefix,
+                    0 AS aw
+             FROM doms, range(0, 10) t(i)
+             WHERE (t.i + length(domain)) % 3 = 0
+             UNION ALL
+             SELECT domain, '/src' || CAST(t.i AS STRING) || '/Page',
+                    1 AS aw
+             FROM doms, range(0, 10) t(i)
+             WHERE (t.i + length(domain)) % 2 = 0),
+           mt AS (SELECT p.doc_id, p.domain, p.path, r.prefix, r.aw,
+                         length(r.prefix) AS plen
+                  FROM p0 p LEFT JOIN rl r
+                    ON r.domain = p.domain
+                   AND starts_with(p.path, r.prefix)),
+           rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY plen DESC NULLS LAST, aw DESC NULLS LAST,
+                             prefix DESC NULLS LAST) AS rn
+                  FROM mt)
+           SELECT doc_id, domain, path, prefix AS matched_prefix,
+                  (prefix IS NULL OR aw = 1) AS allowed
+           FROM rk WHERE rn = 1""",
 
     // x108 — the merge-loop CTEs' final vocabulary state carries the
     // subword STRINGS; unnest weighted by word occurrence, same cut

@@ -190,6 +190,43 @@ object TextOps {
     when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
   }
 
+  /** Per-document Unicode-SCRIPT profile — the pre-language-ID signal
+    * every multilingual crawl pipeline computes (stopword lang-ID like
+    * [[langId]] only separates languages WITHIN a script; mixed-script
+    * text needs the script census first): counts and fractions of
+    * Latin / Han / Cyrillic characters plus the dominant script
+    * ('und' when none present). Counts are `length(t) −
+    * length(regexp_replace(t, \\p{script}, ''))` — Unicode script
+    * properties are stable across engines for these major scripts, and
+    * both Spark's `length` and DuckDB's count code points, so the
+    * census replays exactly; fractions are one IEEE division each.
+    * The dominant pick is the [[langId]] greatest-of-structs total
+    * order (count, name). Pure per-row columns: zero shuffle. */
+  def scriptProfile(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    def cnt(re: String): Column =
+      (length(t) - length(regexp_replace(t, re, ""))).cast("long")
+    val nL = cnt("\\p{IsLatin}")
+    val nH = cnt("\\p{IsHan}")
+    val nC = cnt("\\p{IsCyrillic}")
+    docs.select(col(idCol), length(t).cast("long").as("n_total"),
+        nL.as("n_latin"), nH.as("n_han"), nC.as("n_cyr"))
+      .withColumn("latin_frac", col("n_latin").cast("double") /
+        greatest(col("n_total"), lit(1L)).cast("double"))
+      .withColumn("han_frac", col("n_han").cast("double") /
+        greatest(col("n_total"), lit(1L)).cast("double"))
+      .withColumn("cyr_frac", col("n_cyr").cast("double") /
+        greatest(col("n_total"), lit(1L)).cast("double"))
+      .withColumn("dominant",
+        when(col("n_latin") + col("n_han") + col("n_cyr") === 0L, "und")
+          .otherwise(greatest(
+            struct(col("n_latin").as("n"), lit("latin").as("s")),
+            struct(col("n_han").as("n"), lit("han").as("s")),
+            struct(col("n_cyr").as("n"), lit("cyrillic").as("s")))
+            .getField("s")))
+  }
+
   /** Quality signals, reference heuristics for corpus filtering:
     * length, punctuation ratio, digit ratio, stopword ratio, mean word
     * length. */

@@ -113,6 +113,65 @@ object UrlOps {
       .otherwise(l2) // single-suffix match and the implicit-* rule agree
   }
 
+  /** Normalized path of a URL under the same parse as [[normalizeUrl]]
+    * (one trailing slash dropped, query and fragment excluded) — the
+    * robots.txt match target. Empty for non-URLs. */
+  def pathOf(u: Column): Column = {
+    val noFrag = substring_index(u, "#", 1)
+    val scheme = lower(substring_index(noFrag, "://", 1))
+    val rest = noFrag.substr(length(scheme) + lit(4), length(noFrag))
+    val hostport = substring_index(substring_index(rest, "/", 1), "?", 1)
+    val tail = rest.substr(length(hostport) + lit(1), length(rest))
+    val qpos = instr(tail, "?")
+    val pathRaw = when(qpos > 0, tail.substr(lit(1), qpos - 1)).otherwise(tail)
+    when(instr(noFrag, "://") > 0,
+      when(pathRaw.endsWith("/"),
+        pathRaw.substr(lit(1), length(pathRaw) - 1)).otherwise(pathRaw))
+      .otherwise(lit(""))
+  }
+
+  /** Parse robots.txt documents into a prefix-rule table
+    * (domain, prefix, allow, plen): `Allow:` / `Disallow:` lines keep
+    * their path prefix, everything else (User-agent, comments, blank
+    * lines, Crawl-delay, Sitemap) drops. One narrow explode — robots
+    * documents are tiny and per-domain, so the rule table is bounded by
+    * domain count × rules-per-file, a broadcast at any corpus size. */
+  def parseRobots(robots: DataFrame, domainCol: String = "domain",
+                  textCol: String = "robots_txt"): DataFrame =
+    robots
+      .select(col(domainCol).as("domain"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .filter(col("line").startsWith("Allow: ") ||
+        col("line").startsWith("Disallow: "))
+      .select(col("domain"),
+        trim(substring_index(col("line"), ":", -1)).as("prefix"),
+        col("line").startsWith("Allow: ").as("allow"))
+      .filter(length(col("prefix")) > 0)
+      .withColumn("plen", length(col("prefix")))
+
+  /** Robots compliance verdict per URL — RFC 9309 / Google precedence:
+    * among the domain's rules whose prefix matches the URL path, the
+    * LONGEST prefix wins and `Allow` beats `Disallow` on equal length;
+    * no matching rule ⇒ allowed. Exact argmax as `max(struct(plen,
+    * allow, prefix))` — a total order, so the reported winning rule is
+    * deterministic too.
+    *
+    * Shape at 100 TB: the rule table broadcasts (bounded by domains ×
+    * rules, not corpus), the corpus side joins on the domain key and
+    * re-aggregates per URL — one bounded exchange whose partials
+    * collapse map-side; nothing else shuffles. */
+  def robotsGate(urls: DataFrame, rules: DataFrame): DataFrame =
+    urls.join(broadcast(rules), Seq("domain"), "left")
+      .withColumn("m",
+        when(col("path").startsWith(col("prefix")),
+          struct(col("plen"), col("allow").cast("int").as("aw"),
+            col("prefix"))))
+      .groupBy("doc_id", "domain", "path")
+      .agg(max(col("m")).as("best"))
+      .select(col("doc_id"), col("domain"), col("path"),
+        col("best.prefix").as("matched_prefix"),
+        (col("best").isNull || col("best.aw") === 1).as("allowed"))
+
   /** Per-registered-domain rollup of a URL column — the crawl analogue
     * of the per-source gate-rate report: URL count, distinct normalized
     * URLs (what survives URL-keyed dedup), and the lexicographic min as

@@ -53,6 +53,41 @@ class UrlSpec extends AnyFunSuite {
     assert(dom("localhost") == "localhost")
   }
 
+  test("robots gate: longest prefix wins, Allow beats Disallow on " +
+       "ties, no rule means allowed") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "d.com", "/a/b"), // /a (block) vs /a/b (allow): longer wins
+      (2L, "d.com", "/a/c"), // only /a matches → blocked
+      (3L, "d.com", "/z"),   // no match → allowed
+      (4L, "d.com", "/t"),   // equal-length tie: Allow beats Disallow
+      (5L, "e.com", "/a/b")  // domain without rules → allowed
+    ).toDF("doc_id", "domain", "path")
+    val robots = Seq(("d.com",
+      "User-agent: *\nDisallow: /a\nAllow: /a/b\nAllow: /t\n" +
+        "Disallow: /t\n# note\nSitemap: https://d.com/s.xml"))
+      .toDF("domain", "robots_txt")
+    val out = UrlOps.robotsGate(urls, UrlOps.parseRobots(robots))
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(3)), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) == ((Some("/a/b"), true)))
+    assert(out(2L) == ((Some("/a"), false)))
+    assert(out(3L) == ((None, true)))
+    assert(out(4L) == ((Some("/t"), true)))
+    assert(out(5L) == ((None, true)))
+  }
+
+  test("pathOf: normalized match target (slash-stripped, no query)") {
+    import spark.implicits._
+    def p(u: String): String =
+      Seq(u).toDF("u").select(UrlOps.pathOf(col("u"))).head.getString(0)
+    assert(p("https://h.com/a/b/?q=1#f") == "/a/b")
+    assert(p("https://h.com") == "")
+    assert(p("HTTP://h.com/A") == "/A")
+    assert(p("not a url") == "")
+  }
+
   test("hostOf strips port and lowercases under the same parse") {
     import spark.implicits._
     val got = Seq("HTTPS://A.B.Example.COM:8443/x?y#z").toDF("u")
