@@ -939,6 +939,68 @@ object SparkEntry {
       ext.UrlOps.domainRollup(
         t(s, d, "documents").withColumn("url", expr(urlSqlExpr)))),
 
+    // x112 — content-defined chunk dedup (Manber anchors, the LBFS/CDC
+    // shape on token streams): anchors at hash-mod-16 tokens, chunk
+    // fingerprints as rotl5-XOR folds, corpus chunk census, per-doc
+    // duplicated-chunk fraction — the PARTIAL-overlap dedup signal
+    // whole-doc dedup can't see. Every hash step is the repo's
+    // published family, replayed in HUGEINT end to end.
+    "x112_cdc_chunks" -> ((s, d) =>
+      ext.Dedup.cdcChunkDedup(t(s, d, "documents"))),
+
+    // x111 — sitemap coverage audit: per-domain sitemap.xml documents
+    // are SYNTHESIZED closed-form (the even-doc_id slice of the
+    // domain's canonical URLs plus three phantom entries), PARSED back
+    // via <loc> extraction, and diffed against the crawled URL set —
+    // per domain: URLs in both, listed-but-uncrawled (the frontier a
+    // crawler schedules next), crawled-but-unlisted. The oracle
+    // regenerates the listing directly (the text layer cancels) and
+    // replays the same distinct-set full-outer classification.
+    "x111_sitemap_audit" -> ((s, d) => {
+      val urls = t(s, d, "documents")
+        .withColumn("url", expr(urlSqlExpr))
+        .withColumn("domain", coalesce(
+          ext.UrlOps.registeredDomain(ext.UrlOps.hostOf(col("url"))),
+          lit("")))
+        .withColumn("norm", ext.UrlOps.normalizeUrl(col("url")))
+        .select("doc_id", "domain", "norm")
+      val phantoms = sequence(lit(0), lit(2))
+      // EVERY domain publishes a sitemap — a domain whose crawled ids
+      // are all odd still lists its phantom entries (left join +
+      // empty-listing coalesce, matching the oracle's all-domain
+      // phantom generation)
+      val evenLocs = urls.filter(col("doc_id") % 2 === 0)
+        .groupBy("domain")
+        .agg(sort_array(collect_set(col("norm"))).as("locs0"))
+      val sitemaps = urls.select("domain").distinct()
+        .join(evenLocs, Seq("domain"), "left")
+        .withColumn("locs", concat(
+          coalesce(col("locs0"), array().cast("array<string>")),
+          transform(phantoms, k =>
+            concat(lit("https://"), col("domain"), lit("/extra/"),
+              k.cast("string")))))
+        .withColumn("xml", concat(
+          lit("<?xml version=\"1.0\"?><urlset>"),
+          concat_ws("", transform(col("locs"),
+            u => concat(lit("<url><loc>"), u, lit("</loc></url>")))),
+          lit("</urlset>")))
+        .select("domain", "xml")
+      val listed = sitemaps.select(col("domain"),
+          explode(regexp_extract_all(col("xml"),
+            lit("<loc>([^<]+)</loc>"), lit(1))).as("u"))
+        .distinct()
+      val crawled = urls.select(col("domain"), col("norm").as("u")).distinct()
+      listed.withColumn("l", lit(1))
+        .join(crawled.withColumn("c", lit(1)), Seq("domain", "u"),
+          "full_outer")
+        .groupBy("domain")
+        .agg(
+          sum(when(col("l").isNotNull && col("c").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"),
+          sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_listed_only"),
+          sum(when(col("l").isNull, 1L).otherwise(0L)).as("n_crawled_only"))
+    }),
+
     // x110 — Unicode-script profile over a MIXED-SCRIPT corpus: the
     // ASCII fixture text gains closed-form Han/Cyrillic runs (so the
     // census is non-degenerate), then per-doc script counts, fractions,
@@ -5169,6 +5231,88 @@ object SparkEntry {
                   CAST(COUNT(DISTINCT norm_url) AS BIGINT) AS n_norm_distinct,
                   MIN(norm_url) AS sample_url
            FROM dd GROUP BY domain""",
+
+    // x112 — per-token FNV+mix64 (the hashEmbed chain) with positions,
+    // anchor flags, the chunk-id running count, the x10 rotl fold per
+    // chunk, and the census — all in HUGEINT mod-2^64
+    "x112_cdc_chunks" -> {
+      val M = "18446744073709551616::HUGEINT"
+      s"""WITH ctok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '\\s+'),
+             t -> length(t) > 0) AS ts
+           FROM documents),
+         cpt AS MATERIALIZED (
+           SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1), i ->
+             {'pos': i, 'tok': ts[CAST(i AS INTEGER)]})) AS pt
+           FROM ctok),
+         cth AS MATERIALIZED (
+           SELECT doc_id, pt.pos AS pos,
+             list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(range(1, length(pt.tok) + 1), i ->
+                   unicode(substr(pt.tok, CAST(i AS INTEGER), 1))::HUGEINT)),
+               (h, c) -> ((xor(h, c) * 1099511628211::HUGEINT) % $M
+                          * 1099511628211::HUGEINT) % $M) AS f
+           FROM cpt),
+         cz1 AS (SELECT doc_id, pos, ${mulmodSql("xor(f, f // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM cth),
+         cz2 AS (SELECT doc_id, pos, ${mulmodSql("xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM cz1),
+         czf AS MATERIALIZED (SELECT doc_id, pos,
+                  xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM cz2),
+         cch AS MATERIALIZED (
+           SELECT doc_id, pos, uh,
+                  COALESCE(SUM(CASE WHEN uh % 16 = 0 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS chunk_id
+           FROM czf),
+         cfp AS MATERIALIZED (
+           SELECT doc_id, chunk_id,
+             list_reduce(
+               list_prepend(0::HUGEINT, list(uh ORDER BY pos)),
+               (a, x) -> xor((a * 32::HUGEINT) % $M
+                             + a // 576460752303423488::HUGEINT, x)) AS fp
+           FROM cch GROUP BY doc_id, chunk_id),
+         cdup AS (SELECT fp FROM (
+             SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM cfp GROUP BY fp)
+           WHERE nd >= 2)
+         SELECT c.doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                CAST(SUM(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_dup_chunks,
+                CAST(SUM(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END)
+                     AS DOUBLE) / COUNT(*) AS dup_frac
+         FROM cfp c LEFT JOIN cdup d ON d.fp = c.fp
+         GROUP BY c.doc_id"""
+    },
+
+    // x111 — the listing regenerated as the even-id distinct-norm set
+    // plus phantoms; same full-outer set classification
+    "x111_sitemap_audit" ->
+      s"""WITH $urlNormCtes,
+           nd AS (SELECT doc_id, ${regDomainSql("host")} AS domain,
+                         norm_url AS norm
+                  FROM n),
+           listed AS (
+             SELECT DISTINCT domain, norm AS u FROM nd WHERE doc_id % 2 = 0
+             UNION
+             SELECT DISTINCT domain,
+                    'https://' || domain || '/extra/' || CAST(t.i AS STRING)
+             FROM nd, range(0, 3) t(i)),
+           crawled AS (SELECT DISTINCT domain, norm AS u FROM nd),
+           fo AS (
+             SELECT COALESCE(l.domain, c.domain) AS domain,
+                    (l.u IS NOT NULL) AS in_l, (c.u IS NOT NULL) AS in_c
+             FROM listed l FULL OUTER JOIN crawled c
+               ON c.domain = l.domain AND c.u = l.u)
+           SELECT domain,
+                  CAST(SUM(CASE WHEN in_l AND in_c THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_both,
+                  CAST(SUM(CASE WHEN in_l AND NOT in_c THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_listed_only,
+                  CAST(SUM(CASE WHEN in_c AND NOT in_l THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_crawled_only
+           FROM fo GROUP BY domain""",
 
     // x110 — the same code-point census in RE2 script classes; the
     // dominant pick replays greatest-of-structs as row comparisons

@@ -619,4 +619,65 @@ object Dedup {
             .getField("t"), " ")))
       .select(col("doc_id"), col("clean_text"))
   }
+
+  /** Content-defined chunk dedup — anchor-based chunking (Manber 1994,
+    * "Finding similar files in a large file system"; the token-stream
+    * shape of LBFS/rsync content-defined chunking): a token is an
+    * ANCHOR iff its hash's low bits are zero (`hash mod maskMod == 0`,
+    * expected chunk length = maskMod tokens), chunks are the token
+    * spans each anchor closes, and a chunk's fingerprint is the
+    * rotl5-XOR fold of its token hashes in order (the x10 fingerprint
+    * spec at chunk granularity). Because boundaries are CONTENT
+    * positions, an insertion early in a document shifts only the chunk
+    * it lands in — unlike fixed windows, where everything downstream
+    * re-fingerprints; that resynchronization property is the whole
+    * point of CDC. Output per doc: chunk count, chunks shared with ≥1
+    * other doc, and the duplicated fraction — the partial-overlap
+    * signal exact/minhash dedup (whole-doc granularity) cannot see.
+    *
+    * Every hash step is the repo's one published family (FNV-1a per
+    * token via the native ShingleHashesAll k=1 expression, splitmix64
+    * finalize, rotl5-XOR fold), so the oracle replays chunking and
+    * census end to end in HUGEINT arithmetic.
+    *
+    * Shape at 100 TB: anchors and chunk ids are one per-doc window
+    * (skew bound = one document's token count), fingerprints collapse
+    * per (doc, chunk), and the census is one hash agg on the 64-bit
+    * fingerprint — duplicate-chunk mass collapses map-side exactly
+    * like the x37 window census. */
+  def cdcChunkDedup(docs: DataFrame, maskMod: Long = 16L,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(maskMod >= 2, s"maskMod must be >= 2: $maskMod")
+    import org.apache.spark.sql.expressions.Window
+    val hs = docs.select(col(idCol),
+      posexplode(graft.functions.ShingleHashesAll(col(textCol), 1))
+        .as(Seq("pos", "h")))
+    // power-of-two mod of the signed long == unsigned low bits, the
+    // oracle's HUGEINT uh % maskMod
+    val anchored = hs.withColumn("anchor",
+      pmod(col("h"), lit(maskMod)) === 0L)
+    val w = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = anchored
+      .withColumn("chunk_id", coalesce(
+        sum(when(col("anchor"), 1L).otherwise(0L)).over(w), lit(0L)))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        aggregate(array_sort(collect_list(struct(col("pos"), col("h")))),
+          lit(0L),
+          (a, x) => shiftleft(a, 5).bitwiseOR(shiftrightunsigned(a, 59))
+            .bitwiseXOR(x.getField("h"))).as("fp"))
+    val dups = chunks.groupBy("fp")
+      .agg(count_distinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("fp"), lit(1).as("dup"))
+    chunks.join(dups, Seq("fp"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dup").isNotNull, 1L).otherwise(0L))
+          .as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
+  }
 }
