@@ -72,7 +72,8 @@ object Plans {
       "x102_mjpeg_frames" -> "MJPEG frame sampling: per-container RIFF walk + JPEG entropy decode inside the scan task via mapPartitions — no exchange; the unit of parallelism is the container.",
       "f7_tmerc_reproject" -> "Parameterized TM CRS: range source + one scalar projection (the EPSG:27700 Krüger inverse UDF with the rectified-origin offset), no exchange.",
       "x108_subword_census" -> "Subword census via the custom Generator: scan → Generate(bpe_explode) → partial+final hash agg → TakeOrderedAndProject — one exchange, no array materialization, no global sort.",
-      "x107_domain_mix" -> "Domain-aware rebalancing: per-domain counts reduce small and broadcast back; the corpus side is scan → derived-domain project → broadcast-join → splitmix filter, never shuffled.")
+      "x107_domain_mix" -> "Domain-aware rebalancing: per-domain counts reduce small and broadcast back; the corpus side is scan → derived-domain project → broadcast-join → splitmix filter, never shuffled.",
+      "x112_cdc_chunks" -> "CDC chunk dedup: per-doc anchor window (ONE doc-keyed exchange), chunk fingerprints collapse per (doc, chunk), the census is one hash agg on the 64-bit fingerprint — the x37 posture at chunk granularity.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")

@@ -1746,6 +1746,35 @@ object SparkEntry {
     // entry parse + per-key sample grouping inside the shard task →
     // sidecar fields through from_json. The tar layer (headers, octal
     // fields, checksums, padding) is the machinery under test.
+    // x113 — the WebDataset sample layout in the ZIP container (the
+    // Kaggle/HF-dump reality next to x95's tar): docs → deterministic
+    // DEFLATE zip shards of (caption, json-sidecar) samples → stream
+    // walk + per-key sample pivot → from_json. The zip/json layers
+    // cancel, so per-sample truth is the table row (x95's oracle
+    // verbatim) — agreement proves local headers, DEFLATE, the pinned
+    // timestamps, pairing and the JSON hop at once.
+    "x113_zip_scan" -> ((s, d) => {
+      val shards = graft.sources.Zip.zipFromDocs(t(s, d, "documents"))
+        .select(col("shard").cast("string").as("archive"), col("content"))
+      val metaSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("lang", StringType)))
+      graft.sources.Zip.parseArchives(shards)
+        .withColumn("key", substring_index(col("name"), ".", 1))
+        .withColumn("ext", substring_index(col("name"), ".", -1))
+        .groupBy(col("key").cast("long").as("doc_id"))
+        .agg(
+          max(when(col("ext") === "txt", col("bytes").cast("string")))
+            .as("caption"),
+          max(when(col("ext") === "json", col("bytes").cast("string")))
+            .as("j"))
+        .select(col("doc_id"), col("caption"),
+          from_json(col("j"), metaSchema).as("meta"))
+        .select(col("doc_id"), col("caption"),
+          col("meta.source").as("source"), col("meta.lang").as("lang"),
+          length(col("caption")).as("caption_chars"))
+    }),
+
     "x95_webdataset_scan" -> ((s, d) => {
       val shards = graft.sources.Tar
         .webdatasetFromDocs(t(s, d, "documents"))
@@ -5510,6 +5539,12 @@ object SparkEntry {
     // table row itself — agreement proves headers, octal fields,
     // checksums, padding, pairing and the JSON hop all at once
     "x95_webdataset_scan" ->
+      """SELECT doc_id, text AS caption, source, lang,
+                CAST(length(text) AS INTEGER) AS caption_chars
+         FROM documents""",
+
+    // x113 — zip/json layers cancel exactly like x95's tar/json
+    "x113_zip_scan" ->
       """SELECT doc_id, text AS caption, source, lang,
                 CAST(length(text) AS INTEGER) AS caption_chars
          FROM documents""",
