@@ -33,14 +33,17 @@ object UrlOps {
     *
     * Strings without `://` pass through unchanged (not a URL this
     * normalizer understands — fail open to the identity, never
-    * fabricate). Path and query case are preserved (case-significant
-    * by spec). */
+    * fabricate), as do authorities carrying userinfo (`user@host`) or
+    * IPv6 literals (`[::1]`) — the `:`/`@` split would mangle them, so
+    * they keep their original form rather than get a wrong one. Path
+    * and query case are preserved (case-significant by spec). */
   def normalizeUrl(u: Column): Column = {
     val noFrag = substring_index(u, "#", 1)
-    val hasScheme = instr(noFrag, "://") > 0
     val scheme = lower(substring_index(noFrag, "://", 1))
     val rest = noFrag.substr(length(scheme) + lit(4), length(noFrag))
     val hostport = substring_index(substring_index(rest, "/", 1), "?", 1)
+    val hasScheme = instr(noFrag, "://") > 0 &&
+      instr(hostport, "@") === 0 && instr(hostport, "[") === 0
     val tail = rest.substr(length(hostport) + lit(1), length(rest))
     val host = lower(substring_index(hostport, ":", 1))
     val port = when(instr(hostport, ":") > 0,
@@ -59,13 +62,16 @@ object UrlOps {
   }
 
   /** Host of a URL under the same parse as [[normalizeUrl]] (lowercased,
-    * port stripped); the input itself when there is no `://`. */
+    * port stripped); the lowercased input when there is no `://` or the
+    * authority is a userinfo/IPv6 form this parser declines. */
   def hostOf(u: Column): Column = {
     val noFrag = substring_index(u, "#", 1)
     val scheme = lower(substring_index(noFrag, "://", 1))
     val rest = noFrag.substr(length(scheme) + lit(4), length(noFrag))
     val hostport = substring_index(substring_index(rest, "/", 1), "?", 1)
-    when(instr(noFrag, "://") > 0, lower(substring_index(hostport, ":", 1)))
+    when(instr(noFrag, "://") > 0 &&
+        instr(hostport, "@") === 0 && instr(hostport, "[") === 0,
+        lower(substring_index(hostport, ":", 1)))
       .otherwise(lower(u))
   }
 
@@ -124,7 +130,8 @@ object UrlOps {
     val tail = rest.substr(length(hostport) + lit(1), length(rest))
     val qpos = instr(tail, "?")
     val pathRaw = when(qpos > 0, tail.substr(lit(1), qpos - 1)).otherwise(tail)
-    when(instr(noFrag, "://") > 0,
+    when(instr(noFrag, "://") > 0 &&
+        instr(hostport, "@") === 0 && instr(hostport, "[") === 0,
       when(pathRaw.endsWith("/"),
         pathRaw.substr(lit(1), length(pathRaw) - 1)).otherwise(pathRaw))
       .otherwise(lit(""))

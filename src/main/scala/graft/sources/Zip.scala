@@ -81,6 +81,16 @@ object Zip {
     StructField("name", StringType, nullable = false),
     StructField("bytes", BinaryType, nullable = false)))
 
+  /** Read `.zip` files under `path` into entry rows — one blob per
+    * file via `binaryFile`, per-task walk, no shuffle; files over the
+    * 2 GiB blob cap fail closed at plan time. */
+  def read(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    Blobs.requireReadable(spark, path, "Zip.read")
+    parseArchives(
+      spark.read.format("binaryFile").load(path)
+        .select(col("path").as("archive"), col("content")))
+  }
+
   /** (archive, content) blobs → one row per entry; narrow. */
   def parseArchives(archives: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(entrySchema)

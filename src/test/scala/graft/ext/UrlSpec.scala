@@ -37,6 +37,12 @@ class UrlSpec extends AnyFunSuite {
     assert(norm("http://H.net?q=1#x") == "http://h.net?q=1")
     // non-URLs pass through untouched
     assert(norm("not a url") == "not a url")
+    // userinfo and IPv6 authorities are declined, never mangled
+    assert(norm("https://User@Host.COM/A") == "https://User@Host.COM/A")
+    assert(norm("http://[::1]:8080/x") == "http://[::1]:8080/x")
+    import spark.implicits._
+    assert(Seq("http://[::1]/x").toDF("u")
+      .select(UrlOps.pathOf(col("u"))).head.getString(0) == "")
   }
 
   test("registeredDomain: PSL precedence, multi-label, fallback") {
