@@ -939,6 +939,78 @@ object SparkEntry {
       ext.UrlOps.domainRollup(
         t(s, d, "documents").withColumn("url", expr(urlSqlExpr)))),
 
+    // x114 — the CRAWL FRONTIER product, composing the whole crawl
+    // tier: sitemap-listed URLs (x111's listing) minus the crawled set,
+    // gated by robots rules that here also govern the /extra frontier
+    // paths — the "fetch next" schedule a polite crawler actually
+    // emits. Each fragment is the oracle-proven x99/x111/x109 logic;
+    // the COMPOSITION is what this query checks.
+    "x114_crawl_frontier" -> ((s, d) => {
+      // materialize the narrow (doc_id, domain, norm) projection ONCE
+      // (the x85 cache-the-projection discipline): three consumers
+      // (listing, crawled set, robots domains) would otherwise each
+      // re-derive — and inline — the whole url→domain expression chain
+      // into their join/agg keys (the x107 pushed-predicate trap)
+      val urls = t(s, d, "documents")
+        .withColumn("url", expr(urlSqlExpr))
+        .withColumn("domain", coalesce(
+          ext.UrlOps.registeredDomain(ext.UrlOps.hostOf(col("url"))),
+          lit("")))
+        .withColumn("norm", coalesce(
+          ext.UrlOps.normalizeUrl(col("url")), lit("")))
+        .select("doc_id", "domain", "norm")
+        .localCheckpoint()
+      // x111's sitemap listing (even-id norms + /extra phantoms)
+      val phantoms = sequence(lit(0), lit(2))
+      val evenLocs = urls.filter(col("doc_id") % 2 === 0)
+        .groupBy("domain")
+        .agg(sort_array(collect_set(col("norm"))).as("locs0"))
+      val listed = urls.select("domain").distinct()
+        .join(evenLocs, Seq("domain"), "left")
+        .select(col("domain"), explode(concat(
+          coalesce(col("locs0"), array().cast("array<string>")),
+          transform(phantoms, k =>
+            concat(lit("https://"), col("domain"), lit("/extra/"),
+              k.cast("string"))))).as("u"))
+        .distinct()
+      val frontier = listed
+        .join(urls.select(col("domain"), col("norm").as("u")).distinct(),
+          Seq("domain", "u"), "left_anti")
+        .withColumn("path", ext.UrlOps.pathOf(col("u")))
+      // x109's robots fixture EXTENDED with frontier-path rules:
+      // Disallow /extra/k when (k + len(domain)) is even
+      val ld = length(col("domain"))
+      val lines = concat(
+        flatten(transform(sequence(lit(0), lit(9)), i =>
+          concat(
+            when(((i + ld) % 3) === 0,
+              array(concat(lit("Disallow: /src"), i.cast("string"))))
+              .otherwise(array().cast("array<string>")),
+            when(((i + ld) % 2) === 0,
+              array(concat(lit("Allow: /src"), i.cast("string"),
+                lit("/Page"))))
+              .otherwise(array().cast("array<string>"))))),
+        flatten(transform(phantoms, k =>
+          when(((k + ld) % 2) === 0,
+            array(concat(lit("Disallow: /extra/"), k.cast("string"))))
+            .otherwise(array().cast("array<string>")))))
+      val robots = urls.select("domain").distinct()
+        .withColumn("robots_txt",
+          concat_ws("\n", concat(array(lit("User-agent: *")), lines)))
+      val rules = ext.UrlOps.parseRobots(robots)
+      // x109's precedence argmax keyed by (domain, u)
+      frontier.join(broadcast(rules), Seq("domain"), "left")
+        .withColumn("m",
+          when(col("path").startsWith(col("prefix")),
+            struct(col("plen"), col("allow").cast("int").as("aw"),
+              col("prefix"))))
+        .groupBy("domain", "u", "path")
+        .agg(max(col("m")).as("best"))
+        .select(col("domain"), col("u").as("url"), col("path"),
+          col("best.prefix").as("matched_prefix"),
+          (col("best").isNull || col("best.aw") === 1).as("allowed"))
+    }),
+
     // x112 — content-defined chunk dedup (Manber anchors, the LBFS/CDC
     // shape on token streams): anchors at hash-mod-16 tokens, chunk
     // fingerprints as rotl5-XOR folds, corpus chunk census, per-doc
@@ -5260,6 +5332,53 @@ object SparkEntry {
                   CAST(COUNT(DISTINCT norm_url) AS BIGINT) AS n_norm_distinct,
                   MIN(norm_url) AS sample_url
            FROM dd GROUP BY domain""",
+
+    // x114 — the three oracle fragments composed: the x111 listing
+    // minus crawled, paths, the extended rule table, the x109 rank
+    "x114_crawl_frontier" ->
+      s"""WITH $urlNormCtes,
+           nd AS (SELECT doc_id, ${regDomainSql("host")} AS domain,
+                         norm_url AS norm
+                  FROM n),
+           listed AS (
+             SELECT DISTINCT domain, norm AS u FROM nd WHERE doc_id % 2 = 0
+             UNION
+             SELECT DISTINCT domain,
+                    'https://' || domain || '/extra/' || CAST(t.i AS STRING)
+             FROM nd, range(0, 3) t(i)),
+           crawled AS (SELECT DISTINCT domain, norm AS u FROM nd),
+           frontier AS (
+             SELECT l.domain, l.u,
+                    '/extra/' || split_part(l.u, '/extra/', 2) AS path
+             FROM listed l ANTI JOIN crawled c
+               ON c.domain = l.domain AND c.u = l.u),
+           doms AS (SELECT DISTINCT domain FROM nd),
+           rl AS (
+             SELECT domain, '/src' || CAST(t.i AS STRING) AS prefix,
+                    0 AS aw
+             FROM doms, range(0, 10) t(i)
+             WHERE (t.i + length(domain)) % 3 = 0
+             UNION ALL
+             SELECT domain, '/src' || CAST(t.i AS STRING) || '/Page',
+                    1 AS aw
+             FROM doms, range(0, 10) t(i)
+             WHERE (t.i + length(domain)) % 2 = 0
+             UNION ALL
+             SELECT domain, '/extra/' || CAST(t.i AS STRING), 0 AS aw
+             FROM doms, range(0, 3) t(i)
+             WHERE (t.i + length(domain)) % 2 = 0),
+           mt AS (SELECT f.domain, f.u, f.path, r.prefix, r.aw,
+                         length(r.prefix) AS plen
+                  FROM frontier f LEFT JOIN rl r
+                    ON r.domain = f.domain
+                   AND starts_with(f.path, r.prefix)),
+           rk AS (SELECT *, row_number() OVER (PARTITION BY domain, u
+                    ORDER BY plen DESC NULLS LAST, aw DESC NULLS LAST,
+                             prefix DESC NULLS LAST) AS rn
+                  FROM mt)
+           SELECT domain, u AS url, path, prefix AS matched_prefix,
+                  (prefix IS NULL OR aw = 1) AS allowed
+           FROM rk WHERE rn = 1""",
 
     // x112 — per-token FNV+mix64 (the hashEmbed chain) with positions,
     // anchor flags, the chunk-id running count, the x10 rotl fold per
