@@ -946,11 +946,16 @@ object SparkEntry {
     // emits. Each fragment is the oracle-proven x99/x111/x109 logic;
     // the COMPOSITION is what this query checks.
     "x114_crawl_frontier" -> ((s, d) => {
-      // materialize the narrow (doc_id, domain, norm) projection ONCE
-      // (the x85 cache-the-projection discipline): three consumers
-      // (listing, crawled set, robots domains) would otherwise each
-      // re-derive — and inline — the whole url→domain expression chain
-      // into their join/agg keys (the x107 pushed-predicate trap)
+      // the narrow (doc_id, domain, norm) projection feeds three
+      // consumers (listing, crawled set, robots domains); each
+      // recomputes it from the scan — STATELESS fan-out. At the 100 TB
+      // design point that is the right trade: a localCheckpoint here
+      // (round 9's shape) would pin a corpus-sized projection to
+      // executor-local disk, while recomputation is three narrow
+      // codegen'd passes that scale with executors and hold no state.
+      // The x107 pushed-predicate trap does not bite: the coalesce
+      // makes domain/norm NON-NULLABLE, so no join ever pushes an
+      // isnotnull(<67 KB expression>) filter below the projections.
       val urls = t(s, d, "documents")
         .withColumn("url", expr(urlSqlExpr))
         .withColumn("domain", coalesce(
@@ -959,7 +964,6 @@ object SparkEntry {
         .withColumn("norm", coalesce(
           ext.UrlOps.normalizeUrl(col("url")), lit("")))
         .select("doc_id", "domain", "norm")
-        .localCheckpoint()
       // x111's sitemap listing (even-id norms + /extra phantoms)
       val phantoms = sequence(lit(0), lit(2))
       val evenLocs = urls.filter(col("doc_id") % 2 === 0)
@@ -987,8 +991,15 @@ object SparkEntry {
               array(concat(lit("Disallow: /src"), i.cast("string"))))
               .otherwise(array().cast("array<string>")),
             when(((i + ld) % 2) === 0,
-              array(concat(lit("Allow: /src"), i.cast("string"),
-                lit("/Page"))))
+              array(when(((i + ld) % 4) === 0,
+                concat(lit("aLLoW:   /src"), i.cast("string"),
+                  lit("/Page  ")))
+                .otherwise(concat(lit("Allow: /src"), i.cast("string"),
+                  lit("/Page")))))
+              .otherwise(array().cast("array<string>")),
+            when(((i + ld) % 5) === 1,
+              array(concat(lit("disallow: /src"), i.cast("string"),
+                lit("/Page/c:0 # colon-bearing path"))))
               .otherwise(array().cast("array<string>"))))),
         flatten(transform(phantoms, k =>
           when(((k + ld) % 2) === 0,
@@ -1103,14 +1114,26 @@ object SparkEntry {
         .withColumn("path", ext.UrlOps.pathOf(col("url")))
         .select("doc_id", "domain", "path")
       val ld = length(col("domain"))
+      // the Allow rules arrive in RFC 9309's tolerated messy forms on a
+      // deterministic subset (mixed-case directive, extra/trailing
+      // whitespace) — same parsed rule table; the %5 branch adds a
+      // legal ':'-bearing path prefix plus a trailing comment (the
+      // first-colon split target)
       val lines = flatten(transform(sequence(lit(0), lit(9)), i =>
         concat(
           when(((i + ld) % 3) === 0,
             array(concat(lit("Disallow: /src"), i.cast("string"))))
             .otherwise(array().cast("array<string>")),
           when(((i + ld) % 2) === 0,
-            array(concat(lit("Allow: /src"), i.cast("string"),
-              lit("/Page"))))
+            array(when(((i + ld) % 4) === 0,
+              concat(lit("aLLoW:   /src"), i.cast("string"),
+                lit("/Page  ")))
+              .otherwise(concat(lit("Allow: /src"), i.cast("string"),
+                lit("/Page")))))
+            .otherwise(array().cast("array<string>")),
+          when(((i + ld) % 5) === 1,
+            array(concat(lit("disallow: /src"), i.cast("string"),
+              lit("/Page/c:0 # colon-bearing path"))))
             .otherwise(array().cast("array<string>")))))
       val robots = urls.select("domain").distinct()
         .withColumn("robots_txt",
@@ -2027,7 +2050,13 @@ object SparkEntry {
     * normalization rule: scheme/host case, default ports (`:80` only
     * default for http, `:443` only for https — both appear with BOTH
     * schemes across ids), a non-default `:8080`, trailing slash,
-    * query, fragment, and six host shapes across the suffix fixture. */
+    * query, fragment, and six host shapes across the suffix fixture.
+    * The `doc_id % 8` segment exercises the RFC 3986 §6.2.2.1-2
+    * percent-encoding pass: unreserved decode (`%7e` → `~`, `%41` →
+    * `A`), hex-uppercase-only for reserved octets (`%2f` → `%2F`,
+    * `%25` stays `%25`), malformed sequences (`%G1`, trailing `%`)
+    * passing through, and a legal `:` inside the path (the robots
+    * first-colon rule target). */
   private val urlSqlExpr: String =
     """CASE CAST(doc_id % 6 AS INTEGER)
          WHEN 0 THEN 'http' WHEN 1 THEN 'HTTPS' WHEN 2 THEN 'https'
@@ -2044,6 +2073,13 @@ object SparkEntry {
          WHEN 1 THEN ':80' WHEN 2 THEN ':443' WHEN 3 THEN ':8080'
          ELSE '' END ||
        '/' || source || '/Page' ||
+       CASE CAST(doc_id % 8 AS INTEGER)
+         WHEN 2 THEN '/c:' || CAST(doc_id % 3 AS STRING)
+         WHEN 3 THEN '/%7euser'
+         WHEN 5 THEN '/%41b%2fc'
+         WHEN 6 THEN '/100%25x'
+         WHEN 7 THEN '/x%G1%'
+         ELSE '' END ||
        CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END ||
        CASE WHEN doc_id % 5 = 0 THEN '?q=' || CAST(doc_id AS STRING)
             ELSE '' END ||
@@ -2076,12 +2112,51 @@ object SparkEntry {
                      ELSE tl END AS praw,
                 CASE WHEN qp > 0 THEN substr(tl, CAST(qp AS INTEGER))
                      ELSE '' END AS q FROM u6),
-       n AS (SELECT doc_id, url, host,
+       n0 AS (SELECT doc_id, url, host,
                     sch || '://' || host || pp ||
                     CASE WHEN praw LIKE '%/'
                          THEN substr(praw, 1, CAST(length(praw) - 1 AS INTEGER))
-                         ELSE praw END || q AS norm_url
-             FROM u7)"""
+                         ELSE praw END || q AS nu
+             FROM u7),
+       npr AS (SELECT doc_id, url, host, string_split(nu, '%') AS prt
+               FROM n0),
+       n AS (SELECT doc_id, url, host,
+               prt[1] || COALESCE(array_to_string(list_transform(prt[2:], p ->
+                 CASE WHEN length(p) >= 2 AND
+                           regexp_matches(upper(substr(p, 1, 2)),
+                                          '^[0-9A-F]{2}$$')
+                      THEN CASE WHEN
+                             ((strpos('0123456789ABCDEF',
+                                      upper(substr(p, 1, 1))) - 1) * 16 +
+                              strpos('0123456789ABCDEF',
+                                     upper(substr(p, 2, 1))) - 1)
+                             BETWEEN 48 AND 57
+                           OR ((strpos('0123456789ABCDEF',
+                                       upper(substr(p, 1, 1))) - 1) * 16 +
+                               strpos('0123456789ABCDEF',
+                                      upper(substr(p, 2, 1))) - 1)
+                             BETWEEN 65 AND 90
+                           OR ((strpos('0123456789ABCDEF',
+                                       upper(substr(p, 1, 1))) - 1) * 16 +
+                               strpos('0123456789ABCDEF',
+                                      upper(substr(p, 2, 1))) - 1)
+                             BETWEEN 97 AND 122
+                           OR ((strpos('0123456789ABCDEF',
+                                       upper(substr(p, 1, 1))) - 1) * 16 +
+                               strpos('0123456789ABCDEF',
+                                      upper(substr(p, 2, 1))) - 1)
+                             IN (45, 46, 95, 126)
+                           THEN chr(CAST(
+                                  (strpos('0123456789ABCDEF',
+                                          upper(substr(p, 1, 1))) - 1) * 16 +
+                                  strpos('0123456789ABCDEF',
+                                         upper(substr(p, 2, 1))) - 1
+                                  AS INTEGER))
+                                || substr(p, 3)
+                           ELSE '%' || upper(substr(p, 1, 2)) || substr(p, 3)
+                           END
+                      ELSE '%' || p END), ''), '') AS norm_url
+             FROM npr)"""
 
   /** [[ext.UrlOps.registeredDomain]] as a DuckDB CASE chain generated
     * from the SAME precedence-ordered suffix fixture — most-labels-first,
@@ -5364,6 +5439,11 @@ object SparkEntry {
              FROM doms, range(0, 10) t(i)
              WHERE (t.i + length(domain)) % 2 = 0
              UNION ALL
+             SELECT domain, '/src' || CAST(t.i AS STRING) || '/Page/c:0',
+                    0 AS aw
+             FROM doms, range(0, 10) t(i)
+             WHERE (t.i + length(domain)) % 5 = 1
+             UNION ALL
              SELECT domain, '/extra/' || CAST(t.i AS STRING), 0 AS aw
              FROM doms, range(0, 3) t(i)
              WHERE (t.i + length(domain)) % 2 = 0),
@@ -5511,7 +5591,12 @@ object SparkEntry {
              SELECT domain, '/src' || CAST(t.i AS STRING) || '/Page',
                     1 AS aw
              FROM doms, range(0, 10) t(i)
-             WHERE (t.i + length(domain)) % 2 = 0),
+             WHERE (t.i + length(domain)) % 2 = 0
+             UNION ALL
+             SELECT domain, '/src' || CAST(t.i AS STRING) || '/Page/c:0',
+                    0 AS aw
+             FROM doms, range(0, 10) t(i)
+             WHERE (t.i + length(domain)) % 5 = 1),
            mt AS (SELECT p.doc_id, p.domain, p.path, r.prefix, r.aw,
                          length(r.prefix) AS plen
                   FROM p0 p LEFT JOIN rl r

@@ -649,6 +649,12 @@ object Dedup {
                     textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
     require(maskMod >= 2, s"maskMod must be >= 2: $maskMod")
+    // pmod over the SIGNED long equals the oracle's unsigned-low-bits
+    // HUGEINT `uh % maskMod` only when maskMod is a power of two; a
+    // non-power-of-two modulus would silently give the engine and the
+    // oracle different anchor sets, so fail closed here
+    require((maskMod & (maskMod - 1)) == 0L,
+      s"maskMod must be a power of two (unsigned-low-bits anchor): $maskMod")
     import org.apache.spark.sql.expressions.Window
     val hs = docs.select(col(idCol),
       posexplode(graft.functions.ShingleHashesAll(col(textCol), 1))

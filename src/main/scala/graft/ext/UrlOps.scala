@@ -18,6 +18,36 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
+  /** RFC 3986 §6.2.2.1-2 percent-encoding normalization — the two
+    * SAFE transforms (always semantics-preserving by spec):
+    * uppercase the hex digits of every percent triplet (`%3a` → `%3A`)
+    * and decode triplets for UNRESERVED characters
+    * (ALPHA / DIGIT / `-` / `.` / `_` / `~`: `%7E` → `~`, `%41` → `A`).
+    * Reserved and other octets stay encoded (decoding `%2F` would
+    * change the path structure). Malformed sequences (`%zz`, trailing
+    * `%`) pass through verbatim — fail open to the identity.
+    *
+    * Pure column algebra: split on `%`, rewrite each triplet head,
+    * rejoin — all codegen'd, with an exact DuckDB twin
+    * (string_split / list_transform / strpos hex math) in the oracle. */
+  def pctNormalize(u: Column): Column = {
+    val parts = split(u, "%")
+    val segs = transform(slice(parts, lit(2), size(parts) - 1), { p =>
+      val hex = upper(p.substr(lit(1), lit(2)))
+      val valid = length(p) >= 2 && hex.rlike("^[0-9A-F]{2}$")
+      val code = conv(hex, 16, 10).cast("int")
+      val unreserved = (code >= 48 && code <= 57) ||
+        (code >= 65 && code <= 90) || (code >= 97 && code <= 122) ||
+        code.isin(45, 46, 95, 126)
+      when(valid,
+        when(unreserved,
+          concat(call_function("chr", code), p.substr(lit(3), length(p))))
+          .otherwise(concat(lit("%"), hex, p.substr(lit(3), length(p)))))
+        .otherwise(concat(lit("%"), p))
+    })
+    concat(element_at(parts, 1), array_join(segs, ""))
+  }
+
   /** RFC 3986-style syntactic normalization, the safe subset every
     * crawler applies (c.f. the RFC's §6.2.2 "syntax-based
     * normalization"):
@@ -29,7 +59,11 @@ object UrlOps {
     *  - drop ONE trailing slash from the path (`/a/` ≡ `/a`, and the
     *    bare root `/` ≡ empty — the dedup-key convention);
     *  - keep the query string verbatim (parameter reordering is NOT
-    *    safe — `?a=1&b=2` may differ from `?b=2&a=1` server-side).
+    *    safe — `?a=1&b=2` may differ from `?b=2&a=1` server-side);
+    *  - apply [[pctNormalize]] (uppercase percent hex, decode
+    *    unreserved octets) to the reassembled URL — decoding an
+    *    unreserved octet can never introduce a delimiter, so the
+    *    post-parse pass is structure-safe.
     *
     * Strings without `://` pass through unchanged (not a URL this
     * normalizer understands — fail open to the identity, never
@@ -57,7 +91,8 @@ object UrlOps {
     val qPart = when(qpos > 0, tail.substr(qpos, length(tail))).otherwise(lit(""))
     val path = when(pathRaw.endsWith("/"),
       pathRaw.substr(lit(1), length(pathRaw) - 1)).otherwise(pathRaw)
-    when(hasScheme, concat(scheme, lit("://"), host, portPart, path, qPart))
+    when(hasScheme,
+      pctNormalize(concat(scheme, lit("://"), host, portPart, path, qPart)))
       .otherwise(u)
   }
 
@@ -142,19 +177,32 @@ object UrlOps {
     * their path prefix, everything else (User-agent, comments, blank
     * lines, Crawl-delay, Sitemap) drops. One narrow explode — robots
     * documents are tiny and per-domain, so the rule table is bounded by
-    * domain count × rules-per-file, a broadcast at any corpus size. */
+    * domain count × rules-per-file, a broadcast at any corpus size.
+    *
+    * RFC 9309 §2.2 line grammar, tolerantly: comments (`#` to end of
+    * line) strip first, CRLF and surrounding whitespace trim away,
+    * directives match CASE-insensitively with any spacing around the
+    * colon, and the rule value is everything after the FIRST colon —
+    * a path may legally contain `:` (`Disallow: /a:b`), so the
+    * last-colon split would silently truncate it to `b`. */
   def parseRobots(robots: DataFrame, domainCol: String = "domain",
-                  textCol: String = "robots_txt"): DataFrame =
+                  textCol: String = "robots_txt"): DataFrame = {
+    val stripped = trim(substring_index(col("line0"), "#", 1))
     robots
       .select(col(domainCol).as("domain"),
-        explode(split(col(textCol), "\n")).as("line"))
-      .filter(col("line").startsWith("Allow: ") ||
-        col("line").startsWith("Disallow: "))
+        explode(split(col(textCol), "\n")).as("line0"))
+      .select(col("domain"), stripped.as("l"))
       .select(col("domain"),
-        trim(substring_index(col("line"), ":", -1)).as("prefix"),
-        col("line").startsWith("Allow: ").as("allow"))
-      .filter(length(col("prefix")) > 0)
+        lower(trim(substring_index(col("l"), ":", 1))).as("k"),
+        when(instr(col("l"), ":") > 0,
+          trim(col("l").substr(instr(col("l"), ":") + 1, length(col("l")))))
+          .otherwise(lit("")).as("prefix"))
+      .filter(col("k").isin("allow", "disallow") &&
+        length(col("prefix")) > 0)
+      .select(col("domain"), col("prefix"),
+        (col("k") === "allow").as("allow"))
       .withColumn("plen", length(col("prefix")))
+  }
 
   /** Robots compliance verdict per URL — RFC 9309 / Google precedence:
     * among the domain's rules whose prefix matches the URL path, the

@@ -36,15 +36,24 @@ object Blobs {
 
   /** List `pathGlob` (file, directory, or glob) and fail closed when
     * any matched file exceeds the cap. One driver-side listing — the
-    * same metadata pass `binaryFile` itself performs. */
+    * same metadata pass `binaryFile` itself performs. Directories are
+    * walked RECURSIVELY: `binaryFile` picks up nested files too, so a
+    * one-level listing would let an oversize file below a subdirectory
+    * bypass the plan-time check and resurface as the opaque mid-job
+    * task failure this guard exists to prevent. */
   def requireReadable(spark: SparkSession, pathGlob: String,
                       source: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(pathGlob)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     val files = matched.flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.filter(_.isFile)
-      else Seq(st)
+      if (st.isDirectory) {
+        val it = fs.listFiles(st.getPath, true)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.hadoop.fs.FileStatus]
+        while (it.hasNext) out += it.next()
+        out.toSeq
+      } else Seq(st)
     }
     requireUnderCap(
       files.map(st => st.getPath.toString -> st.getLen), source)

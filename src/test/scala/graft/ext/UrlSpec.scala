@@ -45,6 +45,53 @@ class UrlSpec extends AnyFunSuite {
       .select(UrlOps.pathOf(col("u"))).head.getString(0) == "")
   }
 
+  test("normalizeUrl: RFC 3986 §6.2.2 percent-encoding normalization") {
+    // unreserved octets decode; hex uppercases
+    assert(norm("http://h.net/%7euser") == "http://h.net/~user")
+    assert(norm("http://h.net/%41b%2fc") == "http://h.net/Ab%2Fc")
+    // reserved octets stay encoded (decoding %2F would change structure)
+    assert(norm("http://h.net/a%2Fb") == "http://h.net/a%2Fb")
+    assert(norm("http://h.net/100%25") == "http://h.net/100%25")
+    // digits, dash, dot, underscore, tilde all decode
+    assert(norm("http://h.net/%30%2d%2E%5f%7E") == "http://h.net/0-._~")
+    // malformed sequences pass through verbatim
+    assert(norm("http://h.net/x%G1") == "http://h.net/x%G1")
+    assert(norm("http://h.net/x%2") == "http://h.net/x%2")
+    assert(norm("http://h.net/x%") == "http://h.net/x%")
+    // query percent forms normalize too
+    assert(norm("http://h.net/p?q=%7e%3a") == "http://h.net/p?q=~%3A")
+    // non-URLs still pass through untouched, escapes and all
+    assert(norm("no url %7e") == "no url %7e")
+  }
+
+  test("parseRobots: RFC 9309 first-colon split, case-insensitive " +
+       "directives, tolerant whitespace, comments") {
+    import spark.implicits._
+    val robots = Seq(("d.com",
+      "User-agent: *\r\n" +
+        "disallow: /a:b\n" +          // path legally contains ':'
+        "ALLOW:/a:b/ok\n" +           // no space after colon
+        "Allow:   /t  \n" +           // extra + trailing whitespace
+        "Disallow: /c # trailing comment\n" +
+        "Disallow:\n" +               // empty value drops
+        "Crawl-delay: 10\nSitemap: https://d.com/s.xml\n# note"))
+      .toDF("domain", "robots_txt")
+    val rules = UrlOps.parseRobots(robots)
+      .select("prefix", "allow").as[(String, Boolean)].collect().toSet
+    assert(rules == Set(
+      ("/a:b", false), ("/a:b/ok", true), ("/t", true), ("/c", false)))
+    // the colon path participates in the gate with correct precedence
+    val urls = Seq(
+      (1L, "d.com", "/a:b/ok/x"), // longest match is the Allow
+      (2L, "d.com", "/a:b/no")    // only the Disallow matches
+    ).toDF("doc_id", "domain", "path")
+    val out = UrlOps.robotsGate(urls, UrlOps.parseRobots(robots))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == (("/a:b/ok", true)))
+    assert(out(2L) == (("/a:b", false)))
+  }
+
   test("registeredDomain: PSL precedence, multi-label, fallback") {
     assert(dom("blog.example.co.uk") == "example.co.uk")
     assert(dom("a.b.example.co.uk") == "example.co.uk")
