@@ -1207,6 +1207,20 @@ object SparkEntry {
     "x98_bpe_tokens" -> ((s, d) =>
       ext.TextOps.bpeReport(t(s, d, "documents"))),
 
+    // x115 — BYTE-level BPE under the GPT-2 regex pre-split (the real
+    // token denomination of training budgets): the fixture text gains
+    // contractions, multi-space/tab/newline runs, CJK, Cyrillic, an
+    // emoji and code-ish punctuation; per doc: pre-token count, UTF-8
+    // byte count, exact byte-level token count, byte fertility. The
+    // oracle replays the pre-tokenizer closed-form over class runs
+    // (lag/lead recombination of the lookahead semantics), computes
+    // UTF-8 bytes from code points, and folds the byte merge loop rule
+    // by rule over the DISTINCT pre-token vocabulary — the x98
+    // convention one level down the stack.
+    "x115_bytebpe_tokens" -> ((s, d) =>
+      ext.TextOps.byteBpeReport(
+        t(s, d, "documents").withColumn("text", expr(byteTextSqlExpr)))),
+
     // x103 — the x26 packing operator re-denominated in EXACT BPE tokens
     // (the token counter is a parameter of packSequences): same
     // contiguous-window pack algebra, but the 2048 budget now counts real
@@ -2175,6 +2189,134 @@ object SparkEntry {
                     THEN string_split($h, '.')[-2] || '.' ||
                          string_split($h, '.')[-1]
                     ELSE $h END END"""
+  }
+
+  /** The x115 fixture text as ONE SQL expression valid in BOTH engines
+    * (apostrophes via chr(39) — Spark SQL treats adjacent literals as
+    * concatenation, so a doubled-quote escape would diverge between
+    * engines): contractions, double spaces, trailing space/apostrophe,
+    * newline+tab whitespace runs, fully-byte-covered CJK/Cyrillic, a
+    * half-covered emoji, and code-ish punctuation incl. the greedy
+    * `!!'` non-contraction. */
+  private val byteTextSqlExpr: String =
+    """text || ' ' || CASE CAST(doc_id % 6 AS INTEGER)
+         WHEN 0 THEN 'it' || chr(39) || 's  two  spaces '
+         WHEN 1 THEN 'don' || chr(39) || 't stop' || chr(10) || chr(9)
+                  || 'tabbed'
+         WHEN 2 THEN '水水水 water 99' || chr(39)
+         WHEN 3 THEN 'x=42; a[i]*99 !!' || chr(39) || 's ' || chr(39)
+                  || 'quote'
+         WHEN 4 THEN 'дd 😀!'
+         ELSE 'we' || chr(39) || 're 99 dogs' || chr(39) || 'x' END"""
+
+  /** The x115 oracle: GPT-2 pre-tokenization replayed CLOSED-FORM.
+    * RE2 has no lookahead, so the `\s+(?!\S)` rule is recombined from
+    * maximal class runs (W/L/N/O) with lag/lead window context — the
+    * provably equivalent form: a whitespace run followed by text emits
+    * the run minus its last character, the last character fusing into
+    * the next run iff it is a SPACE; contractions fire only when a
+    * lone apostrophe run (no pending space) precedes a letter run with
+    * a contraction prefix. Then UTF-8 bytes from code points, and one
+    * MATERIALIZED CTE per merge rank folding the byte merge loop over
+    * the DISTINCT pre-token vocabulary (symbols = INT[] byte lists).
+    * Ends at `bbN(w, nb, syms)` with `boc(doc_id, w)` in scope. */
+  private lazy val byteBpeOracleCtes: String = {
+    def bl(s: String): String = s.map(_.toInt).mkString("[", ", ", "]")
+    val contrCase = (c: String) =>
+      s"""CASE WHEN $c LIKE 're%' THEN 're' WHEN $c LIKE 've%' THEN 've'
+               WHEN $c LIKE 'll%' THEN 'll' WHEN $c LIKE 's%' THEN 's'
+               WHEN $c LIKE 't%' THEN 't' WHEN $c LIKE 'm%' THEN 'm'
+               WHEN $c LIKE 'd%' THEN 'd' ELSE NULL END"""
+    val steps = ext.TextOps.byteBpeFixtureMerges.zipWithIndex.map {
+      case ((p1, p2), k) =>
+        s"""bb${k + 1} AS MATERIALIZED (
+           SELECT w, nb, list_reduce(
+               list_prepend(CAST([] AS INT[][]),
+                            list_transform(syms, s -> [s])),
+               (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = ${bl(p1)}
+                                AND x[1] = ${bl(p2)}
+                           THEN list_append(acc[1:len(acc) - 1],
+                                            ${bl(p1 + p2)})
+                           ELSE list_concat(acc, x) END) AS syms
+           FROM bb$k)"""
+    }.mkString(",\n         ")
+    s"""bt0 AS (SELECT doc_id, $byteTextSqlExpr AS t FROM documents),
+       brn0 AS (SELECT doc_id, regexp_extract_all(t,
+                  '[ \\t\\n\\x0B\\f\\r]+|\\p{L}+|\\p{N}+|[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+')
+                  AS rs FROM bt0),
+       brn AS (SELECT doc_id, unnest(list_transform(range(1, len(rs) + 1),
+                 i -> {'i': i, 'r': rs[CAST(i AS INTEGER)]})) AS pr
+               FROM brn0),
+       bcls AS (SELECT doc_id, pr.i AS i, pr.r AS r,
+                  CASE WHEN regexp_matches(pr.r, '^[ \\t\\n\\x0B\\f\\r]')
+                         THEN 'W'
+                       WHEN regexp_matches(pr.r, '^\\p{L}') THEN 'L'
+                       WHEN regexp_matches(pr.r, '^\\p{N}') THEN 'N'
+                       ELSE 'O' END AS cls
+                FROM brn),
+       bctx AS (SELECT doc_id, i, r, cls,
+                  lag(cls) OVER (PARTITION BY doc_id ORDER BY i) AS pcls,
+                  lag(r) OVER (PARTITION BY doc_id ORDER BY i) AS pvr,
+                  lag(cls, 2) OVER (PARTITION BY doc_id ORDER BY i) AS p2cls,
+                  lag(r, 2) OVER (PARTITION BY doc_id ORDER BY i) AS p2r,
+                  lead(cls) OVER (PARTITION BY doc_id ORDER BY i) AS ncls,
+                  lead(r) OVER (PARTITION BY doc_id ORDER BY i) AS nr
+                FROM bcls),
+       bpnd AS (SELECT *,
+                  COALESCE(pcls = 'W' AND pvr LIKE '% ', FALSE) AS pend,
+                  COALESCE(p2cls = 'W' AND p2r LIKE '% ', FALSE) AS p2pend
+                FROM bctx),
+       bsfx AS (SELECT *, ${contrCase("r")} AS csfx_self,
+                  ${contrCase("nr")} AS csfx_next
+                FROM bpnd),
+       bem AS (SELECT doc_id, i,
+           CASE cls
+             WHEN 'W' THEN
+               CASE WHEN ncls IS NULL THEN [r]
+                    ELSE list_concat(
+                      CASE WHEN length(r) > 1
+                           THEN [substr(r, 1, CAST(length(r) - 1 AS INTEGER))]
+                           ELSE CAST([] AS VARCHAR[]) END,
+                      CASE WHEN substr(r, CAST(length(r) AS INTEGER), 1) = ' '
+                           THEN CAST([] AS VARCHAR[])
+                           ELSE [substr(r, CAST(length(r) AS INTEGER), 1)]
+                           END)
+               END
+             WHEN 'L' THEN
+               CASE WHEN pcls = 'O' AND pvr = chr(39) AND NOT p2pend
+                         AND csfx_self IS NOT NULL
+                    THEN CASE WHEN length(r) > length(csfx_self)
+                              THEN [substr(r,
+                                     CAST(length(csfx_self) + 1 AS INTEGER))]
+                              ELSE CAST([] AS VARCHAR[]) END
+                    ELSE [CASE WHEN pend THEN ' ' || r ELSE r END]
+               END
+             WHEN 'N' THEN [CASE WHEN pend THEN ' ' || r ELSE r END]
+             ELSE
+               CASE WHEN NOT pend AND r = chr(39) AND ncls = 'L'
+                         AND csfx_next IS NOT NULL
+                    THEN [chr(39) || csfx_next]
+                    ELSE [CASE WHEN pend THEN ' ' || r ELSE r END]
+               END
+           END AS em
+          FROM bsfx),
+       boc AS MATERIALIZED (SELECT doc_id, unnest(em) AS w FROM bem),
+       bwv AS (SELECT DISTINCT w FROM boc),
+       bcp AS (SELECT w, list_transform(range(1, length(w) + 1), i ->
+                 unicode(substr(w, CAST(i AS INTEGER), 1))) AS cps
+               FROM bwv),
+       bby AS (SELECT w, flatten(list_transform(cps, u ->
+                 CASE WHEN u < 128 THEN [u]
+                      WHEN u < 2048 THEN [192 + u // 64, 128 + u % 64]
+                      WHEN u < 65536
+                        THEN [224 + u // 4096, 128 + (u // 64) % 64,
+                              128 + u % 64]
+                      ELSE [240 + u // 262144, 128 + (u // 4096) % 64,
+                            128 + (u // 64) % 64, 128 + u % 64]
+                 END)) AS bys FROM bcp),
+       bb0 AS MATERIALIZED (SELECT w, len(bys) AS nb,
+                 list_transform(bys, x -> [x]) AS syms FROM bby),
+       $steps"""
   }
 
   /** The x98/x103 BPE oracle training chain: the corpus' DISTINCT words
@@ -5668,6 +5810,24 @@ object SparkEntry {
                   CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
                     AS fertility
            FROM agg""",
+
+    // x115 — the GPT-2 pre-split recombined closed-form from class
+    // runs, UTF-8 bytes from code points, and the byte merge loop
+    // folded rank by rank over the distinct pre-token vocabulary
+    "x115_bytebpe_tokens" ->
+      s"""WITH $byteBpeOracleCtes,
+           bstat AS (SELECT o.doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+                       CAST(SUM(b.nb) AS BIGINT) AS n_bytes,
+                       CAST(SUM(len(b.syms)) AS BIGINT) AS n_byte_tokens
+                     FROM boc o
+                     JOIN bb${ext.TextOps.byteBpeFixtureMerges.length} b
+                       USING (w)
+                     GROUP BY o.doc_id)
+           SELECT doc_id, n_pretokens, n_bytes, n_byte_tokens,
+                  CAST(n_byte_tokens AS DOUBLE) /
+                    CAST(n_pretokens AS DOUBLE) AS byte_fertility
+           FROM bstat""",
 
     // x98 — the BPE merge loop replayed rule by rule over the distinct
     // vocabulary; counts join back per word occurrence; fertility is one

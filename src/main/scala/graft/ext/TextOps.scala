@@ -96,6 +96,64 @@ object TextOps {
         col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
   }
 
+  /** The in-repo BYTE-level merge table: rank-ordered rules over UTF-8
+    * byte sequences (Latin-1-wrapped, one char per byte), the GPT-2
+    * vocabulary shape — note the leading-SPACE merges (" t", " th",
+    * " the"): pre-tokens carry their leading space, so space fuses into
+    * the word token exactly as in real byte-level vocabularies. The
+    * CJK/Cyrillic rules cover 水 (E6 B0 B4) and д (D0 B4) end to end;
+    * 😀 (F0 9F 98 80) is only HALF covered (F0+9F), leaving the byte
+    * fallback visible: 3 tokens for a 4-byte character. Swap in a real
+    * merges file (tiktoken's, GPT-2's) and nothing else changes. */
+  val byteBpeFixtureMerges: Seq[(String, String)] = {
+    import graft.functions.ByteBpe.rule
+    // raw byte symbols (Latin-1-wrapped) for the multi-byte characters
+    def b(xs: Int*): String = new String(xs.map(_.toChar).toArray)
+    Seq(
+      rule("t", "h"),      // th
+      rule("th", "e"),     // the
+      rule(" ", "t"),      // ␣t
+      rule(" t", "h"),     // ␣th
+      rule(" th", "e"),    // ␣the
+      rule("i", "n"),      // in
+      rule("a", "n"),      // an
+      rule("o", "n"),      // on
+      rule("e", "r"),      // er
+      rule(" ", "a"),      // ␣a
+      rule("r", "e"),      // re
+      rule("'", "s"),      // 's — the contraction pre-token as one unit
+      rule("'", "t"),      // 't
+      rule(" ", "s"),      // ␣s
+      rule("s", "t"),      // st
+      rule("9", "9"),      // 99 — digit pair
+      (b(0xE6), b(0xB0)),        // first two bytes of 水 (E6 B0 B4)
+      (b(0xE6, 0xB0), b(0xB4)),  // full 水
+      (b(0xD0), b(0xB4)),        // full д (D0 B4)
+      (b(0xF0), b(0x9F)))        // half of emoji F0 9F 98 80 — fallback stays
+  }
+
+  /** Per-document byte-level tokenizer report under the GPT-2 pre-split
+    * and a byte merge table: pre-token count, UTF-8 byte count, exact
+    * byte-level BPE token count, and byte fertility (tokens per
+    * pre-token). The real token denomination for packing / mixing /
+    * chunking budgets on multilingual corpora, where the word-level
+    * proxy ([[bpeReport]]) undercounts CJK/code by whole multiples.
+    * Zero shuffle — one native expression per row. */
+  def byteBpeReport(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id",
+                    merges: Seq[(String, String)] = byteBpeFixtureMerges)
+      : DataFrame =
+    docs.select(col(idCol),
+        graft.functions.ByteBpeStats(col(textCol), merges).as("s"))
+      .select(col(idCol),
+        col("s.n_pretokens").as("n_pretokens"),
+        col("s.n_bytes").as("n_bytes"),
+        col("s.n_byte_tokens").as("n_byte_tokens"))
+      .filter(col("n_pretokens") > 0L)
+      .withColumn("byte_fertility",
+        col("n_byte_tokens").cast("double") /
+          col("n_pretokens").cast("double"))
+
   /** One left-to-right merge pass of the rule (p1, p2) over a symbol
     * array — the Column image of [[graft.functions.BpeKernel]]'s inner
     * loop and the exact twin of the oracle's list_reduce fold: the
