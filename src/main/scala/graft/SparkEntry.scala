@@ -1022,6 +1022,71 @@ object SparkEntry {
           (col("best").isNull || col("best.aw") === 1).as("allowed"))
     }),
 
+    // x116 — the RECRAWL SCHEDULE over NESTED sitemaps: per-domain
+    // <sitemapindex> documents point at per-shard <urlset> files whose
+    // entries carry <lastmod>; the engine follows the index (parse →
+    // join → parse), reconciles against the crawl state, and emits the
+    // ranked fetch-next schedule ('new' pages first, then 'stale' ones
+    // whose lastmod outran their last crawl, most recent first) — what
+    // an incremental crawler actually executes. The oracle regenerates
+    // listing and state closed-form (the XML layer cancels, the x95
+    // convention) and replays the classification + rank window.
+    "x116_recrawl_schedule" -> ((s, d) => {
+      val urls = t(s, d, "documents")
+        .withColumn("url", expr(urlSqlExpr))
+        .withColumn("domain", coalesce(
+          ext.UrlOps.registeredDomain(ext.UrlOps.hostOf(col("url"))),
+          lit("")))
+        .withColumn("norm", coalesce(
+          ext.UrlOps.normalizeUrl(col("url")), lit("")))
+        .withColumn("lastmod", date_add(to_date(lit("2026-01-01")),
+          (col("doc_id") % 90).cast("int")))
+        .withColumn("crawled_at", date_add(to_date(lit("2026-01-15")),
+          (col("doc_id") % 30).cast("int")))
+        .select("doc_id", "domain", "norm", "lastmod", "crawled_at")
+      // sitemap entries: the even-id slice (max lastmod per URL) plus
+      // three phantom /extra pages; shards assigned by length(u) % 2
+      val entries = urls.filter(col("doc_id") % 2 === 0)
+        .groupBy("domain", "norm").agg(max("lastmod").as("lastmod"))
+        .select(col("domain"), col("norm").as("u"), col("lastmod"))
+        .unionByName(urls.select("domain").distinct()
+          .select(col("domain"),
+            explode(sequence(lit(0), lit(2))).as("k"))
+          .select(col("domain"),
+            concat(lit("https://"), col("domain"), lit("/extra/"),
+              col("k").cast("string")).as("u"),
+            date_add(to_date(lit("2026-03-01")), col("k").cast("int"))
+              .as("lastmod")))
+        .withColumn("shard", pmod(length(col("u")), lit(2)))
+        .withColumn("shard_url", concat(lit("https://"), col("domain"),
+          lit("/sitemap-"), col("shard").cast("string"), lit(".xml")))
+      val shardXml = entries.groupBy("domain", "shard_url")
+        .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+          concat_ws("", transform(
+            sort_array(collect_list(struct(col("u"), col("lastmod")))),
+            e => concat(lit("<url><loc>"), e.getField("u"),
+              lit("</loc><lastmod>"),
+              date_format(e.getField("lastmod"), "yyyy-MM-dd"),
+              lit("</lastmod></url>")))),
+          lit("</urlset>")).as("xml"))
+      val idxXml = shardXml.groupBy("domain")
+        .agg(concat(lit("<?xml version=\"1.0\"?><sitemapindex>"),
+          concat_ws("", transform(
+            sort_array(collect_list(col("shard_url"))),
+            su => concat(lit("<sitemap><loc>"), su,
+              lit("</loc></sitemap>")))),
+          lit("</sitemapindex>")).as("xml"))
+      // the engine path: index → child sitemaps → entries → schedule
+      val listed = ext.UrlOps.parseUrlset(
+        ext.UrlOps.parseSitemapIndex(idxXml)
+          .join(shardXml, Seq("domain", "shard_url"))
+          .select("domain", "xml"))
+      val crawled = urls.groupBy("domain", "norm")
+        .agg(max("crawled_at").as("crawled_at"))
+        .select(col("domain"), col("norm").as("u"), col("crawled_at"))
+      ext.UrlOps.recrawlSchedule(listed, crawled)
+    }),
+
     // x112 — content-defined chunk dedup (Manber anchors, the LBFS/CDC
     // shape on token streams): anchors at hash-mod-16 tokens, chunk
     // fingerprints as rotl5-XOR folds, corpus chunk census, per-doc
@@ -1443,6 +1508,17 @@ object SparkEntry {
     "x47_mp4_probe" -> ((s, d) =>
       ext.Multimodal.probeMp4(
         ext.Multimodal.mp4FromDocs(t(s, d, "documents")))),
+
+    // x117 — end-to-end REAL JPEG metadata path: docs → JFIF+EXIF files
+    // with closed-form fields (BOTH TIFF byte orders, value-offset
+    // ASCII fields, baseline/progressive SOF alternation) → pure-JVM
+    // marker walk + IFD0 parse → dimensions, orientation, timestamp,
+    // camera make, density, segment census. The profiling half of the
+    // most common real image format; entropy decode already exists
+    // (MJPEG, x102).
+    "x117_exif_probe" -> ((s, d) =>
+      ext.Multimodal.probeJpegExif(
+        ext.Multimodal.jpegFromDocs(t(s, d, "documents")))),
 
     // end-to-end REAL EBML metadata path: docs → WebM skeletons with
     // closed-form element structure → pure-JVM EBML walk (Segment/Info/
@@ -4505,6 +4581,24 @@ object SparkEntry {
                 CAST(24 + (doc_id % 10) * 6 AS BIGINT) AS n_frames
          FROM documents""",
 
+    // x117 — the JPEG writer formulas replayed: every probed field is
+    // closed-form in doc_id (the byte/IFD layer cancels); n_segments is
+    // the constant pre-SOS walk (APP0, APP1, DQT, SOF, SOS)
+    "x117_exif_probe" ->
+      """SELECT doc_id AS media_id, TRUE AS has_jfif,
+                CAST(72 + (doc_id % 4) * 24 AS INTEGER) AS x_density,
+                CAST(72 + (doc_id % 3) * 24 AS INTEGER) AS y_density,
+                'cam' || CAST(doc_id % 5 AS STRING) AS make,
+                CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+                '2026:01:' || lpad(CAST(1 + doc_id % 28 AS STRING), 2, '0')
+                  || ' 12:' || lpad(CAST(doc_id % 60 AS STRING), 2, '0')
+                  || ':00' AS exif_datetime,
+                CAST(8 + (doc_id % 7) * 8 AS INTEGER) AS width,
+                CAST(8 + (doc_id % 5) * 8 AS INTEGER) AS height,
+                (doc_id % 3 = 0) AS progressive,
+                CAST(5 AS INTEGER) AS n_segments
+         FROM documents""",
+
     // x48 — the webm skeleton formulas replayed: Duration float64 of
     // 2000 + (doc_id%40)*125 units at the default 1 ms TimestampScale →
     // seconds via the same * 1e6 / 1e9 IEEE products
@@ -5655,6 +5749,42 @@ object SparkEntry {
          FROM cfp c LEFT JOIN cdup d ON d.fp = c.fp
          GROUP BY c.doc_id"""
     },
+
+    // x116 — listing and crawl state regenerated closed-form (the XML
+    // index/shard layer cancels), same classification + rank window
+    "x116_recrawl_schedule" ->
+      s"""WITH $urlNormCtes,
+           nd AS (SELECT doc_id, ${regDomainSql("host")} AS domain,
+                         norm_url AS norm
+                  FROM n),
+           st AS (SELECT doc_id, domain, norm,
+                    DATE '2026-01-01' + CAST(doc_id % 90 AS INTEGER)
+                      AS lastmod,
+                    DATE '2026-01-15' + CAST(doc_id % 30 AS INTEGER)
+                      AS crawled_at
+                  FROM nd),
+           listed AS (
+             SELECT domain, norm AS u, MAX(lastmod) AS lastmod
+             FROM st WHERE doc_id % 2 = 0 GROUP BY domain, norm
+             UNION ALL
+             SELECT DISTINCT domain,
+                    'https://' || domain || '/extra/' ||
+                      CAST(t.i AS STRING) AS u,
+                    DATE '2026-03-01' + CAST(t.i AS INTEGER) AS lastmod
+             FROM st, range(0, 3) t(i)),
+           crawled AS (SELECT domain, norm AS u,
+                              MAX(crawled_at) AS crawled_at
+                       FROM st GROUP BY domain, norm),
+           cl AS (SELECT l.domain, l.u, l.lastmod,
+                    CASE WHEN c.crawled_at IS NULL THEN 'new'
+                         WHEN l.lastmod > c.crawled_at THEN 'stale'
+                    END AS status
+                  FROM listed l LEFT JOIN crawled c
+                    ON c.domain = l.domain AND c.u = l.u)
+           SELECT domain, u AS url, lastmod, status,
+                  row_number() OVER (PARTITION BY domain
+                    ORDER BY status, lastmod DESC, u) AS rnk
+           FROM cl WHERE status IS NOT NULL""",
 
     // x111 — the listing regenerated as the even-id distinct-norm set
     // plus phantoms; same full-outer set classification

@@ -1922,6 +1922,265 @@ object Multimodal {
   /** Frame-header metadata extraction over payload batches — header walk
     * only, payload bits never read; per-task prober, no shuffle (the
     * x47/x48 shape). Rows that are not ADTS or MPEG-1 Layer III drop. */
+  /** JPEG JFIF/EXIF SEGMENT prober — the corpus-profiling metadata
+    * half of the single most common real image format (the [[Mp4Probe]]
+    * convention: walk the structure, never the entropy-coded bits;
+    * pixel decode already exists via ImageIO in [[MjpegCodec]]).
+    *
+    * Marker walk per ITU-T T.81 §B: SOI, then length-prefixed segments
+    * until SOS. Extracted:
+    *  - APP0 "JFIF\0": version, density unit, X/Y density;
+    *  - APP1 "Exif\0\0": a real TIFF IFD0 walk (both "II" and "MM"
+    *    byte orders; inline values for ≤4-byte fields, value-offset
+    *    indirection for longer ASCII fields) for Make (0x010F),
+    *    Orientation (0x0112) and DateTime (0x0132);
+    *  - SOF0/SOF2: precision, height, width, component count, and
+    *    whether the scan is progressive;
+    *  - the pre-SOS segment census.
+    *
+    * Every extracted field is closed-form in the writer, so the oracle
+    * replays the formulas directly (the x47/x48 discipline). */
+  object JpegExif {
+
+    final case class JpegMeta(hasJfif: Boolean, xDensity: Int,
+                              yDensity: Int, make: String,
+                              orientation: Int, datetime: String,
+                              width: Int, height: Int, precision: Int,
+                              nComponents: Int, progressive: Boolean,
+                              nSegments: Int)
+
+    private def be16(out: ByteArrayOutputStream, v: Int): Unit = {
+      out.write((v >> 8) & 0xFF); out.write(v & 0xFF)
+    }
+
+    /** One TIFF IFD0 (Make / Orientation / DateTime, tags ascending as
+      * the spec requires) in the requested byte order; offsets are
+      * relative to the TIFF header start. */
+    private def tiffBytes(littleEndian: Boolean, make: String,
+                          orientation: Int, datetime: String)
+        : Array[Byte] = {
+      val makeB = (make + " ").getBytes("ISO-8859-1")
+      val dtB = (datetime + " ").getBytes("ISO-8859-1")
+      require(dtB.length == 20, "EXIF DateTime must be 19 chars + NUL")
+      val nEntries = 3
+      val ifdStart = 8
+      val valueArea = ifdStart + 2 + nEntries * 12 + 4
+      val bb = ByteBuffer.allocate(valueArea + makeB.length + dtB.length)
+        .order(if (littleEndian) ByteOrder.LITTLE_ENDIAN
+               else ByteOrder.BIG_ENDIAN)
+      bb.put((if (littleEndian) "II" else "MM").getBytes("ISO-8859-1"))
+      bb.putShort(42.toShort)
+      bb.putInt(ifdStart)
+      bb.putShort(nEntries.toShort)
+      // 0x010F Make: ASCII, > 4 bytes -> value offset
+      bb.putShort(0x010F.toShort); bb.putShort(2.toShort)
+      bb.putInt(makeB.length); bb.putInt(valueArea)
+      // 0x0112 Orientation: SHORT, inline (left-aligned in the field)
+      bb.putShort(0x0112.toShort); bb.putShort(3.toShort)
+      bb.putInt(1); bb.putShort(orientation.toShort); bb.putShort(0.toShort)
+      // 0x0132 DateTime: ASCII 20 bytes -> value offset
+      bb.putShort(0x0132.toShort); bb.putShort(2.toShort)
+      bb.putInt(dtB.length); bb.putInt(valueArea + makeB.length)
+      bb.putInt(0) // next IFD
+      bb.put(makeB); bb.put(dtB)
+      bb.array()
+    }
+
+    /** A structurally honest JPEG: SOI, APP0 JFIF, APP1 EXIF, DQT,
+      * SOFn, SOS header, a token entropy byte, EOI. */
+    def encodeJpeg(littleEndian: Boolean, xDensity: Int, yDensity: Int,
+                   make: String, orientation: Int, datetime: String,
+                   width: Int, height: Int, progressive: Boolean)
+        : Array[Byte] = {
+      val out = new ByteArrayOutputStream(256)
+      out.write(0xFF); out.write(0xD8) // SOI
+      // APP0 JFIF: version 1.02, dpi unit
+      out.write(0xFF); out.write(0xE0); be16(out, 16)
+      out.write("JFIF".getBytes("ISO-8859-1")); out.write(0)
+      out.write(1); out.write(2); out.write(1)
+      be16(out, xDensity); be16(out, yDensity)
+      out.write(0); out.write(0) // no thumbnail
+      // APP1 EXIF
+      val tiff = tiffBytes(littleEndian, make, orientation, datetime)
+      out.write(0xFF); out.write(0xE1); be16(out, 2 + 6 + tiff.length)
+      out.write("Exif".getBytes("ISO-8859-1")); out.write(0); out.write(0)
+      out.write(tiff)
+      // DQT (one all-ones table — never read back, structural only)
+      out.write(0xFF); out.write(0xDB); be16(out, 67); out.write(0)
+      (0 until 64).foreach(_ => out.write(1))
+      // SOF0 (baseline) / SOF2 (progressive): 3 components, 8-bit
+      out.write(0xFF); out.write(if (progressive) 0xC2 else 0xC0)
+      be16(out, 17); out.write(8)
+      be16(out, height); be16(out, width); out.write(3)
+      Seq(1, 2, 3).foreach { c =>
+        out.write(c); out.write(0x11); out.write(0)
+      }
+      // SOS + one stuffed entropy byte + EOI
+      out.write(0xFF); out.write(0xDA); be16(out, 12); out.write(3)
+      Seq(1, 2, 3).foreach { c => out.write(c); out.write(0) }
+      out.write(0); out.write(63); out.write(0)
+      out.write(0x55)
+      out.write(0xFF); out.write(0xD9) // EOI
+      out.toByteArray
+    }
+
+    private def u16(b: Array[Byte], p: Int, le: Boolean): Int =
+      if (le) (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+      else ((b(p) & 0xFF) << 8) | (b(p + 1) & 0xFF)
+
+    private def u32(b: Array[Byte], p: Int, le: Boolean): Long =
+      if (le) (u16(b, p, le) & 0xFFFFL) | ((u16(b, p + 2, le) & 0xFFFFL) << 16)
+      else ((u16(b, p, le) & 0xFFFFL) << 16) | (u16(b, p + 2, le) & 0xFFFFL)
+
+    private def asciiAt(b: Array[Byte], tiff: Int, count: Int,
+                        fieldP: Int, le: Boolean): String = {
+      val p = if (count <= 4) fieldP else tiff + u32(b, fieldP, le).toInt
+      val end = p + count
+      if (end > b.length) return ""
+      val s = new String(b, p, count, "ISO-8859-1")
+      if (s.nonEmpty && s.last == ' ') s.dropRight(1) else s
+    }
+
+    /** Parse the TIFF IFD0 inside an APP1 EXIF payload (after the
+      * "Exif\0\0" preamble). Returns (make, orientation, datetime)
+      * with empty/zero defaults for absent tags. */
+    private def parseTiff(b: Array[Byte], tiff: Int, hi: Int)
+        : (String, Int, String) = {
+      if (tiff + 8 > hi) return ("", 0, "")
+      val le = b(tiff) == 'I'.toByte && b(tiff + 1) == 'I'.toByte
+      val be = b(tiff) == 'M'.toByte && b(tiff + 1) == 'M'.toByte
+      if (!le && !be) return ("", 0, "")
+      if (u16(b, tiff + 2, le) != 42) return ("", 0, "")
+      val ifd = tiff + u32(b, tiff + 4, le).toInt
+      if (ifd + 2 > hi) return ("", 0, "")
+      val n = u16(b, ifd, le)
+      var make = ""; var orient = 0; var dt = ""
+      var i = 0
+      while (i < n) {
+        val e = ifd + 2 + i * 12
+        if (e + 12 <= hi) {
+          val tag = u16(b, e, le)
+          val count = u32(b, e + 4, le).toInt
+          val fieldP = e + 8
+          tag match {
+            case 0x010F => make = asciiAt(b, tiff, count, fieldP, le)
+            case 0x0112 => orient = u16(b, fieldP, le)
+            case 0x0132 => dt = asciiAt(b, tiff, count, fieldP, le)
+            case _ => ()
+          }
+        }
+        i += 1
+      }
+      (make, orient, dt)
+    }
+
+    /** Probe a JPEG payload; None when the bytes are not a JPEG. */
+    def probe(b: Array[Byte]): Option[JpegMeta] = {
+      if (b == null || b.length < 4) return None
+      if ((b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
+      var hasJfif = false; var xd = 0; var yd = 0
+      var make = ""; var orient = 0; var dt = ""
+      var w = 0; var h = 0; var prec = 0; var nc = 0
+      var prog = false; var nSeg = 0
+      var p = 2
+      try {
+        var done = false
+        while (!done && p + 4 <= b.length) {
+          if ((b(p) & 0xFF) != 0xFF) { done = true }
+          else {
+            val m = b(p + 1) & 0xFF
+            if (m == 0xD9 || m == 0xDA) { // EOI / SOS: stop the walk
+              if (m == 0xDA) nSeg += 1
+              done = true
+            } else {
+              val len = u16(b, p + 2, le = false)
+              val lo = p + 4
+              val hi = math.min(p + 2 + len, b.length)
+              nSeg += 1
+              if (m == 0xE0 && hi - lo >= 14 &&
+                new String(b, lo, 5, "ISO-8859-1") == "JFIF ") {
+                hasJfif = true
+                xd = u16(b, lo + 8, le = false)
+                yd = u16(b, lo + 10, le = false)
+              } else if (m == 0xE1 && hi - lo >= 8 &&
+                new String(b, lo, 6, "ISO-8859-1") == "Exif  ") {
+                val t = parseTiff(b, lo + 6, hi)
+                make = t._1; orient = t._2; dt = t._3
+              } else if (m >= 0xC0 && m <= 0xCF && m != 0xC4 &&
+                m != 0xC8 && m != 0xCC && hi - lo >= 6) {
+                prec = b(lo) & 0xFF
+                h = u16(b, lo + 1, le = false)
+                w = u16(b, lo + 3, le = false)
+                nc = b(lo + 5) & 0xFF
+                prog = m == 0xC2 || m == 0xC6 || m == 0xCA || m == 0xCE
+              }
+              p = p + 2 + len
+            }
+          }
+        }
+        Some(JpegMeta(hasJfif, xd, yd, make, orient, dt, w, h, prec, nc,
+          prog, nSeg))
+      } catch { case _: IndexOutOfBoundsException => None }
+    }
+  }
+
+  /** JPEG table from documents: each doc gets a real JFIF+EXIF file
+    * with closed-form fields (byte order, density, camera make,
+    * orientation, timestamp, dimensions, progressive flag all keyed on
+    * doc_id) — the oracle regenerates the formulas, the byte layer
+    * cancels. */
+  def jpegFromDocs(docs: DataFrame): DataFrame = {
+    val jpegUdf = udf((docId: Long) =>
+      JpegExif.encodeJpeg(
+        littleEndian = docId % 2 == 0,
+        xDensity = 72 + (docId % 4).toInt * 24,
+        yDensity = 72 + (docId % 3).toInt * 24,
+        make = "cam" + (docId % 5),
+        orientation = 1 + (docId % 8).toInt,
+        datetime = f"2026:01:${1 + docId % 28}%02d 12:${docId % 60}%02d:00",
+        width = 8 + (docId % 7).toInt * 8,
+        height = 8 + (docId % 5).toInt * 8,
+        progressive = docId % 3 == 0))
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("image").as("kind"),
+      jpegUdf(col("doc_id")).as("payload"),
+      struct(
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("int").as("n_frames"),
+        lit("image/jpeg").as("mime")).as("meta"))
+  }
+
+  /** JPEG metadata extraction over payload batches — segment walk only,
+    * never entropy bytes; per-task prober, no shuffle (the x47 shape).
+    * Non-JPEG rows drop. */
+  def probeJpegExif(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("has_jfif", BooleanType, nullable = false),
+      StructField("x_density", IntegerType, nullable = false),
+      StructField("y_density", IntegerType, nullable = false),
+      StructField("make", StringType, nullable = false),
+      StructField("orientation", IntegerType, nullable = false),
+      StructField("exif_datetime", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("progressive", BooleanType, nullable = false),
+      StructField("n_segments", IntegerType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        JpegExif.probe(payload).map { m =>
+          Row(r.getLong(0), m.hasJfif, m.xDensity, m.yDensity, m.make,
+            m.orientation, m.datetime, m.width, m.height, m.progressive,
+            m.nSegments)
+        }
+      }
+    }(encoder)
+  }
+
   def probeFrameAudio(media: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),

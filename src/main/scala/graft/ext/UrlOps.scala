@@ -227,6 +227,84 @@ object UrlOps {
         col("best.prefix").as("matched_prefix"),
         (col("best").isNull || col("best.aw") === 1).as("allowed"))
 
+  /** Parse `<sitemapindex>` documents (the NESTED sitemap form real
+    * sites publish once they exceed the 50k-URL per-file cap) into one
+    * row per child sitemap: (domain, shard_url). One narrow explode
+    * over per-domain documents — bounded by domains × shards. */
+  def parseSitemapIndex(idx: DataFrame, domainCol: String = "domain",
+                        xmlCol: String = "xml"): DataFrame =
+    idx.select(col(domainCol).as("domain"),
+      explode(regexp_extract_all(col(xmlCol),
+        lit("<loc>([^<]+)</loc>"), lit(1))).as("shard_url"))
+
+  /** Parse `<urlset>` shard documents into (domain, u, lastmod): each
+    * `<url>` entry's `<loc>` and its OWN `<lastmod>` (the pairing is
+    * per-entry — extracting locs and lastmods separately would zip
+    * them wrong on entries missing a lastmod). Entries without a
+    * lastmod get a null date. */
+  def parseUrlset(shards: DataFrame, domainCol: String = "domain",
+                  xmlCol: String = "xml"): DataFrame =
+    shards.select(col(domainCol).as("domain"),
+        explode(regexp_extract_all(col(xmlCol),
+          lit("<url>.*?</url>"), lit(0))).as("e"))
+      .select(col("domain"),
+        regexp_extract(col("e"), "<loc>([^<]+)</loc>", 1).as("u"), {
+          val lm = regexp_extract(col("e"), "<lastmod>([^<]+)</lastmod>", 1)
+          to_date(when(lm === "", lit(null)).otherwise(lm)).as("lastmod")
+        })
+      .filter(length(col("u")) > 0)
+
+  /** The recrawl schedule (the "fetch next, ordered" product an
+    * incremental crawler emits): sitemap-listed URLs classified
+    * against the crawl state — `new` (listed, never crawled) and
+    * `stale` (listed, crawled before its current lastmod) — ranked
+    * per domain by (new first, most recently modified first, URL) —
+    * a total order, so the schedule is deterministic.
+    *
+    * Shape at 100 TB: listed and crawled sets join on (domain, url) —
+    * one bounded equi-join; the rank window partitions by domain (rule
+    * tables and sitemaps are domain-bounded, orders of magnitude below
+    * the corpus). */
+  def recrawlSchedule(listed: DataFrame, crawled: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    listed
+      .join(crawled, Seq("domain", "u"), "left")
+      .withColumn("status",
+        when(col("crawled_at").isNull, "new")
+          .when(col("lastmod") > col("crawled_at"), "stale"))
+      .filter(col("status").isNotNull)
+      .withColumn("rnk", row_number().over(Window.partitionBy("domain")
+        .orderBy(col("status"), col("lastmod").desc, col("u"))))
+      .select(col("domain"), col("u").as("url"), col("lastmod"),
+        col("status"), col("rnk"))
+  }
+
+  /** [[robotsGate]] as a STATELESS enrich: the per-domain rule LIST
+    * (sorted ascending in the same (plen, allow, prefix) total order)
+    * rides on the broadcast side, and the precedence argmax becomes
+    * `element_at(filter(rules, matches), -1)` — the last matching
+    * element of a sorted array IS the max. No aggregation on the
+    * corpus side at all, which is what lets the identical plan run
+    * over a STREAM of URLs (stream-static join + per-row array
+    * algebra; the grouped [[robotsGate]] would need a streaming
+    * aggregation state it doesn't need). Same verdicts, proven by
+    * UrlSpec and StreamingSpec. */
+  def robotsGateStateless(urls: DataFrame, rules: DataFrame): DataFrame = {
+    val byDom = rules.groupBy("domain")
+      .agg(sort_array(collect_list(struct(
+        col("plen"), col("allow").cast("int").as("aw"),
+        col("prefix")))).as("rs"))
+    urls.join(broadcast(byDom), Seq("domain"), "left")
+      .withColumn("m", filter(coalesce(col("rs"),
+          array().cast("array<struct<plen:int,aw:int,prefix:string>>")),
+        r => col("path").startsWith(r.getField("prefix"))))
+      .withColumn("best",
+        when(size(col("m")) > 0, element_at(col("m"), -1)))
+      .select(col("doc_id"), col("domain"), col("path"),
+        col("best.prefix").as("matched_prefix"),
+        (col("best").isNull || col("best.aw") === 1).as("allowed"))
+  }
+
   /** Per-registered-domain rollup of a URL column — the crawl analogue
     * of the per-source gate-rate report: URL count, distinct normalized
     * URLs (what survives URL-keyed dedup), and the lexicographic min as

@@ -201,6 +201,19 @@ object StreamingOps {
     * batch job persists once per corpus snapshot. Scope: gates against
     * the index only (increment-internal dups are the batch job's
     * business). */
+  /** Streaming robots.txt compliance gate: incoming (doc_id, domain,
+    * path) rows stream-static join the BROADCAST per-domain rule table
+    * and get the RFC 9309 longest-prefix / allow-wins verdict as a
+    * stateless per-row enrich — [[graft.ext.UrlOps.robotsGateStateless]]
+    * verbatim (the sorted rule array rides on the static side, the
+    * argmax is `element_at(filter(...), -1)`, no streaming aggregation
+    * state at all). The gate a polite crawler runs on URLs BEFORE
+    * fetching, at the ingest edge. StreamingSpec pins stream ≡ batch
+    * [[graft.ext.UrlOps.robotsGate]]. */
+  def streamingRobotsGate(urlStream: DataFrame,
+                          rules: DataFrame): DataFrame =
+    graft.ext.UrlOps.robotsGateStateless(urlStream, rules)
+
   def streamingImageDupGate(mediaStream: DataFrame, hashIndex: DataFrame,
                             maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,

@@ -131,6 +131,63 @@ class UrlSpec extends AnyFunSuite {
     assert(out(5L) == ((None, true)))
   }
 
+  test("robotsGateStateless equals the grouped robotsGate") {
+    import spark.implicits._
+    val urls = (0L until 40L).map(i =>
+      (i, if (i % 2 == 0) "d.com" else "e.org", s"/p${i % 7}/x"))
+      .toDF("doc_id", "domain", "path")
+    val robots = Seq(
+      ("d.com", "User-agent: *\nDisallow: /p1\nAllow: /p1/x\n" +
+        "disallow: /p3\nAllow: /p3\nDisallow: /p5/x"),
+      ("e.org", "Disallow: /p2\nallow:/p2/x\nDisallow: /p4"))
+      .toDF("domain", "robots_txt")
+    val rules = UrlOps.parseRobots(robots)
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.toList
+    assert(UrlOps.robotsGateStateless(urls, rules).collect().map(key).toSet ==
+      UrlOps.robotsGate(urls, rules).collect().map(key).toSet)
+  }
+
+  test("sitemap index + urlset parse and recrawl schedule") {
+    import spark.implicits._
+    val idx = Seq(("d.com",
+      "<?xml version=\"1.0\"?><sitemapindex>" +
+        "<sitemap><loc>https://d.com/s0.xml</loc></sitemap>" +
+        "<sitemap><loc>https://d.com/s1.xml</loc></sitemap>" +
+        "</sitemapindex>")).toDF("domain", "xml")
+    val shards = Seq(
+      ("d.com", "https://d.com/s0.xml",
+        "<urlset><url><loc>https://d.com/a</loc>" +
+          "<lastmod>2026-02-01</lastmod></url>" +
+          "<url><loc>https://d.com/b</loc></url></urlset>"),
+      ("d.com", "https://d.com/s1.xml",
+        "<urlset><url><loc>https://d.com/c</loc>" +
+          "<lastmod>2026-01-05</lastmod></url></urlset>"))
+      .toDF("domain", "shard_url", "xml")
+    val locs = UrlOps.parseSitemapIndex(idx)
+    assert(locs.as[(String, String)].collect().toSet ==
+      Set(("d.com", "https://d.com/s0.xml"), ("d.com", "https://d.com/s1.xml")))
+    val listed = UrlOps.parseUrlset(
+      locs.join(shards, Seq("domain", "shard_url")).select("domain", "xml"))
+    val got = listed.collect()
+      .map(r => r.getString(1) -> Option(r.getDate(2)).map(_.toString)).toMap
+    // per-entry lastmod pairing survives an entry WITHOUT a lastmod
+    assert(got == Map(
+      "https://d.com/a" -> Some("2026-02-01"),
+      "https://d.com/b" -> None,
+      "https://d.com/c" -> Some("2026-01-05")))
+    val crawled = Seq(("d.com", "https://d.com/a", "2026-01-10"),
+      ("d.com", "https://d.com/c", "2026-02-10"))
+      .toDF("domain", "u", "c").withColumn("crawled_at", to_date(col("c")))
+      .select("domain", "u", "crawled_at")
+    val sched = UrlOps.recrawlSchedule(listed, crawled).collect()
+      .map(r => r.getString(1) -> ((r.getString(3), r.getInt(4)))).toMap
+    // b never crawled → new (rank 1); a modified after crawl → stale;
+    // c crawled after its lastmod → not scheduled
+    assert(sched == Map(
+      "https://d.com/b" -> (("new", 1)),
+      "https://d.com/a" -> (("stale", 2))))
+  }
+
   test("pathOf: normalized match target (slash-stripped, no query)") {
     import spark.implicits._
     def p(u: String): String =

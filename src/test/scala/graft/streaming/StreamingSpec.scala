@@ -139,6 +139,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() == docsBatch.count())
   }
 
+  test("streaming robots gate equals the batch gate on the same rules") {
+    val dir = "/root/testdata/sf0.001"
+    val docsBatch = spark.read.parquet(s"$dir/documents.parquet")
+    val docsStream = spark.readStream.schema(docsBatch.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    // urls derived per row (stateless); rules are a static broadcast
+    def urlsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        concat(lit("d"), (col("doc_id") % 3).cast("string"), lit(".com"))
+          .as("domain"),
+        concat(lit("/p"), (col("doc_id") % 7).cast("string"), lit("/x"))
+          .as("path"))
+    val robots = spark.createDataFrame(Seq(
+      ("d0.com", "User-agent: *\nDisallow: /p1\nAllow: /p1/x\n" +
+        "disallow: /p3 # note"),
+      ("d1.com", "Allow:   /p2\nDisallow: /p2/x\nDisallow: /p5")))
+      .toDF("domain", "robots_txt")
+    val rules = graft.ext.UrlOps.parseRobots(robots)
+    val streamed = graft.streaming.StreamingOps.runBounded(spark,
+      graft.streaming.StreamingOps.streamingRobotsGate(
+        urlsOf(docsStream), rules),
+      "robots_stream_test", OutputMode.Append())
+    val batch = graft.ext.UrlOps.robotsGate(urlsOf(docsBatch), rules)
+    assert(streamed.collect().map(_.toSeq).toSet ==
+      batch.collect().map(_.toSeq).toSet)
+    assert(streamed.count() == docsBatch.count())
+  }
+
   test("WARC parse + HTML extraction run unmodified in an ingest stream") {
     // the whole crawl hop is stateless per-archive work, so the same
     // archive→records→text chain runs in a readStream with no watermark:
