@@ -192,13 +192,44 @@ object TextOps {
                      textCol: String = "text")
       : Seq[(String, String, Long)] = {
     require(nMerges >= 1, s"need nMerges >= 1: $nMerges")
-    var vocab = docs
+    val vocab = docs
       .select(explode(filter(tokens(col(textCol)), t => length(t) > 0))
         .as("w"))
       .groupBy("w").agg(count(lit(1)).as("m"))
       .withColumn("syms",
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
       .localCheckpoint()
+    trainMergesFromVocab(vocab, nMerges)
+  }
+
+  /** BYTE-level sibling of [[trainBpeMerges]]: the vocabulary is the
+    * corpus' DISTINCT GPT-2 pre-tokens (occurrence-weighted), the
+    * initial state is each pre-token's UTF-8 byte sequence, and the
+    * SAME learning loop runs over byte symbols — this is literally how
+    * GPT-2-family vocabularies are trained (Sennrich's loop over
+    * Radford's byte alphabet). The learned table is well-formed by
+    * construction and feeds [[byteBpeReport]] directly. */
+  def trainByteBpeMerges(docs: DataFrame, nMerges: Int,
+                         textCol: String = "text")
+      : Seq[(String, String, Long)] = {
+    require(nMerges >= 1, s"need nMerges >= 1: $nMerges")
+    val vocab = docs
+      .select(explode(graft.functions.Gpt2Pretokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("m"))
+      .withColumn("syms", graft.functions.ByteSymsExpr(col("w")))
+      .localCheckpoint()
+    trainMergesFromVocab(vocab, nMerges)
+  }
+
+  /** The shared Sennrich learning loop over a (w, m, syms) vocabulary
+    * state: per round ONE vocabulary-bounded pair-count aggregate, a
+    * 1-row total-order argmax (cnt desc, then (p1, p2) ascending —
+    * for byte symbols the Latin-1 string order IS the byte-list
+    * lexicographic order, so the oracle's INT[]-list ORDER BY matches
+    * exactly), then one merge pass over the distinct state. */
+  private def trainMergesFromVocab(vocab0: DataFrame, nMerges: Int)
+      : Seq[(String, String, Long)] = {
+    var vocab = vocab0
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var r = 0
     var dry = false

@@ -279,6 +279,35 @@ object UrlOps {
         col("status"), col("rnk"))
   }
 
+  /** Per-domain robots.txt METADATA (the non-rule directives a polite
+    * crawler consumes): `Crawl-delay` (first-colon split, tolerant
+    * casing/whitespace like [[parseRobots]]; non-numeric values drop,
+    * absent ⇒ the 1-second default) and the advertised `Sitemap` URL
+    * (full URLs — exactly the value a LAST-colon split would truncate;
+    * min() as the deterministic pick when several are listed, NULL
+    * when none is: sitemap DISCOVERY starts here). One narrow explode
+    * + one hash agg on the domain key. */
+  def parseRobotsMeta(robots: DataFrame, domainCol: String = "domain",
+                      textCol: String = "robots_txt"): DataFrame = {
+    val stripped = trim(substring_index(col("line0"), "#", 1))
+    robots
+      .select(col(domainCol).as("domain"),
+        explode(split(col(textCol), "\n")).as("line0"))
+      .select(col("domain"), stripped.as("l"))
+      .select(col("domain"),
+        lower(trim(substring_index(col("l"), ":", 1))).as("k"),
+        when(instr(col("l"), ":") > 0,
+          trim(col("l").substr(instr(col("l"), ":") + 1, length(col("l")))))
+          .otherwise(lit("")).as("v"))
+      .groupBy("domain")
+      .agg(
+        coalesce(min(when(col("k") === "crawl-delay" &&
+            col("v").rlike("^[0-9]+(\\.[0-9]+)?$"),
+          col("v").cast("double"))), lit(1.0)).as("crawl_delay"),
+        min(when(col("k") === "sitemap" && length(col("v")) > 0,
+          col("v"))).as("sitemap_url"))
+  }
+
   /** [[robotsGate]] as a STATELESS enrich: the per-domain rule LIST
     * (sorted ascending in the same (plen, allow, prefix) total order)
     * rides on the broadcast side, and the precedence argmax becomes

@@ -8,6 +8,7 @@ import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -81,6 +82,63 @@ object ByteBpe {
     * strings: UTF-8-encode then Latin-1-wrap each side. */
   def rule(p1: String, p2: String): (String, String) =
     (byteSyms(p1), byteSyms(p2))
+}
+
+/** `gpt2_pretokens(text)`: the document's GPT-2 pre-token sequence as
+  * an array column — the census/training surface ([[ByteBpeStats]] is
+  * the fused counting sibling). Null text → empty array. */
+case class Gpt2Pretokens(child: Expression)
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    new GenericArrayData(Gpt2Split.pretokenize(s)
+      .map(UTF8String.fromString(_): AnyRef))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "gpt2_pretokens"
+}
+
+object Gpt2Pretokens {
+  def apply(text: Column): Column =
+    GraftBridge.column(Gpt2Pretokens(GraftBridge.expression(text)))
+}
+
+/** `byte_syms(pretok)`: the pre-token's UTF-8 bytes as an array of
+  * 1-char Latin-1 symbol strings — the initial training state of
+  * byte-level BPE (the array image of [[ByteBpe.byteSyms]]). */
+case class ByteSymsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = ByteBpe.byteSyms(input.asInstanceOf[UTF8String].toString)
+    val out = new Array[AnyRef](s.length)
+    var i = 0
+    while (i < s.length) {
+      out(i) = UTF8String.fromString(String.valueOf(s.charAt(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "byte_syms"
+}
+
+object ByteSymsExpr {
+  def apply(pretok: Column): Column =
+    GraftBridge.column(ByteSymsExpr(GraftBridge.expression(pretok)))
 }
 
 /** `byte_bpe_stats(text)`: per document, the GPT-2 pre-token count,

@@ -85,6 +85,30 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(byte(2L) > word(2L))
   }
 
+  test("byte-level trainer learns a well-formed, kernel-usable table") {
+    import spark.implicits._
+    val docs = Seq.tabulate(30)(i =>
+      (i.toLong, s"the cat sat on the mat 水水 it's day $i"))
+      .toDF("doc_id", "text")
+    val learned = TextOps.trainByteBpeMerges(docs, nMerges = 8)
+    assert(learned.length == 8)
+    // compiles => well-formed by BpeKernel's invariants
+    val rules = BpeKernel.compile(learned.map(m => (m._1, m._2)))
+    // the corpus is dominated by space-prefixed words: a leading-space
+    // merge must be learned early (the GPT-2 vocabulary signature)
+    assert(learned.exists(_._1.startsWith(" ")))
+    // counts are occurrence-weighted and strictly positive
+    assert(learned.forall(_._3 > 0))
+    // applying the learned table through the report matches the kernel
+    val got = TextOps.byteBpeReport(docs,
+        merges = learned.map(m => (m._1, m._2)))
+      .select("doc_id", "n_byte_tokens").as[(Long, Long)].collect().toMap
+    val want = Gpt2Split.pretokenize("the cat sat on the mat 水水 it's day 0")
+      .map(p => BpeKernel.encodeWord(ByteBpe.byteSyms(p), rules).length)
+      .sum
+    assert(got(0L) == want.toLong)
+  }
+
   test("ByteBpeStats expression matches the kernel composition") {
     import spark.implicits._
     val texts = Seq("it's  two  spaces ", "水水水 water 99'",

@@ -131,6 +131,29 @@ class UrlSpec extends AnyFunSuite {
     assert(out(5L) == ((None, true)))
   }
 
+  test("parseRobotsMeta: crawl-delay and sitemap discovery") {
+    import spark.implicits._
+    val robots = Seq(
+      // full URL value survives the first-colon split; fractional
+      // delay; tolerant casing/whitespace; comment stripped
+      ("a.com", "User-agent: *\ncrawl-delay:  2.5 # be nice\n" +
+        "Sitemap: https://a.com/s.xml\nSitemap: https://a.com/a.xml"),
+      // no sitemap, integer delay
+      ("b.com", "Crawl-delay: 3\nDisallow: /x"),
+      // neither directive: default delay, NULL sitemap
+      ("c.com", "User-agent: *\nDisallow: /"),
+      // a non-numeric delay drops to the default
+      ("d.com", "Crawl-delay: fast"))
+      .toDF("domain", "robots_txt")
+    val got = UrlOps.parseRobotsMeta(robots).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), Option(r.getString(2))))).toMap
+    assert(got("a.com") == ((2.5, Some("https://a.com/a.xml"))))
+    assert(got("b.com") == ((3.0, None)))
+    assert(got("c.com") == ((1.0, None)))
+    assert(got("d.com") == ((1.0, None)))
+  }
+
   test("robotsGateStateless equals the grouped robotsGate") {
     import spark.implicits._
     val urls = (0L until 40L).map(i =>
