@@ -73,12 +73,27 @@ object Plans {
       "f7_tmerc_reproject" -> "Parameterized TM CRS: range source + one scalar projection (the EPSG:27700 Krüger inverse UDF with the rectified-origin offset), no exchange.",
       "x108_subword_census" -> "Subword census via the custom Generator: scan → Generate(bpe_explode) → partial+final hash agg → TakeOrderedAndProject — one exchange, no array materialization, no global sort.",
       "x107_domain_mix" -> "Domain-aware rebalancing: per-domain counts reduce small and broadcast back; the corpus side is scan → derived-domain project → broadcast-join → splitmix filter, never shuffled.",
-      "x112_cdc_chunks" -> "CDC chunk dedup: per-doc anchor window (ONE doc-keyed exchange), chunk fingerprints collapse per (doc, chunk), the census is one hash agg on the 64-bit fingerprint — the x37 posture at chunk granularity.")
+      "x112_cdc_chunks" -> "CDC chunk dedup: per-doc anchor window (ONE doc-keyed exchange), chunk fingerprints collapse per (doc, chunk), the census is one hash agg on the 64-bit fingerprint — the x37 posture at chunk granularity.",
+      "x109_robots_gate" -> "Robots compliance gate: the rule table parses from per-domain documents (bounded by domains × rules) and BROADCASTS; the corpus side joins on the domain key and re-aggregates the precedence argmax per URL — one bounded exchange whose max-struct partials collapse map-side.",
+      "x110_script_profile" -> "Unicode-script profile: four regexp-census counts and the dominant-script argmax fused into the scan as codegen'd column algebra — zero exchange.",
+      "x111_sitemap_audit" -> "Sitemap coverage audit: listing and crawled sets distinct on (domain, url), ONE full-outer equi-join, per-domain classification rollup — set algebra on content keys, never all-pairs.",
+      "x113_zip_scan" -> "ZIP WebDataset shards: per-archive central-directory walk + member inflate inside the scan task via mapPartitions — no exchange; the shard is the unit of parallelism.",
+      "x114_crawl_frontier" -> "Crawl frontier COMPOSITION: the x111 listing (left join + phantom explode), an anti-join against the crawled set, the broadcast x109 rule table, and one bounded per-URL argmax re-aggregation — each fragment keeps its own proven shape; composing them adds no new corpus-sized exchange.",
+      "x115_bytebpe_tokens" -> "Byte-level BPE report: GPT-2 pre-split, UTF-8 byte merge loop and all three counts in ONE native expression fused into the scan (merge table in the expression tree, per-thread pre-token cache) — zero exchange at any corpus size.",
+      "x116_recrawl_schedule" -> "Recrawl schedule: nested sitemap XML parses through two narrow explodes and a domain-keyed join (dimension-sized sides), the crawl-state join is one bounded equi-join, and the rank is a per-domain window — skew bound is one domain's sitemap size.",
+      "x117_exif_probe" -> "JPEG EXIF/JFIF probe: per-row marker walk + TIFF IFD parse inside the scan stage via mapPartitions, no exchange — image-corpus profiling never touches entropy-coded bytes.",
+      "x119_bytebpe_trained_tokens" -> "Trained byte tokenizer applied: the x118-learned merge table folds back into the SAME single native expression as x115 — training changes the literal table, not the plan.",
+      "x120_politeness_schedule" -> "Politeness schedule: the x116 ranking joins the BROADCAST per-domain robots metadata (delay + sitemap discovery gate); fetch times are one codegen'd product — no new corpus-sized exchange.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")
     sb.append("independent; AQE may further coalesce at runtime). Commentary notes\n")
-    sb.append("the property each plan is expected to show; PlanSpec asserts them.\n")
+    sb.append("the property each plan is expected to show; PlanSpec asserts them.\n\n")
+    sb.append("Not planned here, deliberately: x105/x106 and x118/x119's TRAINING\n")
+    sb.append("loops are driver-side iterations whose per-round plan is the x85\n")
+    sb.append("shape (one vocabulary-bounded aggregate + a 1-row argmax); the\n")
+    sb.append("query output of x105/x118 is the learned table itself (a driver-\n")
+    sb.append("side toDF), so its 'plan' is a LocalTableScan by construction.\n")
     picks.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sf)
       sb.append(s"\n## $name\n\n$note\n\n```\n")

@@ -959,15 +959,18 @@ object SparkEntry {
     // the COMPOSITION is what this query checks.
     "x114_crawl_frontier" -> ((s, d) => {
       // the narrow (doc_id, domain, norm) projection feeds three
-      // consumers (listing, crawled set, robots domains); each
-      // recomputes it from the scan — STATELESS fan-out. At the 100 TB
-      // design point that is the right trade: a localCheckpoint here
-      // (round 9's shape) would pin a corpus-sized projection to
-      // executor-local disk, while recomputation is three narrow
-      // codegen'd passes that scale with executors and hold no state.
-      // The x107 pushed-predicate trap does not bite: the coalesce
-      // makes domain/norm NON-NULLABLE, so no join ever pushes an
-      // isnotnull(<67 KB expression>) filter below the projections.
+      // consumers (listing, crawled set, robots domains) and is
+      // materialized ONCE, deliberately (the x116 measurement): left
+      // inline, each branch carries — and whole-stage codegen
+      // JIT-compiles — its own copy of the ~67 KB url→domain chain,
+      // and Janino time dwarfs execution at fixture scale. At the
+      // 100 TB design point the projection would instead recompute
+      // statelessly per branch (the x120 shape: per-row cost is
+      // trivial against scan time, and nothing pins executor storage);
+      // both shapes are oracle-identical — SURVEY §9 carries the
+      // trade. The x107 pushed-predicate trap does not bite either
+      // way: the coalesce makes domain/norm NON-NULLABLE, so no join
+      // pushes an isnotnull(<67 KB expression>) below the projections.
       val urls = t(s, d, "documents")
         .withColumn("url", expr(urlSqlExpr))
         .withColumn("domain", coalesce(
@@ -976,6 +979,7 @@ object SparkEntry {
         .withColumn("norm", coalesce(
           ext.UrlOps.normalizeUrl(col("url")), lit("")))
         .select("doc_id", "domain", "norm")
+        .localCheckpoint()
       // x111's sitemap listing (even-id norms + /extra phantoms)
       val phantoms = sequence(lit(0), lit(2))
       val evenLocs = urls.filter(col("doc_id") % 2 === 0)
@@ -1051,7 +1055,7 @@ object SparkEntry {
       // expression tree and whole-stage codegen JIT-compiles each copy
       // (measured: ~11 s of Janino per action at sf0.1 vs ~1.6 s of
       // actual execution). At the 100 TB design point the same narrow
-      // projection would be recomputed statelessly (the x114 shape —
+      // projection would be recomputed statelessly (the x120 shape —
       // per-row cost is trivial); at fixture scale the compile cost
       // dominates, so one bounded checkpoint is the honest trade.
       val urls = t(s, d, "documents")
@@ -1194,6 +1198,10 @@ object SparkEntry {
     // regenerates the listing directly (the text layer cancels) and
     // replays the same distinct-set full-outer classification.
     "x111_sitemap_audit" -> ((s, d) => {
+      // materialized once — four consumers of the url→domain chain
+      // (even listing, all-domain phantoms, crawled set); see the
+      // x114/x116 JIT measurement for why, and x120 for the stateless
+      // 100 TB shape
       val urls = t(s, d, "documents")
         .withColumn("url", expr(urlSqlExpr))
         .withColumn("domain", coalesce(
@@ -1201,6 +1209,7 @@ object SparkEntry {
           lit("")))
         .withColumn("norm", ext.UrlOps.normalizeUrl(col("url")))
         .select("doc_id", "domain", "norm")
+        .localCheckpoint()
       val phantoms = sequence(lit(0), lit(2))
       // EVERY domain publishes a sitemap — a domain whose crawled ids
       // are all odd still lists its phantom entries (left join +
