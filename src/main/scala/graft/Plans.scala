@@ -83,7 +83,9 @@ object Plans {
       "x116_recrawl_schedule" -> "Recrawl schedule: nested sitemap XML parses through two narrow explodes and a domain-keyed join (dimension-sized sides), the crawl-state join is one bounded equi-join, and the rank is a per-domain window — skew bound is one domain's sitemap size.",
       "x117_exif_probe" -> "JPEG EXIF/JFIF probe: per-row marker walk + TIFF IFD parse inside the scan stage via mapPartitions, no exchange — image-corpus profiling never touches entropy-coded bytes.",
       "x119_bytebpe_trained_tokens" -> "Trained byte tokenizer applied: the x118-learned merge table folds back into the SAME single native expression as x115 — training changes the literal table, not the plan.",
-      "x120_politeness_schedule" -> "Politeness schedule: the x116 ranking joins the BROADCAST per-domain robots metadata (delay + sitemap discovery gate); fetch times are one codegen'd product — no new corpus-sized exchange.")
+      "x120_politeness_schedule" -> "Politeness schedule: the x116 ranking joins the BROADCAST per-domain robots metadata (delay + sitemap discovery gate); fetch times are one codegen'd product — no new corpus-sized exchange.",
+      "x121_bytebpe_pack" -> "Byte-BPE-denominated packing: the x115 native byte-token count replaces the counter inside the SAME single window exchange as x103 — re-denominating the budget in real training tokens changes no plan shape.",
+      "x122_robots_groups" -> "RFC 9309 robots groups: group assembly is two line-order windows + two bounded aggregations on the dimension-sized rule table (domains x rules, broadcast at any corpus size); the selected-and-merged table feeds the unchanged x109 precedence gate.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")

@@ -1304,6 +1304,52 @@ object SparkEntry {
       ext.UrlOps.robotsGate(urls, ext.UrlOps.parseRobots(robots))
     }),
 
+    // x122 — robots GROUPS (RFC 9309 §2.2.1 proper): per-domain robots
+    // documents carry a stray pre-group rule (must drop), a GraftBot
+    // group (only on len%3==0 domains, mixed-case UA token), a merged
+    // `*` + OtherBot group, and an EvilBot group (never selected); the
+    // engine assembles groups line by line, picks the most specific
+    // match for agent "graftbot", and gates every URL through the
+    // selected-and-merged rule table. The oracle regenerates the
+    // SELECTED rules closed-form per domain branch — group assembly,
+    // specificity, stray-drop and the UA text layer all cancel.
+    "x122_robots_groups" -> ((s, d) => {
+      val urls = t(s, d, "documents")
+        .withColumn("url", expr(urlSqlExpr))
+        .withColumn("domain", coalesce(
+          ext.UrlOps.registeredDomain(ext.UrlOps.hostOf(col("url"))),
+          lit("")))
+        .withColumn("path", ext.UrlOps.pathOf(col("url")))
+        .select("doc_id", "domain", "path")
+      val ld = length(col("domain"))
+      val graftGroup = when(ld % 3 === 0, concat(
+        lit("User-agent: GraftBot\n"),
+        concat_ws("\n", flatten(transform(sequence(lit(0), lit(9)), i =>
+          concat(
+            when(((i + ld) % 3) === 0,
+              array(concat(lit("Disallow: /src"), i.cast("string"))))
+              .otherwise(array().cast("array<string>")),
+            when(((i + ld) % 2) === 0,
+              array(concat(lit("Allow: /src"), i.cast("string"),
+                lit("/Page"))))
+              .otherwise(array().cast("array<string>")))))),
+        lit("\n\n"))).otherwise(lit(""))
+      val robots = urls.select("domain").distinct()
+        .withColumn("robots_txt", concat(
+          lit("Disallow: /stray\n\n"), // before any group: ignored
+          graftGroup,
+          lit("User-agent: *\n# shared with the next token\n"),
+          lit("User-agent: OtherBot\n"),
+          concat(lit("Disallow: /src"), (ld % 7).cast("string"), lit("\n")),
+          concat(lit("Allow: /src"), (ld % 7).cast("string"),
+            lit("/Page\n")),
+          concat(lit("Disallow: /src"), ((ld + 1) % 7).cast("string"),
+            lit("/Page\n")),
+          lit("\nUser-agent: EvilBot\nDisallow: /\n")))
+      ext.UrlOps.robotsGate(urls,
+        ext.UrlOps.parseRobotsGrouped(robots, agent = "graftbot"))
+    }),
+
     // x108 — corpus SUBWORD census through the custom GENERATOR
     // (bpe_explode — the §2.10 UDTF surface): one row per subword
     // straight out of the Generate, one partial+final hash agg, a
@@ -1417,6 +1463,19 @@ object SparkEntry {
     "x103_bpe_pack" -> ((s, d) =>
       ext.Curation.packSequences(t(s, d, "documents"), "source", 2048L,
         tokenCount = c => ext.TextOps.bpeTokenCount(c))),
+
+    // x121 — the SAME pack operator re-denominated in BYTE-level
+    // tokens (the token counter stays a parameter): the 2048 budget
+    // now counts real GPT-2-style byte tokens over the multilingual
+    // fixture text — the denomination a real training run bills in.
+    // Proof that the whole budget tier inherits the byte tokenizer
+    // without a plan change.
+    "x121_bytebpe_pack" -> ((s, d) =>
+      ext.Curation.packSequences(
+        t(s, d, "documents").withColumn("text", expr(byteTextSqlExpr)),
+        "source", 2048L,
+        tokenCount = c => graft.functions.ByteBpeStats(c,
+          ext.TextOps.byteBpeFixtureMerges).getField("n_byte_tokens"))),
 
     // x35 — temperature-flavored domain rebalancing: per-source keep rate
     // min(1, 3/sqrt(n_d)) decided by the splitmix64 coin mod 2^20 (sqrt
@@ -6058,6 +6117,58 @@ object SparkEntry {
                      ELSE 'cyrillic' END AS dominant
          FROM c""",
 
+    // x122 — the SELECTED rule table regenerated per domain branch
+    // (graftbot group on len%3==0 domains, the merged */OtherBot group
+    // otherwise; stray and EvilBot rules never appear), the same
+    // precedence rank as x109
+    "x122_robots_groups" ->
+      s"""WITH $urlNormCtes,
+           p0 AS (SELECT u.doc_id, ${regDomainSql("u.host")} AS domain,
+                         CASE WHEN u.praw LIKE '%/'
+                              THEN substr(u.praw, 1,
+                                     CAST(length(u.praw) - 1 AS INTEGER))
+                              ELSE u.praw END AS path
+                  FROM u7 u),
+           doms AS (SELECT DISTINCT domain FROM p0),
+           rl AS (
+             SELECT domain, '/src' || CAST(t.i AS STRING) AS prefix,
+                    0 AS aw
+             FROM doms, range(0, 10) t(i)
+             WHERE length(domain) % 3 = 0
+               AND (t.i + length(domain)) % 3 = 0
+             UNION ALL
+             SELECT domain, '/src' || CAST(t.i AS STRING) || '/Page',
+                    1 AS aw
+             FROM doms, range(0, 10) t(i)
+             WHERE length(domain) % 3 = 0
+               AND (t.i + length(domain)) % 2 = 0
+             UNION ALL
+             SELECT domain,
+                    '/src' || CAST(length(domain) % 7 AS STRING), 0 AS aw
+             FROM doms WHERE length(domain) % 3 <> 0
+             UNION ALL
+             SELECT domain,
+                    '/src' || CAST(length(domain) % 7 AS STRING)
+                      || '/Page', 1 AS aw
+             FROM doms WHERE length(domain) % 3 <> 0
+             UNION ALL
+             SELECT domain,
+                    '/src' || CAST((length(domain) + 1) % 7 AS STRING)
+                      || '/Page', 0 AS aw
+             FROM doms WHERE length(domain) % 3 <> 0),
+           mt AS (SELECT p.doc_id, p.domain, p.path, r.prefix, r.aw,
+                         length(r.prefix) AS plen
+                  FROM p0 p LEFT JOIN rl r
+                    ON r.domain = p.domain
+                   AND starts_with(p.path, r.prefix)),
+           rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY plen DESC NULLS LAST, aw DESC NULLS LAST,
+                             prefix DESC NULLS LAST) AS rn
+                  FROM mt)
+           SELECT doc_id, domain, path, prefix AS matched_prefix,
+                  (prefix IS NULL OR aw = 1) AS allowed
+           FROM rk WHERE rn = 1""",
+
     // x109 — the rule table regenerated from the same closed form, the
     // same longest-prefix / allow-wins precedence as a window rank
     "x109_robots_gate" ->
@@ -6155,6 +6266,28 @@ object SparkEntry {
                   CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)
                     AS fertility
            FROM agg""",
+
+    // x121 — the x103 pack window denominated by the replayed BYTE
+    // token counts; docs with no pre-tokens pack at zero
+    "x121_bytebpe_pack" ->
+      s"""WITH $byteBpeOracleCtes,
+           btoks AS (
+             SELECT d.doc_id, d.source,
+                    CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens
+             FROM documents d
+             LEFT JOIN (SELECT o.doc_id, SUM(len(v.syms)) AS n
+                        FROM boc o
+                        JOIN bb${ext.TextOps.byteBpeFixtureMerges.length} v
+                          USING (w)
+                        GROUP BY o.doc_id) a USING (doc_id)),
+           bc AS (
+             SELECT doc_id, source, n_tokens,
+                    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+             FROM btoks)
+           SELECT doc_id, source, n_tokens,
+                  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
+           FROM bc""",
 
     // x118 — the byte training chain re-learned round by round; each
     // round's argmax row carries the winning pair as data

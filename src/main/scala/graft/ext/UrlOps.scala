@@ -279,6 +279,72 @@ object UrlOps {
         col("status"), col("rnk"))
   }
 
+  /** GROUP-aware robots.txt parsing — RFC 9309 §2.2.1 proper, where
+    * [[parseRobots]] is the single-group simplification: a group is
+    * one or more `User-agent` lines followed by rules; a `User-agent`
+    * line directly after another one JOINS its group (ignored/invalid
+    * lines between them do not split it, because the parser must
+    * ignore them entirely); one after a rule STARTS a new group; rules
+    * before any `User-agent` line belong to no group and drop. The
+    * crawler then obeys the MOST SPECIFIC match: every group naming
+    * its product token exactly (case-insensitive) if any exists, else
+    * every `*` group, else no rules at all (allow everything). Groups
+    * at the chosen specificity MERGE (the published Google semantics
+    * for duplicate groups). Output shape = [[parseRobots]]'s
+    * (domain, prefix, allow, plen), so the [[robotsGate]] precedence
+    * argmax composes unchanged — an equal-length Allow/Disallow
+    * conflict across merged groups resolves allow-wins, the same tie
+    * rule as within one group.
+    *
+    * All column algebra: one posexplode, one line-order window for the
+    * group ids, two bounded aggregations — the table stays domains ×
+    * rules, a broadcast at any corpus size. */
+  def parseRobotsGrouped(robots: DataFrame, agent: String,
+                         domainCol: String = "domain",
+                         textCol: String = "robots_txt"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stripped = trim(substring_index(col("line0"), "#", 1))
+    val lines = robots
+      .select(col(domainCol).as("domain"),
+        posexplode(split(col(textCol), "\n")).as(Seq("i", "line0")))
+      .select(col("domain"), col("i"), stripped.as("l"))
+      .select(col("domain"), col("i"),
+        lower(trim(substring_index(col("l"), ":", 1))).as("k"),
+        when(instr(col("l"), ":") > 0,
+          trim(col("l").substr(instr(col("l"), ":") + 1, length(col("l")))))
+          .otherwise(lit("")).as("v"))
+      .withColumn("is_ua", col("k") === "user-agent" &&
+        length(col("v")) > 0)
+      .withColumn("is_rule", col("k").isin("allow", "disallow") &&
+        length(col("v")) > 0)
+      .filter(col("is_ua") || col("is_rule"))
+    val w = Window.partitionBy("domain").orderBy("i")
+    val cum = Window.partitionBy("domain").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grouped = lines
+      .withColumn("new_group", col("is_ua") &&
+        !coalesce(lag(col("is_ua"), 1).over(w), lit(false)))
+      .withColumn("gid",
+        sum(col("new_group").cast("long")).over(cum))
+      .filter(col("gid") > 0L) // rules before any User-agent drop
+    val uas = grouped.filter(col("is_ua"))
+      .groupBy("domain", "gid")
+      .agg(max((lower(col("v")) === agent.toLowerCase(java.util.Locale.ROOT))
+          .cast("int")).as("exact"),
+        max((col("v") === "*").cast("int")).as("star"))
+    val chosen = uas
+      .withColumn("has_exact",
+        max(col("exact")).over(Window.partitionBy("domain")))
+      .filter(when(col("has_exact") === 1, col("exact") === 1)
+        .otherwise(col("star") === 1))
+      .select("domain", "gid")
+    grouped.filter(col("is_rule"))
+      .join(chosen, Seq("domain", "gid"))
+      .select(col("domain"), col("v").as("prefix"),
+        (col("k") === "allow").as("allow"))
+      .withColumn("plen", length(col("prefix")))
+  }
+
   /** Per-domain robots.txt METADATA (the non-rule directives a polite
     * crawler consumes): `Crawl-delay` (first-colon split, tolerant
     * casing/whitespace like [[parseRobots]]; non-numeric values drop,

@@ -131,6 +131,35 @@ class UrlSpec extends AnyFunSuite {
     assert(out(5L) == ((None, true)))
   }
 
+  test("parseRobotsGrouped: RFC 9309 group assembly and selection") {
+    import spark.implicits._
+    def rules(txt: String, agent: String): Set[(String, Boolean)] =
+      UrlOps.parseRobotsGrouped(
+        Seq(("d.com", txt)).toDF("domain", "robots_txt"), agent)
+        .select("prefix", "allow").as[(String, Boolean)].collect().toSet
+    val txt =
+      "Disallow: /stray\n" +              // before any group: dropped
+        "User-agent: GraftBot\nDisallow: /a\nAllow: /a/b\n\n" +
+        "User-agent: *\n# comment\nUser-agent: OtherBot\n" + // merged UAs
+        "Disallow: /c\n" +
+        "User-agent: EvilBot\nDisallow: /\n" +
+        "User-agent: graftbot\nDisallow: /z"  // 2nd exact group MERGES
+    // exact agent match: both graftbot groups merge; star group ignored
+    assert(rules(txt, "GraftBot") ==
+      Set(("/a", false), ("/a/b", true), ("/z", false)))
+    // unknown agent falls to the '*' group (reached via EITHER ua line)
+    assert(rules(txt, "nobody") == Set(("/c", false)))
+    assert(rules(txt, "OtherBot") == Set(("/c", false)))
+    // an agent with its own group never sees '*' rules
+    assert(rules(txt, "EvilBot") == Set(("/", false)))
+    // no star group and no exact match: no rules at all
+    assert(rules("User-agent: a\nDisallow: /x", "b").isEmpty)
+    // a UA line AFTER rules starts a NEW group (its rules are separate)
+    val split = "User-agent: a\nDisallow: /1\nUser-agent: b\nDisallow: /2"
+    assert(rules(split, "a") == Set(("/1", false)))
+    assert(rules(split, "b") == Set(("/2", false)))
+  }
+
   test("parseRobotsMeta: crawl-delay and sitemap discovery") {
     import spark.implicits._
     val robots = Seq(
