@@ -85,7 +85,9 @@ object Plans {
       "x119_bytebpe_trained_tokens" -> "Trained byte tokenizer applied: the x118-learned merge table folds back into the SAME single native expression as x115 — training changes the literal table, not the plan.",
       "x120_politeness_schedule" -> "Politeness schedule: the x116 ranking joins the BROADCAST per-domain robots metadata (delay + sitemap discovery gate); fetch times are one codegen'd product — no new corpus-sized exchange.",
       "x121_bytebpe_pack" -> "Byte-BPE-denominated packing: the x115 native byte-token count replaces the counter inside the SAME single window exchange as x103 — re-denominating the budget in real training tokens changes no plan shape.",
-      "x122_robots_groups" -> "RFC 9309 robots groups: group assembly is two line-order windows + two bounded aggregations on the dimension-sized rule table (domains x rules, broadcast at any corpus size); the selected-and-merged table feeds the unchanged x109 precedence gate.")
+      "x122_robots_groups" -> "RFC 9309 robots groups: group assembly is two line-order windows + two bounded aggregations on the dimension-sized rule table (domains x rules, broadcast at any corpus size); the selected-and-merged table feeds the unchanged x109 precedence gate.",
+      "x123_link_graph" -> "RFC 3986 reference resolution: explode to hrefs, then resolution + host + registered domain as ONE flat-regex projection above the Generate — zero exchange at any corpus size, and the flat component extraction keeps whole-stage codegen under Janino's method limit.",
+      "x125_binary_ann" -> "Binary sign-bit ANN: two 32-bit sign words fold in the scan stage, Hamming is two XOR+popcounts, and BOTH cuts (Hamming pre-cut, cosine rerank) are TakeOrderedAndProject — no exchange, no global sort; floats are read only by the 20-row rerank.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")
@@ -96,6 +98,10 @@ object Plans {
     sb.append("shape (one vocabulary-bounded aggregate + a 1-row argmax); the\n")
     sb.append("query output of x105/x118 is the learned table itself (a driver-\n")
     sb.append("side toDF), so its 'plan' is a LocalTableScan by construction.\n")
+    sb.append("x124's PageRank rounds eagerly localCheckpoint (Pregel-style), so\n")
+    sb.append("its final plan is a checkpoint scan; the per-round shape is one\n")
+    sb.append("edge equi-join + one dest-key partial+final agg + a one-row\n")
+    sb.append("dangling cross join (see Graph.pageRank scaladoc + GraphSpec).\n")
     picks.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sf)
       sb.append(s"\n## $name\n\n$note\n\n```\n")

@@ -1350,6 +1350,42 @@ object SparkEntry {
         ext.UrlOps.parseRobotsGrouped(robots, agent = "graftbot"))
     }),
 
+    // x123 — RFC 3986 §5 reference resolution, the layer between
+    // "extract hrefs" and "enqueue" in every crawler: each doc's page
+    // carries 4 hrefs spanning every §5.4 reference form (absolute,
+    // network-path, absolute-path with dot segments, plain relative,
+    // `../` relative with query, dotted relative with fragment,
+    // query-only, plus an out-of-corpus sink domain), resolved against
+    // the doc's own messy base URL, then destination host + registered
+    // domain — the corpus link graph. The oracle regenerates resolution
+    // closed-form per variant branch (root/directory algebra over the
+    // shared closed-form base parts — the resolver layer cancels).
+    "x123_link_graph" -> ((s, d) =>
+      linkGraph(s, d).select(col("doc_id"), col("link_i"), col("href"),
+        col("abs_url"), col("dst_host"), col("src_domain"),
+        col("dst_domain"))),
+
+    // x124 — domain-level PageRank over the x123 link graph: 5 power
+    // rounds, damping 0.85, dangling mass redistributed (the sink
+    // domain has no out-edges). The rank vector is replayed in the
+    // oracle round by round — edges regenerate closed-form, each round
+    // is one decimal-routed contribution sum per node plus the
+    // dangling scalar; the 10 dp round absorbs the cross-engine
+    // decimal-cast last-ulp drift (the x5 cosine convention).
+    "x124_domain_pagerank" -> ((s, d) =>
+      ext.Graph.pageRank(linkGraph(s, d)
+        .select(col("src_domain").as("src"), col("dst_domain").as("dst")))
+        .withColumn("pr", round(col("pr"), 10))),
+
+    // x125 — binary sign-bit ANN (the 1-bit end of the x67/x65
+    // quantization ladder): 64-dim vectors pack into two 32-bit words,
+    // Hamming distance is two XOR+popcounts, top-20 Hamming candidates
+    // re-rank by exact cosine. The oracle rebuilds the words from
+    // scratch and replays both cuts.
+    "x125_binary_ann" -> ((s, d) =>
+      ext.Similarity.binaryAnnTopK(t(s, d, "embeddings"), queryVector, 10)
+        .withColumn("cos", round(col("cos"), 6))),
+
     // x108 — corpus SUBWORD census through the custom GENERATOR
     // (bpe_explode — the §2.10 UDTF surface): one row per subword
     // straight out of the Generate, one partial+final hash agg, a
@@ -2330,22 +2366,29 @@ object SparkEntry {
     * `%25` stays `%25`), malformed sequences (`%G1`, trailing `%`)
     * passing through, and a legal `:` inside the path (the robots
     * first-colon rule target). */
-  private val urlSqlExpr: String =
+  private val urlSchemeSql: String =
     """CASE CAST(doc_id % 6 AS INTEGER)
          WHEN 0 THEN 'http' WHEN 1 THEN 'HTTPS' WHEN 2 THEN 'https'
-         WHEN 3 THEN 'HTTP' WHEN 4 THEN 'https' ELSE 'http' END ||
-       '://' ||
-       CASE CAST(doc_id % 6 AS INTEGER)
+         WHEN 3 THEN 'HTTP' WHEN 4 THEN 'https' ELSE 'http' END"""
+
+  private val urlHostSql: String =
+    """CASE CAST(doc_id % 6 AS INTEGER)
          WHEN 0 THEN 'WWW.News.Example.COM'
          WHEN 1 THEN 'blog.example.co.uk'
          WHEN 2 THEN 'cdn.Example.net'
          WHEN 3 THEN 'example.io'
          WHEN 4 THEN 'weird.internal'
-         ELSE 'Sub.Site.example.ORG' END ||
-       CASE CAST(doc_id % 4 AS INTEGER)
+         ELSE 'Sub.Site.example.ORG' END"""
+
+  private val urlPortSql: String =
+    """CASE CAST(doc_id % 4 AS INTEGER)
          WHEN 1 THEN ':80' WHEN 2 THEN ':443' WHEN 3 THEN ':8080'
-         ELSE '' END ||
-       '/' || source || '/Page' ||
+         ELSE '' END"""
+
+  /** Base path INCLUDING the odd-id trailing slash (resolution-relevant:
+    * a trailing slash changes the RFC 3986 §5.3 merge directory). */
+  private val urlPathSql: String =
+    """'/' || source || '/Page' ||
        CASE CAST(doc_id % 8 AS INTEGER)
          WHEN 2 THEN '/c:' || CAST(doc_id % 3 AS STRING)
          WHEN 3 THEN '/%7euser'
@@ -2353,10 +2396,69 @@ object SparkEntry {
          WHEN 6 THEN '/100%25x'
          WHEN 7 THEN '/x%G1%'
          ELSE '' END ||
-       CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END ||
+       CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END"""
+
+  /** The registered domain of [[urlHostSql]] in closed form (the same
+    * PSL fixture precedence the engine's registeredDomain applies). */
+  private val urlRegDomainSql: String =
+    """CASE CAST(doc_id % 6 AS INTEGER)
+         WHEN 0 THEN 'example.com'
+         WHEN 1 THEN 'example.co.uk'
+         WHEN 2 THEN 'example.net'
+         WHEN 3 THEN 'example.io'
+         WHEN 4 THEN 'weird.internal'
+         ELSE 'example.org' END"""
+
+  private val urlSqlExpr: String =
+    s"""$urlSchemeSql ||
+       '://' ||
+       $urlHostSql ||
+       $urlPortSql ||
+       $urlPathSql ||
        CASE WHEN doc_id % 5 = 0 THEN '?q=' || CAST(doc_id AS STRING)
             ELSE '' END ||
        CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END"""
+
+  /** The x123 href fixture as ONE SQL expression over (doc_id, link_i),
+    * valid verbatim in both engines — every RFC 3986 §5.4 reference
+    * form a real page emits: absolute (with a dedicated hub-domain
+    * family), network-path (`//…` — adopts the base scheme),
+    * absolute-path with dot segments, relative-path (plain, `../` with
+    * a query, and dotted with a fragment), query-only, and an
+    * out-of-corpus sink domain that gives the link graph a DANGLING
+    * node (no out-edges — the PageRank mass-redistribution branch). */
+  private val hrefSqlExpr: String =
+    """CASE CAST((doc_id + link_i) % 8 AS INTEGER)
+         WHEN 0 THEN 'https://Hub' || CAST(doc_id % 5 AS STRING) ||
+                     '.Example.COM/h/' || CAST(link_i AS STRING)
+         WHEN 1 THEN '//cdn.Example.net/lib.js'
+         WHEN 2 THEN '/a/./b/../c%7ed'
+         WHEN 3 THEN 'sub/page' || CAST(link_i AS STRING)
+         WHEN 4 THEN '../up?x=' || CAST(doc_id % 3 AS STRING)
+         WHEN 5 THEN '?q=' || CAST(link_i AS STRING)
+         WHEN 6 THEN 'deep/../x#frag'
+         ELSE 'https://Sink.Example.EDU/void' END"""
+
+  /** Shared x123/x124 link layer: per-doc hrefs resolved against the
+    * messy base URL, with source/destination hosts and registered
+    * domains. The explode sits BELOW the resolution project, so `url`
+    * reaches [[ext.UrlOps.resolveRef]] as a bound attribute, not an
+    * inlined expression tree, and `dst_host` uses the one-reference
+    * [[ext.UrlOps.hostOfResolved]] chain — both keep whole-stage
+    * codegen linear in the expression size (the x107/x116 JIT lesson). */
+  private def linkGraph(s: SparkSession,
+                        d: String): org.apache.spark.sql.DataFrame =
+    t(s, d, "documents")
+      .withColumn("url", expr(urlSqlExpr))
+      .select(col("doc_id"), col("url"),
+        explode(sequence(lit(0), lit(3))).as("link_i"))
+      .withColumn("href", expr(hrefSqlExpr))
+      .withColumn("abs_url", ext.UrlOps.resolveRef(col("url"), col("href")))
+      .withColumn("dst_host", ext.UrlOps.hostOfResolved(col("abs_url")))
+      .withColumn("src_domain",
+        ext.UrlOps.registeredDomain(ext.UrlOps.hostOf(col("url"))))
+      .withColumn("dst_domain",
+        ext.UrlOps.registeredDomain(col("dst_host")))
 
   /** [[ext.UrlOps.normalizeUrl]] replayed step for step in DuckDB —
     * chained CTEs ending at `n(doc_id, url, host, norm_url)`. Every
@@ -2449,6 +2551,33 @@ object SparkEntry {
                          string_split($h, '.')[-1]
                     ELSE $h END END"""
   }
+
+  /** x124's PageRank replay: k power rounds as unrolled CTE blocks —
+    * `c_k` (per-node contribution sums), `m_k` (the dangling-mass
+    * scalar), `pr_k` (the next vector) — reproducing
+    * [[ext.Graph.pageRank]]'s expression order term for term: the
+    * per-edge division is IEEE double, the two sums route through
+    * DECIMAL(28,18), and the damped combination adds left to right. */
+  private def pageRankCtes(iters: Int): String =
+    (1 to iters).map { k =>
+      val p = s"pr${k - 1}"
+      s"""c$k AS (SELECT e.dst AS node,
+                  ${graft.ops.Stable.sumSql("p.pr / CAST(d.deg AS DOUBLE)",
+                    18)} AS s
+                FROM ed0 e JOIN $p p ON p.node = e.src
+                JOIN dg d ON d.src = e.src
+                GROUP BY e.dst),
+           m$k AS (SELECT COALESCE(${graft.ops.Stable.sumSql("p.pr", 18)},
+                                   CAST(0 AS DOUBLE)) AS m
+                FROM $p p LEFT JOIN dg d ON d.src = p.node
+                WHERE d.src IS NULL),
+           pr$k AS (SELECT nd.node,
+                  (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                  + CAST(0.85 AS DOUBLE) * COALESCE(c.s, CAST(0 AS DOUBLE))
+                  + CAST(0.85 AS DOUBLE) * m$k.m / nn.n AS pr
+                FROM nds nd CROSS JOIN nn CROSS JOIN m$k
+                LEFT JOIN c$k c ON c.node = nd.node)"""
+    }.mkString(",\n           ")
 
   /** The x115 fixture text as ONE SQL expression valid in BOTH engines
     * (apostrophes via chr(39) — Spark SQL treats adjacent literals as
@@ -6168,6 +6297,104 @@ object SparkEntry {
            SELECT doc_id, domain, path, prefix AS matched_prefix,
                   (prefix IS NULL OR aw = 1) AS allowed
            FROM rk WHERE rn = 1""",
+
+    // x123 — resolution regenerated closed-form per variant branch:
+    // root/base-directory string algebra over the shared closed-form
+    // base parts; the engine's fold-based remove_dot_segments cancels
+    // against the KNOWN dot patterns of each href variant
+    "x123_link_graph" ->
+      s"""WITH l0 AS (SELECT doc_id, source,
+                  $urlSchemeSql AS sch, $urlHostSql AS hst,
+                  $urlPortSql AS pp, $urlPathSql AS pth,
+                  $urlRegDomainSql AS sdom
+                FROM documents),
+           l1 AS (SELECT l0.*, CAST(t.i AS INTEGER) AS link_i,
+                  CAST((doc_id + t.i) % 8 AS INTEGER) AS v,
+                  sch || '://' || hst || pp AS root,
+                  regexp_replace(pth, '[^/]*$$', '') AS bdir
+                FROM l0, range(0, 4) t(i)),
+           l2 AS (SELECT doc_id, link_i, $hrefSqlExpr AS href,
+                  CASE v
+                    WHEN 0 THEN 'https://Hub' || CAST(doc_id % 5 AS STRING)
+                                || '.Example.COM/h/'
+                                || CAST(link_i AS STRING)
+                    WHEN 1 THEN sch || '://cdn.Example.net/lib.js'
+                    WHEN 2 THEN root || '/a/c%7ed'
+                    WHEN 3 THEN root || bdir || 'sub/page'
+                                || CAST(link_i AS STRING)
+                    WHEN 4 THEN root
+                                || regexp_replace(bdir, '[^/]*/$$', '')
+                                || 'up?x=' || CAST(doc_id % 3 AS STRING)
+                    WHEN 5 THEN root || pth || '?q='
+                                || CAST(link_i AS STRING)
+                    WHEN 6 THEN root || bdir || 'x#frag'
+                    ELSE 'https://Sink.Example.EDU/void' END AS abs_url,
+                  CASE v
+                    WHEN 0 THEN 'hub' || CAST(doc_id % 5 AS STRING)
+                                || '.example.com'
+                    WHEN 1 THEN 'cdn.example.net'
+                    WHEN 7 THEN 'sink.example.edu'
+                    ELSE lower(hst) END AS dst_host,
+                  sdom AS src_domain,
+                  CASE v
+                    WHEN 0 THEN 'example.com'
+                    WHEN 1 THEN 'example.net'
+                    WHEN 7 THEN 'example.edu'
+                    ELSE sdom END AS dst_domain
+                FROM l1)
+           SELECT doc_id, link_i, href, abs_url, dst_host, src_domain,
+                  dst_domain
+           FROM l2""",
+
+    // x124 — the rank vector re-learned round by round: edges
+    // regenerate closed-form (the x123 layer cancels), then 5 unrolled
+    // power rounds, each one decimal-routed contribution sum per node
+    // plus the dangling-mass scalar — the engine's expression order
+    // term for term, so the doubles match bit for bit
+    "x124_domain_pagerank" ->
+      s"""WITH l0 AS (SELECT doc_id, $urlRegDomainSql AS sdom
+                FROM documents),
+           ed0 AS (SELECT DISTINCT sdom AS src,
+                  CASE CAST((doc_id + t.i) % 8 AS INTEGER)
+                    WHEN 0 THEN 'example.com'
+                    WHEN 1 THEN 'example.net'
+                    WHEN 7 THEN 'example.edu'
+                    ELSE sdom END AS dst
+                FROM l0, range(0, 4) t(i)),
+           nds AS (SELECT DISTINCT node FROM
+                   (SELECT src AS node FROM ed0
+                    UNION ALL SELECT dst AS node FROM ed0) q),
+           nn AS (SELECT COUNT(*) AS n FROM nds),
+           dg AS (SELECT src, COUNT(*) AS deg FROM ed0 GROUP BY src),
+           pr0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr
+                 FROM nds CROSS JOIN nn),
+           ${pageRankCtes(5)}
+           SELECT node, round(pr, 10) AS pr FROM pr5""",
+
+    // x125 — the sign words rebuilt from scratch (31-bit-safe shifts),
+    // both ordering cuts replayed with the engine's tiebreaks
+    "x125_binary_ann" -> {
+      val q0 = ext.Similarity.signWordOf(queryVector, 0, 31)
+      val q1 = ext.Similarity.signWordOf(queryVector, 32, 63)
+      s"""WITH w AS (SELECT vec_id, embedding,
+                  CAST(list_sum(list_transform(range(0, 32), i ->
+                    CASE WHEN embedding[CAST(i + 1 AS INTEGER)] > 0
+                         THEN (CAST(1 AS BIGINT) << i)
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w0,
+                  CAST(list_sum(list_transform(range(32, 64), i ->
+                    CASE WHEN embedding[CAST(i + 1 AS INTEGER)] > 0
+                         THEN (CAST(1 AS BIGINT) << (i - 32))
+                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w1
+                FROM embeddings),
+           h AS (SELECT vec_id, embedding,
+                  CAST(bit_count(xor(w0, CAST($q0 AS BIGINT))) +
+                       bit_count(xor(w1, CAST($q1 AS BIGINT)))
+                       AS INTEGER) AS ham
+                FROM w),
+           cand AS (SELECT * FROM h ORDER BY ham, vec_id LIMIT 20)
+           SELECT vec_id, ham, round($cosSql, 6) AS cos
+           FROM cand ORDER BY $cosSql DESC, vec_id LIMIT 10"""
+    },
 
     // x109 — the rule table regenerated from the same closed form, the
     // same longest-prefix / allow-wins precedence as a window rank

@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.ops.Stable
+
+/** Link-graph operators for the crawl tier. A crawl frontier that only
+  * knows "new vs stale" (x114/x116) treats a spam farm and a standards
+  * body alike; real crawl schedulers (and pretraining-corpus curators
+  * weighting by site authority) rank by link-graph centrality — the
+  * original use PageRank was built for (Page et al. 1999, "The PageRank
+  * citation ranking"). The reference has no graph tier (its assets are
+  * GEE collection ids, `index.html:241-250`); this is north-star
+  * territory for a 100 TB crawl corpus.
+  */
+object Graph {
+
+  /** Iterative PageRank over an edge list — returns `(node, pr)` after
+    * `iters` synchronous power-method rounds with damping `d`:
+    *
+    * `pr'(v) = (1-d)/N + d·Σ_{u→v} pr(u)/deg(u) + d·M/N`
+    *
+    * where `M` is the dangling mass (rank held by nodes with no
+    * out-edges, redistributed uniformly — the standard stochastic-matrix
+    * completion, without which rank leaks and the vector stops summing
+    * to 1). Edges are deduplicated; self-loops are legal and kept.
+    *
+    * Scale design: the deduplicated edge table, out-degrees, node set
+    * and dangling set are computed ONCE and cached (`MEMORY_AND_DISK`)
+    * for the k reuses, then released; each round is one equi-join of
+    * edges with the previous rank vector plus ONE partial+final hash
+    * aggregation on the destination key — shuffle size is the edge
+    * count, skew bound is one node's in-degree. The dangling mass rides
+    * as a ONE-ROW aggregate cross-joined back (no driver collect in the
+    * loop); the only driver-side scalar is the node COUNT, once, up
+    * front. Each round's rank vector is EAGERLY `localCheckpoint`ed —
+    * the Pregel discipline: without it the two consumers per round
+    * (contribution join + dangling mass) double the lineage every
+    * iteration, a 2^k recompute. The vector is node-sized (bounded by
+    * distinct URLs/domains, not corpus rows); for rank vectors beyond
+    * executor storage swap in a reliable `checkpoint` directory — the
+    * plan shape is unchanged.
+    *
+    * Determinism: per-edge contributions `pr(u)/deg(u)` are IEEE double
+    * ops (reproducible anywhere); their per-destination sum and the
+    * dangling-mass sum route through fixed-scale decimals
+    * ([[Stable.sumD]], scale 18) — invariant under any partitioning or
+    * merge order, so the rank vector is reproducible across cluster
+    * sizes (cross-engine replays agree to the last few ulp; callers
+    * round for hash-exact comparison, the x5 cosine convention).
+    *
+    * Contract: edge endpoints must be non-null — the operator does NOT
+    * filter them, deliberately: a defensive `isNotNull(src)` filter
+    * gets pushed below the caller's projection, re-inlining a large
+    * derived-column expression into the scan filter and blowing
+    * whole-stage codegen past Janino's 64 KB method limit (observed
+    * with x124's registered-domain chain — the x107/x116 JIT lesson in
+    * pushdown form). */
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
+               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dangling = nodes
+      .join(e.select("src").distinct(),
+        nodes("node") === col("src"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val base = (1.0 - damping) / n
+    var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = ed
+        .join(pr, ed("src") === pr("node"))
+        .groupBy(col("dst"))
+        .agg(Stable.sumD(col("pr") / col("deg").cast("double"), 18).as("c"))
+      val massRow = pr
+        .join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(Stable.sumD(col("pr"), 18), lit(0.0)).as("dmass"))
+      pr = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .crossJoin(massRow)
+        .select(nodes("node"),
+          (lit(base) + lit(damping) * coalesce(col("c"), lit(0.0)) +
+            lit(damping) * col("dmass") / lit(n.toDouble)).as("pr"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(blocking = false)
+    ed.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    dangling.unpersist(blocking = false)
+    pr
+  }
+}

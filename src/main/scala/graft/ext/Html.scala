@@ -136,6 +136,34 @@ object Html {
       }(enc)
   }
 
+  /** (href, anchor-text) pairs from HTML response records — the edge
+    * layer of a link graph as it comes out of a REAL archive: the
+    * anchor text pointing AT a page is the classic external relevance
+    * signal (it describes the target in the linkers' words), and the
+    * href set is what [[graft.ext.UrlOps.resolveRef]] turns into
+    * frontier URLs. One narrow explode per record; entity decoding
+    * applies to the anchor text (it is page text), not the href (URLs
+    * carry their own escaping). Column algebra throughout —
+    * regexp_extract_all for the two capture groups, zipped and
+    * posexploded; no UDF. */
+  def anchorsFromRecords(records: DataFrame): DataFrame = {
+    val pat = "<a\\s+href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+    records
+      .filter(col("record_type") === "response" &&
+        lower(col("http_content_type")).startsWith("text/html"))
+      .select(col("media_id"), col("target_uri").as("base_url"),
+        decode(col("html"), "UTF-8").as("h"))
+      .withColumn("hrefs", regexp_extract_all(col("h"), lit(pat), lit(1)))
+      .withColumn("anchors",
+        regexp_extract_all(col("h"), lit(pat), lit(2)))
+      .select(col("media_id"), col("base_url"),
+        posexplode(arrays_zip(col("hrefs"), col("anchors")))
+          .as(Seq("link_i", "z")))
+      .select(col("media_id"), col("base_url"), col("link_i"),
+        col("z").getField("hrefs").as("href"),
+        col("z").getField("anchors").as("anchor"))
+  }
+
   // ----------------------------------------------- deterministic crawl gen
 
   /** Escape text for embedding in HTML (the writer half of the entity

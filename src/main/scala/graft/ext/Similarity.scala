@@ -53,6 +53,54 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExprs.dot_fold(a, b) / (norm(a) * norm(b))
 
+  /** Sign bits of dims `[lo, hi]` packed little-endian into one BIGINT
+    * (dim `i` → bit `i-lo`, set when the component is strictly
+    * positive). 64-dim vectors pack into TWO 32-bit words rather than
+    * one 64-bit word: bit 63 would flip a BIGINT's sign, and an
+    * unsigned-vs-signed disagreement between engines is exactly the
+    * silent-divergence class the CDC maskMod fix closed. One
+    * higher-order aggregate in the scan-stage project — no UDF, no
+    * serialization; HOFs evaluate outside codegen but stay narrow. */
+  def signWord(vec: Column, lo: Int, hi: Int): Column =
+    aggregate(sequence(lit(lo), lit(hi)), lit(0L), (acc, i) =>
+      acc + when(element_at(vec, i + 1) > lit(0f),
+        call_function("shiftleft", lit(1L), i - lit(lo))).otherwise(lit(0L)))
+
+  /** Driver-side twin of [[signWord]] for literal query vectors. */
+  def signWordOf(q: Array[Double], lo: Int, hi: Int): Long =
+    (lo to hi).foldLeft(0L)((acc, i) =>
+      if (q(i) > 0) acc + (1L << (i - lo)) else acc)
+
+  /** Binary (sign-bit) ANN — the 1-bit extreme of the quantization
+    * ladder (int8 x67, PQ x65): 64 dims compress 256× to two 32-bit
+    * words, candidate distance is a 2-popcount Hamming count, and the
+    * top `rerank` Hamming candidates re-rank by exact cosine. Charikar
+    * 2002 (SimHash) grounds the estimator: sign-bit agreement
+    * probability is `1 − θ/π`, monotone in cosine for the symmetric
+    * distributions embeddings approximate, so a Hamming cut loses
+    * little recall at a fraction of the cost. The scan never touches
+    * the float array until the bounded rerank — at 100 TB the words
+    * column (16 B/row vs 256 B) is the only thing read, and both
+    * ordering cuts are TakeOrderedAndProject (per-partition top-k, no
+    * global sort, no exchange). */
+  def binaryAnnTopK(embeddings: DataFrame, q: Array[Double], k: Int,
+                    rerank: Int = 20, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val q0 = signWordOf(q, 0, 31)
+    val q1 = signWordOf(q, 32, 63)
+    val ham = (call_function("bit_count", col("w0").bitwiseXOR(lit(q0))) +
+      call_function("bit_count", col("w1").bitwiseXOR(lit(q1)))).cast("int")
+    embeddings
+      .select(col(idCol), col(vecCol),
+        signWord(col(vecCol), 0, 31).as("w0"),
+        signWord(col(vecCol), 32, 63).as("w1"))
+      .withColumn("ham", ham)
+      .orderBy(col("ham"), col(idCol)).limit(rerank)
+      .withColumn("cos", cosineLiteral(col(vecCol), q))
+      .orderBy(desc("cos"), col(idCol)).limit(k)
+      .select(col(idCol), col("ham"), col("cos"))
+  }
+
   /** Brute-force top-k by cosine against a literal query. Deterministic
     * tiebreak on id. orderBy+limit compiles to TakeOrderedAndProject —
     * per-partition top-k then a k-row merge on the driver, no full sort. */

@@ -172,6 +172,104 @@ object UrlOps {
       .otherwise(lit(""))
   }
 
+  /** RFC 3986 §5.2.4 `remove_dot_segments` over a `/`-split segment
+    * fold: `.` drops, `..` pops the previous segment (never the
+    * leading root), everything else — including the empty segments a
+    * `//` run produces — appends verbatim; a trailing `.`/`..` leaves
+    * a trailing slash, exactly the browser/`java.net.URI` behavior.
+    * One higher-order `aggregate` per row — no UDF, no serialization;
+    * HOFs evaluate outside codegen but keep the project narrow. */
+  private def removeDotSegments(p: Column): Column = {
+    val segs = split(p, "/")
+    val folded = aggregate(segs, array().cast("array<string>"),
+      (acc, s) =>
+        when(s === ".", acc)
+          .when(s === "..",
+            when(size(acc) > 1, slice(acc, lit(1), size(acc) - 1))
+              .otherwise(acc))
+          .otherwise(concat(acc, array(s))))
+    val last = element_at(segs, -1)
+    concat(array_join(folded, "/"),
+      when(last === "." || last === "..", lit("/")).otherwise(lit("")))
+  }
+
+  /** RFC 3986 §5 reference resolution — turn an href exactly as it
+    * appears in a page into the absolute URL a crawler fetches. Handles
+    * every reference form of §5.4: absolute (`https://h/p`),
+    * network-path (`//h/p` — base scheme adopted), absolute-path
+    * (`/p`), relative-path (`p`, `../p` — merged onto the base
+    * directory per §5.3 then dot-segments removed per §5.2.4),
+    * query-only (`?q` — base path kept) and same-document (``/`#f` —
+    * base path AND query kept). The ref's fragment is carried through
+    * (callers normalize with [[normalizeUrl]], which drops it); NO
+    * normalization happens here — resolution must preserve case,
+    * ports and percent-encoding so the gate sees what the server sees.
+    * A base without `://` fails open to the ref itself (never
+    * fabricate a URL from a non-URL base).
+    *
+    * Pure per-row column algebra (string splits + one array fold per
+    * path) — zero shuffle at any corpus size; the reference's serving
+    * layer never resolves links (it emits absolute asset ids,
+    * `index.html:241-250`), but a crawl frontier is BUILT from resolved
+    * hrefs, so this is the edge extractor for the link-graph tier. */
+  def resolveRef(base: Column, ref: Column): Column = {
+    // Component extraction is deliberately FLAT — each part is one
+    // regexp_extract over the raw input, not a chain of substrings
+    // over previous parts. A nested parse cascade doubles the
+    // expression tree at every level (bTail embeds bRest twice, bPath
+    // embeds bTail twice, …), and composed into a downstream consumer
+    // it blew whole-stage codegen past Janino's 64 KB method limit
+    // (the x107/x116 JIT lesson, hit again here). One anchored regex
+    // per component keeps the tree linear; the patterns compile once
+    // per task.
+    val bScheme = regexp_extract(base, "^([^:/?#]+)://", 1)
+    val bAuth = regexp_extract(base, "^[^:/?#]+://([^/?#]*)", 1)
+    val bPath0 = regexp_extract(base, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val bPath = when(bPath0 === "", lit("/")).otherwise(bPath0)
+    val bQuery = regexp_extract(base, "^[^?#]*(\\?[^#]*)", 1)
+    val root = concat(bScheme, lit("://"), bAuth)
+    val bDir = regexp_replace(bPath, "[^/]*$", "")
+    // ref split: fragment carries through, query splits off the path
+    val rFrag = regexp_extract(ref, "(#.*)", 1)
+    val rNoFrag = substring_index(ref, "#", 1)
+    val rPath = regexp_extract(ref, "^([^?#]*)", 1)
+    val rQuery = regexp_extract(ref, "^[^?#]*(\\?[^#]*)", 1)
+    val refHasScheme = ref.rlike("^[^:/?#]+://")
+    // absolute + network-path forms share one parse of the full URL
+    val aFull = when(refHasScheme, rNoFrag)
+      .otherwise(concat(bScheme, lit(":"), rNoFrag))
+    val aScheme = regexp_extract(aFull, "^([^:/?#]+)://", 1)
+    val aAuth = regexp_extract(aFull, "^[^:/?#]+://([^/?#]*)", 1)
+    val aPath = regexp_extract(aFull, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    val aQuery = regexp_extract(aFull, "^[^?#]*(\\?[^#]*)", 1)
+    val absResolved = concat(aScheme, lit("://"), aAuth,
+      when(aPath === "", lit("")).otherwise(removeDotSegments(aPath)),
+      aQuery)
+    val resolved =
+      when(refHasScheme || rNoFrag.startsWith("//"), absResolved)
+        .when(rPath.startsWith("/"),
+          concat(root, removeDotSegments(rPath), rQuery))
+        .when(rPath === "",
+          concat(root, bPath,
+            when(rQuery =!= "", rQuery).otherwise(bQuery)))
+        .otherwise(
+          concat(root, removeDotSegments(concat(bDir, rPath)), rQuery))
+    when(instr(base, "://") > 0, concat(resolved, rFrag)).otherwise(ref)
+  }
+
+  /** Host of a RESOLVED URL (a [[resolveRef]] output — `://` is
+    * guaranteed, userinfo/IPv6 authorities excluded by construction):
+    * a single nested substring chain that references its argument
+    * exactly ONCE. [[hostOf]] repeats its argument under conditional
+    * branches, which whole-stage codegen cannot subexpression-eliminate
+    * (branch values are conditionally evaluated) — composed over a
+    * large derived column like a resolved href that multiplies the
+    * generated code past the JIT method limit (the x107 lesson). Use
+    * this form when the input column is itself a big expression. */
+  def hostOfResolved(u: Column): Column =
+    lower(substring_index(substring_index(substring_index(substring_index(
+      substring_index(u, "#", 1), "://", -1), "/", 1), "?", 1), ":", 1))
+
   /** Parse robots.txt documents into a prefix-rule table
     * (domain, prefix, allow, plen): `Allow:` / `Disallow:` lines keep
     * their path prefix, everything else (User-agent, comments, blank

@@ -100,6 +100,35 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(r(0).getDouble(1) - 1.0) < 1e-12)
   }
 
+  test("binary sign-bit ANN: words pack the right bits; full rerank " +
+    "equals brute force") {
+    // hand case: dims 0 and 33 positive, everything else <= 0
+    val hand = Array.tabulate(64)(i => if (i == 0 || i == 33) 1.0f else 0f)
+    val w = Seq(Tuple1(hand)).toDF("embedding")
+      .select(Similarity.signWord(col("embedding"), 0, 31).as("w0"),
+        Similarity.signWord(col("embedding"), 32, 63).as("w1"))
+      .head()
+    assert(w.getLong(0) == 1L && w.getLong(1) == 2L)
+    assert(Similarity.signWordOf(hand.map(_.toDouble), 0, 31) == 1L)
+    assert(Similarity.signWordOf(hand.map(_.toDouble), 32, 63) == 2L)
+    // rerank over the whole corpus reduces to brute-force top-k
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 30L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = Array.tabulate(64)(i => math.sin(i + 1.0))
+    val brute = Similarity.topKCosine(vecs, q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    val bin = Similarity.binaryAnnTopK(vecs, q, 5, rerank = 30)
+      .collect().map(_.getLong(0)).toSeq
+    assert(bin == brute)
+    // the Hamming pre-cut keeps the identical vector at distance 0
+    val withSelf = vecs.union(Seq((99L, q.map(_.toFloat)))
+      .toDF("vec_id", "embedding"))
+    val top = Similarity.binaryAnnTopK(withSelf, q, 1, rerank = 3).head()
+    assert(top.getLong(0) == 99L && top.getInt(1) == 0)
+  }
+
   test("LSH ANN: query bucket contains the nearest vector") {
     val n = 50
     val rnd = new scala.util.Random(7)

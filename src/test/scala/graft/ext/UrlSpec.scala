@@ -160,6 +160,48 @@ class UrlSpec extends AnyFunSuite {
     assert(rules(split, "b") == Set(("/2", false)))
   }
 
+  test("resolveRef: the RFC 3986 §5.4 reference-resolution vectors") {
+    import spark.implicits._
+    val base = "http://a/b/c/d;p?q"
+    def res(refs: Seq[String]): Map[String, String] =
+      refs.map(r => r -> Seq((base, r)).toDF("b", "r")
+        .select(UrlOps.resolveRef(col("b"), col("r"))).head().getString(0))
+        .toMap
+    val normal = Map(
+      "g" -> "http://a/b/c/g", "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/", "/g" -> "http://a/g",
+      "//g" -> "http://g", "?y" -> "http://a/b/c/d;p?y",
+      "g?y" -> "http://a/b/c/g?y", "#s" -> "http://a/b/c/d;p?q#s",
+      "g#s" -> "http://a/b/c/g#s", "g?y#s" -> "http://a/b/c/g?y#s",
+      ";x" -> "http://a/b/c/;x", "g;x" -> "http://a/b/c/g;x",
+      "g;x?y#s" -> "http://a/b/c/g;x?y#s", "" -> "http://a/b/c/d;p?q",
+      "." -> "http://a/b/c/", "./" -> "http://a/b/c/",
+      ".." -> "http://a/b/", "../" -> "http://a/b/",
+      "../g" -> "http://a/b/g", "../.." -> "http://a/",
+      "../../" -> "http://a/", "../../g" -> "http://a/g")
+    val abnormal = Map(
+      "../../../g" -> "http://a/g", "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g", "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.", ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..", "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g", "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h", "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y",
+      "http://x/y?z#w" -> "http://x/y?z#w")
+    val got = res((normal ++ abnormal).keys.toSeq)
+    for ((r, want) <- normal ++ abnormal)
+      assert(got(r) == want, s"ref '$r': got '${got(r)}', want '$want'")
+    // non-URL base fails open to the ref itself
+    assert(Seq(("not a url", "g")).toDF("b", "r")
+      .select(UrlOps.resolveRef(col("b"), col("r"))).head().getString(0)
+      == "g")
+    // pathless base merges relative refs onto '/'
+    assert(Seq(("http://h?q=1", "g")).toDF("b", "r")
+      .select(UrlOps.resolveRef(col("b"), col("r"))).head().getString(0)
+      == "http://h/g")
+  }
+
   test("parseRobotsMeta: crawl-delay and sitemap discovery") {
     import spark.implicits._
     val robots = Seq(
