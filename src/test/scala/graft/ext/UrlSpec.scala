@@ -225,6 +225,62 @@ class UrlSpec extends AnyFunSuite {
     assert(got("d.com") == ((1.0, None)))
   }
 
+  test("hostOfResolved anchors on the FIRST :// (embedded URLs)") {
+    import spark.implicits._
+    def h(u: String): String =
+      Seq(u).toDF("u").select(UrlOps.hostOfResolved(col("u")))
+        .head().getString(0)
+    // redirect/tracking param embedding an absolute URL in the query
+    assert(h("https://a.com/r?next=https://b.com/x") == "a.com")
+    // path-embedded absolute URL (proxy/cache path shapes)
+    assert(h("https://a.com/fetch/https://b.com/x") == "a.com")
+    // fragment-embedded URL strips with the fragment
+    assert(h("https://a.com/p#https://b.com/x") == "a.com")
+    // plain forms keep working: port strips, case lowers, query-only
+    assert(h("HTTPS://Host.COM:8443/p") == "host.com")
+    assert(h("https://h.io?q=1") == "h.io")
+    assert(h("https://h.io") == "h.io")
+  }
+
+  test("parseRobotsMeta is group-blind but conservative: max delay wins") {
+    import spark.implicits._
+    val robots = Seq(
+      ("a.com", "User-agent: FastBot\nCrawl-delay: 1\n\n" +
+        "User-agent: *\nCrawl-delay: 10"))
+      .toDF("domain", "robots_txt")
+    val r = UrlOps.parseRobotsMeta(robots).head()
+    assert(r.getDouble(1) == 10.0) // never ruder than the applicable group
+  }
+
+  test("parseRobotsMetaGrouped scopes the delay to the obeyed group") {
+    import spark.implicits._
+    val robots = Seq(
+      // FastBot's 1 s grant must not speed up a * crawler; graftbot's
+      // exact group (merged across two declarations → max) beats both
+      ("a.com", "User-agent: FastBot\nCrawl-delay: 1\n\n" +
+        "User-agent: *\nCrawl-delay: 10\nSitemap: https://a.com/s.xml\n\n" +
+        "User-agent: GraftBot\nCrawl-delay: 2.5\n\n" +
+        "user-agent: graftbot\ncrawl-delay: 4"),
+      // only another agent's group: no applicable delay → default 1.0,
+      // but the file-wide Sitemap still surfaces
+      ("b.com", "User-agent: OtherBot\nCrawl-delay: 9\n" +
+        "Sitemap: https://b.com/s.xml"),
+      // no groups at all → default delay, NULL sitemap
+      ("c.com", "# nothing here"))
+      .toDF("domain", "robots_txt")
+    val got = UrlOps.parseRobotsMetaGrouped(robots, agent = "graftbot")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), Option(r.getString(2))))).toMap
+    assert(got("a.com") == ((4.0, Some("https://a.com/s.xml"))))
+    assert(got("b.com") == ((1.0, Some("https://b.com/s.xml"))))
+    assert(got("c.com") == ((1.0, None)))
+    // a * crawler gets the * group's 10, not FastBot's 1
+    val star = UrlOps.parseRobotsMetaGrouped(robots, agent = "nobot")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(star("a.com") == 10.0)
+  }
+
   test("robotsGateStateless equals the grouped robotsGate") {
     import spark.implicits._
     val urls = (0L until 40L).map(i =>
