@@ -1391,6 +1391,21 @@ object SparkEntry {
       ext.Similarity.binaryAnnTopK(t(s, d, "embeddings"), queryVector, 10)
         .withColumn("cos", round(col("cos"), 6))),
 
+    // x126 — the STORED sign-word index (the x77 lifecycle for the
+    // 1-bit tier): words persist once per data dir, the query's
+    // Hamming scan reads ONLY (vec_id, w0, w1) — 16 B/row, 16× less
+    // than the float column — and raw vectors enter through the
+    // 20-row rerank join. Value-identical to x125's inline packing
+    // (parquet stores int64 exactly), so the oracle is the same
+    // replay; the bench times the query half only.
+    "x126_binary_stored_ann" -> ((s, d) => {
+      val dir = storedDir("signwords", d)(p =>
+        ext.Similarity.binaryAnnStoredBuild(t(s, d, "embeddings"), p))
+      ext.Similarity.binaryAnnStoredQuery(t(s, d, "embeddings"), dir,
+          queryVector, 10)
+        .withColumn("cos", round(col("cos"), 6))
+    }),
+
     // x108 — corpus SUBWORD census through the custom GENERATOR
     // (bpe_explode — the §2.10 UDTF surface): one row per subword
     // straight out of the Generate, one partial+final hash agg, a
@@ -2583,6 +2598,33 @@ object SparkEntry {
                 FROM nds nd CROSS JOIN nn CROSS JOIN m$k
                 LEFT JOIN c$k c ON c.node = nd.node)"""
     }.mkString(",\n           ")
+
+  /** x125/x126's shared replay: sign words rebuilt from scratch
+    * (31-bit-safe shifts), both ordering cuts with the engine's
+    * tiebreaks. The stored path (x126) is value-identical to the
+    * inline one — parquet stores int64 exactly. */
+  private lazy val binaryAnnOracleSql: String = {
+    val q0 = ext.Similarity.signWordOf(queryVector, 0, 31)
+    val q1 = ext.Similarity.signWordOf(queryVector, 32, 63)
+    s"""WITH w AS (SELECT vec_id, embedding,
+                CAST(list_sum(list_transform(range(0, 32), i ->
+                  CASE WHEN embedding[CAST(i + 1 AS INTEGER)] > 0
+                       THEN (CAST(1 AS BIGINT) << i)
+                       ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w0,
+                CAST(list_sum(list_transform(range(32, 64), i ->
+                  CASE WHEN embedding[CAST(i + 1 AS INTEGER)] > 0
+                       THEN (CAST(1 AS BIGINT) << (i - 32))
+                       ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w1
+              FROM embeddings),
+         h AS (SELECT vec_id, embedding,
+                CAST(bit_count(xor(w0, CAST($q0 AS BIGINT))) +
+                     bit_count(xor(w1, CAST($q1 AS BIGINT)))
+                     AS INTEGER) AS ham
+              FROM w),
+         cand AS (SELECT * FROM h ORDER BY ham, vec_id LIMIT 20)
+         SELECT vec_id, ham, round($cosSql, 6) AS cos
+         FROM cand ORDER BY $cosSql DESC, vec_id LIMIT 10"""
+  }
 
   /** The x115 fixture text as ONE SQL expression valid in BOTH engines
     * (apostrophes via chr(39) — Spark SQL treats adjacent literals as
@@ -6378,28 +6420,12 @@ object SparkEntry {
 
     // x125 — the sign words rebuilt from scratch (31-bit-safe shifts),
     // both ordering cuts replayed with the engine's tiebreaks
-    "x125_binary_ann" -> {
-      val q0 = ext.Similarity.signWordOf(queryVector, 0, 31)
-      val q1 = ext.Similarity.signWordOf(queryVector, 32, 63)
-      s"""WITH w AS (SELECT vec_id, embedding,
-                  CAST(list_sum(list_transform(range(0, 32), i ->
-                    CASE WHEN embedding[CAST(i + 1 AS INTEGER)] > 0
-                         THEN (CAST(1 AS BIGINT) << i)
-                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w0,
-                  CAST(list_sum(list_transform(range(32, 64), i ->
-                    CASE WHEN embedding[CAST(i + 1 AS INTEGER)] > 0
-                         THEN (CAST(1 AS BIGINT) << (i - 32))
-                         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w1
-                FROM embeddings),
-           h AS (SELECT vec_id, embedding,
-                  CAST(bit_count(xor(w0, CAST($q0 AS BIGINT))) +
-                       bit_count(xor(w1, CAST($q1 AS BIGINT)))
-                       AS INTEGER) AS ham
-                FROM w),
-           cand AS (SELECT * FROM h ORDER BY ham, vec_id LIMIT 20)
-           SELECT vec_id, ham, round($cosSql, 6) AS cos
-           FROM cand ORDER BY $cosSql DESC, vec_id LIMIT 10"""
-    },
+    "x125_binary_ann" -> binaryAnnOracleSql,
+
+    // x126 — the stored-words lifecycle is value-identical to the
+    // inline packing (parquet stores int64 exactly), so the oracle is
+    // the same replay (the x77/x66 convention)
+    "x126_binary_stored_ann" -> binaryAnnOracleSql,
 
     // x109 — the rule table regenerated from the same closed form, the
     // same longest-prefix / allow-wins precedence as a window rank

@@ -78,11 +78,13 @@ object Similarity {
     * 2002 (SimHash) grounds the estimator: sign-bit agreement
     * probability is `1 − θ/π`, monotone in cosine for the symmetric
     * distributions embeddings approximate, so a Hamming cut loses
-    * little recall at a fraction of the cost. The scan never touches
-    * the float array until the bounded rerank — at 100 TB the words
-    * column (16 B/row vs 256 B) is the only thing read, and both
-    * ordering cuts are TakeOrderedAndProject (per-partition top-k, no
-    * global sort, no exchange). */
+    * little recall at a fraction of the cost. This INLINE form packs
+    * the words from the float vectors inside the same scan (one pass,
+    * no storage); the STORED form ([[binaryAnnStoredBuild]] /
+    * [[binaryAnnStoredQuery]]) is the one whose Hamming scan reads
+    * 16 B/row and nothing else. Both ordering cuts are
+    * TakeOrderedAndProject (per-partition top-k, no global sort, no
+    * exchange). */
   def binaryAnnTopK(embeddings: DataFrame, q: Array[Double], k: Int,
                     rerank: Int = 20, idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
@@ -99,6 +101,49 @@ object Similarity {
       .withColumn("cos", cosineLiteral(col(vecCol), q))
       .orderBy(desc("cos"), col(idCol)).limit(k)
       .select(col(idCol), col("ham"), col("cos"))
+  }
+
+  /** Write-once half of the STORED 1-bit index — the x77/x96 lifecycle
+    * applied to the sign-word tier: pack every vector's sign bits once
+    * and persist `(vec_id, w0, w1)` as parquet under `storageDir`.
+    * 16 bytes a row against 256 for the float array — the 16× at-rest
+    * compression the 1-bit tier exists for. Build cost is one corpus
+    * scan; at 100 TB it amortizes over every query that follows. */
+  def binaryAnnStoredBuild(embeddings: DataFrame, storageDir: String,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): Unit =
+    embeddings
+      .select(col(idCol),
+        signWord(col(vecCol), 0, 31).as("w0"),
+        signWord(col(vecCol), 32, 63).as("w1"))
+      .write.mode("overwrite").parquet(s"$storageDir/signwords")
+
+  /** Query half: answer from the persisted words table alone. The
+    * Hamming cut scans ONLY `(vec_id, w0, w1)` — PlanSpec asserts the
+    * candidate scan's ReadSchema carries no `embedding` column — and
+    * the float vectors enter through the bounded `rerank`-row equi-join
+    * for the exact-cosine re-rank, exactly the stored-PQ discipline
+    * ([[annPqStoredQuery]]). Value-identical to the inline
+    * [[binaryAnnTopK]] (parquet stores int64 exactly), so the oracle is
+    * the same replay. */
+  def binaryAnnStoredQuery(embeddings: DataFrame, storageDir: String,
+                           q: Array[Double], k: Int, rerank: Int = 20,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && rerank >= k,
+      s"need rerank >= k > 0, got k=$k rerank=$rerank")
+    val spark = embeddings.sparkSession
+    val q0 = signWordOf(q, 0, 31)
+    val q1 = signWordOf(q, 32, 63)
+    val ham = (call_function("bit_count", col("w0").bitwiseXOR(lit(q0))) +
+      call_function("bit_count", col("w1").bitwiseXOR(lit(q1)))).cast("int")
+    spark.read.parquet(s"$storageDir/signwords")
+      .select(col(idCol), ham.as("ham"))
+      .orderBy(col("ham"), col(idCol)).limit(rerank)
+      .join(embeddings.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol), col("ham"),
+        cosineLiteral(col(vecCol), q).as("cos"))
+      .orderBy(desc("cos"), col(idCol)).limit(k)
   }
 
   /** Brute-force top-k by cosine against a literal query. Deterministic

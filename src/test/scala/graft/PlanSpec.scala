@@ -607,4 +607,18 @@ class PlanSpec extends AnyFunSuite {
     val p = executed("x102_mjpeg_frames").toString
     assert(!p.contains("Exchange"), s"x102 shuffles:\n$p")
   }
+
+  test("x126 stored binary ANN: the Hamming scan reads only the words " +
+       "table — no embedding column until the bounded rerank join") {
+    val p = planString("x126_binary_stored_ann")
+    // two scans: the signwords store (vec_id, w0, w1) and the rerank
+    // side. The store scan's ReadSchema must not carry the float array.
+    val scans = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toList
+    val wordScans = scans.filter(s => s.contains("w0") && s.contains("w1"))
+    assert(wordScans.nonEmpty, s"no words-table scan found:\n$p")
+    assert(wordScans.forall(!_.contains("embedding")),
+      s"words scan reads the embedding column:\n$p")
+    // both cuts stay TakeOrderedAndProject — no global sort
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k cut:\n$p")
+  }
 }
