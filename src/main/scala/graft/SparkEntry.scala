@@ -1382,6 +1382,19 @@ object SparkEntry {
         .select(col("src_domain").as("src"), col("dst_domain").as("dst")))
         .withColumn("pr", round(col("pr"), 10))),
 
+    // x127 — the AUTHORITY report off the x124 rank vector: top-3
+    // domains by rank, TakeOrderedAndProject (per-partition top-k, a
+    // 3-row driver merge — no global sort of the vector; GraphSpec
+    // asserts the plan). Fixed 5 rounds keeps the oracle replay the
+    // x124 one; the tolerance-stopped pageRankConverged is proven
+    // equal to the long fixed run in GraphSpec.
+    "x127_top_authorities" -> ((s, d) =>
+      ext.Graph.topAuthorities(
+        ext.Graph.pageRank(linkGraph(s, d)
+          .select(col("src_domain").as("src"),
+            col("dst_domain").as("dst"))), 3)
+        .withColumn("pr", round(col("pr"), 10))),
+
     // x125 — binary sign-bit ANN (the 1-bit end of the x67/x65
     // quantization ladder): 64-dim vectors pack into two 32-bit words,
     // Hamming distance is two XOR+popcounts, top-20 Hamming candidates
@@ -6417,6 +6430,31 @@ object SparkEntry {
                  FROM nds CROSS JOIN nn),
            ${pageRankCtes(5)}
            SELECT node, round(pr, 10) AS pr FROM pr5""",
+
+    // x127 — the same 5-round replay, cut to the top 3 by RAW rank
+    // (the engine orders before rounding — ordering by the rounded
+    // value could flip near-ties), node-ascending tiebreak
+    "x127_top_authorities" ->
+      s"""WITH l0 AS (SELECT doc_id, $urlRegDomainSql AS sdom
+                FROM documents),
+           ed0 AS (SELECT DISTINCT sdom AS src,
+                  CASE CAST((doc_id + t.i) % 8 AS INTEGER)
+                    WHEN 0 THEN 'example.com'
+                    WHEN 1 THEN 'example.net'
+                    WHEN 7 THEN 'example.edu'
+                    ELSE sdom END AS dst
+                FROM l0, range(0, 4) t(i)),
+           nds AS (SELECT DISTINCT node FROM
+                   (SELECT src AS node FROM ed0
+                    UNION ALL SELECT dst AS node FROM ed0) q),
+           nn AS (SELECT COUNT(*) AS n FROM nds),
+           dg AS (SELECT src, COUNT(*) AS deg FROM ed0 GROUP BY src),
+           pr0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr
+                 FROM nds CROSS JOIN nn),
+           ${pageRankCtes(5)},
+           cut AS (SELECT node, pr FROM pr5
+                   ORDER BY pr DESC, node LIMIT 3)
+           SELECT node, round(pr, 10) AS pr FROM cut""",
 
     // x125 — the sign words rebuilt from scratch (31-bit-safe shifts),
     // both ordering cuts replayed with the engine's tiebreaks

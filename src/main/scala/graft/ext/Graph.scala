@@ -58,7 +58,69 @@ object Graph {
     * with x124's registered-domain chain — the x107/x116 JIT lesson in
     * pushdown form). */
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
-               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+               srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    run(edges, damping, srcCol, dstCol) { (step, pr0) =>
+      var pr = pr0
+      for (_ <- 1 to iters) pr = step(pr)
+      pr
+    }
+
+  /** [[pageRank]] run to TOLERANCE instead of a fixed round count —
+    * how a production crawl scheduler actually runs the power method
+    * (Page et al. report ~50 rounds to convergence on the 1999 web;
+    * a fixed small constant is a demo). Identical per-round algebra —
+    * the SAME step function [[pageRank]] uses, so k rounds of either
+    * are bit-identical — plus ONE extra bounded aggregate per round:
+    * the L1 residual `Σ|pr'(v) − pr(v)|` over the node-keyed join of
+    * consecutive vectors (node-sized, decimal-routed, partitioning-
+    * invariant), whose scalar reaches the driver as loop control —
+    * the same class of driver-side scalar as the up-front node count.
+    * Stops after the first round whose residual is below `tol`, or at
+    * `maxIters`. Returns the final vector (the iteration count and
+    * residual land in the driver log contract of the caller; the
+    * VECTOR is the product). */
+  def pageRankConverged(edges: DataFrame, tol: Double = 1e-9,
+                        maxIters: Int = 50, damping: Double = 0.85,
+                        srcCol: String = "src", dstCol: String = "dst")
+      : DataFrame = {
+    require(tol > 0 && maxIters >= 1,
+      s"need tol > 0 and maxIters >= 1: tol=$tol maxIters=$maxIters")
+    run(edges, damping, srcCol, dstCol) { (step, pr0) =>
+      var pr = pr0
+      var it = 0
+      var delta = Double.MaxValue
+      while (it < maxIters && delta >= tol) {
+        val next = step(pr)
+        delta = next.join(pr.withColumnRenamed("pr", "pr_old"), "node")
+          .agg(Stable.sumD(abs(col("pr") - col("pr_old")), 18).as("d"))
+          .head().getDouble(0)
+        pr = next
+        it += 1
+      }
+      pr
+    }
+  }
+
+  /** Top-k nodes by rank — the authority report a crawl scheduler or
+    * corpus curator reads off a rank vector. `orderBy(desc).limit(k)`
+    * compiles to TakeOrderedAndProject: per-partition top-k, a k-row
+    * driver merge, NO global sort of the (node-sized) vector. Ties
+    * break on node ascending — a total order, deterministic. */
+  def topAuthorities(ranks: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1: $k")
+    ranks.orderBy(desc("pr"), col("node")).limit(k)
+  }
+
+  /** Shared setup + round step: dedup the edges, cache the degree-
+    * annotated edge table / node set / dangling set for the loop the
+    * caller drives, release them after. The step function is the ONE
+    * image of the recurrence — both public entry points iterate it, so
+    * their rounds are expression-identical (bit-identical results for
+    * equal round counts). */
+  private def run(edges: DataFrame, damping: Double,
+                  srcCol: String, dstCol: String)
+                 (loop: (DataFrame => DataFrame, DataFrame) => DataFrame)
+      : DataFrame = {
     val e = edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
@@ -76,9 +138,9 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     val base = (1.0 - damping) / n
-    var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
+    val pr0 = nodes.select(col("node"), lit(1.0 / n).as("pr"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    def step(pr: DataFrame): DataFrame = {
       val contrib = ed
         .join(pr, ed("src") === pr("node"))
         .groupBy(col("dst"))
@@ -86,7 +148,7 @@ object Graph {
       val massRow = pr
         .join(dangling, Seq("node"), "left_semi")
         .agg(coalesce(Stable.sumD(col("pr"), 18), lit(0.0)).as("dmass"))
-      pr = nodes
+      nodes
         .join(contrib, nodes("node") === contrib("dst"), "left")
         .crossJoin(massRow)
         .select(nodes("node"),
@@ -94,10 +156,11 @@ object Graph {
             lit(damping) * col("dmass") / lit(n.toDouble)).as("pr"))
         .localCheckpoint(true)
     }
+    val out = loop(step, pr0)
     e.unpersist(blocking = false)
     ed.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     dangling.unpersist(blocking = false)
-    pr
+    out
   }
 }

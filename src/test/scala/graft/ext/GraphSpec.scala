@@ -52,6 +52,46 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  test("pageRankConverged: tolerance stop agrees with a long fixed run " +
+    "and conserves mass") {
+    val edges = Seq("a" -> "b", "a" -> "a", "b" -> "c", "b" -> "d",
+      "c" -> "a", "d" -> "a", "a" -> "c")
+    val fixed = Graph.pageRank(edges.toDF("src", "dst"), 60)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val conv = Graph.pageRankConverged(edges.toDF("src", "dst"),
+        tol = 1e-12, maxIters = 100)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(conv.keySet == fixed.keySet)
+    for ((k, w) <- fixed)
+      assert(math.abs(conv(k) - w) < 1e-9, s"node $k: ${conv(k)} vs $w")
+    assert(math.abs(conv.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRankConverged: the uniform-stationary cycle stops after " +
+    "one residual check (maxIters is not the binding stop)") {
+    // a→b→c→a is stationary at 1/3 — round 1's residual is ~0, so a
+    // tight tolerance must still stop immediately with the exact vector
+    val pr = Graph.pageRankConverged(
+        Seq("a" -> "b", "b" -> "c", "c" -> "a").toDF("src", "dst"),
+        tol = 1e-15, maxIters = 50)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    pr.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+  }
+
+  test("topAuthorities: top-k by rank, deterministic ties, " +
+    "TakeOrderedAndProject (no global sort)") {
+    val edges = Seq("a" -> "b", "a" -> "c", "b" -> "c", "d" -> "c",
+      "c" -> "a").toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, 5)
+    val top = Graph.topAuthorities(ranks, 2)
+    val p = top.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-k sorts globally:\n$p")
+    val got = top.collect().map(r => (r.getString(0), r.getDouble(1)))
+    val all = ranks.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy(t => (-t._2, t._1))
+    assert(got.toSeq == all.take(2).toSeq)
+  }
+
   test("pageRank: invariant under input partitioning (decimal routing)") {
     val edges = Seq("a" -> "b", "b" -> "c", "b" -> "d", "c" -> "a",
       "d" -> "a", "a" -> "c")
