@@ -1395,6 +1395,17 @@ object SparkEntry {
             col("dst_domain").as("dst"))), 3)
         .withColumn("pr", round(col("pr"), 10))),
 
+    // x128 — the per-destination ANCHOR-TERM census over the x123
+    // link graph: the terms other pages use when linking AT a domain
+    // (the signal BM25-over-anchors indexes), split internal vs
+    // cross-domain. Anchor text decodes through the engine's named-
+    // entity column decoder; the oracle carries the DECODED text per
+    // fixture variant, so a wrong decode (double-unescape, missed
+    // &nbsp;, eaten unknown entity) hash-mismatches.
+    "x128_anchor_census" -> ((s, d) =>
+      ext.Html.anchorTermCensus(
+        linkGraph(s, d).withColumn("anchor", expr(anchorSqlExpr)))),
+
     // x125 — binary sign-bit ANN (the 1-bit end of the x67/x65
     // quantization ladder): 64-dim vectors pack into two 32-bit words,
     // Hamming distance is two XOR+popcounts, top-20 Hamming candidates
@@ -2471,6 +2482,21 @@ object SparkEntry {
          WHEN 5 THEN '?q=' || CAST(link_i AS STRING)
          WHEN 6 THEN 'deep/../x#frag'
          ELSE 'https://Sink.Example.EDU/void' END"""
+
+  /** The x128 anchor-text fixture over (doc_id, link_i) — entity-
+    * escaped exactly as anchors surface in raw HTML (`&amp;`, `&lt;`,
+    * `&nbsp;`, a double-escape, an unknown entity that must survive
+    * verbatim); the oracle carries the DECODED text per variant, so a
+    * wrong engine decode hash-mismatches. Spark-SQL-only (the oracle
+    * never evaluates it). */
+  private val anchorSqlExpr: String =
+    """CASE CAST((doc_id + 2 * link_i) % 6 AS INTEGER)
+         WHEN 0 THEN 'Read &amp; learn MORE'
+         WHEN 1 THEN 'data &lt;plans&gt; page'
+         WHEN 2 THEN 'home'
+         WHEN 3 THEN 'next&nbsp;page ' || CAST(link_i AS STRING)
+         WHEN 4 THEN 'double &amp;lt; escape &copy; kept'
+         ELSE 'Tom &amp; Jerry archive' END"""
 
   /** Shared x123/x124 link layer: per-doc hrefs resolved against the
     * messy base URL, with source/destination hosts and registered
@@ -6455,6 +6481,38 @@ object SparkEntry {
            cut AS (SELECT node, pr FROM pr5
                    ORDER BY pr DESC, node LIMIT 3)
            SELECT node, round(pr, 10) AS pr FROM cut""",
+
+    // x128 — edges regenerate closed-form (the x124 convention) and
+    // the anchor text appears DECODED per variant: the expected output
+    // of the engine's entity decoder, not a replay of it — a decoder
+    // bug cannot cancel
+    "x128_anchor_census" ->
+      s"""WITH l0 AS (SELECT doc_id, $urlRegDomainSql AS sdom
+                FROM documents),
+           lg AS (SELECT doc_id, sdom,
+                  CASE CAST((doc_id + t.i) % 8 AS INTEGER)
+                    WHEN 0 THEN 'example.com'
+                    WHEN 1 THEN 'example.net'
+                    WHEN 7 THEN 'example.edu'
+                    ELSE sdom END AS ddom,
+                  CASE CAST((doc_id + 2 * t.i) % 6 AS INTEGER)
+                    WHEN 0 THEN 'Read & learn MORE'
+                    WHEN 1 THEN 'data <plans> page'
+                    WHEN 2 THEN 'home'
+                    WHEN 3 THEN 'next page ' || CAST(t.i AS STRING)
+                    WHEN 4 THEN 'double &lt; escape &copy; kept'
+                    ELSE 'Tom & Jerry archive' END AS a
+                FROM l0, range(0, 4) t(i)),
+           tm AS (SELECT doc_id, ddom, (sdom = ddom) AS ii,
+                         unnest(string_split(lower(a), ' ')) AS term
+                  FROM lg)
+           SELECT ddom AS dst_domain, term,
+                  COUNT(*) AS n_links,
+                  CAST(SUM(CASE WHEN ii THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_internal,
+                  COUNT(DISTINCT doc_id) AS n_src_docs
+           FROM tm WHERE length(term) > 0
+           GROUP BY 1, 2""",
 
     // x125 — the sign words rebuilt from scratch (31-bit-safe shifts),
     // both ordering cuts replayed with the engine's tiebreaks

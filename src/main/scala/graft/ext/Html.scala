@@ -193,6 +193,32 @@ object Html {
         decodeEntitiesCol(col("z").getField("anchors")).as("anchor"))
   }
 
+  /** Per-DESTINATION anchor-term census over a resolved link table —
+    * the classic external relevance signal one layer above edge
+    * extraction: the terms other pages use when linking AT a domain
+    * (what anchor-text retrieval — BM25 over anchors, x34's machinery —
+    * indexes), split by internal vs cross-domain links (self-links
+    * describe navigation; external ones confer authority). Expects
+    * `(doc_id, src_domain, dst_domain, anchor)`; anchor text decodes
+    * through [[decodeEntitiesCol]] (it is page text), lowercases, and
+    * splits on spaces.
+    *
+    * Shape at 100 TB: one narrow explode in the scan stage, then ONE
+    * partial+final hash agg keyed by (dst_domain, term) — bounded by
+    * the distinct census vocabulary, not the corpus; counts collapse
+    * map-side. */
+  def anchorTermCensus(links: DataFrame): DataFrame =
+    links
+      .withColumn("is_internal", col("src_domain") === col("dst_domain"))
+      .select(col("doc_id"), col("dst_domain"), col("is_internal"),
+        explode(org.apache.spark.sql.functions.filter(
+          split(lower(decodeEntitiesCol(col("anchor"))), " "),
+          t => length(t) > 0)).as("term"))
+      .groupBy("dst_domain", "term")
+      .agg(count(lit(1)).as("n_links"),
+        sum(col("is_internal").cast("long")).as("n_internal"),
+        count_distinct(col("doc_id")).as("n_src_docs"))
+
   // ----------------------------------------------- deterministic crawl gen
 
   /** Escape text for embedding in HTML (the writer half of the entity
