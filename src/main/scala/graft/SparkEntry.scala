@@ -1395,6 +1395,16 @@ object SparkEntry {
             col("dst_domain").as("dst"))), 3)
         .withColumn("pr", round(col("pr"), 10))),
 
+    // x129 — the crawl-TRAP detector over a closed-form four-host
+    // fixture: a pagination trap (/p/<id> — one digit-normalized
+    // skeleton fanning into a path per doc), a depth trap (10
+    // segments), a session-id trap (one path, a query per doc), and a
+    // clean static site that must NOT flag. Per-host shape census —
+    // one hash agg, distinct counts expand map-side.
+    "x129_crawl_traps" -> ((s, d) =>
+      ext.UrlOps.crawlTraps(
+        t(s, d, "documents").select(expr(trapUrlSqlExpr).as("url")))),
+
     // x128 — the per-destination ANCHOR-TERM census over the x123
     // link graph: the terms other pages use when linking AT a domain
     // (the signal BM25-over-anchors indexes), split internal vs
@@ -2497,6 +2507,23 @@ object SparkEntry {
          WHEN 3 THEN 'next&nbsp;page ' || CAST(link_i AS STRING)
          WHEN 4 THEN 'double &amp;lt; escape &copy; kept'
          ELSE 'Tom &amp; Jerry archive' END"""
+
+  /** The x129 trap-fixture URL — four host families with closed-form
+    * shapes (pagination, depth, session-query, clean); mixed host case
+    * exercises the [[ext.UrlOps.hostOf]] lowering. Spark-SQL-only (the
+    * oracle regenerates host/path/query directly). */
+  private val trapUrlSqlExpr: String =
+    """CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 'https://Pages.Example.COM/p/' ||
+                     CAST(doc_id AS STRING)
+         WHEN 1 THEN 'https://deep.example.com/a/b/c/d/e/f/g/h/i/x' ||
+                     CAST(doc_id % 3 AS STRING)
+         WHEN 2 THEN 'https://app.example.com/list?session=' ||
+                     CAST(doc_id AS STRING) || '&page=' ||
+                     CAST(doc_id % 7 AS STRING)
+         ELSE 'https://static.example.org/' ||
+              CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'about'
+                   WHEN 1 THEN 'contact' ELSE 'pricing' END END"""
 
   /** Shared x123/x124 link layer: per-doc hrefs resolved against the
     * messy base URL, with source/destination hosts and registered
@@ -6481,6 +6508,53 @@ object SparkEntry {
            cut AS (SELECT node, pr FROM pr5
                    ORDER BY pr DESC, node LIMIT 3)
            SELECT node, round(pr, 10) AS pr FROM cut""",
+
+    // x129 — host/path/query regenerate closed-form per variant (the
+    // URL-parse layer is oracle-proven in x99/x109); depth as the '/'
+    // count, skeletons via the same digit-collapse regex, the tuple
+    // distinct as a '?'-joined string (injective here: '' queries,
+    // '?'-free paths)
+    "x129_crawl_traps" ->
+      """WITH u0 AS (SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN 'pages.example.com'
+               WHEN 1 THEN 'deep.example.com'
+               WHEN 2 THEN 'app.example.com'
+               ELSE 'static.example.org' END AS host,
+             CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN '/p/' || CAST(doc_id AS STRING)
+               WHEN 1 THEN '/a/b/c/d/e/f/g/h/i/x' ||
+                           CAST(doc_id % 3 AS STRING)
+               WHEN 2 THEN '/list'
+               ELSE '/' || CASE CAST(doc_id % 3 AS INTEGER)
+                             WHEN 0 THEN 'about' WHEN 1 THEN 'contact'
+                             ELSE 'pricing' END END AS path,
+             CASE WHEN doc_id % 4 = 2
+                  THEN 'session=' || CAST(doc_id AS STRING) ||
+                       '&page=' || CAST(doc_id % 7 AS STRING)
+                  ELSE '' END AS q
+           FROM documents),
+           agg AS (SELECT host,
+             COUNT(*) AS n_urls,
+             MAX(CAST(length(path) - length(replace(path, '/', ''))
+                 AS INTEGER)) AS max_depth,
+             COUNT(DISTINCT path) AS n_paths,
+             COUNT(DISTINCT regexp_replace(path, '[0-9]+', 'N', 'g'))
+               AS n_skeletons,
+             COUNT(DISTINCT path || '?' || q) AS n_path_queries
+           FROM u0 GROUP BY host)
+           SELECT host, n_urls, max_depth, n_paths, n_skeletons,
+                  n_path_queries,
+                  CAST(n_paths AS DOUBLE) / CAST(n_skeletons AS DOUBLE)
+                    AS path_fanout,
+                  CAST(n_path_queries AS DOUBLE) / CAST(n_paths AS DOUBLE)
+                    AS query_fanout,
+                  (max_depth > 8
+                   OR CAST(n_paths AS DOUBLE) /
+                      CAST(n_skeletons AS DOUBLE) > 4.0
+                   OR CAST(n_path_queries AS DOUBLE) /
+                      CAST(n_paths AS DOUBLE) > 4.0) AS is_trap
+           FROM agg""",
 
     // x128 — edges regenerate closed-form (the x124 convention) and
     // the anchor text appears DECODED per variant: the expected output

@@ -585,6 +585,59 @@ object UrlOps {
         (col("best").isNull || col("best.aw") === 1).as("allowed"))
   }
 
+  /** Crawl-TRAP detector — the hygiene gate between a frontier
+    * ([[recrawlSchedule]]) and a politeness schedule: the per-host
+    * shape signals that tell a crawler it is walking a calendar
+    * widget, a session-id hall of mirrors, or an infinitely nesting
+    * path tree rather than real content:
+    *
+    *  - `max_depth` — deepest path (count of `/` segments); unbounded
+    *    growth marks recursive link generators;
+    *  - `path_fanout` — distinct paths per distinct DIGIT-NORMALIZED
+    *    path skeleton (`[0-9]+` runs collapse to `N`): a calendar or
+    *    pagination trap mints thousands of paths over one skeleton;
+    *  - `query_fanout` — distinct (path, query) pairs per distinct
+    *    path: session ids and tracking params explode the query side
+    *    while the path set stays put.
+    *
+    * `is_trap` flags a host crossing ANY threshold (strict >). Keyed
+    * by HOST, not registered domain — a crawler schedules per host,
+    * and one spammy subdomain must not condemn its siblings. Shape at
+    * 100 TB: per-row column algebra (host/path/query splits + one
+    * digit-collapse regex), then ONE hash agg on the host key whose
+    * distinct counts expand map-side — bounded by hosts × distinct
+    * paths, no join, no sort. */
+  def crawlTraps(urls: DataFrame, urlCol: String = "url",
+                 maxDepth: Int = 8, fanoutRatio: Double = 4.0,
+                 paramRatio: Double = 4.0): DataFrame = {
+    val u = col(urlCol)
+    val noFrag = substring_index(u, "#", 1)
+    val qpos = instr(noFrag, "?")
+    val query = when(qpos > 0, noFrag.substr(qpos + 1, length(noFrag)))
+      .otherwise(lit(""))
+    val parsed = urls.select(
+      hostOf(u).as("host"),
+      pathOf(u).as("path"),
+      query.as("q"))
+    parsed
+      .withColumn("skeleton", regexp_replace(col("path"), "[0-9]+", "N"))
+      .groupBy("host")
+      .agg(
+        count(lit(1)).as("n_urls"),
+        max(size(split(col("path"), "/")) - 1).as("max_depth"),
+        count_distinct(col("path")).as("n_paths"),
+        count_distinct(col("skeleton")).as("n_skeletons"),
+        count_distinct(col("path"), col("q")).as("n_path_queries"))
+      .withColumn("path_fanout",
+        col("n_paths").cast("double") / col("n_skeletons").cast("double"))
+      .withColumn("query_fanout",
+        col("n_path_queries").cast("double") / col("n_paths").cast("double"))
+      .withColumn("is_trap",
+        col("max_depth") > maxDepth ||
+        col("path_fanout") > fanoutRatio ||
+        col("query_fanout") > paramRatio)
+  }
+
   /** Per-registered-domain rollup of a URL column — the crawl analogue
     * of the per-source gate-rate report: URL count, distinct normalized
     * URLs (what survives URL-keyed dedup), and the lexicographic min as

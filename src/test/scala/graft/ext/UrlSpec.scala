@@ -281,6 +281,33 @@ class UrlSpec extends AnyFunSuite {
     assert(star("a.com") == 10.0)
   }
 
+  test("crawlTraps: pagination/depth/session traps flag, static site " +
+    "does not; keyed per host") {
+    import spark.implicits._
+    val urls = (
+      // pagination trap: 20 paths, one digit-normalized skeleton
+      (0 until 20).map(i => s"https://Cal.example.com/day/$i") ++
+      // depth trap: 10 segments, tiny fan-out
+      Seq("https://deep.example.com/a/b/c/d/e/f/g/h/i/leaf") ++
+      // session trap: one path, 9 distinct queries
+      (0 until 9).map(i => s"https://app.example.com/list?sid=$i") ++
+      // clean: three static pages, repeated
+      (0 until 12).map(i =>
+        s"https://ok.example.org/${Seq("about", "contact", "pricing")(i % 3)}")
+    ).toDF("url")
+    val got = UrlOps.crawlTraps(urls).collect().map(r =>
+      r.getAs[String]("host") -> ((r.getAs[Long]("n_urls"),
+        r.getAs[Int]("max_depth"), r.getAs[Double]("path_fanout"),
+        r.getAs[Double]("query_fanout"),
+        r.getAs[Boolean]("is_trap")))).toMap
+    assert(got.keySet == Set("cal.example.com", "deep.example.com",
+      "app.example.com", "ok.example.org"))
+    assert(got("cal.example.com") == ((20L, 2, 20.0, 1.0, true)))
+    assert(got("deep.example.com") == ((1L, 10, 1.0, 1.0, true)))
+    assert(got("app.example.com") == ((9L, 1, 1.0, 9.0, true)))
+    assert(got("ok.example.org") == ((12L, 1, 1.0, 1.0, false)))
+  }
+
   test("robotsGateStateless equals the grouped robotsGate") {
     import spark.implicits._
     val urls = (0L until 40L).map(i =>
