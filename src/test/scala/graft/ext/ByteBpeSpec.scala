@@ -109,6 +109,65 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(got(0L) == want.toLong)
   }
 
+  test("the design holds past fixture size: 200 merges train in-engine, " +
+    "compile, apply, and round-trip") {
+    import spark.implicits._
+    // the real corpus (sf0.001 documents) with the x115-style messy
+    // augmentation so CJK/emoji byte pairs compete with ASCII ones,
+    // plus two rotating phonetic words per doc — the synthetic corpus
+    // vocabulary alone exhausts its pair pool at ~170 merges, and 200
+    // rounds must run against REAL pair competition, not dry out
+    val phon = Seq("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima",
+      "mike", "november", "oscar", "papa", "quebec", "romeo", "sierra",
+      "tango", "uniform", "victor", "whiskey", "xray", "yankee", "zulu")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), concat(col("text"), lit(" "),
+        element_at(typedLit(Seq("it's  two  spaces ", "дd 😀! don't stop",
+          "水水水 water 99'", "x=42; a[i]*99 !!'s 'quote")),
+          (col("doc_id") % 4).cast("int") + 1),
+        lit(" "), element_at(typedLit(phon),
+          (col("doc_id") % 26).cast("int") + 1),
+        lit(" "), element_at(typedLit(phon),
+          ((col("doc_id") * 7 + 3) % 26).cast("int") + 1)).as("text"))
+    val learned = TextOps.trainByteBpeMerges(docs, nMerges = 200)
+    assert(learned.length == 200,
+      s"trainer went dry at ${learned.length} rules")
+    val table = learned.map(m => (m._1, m._2))
+    // compiles => well-formed by BpeKernel's invariants (every left/
+    // right side is a base byte or an earlier merge's output)
+    val rules = BpeKernel.compile(table)
+    // counts are positive and non-increasing in training order up to
+    // ties broken by pair order — at minimum, never increasing by >0
+    // is NOT guaranteed (merges unlock new pairs), but positivity is
+    assert(learned.forall(_._3 > 0))
+    // GPT-2 vocabulary signature at scale: leading-space merges AND a
+    // multi-byte (non-ASCII) merge both emerge in 200 rounds
+    assert(learned.count(_._1.startsWith(" ")) >= 5)
+    assert(learned.exists { case (a, b, _) =>
+      (a + b).exists(c => c.toInt > 0x7f) })
+    // round-trip: tokenization is a partition of the byte stream —
+    // concatenated token symbols equal the pre-token's bytes, for
+    // every pre-token of a sampled messy doc
+    val sample = docs.filter(col("doc_id") < 8)
+      .select("text").as[String].collect()
+    sample.foreach { t =>
+      Gpt2Split.pretokenize(t).foreach { p =>
+        val syms = ByteBpe.byteSyms(p)
+        val toks = BpeKernel.encodeWord(syms, rules)
+        assert(toks.mkString == syms.mkString, s"round-trip broke on: $p")
+      }
+    }
+    // more rules => no more tokens, on every doc (monotone compression)
+    val at20 = TextOps.byteBpeReport(docs, merges = table.take(20))
+      .select("doc_id", "n_byte_tokens").as[(Long, Long)].collect().toMap
+    val at200 = TextOps.byteBpeReport(docs, merges = table)
+      .select("doc_id", "n_byte_tokens").as[(Long, Long)].collect().toMap
+    assert(at200.keySet == at20.keySet)
+    assert(at20.forall { case (k, n20) => at200(k) <= n20 })
+    assert(at200.values.sum < at20.values.sum)
+  }
+
   test("ByteBpeStats expression matches the kernel composition") {
     import spark.implicits._
     val texts = Seq("it's  two  spaces ", "水水水 water 99'",
