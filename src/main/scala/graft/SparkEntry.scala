@@ -79,6 +79,94 @@ object SparkEntry {
       Seq(avgD(col("value")).as("mean_value"), count(lit(1)).as("n")))
   }
 
+  /** x114/x114b shared body — the CRAWL FRONTIER product composing the
+    * whole crawl tier: sitemap-listed URLs (x111's listing) minus the
+    * crawled set, gated by robots rules that also govern the /extra
+    * frontier paths. The narrow (doc_id, domain, norm) projection feeds
+    * three consumers (listing, crawled set, robots domains):
+    *
+    *  - `stateless = false` (x114) materializes it ONCE via a bounded
+    *    localCheckpoint — the x116 measurement: left inline, each
+    *    branch carries (and whole-stage codegen JIT-compiles) its own
+    *    copy of the ~67 KB url→domain chain, and Janino time dwarfs
+    *    execution at fixture scale;
+    *  - `stateless = true` (x114b) RECOMPUTES it per branch — the
+    *    100 TB shape: per-row cost is trivial against scan time, and
+    *    nothing pins executor storage. Both shapes are oracle-identical
+    *    and BOTH are benched, so the trade stays measured (SURVEY §9).
+    *
+    * The x107 pushed-predicate trap bites neither way: the coalesce
+    * makes domain/norm NON-NULLABLE, so no join pushes an
+    * isnotnull(<67 KB expression>) below the projections. */
+  private def crawlFrontier(s: SparkSession, d: String,
+                            stateless: Boolean): DataFrame = {
+    val urls0 = t(s, d, "documents")
+      .withColumn("url", expr(urlSqlExpr))
+      .withColumn("domain", coalesce(
+        ext.UrlOps.registeredDomain(ext.UrlOps.hostOf(col("url"))),
+        lit("")))
+      .withColumn("norm", coalesce(
+        ext.UrlOps.normalizeUrl(col("url")), lit("")))
+      .select("doc_id", "domain", "norm")
+    val urls = if (stateless) urls0 else urls0.localCheckpoint()
+    // x111's sitemap listing (even-id norms + /extra phantoms)
+    val phantoms = sequence(lit(0), lit(2))
+    val evenLocs = urls.filter(col("doc_id") % 2 === 0)
+      .groupBy("domain")
+      .agg(sort_array(collect_set(col("norm"))).as("locs0"))
+    val listed = urls.select("domain").distinct()
+      .join(evenLocs, Seq("domain"), "left")
+      .select(col("domain"), explode(concat(
+        coalesce(col("locs0"), array().cast("array<string>")),
+        transform(phantoms, k =>
+          concat(lit("https://"), col("domain"), lit("/extra/"),
+            k.cast("string"))))).as("u"))
+      .distinct()
+    val frontier = listed
+      .join(urls.select(col("domain"), col("norm").as("u")).distinct(),
+        Seq("domain", "u"), "left_anti")
+      .withColumn("path", ext.UrlOps.pathOf(col("u")))
+    // x109's robots fixture EXTENDED with frontier-path rules:
+    // Disallow /extra/k when (k + len(domain)) is even
+    val ld = length(col("domain"))
+    val lines = concat(
+      flatten(transform(sequence(lit(0), lit(9)), i =>
+        concat(
+          when(((i + ld) % 3) === 0,
+            array(concat(lit("Disallow: /src"), i.cast("string"))))
+            .otherwise(array().cast("array<string>")),
+          when(((i + ld) % 2) === 0,
+            array(when(((i + ld) % 4) === 0,
+              concat(lit("aLLoW:   /src"), i.cast("string"),
+                lit("/Page  ")))
+              .otherwise(concat(lit("Allow: /src"), i.cast("string"),
+                lit("/Page")))))
+            .otherwise(array().cast("array<string>")),
+          when(((i + ld) % 5) === 1,
+            array(concat(lit("disallow: /src"), i.cast("string"),
+              lit("/Page/c:0 # colon-bearing path"))))
+            .otherwise(array().cast("array<string>"))))),
+      flatten(transform(phantoms, k =>
+        when(((k + ld) % 2) === 0,
+          array(concat(lit("Disallow: /extra/"), k.cast("string"))))
+          .otherwise(array().cast("array<string>")))))
+    val robots = urls.select("domain").distinct()
+      .withColumn("robots_txt",
+        concat_ws("\n", concat(array(lit("User-agent: *")), lines)))
+    val rules = ext.UrlOps.parseRobots(robots)
+    // x109's precedence argmax keyed by (domain, u)
+    frontier.join(broadcast(rules), Seq("domain"), "left")
+      .withColumn("m",
+        when(col("path").startsWith(col("prefix")),
+          struct(col("plen"), col("allow").cast("int").as("aw"),
+            col("prefix"))))
+      .groupBy("domain", "u", "path")
+      .agg(max(col("m")).as("best"))
+      .select(col("domain"), col("u").as("url"), col("path"),
+        col("best.prefix").as("matched_prefix"),
+        (col("best").isNull || col("best.aw") === 1).as("allowed"))
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -957,86 +1045,18 @@ object SparkEntry {
     // paths — the "fetch next" schedule a polite crawler actually
     // emits. Each fragment is the oracle-proven x99/x111/x109 logic;
     // the COMPOSITION is what this query checks.
-    "x114_crawl_frontier" -> ((s, d) => {
-      // the narrow (doc_id, domain, norm) projection feeds three
-      // consumers (listing, crawled set, robots domains) and is
-      // materialized ONCE, deliberately (the x116 measurement): left
-      // inline, each branch carries — and whole-stage codegen
-      // JIT-compiles — its own copy of the ~67 KB url→domain chain,
-      // and Janino time dwarfs execution at fixture scale. At the
-      // 100 TB design point the projection would instead recompute
-      // statelessly per branch (the x120 shape: per-row cost is
-      // trivial against scan time, and nothing pins executor storage);
-      // both shapes are oracle-identical — SURVEY §9 carries the
-      // trade. The x107 pushed-predicate trap does not bite either
-      // way: the coalesce makes domain/norm NON-NULLABLE, so no join
-      // pushes an isnotnull(<67 KB expression>) below the projections.
-      val urls = t(s, d, "documents")
-        .withColumn("url", expr(urlSqlExpr))
-        .withColumn("domain", coalesce(
-          ext.UrlOps.registeredDomain(ext.UrlOps.hostOf(col("url"))),
-          lit("")))
-        .withColumn("norm", coalesce(
-          ext.UrlOps.normalizeUrl(col("url")), lit("")))
-        .select("doc_id", "domain", "norm")
-        .localCheckpoint()
-      // x111's sitemap listing (even-id norms + /extra phantoms)
-      val phantoms = sequence(lit(0), lit(2))
-      val evenLocs = urls.filter(col("doc_id") % 2 === 0)
-        .groupBy("domain")
-        .agg(sort_array(collect_set(col("norm"))).as("locs0"))
-      val listed = urls.select("domain").distinct()
-        .join(evenLocs, Seq("domain"), "left")
-        .select(col("domain"), explode(concat(
-          coalesce(col("locs0"), array().cast("array<string>")),
-          transform(phantoms, k =>
-            concat(lit("https://"), col("domain"), lit("/extra/"),
-              k.cast("string"))))).as("u"))
-        .distinct()
-      val frontier = listed
-        .join(urls.select(col("domain"), col("norm").as("u")).distinct(),
-          Seq("domain", "u"), "left_anti")
-        .withColumn("path", ext.UrlOps.pathOf(col("u")))
-      // x109's robots fixture EXTENDED with frontier-path rules:
-      // Disallow /extra/k when (k + len(domain)) is even
-      val ld = length(col("domain"))
-      val lines = concat(
-        flatten(transform(sequence(lit(0), lit(9)), i =>
-          concat(
-            when(((i + ld) % 3) === 0,
-              array(concat(lit("Disallow: /src"), i.cast("string"))))
-              .otherwise(array().cast("array<string>")),
-            when(((i + ld) % 2) === 0,
-              array(when(((i + ld) % 4) === 0,
-                concat(lit("aLLoW:   /src"), i.cast("string"),
-                  lit("/Page  ")))
-                .otherwise(concat(lit("Allow: /src"), i.cast("string"),
-                  lit("/Page")))))
-              .otherwise(array().cast("array<string>")),
-            when(((i + ld) % 5) === 1,
-              array(concat(lit("disallow: /src"), i.cast("string"),
-                lit("/Page/c:0 # colon-bearing path"))))
-              .otherwise(array().cast("array<string>"))))),
-        flatten(transform(phantoms, k =>
-          when(((k + ld) % 2) === 0,
-            array(concat(lit("Disallow: /extra/"), k.cast("string"))))
-            .otherwise(array().cast("array<string>")))))
-      val robots = urls.select("domain").distinct()
-        .withColumn("robots_txt",
-          concat_ws("\n", concat(array(lit("User-agent: *")), lines)))
-      val rules = ext.UrlOps.parseRobots(robots)
-      // x109's precedence argmax keyed by (domain, u)
-      frontier.join(broadcast(rules), Seq("domain"), "left")
-        .withColumn("m",
-          when(col("path").startsWith(col("prefix")),
-            struct(col("plen"), col("allow").cast("int").as("aw"),
-              col("prefix"))))
-        .groupBy("domain", "u", "path")
-        .agg(max(col("m")).as("best"))
-        .select(col("domain"), col("u").as("url"), col("path"),
-          col("best.prefix").as("matched_prefix"),
-          (col("best").isNull || col("best.aw") === 1).as("allowed"))
-    }),
+    "x114_crawl_frontier" -> ((s, d) => crawlFrontier(s, d,
+      stateless = false)),
+
+    // x114b — the SAME frontier in the STATELESS shape the 100 TB
+    // story tells: the narrow url→domain projection recomputes per
+    // branch (nothing pins executor storage; per-row cost is trivial
+    // against scan time at corpus scale) instead of the one bounded
+    // localCheckpoint x114 pays to dodge per-branch Janino compiles at
+    // fixture scale. Same rows, same oracle — BOTH shapes are recorded
+    // in the bench so the trade stays measured, not asserted.
+    "x114b_frontier_stateless" -> ((s, d) => crawlFrontier(s, d,
+      stateless = true)),
 
     // x116 — the RECRAWL SCHEDULE over NESTED sitemaps: per-domain
     // <sitemapindex> documents point at per-shard <urlset> files whose
@@ -2691,6 +2711,59 @@ object SparkEntry {
          SELECT vec_id, ham, round($cosSql, 6) AS cos
          FROM cand ORDER BY $cosSql DESC, vec_id LIMIT 10"""
   }
+
+  /** x114/x114b shared oracle: the three fragments composed — the
+    * x111 listing minus crawled, paths, the extended rule table,
+    * the x109 rank. Both engine shapes replay to this verbatim. */
+  private lazy val x114OracleSql: String =
+    s"""WITH $urlNormCtes,
+           nd AS (SELECT doc_id, ${regDomainSql("host")} AS domain,
+                         norm_url AS norm
+                  FROM n),
+           listed AS (
+             SELECT DISTINCT domain, norm AS u FROM nd WHERE doc_id % 2 = 0
+             UNION
+             SELECT DISTINCT domain,
+                    'https://' || domain || '/extra/' || CAST(t.i AS STRING)
+             FROM nd, range(0, 3) t(i)),
+           crawled AS (SELECT DISTINCT domain, norm AS u FROM nd),
+           frontier AS (
+             SELECT l.domain, l.u,
+                    '/extra/' || split_part(l.u, '/extra/', 2) AS path
+             FROM listed l ANTI JOIN crawled c
+               ON c.domain = l.domain AND c.u = l.u),
+           doms AS (SELECT DISTINCT domain FROM nd),
+           rl AS (
+             SELECT domain, '/src' || CAST(t.i AS STRING) AS prefix,
+                    0 AS aw
+             FROM doms, range(0, 10) t(i)
+             WHERE (t.i + length(domain)) % 3 = 0
+             UNION ALL
+             SELECT domain, '/src' || CAST(t.i AS STRING) || '/Page',
+                    1 AS aw
+             FROM doms, range(0, 10) t(i)
+             WHERE (t.i + length(domain)) % 2 = 0
+             UNION ALL
+             SELECT domain, '/src' || CAST(t.i AS STRING) || '/Page/c:0',
+                    0 AS aw
+             FROM doms, range(0, 10) t(i)
+             WHERE (t.i + length(domain)) % 5 = 1
+             UNION ALL
+             SELECT domain, '/extra/' || CAST(t.i AS STRING), 0 AS aw
+             FROM doms, range(0, 3) t(i)
+             WHERE (t.i + length(domain)) % 2 = 0),
+           mt AS (SELECT f.domain, f.u, f.path, r.prefix, r.aw,
+                         length(r.prefix) AS plen
+                  FROM frontier f LEFT JOIN rl r
+                    ON r.domain = f.domain
+                   AND starts_with(f.path, r.prefix)),
+           rk AS (SELECT *, row_number() OVER (PARTITION BY domain, u
+                    ORDER BY plen DESC NULLS LAST, aw DESC NULLS LAST,
+                             prefix DESC NULLS LAST) AS rn
+                  FROM mt)
+           SELECT domain, u AS url, path, prefix AS matched_prefix,
+                  (prefix IS NULL OR aw = 1) AS allowed
+           FROM rk WHERE rn = 1"""
 
   /** The x115 fixture text as ONE SQL expression valid in BOTH engines
     * (apostrophes via chr(39) — Spark SQL treats adjacent literals as
@@ -6112,55 +6185,12 @@ object SparkEntry {
 
     // x114 — the three oracle fragments composed: the x111 listing
     // minus crawled, paths, the extended rule table, the x109 rank
-    "x114_crawl_frontier" ->
-      s"""WITH $urlNormCtes,
-           nd AS (SELECT doc_id, ${regDomainSql("host")} AS domain,
-                         norm_url AS norm
-                  FROM n),
-           listed AS (
-             SELECT DISTINCT domain, norm AS u FROM nd WHERE doc_id % 2 = 0
-             UNION
-             SELECT DISTINCT domain,
-                    'https://' || domain || '/extra/' || CAST(t.i AS STRING)
-             FROM nd, range(0, 3) t(i)),
-           crawled AS (SELECT DISTINCT domain, norm AS u FROM nd),
-           frontier AS (
-             SELECT l.domain, l.u,
-                    '/extra/' || split_part(l.u, '/extra/', 2) AS path
-             FROM listed l ANTI JOIN crawled c
-               ON c.domain = l.domain AND c.u = l.u),
-           doms AS (SELECT DISTINCT domain FROM nd),
-           rl AS (
-             SELECT domain, '/src' || CAST(t.i AS STRING) AS prefix,
-                    0 AS aw
-             FROM doms, range(0, 10) t(i)
-             WHERE (t.i + length(domain)) % 3 = 0
-             UNION ALL
-             SELECT domain, '/src' || CAST(t.i AS STRING) || '/Page',
-                    1 AS aw
-             FROM doms, range(0, 10) t(i)
-             WHERE (t.i + length(domain)) % 2 = 0
-             UNION ALL
-             SELECT domain, '/src' || CAST(t.i AS STRING) || '/Page/c:0',
-                    0 AS aw
-             FROM doms, range(0, 10) t(i)
-             WHERE (t.i + length(domain)) % 5 = 1
-             UNION ALL
-             SELECT domain, '/extra/' || CAST(t.i AS STRING), 0 AS aw
-             FROM doms, range(0, 3) t(i)
-             WHERE (t.i + length(domain)) % 2 = 0),
-           mt AS (SELECT f.domain, f.u, f.path, r.prefix, r.aw,
-                         length(r.prefix) AS plen
-                  FROM frontier f LEFT JOIN rl r
-                    ON r.domain = f.domain
-                   AND starts_with(f.path, r.prefix)),
-           rk AS (SELECT *, row_number() OVER (PARTITION BY domain, u
-                    ORDER BY plen DESC NULLS LAST, aw DESC NULLS LAST,
-                             prefix DESC NULLS LAST) AS rn
-                  FROM mt)
-           SELECT domain, u AS url, path, prefix AS matched_prefix,
-                  (prefix IS NULL OR aw = 1) AS allowed
-           FROM rk WHERE rn = 1""",
+    "x114_crawl_frontier" -> x114OracleSql,
+
+    // x114b — the stateless shape is row-identical by construction
+    // (the localCheckpoint is a materialization boundary, not a
+    // semantic one), so the oracle is x114's verbatim
+    "x114b_frontier_stateless" -> x114OracleSql,
 
     // x112 — per-token FNV+mix64 (the hashEmbed chain) with positions,
     // anchor flags, the chunk-id running count, the x10 rotl fold per
