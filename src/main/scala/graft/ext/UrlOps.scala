@@ -384,17 +384,28 @@ object UrlOps {
     * the corpus). */
   def recrawlSchedule(listed: DataFrame, crawled: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    recrawlTick(listed, crawled)
+      .withColumn("rnk", row_number().over(Window.partitionBy("domain")
+        .orderBy(col("status"), col("lastmod").desc, col("url"))))
+  }
+
+  /** The rank-free classification CORE of [[recrawlSchedule]] — one
+    * stream-legal left join against the crawl state plus a per-row
+    * status verdict, NO window: exactly what an incremental crawler's
+    * ingest edge emits as sitemap-lastmod updates arrive (the
+    * stateless-gate discipline applied to the scheduler; ranking is
+    * the downstream batch consumer's business). Works verbatim with a
+    * STREAMING `listed` side — stream-static left join, zero streaming
+    * state; StreamingSpec pins stream ≡ batch. */
+  def recrawlTick(listed: DataFrame, crawled: DataFrame): DataFrame =
     listed
       .join(crawled, Seq("domain", "u"), "left")
       .withColumn("status",
         when(col("crawled_at").isNull, "new")
           .when(col("lastmod") > col("crawled_at"), "stale"))
       .filter(col("status").isNotNull)
-      .withColumn("rnk", row_number().over(Window.partitionBy("domain")
-        .orderBy(col("status"), col("lastmod").desc, col("u"))))
       .select(col("domain"), col("u").as("url"), col("lastmod"),
-        col("status"), col("rnk"))
-  }
+        col("status"))
 
   /** GROUP-aware robots.txt parsing — RFC 9309 §2.2.1 proper, where
     * [[parseRobots]] is the single-group simplification: a group is

@@ -214,6 +214,19 @@ object StreamingOps {
                           rules: DataFrame): DataFrame =
     graft.ext.UrlOps.robotsGateStateless(urlStream, rules)
 
+  /** Streaming RECRAWL tick: a stream of sitemap `<urlset>` entries
+    * (domain, u, lastmod — what [[graft.ext.UrlOps.parseUrlset]] emits
+    * over a sitemap-fetch stream) stream-static left-joins the STORED
+    * crawl state and emits new/stale classification rows incrementally
+    * — [[graft.ext.UrlOps.recrawlTick]] verbatim: the x116 scheduler's
+    * classification core with the per-domain rank window left to the
+    * downstream batch consumer, so the tick holds ZERO streaming state
+    * (the robots-gate discipline applied to the scheduler).
+    * StreamingSpec pins stream ≡ batch. */
+  def streamingRecrawlTick(listedStream: DataFrame,
+                           crawled: DataFrame): DataFrame =
+    graft.ext.UrlOps.recrawlTick(listedStream, crawled)
+
   def streamingImageDupGate(mediaStream: DataFrame, hashIndex: DataFrame,
                             maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,

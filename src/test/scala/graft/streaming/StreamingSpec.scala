@@ -167,6 +167,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() == docsBatch.count())
   }
 
+  test("streaming recrawl tick equals the batch schedule sans rank") {
+    val dir = "/root/testdata/sf0.001"
+    val docsBatch = spark.read.parquet(s"$dir/documents.parquet")
+    val docsStream = spark.readStream.schema(docsBatch.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    // listed entries derived per row (what parseUrlset emits); the
+    // crawl state is the static stored side
+    def listedOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(
+        concat(lit("d"), (col("doc_id") % 3).cast("string"), lit(".com"))
+          .as("domain"),
+        concat(lit("https://d"), (col("doc_id") % 3).cast("string"),
+          lit(".com/p"), col("doc_id").cast("string")).as("u"),
+        date_add(to_date(lit("2026-01-01")),
+          (col("doc_id") % 90).cast("int")).as("lastmod"))
+    val crawled = listedOf(docsBatch.filter(col("doc_id") % 2 === 0))
+      .drop("lastmod")
+      .withColumn("crawled_at", date_add(to_date(lit("2026-01-15")),
+        (length(col("u")) % 30).cast("int")))
+    val streamed = graft.streaming.StreamingOps.runBounded(spark,
+      graft.streaming.StreamingOps.streamingRecrawlTick(
+        listedOf(docsStream), crawled),
+      "recrawl_tick_test", OutputMode.Append())
+    val batch = graft.ext.UrlOps
+      .recrawlSchedule(listedOf(docsBatch), crawled).drop("rnk")
+    assert(streamed.collect().map(_.toSeq).toSet ==
+      batch.collect().map(_.toSeq).toSet)
+    // the fixture exercises all three outcomes: new, stale, and
+    // fresh-enough rows that drop
+    val st = streamed.select("status").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(st == Set("new", "stale"))
+    assert(streamed.count() < docsBatch.count())
+  }
+
   test("WARC parse + HTML extraction run unmodified in an ingest stream") {
     // the whole crawl hop is stateless per-archive work, so the same
     // archive→records→text chain runs in a readStream with no watermark:
