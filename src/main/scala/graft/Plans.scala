@@ -87,7 +87,11 @@ object Plans {
       "x121_bytebpe_pack" -> "Byte-BPE-denominated packing: the x115 native byte-token count replaces the counter inside the SAME single window exchange as x103 — re-denominating the budget in real training tokens changes no plan shape.",
       "x122_robots_groups" -> "RFC 9309 robots groups: group assembly is two line-order windows + two bounded aggregations on the dimension-sized rule table (domains x rules, broadcast at any corpus size); the selected-and-merged table feeds the unchanged x109 precedence gate.",
       "x123_link_graph" -> "RFC 3986 reference resolution: explode to hrefs, then resolution + host + registered domain as ONE flat-regex projection above the Generate — zero exchange at any corpus size, and the flat component extraction keeps whole-stage codegen under Janino's method limit.",
-      "x125_binary_ann" -> "Binary sign-bit ANN: two 32-bit sign words fold in the scan stage, Hamming is two XOR+popcounts, and BOTH cuts (Hamming pre-cut, cosine rerank) are TakeOrderedAndProject — no exchange, no global sort; floats are read only by the 20-row rerank.")
+      "x125_binary_ann" -> "Binary sign-bit ANN: two 32-bit sign words fold in the scan stage, Hamming is two XOR+popcounts, and BOTH cuts (Hamming pre-cut, cosine rerank) are TakeOrderedAndProject — no exchange, no global sort; floats are read only by the 20-row rerank.",
+      "x126_binary_stored_ann" -> "STORED sign-word ANN: the Hamming cut scans ONLY the persisted (vec_id, w0, w1) table — its ReadSchema carries no embedding column (PlanSpec-asserted) — and the float vectors enter through the bounded 20-row rerank equi-join; both cuts TakeOrderedAndProject.",
+      "x128_anchor_census" -> "Anchor-term census: entity decode + term split as scan-stage column algebra above the href Generate, then ONE partial+final hash agg keyed by (dst_domain, term) — bounded by the census vocabulary, counts collapse map-side.",
+      "x129_crawl_traps" -> "Crawl-trap census: host/path/query splits + the digit-collapse regex in the scan stage, then ONE hash agg per host whose three distinct-counts expand map-side — no join, no sort, dimension-sized output.",
+      "x114b_frontier_stateless" -> "Stateless frontier twin: x114's composition with the narrow url projection RECOMPUTED per branch (no checkpoint scan in the plan) — the 100 TB shape; the per-branch codegen'd URL chains are the measured Janino cost the checkpointed twin dodges at fixture scale.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")
@@ -99,8 +103,9 @@ object Plans {
     sb.append("query output of x105/x118 is the learned table itself (a driver-\n")
     sb.append("side toDF), so its 'plan' is a LocalTableScan by construction.\n")
     sb.append("x124's PageRank rounds eagerly localCheckpoint (Pregel-style), so\n")
-    sb.append("its final plan is a checkpoint scan; the per-round shape is one\n")
-    sb.append("edge equi-join + one dest-key partial+final agg + a one-row\n")
+    sb.append("its final plan — and x127's, which is a TakeOrderedAndProject cut\n")
+    sb.append("of the same vector — is a checkpoint scan; the per-round shape is\n")
+    sb.append("one edge equi-join + one dest-key partial+final agg + a one-row\n")
     sb.append("dangling cross join (see Graph.pageRank scaladoc + GraphSpec).\n")
     picks.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sf)
