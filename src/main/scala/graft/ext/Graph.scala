@@ -111,6 +111,133 @@ object Graph {
     ranks.orderBy(desc("pr"), col("node")).limit(k)
   }
 
+  /** WEIGHTED PageRank — the form a real link graph wants once edges
+    * carry multiplicity (a domain linking another 40 times is a
+    * stronger endorsement than once): duplicate (src, dst) edges
+    * AGGREGATE into a weight, and each round distributes `pr(u)`
+    * proportionally to `w(u→v) / Σ_out w(u)` instead of uniformly.
+    * Same plan shape as [[pageRank]] — edges/out-weights/nodes/dangling
+    * cached once, per round one edge equi-join + one dest-key
+    * partial+final agg + the one-row dangling mass, eager
+    * localCheckpoint (the Pregel lineage discipline), decimal-routed
+    * sums ⇒ partitioning-invariant. Deliberately a SEPARATE runner
+    * from [[pageRank]]'s: re-expressing the unweighted recurrence as
+    * weight-1 edges would change its expression tree (`pr/deg` vs
+    * `pr·(w/sw)`) and silently shift x124's replayed bits. */
+  def pageRankWeighted(edges: DataFrame, iters: Int = 5,
+                       damping: Double = 0.85,
+                       srcCol: String = "src", dstCol: String = "dst",
+                       weightCol: String = "w"): DataFrame = {
+    require(iters >= 1, s"need iters >= 1: $iters")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"),
+        col(weightCol).cast("double").as("w"))
+      .groupBy("src", "dst").agg(Stable.sumD(col("w"), 18).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sw = e.groupBy("src").agg(Stable.sumD(col("w"), 18).as("sw"))
+    val ed = e.join(sw, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dangling = nodes
+      .join(e.select("src").distinct(),
+        nodes("node") === col("src"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val base = (1.0 - damping) / n
+    var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = ed
+        .join(pr, ed("src") === pr("node"))
+        .groupBy(col("dst"))
+        .agg(Stable.sumD(col("pr") * (col("w") / col("sw")), 18).as("c"))
+      val massRow = pr
+        .join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(Stable.sumD(col("pr"), 18), lit(0.0)).as("dmass"))
+      pr = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .crossJoin(massRow)
+        .select(nodes("node"),
+          (lit(base) + lit(damping) * coalesce(col("c"), lit(0.0)) +
+            lit(damping) * col("dmass") / lit(n.toDouble)).as("pr"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(blocking = false)
+    ed.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    dangling.unpersist(blocking = false)
+    pr
+  }
+
+  /** PERSONALIZED PageRank — teleportation restricted to a SEED set
+    * (Page et al. §6's personalized vector; the crawl use: authority
+    * relative to trusted hub domains, the seed-and-expand curation
+    * move). The recurrence swaps the uniform `1/N` teleport for
+    * `t(v) = 1/|S|` on seeds and 0 elsewhere, in BOTH the base term
+    * and the dangling-mass redistribution — rank leaks back to seeds,
+    * never to the whole graph, so unreachable-from-seeds nodes decay
+    * to exactly the damped remainder of 0. Seeds not present in the
+    * graph are ignored; at least one seed must survive the
+    * intersection. Same per-round plan shape as [[pageRank]]; the
+    * teleport column rides the cached node table — no extra join in
+    * the loop. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = 5, damping: Double = 0.85,
+                           srcCol: String = "src", dstCol: String = "dst")
+      : DataFrame = {
+    require(iters >= 1, s"need iters >= 1: $iters")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val seedSet = seeds.select(col(seeds.columns.head).cast("string")
+      .as("node")).distinct()
+    val nodes0 = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val nS = nodes0.join(seedSet, Seq("node"), "left_semi").count()
+    require(nS > 0, "no seed appears in the graph")
+    val nodes = nodes0
+      .join(seedSet.withColumn("is_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("is_seed"), lit(1.0 / nS)).otherwise(lit(0.0)).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dangling = nodes.select("node")
+      .join(e.select("src").distinct(),
+        col("node") === col("src"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var pr = nodes.select(col("node"), col("t").as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = ed
+        .join(pr, ed("src") === pr("node"))
+        .groupBy(col("dst"))
+        .agg(Stable.sumD(col("pr") / col("deg").cast("double"), 18).as("c"))
+      val massRow = pr
+        .join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(Stable.sumD(col("pr"), 18), lit(0.0)).as("dmass"))
+      pr = nodes
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .crossJoin(massRow)
+        .select(nodes("node"),
+          (lit(1.0 - damping) * col("t") +
+            lit(damping) * coalesce(col("c"), lit(0.0)) +
+            lit(damping) * col("dmass") * col("t")).as("pr"))
+        .localCheckpoint(true)
+    }
+    e.unpersist(blocking = false)
+    ed.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    dangling.unpersist(blocking = false)
+    pr
+  }
+
   /** Shared setup + round step: dedup the edges, cache the degree-
     * annotated edge table / node set / dangling set for the loop the
     * caller drives, release them after. The step function is the ONE

@@ -92,6 +92,97 @@ class GraphSpec extends AnyFunSuite {
     assert(got.toSeq == all.take(2).toSeq)
   }
 
+  /** Driver-side weighted reference: share = w(u→v)/Σ_out w(u). */
+  private def refW(edges: Map[(String, String), Double], iters: Int,
+                   d: Double): Map[String, Double] = {
+    val nodes = (edges.keySet.map(_._1) ++ edges.keySet.map(_._2))
+      .toSeq.sorted
+    val n = nodes.size
+    val out = edges.groupBy(_._1._1).map { case (k, m) =>
+      k -> m.values.sum }
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val mass = nodes.filterNot(out.contains).map(pr).sum
+      pr = nodes.map { v =>
+        val c = edges.toSeq.filter(_._1._2 == v)
+          .map { case ((u, _), w) => pr(u) * (w / out(u)) }.sum
+        v -> ((1 - d) / n + d * c + d * mass / n)
+      }.toMap
+    }
+    pr
+  }
+
+  test("pageRankWeighted: matches the weighted reference; uniform " +
+    "weights agree with the unweighted operator") {
+    val we = Map(("a", "b") -> 3.0, ("a", "c") -> 1.0, ("b", "c") -> 2.0,
+      ("c", "a") -> 1.0, ("b", "d") -> 2.0) // d dangling
+    val got = Graph.pageRankWeighted(
+        we.toSeq.map { case ((s0, d0), w) => (s0, d0, w) }
+          .toDF("src", "dst", "w"), 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = refW(we, 5, 0.85)
+    assert(got.keySet == want.keySet)
+    for ((k, w) <- want)
+      assert(math.abs(got(k) - w) < 1e-9, s"node $k: ${got(k)} vs $w")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // duplicate raw edges aggregate into weight: (a,b) twice at 1.5
+    // equals (a,b) once at 3.0
+    val dup = Graph.pageRankWeighted(
+        (Seq(("a", "b", 1.5), ("a", "b", 1.5)) ++ we.toSeq.collect {
+          case ((s0, d0), w) if (s0, d0) != (("a", "b")) => (s0, d0, w) })
+          .toDF("src", "dst", "w"), 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((k, v) <- got) assert(math.abs(dup(k) - v) < 1e-12)
+    // all-equal weights reduce to the uniform recurrence
+    val edges = Seq("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a")
+    val uw = Graph.pageRank(edges.toDF("src", "dst"), 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ww = Graph.pageRankWeighted(
+        edges.map { case (s0, d0) => (s0, d0, 7.0) }.toDF("src", "dst", "w"),
+        5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((k, v) <- uw) assert(math.abs(ww(k) - v) < 1e-12)
+  }
+
+  test("personalizedPageRank: teleport and dangling mass return to the " +
+    "seeds; unreachable nodes hold zero rank") {
+    // z is unreachable FROM the seed a (only links INTO the core);
+    // d is a dangling sink reachable from b
+    val edges = Seq("a" -> "b", "b" -> "c", "b" -> "d", "c" -> "a",
+      "z" -> "a")
+    val pr = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        Seq("a").toDF("node"), iters = 30)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // driver-side reference with teleport restricted to {a}
+    val nodes = Seq("a", "b", "c", "d", "z")
+    val deg = Map("a" -> 1, "b" -> 2, "c" -> 1, "z" -> 1)
+    var want = nodes.map(n => n -> (if (n == "a") 1.0 else 0.0)).toMap
+    for (_ <- 1 to 30) {
+      val mass = want("d") // the only dangling node
+      want = nodes.map { v =>
+        val c = edges.filter(_._2 == v)
+          .map { case (u, _) => want(u) / deg(u) }.sum
+        val t = if (v == "a") 1.0 else 0.0
+        v -> (0.15 * t + 0.85 * c + 0.85 * mass * t)
+      }.toMap
+    }
+    assert(pr.keySet == nodes.toSet)
+    for ((k, w) <- want)
+      assert(math.abs(pr(k) - w) < 1e-9, s"node $k: ${pr(k)} vs $w")
+    // mass conserved, z starved (teleport never reaches it)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    assert(pr("z") == 0.0)
+    // a seed absent from the graph is ignored; an all-absent set throws
+    val withGhost = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        Seq("a", "ghost").toDF("node"), iters = 30)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((k, v) <- pr) assert(math.abs(withGhost(k) - v) < 1e-12)
+    assertThrows[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        Seq("ghost").toDF("node"))
+    }
+  }
+
   test("pageRank: invariant under input partitioning (decimal routing)") {
     val edges = Seq("a" -> "b", "b" -> "c", "b" -> "d", "c" -> "a",
       "d" -> "a", "a" -> "c")
