@@ -1442,6 +1442,38 @@ object SparkEntry {
         .withColumn("pr", round(col("pr"), 10))
     }),
 
+    // x132 — BM25 over ANCHOR text (what OTHER pages call a domain —
+    // the classic retrieval signal anchor indexing exists for,
+    // composing x128's decoded-term layer with x34's scorer): each
+    // destination domain becomes a retrieval document whose text is
+    // its concatenated inbound anchors; tf/dl are order-free counts,
+    // so the concat order is immaterial and the oracle aggregates the
+    // per-link term census directly.
+    "x132_anchor_bm25" -> ((s, d) => {
+      val docs = linkGraph(s, d)
+        .withColumn("anchor", expr(anchorSqlExpr))
+        .select(col("dst_domain"),
+          ext.Html.decodeEntitiesCol(col("anchor")).as("a"))
+        .groupBy(col("dst_domain").as("doc_id"))
+        .agg(concat_ws(" ", collect_list(col("a"))).as("text"))
+      ext.TextOps.bm25Search(docs, Seq("jerry", "archive", "home"),
+        topN = 5)
+    }),
+
+    // x133 — crawl ISLANDS: weakly-connected components over a
+    // closed-form three-island site graph (site k → site (k+3) mod 12,
+    // so residues mod 3 partition into islands of four), labeled by
+    // each component's min site string. The star-contraction runs on
+    // xxhash64 ids internally; the label layer is what the oracle
+    // checks, via a recursive min-label closure.
+    "x133_crawl_islands" -> ((s, d) =>
+      ext.Graph.crawlIslands(
+        t(s, d, "documents").select(
+          concat(lit("site"), (col("doc_id") % 12).cast("string"),
+            lit(".example.com")).as("src"),
+          concat(lit("site"), ((col("doc_id") % 12 + 3) % 12).cast("string"),
+            lit(".example.com")).as("dst")))),
+
     // x129 — the crawl-TRAP detector over a closed-form four-host
     // fixture: a pagination trap (/p/<id> — one digit-normalized
     // skeleton fanning into a path per doc), a depth trap (10
@@ -2723,6 +2755,32 @@ object SparkEntry {
                 FROM nds nd CROSS JOIN nn CROSS JOIN m$k
                 LEFT JOIN c$k c ON c.node = nd.node)"""
     }.mkString(",\n           ")
+
+  /** x128/x132 shared layer: the link-graph edges with DECODED anchor
+    * text per fixture variant (the expected output of the engine's
+    * entity decoder — not a replay, so a decoder bug cannot cancel),
+    * split to one row per (doc, link, term) in `tm(doc_id, ddom, ii,
+    * term)`. */
+  private lazy val anchorCtes: String =
+    s"""l0 AS (SELECT doc_id, $urlRegDomainSql AS sdom
+                FROM documents),
+           lg AS (SELECT doc_id, sdom,
+                  CASE CAST((doc_id + t.i) % 8 AS INTEGER)
+                    WHEN 0 THEN 'example.com'
+                    WHEN 1 THEN 'example.net'
+                    WHEN 7 THEN 'example.edu'
+                    ELSE sdom END AS ddom,
+                  CASE CAST((doc_id + 2 * t.i) % 6 AS INTEGER)
+                    WHEN 0 THEN 'Read & learn MORE'
+                    WHEN 1 THEN 'data <plans> page'
+                    WHEN 2 THEN 'home'
+                    WHEN 3 THEN 'next page ' || CAST(t.i AS STRING)
+                    WHEN 4 THEN 'double &lt; escape &copy; kept'
+                    ELSE 'Tom & Jerry archive' END AS a
+                FROM l0, range(0, 4) t(i)),
+           tm AS (SELECT doc_id, ddom, (sdom = ddom) AS ii,
+                         unnest(string_split(lower(a), ' ')) AS term
+                  FROM lg)"""
 
   /** x130's WEIGHTED PageRank rounds: like [[pageRankCtes]] but the
     * per-edge share is `pr · (w / Σ_out w)` — the engine's expression
@@ -6681,6 +6739,30 @@ object SparkEntry {
            ${pprCtes(5)}
            SELECT node, round(pr, 10) AS pr FROM pr5""",
 
+    // x133 — the island labels via a RECURSIVE min-label closure over
+    // the undirected edge set (the hash layer is engine-internal and
+    // cancels; 12 nodes make the closure trivial for the oracle while
+    // the engine runs the real log-round contraction)
+    "x133_crawl_islands" ->
+      """WITH RECURSIVE
+           ed AS (SELECT DISTINCT
+                    'site' || CAST(doc_id % 12 AS STRING) ||
+                      '.example.com' AS a,
+                    'site' || CAST((doc_id % 12 + 3) % 12 AS STRING) ||
+                      '.example.com' AS b
+                  FROM documents),
+           ue AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+           nds AS (SELECT DISTINCT a AS node FROM ue),
+           r(n, x) AS (
+             SELECT node, node FROM nds
+             UNION
+             SELECT r.n, ue.b FROM r JOIN ue ON ue.a = r.x),
+           isl AS (SELECT n AS node, MIN(x) AS island FROM r GROUP BY n),
+           sz AS (SELECT island, COUNT(*) AS island_size FROM isl
+                  GROUP BY island)
+           SELECT i.node, i.island, s.island_size
+           FROM isl i JOIN sz s ON s.island = i.island""",
+
     // x129 — host/path/query regenerate closed-form per variant (the
     // URL-parse layer is oracle-proven in x99/x109); depth as the '/'
     // count, skeletons via the same digit-collapse regex, the tuple
@@ -6733,25 +6815,7 @@ object SparkEntry {
     // of the engine's entity decoder, not a replay of it — a decoder
     // bug cannot cancel
     "x128_anchor_census" ->
-      s"""WITH l0 AS (SELECT doc_id, $urlRegDomainSql AS sdom
-                FROM documents),
-           lg AS (SELECT doc_id, sdom,
-                  CASE CAST((doc_id + t.i) % 8 AS INTEGER)
-                    WHEN 0 THEN 'example.com'
-                    WHEN 1 THEN 'example.net'
-                    WHEN 7 THEN 'example.edu'
-                    ELSE sdom END AS ddom,
-                  CASE CAST((doc_id + 2 * t.i) % 6 AS INTEGER)
-                    WHEN 0 THEN 'Read & learn MORE'
-                    WHEN 1 THEN 'data <plans> page'
-                    WHEN 2 THEN 'home'
-                    WHEN 3 THEN 'next page ' || CAST(t.i AS STRING)
-                    WHEN 4 THEN 'double &lt; escape &copy; kept'
-                    ELSE 'Tom & Jerry archive' END AS a
-                FROM l0, range(0, 4) t(i)),
-           tm AS (SELECT doc_id, ddom, (sdom = ddom) AS ii,
-                         unnest(string_split(lower(a), ' ')) AS term
-                  FROM lg)
+      s"""WITH $anchorCtes
            SELECT ddom AS dst_domain, term,
                   COUNT(*) AS n_links,
                   CAST(SUM(CASE WHEN ii THEN 1 ELSE 0 END) AS BIGINT)
@@ -6759,6 +6823,50 @@ object SparkEntry {
                   COUNT(DISTINCT doc_id) AS n_src_docs
            FROM tm WHERE length(term) > 0
            GROUP BY 1, 2""",
+
+    // x132 — BM25 over ANCHOR text: per-domain tf/dl/df aggregate from
+    // the same decoded term layer (tf and dl are order-free sums, so
+    // the engine's concat-then-tokenize equals the per-link census);
+    // the scoring expression replays x34's IEEE order with the same
+    // written-out constants
+    "x132_anchor_bm25" ->
+      s"""WITH $anchorCtes,
+           per AS (SELECT ddom AS doc_id,
+                  CAST(COUNT(*) AS DOUBLE) AS dl,
+                  CAST(SUM(CASE WHEN term = 'jerry' THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS tf_jerry,
+                  CAST(SUM(CASE WHEN term = 'archive' THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS tf_archive,
+                  CAST(SUM(CASE WHEN term = 'home' THEN 1 ELSE 0 END)
+                       AS DOUBLE) AS tf_home
+                FROM tm WHERE length(term) > 0
+                GROUP BY ddom),
+           stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                  SUM(dl) AS sum_dl,
+                  SUM(CASE WHEN tf_jerry > 0 THEN 1.0 ELSE 0.0 END)
+                    AS df_jerry,
+                  SUM(CASE WHEN tf_archive > 0 THEN 1.0 ELSE 0.0 END)
+                    AS df_archive,
+                  SUM(CASE WHEN tf_home > 0 THEN 1.0 ELSE 0.0 END)
+                    AS df_home
+                FROM per),
+           scored AS (SELECT p.doc_id, p.dl,
+                  ((s.n_docs - s.df_jerry + 0.5) / (s.df_jerry + 0.5))
+                    * (p.tf_jerry * (1.2 + 1.0))
+                    / (p.tf_jerry + 1.2 * (1.0 - 0.75 + 0.75 * p.dl
+                                           / (s.sum_dl / s.n_docs)))
+                  + ((s.n_docs - s.df_archive + 0.5) / (s.df_archive + 0.5))
+                    * (p.tf_archive * (1.2 + 1.0))
+                    / (p.tf_archive + 1.2 * (1.0 - 0.75 + 0.75 * p.dl
+                                             / (s.sum_dl / s.n_docs)))
+                  + ((s.n_docs - s.df_home + 0.5) / (s.df_home + 0.5))
+                    * (p.tf_home * (1.2 + 1.0))
+                    / (p.tf_home + 1.2 * (1.0 - 0.75 + 0.75 * p.dl
+                                          / (s.sum_dl / s.n_docs)))
+                  AS score
+                FROM per p CROSS JOIN stats s)
+           SELECT doc_id, dl, score FROM scored WHERE score > 0
+           ORDER BY score DESC, doc_id LIMIT 5""",
 
     // x125 — the sign words rebuilt from scratch (31-bit-safe shifts),
     // both ordering cuts replayed with the engine's tiebreaks

@@ -238,6 +238,43 @@ object Graph {
     pr
   }
 
+  /** Crawl ISLANDS — weakly-connected components of the link graph
+    * (edges undirected): the "which subwebs exist" report a crawl
+    * curator reads before budgeting — an island disconnected from the
+    * trusted core is the classic link-farm / isolated-cluster signal,
+    * and per-island size is the denominator authority scores get
+    * normalized by. Returns `(node, island, island_size)` where
+    * `island` is the component's MIN node string (deterministic,
+    * engine-portable label).
+    *
+    * Reuses [[Dedup.connectedComponents]]' large-star/small-star
+    * contraction (O(log²) rounds at any scale) over xxhash64 node ids —
+    * the hash is an INTERNAL join key only: the reported label is the
+    * min node STRING, so the hash layer cancels in the oracle and a
+    * collision could only merge islands, never relabel one. Nodes
+    * appearing only in self-loops surface as singleton islands. The
+    * island-size join is bounded by the component count (≤ node count
+    * — domains, not corpus rows). */
+  def crawlIslands(edges: DataFrame, srcCol: String = "src",
+                   dstCol: String = "dst"): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("string").as("a"),
+        col(dstCol).cast("string").as("b"))
+    val names = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .distinct()
+      .withColumn("h", xxhash64(col("node")))
+    val cc = Dedup.connectedComponents(
+      e.select(xxhash64(col("a")).as("doc_a"),
+        xxhash64(col("b")).as("doc_b")))
+    val labeled = names
+      .join(cc, names("h") === cc("doc_id"), "left")
+      .select(col("node"), coalesce(col("rep_id"), col("h")).as("rep"))
+    val islands = labeled.groupBy("rep")
+      .agg(min("node").as("island"), count(lit(1)).as("island_size"))
+    labeled.join(islands, "rep").select("node", "island", "island_size")
+  }
+
   /** Shared setup + round step: dedup the edges, cache the degree-
     * annotated edge table / node set / dangling set for the loop the
     * caller drives, release them after. The step function is the ONE

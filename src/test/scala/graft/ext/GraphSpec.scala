@@ -183,6 +183,23 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("crawlIslands: components labeled by min node; self-loop-only " +
+    "nodes are singleton islands") {
+    val edges = Seq(
+      // island {a, b, c} (undirected through b)
+      "a" -> "b", "c" -> "b",
+      // island {x, y}
+      "y" -> "x",
+      // self-loop only: singleton island
+      "solo" -> "solo")
+    val got = Graph.crawlIslands(edges.toDF("src", "dst")).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "a" -> (("a", 3L)), "b" -> (("a", 3L)), "c" -> (("a", 3L)),
+      "x" -> (("x", 2L)), "y" -> (("x", 2L)),
+      "solo" -> (("solo", 1L))))
+  }
+
   test("pageRank: invariant under input partitioning (decimal routing)") {
     val edges = Seq("a" -> "b", "b" -> "c", "b" -> "d", "c" -> "a",
       "d" -> "a", "a" -> "c")
