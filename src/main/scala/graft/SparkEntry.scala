@@ -1460,6 +1460,18 @@ object SparkEntry {
         topN = 5)
     }),
 
+    // x134 — HITS hubs/authorities over the x123 domain graph: the
+    // recurrence that separates the directory role (hub) from the
+    // endorsed role (authority) — the sink families collect authority,
+    // the crawl domains (all outlinks) score as hubs. 5 rounds, L2
+    // normalization per half-round, replayed term for term.
+    "x134_hits" -> ((s, d) =>
+      ext.Graph.hits(linkGraph(s, d)
+          .select(col("src_domain").as("src"),
+            col("dst_domain").as("dst")))
+        .withColumn("hub", round(col("hub"), 10))
+        .withColumn("auth", round(col("auth"), 10))),
+
     // x133 — crawl ISLANDS: weakly-connected components over a
     // closed-form three-island site graph (site k → site (k+3) mod 12,
     // so residues mod 3 partition into islands of four), labeled by
@@ -2829,6 +2841,38 @@ object SparkEntry {
                 FROM ndt nd CROSS JOIN m$k
                 LEFT JOIN c$k c ON c.node = nd.node)"""
     }.mkString(",\n           ")
+
+  /** x134's HITS rounds: per round an auth half (hub sums over
+    * in-edges → L2 normalize) then a hub half (auth sums over
+    * out-edges → L2 normalize), every sum decimal-routed, sqrt/divide
+    * IEEE — the engine's expression order term for term. */
+  private def hitsCtes(iters: Int): String =
+    (1 to iters).map { k =>
+      s"""ar$k AS MATERIALIZED (SELECT nd.node, COALESCE(s.v, CAST(0 AS DOUBLE)) AS auth
+              FROM nds nd LEFT JOIN
+                (SELECT e.dst AS node,
+                        ${graft.ops.Stable.sumSql("h.hub", 18)} AS v
+                 FROM ed0 e JOIN hb${k - 1} h ON h.node = e.src
+                 GROUP BY e.dst) s ON s.node = nd.node),
+         an$k AS MATERIALIZED (SELECT sqrt(${graft.ops.Stable
+                .sumSql("a.auth * a.auth", 18)}) AS nrm FROM ar$k a),
+         at$k AS MATERIALIZED (SELECT a.node,
+                CASE WHEN n.nrm > 0 THEN a.auth / n.nrm
+                     ELSE CAST(0 AS DOUBLE) END AS auth
+              FROM ar$k a CROSS JOIN an$k n),
+         hr$k AS MATERIALIZED (SELECT nd.node, COALESCE(s.v, CAST(0 AS DOUBLE)) AS hub
+              FROM nds nd LEFT JOIN
+                (SELECT e.src AS node,
+                        ${graft.ops.Stable.sumSql("t.auth", 18)} AS v
+                 FROM ed0 e JOIN at$k t ON t.node = e.dst
+                 GROUP BY e.src) s ON s.node = nd.node),
+         hn$k AS MATERIALIZED (SELECT sqrt(${graft.ops.Stable
+                .sumSql("h.hub * h.hub", 18)}) AS nrm FROM hr$k h),
+         hb$k AS MATERIALIZED (SELECT h.node,
+                CASE WHEN n.nrm > 0 THEN h.hub / n.nrm
+                     ELSE CAST(0 AS DOUBLE) END AS hub
+              FROM hr$k h CROSS JOIN hn$k n)"""
+    }.mkString(",\n         ")
 
   /** x125/x126's shared replay: sign words rebuilt from scratch
     * (31-bit-safe shifts), both ordering cuts with the engine's
@@ -6738,6 +6782,27 @@ object SparkEntry {
            pr0 AS (SELECT node, t AS pr FROM ndt),
            ${pprCtes(5)}
            SELECT node, round(pr, 10) AS pr FROM pr5""",
+
+    // x134 — the two mutually-recursive vectors re-learned: unrolled
+    // auth/hub half-rounds with decimal sums and IEEE sqrt/divide
+    "x134_hits" ->
+      s"""WITH l0 AS (SELECT doc_id, $urlRegDomainSql AS sdom
+                FROM documents),
+           ed0 AS (SELECT DISTINCT sdom AS src,
+                  CASE CAST((doc_id + t.i) % 8 AS INTEGER)
+                    WHEN 0 THEN 'example.com'
+                    WHEN 1 THEN 'example.net'
+                    WHEN 7 THEN 'example.edu'
+                    ELSE sdom END AS dst
+                FROM l0, range(0, 4) t(i)),
+           nds AS (SELECT DISTINCT node FROM
+                   (SELECT src AS node FROM ed0
+                    UNION ALL SELECT dst AS node FROM ed0) q),
+           hb0 AS (SELECT node, CAST(1 AS DOUBLE) AS hub FROM nds),
+           ${hitsCtes(5)}
+           SELECT h.node, round(h.hub, 10) AS hub,
+                  round(t.auth, 10) AS auth
+           FROM hb5 h JOIN at5 t ON t.node = h.node""",
 
     // x133 — the island labels via a RECURSIVE min-label closure over
     // the undirected edge set (the hash layer is engine-internal and

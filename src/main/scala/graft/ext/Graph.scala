@@ -238,6 +238,69 @@ object Graph {
     pr
   }
 
+  /** HITS (Kleinberg 1999, "Authoritative sources in a hyperlinked
+    * environment") — the OTHER classic link-analysis recurrence, and
+    * the one that separates the two crawl roles PageRank conflates: a
+    * HUB (a page whose outlinks find good content — a directory, a
+    * sitemap page) and an AUTHORITY (a page good hubs point AT). Per
+    * round: `auth(v) = Σ_{u→v} hub(u)`, then `hub(u) = Σ_{u→v}
+    * auth(v)`, each L2-normalized (the power method on AᵀA / AAᵀ).
+    *
+    * Same scale shape as [[pageRank]]: edges/nodes cached once, each
+    * half-round is one edge equi-join + one partial+final agg on the
+    * receiving key, the L2 norm rides as a ONE-ROW cross-joined
+    * aggregate (no driver collect in the loop), both vectors eagerly
+    * localCheckpoint'ed (two consumers per vector per round — norm +
+    * divide — would otherwise double lineage). Decimal-routed sums +
+    * IEEE sqrt/divide ⇒ partitioning-invariant, oracle-replayable. */
+  def hits(edges: DataFrame, iters: Int = 5,
+           srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"need iters >= 1: $iters")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def normalized(raw: DataFrame, vCol: String): DataFrame = {
+      val nrm = raw.agg(
+        sqrt(Stable.sumD(col(vCol) * col(vCol), 18)).as("nrm"))
+      raw.crossJoin(nrm)
+        .select(col("node"),
+          when(col("nrm") > 0, col(vCol) / col("nrm"))
+            .otherwise(lit(0.0)).as(vCol))
+        .localCheckpoint(true)
+    }
+    var hub = nodes.select(col("node"), lit(1.0).as("hub"))
+      .localCheckpoint(true)
+    var auth = nodes.select(col("node"), lit(0.0).as("auth"))
+    for (_ <- 1 to iters) {
+      val aSum = e.join(hub, e("src") === hub("node"))
+        .groupBy(e("dst"))
+        .agg(Stable.sumD(col("hub"), 18).as("v"))
+      val aRaw = nodes
+        .join(aSum, nodes("node") === aSum("dst"), "left")
+        .select(nodes("node"), coalesce(col("v"), lit(0.0)).as("auth"))
+        .localCheckpoint(true)
+      auth = normalized(aRaw, "auth")
+      val hSum = e.join(auth, e("dst") === auth("node"))
+        .groupBy(e("src"))
+        .agg(Stable.sumD(col("auth"), 18).as("v"))
+      val hRaw = nodes
+        .join(hSum, nodes("node") === hSum("src"), "left")
+        .select(nodes("node"), coalesce(col("v"), lit(0.0)).as("hub"))
+        .localCheckpoint(true)
+      hub = normalized(hRaw, "hub")
+    }
+    val out = hub.join(auth, "node")
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
   /** Crawl ISLANDS — weakly-connected components of the link graph
     * (edges undirected): the "which subwebs exist" report a crawl
     * curator reads before budgeting — an island disconnected from the

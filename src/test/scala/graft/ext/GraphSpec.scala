@@ -183,6 +183,41 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("hits: hubs and authorities match the reference recurrence; " +
+    "unit L2 norms; pure hub and pure authority separate") {
+    // b and d are pure hubs (outlinks only), c is the main authority
+    val edges = Set("b" -> "c", "b" -> "a", "d" -> "c", "d" -> "a",
+      "a" -> "c")
+    val nodes = Seq("a", "b", "c", "d")
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = nodes.map(_ -> 0.0).toMap
+    for (_ <- 1 to 5) {
+      var a = nodes.map(v => v ->
+        edges.toSeq.filter(_._2 == v).map(e => hub(e._1)).sum).toMap
+      val an = math.sqrt(a.values.map(x => x * x).sum)
+      a = a.map { case (k, v) => k -> (if (an > 0) v / an else 0.0) }
+      var h = nodes.map(u => u ->
+        edges.toSeq.filter(_._1 == u).map(e => a(e._2)).sum).toMap
+      val hn = math.sqrt(h.values.map(x => x * x).sum)
+      hub = h.map { case (k, v) => k -> (if (hn > 0) v / hn else 0.0) }
+      auth = a
+    }
+    val got = Graph.hits(edges.toSeq.toDF("src", "dst"), 5).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got.keySet == nodes.toSet)
+    for (n <- nodes) {
+      assert(math.abs(got(n)._1 - hub(n)) < 1e-9, s"hub $n")
+      assert(math.abs(got(n)._2 - auth(n)) < 1e-9, s"auth $n")
+    }
+    // unit L2 norms
+    assert(math.abs(got.values.map(v => v._1 * v._1).sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.map(v => v._2 * v._2).sum - 1.0) < 1e-9)
+    // the pure hubs hold zero authority; the pure authority zero hub
+    assert(got("b")._2 == 0.0 && got("d")._2 == 0.0)
+    assert(got("c")._1 == 0.0)
+    assert(got("c")._2 > got("a")._2)
+  }
+
   test("crawlIslands: components labeled by min node; self-loop-only " +
     "nodes are singleton islands") {
     val edges = Seq(
