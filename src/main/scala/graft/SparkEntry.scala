@@ -1460,6 +1460,31 @@ object SparkEntry {
         topN = 5)
     }),
 
+    // x135 — the 1-bit acceptance gate (the x69 contract for the
+    // sign-word tier): recall@10 of the Hamming-then-rerank cut
+    // against the exact cosine scan — the number a corpus owner reads
+    // before trusting the 16x-cheaper index.
+    "x135_binary_recall" -> ((s, d) =>
+      ext.Similarity.binaryAnnRecall(t(s, d, "embeddings"),
+        queryVector, 10)),
+
+    // x136 — the per-node DEGREE/reciprocity census over a closed-form
+    // two-family site graph (a stride-3 ring: never reciprocal; a
+    // stride-6 chord on even sites: always reciprocal) — the
+    // link-exchange tell read next to the rank vector.
+    "x136_degree_report" -> ((s, d) => {
+      def site(c: org.apache.spark.sql.Column) =
+        concat(lit("site"), c.cast("string"), lit(".example.com"))
+      val base = t(s, d, "documents")
+        .select((col("doc_id") % 12).cast("int").as("i"))
+      ext.Graph.degreeReport(
+        base.select(site(col("i")).as("src"),
+            site((col("i") + 3) % 12).as("dst"))
+          .unionByName(base.filter(col("i") % 2 === 0)
+            .select(site(col("i")).as("src"),
+              site((col("i") + 6) % 12).as("dst"))))
+    }),
+
     // x134 — HITS hubs/authorities over the x123 domain graph: the
     // recurrence that separates the directory role (hub) from the
     // endorsed role (authority) — the sink families collect authority,
@@ -2874,14 +2899,12 @@ object SparkEntry {
               FROM hr$k h CROSS JOIN hn$k n)"""
     }.mkString(",\n         ")
 
-  /** x125/x126's shared replay: sign words rebuilt from scratch
-    * (31-bit-safe shifts), both ordering cuts with the engine's
-    * tiebreaks. The stored path (x126) is value-identical to the
-    * inline one — parquet stores int64 exactly. */
-  private lazy val binaryAnnOracleSql: String = {
+  /** x125/x126/x135's shared candidate layer: sign words rebuilt from
+    * scratch (31-bit-safe shifts), the Hamming cut to `cand`. */
+  private lazy val binaryAnnCandCtes: String = {
     val q0 = ext.Similarity.signWordOf(queryVector, 0, 31)
     val q1 = ext.Similarity.signWordOf(queryVector, 32, 63)
-    s"""WITH w AS (SELECT vec_id, embedding,
+    s"""w AS (SELECT vec_id, embedding,
                 CAST(list_sum(list_transform(range(0, 32), i ->
                   CASE WHEN embedding[CAST(i + 1 AS INTEGER)] > 0
                        THEN (CAST(1 AS BIGINT) << i)
@@ -2896,10 +2919,16 @@ object SparkEntry {
                      bit_count(xor(w1, CAST($q1 AS BIGINT)))
                      AS INTEGER) AS ham
               FROM w),
-         cand AS (SELECT * FROM h ORDER BY ham, vec_id LIMIT 20)
+         cand AS (SELECT * FROM h ORDER BY ham, vec_id LIMIT 20)"""
+  }
+
+  /** x125/x126's shared replay: both ordering cuts with the engine's
+    * tiebreaks. The stored path (x126) is value-identical to the
+    * inline one — parquet stores int64 exactly. */
+  private lazy val binaryAnnOracleSql: String =
+    s"""WITH $binaryAnnCandCtes
          SELECT vec_id, ham, round($cosSql, 6) AS cos
          FROM cand ORDER BY $cosSql DESC, vec_id LIMIT 10"""
-  }
 
   /** x114/x114b shared oracle: the three fragments composed — the
     * x111 listing minus crawled, paths, the extended rule table,
@@ -6782,6 +6811,49 @@ object SparkEntry {
            pr0 AS (SELECT node, t AS pr FROM ndt),
            ${pprCtes(5)}
            SELECT node, round(pr, 10) AS pr FROM pr5""",
+
+    // x135 — approx and exact top-10 replayed, overlap counted
+    "x135_binary_recall" ->
+      s"""WITH $binaryAnnCandCtes,
+           approx AS (SELECT vec_id FROM cand
+                      ORDER BY $cosSql DESC, vec_id LIMIT 10),
+           exact AS (SELECT vec_id FROM embeddings
+                     ORDER BY $cosSql DESC, vec_id LIMIT 10)
+           SELECT COUNT(*) AS n_overlap,
+                  CAST(COUNT(*) AS DOUBLE) / 10 AS recall_at_10
+           FROM approx JOIN exact USING (vec_id)""",
+
+    // x136 — the edge families regenerate closed-form; reciprocity via
+    // the reversed-edge equi-join, degrees as grouped counts
+    "x136_degree_report" ->
+      """WITH b AS (SELECT DISTINCT CAST(doc_id % 12 AS INTEGER) AS i
+                  FROM documents),
+           ed AS (SELECT 'site' || CAST(i AS STRING) || '.example.com'
+                           AS src,
+                         'site' || CAST((i + 3) % 12 AS STRING) ||
+                           '.example.com' AS dst
+                  FROM b
+                  UNION
+                  SELECT 'site' || CAST(i AS STRING) || '.example.com',
+                         'site' || CAST((i + 6) % 12 AS STRING) ||
+                           '.example.com'
+                  FROM b WHERE i % 2 = 0),
+           nds AS (SELECT DISTINCT src AS node FROM ed
+                   UNION SELECT DISTINCT dst FROM ed),
+           od AS (SELECT src AS node, COUNT(*) AS o FROM ed GROUP BY 1),
+           idg AS (SELECT dst AS node, COUNT(*) AS ii FROM ed GROUP BY 1),
+           rc AS (SELECT e.src AS node, COUNT(*) AS r
+                  FROM ed e JOIN ed f
+                    ON f.src = e.dst AND f.dst = e.src
+                  GROUP BY 1)
+           SELECT n.node,
+                  CAST(COALESCE(od.o, 0) AS BIGINT) AS out_deg,
+                  CAST(COALESCE(idg.ii, 0) AS BIGINT) AS in_deg,
+                  CAST(COALESCE(rc.r, 0) AS BIGINT) AS n_reciprocal
+           FROM nds n
+           LEFT JOIN od ON od.node = n.node
+           LEFT JOIN idg ON idg.node = n.node
+           LEFT JOIN rc ON rc.node = n.node""",
 
     // x134 — the two mutually-recursive vectors re-learned: unrolled
     // auth/hub half-rounds with decimal sums and IEEE sqrt/divide

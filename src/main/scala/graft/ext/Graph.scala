@@ -338,6 +338,48 @@ object Graph {
     labeled.join(islands, "rep").select("node", "island", "island_size")
   }
 
+  /** Per-node DEGREE / reciprocity report — the structural census a
+    * crawl analyst reads next to the rank vector: out-degree (how much
+    * the node endorses), in-degree (how endorsed it is), and the
+    * reciprocal-neighbor count (mutual links — the classic link-
+    * exchange / link-farm tell: organic webs are strongly asymmetric,
+    * SEO rings are not). Self-loops drop (a page citing itself says
+    * nothing). One dedup'd edge table, two grouped counts, and a
+    * reversed-edge equi-join for reciprocity — every key is a node id,
+    * so partials collapse map-side and skew is one node's degree. */
+  def degreeReport(edges: DataFrame, srcCol: String = "src",
+                   dstCol: String = "dst"): DataFrame = {
+    // edge-sized (distinct node pairs, not corpus rows): one eager
+    // localCheckpoint feeds the four consumers below without leaking a
+    // session-lifetime persist across queries
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val outDeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val inDeg = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val recip = e.join(rev, Seq("src", "dst"), "left_semi")
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("n_reciprocal"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    val out = nodes
+      .join(outDeg, Seq("node"), "left")
+      .join(inDeg, Seq("node"), "left")
+      .join(recip, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("n_reciprocal"), lit(0L)).as("n_reciprocal"))
+    out
+  }
+
   /** Shared setup + round step: dedup the edges, cache the degree-
     * annotated edge table / node set / dangling set for the loop the
     * caller drives, release them after. The step function is the ONE

@@ -146,6 +146,22 @@ object Similarity {
       .orderBy(desc("cos"), col(idCol)).limit(k)
   }
 
+  /** Acceptance gate for the 1-bit tier — recall@k of [[binaryAnnTopK]]
+    * against the exact cosine scan, the same contract [[annRecall]]
+    * gives PQ: the number a corpus owner checks before trusting the
+    * 16×-cheaper index. Both cuts TakeOrderedAndProject; the overlap
+    * join is k×k rows. */
+  def binaryAnnRecall(embeddings: DataFrame, q: Array[Double], k: Int,
+                      rerank: Int = 20, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val approx = binaryAnnTopK(embeddings, q, k, rerank, idCol, vecCol)
+      .select(col(idCol))
+    val exact = topKCosine(embeddings, q, k, idCol, vecCol).select(col(idCol))
+    approx.join(exact, Seq(idCol)).agg(
+      count(lit(1)).as("n_overlap"),
+      (count(lit(1)).cast("double") / k).as(s"recall_at_$k"))
+  }
+
   /** Brute-force top-k by cosine against a literal query. Deterministic
     * tiebreak on id. orderBy+limit compiles to TakeOrderedAndProject —
     * per-partition top-k then a k-row merge on the driver, no full sort. */

@@ -235,6 +235,23 @@ class GraphSpec extends AnyFunSuite {
       "solo" -> (("solo", 1L))))
   }
 
+  test("degreeReport: out/in degrees, reciprocal pairs, self-loops and " +
+    "duplicates drop") {
+    val edges = Seq(
+      "a" -> "b", "b" -> "a",          // reciprocal pair
+      "a" -> "b",                       // duplicate: drops
+      "a" -> "a",                       // self-loop: drops
+      "a" -> "c", "c" -> "d")           // chain, no reciprocity
+    val got = Graph.degreeReport(edges.toDF("src", "dst")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "a" -> ((2L, 1L, 1L)),  // out: b,c; in: b; reciprocal: b
+      "b" -> ((1L, 1L, 1L)),
+      "c" -> ((1L, 1L, 0L)),
+      "d" -> ((0L, 1L, 0L))))
+  }
+
   test("pageRank: invariant under input partitioning (decimal routing)") {
     val edges = Seq("a" -> "b", "b" -> "c", "b" -> "d", "c" -> "a",
       "d" -> "a", "a" -> "c")
