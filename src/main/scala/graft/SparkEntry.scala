@@ -167,6 +167,82 @@ object SparkEntry {
         (col("best").isNull || col("best.aw") === 1).as("allowed"))
   }
 
+  /** x116/x137 shared body: the nested-sitemap recrawl schedule
+    * (index -> shards -> entries -> reconcile -> rank). */
+  private def recrawlQuery(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+      // materialized ONCE, deliberately: this query fans the
+      // url→domain/norm chain into FIVE consumers (even-listing,
+      // phantom domains, shard grouping, crawl state, schedule join);
+      // left inline, every branch carries its own copy of the ~67 KB
+      // expression tree and whole-stage codegen JIT-compiles each copy
+      // (measured: ~11 s of Janino per action at sf0.1 vs ~1.6 s of
+      // actual execution). At the 100 TB design point the same narrow
+      // projection would be recomputed statelessly (the x120 shape —
+      // per-row cost is trivial); at fixture scale the compile cost
+      // dominates, so one bounded checkpoint is the honest trade.
+      val urls = t(s, d, "documents")
+        .withColumn("url", expr(urlSqlExpr))
+        .withColumn("domain", coalesce(
+          ext.UrlOps.registeredDomain(ext.UrlOps.hostOf(col("url"))),
+          lit("")))
+        .withColumn("norm", coalesce(
+          ext.UrlOps.normalizeUrl(col("url")), lit("")))
+        .withColumn("lastmod", date_add(to_date(lit("2026-01-01")),
+          (col("doc_id") % 90).cast("int")))
+        .withColumn("crawled_at", date_add(to_date(lit("2026-01-15")),
+          (col("doc_id") % 30).cast("int")))
+        .select("doc_id", "domain", "norm", "lastmod", "crawled_at")
+        .localCheckpoint()
+      // sitemap entries: the even-id slice (max lastmod per URL) plus
+      // three phantom /extra pages; shards assigned by length(u) % 2
+      val entries = urls.filter(col("doc_id") % 2 === 0)
+        .groupBy("domain", "norm").agg(max("lastmod").as("lastmod"))
+        .select(col("domain"), col("norm").as("u"), col("lastmod"))
+        .unionByName(urls.select("domain").distinct()
+          .select(col("domain"),
+            explode(sequence(lit(0), lit(2))).as("k"))
+          .select(col("domain"),
+            concat(lit("https://"), col("domain"), lit("/extra/"),
+              col("k").cast("string")).as("u"),
+            date_add(to_date(lit("2026-03-01")), col("k").cast("int"))
+              .as("lastmod")))
+        .withColumn("shard", pmod(length(col("u")), lit(2)))
+        .withColumn("shard_url", concat(lit("https://"), col("domain"),
+          lit("/sitemap-"), col("shard").cast("string"), lit(".xml")))
+      // materialized ONCE: the shard table is bounded by domains ×
+      // shards (a dimension-sized artifact, nothing like a corpus
+      // projection) and feeds TWO consumers (the index build and the
+      // follow-the-index join) — without this every downstream action
+      // re-runs the whole synthetic-XML chain per branch
+      val shardXml = entries.groupBy("domain", "shard_url")
+        .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+          concat_ws("", transform(
+            sort_array(collect_list(struct(col("u"), col("lastmod")))),
+            e => concat(lit("<url><loc>"), e.getField("u"),
+              lit("</loc><lastmod>"),
+              date_format(e.getField("lastmod"), "yyyy-MM-dd"),
+              lit("</lastmod></url>")))),
+          lit("</urlset>")).as("xml"))
+        .localCheckpoint()
+      val idxXml = shardXml.groupBy("domain")
+        .agg(concat(lit("<?xml version=\"1.0\"?><sitemapindex>"),
+          concat_ws("", transform(
+            sort_array(collect_list(col("shard_url"))),
+            su => concat(lit("<sitemap><loc>"), su,
+              lit("</loc></sitemap>")))),
+          lit("</sitemapindex>")).as("xml"))
+      // the engine path: index → child sitemaps → entries → schedule
+      val listed = ext.UrlOps.parseUrlset(
+        ext.UrlOps.parseSitemapIndex(idxXml)
+          .join(shardXml, Seq("domain", "shard_url"))
+          .select("domain", "xml"))
+      val crawled = urls.groupBy("domain", "norm")
+        .agg(max("crawled_at").as("crawled_at"))
+        .select(col("domain"), col("norm").as("u"), col("crawled_at"))
+      ext.UrlOps.recrawlSchedule(listed, crawled)
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1067,77 +1143,26 @@ object SparkEntry {
     // an incremental crawler actually executes. The oracle regenerates
     // listing and state closed-form (the XML layer cancels, the x95
     // convention) and replays the classification + rank window.
-    "x116_recrawl_schedule" -> ((s, d) => {
-      // materialized ONCE, deliberately: this query fans the
-      // url→domain/norm chain into FIVE consumers (even-listing,
-      // phantom domains, shard grouping, crawl state, schedule join);
-      // left inline, every branch carries its own copy of the ~67 KB
-      // expression tree and whole-stage codegen JIT-compiles each copy
-      // (measured: ~11 s of Janino per action at sf0.1 vs ~1.6 s of
-      // actual execution). At the 100 TB design point the same narrow
-      // projection would be recomputed statelessly (the x120 shape —
-      // per-row cost is trivial); at fixture scale the compile cost
-      // dominates, so one bounded checkpoint is the honest trade.
-      val urls = t(s, d, "documents")
-        .withColumn("url", expr(urlSqlExpr))
-        .withColumn("domain", coalesce(
-          ext.UrlOps.registeredDomain(ext.UrlOps.hostOf(col("url"))),
-          lit("")))
-        .withColumn("norm", coalesce(
-          ext.UrlOps.normalizeUrl(col("url")), lit("")))
-        .withColumn("lastmod", date_add(to_date(lit("2026-01-01")),
-          (col("doc_id") % 90).cast("int")))
-        .withColumn("crawled_at", date_add(to_date(lit("2026-01-15")),
-          (col("doc_id") % 30).cast("int")))
-        .select("doc_id", "domain", "norm", "lastmod", "crawled_at")
-        .localCheckpoint()
-      // sitemap entries: the even-id slice (max lastmod per URL) plus
-      // three phantom /extra pages; shards assigned by length(u) % 2
-      val entries = urls.filter(col("doc_id") % 2 === 0)
-        .groupBy("domain", "norm").agg(max("lastmod").as("lastmod"))
-        .select(col("domain"), col("norm").as("u"), col("lastmod"))
-        .unionByName(urls.select("domain").distinct()
-          .select(col("domain"),
-            explode(sequence(lit(0), lit(2))).as("k"))
-          .select(col("domain"),
-            concat(lit("https://"), col("domain"), lit("/extra/"),
-              col("k").cast("string")).as("u"),
-            date_add(to_date(lit("2026-03-01")), col("k").cast("int"))
-              .as("lastmod")))
-        .withColumn("shard", pmod(length(col("u")), lit(2)))
-        .withColumn("shard_url", concat(lit("https://"), col("domain"),
-          lit("/sitemap-"), col("shard").cast("string"), lit(".xml")))
-      // materialized ONCE: the shard table is bounded by domains ×
-      // shards (a dimension-sized artifact, nothing like a corpus
-      // projection) and feeds TWO consumers (the index build and the
-      // follow-the-index join) — without this every downstream action
-      // re-runs the whole synthetic-XML chain per branch
-      val shardXml = entries.groupBy("domain", "shard_url")
-        .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
-          concat_ws("", transform(
-            sort_array(collect_list(struct(col("u"), col("lastmod")))),
-            e => concat(lit("<url><loc>"), e.getField("u"),
-              lit("</loc><lastmod>"),
-              date_format(e.getField("lastmod"), "yyyy-MM-dd"),
-              lit("</lastmod></url>")))),
-          lit("</urlset>")).as("xml"))
-        .localCheckpoint()
-      val idxXml = shardXml.groupBy("domain")
-        .agg(concat(lit("<?xml version=\"1.0\"?><sitemapindex>"),
-          concat_ws("", transform(
-            sort_array(collect_list(col("shard_url"))),
-            su => concat(lit("<sitemap><loc>"), su,
-              lit("</loc></sitemap>")))),
-          lit("</sitemapindex>")).as("xml"))
-      // the engine path: index → child sitemaps → entries → schedule
-      val listed = ext.UrlOps.parseUrlset(
-        ext.UrlOps.parseSitemapIndex(idxXml)
-          .join(shardXml, Seq("domain", "shard_url"))
-          .select("domain", "xml"))
-      val crawled = urls.groupBy("domain", "norm")
-        .agg(max("crawled_at").as("crawled_at"))
-        .select(col("domain"), col("norm").as("u"), col("crawled_at"))
-      ext.UrlOps.recrawlSchedule(listed, crawled)
+    "x116_recrawl_schedule" -> ((s, d) => recrawlQuery(s, d)),
+
+    // x137 — the AUTHORITY-RANKED frontier, the crawl tier's capstone
+    // composition: x116's per-domain recrawl schedule priced by x124's
+    // PageRank vector — priority = rank / schedule position, and the
+    // global "fetch next" product is a top-25 cut, which compiles to
+    // TakeOrderedAndProject (per-partition top-k, a 25-row driver
+    // merge) rather than the global sort a total ordering would cost.
+    // Real schedulers feed per-executor priority queues exactly this
+    // way: a bounded top-k per tick, never a full-corpus sort.
+    "x137_ranked_frontier" -> ((s, d) => {
+      val sched = recrawlQuery(s, d)
+      val ranks = ext.Graph.pageRank(linkGraph(s, d)
+        .select(col("src_domain").as("src"),
+          col("dst_domain").as("dst")))
+      sched.join(ranks, sched("domain") === ranks("node"))
+        .withColumn("priority", col("pr") / col("rnk").cast("double"))
+        .orderBy(desc("priority"), col("domain"), col("url")).limit(25)
+        .select(col("domain"), col("url"), col("status"), col("rnk"),
+          round(col("priority"), 10).as("priority"))
     }),
 
     // x120 — the POLITENESS schedule: the x116 recrawl ranking priced
@@ -2818,6 +2843,44 @@ object SparkEntry {
            tm AS (SELECT doc_id, ddom, (sdom = ddom) AS ii,
                          unnest(string_split(lower(a), ' ')) AS term
                   FROM lg)"""
+
+  /** x116/x137 shared oracle chain: listing and crawl state
+    * regenerated closed-form (the XML index/shard layer cancels),
+    * classification + per-domain rank window, ending at
+    * `sched(domain, url, lastmod, status, rnk)`. */
+  private lazy val recrawlOracleCtes: String =
+    s"""$urlNormCtes,
+           nd AS (SELECT doc_id, ${regDomainSql("host")} AS domain,
+                         norm_url AS norm
+                  FROM n),
+           st AS (SELECT doc_id, domain, norm,
+                    DATE '2026-01-01' + CAST(doc_id % 90 AS INTEGER)
+                      AS lastmod,
+                    DATE '2026-01-15' + CAST(doc_id % 30 AS INTEGER)
+                      AS crawled_at
+                  FROM nd),
+           listed AS (
+             SELECT domain, norm AS u, MAX(lastmod) AS lastmod
+             FROM st WHERE doc_id % 2 = 0 GROUP BY domain, norm
+             UNION ALL
+             SELECT DISTINCT domain,
+                    'https://' || domain || '/extra/' ||
+                      CAST(t.i AS STRING) AS u,
+                    DATE '2026-03-01' + CAST(t.i AS INTEGER) AS lastmod
+             FROM st, range(0, 3) t(i)),
+           crawled AS (SELECT domain, norm AS u,
+                              MAX(crawled_at) AS crawled_at
+                       FROM st GROUP BY domain, norm),
+           cl AS (SELECT l.domain, l.u, l.lastmod,
+                    CASE WHEN c.crawled_at IS NULL THEN 'new'
+                         WHEN l.lastmod > c.crawled_at THEN 'stale'
+                    END AS status
+                  FROM listed l LEFT JOIN crawled c
+                    ON c.domain = l.domain AND c.u = l.u),
+           sched AS (SELECT domain, u AS url, lastmod, status,
+                  row_number() OVER (PARTITION BY domain
+                    ORDER BY status, lastmod DESC, u) AS rnk
+                  FROM cl WHERE status IS NOT NULL)"""
 
   /** x130's WEIGHTED PageRank rounds: like [[pageRankCtes]] but the
     * per-edge share is `pr · (w / Σ_out w)` — the engine's expression
@@ -6517,38 +6580,39 @@ object SparkEntry {
     // x116 — listing and crawl state regenerated closed-form (the XML
     // index/shard layer cancels), same classification + rank window
     "x116_recrawl_schedule" ->
-      s"""WITH $urlNormCtes,
-           nd AS (SELECT doc_id, ${regDomainSql("host")} AS domain,
-                         norm_url AS norm
-                  FROM n),
-           st AS (SELECT doc_id, domain, norm,
-                    DATE '2026-01-01' + CAST(doc_id % 90 AS INTEGER)
-                      AS lastmod,
-                    DATE '2026-01-15' + CAST(doc_id % 30 AS INTEGER)
-                      AS crawled_at
-                  FROM nd),
-           listed AS (
-             SELECT domain, norm AS u, MAX(lastmod) AS lastmod
-             FROM st WHERE doc_id % 2 = 0 GROUP BY domain, norm
-             UNION ALL
-             SELECT DISTINCT domain,
-                    'https://' || domain || '/extra/' ||
-                      CAST(t.i AS STRING) AS u,
-                    DATE '2026-03-01' + CAST(t.i AS INTEGER) AS lastmod
-             FROM st, range(0, 3) t(i)),
-           crawled AS (SELECT domain, norm AS u,
-                              MAX(crawled_at) AS crawled_at
-                       FROM st GROUP BY domain, norm),
-           cl AS (SELECT l.domain, l.u, l.lastmod,
-                    CASE WHEN c.crawled_at IS NULL THEN 'new'
-                         WHEN l.lastmod > c.crawled_at THEN 'stale'
-                    END AS status
-                  FROM listed l LEFT JOIN crawled c
-                    ON c.domain = l.domain AND c.u = l.u)
-           SELECT domain, u AS url, lastmod, status,
-                  row_number() OVER (PARTITION BY domain
-                    ORDER BY status, lastmod DESC, u) AS rnk
-           FROM cl WHERE status IS NOT NULL""",
+      s"""WITH $recrawlOracleCtes
+           SELECT domain, url, lastmod, status, rnk FROM sched""",
+
+    // x137 — the two oracle chains composed: the recrawl schedule CTEs
+    // joined to the replayed 5-round rank vector, the cut on RAW
+    // priority (round after — the x127 convention)
+    "x137_ranked_frontier" ->
+      s"""WITH $recrawlOracleCtes,
+           l0 AS (SELECT doc_id, $urlRegDomainSql AS sdom
+                FROM documents),
+           ed0 AS (SELECT DISTINCT sdom AS src,
+                  CASE CAST((doc_id + t.i) % 8 AS INTEGER)
+                    WHEN 0 THEN 'example.com'
+                    WHEN 1 THEN 'example.net'
+                    WHEN 7 THEN 'example.edu'
+                    ELSE sdom END AS dst
+                FROM l0, range(0, 4) t(i)),
+           nds AS (SELECT DISTINCT node FROM
+                   (SELECT src AS node FROM ed0
+                    UNION ALL SELECT dst AS node FROM ed0) q),
+           nn AS (SELECT COUNT(*) AS n FROM nds),
+           dg AS (SELECT src, COUNT(*) AS deg FROM ed0 GROUP BY src),
+           pr0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr
+                 FROM nds CROSS JOIN nn),
+           ${pageRankCtes(5)},
+           pri AS (SELECT s.domain, s.url, s.status, s.rnk,
+                  p.pr / CAST(s.rnk AS DOUBLE) AS priority
+                FROM sched s JOIN pr5 p ON p.node = s.domain),
+           cut AS (SELECT * FROM pri
+                   ORDER BY priority DESC, domain, url LIMIT 25)
+           SELECT domain, url, status, rnk,
+                  round(priority, 10) AS priority
+           FROM cut""",
 
     // x111 — the listing regenerated as the even-id distinct-norm set
     // plus phantoms; same full-outer set classification
