@@ -1510,6 +1510,15 @@ object SparkEntry {
               site((col("i") + 6) % 12).as("dst"))))
     }),
 
+    // x138 — CO-CITATION pairs over the x123 domain graph (Small
+    // 1973): domains the same sources link are related — the
+    // text-free similarity signal; pairs ordered d1 < d2 with the
+    // common-source count.
+    "x138_cocitation" -> ((s, d) =>
+      ext.Graph.coCitation(linkGraph(s, d)
+        .select(col("src_domain").as("src"),
+          col("dst_domain").as("dst")))),
+
     // x134 — HITS hubs/authorities over the x123 domain graph: the
     // recurrence that separates the directory role (hub) from the
     // endorsed role (authority) — the sink families collect authority,
@@ -6918,6 +6927,22 @@ object SparkEntry {
            LEFT JOIN od ON od.node = n.node
            LEFT JOIN idg ON idg.node = n.node
            LEFT JOIN rc ON rc.node = n.node""",
+
+    // x138 — the ordered-pair self-join on the source key replayed
+    "x138_cocitation" ->
+      s"""WITH l0 AS (SELECT doc_id, $urlRegDomainSql AS sdom
+                FROM documents),
+           ed0 AS (SELECT DISTINCT sdom AS src,
+                  CASE CAST((doc_id + t.i) % 8 AS INTEGER)
+                    WHEN 0 THEN 'example.com'
+                    WHEN 1 THEN 'example.net'
+                    WHEN 7 THEN 'example.edu'
+                    ELSE sdom END AS dst
+                FROM l0, range(0, 4) t(i))
+           SELECT x.dst AS d1, y.dst AS d2, COUNT(*) AS n_common
+           FROM ed0 x JOIN ed0 y
+             ON y.src = x.src AND x.dst < y.dst
+           GROUP BY 1, 2""",
 
     // x134 — the two mutually-recursive vectors re-learned: unrolled
     // auth/hub half-rounds with decimal sums and IEEE sqrt/divide

@@ -380,6 +380,33 @@ object Graph {
     out
   }
 
+  /** CO-CITATION pairs (Small 1973) — two nodes are related when the
+    * same sources link BOTH: the link-graph similarity signal that
+    * needs no text or embeddings, and the dual of bibliographic
+    * coupling (run this on the TRANSPOSED edge list to get "domains
+    * that cite the same things"). Returns `(d1, d2, n_common)` for
+    * ordered pairs `d1 < d2` with at least `minCount` common sources.
+    *
+    * Shape: one self-join of the dedup'd edge table on the SOURCE key
+    * — pair volume is Σ out-deg², the SemDeDup cluster-bounded shape;
+    * at 100 TB cap the out-degree upstream (a mega-hub's out-list is a
+    * directory page, not an endorsement — the standard co-citation
+    * truncation) and the join stays equi-keyed with map-side-collapsing
+    * counts. */
+  def coCitation(edges: DataFrame, srcCol: String = "src",
+                 dstCol: String = "dst", minCount: Long = 1L): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    e.as("x").join(e.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .groupBy(col("x.dst").as("d1"), col("y.dst").as("d2"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCount)
+  }
+
   /** Shared setup + round step: dedup the edges, cache the degree-
     * annotated edge table / node set / dangling set for the loop the
     * caller drives, release them after. The step function is the ONE

@@ -252,6 +252,26 @@ class GraphSpec extends AnyFunSuite {
       "d" -> ((0L, 1L, 0L))))
   }
 
+  test("coCitation: common-source pairs, ordered, duplicates collapse, " +
+    "transpose gives bibliographic coupling") {
+    val edges = Seq(
+      "s1" -> "a", "s1" -> "b", "s1" -> "c",
+      "s2" -> "a", "s2" -> "b",
+      "s2" -> "a", // duplicate edge: must not double-count
+      "s3" -> "c")
+    val got = Graph.coCitation(edges.toDF("src", "dst")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L))
+    // coupling = co-citation on the transposed graph: sources sharing
+    // out-links
+    val coupled = Graph.coCitation(
+        edges.map(_.swap).toDF("src", "dst")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(coupled == Map(
+      ("s1", "s2") -> 2L, ("s1", "s3") -> 1L))
+  }
+
   test("pageRank: invariant under input partitioning (decimal routing)") {
     val edges = Seq("a" -> "b", "b" -> "c", "b" -> "d", "c" -> "a",
       "d" -> "a", "a" -> "c")
