@@ -371,6 +371,51 @@ object UrlOps {
         })
       .filter(length(col("u")) > 0)
 
+  /** The WRITER dual of [[parseUrlset]]: render per-domain `<urlset>`
+    * shard documents from a `(domain, u, lastmod)` table, splitting at
+    * `maxPerShard` entries — the 50k-URL cap of the sitemaps.org
+    * protocol is exactly why real sites publish the nested index form
+    * [[parseSitemapIndex]] reads. Entries sort by URL inside each
+    * shard (deterministic bytes); a null lastmod renders no
+    * `<lastmod>` element and round-trips back to null. One rank
+    * window per domain (sitemaps are domain-bounded, orders below the
+    * corpus) plus one grouped string fold per shard. */
+  def renderUrlsets(urls: DataFrame, maxPerShard: Int = 50000,
+                    domainCol: String = "domain", urlCol: String = "u",
+                    lastmodCol: String = "lastmod"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPerShard >= 1, s"need maxPerShard >= 1: $maxPerShard")
+    val rn = row_number().over(
+      Window.partitionBy(domainCol).orderBy(urlCol))
+    urls
+      .withColumn("shard", ((rn - 1) / maxPerShard).cast("int"))
+      .withColumn("shard_url", concat(lit("https://"), col(domainCol),
+        lit("/sitemap-"), col("shard").cast("string"), lit(".xml")))
+      .groupBy(col(domainCol).as("domain"), col("shard_url"))
+      .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+        concat_ws("", transform(
+          sort_array(collect_list(struct(col(urlCol).as("u"),
+            col(lastmodCol).as("lastmod")))),
+          e => concat(lit("<url><loc>"), e.getField("u"), lit("</loc>"),
+            when(e.getField("lastmod").isNotNull,
+              concat(lit("<lastmod>"),
+                date_format(e.getField("lastmod"), "yyyy-MM-dd"),
+                lit("</lastmod>"))).otherwise(lit("")),
+            lit("</url>")))),
+        lit("</urlset>")).as("xml"))
+  }
+
+  /** The writer dual of [[parseSitemapIndex]]: one `<sitemapindex>`
+    * document per domain listing its shard URLs in sorted order. */
+  def renderSitemapIndex(shards: DataFrame): DataFrame =
+    shards.groupBy("domain")
+      .agg(concat(lit("<?xml version=\"1.0\"?><sitemapindex>"),
+        concat_ws("", transform(
+          sort_array(collect_list(col("shard_url"))),
+          su => concat(lit("<sitemap><loc>"), su,
+            lit("</loc></sitemap>")))),
+        lit("</sitemapindex>")).as("xml"))
+
   /** The recrawl schedule (the "fetch next, ordered" product an
     * incremental crawler emits): sitemap-listed URLs classified
     * against the crawl state — `new` (listed, never crawled) and

@@ -308,6 +308,40 @@ class UrlSpec extends AnyFunSuite {
     assert(got("ok.example.org") == ((12L, 1, 1.0, 1.0, false)))
   }
 
+  test("sitemap writer round-trips through the parsers; 50k-cap " +
+    "sharding splits and the index lists every shard") {
+    import spark.implicits._
+    import java.sql.Date
+    val urls = (
+      // 7 URLs on a.com → 3 shards at cap 3; every third lacks lastmod
+      (0 until 7).map(i => ("a.com", f"https://a.com/p$i%02d",
+        if (i % 3 == 2) null
+        else Date.valueOf(f"2026-02-${i + 1}%02d"))) ++
+      Seq(("b.org", "https://b.org/only", Date.valueOf("2026-03-05"))))
+      .toDF("domain", "u", "lastmod")
+    val shards = UrlOps.renderUrlsets(urls, maxPerShard = 3)
+    assert(shards.filter(col("domain") === "a.com").count() == 3)
+    assert(shards.filter(col("domain") === "b.org").count() == 1)
+    // index lists exactly the shard urls, in order
+    val idx = UrlOps.renderSitemapIndex(shards)
+    val listedShards = UrlOps.parseSitemapIndex(idx)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(listedShards == shards.select("domain", "shard_url")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet)
+    // urlset round trip: parse(render(x)) == x, nulls included
+    val back = UrlOps.parseUrlset(shards.select("domain", "xml"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getDate(2)).map(_.toString))).toSet
+    val want = urls.collect().map(r => (r.getString(0), r.getString(1),
+      Option(r.getDate(2)).map(_.toString))).toSet
+    assert(back == want)
+    // every shard respects the cap
+    val perShard = UrlOps.parseUrlset(
+        shards.withColumn("domain", col("shard_url")))
+      .groupBy("domain").count().collect().map(_.getLong(1))
+    assert(perShard.forall(_ <= 3) && perShard.sum == 8)
+  }
+
   test("robotsGateStateless equals the grouped robotsGate") {
     import spark.implicits._
     val urls = (0L until 40L).map(i =>
