@@ -608,6 +608,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"x102 shuffles:\n$p")
   }
 
+  test("x129 crawl traps: no join — one expand-backed hash agg per host") {
+    val p = executed("x129_crawl_traps").toString
+    assert(!p.contains("Join"), s"trap census joins:\n$p")
+    assert(p.contains("Expand"), s"distinct counts not expanded:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash agg:\n$p")
+  }
+
+  test("x128 anchor census: partial+final agg above the generate — " +
+       "counts collapse map-side") {
+    val p = executed("x128_anchor_census").toString
+    assert(p.contains("partial_"), s"no partial aggregation:\n$p")
+    assert(p.contains("Generate"), s"no explode below the agg:\n$p")
+  }
+
+  test("x137 ranked frontier: the global fetch-next cut is " +
+       "TakeOrderedAndProject, not a full sort") {
+    val p = executed("x137_ranked_frontier").toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-k sorts globally:\n$p")
+  }
+
   test("x126 stored binary ANN: the Hamming scan reads only the words " +
        "table — no embedding column until the bounded rerank join") {
     val p = planString("x126_binary_stored_ann")
