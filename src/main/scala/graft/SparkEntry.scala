@@ -1165,6 +1165,27 @@ object SparkEntry {
           round(col("priority"), 10).as("priority"))
     }),
 
+    // x143 — x137 off the AUTHORITY STORE (the x77/x96/x126 stored-
+    // index lifecycle applied to the rank tier): the power method runs
+    // on the link graph's rebuild cadence, not per scheduling tick —
+    // the query half scans the node-sized stored rank table, joins the
+    // schedule, and cuts the same top-25. Doubles round-trip parquet
+    // exactly, so this shares x137's oracle VERBATIM; the bench times
+    // what a scheduler tick actually costs once ranks are stored.
+    "x143_stored_rank_frontier" -> ((s, d) => {
+      val dir = storedDir("pagerank", d)(p =>
+        ext.Graph.pageRankStoredBuild(linkGraph(s, d)
+          .select(col("src_domain").as("src"),
+            col("dst_domain").as("dst")), p))
+      val sched = recrawlQuery(s, d)
+      val ranks = ext.Graph.pageRankStoredRead(s, dir)
+      sched.join(ranks, sched("domain") === ranks("node"))
+        .withColumn("priority", col("pr") / col("rnk").cast("double"))
+        .orderBy(desc("priority"), col("domain"), col("url")).limit(25)
+        .select(col("domain"), col("url"), col("status"), col("rnk"),
+          round(col("priority"), 10).as("priority"))
+    }),
+
     // x120 — the POLITENESS schedule: the x116 recrawl ranking priced
     // by each domain's robots.txt metadata — sitemap DISCOVERY gates
     // the domain (no advertised Sitemap ⇒ nothing scheduled from it)
@@ -1466,6 +1487,99 @@ object SparkEntry {
         Seq("example.com", "example.edu").toDF("node"))
         .withColumn("pr", round(col("pr"), 10))
     }),
+
+    // x139 — SPAM MASS (Gyöngyi et al. 2005): how much of each
+    // domain's rank arrives from OUTSIDE the trusted core — ordinary
+    // PageRank minus the seed-teleport component (the x131 run scaled
+    // by |S|/N; the personalized recurrence is linear in its teleport
+    // vector, so the scale is exact). The sink domain is a seed, the
+    // two out-of-core CASE destinations are not — both relative-mass
+    // regimes appear. The oracle replays BOTH power loops and the
+    // scaled subtraction term for term.
+    "x139_spam_mass" -> ((s, d) => {
+      import s.implicits._
+      ext.Graph.spamMass(
+        linkGraph(s, d)
+          .select(col("src_domain").as("src"),
+            col("dst_domain").as("dst")),
+        Seq("example.com", "example.edu").toDF("node"))
+        .withColumn("pr", round(col("pr"), 10))
+        .withColumn("core_pr", round(col("core_pr"), 10))
+        .withColumn("spam_mass", round(col("spam_mass"), 10))
+        .withColumn("rel_mass", round(col("rel_mass"), 10))
+    }),
+
+    // x140 — DSIR importance weights (Xie et al. 2023): every doc
+    // scored by how target-like its hashed unigram+bigram profile is
+    // (target = the English slice), the importance-resampling signal
+    // that tilts a crawl toward a domain without a trained classifier.
+    // Rational core (mean per-gram probability ratio, bucket-ordered
+    // fold) — bit-exact, no rounding; the oracle rebuilds the shingle
+    // hashes, both smoothed bucket models, and the fold from scratch.
+    "x140_dsir_weights" -> ((s, d) =>
+      ext.Curation.dsirWeights(t(s, d, "documents"),
+        col("lang") === "en")),
+
+    // x141 — hard-negative mining (DPR §4.2): per anchor vector, the
+    // top-5 most-similar candidates BELOW the near-dup line (x20's 0.3
+    // sits in the populated cosine range with clearance on both sides)
+    // — the contrastive-training batch builder. Exact scan + x11
+    // window cut; cos rounded 6dp for display only.
+    "x141_hard_negatives" -> ((s, d) =>
+      ext.Similarity.hardNegatives(t(s, d, "embeddings"),
+          queryIds = Seq(0L, 1L, 2L), k = 5, posThreshold = 0.3)
+        .withColumn("cos", round(col("cos"), 6))),
+
+    // x142 — tokenizer-parity census (Petrov et al. 2023): the x115
+    // byte-BPE budget rolled up per language — which corpus slices pay
+    // more tokens per byte under the merge table (the multilingual
+    // fairness/pricing report). Same fixture text and token chain as
+    // x115; the rollup is one partials-collapsing hash agg on lang.
+    "x142_lang_fertility" -> ((s, d) =>
+      ext.TextOps.fertilityByKey(
+        t(s, d, "documents").withColumn("text", expr(byteTextSqlExpr)),
+        "lang")),
+
+    // x144 — interpolated Kneser-Ney bigram score (Chen & Goodman's
+    // empirical winner; the KenLM default): absolute discounting plus
+    // the continuation back-off — the distinct-histories insight x51's
+    // add-one model lacks. Mean inverse probability, (w1,w2)-ordered
+    // fold, rational core: every model component is an integer count,
+    // d = 0.75 is exact in binary, no ln(), no rounding.
+    "x144_kn_score" -> ((s, d) =>
+      ext.TextOps.knBigramScore(t(s, d, "documents"))),
+
+    // x145 — crawl-budget apportionment: the stored rank vector (the
+    // x143 authority store) turned into integer per-domain fetch
+    // quotas by the largest-remainder rule — Σ n_fetch == 300 exactly,
+    // the invariant a fixed-capacity tick needs and naive rounding
+    // breaks. The oracle replays the rank rounds, the quota algebra,
+    // and the remainder window term for term.
+    "x145_crawl_budget" -> ((s, d) => {
+      val dir = storedDir("pagerank", d)(p =>
+        ext.Graph.pageRankStoredBuild(linkGraph(s, d)
+          .select(col("src_domain").as("src"),
+            col("dst_domain").as("dst")), p))
+      ext.Graph.crawlBudget(ext.Graph.pageRankStoredRead(s, dir), 300L)
+        .withColumn("quota", round(col("quota"), 10))
+    }),
+
+    // x146 — rendezvous (highest-random-weight) sharding: each doc's
+    // shard under 8 and under 9 shards plus the moved flag — growing
+    // the layout moves only the new shard's keys (~1/9), not 8/9 as
+    // mod-N would; pure per-row splitmix64 arithmetic, no coordination
+    // state. The oracle rebuilds all nine weights and both argmax
+    // chains from scratch.
+    "x146_rendezvous_shards" -> ((s, d) =>
+      ext.Curation.rendezvousResize(t(s, d, "documents"), 8, 9)),
+
+    // x147 — Matryoshka truncation gate (Kusupati et al. 2022):
+    // recall@10 of the top-k under the FIRST-32-DIM prefix cosine vs
+    // the full 64-dim exact cut — the acceptance test before swapping
+    // retrieval to half-width vectors. Both cuts TakeOrderedAndProject.
+    "x147_matryoshka_recall" -> ((s, d) =>
+      ext.Similarity.matryoshkaRecall(t(s, d, "embeddings"),
+        queryVector, k = 10, prefixDim = 32)),
 
     // x132 — BM25 over ANCHOR text (what OTHER pages call a domain —
     // the classic retrieval signal anchor indexing exists for,
@@ -2891,6 +3005,62 @@ object SparkEntry {
                     ORDER BY status, lastmod DESC, u) AS rnk
                   FROM cl WHERE status IS NOT NULL)"""
 
+  /** x137/x143 shared oracle: the recrawl schedule priced by the
+    * 5-round rank replay — identical for the inline and stored-rank
+    * engine shapes (parquet round-trips the doubles exactly). */
+  private lazy val rankedFrontierOracleSql: String =
+    s"""WITH $recrawlOracleCtes,
+           l0 AS (SELECT doc_id, $urlRegDomainSql AS sdom
+                FROM documents),
+           ed0 AS (SELECT DISTINCT sdom AS src,
+                  CASE CAST((doc_id + t.i) % 8 AS INTEGER)
+                    WHEN 0 THEN 'example.com'
+                    WHEN 1 THEN 'example.net'
+                    WHEN 7 THEN 'example.edu'
+                    ELSE sdom END AS dst
+                FROM l0, range(0, 4) t(i)),
+           nds AS (SELECT DISTINCT node FROM
+                   (SELECT src AS node FROM ed0
+                    UNION ALL SELECT dst AS node FROM ed0) q),
+           nn AS (SELECT COUNT(*) AS n FROM nds),
+           dg AS (SELECT src, COUNT(*) AS deg FROM ed0 GROUP BY src),
+           pr0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr
+                 FROM nds CROSS JOIN nn),
+           ${pageRankCtes(5)},
+           pri AS (SELECT s.domain, s.url, s.status, s.rnk,
+                  p.pr / CAST(s.rnk AS DOUBLE) AS priority
+                FROM sched s JOIN pr5 p ON p.node = s.domain),
+           cut AS (SELECT * FROM pri
+                   ORDER BY priority DESC, domain, url LIMIT 25)
+           SELECT domain, url, status, rnk,
+                  round(priority, 10) AS priority
+           FROM cut"""
+
+  /** x146's splitmix64 weight chain: for each shard index `s`, the
+    * x22/x64 three-step mix64 replay of `mix64(doc_id + s·GOLDEN)`
+    * ending at the SIGNED weight `sh{s}` (the engine compares Longs,
+    * so the oracle must too) — one four-CTE block per shard, chained. */
+  private def rdvCtes(n: Int): String = {
+    val M = "18446744073709551616::HUGEINT"
+    val steps = (0 until n).flatMap { s =>
+      val g = java.lang.Long.toUnsignedString(
+        s * graft.functions.HashExprs.GOLDEN)
+      val src = if (s == 0) "rv0" else s"rd${s - 1}"
+      val uh = s"xor(b$s, b$s // 2147483648::HUGEINT)"
+      Seq(
+        s"ra$s AS (SELECT *, (h + $g::HUGEINT) % $M AS v$s FROM $src)",
+        s"rb$s AS (SELECT *, ${mulmodSql(
+          s"xor(v$s, v$s // 1073741824::HUGEINT)", Mix64C1)} AS a$s FROM ra$s)",
+        s"rc$s AS (SELECT *, ${mulmodSql(
+          s"xor(a$s, a$s // 134217728::HUGEINT)", Mix64C2)} AS b$s FROM rb$s)",
+        s"""rd$s AS (SELECT *, CAST(CASE WHEN $uh >= 9223372036854775808::HUGEINT
+                  THEN $uh - 18446744073709551616::HUGEINT
+                  ELSE $uh END AS BIGINT) AS sh$s FROM rc$s)""")
+    }
+    s"rv0 AS (SELECT doc_id, doc_id::HUGEINT AS h FROM documents),\n" +
+      steps.mkString(",\n")
+  }
+
   /** x130's WEIGHTED PageRank rounds: like [[pageRankCtes]] but the
     * per-edge share is `pr · (w / Σ_out w)` — the engine's expression
     * order term for term (IEEE double product of the decimal-routed
@@ -2917,26 +3087,30 @@ object SparkEntry {
 
   /** x131's PERSONALIZED rounds: teleport `t(v)` (1/|S| on seeds, 0
     * elsewhere) replaces the uniform 1/N in the base term AND the
-    * dangling redistribution; contributions are x124's `pr/deg`. */
-  private def pprCtes(iters: Int): String =
+    * dangling redistribution; contributions are x124's `pr/deg`. The
+    * `pfx` prefixes every generated CTE name so the x139 oracle can
+    * run these rounds NEXT TO [[pageRankCtes]]' uniform ones in one
+    * WITH chain (both builders otherwise emit `c1/m1/pr1…`). */
+  private def pprCtes(iters: Int, pfx: String = ""): String =
     (1 to iters).map { k =>
-      val p = s"pr${k - 1}"
-      s"""c$k AS (SELECT e.dst AS node,
+      val p = s"${pfx}pr${k - 1}"
+      s"""${pfx}c$k AS (SELECT e.dst AS node,
                   ${graft.ops.Stable.sumSql("p.pr / CAST(d.deg AS DOUBLE)",
                     18)} AS s
                 FROM ed0 e JOIN $p p ON p.node = e.src
                 JOIN dg d ON d.src = e.src
                 GROUP BY e.dst),
-           m$k AS (SELECT COALESCE(${graft.ops.Stable.sumSql("p.pr", 18)},
+           ${pfx}m$k AS (SELECT COALESCE(${graft.ops.Stable.sumSql("p.pr",
+                    18)},
                                    CAST(0 AS DOUBLE)) AS m
                 FROM $p p LEFT JOIN dg d ON d.src = p.node
                 WHERE d.src IS NULL),
-           pr$k AS (SELECT nd.node,
+           ${pfx}pr$k AS (SELECT nd.node,
                   (1 - CAST(0.85 AS DOUBLE)) * nd.t
                   + CAST(0.85 AS DOUBLE) * COALESCE(c.s, CAST(0 AS DOUBLE))
-                  + CAST(0.85 AS DOUBLE) * m$k.m * nd.t AS pr
-                FROM ndt nd CROSS JOIN m$k
-                LEFT JOIN c$k c ON c.node = nd.node)"""
+                  + CAST(0.85 AS DOUBLE) * ${pfx}m$k.m * nd.t AS pr
+                FROM ndt nd CROSS JOIN ${pfx}m$k
+                LEFT JOIN ${pfx}c$k c ON c.node = nd.node)"""
     }.mkString(",\n           ")
 
   /** x134's HITS rounds: per round an auth half (hub sums over
@@ -3871,6 +4045,12 @@ object SparkEntry {
     * round-trip, so DuckDB parses the exact same doubles. */
   private def queryVectorSql: String =
     "CAST(" + queryVector.map(_.toString).mkString("[", ", ", "]") + " AS DOUBLE[])"
+
+  /** The x147 Matryoshka prefix: the SAME query vector truncated to
+    * its first 32 dims (shortest-round-trip literals, as above). */
+  private def queryVectorPrefix32Sql: String =
+    "CAST(" + queryVector.take(32).map(_.toString).mkString("[", ", ", "]") +
+      " AS DOUBLE[])"
 
   /** The x6 LSH index's seeded hyperplanes, regenerated with the identical
     * Random(42) draw order as Similarity.annLsh/lshBucket (nPlanes=6,
@@ -6595,33 +6775,12 @@ object SparkEntry {
     // x137 — the two oracle chains composed: the recrawl schedule CTEs
     // joined to the replayed 5-round rank vector, the cut on RAW
     // priority (round after — the x127 convention)
-    "x137_ranked_frontier" ->
-      s"""WITH $recrawlOracleCtes,
-           l0 AS (SELECT doc_id, $urlRegDomainSql AS sdom
-                FROM documents),
-           ed0 AS (SELECT DISTINCT sdom AS src,
-                  CASE CAST((doc_id + t.i) % 8 AS INTEGER)
-                    WHEN 0 THEN 'example.com'
-                    WHEN 1 THEN 'example.net'
-                    WHEN 7 THEN 'example.edu'
-                    ELSE sdom END AS dst
-                FROM l0, range(0, 4) t(i)),
-           nds AS (SELECT DISTINCT node FROM
-                   (SELECT src AS node FROM ed0
-                    UNION ALL SELECT dst AS node FROM ed0) q),
-           nn AS (SELECT COUNT(*) AS n FROM nds),
-           dg AS (SELECT src, COUNT(*) AS deg FROM ed0 GROUP BY src),
-           pr0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr
-                 FROM nds CROSS JOIN nn),
-           ${pageRankCtes(5)},
-           pri AS (SELECT s.domain, s.url, s.status, s.rnk,
-                  p.pr / CAST(s.rnk AS DOUBLE) AS priority
-                FROM sched s JOIN pr5 p ON p.node = s.domain),
-           cut AS (SELECT * FROM pri
-                   ORDER BY priority DESC, domain, url LIMIT 25)
-           SELECT domain, url, status, rnk,
-                  round(priority, 10) AS priority
-           FROM cut""",
+    "x137_ranked_frontier" -> rankedFrontierOracleSql,
+
+    // x143 — the stored-rank twin shares x137's oracle VERBATIM: the
+    // rank parquet round-trips doubles exactly, so the scheduler read
+    // off the authority store must hash-match the inline power run
+    "x143_stored_rank_frontier" -> rankedFrontierOracleSql,
 
     // x111 — the listing regenerated as the even-id distinct-norm set
     // plus phantoms; same full-outer set classification
@@ -6884,6 +7043,295 @@ object SparkEntry {
            pr0 AS (SELECT node, t AS pr FROM ndt),
            ${pprCtes(5)}
            SELECT node, round(pr, 10) AS pr FROM pr5""",
+
+    // x139 — both power loops replayed in one WITH chain (the uniform
+    // x124 rounds and the q-prefixed personalized x131 rounds share
+    // ed0/dg/nds), then the engine's exact subtraction order: core =
+    // seed-run rank × (|S|/N), mass = pr − core, rel = mass / pr
+    "x139_spam_mass" ->
+      s"""WITH l0 AS (SELECT doc_id, $urlRegDomainSql AS sdom
+                FROM documents),
+           ed0 AS (SELECT DISTINCT sdom AS src,
+                  CASE CAST((doc_id + t.i) % 8 AS INTEGER)
+                    WHEN 0 THEN 'example.com'
+                    WHEN 1 THEN 'example.net'
+                    WHEN 7 THEN 'example.edu'
+                    ELSE sdom END AS dst
+                FROM l0, range(0, 4) t(i)),
+           nds AS (SELECT DISTINCT node FROM
+                   (SELECT src AS node FROM ed0
+                    UNION ALL SELECT dst AS node FROM ed0) q),
+           nn AS (SELECT COUNT(*) AS n FROM nds),
+           ns AS (SELECT COUNT(*) AS k FROM nds
+                  WHERE node IN ('example.com', 'example.edu')),
+           ndt AS (SELECT node,
+                  CASE WHEN node IN ('example.com', 'example.edu')
+                       THEN CAST(1 AS DOUBLE) / ns.k
+                       ELSE CAST(0 AS DOUBLE) END AS t
+                FROM nds CROSS JOIN ns),
+           dg AS (SELECT src, COUNT(*) AS deg FROM ed0 GROUP BY src),
+           pr0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr
+                 FROM nds CROSS JOIN nn),
+           ${pageRankCtes(5)},
+           qpr0 AS (SELECT node, t AS pr FROM ndt),
+           ${pprCtes(5, "q")},
+           sm AS (SELECT a.node, a.pr,
+                    b.pr * (CAST(ns.k AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                      AS core_pr
+                  FROM pr5 a JOIN qpr5 b USING (node)
+                  CROSS JOIN nn CROSS JOIN ns)
+           SELECT node, round(pr, 10) AS pr,
+                  round(core_pr, 10) AS core_pr,
+                  round(pr - core_pr, 10) AS spam_mass,
+                  round((pr - core_pr) / pr, 10) AS rel_mass
+           FROM sm""",
+
+    // x140 — the ShingleHashesAll hash family rebuilt from scratch
+    // (FNV-1a per token in the two-multiply ASCII form, polynomial
+    // 1000003 combine for bigrams, the x22 three-step mix64 replay),
+    // signed-pmod bucketing, add-one smoothed target/raw models, and
+    // the bucket-ordered DotFold mean — no rounding anywhere
+    "x140_dsir_weights" -> {
+      val M = "18446744073709551616::HUGEINT"
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang,
+         |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                t -> length(t) > 0) AS ts
+         |  FROM documents),
+         |th AS (
+         |  SELECT doc_id, lang, list_transform(ts, t ->
+         |    list_reduce(
+         |      list_prepend(14695981039346656037::HUGEINT,
+         |        list_transform(range(1, length(t) + 1), i ->
+         |          unicode(substr(t, CAST(i AS INTEGER), 1))::HUGEINT)),
+         |      (h, c) -> ((xor(h, c) * 1099511628211::HUGEINT) % $M
+         |                 * 1099511628211::HUGEINT) % $M)) AS hs
+         |  FROM tok),
+         |sh0 AS (
+         |  SELECT doc_id, lang, unnest(hs) AS f FROM th
+         |  UNION ALL
+         |  SELECT doc_id, lang,
+         |         unnest(list_transform(range(1, len(hs)), i ->
+         |           (hs[CAST(i AS INTEGER)] * 1000003::HUGEINT
+         |            + hs[CAST(i + 1 AS INTEGER)]) % $M)) AS f
+         |  FROM th),
+         |z1 AS (SELECT doc_id, lang, ${mulmodSql(
+                   "xor(f, f // 1073741824::HUGEINT)", Mix64C1)} AS u1
+         |       FROM sh0),
+         |z2 AS (SELECT doc_id, lang, ${mulmodSql(
+                   "xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2
+         |       FROM z1),
+         |zf AS (SELECT doc_id, lang,
+         |              xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM z2),
+         |sgn AS (SELECT doc_id, lang,
+         |          CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+         |                    THEN uh - 18446744073709551616::HUGEINT
+         |                    ELSE uh END AS BIGINT) AS sh FROM zf),
+         |occ AS (SELECT doc_id, lang,
+         |               ((sh % 1024) + 1024) % 1024 AS b FROM sgn),
+         |mr AS (SELECT b, COUNT(*) AS cr FROM occ GROUP BY b),
+         |mt AS (SELECT b, COUNT(*) AS ct FROM occ
+         |       WHERE lang = 'en' GROUP BY b),
+         |tot AS (SELECT COUNT(*) AS nr,
+         |               COUNT(*) FILTER (WHERE lang = 'en') AS nt
+         |        FROM occ),
+         |pd AS (SELECT doc_id, b, COUNT(*) AS m FROM occ
+         |       GROUP BY doc_id, b),
+         |valued AS (
+         |  SELECT pd.doc_id, pd.b, pd.m,
+         |    CAST(pd.m AS DOUBLE) *
+         |      ((CAST(COALESCE(mt.ct, 0) + 1 AS DOUBLE)
+         |          / CAST(tot.nt + 1024 AS DOUBLE))
+         |       / (CAST(mr.cr + 1 AS DOUBLE)
+         |          / CAST(tot.nr + 1024 AS DOUBLE))) AS val
+         |  FROM pd JOIN mr USING (b) LEFT JOIN mt USING (b)
+         |  CROSS JOIN tot)
+         |SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_grams,
+         |       list_reduce(list(val ORDER BY b), (a, b) -> a + b)
+         |         / CAST(SUM(m) AS BIGINT) AS dsir_score
+         |FROM valued GROUP BY doc_id""".stripMargin
+    },
+
+    // x141 — anchors joined back against the full scan, the exact
+    // pairwise cosine (list_dot_product ≡ the Spark fold, x5/x20-
+    // verified), the two-sided cut (self out by id, positives out by
+    // threshold on the EXACT value), and the x11 rank window
+    "x141_hard_negatives" ->
+      s"""WITH q AS (
+            SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id IN (0, 1, 2)),
+          c AS (
+            SELECT q.q_id, e.vec_id AS neg_id,
+                   list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.q_id),
+          f AS (
+            SELECT q_id, neg_id, cos,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos DESC, neg_id) AS INTEGER) AS rank
+            FROM c WHERE cos < 0.3)
+          SELECT q_id, neg_id, rank, round(cos, 6) AS cos
+          FROM f WHERE rank <= 5""",
+
+    // x142 — the x115 per-doc byte-token stats re-aggregated per lang:
+    // same pre-tokenizer/merge-fold replay, integer sums (HUGEINT cast
+    // back to BIGINT), one IEEE division for the ratio
+    "x142_lang_fertility" ->
+      s"""WITH $byteBpeOracleCtes,
+           bstat AS (SELECT o.doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS np,
+                       CAST(SUM(b.nb) AS BIGINT) AS nb,
+                       CAST(SUM(len(b.syms)) AS BIGINT) AS nt
+                     FROM boc o
+                     JOIN bb${ext.TextOps.byteBpeFixtureMerges.length} b
+                       USING (w)
+                     GROUP BY o.doc_id),
+           ag AS (SELECT d.lang,
+                         CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(s.np) AS BIGINT) AS n_pretokens,
+                         CAST(SUM(s.nb) AS BIGINT) AS n_bytes,
+                         CAST(SUM(s.nt) AS BIGINT) AS n_byte_tokens
+                  FROM bstat s JOIN documents d USING (doc_id)
+                  GROUP BY d.lang)
+           SELECT lang, n_docs, n_pretokens, n_bytes, n_byte_tokens,
+                  CAST(n_bytes AS DOUBLE) / CAST(n_byte_tokens AS DOUBLE)
+                    AS bytes_per_token
+           FROM ag""",
+
+    // x144 — the KN model rebuilt from scratch: bigram types once
+    // (c2t), history counts + distinct continuations off the type
+    // table (h1), distinct histories per word (p2), the one-row type
+    // total, then the engine's exact expression tree per occurrence
+    // and the (w1,w2)-ordered fold — the x51 chain with KN algebra
+    "x144_kn_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                             t -> length(t) > 0) AS ts
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, w1, w2, COUNT(*) AS m
+        |  FROM (SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+        |        FROM (SELECT doc_id,
+        |                     unnest(list_transform(range(1, len(ts)), i ->
+        |                       [ts[CAST(i AS INTEGER)],
+        |                        ts[CAST(i + 1 AS INTEGER)]])) AS bg
+        |              FROM tok))
+        |  GROUP BY doc_id, w1, w2),
+        |c2t AS (SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS c2
+        |        FROM occ GROUP BY w1, w2),
+        |h1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+        |              CAST(COUNT(*) AS BIGINT) AS n1f
+        |       FROM c2t GROUP BY w1),
+        |p2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p
+        |       FROM c2t GROUP BY w2),
+        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1tot FROM c2t),
+        |valued AS (
+        |  SELECT o.doc_id, o.w1, o.w2, o.m,
+        |         CAST(o.m AS DOUBLE) /
+        |           (GREATEST(CAST(c.c2 AS DOUBLE) - 0.75, 0.0)
+        |              / CAST(h.c1 AS DOUBLE)
+        |            + ((0.75 * CAST(h.n1f AS DOUBLE))
+        |               / CAST(h.c1 AS DOUBLE))
+        |              * (CAST(p.n1p AS DOUBLE)
+        |                 / CAST(tt.n1tot AS DOUBLE))) AS val
+        |  FROM occ o
+        |  JOIN c2t c ON o.w1 = c.w1 AND o.w2 = c.w2
+        |  JOIN h1 h ON o.w1 = h.w1
+        |  JOIN p2 p ON o.w2 = p.w2
+        |  CROSS JOIN tt)
+        |SELECT doc_id,
+        |       CAST(SUM(m) AS BIGINT) AS n_bigrams,
+        |       list_reduce(list(val ORDER BY w1, w2), (a, b) -> a + b)
+        |         / CAST(SUM(m) AS BIGINT) AS kn_score
+        |FROM valued GROUP BY doc_id""".stripMargin,
+
+    // x145 — the x124 rank replay feeding the Hamilton apportionment:
+    // decimal-routed rank sum, the exact quota/floor/frac algebra, the
+    // one-row used-budget aggregate, and the remainder window with the
+    // engine's (frac DESC, node) order
+    "x145_crawl_budget" ->
+      s"""WITH l0 AS (SELECT doc_id, $urlRegDomainSql AS sdom
+                FROM documents),
+           ed0 AS (SELECT DISTINCT sdom AS src,
+                  CASE CAST((doc_id + t.i) % 8 AS INTEGER)
+                    WHEN 0 THEN 'example.com'
+                    WHEN 1 THEN 'example.net'
+                    WHEN 7 THEN 'example.edu'
+                    ELSE sdom END AS dst
+                FROM l0, range(0, 4) t(i)),
+           nds AS (SELECT DISTINCT node FROM
+                   (SELECT src AS node FROM ed0
+                    UNION ALL SELECT dst AS node FROM ed0) q),
+           nn AS (SELECT COUNT(*) AS n FROM nds),
+           dg AS (SELECT src, COUNT(*) AS deg FROM ed0 GROUP BY src),
+           pr0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr
+                 FROM nds CROSS JOIN nn),
+           ${pageRankCtes(5)},
+           sq AS (SELECT ${graft.ops.Stable.sumSql("pr", 18)} AS spr
+                  FROM pr5),
+           qt AS (SELECT node, CAST(300 AS DOUBLE) * (pr / sq.spr)
+                           AS quota
+                  FROM pr5 CROSS JOIN sq),
+           qb AS (SELECT node, quota,
+                         CAST(floor(quota) AS BIGINT) AS base,
+                         quota - floor(quota) AS frac
+                  FROM qt),
+           us AS (SELECT CAST(SUM(base) AS BIGINT) AS used FROM qb),
+           rk AS (SELECT qb.*, us.used,
+                         row_number() OVER (ORDER BY frac DESC, node)
+                           AS rn
+                  FROM qb CROSS JOIN us)
+           SELECT node, round(quota, 10) AS quota,
+                  base + CASE WHEN rn <= 300 - used
+                              THEN 1 ELSE 0 END AS n_fetch
+           FROM rk""",
+
+    // x146 — all nine signed splitmix64 weights rebuilt, then both
+    // first-match argmax chains (ties to the smaller index, the
+    // engine's CASE order) and the moved flag
+    "x146_rendezvous_shards" -> {
+      def caseChain(n: Int, m: String): String =
+        (0 until n - 1).map(s => s"WHEN sh$s = $m THEN $s")
+          .mkString("CASE ", " ", s" ELSE ${n - 1} END")
+      val g8 = (0 until 8).map(s => s"sh$s").mkString("GREATEST(", ", ", ")")
+      val g9 = (0 until 9).map(s => s"sh$s").mkString("GREATEST(", ", ", ")")
+      s"""WITH ${rdvCtes(9)},
+           mm AS (SELECT doc_id,
+                         ${(0 until 9).map(s => s"sh$s").mkString(", ")},
+                         $g8 AS m8, $g9 AS m9
+                  FROM rd8),
+           sel AS (SELECT doc_id,
+                          ${caseChain(8, "m8")} AS shard_before,
+                          ${caseChain(9, "m9")} AS shard_after
+                   FROM mm)
+           SELECT doc_id, shard_before, shard_after,
+                  shard_before <> shard_after AS moved
+           FROM sel"""
+    },
+
+    // x147 — prefix and full-width cuts replayed (list slice + the
+    // same dot-product folds), overlap counted — the x135 shape with
+    // truncation instead of quantization
+    "x147_matryoshka_recall" ->
+      s"""WITH ap AS (
+            SELECT vec_id FROM embeddings
+            ORDER BY list_dot_product(CAST(embedding[1:32] AS DOUBLE[]),
+                                      $queryVectorPrefix32Sql)
+                     / (sqrt(list_dot_product(
+                          CAST(embedding[1:32] AS DOUBLE[]),
+                          CAST(embedding[1:32] AS DOUBLE[])))
+                        * sqrt(list_dot_product($queryVectorPrefix32Sql,
+                                                $queryVectorPrefix32Sql)))
+                     DESC, vec_id
+            LIMIT 10),
+          ex AS (SELECT vec_id FROM embeddings
+                 ORDER BY $cosSql DESC, vec_id LIMIT 10)
+          SELECT COUNT(*) AS n_overlap,
+                 CAST(COUNT(*) AS DOUBLE) / 10 AS recall_at_10
+          FROM ap JOIN ex USING (vec_id)""",
 
     // x135 — approx and exact top-10 replayed, overlap counted
     "x135_binary_recall" ->

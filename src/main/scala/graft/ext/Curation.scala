@@ -529,4 +529,106 @@ object Curation {
           .when(col("oh") =!= col("nh"), "changed")
           .otherwise("unchanged").as("status"))
   }
+
+  /** RENDEZVOUS (highest-random-weight) shard assignment — Thaler &
+    * Ravishankar 1998: a key's shard is `argmax_s mix64(key + s·GOLDEN)`
+    * (the Bloom/CMS splitmix64 probe-stream family), ties to the
+    * smallest shard index. The property mod-N sharding lacks: growing
+    * `n → n+1` moves ONLY the keys whose new weight tops their old
+    * maximum — an expected 1/(n+1) of the corpus — instead of n/(n+1);
+    * the assignment is pure per-row arithmetic, so shard layout needs
+    * no coordination state anywhere, at any corpus size. */
+  def rendezvousShard(id: Column, nShards: Int): Column = {
+    require(nShards >= 1, s"need nShards >= 1: $nShards")
+    import graft.functions.HashExprs
+    val ws = (0 until nShards).map(s =>
+      HashExprs.mix64_add_col(id, s * HashExprs.GOLDEN))
+    if (nShards == 1) lit(0)
+    else {
+      val m = greatest(ws: _*)
+      // first-match CASE = smallest index on (measure-zero) ties; the
+      // last index is the residual branch
+      (0 until nShards - 1).tail
+        .foldLeft(when(ws.head === m, 0)) { (acc, s) =>
+          acc.when(ws(s) === m, s) }
+        .otherwise(nShards - 1)
+    }
+  }
+
+  /** The RESIZE report for [[rendezvousShard]]: each doc's shard under
+    * `before` and `after` shard counts and whether it moves — the
+    * audit a 100 TB corpus reads before re-sharding (the moved set IS
+    * the copy bill; for HRW growth it is the after-shard's fraction
+    * only). */
+  def rendezvousResize(docs: DataFrame, before: Int, after: Int,
+                       idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+        rendezvousShard(col(idCol), before).as("shard_before"),
+        rendezvousShard(col(idCol), after).as("shard_after"))
+      .withColumn("moved", col("shard_before") =!= col("shard_after"))
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") — score every raw
+    * document by how much more likely its hashed-n-gram profile is
+    * under a TARGET distribution than under the raw pool, the signal
+    * DSIR resamples by to tilt a crawl toward a target domain without
+    * training a classifier. Features are the paper's: unigram + bigram
+    * token shingles hashed into `nBuckets` buckets (the native
+    * ShingleHashesAll family — FNV-1a tokens, polynomial combine,
+    * mix64 finalize — signed-pmod'd into buckets); each side's bucket
+    * distribution gets add-one smoothing:
+    * `p̂[b] = (c[b] + 1) / (Σc + nBuckets)`.
+    *
+    * Per the repo's rational-core convention ([[TextOps.bm25Search]],
+    * [[TextOps.bigramLmScore]]: ln() differs across engines in the last
+    * ulp; `+ − × ÷` are IEEE-correctly-rounded everywhere), the score
+    * keeps the log's argument per n-gram and averages:
+    * `dsir_score = mean_i p̂_target[b_i] / p̂_raw[b_i]` over the doc's
+    * n-gram occurrences — a monotone-per-gram surrogate of the paper's
+    * summed log-ratio (arithmetic rather than geometric mean), > 1 for
+    * target-like docs. The per-doc mean folds in bucket order (each
+    * bucket appears once per doc after the count agg), so the double
+    * sum is sequential and bit-exact across engines and partitionings
+    * (the DotFold discipline).
+    *
+    * Shape at 100 TB: occurrences collapse map-side to (doc, bucket,
+    * m); BOTH model tables are `nBuckets`-row aggregates and the
+    * totals are ONE row — all broadcast back; the target membership is
+    * a per-row predicate, not a join. One corpus-keyed shuffle total
+    * (the per-doc re-aggregation), no vocabulary-sized driver state. */
+  def dsirWeights(docs: DataFrame, isTarget: Column, nBuckets: Int = 1024,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val grams = concat(
+      graft.functions.ShingleHashesAll(col(textCol), 1),
+      graft.functions.ShingleHashesAll(col(textCol), 2))
+    val occ = docs
+      .select(col(idCol), isTarget.as("is_t"), explode(grams).as("h"))
+      .select(col(idCol), col("is_t"),
+        pmod(col("h"), lit(nBuckets.toLong)).as("b"))
+    val perDoc = occ.groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("m"))
+    val rawCounts = occ.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgtCounts = occ.filter(col("is_t"))
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val totals = occ.agg(count(lit(1)).as("nr"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("nt"))
+    val nb = lit(nBuckets.toLong)
+    val valued = perDoc
+      .join(rawCounts, Seq("b"))
+      .join(tgtCounts, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("val", col("m").cast("double") *
+        (((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+          (col("nt") + nb).cast("double")) /
+         ((col("cr") + lit(1L)).cast("double") /
+          (col("nr") + nb).cast("double"))))
+    valued.groupBy(col(idCol)).agg(
+        sum("m").as("n_grams"),
+        aggregate(
+          array_sort(collect_list(struct(col("b"), col("val")))),
+          lit(0.0), (acc, x) => acc + x.getField("val")).as("val_sum"))
+      .select(col(idCol), col("n_grams"),
+        (col("val_sum") / col("n_grams")).as("dsir_score"))
+  }
 }

@@ -238,6 +238,118 @@ object Graph {
     pr
   }
 
+  /** Persist a [[pageRank]] vector as the AUTHORITY STORE — the x77/
+    * x96/x126 stored-index lifecycle applied to the rank tier: a real
+    * crawl scheduler does not re-run the power method per scheduling
+    * tick; ranks are recomputed on the link graph's cadence (weekly on
+    * the 1999 web, per Page et al.) and every frontier query between
+    * rebuilds reads the stored node-sized table. Doubles round-trip
+    * parquet exactly, so stored ≡ inline bit-for-bit. */
+  def pageRankStoredBuild(edges: DataFrame, dir: String, iters: Int = 5,
+                          damping: Double = 0.85, srcCol: String = "src",
+                          dstCol: String = "dst"): Unit =
+    pageRank(edges, iters, damping, srcCol, dstCol)
+      .write.mode("overwrite").parquet(s"$dir/ranks")
+
+  /** The query half of the stored-rank lifecycle: scan ONLY the
+    * node-sized rank table — the corpus and edge list are never
+    * touched at scheduling time. */
+  def pageRankStoredRead(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame =
+    spark.read.parquet(s"$dir/ranks")
+
+  /** SPAM MASS (Gyöngyi, Garcia-Molina, Berkhin, Pedersen 2005, "Link
+    * spam detection based on mass estimation") — how much of a node's
+    * PageRank arrives from OUTSIDE a trusted good core: the link-spam
+    * detector run over a crawl before its corpus is trusted. Per node:
+    *
+    *  - `pr`        — ordinary PageRank (uniform teleport),
+    *  - `core_pr`   — the rank component attributable to the good core:
+    *    PageRank with teleport restricted to the seed set at the
+    *    UNIFORM per-node value 1/N (the paper's p⁺, which keeps
+    *    `core_pr ≤ pr` in expectation),
+    *  - `spam_mass` — `pr − core_pr` (the paper's absolute mass M̂),
+    *  - `rel_mass`  — `spam_mass / pr` (the paper's relative mass m̂;
+    *    the spam verdict thresholds THIS — a node whose rank almost
+    *    all arrives from outside the good core is link spam).
+    *
+    * The core component reuses [[personalizedPageRank]]: the
+    * personalized recurrence is LINEAR and homogeneous in its teleport
+    * vector (base term, contribution term, and dangling redistribution
+    * each scale by the same factor, every round, from `pr0` on), so the
+    * paper's 1/N-on-seeds vector is exactly the 1/|S|-on-seeds run
+    * scaled by `|S|/N` — computed here as one explicit multiply whose
+    * expression order the oracle replays. Nodes unreachable from the
+    * seeds hold a core component of exactly zero ⇒ `rel_mass` exactly
+    * 1.0 — the isolated-spam-farm signature, closed-form testable.
+    *
+    * Scale shape: two [[run]]-family power loops (each the x124 plan:
+    * cached edge/node/dangling tables, one edge join + one dest-key
+    * partial+final agg + a one-row dangling mass per round), then one
+    * node-keyed join of the two node-sized vectors and a one-row
+    * broadcast of the `|S|/N` scale — nothing corpus-sized beyond the
+    * edge scans already inside the loops. */
+  def spamMass(edges: DataFrame, goodSeeds: DataFrame, iters: Int = 5,
+               damping: Double = 0.85, srcCol: String = "src",
+               dstCol: String = "dst"): DataFrame = {
+    val pr = pageRank(edges, iters, damping, srcCol, dstCol)
+      .withColumnRenamed("pr", "pr_all")
+    val core = personalizedPageRank(edges, goodSeeds, iters, damping,
+        srcCol, dstCol)
+      .withColumnRenamed("pr", "pr_seed")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+      col(dstCol).cast("string").as("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val seedSet = goodSeeds
+      .select(col(goodSeeds.columns.head).cast("string").as("node"))
+      .distinct()
+    val scaleRow = nodes.agg(count(lit(1)).cast("double").as("n_all"))
+      .crossJoin(nodes.join(seedSet, Seq("node"), "left_semi")
+        .agg(count(lit(1)).cast("double").as("n_seed")))
+    pr.join(core, "node")
+      .crossJoin(broadcast(scaleRow))
+      .select(col("node"), col("pr_all"),
+        (col("pr_seed") * (col("n_seed") / col("n_all"))).as("core_pr"))
+      .select(col("node"), col("pr_all").as("pr"), col("core_pr"),
+        (col("pr_all") - col("core_pr")).as("spam_mass"),
+        ((col("pr_all") - col("core_pr")) / col("pr_all")).as("rel_mass"))
+  }
+
+  /** CRAWL BUDGET apportionment — turn a rank vector into the integer
+    * per-domain fetch quota a crawler tick actually executes: quotas
+    * proportional to rank via the largest-remainder (Hamilton) method,
+    * the deterministic apportionment rule — `quota = B·pr/Σpr`, every
+    * domain gets `floor(quota)`, and the `B − Σfloor` leftover fetches
+    * go to the largest fractional parts (rank ties broken node-
+    * ascending). Σ n_fetch == B exactly, by construction — the
+    * property a fixed fetch-capacity tick needs and naive rounding
+    * violates.
+    *
+    * Shape: one node-sized sum (decimal-routed), the quota algebra as
+    * per-row columns, one GLOBAL row_number window for the remainder
+    * ranking — a single-partition sort of the NODE-sized vector
+    * (domains, not corpus rows; the same bounded-global-window trade
+    * as the x116 schedule rank). All IEEE ops in fixed order, so the
+    * integer quotas replay exactly cross-engine. */
+  def crawlBudget(ranks: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0, s"need budget >= 0: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val s = ranks.agg(Stable.sumD(col("pr"), 18).as("spr"))
+    val q = ranks.crossJoin(broadcast(s))
+      .withColumn("quota",
+        lit(budget.toDouble) * (col("pr") / col("spr")))
+      .withColumn("base", floor(col("quota")).cast("long"))
+      .withColumn("frac", col("quota") - floor(col("quota")))
+    val used = q.agg(sum("base").as("used"))
+    val w = Window.orderBy(desc("frac"), col("node"))
+    q.crossJoin(broadcast(used))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_fetch", col("base") +
+        when(col("rn") <= lit(budget) - col("used"), 1L).otherwise(0L))
+      .select(col("node"), col("quota"), col("n_fetch"))
+  }
+
   /** HITS (Kleinberg 1999, "Authoritative sources in a hyperlinked
     * environment") — the OTHER classic link-analysis recurrence, and
     * the one that separates the two crawl roles PageRank conflates: a

@@ -162,6 +162,33 @@ object Similarity {
       (count(lit(1)).cast("double") / k).as(s"recall_at_$k"))
   }
 
+  /** MATRYOSHKA truncation gate (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning") — recall@k of the top-k under the
+    * PREFIX of the embedding (MRL trains nested prefixes to be usable
+    * embeddings on their own) against the full-dimension exact cut:
+    * the acceptance test run before a pipeline swaps its retrieval
+    * tier to the cheaper truncated vectors (at `prefixDim = d/2` the
+    * scan reads half the bytes; composes with the x126 stored-words
+    * discipline for the stored variant). Both cuts are
+    * TakeOrderedAndProject; the overlap join is k×k rows. */
+  def matryoshkaRecall(embeddings: DataFrame, q: Array[Double], k: Int,
+                       prefixDim: Int, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(prefixDim >= 1 && prefixDim < q.length,
+      s"need 1 <= prefixDim < ${q.length}: $prefixDim")
+    val qp = q.take(prefixDim)
+    val approx = embeddings
+      .select(col(idCol),
+        cosineLiteral(slice(col(vecCol), 1, prefixDim), qp).as("cosp"))
+      .orderBy(desc("cosp"), col(idCol)).limit(k)
+      .select(col(idCol))
+    val exact = topKCosine(embeddings, q, k, idCol, vecCol)
+      .select(col(idCol))
+    approx.join(exact, Seq(idCol)).agg(
+      count(lit(1)).as("n_overlap"),
+      (count(lit(1)).cast("double") / k).as(s"recall_at_$k"))
+  }
+
   /** Brute-force top-k by cosine against a literal query. Deterministic
     * tiebreak on id. orderBy+limit compiles to TakeOrderedAndProject —
     * per-partition top-k then a k-row merge on the driver, no full sort. */
@@ -361,6 +388,44 @@ object Similarity {
       .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
+  }
+
+  /** HARD-NEGATIVE mining — the contrastive-training data step (DPR,
+    * Karpukhin et al. 2020 §4.2; SimCSE; every embedding-model recipe):
+    * for each anchor vector, the top-k most-similar candidates that are
+    * NOT near-duplicates — similar enough to be informative negatives,
+    * below the `posThreshold` that marks probable positives/duplicates
+    * (mining those as negatives poisons the loss — the reason the cut
+    * has two sides). The anchor itself is excluded by id.
+    *
+    * Returns `(q_id, neg_id, rank, cos)`, rank 1..k per anchor by
+    * descending exact cosine, id-ascending tiebreak.
+    *
+    * Shape: the anchor set (a training batch — tens to thousands)
+    * BROADCASTS; the corpus scans once, scoring |Q| cosines per row in
+    * the scan project, and the per-anchor cut is the x11 window shape
+    * (one shuffle on q_id, partition count = |Q|). At 100 TB the exact
+    * scan swaps for the stored-index ANN cut ([[binaryAnnStoredQuery]] /
+    * [[annPqStored]]) feeding the SAME window — the mining logic is
+    * index-agnostic; the exact variant is the oracle-checkable one. */
+  def hardNegatives(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+                    posThreshold: Double,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(queryIds.nonEmpty && k >= 1,
+      s"need anchors and k >= 1: $queryIds, $k")
+    val q = embeddings.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(desc("cos"), col("neg_id"))
+    embeddings.select(col(idCol).as("neg_id"), col(vecCol).as("n_vec"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("n_vec"), col("q_vec")))
+      .filter(col("neg_id") =!= col("q_id") &&
+        col("cos") < posThreshold)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "neg_id", "rank", "cos")
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at

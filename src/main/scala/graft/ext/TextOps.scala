@@ -154,6 +154,41 @@ object TextOps {
         col("n_byte_tokens").cast("double") /
           col("n_pretokens").cast("double"))
 
+  /** Tokenizer-parity census (Petrov et al. 2023, "Language Model
+    * Tokenizers Introduce Unfairness Between Languages"): the byte-BPE
+    * budget rolled up per corpus slice — the report that shows which
+    * languages/scripts pay more tokens per byte under a given merge
+    * table (untrained scripts tokenize at one token PER BYTE — a CJK
+    * character costs 3 — while merge-covered text compresses), i.e.
+    * the fairness/pricing signal multilingual training budgets need.
+    * Per key: doc count, summed pre-tokens/bytes/byte-tokens, and
+    * `bytes_per_token` (higher = better compression; exactly 1.0 =
+    * the no-merge floor). Docs with no pre-tokens drop (the
+    * [[byteBpeReport]] convention — no meaningful ratio exists).
+    *
+    * Shape: the per-doc stats ride the one native zero-shuffle
+    * [[graft.functions.ByteBpeStats]] expression; the rollup is one
+    * partials-collapsing hash agg on the key (longs sum exactly; the
+    * ratio is one IEEE division) — the x12 corpus-profile shape with
+    * the tokenizer underneath. */
+  def fertilityByKey(docs: DataFrame, keyCol: String,
+                     merges: Seq[(String, String)] = byteBpeFixtureMerges,
+                     textCol: String = "text"): DataFrame =
+    docs.select(col(keyCol),
+        graft.functions.ByteBpeStats(col(textCol), merges).as("s"))
+      .select(col(keyCol),
+        col("s.n_pretokens").as("np"),
+        col("s.n_bytes").as("nb"),
+        col("s.n_byte_tokens").as("nt"))
+      .filter(col("np") > 0L)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("np").as("n_pretokens"),
+        sum("nb").as("n_bytes"),
+        sum("nt").as("n_byte_tokens"))
+      .withColumn("bytes_per_token",
+        col("n_bytes").cast("double") / col("n_byte_tokens").cast("double"))
+
   /** One left-to-right merge pass of the rule (p1, p2) over a symbol
     * array — the Column image of [[graft.functions.BpeKernel]]'s inner
     * loop and the exact twin of the oracle's list_reduce fold: the
@@ -613,6 +648,69 @@ object TextOps {
           lit(0.0), (acc, x) => acc + x.getField("val")).as("val_sum"))
       .select(col(idCol), col("n_bigrams"),
         (col("val_sum") / col("n_bigrams")).as("lm_score"))
+  }
+
+  /** Interpolated KNESER-NEY bigram score — the smoothing that made
+    * n-gram LMs competitive (Kneser & Ney 1995; Chen & Goodman 1999's
+    * empirical winner, the KenLM default), scoring each document under
+    * the corpus model with absolute discounting plus the continuation
+    * back-off:
+    *
+    * `P_KN(w2|w1) = max(c2−d, 0)/c1 + (d·N1+(w1·)/c1) · N1+(·w2)/N1+(··)`
+    *
+    * where `c2/c1` are bigram/history counts, `N1+(w1·)` the distinct
+    * continuations of `w1`, `N1+(·w2)` the distinct histories of `w2`
+    * (the "how many contexts has this word followed" insight that
+    * distinguishes KN from [[bigramLmScore]]'s add-one — 'francisco'
+    * is frequent but follows only 'san'), and `N1+(··)` the distinct
+    * bigram count. Every component is an integer count, the fixed
+    * discount `d` is exact in binary (default 0.75), and the score —
+    * the x51 convention — is the mean INVERSE probability
+    * `mean_i m_i/P_KN(i)` folded in (w1, w2)-sorted order: rational
+    * core throughout, no ln(), bit-exact across engines.
+    *
+    * Shape at 100 TB: identical to [[bigramLmScore]] — occurrences
+    * collapse map-side; the model tables (`c2` per bigram; `c1`+`N1+`
+    * per w1 off the SAME bigram-type table; `N1+` per w2) are bounded
+    * by distinct-bigram cardinality and join back by content key; the
+    * distinct-bigram total is ONE broadcast row. */
+  def knBigramScore(docs: DataFrame, discount: Double = 0.75,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(discount > 0 && discount < 1, s"need 0 < d < 1: $discount")
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val nTok = size(toks)
+    val bigrams = docs.select(col(idCol),
+        explode(arrays_zip(
+          slice(toks, lit(1), greatest(nTok - 1, lit(0))),
+          slice(toks, lit(2), greatest(nTok - 1, lit(0))))).as("bg"))
+      .select(col(idCol), col("bg.0").as("w1"), col("bg.1").as("w2"))
+    val occ = bigrams.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    val c2 = occ.groupBy("w1", "w2").agg(sum("m").as("c2"))
+    val h1 = c2.groupBy("w1")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("n1f"))
+    val p2 = c2.groupBy("w2").agg(count(lit(1)).as("n1p"))
+    val tot = c2.agg(count(lit(1)).as("n1tot"))
+    val d = lit(discount)
+    val valued = occ
+      .join(c2, Seq("w1", "w2"))
+      .join(h1, Seq("w1"))
+      .join(p2, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p",
+        greatest(col("c2").cast("double") - d, lit(0.0)) /
+          col("c1").cast("double") +
+        ((d * col("n1f").cast("double")) / col("c1").cast("double")) *
+          (col("n1p").cast("double") / col("n1tot").cast("double")))
+      .withColumn("val", col("m").cast("double") / col("p"))
+    valued.groupBy(col(idCol)).agg(
+        sum("m").as("n_bigrams"),
+        aggregate(
+          array_sort(collect_list(struct(col("w1"), col("w2"), col("val")))),
+          lit(0.0), (acc, x) => acc + x.getField("val")).as("val_sum"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("val_sum") / col("n_bigrams")).as("kn_score"))
   }
 
   /** Gopher/MassiveText quality-rule flags (Rae et al. 2021, "Scaling

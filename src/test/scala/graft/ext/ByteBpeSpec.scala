@@ -188,4 +188,27 @@ class ByteBpeSpec extends AnyFunSuite {
       assert(got(i.toLong) == want, s"mismatch on: $t")
     }
   }
+
+  test("fertility census separates merge-covered text from an " +
+    "untrained script (the Petrov-2023 parity signal)") {
+    import spark.implicits._
+    // 'the then there' merges under the ASCII fixture table; 山
+    // (E5 B1 B1) has no fixture merge, so the run tokenizes at the
+    // one-token-per-byte floor (3 per character)
+    val docs = Seq((1L, "the then there another", "en"),
+      (2L, "\u5c71\u5c71\u5c71\u5c71\u5c71 \u5c71\u5c71\u5c71\u5c71\u5c71", "zh"),
+      (3L, "", "und")) // no pre-tokens -> dropped
+      .toDF("doc_id", "text", "lang")
+    val r = TextOps.fertilityByKey(docs, "lang")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(3), x.getLong(4), x.getDouble(5)))
+      .toMap
+    assert(r.keySet == Set("en", "zh"))
+    // zh: every byte stays its own token -> the exact 1.0 floor
+    assert(r("zh")._4 == 1.0)
+    assert(r("zh")._2 == r("zh")._3) // n_bytes == n_byte_tokens
+    // en: the merge table compresses -> strictly above the floor
+    assert(r("en")._4 > 1.0)
+    assert(r("en")._1 == 1L && r("zh")._1 == 1L)
+  }
 }

@@ -1980,4 +1980,138 @@ class ExtSpec extends AnyFunSuite {
     assert(r == Map("u1" -> "removed", "u2" -> "unchanged",
       "u3" -> "changed", "u4" -> "added"))
   }
+
+  test("kn bigram score: matches the driver reference bit-for-bit; " +
+    "the continuation term penalizes single-context words") {
+    val rows = Seq((1L, "san francisco san francisco"),
+      (2L, "new york new haven"), (3L, "san haven york francisco"))
+    val docs = rows.toDF("doc_id", "text")
+    val got = TextOps.knBigramScore(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // driver reference: exact KN algebra in the engine's op order
+    val bgs = rows.flatMap { case (id, t) =>
+      val ts = t.split(" ").toSeq
+      ts.zip(ts.tail).map(b => (id, b._1, b._2)) }
+    val occ = bgs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c2 = bgs.map { case (_, a, b) => (a, b) }.groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val n1f = c2.groupBy(_._1._1).map { case (w, m) => w -> m.size.toLong }
+    val n1p = c2.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val n1tot = c2.size.toLong
+    for ((id, _) <- rows) {
+      val perBg = occ.collect { case ((i, w1, w2), m) if i == id =>
+        (w1, w2, m) }.toSeq.sortBy(x => (x._1, x._2))
+      var acc = 0.0
+      var n = 0L
+      for ((w1, w2, m) <- perBg) {
+        val p = math.max(c2((w1, w2)).toDouble - 0.75, 0.0) /
+            c1(w1).toDouble +
+          ((0.75 * n1f(w1).toDouble) / c1(w1).toDouble) *
+            (n1p(w2).toDouble / n1tot.toDouble)
+        acc += m.toDouble / p
+        n += m
+      }
+      assert(got(id)._1 == n, s"doc $id bigram count")
+      assert(got(id)._2 == acc / n, s"doc $id: ${got(id)._2}")
+    }
+    // KN's signature: the repeated in-context bigram scores far more
+    // fluent (lower inverse) than the never-seen-together shuffle
+    assert(got(1L)._2 < got(3L)._2)
+  }
+
+  test("rendezvous sharding: matches the driver argmax bit-for-bit; " +
+    "growth moves only keys claimed by the new shard") {
+    import graft.functions.HashExprs
+    val docs = (0L until 200L).map(i => Tuple1(i)).toDF("doc_id")
+    val got = Curation.rendezvousResize(docs, 8, 9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getBoolean(3))).toMap
+    def ref(id: Long, n: Int): Int =
+      (0 until n).maxBy(s => HashExprs.mix64(id + s * HashExprs.GOLDEN))
+    for (id <- 0L until 200L) {
+      val (b8, a9, moved) = got(id)
+      assert(b8 == ref(id, 8) && a9 == ref(id, 9), s"id $id")
+      assert(moved == (b8 != a9))
+      // HRW growth law: a moved key lands ONLY on the new shard
+      if (moved) assert(a9 == 8, s"id $id moved to $a9")
+    }
+    // expected movement ~1/9 of keys; generous band for 200 draws
+    val frac = got.values.count(_._3).toDouble / 200.0
+    assert(frac > 0.02 && frac < 0.30, s"moved fraction $frac")
+  }
+
+  test("matryoshka recall: a vector hiding its mass past the prefix " +
+    "pollutes the truncated cut") {
+    val vecs = Seq(
+      1L -> Array(1f, 0f, 0f, 0f),    // full 1.0,  prefix 1.0
+      2L -> Array(0.6f, 0.8f, 0f, 0f), // full 0.6,  prefix 0.6
+      3L -> Array(0.1f, 0f, 0.99f, 0f)) // full ~0.1, prefix 1.0
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = Array(1.0, 0.0, 0.0, 0.0)
+    val r = Similarity.matryoshkaRecall(df, q, k = 2, prefixDim = 2)
+      .collect().head
+    // full top-2 = {1, 2}; prefix top-2 = {1, 3} -> overlap 1 of 2
+    assert(r.getLong(0) == 1L)
+    assert(r.getDouble(1) == 0.5)
+  }
+
+  test("hard negatives: self and above-threshold positives excluded, " +
+    "ranks follow exact cosine, k caps the cut") {
+    val vecs = Seq(
+      0L -> Array(1f, 0f),     // the anchor
+      1L -> Array(0.99f, 0.14f), // cos ~0.990 -> positive, excluded
+      2L -> Array(0.8f, 0.6f),   // cos 0.8  -> rank 1
+      3L -> Array(0.6f, 0.8f),   // cos 0.6  -> rank 2
+      4L -> Array(0f, 1f),       // cos 0    -> rank 3
+      5L -> Array(-1f, 0f))      // cos -1   -> cut by k
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.hardNegatives(df, Seq(0L), k = 3,
+        posThreshold = 0.95)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq(2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("dsir weights: matches the driver reference bit-for-bit and " +
+    "ranks target-profile docs above off-target ones") {
+    val rows = Seq((1L, "alpha beta alpha", "en"),
+      (2L, "alpha beta", "fr"), (3L, "gamma gamma delta", "fr"),
+      (4L, "alpha beta gamma", "en"))
+    val docs = rows.toDF("doc_id", "text", "lang")
+    val nb = 64
+    val got = Curation.dsirWeights(docs, col("lang") === "en", nb)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+
+    // driver reference: same shingle hashes, same smoothing, same
+    // bucket-ordered fold — every double op in the same order
+    def gramsOf(t: String): Array[Long] =
+      graft.functions.ShingleHashes.shingleHashesAll(t, 1) ++
+        graft.functions.ShingleHashes.shingleHashesAll(t, 2)
+    val occ = rows.flatMap { case (id, t, lang) =>
+      gramsOf(t).map(h => (id, lang == "en", java.lang.Math.floorMod(h, nb.toLong))) }
+    val cr = occ.groupBy(_._3).map { case (b, v) => b -> v.size.toLong }
+    val ct = occ.filter(_._2).groupBy(_._3)
+      .map { case (b, v) => b -> v.size.toLong }
+    val (nr, nt) = (occ.size.toLong, occ.count(_._2).toLong)
+    for ((id, _, _) <- rows) {
+      val perB = occ.filter(_._1 == id).groupBy(_._3)
+        .map { case (b, v) => b -> v.size.toLong }.toSeq.sortBy(_._1)
+      val nGrams = perB.map(_._2).sum
+      var acc = 0.0
+      for ((b, m) <- perB) {
+        val rt = (ct.getOrElse(b, 0L) + 1L).toDouble / (nt + nb).toDouble
+        val rr = (cr(b) + 1L).toDouble / (nr + nb).toDouble
+        acc += m.toDouble * (rt / rr)
+      }
+      val want = acc / nGrams
+      assert(got(id)._1 == nGrams, s"doc $id gram count")
+      assert(got(id)._2 == want, s"doc $id: ${got(id)._2} vs $want")
+    }
+    // the all-off-target doc scores lowest; the pure-target profile wins
+    assert(got(3L)._2 < got(2L)._2 && got(3L)._2 < got(1L)._2)
+    assert(got(1L)._2 > got(4L)._2 || got(1L)._2 > got(3L)._2)
+  }
 }

@@ -183,6 +183,66 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("spamMass: an isolated spam ring carries relative mass exactly " +
+    "1; the core component is the scaled personalized run") {
+    // good core g1->g2->g3->g1 (seed g1); spam ring s1<->s2 unreachable
+    // from the seed; a spam->good link feeds the core without earning
+    // the ring any core rank
+    val edges = Seq("g1" -> "g2", "g2" -> "g3", "g3" -> "g1",
+      "s1" -> "s2", "s2" -> "s1", "s1" -> "g1")
+    val sm = Graph.spamMass(edges.toDF("src", "dst"),
+        Seq("g1").toDF("node"), iters = 10)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(sm.keySet == Set("g1", "g2", "g3", "s1", "s2"))
+    // the ring holds rank (it teleports in under the uniform run) but
+    // ZERO core component — relative mass exactly 1.0, the paper's
+    // isolated-farm signature
+    for (s <- Seq("s1", "s2")) {
+      val (pr, core, mass, rel) = sm(s)
+      assert(pr > 0.0)
+      assert(core == 0.0)
+      assert(mass == pr)
+      assert(rel == 1.0)
+    }
+    // good nodes: a real core component (rel < 1), and the spam ring
+    // ranks strictly above every good node on relative mass — the
+    // discriminator the paper thresholds (the absolute level depends
+    // on |S|/N, here 1/5)
+    for (g <- Seq("g1", "g2", "g3")) {
+      assert(sm(g)._2 > 0.0, s"$g: $sm")
+      assert(sm(g)._4 < 1.0, s"$g: $sm")
+    }
+    // consistency: mass and rel are exactly the published definitions
+    for ((_, (pr, core, mass, rel)) <- sm) {
+      assert(mass == pr - core)
+      assert(rel == (pr - core) / pr)
+    }
+    // the core component IS the personalized run scaled by |S|/N —
+    // the linearity the operator relies on, checked bit-for-bit
+    val ppr = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        Seq("g1").toDF("node"), iters = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((k, (_, core, _, _)) <- sm)
+      assert(core == ppr(k) * (1.0 / 5.0), s"node $k")
+  }
+
+  test("stored rank lifecycle: the authority store round-trips the " +
+    "inline vector bit-for-bit") {
+    val edges = Seq("a" -> "b", "b" -> "c", "b" -> "d", "c" -> "a",
+      "d" -> "a", "a" -> "c").toDF("src", "dst")
+    val inline = Graph.pageRank(edges)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rank_store_spec").toString
+    Graph.pageRankStoredBuild(edges, dir)
+    val stored = Graph.pageRankStoredRead(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(stored == inline) // doubles round-trip parquet exactly
+  }
+
   test("hits: hubs and authorities match the reference recurrence; " +
     "unit L2 norms; pure hub and pure authority separate") {
     // b and d are pure hubs (outlinks only), c is the main authority
