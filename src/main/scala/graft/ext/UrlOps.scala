@@ -321,21 +321,88 @@ object UrlOps {
       .withColumn("plen", length(col("prefix")))
   }
 
-  /** Robots compliance verdict per URL — RFC 9309 / Google precedence:
-    * among the domain's rules whose prefix matches the URL path, the
-    * LONGEST prefix wins and `Allow` beats `Disallow` on equal length;
-    * no matching rule ⇒ allowed. Exact argmax as `max(struct(plen,
-    * allow, prefix))` — a total order, so the reported winning rule is
-    * deterministic too.
+  /** Compile a robots rule pattern into its match form — RFC 9309
+    * §2.2.3: `*` matches any character sequence (including empty) and
+    * a TRAILING `$` anchors the match at the end of the path; both are
+    * MUSTs for a compliant crawler and ubiquitous in real robots files
+    * (`Disallow: /cgi*?sid=`, `Disallow: /docs*.pdf$`). A `$` anywhere but
+    * the end is a literal octet (the published Google semantics).
+    * Returns (anchored, segments): the `$` verdict and the pattern
+    * split on `*` with trailing empties KEPT (`split` limit -1 — a
+    * pattern ending in `*` must contribute its empty tail so segment
+    * COUNT still distinguishes "has a wildcard" from "plain prefix").
+    * Called once per rule row on the broadcast side — the corpus side
+    * never re-splits. */
+  private def compileRule(pattern: Column): (Column, Column) = {
+    val anchored = pattern.endsWith("$")
+    val pat = when(anchored, pattern.substr(lit(1), length(pattern) - 1))
+      .otherwise(pattern)
+    (anchored, split(pat, "\\*", -1))
+  }
+
+  /** Does `path` match a compiled robots rule? The RFC 9309 §2.2.3
+    * matcher as an ordered `locate` fold — pure column algebra, no
+    * per-row regex compile (the x86 lesson; a LIKE/rlike pattern built
+    * from the rule would re-enter the regex engine per (url, rule)
+    * pair):
+    *
+    *  - the FIRST segment anchors at the start (`startsWith`) — a rule
+    *    starting with `*` has an empty first segment, which matches
+    *    vacuously;
+    *  - each MIDDLE segment must occur at-or-after the previous
+    *    match's end (`locate(seg, path, pos)`); leftmost-greedy is
+    *    complete here — it leaves `pos` minimal, so if ANY wildcard
+    *    assignment matches, the greedy one does. Empty middles (`**`)
+    *    drop: `**` ≡ `*`;
+    *  - un-anchored rules need nothing more; `$`-anchored rules
+    *    additionally require the LAST segment to be a suffix starting
+    *    at-or-after `pos` (and a wildcard-free anchored rule is exact
+    *    equality).
+    *
+    * One-segment patterns (no `*`) reduce to the plain prefix match,
+    * so pre-wildcard rule tables gate byte-identically. */
+  def robotsRuleMatches(path: Column, anchored: Column,
+                        segs: Column): Column = {
+    val n = size(segs)
+    val first = element_at(segs, 1)
+    val midLen = when(anchored, greatest(n - 2, lit(0))).otherwise(n - 1)
+    val mids = filter(slice(segs, lit(2), midLen), s => length(s) > 0)
+    val init = struct(path.startsWith(first).as("ok"),
+      (length(first) + 1).as("pos"))
+    val folded = aggregate(mids, init, (acc, s) => {
+      val p = call_function("locate", s, path, acc.getField("pos"))
+      struct((acc.getField("ok") && p > 0).as("ok"),
+        (p + length(s)).as("pos"))
+    })
+    val last = element_at(segs, -1)
+    val endOk = path.endsWith(last) &&
+      (length(path) - length(last) + 1) >= folded.getField("pos")
+    when(!anchored, folded.getField("ok"))
+      .when(n === 1, path === first)
+      .otherwise(folded.getField("ok") && endOk)
+  }
+
+  /** Robots compliance verdict per URL — RFC 9309 precedence: among
+    * the domain's rules matching the URL path (prefix match with
+    * §2.2.3 `*`/`$` wildcards — see [[robotsRuleMatches]]), the rule
+    * with the MOST pattern octets wins and `Allow` beats `Disallow`
+    * on equal length; no matching rule ⇒ allowed. Exact argmax as
+    * `max(struct(plen, allow, prefix))` — a total order, so the
+    * reported winning rule is deterministic too.
     *
     * Shape at 100 TB: the rule table broadcasts (bounded by domains ×
-    * rules, not corpus), the corpus side joins on the domain key and
+    * rules, not corpus) with each pattern compiled ONCE into its
+    * segment array, the corpus side joins on the domain key and
     * re-aggregates per URL — one bounded exchange whose partials
     * collapse map-side; nothing else shuffles. */
-  def robotsGate(urls: DataFrame, rules: DataFrame): DataFrame =
-    urls.join(broadcast(rules), Seq("domain"), "left")
+  def robotsGate(urls: DataFrame, rules: DataFrame): DataFrame = {
+    val (anchored, segs) = compileRule(col("prefix"))
+    val compiled = rules.withColumn("rx_anchored", anchored)
+      .withColumn("rx_segs", segs)
+    urls.join(broadcast(compiled), Seq("domain"), "left")
       .withColumn("m",
-        when(col("path").startsWith(col("prefix")),
+        when(robotsRuleMatches(col("path"), col("rx_anchored"),
+            col("rx_segs")),
           struct(col("plen"), col("allow").cast("int").as("aw"),
             col("prefix"))))
       .groupBy("doc_id", "domain", "path")
@@ -343,6 +410,7 @@ object UrlOps {
       .select(col("doc_id"), col("domain"), col("path"),
         col("best.prefix").as("matched_prefix"),
         (col("best").isNull || col("best.aw") === 1).as("allowed"))
+  }
 
   /** Parse `<sitemapindex>` documents (the NESTED sitemap form real
     * sites publish once they exceed the 50k-URL per-file cap) into one
@@ -353,19 +421,24 @@ object UrlOps {
     idx.select(col(domainCol).as("domain"),
       explode(regexp_extract_all(col(xmlCol),
         lit("<loc>([^<]+)</loc>"), lit(1))).as("shard_url"))
+      .withColumn("shard_url", Html.unescapeXmlCol(col("shard_url")))
 
   /** Parse `<urlset>` shard documents into (domain, u, lastmod): each
     * `<url>` entry's `<loc>` and its OWN `<lastmod>` (the pairing is
     * per-entry — extracting locs and lastmods separately would zip
     * them wrong on entries missing a lastmod). Entries without a
-    * lastmod get a null date. */
+    * lastmod get a null date. `<loc>` values XML-unescape
+    * ([[Html.unescapeXmlCol]] — the reader half of the
+    * [[renderUrlsets]] entity round trip; session-query URLs carry
+    * literal `&`, which a protocol-conformant writer must escape). */
   def parseUrlset(shards: DataFrame, domainCol: String = "domain",
                   xmlCol: String = "xml"): DataFrame =
     shards.select(col(domainCol).as("domain"),
         explode(regexp_extract_all(col(xmlCol),
           lit("<url>.*?</url>"), lit(0))).as("e"))
       .select(col("domain"),
-        regexp_extract(col("e"), "<loc>([^<]+)</loc>", 1).as("u"), {
+        Html.unescapeXmlCol(
+          regexp_extract(col("e"), "<loc>([^<]+)</loc>", 1)).as("u"), {
           val lm = regexp_extract(col("e"), "<lastmod>([^<]+)</lastmod>", 1)
           to_date(when(lm === "", lit(null)).otherwise(lm)).as("lastmod")
         })
@@ -377,9 +450,12 @@ object UrlOps {
     * protocol is exactly why real sites publish the nested index form
     * [[parseSitemapIndex]] reads. Entries sort by URL inside each
     * shard (deterministic bytes); a null lastmod renders no
-    * `<lastmod>` element and round-trips back to null. One rank
-    * window per domain (sitemaps are domain-bounded, orders below the
-    * corpus) plus one grouped string fold per shard. */
+    * `<lastmod>` element and round-trips back to null. `<loc>` values
+    * XML-escape ([[Html.escapeCol]] — sitemaps.org requires entity-
+    * escaped data values, and real URLs carry `&` in query strings);
+    * lastmod needs none (a rendered date is digits and dashes). One
+    * rank window per domain (sitemaps are domain-bounded, orders below
+    * the corpus) plus one grouped string fold per shard. */
   def renderUrlsets(urls: DataFrame, maxPerShard: Int = 50000,
                     domainCol: String = "domain", urlCol: String = "u",
                     lastmodCol: String = "lastmod"): DataFrame = {
@@ -396,7 +472,8 @@ object UrlOps {
         concat_ws("", transform(
           sort_array(collect_list(struct(col(urlCol).as("u"),
             col(lastmodCol).as("lastmod")))),
-          e => concat(lit("<url><loc>"), e.getField("u"), lit("</loc>"),
+          e => concat(lit("<url><loc>"), Html.escapeCol(e.getField("u")),
+            lit("</loc>"),
             when(e.getField("lastmod").isNotNull,
               concat(lit("<lastmod>"),
                 date_format(e.getField("lastmod"), "yyyy-MM-dd"),
@@ -406,13 +483,14 @@ object UrlOps {
   }
 
   /** The writer dual of [[parseSitemapIndex]]: one `<sitemapindex>`
-    * document per domain listing its shard URLs in sorted order. */
+    * document per domain listing its shard URLs in sorted order,
+    * `<loc>` values XML-escaped (the [[renderUrlsets]] discipline). */
   def renderSitemapIndex(shards: DataFrame): DataFrame =
     shards.groupBy("domain")
       .agg(concat(lit("<?xml version=\"1.0\"?><sitemapindex>"),
         concat_ws("", transform(
           sort_array(collect_list(col("shard_url"))),
-          su => concat(lit("<sitemap><loc>"), su,
+          su => concat(lit("<sitemap><loc>"), Html.escapeCol(su),
             lit("</loc></sitemap>")))),
         lit("</sitemapindex>")).as("xml"))
 
@@ -626,14 +704,17 @@ object UrlOps {
     * aggregation state it doesn't need). Same verdicts, proven by
     * UrlSpec and StreamingSpec. */
   def robotsGateStateless(urls: DataFrame, rules: DataFrame): DataFrame = {
+    val (anchored, segs) = compileRule(col("prefix"))
     val byDom = rules.groupBy("domain")
       .agg(sort_array(collect_list(struct(
         col("plen"), col("allow").cast("int").as("aw"),
-        col("prefix")))).as("rs"))
+        col("prefix"), anchored.as("anch"), segs.as("segs")))).as("rs"))
     urls.join(broadcast(byDom), Seq("domain"), "left")
       .withColumn("m", filter(coalesce(col("rs"),
-          array().cast("array<struct<plen:int,aw:int,prefix:string>>")),
-        r => col("path").startsWith(r.getField("prefix"))))
+          array().cast("array<struct<plen:int,aw:int,prefix:string," +
+            "anch:boolean,segs:array<string>>>")),
+        r => robotsRuleMatches(col("path"), r.getField("anch"),
+          r.getField("segs"))))
       .withColumn("best",
         when(size(col("m")) > 0, element_at(col("m"), -1)))
       .select(col("doc_id"), col("domain"), col("path"),

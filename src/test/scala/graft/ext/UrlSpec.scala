@@ -131,6 +131,77 @@ class UrlSpec extends AnyFunSuite {
     assert(out(5L) == ((None, true)))
   }
 
+  test("robots gate: RFC 9309 §2.2.3 wildcards — '*' spans, '$' anchors, " +
+       "precedence by pattern octets") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "d.com", "/files/report.pdf"),   // *.pdf$ hits (suffix at end)
+      (2L, "d.com", "/files/report.pdfx"),  // $ rejects the longer tail
+      (3L, "d.com", "/a/report.pdf/view"),  // mid-path .pdf not at end
+      (4L, "d.com", "/cgi/run?x"),          // path carries the ?: gate on it
+      (5L, "d.com", "/cgi/run"),            // no '?' → wildcard rule misses
+      (6L, "d.com", "/x/sesssid=9"),        // '*sid=' matches mid-'sesssid'
+      (7L, "d.com", ""),                    // bare '$' rule: root only
+      (8L, "d.com", "/double/a/b/end"),     // '**' ≡ '*'
+      (9L, "d.com", "/price/a$b"),          // mid-pattern '$' is literal
+      (10L, "d.com", "/w/deep/x"),          // wildcard/literal octet tie
+      (11L, "d.com", "/star")               // trailing-'*' rule ≡ prefix
+    ).toDF("doc_id", "domain", "path")
+    val robots = Seq(("d.com",
+      "User-agent: *\n" +
+        "Disallow: *.pdf$\n" +
+        "Allow: /a\n" +
+        "Disallow: /cgi*?\n" +
+        "Disallow: *sid=\n" +
+        "Disallow: $\n" +
+        "Disallow: /double/**/end\n" +
+        "Disallow: /price/*$b\n" +
+        "Disallow: /w/*/x\n" +    // 6 octets with the wildcard vs...
+        "Allow: /w/dee\n" +       // ...6 literal octets: tie → Allow wins
+        "Disallow: /star*\n"))
+      .toDF("domain", "robots_txt")
+    val out = UrlOps.robotsGate(urls, UrlOps.parseRobots(robots))
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(3)), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) == ((Some("*.pdf$"), false)))
+    assert(out(2L) == ((None, true)))
+    assert(out(3L) == ((Some("/a"), true))) // only the plain Allow matches
+    assert(out(4L) == ((Some("/cgi*?"), false)))
+    assert(out(5L) == ((None, true)))
+    assert(out(6L) == ((Some("*sid="), false)))
+    assert(out(7L) == ((Some("$"), false)))
+    assert(out(8L) == ((Some("/double/**/end"), false)))
+    assert(out(9L) == ((Some("/price/*$b"), false)))
+    // '/w/*/x' (6 octets) and '/w/dee' (6 octets) both match /w/deep/x:
+    // equal octets → Allow wins, the same tie rule as literal-vs-literal
+    assert(out(10L) == ((Some("/w/dee"), true)))
+    assert(out(11L) == ((Some("/star*"), false)))
+  }
+
+  test("robotsGateStateless matches robotsGate under wildcard rules") {
+    import spark.implicits._
+    val urls = (0L until 60L).map(i =>
+      (i, if (i % 2 == 0) "d.com" else "e.org",
+        s"/p${i % 7}/f${i % 5}" + (if (i % 3 == 0) ".pdf" else "") +
+          (if (i % 4 == 0) "?sid=1" else "")))
+      .toDF("doc_id", "domain", "path")
+    val robots = Seq(
+      ("d.com", "User-agent: *\nDisallow: *.pdf$\nAllow: /p1*.pdf$\n" +
+        "Disallow: /p2*sid=\nDisallow: /p3\nAllow: /p3*f2"),
+      ("e.org", "Disallow: /p4*\nallow: /p4/f*.pdf$\nDisallow: *?sid=1$"))
+      .toDF("domain", "robots_txt")
+    val rules = UrlOps.parseRobots(robots)
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.toList
+    val a = UrlOps.robotsGateStateless(urls, rules).collect().map(key).toSet
+    val b = UrlOps.robotsGate(urls, rules).collect().map(key).toSet
+    assert(a == b)
+    // and the wildcard rules actually fire in this fixture
+    val hit = UrlOps.robotsGate(urls, rules).collect()
+      .flatMap(r => Option(r.getString(3))).toSet
+    assert(hit.exists(_.contains("*")))
+  }
+
   test("parseRobotsGrouped: RFC 9309 group assembly and selection") {
     import spark.implicits._
     def rules(txt: String, agent: String): Set[(String, Boolean)] =
