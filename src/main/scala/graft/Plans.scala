@@ -92,7 +92,6 @@ object Plans {
       "x128_anchor_census" -> "Anchor-term census: entity decode + term split as scan-stage column algebra above the href Generate, then ONE partial+final hash agg keyed by (dst_domain, term) — bounded by the census vocabulary, counts collapse map-side.",
       "x129_crawl_traps" -> "Crawl-trap census: host/path/query splits + the digit-collapse regex in the scan stage, then ONE hash agg per host whose three distinct-counts expand map-side — no join, no sort, dimension-sized output.",
       "x114b_frontier_stateless" -> "Stateless frontier twin: x114's composition with the narrow url projection RECOMPUTED per branch (no checkpoint scan in the plan) — the 100 TB shape; the per-branch codegen'd URL chains are the measured Janino cost the checkpointed twin dodges at fixture scale.",
-      "x129_crawl_traps" -> "Crawl-trap census: host/path/query splits + digit-collapse regex in the scan stage, then ONE expand-backed hash agg per host (three distinct counts collapse map-side) — no join, no sort.",
       "x137_ranked_frontier" -> "Authority-ranked frontier: the x116 schedule joined to the checkpointed rank vector, priority as a codegen'd product, and the global fetch-next cut as TakeOrderedAndProject — a bounded top-k per tick, never a full-corpus sort.",
       "x138_cocitation" -> "Co-citation: the edge-sized checkpoint self-joined on the source key (ordered pairs), counts collapsing map-side — pair volume bounded by out-degree squared, the cluster-bounded shape.")
     val sb = new StringBuilder

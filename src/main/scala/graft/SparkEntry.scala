@@ -1672,13 +1672,16 @@ object SparkEntry {
     // x128 — the per-destination ANCHOR-TERM census over the x123
     // link graph: the terms other pages use when linking AT a domain
     // (the signal BM25-over-anchors indexes), split internal vs
-    // cross-domain. Anchor text decodes through the engine's named-
-    // entity column decoder; the oracle carries the DECODED text per
-    // fixture variant, so a wrong decode (double-unescape, missed
-    // &nbsp;, eaten unknown entity) hash-mismatches.
+    // cross-domain. The RAW fixture text decodes through the engine's
+    // named-entity column decoder HERE — the census expects decoded
+    // anchors (anchorsFromRecords' output contract; one decode point,
+    // never two); the oracle carries the DECODED text per fixture
+    // variant, so a wrong decode (double-unescape, missed &nbsp;,
+    // eaten unknown entity) hash-mismatches.
     "x128_anchor_census" -> ((s, d) =>
       ext.Html.anchorTermCensus(
-        linkGraph(s, d).withColumn("anchor", expr(anchorSqlExpr)))),
+        linkGraph(s, d).withColumn("anchor",
+          ext.Html.decodeEntitiesCol(expr(anchorSqlExpr))))),
 
     // x125 — binary sign-bit ANN (the 1-bit end of the x67/x65
     // quantization ladder): 64-dim vectors pack into two 32-bit words,

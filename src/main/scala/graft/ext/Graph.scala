@@ -134,6 +134,13 @@ object Graph {
         col(dstCol).cast("string").as("dst"),
         col(weightCol).cast("double").as("w"))
       .groupBy("src", "dst").agg(Stable.sumD(col("w"), 18).as("w"))
+      // weights must be POSITIVE for w/sw to be a distribution: an
+      // aggregate weight ≤ 0 (cancelled or junk multiplicities) drops
+      // here — otherwise a src whose out-weights sum to 0 divides by
+      // zero and NaN poisons every subsequent round's vector. A src
+      // losing ALL its edges becomes dangling, the already-correct
+      // branch.
+      .filter(col("w") > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sw = e.groupBy("src").agg(Stable.sumD(col("w"), 18).as("sw"))
     val ed = e.join(sw, "src").persist(StorageLevel.MEMORY_AND_DISK)

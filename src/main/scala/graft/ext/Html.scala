@@ -199,9 +199,13 @@ object Html {
     * (what anchor-text retrieval — BM25 over anchors, x34's machinery —
     * indexes), split by internal vs cross-domain links (self-links
     * describe navigation; external ones confer authority). Expects
-    * `(doc_id, src_domain, dst_domain, anchor)`; anchor text decodes
-    * through [[decodeEntitiesCol]] (it is page text), lowercases, and
-    * splits on spaces.
+    * `(doc_id, src_domain, dst_domain, anchor)` where `anchor` is
+    * ALREADY-DECODED text — [[anchorsFromRecords]] emits exactly that,
+    * so the link layer composes with ONE decode point; raw fixture or
+    * archive text must pass through [[decodeEntitiesCol]] first (a
+    * second decode here would double-unescape `&amp;lt;` to `<`,
+    * breaking the decoder's one-pass round-trip guarantee). The census
+    * lowercases and splits on spaces.
     *
     * Shape at 100 TB: one narrow explode in the scan stage, then ONE
     * partial+final hash agg keyed by (dst_domain, term) — bounded by
@@ -212,7 +216,7 @@ object Html {
       .withColumn("is_internal", col("src_domain") === col("dst_domain"))
       .select(col("doc_id"), col("dst_domain"), col("is_internal"),
         explode(org.apache.spark.sql.functions.filter(
-          split(lower(decodeEntitiesCol(col("anchor"))), " "),
+          split(lower(col("anchor")), " "),
           t => length(t) > 0)).as("term"))
       .groupBy("dst_domain", "term")
       .agg(count(lit(1)).as("n_links"),
@@ -225,6 +229,30 @@ object Html {
     * round trip — only the three structurally dangerous characters). */
   def escape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Column twin of [[escape]] for XML/HTML WRITER sinks (sitemap
+    * `<loc>` values et al.): `&` first — its replacement introduces no
+    * `<`/`>`, and the later two produce no `&`, so the chain is one
+    * effective pass. Plain `replace`, no regex engine in the render
+    * path (the x86 lesson). */
+  def escapeCol(c: Column): Column = {
+    val amp = call_function("replace", c, lit("&"), lit("&amp;"))
+    val lt = call_function("replace", amp, lit("<"), lit("&lt;"))
+    call_function("replace", lt, lit(">"), lit("&gt;"))
+  }
+
+  /** Inverse of [[escapeCol]] for the PARSE half of the XML round
+    * trip: `&lt;`/`&gt;` first and `&amp;` LAST — the order under
+    * which `&amp;lt;` decodes to `&lt;` exactly once (`&lt;` never
+    * occurs as a substring of `&amp;lt;`, and the first two
+    * replacements emit no `&`, so nothing is re-scanned). Total
+    * inverse on [[escapeCol]] output; on text that was never escaped
+    * it is the identity whenever none of the three entities appear. */
+  def unescapeXmlCol(c: Column): Column = {
+    val lt = call_function("replace", c, lit("&lt;"), lit("<"))
+    val gt = call_function("replace", lt, lit("&gt;"), lit(">"))
+    call_function("replace", gt, lit("&amp;"), lit("&"))
+  }
 
   /** Deterministic HTML page for a corpus document — every structural
     * hazard the extractor must survive, each in closed form so the

@@ -142,6 +142,19 @@ class GraphSpec extends AnyFunSuite {
         5)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     for ((k, v) <- uw) assert(math.abs(ww(k) - v) < 1e-12)
+    // non-positive aggregate weights DROP instead of dividing by zero:
+    // a's (a,b)+(a,b) cancels to 0 and (a,c) is negative, so a keeps
+    // NO out-edges (dangling) — every rank must stay finite and the
+    // vector still sums to 1
+    val junk = Seq(("a", "b", 2.0), ("a", "b", -2.0), ("a", "c", -1.0),
+      ("b", "c", 2.0), ("c", "a", 1.0))
+    val jr = Graph.pageRankWeighted(junk.toDF("src", "dst", "w"), 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(jr.keySet == Set("a", "b", "c"))
+    assert(jr.values.forall(v => !v.isNaN && !v.isInfinite))
+    assert(math.abs(jr.values.sum - 1.0) < 1e-9)
+    val jw = refW(Map(("b", "c") -> 2.0, ("c", "a") -> 1.0), 5, 0.85)
+    for ((k, v) <- jw) assert(math.abs(jr(k) - v) < 1e-9, s"node $k")
   }
 
   test("personalizedPageRank: teleport and dangling mass return to the " +

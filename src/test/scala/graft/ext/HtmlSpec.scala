@@ -128,6 +128,27 @@ class HtmlSpec extends AnyFunSuite {
       (1L, 2, "https://b.com/x", "<ext>")))
   }
 
+  test("anchorsFromRecords ∘ anchorTermCensus decodes exactly once") {
+    import spark.implicits._
+    // a page whose anchor text is PRE-ESCAPED entity talk: one decode
+    // yields the entity names; a second (the bug the census must not
+    // reintroduce) would collapse &amp;lt; all the way to '<'
+    val html = ("<html><body>" +
+      "<a href=\"/x\">use &amp;lt; here</a>" +
+      "</body></html>").getBytes("UTF-8")
+    val recs = Seq(
+      (1L, "response", "text/html", "https://a.com/p", html))
+      .toDF("media_id", "record_type", "http_content_type",
+        "target_uri", "html")
+    import org.apache.spark.sql.functions.{col, lit}
+    val links = Html.anchorsFromRecords(recs)
+      .select(col("media_id").as("doc_id"), lit("a.com").as("src_domain"),
+        lit("b.com").as("dst_domain"), col("anchor"))
+    val terms = Html.anchorTermCensus(links)
+      .collect().map(_.getString(1)).toSet
+    assert(terms == Set("use", "&lt;", "here"))
+  }
+
   test("docs → warc.gz → records → extraction equals the closed form") {
     import spark.implicits._
     val docs = Seq(

@@ -388,7 +388,10 @@ class UrlSpec extends AnyFunSuite {
       (0 until 7).map(i => ("a.com", f"https://a.com/p$i%02d",
         if (i % 3 == 2) null
         else Date.valueOf(f"2026-02-${i + 1}%02d"))) ++
-      Seq(("b.org", "https://b.org/only", Date.valueOf("2026-03-05"))))
+      Seq(("b.org", "https://b.org/only", Date.valueOf("2026-03-05")),
+        // session-query URL: literal '&' (and a pre-escaped '&amp;')
+        // MUST entity-escape in <loc> or the XML is not well-formed
+        ("b.org", "https://b.org/l?sid=9&p=2&amp;x", null)))
       .toDF("domain", "u", "lastmod")
     val shards = UrlOps.renderUrlsets(urls, maxPerShard = 3)
     assert(shards.filter(col("domain") === "a.com").count() == 3)
@@ -410,7 +413,13 @@ class UrlSpec extends AnyFunSuite {
     val perShard = UrlOps.parseUrlset(
         shards.withColumn("domain", col("shard_url")))
       .groupBy("domain").count().collect().map(_.getLong(1))
-    assert(perShard.forall(_ <= 3) && perShard.sum == 8)
+    assert(perShard.forall(_ <= 3) && perShard.sum == 9)
+    // well-formedness: every '&' in the rendered XML heads a known
+    // entity — a raw session-query ampersand would violate the
+    // sitemaps.org protocol (and any strict XML parser)
+    val xmls = shards.select("xml").collect().map(_.getString(0))
+    assert(xmls.exists(_.contains("sid=9&amp;p=2&amp;amp;x")))
+    assert(xmls.forall(x => "&(?!(amp|lt|gt);)".r.findFirstIn(x).isEmpty))
   }
 
   test("robotsGateStateless equals the grouped robotsGate") {
