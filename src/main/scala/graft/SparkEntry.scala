@@ -127,7 +127,12 @@ object SparkEntry {
         Seq("domain", "u"), "left_anti")
       .withColumn("path", ext.UrlOps.pathOf(col("u")))
     // x109's robots fixture EXTENDED with frontier-path rules:
-    // Disallow /extra/k when (k + len(domain)) is even
+    // Disallow /extra/k when (k + len(domain)) is even, and on
+    // len%3==1 domains a WILDCARD Allow '/extra/*2$' (10 pattern
+    // octets) that outranks the plain 'Disallow: /extra/2' (8) — on
+    // even-length len%3==1 domains the /extra/2 verdict FLIPS to
+    // allowed, so the frontier composition depends on §2.2.3 matching,
+    // not just the unit tests
     val ld = length(col("domain"))
     val lines = concat(
       flatten(transform(sequence(lit(0), lit(9)), i =>
@@ -149,15 +154,18 @@ object SparkEntry {
       flatten(transform(phantoms, k =>
         when(((k + ld) % 2) === 0,
           array(concat(lit("Disallow: /extra/"), k.cast("string"))))
-          .otherwise(array().cast("array<string>")))))
+          .otherwise(array().cast("array<string>")))),
+      when(ld % 3 === 1, array(lit("Allow: /extra/*2$")))
+        .otherwise(array().cast("array<string>")))
     val robots = urls.select("domain").distinct()
       .withColumn("robots_txt",
         concat_ws("\n", concat(array(lit("User-agent: *")), lines)))
-    val rules = ext.UrlOps.parseRobots(robots)
-    // x109's precedence argmax keyed by (domain, u)
+    val rules = ext.UrlOps.compileRules(ext.UrlOps.parseRobots(robots))
+    // x109's precedence argmax keyed by (domain, u), §2.2.3 matching
     frontier.join(broadcast(rules), Seq("domain"), "left")
       .withColumn("m",
-        when(col("path").startsWith(col("prefix")),
+        when(ext.UrlOps.robotsRuleMatches(col("path"),
+            col("rx_anchored"), col("rx_segs")),
           struct(col("plen"), col("allow").cast("int").as("aw"),
             col("prefix"))))
       .groupBy("domain", "u", "path")
@@ -232,15 +240,28 @@ object SparkEntry {
             su => concat(lit("<sitemap><loc>"), su,
               lit("</loc></sitemap>")))),
           lit("</sitemapindex>")).as("xml"))
-      // the engine path: index → child sitemaps → entries → schedule
+      // the engine path: index → child sitemaps → entries → robots
+      // gate → schedule. The gate is the §2.2.3 WILDCARD composition
+      // (the x120/x137 fixture requirement): even-length domains
+      // publish 'Disallow: /extra/*1$', an anchored-star rule whose
+      // verdict removes their /extra/1 phantom from the schedule and
+      // shifts every later rank — a polite crawler never schedules a
+      // disallowed URL, and sitemap-listed ≠ fetchable.
       val listed = ext.UrlOps.parseUrlset(
         ext.UrlOps.parseSitemapIndex(idxXml)
           .join(shardXml, Seq("domain", "shard_url"))
           .select("domain", "xml"))
+      val robots = urls.select("domain").distinct()
+        .withColumn("robots_txt",
+          when(length(col("domain")) % 2 === 0,
+            lit("User-agent: *\nDisallow: /extra/*1$"))
+            .otherwise(lit("User-agent: *")))
+      val gated = ext.UrlOps.robotsAllowedOnly(listed,
+        ext.UrlOps.parseRobots(robots), urlCol = "u")
       val crawled = urls.groupBy("domain", "norm")
         .agg(max("crawled_at").as("crawled_at"))
         .select(col("domain"), col("norm").as("u"), col("crawled_at"))
-      ext.UrlOps.recrawlSchedule(listed, crawled)
+      ext.UrlOps.recrawlSchedule(gated, crawled)
   }
 
   // ---------------------------------------------------------------- queries
@@ -1137,12 +1158,16 @@ object SparkEntry {
     // x116 — the RECRAWL SCHEDULE over NESTED sitemaps: per-domain
     // <sitemapindex> documents point at per-shard <urlset> files whose
     // entries carry <lastmod>; the engine follows the index (parse →
-    // join → parse), reconciles against the crawl state, and emits the
+    // join → parse), gates the listing through per-domain robots rules
+    // (§2.2.3 wildcard 'Disallow: /extra/*1$' on even-length domains —
+    // the composition where a scheduled verdict depends on wildcard
+    // matching), reconciles against the crawl state, and emits the
     // ranked fetch-next schedule ('new' pages first, then 'stale' ones
     // whose lastmod outran their last crawl, most recent first) — what
     // an incremental crawler actually executes. The oracle regenerates
-    // listing and state closed-form (the XML layer cancels, the x95
-    // convention) and replays the classification + rank window.
+    // listing, gate and state closed-form (the XML and robots layers
+    // cancel, the x95 convention) and replays the classification +
+    // rank window.
     "x116_recrawl_schedule" -> ((s, d) => recrawlQuery(s, d)),
 
     // x137 — the AUTHORITY-RANKED frontier, the crawl tier's capstone
@@ -1221,10 +1246,13 @@ object SparkEntry {
       val crawled = urls.groupBy("domain", "norm")
         .agg(max("crawled_at").as("crawled_at"))
         .select(col("domain"), col("norm").as("u"), col("crawled_at"))
-      val sched = ext.UrlOps.recrawlSchedule(listed, crawled)
       // per-domain robots with Crawl-delay (fractional for even-length
-      // domains, lowercase directive on the %3 branch) and a Sitemap
-      // advertised only when len(domain) % 4 != 1
+      // domains, lowercase directive on the %3 branch), a Sitemap
+      // advertised only when len(domain) % 4 != 1, and on EVEN-length
+      // domains the §2.2.3 anchored-star rule 'Disallow: /extra/*1$'
+      // — so the politeness timeline itself depends on wildcard
+      // matching: the /extra/1 phantom vanishes from those schedules
+      // and every later fetch moves up a delay slot
       val ld = length(col("domain"))
       val delayStr = concat((pmod(ld, lit(5)) + 1).cast("string"),
         when(ld % 2 === 0, lit(".5")).otherwise(lit("")))
@@ -1236,7 +1264,12 @@ object SparkEntry {
           delayStr,
           when(ld % 4 =!= 1,
             concat(lit("\nSitemap: https://"), col("domain"),
-              lit("/sitemap.xml"))).otherwise(lit(""))))
+              lit("/sitemap.xml"))).otherwise(lit("")),
+          when(ld % 2 === 0, lit("\nDisallow: /extra/*1$"))
+            .otherwise(lit(""))))
+      val sched = ext.UrlOps.recrawlSchedule(
+        ext.UrlOps.robotsAllowedOnly(listed,
+          ext.UrlOps.parseRobots(robots), urlCol = "u"), crawled)
       // the fixture files carry ONE group, so the group-blind parser
       // (conservative max-delay since round 11) and the group-aware
       // parseRobotsMetaGrouped agree — UrlSpec carries the multi-group
@@ -1335,10 +1368,19 @@ object SparkEntry {
     // documents are SYNTHESIZED closed-form (rule set keyed on
     // (i + len(domain)) so domains publish different rules), PARSED
     // into the prefix-rule table by the engine, and every URL gets the
-    // longest-prefix-match verdict with Allow beating Disallow on ties
-    // — the gate a compliant crawler runs before fetching. The oracle
-    // generates the rule table directly (the text layer cancels, the
-    // x95 convention) and replays the precedence with a window rank.
+    // most-pattern-octets verdict with Allow beating Disallow on ties
+    // — the gate a compliant crawler runs before fetching. Two rule
+    // families carry §2.2.3 WILDCARDS: 'Disallow: /src{i}*/c:0$' (11
+    // octets — outranks the 10-octet '/src{i}/Page' Allow, flipping
+    // /c:0 verdicts wherever the 14-octet literal Disallow is absent)
+    // and 'Allow: /src{i}/Page/*' (12 octets — flips them back, and
+    // re-allows deep paths under src-level Disallows), so precedence
+    // MIXES wildcard and literal octet counts exactly as real robots
+    // files do. The oracle generates the rule table directly (the text
+    // layer cancels, the x95 convention) with each wildcard family's
+    // match form closed-form (prefix+suffix+length for the anchored
+    // star; plain prefix for the trailing star) and replays the
+    // precedence with a window rank.
     "x109_robots_gate" -> ((s, d) => {
       val urls = t(s, d, "documents")
         .withColumn("url", expr(urlSqlExpr))
@@ -1368,6 +1410,14 @@ object SparkEntry {
           when(((i + ld) % 5) === 1,
             array(concat(lit("disallow: /src"), i.cast("string"),
               lit("/Page/c:0 # colon-bearing path"))))
+            .otherwise(array().cast("array<string>")),
+          when(((i + ld) % 4) === 1,
+            array(concat(lit("Disallow: /src"), i.cast("string"),
+              lit("*/c:0$"))))
+            .otherwise(array().cast("array<string>")),
+          when(((i + ld) % 7) === 3,
+            array(concat(lit("Allow: /src"), i.cast("string"),
+              lit("/Page/*"))))
             .otherwise(array().cast("array<string>")))))
       val robots = urls.select("domain").distinct()
         .withColumn("robots_txt",
@@ -2985,7 +3035,7 @@ object SparkEntry {
                     DATE '2026-01-15' + CAST(doc_id % 30 AS INTEGER)
                       AS crawled_at
                   FROM nd),
-           listed AS (
+           ld0 AS (
              SELECT domain, norm AS u, MAX(lastmod) AS lastmod
              FROM st WHERE doc_id % 2 = 0 GROUP BY domain, norm
              UNION ALL
@@ -2994,6 +3044,10 @@ object SparkEntry {
                       CAST(t.i AS STRING) AS u,
                     DATE '2026-03-01' + CAST(t.i AS INTEGER) AS lastmod
              FROM st, range(0, 3) t(i)),
+           listed AS (
+             SELECT * FROM ld0
+             WHERE NOT (length(domain) % 2 = 0
+                        AND u = 'https://' || domain || '/extra/1')),
            crawled AS (SELECT domain, norm AS u,
                               MAX(crawled_at) AS crawled_at
                        FROM st GROUP BY domain, norm),
@@ -3218,12 +3272,19 @@ object SparkEntry {
              UNION ALL
              SELECT domain, '/extra/' || CAST(t.i AS STRING), 0 AS aw
              FROM doms, range(0, 3) t(i)
-             WHERE (t.i + length(domain)) % 2 = 0),
+             WHERE (t.i + length(domain)) % 2 = 0
+             UNION ALL
+             SELECT domain, '/extra/*2$$', 1 AS aw
+             FROM doms WHERE length(domain) % 3 = 1),
            mt AS (SELECT f.domain, f.u, f.path, r.prefix, r.aw,
                          length(r.prefix) AS plen
                   FROM frontier f LEFT JOIN rl r
                     ON r.domain = f.domain
-                   AND starts_with(f.path, r.prefix)),
+                   AND (CASE WHEN r.prefix = '/extra/*2$$'
+                        THEN starts_with(f.path, '/extra/')
+                             AND ends_with(f.path, '2')
+                             AND length(f.path) >= 8
+                        ELSE starts_with(f.path, r.prefix) END)),
            rk AS (SELECT *, row_number() OVER (PARTITION BY domain, u
                     ORDER BY plen DESC NULLS LAST, aw DESC NULLS LAST,
                              prefix DESC NULLS LAST) AS rn
@@ -6732,7 +6793,7 @@ object SparkEntry {
                     DATE '2026-01-15' + CAST(doc_id % 30 AS INTEGER)
                       AS crawled_at
                   FROM nd),
-           listed AS (
+           ld0 AS (
              SELECT domain, norm AS u, MAX(lastmod) AS lastmod
              FROM st WHERE doc_id % 2 = 0 GROUP BY domain, norm
              UNION ALL
@@ -6741,6 +6802,10 @@ object SparkEntry {
                       CAST(t.i AS STRING) AS u,
                     DATE '2026-03-01' + CAST(t.i AS INTEGER) AS lastmod
              FROM st, range(0, 3) t(i)),
+           listed AS (
+             SELECT * FROM ld0
+             WHERE NOT (length(domain) % 2 = 0
+                        AND u = 'https://' || domain || '/extra/1')),
            crawled AS (SELECT domain, norm AS u,
                               MAX(crawled_at) AS crawled_at
                        FROM st GROUP BY domain, norm),
@@ -7567,24 +7632,44 @@ object SparkEntry {
            doms AS (SELECT DISTINCT domain FROM p0),
            rl AS (
              SELECT domain, '/src' || CAST(t.i AS STRING) AS prefix,
-                    0 AS aw
+                    0 AS aw, 0 AS kind,
+                    '/src' || CAST(t.i AS STRING) AS pre, '' AS suf
              FROM doms, range(0, 10) t(i)
              WHERE (t.i + length(domain)) % 3 = 0
              UNION ALL
              SELECT domain, '/src' || CAST(t.i AS STRING) || '/Page',
-                    1 AS aw
+                    1 AS aw, 0 AS kind,
+                    '/src' || CAST(t.i AS STRING) || '/Page', ''
              FROM doms, range(0, 10) t(i)
              WHERE (t.i + length(domain)) % 2 = 0
              UNION ALL
              SELECT domain, '/src' || CAST(t.i AS STRING) || '/Page/c:0',
-                    0 AS aw
+                    0 AS aw, 0 AS kind,
+                    '/src' || CAST(t.i AS STRING) || '/Page/c:0', ''
              FROM doms, range(0, 10) t(i)
-             WHERE (t.i + length(domain)) % 5 = 1),
+             WHERE (t.i + length(domain)) % 5 = 1
+             UNION ALL
+             SELECT domain, '/src' || CAST(t.i AS STRING) || '*/c:0$$',
+                    0 AS aw, 1 AS kind,
+                    '/src' || CAST(t.i AS STRING), '/c:0'
+             FROM doms, range(0, 10) t(i)
+             WHERE (t.i + length(domain)) % 4 = 1
+             UNION ALL
+             SELECT domain, '/src' || CAST(t.i AS STRING) || '/Page/*',
+                    1 AS aw, 0 AS kind,
+                    '/src' || CAST(t.i AS STRING) || '/Page/', ''
+             FROM doms, range(0, 10) t(i)
+             WHERE (t.i + length(domain)) % 7 = 3),
            mt AS (SELECT p.doc_id, p.domain, p.path, r.prefix, r.aw,
                          length(r.prefix) AS plen
                   FROM p0 p LEFT JOIN rl r
                     ON r.domain = p.domain
-                   AND starts_with(p.path, r.prefix)),
+                   AND (CASE WHEN r.kind = 1
+                        THEN starts_with(p.path, r.pre)
+                             AND ends_with(p.path, r.suf)
+                             AND length(p.path) >=
+                                 length(r.pre) + length(r.suf)
+                        ELSE starts_with(p.path, r.pre) END)),
            rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                     ORDER BY plen DESC NULLS LAST, aw DESC NULLS LAST,
                              prefix DESC NULLS LAST) AS rn

@@ -395,10 +395,19 @@ object UrlOps {
     * segment array, the corpus side joins on the domain key and
     * re-aggregates per URL — one bounded exchange whose partials
     * collapse map-side; nothing else shuffles. */
-  def robotsGate(urls: DataFrame, rules: DataFrame): DataFrame = {
+  /** Attach the compiled §2.2.3 match form ([[compileRule]]) to a
+    * parsed rule table: `rx_anchored` + `rx_segs` columns next to the
+    * raw `prefix`. Public so gate COMPOSITIONS (the crawl-frontier and
+    * recrawl products) can run [[robotsRuleMatches]] inline over their
+    * own join/agg shapes without re-splitting per corpus row. */
+  def compileRules(rules: DataFrame): DataFrame = {
     val (anchored, segs) = compileRule(col("prefix"))
-    val compiled = rules.withColumn("rx_anchored", anchored)
+    rules.withColumn("rx_anchored", anchored)
       .withColumn("rx_segs", segs)
+  }
+
+  def robotsGate(urls: DataFrame, rules: DataFrame): DataFrame = {
+    val compiled = compileRules(rules)
     urls.join(broadcast(compiled), Seq("domain"), "left")
       .withColumn("m",
         when(robotsRuleMatches(col("path"), col("rx_anchored"),
@@ -720,6 +729,36 @@ object UrlOps {
       .select(col("doc_id"), col("domain"), col("path"),
         col("best.prefix").as("matched_prefix"),
         (col("best").isNull || col("best.aw") === 1).as("allowed"))
+  }
+
+  /** Keep only robots-ALLOWED rows of an arbitrary per-URL table —
+    * the gate COMPOSITION form: a polite crawler never schedules a
+    * disallowed URL, so the recrawl/politeness products filter their
+    * listed sets through this before ranking. Verdict per row via the
+    * [[robotsGateStateless]] algebra (sorted rule array on the
+    * broadcast side, `element_at(filter(...), -1)` argmax) — NO
+    * aggregation, so every carried column (lastmod, crawl state, ...)
+    * survives untouched and the same plan runs over a stream. `urlCol`
+    * yields the path through [[pathOf]]; rows of domains with no rules
+    * pass. Full §2.2.3 wildcard matching — the composition the x120/
+    * x137 fixtures exercise. */
+  def robotsAllowedOnly(df: DataFrame, rules: DataFrame,
+                        urlCol: String = "u"): DataFrame = {
+    val (anchored, segs) = compileRule(col("prefix"))
+    val byDom = rules.groupBy("domain")
+      .agg(sort_array(collect_list(struct(
+        col("plen"), col("allow").cast("int").as("aw"),
+        col("prefix"), anchored.as("anch"), segs.as("segs")))).as("__rs"))
+    val path = pathOf(col(urlCol))
+    df.join(broadcast(byDom), Seq("domain"), "left")
+      .withColumn("__m", filter(coalesce(col("__rs"),
+          array().cast("array<struct<plen:int,aw:int,prefix:string," +
+            "anch:boolean,segs:array<string>>>")),
+        r => robotsRuleMatches(path, r.getField("anch"),
+          r.getField("segs"))))
+      .filter(size(col("__m")) === 0 ||
+        element_at(col("__m"), -1).getField("aw") === 1)
+      .drop("__rs", "__m")
   }
 
   /** Crawl-TRAP detector — the hygiene gate between a frontier

@@ -202,6 +202,27 @@ class UrlSpec extends AnyFunSuite {
     assert(hit.exists(_.contains("*")))
   }
 
+  test("robotsAllowedOnly: row-preserving gate, wildcard rules, " +
+       "rule-less domains pass") {
+    import spark.implicits._
+    val listed = Seq(
+      ("d.com", "https://d.com/extra/1", 7),   // *1$ → dropped
+      ("d.com", "https://d.com/extra/10", 8),  // $ rejects the tail
+      ("d.com", "https://d.com/keep/1", 9),    // not under /extra
+      ("d.com", "https://d.com/extra/2", 4),   // different digit
+      ("e.org", "https://e.org/extra/1", 5))   // no rules published
+      .toDF("domain", "u", "payload")
+    val rules = UrlOps.parseRobots(Seq(
+      ("d.com", "User-agent: *\nDisallow: /extra/*1$"))
+      .toDF("domain", "robots_txt"))
+    val out = UrlOps.robotsAllowedOnly(listed, rules)
+      .collect().map(r => (r.getString(1), r.getInt(2))).toSet
+    // carried columns survive and ONLY the wildcard-hit row drops
+    assert(out == Set(("https://d.com/extra/10", 8),
+      ("https://d.com/keep/1", 9), ("https://d.com/extra/2", 4),
+      ("https://e.org/extra/1", 5)))
+  }
+
   test("parseRobotsGrouped: RFC 9309 group assembly and selection") {
     import spark.implicits._
     def rules(txt: String, agent: String): Set[(String, Boolean)] =
