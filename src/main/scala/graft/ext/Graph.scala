@@ -196,53 +196,10 @@ object Graph {
                            srcCol: String = "src", dstCol: String = "dst")
       : DataFrame = {
     require(iters >= 1, s"need iters >= 1: $iters")
-    val e = edges
-      .select(col(srcCol).cast("string").as("src"),
-        col(dstCol).cast("string").as("dst"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    val seedSet = seeds.select(col(seeds.columns.head).cast("string")
-      .as("node")).distinct()
-    val nodes0 = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-    val nS = nodes0.join(seedSet, Seq("node"), "left_semi").count()
-    require(nS > 0, "no seed appears in the graph")
-    val nodes = nodes0
-      .join(seedSet.withColumn("is_seed", lit(true)), Seq("node"), "left")
-      .select(col("node"),
-        when(col("is_seed"), lit(1.0 / nS)).otherwise(lit(0.0)).as("t"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val dangling = nodes.select("node")
-      .join(e.select("src").distinct(),
-        col("node") === col("src"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var pr = nodes.select(col("node"), col("t").as("pr"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val contrib = ed
-        .join(pr, ed("src") === pr("node"))
-        .groupBy(col("dst"))
-        .agg(Stable.sumD(col("pr") / col("deg").cast("double"), 18).as("c"))
-      val massRow = pr
-        .join(dangling, Seq("node"), "left_semi")
-        .agg(coalesce(Stable.sumD(col("pr"), 18), lit(0.0)).as("dmass"))
-      pr = nodes
-        .join(contrib, nodes("node") === contrib("dst"), "left")
-        .crossJoin(massRow)
-        .select(nodes("node"),
-          (lit(1.0 - damping) * col("t") +
-            lit(damping) * coalesce(col("c"), lit(0.0)) +
-            lit(damping) * col("dmass") * col("t")).as("pr"))
-        .localCheckpoint(true)
-    }
-    e.unpersist(blocking = false)
-    ed.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    dangling.unpersist(blocking = false)
-    pr
+    val g = prepare(edges, srcCol, dstCol)
+    val out = pprPrepared(g, seeds, iters, damping)
+    g.release()
+    out
   }
 
   /** Persist a [[pageRank]] vector as the AUTHORITY STORE — the x77/
@@ -290,37 +247,39 @@ object Graph {
     * seeds hold a core component of exactly zero ⇒ `rel_mass` exactly
     * 1.0 — the isolated-spam-farm signature, closed-form testable.
     *
-    * Scale shape: two [[run]]-family power loops (each the x124 plan:
-    * cached edge/node/dangling tables, one edge join + one dest-key
-    * partial+final agg + a one-row dangling mass per round), then one
-    * node-keyed join of the two node-sized vectors and a one-row
-    * broadcast of the `|S|/N` scale — nothing corpus-sized beyond the
-    * edge scans already inside the loops. */
+    * Scale shape: ONE shared [[PreparedGraph]] (cached edge/node/
+    * dangling tables built once) threaded through BOTH power loops
+    * (each round the x124 plan: one edge join + one dest-key
+    * partial+final agg + a one-row dangling mass), then one node-keyed
+    * join of the two node-sized vectors with the `|S|/N` scale as
+    * DRIVER literals (both counts are already loop-setup scalars) —
+    * the edge-derivation chain is scanned once, not three times, and
+    * nothing corpus-sized runs outside the loops. */
   def spamMass(edges: DataFrame, goodSeeds: DataFrame, iters: Int = 5,
                damping: Double = 0.85, srcCol: String = "src",
                dstCol: String = "dst"): DataFrame = {
-    val pr = pageRank(edges, iters, damping, srcCol, dstCol)
-      .withColumnRenamed("pr", "pr_all")
-    val core = personalizedPageRank(edges, goodSeeds, iters, damping,
-        srcCol, dstCol)
+    require(iters >= 1, s"need iters >= 1: $iters")
+    val g = prepare(edges, srcCol, dstCol)
+    val pr = runPrepared(g, damping) { (step, pr0) =>
+        var p = pr0
+        for (_ <- 1 to iters) p = step(p)
+        p
+      }.withColumnRenamed("pr", "pr_all")
+    val core = pprPrepared(g, goodSeeds, iters, damping)
       .withColumnRenamed("pr", "pr_seed")
-    val e = edges.select(col(srcCol).cast("string").as("src"),
-      col(dstCol).cast("string").as("dst")).distinct()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
     val seedSet = goodSeeds
       .select(col(goodSeeds.columns.head).cast("string").as("node"))
       .distinct()
-    val scaleRow = nodes.agg(count(lit(1)).cast("double").as("n_all"))
-      .crossJoin(nodes.join(seedSet, Seq("node"), "left_semi")
-        .agg(count(lit(1)).cast("double").as("n_seed")))
-    pr.join(core, "node")
-      .crossJoin(broadcast(scaleRow))
+    val nSeed = g.nodes.join(seedSet, Seq("node"), "left_semi").count()
+    val out = pr.join(core, "node")
       .select(col("node"), col("pr_all"),
-        (col("pr_seed") * (col("n_seed") / col("n_all"))).as("core_pr"))
+        (col("pr_seed") *
+          (lit(nSeed.toDouble) / lit(g.n.toDouble))).as("core_pr"))
       .select(col("node"), col("pr_all").as("pr"), col("core_pr"),
         (col("pr_all") - col("core_pr")).as("spam_mass"),
         ((col("pr_all") - col("core_pr")) / col("pr_all")).as("rel_mass"))
+    g.release()
+    out
   }
 
   /** CRAWL BUDGET apportionment — turn a rank vector into the integer
@@ -334,26 +293,32 @@ object Graph {
     * violates.
     *
     * Shape: one node-sized sum (decimal-routed), the quota algebra as
-    * per-row columns, one GLOBAL row_number window for the remainder
-    * ranking — a single-partition sort of the NODE-sized vector
-    * (domains, not corpus rows; the same bounded-global-window trade
-    * as the x116 schedule rank). All IEEE ops in fixed order, so the
-    * integer quotas replay exactly cross-engine. */
+    * per-row columns, and the `R = B − Σfloor` remainder as a TOP-R
+    * cut on (frac DESC, node) — `orderBy.limit(R)` compiles to
+    * TakeOrderedAndProject (per-partition top-R, an R-row driver
+    * merge), whose winner set broadcasts back as a membership flag.
+    * NO single-partition global window anywhere (the pre-round-12
+    * shape row_number'd the whole vector through one partition — fine
+    * at 10⁴ domains, a straggler at 10⁸). R itself is a one-row
+    * aggregate scalar, the same driver-scalar class as the node count.
+    * All IEEE ops in fixed order and the cut's (frac, node) order is
+    * total, so the integer quotas replay exactly cross-engine. */
   def crawlBudget(ranks: DataFrame, budget: Long): DataFrame = {
     require(budget >= 0, s"need budget >= 0: $budget")
-    import org.apache.spark.sql.expressions.Window
     val s = ranks.agg(Stable.sumD(col("pr"), 18).as("spr"))
     val q = ranks.crossJoin(broadcast(s))
       .withColumn("quota",
         lit(budget.toDouble) * (col("pr") / col("spr")))
       .withColumn("base", floor(col("quota")).cast("long"))
       .withColumn("frac", col("quota") - floor(col("quota")))
-    val used = q.agg(sum("base").as("used"))
-    val w = Window.orderBy(desc("frac"), col("node"))
-    q.crossJoin(broadcast(used))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_fetch", col("base") +
-        when(col("rn") <= lit(budget) - col("used"), 1L).otherwise(0L))
+      .localCheckpoint(true)
+    val used = q.agg(coalesce(sum("base"), lit(0L)).as("used"))
+      .head().getLong(0)
+    val r = (budget - used).toInt
+    val winners = q.orderBy(desc("frac"), col("node")).limit(r)
+      .select(col("node"), lit(1L).as("bonus"))
+    q.join(broadcast(winners), Seq("node"), "left")
+      .withColumn("n_fetch", col("base") + coalesce(col("bonus"), lit(0L)))
       .select(col("node"), col("quota"), col("n_fetch"))
   }
 
@@ -507,18 +472,36 @@ object Graph {
     * ordered pairs `d1 < d2` with at least `minCount` common sources.
     *
     * Shape: one self-join of the dedup'd edge table on the SOURCE key
-    * — pair volume is Σ out-deg², the SemDeDup cluster-bounded shape;
-    * at 100 TB cap the out-degree upstream (a mega-hub's out-list is a
-    * directory page, not an endorsement — the standard co-citation
-    * truncation) and the join stays equi-keyed with map-side-collapsing
-    * counts. */
+    * — pair volume is Σ out-deg², the SemDeDup cluster-bounded shape.
+    * `maxOutDeg` is the quadratic-blowup guard a 100 TB graph needs:
+    * sources with MORE than `maxOutDeg` distinct out-edges are dropped
+    * before the self-join (a mega-hub's out-list is a directory page,
+    * not an endorsement — the standard co-citation truncation), which
+    * bounds pair volume by edges × maxOutDeg. The drop is NOT silent:
+    * the excluded-source count and their edge mass go to stderr (the
+    * no-silent-caps rule). Default keeps every source. */
   def coCitation(edges: DataFrame, srcCol: String = "src",
-                 dstCol: String = "dst", minCount: Long = 1L): DataFrame = {
-    val e = edges
+                 dstCol: String = "dst", minCount: Long = 1L,
+                 maxOutDeg: Long = Long.MaxValue): DataFrame = {
+    require(maxOutDeg >= 1, s"need maxOutDeg >= 1: $maxOutDeg")
+    val e0 = edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .distinct()
       .localCheckpoint(true)
+    val e = if (maxOutDeg == Long.MaxValue) e0 else {
+      val deg = e0.groupBy("src").agg(count(lit(1)).as("out_deg"))
+      val hubs = deg.filter(col("out_deg") > maxOutDeg)
+        .localCheckpoint(true)
+      val Array(nHubs, hubEdges) = hubs
+        .agg(coalesce(count(lit(1)), lit(0L)),
+          coalesce(sum("out_deg"), lit(0L)))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      if (nHubs > 0)
+        System.err.println(s"[coCitation] dropped $nHubs sources over " +
+          s"maxOutDeg=$maxOutDeg ($hubEdges edges excluded)")
+      e0.join(broadcast(hubs.select("src")), Seq("src"), "left_anti")
+    }
     e.as("x").join(e.as("y"),
         col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
       .groupBy(col("x.dst").as("d1"), col("y.dst").as("d2"))
@@ -526,16 +509,26 @@ object Graph {
       .filter(col("n_common") >= minCount)
   }
 
-  /** Shared setup + round step: dedup the edges, cache the degree-
-    * annotated edge table / node set / dangling set for the loop the
-    * caller drives, release them after. The step function is the ONE
-    * image of the recurrence — both public entry points iterate it, so
-    * their rounds are expression-identical (bit-identical results for
-    * equal round counts). */
-  private def run(edges: DataFrame, damping: Double,
-                  srcCol: String, dstCol: String)
-                 (loop: (DataFrame => DataFrame, DataFrame) => DataFrame)
-      : DataFrame = {
+  /** The cached graph artifacts every power loop needs: dedup'd edge
+    * table, degree-annotated edges, node set, dangling set, node
+    * count. Built ONCE ([[prepare]]) and threaded through however many
+    * loops run over the same graph — [[spamMass]] runs TWO (uniform +
+    * personalized) plus its scale row, which before this factoring
+    * rebuilt the whole set three times (three scans of whatever chain
+    * derives the edges). Caller releases. */
+  private final class PreparedGraph(
+      val e: DataFrame, val ed: DataFrame, val nodes: DataFrame,
+      val dangling: DataFrame, val n: Long) {
+    def release(): Unit = {
+      e.unpersist(blocking = false)
+      ed.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      dangling.unpersist(blocking = false)
+    }
+  }
+
+  private def prepare(edges: DataFrame,
+                      srcCol: String, dstCol: String): PreparedGraph = {
     val e = edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
@@ -551,31 +544,90 @@ object Graph {
       .join(e.select("src").distinct(),
         nodes("node") === col("src"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count()
-    val base = (1.0 - damping) / n
-    val pr0 = nodes.select(col("node"), lit(1.0 / n).as("pr"))
+    new PreparedGraph(e, ed, nodes, dangling, nodes.count())
+  }
+
+  /** Shared setup + round step: dedup the edges, cache the degree-
+    * annotated edge table / node set / dangling set for the loop the
+    * caller drives, release them after. The step function is the ONE
+    * image of the recurrence — both public entry points iterate it, so
+    * their rounds are expression-identical (bit-identical results for
+    * equal round counts). */
+  private def run(edges: DataFrame, damping: Double,
+                  srcCol: String, dstCol: String)
+                 (loop: (DataFrame => DataFrame, DataFrame) => DataFrame)
+      : DataFrame = {
+    val g = prepare(edges, srcCol, dstCol)
+    val out = runPrepared(g, damping)(loop)
+    g.release()
+    out
+  }
+
+  /** [[run]]'s loop half over an already-[[prepare]]d graph — the
+    * per-round expressions are UNCHANGED (same step image, decimal-
+    * routed sums), so results are bit-identical whether the graph was
+    * prepared privately or shared. */
+  private def runPrepared(g: PreparedGraph, damping: Double)
+                         (loop: (DataFrame => DataFrame, DataFrame)
+                            => DataFrame): DataFrame = {
+    val base = (1.0 - damping) / g.n
+    val pr0 = g.nodes.select(col("node"), lit(1.0 / g.n).as("pr"))
       .localCheckpoint(true)
     def step(pr: DataFrame): DataFrame = {
-      val contrib = ed
-        .join(pr, ed("src") === pr("node"))
+      val contrib = g.ed
+        .join(pr, g.ed("src") === pr("node"))
         .groupBy(col("dst"))
         .agg(Stable.sumD(col("pr") / col("deg").cast("double"), 18).as("c"))
       val massRow = pr
-        .join(dangling, Seq("node"), "left_semi")
+        .join(g.dangling, Seq("node"), "left_semi")
         .agg(coalesce(Stable.sumD(col("pr"), 18), lit(0.0)).as("dmass"))
-      nodes
-        .join(contrib, nodes("node") === contrib("dst"), "left")
+      g.nodes
+        .join(contrib, g.nodes("node") === contrib("dst"), "left")
         .crossJoin(massRow)
-        .select(nodes("node"),
+        .select(g.nodes("node"),
           (lit(base) + lit(damping) * coalesce(col("c"), lit(0.0)) +
-            lit(damping) * col("dmass") / lit(n.toDouble)).as("pr"))
+            lit(damping) * col("dmass") / lit(g.n.toDouble)).as("pr"))
         .localCheckpoint(true)
     }
-    val out = loop(step, pr0)
-    e.unpersist(blocking = false)
-    ed.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    dangling.unpersist(blocking = false)
-    out
+    loop(step, pr0)
+  }
+
+  /** [[personalizedPageRank]]'s loop half over a shared
+    * [[PreparedGraph]] — same teleport algebra, same per-round
+    * expressions, so a privately-prepared run and a shared-graph run
+    * agree bit for bit. */
+  private def pprPrepared(g: PreparedGraph, seeds: DataFrame,
+                          iters: Int, damping: Double): DataFrame = {
+    require(iters >= 1, s"need iters >= 1: $iters")
+    val seedSet = seeds.select(col(seeds.columns.head).cast("string")
+      .as("node")).distinct()
+    val nS = g.nodes.join(seedSet, Seq("node"), "left_semi").count()
+    require(nS > 0, "no seed appears in the graph")
+    val ndt = g.nodes
+      .join(seedSet.withColumn("is_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("is_seed"), lit(1.0 / nS)).otherwise(lit(0.0)).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var pr = ndt.select(col("node"), col("t").as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = g.ed
+        .join(pr, g.ed("src") === pr("node"))
+        .groupBy(col("dst"))
+        .agg(Stable.sumD(col("pr") / col("deg").cast("double"), 18).as("c"))
+      val massRow = pr
+        .join(g.dangling, Seq("node"), "left_semi")
+        .agg(coalesce(Stable.sumD(col("pr"), 18), lit(0.0)).as("dmass"))
+      pr = ndt
+        .join(contrib, ndt("node") === contrib("dst"), "left")
+        .crossJoin(massRow)
+        .select(ndt("node"),
+          (lit(1.0 - damping) * col("t") +
+            lit(damping) * coalesce(col("c"), lit(0.0)) +
+            lit(damping) * col("dmass") * col("t")).as("pr"))
+        .localCheckpoint(true)
+    }
+    ndt.unpersist(blocking = false)
+    pr
   }
 }

@@ -628,6 +628,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-k sorts globally:\n$p")
   }
 
+  test("x145 crawl budget: remainder apportionment has NO single-" +
+       "partition window — the top-R cut is TakeOrderedAndProject") {
+    val p = executed("x145_crawl_budget").toString
+    assert(!p.contains("Window"), s"global window in the plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"remainder cut sorts globally:\n$p")
+  }
+
   test("x126 stored binary ANN: the Hamming scan reads only the words " +
        "table — no embedding column until the bounded rerank join") {
     val p = planString("x126_binary_stored_ann")

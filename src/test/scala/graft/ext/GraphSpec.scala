@@ -345,6 +345,54 @@ class GraphSpec extends AnyFunSuite {
       ("s1", "s2") -> 2L, ("s1", "s3") -> 1L))
   }
 
+  test("coCitation: maxOutDeg drops a mega-hub and its pair mass") {
+    // s1/s2 are organic (2-3 out-links); hub cites EVERYTHING — a
+    // directory page whose out-list is not an endorsement
+    val edges = Seq(
+      "s1" -> "a", "s1" -> "b", "s1" -> "c",
+      "s2" -> "a", "s2" -> "b") ++
+      (0 until 10).map(i => "hub" -> s"t$i") ++
+      Seq("hub" -> "a", "hub" -> "b", "hub" -> "c")
+    val uncapped = Graph.coCitation(edges.toDF("src", "dst")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // the hub inflates every pair it touches (a,b) and mints t-pairs
+    assert(uncapped(("a", "b")) == 3L)
+    assert(uncapped.keys.exists(_._1.startsWith("t")) ||
+      uncapped.keys.exists(_._2.startsWith("t")))
+    val capped = Graph.coCitation(edges.toDF("src", "dst"),
+        maxOutDeg = 5L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // hub (13 out-edges) excluded: only the organic signal remains
+    assert(capped == Map(
+      ("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L))
+    // a cap above every degree changes nothing
+    val loose = Graph.coCitation(edges.toDF("src", "dst"),
+        maxOutDeg = 100L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(loose == uncapped)
+  }
+
+  test("crawlBudget: Hamilton apportionment sums to the budget exactly; " +
+       "no single-partition window in the plan") {
+    val ranks = Seq(("a", 0.42), ("b", 0.31), ("c", 0.17), ("d", 0.06),
+      ("e", 0.04)).toDF("node", "pr")
+    val out = Graph.crawlBudget(ranks, 10L)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"global window in the plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"remainder cut sorts globally:\n$p")
+    val got = out.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got.values.sum == 10L)
+    // largest-remainder reference: quotas 4.2/3.1/1.7/0.6/0.4 →
+    // floors 4/3/1/0/0, 2 leftover to the largest fracs (c .7, d .6)
+    assert(got == Map("a" -> 4L, "b" -> 3L, "c" -> 2L, "d" -> 1L,
+      "e" -> 0L))
+    // degenerate budgets
+    assert(Graph.crawlBudget(ranks, 0L).collect()
+      .map(_.getLong(2)).sum == 0L)
+  }
+
   test("pageRank: invariant under input partitioning (decimal routing)") {
     val edges = Seq("a" -> "b", "b" -> "c", "b" -> "d", "c" -> "a",
       "d" -> "a", "a" -> "c")
