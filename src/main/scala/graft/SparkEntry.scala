@@ -1599,6 +1599,16 @@ object SparkEntry {
     "x144_kn_score" -> ((s, d) =>
       ext.TextOps.knBigramScore(t(s, d, "documents"))),
 
+    // x149 — TRIGRAM interpolated Kneser-Ney (the full one-level
+    // recursion x144 truncates): trigram absolute discounting backs
+    // off to a CONTINUATION bigram which backs off to a continuation
+    // unigram — type counts at every level below the top, the KN
+    // insight applied recursively (Chen & Goodman 1999 §3). Same
+    // rational core and ordered-fold determinism; the oracle replays
+    // all three count tables off the one trigram-type table.
+    "x149_kn3_score" -> ((s, d) =>
+      ext.TextOps.knTrigramScore(t(s, d, "documents"))),
+
     // x145 — crawl-budget apportionment: the stored rank vector (the
     // x143 authority store) turned into integer per-domain fetch
     // quotas by the largest-remainder rule — Σ n_fetch == 300 exactly,
@@ -1677,11 +1687,15 @@ object SparkEntry {
     // x138 — CO-CITATION pairs over the x123 domain graph (Small
     // 1973): domains the same sources link are related — the
     // text-free similarity signal; pairs ordered d1 < d2 with the
-    // common-source count.
+    // common-source count. The mega-hub cap (maxOutDeg — the 100 TB
+    // quadratic-blowup guard) runs LIVE at a bound above every fixture
+    // degree (the domain graph has ≤ 8 distinct out-domains per src),
+    // so the capped code path is what the oracle hashes; GraphSpec
+    // carries the case where a hub actually drops.
     "x138_cocitation" -> ((s, d) =>
       ext.Graph.coCitation(linkGraph(s, d)
         .select(col("src_domain").as("src"),
-          col("dst_domain").as("dst")))),
+          col("dst_domain").as("dst")), maxOutDeg = 64L)),
 
     // x134 — HITS hubs/authorities over the x123 domain graph: the
     // recurrence that separates the directory role (hub) from the
@@ -7314,6 +7328,63 @@ object SparkEntry {
         |       CAST(SUM(m) AS BIGINT) AS n_bigrams,
         |       list_reduce(list(val ORDER BY w1, w2), (a, b) -> a + b)
         |         / CAST(SUM(m) AS BIGINT) AS kn_score
+        |FROM valued GROUP BY doc_id""".stripMargin,
+
+    // x149 — the trigram recursion replayed: every count table derives
+    // from the one trigram-type table (t3), continuation type counts
+    // below the top level, the same parenthesization per level
+    "x149_kn3_score" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                             t -> length(t) > 0) AS ts
+        |  FROM documents),
+        |occ AS MATERIALIZED (
+        |  SELECT doc_id, w1, w2, w3, COUNT(*) AS m
+        |  FROM (SELECT doc_id, tg[1] AS w1, tg[2] AS w2, tg[3] AS w3
+        |        FROM (SELECT doc_id,
+        |                     unnest(list_transform(range(1, len(ts) - 1), i ->
+        |                       [ts[CAST(i AS INTEGER)],
+        |                        ts[CAST(i + 1 AS INTEGER)],
+        |                        ts[CAST(i + 2 AS INTEGER)]])) AS tg
+        |              FROM tok))
+        |  GROUP BY doc_id, w1, w2, w3),
+        |t3 AS MATERIALIZED (SELECT w1, w2, w3, CAST(SUM(m) AS BIGINT) AS c3
+        |       FROM occ GROUP BY w1, w2, w3),
+        |h12 AS MATERIALIZED (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c12,
+        |               CAST(COUNT(*) AS BIGINT) AS n3f
+        |        FROM t3 GROUP BY w1, w2),
+        |cont2 AS MATERIALIZED (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS ck
+        |          FROM t3 GROUP BY w2, w3),
+        |h2 AS MATERIALIZED (SELECT w2, CAST(SUM(ck) AS BIGINT) AS ctot2,
+        |              CAST(COUNT(*) AS BIGINT) AS n2f
+        |       FROM cont2 GROUP BY w2),
+        |p1 AS MATERIALIZED (SELECT w3, CAST(COUNT(*) AS BIGINT) AS n1p
+        |       FROM cont2 GROUP BY w3),
+        |tt AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS cktot FROM cont2),
+        |valued AS MATERIALIZED (
+        |  SELECT o.doc_id, o.w1, o.w2, o.w3, o.m,
+        |         CAST(o.m AS DOUBLE) /
+        |           (GREATEST(CAST(t.c3 AS DOUBLE) - 0.75, 0.0)
+        |              / CAST(h.c12 AS DOUBLE)
+        |            + ((0.75 * CAST(h.n3f AS DOUBLE))
+        |               / CAST(h.c12 AS DOUBLE))
+        |              * (GREATEST(CAST(c.ck AS DOUBLE) - 0.75, 0.0)
+        |                   / CAST(g.ctot2 AS DOUBLE)
+        |                 + ((0.75 * CAST(g.n2f AS DOUBLE))
+        |                    / CAST(g.ctot2 AS DOUBLE))
+        |                   * (CAST(p.n1p AS DOUBLE)
+        |                      / CAST(tt.cktot AS DOUBLE)))) AS val
+        |  FROM occ o
+        |  JOIN t3 t ON o.w1 = t.w1 AND o.w2 = t.w2 AND o.w3 = t.w3
+        |  JOIN h12 h ON o.w1 = h.w1 AND o.w2 = h.w2
+        |  JOIN cont2 c ON o.w2 = c.w2 AND o.w3 = c.w3
+        |  JOIN h2 g ON o.w2 = g.w2
+        |  JOIN p1 p ON o.w3 = p.w3
+        |  CROSS JOIN tt)
+        |SELECT doc_id,
+        |       CAST(SUM(m) AS BIGINT) AS n_trigrams,
+        |       list_reduce(list(val ORDER BY w1, w2, w3), (a, b) -> a + b)
+        |         / CAST(SUM(m) AS BIGINT) AS kn3_score
         |FROM valued GROUP BY doc_id""".stripMargin,
 
     // x145 — the x124 rank replay feeding the Hamilton apportionment:

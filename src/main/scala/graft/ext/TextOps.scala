@@ -713,6 +713,79 @@ object TextOps {
         (col("val_sum") / col("n_bigrams")).as("kn_score"))
   }
 
+  /** TRIGRAM interpolated Kneser-Ney (Chen & Goodman 1999 §3 — the
+    * full one-level recursion [[knBigramScore]] truncates):
+    *
+    * `P₃(w3|w1w2) = max(c3−d,0)/c12 + (d·N1+(w1w2·)/c12)·P₂c(w3|w2)`
+    * `P₂c(w3|w2) = max(N1+(·w2w3)−d,0)/N1+(·w2·)
+    *               + (d·N1+(w2·)/N1+(·w2·))·P₁c(w3)`
+    * `P₁c(w3)   = N1+(·w3)/N1+(··)`
+    *
+    * — the middle and bottom levels use CONTINUATION counts (type
+    * counts over the trigram-type table: `N1+(·w2w3)` = distinct
+    * left-contexts of the bigram, `N1+(·w2·)` their sum per middle
+    * word, `N1+(·w3)` distinct middles preceding w3, `N1+(··)` the
+    * continuation-bigram type total), the Kneser-Ney insight applied
+    * at every backoff level rather than once. Every component is an
+    * integer count off ONE trigram-type table, `d = 0.75` exact in
+    * binary; the score is the x51/x144 convention — mean inverse
+    * probability `mean_i m_i/P₃(i)` folded in (w1,w2,w3)-sorted order.
+    * Rational core, no ln(), bit-exact across engines.
+    *
+    * Shape at 100 TB: occurrences collapse map-side; every model table
+    * (`t3`, `h12`, `cont2`, `h2`, `p1`) is bounded by distinct-trigram
+    * cardinality and joins back by content key; the type total is ONE
+    * broadcast row. Same plan family as [[knBigramScore]], one order
+    * higher. */
+  def knTrigramScore(docs: DataFrame, discount: Double = 0.75,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(discount > 0 && discount < 1, s"need 0 < d < 1: $discount")
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val nTok = size(toks)
+    val trigrams = docs.select(col(idCol),
+        explode(arrays_zip(
+          slice(toks, lit(1), greatest(nTok - 2, lit(0))),
+          slice(toks, lit(2), greatest(nTok - 2, lit(0))),
+          slice(toks, lit(3), greatest(nTok - 2, lit(0))))).as("tg"))
+      .select(col(idCol), col("tg.0").as("w1"), col("tg.1").as("w2"),
+        col("tg.2").as("w3"))
+    val occ = trigrams.groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("m"))
+    val t3 = occ.groupBy("w1", "w2", "w3").agg(sum("m").as("c3"))
+    val h12 = t3.groupBy("w1", "w2")
+      .agg(sum("c3").as("c12"), count(lit(1)).as("n3f"))
+    val cont2 = t3.groupBy("w2", "w3").agg(count(lit(1)).as("ck"))
+    val h2 = cont2.groupBy("w2")
+      .agg(sum("ck").as("ctot2"), count(lit(1)).as("n2f"))
+    val p1 = cont2.groupBy("w3").agg(count(lit(1)).as("n1p"))
+    val tot = cont2.agg(count(lit(1)).as("cktot"))
+    val d = lit(discount)
+    val p1v = col("n1p").cast("double") / col("cktot").cast("double")
+    val p2v = greatest(col("ck").cast("double") - d, lit(0.0)) /
+        col("ctot2").cast("double") +
+      ((d * col("n2f").cast("double")) / col("ctot2").cast("double")) * p1v
+    val p3v = greatest(col("c3").cast("double") - d, lit(0.0)) /
+        col("c12").cast("double") +
+      ((d * col("n3f").cast("double")) / col("c12").cast("double")) * p2v
+    val valued = occ
+      .join(t3, Seq("w1", "w2", "w3"))
+      .join(h12, Seq("w1", "w2"))
+      .join(cont2, Seq("w2", "w3"))
+      .join(h2, Seq("w2"))
+      .join(p1, Seq("w3"))
+      .crossJoin(broadcast(tot))
+      .withColumn("val", col("m").cast("double") / p3v)
+    valued.groupBy(col(idCol)).agg(
+        sum("m").as("n_trigrams"),
+        aggregate(
+          array_sort(collect_list(struct(col("w1"), col("w2"), col("w3"),
+            col("val")))),
+          lit(0.0), (acc, x) => acc + x.getField("val")).as("val_sum"))
+      .select(col(idCol), col("n_trigrams"),
+        (col("val_sum") / col("n_trigrams")).as("kn3_score"))
+  }
+
   /** Gopher/MassiveText quality-rule flags (Rae et al. 2021, "Scaling
     * Language Models: Methods, Analysis & Insights from Training
     * Gopher", App. A1.1) — the rule-based document filter every crawl

@@ -2021,6 +2021,61 @@ class ExtSpec extends AnyFunSuite {
     assert(got(1L)._2 < got(3L)._2)
   }
 
+  test("kn trigram score: matches the full-recursion driver reference " +
+    "bit-for-bit; short docs drop; fluency orders over shuffles") {
+    val rows = Seq(
+      (1L, "the cat sat on the mat the cat sat on the rug"),
+      (2L, "the dog sat on the mat"),
+      (3L, "mat the on sat cat the"),
+      (4L, "too short"))                       // < 3 tokens: no output
+    val docs = rows.toDF("doc_id", "text")
+    val got = TextOps.knTrigramScore(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(!got.contains(4L))
+    // driver reference: the three-level recursion in the engine's op
+    // order — trigram discount → continuation bigram → continuation
+    // unigram, all counts off the one trigram-type table
+    val tgs = rows.flatMap { case (id, t) =>
+      val ts = t.split(" ").toSeq
+      if (ts.size < 3) Seq.empty
+      else (0 to ts.size - 3).map(i => (id, ts(i), ts(i + 1), ts(i + 2))) }
+    val occ = tgs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c3 = tgs.map { case (_, a, b, c) => (a, b, c) }.groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val c12 = c3.groupBy(k => (k._1._1, k._1._2))
+      .map { case (k, m) => k -> m.values.sum }
+    val n3f = c3.groupBy(k => (k._1._1, k._1._2))
+      .map { case (k, m) => k -> m.size.toLong }
+    val ck = c3.keys.toSeq.map(k => (k._2, k._3)).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }   // distinct w1 contexts
+    val ctot2 = ck.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val n2f = ck.groupBy(_._1._1).map { case (w, m) => w -> m.size.toLong }
+    val n1p = ck.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val cktot = ck.size.toLong
+    for ((id, t) <- rows if t.split(" ").length >= 3) {
+      val perTg = occ.collect { case ((i, w1, w2, w3), m) if i == id =>
+        (w1, w2, w3, m) }.toSeq.sortBy(x => (x._1, x._2, x._3))
+      var acc = 0.0
+      var n = 0L
+      for ((w1, w2, w3, m) <- perTg) {
+        val p1v = n1p(w3).toDouble / cktot.toDouble
+        val p2v = math.max(ck((w2, w3)).toDouble - 0.75, 0.0) /
+            ctot2(w2).toDouble +
+          ((0.75 * n2f(w2).toDouble) / ctot2(w2).toDouble) * p1v
+        val p3v = math.max(c3((w1, w2, w3)).toDouble - 0.75, 0.0) /
+            c12((w1, w2)).toDouble +
+          ((0.75 * n3f((w1, w2)).toDouble) / c12((w1, w2)).toDouble) * p2v
+        acc += m.toDouble / p3v
+        n += m
+      }
+      assert(got(id)._1 == n, s"doc $id trigram count")
+      assert(got(id)._2 == acc / n, s"doc $id: ${got(id)._2}")
+    }
+    // repeated fluent trigrams beat the shuffled word salad
+    assert(got(1L)._2 < got(3L)._2)
+  }
+
   test("rendezvous sharding: matches the driver argmax bit-for-bit; " +
     "growth moves only keys claimed by the new shard") {
     import graft.functions.HashExprs
