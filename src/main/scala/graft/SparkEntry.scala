@@ -2124,6 +2124,28 @@ object SparkEntry {
       ext.Multimodal.probeJpegExif(
         ext.Multimodal.jpegFromDocs(t(s, d, "documents")))),
 
+    // x148 — GEOTAGGED images ⋈ pixel grid: the first multimodal×geo
+    // cross-tier product. Each %3!=2 doc's JPEG carries a real EXIF
+    // GPS sub-IFD (tag 0x8825: hemisphere refs + deg/min/sec
+    // RATIONALs); the engine walks the bytes back to signed decimal
+    // degrees and J1-cell-joins the fixes to the demo pixel grid —
+    // "which raster cells have ground photos", the geo-curation query
+    // a multimodal corpus runs. Points south/west or out of band drop
+    // at the join (no matching cell); the oracle regenerates the DMS
+    // algebra closed-form per doc_id (the byte layer cancels, the x117
+    // discipline) and replays the same floored cell keys.
+    "x148_geotagged_join" -> ((s, d) => {
+      val gps = ext.Multimodal.probeJpegGps(
+        ext.Multimodal.jpegFromDocs(t(s, d, "documents")))
+      val grid = ops.Unpivot.gridToPixels(s, graft.model.GridMeta(
+        "demo", 0.01, 0.0, 76.85, 0.0, -0.01, 29.0, "EPSG:4326",
+        width = 80, height = 80, nodata = None, scaleM = 1000))
+      ops.GeoFns.cellJoin(grid, gps, res = 0.01)
+        .select(col("y"), col("x"), col("media_id"),
+          round(col("pt_lon"), 9).as("pt_lon"),
+          round(col("pt_lat"), 9).as("pt_lat"))
+    }),
+
     // end-to-end REAL EBML metadata path: docs → WebM skeletons with
     // closed-form element structure → pure-JVM EBML walk (Segment/Info/
     // Tracks/TrackEntry/Video) — the webm twin of x47
@@ -5685,6 +5707,35 @@ object SparkEntry {
                 (doc_id % 3 = 0) AS progressive,
                 CAST(5 AS INTEGER) AS n_segments
          FROM documents""",
+
+    // x148 — the DMS→decimal algebra regenerated per doc_id (sign off
+    // the hemisphere branch, deg + min/60 + (secNum/100)/3600 in the
+    // engine's IEEE order), the grid's affine pixel centers, and the
+    // same floored 0.01° cell keys
+    "x148_geotagged_join" ->
+      """WITH grid AS (
+           SELECT CAST(y.range AS INTEGER) AS y, CAST(x.range AS INTEGER) AS x,
+                  76.85 + (CAST(x.range AS DOUBLE) + 0.5) * 0.01 AS lon,
+                  29.0 + (CAST(y.range AS DOUBLE) + 0.5) * (-0.01) AS lat
+           FROM range(80) y, range(80) x),
+         gps AS (
+           SELECT doc_id AS media_id,
+                  (CASE WHEN doc_id % 8 = 5 THEN -1.0 ELSE 1.0 END) *
+                    (77.0 + CAST((doc_id * 3) % 60 AS DOUBLE) / 60.0
+                          + (CAST((doc_id * 91) % 6000 AS DOUBLE) / 100.0)
+                            / 3600.0) AS plon,
+                  (CASE WHEN doc_id % 4 = 1 THEN -1.0 ELSE 1.0 END) *
+                    (28.0 + CAST(doc_id % 60 AS DOUBLE) / 60.0
+                          + (CAST((doc_id * 37) % 6000 AS DOUBLE) / 100.0)
+                            / 3600.0) AS plat
+           FROM documents WHERE doc_id % 3 != 2)
+         SELECT g.y, g.x, p.media_id,
+                round(p.plon, 9) AS pt_lon, round(p.plat, 9) AS pt_lat
+         FROM grid g JOIN gps p
+           ON CAST(FLOOR(g.lon / 0.01) AS BIGINT)
+              = CAST(FLOOR(p.plon / 0.01) AS BIGINT)
+          AND CAST(FLOOR(g.lat / 0.01) AS BIGINT)
+              = CAST(FLOOR(p.plat / 0.01) AS BIGINT)""",
 
     // x48 — the webm skeleton formulas replayed: Duration float64 of
     // 2000 + (doc_id%40)*125 units at the default 1 ms TimestampScale →

@@ -1947,7 +1947,16 @@ object Multimodal {
                               orientation: Int, datetime: String,
                               width: Int, height: Int, precision: Int,
                               nComponents: Int, progressive: Boolean,
-                              nSegments: Int)
+                              nSegments: Int,
+                              gpsLat: Option[Double] = None,
+                              gpsLon: Option[Double] = None)
+
+    /** A GPS fix as EXIF stores it — hemisphere refs plus
+      * degree/minute/second RATIONALs (seconds carry a /100
+      * denominator, the common sub-second encoding). */
+    final case class GpsFix(latRef: String, latDeg: Int, latMin: Int,
+                            latSecNum: Int, lonRef: String, lonDeg: Int,
+                            lonMin: Int, lonSecNum: Int)
 
     private def be16(out: ByteArrayOutputStream, v: Int): Unit = {
       out.write((v >> 8) & 0xFF); out.write(v & 0xFF)
@@ -1955,17 +1964,26 @@ object Multimodal {
 
     /** One TIFF IFD0 (Make / Orientation / DateTime, tags ascending as
       * the spec requires) in the requested byte order; offsets are
-      * relative to the TIFF header start. */
+      * relative to the TIFF header start. With a [[GpsFix]], IFD0
+      * additionally carries the 0x8825 GPS-IFD pointer (LONG) and the
+      * GPS sub-IFD follows the value area: GPSLatitudeRef (0x0001,
+      * ASCII 2 inline), GPSLatitude (0x0002, 3 RATIONALs by offset),
+      * GPSLongitudeRef (0x0003), GPSLongitude (0x0004) — the layout
+      * every geotagging camera writes (EXIF 2.3 §4.6.6). */
     private def tiffBytes(littleEndian: Boolean, make: String,
-                          orientation: Int, datetime: String)
+                          orientation: Int, datetime: String,
+                          gps: Option[GpsFix] = None)
         : Array[Byte] = {
       val makeB = (make + " ").getBytes("ISO-8859-1")
       val dtB = (datetime + " ").getBytes("ISO-8859-1")
       require(dtB.length == 20, "EXIF DateTime must be 19 chars + NUL")
-      val nEntries = 3
+      val nEntries = if (gps.isDefined) 4 else 3
       val ifdStart = 8
       val valueArea = ifdStart + 2 + nEntries * 12 + 4
-      val bb = ByteBuffer.allocate(valueArea + makeB.length + dtB.length)
+      val gpsIfd = valueArea + makeB.length + dtB.length
+      // GPS IFD: count + 4 entries + next-ptr, then 2 × 3 RATIONALs
+      val gpsLen = if (gps.isDefined) 2 + 4 * 12 + 4 + 48 else 0
+      val bb = ByteBuffer.allocate(gpsIfd + gpsLen)
         .order(if (littleEndian) ByteOrder.LITTLE_ENDIAN
                else ByteOrder.BIG_ENDIAN)
       bb.put((if (littleEndian) "II" else "MM").getBytes("ISO-8859-1"))
@@ -1981,8 +1999,39 @@ object Multimodal {
       // 0x0132 DateTime: ASCII 20 bytes -> value offset
       bb.putShort(0x0132.toShort); bb.putShort(2.toShort)
       bb.putInt(dtB.length); bb.putInt(valueArea + makeB.length)
+      // 0x8825 GPS IFD pointer: LONG, inline
+      if (gps.isDefined) {
+        bb.putShort(0x8825.toShort); bb.putShort(4.toShort)
+        bb.putInt(1); bb.putInt(gpsIfd)
+      }
       bb.putInt(0) // next IFD
       bb.put(makeB); bb.put(dtB)
+      gps.foreach { g =>
+        val ratArea = gpsIfd + 2 + 4 * 12 + 4
+        def ref(tag: Int, r: String): Unit = {
+          bb.putShort(tag.toShort); bb.putShort(2.toShort)
+          bb.putInt(2)
+          bb.put(r.getBytes("ISO-8859-1")(0)); bb.put(0.toByte)
+          bb.putShort(0.toShort)
+        }
+        def coord(tag: Int, off: Int): Unit = {
+          bb.putShort(tag.toShort); bb.putShort(5.toShort)
+          bb.putInt(3); bb.putInt(off)
+        }
+        bb.putShort(4.toShort)
+        ref(0x0001, g.latRef)
+        coord(0x0002, ratArea)
+        ref(0x0003, g.lonRef)
+        coord(0x0004, ratArea + 24)
+        bb.putInt(0) // next IFD
+        Seq((g.latDeg, g.latMin, g.latSecNum),
+            (g.lonDeg, g.lonMin, g.lonSecNum)).foreach {
+          case (dg, mn, sn) =>
+            bb.putInt(dg); bb.putInt(1)
+            bb.putInt(mn); bb.putInt(1)
+            bb.putInt(sn); bb.putInt(100)
+        }
+      }
       bb.array()
     }
 
@@ -1990,7 +2039,8 @@ object Multimodal {
       * SOFn, SOS header, a token entropy byte, EOI. */
     def encodeJpeg(littleEndian: Boolean, xDensity: Int, yDensity: Int,
                    make: String, orientation: Int, datetime: String,
-                   width: Int, height: Int, progressive: Boolean)
+                   width: Int, height: Int, progressive: Boolean,
+                   gps: Option[GpsFix] = None)
         : Array[Byte] = {
       val out = new ByteArrayOutputStream(256)
       out.write(0xFF); out.write(0xD8) // SOI
@@ -2001,7 +2051,7 @@ object Multimodal {
       be16(out, xDensity); be16(out, yDensity)
       out.write(0); out.write(0) // no thumbnail
       // APP1 EXIF
-      val tiff = tiffBytes(littleEndian, make, orientation, datetime)
+      val tiff = tiffBytes(littleEndian, make, orientation, datetime, gps)
       out.write(0xFF); out.write(0xE1); be16(out, 2 + 6 + tiff.length)
       out.write("Exif".getBytes("ISO-8859-1")); out.write(0); out.write(0)
       out.write(tiff)
@@ -2042,19 +2092,24 @@ object Multimodal {
     }
 
     /** Parse the TIFF IFD0 inside an APP1 EXIF payload (after the
-      * "Exif\0\0" preamble). Returns (make, orientation, datetime)
-      * with empty/zero defaults for absent tags. */
+      * "Exif\0\0" preamble). Returns (make, orientation, datetime,
+      * gpsLat, gpsLon) with empty/zero/None defaults for absent tags;
+      * the 0x8825 pointer, when present, walks the GPS sub-IFD and
+      * folds the hemisphere refs + deg/min/sec RATIONALs into signed
+      * decimal degrees (S and W negative). */
     private def parseTiff(b: Array[Byte], tiff: Int, hi: Int)
-        : (String, Int, String) = {
-      if (tiff + 8 > hi) return ("", 0, "")
+        : (String, Int, String, Option[Double], Option[Double]) = {
+      val none = ("", 0, "", Option.empty[Double], Option.empty[Double])
+      if (tiff + 8 > hi) return none
       val le = b(tiff) == 'I'.toByte && b(tiff + 1) == 'I'.toByte
       val be = b(tiff) == 'M'.toByte && b(tiff + 1) == 'M'.toByte
-      if (!le && !be) return ("", 0, "")
-      if (u16(b, tiff + 2, le) != 42) return ("", 0, "")
+      if (!le && !be) return none
+      if (u16(b, tiff + 2, le) != 42) return none
       val ifd = tiff + u32(b, tiff + 4, le).toInt
-      if (ifd + 2 > hi) return ("", 0, "")
+      if (ifd + 2 > hi) return none
       val n = u16(b, ifd, le)
       var make = ""; var orient = 0; var dt = ""
+      var gpsOff = -1
       var i = 0
       while (i < n) {
         val e = ifd + 2 + i * 12
@@ -2066,12 +2121,52 @@ object Multimodal {
             case 0x010F => make = asciiAt(b, tiff, count, fieldP, le)
             case 0x0112 => orient = u16(b, fieldP, le)
             case 0x0132 => dt = asciiAt(b, tiff, count, fieldP, le)
+            case 0x8825 => gpsOff = u32(b, fieldP, le).toInt
             case _ => ()
           }
         }
         i += 1
       }
-      (make, orient, dt)
+      var lat = Option.empty[Double]
+      var lon = Option.empty[Double]
+      if (gpsOff > 0 && tiff + gpsOff + 2 <= hi) {
+        val gifd = tiff + gpsOff
+        val gn = u16(b, gifd, le)
+        var latRef = ""; var lonRef = ""
+        var latV = Option.empty[Double]; var lonV = Option.empty[Double]
+        // 3 RATIONALs (deg/min/sec) at the entry's value offset →
+        // decimal degrees; a zero denominator voids the fix
+        def dms(fieldP: Int): Option[Double] = {
+          val p = tiff + u32(b, fieldP, le).toInt
+          if (p + 24 > hi) return None
+          val vs = (0 until 3).map { k =>
+            val num = u32(b, p + k * 8, le)
+            val den = u32(b, p + k * 8 + 4, le)
+            if (den == 0L) return None
+            num.toDouble / den.toDouble
+          }
+          Some(vs(0) + vs(1) / 60.0 + vs(2) / 3600.0)
+        }
+        var j = 0
+        while (j < gn) {
+          val e = gifd + 2 + j * 12
+          if (e + 12 <= hi) {
+            val tag = u16(b, e, le)
+            val fieldP = e + 8
+            tag match {
+              case 0x0001 => latRef = new String(b, fieldP, 1, "ISO-8859-1")
+              case 0x0002 => latV = dms(fieldP)
+              case 0x0003 => lonRef = new String(b, fieldP, 1, "ISO-8859-1")
+              case 0x0004 => lonV = dms(fieldP)
+              case _ => ()
+            }
+          }
+          j += 1
+        }
+        lat = latV.map(v => if (latRef == "S") -v else v)
+        lon = lonV.map(v => if (lonRef == "W") -v else v)
+      }
+      (make, orient, dt, lat, lon)
     }
 
     /** Probe a JPEG payload; None when the bytes are not a JPEG. */
@@ -2080,6 +2175,7 @@ object Multimodal {
       if ((b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return None
       var hasJfif = false; var xd = 0; var yd = 0
       var make = ""; var orient = 0; var dt = ""
+      var gpsLat = Option.empty[Double]; var gpsLon = Option.empty[Double]
       var w = 0; var h = 0; var prec = 0; var nc = 0
       var prog = false; var nSeg = 0
       var p = 2
@@ -2106,6 +2202,7 @@ object Multimodal {
                 new String(b, lo, 6, "ISO-8859-1") == "Exif  ") {
                 val t = parseTiff(b, lo + 6, hi)
                 make = t._1; orient = t._2; dt = t._3
+                gpsLat = t._4; gpsLon = t._5
               } else if (m >= 0xC0 && m <= 0xCF && m != 0xC4 &&
                 m != 0xC8 && m != 0xCC && hi - lo >= 6) {
                 prec = b(lo) & 0xFF
@@ -2119,7 +2216,7 @@ object Multimodal {
           }
         }
         Some(JpegMeta(hasJfif, xd, yd, make, orient, dt, w, h, prec, nc,
-          prog, nSeg))
+          prog, nSeg, gpsLat, gpsLon))
       } catch { case _: IndexOutOfBoundsException => None }
     }
   }
@@ -2140,7 +2237,19 @@ object Multimodal {
         datetime = f"2026:01:${1 + docId % 28}%02d 12:${docId % 60}%02d:00",
         width = 8 + (docId % 7).toInt * 8,
         height = 8 + (docId % 5).toInt * 8,
-        progressive = docId % 3 == 0))
+        progressive = docId % 3 == 0,
+        // GEOTAGGED on the %3!=2 subset: closed-form DMS rationals in
+        // the 28-29°N / 77-78°E band (straddling the demo pixel grid,
+        // so the x148 cell join keeps some and drops some), with S/W
+        // hemispheres on deterministic slices exercising the sign path
+        gps = if (docId % 3 == 2) None
+        else Some(JpegExif.GpsFix(
+          latRef = if (docId % 4 == 1) "S" else "N",
+          latDeg = 28, latMin = (docId % 60).toInt,
+          latSecNum = ((docId * 37) % 6000).toInt,
+          lonRef = if (docId % 8 == 5) "W" else "E",
+          lonDeg = 77, lonMin = ((docId * 3) % 60).toInt,
+          lonSecNum = ((docId * 91) % 6000).toInt))))
     docs.select(
       col("doc_id").as("media_id"),
       lit("image").as("kind"),
@@ -2176,6 +2285,28 @@ object Multimodal {
           Row(r.getLong(0), m.hasJfif, m.xDensity, m.yDensity, m.make,
             m.orientation, m.datetime, m.width, m.height, m.progressive,
             m.nSegments)
+        }
+      }
+    }(encoder)
+  }
+
+  /** GPS fixes off JPEG payload batches — the geotag layer of
+    * [[probeJpegExif]] as the narrow (media_id, lon, lat) table a
+    * spatial join wants: rows without a complete GPS sub-IFD drop.
+    * Same per-task prober, no shuffle; decimal degrees signed by
+    * hemisphere ref. */
+  def probeJpegGps(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("lon", DoubleType, nullable = false),
+      StructField("lat", DoubleType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        JpegExif.probe(payload).flatMap { m =>
+          for (la <- m.gpsLat; lo <- m.gpsLon)
+            yield Row(r.getLong(0), lo, la)
         }
       }
     }(encoder)

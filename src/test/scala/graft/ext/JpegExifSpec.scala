@@ -23,6 +23,33 @@ class JpegExifSpec extends AnyFunSuite {
     }
   }
 
+  test("GPS sub-IFD round trip: both byte orders, all four hemisphere " +
+       "combinations, sub-second rationals, GPS-less files yield None") {
+    for (le <- Seq(true, false);
+         (latRef, lonRef, sLat, sLon) <- Seq(("N", "E", 1, 1),
+           ("S", "E", -1, 1), ("N", "W", 1, -1), ("S", "W", -1, -1))) {
+      val b = JpegExif.encodeJpeg(littleEndian = le, xDensity = 72,
+        yDensity = 72, make = "camG", orientation = 1,
+        datetime = "2026:02:03 04:05:00", width = 16, height = 16,
+        progressive = false,
+        gps = Some(JpegExif.GpsFix(latRef, 28, 39, 1234,
+          lonRef, 77, 5, 4321)))
+      val m = JpegExif.probe(b).get
+      // the non-GPS fields survive the extra IFD0 entry + sub-IFD
+      assert(m.make == "camG" && m.datetime == "2026:02:03 04:05:00")
+      val wantLat = sLat * (28.0 + 39.0 / 60.0 + (1234.0 / 100.0) / 3600.0)
+      val wantLon = sLon * (77.0 + 5.0 / 60.0 + (4321.0 / 100.0) / 3600.0)
+      assert(m.gpsLat.contains(wantLat), s"lat le=$le $latRef")
+      assert(m.gpsLon.contains(wantLon), s"lon le=$le $lonRef")
+    }
+    val plain = JpegExif.encodeJpeg(littleEndian = true, xDensity = 72,
+      yDensity = 72, make = "c", orientation = 1,
+      datetime = "2026:01:01 00:00:00", width = 8, height = 8,
+      progressive = false)
+    val m = JpegExif.probe(plain).get
+    assert(m.gpsLat.isEmpty && m.gpsLon.isEmpty)
+  }
+
   test("progressive SOF2 is recognized") {
     val b = JpegExif.encodeJpeg(littleEndian = true, xDensity = 72,
       yDensity = 72, make = "c", orientation = 1,
