@@ -56,6 +56,28 @@ object ByteBpeProbe {
       val dt = (System.nanoTime() - t1) / 1e9
       println(f"[probe] rules=$k%4d rep=$rep tokens=$n time=$dt%.3f s")
     }
+    // PRODUCTION-size half: the trained table padded to 1k/5k/50k with
+    // inert rules (invalid-UTF-8 chains — fire on nothing, so the scan
+    // measures pure per-rule kernel cost). Past BpeKernel's threshold
+    // the encoder switches to the min-rank hash loop, whose cost is
+    // rule-count-INDEPENDENT — this prints the proof. Compile cost is
+    // timed separately (once per table per executor in production).
+    for (k <- Seq(1000, 5000, 50000)) {
+      val big = graft.functions.ByteBpe.padWithInertRules(table, k)
+      val tc = System.nanoTime()
+      graft.functions.BpeKernel.compile(big)
+      val compileSec = (System.nanoTime() - tc) / 1e9
+      for (rep <- 1 to 3) {
+        val t1 = System.nanoTime()
+        val n = docs.select(sum(col("doc_id") * 0 +
+            graft.functions.ByteBpeStats(col("text"), big)
+              .getField("n_byte_tokens")))
+          .head().getLong(0)
+        val dt = (System.nanoTime() - t1) / 1e9
+        println(f"[probe] rules=$k%5d rep=$rep tokens=$n " +
+          f"time=$dt%.3f s (compile=$compileSec%.3f s)")
+      }
+    }
     spark.stop()
   }
 }

@@ -44,6 +44,24 @@ object BpeKernel {
   /** A compiled rule: left symbol, right symbol, concatenation. */
   final case class Rule(p1: String, p2: String, merged: String)
 
+  /** [[compile]] through a JVM-wide content-keyed cache — the
+    * production-table path: the merge table rides into every task
+    * inside the expression tree (broadcast-literal discipline), so
+    * each deserialized task closure holds its OWN equal-but-distinct
+    * Seq. Compiling per task costs ~0.4 s at 50k rules (measured,
+    * ByteBpeProbe) and defeats the identity-keyed rank-map cache;
+    * content keying returns ONE shared compiled array per distinct
+    * table per executor JVM, so compile + rank-map build happen once
+    * per executor, not once per task. Bounded like the rank cache. */
+  def compileCached(merges: Seq[(String, String)]): Array[Rule] = {
+    if (compiled.size > 64) compiled.clear()
+    compiled.computeIfAbsent(merges.toVector, m => compile(m))
+  }
+
+  @transient private lazy val compiled =
+    new java.util.concurrent.ConcurrentHashMap[
+      Vector[(String, String)], Array[Rule]]()
+
   /** Validate well-formedness and precompute merged strings. Every
     * component must be a single character or the output of a STRICTLY
     * earlier rule, and outputs must be distinct and multi-char — the
@@ -89,8 +107,43 @@ object BpeKernel {
     out.toArray
   }
 
-  /** Greedy BPE segmentation of one word: rank-order merge loop. */
+  /** Rule-count threshold above which [[encodeWord]] switches from the
+    * rank-order rule SWEEP (O(rules·len) per distinct word — unbeatable
+    * for the small in-engine trained tables, zero allocation) to the
+    * GPT-2 encoder's min-rank loop over a precompiled pair→rank hash
+    * (O(len²) per word, INDEPENDENT of rule count). At production
+    * vocabulary size (50k merges) the sweep pays 50k scans per distinct
+    * word; the hash path pays ~len lookups per round. The two loops are
+    * provably equivalent on well-formed tables ([[compile]]'s
+    * invariants; BpeSpec/ByteBpeSpec pin it), so the switch changes no
+    * segmentation — only the constant. */
+  val MinRankThreshold = 512
+
+  // pair→rank hashes, one per compiled table (keyed by array identity —
+  // each expression instance compiles once); built on first use
+  @transient private lazy val rankMaps =
+    new java.util.concurrent.ConcurrentHashMap[Array[Rule],
+      java.util.HashMap[(String, String), Integer]]()
+
+  private def rankMapOf(rules: Array[Rule])
+      : java.util.HashMap[(String, String), Integer] = {
+    // bound the identity-keyed cache: a long session constructing many
+    // large-table expressions must not pin every table forever
+    if (rankMaps.size > 64) rankMaps.clear()
+    rankMaps.computeIfAbsent(rules, rs => {
+      val m = new java.util.HashMap[(String, String), Integer](
+        rs.length * 2)
+      var i = 0
+      while (i < rs.length) { m.put((rs(i).p1, rs(i).p2), i); i += 1 }
+      m
+    })
+  }
+
+  /** Greedy BPE segmentation of one word: rank-order merge loop for
+    * small tables, min-rank hash loop past [[MinRankThreshold]]. */
   def encodeWord(word: String, rules: Array[Rule]): Array[String] = {
+    if (rules.length >= MinRankThreshold)
+      return encodeWordByRank(word, rules, rankMapOf(rules))
     val syms = codePoints(word)
     val n = syms.length
     if (n == 0) return Array.empty[String]
@@ -117,25 +170,22 @@ object BpeKernel {
     java.util.Arrays.copyOfRange(syms, 0, len)
   }
 
-  /** Reference repeated-min-rank formulation (the GPT-2 encoder loop) —
-    * used by the spec to assert the equivalence the oracle relies on;
-    * not on any hot path. */
-  def encodeWordMinRank(word: String, rules: Array[Rule]): Array[String] = {
-    val rank = rules.iterator.zipWithIndex
-      .map { case (r, i) => (r.p1, r.p2) -> i }.toMap
+  /** The min-rank loop over a precompiled pair→rank hash — the
+    * production-table hot path of [[encodeWord]]. */
+  private def encodeWordByRank(word: String, rules: Array[Rule],
+      rank: java.util.HashMap[(String, String), Integer])
+      : Array[String] = {
     var syms = codePoints(word)
     var done = syms.length <= 1
     while (!done) {
       var best = Int.MaxValue
-      var at = -1
       var i = 0
       while (i < syms.length - 1) {
-        rank.get((syms(i), syms(i + 1))).foreach { r =>
-          if (r < best) { best = r; at = i }
-        }
+        val r = rank.get((syms(i), syms(i + 1)))
+        if (r != null && r < best) best = r
         i += 1
       }
-      if (at < 0) done = true
+      if (best == Int.MaxValue) done = true
       else {
         // merge ALL occurrences of the best pair, left to right
         val rule = rules(best)
@@ -151,6 +201,18 @@ object BpeKernel {
       }
     }
     syms
+  }
+
+  /** Reference repeated-min-rank formulation (the GPT-2 encoder loop) —
+    * used by the spec to assert the equivalence the oracle relies on;
+    * identical algebra to [[encodeWordByRank]] minus the cached map. */
+  def encodeWordMinRank(word: String, rules: Array[Rule]): Array[String] = {
+    val rank = new java.util.HashMap[(String, String), Integer](
+      rules.length * 2)
+    rules.iterator.zipWithIndex.foreach { case (r, i) =>
+      rank.put((r.p1, r.p2), i)
+    }
+    encodeWordByRank(word, rules, rank)
   }
 
   /** The shared text→subwords pass: lowercase, whitespace-split (the
@@ -188,7 +250,7 @@ case class BpeSubwords(child: Expression, merges: Seq[(String, String)])
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  @transient private lazy val rules = BpeKernel.compile(merges)
+  @transient private lazy val rules = BpeKernel.compileCached(merges)
 
   // per-(instance, thread) word cache: instances are per-task after
   // deserialization, and each instance carries exactly one merge table,
@@ -231,7 +293,7 @@ case class BpeExplode(child: Expression, merges: Seq[(String, String)])
     StructField("word_idx", IntegerType, nullable = false),
     StructField("subword", StringType, nullable = false)))
 
-  @transient private lazy val rules = BpeKernel.compile(merges)
+  @transient private lazy val rules = BpeKernel.compileCached(merges)
   @transient private lazy val cache
       : ThreadLocal[java.util.HashMap[String, Array[String]]] =
     ThreadLocal.withInitial(() =>

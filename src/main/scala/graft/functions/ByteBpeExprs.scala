@@ -82,7 +82,107 @@ object ByteBpe {
     * strings: UTF-8-encode then Latin-1-wrap each side. */
   def rule(p1: String, p2: String): (String, String) =
     (byteSyms(p1), byteSyms(p2))
-}
+
+  /** GPT-2's `bytes_to_unicode` visible alphabet (encoder.py): the 188
+    * printable ASCII/Latin-1 bytes map to themselves; the remaining 68
+    * (controls, space, DEL, 0xA0, 0xAD) map to U+0100+k in byte order —
+    * which is why the space byte renders as 'Ġ' (U+0120) in every
+    * published merges.txt. Total bijection byte ↔ visible char. */
+  val byteToVisible: Array[Char] = {
+    val direct = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var k = 0
+    (0 until 256).map { b =>
+      if (direct(b)) b.toChar
+      else { val c = (256 + k).toChar; k += 1; c }
+    }.toArray
+  }
+
+  private val visibleToByte: Map[Char, Int] =
+    byteToVisible.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** Decode one merges.txt token (visible alphabet) into the internal
+    * Latin-1 byte-symbol string [[BpeKernel.compile]] consumes. Fails
+    * closed on characters outside the 256-char alphabet. */
+  def decodeVisible(tok: String): String = {
+    val cs = new Array[Char](tok.length)
+    var i = 0
+    while (i < tok.length) {
+      cs(i) = visibleToByte.getOrElse(tok(i),
+        throw new IllegalArgumentException(
+          f"not a GPT-2 visible-alphabet char: U+${tok(i).toInt}%04X " +
+            s"in '$tok'")).toChar
+      i += 1
+    }
+    new String(cs)
+  }
+
+  private def encodeVisible(syms: String): String =
+    syms.map(c => byteToVisible(c.toInt)).mkString
+
+  /** Parse a GPT-2/RoBERTa-format `merges.txt` (the format tiktoken's
+    * published BPE vocabularies and every HuggingFace byte-level
+    * tokenizer ship): optional `#version` header, then one
+    * space-separated visible-alphabet pair per line in rank order.
+    * Tokens never contain a RAW space (the space byte renders as 'Ġ'),
+    * so the single-space split is exact. Returns the internal
+    * byte-symbol pairs ready for [[BpeKernel.compile]]. */
+  def parseGpt2Merges(content: String): Seq[(String, String)] =
+    content.linesIterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val sp = l.indexOf(' ')
+        require(sp > 0 && l.indexOf(' ', sp + 1) < 0,
+          s"malformed merges line (want 'A B'): '$l'")
+        (decodeVisible(l.substring(0, sp)),
+          decodeVisible(l.substring(sp + 1)))
+      }
+      .toSeq
+
+  /** Writer dual of [[parseGpt2Merges]] — round-trips any well-formed
+    * byte-level table through the published file format. */
+  def renderGpt2Merges(merges: Seq[(String, String)]): String =
+    ("#version: 0.2" +: merges.map { case (a, b) =>
+      encodeVisible(a) + " " + encodeVisible(b)
+    }).mkString("\n")
+
+  /** Pad a trained table to `n` rules with INERT rules over the 8
+    * byte values 0xF8–0xFF — bytes no valid UTF-8 encoding ever emits,
+    * so [[byteSyms]] of any real string never contains them and the
+    * pad rules can never fire: segmentation under the padded table is
+    * IDENTICAL to the trained prefix (ByteBpeSpec-pinned). This is the
+    * measurement scaffold for the production-size (50k-rule) kernel-
+    * cost question — the pad isolates per-rule overhead from merge
+    * behavior. Enumeration is breadth-first over strings on the inert
+    * alphabet (rule for string `w` = (init(w), last(w))), so tokens
+    * stay SHORT (≤ 6 bytes at 50k rules — realistic: published GPT-2
+    * tokens are ≤ ~20 bytes; a first cut with ever-growing chains put
+    * 156M chars in the table and made render/parse look quadratic),
+    * every output is distinct, and every left component is a strictly
+    * earlier output ([[BpeKernel.compile]]'s invariants). */
+  def padWithInertRules(trained: Seq[(String, String)], n: Int)
+      : Seq[(String, String)] = {
+    require(n >= trained.size, s"n=$n below trained size ${trained.size}")
+    val inv = (0xF8 to 0xFF).map(_.toChar)
+    val pad = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var frontier: Vector[String] = inv.map(_.toString).toVector
+    while (trained.size + pad.size < n) {
+      val next = Vector.newBuilder[String]
+      var i = 0
+      while (i < frontier.length && trained.size + pad.size < n) {
+        val w = frontier(i)
+        var j = 0
+        while (j < inv.length && trained.size + pad.size < n) {
+          pad += ((w, inv(j).toString))
+          next += (w + inv(j))
+          j += 1
+        }
+        i += 1
+      }
+      frontier = next.result()
+    }
+    trained ++ pad
+  }}
 
 /** `gpt2_pretokens(text)`: the document's GPT-2 pre-token sequence as
   * an array column — the census/training surface ([[ByteBpeStats]] is
@@ -146,8 +246,15 @@ object ByteSymsExpr {
   * the compiled merge table — the real denomination of training-run
   * budgets. One zero-shuffle native expression; a per-(instance,
   * thread) pre-token cache exploits Zipfian repetition exactly like
-  * [[BpeSubwords]]. */
-case class ByteBpeStats(child: Expression, merges: Seq[(String, String)])
+  * [[BpeSubwords]].
+  *
+  * The table rides in the tree as ONE rendered merges.txt STRING, not
+  * a Seq of 2·n small strings: at production size (50k rules) the Seq
+  * form cost ~7 s/query in closure serde alone (measured,
+  * ByteBpeProbe) — 100k java strings serialized per task — where one
+  * ~0.5 MB string is a single buffer copy; [[BpeKernel.compileCached]]
+  * keyed on that string compiles once per executor JVM. */
+case class ByteBpeStats(child: Expression, mergesTxt: String)
     extends UnaryExpression with CodegenFallback
     with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
@@ -157,7 +264,15 @@ case class ByteBpeStats(child: Expression, merges: Seq[(String, String)])
     StructField("n_bytes", LongType, nullable = false),
     StructField("n_byte_tokens", LongType, nullable = false)))
 
-  @transient private lazy val rules = BpeKernel.compile(merges)
+  @transient private lazy val rules =
+    BpeKernel.compileCached(ByteBpe.parseGpt2Merges(mergesTxt))
+
+  // the table must NOT render into plan strings: treeString repeats
+  // the expression once per operator/column reference, and Catalyst
+  // truncates Seq arguments but never String ones — a 50k-rule table
+  // (~0.6 MB) OOMed the driver in AQE's explain before this override
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"<merges:${mergesTxt.length}B>")
 
   // pretoken -> (byte count, token count); instance-scoped like the
   // BpeSubwords cache (one merge table per instance, no cross-table
@@ -198,5 +313,6 @@ case class ByteBpeStats(child: Expression, merges: Seq[(String, String)])
 
 object ByteBpeStats {
   def apply(text: Column, merges: Seq[(String, String)]): Column =
-    GraftBridge.column(ByteBpeStats(GraftBridge.expression(text), merges))
+    GraftBridge.column(ByteBpeStats(GraftBridge.expression(text),
+      ByteBpe.renderGpt2Merges(merges)))
 }

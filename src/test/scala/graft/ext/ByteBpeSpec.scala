@@ -168,6 +168,43 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(at200.values.sum < at20.values.sum)
   }
 
+  test("production-size table: a 50k-rule GPT-2-format merges file " +
+    "parses, compiles, and tokenizes IDENTICALLY to its trained prefix") {
+    // the trained fixture merges padded to 50,000 rules with inert
+    // chains (invalid-UTF-8 bytes — can never fire on real text), then
+    // round-tripped through the published merges.txt format
+    val trained = TextOps.byteBpeFixtureMerges
+    val big = ByteBpe.padWithInertRules(trained, 50000)
+    assert(big.size == 50000)
+    val file = ByteBpe.renderGpt2Merges(big)
+    val parsed = ByteBpe.parseGpt2Merges(file)
+    assert(parsed == big, "merges.txt round trip broke")
+    val rules = BpeKernel.compile(parsed)        // well-formed at 50k
+    assert(rules.length == 50000)
+    val small = BpeKernel.compile(trained)
+    // the 50k table takes the min-rank hash path (>= threshold), the
+    // trained prefix the sweep path — and every real pre-token must
+    // segment identically because the pad is inert
+    assert(rules.length >= BpeKernel.MinRankThreshold)
+    assert(small.length < BpeKernel.MinRankThreshold)
+    val texts = Seq("it's  two  spaces ", "дd 😀! don't stop",
+      "水水水 water 99'", "x=42; a[i]*99 !!'s 'quote",
+      "the quick brown fox jumps over 42 lazy dogs")
+    texts.foreach { t =>
+      Gpt2Split.pretokenize(t).foreach { p =>
+        val syms = ByteBpe.byteSyms(p)
+        val a = BpeKernel.encodeWord(syms, small).toSeq
+        val b = BpeKernel.encodeWord(syms, rules).toSeq
+        assert(a == b, s"50k segmentation diverged on '$p': $a vs $b")
+      }
+    }
+    // the famous visible-alphabet fact: the space byte renders as Ġ,
+    // and a real-world-style merges line decodes to (space, t)
+    assert(ByteBpe.byteToVisible(0x20) == 'Ġ')
+    assert(ByteBpe.parseGpt2Merges("#version: 0.2\nĠ t") ==
+      Seq((" ", "t")))
+  }
+
   test("ByteBpeStats expression matches the kernel composition") {
     import spark.implicits._
     val texts = Seq("it's  two  spaces ", "水水水 water 99'",
