@@ -93,7 +93,10 @@ object Plans {
       "x129_crawl_traps" -> "Crawl-trap census: host/path/query splits + the digit-collapse regex in the scan stage, then ONE hash agg per host whose three distinct-counts expand map-side — no join, no sort, dimension-sized output.",
       "x114b_frontier_stateless" -> "Stateless frontier twin: x114's composition with the narrow url projection RECOMPUTED per branch (no checkpoint scan in the plan) — the 100 TB shape; the per-branch codegen'd URL chains are the measured Janino cost the checkpointed twin dodges at fixture scale.",
       "x137_ranked_frontier" -> "Authority-ranked frontier: the x116 schedule joined to the checkpointed rank vector, priority as a codegen'd product, and the global fetch-next cut as TakeOrderedAndProject — a bounded top-k per tick, never a full-corpus sort.",
-      "x138_cocitation" -> "Co-citation: the edge-sized checkpoint self-joined on the source key (ordered pairs), counts collapsing map-side — pair volume bounded by out-degree squared, the cluster-bounded shape.")
+      "x138_cocitation" -> "Co-citation: the edge-sized checkpoint self-joined on the source key (ordered pairs), counts collapsing map-side — pair volume bounded by out-degree squared, now capped upstream (maxOutDeg drops mega-hubs before the self-join).",
+      "x145_crawl_budget" -> "Hamilton crawl-budget apportionment: quota algebra as per-row columns over one broadcast rank sum; the remainder is a TakeOrderedAndProject top-R cut broadcast back as a membership flag — NO single-partition window anywhere in the plan.",
+      "x148_geotagged_join" -> "EXIF GPS x pixel grid: the GPS sub-IFD walk is a per-task mapPartitions over the payload scan (no shuffle to extract fixes), the fix table broadcasts into the J1 cell equi-join — the raster side never shuffles.",
+      "x149_kn3_score" -> "Trigram Kneser-Ney: occurrence rows collapse map-side, five model tables all bounded by distinct-trigram cardinality join back by content key, type total is ONE broadcast row, per-doc ordered fold — the x144 plan one order higher.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")
