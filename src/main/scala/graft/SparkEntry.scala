@@ -911,6 +911,65 @@ object SparkEntry {
       ext.Dedup.jaccardPairs(t(s, d, "documents"), shingleK = 3,
         minJaccard = 0.4)),
 
+    // x150 — LSH PARAMETER tuning over the corpus's own verified
+    // near-dup pairs: for each exact-Jaccard pair, the S-curve
+    // detection probability P = 1 − (1 − s^r)^b under the engine's
+    // banding (b=4, r=4 — x2's default) and the two neighbor designs,
+    // plus the at-risk flag (P < 0.99 under the primary) — the report
+    // an engineer reads before committing banding parameters: which
+    // KNOWN duplicates would the candidate generator miss. Exponents
+    // are powers of two computed by explicit squaring chains — IEEE
+    // multiplications in a fixed order, so both engines agree to the
+    // bit with NO pow() (libm pow is not reproducible cross-engine).
+    "x150_lsh_tuning" -> ((s, d) => {
+      val pairs = ext.Dedup.jaccardPairs(t(s, d, "documents"),
+        shingleK = 3, minJaccard = 0.4)
+      def pow2(c: Column, k: Int): Column =
+        (1 to k).foldLeft(c)((x, _) => x * x)
+      def pDet(rLog2: Int, bLog2: Int): Column =
+        lit(1.0) - pow2(lit(1.0) - pow2(col("jaccard"), rLog2), bLog2)
+      pairs
+        .withColumn("p_b4r4", pDet(2, 2))
+        .withColumn("p_b8r2", pDet(1, 3))
+        .withColumn("p_b2r8", pDet(3, 1))
+        .withColumn("at_risk", pDet(2, 2) < 0.99)
+    }),
+
+    // x151 — ZIPF-law fit over the vocabulary head: least-squares
+    // slope/intercept of ln(count) vs ln(rank) for the top-1000 terms
+    // — the corpus-health scalar every profiling pass reports (natural
+    // text sits near slope −1; a synthetic or boilerplate-heavy corpus
+    // doesn't). The head cut is TakeOrderedAndProject (never a global
+    // sort of the vocabulary); the rank window orders ≤1000 rows; the
+    // regression sums are decimal-routed (partitioning-invariant) and
+    // the outputs round to 6dp (ln() differs across libms in the last
+    // ulp — the x5 convention).
+    "x151_zipf_fit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, d, "documents")
+        .select(explode(filter(split(lower(col("text")), "\\s+"),
+          t => length(t) > 0)).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("term")).limit(1000)
+      val w = Window.orderBy(desc("n"), col("term"))
+      val pts = counts.withColumn("rnk", row_number().over(w))
+        .select(log(col("rnk").cast("double")).as("x"),
+          log(col("n").cast("double")).as("y"))
+      pts.agg(count(lit(1)).cast("double").as("k"),
+          sumD(col("x"), 18).as("sx"),
+          sumD(col("y"), 18).as("sy"),
+          sumD(col("x") * col("x"), 18).as("sxx"),
+          sumD(col("x") * col("y"), 18).as("sxy"))
+        .select(col("k").cast("long").as("n_terms"),
+          round((col("k") * col("sxy") - col("sx") * col("sy")) /
+            (col("k") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("slope"),
+          round((col("sy") - ((col("k") * col("sxy") -
+            col("sx") * col("sy")) /
+            (col("k") * col("sxx") - col("sx") * col("sx"))) *
+            col("sx")) / col("k"), 6).as("intercept"))
+    }),
+
     // ---- extensions: similarity search
     // cos is rounded to 6dp for the oracle: engines' SIMD vs sequential
     // fp accumulation differ in the last ulp; ranking uses the exact value
@@ -4911,6 +4970,50 @@ object SparkEntry {
     "x4_dedup_jaccard" ->
       s"""WITH $jaccardEdgeCtes
           SELECT doc_a, doc_b, jaccard FROM edges""",
+
+    // x150 — the same exact-jaccard edges, the S-curve replayed with
+    // the IDENTICAL squaring chains (bit-exact IEEE multiplication
+    // order; no pow())
+    "x150_lsh_tuning" -> {
+      def pow2(e: String, k: Int): String =
+        (1 to k).foldLeft(e)((x, _) => s"($x * $x)")
+      def pDet(rLog2: Int, bLog2: Int): String =
+        s"(1.0 - ${pow2(s"(1.0 - ${pow2("jaccard", rLog2)})", bLog2)})"
+      s"""WITH $jaccardEdgeCtes
+          SELECT doc_a, doc_b, jaccard,
+                 ${pDet(2, 2)} AS p_b4r4,
+                 ${pDet(1, 3)} AS p_b8r2,
+                 ${pDet(3, 1)} AS p_b2r8,
+                 (${pDet(2, 2)} < 0.99) AS at_risk
+          FROM edges"""
+    },
+
+    // x151 — census → top-1000 head → the same least-squares algebra
+    // over ln(rank)/ln(count), decimal-routed sums, 6dp round
+    "x151_zipf_fit" ->
+      s"""WITH toks AS (
+            SELECT unnest(list_filter(
+              regexp_split_to_array(lower(text), '\\s+'),
+              t -> length(t) > 0)) AS term
+            FROM documents),
+          cnt AS (SELECT term, COUNT(*) AS n FROM toks GROUP BY term
+                  ORDER BY n DESC, term LIMIT 1000),
+          pts AS (SELECT ln(CAST(row_number() OVER
+                      (ORDER BY n DESC, term) AS DOUBLE)) AS x,
+                    ln(CAST(n AS DOUBLE)) AS y
+                  FROM cnt),
+          agg AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+                    ${graft.ops.Stable.sumSql("x", 18)} AS sx,
+                    ${graft.ops.Stable.sumSql("y", 18)} AS sy,
+                    ${graft.ops.Stable.sumSql("x * x", 18)} AS sxx,
+                    ${graft.ops.Stable.sumSql("x * y", 18)} AS sxy
+                  FROM pts)
+          SELECT CAST(k AS BIGINT) AS n_terms,
+                 round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+                   AS slope,
+                 round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx))
+                        * sx) / k, 6) AS intercept
+          FROM agg""",
 
     // x27 — the oracle computes components by a DIFFERENT algorithm
     // (recursive-CTE transitive closure + min-reachable) than the engine's

@@ -146,6 +146,91 @@ object ByteBpe {
       encodeVisible(a) + " " + encodeVisible(b)
     }).mkString("\n")
 
+  /** Parse a tiktoken-format rank file (the `.tiktoken` encoding the
+    * tiktoken library publishes for the GPT-3.5/4 vocabularies): one
+    * `base64(token_bytes) rank` pair per line. Returns token (Latin-1
+    * byte-symbol string) → rank. */
+  def parseTiktokenRanks(content: String): Map[String, Int] = {
+    val b64 = java.util.Base64.getDecoder
+    content.linesIterator.filter(_.nonEmpty).map { l =>
+      val sp = l.lastIndexOf(' ')
+      require(sp > 0, s"malformed tiktoken line (want 'b64 rank'): '$l'")
+      val bytes = b64.decode(l.substring(0, sp))
+      val cs = new Array[Char](bytes.length)
+      var i = 0
+      while (i < bytes.length) { cs(i) = (bytes(i) & 0xFF).toChar; i += 1 }
+      new String(cs) -> l.substring(sp + 1).toInt
+    }.toMap
+  }
+
+  /** Writer dual of [[parseTiktokenRanks]]. */
+  def renderTiktokenRanks(ranks: Map[String, Int]): String = {
+    val b64 = java.util.Base64.getEncoder
+    ranks.toSeq.sortBy(_._2).map { case (tok, r) =>
+      val bytes = new Array[Byte](tok.length)
+      var i = 0
+      while (i < tok.length) { bytes(i) = tok(i).toByte; i += 1 }
+      b64.encodeToString(bytes) + " " + r
+    }.mkString("\n")
+  }
+
+  /** The rank vocabulary a merge table IMPLIES — how the GPT-2 merges
+    * and the tiktoken ranks relate: the 256 single bytes take ranks
+    * 0–255 (byte order), merge outputs take 256 + merge index. Under
+    * this vocabulary tiktoken's rank-based encoder segments exactly
+    * like the merge loop ([[encodeWordByRanks]]; ByteBpeSpec pins the
+    * equivalence corpus-wide). */
+  def ranksFromMerges(merges: Seq[(String, String)]): Map[String, Int] = {
+    val singles = (0 until 256).map(b => b.toChar.toString -> b)
+    val outs = merges.zipWithIndex.map { case ((a, b), i) =>
+      (a + b) -> (256 + i) }
+    (singles ++ outs).toMap
+  }
+
+  /** tiktoken's `byte_pair_merge`: repeatedly merge the adjacent pair
+    * whose CONCATENATION has the lowest vocabulary rank, until no
+    * adjacent concatenation is in the vocabulary — BPE expressed over
+    * ranks alone, no merge-pair table. On a vocabulary built by BPE
+    * training (every ≥2-byte token is the concatenation of exactly the
+    * two tokens its merge fused, ranked in training order) this yields
+    * the same segmentation as the merge loop. Ties (impossible in a
+    * well-formed vocab — ranks are distinct) break leftmost. */
+  def encodeWordByRanks(syms: String, ranks: Map[String, Int])
+      : Array[String] = {
+    var parts = BpeKernel.codePoints(syms)
+    var done = parts.length <= 1
+    while (!done) {
+      var best = Int.MaxValue
+      var at = -1
+      var i = 0
+      while (i < parts.length - 1) {
+        ranks.get(parts(i) + parts(i + 1)).foreach { r =>
+          if (r < best) { best = r; at = i }
+        }
+        i += 1
+      }
+      if (at < 0) done = true
+      else {
+        // merge ALL adjacent occurrences of the winning PAIR left to
+        // right (the merge loop's per-rule sweep image; pair equality,
+        // not concatenation equality — two different splits can
+        // concatenate to the same string)
+        val p1 = parts(at); val p2 = parts(at + 1)
+        val merged = p1 + p2
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < parts.length) {
+          if (j + 1 < parts.length && parts(j) == p1 &&
+            parts(j + 1) == p2) { out += merged; j += 2 }
+          else { out += parts(j); j += 1 }
+        }
+        parts = out.toArray
+        done = parts.length <= 1
+      }
+    }
+    parts
+  }
+
   /** Pad a trained table to `n` rules with INERT rules over the 8
     * byte values 0xF8–0xFF — bytes no valid UTF-8 encoding ever emits,
     * so [[byteSyms]] of any real string never contains them and the

@@ -636,6 +636,25 @@ class PlanSpec extends AnyFunSuite {
       s"remainder cut sorts globally:\n$p")
   }
 
+  test("x148 geotagged join: GPS fixes broadcast into the cell join — " +
+       "the raster side never shuffles") {
+    val p = executed("x148_geotagged_join").toString
+    assert(p.contains("BroadcastHashJoin"), s"cell join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"raster side shuffles:\n$p")
+  }
+
+  test("x149 trigram KN: model joins are content-keyed, the type total " +
+       "is a broadcast row, no global sort") {
+    val p = executed("x149_kn3_score").toString
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    // the one-row type total enters as a broadcast cross join, never a
+    // shuffled join; and nothing in the plan globally sorts
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"),
+      s"type total is not a broadcast row:\n$p")
+    assert(!p.contains("\n   Sort ") && !p.contains("GlobalSort"),
+      s"global sort in plan:\n$p")
+  }
+
   test("x126 stored binary ANN: the Hamming scan reads only the words " +
        "table — no embedding column until the bounded rerank join") {
     val p = planString("x126_binary_stored_ann")

@@ -205,6 +205,42 @@ class ByteBpeSpec extends AnyFunSuite {
       Seq((" ", "t")))
   }
 
+  test("tiktoken rank-file interop: ranks round-trip through base64, " +
+    "and the rank-based encoder segments exactly like the merge loop") {
+    import spark.implicits._
+    // a REAL trained table (the in-engine path) → its implied rank
+    // vocabulary → the published .tiktoken file format and back
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), concat(col("text"), lit(" "),
+        element_at(typedLit(Seq("it's  two  spaces ", "дd 😀! don't stop",
+          "水水水 water 99'", "x=42; a[i]*99 !!'s 'quote")),
+          (col("doc_id") % 4).cast("int") + 1)).as("text"))
+    val table = TextOps.trainByteBpeMerges(docs, nMerges = 60)
+      .map(m => (m._1, m._2))
+    val ranks = ByteBpe.ranksFromMerges(table)
+    val back = ByteBpe.parseTiktokenRanks(
+      ByteBpe.renderTiktokenRanks(ranks))
+    assert(back == ranks, "tiktoken file round trip broke")
+    // corpus-wide: tiktoken's rank loop ≡ the merge loop, pre-token by
+    // pre-token (the equivalence that lets a published .tiktoken vocab
+    // drive the same kernel)
+    val rules = BpeKernel.compile(table)
+    val sample = docs.select("text").as[String].collect()
+    var checked = 0
+    sample.foreach { t =>
+      Gpt2Split.pretokenize(t).foreach { p =>
+        val syms = ByteBpe.byteSyms(p)
+        val a = BpeKernel.encodeWord(syms, rules).toSeq
+        val b = ByteBpe.encodeWordByRanks(syms, ranks).toSeq
+        assert(a == b, s"rank loop diverged on '$p': $a vs $b")
+        checked += 1
+      }
+    }
+    assert(checked > 1000, s"fixture too small: $checked pretokens")
+    // and a hand-read line: 'YWI= 256' is the bytes "ab" at rank 256
+    assert(ByteBpe.parseTiktokenRanks("YWI= 256") == Map("ab" -> 256))
+  }
+
   test("ByteBpeStats expression matches the kernel composition") {
     import spark.implicits._
     val texts = Seq("it's  two  spaces ", "水水水 water 99'",
