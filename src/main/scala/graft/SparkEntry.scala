@@ -2097,6 +2097,34 @@ object SparkEntry {
         ext.TextOps.tokenCount(col("text")).as("n_tokens"),
         ext.TextOps.subwordCount(col("text")).as("n_subwords"))),
 
+    // x152 — SHARD MANIFEST: the dataset-versioning artifact a
+    // reproducible training run ships — per deterministic shard
+    // (doc_id mod 16): doc count, char mass, and an order-independent
+    // SET digest (bit_xor of mix64(fingerprint ⊕ doc_id) — the mix
+    // makes per-row values unique so byte-identical duplicate docs
+    // cannot XOR-cancel), plus the corpus ROOT row (shard −1) whose
+    // digest XORs across everything. Two runs producing the same
+    // manifest produced the same corpus; a single flipped byte flips
+    // the row fingerprint, the shard digest, and the root. Pure
+    // partial+final aggregation — partials collapse map-side at any
+    // corpus size, XOR is partitioning-invariant by construction.
+    "x152_shard_manifest" -> ((s, d) => {
+      val base = t(s, d, "documents").select(
+        (col("doc_id") % 16).cast("int").as("shard"),
+        length(col("text")).cast("long").as("nc"),
+        graft.functions.HashExprs.mix64_col(
+          ext.TextOps.fingerprint(col("text"))
+            .bitwiseXOR(col("doc_id"))).as("rd"))
+      val perShard = base.groupBy("shard").agg(
+        count(lit(1)).as("n_docs"), sum("nc").as("n_chars"),
+        expr("bit_xor(rd)").as("digest"))
+      val root = base.agg(count(lit(1)).as("n_docs"),
+          sum("nc").as("n_chars"), expr("bit_xor(rd)").as("digest"))
+        .select(lit(-1).as("shard"), col("n_docs"), col("n_chars"),
+          col("digest"))
+      perShard.unionByName(root)
+    }),
+
     "x10_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(
         col("doc_id"), ext.TextOps.fingerprint(col("text")).as("fp"))),
@@ -5712,6 +5740,49 @@ object SparkEntry {
                                + acc // 576460752303423488::HUGEINT, h))
              AS ufp
            FROM documents)""",
+
+    // x152 — the x10 fingerprint chain feeding mix64 (the x107 HUGEINT
+    // replay) and bit_xor digests, per shard and at the root
+    "x152_shard_manifest" ->
+      s"""WITH fp AS (
+           SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS shard,
+             CAST(length(text) AS BIGINT) AS nc,
+             list_reduce(
+               list_prepend(0::HUGEINT,
+                 list_transform(regexp_split_to_array(lower(text), '\\s+'), t ->
+                   list_reduce(
+                     list_prepend(14695981039346656037::HUGEINT,
+                       list_transform(range(1, length(t) + 1), i ->
+                         unicode(substr(t, CAST(i AS INTEGER), 1))::HUGEINT)),
+                     (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
+                               % 18446744073709551616::HUGEINT))),
+               (acc, h) -> xor((acc * 32::HUGEINT)
+                               % 18446744073709551616::HUGEINT
+                               + acc // 576460752303423488::HUGEINT, h))
+             AS ufp
+           FROM documents),
+         m0 AS (SELECT shard, nc, xor(ufp, doc_id::HUGEINT) AS u0 FROM fp),
+         m1 AS (SELECT *, ${mulmodSql(
+               "xor(u0, u0 // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM m0),
+         m2 AS (SELECT *, ${mulmodSql(
+               "xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM m1),
+         m3 AS (SELECT shard, nc,
+                  CAST(CASE WHEN xor(u2, u2 // 2147483648::HUGEINT)
+                                 >= 9223372036854775808::HUGEINT
+                            THEN xor(u2, u2 // 2147483648::HUGEINT)
+                                 - 18446744073709551616::HUGEINT
+                            ELSE xor(u2, u2 // 2147483648::HUGEINT)
+                       END AS BIGINT) AS rd
+                FROM m2)
+         SELECT shard, COUNT(*) AS n_docs,
+                CAST(SUM(nc) AS BIGINT) AS n_chars,
+                bit_xor(rd) AS digest
+         FROM m3 GROUP BY shard
+         UNION ALL
+         SELECT -1 AS shard, COUNT(*) AS n_docs,
+                CAST(SUM(nc) AS BIGINT) AS n_chars,
+                bit_xor(rd) AS digest
+         FROM m3""",
 
     // x14 — ASSUMES AN ASCII CORPUS (see the x15 note): codepoints stand
     // in for the UTF-8 bytes the engine encodes into the PNG.
