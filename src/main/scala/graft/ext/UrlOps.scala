@@ -749,16 +749,21 @@ object UrlOps {
       .agg(sort_array(collect_list(struct(
         col("plen"), col("allow").cast("int").as("aw"),
         col("prefix"), anchored.as("anch"), segs.as("segs")))).as("__rs"))
-    val path = pathOf(col(urlCol))
-    df.join(broadcast(byDom), Seq("domain"), "left")
+    // the path projects BELOW the join — an expression referenced
+    // inside the array lambda would otherwise inline into it and the
+    // whole URL parse would re-evaluate PER RULE ELEMENT (a silent
+    // rules-per-domain multiplier on the gate's per-row cost); the
+    // join boundary pins it to once per row
+    df.withColumn("__path", pathOf(col(urlCol)))
+      .join(broadcast(byDom), Seq("domain"), "left")
       .withColumn("__m", filter(coalesce(col("__rs"),
           array().cast("array<struct<plen:int,aw:int,prefix:string," +
             "anch:boolean,segs:array<string>>>")),
-        r => robotsRuleMatches(path, r.getField("anch"),
+        r => robotsRuleMatches(col("__path"), r.getField("anch"),
           r.getField("segs"))))
       .filter(size(col("__m")) === 0 ||
         element_at(col("__m"), -1).getField("aw") === 1)
-      .drop("__rs", "__m")
+      .drop("__rs", "__m", "__path")
   }
 
   /** Crawl-TRAP detector — the hygiene gate between a frontier
