@@ -70,6 +70,18 @@ object SparkEntry {
       dir
     })
 
+  /** x152/x153 shared row layer: deterministic shard key, char mass,
+    * and the order-independent row digest mix64(fingerprint ⊕ doc_id)
+    * — unique per row, so bit_xor set digests cannot cancel on
+    * byte-identical duplicate docs. */
+  private def manifestRows(docs: DataFrame): DataFrame =
+    docs.select(
+      (col("doc_id") % 16).cast("int").as("shard"),
+      length(col("text")).cast("long").as("nc"),
+      graft.functions.HashExprs.mix64_col(
+        ext.TextOps.fingerprint(col("text"))
+          .bitwiseXOR(col("doc_id"))).as("rd"))
+
   /** Flagship: the reference's core product — calendar-month mean composite
     * per band (SURVEY §3.1/§2.9) — on the events stream analogue. */
   def entry(spark: SparkSession): DataFrame = {
@@ -2109,12 +2121,7 @@ object SparkEntry {
     // partial+final aggregation — partials collapse map-side at any
     // corpus size, XOR is partitioning-invariant by construction.
     "x152_shard_manifest" -> ((s, d) => {
-      val base = t(s, d, "documents").select(
-        (col("doc_id") % 16).cast("int").as("shard"),
-        length(col("text")).cast("long").as("nc"),
-        graft.functions.HashExprs.mix64_col(
-          ext.TextOps.fingerprint(col("text"))
-            .bitwiseXOR(col("doc_id"))).as("rd"))
+      val base = manifestRows(t(s, d, "documents"))
       val perShard = base.groupBy("shard").agg(
         count(lit(1)).as("n_docs"), sum("nc").as("n_chars"),
         expr("bit_xor(rd)").as("digest"))
@@ -2123,6 +2130,41 @@ object SparkEntry {
         .select(lit(-1).as("shard"), col("n_docs"), col("n_chars"),
           col("digest"))
       perShard.unionByName(root)
+    }),
+
+    // x153 — MANIFEST DIFF between two corpus snapshots (the x86
+    // mutation fixture: %7 deletions, %5 edits, %3 additions): the
+    // x152 digests computed per side, full-outer on shard, changed =
+    // any count/digest delta — "which shards must re-upload /
+    // re-train" read straight off two bounded manifests, never a
+    // corpus-sized comparison. The digest algebra makes the verdict
+    // exact: one flipped byte anywhere flips its shard's row.
+    "x153_manifest_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // mutations scoped to shards 0-11 (additions keep their shard:
+      // 1000000 ≡ 0 mod 16), so shards 12-15 must report UNCHANGED —
+      // the negative the digest equality has to prove
+      val mut = col("doc_id") % 16 < 12
+      val newDocs = docs.filter(!(mut && col("doc_id") % 7 === 0))
+        .withColumn("text", when(mut && col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" updated"))).otherwise(col("text")))
+        .unionByName(docs.filter(mut && col("doc_id") % 3 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      def m(df: DataFrame) = manifestRows(df).groupBy("shard").agg(
+        count(lit(1)).as("n_docs"), expr("bit_xor(rd)").as("digest"))
+      val o = m(docs)
+      val n = m(newDocs)
+      o.select(col("shard"), col("n_docs").as("n_old"),
+          col("digest").as("d_old"))
+        .join(n.select(col("shard"), col("n_docs").as("n_new"),
+          col("digest").as("d_new")), Seq("shard"), "full_outer")
+        .select(col("shard"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("d_old"), lit(0L)).as("d_old"),
+          coalesce(col("d_new"), lit(0L)).as("d_new"))
+        .withColumn("changed",
+          col("n_old") =!= col("n_new") || col("d_old") =!= col("d_new"))
     }),
 
     "x10_fingerprint" -> ((s, d) =>
@@ -2776,6 +2818,44 @@ object SparkEntry {
        |   ((($a) * $bh::HUGEINT) % 4294967296::HUGEINT)
        |   * 4294967296::HUGEINT) % $M""".stripMargin
   }
+
+  /** x152/x153's manifest row chain over a (doc_id, text) source CTE:
+    * the x10 rolling-FNV fingerprint fold + the x107 mix64 HUGEINT
+    * replay, XORed with doc_id, ending at `<pfx>m3(shard, nc, rd)`. */
+  private def manifestOracleCtes(src: String, pfx: String): String =
+    s"""${pfx}fp AS (
+           SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS shard,
+             CAST(length(text) AS BIGINT) AS nc,
+             list_reduce(
+               list_prepend(0::HUGEINT,
+                 list_transform(regexp_split_to_array(lower(text), '\\s+'), t ->
+                   list_reduce(
+                     list_prepend(14695981039346656037::HUGEINT,
+                       list_transform(range(1, length(t) + 1), i ->
+                         unicode(substr(t, CAST(i AS INTEGER), 1))::HUGEINT)),
+                     (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
+                               % 18446744073709551616::HUGEINT))),
+               (acc, h) -> xor((acc * 32::HUGEINT)
+                               % 18446744073709551616::HUGEINT
+                               + acc // 576460752303423488::HUGEINT, h))
+             AS ufp
+           FROM $src),
+         ${pfx}m0 AS (SELECT shard, nc, xor(ufp, doc_id::HUGEINT) AS u0
+                      FROM ${pfx}fp),
+         ${pfx}m1 AS (SELECT *, ${mulmodSql(
+               "xor(u0, u0 // 1073741824::HUGEINT)", Mix64C1)} AS u1
+                      FROM ${pfx}m0),
+         ${pfx}m2 AS (SELECT *, ${mulmodSql(
+               "xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2
+                      FROM ${pfx}m1),
+         ${pfx}m3 AS (SELECT shard, nc,
+                  CAST(CASE WHEN xor(u2, u2 // 2147483648::HUGEINT)
+                                 >= 9223372036854775808::HUGEINT
+                            THEN xor(u2, u2 // 2147483648::HUGEINT)
+                                 - 18446744073709551616::HUGEINT
+                            ELSE xor(u2, u2 // 2147483648::HUGEINT)
+                       END AS BIGINT) AS rd
+                FROM ${pfx}m2)"""
 
   private val Mix64C1 = BigInt("BF58476D1CE4E5B9", 16)
   private val Mix64C2 = BigInt("94D049BB133111EB", 16)
@@ -5744,36 +5824,8 @@ object SparkEntry {
     // x152 — the x10 fingerprint chain feeding mix64 (the x107 HUGEINT
     // replay) and bit_xor digests, per shard and at the root
     "x152_shard_manifest" ->
-      s"""WITH fp AS (
-           SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS shard,
-             CAST(length(text) AS BIGINT) AS nc,
-             list_reduce(
-               list_prepend(0::HUGEINT,
-                 list_transform(regexp_split_to_array(lower(text), '\\s+'), t ->
-                   list_reduce(
-                     list_prepend(14695981039346656037::HUGEINT,
-                       list_transform(range(1, length(t) + 1), i ->
-                         unicode(substr(t, CAST(i AS INTEGER), 1))::HUGEINT)),
-                     (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
-                               % 18446744073709551616::HUGEINT))),
-               (acc, h) -> xor((acc * 32::HUGEINT)
-                               % 18446744073709551616::HUGEINT
-                               + acc // 576460752303423488::HUGEINT, h))
-             AS ufp
-           FROM documents),
-         m0 AS (SELECT shard, nc, xor(ufp, doc_id::HUGEINT) AS u0 FROM fp),
-         m1 AS (SELECT *, ${mulmodSql(
-               "xor(u0, u0 // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM m0),
-         m2 AS (SELECT *, ${mulmodSql(
-               "xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM m1),
-         m3 AS (SELECT shard, nc,
-                  CAST(CASE WHEN xor(u2, u2 // 2147483648::HUGEINT)
-                                 >= 9223372036854775808::HUGEINT
-                            THEN xor(u2, u2 // 2147483648::HUGEINT)
-                                 - 18446744073709551616::HUGEINT
-                            ELSE xor(u2, u2 // 2147483648::HUGEINT)
-                       END AS BIGINT) AS rd
-                FROM m2)
+      s"""WITH so AS (SELECT doc_id, text FROM documents),
+         ${manifestOracleCtes("so", "")}
          SELECT shard, COUNT(*) AS n_docs,
                 CAST(SUM(nc) AS BIGINT) AS n_chars,
                 bit_xor(rd) AS digest
@@ -5783,6 +5835,32 @@ object SparkEntry {
                 CAST(SUM(nc) AS BIGINT) AS n_chars,
                 bit_xor(rd) AS digest
          FROM m3""",
+
+    // x153 — both snapshots' manifests regenerated (the x86 mutation
+    // branches closed-form) and the same full-outer shard compare
+    "x153_manifest_diff" ->
+      s"""WITH so AS (SELECT doc_id, text FROM documents),
+         sn AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 16 < 12 AND doc_id % 5 = 0
+                       THEN text || ' updated' ELSE text END AS text
+           FROM documents
+           WHERE NOT (doc_id % 16 < 12 AND doc_id % 7 = 0)
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text
+           FROM documents WHERE doc_id % 16 < 12 AND doc_id % 3 = 0),
+         ${manifestOracleCtes("so", "o")},
+         ${manifestOracleCtes("sn", "n")},
+         mo AS (SELECT shard, COUNT(*) AS n_old, bit_xor(rd) AS d_old
+                FROM om3 GROUP BY shard),
+         mn AS (SELECT shard, COUNT(*) AS n_new, bit_xor(rd) AS d_new
+                FROM nm3 GROUP BY shard)
+         SELECT COALESCE(mo.shard, mn.shard) AS shard,
+                COALESCE(n_old, 0) AS n_old, COALESCE(n_new, 0) AS n_new,
+                COALESCE(d_old, 0) AS d_old, COALESCE(d_new, 0) AS d_new,
+                (COALESCE(n_old, 0) != COALESCE(n_new, 0)
+                 OR COALESCE(d_old, 0) != COALESCE(d_new, 0)) AS changed
+         FROM mo FULL OUTER JOIN mn ON mo.shard = mn.shard""",
 
     // x14 — ASSUMES AN ASCII CORPUS (see the x15 note): codepoints stand
     // in for the UTF-8 bytes the engine encodes into the PNG.
