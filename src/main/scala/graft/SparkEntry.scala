@@ -70,18 +70,6 @@ object SparkEntry {
       dir
     })
 
-  /** x152/x153 shared row layer: deterministic shard key, char mass,
-    * and the order-independent row digest mix64(fingerprint ⊕ doc_id)
-    * — unique per row, so bit_xor set digests cannot cancel on
-    * byte-identical duplicate docs. */
-  private def manifestRows(docs: DataFrame): DataFrame =
-    docs.select(
-      (col("doc_id") % 16).cast("int").as("shard"),
-      length(col("text")).cast("long").as("nc"),
-      graft.functions.HashExprs.mix64_col(
-        ext.TextOps.fingerprint(col("text"))
-          .bitwiseXOR(col("doc_id"))).as("rd"))
-
   /** Flagship: the reference's core product — calendar-month mean composite
     * per band (SURVEY §3.1/§2.9) — on the events stream analogue. */
   def entry(spark: SparkSession): DataFrame = {
@@ -2121,15 +2109,13 @@ object SparkEntry {
     // partial+final aggregation — partials collapse map-side at any
     // corpus size, XOR is partitioning-invariant by construction.
     "x152_shard_manifest" -> ((s, d) => {
-      val base = manifestRows(t(s, d, "documents"))
-      val perShard = base.groupBy("shard").agg(
-        count(lit(1)).as("n_docs"), sum("nc").as("n_chars"),
-        expr("bit_xor(rd)").as("digest"))
-      val root = base.agg(count(lit(1)).as("n_docs"),
-          sum("nc").as("n_chars"), expr("bit_xor(rd)").as("digest"))
+      val docs = t(s, d, "documents")
+      val root = ext.Curation.manifestRows(docs)
+        .agg(count(lit(1)).as("n_docs"), sum("nc").as("n_chars"),
+          expr("bit_xor(rd)").as("digest"))
         .select(lit(-1).as("shard"), col("n_docs"), col("n_chars"),
           col("digest"))
-      perShard.unionByName(root)
+      ext.Curation.shardManifest(docs).unionByName(root)
     }),
 
     // x153 — MANIFEST DIFF between two corpus snapshots (the x86
@@ -2150,21 +2136,9 @@ object SparkEntry {
           concat(col("text"), lit(" updated"))).otherwise(col("text")))
         .unionByName(docs.filter(mut && col("doc_id") % 3 === 0)
           .withColumn("doc_id", col("doc_id") + 1000000L))
-      def m(df: DataFrame) = manifestRows(df).groupBy("shard").agg(
-        count(lit(1)).as("n_docs"), expr("bit_xor(rd)").as("digest"))
-      val o = m(docs)
-      val n = m(newDocs)
-      o.select(col("shard"), col("n_docs").as("n_old"),
-          col("digest").as("d_old"))
-        .join(n.select(col("shard"), col("n_docs").as("n_new"),
-          col("digest").as("d_new")), Seq("shard"), "full_outer")
-        .select(col("shard"),
-          coalesce(col("n_old"), lit(0L)).as("n_old"),
-          coalesce(col("n_new"), lit(0L)).as("n_new"),
-          coalesce(col("d_old"), lit(0L)).as("d_old"),
-          coalesce(col("d_new"), lit(0L)).as("d_new"))
-        .withColumn("changed",
-          col("n_old") =!= col("n_new") || col("d_old") =!= col("d_new"))
+      ext.Curation.manifestDiff(
+        ext.Curation.shardManifest(docs),
+        ext.Curation.shardManifest(newDocs))
     }),
 
     "x10_fingerprint" -> ((s, d) =>

@@ -530,6 +530,56 @@ object Curation {
           .otherwise("unchanged").as("status"))
   }
 
+  /** The SHARD-MANIFEST row layer (dataset versioning): deterministic
+    * shard key (`doc_id mod nShards`), char mass, and the
+    * order-independent row digest `mix64(fingerprint(text) ⊕ doc_id)`
+    * — mixing with the id makes per-row values unique, so the XOR set
+    * digest downstream cannot cancel on byte-identical duplicate
+    * documents. Pure per-row columns, no shuffle. */
+  def manifestRows(docs: DataFrame, nShards: Int = 16,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1, s"need nShards >= 1: $nShards")
+    docs.select(
+      (col(idCol) % nShards).cast("int").as("shard"),
+      length(col(textCol)).cast("long").as("nc"),
+      graft.functions.HashExprs.mix64_col(
+        TextOps.fingerprint(col(textCol))
+          .bitwiseXOR(col(idCol))).as("rd"))
+  }
+
+  /** Per-shard manifest: doc count, char mass, XOR set digest — equal
+    * manifests ⇔ equal corpus (up to fingerprint collisions); one
+    * flipped byte flips its row's digest and therefore the shard's.
+    * One partial+final aggregation over [[manifestRows]]; partials
+    * collapse map-side at any corpus size and XOR is partitioning-
+    * invariant by construction. */
+  def shardManifest(docs: DataFrame, nShards: Int = 16,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame =
+    manifestRows(docs, nShards, textCol, idCol)
+      .groupBy("shard").agg(
+        count(lit(1)).as("n_docs"), sum("nc").as("n_chars"),
+        expr("bit_xor(rd)").as("digest"))
+
+  /** Manifest DIFF between two snapshots: per shard, old/new counts +
+    * digests and the changed verdict — the "which shards re-process"
+    * decision read off two bounded manifests, never a corpus-sized
+    * comparison. */
+  def manifestDiff(oldManifest: DataFrame, newManifest: DataFrame)
+      : DataFrame =
+    oldManifest.select(col("shard"), col("n_docs").as("n_old"),
+        col("digest").as("d_old"))
+      .join(newManifest.select(col("shard"), col("n_docs").as("n_new"),
+        col("digest").as("d_new")), Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("d_old"), lit(0L)).as("d_old"),
+        coalesce(col("d_new"), lit(0L)).as("d_new"))
+      .withColumn("changed",
+        col("n_old") =!= col("n_new") || col("d_old") =!= col("d_new"))
+
   /** RENDEZVOUS (highest-random-weight) shard assignment — Thaler &
     * Ravishankar 1998: a key's shard is `argmax_s mix64(key + s·GOLDEN)`
     * (the Bloom/CMS splitmix64 probe-stream family), ties to the

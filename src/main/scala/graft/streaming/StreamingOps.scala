@@ -227,6 +227,19 @@ object StreamingOps {
                            crawled: DataFrame): DataFrame =
     graft.ext.UrlOps.recrawlTick(listedStream, crawled)
 
+  /** Streaming SHARD MANIFEST: the dataset-versioning digests
+    * ([[graft.ext.Curation.shardManifest]]) kept incrementally over a
+    * document stream — ONE update-mode shard aggregation whose state
+    * is three words per shard (count, char sum, XOR digest): XOR's
+    * self-inverse associativity is exactly what keeps digest state
+    * O(1) per key, where a sequence hash would need the whole history.
+    * After any stream prefix the emitted rows equal the batch manifest
+    * of the documents seen so far (StreamingSpec), so an ingest job
+    * always has a current corpus fingerprint without a batch pass. */
+  def streamingManifest(docStream: DataFrame,
+                        nShards: Int = 16): DataFrame =
+    graft.ext.Curation.shardManifest(docStream, nShards)
+
   def streamingImageDupGate(mediaStream: DataFrame, hashIndex: DataFrame,
                             maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,

@@ -202,6 +202,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() < docsBatch.count())
   }
 
+  test("streaming shard manifest equals the batch manifest") {
+    val dir = "/root/testdata/sf0.001"
+    val docsBatch = spark.read.parquet(s"$dir/documents.parquet")
+    val docsStream = spark.readStream.schema(docsBatch.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val streamed = graft.streaming.StreamingOps.runBounded(spark,
+      graft.streaming.StreamingOps.streamingManifest(docsStream),
+      "manifest_test", OutputMode.Update())
+    val batch = graft.ext.Curation.shardManifest(docsBatch)
+    // update mode re-emits a shard's row per batch; the LAST emission
+    // per shard is the final state — with one source file there is one
+    // batch, so the sets must match outright
+    assert(streamed.collect().map(_.toSeq).toSet ==
+      batch.collect().map(_.toSeq).toSet)
+    // and the digests are non-trivial (no shard XORs to zero here)
+    assert(batch.collect().forall(_.getLong(3) != 0L))
+  }
+
   test("WARC parse + HTML extraction run unmodified in an ingest stream") {
     // the whole crawl hop is stateless per-archive work, so the same
     // archive→records→text chain runs in a readStream with no watermark:
