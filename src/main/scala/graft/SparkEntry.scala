@@ -2227,6 +2227,35 @@ object SparkEntry {
       ext.Multimodal.probeJpegExif(
         ext.Multimodal.jpegFromDocs(t(s, d, "documents")))),
 
+    // x154 — image-corpus CENSUS per camera make, EXIF-aware the way a
+    // training pipeline must be: display dimensions swap width/height
+    // under the rotated orientations (5–8 — a resize stage that
+    // ignores this letterboxes every portrait phone photo), geotag
+    // coverage via the GPS sub-IFD, and the rotated/geotagged counts
+    // per make. One probe pass + one hash agg keyed by make (bounded
+    // by the camera vocabulary); the GPS flag arrives by a media_id
+    // equi-join of the two probe tables.
+    "x154_exif_census" -> ((s, d) => {
+      val media = ext.Multimodal.jpegFromDocs(t(s, d, "documents"))
+      val meta = ext.Multimodal.probeJpegExif(media)
+      val gps = ext.Multimodal.probeJpegGps(media)
+        .select(col("media_id"), lit(true).as("has_gps"))
+      meta.join(gps, Seq("media_id"), "left")
+        .withColumn("rotated",
+          col("orientation") >= 5 && col("orientation") <= 8)
+        .withColumn("disp_w",
+          when(col("rotated"), col("height")).otherwise(col("width")))
+        .withColumn("disp_h",
+          when(col("rotated"), col("width")).otherwise(col("height")))
+        .groupBy("make").agg(
+          count(lit(1)).as("n_images"),
+          sum(col("rotated").cast("long")).as("n_rotated"),
+          sum(coalesce(col("has_gps"), lit(false)).cast("long"))
+            .as("n_geotagged"),
+          max("disp_w").as("max_disp_w"),
+          max("disp_h").as("max_disp_h"))
+    }),
+
     // x148 — GEOTAGGED images ⋈ pixel grid: the first multimodal×geo
     // cross-tier product. Each %3!=2 doc's JPEG carries a real EXIF
     // GPS sub-IFD (tag 0x8825: hemisphere refs + deg/min/sec
@@ -5933,6 +5962,26 @@ object SparkEntry {
                 (doc_id % 3 = 0) AS progressive,
                 CAST(5 AS INTEGER) AS n_segments
          FROM documents""",
+
+    // x154 — the x117 field formulas aggregated per make: rotation iff
+    // orientation (1 + id%8) lands in 5..8 ⇔ id%8 in 4..7; geotag iff
+    // id%3 != 2; display dims swap under rotation
+    "x154_exif_census" ->
+      """WITH per AS (
+           SELECT 'cam' || CAST(doc_id % 5 AS STRING) AS make,
+                  (doc_id % 8) BETWEEN 4 AND 7 AS rotated,
+                  (doc_id % 3 != 2) AS has_gps,
+                  CAST(8 + (doc_id % 7) * 8 AS INTEGER) AS w,
+                  CAST(8 + (doc_id % 5) * 8 AS INTEGER) AS h
+           FROM documents)
+         SELECT make, COUNT(*) AS n_images,
+                CAST(SUM(CASE WHEN rotated THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_rotated,
+                CAST(SUM(CASE WHEN has_gps THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_geotagged,
+                MAX(CASE WHEN rotated THEN h ELSE w END) AS max_disp_w,
+                MAX(CASE WHEN rotated THEN w ELSE h END) AS max_disp_h
+         FROM per GROUP BY make""",
 
     // x148 — the DMS→decimal algebra regenerated per doc_id (sign off
     // the hemisphere branch, deg + min/60 + (secNum/100)/3600 in the
