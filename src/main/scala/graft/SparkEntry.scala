@@ -2200,6 +2200,27 @@ object SparkEntry {
       ext.Multimodal.extractAudioFeatures(
         ext.Multimodal.audioFromDocs(t(s, d, "documents")))),
 
+    // x155 — VOICED-segment structure over the text-derived WAVs (each
+    // doc's first 200 UTF-8 bytes as 16-bit samples, zero-padded): the
+    // energy-gate core of VAD — 20-sample frames, voiced iff Σ s² >
+    // 20·64² (letters ≈ 97² clear it, runs of spaces ≈ 32² and the
+    // zero-padded tail do not), reported as voiced count / maximal-run
+    // count / longest run — the silence structure a speech pipeline
+    // reads before chunking. Decode + run walk in one mapPartitions
+    // pass; the oracle rebuilds frames from the text codepoints (ASCII
+    // corpus, the x14/x15 convention) and replays the run algebra with
+    // a gaps-and-islands window.
+    "x155_voiced_segments" -> ((s, d) =>
+      ext.Multimodal.voicedSegments(
+        ext.Multimodal.audioFromTextDocs(
+          t(s, d, "documents").withColumn("text",
+            // a closed-form QUIET GAP (20–60 spaces, doc-keyed) splits
+            // the clip into two utterances — without it every doc is
+            // one voiced run and the segment algebra is vacuous
+            concat(substring(col("text"), 1, 80),
+              repeat(lit(" "), ((col("doc_id") % 3) * 20 + 20).cast("int")),
+              substring(col("text"), 81, 60)))))),
+
     // end-to-end REAL video path: docs → 4-frame animated GIF (8×8 gray,
     // closed-form pixels) → ImageIO multi-frame decode → every-2nd-frame
     // sampling → per-frame mean luminance. Integer pixel sums / 64 are
@@ -5929,6 +5950,43 @@ object SparkEntry {
                 CAST(peak AS BIGINT) AS peak,
                 CAST(zc AS BIGINT) AS zero_crossings
          FROM agg""",
+
+    // x155 — frames rebuilt from text codepoints (sample i = the byte
+    // value for i < len, 0 after), the same exact integer energies,
+    // segments via the f − row_number gaps-and-islands grouping
+    "x155_voiced_segments" ->
+      """WITH fr AS (
+           SELECT doc_id, f.range AS f,
+                  list_sum(list_transform(range(0, 20), j ->
+                    CASE WHEN CAST(f.range * 20 + j AS INTEGER)
+                              < length(atext)
+                         THEN CAST(unicode(substr(atext,
+                                CAST(f.range * 20 + j + 1 AS INTEGER), 1))
+                              AS BIGINT)
+                              * unicode(substr(atext,
+                                CAST(f.range * 20 + j + 1 AS INTEGER), 1))
+                         ELSE 0 END)) AS e
+           FROM (SELECT doc_id,
+                   substr(text, 1, 80)
+                   || repeat(' ', CAST((doc_id % 3) * 20 + 20 AS INTEGER))
+                   || substr(text, 81, 60) AS atext
+                 FROM documents), range(0, 10) f),
+         v AS (SELECT doc_id, f, (e > 81920) AS voiced FROM fr),
+         g AS (SELECT doc_id, f, voiced,
+                 f - row_number() OVER (PARTITION BY doc_id, voiced
+                                        ORDER BY f) AS grp
+               FROM v),
+         runs AS (SELECT doc_id, COUNT(*) AS run_len
+                  FROM g WHERE voiced GROUP BY doc_id, grp)
+         SELECT v.doc_id AS media_id,
+                CAST(10 AS BIGINT) AS n_frames,
+                CAST(SUM(CASE WHEN voiced THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_voiced,
+                COALESCE((SELECT CAST(COUNT(*) AS BIGINT) FROM runs r
+                          WHERE r.doc_id = v.doc_id), 0) AS n_segments,
+                COALESCE((SELECT CAST(MAX(run_len) AS BIGINT) FROM runs r
+                          WHERE r.doc_id = v.doc_id), 0) AS longest_run
+         FROM v GROUP BY v.doc_id""",
 
     // x47 — the mp4 skeleton formulas replayed: duration_ms = 1000 +
     // (doc_id%50)*40 at timescale 1000 (identical IEEE division both

@@ -1189,6 +1189,54 @@ object Multimodal {
     }(encoder)
   }
 
+  /** VOICED-segment report over REAL decoded PCM — the
+    * silence-structure profile a speech-data pipeline reads before
+    * deciding chunk boundaries (the energy-gate core of VAD, without the
+    * model): the clip splits into fixed `frameLen`-sample frames, a
+    * frame is VOICED iff its exact integer energy (sum of s^2) exceeds
+    * `threshold`, and the report is the run structure — voiced frame
+    * count, segment count (maximal voiced runs), longest run, total
+    * frames. Decode + run walk in ONE mapPartitions pass (the
+    * fingerprint shape): no shuffle, non-WAV rows drop, a trailing
+    * partial frame is dropped (fixed-length frames keep the oracle
+    * closed-form). */
+  def voicedSegments(media: DataFrame, frameLen: Int = 20,
+                     threshold: Long = 20L * 64 * 64): DataFrame = {
+    require(frameLen >= 1, s"need frameLen >= 1: $frameLen")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("n_voiced", LongType, nullable = false),
+      StructField("n_segments", LongType, nullable = false),
+      StructField("longest_run", LongType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        AudioCodec.decodeWav(payload).map { pcm =>
+          val sm = pcm.samples
+          val nf = sm.length / frameLen
+          var voiced = 0L; var segs = 0L; var longest = 0L; var run = 0L
+          var f = 0
+          while (f < nf) {
+            var e = 0L
+            var i = f * frameLen
+            val end = i + frameLen
+            while (i < end) { e += sm(i).toLong * sm(i); i += 1 }
+            if (e > threshold) {
+              voiced += 1
+              if (run == 0L) segs += 1
+              run += 1
+              if (run > longest) longest = run
+            } else run = 0L
+            f += 1
+          }
+          Row(r.getLong(0), nf.toLong, voiced, segs, longest)
+        }
+      }
+    }(encoder)
+  }
+
   /** Near-duplicate audio pairs by Hamming distance over the acoustic
     * fingerprint — the audio member of the dedup triad (text shingles,
     * image aHash, audio envelope), riding the same pigeonhole banding
