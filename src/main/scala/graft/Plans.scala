@@ -96,7 +96,9 @@ object Plans {
       "x138_cocitation" -> "Co-citation: the edge-sized checkpoint self-joined on the source key (ordered pairs), counts collapsing map-side — pair volume bounded by out-degree squared, now capped upstream (maxOutDeg drops mega-hubs before the self-join).",
       "x145_crawl_budget" -> "Hamilton crawl-budget apportionment: quota algebra as per-row columns over one broadcast rank sum; the remainder is a TakeOrderedAndProject top-R cut broadcast back as a membership flag — NO single-partition window anywhere in the plan.",
       "x148_geotagged_join" -> "EXIF GPS x pixel grid: the GPS sub-IFD walk is a per-task mapPartitions over the payload scan (no shuffle to extract fixes), the fix table broadcasts into the J1 cell equi-join — the raster side never shuffles.",
-      "x149_kn3_score" -> "Trigram Kneser-Ney: occurrence rows collapse map-side, five model tables all bounded by distinct-trigram cardinality join back by content key, type total is ONE broadcast row, per-doc ordered fold — the x144 plan one order higher.")
+      "x149_kn3_score" -> "Trigram Kneser-Ney: occurrence rows collapse map-side, five model tables all bounded by distinct-trigram cardinality join back by content key, type total is ONE broadcast row, per-doc ordered fold — the x144 plan one order higher.",
+      "x152_shard_manifest" -> "Shard manifest: fingerprint + mix64 digest as scan-stage columns, ONE partial+final shard aggregation (XOR/count/sum partials collapse map-side) — the dataset-versioning artifact costs one narrow pass at any corpus size.",
+      "x151_zipf_fit" -> "Zipf fit: token census partial+final, the head cut as TakeOrderedAndProject (never a vocabulary sort), a <=1000-row rank window, one decimal-routed regression aggregate.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")
