@@ -1056,6 +1056,31 @@ object SparkEntry {
         ext.Dedup.jaccardPairs(t(s, d, "documents"), shingleK = 3,
           minJaccard = 0.4).select("doc_a", "doc_b"))),
 
+    // x156 — dup-cluster QUALITY audit: per x27 cluster, the member
+    // quality span (min/max/spread) and the keep-best target — the
+    // report that tells a curator whether min-id dedup (x28) and
+    // keep-best dedup (x89) actually disagree on this corpus, i.e.
+    // whether near-dup copies differ in quality enough to matter.
+    // Clusters are bounded by the component map; one join + one
+    // cluster-keyed agg with the max(struct(quality, −id)) argmax.
+    "x156_cluster_quality" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cc = ext.Dedup.connectedComponents(
+        ext.Dedup.jaccardPairs(docs, shingleK = 3, minJaccard = 0.4)
+          .select("doc_a", "doc_b"))
+      val q = docs.select(col("doc_id"),
+        ext.TextOps.qualityScore(col("text")).as("quality"))
+      cc.join(q, "doc_id")
+        .groupBy(col("rep_id").as("cluster"))
+        .agg(count(lit(1)).as("cluster_size"),
+          min("quality").as("q_min"), max("quality").as("q_max"),
+          max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("b"))
+        .select(col("cluster"), col("cluster_size"),
+          col("q_min"), col("q_max"),
+          (col("q_max") - col("q_min")).as("q_spread"),
+          (-col("b.nid")).as("best_doc"))
+    }),
+
     // the dedup PRODUCT: the corpus minus non-representative cluster
     // members (cluster rep = component-min doc_id; unclustered docs pass)
     "x28_dedup_corpus" -> ((s, d) =>
@@ -1187,6 +1212,31 @@ object SparkEntry {
           ext.UrlOps.hostOf(col("url")).as("host"),
           ext.UrlOps.registeredDomain(ext.UrlOps.hostOf(col("url")))
             .as("domain"))),
+
+    // x157 — per-DOMAIN quality prior: the FineWeb-style site signal —
+    // registered domain × (doc mass, mean composite quality, Gopher
+    // keep rate) — the table a crawl curator thresholds to allow/deny
+    // whole sites before ever scoring their new pages. One scan (URL
+    // chain + quality + gopher flags all narrow columns), one
+    // domain-keyed partial+final agg; mean is decimal-routed.
+    "x157_domain_quality" -> ((s, d) => {
+      val sig = ext.TextOps.gopherSignals(col("text"))
+      val flags = sig.collect { case (n, c) if n.startsWith("r_") => c }
+      t(s, d, "documents")
+        .withColumn("url", expr(urlSqlExpr))
+        .withColumn("domain", coalesce(
+          ext.UrlOps.registeredDomain(ext.UrlOps.hostOf(col("url"))),
+          lit("")))
+        .select(col("domain"),
+          ext.TextOps.qualityScore(col("text")).as("q"),
+          flags.reduce(_ && _).cast("long").as("keep"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          avgD(col("q")).as("mean_quality"),
+          sum("keep").as("n_keep"))
+        .withColumn("keep_rate",
+          col("n_keep").cast("double") / col("n_docs").cast("double"))
+    }),
 
     // x104 — the registered-domain rollup those URLs feed: per domain,
     // URL mass, URL-dedup survivor count, deterministic sample. One
@@ -5155,6 +5205,25 @@ object SparkEntry {
       s"""WITH RECURSIVE $componentCtes
           SELECT id AS doc_id, rep AS rep_id FROM cc""",
 
+    // x156 — the recursive closure joined to the quality CTEs; the
+    // keep-best argmax replayed as a (quality DESC, doc_id) window rank
+    "x156_cluster_quality" ->
+      s"""WITH RECURSIVE $componentCtes,
+          $qualityCtes,
+          per AS (SELECT c.rep AS cluster, q.doc_id, q.quality
+                  FROM cc c JOIN qual q ON q.doc_id = c.id),
+          agg AS (SELECT cluster, COUNT(*) AS cluster_size,
+                         MIN(quality) AS q_min, MAX(quality) AS q_max
+                  FROM per GROUP BY cluster),
+          best AS (SELECT cluster, doc_id AS best_doc
+                   FROM (SELECT cluster, doc_id,
+                           row_number() OVER (PARTITION BY cluster
+                             ORDER BY quality DESC, doc_id) AS rn
+                         FROM per) WHERE rn = 1)
+          SELECT a.cluster, a.cluster_size, a.q_min, a.q_max,
+                 a.q_max - a.q_min AS q_spread, b.best_doc
+          FROM agg a JOIN best b ON b.cluster = a.cluster""",
+
     // x28 — the dedup product: drop non-representative cluster members,
     // pass everything else through
     "x28_dedup_corpus" ->
@@ -6274,6 +6343,30 @@ object SparkEntry {
     // widened list_sum back to BIGINT), one IEEE division per ratio,
     // per-stopword list_contains terms summed — every flag bit-equal,
     // no rounding tolerance anywhere.
+    // x157 — closed-form domain (the urlRegDomainSql branch map) joined
+    // to the quality and gopher CTEs, one grouped rollup with the
+    // decimal-routed mean
+    "x157_domain_quality" ->
+      s"""WITH ${gopherCtesOver("documents", "text")},
+          $qualityCtes,
+          dd AS (SELECT doc_id, $urlRegDomainSql AS domain
+                 FROM documents)
+          SELECT d.domain, COUNT(*) AS n_docs,
+                 ${avgSql("q.quality")} AS mean_quality,
+                 CAST(SUM(CASE WHEN g2.r_word_count AND g2.r_mean_word_len
+                                AND g2.r_symbol_ratio AND g2.r_alpha_words
+                                AND g2.r_stopwords
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                 CAST(SUM(CASE WHEN g2.r_word_count AND g2.r_mean_word_len
+                                AND g2.r_symbol_ratio AND g2.r_alpha_words
+                                AND g2.r_stopwords
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS keep_rate
+          FROM dd d
+          JOIN qual q ON q.doc_id = d.doc_id
+          JOIN g2 ON g2.doc_id = d.doc_id
+          GROUP BY d.domain""",
+
     "x68_gopher_rules" ->
       s"""WITH ${gopherCtesOver("documents", "text")}
           SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
