@@ -179,6 +179,51 @@ class UrlSpec extends AnyFunSuite {
     assert(out(11L) == ((Some("/star*"), false)))
   }
 
+  test("robotsRuleMatches ≡ an independent regex reference over 4000 " +
+       "randomized (pattern, path) cases") {
+    import spark.implicits._
+    // reference: quote literal segments, '*' → '.*', trailing '$' = full
+    // match, otherwise prefix match (lookingAt) — a DIFFERENT engine for
+    // the same §2.2.3 semantics, so agreement is evidence of the fold,
+    // not of a shared implementation
+    def ref(path: String, pattern: String): Boolean = {
+      val anchored = pattern.endsWith("$")
+      val pat = if (anchored) pattern.dropRight(1) else pattern
+      val regex = pat.split("\\*", -1)
+        .map(s => if (s.isEmpty) "" else java.util.regex.Pattern.quote(s))
+        .mkString(".*")
+      val p = java.util.regex.Pattern.compile(regex,
+        java.util.regex.Pattern.DOTALL)
+      if (anchored) p.matcher(path).matches()
+      else p.matcher(path).lookingAt()
+    }
+    val rnd = new scala.util.Random(20260815L)
+    val pathAb = "ab/?=12"
+    val patAb = "ab/*$1"
+    val cases = (0 until 4000).map { i =>
+      val path = (0 until rnd.nextInt(13))
+        .map(_ => pathAb(rnd.nextInt(pathAb.length))).mkString
+      val pattern = (0 until rnd.nextInt(9))
+        .map(_ => patAb(rnd.nextInt(patAb.length))).mkString
+      (i.toLong, path, pattern)
+    }.filter(_._3.nonEmpty) // parseRobots never emits an empty pattern
+    val got = UrlOps.compileRules(
+        cases.toDF("id", "path", "prefix"))
+      .withColumn("m", UrlOps.robotsRuleMatches(col("path"),
+        col("rx_anchored"), col("rx_segs")))
+      .select("id", "m").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    var nMatch = 0
+    cases.foreach { case (id, path, pattern) =>
+      val want = ref(path, pattern)
+      assert(got(id) == want,
+        s"pattern '$pattern' vs path '$path': got ${got(id)}, want $want")
+      if (want) nMatch += 1
+    }
+    // the case pool is non-degenerate: both outcomes occur in volume
+    assert(nMatch > 100 && nMatch < cases.size - 200, s"nMatch=$nMatch")
+  }
+
   test("robotsGateStateless matches robotsGate under wildcard rules") {
     import spark.implicits._
     val urls = (0L until 60L).map(i =>
