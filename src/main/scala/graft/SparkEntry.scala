@@ -1607,6 +1607,27 @@ object SparkEntry {
         .select(col("src_domain").as("src"), col("dst_domain").as("dst")))
         .withColumn("pr", round(col("pr"), 10))),
 
+    // x158 — WARM-START rank refresh: the stored x143 authority table
+    // (5 cold rounds at rest) iterates 2 MORE rounds on the rebuilt
+    // graph — what a scheduler actually runs per rebuild tick instead
+    // of a cold restart (contraction: warm needs a handful of rounds
+    // where cold needs tens). On the unchanged fixture graph this must
+    // equal 7 cold rounds BIT-FOR-BIT (same step image, parquet
+    // round-trips doubles exactly) — the oracle replays the 7-round
+    // chain, so a warm-start that drifted by one ulp would
+    // hash-mismatch.
+    "x158_warm_rank" -> ((s, d) => {
+      val edges = linkGraph(s, d)
+        .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+      val dir = storedDir("pagerank", d)(p =>
+        ext.Graph.pageRankStoredBuild(linkGraph(s, d)
+          .select(col("src_domain").as("src"),
+            col("dst_domain").as("dst")), p))
+      ext.Graph.pageRankFrom(edges,
+          ext.Graph.pageRankStoredRead(s, dir), iters = 2)
+        .withColumn("pr", round(col("pr"), 10))
+    }),
+
     // x127 — the AUTHORITY report off the x124 rank vector: top-3
     // domains by rank, TakeOrderedAndProject (per-partition top-k, a
     // 3-row driver merge — no global sort of the vector; GraphSpec
@@ -7522,6 +7543,28 @@ object SparkEntry {
                  FROM nds CROSS JOIN nn),
            ${pageRankCtes(5)}
            SELECT node, round(pr, 10) AS pr FROM pr5""",
+
+    // x158 — warm(stored pr5) + 2 rounds ≡ cold pr7 on the unchanged
+    // graph: the oracle replays the full 7-round chain
+    "x158_warm_rank" ->
+      s"""WITH l0 AS (SELECT doc_id, $urlRegDomainSql AS sdom
+                FROM documents),
+           ed0 AS (SELECT DISTINCT sdom AS src,
+                  CASE CAST((doc_id + t.i) % 8 AS INTEGER)
+                    WHEN 0 THEN 'example.com'
+                    WHEN 1 THEN 'example.net'
+                    WHEN 7 THEN 'example.edu'
+                    ELSE sdom END AS dst
+                FROM l0, range(0, 4) t(i)),
+           nds AS (SELECT DISTINCT node FROM
+                   (SELECT src AS node FROM ed0
+                    UNION ALL SELECT dst AS node FROM ed0) q),
+           nn AS (SELECT COUNT(*) AS n FROM nds),
+           dg AS (SELECT src, COUNT(*) AS deg FROM ed0 GROUP BY src),
+           pr0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr
+                 FROM nds CROSS JOIN nn),
+           ${pageRankCtes(7)}
+           SELECT node, round(pr, 10) AS pr FROM pr7""",
 
     // x127 — the same 5-round replay, cut to the top 3 by RAW rank
     // (the engine orders before rounding — ordering by the rounded

@@ -393,6 +393,37 @@ class GraphSpec extends AnyFunSuite {
       .map(_.getLong(2)).sum == 0L)
   }
 
+  test("pageRankFrom: warm(j) + k rounds ≡ cold j+k bit-for-bit; new " +
+       "nodes enter at 1/N; warm from the fixed point barely moves") {
+    val edges = Seq("a" -> "b", "b" -> "c", "b" -> "d", "c" -> "a",
+      "d" -> "a", "a" -> "c")
+    def vec(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val cold3 = Graph.pageRank(edges.toDF("src", "dst"), 3)
+    val warm = vec(Graph.pageRankFrom(edges.toDF("src", "dst"), cold3, 2))
+    val cold5 = vec(Graph.pageRank(edges.toDF("src", "dst"), 5))
+    assert(warm == cold5) // bit-exact, not approximate
+    // a NEW edge adds node e: prior has no entry, e starts at ZERO
+    // (no accumulated rank — unit mass stays exact) and earns the base
+    // term + inbound in round one; the refreshed vector sums to 1
+    val grown = edges :+ ("a" -> "e")
+    val refreshed = vec(Graph.pageRankFrom(grown.toDF("src", "dst"),
+      cold3, 10))
+    assert(refreshed.keySet == Set("a", "b", "c", "d", "e"))
+    assert(math.abs(refreshed.values.sum - 1.0) < 1e-9)
+    assert(refreshed("e") > 0.0)
+    // warm-starting NEAR the fixed point: one more round moves the
+    // vector by less than the cold chain's round-5 step (contraction)
+    val cold30 = Graph.pageRank(edges.toDF("src", "dst"), 30)
+    val c30 = vec(cold30)
+    val step31 = vec(Graph.pageRankFrom(edges.toDF("src", "dst"),
+      cold30, 1))
+    val drift = c30.map { case (k, v) => math.abs(step31(k) - v) }.sum
+    val cold4 = vec(Graph.pageRank(edges.toDF("src", "dst"), 4))
+    val early = cold5.map { case (k, v) => math.abs(cold4(k) - v) }.sum
+    assert(drift < early / 10, s"drift=$drift early=$early")
+  }
+
   test("pageRank: invariant under input partitioning (decimal routing)") {
     val edges = Seq("a" -> "b", "b" -> "c", "b" -> "d", "c" -> "a",
       "d" -> "a", "a" -> "c")
