@@ -167,6 +167,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() == docsBatch.count())
   }
 
+  test("robotsAllowedOnly gates a listed STREAM row-preservingly, " +
+       "wildcard rules included") {
+    val dir = "/root/testdata/sf0.001"
+    val docsBatch = spark.read.parquet(s"$dir/documents.parquet")
+    val docsStream = spark.readStream.schema(docsBatch.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    def listedOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(
+        concat(lit("d"), (col("doc_id") % 2).cast("string"), lit(".com"))
+          .as("domain"),
+        concat(lit("https://d"), (col("doc_id") % 2).cast("string"),
+          lit(".com/p"), (col("doc_id") % 7).cast("string"),
+          lit("/f"), (col("doc_id") % 3).cast("string")).as("u"),
+        col("doc_id").as("payload"))          // a carried column
+    val rules = graft.ext.UrlOps.parseRobots(spark.createDataFrame(Seq(
+      ("d0.com", "User-agent: *\nDisallow: /p1*2$\nDisallow: /p4"),
+      ("d1.com", "Disallow: *f1$\nAllow: /p3*f1$")))
+      .toDF("domain", "robots_txt"))
+    val streamed = graft.streaming.StreamingOps.runBounded(spark,
+      graft.ext.UrlOps.robotsAllowedOnly(listedOf(docsStream), rules),
+      "allowed_only_stream_test", OutputMode.Append())
+    val batch = graft.ext.UrlOps.robotsAllowedOnly(listedOf(docsBatch),
+      rules)
+    assert(streamed.collect().map(_.toSeq).toSet ==
+      batch.collect().map(_.toSeq).toSet)
+    // the gate actually drops rows, and the wildcard rules are the
+    // ones doing the dropping (anchored-star on both domains)
+    assert(streamed.count() < docsBatch.count())
+    assert(batch.columns.toSeq ==
+      Seq("domain", "u", "payload")) // helpers cleaned up
+  }
+
   test("streaming recrawl tick equals the batch schedule sans rank") {
     val dir = "/root/testdata/sf0.001"
     val docsBatch = spark.read.parquet(s"$dir/documents.parquet")
