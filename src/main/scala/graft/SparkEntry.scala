@@ -1299,6 +1299,32 @@ object SparkEntry {
           round(col("priority"), 10).as("priority"))
     }),
 
+    // x159 — the QUALITY-first frontier: x137's composition with the
+    // pricing signal swapped from link authority to the x157 domain
+    // quality prior (decimal-routed mean quality of the domain's PAST
+    // text) — the crawl policy that chases sites whose pages have
+    // historically been worth keeping rather than sites other sites
+    // point at; both signals feed the same bounded top-k tick. Prior
+    // table is domain-sized (broadcast at any corpus scale), the cut
+    // is TakeOrderedAndProject.
+    "x159_quality_frontier" -> ((s, d) => {
+      val sched = recrawlQuery(s, d)
+      val prior = t(s, d, "documents")
+        .withColumn("url", expr(urlSqlExpr))
+        .withColumn("domain", coalesce(
+          ext.UrlOps.registeredDomain(ext.UrlOps.hostOf(col("url"))),
+          lit("")))
+        .select(col("domain"),
+          ext.TextOps.qualityScore(col("text")).as("q"))
+        .groupBy("domain").agg(avgD(col("q")).as("mean_quality"))
+      sched.join(broadcast(prior), Seq("domain"))
+        .withColumn("priority",
+          col("mean_quality") / col("rnk").cast("double"))
+        .orderBy(desc("priority"), col("domain"), col("url")).limit(25)
+        .select(col("domain"), col("url"), col("status"), col("rnk"),
+          round(col("priority"), 10).as("priority"))
+    }),
+
     // x143 — x137 off the AUTHORITY STORE (the x77/x96/x126 stored-
     // index lifecycle applied to the rank tier): the power method runs
     // on the link graph's rebuild cadence, not per scheduling tick —
@@ -3385,6 +3411,28 @@ object SparkEntry {
            pri AS (SELECT s.domain, s.url, s.status, s.rnk,
                   p.pr / CAST(s.rnk AS DOUBLE) AS priority
                 FROM sched s JOIN pr5 p ON p.node = s.domain),
+           cut AS (SELECT * FROM pri
+                   ORDER BY priority DESC, domain, url LIMIT 25)
+           SELECT domain, url, status, rnk,
+                  round(priority, 10) AS priority
+           FROM cut"""
+
+  /** x159's oracle: the recrawl schedule priced by the decimal-routed
+    * per-domain mean quality (the x157 prior restricted to the mean),
+    * same (priority DESC, domain, url) cut as x137. */
+  private lazy val qualityFrontierOracleSql: String =
+    s"""WITH $recrawlOracleCtes,
+           $qualityCtes,
+           dd AS (SELECT doc_id, $urlRegDomainSql AS domain
+                  FROM documents),
+           prior AS (SELECT d.domain,
+                            ${graft.ops.Stable.avgSql("q.quality")}
+                              AS mean_quality
+                     FROM dd d JOIN qual q ON q.doc_id = d.doc_id
+                     GROUP BY d.domain),
+           pri AS (SELECT s.domain, s.url, s.status, s.rnk,
+                  p.mean_quality / CAST(s.rnk AS DOUBLE) AS priority
+                FROM sched s JOIN prior p ON p.domain = s.domain),
            cut AS (SELECT * FROM pri
                    ORDER BY priority DESC, domain, url LIMIT 25)
            SELECT domain, url, status, rnk,
@@ -7356,6 +7404,9 @@ object SparkEntry {
     // joined to the replayed 5-round rank vector, the cut on RAW
     // priority (round after — the x127 convention)
     "x137_ranked_frontier" -> rankedFrontierOracleSql,
+
+    // x159 — the same schedule priced by the x157 quality prior
+    "x159_quality_frontier" -> qualityFrontierOracleSql,
 
     // x143 — the stored-rank twin shares x137's oracle VERBATIM: the
     // rank parquet round-trips doubles exactly, so the scheduler read
