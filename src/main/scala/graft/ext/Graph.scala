@@ -352,7 +352,10 @@ object Graph {
       .localCheckpoint(true)
     val used = q.agg(coalesce(sum("base"), lit(0L)).as("used"))
       .head().getLong(0)
-    val r = (budget - used).toInt
+    val rL = math.max(0L, budget - used)
+    require(rL <= Int.MaxValue,
+      s"bonus remainder $rL exceeds Int.MaxValue — budget too large for limit()")
+    val r = rL.toInt
     val winners = q.orderBy(desc("frac"), col("node")).limit(r)
       .select(col("node"), lit(1L).as("bonus"))
     q.join(broadcast(winners), Seq("node"), "left")

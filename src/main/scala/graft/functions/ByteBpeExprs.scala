@@ -129,7 +129,7 @@ object ByteBpe {
   def parseGpt2Merges(content: String): Seq[(String, String)] =
     content.linesIterator
       .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .filter(l => l.nonEmpty && !l.startsWith("#version"))
       .map { l =>
         val sp = l.indexOf(' ')
         require(sp > 0 && l.indexOf(' ', sp + 1) < 0,

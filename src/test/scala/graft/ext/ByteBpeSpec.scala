@@ -205,6 +205,23 @@ class ByteBpeSpec extends AnyFunSuite {
       Seq((" ", "t")))
   }
 
+  test("merges round trip preserves '#'-prefixed rules (markdown/code " +
+    "corpora train them; only the #version header line is skipped)") {
+    // '#' is its own visible-alphabet char, so a ('#','#') -> '##'
+    // merge renders as the line "# #" — which must NOT be treated as
+    // a comment. RoBERTa-style merges.txt files contain exactly this.
+    val table = Seq("#" -> "#", "##" -> "#", " " -> "#", "t" -> "h")
+    val file = ByteBpe.renderGpt2Merges(table)
+    assert(file.startsWith("#version: 0.2\n"))
+    assert(file.contains("\n# #"))
+    val parsed = ByteBpe.parseGpt2Merges(file)
+    assert(parsed == table, "lost a '#'-prefixed merge rule")
+    // and the compiled kernel actually fires the rule chain
+    val rules = BpeKernel.compile(parsed)
+    val out = BpeKernel.encodeWord(ByteBpe.byteSyms("###"), rules).toSeq
+    assert(out == Seq("###"), s"### should fuse via (#,#)->(##,#): $out")
+  }
+
   test("tiktoken rank-file interop: ranks round-trip through base64, " +
     "and the rank-based encoder segments exactly like the merge loop") {
     import spark.implicits._

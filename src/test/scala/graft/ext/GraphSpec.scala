@@ -394,7 +394,7 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("pageRankFrom: warm(j) + k rounds ≡ cold j+k bit-for-bit; new " +
-       "nodes enter at 1/N; warm from the fixed point barely moves") {
+       "nodes enter at zero; warm from the fixed point barely moves") {
     val edges = Seq("a" -> "b", "b" -> "c", "b" -> "d", "c" -> "a",
       "d" -> "a", "a" -> "c")
     def vec(df: org.apache.spark.sql.DataFrame) =
