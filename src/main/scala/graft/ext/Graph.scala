@@ -426,6 +426,84 @@ object Graph {
     out
   }
 
+  /** SALSA (Lempel & Moran 2001, "SALSA: the stochastic approach for
+    * link-structure analysis") — the L1/random-walk sibling of [[hits]]:
+    * instead of summing raw neighbor scores and L2-normalizing, each
+    * half-step DIVIDES by the sending side's degree, making both updates
+    * stochastic (total mass is conserved by construction, no
+    * normalization step):
+    *
+    *   `hub'(i)  = Σ_{i→j} auth(j) / indeg(j)`   (backward half-step)
+    *   `auth'(j) = Σ_{i→j} hub'(i) / outdeg(i)`  (forward half-step)
+    *
+    * started from the uniform authority vector `1/|A|` over nodes with
+    * ≥1 in-edge. The practical difference from HITS: the degree
+    * division kills the tightly-knit-community (TKC) amplification —
+    * a dense clique can dominate HITS' eigenvector while SALSA's
+    * stationary authority weight is proportional to in-degree WITHIN a
+    * connected component, so a link farm gains nothing from internal
+    * density. Running both and comparing is the standard farm probe.
+    *
+    * Same 100 TB shape as [[hits]]: dedup'd edges + both degree tables
+    * cached once; each half-round is one edge equi-join + one
+    * partial+final agg on the receiving key; no driver collect, no
+    * normalization aggregate at all (mass conservation replaces it);
+    * both vectors eagerly localCheckpoint'ed. Per-edge division before
+    * the decimal-routed sum, so rounds replay bit-for-bit cross-engine.
+    * Returns `(node, hub, auth)` over all nodes (0.0 on the missing
+    * side). */
+  def salsa(edges: DataFrame, iters: Int = 5,
+            srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"need iters >= 1: $iters")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val inDeg = e.groupBy("dst").agg(count(lit(1)).as("indeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nAuth = inDeg.count()
+    var auth = inDeg.select(col("dst").as("node"),
+        (lit(1.0) / lit(nAuth.toDouble)).as("auth"))
+      .localCheckpoint(true)
+    var hub: DataFrame = null
+    for (_ <- 1 to iters) {
+      val hSum = e.join(auth, e("dst") === auth("node"))
+        .join(inDeg, "dst")
+        .groupBy(e("src"))
+        .agg(Stable.sumD(col("auth") / col("indeg").cast("double"), 18)
+          .as("hub"))
+        .select(col("src"), col("hub"))
+        .localCheckpoint(true)
+      hub = hSum
+      val aSum = e.join(hSum, "src")
+        .join(outDeg, "src")
+        .groupBy(e("dst"))
+        .agg(Stable.sumD(col("hub") / col("outdeg").cast("double"), 18)
+          .as("auth"))
+        .select(col("dst").as("node"), col("auth"))
+        .localCheckpoint(true)
+      auth = aSum
+    }
+    val out = nodes
+      .join(hub.select(col("src").as("node"), col("hub")), Seq("node"), "left")
+      .join(auth, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("hub"), lit(0.0)).as("hub"),
+        coalesce(col("auth"), lit(0.0)).as("auth"))
+    e.unpersist(blocking = false)
+    outDeg.unpersist(blocking = false)
+    inDeg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
   /** Crawl ISLANDS — weakly-connected components of the link graph
     * (edges undirected): the "which subwebs exist" report a crawl
     * curator reads before budgeting — an island disconnected from the

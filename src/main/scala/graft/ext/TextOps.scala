@@ -1001,4 +1001,172 @@ object TextOps {
     feats.select(col(idCol), round(p, 9).as("p_keep"),
       (round(p, 9) >= 0.5).as("pred_keep"))
   }
+
+  // ----------------------------------------------------------------- PII
+
+  /** PII patterns a pre-training scrubber redacts before anything else
+    * touches the text (the C4/Dolma-style regex tier — emails, bare IPv4
+    * addresses, NANP-style phone numbers). Regex subset chosen for
+    * engine portability: character classes, bounded counts, `\b` — no
+    * lookaround, no backreferences — so Java (Spark codegen) and RE2
+    * (DuckDB oracle) match identical spans. `\d` is ASCII `[0-9]` in
+    * both (Java default, no UNICODE_CHARACTER_CLASS). */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Redact PII in place: email → `<EMAIL>`, then IPv4 → `<IP>`, then
+    * phone → `<PHONE>`, applied IN THAT ORDER (a span consumed by an
+    * earlier pass is invisible to later ones — the order is part of the
+    * operator contract). Pure chained `regexp_replace`: per-row,
+    * whole-stage codegen, no shuffle — scan-bound at any corpus size. */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmailRe, "<EMAIL>"),
+        PiiIpv4Re, "<IP>"),
+      PiiPhoneRe, "<PHONE>")
+
+  /** Per-document PII census + the scrubbed text: match counts per
+    * pattern are censused on the RAW text independently (so an audit
+    * can distinguish "had an email" from "had a phone" even when
+    * redaction order would hide one inside the other), the `redacted`
+    * column is the sequential [[piiScrub]]. One projection, no shuffle. */
+  def piiReport(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+      regexp_count(t, lit(PiiEmailRe)).cast("long").as("n_email"),
+      regexp_count(t, lit(PiiIpv4Re)).cast("long").as("n_ipv4"),
+      regexp_count(t, lit(PiiPhoneRe)).cast("long").as("n_phone"),
+      piiScrub(t).as("redacted"))
+      .withColumn("n_pii", col("n_email") + col("n_ipv4") + col("n_phone"))
+  }
+
+  // -------------------------------------------- corpus-level line dedup
+
+  /** Per-(doc, line) table shared by [[lineBoilerplate]] and
+    * [[repetitionSignals]]: text split on `\n`, trim-empty lines
+    * dropped, `pos` = the line's 0-based index in the ORIGINAL split
+    * (dropping empties does not renumber), `h` = the line's FNV-1a 64
+    * over UTF-8 bytes (the x10 fingerprint primitive — an engine-
+    * portable published spec, so the oracle recomputes it). Everything
+    * downstream groups and joins on the 64-bit `h`, never on the raw
+    * line string — at 100 TB the line text stays in its scan partition
+    * and only (id, pos, h, len) rides any exchange. */
+  private def lineTable(docs: DataFrame, textCol: String,
+                        idCol: String): DataFrame =
+    docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      .filter(length(trim(col("line"))) > 0)
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        graft.functions.HashExprs.rolling_fnv_fingerprint(
+          array(col("line"))).as("h"),
+        length(col("line")).cast("long").as("len"))
+
+  /** CCNet-style corpus-level boilerplate line removal (Wenzek et al.
+    * 2020 dedup lines across shards; Penedo et al. 2023 RefinedWeb §3.3):
+    * a line occurring in ≥ `minDf` DISTINCT documents is boilerplate
+    * (nav menus, cookie banners, footers) and is dropped from every
+    * document; the rest are kept. Returns the per-document census
+    * `(id, n_lines, n_kept, kept_chars, boiler_chars, kept_digest)`
+    * where `kept_digest` is the order-independent set digest
+    * `bit_xor(h XOR pos)` over kept lines (pos-mixing defeats XOR
+    * cancellation of a line repeated within one document; the x152
+    * manifest discipline).
+    *
+    * Shape: one explode → one (h)-keyed distinct-doc count → one
+    * (h)-keyed equi-join back → one (id)-keyed agg. The line FREQUENCY
+    * table is line-cardinality-sized, the join is hash-partitioned on
+    * a 64-bit key — nothing all-pairs, no raw-string exchange; the one
+    * skew risk (the empty/near-empty mega-line) is removed up front by
+    * the trim-empty filter. 64-bit collisions conflate two lines'
+    * frequencies (never corrupt a digest asymmetrically) — at 10¹⁰
+    * distinct lines the birthday term is ~3·10⁻⁶ per line, documented
+    * as acceptable for a keep/drop frequency gate. */
+  def lineBoilerplate(docs: DataFrame, minDf: Long = 5L,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val lines = lineTable(docs, textCol, idCol)
+    val freq = lines.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("line_df"))
+    val kept = col("line_df") < lit(minDf)
+    lines.join(freq, "h")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(kept, col("len")).otherwise(0L)).as("kept_chars"),
+        sum(when(kept, lit(0L)).otherwise(col("len"))).as("boiler_chars"),
+        coalesce(bit_xor(when(kept, col("h").bitwiseXOR(col("pos")))),
+          lit(0L)).as("kept_digest"))
+  }
+
+  // ------------------------------------------- within-doc repetition
+
+  /** Gopher repetition signals (Rae et al. 2021, Appendix A1.1) — the
+    * WITHIN-document repetition gates that catch auto-generated and
+    * template text exact/fuzzy dedup never sees (corpus dedup compares
+    * documents to each other; these compare a document to itself):
+    *
+    *  - `dup_line_frac`     = 1 − distinct lines / lines
+    *  - `dup_line_char_frac`= chars on repeat occurrences of a line /
+    *                          total line chars (first occurrence free)
+    *  - `top2_gram`, `top2_frac` = the most frequent word 2-gram and
+    *    `count·len(gram) / len(text)` — the character share the single
+    *    dominant 2-gram would cover. Tie on count → lexicographically
+    *    LARGEST gram (total order, engine-portable).
+    *  - `r_dup_line` (≤ 0.30), `r_top2` (≤ 0.20), `keep` — Gopher's
+    *    published thresholds as flags.
+    *
+    * Shape: the line half is two hash-aggs keyed (id, h) then (id); the
+    * 2-gram half explodes grams → (id, gram) counts → per-doc max →
+    * one argmax join. All keys carry the doc id, so every exchange is
+    * doc-partitioned — no corpus-global state, skew bounded by the
+    * longest single document. */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val id = col(idCol)
+    // --- duplicate lines
+    val perLine = lineTable(docs, textCol, idCol)
+      .groupBy(id, col("h"))
+      .agg(count(lit(1)).as("cnt"), first(col("len")).as("len"))
+    val lineSig = perLine.groupBy(id).agg(
+      sum(col("cnt")).as("n_lines"),
+      count(lit(1)).as("n_distinct_lines"),
+      sum(col("cnt") * col("len")).as("line_chars"),
+      sum((col("cnt") - lit(1L)) * col("len")).as("dup_chars"))
+    // --- dominant word 2-gram
+    val toks = tokens(col(textCol))
+    // size<2 → Spark's sequence(1, 0) counts DOWN and element_at(_, 0)
+    // throws under ANSI; guard to an empty array (explode then drops
+    // the doc — a <2-token doc has no 2-gram, and the final inner join
+    // drops its line half too, documented)
+    val gramArr = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val grams = docs.select(id, length(col(textCol)).cast("long").as("n_chars"),
+        explode(gramArr).as("gram"))
+      .groupBy(id, col("n_chars"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val mx = grams.groupBy(id).agg(max(col("cnt")).as("mx"))
+    val top = grams.join(mx, idCol)
+      .filter(col("cnt") === col("mx"))
+      .groupBy(id, col("n_chars"), col("mx"))
+      .agg(max(col("gram")).as("top2_gram"))
+    lineSig.join(top, idCol)
+      .select(id,
+        col("n_lines"),
+        (lit(1.0) - col("n_distinct_lines").cast("double") /
+          col("n_lines").cast("double")).as("dup_line_frac"),
+        (col("dup_chars").cast("double") /
+          col("line_chars").cast("double")).as("dup_line_char_frac"),
+        col("top2_gram"),
+        (col("mx").cast("double") * length(col("top2_gram")).cast("double") /
+          col("n_chars").cast("double")).as("top2_frac"))
+      .withColumn("r_dup_line", col("dup_line_frac") <= 0.30)
+      .withColumn("r_top2", col("top2_frac") <= 0.20)
+      .withColumn("keep", col("r_dup_line") && col("r_top2"))
+  }
 }
