@@ -44,7 +44,9 @@ object Ellipsoid {
   * Geodetic output is in the projection's native datum; the registered
   * EPSG codes are ETRS89/NAD83-family, whose offset from WGS84 (≤ ~1-2 m)
   * is below raster resolution for every reference export — same
-  * treatment rasterio applies when no datum shift is requested.
+  * treatment rasterio applies when no datum shift is requested. For
+  * genuinely offset legacy datums (OSGB36's ~125 m), compose with the
+  * 7-parameter Helmert in [[Datum]] — `Crs.toWgs84LonLat` routes it.
   */
 object Conic {
 

@@ -84,6 +84,36 @@ object Crs {
       crs.stripPrefix("EPSG:").toIntOption.flatMap(fromEpsg)
     else None
 
+  /** Datum of a registered code, as its Helmert-to-WGS84 parameters.
+    * None = the code's datum is WGS84 itself or a WGS84-compatible
+    * realization (ETRS89/NAD83/NZGD2000, ≤ ~1-2 m — below raster
+    * resolution, same null treatment rasterio applies by default).
+    * Some = a genuinely offset legacy datum; [[toLonLat]] output for
+    * such codes is NATIVE-datum and needs [[Datum.shiftToWgs84]] —
+    * which [[toWgs84LonLat]] composes. Registered: EPSG:27700
+    * (OSGB36/Airy 1830, up to ~125 m from WGS84, EPSG:1314 params). */
+  def helmertToWgs84(code: Int): Option[(Ellipsoid, Datum.Helmert7)] =
+    code match {
+      case 27700 => Some((Ellipsoid.Airy1830, Datum.Osgb36ToWgs84))
+      case _ => None
+    }
+
+  /** Scalar inverse INCLUDING the datum shift: projected (x, y) of a
+    * registered EPSG code → WGS84 (lon°, lat°). Identical to
+    * [[toLonLat]] for WGS84-family codes; applies the registered
+    * Helmert for legacy-datum codes. */
+  def toWgs84LonLat(code: Int, x: Double, y: Double)
+  : Option[(Double, Double)] =
+    fromEpsg(code).map { p =>
+      val (lon, lat) = toLonLat(p, x, y)
+      helmertToWgs84(code) match {
+        case Some((ell, h)) =>
+          val (la, lo) = Datum.shiftToWgs84(ell, h, lat, lon)
+          (lo, la)
+        case None => (lon, lat)
+      }
+    }
+
   /** Scalar inverse: projected model (x, y) → (lon°, lat°). Mirrors the
     * column-level math (GeoFns.mercatorToLon/Lat, Utm.toLatLon) exactly. */
   def toLonLat(p: Projection, x: Double, y: Double): (Double, Double) =
