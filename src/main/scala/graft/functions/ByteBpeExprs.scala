@@ -125,11 +125,20 @@ object ByteBpe {
     * space-separated visible-alphabet pair per line in rank order.
     * Tokens never contain a RAW space (the space byte renders as 'Ġ'),
     * so the single-space split is exact. Returns the internal
-    * byte-symbol pairs ready for [[BpeKernel.compile]]. */
+    * byte-symbol pairs ready for [[BpeKernel.compile]].
+    *
+    * The `#version` header is skipped on LINE 1 ONLY (HuggingFace
+    * tokenizers' contract) — a legitimate merge whose rendered left
+    * token begins with `#version` (reachable on code/markdown corpora)
+    * parses as a rule anywhere below the header. */
   def parseGpt2Merges(content: String): Seq[(String, String)] =
     content.linesIterator
       .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#version"))
+      .zipWithIndex
+      .filterNot { case (l, i) =>
+        l.isEmpty || (i == 0 && l.startsWith("#version"))
+      }
+      .map { case (l, _) => l }
       .map { l =>
         val sp = l.indexOf(' ')
         require(sp > 0 && l.indexOf(' ', sp + 1) < 0,

@@ -222,6 +222,23 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(out == Seq("###"), s"### should fuse via (#,#)->(##,#): $out")
   }
 
+  test("merges parse skips '#version' on line 1 ONLY: a legit rule " +
+    "whose left token renders as '#version…' survives below the header") {
+    // '#version' is 8 printable-ASCII bytes, so a ('#version','!')
+    // merge renders verbatim as the line '#version !' — reachable on
+    // code corpora that trained the '#versio'+'n' chain first. The
+    // HuggingFace contract skips the header line only.
+    val table = Seq("#version" -> "!", "t" -> "h")
+    val file = ByteBpe.renderGpt2Merges(table)
+    assert(file == "#version: 0.2\n#version !\nt h")
+    assert(ByteBpe.parseGpt2Merges(file) == table,
+      "lost a '#version'-prefixed merge rule below the header")
+    // headerless file whose first line is a REAL '#version…' rule:
+    // that line is indistinguishable from a header, and the contract
+    // (skip line 1 when it startsWith #version) drops it — documented
+    assert(ByteBpe.parseGpt2Merges("#version !\nt h") == Seq("t" -> "h"))
+  }
+
   test("tiktoken rank-file interop: ranks round-trip through base64, " +
     "and the rank-based encoder segments exactly like the merge loop") {
     import spark.implicits._
