@@ -477,6 +477,23 @@ object SparkEntry {
                 round(col("ll._2"), 9).as("lon"))
     }),
 
+    // F7 (datum case) — the f7_tmerc grid carried all the way to
+    // WGS84: Krüger inverse to native OSGB36, then the EPSG:1314
+    // 7-parameter Helmert (geocentric, position-vector) — the ~125 m
+    // datum skew a geotagged join against a BNG raster must apply
+    // (oracle: the shared Krüger chain + the Helmert replayed term
+    // for term, helmertOracleSql).
+    "f7_osgb_datum" -> ((s, _) => {
+      val grid = ops.Unpivot.gridToPixels(s, graft.model.GridMeta(
+        "osgb", 1000.0, 0.0, 300000.0, 0.0, -1000.0, 500000.0,
+        "EPSG:27700", width = 50, height = 50, nodata = None, scaleM = 1000))
+      val ll = udf((e: Double, n: Double) =>
+        ops.Crs.toWgs84LonLat(27700, e, n).get)
+      grid.withColumn("ll", ll(col("lon"), col("lat")))
+        .select(col("y"), col("x"), round(col("ll._2"), 9).as("lat"),
+                round(col("ll._1"), 9).as("lon"))
+    }),
+
     // F7 (conic case) — Lambert-93 (EPSG:2154) pixel grid → EPSG:4326 via
     // the LCC closed-form inverse (oracle: the same closed form + the
     // fixed-point latitude iteration mirrored in SQL, lccOracleSql)
@@ -1765,6 +1782,16 @@ object SparkEntry {
     "x149_kn3_score" -> ((s, d) =>
       ext.TextOps.knTrigramScore(t(s, d, "documents"))),
 
+    // x166 — ORDER-5 interpolated Kneser-Ney, KenLM's production
+    // default order, via the general order-n recursion (x144/x149 are
+    // its hand-unrolled order-2/3 instances, asserted bit-equal in
+    // spec): four continuation levels chained off ONE 5-gram type
+    // table, the KN insight applied at every backoff. The oracle is
+    // GENERATED for the order (knOracleSql) — same per-level
+    // parenthesization, same ordered-fold determinism.
+    "x166_kn5_score" -> ((s, d) =>
+      ext.TextOps.knScore(t(s, d, "documents"), order = 5)),
+
     // x145 — crawl-budget apportionment: the stored rank vector (the
     // x143 authority store) turned into integer per-domain fetch
     // quotas by the largest-remainder rule — Σ n_fetch == 300 exactly,
@@ -2911,8 +2938,81 @@ object SparkEntry {
           .select(col("media_id").cast("string").as("archive"),
             when(col("media_id") % 9 === 0,
               expr("substring(content, 1, cast(length(content)*3/10 as int))"))
-              .otherwise(col("content")).as("content"))))
+              .otherwise(col("content")).as("content")))),
+
+    // x160 — SALSA hub/authority over the x123 domain graph: HITS'
+    // bipartite-random-walk cousin — degree-normalized half-rounds
+    // with NO normalization aggregate (mass conservation replaces it),
+    // the TKC-resistant probe run AGAINST x134 (composed in x163).
+    // 5 rounds, the oracle unrolls them term for term.
+    "x160_salsa" -> ((s, d) =>
+      ext.Graph.salsa(linkGraph(s, d)
+          .select(col("src_domain").as("src"),
+            col("dst_domain").as("dst")))
+        .withColumn("hub", round(col("hub"), 10))
+        .withColumn("auth", round(col("auth"), 10))),
+
+    // x161 — PII census + scrub audit over the x32 plants (one email,
+    // one IPv4, one international phone per doc): per-pattern counts
+    // on the RAW text plus the redacted rewrite — ONE pattern set
+    // engine-wide (Cleanse's), so the census counts exactly what the
+    // x32 scrub removes.
+    "x161_pii_report" -> ((s, d) =>
+      ext.TextOps.piiReport(t(s, d, "documents").withColumn("text",
+        concat_ws(" ", col("text"),
+          concat(lit("user"), col("doc_id").cast("string"),
+            lit("@example.com")),
+          concat(lit("10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+            lit("."), pmod(col("doc_id"), lit(100L)).cast("string")),
+          concat(lit("+1 (202) 555-0"),
+            lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0")))))),
+
+    // x164 — corpus-level boilerplate line CENSUS (the report twin of
+    // x33's rewrite, on the SAME line kernel and FNV line hash): the
+    // x33 2-token re-lining plus an injected footer block — a
+    // corpus-wide "SUBSCRIBE NOW" line (boilerplate by df), an empty
+    // line (dropped by the census policy), and a corpus-wide closing
+    // line. kept_digest = bit_xor(h XOR pos) over kept lines.
+    "x164_line_census" -> ((s, d) =>
+      ext.TextOps.lineBoilerplate(
+        t(s, d, "documents").withColumn("text",
+          concat(twoTokenRelined,
+            lit("\nSUBSCRIBE NOW\n\nall rights reserved"))),
+        minDf = 20L)),
+
+    // x165 — Gopher within-doc repetition census (Rae A1.1 dup-line +
+    // top-2-gram gates) over the x164 re-lining plus two deterministic
+    // plants: every doc_id%3==0 doc gets a duplicated "la la" line
+    // (dup_line_frac > 0), every doc_id%5==0 doc a looping "click
+    // here"x3 tail (a dominant gram). Doubles rounded at 10 on both
+    // sides; gram-less docs surface with null gram columns (LEFT join).
+    "x165_repetition" -> ((s, d) =>
+      ext.TextOps.repetitionSignals(
+        t(s, d, "documents").withColumn("text",
+          concat(twoTokenRelined,
+            when(pmod(col("doc_id"), lit(3L)) === 0,
+              lit("\nla la\nla la")).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(5L)) === 0,
+              lit("\nclick here click here click here"))
+              .otherwise(lit("")))))
+        .withColumn("dup_line_frac", round(col("dup_line_frac"), 10))
+        .withColumn("dup_line_char_frac",
+          round(col("dup_line_char_frac"), 10))
+        .withColumn("top2_frac", round(col("top2_frac"), 10)))
   )
+
+  /** The x33/x164/x165 re-lining: the doc's whitespace tokens (empties
+    * filtered) re-joined two per line — turns the single-line synthetic
+    * corpus into a multi-line one with naturally repeating lines. */
+  private def twoTokenRelined: Column = {
+    val toks = filter(split(lower(col("text")), "\\s+"),
+      t => length(t) > 0)
+    val nLines = greatest(((size(toks) + lit(1)) / lit(2)).cast("int"),
+      lit(1))
+    array_join(
+      transform(sequence(lit(0), nLines - 1),
+        i => array_join(slice(toks, i * 2 + 1, lit(2)), " ")), "\n")
+  }
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
     * identical expression structure and bit-identical double constants
@@ -3547,6 +3647,141 @@ object SparkEntry {
                      ELSE CAST(0 AS DOUBLE) END AS hub
               FROM hr$k h CROSS JOIN hn$k n)"""
     }.mkString(",\n         ")
+
+  /** x160's SALSA rounds (the hitsCtes twin, no normalization CTEs):
+    * per round a hub half (auth/indeg summed over in-edges per source)
+    * then an auth half (hub/outdeg summed over out-edges per
+    * destination), every per-edge division IEEE before the
+    * decimal-routed sum — the engine's expression order term for term.
+    * Expects `ed0(src, dst)` distinct edges; emits `odg`/`idg`/`na`/
+    * `at0` and `hb1..hbN`/`at1..atN`. */
+  private def salsaCtes(iters: Int): String = {
+    val head =
+      s"""odg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg
+              FROM ed0 GROUP BY src),
+         idg AS MATERIALIZED (SELECT dst, COUNT(*) AS indeg
+              FROM ed0 GROUP BY dst),
+         na AS (SELECT COUNT(*) AS n FROM idg),
+         at0 AS MATERIALIZED (SELECT dst AS node,
+                CAST(1 AS DOUBLE) / CAST(na.n AS DOUBLE) AS auth
+              FROM idg CROSS JOIN na)"""
+    val rounds = (1 to iters).map { k =>
+      s"""hb$k AS MATERIALIZED (SELECT e.src AS node,
+                ${graft.ops.Stable.sumSql(
+                    "a.auth / CAST(i.indeg AS DOUBLE)", 18)} AS hub
+              FROM ed0 e JOIN at${k - 1} a ON a.node = e.dst
+              JOIN idg i ON i.dst = e.dst
+              GROUP BY e.src),
+         at$k AS MATERIALIZED (SELECT e.dst AS node,
+                ${graft.ops.Stable.sumSql(
+                    "h.hub / CAST(o.outdeg AS DOUBLE)", 18)} AS auth
+              FROM ed0 e JOIN hb$k h ON h.node = e.src
+              JOIN odg o ON o.src = e.src
+              GROUP BY e.dst)"""
+    }.mkString(",\n         ")
+    head + ",\n         " + rounds
+  }
+
+  /** x166's ORDER-N Kneser-Ney oracle — the x149 trigram structure
+    * GENERATED for any order: one n-gram type table, continuation type
+    * tables chained below it, history normalizers per level, and the
+    * engine's per-level parenthesization reproduced term for term. */
+  private def knOracleSql(n: Int): String = {
+    require(n >= 3, s"generated form assumes a continuation chain: $n")
+    val ws = (1 to n).map(i => s"w$i")
+    val wsList = ws.mkString(", ")
+    val gramArr = (0 until n).map {
+      case 0 => "ts[CAST(i AS INTEGER)]"
+      case j => s"ts[CAST(i + $j AS INTEGER)]"
+    }.mkString(",\n                        ")
+    val gramSel = ws.zipWithIndex
+      .map { case (w, i) => s"tg[${i + 1}] AS $w" }.mkString(", ")
+    val conts = ((n - 1) to 1 by -1).map { k =>
+      val src = if (k == n - 1) "tn" else s"cont${k + 1}"
+      val cols = ws.takeRight(k).mkString(", ")
+      s"""cont$k AS MATERIALIZED (SELECT $cols,
+         |             CAST(COUNT(*) AS BIGINT) AS ck$k
+         |           FROM $src GROUP BY $cols)""".stripMargin
+    }.mkString(",\n")
+    val hists = ((n - 1) to 2 by -1).map { k =>
+      val cols = ws.takeRight(k).init.mkString(", ")
+      s"""hist$k AS MATERIALIZED (SELECT $cols,
+         |             CAST(SUM(ck$k) AS BIGINT) AS ctot$k,
+         |             CAST(COUNT(*) AS BIGINT) AS nf$k
+         |           FROM cont$k GROUP BY $cols)""".stripMargin
+    }.mkString(",\n")
+    var p = "(CAST(p.ck1 AS DOUBLE) / CAST(tt.cktot AS DOUBLE))"
+    for (k <- 2 to n - 1)
+      p = s"""(GREATEST(CAST(c$k.ck$k AS DOUBLE) - 0.75, 0.0)
+             |      / CAST(g$k.ctot$k AS DOUBLE)
+             |    + ((0.75 * CAST(g$k.nf$k AS DOUBLE))
+             |       / CAST(g$k.ctot$k AS DOUBLE)) * $p)""".stripMargin
+    val pn = s"""GREATEST(CAST(t.cN AS DOUBLE) - 0.75, 0.0)
+                |      / CAST(h.chist AS DOUBLE)
+                |    + ((0.75 * CAST(h.ntopf AS DOUBLE))
+                |       / CAST(h.chist AS DOUBLE)) * $p""".stripMargin
+    val joins = new StringBuilder
+    joins ++= s"  JOIN tn t ON ${ws.map(w => s"o.$w = t.$w").mkString(" AND ")}\n"
+    joins ++= s"  JOIN htop h ON ${ws.init.map(w => s"o.$w = h.$w").mkString(" AND ")}\n"
+    for (k <- (n - 1) to 2 by -1) {
+      joins ++= s"  JOIN cont$k c$k ON ${ws.takeRight(k)
+        .map(w => s"o.$w = c$k.$w").mkString(" AND ")}\n"
+      joins ++= s"  JOIN hist$k g$k ON ${ws.takeRight(k).init
+        .map(w => s"o.$w = g$k.$w").mkString(" AND ")}\n"
+    }
+    joins ++= s"  JOIN cont1 p ON o.${ws.last} = p.${ws.last}\n"
+    joins ++= "  CROSS JOIN tt"
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |                             t -> length(t) > 0) AS ts
+       |  FROM documents),
+       |occ AS MATERIALIZED (
+       |  SELECT doc_id, $wsList, COUNT(*) AS m
+       |  FROM (SELECT doc_id, $gramSel
+       |        FROM (SELECT doc_id,
+       |                     unnest(list_transform(range(1, len(ts) - ${n - 2}), i ->
+       |                       [$gramArr])) AS tg
+       |              FROM tok))
+       |  GROUP BY doc_id, $wsList),
+       |tn AS MATERIALIZED (SELECT $wsList, CAST(SUM(m) AS BIGINT) AS cN
+       |       FROM occ GROUP BY $wsList),
+       |htop AS MATERIALIZED (SELECT ${ws.init.mkString(", ")},
+       |             CAST(SUM(cN) AS BIGINT) AS chist,
+       |             CAST(COUNT(*) AS BIGINT) AS ntopf
+       |        FROM tn GROUP BY ${ws.init.mkString(", ")}),
+       |$conts,
+       |$hists,
+       |tt AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS cktot FROM cont2),
+       |valued AS MATERIALIZED (
+       |  SELECT o.doc_id, ${ws.map(w => s"o.$w").mkString(", ")}, o.m,
+       |         CAST(o.m AS DOUBLE) /
+       |           ($pn) AS val
+       |  FROM occ o
+       |$joins)
+       |SELECT doc_id,
+       |       CAST(SUM(m) AS BIGINT) AS n_ngrams,
+       |       list_reduce(list(val ORDER BY $wsList), (a, b) -> a + b)
+       |         / CAST(SUM(m) AS BIGINT) AS kn${n}_score
+       |FROM valued GROUP BY doc_id""".stripMargin
+  }
+
+  /** x164/x165's shared re-lining CTEs (the [[twoTokenRelined]] twin):
+    * `tok(doc_id, l)` = empty-filtered whitespace tokens of the
+    * lowered text, `rel(doc_id, text)` = two tokens per line,
+    * `suffixSql` appended verbatim to the re-joined text. */
+  private def relinedCtes(suffixSql: String): String =
+    s"""tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '\\s+'),
+             t -> length(t) > 0) AS l
+           FROM documents),
+         rel AS (
+           SELECT doc_id,
+             array_to_string(
+               list_transform(range(0, greatest((len(l)+1)//2, 1)),
+                 i -> array_to_string(l[i*2+1 : i*2+2], ' ')), chr(10))
+             $suffixSql AS text
+           FROM tok)"""
 
   /** x125/x126/x135's shared candidate layer: sign words rebuilt from
     * scratch (31-bit-safe shifts), the Hamming cut to `cand`. */
@@ -4251,6 +4486,18 @@ object SparkEntry {
     * k₀A₁, e, FE/FN, the rectified-origin offset ξ₀ pasted as the exact
     * driver-side double, and λ₀ = −2°. */
   private def tmercOracleSql: String = {
+    val (ctes, latE, lonE) = bngInverseParts
+    s"""WITH $ctes
+       SELECT y, x,
+              round($latE, 9) AS lat,
+              round($lonE, 9) AS lon
+       FROM it8"""
+  }
+
+  /** The f7_tmerc Krüger inverse chain, shared with the Helmert datum
+    * oracle: (CTEs grid→it8, native-datum lat° expression, lon°
+    * expression — both over it8's columns, unrounded). */
+  private def bngInverseParts: (String, String, String) = {
     val (k0a1, beta, e, fe, fn, xi0, lon0) =
       ops.Utm.Tmerc.BritishNationalGrid.oracleConstants
     def sinhS(x: String) = s"((exp($x) - exp(-($x))) / 2)"
@@ -4270,7 +4517,7 @@ object SparkEntry {
          d${k - 1} OR abs(${g(s"phi${k - 1}")} - phi${k - 1}) < 1e-14 AS d$k
          FROM it${k - 1})"""
     }.mkString
-    s"""WITH grid AS (
+    val ctes = s"""grid AS (
          SELECT CAST(y.range AS INTEGER) AS y, CAST(x.range AS INTEGER) AS x,
                 300000.0 + (CAST(x.range AS DOUBLE) + 0.5) * 1000.0 AS easting,
                 500000.0 + (CAST(y.range AS DOUBLE) + 0.5) * (-1000.0) AS northing
@@ -4286,11 +4533,61 @@ object SparkEntry {
                 asin(sin(xip) / ${coshS("etap")}) AS phi0,
                 FALSE AS d0
          FROM conf)
-       $newton
+       $newton"""
+    (ctes, "phi8 * 180.0 / pi()",
+      s"$lon0 + atan2(${sinhS("etap")}, cos(xip)) * 180.0 / pi()")
+  }
+
+  /** DuckDB mirror of [[ops.Datum.shiftToWgs84]] over the f7_tmerc
+    * grid: the Krüger chain (bngInverseParts, native OSGB36 output),
+    * then geodetic→geocentric on Airy 1830, the EPSG:1314
+    * position-vector Helmert (every derived constant — rotations in
+    * radians, the scale multiplier — pasted as the exact Scala
+    * double), and the WGS84 latitude fixed point unrolled ten steps
+    * with the engine's 1e-14 freeze. */
+  private def helmertOracleSql: String = {
+    val (ctes, latE, lonE) = bngInverseParts
+    val ell = graft.ops.Ellipsoid.Airy1830
+    val w = graft.ops.Ellipsoid.WGS84
+    val h = graft.ops.Datum.Osgb36ToWgs84
+    def g(ph: String) =
+      s"""atan2(gz2 + ${w.e2} * (${w.a} /
+            sqrt(1 - ${w.e2} * sin($ph) * sin($ph))) * sin($ph), gp)"""
+    val iters = (1 to 10).map { k =>
+      s""", jt$k AS (SELECT *,
+         CASE WHEN c${k - 1} THEN ph${k - 1} ELSE ${g(s"ph${k - 1}")} END AS ph$k,
+         c${k - 1} OR abs(${g(s"ph${k - 1}")} - ph${k - 1}) < 1e-14 AS c$k
+         FROM jt${k - 1})"""
+    }.mkString
+    s"""WITH $ctes,
+       geo AS (SELECT y, x, $latE AS lat_deg, $lonE AS lon_deg FROM it8),
+       rad AS (SELECT y, x, lat_deg / 180.0 * pi() AS phi,
+                            lon_deg / 180.0 * pi() AS lam FROM geo),
+       nus AS (SELECT y, x, phi, lam,
+                      ${ell.a} / sqrt(1 - ${ell.e2} * sin(phi) * sin(phi))
+                        AS nu
+               FROM rad),
+       xyz AS (SELECT y, x,
+                      nu * cos(phi) * cos(lam) AS gx,
+                      nu * cos(phi) * sin(lam) AS gy,
+                      nu * ${1.0 - ell.e2} * sin(phi) AS gz
+               FROM nus),
+       hel AS (SELECT y, x,
+                      ${h.txM} + ${h.m} * (gx - ${h.rz} * gy + ${h.ry} * gz) AS gx2,
+                      ${h.tyM} + ${h.m} * (${h.rz} * gx + gy - ${h.rx} * gz) AS gy2,
+                      ${h.tzM} + ${h.m} * (-(${h.ry}) * gx + ${h.rx} * gy + gz) AS gz2
+               FROM xyz),
+       jt0 AS (SELECT y, x, gx2, gy2, gz2,
+                      sqrt(gx2 * gx2 + gy2 * gy2) AS gp,
+                      atan2(gz2, sqrt(gx2 * gx2 + gy2 * gy2) * ${1.0 - w.e2})
+                        AS ph0,
+                      FALSE AS c0
+               FROM hel)
+       $iters
        SELECT y, x,
-              round(phi8 * 180.0 / pi(), 9) AS lat,
-              round($lon0 + atan2(${sinhS("etap")}, cos(xip)) * 180.0 / pi(), 9) AS lon
-       FROM it8"""
+              round(ph10 * 180.0 / pi(), 9) AS lat,
+              round(atan2(gy2, gx2) * 180.0 / pi(), 9) AS lon
+       FROM jt10"""
   }
 
   /** DuckDB mirror of Conic.Lcc.inverse for the EPSG:2154 grid in
@@ -7117,6 +7414,7 @@ object SparkEntry {
     // F7 parameterized TM — the same series for EPSG:27700 with the
     // rectified-origin offset (see tmercOracleSql)
     "f7_tmerc_reproject" -> tmercOracleSql,
+    "f7_osgb_datum" -> helmertOracleSql,
 
     // F7 LCC — Lambert-93 closed-form inverse mirrored in SQL
     "f7_lcc_reproject" -> lccOracleSql,
@@ -7958,6 +8256,10 @@ object SparkEntry {
         |         / CAST(SUM(m) AS BIGINT) AS kn3_score
         |FROM valued GROUP BY doc_id""".stripMargin,
 
+    // x166 — the order-5 KN recursion, oracle GENERATED from the order
+    // (knOracleSql): the x149 structure with four continuation levels
+    "x166_kn5_score" -> knOracleSql(5),
+
     // x145 — the x124 rank replay feeding the Hamilton apportionment:
     // decimal-routed rank sum, the exact quota/floor/frac algebra, the
     // one-row used-budget aggregate, and the remainder window with the
@@ -8740,6 +9042,179 @@ object SparkEntry {
          SELECT doc_id, n_tokens, q_score,
                 CASE WHEN q_score >= 0.0 THEN 'keep' ELSE 'drop' END AS label
          FROM sc"""
-    }
+    },
+
+    // x160 — SALSA over the x134 edge set: init 1/|authorities| on the
+    // in-degree side, then 5 degree-normalized half-rounds (no
+    // normalization aggregate — mass conservation), decimal-routed
+    // per-edge-divided sums, missing sides coalesced to 0.
+    "x160_salsa" ->
+      s"""WITH l0 AS (SELECT doc_id, $urlRegDomainSql AS sdom
+                FROM documents),
+           ed0 AS (SELECT DISTINCT sdom AS src,
+                  CASE CAST((doc_id + t.i) % 8 AS INTEGER)
+                    WHEN 0 THEN 'example.com'
+                    WHEN 1 THEN 'example.net'
+                    WHEN 7 THEN 'example.edu'
+                    ELSE sdom END AS dst
+                FROM l0, range(0, 4) t(i)),
+           nds AS (SELECT DISTINCT node FROM
+                   (SELECT src AS node FROM ed0
+                    UNION ALL SELECT dst AS node FROM ed0) q),
+           ${salsaCtes(5)}
+           SELECT n.node,
+                  round(COALESCE(h.hub, CAST(0 AS DOUBLE)), 10) AS hub,
+                  round(COALESCE(a.auth, CAST(0 AS DOUBLE)), 10) AS auth
+           FROM nds n
+           LEFT JOIN hb5 h ON h.node = n.node
+           LEFT JOIN at5 a ON a.node = n.node""",
+
+    // x161 — the x32 plants rebuilt from doc_id arithmetic; counts via
+    // regexp_extract_all on the RAW planted text (Cleanse's ONE pattern
+    // set), the redacted column the same email→IP→phone replace chain
+    // x32 proves
+    "x161_pii_report" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  text || ' ' || 'user' || doc_id || '@example.com' ||
+                  ' ' || '10.0.' || (doc_id % 256) || '.' || (doc_id % 100) ||
+                  ' ' || '+1 (202) 555-0' ||
+                  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS t
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_email,
+             CAST(len(regexp_extract_all(t,
+               '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+             CAST(len(regexp_extract_all(t,
+               '\+[0-9][0-9 ()./-]{5,18}[0-9]')) AS BIGINT) AS n_phone,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+               '\+[0-9][0-9 ()./-]{5,18}[0-9]', '<PHONE>', 'g') AS redacted
+           FROM p)
+         SELECT doc_id, n_email, n_ipv4, n_phone, redacted,
+                n_email + n_ipv4 + n_phone AS n_pii
+         FROM c""",
+
+    // x164 — the x33 re-lining plus the footer block, the per-line
+    // FNV-1a (the x10 HUGEINT replay, over the WHOLE line including
+    // spaces), df over distinct docs on the hash, and the census
+    // aggregate with the pos-mixed XOR digest. ASSUMES AN ASCII CORPUS
+    // (the x10 note): codepoints stand in for UTF-8 bytes.
+    "x164_line_census" ->
+      s"""WITH ${relinedCtes("""
+             || chr(10) || 'SUBSCRIBE NOW' || chr(10) || chr(10)
+             || 'all rights reserved'""")},
+         sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM rel),
+         lines AS (
+           SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+                  ls[CAST(u.i AS INTEGER)] AS line
+           FROM sp, unnest(range(1, len(ls) + 1)) AS u(i)
+           WHERE length(trim(ls[CAST(u.i AS INTEGER)])) > 0),
+         fh AS (
+           SELECT doc_id, pos, CAST(length(line) AS BIGINT) AS len,
+             list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(range(1, length(line) + 1), i ->
+                   unicode(substr(line, CAST(i AS INTEGER), 1))::HUGEINT)),
+               (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
+                         % 18446744073709551616::HUGEINT) AS uh
+           FROM lines),
+         hs AS (
+           SELECT doc_id, pos, len,
+                  CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+                            THEN uh - 18446744073709551616::HUGEINT
+                            ELSE uh END AS BIGINT) AS h
+           FROM fh),
+         freq AS (SELECT h, COUNT(DISTINCT doc_id) AS line_df
+                  FROM hs GROUP BY h),
+         j AS (SELECT a.doc_id, a.pos, a.len, a.h, f.line_df
+               FROM hs a JOIN freq f ON f.h = a.h)
+         SELECT doc_id,
+                COUNT(*) AS n_lines,
+                CAST(SUM(CASE WHEN line_df < 20 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_kept,
+                CAST(SUM(CASE WHEN line_df < 20 THEN len ELSE 0 END)
+                     AS BIGINT) AS kept_chars,
+                CAST(SUM(CASE WHEN line_df < 20 THEN 0 ELSE len END)
+                     AS BIGINT) AS boiler_chars,
+                COALESCE(bit_xor(CASE WHEN line_df < 20
+                                      THEN xor(h, pos) END),
+                         CAST(0 AS BIGINT)) AS kept_digest
+         FROM j GROUP BY doc_id""",
+
+    // x165 — the Gopher within-doc repetition recurrence replayed: the
+    // x164 re-lining plus the %3 duplicated-line and %5 looping-gram
+    // plants, dup-line fractions from a per-(doc, line) census, the
+    // dominant 2-gram by count then lexicographically-largest, and the
+    // LEFT join that keeps gram-less docs with null gram columns.
+    "x165_repetition" ->
+      s"""WITH ${relinedCtes("""
+             || CASE WHEN doc_id % 3 = 0
+                     THEN chr(10) || 'la la' || chr(10) || 'la la'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN chr(10) || 'click here click here click here'
+                     ELSE '' END""")},
+         sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM rel),
+         lines AS (
+           SELECT doc_id, ls[CAST(u.i AS INTEGER)] AS line
+           FROM sp, unnest(range(1, len(ls) + 1)) AS u(i)
+           WHERE length(trim(ls[CAST(u.i AS INTEGER)])) > 0),
+         perline AS (
+           SELECT doc_id, line, COUNT(*) AS cnt,
+                  CAST(length(line) AS BIGINT) AS len
+           FROM lines GROUP BY doc_id, line),
+         linesig AS (
+           SELECT doc_id,
+                  CAST(SUM(cnt) AS BIGINT) AS n_lines,
+                  CAST(COUNT(*) AS BIGINT) AS nd,
+                  CAST(SUM(cnt * len) AS BIGINT) AS line_chars,
+                  CAST(SUM((cnt - 1) * len) AS BIGINT) AS dup_chars
+           FROM perline GROUP BY doc_id),
+         tok2 AS (
+           SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                  list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                    t -> length(t) > 0) AS l
+           FROM rel),
+         grams AS (
+           SELECT doc_id, n_chars,
+                  l[CAST(t.i AS INTEGER)] || ' ' ||
+                  l[CAST(t.i + 1 AS INTEGER)] AS gram
+           FROM tok2, unnest(range(1, len(l))) AS t(i)),
+         gcnt AS (SELECT doc_id, n_chars, gram, COUNT(*) AS cnt
+                  FROM grams GROUP BY doc_id, n_chars, gram),
+         mxx AS (SELECT doc_id, MAX(cnt) AS mx FROM gcnt GROUP BY doc_id),
+         top AS (
+           SELECT g.doc_id, g.n_chars, m.mx, MAX(g.gram) AS top2_gram
+           FROM gcnt g JOIN mxx m ON m.doc_id = g.doc_id AND g.cnt = m.mx
+           GROUP BY g.doc_id, g.n_chars, m.mx)
+         SELECT s.doc_id,
+                s.n_lines,
+                round(1.0 - CAST(s.nd AS DOUBLE) / CAST(s.n_lines AS DOUBLE),
+                      10) AS dup_line_frac,
+                round(CAST(s.dup_chars AS DOUBLE) /
+                      CAST(s.line_chars AS DOUBLE), 10) AS dup_line_char_frac,
+                t.top2_gram,
+                round(CAST(t.mx AS DOUBLE) *
+                      CAST(length(t.top2_gram) AS DOUBLE) /
+                      CAST(t.n_chars AS DOUBLE), 10) AS top2_frac,
+                (1.0 - CAST(s.nd AS DOUBLE) / CAST(s.n_lines AS DOUBLE))
+                  <= 0.30 AS r_dup_line,
+                COALESCE(CAST(t.mx AS DOUBLE) *
+                         CAST(length(t.top2_gram) AS DOUBLE) /
+                         CAST(t.n_chars AS DOUBLE) <= 0.20,
+                         TRUE) AS r_top2,
+                ((1.0 - CAST(s.nd AS DOUBLE) / CAST(s.n_lines AS DOUBLE))
+                  <= 0.30) AND
+                COALESCE(CAST(t.mx AS DOUBLE) *
+                         CAST(length(t.top2_gram) AS DOUBLE) /
+                         CAST(t.n_chars AS DOUBLE) <= 0.20,
+                         TRUE) AS keep
+         FROM linesig s LEFT JOIN top t ON t.doc_id = s.doc_id"""
   )
 }

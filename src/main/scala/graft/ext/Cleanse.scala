@@ -39,6 +39,8 @@ object Cleanse {
   // identically (no backrefs, no lookaround, no \b-adjacent unicode):
   // local@domain.tld; dotted-quad with 1-3 digit octets; international
   // phone shapes (+country, separators) with >= 7 digits total.
+  // THE one pattern set engine-wide: TextOps.piiReport censuses these
+  // same constants, so the audit counts exactly what redactPii removes.
   private[ext] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[ext] val Ipv4Re =
     "([0-9]{1,3}\\.){3}[0-9]{1,3}"
@@ -64,6 +66,40 @@ object Cleanse {
     regexp_replace(noIp, PhoneRe, "<PHONE>")
   }
 
+  /** THE line-hash primitive engine-wide: FNV-1a 64 over the line's
+    * UTF-8 bytes (via `RollingFnvFingerprint` on a one-element array —
+    * `rotl5(0) = 0`, so the rolling mix is the identity and the result
+    * IS `fnv1a64(line)`). FNV is a published spec the DuckDB oracle
+    * recomputes byte-for-byte (the x10 replay), unlike `xxhash64` —
+    * one primitive for every line-keyed operator here and in
+    * [[TextOps.lineBoilerplate]]/[[TextOps.repetitionSignals]], so two
+    * operators can never disagree on what "the same line" means. */
+  private[ext] def lineHash(line: Column): Column =
+    graft.functions.HashExprs.rolling_fnv_fingerprint(array(line))
+
+  /** Shared per-(doc, line) kernel for every line-keyed operator:
+    * `(idCol, pos, line, h, len)` where `pos` is the line's 0-based
+    * index in the ORIGINAL split (dropping empties does not renumber),
+    * `h` = [[lineHash]], `len` = char length. `dropEmpty = true`
+    * removes trim-empty lines (the census policy — an empty line
+    * carries no content signal and is the one df/skew bomb);
+    * `dropEmpty = false` keeps them (the rewrite policy —
+    * [[removeBoilerplateLines]] must reassemble documents verbatim, and
+    * the corpus-df gate itself drops ubiquitous empties anyway). Both
+    * policies, one split/hash/position definition. */
+  private[ext] def lineTable(docs: DataFrame, textCol: String,
+                             idCol: String, sep: String,
+                             dropEmpty: Boolean): DataFrame = {
+    val base = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val kept =
+      if (dropEmpty) base.filter(length(trim(col("line"))) > 0) else base
+    kept.select(col(idCol), col("pos").cast("long").as("pos"), col("line"),
+      lineHash(col("line")).as("h"),
+      length(col("line")).cast("long").as("len"))
+  }
+
   /** Corpus-wide line-level boilerplate removal (the CCNet/RefinedWeb
     * step): a line that occurs in `minDf` or more DISTINCT documents is
     * template chrome ("subscribe to our newsletter", cookie banners,
@@ -76,7 +112,7 @@ object Cleanse {
     * corpus).
     *
     * 100 TB posture: document frequency is computed on the line's 64-bit
-    * xxhash, not the line string — the two aggregation shuffles carry
+    * [[lineHash]], not the line string — the two aggregation shuffles carry
     * `(long, long)` pairs, and the df table is bounded by distinct-line
     * cardinality (map-side partial aggregation collapses each hot
     * boilerplate line to one row per task). The df side joins back to the
@@ -90,17 +126,14 @@ object Cleanse {
                              textCol: String = "text",
                              sep: String = "\n"): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
-    val lines = docs
-      .select(col("doc_id"),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-          .as(Seq("pos", "line")))
-      .withColumn("line_h", xxhash64(col("line")))
-    // df on (line_h): per-doc distinct first so in-doc repeats count once
-    val boiler = lines.select("line_h", "doc_id").distinct()
-      .groupBy("line_h").agg(count(lit(1)).as("df"))
+    val lines = lineTable(docs, textCol, "doc_id", sep, dropEmpty = false)
+    // df on the line hash: per-doc distinct first so in-doc repeats
+    // count once
+    val boiler = lines.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-      .select("line_h")
-    val kept = lines.join(boiler, Seq("line_h"), "left_anti")
+      .select("h")
+    val kept = lines.join(boiler, Seq("h"), "left_anti")
     val reassembled = kept.groupBy("doc_id")
       .agg(array_join(transform(
              sort_array(collect_list(struct(col("pos"), col("line")))),

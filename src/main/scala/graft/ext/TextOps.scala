@@ -786,6 +786,95 @@ object TextOps {
         (col("val_sum") / col("n_trigrams")).as("kn3_score"))
   }
 
+  /** ORDER-N interpolated Kneser-Ney (Chen & Goodman 1999 §3, the full
+    * recursion KenLM ships at its production default order 5):
+    *
+    * `P_n(w_n|hist) = max(c_n−d,0)/c_hist + (d·N1+(hist·)/c_hist)·P_{n-1}`
+    * `P_k(w|ctx)   = max(ck_k−d,0)/ctot_k + (d·nf_k/ctot_k)·P_{k-1}`
+    * `P_1(w)       = ck_1(w)/cktot`
+    *
+    * — the top level on raw n-gram counts, every lower level on
+    * CONTINUATION type counts (level k's table counts the distinct
+    * left words of each k-gram in the level-(k+1) TYPE table), the
+    * Kneser-Ney insight applied at every backoff. All counts derive
+    * from ONE n-gram type table; [[knBigramScore]] and
+    * [[knTrigramScore]] are independent hand-unrolled order-2/3
+    * builds of the same recursion, and the spec asserts this general
+    * form reproduces both BIT-FOR-BIT (modulo output column names) —
+    * the cross-implementation proof. Score is the x51/x144
+    * convention: mean inverse probability `mean_i m_i/P_n(i)` folded
+    * in (w1..wn)-sorted order. Rational core, no ln(), bit-exact
+    * across engines.
+    *
+    * Shape at 100 TB: occurrences collapse map-side; each of the
+    * 2(n−1) model tables is bounded by distinct-n-gram cardinality
+    * (strictly shrinking down the recursion) and joins back by content
+    * key; the type total is ONE broadcast row. The join fan is linear
+    * in the order — n−1 suffix-keyed hash joins, no all-pairs
+    * anywhere. */
+  def knScore(docs: DataFrame, order: Int, discount: Double = 0.75,
+              textCol: String = "text", idCol: String = "doc_id")
+  : DataFrame = {
+    require(order >= 2 && order <= 8, s"need 2 <= order <= 8: $order")
+    require(discount > 0 && discount < 1, s"need 0 < d < 1: $discount")
+    val n = order
+    val ws = (1 to n).map(i => s"w$i")
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val nTok = size(toks)
+    val grams = docs.select(col(idCol),
+        explode(arrays_zip((1 to n).map(i =>
+          slice(toks, lit(i), greatest(nTok - (n - 1), lit(0)))): _*))
+          .as("g"))
+      .select(col(idCol) +:
+        (0 until n).map(i => col(s"g.$i").as(s"w${i + 1}")): _*)
+    val occ = grams.groupBy(col(idCol) +: ws.map(col): _*)
+      .agg(count(lit(1)).as("m"))
+    val tn = occ.groupBy(ws.map(col): _*).agg(sum("m").as("cN"))
+    val hTop = tn.groupBy(ws.init.map(col): _*)
+      .agg(sum("cN").as("cHist"), count(lit(1)).as("nTopF"))
+    // continuation type tables T_{n-1}..T_1, each built from the one
+    // above (a row of T_{k+1} is a distinct (k+1)-gram, so count(*)
+    // per k-suffix = distinct left words)
+    val conts = scala.collection.mutable.Map[Int, DataFrame]()
+    var cur = tn
+    for (k <- (n - 1) to 1 by -1) {
+      val tk = cur.groupBy(ws.takeRight(k).map(col): _*)
+        .agg(count(lit(1)).as(s"ck$k"))
+      conts(k) = tk
+      cur = tk
+    }
+    // history normalizers H_k over T_k, k = n-1..2
+    val hists = (2 to n - 1).map { k =>
+      k -> conts(k).groupBy(ws.takeRight(k).init.map(col): _*)
+        .agg(sum(s"ck$k").as(s"ctot$k"), count(lit(1)).as(s"nf$k"))
+    }.toMap
+    val lvl2 = if (n == 2) tn else conts(2)
+    val tot = lvl2.agg(count(lit(1)).as("cktot"))
+    var valued = occ.join(tn, ws).join(hTop, ws.init)
+    for (k <- (n - 1) to 2 by -1)
+      valued = valued.join(conts(k), ws.takeRight(k))
+        .join(hists(k), ws.takeRight(k).init)
+    valued = valued.join(conts(1), Seq(ws.last)).crossJoin(broadcast(tot))
+    val d = lit(discount)
+    var p: Column = col("ck1").cast("double") / col("cktot").cast("double")
+    for (k <- 2 to n - 1)
+      p = greatest(col(s"ck$k").cast("double") - d, lit(0.0)) /
+            col(s"ctot$k").cast("double") +
+          ((d * col(s"nf$k").cast("double")) /
+            col(s"ctot$k").cast("double")) * p
+    val pn = greatest(col("cN").cast("double") - d, lit(0.0)) /
+          col("cHist").cast("double") +
+        ((d * col("nTopF").cast("double")) / col("cHist").cast("double")) * p
+    valued.withColumn("val", col("m").cast("double") / pn)
+      .groupBy(col(idCol)).agg(
+        sum("m").as("n_ngrams"),
+        aggregate(
+          array_sort(collect_list(struct(ws.map(col) :+ col("val"): _*))),
+          lit(0.0), (acc, x) => acc + x.getField("val")).as("val_sum"))
+      .select(col(idCol), col("n_ngrams"),
+        (col("val_sum") / col("n_ngrams")).as(s"kn${n}_score"))
+  }
+
   /** Gopher/MassiveText quality-rule flags (Rae et al. 2021, "Scaling
     * Language Models: Methods, Analysis & Insights from Training
     * Gopher", App. A1.1) — the rule-based document filter every crawl
@@ -1004,65 +1093,47 @@ object TextOps {
 
   // ----------------------------------------------------------------- PII
 
-  /** PII patterns a pre-training scrubber redacts before anything else
-    * touches the text (the C4/Dolma-style regex tier — emails, bare IPv4
-    * addresses, NANP-style phone numbers). Regex subset chosen for
-    * engine portability: character classes, bounded counts, `\b` — no
-    * lookaround, no backreferences — so Java (Spark codegen) and RE2
-    * (DuckDB oracle) match identical spans. `\d` is ASCII `[0-9]` in
-    * both (Java default, no UNICODE_CHARACTER_CLASS). */
-  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PiiIpv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val PiiPhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
-
-  /** Redact PII in place: email → `<EMAIL>`, then IPv4 → `<IP>`, then
-    * phone → `<PHONE>`, applied IN THAT ORDER (a span consumed by an
-    * earlier pass is invisible to later ones — the order is part of the
-    * operator contract). Pure chained `regexp_replace`: per-row,
-    * whole-stage codegen, no shuffle — scan-bound at any corpus size. */
-  def piiScrub(text: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(text, PiiEmailRe, "<EMAIL>"),
-        PiiIpv4Re, "<IP>"),
-      PiiPhoneRe, "<PHONE>")
-
-  /** Per-document PII census + the scrubbed text: match counts per
-    * pattern are censused on the RAW text independently (so an audit
-    * can distinguish "had an email" from "had a phone" even when
-    * redaction order would hide one inside the other), the `redacted`
-    * column is the sequential [[piiScrub]]. One projection, no shuffle. */
+  /** Per-document PII census + the scrubbed text. The patterns and the
+    * scrub are [[Cleanse]]'s — ONE pattern set engine-wide
+    * ([[Cleanse.EmailRe]]/[[Cleanse.Ipv4Re]]/[[Cleanse.PhoneRe]], the
+    * Java/RE2-common subset, international `+`-prefixed phones only —
+    * see [[Cleanse.redactPii]] for the bare-digit-run rationale), so
+    * the audit this report feeds counts EXACTLY what the scrub removes;
+    * two drifting scrubbers is how a pipeline ships un-redacted PII.
+    *
+    * Match counts per pattern are censused on the RAW text
+    * independently (so an audit can distinguish "had an email" from
+    * "had a phone" even when redaction order would hide one inside the
+    * other); the `redacted` column is the sequential
+    * [[Cleanse.redactPii]] (email → IP → phone, order part of the
+    * contract). One projection, no shuffle — scan-bound at any corpus
+    * size. */
   def piiReport(docs: DataFrame, textCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
     val t = col(textCol)
     docs.select(col(idCol),
-      regexp_count(t, lit(PiiEmailRe)).cast("long").as("n_email"),
-      regexp_count(t, lit(PiiIpv4Re)).cast("long").as("n_ipv4"),
-      regexp_count(t, lit(PiiPhoneRe)).cast("long").as("n_phone"),
-      piiScrub(t).as("redacted"))
+      regexp_count(t, lit(Cleanse.EmailRe)).cast("long").as("n_email"),
+      regexp_count(t, lit(Cleanse.Ipv4Re)).cast("long").as("n_ipv4"),
+      regexp_count(t, lit(Cleanse.PhoneRe)).cast("long").as("n_phone"),
+      Cleanse.redactPii(t).as("redacted"))
       .withColumn("n_pii", col("n_email") + col("n_ipv4") + col("n_phone"))
   }
 
   // -------------------------------------------- corpus-level line dedup
 
-  /** Per-(doc, line) table shared by [[lineBoilerplate]] and
-    * [[repetitionSignals]]: text split on `\n`, trim-empty lines
-    * dropped, `pos` = the line's 0-based index in the ORIGINAL split
-    * (dropping empties does not renumber), `h` = the line's FNV-1a 64
-    * over UTF-8 bytes (the x10 fingerprint primitive — an engine-
-    * portable published spec, so the oracle recomputes it). Everything
-    * downstream groups and joins on the 64-bit `h`, never on the raw
-    * line string — at 100 TB the line text stays in its scan partition
-    * and only (id, pos, h, len) rides any exchange. */
+  /** Per-(doc, line) census view shared by [[lineBoilerplate]] and
+    * [[repetitionSignals]]: [[Cleanse.lineTable]] (THE engine-wide
+    * split/hash/position kernel — same FNV-1a line hash as
+    * [[Cleanse.removeBoilerplateLines]]'s df machinery, so a census
+    * here and a rewrite there can never disagree on line identity)
+    * with the census policy `dropEmpty = true`, raw line text dropped.
+    * Everything downstream groups and joins on the 64-bit `h`, never
+    * on the line string — at 100 TB the line text stays in its scan
+    * partition and only (id, pos, h, len) rides any exchange. */
   private def lineTable(docs: DataFrame, textCol: String,
                         idCol: String): DataFrame =
-    docs.select(col(idCol),
-        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
-      .filter(length(trim(col("line"))) > 0)
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        graft.functions.HashExprs.rolling_fnv_fingerprint(
-          array(col("line"))).as("h"),
-        length(col("line")).cast("long").as("len"))
+    Cleanse.lineTable(docs, textCol, idCol, "\n", dropEmpty = true)
+      .drop("line")
 
   /** CCNet-style corpus-level boilerplate line removal (Wenzek et al.
     * 2020 dedup lines across shards; Penedo et al. 2023 RefinedWeb §3.3):
@@ -1136,12 +1207,14 @@ object TextOps {
       count(lit(1)).as("n_distinct_lines"),
       sum(col("cnt") * col("len")).as("line_chars"),
       sum((col("cnt") - lit(1L)) * col("len")).as("dup_chars"))
-    // --- dominant word 2-gram
-    val toks = tokens(col(textCol))
+    // --- dominant word 2-gram (empty tokens filtered: a leading-
+    // whitespace split yields a spurious "" token that would mint a
+    // fake ' word' gram and inflate the token count)
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
     // size<2 → Spark's sequence(1, 0) counts DOWN and element_at(_, 0)
     // throws under ANSI; guard to an empty array (explode then drops
-    // the doc — a <2-token doc has no 2-gram, and the final inner join
-    // drops its line half too, documented)
+    // the doc from the gram half — its line half survives via the
+    // final LEFT join)
     val gramArr = when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
@@ -1155,7 +1228,11 @@ object TextOps {
       .filter(col("cnt") === col("mx"))
       .groupBy(id, col("n_chars"), col("mx"))
       .agg(max(col("gram")).as("top2_gram"))
-    lineSig.join(top, idCol)
+    // LEFT join: a <2-token document has no 2-gram but its line-half
+    // signals are still census-worthy — it surfaces with null gram
+    // columns and a trivially-passing top2 gate. (A doc with no
+    // non-empty lines has no signals on either half and is absent.)
+    lineSig.join(top, Seq(idCol), "left")
       .select(id,
         col("n_lines"),
         (lit(1.0) - col("n_distinct_lines").cast("double") /
@@ -1166,7 +1243,7 @@ object TextOps {
         (col("mx").cast("double") * length(col("top2_gram")).cast("double") /
           col("n_chars").cast("double")).as("top2_frac"))
       .withColumn("r_dup_line", col("dup_line_frac") <= 0.30)
-      .withColumn("r_top2", col("top2_frac") <= 0.20)
+      .withColumn("r_top2", coalesce(col("top2_frac") <= 0.20, lit(true)))
       .withColumn("keep", col("r_dup_line") && col("r_top2"))
   }
 }

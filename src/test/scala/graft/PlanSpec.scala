@@ -260,7 +260,10 @@ class PlanSpec extends AnyFunSuite {
     val p = executed("x33_line_dedup").toString
     assert(!p.contains("CartesianProduct") &&
            !p.contains("BroadcastNestedLoopJoin"), s"quadratic join:\n$p")
-    assert(p.contains("xxhash64"), s"line df not keyed on the hash:\n$p")
+    // line identity is THE engine-wide FNV line hash (Cleanse.lineHash)
+    // since the x164 unification — never the raw line string
+    assert(p.contains("rolling_fnv_fingerprint"),
+      s"line df not keyed on the FNV line hash:\n$p")
     assert(p.contains("HashAggregate"), s"no hash agg for line df:\n$p")
   }
 

@@ -89,4 +89,62 @@ class CleanseSpec extends AnyFunSuite {
     // df('x') = 1 < 2 → nothing removed
     assert(r.agg(sum("n_kept")).head.getLong(0) == 5L)
   }
+
+  test("piiReport censuses Cleanse's ONE pattern set and its redacted " +
+    "column IS Cleanse.redactPii's output") {
+    val docs = Seq(
+      (1L, "write bob@example.com or +1 (202) 555-0143 from 10.0.0.1"),
+      (2L, "no pii in this document at all"),
+      (3L, "mails a@b.io c@d.org ip 8.8.8.8 order 1234567"),
+      // bare NANP digits are NOT redacted (the documented Cleanse
+      // policy the deleted TextOps duplicate contradicted)
+      (4L, "call 202-555-0143 maybe")).toDF("doc_id", "text")
+    val r = TextOps.piiReport(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def counts(id: Long) = (r(id).getLong(1), r(id).getLong(2),
+      r(id).getLong(3), r(id).getLong(5))
+    assert(counts(1L) == ((1L, 1L, 1L, 3L)))
+    assert(counts(2L) == ((0L, 0L, 0L, 0L)))
+    assert(counts(3L) == ((2L, 1L, 0L, 3L)))
+    assert(counts(4L) == ((0L, 0L, 0L, 0L)))
+    assert(r(1L).getString(4) ==
+      "write <EMAIL> or <PHONE> from <IP>")
+    assert(r(4L).getString(4) == "call 202-555-0143 maybe")
+    // the unification guarantee, asserted mechanically: the redacted
+    // column equals Cleanse.redactPii applied to the same text
+    val viaCleanse = docs.select(col("doc_id"),
+      Cleanse.redactPii(col("text")).as("redacted"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    for ((id, row) <- r) assert(row.getString(4) == viaCleanse(id))
+  }
+
+  test("lineBoilerplate: census on the shared line kernel — df gate, " +
+    "empty-line drop, pos-mixed FNV digest") {
+    val boiler = "subscribe to our newsletter" // 27 chars, df = 3
+    val docs = Seq(
+      (1L, s"alpha one\n$boiler\n\nalpha two"), // empty line at pos 2
+      (2L, s"$boiler\nbeta body"),
+      (3L, s"gamma text\n$boiler")).toDF("doc_id", "text")
+    val r = TextOps.lineBoilerplate(docs, minDf = 3L).collect()
+      .map(x => (x.getLong(0),
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          x.getLong(5)))).toMap
+    def fnv(s: String) = graft.functions.HashExprs.fnv1a64(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // doc 1: "alpha one"@0 kept, boiler@1 dropped, ""@2 not censused,
+    // "alpha two"@3 kept — pos numbering from the ORIGINAL split
+    assert(r(1L) == ((3L, 2L, 18L, 27L,
+      (fnv("alpha one") ^ 0L) ^ (fnv("alpha two") ^ 3L))))
+    assert(r(2L) == ((2L, 1L, 9L, 27L, fnv("beta body") ^ 1L)))
+    assert(r(3L) == ((2L, 1L, 10L, 27L, fnv("gamma text") ^ 0L)))
+    // kernel-share guarantee: the census' keep/drop agrees with the
+    // rewrite operator on the same corpus and threshold — modulo the
+    // DOCUMENTED policy split on empty lines (the census drops doc 1's
+    // empty line up front; the rewrite keeps it: df("") = 1 < minDf)
+    val rewrite = Cleanse.removeBoilerplateLines(docs, minDf = 3L)
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(rewrite(1L) == r(1L)._2 + 1) // + the kept empty line
+    assert(rewrite(2L) == r(2L)._2)
+    assert(rewrite(3L) == r(3L)._2)
+  }
 }

@@ -433,4 +433,77 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
     assert(one.toSeq == many.toSeq) // bit-exact, not approximate
   }
+
+  /** Driver-side reference SALSA — the degree-normalized half-round
+    * recurrence (init 1/|authorities| on nodes with in-edges). */
+  private def salsaRef(edges: Set[(String, String)], iters: Int)
+  : (Map[String, Double], Map[String, Double]) = {
+    val es = edges.toSeq
+    val out = es.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val ind = es.groupBy(_._2).map { case (k, v) => k -> v.size }
+    var auth = ind.keys.map(_ -> 1.0 / ind.size).toMap
+    var hub = Map.empty[String, Double]
+    for (_ <- 1 to iters) {
+      hub = es.groupBy(_._1).map { case (s, out1) =>
+        s -> out1.map { case (_, d) => auth(d) / ind(d) }.sum
+      }
+      auth = es.groupBy(_._2).map { case (d, in1) =>
+        d -> in1.map { case (s, _) => hub(s) / out(s) }.sum
+      }
+    }
+    (hub, auth)
+  }
+
+  test("salsa: matches the reference recurrence; hub and auth mass " +
+    "both conserved at 1 (no normalization aggregate needed)") {
+    val edges = Seq("h1" -> "a1", "h1" -> "a2", "h2" -> "a2", "h2" -> "a3",
+      "a1" -> "a3", "h1" -> "a1") // duplicate edge must dedup
+    val (wantH, wantA) = salsaRef(edges.toSet, 5)
+    val got = Graph.salsa(edges.toDF("src", "dst"), 5)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(got.keySet ==
+      (edges.map(_._1) ++ edges.map(_._2)).toSet) // every node surfaces
+    for ((n, (h, a)) <- got) {
+      assert(math.abs(h - wantH.getOrElse(n, 0.0)) < 1e-12, s"hub $n")
+      assert(math.abs(a - wantA.getOrElse(n, 0.0)) < 1e-12, s"auth $n")
+    }
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+  }
+
+  test("salsa: converges to the indeg-proportional stationary point on " +
+    "a connected co-citation graph") {
+    // h1 co-cites a1 and a2; stationary auth = indeg/|E| = (1/3, 2/3)
+    val edges = Seq("h1" -> "a1", "h1" -> "a2", "h2" -> "a2")
+    val auth = Graph.salsa(edges.toDF("src", "dst"), 30)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(auth("a1") - 1.0 / 3) < 1e-6)
+    assert(math.abs(auth("a2") - 2.0 / 3) < 1e-6)
+  }
+
+  test("salsa vs hits: the TKC case — a K4 clique dominates HITS' " +
+    "eigenvector while SALSA ranks the high-indegree authority first") {
+    // tightly-knit community: c1..c4 all link to each other (lambda = 9
+    // for HITS' A^T A) vs a star of 6 independent endorsers -> p
+    // (lambda = 6); one coupling edge l1 -> c1 connects the components
+    // so SALSA's stationary point is indeg-proportional GLOBALLY
+    // (indeg: p = 6 > c1 = 4 > c2..c4 = 3).
+    val clique = for {
+      a <- Seq("c1", "c2", "c3", "c4"); b <- Seq("c1", "c2", "c3", "c4")
+      if a != b
+    } yield a -> b
+    val edges = clique ++ (1 to 6).map(i => s"l$i" -> "p") :+ ("l1" -> "c1")
+    val df = edges.toDF("src", "dst")
+    val salsaA = Graph.salsa(df, 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val hitsA = Graph.hits(df, 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    for (c <- Seq("c1", "c2", "c3", "c4")) {
+      assert(hitsA(c) > hitsA("p"),
+        s"HITS must inflate clique member $c over p (TKC)")
+      assert(salsaA("p") > salsaA(c),
+        s"SALSA must rank p over clique member $c")
+    }
+  }
 }
