@@ -29,7 +29,7 @@ object Plans {
       "x22_hash_sample" -> "Deterministic hash sample: a single codegen'd splitmix64 filter fused into the scan stage — no exchange, no RNG.",
       "x34_bm25" -> "BM25 retrieval: per-term tf as conditional counters in the corpus scan, ONE stats row broadcast back, TakeOrderedAndProject top-k — no vocabulary-sized state, no global sort.",
       "x35_temp_resample" -> "Inverse-sqrt domain rebalancing: per-stratum counts reduce small and broadcast back; the corpus side is scan → broadcast-join → codegen'd splitmix64 filter, never shuffled.",
-      "x33_line_dedup" -> "Line-level boilerplate removal: line df aggregated on xxhash64 keys (partial+final, bounded by distinct-line cardinality), anti-join back, order-preserving per-doc reassembly.",
+      "x33_line_dedup" -> "Line-level boilerplate removal: line df aggregated on the engine-wide FNV line-hash keys (partial+final, bounded by distinct-line cardinality), anti-join back, order-preserving per-doc reassembly.",
       "x37_repeated_spans" -> "Repeated-substring census: native positional window hashes, ONE hash-agg shuffle on the 64-bit key, semi-join of surviving positions, gaps-and-islands span merge in one doc_id window.",
       "x38_semdedup" -> "SemDeDup: broadcast centroid assignment argmax, within-cluster pair join keyed on cid (never all-pairs), component contraction on the edge set only.",
       "x39_bloom_anti" -> "Bloom-pre-filtered drop-list subtraction: the sketch rides into the scan as one literal; only Bloom-positive rows reach the exact anti-join.",
@@ -98,7 +98,12 @@ object Plans {
       "x148_geotagged_join" -> "EXIF GPS x pixel grid: the GPS sub-IFD walk is a per-task mapPartitions over the payload scan (no shuffle to extract fixes), the fix table broadcasts into the J1 cell equi-join — the raster side never shuffles.",
       "x149_kn3_score" -> "Trigram Kneser-Ney: occurrence rows collapse map-side, five model tables all bounded by distinct-trigram cardinality join back by content key, type total is ONE broadcast row, per-doc ordered fold — the x144 plan one order higher.",
       "x152_shard_manifest" -> "Shard manifest: fingerprint + mix64 digest as scan-stage columns, ONE partial+final shard aggregation (XOR/count/sum partials collapse map-side) — the dataset-versioning artifact costs one narrow pass at any corpus size.",
-      "x151_zipf_fit" -> "Zipf fit: token census partial+final, the head cut as TakeOrderedAndProject (never a vocabulary sort), a <=1000-row rank window, one decimal-routed regression aggregate.")
+      "x151_zipf_fit" -> "Zipf fit: token census partial+final, the head cut as TakeOrderedAndProject (never a vocabulary sort), a <=1000-row rank window, one decimal-routed regression aggregate.",
+      "x160_salsa" -> "SALSA: per half-round one edge equi-join + one key-partitioned partial+final agg; NO normalization aggregate (mass conservation) — 2 fewer one-row barriers per round than HITS.",
+      "x164_line_census" -> "Boilerplate line census: the x33 kernel's (id, pos, h, len) rows, df on the 64-bit hash (partial+final), ONE equi-join back, per-doc rollup with the XOR digest — raw line text never rides an exchange.",
+      "x165_repetition" -> "Gopher repetition signals: line half = two hash aggs keyed (id, h) then (id); gram half = doc-keyed counts, per-doc max, argmax join — every exchange carries the doc id, skew bounded by the longest document.",
+      "x166_kn5_score" -> "Order-5 Kneser-Ney: occurrences collapse map-side; 8 model tables (all bounded by distinct-5-gram cardinality, strictly shrinking down the continuation chain) join back by suffix key; type total ONE broadcast row.",
+      "f7_osgb_datum" -> "Legacy-datum CRS to WGS84: range source + one scalar projection (Krueger inverse + Helmert shift in a single UDF), no exchange — the datum shift is free at any raster volume.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")
