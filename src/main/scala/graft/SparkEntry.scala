@@ -2952,6 +2952,44 @@ object SparkEntry {
         .withColumn("hub", round(col("hub"), 10))
         .withColumn("auth", round(col("auth"), 10))),
 
+    // x163 — SALSA vs HITS divergence (the x160 probe COMPOSED against
+    // x134's iteration): HITS' L2 eigenvector re-expressed as an L1
+    // mass share so both vectors are comparable distributions, per-node
+    // delta = hits share − salsa share. HITS piles mass on tightly-knit
+    // communities (the TKC effect); SALSA's stationary point is
+    // indeg-proportional — a node HITS over-weights by > 2% of total
+    // mass is the link-farm-suspect signal. The corpus graph carries a
+    // PLANTED K6 farm clique (λ = 25 beats the organic component's
+    // eigenvalue, so HITS demonstrably drains mass into it while SALSA
+    // holds the indeg proportions — the flag trips exactly there).
+    // Per-row algebra over ONE broadcast sum row — no rank window.
+    "x163_rank_divergence" -> ((s, d) => {
+      import s.implicits._
+      val farm = (for {
+        a <- 1 to 6; b <- 1 to 6 if a != b
+      } yield (s"farm$a.example", s"farm$b.example"))
+        .toDF("src", "dst")
+      val couple = Seq(("example.org", "farm1.example")).toDF("src", "dst")
+      val edges = linkGraph(s, d).select(col("src_domain").as("src"),
+        col("dst_domain").as("dst"))
+        .unionByName(farm).unionByName(couple)
+      val sal = ext.Graph.salsa(edges)
+        .select(col("node"), col("auth").as("salsa_auth"))
+      val hit = ext.Graph.hits(edges)
+        .select(col("node"), col("auth").as("hits_auth"))
+      val hsum = hit.agg(
+        graft.ops.Stable.sumD(col("hits_auth"), 18).as("hsum"))
+      sal.join(hit, Seq("node"))
+        .crossJoin(broadcast(hsum))
+        .withColumn("hshare", col("hits_auth") / col("hsum"))
+        .withColumn("dlt", col("hshare") - col("salsa_auth"))
+        .select(col("node"),
+          round(col("salsa_auth"), 10).as("salsa_share"),
+          round(col("hshare"), 10).as("hits_share"),
+          round(col("dlt"), 10).as("delta"),
+          (col("dlt") > 0.02).as("tkc_suspect"))
+    }),
+
     // x161 — PII census + scrub audit over the x32 plants (one email,
     // one IPv4, one international phone per doc): per-pattern counts
     // on the RAW text plus the redacted rewrite — ONE pattern set
@@ -3653,30 +3691,31 @@ object SparkEntry {
     * then an auth half (hub/outdeg summed over out-edges per
     * destination), every per-edge division IEEE before the
     * decimal-routed sum — the engine's expression order term for term.
-    * Expects `ed0(src, dst)` distinct edges; emits `odg`/`idg`/`na`/
-    * `at0` and `hb1..hbN`/`at1..atN`. */
-  private def salsaCtes(iters: Int): String = {
+    * Expects `ed0(src, dst)` distinct edges; emits `{p}odg`/`{p}idg`/
+    * `{p}na`/`{p}at0` and `{p}hb1..N`/`{p}at1..N` — prefix the names
+    * (x163) when composed with hitsCtes, whose at/hb would collide. */
+  private def salsaCtes(iters: Int, p: String = ""): String = {
     val head =
-      s"""odg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg
+      s"""${p}odg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg
               FROM ed0 GROUP BY src),
-         idg AS MATERIALIZED (SELECT dst, COUNT(*) AS indeg
+         ${p}idg AS MATERIALIZED (SELECT dst, COUNT(*) AS indeg
               FROM ed0 GROUP BY dst),
-         na AS (SELECT COUNT(*) AS n FROM idg),
-         at0 AS MATERIALIZED (SELECT dst AS node,
-                CAST(1 AS DOUBLE) / CAST(na.n AS DOUBLE) AS auth
-              FROM idg CROSS JOIN na)"""
+         ${p}na AS (SELECT COUNT(*) AS n FROM ${p}idg),
+         ${p}at0 AS MATERIALIZED (SELECT dst AS node,
+                CAST(1 AS DOUBLE) / CAST(${p}na.n AS DOUBLE) AS auth
+              FROM ${p}idg CROSS JOIN ${p}na)"""
     val rounds = (1 to iters).map { k =>
-      s"""hb$k AS MATERIALIZED (SELECT e.src AS node,
+      s"""${p}hb$k AS MATERIALIZED (SELECT e.src AS node,
                 ${graft.ops.Stable.sumSql(
                     "a.auth / CAST(i.indeg AS DOUBLE)", 18)} AS hub
-              FROM ed0 e JOIN at${k - 1} a ON a.node = e.dst
-              JOIN idg i ON i.dst = e.dst
+              FROM ed0 e JOIN ${p}at${k - 1} a ON a.node = e.dst
+              JOIN ${p}idg i ON i.dst = e.dst
               GROUP BY e.src),
-         at$k AS MATERIALIZED (SELECT e.dst AS node,
+         ${p}at$k AS MATERIALIZED (SELECT e.dst AS node,
                 ${graft.ops.Stable.sumSql(
                     "h.hub / CAST(o.outdeg AS DOUBLE)", 18)} AS auth
-              FROM ed0 e JOIN hb$k h ON h.node = e.src
-              JOIN odg o ON o.src = e.src
+              FROM ed0 e JOIN ${p}hb$k h ON h.node = e.src
+              JOIN ${p}odg o ON o.src = e.src
               GROUP BY e.dst)"""
     }.mkString(",\n         ")
     head + ",\n         " + rounds
@@ -9068,6 +9107,49 @@ object SparkEntry {
            FROM nds n
            LEFT JOIN hb5 h ON h.node = n.node
            LEFT JOIN at5 a ON a.node = n.node""",
+
+    // x163 — both iterations on one edge set (the corpus graph + the
+    // planted K6 farm + the coupling edge): the prefixed SALSA chain
+    // (s-names) beside the HITS chain, hits L1-renormalized by the
+    // decimal-routed auth sum, per-node share delta and the 2% flag
+    "x163_rank_divergence" ->
+      s"""WITH l0 AS (SELECT doc_id, $urlRegDomainSql AS sdom
+                FROM documents),
+           ed0 AS (SELECT DISTINCT src, dst FROM (
+                  SELECT sdom AS src,
+                  CASE CAST((doc_id + t.i) % 8 AS INTEGER)
+                    WHEN 0 THEN 'example.com'
+                    WHEN 1 THEN 'example.net'
+                    WHEN 7 THEN 'example.edu'
+                    ELSE sdom END AS dst
+                  FROM l0, range(0, 4) t(i)
+                  UNION ALL
+                  SELECT 'farm' || CAST(a.range + 1 AS VARCHAR)
+                           || '.example',
+                         'farm' || CAST(b.range + 1 AS VARCHAR)
+                           || '.example'
+                  FROM range(6) a, range(6) b WHERE a.range <> b.range
+                  UNION ALL
+                  SELECT 'example.org', 'farm1.example') u),
+           nds AS (SELECT DISTINCT node FROM
+                   (SELECT src AS node FROM ed0
+                    UNION ALL SELECT dst AS node FROM ed0) q),
+           ${salsaCtes(5, "s")},
+           hb0 AS (SELECT node, CAST(1 AS DOUBLE) AS hub FROM nds),
+           ${hitsCtes(5)},
+           sal AS (SELECT n.node,
+                          COALESCE(a.auth, CAST(0 AS DOUBLE)) AS salsa_auth
+                   FROM nds n LEFT JOIN sat5 a ON a.node = n.node),
+           hitj AS (SELECT h.node, t.auth
+                    FROM hb5 h JOIN at5 t ON t.node = h.node),
+           hsm AS (SELECT ${graft.ops.Stable.sumSql("t.auth", 18)} AS hsum
+                   FROM hitj t)
+           SELECT s.node,
+                  round(s.salsa_auth, 10) AS salsa_share,
+                  round(h.auth / q.hsum, 10) AS hits_share,
+                  round(h.auth / q.hsum - s.salsa_auth, 10) AS delta,
+                  (h.auth / q.hsum - s.salsa_auth) > 0.02 AS tkc_suspect
+           FROM sal s JOIN hitj h ON h.node = s.node CROSS JOIN hsm q""",
 
     // x161 — the x32 plants rebuilt from doc_id arithmetic; counts via
     // regexp_extract_all on the RAW planted text (Cleanse's ONE pattern
