@@ -227,6 +227,18 @@ object StreamingOps {
                            crawled: DataFrame): DataFrame =
     graft.ext.UrlOps.recrawlTick(listedStream, crawled)
 
+  /** Streaming PII gate: the per-arrival twin of the x161 census+scrub
+    * — [[graft.ext.TextOps.piiReport]] is pure chained column algebra
+    * on [[graft.ext.Cleanse]]'s ONE pattern set, so the identical plan
+    * runs over a streaming DataFrame with ZERO state (append mode, no
+    * watermark): every document is redacted and censused BEFORE it
+    * lands — the scrub-at-the-door posture a privacy pipeline needs,
+    * rather than scrubbing a corpus that already persisted raw PII.
+    * StreamingSpec pins streaming ≡ batch. */
+  def streamingPiiGate(docStream: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame =
+    graft.ext.TextOps.piiReport(docStream, textCol, idCol)
+
   /** Streaming SHARD MANIFEST: the dataset-versioning digests
     * ([[graft.ext.Curation.shardManifest]]) kept incrementally over a
     * document stream — ONE update-mode shard aggregation whose state

@@ -307,6 +307,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(s == b && s.nonEmpty)
   }
 
+  test("streaming PII gate equals the batch census+scrub — stateless " +
+       "scrub-at-the-door, append mode, no watermark") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // plant PII on every even doc so the gate has real work AND real
+    // pass-throughs (non-vacuity both ways)
+    def plant(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("text",
+        when(col("doc_id") % 2 === 0,
+          concat(col("text"),
+            lit(" reach a@b.io at 10.0.0.1 or +1 (202) 555-0143")))
+          .otherwise(col("text")))
+    val docStream = plant(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir))
+    val docsBatch = plant(spark.read.parquet(s"$dir/documents.parquet"))
+
+    val streamed = StreamingOps.runBounded(spark,
+      StreamingOps.streamingPiiGate(docStream),
+      "pii_gate_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = graft.ext.TextOps.piiReport(docsBatch)
+
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b && s.nonEmpty)
+    // the gate genuinely redacted: planted docs count 3 PII hits and
+    // their redacted text carries the sentinels; odd docs are untouched
+    val byId = streamed.collect()
+      .map(r => r.getLong(0) -> (r.getLong(5), r.getString(4))).toMap
+    assert(byId.filter(_._1 % 2 == 0).values.forall { case (n, t) =>
+      n >= 3 && t.contains("<EMAIL>") && t.contains("<IP>") &&
+        t.contains("<PHONE>") })
+    assert(byId.filter(_._1 % 2 == 1).values.exists(_._1 == 0))
+  }
+
   test("streaming contamination gate equals the batch audit") {
     val dir = "/root/testdata/sf0.001"
     val schema = StructType(Seq(
