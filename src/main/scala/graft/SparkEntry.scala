@@ -2423,6 +2423,47 @@ object SparkEntry {
           round(col("pt_lat"), 9).as("pt_lat"))
     }),
 
+    // x167 — the datum-skew CELL AUDIT (the exact misplacement the
+    // Helmert shift exists to prevent): EXIF GPS fixes (WGS84, shifted
+    // into Britain) land in 1 km British National Grid cells two ways —
+    // NAIVE (WGS84 lat/lon fed straight into the OSGB36 projection,
+    // the classic datum mistake) vs CORRECT (inverse Helmert to OSGB36
+    // first, then project). The ~110-130 m skew flips the cell
+    // assignment whenever a fix sits within the skew of a km boundary;
+    // the audit reports both cells, the metric skew, and the flip flag.
+    // Scalar UDF math fused into the scan — no shuffle at any scale.
+    "x167_datum_cell_audit" -> ((s, d) => {
+      val bng = ops.Utm.Tmerc.BritishNationalGrid
+      val hel = ops.Datum.Osgb36ToWgs84
+      val naiveU = udf((la: Double, lo: Double) => bng.forward(la, lo))
+      val trueU = udf((la: Double, lo: Double) => {
+        val (laO, loO) =
+          ops.Datum.shiftFromWgs84(ops.Ellipsoid.Airy1830, hel, la, lo)
+        bng.forward(laO, loO)
+      })
+      val gps = ext.Multimodal.probeJpegGps(
+          ext.Multimodal.jpegFromDocs(t(s, d, "documents")))
+        .select(col("media_id"),
+          (col("lat") + lit(24.0)).as("lat"),
+          (col("lon") - lit(78.5)).as("lon"))
+        .filter(col("lat") > 49.8 && col("lat") < 54.5 &&
+          col("lon") > -6.5 && col("lon") < 1.5)
+      val de = col("a._1") - col("b._1")
+      val dn = col("a._2") - col("b._2")
+      gps.withColumn("a", naiveU(col("lat"), col("lon")))
+        .withColumn("b", trueU(col("lat"), col("lon")))
+        .select(col("media_id"),
+          floor(col("a._1") / 1000).cast("long").as("cell_e_naive"),
+          floor(col("a._2") / 1000).cast("long").as("cell_n_naive"),
+          floor(col("b._1") / 1000).cast("long").as("cell_e"),
+          floor(col("b._2") / 1000).cast("long").as("cell_n"),
+          round(sqrt(de * de + dn * dn), 3).as("skew_m"),
+          (floor(col("a._1") / 1000).cast("long") =!=
+             floor(col("b._1") / 1000).cast("long") ||
+           floor(col("a._2") / 1000).cast("long") =!=
+             floor(col("b._2") / 1000).cast("long")).as("misplaced"))
+    }),
+
     // end-to-end REAL EBML metadata path: docs → WebM skeletons with
     // closed-form element structure → pure-JVM EBML walk (Segment/Info/
     // Tracks/TrackEntry/Video) — the webm twin of x47
@@ -2970,9 +3011,13 @@ object SparkEntry {
       } yield (s"farm$a.example", s"farm$b.example"))
         .toDF("src", "dst")
       val couple = Seq(("example.org", "farm1.example")).toDF("src", "dst")
+      // distinct + eager checkpoint ONCE: both iterations consume the
+      // same dimension-sized edge table, so the corpus-scanning URL
+      // chain runs a single time, not once per algorithm
       val edges = linkGraph(s, d).select(col("src_domain").as("src"),
         col("dst_domain").as("dst"))
         .unionByName(farm).unionByName(couple)
+        .distinct().localCheckpoint(true)
       val sal = ext.Graph.salsa(edges)
         .select(col("node"), col("auth").as("salsa_auth"))
       val hit = ext.Graph.hits(edges)
@@ -3719,6 +3764,111 @@ object SparkEntry {
               GROUP BY e.dst)"""
     }.mkString(",\n         ")
     head + ",\n         " + rounds
+  }
+
+  /** x167's oracle — the full naive-vs-correct British National Grid
+    * chain: the x148 GPS closed form shifted into Britain, the FORWARD
+    * Krüger series (α coefficients — closed form, no fixed point) run
+    * twice: once straight on the WGS84 coordinates (the naive path)
+    * and once after the REVERSED EPSG:1314 Helmert (WGS84 geocentric →
+    * negated-parameter similarity → Airy 1830 latitude fixed point,
+    * ten unrolled steps with the engine's 1e-14 freeze). Every derived
+    * constant pasted as the exact Scala double. */
+  private def datumCellAuditOracleSql: String = {
+    val (k0a1, alpha, e, fe, fn, xi0, lon0) =
+      ops.Utm.Tmerc.BritishNationalGrid.forwardOracleConstants
+    val ell = graft.ops.Ellipsoid.Airy1830
+    val w = graft.ops.Ellipsoid.WGS84
+    val hr = graft.ops.Datum.Osgb36ToWgs84.reversed
+    def sinhS(x: String) = s"((exp($x) - exp(-($x))) / 2)"
+    def coshS(x: String) = s"((exp($x) + exp(-($x))) / 2)"
+    def atanhS(x: String) = s"(0.5 * ln((1 + $x) / (1 - $x)))"
+    def fwdCtes(px: String, src: String, latE: String, lonE: String)
+    : String = {
+      val xiSum = "xip" + (1 to 6).map(j =>
+        s" + (${alpha(j - 1)} * sin(${2 * j} * xip) * ${
+          coshS(s"${2 * j} * etap")})").mkString
+      val etaSum = "etap" + (1 to 6).map(j =>
+        s" + (${alpha(j - 1)} * cos(${2 * j} * xip) * ${
+          sinhS(s"${2 * j} * etap")})").mkString
+      s"""${px}0 AS (SELECT media_id, ($latE) / 180.0 * pi() AS phi,
+                (($lonE) - $lon0) / 180.0 * pi() AS lam FROM $src),
+         ${px}1 AS (SELECT media_id, phi, lam,
+                ${sinhS(s"(${atanhS("sin(phi)")} - $e * ${
+                  atanhS(s"($e * sin(phi))")})")} AS t FROM ${px}0),
+         ${px}2 AS (SELECT media_id, atan2(t, cos(lam)) AS xip,
+                ${atanhS("(sin(lam) / sqrt(1 + t * t))")} AS etap
+                FROM ${px}1),
+         ${px}3 AS (SELECT media_id, $xiSum AS xi, $etaSum AS eta
+                FROM ${px}2),
+         ${px}4 AS (SELECT media_id, $fe + $k0a1 * eta AS pe,
+                $fn + $k0a1 * (xi - $xi0) AS pn FROM ${px}3)"""
+    }
+    def g(ph: String) =
+      s"""atan2(gz2 + ${ell.e2} * (${ell.a} /
+            sqrt(1 - ${ell.e2} * sin($ph) * sin($ph))) * sin($ph), gp)"""
+    val iters = (1 to 10).map { k =>
+      s""", ht$k AS (SELECT *,
+         CASE WHEN c${k - 1} THEN ph${k - 1} ELSE ${g(s"ph${k - 1}")} END AS ph$k,
+         c${k - 1} OR abs(${g(s"ph${k - 1}")} - ph${k - 1}) < 1e-14 AS c$k
+         FROM ht${k - 1})"""
+    }.mkString
+    s"""WITH gps AS (
+           SELECT doc_id AS media_id,
+                  (CASE WHEN doc_id % 8 = 5 THEN -1.0 ELSE 1.0 END) *
+                    (77.0 + CAST((doc_id * 3) % 60 AS DOUBLE) / 60.0
+                          + (CAST((doc_id * 91) % 6000 AS DOUBLE) / 100.0)
+                            / 3600.0) AS plon,
+                  (CASE WHEN doc_id % 4 = 1 THEN -1.0 ELSE 1.0 END) *
+                    (28.0 + CAST(doc_id % 60 AS DOUBLE) / 60.0
+                          + (CAST((doc_id * 37) % 6000 AS DOUBLE) / 100.0)
+                            / 3600.0) AS plat
+           FROM documents WHERE doc_id % 3 != 2),
+         pts AS (SELECT media_id, plat + 24.0 AS lat, plon - 78.5 AS lon
+                 FROM gps
+                 WHERE plat + 24.0 > 49.8 AND plat + 24.0 < 54.5
+                   AND plon - 78.5 > -6.5 AND plon - 78.5 < 1.5),
+         ${fwdCtes("na", "pts", "lat", "lon")},
+         hx AS (SELECT media_id,
+                  nu * cos(phi) * cos(lam) AS gx,
+                  nu * cos(phi) * sin(lam) AS gy,
+                  nu * ${1.0 - w.e2} * sin(phi) AS gz
+                FROM (SELECT media_id,
+                        lat / 180.0 * pi() AS phi,
+                        lon / 180.0 * pi() AS lam,
+                        ${w.a} / sqrt(1 - ${w.e2} *
+                          sin(lat / 180.0 * pi()) *
+                          sin(lat / 180.0 * pi())) AS nu
+                      FROM pts)),
+         hh AS (SELECT media_id,
+                  ${hr.txM} + ${hr.m} * (gx - ${hr.rz} * gy + ${hr.ry} * gz) AS gx2,
+                  ${hr.tyM} + ${hr.m} * (${hr.rz} * gx + gy - ${hr.rx} * gz) AS gy2,
+                  ${hr.tzM} + ${hr.m} * (-(${hr.ry}) * gx + ${hr.rx} * gy + gz) AS gz2
+                FROM hx),
+         ht0 AS (SELECT media_id, gx2, gy2, gz2,
+                  sqrt(gx2 * gx2 + gy2 * gy2) AS gp,
+                  atan2(gz2, sqrt(gx2 * gx2 + gy2 * gy2) * ${1.0 - ell.e2})
+                    AS ph0,
+                  FALSE AS c0
+                 FROM hh)
+         $iters,
+         hd AS (SELECT media_id,
+                  ph10 * 180.0 / pi() AS lat_o,
+                  atan2(gy2, gx2) * 180.0 / pi() AS lon_o
+                FROM ht10),
+         ${fwdCtes("tr", "hd", "lat_o", "lon_o")}
+         SELECT n.media_id,
+                CAST(FLOOR(n.pe / 1000) AS BIGINT) AS cell_e_naive,
+                CAST(FLOOR(n.pn / 1000) AS BIGINT) AS cell_n_naive,
+                CAST(FLOOR(c.pe / 1000) AS BIGINT) AS cell_e,
+                CAST(FLOOR(c.pn / 1000) AS BIGINT) AS cell_n,
+                round(sqrt((n.pe - c.pe) * (n.pe - c.pe) +
+                           (n.pn - c.pn) * (n.pn - c.pn)), 3) AS skew_m,
+                (CAST(FLOOR(n.pe / 1000) AS BIGINT)
+                   <> CAST(FLOOR(c.pe / 1000) AS BIGINT)
+                 OR CAST(FLOOR(n.pn / 1000) AS BIGINT)
+                   <> CAST(FLOOR(c.pn / 1000) AS BIGINT)) AS misplaced
+         FROM na4 n JOIN tr4 c ON c.media_id = n.media_id"""
   }
 
   /** x166's ORDER-N Kneser-Ney oracle — the x149 trigram structure
@@ -7454,6 +7604,7 @@ object SparkEntry {
     // rectified-origin offset (see tmercOracleSql)
     "f7_tmerc_reproject" -> tmercOracleSql,
     "f7_osgb_datum" -> helmertOracleSql,
+    "x167_datum_cell_audit" -> datumCellAuditOracleSql,
 
     // F7 LCC — Lambert-93 closed-form inverse mirrored in SQL
     "f7_lcc_reproject" -> lccOracleSql,

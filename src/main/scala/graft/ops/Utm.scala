@@ -206,6 +206,12 @@ object Utm {
       * (k₀A₁, β, e, FE, FN, ξ₀, λ₀°). */
     def oracleConstants: (Double, Array[Double], Double, Double, Double,
       Double, Double) = (k0A1, betaT, eT, falseE, falseN, xi0, lon0Deg)
+
+    /** FORWARD-series constants for the SQL oracle mirror:
+      * (k₀A₁, α, e, FE, FN, ξ₀, λ₀°) — α, not β. */
+    def forwardOracleConstants: (Double, Array[Double], Double, Double,
+      Double, Double, Double) =
+      (k0A1, alphaT, eT, falseE, falseN, xi0, lon0Deg)
   }
 
   object Tmerc {

@@ -239,6 +239,33 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(ByteBpe.parseGpt2Merges("#version !\nt h") == Seq("t" -> "h"))
   }
 
+  test("real-format merges.txt interop: a checked-in file in the " +
+    "published layout parses in rank order and segments ' the' the " +
+    "canonical way") {
+    // src/test/resources/gpt2_merges_head.txt — the published GPT-2
+    // file layout exactly ('#version: 0.2' header, one space-separated
+    // visible-alphabet pair per line in rank order, space byte as Ġ),
+    // carrying the table's widely-documented head rules
+    val file = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "/root/repo/src/test/resources/gpt2_merges_head.txt")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val parsed = ByteBpe.parseGpt2Merges(file)
+    assert(parsed.size == 10)
+    assert(parsed.head == (" ", "t"))            // rank 0: Ġ t
+    assert(parsed(6) == (" t", "he"))            // rank 6: Ġt he
+    val rules = BpeKernel.compile(parsed)
+    // ' the' = [Ġ t h e] → (Ġ,t)@0 → (h,e)@2 → (Ġt,he)@6 → Ġthe:
+    // the canonical GPT-2 segmentation, exercising rank precedence
+    // across non-adjacent rules
+    val out = BpeKernel.encodeWord(ByteBpe.byteSyms(" the"), rules).toSeq
+    assert(out == Seq(" the"),
+      s"' the' must fuse to one token via ranks 0/2/6: $out")
+    // round-trip: render matches the file byte-for-byte (same header,
+    // same visible alphabet, same rank order)
+    assert(ByteBpe.renderGpt2Merges(parsed) == file.stripLineEnd)
+  }
+
   test("tiktoken rank-file interop: ranks round-trip through base64, " +
     "and the rank-based encoder segments exactly like the merge loop") {
     import spark.implicits._
