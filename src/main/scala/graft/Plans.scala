@@ -103,7 +103,8 @@ object Plans {
       "x164_line_census" -> "Boilerplate line census: the x33 kernel's (id, pos, h, len) rows, df on the 64-bit hash (partial+final), ONE equi-join back, per-doc rollup with the XOR digest — raw line text never rides an exchange.",
       "x165_repetition" -> "Gopher repetition signals: line half = two hash aggs keyed (id, h) then (id); gram half = doc-keyed counts, per-doc max, argmax join — every exchange carries the doc id, skew bounded by the longest document.",
       "x166_kn5_score" -> "Order-5 Kneser-Ney: occurrences collapse map-side; 8 model tables (all bounded by distinct-5-gram cardinality, strictly shrinking down the continuation chain) join back by suffix key; type total ONE broadcast row.",
-      "f7_osgb_datum" -> "Legacy-datum CRS to WGS84: range source + one scalar projection (Krueger inverse + Helmert shift in a single UDF), no exchange — the datum shift is free at any raster volume.")
+      "f7_osgb_datum" -> "Legacy-datum CRS to WGS84: range source + one scalar projection (Krueger inverse + Helmert shift in a single UDF), no exchange — the datum shift is free at any raster volume.",
+      "x168_dsir_select" -> "DSIR selection: both bucket models reduce to <= dim rows and broadcast; the corpus side is one shingle explode collapsing map-side, two broadcast joins, a doc-keyed fold, and a bounded TakeOrdered cut broadcast back — never a corpus sort.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")

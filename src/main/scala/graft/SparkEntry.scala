@@ -1792,6 +1792,38 @@ object SparkEntry {
     "x166_kn5_score" -> ((s, d) =>
       ext.TextOps.knScore(t(s, d, "documents"), order = 5)),
 
+    // x168 — DSIR domain selection (Xie et al. 2023): hashed-bigram
+    // log-likelihood ratio of every document under the src0 target
+    // distribution vs the whole raw pool, then the deterministic
+    // resample — a top-33 TakeOrderedAndProject cut on the per-gram
+    // (length-normalized) weight, broadcast back as a membership flag
+    // (the x145 pattern; never a corpus sort). The
+    // fixture plants the target-domain phrase on src0 AND on half of
+    // src1 — the selection finds the domain docs hiding in another
+    // source, which is exactly what distribution matching buys over
+    // quality filters (x82/x85 pick "looks good"; this picks "looks
+    // like the target"). The oracle replays the per-token FNV, the
+    // 2-gram polynomial combine, the mix64 finalizer, the pmod
+    // bucketing and the add-one LLR in HUGEINT/IEEE; llr rounds at
+    // 9 dp (the x85 ln convention).
+    "x168_dsir_select" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("text",
+        concat(col("text"),
+          when(col("source") === "src0" ||
+               (col("source") === "src1" && pmod(col("doc_id"), lit(3L)) === 0),
+            repeat(lit(" quantum flux lattice decoherence protocol engaged"),
+              30)).otherwise(lit(""))))
+      val w = ext.TextOps.dsirLlr(docs,
+        docs.filter(col("source") === "src0"))
+      val top = w.orderBy((col("llr") / col("n_grams")).desc,
+          col("doc_id")).limit(33)
+        .select(col("doc_id"), lit(true).as("sel"))
+      w.join(broadcast(top), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          round(col("llr"), 9).as("llr"),
+          coalesce(col("sel"), lit(false)).as("selected"))
+    }),
+
     // x145 — crawl-budget apportionment: the stored rank vector (the
     // x143 authority store) turned into integer per-domain fetch
     // quotas by the largest-remainder rule — Σ n_fetch == 300 exactly,
@@ -8449,6 +8481,85 @@ object SparkEntry {
     // x166 — the order-5 KN recursion, oracle GENERATED from the order
     // (knOracleSql): the x149 structure with four continuation levels
     "x166_kn5_score" -> knOracleSql(5),
+
+    // x168 — the full DSIR replay: per-token FNV fold (the x82 ASCII
+    // two-byte trick), 2-gram polynomial combine (×1000003 mod 2⁶⁴),
+    // the mix64 finalizer in HUGEINT, signed pmod bucketing, add-one
+    // smoothed LLR with the engine's parenthesization, bucket-ordered
+    // fold
+    "x168_dsir_select" -> {
+      val M = "18446744073709551616::HUGEINT"
+      s"""WITH doc0 AS (
+           SELECT doc_id, source,
+                  text || CASE WHEN source = 'src0'
+                               OR (source = 'src1' AND doc_id % 3 = 0)
+                          THEN repeat(' quantum flux lattice decoherence' ||
+                                      ' protocol engaged', 30)
+                          ELSE '' END AS text
+           FROM documents),
+         tok AS MATERIALIZED (
+           SELECT doc_id, source,
+                  list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> length(t) > 0) AS ts
+           FROM doc0),
+         thl AS MATERIALIZED (
+           SELECT doc_id, source, list_transform(ts, t ->
+             list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(range(1, length(t) + 1), i ->
+                   unicode(substr(t, CAST(i AS INTEGER), 1))::HUGEINT)),
+               (h, c) -> ((xor(h, c) * 1099511628211::HUGEINT) % $M
+                          * 1099511628211::HUGEINT) % $M)) AS hs
+           FROM tok),
+         shg AS MATERIALIZED (
+           SELECT doc_id, source, unnest(list_transform(range(1, len(hs)),
+             i -> ((hs[CAST(i AS INTEGER)] * 1000003::HUGEINT) % $M
+                   + hs[CAST(i + 1 AS INTEGER)]) % $M)) AS f
+           FROM thl),
+         z1 AS (SELECT doc_id, source, ${mulmodSql(
+              "xor(f, f // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM shg),
+         z2 AS (SELECT doc_id, source, ${mulmodSql(
+              "xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM z1),
+         zf AS (SELECT doc_id, source,
+                       xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM z2),
+         bkt AS MATERIALIZED (
+           SELECT doc_id, source,
+                  ((CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+                              THEN uh - 18446744073709551616::HUGEINT
+                              ELSE uh END AS BIGINT) % 16384) + 16384)
+                    % 16384 AS b
+           FROM zf),
+         occ AS MATERIALIZED (SELECT doc_id, b, COUNT(*) AS m
+                FROM bkt GROUP BY doc_id, b),
+         pt AS MATERIALIZED (SELECT b, CAST(COUNT(*) AS BIGINT) AS cp
+                FROM bkt WHERE source = 'src0' GROUP BY b),
+         qt AS MATERIALIZED (SELECT b, CAST(SUM(m) AS BIGINT) AS cq
+                FROM occ GROUP BY b),
+         npt AS (SELECT CAST(SUM(cp) AS BIGINT) AS np FROM pt),
+         nqt AS (SELECT CAST(SUM(cq) AS BIGINT) AS nq FROM qt),
+         terms AS (
+           SELECT o.doc_id, o.b, o.m,
+                  CAST(o.m AS DOUBLE) *
+                    (ln(CAST(COALESCE(pp.cp, 0) + 1 AS DOUBLE)
+                        / CAST(npt.np + 16384 AS DOUBLE))
+                     - ln(CAST(qq.cq + 1 AS DOUBLE)
+                          / CAST(nqt.nq + 16384 AS DOUBLE))) AS term
+           FROM occ o
+           JOIN qt qq ON qq.b = o.b
+           LEFT JOIN pt pp ON pp.b = o.b
+           CROSS JOIN npt CROSS JOIN nqt),
+         agg AS (
+           SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_grams,
+                  list_reduce(list(term ORDER BY b), (a, x) -> a + x)
+                    AS llr
+           FROM terms GROUP BY doc_id),
+         rk AS (SELECT *, row_number()
+                            OVER (ORDER BY llr / n_grams DESC, doc_id) AS rn
+                FROM agg)
+         SELECT doc_id, n_grams, round(llr, 9) AS llr,
+                rn <= 33 AS selected
+         FROM rk"""
+    },
 
     // x145 — the x124 rank replay feeding the Hamilton apportionment:
     // decimal-routed rank sum, the exact quota/floor/frac algebra, the

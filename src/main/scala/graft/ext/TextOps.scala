@@ -786,6 +786,61 @@ object TextOps {
         (col("val_sum") / col("n_trigrams")).as("kn3_score"))
   }
 
+  /** DSIR importance weight (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by the log-likelihood ratio of its hashed word-BIGRAM
+    * features under the target corpus' bucket distribution vs the raw
+    * corpus' own — the distribution-MATCHING selection tier that picks
+    * "looks like the target domain" where [[hashedLinearScore]]/
+    * [[trainLogisticQuality]] pick "looks good". Features are the
+    * engine's shingle hash (k = 2, [[graft.functions.ShingleHashesAll]])
+    * bucketed to `dim` by pmod; both unigram-of-bucket models are
+    * add-one smoothed over the `dim` buckets:
+    *
+    * `llr(x) = Σ_b m_b(x)·[ln((cp_b+1)/(Np+dim)) − ln((cq_b+1)/(Nq+dim))]`
+    *
+    * Per-doc terms fold in bucket order (partitioning-invariant); the
+    * two ln() are the one non-rational step (the x85 convention —
+    * round the published column at 9 dp, cross-engine ulps absorbed).
+    * Returns the weight only — SELECTION is a policy on top (DSIR
+    * resamples by weight; the deterministic engine form is a top-K
+    * cut, a bounded TakeOrderedAndProject — see x168). Docs with
+    * < 2 tokens have no features and drop.
+    *
+    * Shape at 100 TB: both bucket tables are ≤ dim rows (one
+    * partial+final agg each, then broadcast); the corpus side is one
+    * narrow shingle explode collapsing map-side to (doc, bucket, m),
+    * two broadcast joins, one doc-keyed fold. Nothing outgrows the
+    * corpus scan; the model state is 2·dim longs. */
+  def dsirLlr(raw: DataFrame, target: DataFrame, dim: Int = 16384,
+              textCol: String = "text", idCol: String = "doc_id")
+  : DataFrame = {
+    require(dim > 0, s"bucket dim must be positive: $dim")
+    def buckets(d: DataFrame) = d.select(col(idCol),
+        explode(graft.functions.ShingleHashesAll(col(textCol), 2)).as("h"))
+      .select(col(idCol), pmod(col("h"), lit(dim.toLong)).as("b"))
+    val occ = buckets(raw).groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("m"))
+    val p = buckets(target).groupBy("b").agg(count(lit(1)).as("cp"))
+    val q = occ.groupBy("b").agg(sum("m").as("cq"))
+    val np = p.agg(sum("cp").as("np"))
+    val nq = q.agg(sum("cq").as("nq"))
+    val dimL = lit(dim.toLong)
+    val lnp = log((coalesce(col("cp"), lit(0L)) + lit(1L)).cast("double") /
+      (col("np") + dimL).cast("double"))
+    val lnq = log((col("cq") + lit(1L)).cast("double") /
+      (col("nq") + dimL).cast("double"))
+    occ.join(broadcast(q), Seq("b"))
+      .join(broadcast(p), Seq("b"), "left")
+      .crossJoin(broadcast(np)).crossJoin(broadcast(nq))
+      .withColumn("term", col("m").cast("double") * (lnp - lnq))
+      .groupBy(col(idCol))
+      .agg(sum("m").as("n_grams"),
+        aggregate(array_sort(collect_list(struct(col("b"), col("term")))),
+          lit(0.0), (a, x) => a + x.getField("term")).as("llr"))
+      .select(col(idCol), col("n_grams"), col("llr"))
+  }
+
   /** ORDER-N interpolated Kneser-Ney (Chen & Goodman 1999 §3, the full
     * recursion KenLM ships at its production default order 5):
     *

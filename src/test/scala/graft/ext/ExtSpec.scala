@@ -2209,6 +2209,55 @@ class ExtSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap)
   }
 
+  test("dsirLlr: matches the driver reference bit-for-bit; the hidden " +
+    "target-domain docs out-rank the raw pool per gram") {
+    import graft.functions.ShingleHashes
+    val phrase = " quantum flux lattice decoherence protocol" * 6
+    // two disjoint vocabularies: domain docs (1-10) speak d0..d6 + the
+    // phrase, raw-pool docs (11-40) speak r0..r6 — common-in-raw grams
+    // absent from the target model is the signal DSIR prices
+    val rows = (1L to 40L).map { i =>
+      val v = if (i <= 10) "d" else "r"
+      val base = (1 to 12).map(j => s"$v${(i + j * 3) % 7}").mkString(" ")
+      (i, if (i <= 10) base + phrase else base)
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") <= 5) // half the domain docs
+    val dim = 256
+    val got = TextOps.dsirLlr(docs, target, dim)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // driver reference — the engine's exact op order
+    def bks(t: String) = ShingleHashes.shingleHashesAll(t, 2)
+      .map(h => java.lang.Math.floorMod(h, dim.toLong))
+    val occ = rows.map { case (id, t) =>
+      id -> bks(t).groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+    }.toMap
+    val p = rows.filter(_._1 <= 5).flatMap(r => bks(r._2))
+      .groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+    val q = occ.values.flatten.groupBy(_._1)
+      .map { case (b, ms) => b -> ms.map(_._2).sum }
+    val np = p.values.sum; val nq = q.values.sum
+    for ((id, _) <- rows) {
+      val m = occ(id)
+      var acc = 0.0
+      for ((b, c) <- m.toSeq.sortBy(_._1))
+        acc += c.toDouble *
+          (math.log((p.getOrElse(b, 0L) + 1L).toDouble / (np + dim).toDouble)
+            - math.log((q(b) + 1L).toDouble / (nq + dim).toDouble))
+      assert(got(id)._1 == m.values.sum, s"doc $id gram count")
+      assert(got(id)._2 == acc, s"doc $id: ${got(id)._2} vs $acc")
+    }
+    // domain recovery on the per-gram weight: ALL ten phrase docs —
+    // including 6..10, which are NOT in the target sample — out-rank
+    // every phrase-free doc
+    val perGram = got.map { case (id, (n, l)) => id -> l / n }
+    val worstDomain = (1L to 10L).map(perGram).min
+    val bestRest = (11L to 40L).map(perGram).max
+    assert(worstDomain > bestRest,
+      s"domain docs must separate: $worstDomain vs $bestRest")
+  }
+
   test("rendezvous sharding: matches the driver argmax bit-for-bit; " +
     "growth moves only keys claimed by the new shard") {
     import graft.functions.HashExprs
