@@ -1824,6 +1824,22 @@ object SparkEntry {
           coalesce(col("sel"), lit(false)).as("selected"))
     }),
 
+    // x169 — the DSIR STORED-MODEL lifecycle (the x77/x96 discipline
+    // for data selection): the bucket model persists as parquet once,
+    // and scoring runs from storage with the same expression tree —
+    // the oracle replays the inline computation, so the hash match
+    // proves build → store → load → score end to end. This is the
+    // production shape: train the selector once, price every later
+    // batch (or stream — streamingDsirGate) against it.
+    "x169_dsir_stored" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = storedDir("dsir", d)(p =>
+        ext.TextOps.dsirBuildModel(docs,
+          docs.filter(col("source") === "src0"), p))
+      ext.TextOps.dsirScoreStored(s, docs, dir)
+        .withColumn("llr", round(col("llr"), 9))
+    }),
+
     // x145 — crawl-budget apportionment: the stored rank vector (the
     // x143 authority store) turned into integer per-domain fetch
     // quotas by the largest-remainder rule — Σ n_fetch == 300 exactly,
@@ -3901,6 +3917,70 @@ object SparkEntry {
                  OR CAST(FLOOR(n.pn / 1000) AS BIGINT)
                    <> CAST(FLOOR(c.pn / 1000) AS BIGINT)) AS misplaced
          FROM na4 n JOIN tr4 c ON c.media_id = n.media_id"""
+  }
+
+  /** x168/x169's DSIR chain over the `docSrc` relation (doc_id,
+    * source, text): token FNV / 2-gram combine / mix64 / pmod buckets,
+    * the two add-one models and the bucket-ordered LLR fold — emits
+    * `tok` through `agg(doc_id, n_grams, llr)`. */
+  private def dsirCtes(docSrc: String): String = {
+    val M = "18446744073709551616::HUGEINT"
+    s"""tok AS MATERIALIZED (
+           SELECT doc_id, source,
+                  list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> length(t) > 0) AS ts
+           FROM $docSrc),
+         thl AS MATERIALIZED (
+           SELECT doc_id, source, list_transform(ts, t ->
+             list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(range(1, length(t) + 1), i ->
+                   unicode(substr(t, CAST(i AS INTEGER), 1))::HUGEINT)),
+               (h, c) -> ((xor(h, c) * 1099511628211::HUGEINT) % ${M}
+                          * 1099511628211::HUGEINT) % ${M})) AS hs
+           FROM tok),
+         shg AS MATERIALIZED (
+           SELECT doc_id, source, unnest(list_transform(range(1, len(hs)),
+             i -> ((hs[CAST(i AS INTEGER)] * 1000003::HUGEINT) % ${M}
+                   + hs[CAST(i + 1 AS INTEGER)]) % ${M})) AS f
+           FROM thl),
+         z1 AS (SELECT doc_id, source, ${mulmodSql(
+              "xor(f, f // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM shg),
+         z2 AS (SELECT doc_id, source, ${mulmodSql(
+              "xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM z1),
+         zf AS (SELECT doc_id, source,
+                       xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM z2),
+         bkt AS MATERIALIZED (
+           SELECT doc_id, source,
+                  ((CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+                              THEN uh - 18446744073709551616::HUGEINT
+                              ELSE uh END AS BIGINT) % 16384) + 16384)
+                    % 16384 AS b
+           FROM zf),
+         occ AS MATERIALIZED (SELECT doc_id, b, COUNT(*) AS m
+                FROM bkt GROUP BY doc_id, b),
+         pt AS MATERIALIZED (SELECT b, CAST(COUNT(*) AS BIGINT) AS cp
+                FROM bkt WHERE source = 'src0' GROUP BY b),
+         qt AS MATERIALIZED (SELECT b, CAST(SUM(m) AS BIGINT) AS cq
+                FROM occ GROUP BY b),
+         npt AS (SELECT CAST(SUM(cp) AS BIGINT) AS np FROM pt),
+         nqt AS (SELECT CAST(SUM(cq) AS BIGINT) AS nq FROM qt),
+         terms AS (
+           SELECT o.doc_id, o.b, o.m,
+                  CAST(o.m AS DOUBLE) *
+                    (ln(CAST(COALESCE(pp.cp, 0) + 1 AS DOUBLE)
+                        / CAST(npt.np + 16384 AS DOUBLE))
+                     - ln(CAST(qq.cq + 1 AS DOUBLE)
+                          / CAST(nqt.nq + 16384 AS DOUBLE))) AS term
+           FROM occ o
+           JOIN qt qq ON qq.b = o.b
+           LEFT JOIN pt pp ON pp.b = o.b
+           CROSS JOIN npt CROSS JOIN nqt),
+         agg AS (
+           SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_grams,
+                  list_reduce(list(term ORDER BY b), (a, x) -> a + x)
+                    AS llr
+           FROM terms GROUP BY doc_id)"""
   }
 
   /** x166's ORDER-N Kneser-Ney oracle — the x149 trigram structure
@@ -8487,8 +8567,7 @@ object SparkEntry {
     // the mix64 finalizer in HUGEINT, signed pmod bucketing, add-one
     // smoothed LLR with the engine's parenthesization, bucket-ordered
     // fold
-    "x168_dsir_select" -> {
-      val M = "18446744073709551616::HUGEINT"
+    "x168_dsir_select" ->
       s"""WITH doc0 AS (
            SELECT doc_id, source,
                   text || CASE WHEN source = 'src0'
@@ -8497,69 +8576,23 @@ object SparkEntry {
                                       ' protocol engaged', 30)
                           ELSE '' END AS text
            FROM documents),
-         tok AS MATERIALIZED (
-           SELECT doc_id, source,
-                  list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                              t -> length(t) > 0) AS ts
-           FROM doc0),
-         thl AS MATERIALIZED (
-           SELECT doc_id, source, list_transform(ts, t ->
-             list_reduce(
-               list_prepend(14695981039346656037::HUGEINT,
-                 list_transform(range(1, length(t) + 1), i ->
-                   unicode(substr(t, CAST(i AS INTEGER), 1))::HUGEINT)),
-               (h, c) -> ((xor(h, c) * 1099511628211::HUGEINT) % $M
-                          * 1099511628211::HUGEINT) % $M)) AS hs
-           FROM tok),
-         shg AS MATERIALIZED (
-           SELECT doc_id, source, unnest(list_transform(range(1, len(hs)),
-             i -> ((hs[CAST(i AS INTEGER)] * 1000003::HUGEINT) % $M
-                   + hs[CAST(i + 1 AS INTEGER)]) % $M)) AS f
-           FROM thl),
-         z1 AS (SELECT doc_id, source, ${mulmodSql(
-              "xor(f, f // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM shg),
-         z2 AS (SELECT doc_id, source, ${mulmodSql(
-              "xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM z1),
-         zf AS (SELECT doc_id, source,
-                       xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM z2),
-         bkt AS MATERIALIZED (
-           SELECT doc_id, source,
-                  ((CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
-                              THEN uh - 18446744073709551616::HUGEINT
-                              ELSE uh END AS BIGINT) % 16384) + 16384)
-                    % 16384 AS b
-           FROM zf),
-         occ AS MATERIALIZED (SELECT doc_id, b, COUNT(*) AS m
-                FROM bkt GROUP BY doc_id, b),
-         pt AS MATERIALIZED (SELECT b, CAST(COUNT(*) AS BIGINT) AS cp
-                FROM bkt WHERE source = 'src0' GROUP BY b),
-         qt AS MATERIALIZED (SELECT b, CAST(SUM(m) AS BIGINT) AS cq
-                FROM occ GROUP BY b),
-         npt AS (SELECT CAST(SUM(cp) AS BIGINT) AS np FROM pt),
-         nqt AS (SELECT CAST(SUM(cq) AS BIGINT) AS nq FROM qt),
-         terms AS (
-           SELECT o.doc_id, o.b, o.m,
-                  CAST(o.m AS DOUBLE) *
-                    (ln(CAST(COALESCE(pp.cp, 0) + 1 AS DOUBLE)
-                        / CAST(npt.np + 16384 AS DOUBLE))
-                     - ln(CAST(qq.cq + 1 AS DOUBLE)
-                          / CAST(nqt.nq + 16384 AS DOUBLE))) AS term
-           FROM occ o
-           JOIN qt qq ON qq.b = o.b
-           LEFT JOIN pt pp ON pp.b = o.b
-           CROSS JOIN npt CROSS JOIN nqt),
-         agg AS (
-           SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_grams,
-                  list_reduce(list(term ORDER BY b), (a, x) -> a + x)
-                    AS llr
-           FROM terms GROUP BY doc_id),
+         ${dsirCtes("doc0")},
          rk AS (SELECT *, row_number()
                             OVER (ORDER BY llr / n_grams DESC, doc_id) AS rn
                 FROM agg)
          SELECT doc_id, n_grams, round(llr, 9) AS llr,
                 rn <= 33 AS selected
-         FROM rk"""
-    },
+         FROM rk""",
+
+    // x169 — the stored-model DSIR lifecycle (the x96 proof shape):
+    // the engine builds the bucket model to parquet and scores FROM
+    // storage; the oracle replays the INLINE computation — a hash
+    // match proves the persisted path end to end. No plant: the raw
+    // corpus, weights only.
+    "x169_dsir_stored" ->
+      s"""WITH ${dsirCtes("documents")}
+         SELECT doc_id, n_grams, round(llr, 9) AS llr
+         FROM agg""",
 
     // x145 — the x124 rank replay feeding the Hamilton apportionment:
     // decimal-routed rank sum, the exact quota/floor/frac algebra, the

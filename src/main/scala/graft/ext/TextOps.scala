@@ -841,6 +841,67 @@ object TextOps {
       .select(col(idCol), col("n_grams"), col("llr"))
   }
 
+  /** Persist the DSIR bucket models (the x77/x96 stored-index
+    * discipline applied to data selection): ONE parquet table
+    * `dir/buckets(b, cp, cq)` — the full outer of the target and raw
+    * bucket counts, nulls resolved to 0 at write so the reader never
+    * re-derives smoothing inputs. Totals are NOT stored: `Np`/`Nq` are
+    * exact integer sums of the stored columns, recomputed at load —
+    * one fewer artifact to drift. At 100 TB the model is ≤ dim rows
+    * regardless of corpus size: training costs the two bucket
+    * aggregations once, and every later scoring run (batch or
+    * streaming) pays only its own corpus scan. */
+  def dsirBuildModel(raw: DataFrame, target: DataFrame, dir: String,
+                     dim: Int = 16384, textCol: String = "text",
+                     idCol: String = "doc_id"): Unit = {
+    require(dim > 0, s"bucket dim must be positive: $dim")
+    def buckets(d: DataFrame) = d.select(
+        explode(graft.functions.ShingleHashesAll(col(textCol), 2)).as("h"))
+      .select(pmod(col("h"), lit(dim.toLong)).as("b"))
+    val p = buckets(target).groupBy("b").agg(count(lit(1)).as("cp"))
+    val q = buckets(raw).groupBy("b").agg(count(lit(1)).as("cq"))
+    p.join(q, Seq("b"), "full_outer")
+      .select(col("b"), coalesce(col("cp"), lit(0L)).as("cp"),
+        coalesce(col("cq"), lit(0L)).as("cq"))
+      .write.mode("overwrite").parquet(s"$dir/buckets")
+  }
+
+  /** Score documents against the STORED DSIR model — the same
+    * expression tree as [[dsirLlr]] (add-one smoothing, per-gram ln
+    * ratio, bucket-ordered fold), so scoring the training corpus from
+    * storage is BIT-EQUAL to the inline run (the x96 proof shape).
+    * Buckets absent from the model (possible for post-training
+    * documents) smooth to cp = cq = 0 — the same add-one floor. The
+    * model broadcasts (≤ dim rows); works unchanged over a STREAMING
+    * DataFrame (stream-static joins + one update-mode doc aggregation —
+    * [[graft.streaming.StreamingOps.streamingDsirGate]]). */
+  def dsirScoreStored(spark: org.apache.spark.sql.SparkSession,
+                      docs: DataFrame, dir: String, dim: Int = 16384,
+                      textCol: String = "text", idCol: String = "doc_id")
+  : DataFrame = {
+    val model = spark.read.parquet(s"$dir/buckets")
+    val np = model.agg(sum("cp").as("np"))
+    val nq = model.agg(sum("cq").as("nq"))
+    val occ = docs.select(col(idCol),
+        explode(graft.functions.ShingleHashesAll(col(textCol), 2)).as("h"))
+      .select(col(idCol), pmod(col("h"), lit(dim.toLong)).as("b"))
+      .groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("m"))
+    val dimL = lit(dim.toLong)
+    val lnp = log((coalesce(col("cp"), lit(0L)) + lit(1L)).cast("double") /
+      (col("np") + dimL).cast("double"))
+    val lnq = log((coalesce(col("cq"), lit(0L)) + lit(1L)).cast("double") /
+      (col("nq") + dimL).cast("double"))
+    occ.join(broadcast(model), Seq("b"), "left")
+      .crossJoin(broadcast(np)).crossJoin(broadcast(nq))
+      .withColumn("term", col("m").cast("double") * (lnp - lnq))
+      .groupBy(col(idCol))
+      .agg(sum("m").as("n_grams"),
+        aggregate(array_sort(collect_list(struct(col("b"), col("term")))),
+          lit(0.0), (a, x) => a + x.getField("term")).as("llr"))
+      .select(col(idCol), col("n_grams"), col("llr"))
+  }
+
   /** ORDER-N interpolated Kneser-Ney (Chen & Goodman 1999 §3, the full
     * recursion KenLM ships at its production default order 5):
     *

@@ -346,6 +346,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(byId.filter(_._1 % 2 == 1).values.exists(_._1 == 0))
   }
 
+  test("streaming DSIR gate equals the batch scorer on the same stored " +
+       "model, which is bit-equal to the inline operator") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docsBatch = spark.read.parquet(s"$dir/documents.parquet")
+    val modelDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_dsir_stream_test_${ProcessHandle.current().pid()}").toString
+    graft.ext.TextOps.dsirBuildModel(docsBatch,
+      docsBatch.filter(col("source") === "src0"), modelDir, dim = 1024)
+    val docStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val streamed = StreamingOps.runBounded(spark,
+      StreamingOps.streamingDsirGate(spark, docStream, modelDir, dim = 1024),
+      "dsir_gate_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    // bit-exact twin: the SAME gate shape on the batch DataFrame
+    val batch = StreamingOps.streamingDsirGate(spark, docsBatch,
+      modelDir, dim = 1024)
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b && s.nonEmpty)
+    // and the gate agrees with the stored batch scorer up to fp
+    // association of repeated addends (the gate folds per-occurrence
+    // terms; the scorer folds m-weighted per-bucket terms), while the
+    // stored scorer is BIT-equal to the inline operator (the x96
+    // proof shape)
+    val stored = graft.ext.TextOps.dsirScoreStored(spark, docsBatch,
+      modelDir, dim = 1024).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val gate = batch.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(gate.keySet == stored.keySet)
+    for ((id, (n, l)) <- stored) {
+      assert(gate(id)._1 == n, s"doc $id gram count")
+      assert(math.abs(gate(id)._2 - l) < 1e-9, s"doc $id llr")
+    }
+    val inline = graft.ext.TextOps.dsirLlr(docsBatch,
+      docsBatch.filter(col("source") === "src0"), dim = 1024)
+      .collect().map(_.toSeq).toSet
+    assert(graft.ext.TextOps.dsirScoreStored(spark, docsBatch,
+      modelDir, dim = 1024).collect().map(_.toSeq).toSet == inline)
+  }
+
   test("streaming contamination gate equals the batch audit") {
     val dir = "/root/testdata/sf0.001"
     val schema = StructType(Seq(
