@@ -816,30 +816,53 @@ object TextOps {
               textCol: String = "text", idCol: String = "doc_id")
   : DataFrame = {
     require(dim > 0, s"bucket dim must be positive: $dim")
-    def buckets(d: DataFrame) = d.select(col(idCol),
-        explode(graft.functions.ShingleHashesAll(col(textCol), 2)).as("h"))
-      .select(col(idCol), pmod(col("h"), lit(dim.toLong)).as("b"))
+    def buckets(d: DataFrame) = dsirBuckets(d, dim, textCol, Seq(idCol))
     val occ = buckets(raw).groupBy(col(idCol), col("b"))
       .agg(count(lit(1)).as("m"))
     val p = buckets(target).groupBy("b").agg(count(lit(1)).as("cp"))
     val q = occ.groupBy("b").agg(sum("m").as("cq"))
     val np = p.agg(sum("cp").as("np"))
     val nq = q.agg(sum("cq").as("nq"))
+    dsirFold(
+      occ.join(broadcast(q), Seq("b"))
+        .join(broadcast(p), Seq("b"), "left")
+        .crossJoin(broadcast(np)).crossJoin(broadcast(nq))
+        .withColumn("term", col("m").cast("double") * dsirLnRatio(dim)),
+      idCol, sum("m"))
+  }
+
+  /** THE DSIR feature kernel — shingle(k=2) explode → pmod bucket —
+    * shared by every DSIR path (inline, model build, stored scorer,
+    * streaming gate), so two paths can never bucket the same text
+    * differently (the round-13 PII-duplication lesson). Emits `keep`'s
+    * columns plus `b`. */
+  private def dsirBuckets(d: DataFrame, dim: Int, textCol: String,
+                          keep: Seq[String]): DataFrame =
+    d.select(keep.map(col) :+
+        explode(graft.functions.ShingleHashesAll(col(textCol), 2))
+          .as("h"): _*)
+      .select(keep.map(col) :+ pmod(col("h"), lit(dim.toLong)).as("b"): _*)
+
+  /** Shared DSIR smoothed ln-ratio over (cp, cq, np, nq) columns —
+    * ONE expression for every scoring path. */
+  private def dsirLnRatio(dim: Int): Column = {
     val dimL = lit(dim.toLong)
     val lnp = log((coalesce(col("cp"), lit(0L)) + lit(1L)).cast("double") /
       (col("np") + dimL).cast("double"))
-    val lnq = log((col("cq") + lit(1L)).cast("double") /
+    val lnq = log((coalesce(col("cq"), lit(0L)) + lit(1L)).cast("double") /
       (col("nq") + dimL).cast("double"))
-    occ.join(broadcast(q), Seq("b"))
-      .join(broadcast(p), Seq("b"), "left")
-      .crossJoin(broadcast(np)).crossJoin(broadcast(nq))
-      .withColumn("term", col("m").cast("double") * (lnp - lnq))
-      .groupBy(col(idCol))
-      .agg(sum("m").as("n_grams"),
+    lnp - lnq
+  }
+
+  /** Shared DSIR per-doc reduction: the b-ordered fold of `term` plus
+    * the caller's gram-count aggregate. */
+  private def dsirFold(terms: DataFrame, idCol: String,
+                       nGrams: Column): DataFrame =
+    terms.groupBy(col(idCol))
+      .agg(nGrams.as("n_grams"),
         aggregate(array_sort(collect_list(struct(col("b"), col("term")))),
           lit(0.0), (a, x) => a + x.getField("term")).as("llr"))
       .select(col(idCol), col("n_grams"), col("llr"))
-  }
 
   /** Persist the DSIR bucket models (the x77/x96 stored-index
     * discipline applied to data selection): ONE parquet table
@@ -855,9 +878,7 @@ object TextOps {
                      dim: Int = 16384, textCol: String = "text",
                      idCol: String = "doc_id"): Unit = {
     require(dim > 0, s"bucket dim must be positive: $dim")
-    def buckets(d: DataFrame) = d.select(
-        explode(graft.functions.ShingleHashesAll(col(textCol), 2)).as("h"))
-      .select(pmod(col("h"), lit(dim.toLong)).as("b"))
+    def buckets(d: DataFrame) = dsirBuckets(d, dim, textCol, Seq.empty)
     val p = buckets(target).groupBy("b").agg(count(lit(1)).as("cp"))
     val q = buckets(raw).groupBy("b").agg(count(lit(1)).as("cq"))
     p.join(q, Seq("b"), "full_outer")
@@ -882,24 +903,38 @@ object TextOps {
     val model = spark.read.parquet(s"$dir/buckets")
     val np = model.agg(sum("cp").as("np"))
     val nq = model.agg(sum("cq").as("nq"))
-    val occ = docs.select(col(idCol),
-        explode(graft.functions.ShingleHashesAll(col(textCol), 2)).as("h"))
-      .select(col(idCol), pmod(col("h"), lit(dim.toLong)).as("b"))
+    val occ = dsirBuckets(docs, dim, textCol, Seq(idCol))
       .groupBy(col(idCol), col("b"))
       .agg(count(lit(1)).as("m"))
-    val dimL = lit(dim.toLong)
-    val lnp = log((coalesce(col("cp"), lit(0L)) + lit(1L)).cast("double") /
-      (col("np") + dimL).cast("double"))
-    val lnq = log((coalesce(col("cq"), lit(0L)) + lit(1L)).cast("double") /
-      (col("nq") + dimL).cast("double"))
-    occ.join(broadcast(model), Seq("b"), "left")
-      .crossJoin(broadcast(np)).crossJoin(broadcast(nq))
-      .withColumn("term", col("m").cast("double") * (lnp - lnq))
-      .groupBy(col(idCol))
-      .agg(sum("m").as("n_grams"),
-        aggregate(array_sort(collect_list(struct(col("b"), col("term")))),
-          lit(0.0), (a, x) => a + x.getField("term")).as("llr"))
-      .select(col(idCol), col("n_grams"), col("llr"))
+    dsirFold(
+      occ.join(broadcast(model), Seq("b"), "left")
+        .crossJoin(broadcast(np)).crossJoin(broadcast(nq))
+        .withColumn("term", col("m").cast("double") * dsirLnRatio(dim)),
+      idCol, sum("m"))
+  }
+
+  /** STREAM-legal stored-model scoring — [[dsirScoreStored]]'s shape
+    * with the (doc, bucket) pre-aggregation removed: Structured
+    * Streaming rejects two chained stateful aggregations, so per-
+    * OCCURRENCE ln-ratio terms (the same [[dsirLnRatio]] on the same
+    * [[dsirBuckets]] kernel) go straight into the one per-doc fold.
+    * Equal addends sum adjacently in the b-ordered fold — agrees with
+    * the batch scorer up to fp association of the m-repeated terms
+    * (≪ 1e-9); the same call on a batch DataFrame is the bit-exact
+    * twin StreamingSpec pins. */
+  def dsirScoreStream(spark: org.apache.spark.sql.SparkSession,
+                      docs: DataFrame, dir: String, dim: Int = 16384,
+                      textCol: String = "text", idCol: String = "doc_id")
+  : DataFrame = {
+    val model = spark.read.parquet(s"$dir/buckets")
+    val np = model.agg(sum("cp").as("np"))
+    val nq = model.agg(sum("cq").as("nq"))
+    dsirFold(
+      dsirBuckets(docs, dim, textCol, Seq(idCol))
+        .join(broadcast(model), Seq("b"), "left")
+        .crossJoin(broadcast(np)).crossJoin(broadcast(nq))
+        .withColumn("term", dsirLnRatio(dim)),
+      idCol, count(lit(1)))
   }
 
   /** ORDER-N interpolated Kneser-Ney (Chen & Goodman 1999 §3, the full

@@ -254,26 +254,8 @@ object StreamingOps {
     * call on a batch DataFrame is the spec's bit-exact twin. */
   def streamingDsirGate(spark: org.apache.spark.sql.SparkSession,
                         docStream: DataFrame, dir: String,
-                        dim: Int = 16384): DataFrame = {
-    val model = spark.read.parquet(s"$dir/buckets")
-    val np = model.agg(sum("cp").as("np"))
-    val nq = model.agg(sum("cq").as("nq"))
-    val dimL = lit(dim.toLong)
-    val lnp = log((coalesce(col("cp"), lit(0L)) + lit(1L)).cast("double") /
-      (col("np") + dimL).cast("double"))
-    val lnq = log((coalesce(col("cq"), lit(0L)) + lit(1L)).cast("double") /
-      (col("nq") + dimL).cast("double"))
-    docStream.select(col("doc_id"),
-        explode(graft.functions.ShingleHashesAll(col("text"), 2)).as("h"))
-      .select(col("doc_id"), pmod(col("h"), dimL).as("b"))
-      .join(broadcast(model), Seq("b"), "left")
-      .crossJoin(broadcast(np)).crossJoin(broadcast(nq))
-      .withColumn("term", lnp - lnq)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        aggregate(array_sort(collect_list(struct(col("b"), col("term")))),
-          lit(0.0), (a, x) => a + x.getField("term")).as("llr"))
-  }
+                        dim: Int = 16384): DataFrame =
+    graft.ext.TextOps.dsirScoreStream(spark, docStream, dir, dim)
 
   /** Streaming SHARD MANIFEST: the dataset-versioning digests
     * ([[graft.ext.Curation.shardManifest]]) kept incrementally over a
