@@ -893,9 +893,9 @@ object TextOps {
     * storage is BIT-EQUAL to the inline run (the x96 proof shape).
     * Buckets absent from the model (possible for post-training
     * documents) smooth to cp = cq = 0 — the same add-one floor. The
-    * model broadcasts (≤ dim rows); works unchanged over a STREAMING
-    * DataFrame (stream-static joins + one update-mode doc aggregation —
-    * [[graft.streaming.StreamingOps.streamingDsirGate]]). */
+    * model broadcasts (≤ dim rows). BATCH shape: the (doc, bucket)
+    * pre-aggregation chains two stateful aggs, which Structured
+    * Streaming rejects — streams go through [[dsirScoreStream]]. */
   def dsirScoreStored(spark: org.apache.spark.sql.SparkSession,
                       docs: DataFrame, dir: String, dim: Int = 16384,
                       textCol: String = "text", idCol: String = "doc_id")
