@@ -2207,6 +2207,10 @@ class ExtSpec extends AnyFunSuite {
     // and the generic reference agrees with the unrolled instances too
     assert(knRef(rows, 3) == TextOps.knTrigramScore(docs).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap)
+    // order 4 — the untested middle of the recursion (two continuation
+    // levels between top and unigram) — against the same reference
+    assert(knRef(rows, 4) == TextOps.knScore(docs, 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap)
   }
 
   test("dsirLlr: matches the driver reference bit-for-bit; the hidden " +
