@@ -1,0 +1,186 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Tokenized-binary export in the MMIDIDX layout — the `.bin`/`.idx`
+  * indexed-dataset family Megatron-LM-style training loaders consume:
+  * the terminal format of a training-data pipeline, after cleaning,
+  * dedup, selection, and tokenization have all run. A training job
+  * never re-reads text; it memory-maps the token ids.
+  *
+  * Byte layout written and parsed here (all integers little-endian):
+  *
+  *   .idx: magic `MMIDIDX\0\0` (9 bytes) · version u64 = 1 ·
+  *         dtype u8 = 8 (uint16 token ids) · n_seqs u64 · n_docs u64 ·
+  *         sizes i32[n_seqs] (token count per sequence) ·
+  *         pointers i64[n_seqs] (BYTE offset of each sequence in .bin) ·
+  *         doc_idx i64[n_docs] (sequence index where each document
+  *         starts, ending with the n_seqs sentinel — the identity ramp
+  *         when one document is one sequence, as this writer emits)
+  *   .bin: the token ids, uint16 LE, sequences concatenated.
+  *
+  * Token ids here are the engine's hashed-vocabulary ids — the x59/x82
+  * kernel `floorMod(mix64(fnv(token)), 65536)` via
+  * [[graft.functions.ShingleHashes.shingleHashesAll]] at k = 1 — so the
+  * whole write → read round trip is independently replayable by the
+  * DuckDB oracle with no vocabulary artifact (swap in any real
+  * tokenizer's ids and only the id column changes).
+  *
+  * Torn-tail discipline (the [[Warc]]/[[Tar]] convention): a truncated
+  * `.bin` keeps every sequence whose slice still fits and drops the
+  * torn tail; junk or a mangled `.idx` header yields zero sequences,
+  * never an exception.
+  *
+  * Scale posture: one shard = one (idx, bin) blob pair built inside its
+  * own task from the shard's collected rows and parsed back inside the
+  * task that read it — shards are the unit of parallelism, nothing
+  * token-level ever rides an exchange.
+  */
+object BinIdx {
+
+  private val Magic: Array[Byte] =
+    Array('M', 'M', 'I', 'D', 'I', 'D', 'X', 0, 0).map(_.toByte)
+  private val Version = 1L
+  private val DtypeU16: Byte = 8
+  val VocabDim = 65536L
+
+  /** Hashed-vocabulary token ids for a text (the x82 kernel). */
+  def tokenIds(text: String): Array[Int] =
+    graft.functions.ShingleHashes.shingleHashesAll(text, 1)
+      .map(h => java.lang.Math.floorMod(h, VocabDim).toInt)
+
+  // --------------------------------------------------------------- write
+
+  private def putU64(b: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    var i = 0
+    while (i < 8) { b.write(((v >>> (8 * i)) & 0xFF).toInt); i += 1 }
+  }
+
+  private def putI32(b: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    var i = 0
+    while (i < 4) { b.write((v >>> (8 * i)) & 0xFF); i += 1 }
+  }
+
+  /** Render the `.idx` bytes for the given per-sequence token counts. */
+  def writeIdx(sizes: Array[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Magic, 0, Magic.length)
+    putU64(out, Version)
+    out.write(DtypeU16.toInt)
+    putU64(out, sizes.length.toLong)
+    putU64(out, sizes.length.toLong + 1L)
+    sizes.foreach(putI32(out, _))
+    var off = 0L
+    sizes.foreach { n => putU64(out, off); off += n.toLong * 2L }
+    var d = 0L
+    while (d <= sizes.length) { putU64(out, d); d += 1 }
+    out.toByteArray
+  }
+
+  /** Render the `.bin` bytes: sequences concatenated, uint16 LE. */
+  def writeBin(seqs: Seq[Array[Int]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    seqs.foreach(_.foreach { v =>
+      out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+    })
+    out.toByteArray
+  }
+
+  // --------------------------------------------------------------- parse
+
+  private def u64(b: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v |= (b(off + i) & 0xFFL) << (8 * i); i += 1 }
+    v
+  }
+
+  private def i32(b: Array[Byte], off: Int): Int = {
+    var v = 0
+    var i = 0
+    while (i < 4) { v |= (b(off + i) & 0xFF) << (8 * i); i += 1 }
+    v
+  }
+
+  /** Parse one shard: per-sequence token-id arrays in file order.
+    * Junk / bad header / impossible counts → Nil; a torn `.bin` keeps
+    * the sequences whose slices still fit. */
+  def parse(idx: Array[Byte], bin: Array[Byte]): Seq[Array[Int]] = {
+    if (idx == null || bin == null || idx.length < 34) return Nil
+    if (!idx.take(9).sameElements(Magic)) return Nil
+    if (u64(idx, 9) != Version || idx(17) != DtypeU16) return Nil
+    val nSeqs = u64(idx, 18)
+    val nDocs = u64(idx, 26)
+    // sizes alone need 4 bytes/seq — bounds nSeqs before any Long math
+    // can overflow, and rejects garbage counts from a mangled header
+    if (nSeqs < 0 || nSeqs > idx.length.toLong / 4) return Nil
+    val need = 34L + nSeqs * 4 + nSeqs * 8 + nDocs * 8
+    if (nDocs != nSeqs + 1 || need > idx.length.toLong) return Nil
+    val n = nSeqs.toInt
+    val out = Seq.newBuilder[Array[Int]]
+    var s = 0
+    while (s < n) {
+      val size = i32(idx, 34 + 4 * s)
+      val ptr = u64(idx, 34 + 4 * n + 8 * s)
+      if (size < 0 || ptr < 0 || ptr + size.toLong * 2 > bin.length.toLong)
+        return out.result() // torn bin: keep the fitting prefix
+      val ids = new Array[Int](size)
+      var i = 0
+      while (i < size) {
+        val o = (ptr + 2L * i).toInt
+        ids(i) = (bin(o) & 0xFF) | ((bin(o + 1) & 0xFF) << 8)
+        i += 1
+      }
+      out += ids
+      s += 1
+    }
+    out.result()
+  }
+
+  // --------------------------------------------------------- DataFrame IO
+
+  /** Build (shard, idx, bin) blobs from a documents table: one sequence
+    * per document, documents in doc_id order within their shard
+    * (`doc_id % nShards`) — the deterministic layout the oracle
+    * re-derives with a window rank. */
+  def shardsFromDocs(docs: DataFrame, nShards: Int = 8,
+                     textCol: String = "text"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val mk = udf((rows: Seq[Row]) => {
+      val seqs = rows.map(r => tokenIds(r.getString(1)))
+      (writeIdx(seqs.map(_.length).toArray), writeBin(seqs))
+    })
+    docs
+      .groupBy(pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col(textCol))))
+        .as("recs"))
+      .select(col("shard"), mk(col("recs")).as("c"))
+      .select(col("shard"), col("c._1").as("idx"), col("c._2").as("bin"))
+  }
+
+  /** Parse (shard, idx, bin) blobs back to one row per sequence:
+    * `(shard, pos, n_tokens, ids)` — pos is the sequence's 0-based
+    * index within its shard. Runs inside the task that holds the blob
+    * (mapPartitions), nothing token-level shuffles. */
+  def read(shards: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("shard", LongType, nullable = false),
+      StructField("pos", IntegerType, nullable = false),
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("ids", ArrayType(IntegerType, containsNull = false),
+        nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    shards.select(col("shard").cast("long"), col("idx"), col("bin"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val shard = r.getLong(0)
+          parse(r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2))
+            .zipWithIndex.map { case (ids, pos) =>
+              Row(shard, pos, ids.length, ids.toSeq)
+            }
+        }
+      }(enc)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SharedSpark
+
+class BinIdxSpec extends AnyFunSuite {
+  lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("idx header bytes are byte-pinned: magic, version, dtype, " +
+    "counts, sizes, byte pointers, doc ramp — all little-endian") {
+    val idx = BinIdx.writeIdx(Array(3, 0, 2))
+    // magic + version(1) + dtype(8=uint16)
+    assert(idx.take(9).toSeq == "MMIDIDX".getBytes.toSeq ++ Seq(0, 0))
+    assert(idx.slice(9, 17).toSeq ==
+      Seq[Byte](1, 0, 0, 0, 0, 0, 0, 0))
+    assert(idx(17) == 8)
+    assert(idx.slice(18, 26).toSeq == Seq[Byte](3, 0, 0, 0, 0, 0, 0, 0))
+    assert(idx.slice(26, 34).toSeq == Seq[Byte](4, 0, 0, 0, 0, 0, 0, 0))
+    // sizes i32: 3, 0, 2
+    assert(idx.slice(34, 46).toSeq == Seq[Byte](3, 0, 0, 0, 0, 0, 0, 0,
+      2, 0, 0, 0))
+    // pointers i64 (BYTE offsets at 2 bytes/token): 0, 6, 6
+    assert(idx.slice(46, 54).forall(_ == 0))
+    assert(idx(54) == 6 && idx.slice(55, 62).forall(_ == 0))
+    assert(idx(62) == 6 && idx.slice(63, 70).forall(_ == 0))
+    // doc ramp 0..3 inclusive
+    assert((0 to 3).forall(d => idx(70 + 8 * d) == d))
+    assert(idx.length == 70 + 8 * 4)
+  }
+
+  test("write -> parse round-trips exactly, incl. empty sequences and " +
+    "ids above 0x7FFF (uint16, not int16)") {
+    val seqs = Seq(Array(1, 65535, 32768), Array.empty[Int], Array(7, 8))
+    val got = BinIdx.parse(BinIdx.writeIdx(seqs.map(_.length).toArray),
+      BinIdx.writeBin(seqs))
+    assert(got.map(_.toSeq) == seqs.map(_.toSeq))
+  }
+
+  test("torn bin keeps the fitting prefix; junk and mangled headers " +
+    "yield zero sequences, never throw") {
+    val seqs = Seq(Array(1, 2, 3), Array(4, 5), Array(6))
+    val idx = BinIdx.writeIdx(seqs.map(_.length).toArray)
+    val bin = BinIdx.writeBin(seqs)
+    // cut mid-second-sequence: only the first survives
+    val torn = BinIdx.parse(idx, bin.take(8))
+    assert(torn.map(_.toSeq) == Seq(Seq(1, 2, 3)))
+    assert(BinIdx.parse("garbage".getBytes, bin).isEmpty)
+    assert(BinIdx.parse(idx.take(20), bin).isEmpty)       // torn header
+    val wrongVersion = idx.clone(); wrongVersion(9) = 2
+    assert(BinIdx.parse(wrongVersion, bin).isEmpty)
+    val wrongDtype = idx.clone(); wrongDtype(17) = 4
+    assert(BinIdx.parse(wrongDtype, bin).isEmpty)
+    val badCount = idx.clone(); badCount(18) = 99         // n_seqs lies
+    assert(BinIdx.parse(badCount, bin).isEmpty)
+  }
+
+  test("shardsFromDocs -> read round-trips the distributed path: ids " +
+    "are the x82 hashed-vocab kernel, order is doc_id rank per shard") {
+    val docs = Seq(
+      (0L, "the quick brown fox"),
+      (3L, "jumps over"),
+      (8L, "the lazy dog"),
+      (5L, ""),                       // zero tokens: a size-0 sequence
+      (11L, "single")).toDF("doc_id", "text")
+    val rows = BinIdx.read(BinIdx.shardsFromDocs(docs, nShards = 4))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getSeq[Int](3))).toMap
+    // shard layout: 0 -> [0, 8], 3 -> [3, 11], 1 -> [5]
+    assert(rows.keySet == Set((0L, 0), (0L, 1), (3L, 0), (3L, 1), (1L, 0)))
+    def ids(t: String) = BinIdx.tokenIds(t).toSeq
+    assert(rows((0L, 0)) == ((4, ids("the quick brown fox"))))
+    assert(rows((0L, 1)) == ((3, ids("the lazy dog"))))
+    assert(rows((3L, 0)) == ((2, ids("jumps over"))))
+    assert(rows((3L, 1)) == ((1, ids("single"))))
+    assert(rows((1L, 0)) == ((0, Seq.empty[Int])))
+    // hashed ids live in the uint16 vocab and equal tokens hash equal
+    val all = rows.values.flatMap(_._2)
+    assert(all.forall(v => v >= 0 && v < 65536))
+    assert(ids("the a the").head == ids("the a the")(2))
+  }
+}
