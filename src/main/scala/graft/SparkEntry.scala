@@ -1840,6 +1840,21 @@ object SparkEntry {
         .withColumn("llr", round(col("llr"), 9))
     }),
 
+    // x170 — the training-ready EXPORT round trip: documents → hashed
+    // token ids → MMIDIDX .bin/.idx shard blobs → parse → per-sequence
+    // report. The container layers cancel (the x95/x113 discipline),
+    // so the oracle replays only the token-id kernel (the x82 HUGEINT
+    // chain) and the shard/rank layout — a hash match proves the
+    // header, the byte pointers, the uint16 encoding and the doc ramp
+    // end to end.
+    "x170_binidx_scan" -> ((s, d) =>
+      graft.sources.BinIdx.read(
+        graft.sources.BinIdx.shardsFromDocs(t(s, d, "documents"),
+          nShards = 8))
+        .select(col("shard"), col("pos"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          aggregate(col("ids"), lit(0L), (a, x) => a + x).as("id_sum"))),
+
     // x145 — crawl-budget apportionment: the stored rank vector (the
     // x143 authority store) turned into integer per-domain fetch
     // quotas by the largest-remainder rule — Σ n_fetch == 300 exactly,
@@ -3917,6 +3932,35 @@ object SparkEntry {
                  OR CAST(FLOOR(n.pn / 1000) AS BIGINT)
                    <> CAST(FLOOR(c.pn / 1000) AS BIGINT)) AS misplaced
          FROM na4 n JOIN tr4 c ON c.media_id = n.media_id"""
+  }
+
+  /** x82/x170's shared hashed-vocabulary token chain: whitespace
+    * tokens → per-token FNV fold (the ASCII two-byte trick) → mix64 in
+    * HUGEINT → one SIGNED 64-bit `sh` row per (doc_id, token
+    * occurrence) — CTEs `tok`..`sgn`. Buckets/ids derive downstream
+    * per query (`floorMod(sh, 65536)`). */
+  private lazy val hashedTokenCtes: String = {
+    val M = "18446744073709551616::HUGEINT"
+    s"""tok AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                      t -> length(t) > 0) AS ts
+           FROM documents),
+         th AS (
+           SELECT doc_id, unnest(list_transform(ts, t ->
+             list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(range(1, length(t) + 1), i ->
+                   unicode(substr(t, CAST(i AS INTEGER), 1))::HUGEINT)),
+               (h, c) -> ((xor(h, c) * 1099511628211::HUGEINT) % $M
+                          * 1099511628211::HUGEINT) % $M))) AS f
+           FROM tok),
+         z1 AS (SELECT doc_id, ${mulmodSql("xor(f, f // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM th),
+         z2 AS (SELECT doc_id, ${mulmodSql("xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM z1),
+         zf AS (SELECT doc_id, xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM z2),
+         sgn AS (SELECT doc_id,
+                   CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+                             THEN uh - 18446744073709551616::HUGEINT
+                             ELSE uh END AS BIGINT) AS sh FROM zf)"""
   }
 
   /** x168/x169's DSIR chain over the `docSrc` relation (doc_id,
@@ -8594,6 +8638,27 @@ object SparkEntry {
          SELECT doc_id, n_grams, round(llr, 9) AS llr
          FROM agg""",
 
+    // x170 — the container cancels: per-doc token-id census from the
+    // x82 hashed-vocab chain, shard = doc_id % 8, pos = the doc's rank
+    // within its shard (the writer's sort order)
+    "x170_binidx_scan" ->
+      s"""WITH $hashedTokenCtes,
+         tid AS (SELECT doc_id, ((sh % 65536) + 65536) % 65536 AS tid
+                 FROM sgn),
+         agg AS (SELECT doc_id,
+                        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                        CAST(SUM(tid) AS BIGINT) AS id_sum
+                 FROM tid GROUP BY doc_id),
+         rk AS (SELECT doc_id, doc_id % 8 AS shard,
+                       CAST(row_number() OVER (PARTITION BY doc_id % 8
+                                               ORDER BY doc_id) - 1
+                            AS INTEGER) AS pos
+                FROM documents)
+         SELECT r.shard, r.pos,
+                COALESCE(a.n_tokens, 0) AS n_tokens,
+                COALESCE(a.id_sum, 0) AS id_sum
+         FROM rk r LEFT JOIN agg a USING (doc_id)""",
+
     // x145 — the x124 rank replay feeding the Hamilton apportionment:
     // decimal-routed rank sum, the exact quota/floor/frac algebra, the
     // one-row used-budget aggregate, and the remainder window with the
@@ -9329,26 +9394,7 @@ object SparkEntry {
     // in bucket order so the double mean is bit-exact
     "x82_quality_classifier" -> {
       val M = "18446744073709551616::HUGEINT"
-      s"""WITH tok AS (
-           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                                      t -> length(t) > 0) AS ts
-           FROM documents),
-         th AS (
-           SELECT doc_id, unnest(list_transform(ts, t ->
-             list_reduce(
-               list_prepend(14695981039346656037::HUGEINT,
-                 list_transform(range(1, length(t) + 1), i ->
-                   unicode(substr(t, CAST(i AS INTEGER), 1))::HUGEINT)),
-               (h, c) -> ((xor(h, c) * 1099511628211::HUGEINT) % $M
-                          * 1099511628211::HUGEINT) % $M))) AS f
-           FROM tok),
-         z1 AS (SELECT doc_id, ${mulmodSql("xor(f, f // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM th),
-         z2 AS (SELECT doc_id, ${mulmodSql("xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM z1),
-         zf AS (SELECT doc_id, xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM z2),
-         sgn AS (SELECT doc_id,
-                   CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
-                             THEN uh - 18446744073709551616::HUGEINT
-                             ELSE uh END AS BIGINT) AS sh FROM zf),
+      s"""WITH $hashedTokenCtes,
          cnt AS (SELECT doc_id, ((sh % 65536) + 65536) % 65536 AS b,
                         COUNT(*) AS c
                  FROM sgn GROUP BY doc_id, ((sh % 65536) + 65536) % 65536),
