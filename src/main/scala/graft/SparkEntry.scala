@@ -1815,7 +1815,11 @@ object SparkEntry {
               30)).otherwise(lit(""))))
       val w = ext.TextOps.dsirLlr(docs,
         docs.filter(col("source") === "src0"))
-      val top = w.orderBy((col("llr") / col("n_grams")).desc,
+      // the cut ranks on the 9-dp-ROUNDED ratio (doc_id tiebreak): the
+      // unrounded double could flip a near-tie at the rank-33 boundary
+      // between engines — rounding makes the selection ulp-proof, the
+      // same decimal-routing discipline as every other top-K cut
+      val top = w.orderBy(round(col("llr") / col("n_grams"), 9).desc,
           col("doc_id")).limit(33)
         .select(col("doc_id"), lit(true).as("sel"))
       w.join(broadcast(top), Seq("doc_id"), "left")
@@ -8622,7 +8626,8 @@ object SparkEntry {
            FROM documents),
          ${dsirCtes("doc0")},
          rk AS (SELECT *, row_number()
-                            OVER (ORDER BY llr / n_grams DESC, doc_id) AS rn
+                            OVER (ORDER BY round(llr / n_grams, 9) DESC,
+                                  doc_id) AS rn
                 FROM agg)
          SELECT doc_id, n_grams, round(llr, 9) AS llr,
                 rn <= 33 AS selected

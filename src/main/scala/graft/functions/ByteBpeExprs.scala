@@ -127,26 +127,28 @@ object ByteBpe {
     * so the single-space split is exact. Returns the internal
     * byte-symbol pairs ready for [[BpeKernel.compile]].
     *
-    * The `#version` header is skipped on LINE 1 ONLY (HuggingFace
-    * tokenizers' contract) — a legitimate merge whose rendered left
-    * token begins with `#version` (reachable on code/markdown corpora)
-    * parses as a rule anywhere below the header. */
-  def parseGpt2Merges(content: String): Seq[(String, String)] =
-    content.linesIterator
-      .map(_.trim)
-      .zipWithIndex
-      .filterNot { case (l, i) =>
-        l.isEmpty || (i == 0 && l.startsWith("#version"))
-      }
-      .map { case (l, _) => l }
-      .map { l =>
-        val sp = l.indexOf(' ')
-        require(sp > 0 && l.indexOf(' ', sp + 1) < 0,
-          s"malformed merges line (want 'A B'): '$l'")
-        (decodeVisible(l.substring(0, sp)),
-          decodeVisible(l.substring(sp + 1)))
-      }
-      .toSeq
+    * The `#version` header is skipped when the FIRST NON-EMPTY line
+    * carries it (HuggingFace tokenizers' contract, made robust to a
+    * leading UTF-8 BOM or blank line — without this, '#version: 0.2'
+    * behind a BOM silently parsed as the bogus rule ("#version:",
+    * "0.2")). A legitimate merge whose rendered left token begins with
+    * `#version` (reachable on code/markdown corpora) still parses as a
+    * rule anywhere below that first line. */
+  def parseGpt2Merges(content: String): Seq[(String, String)] = {
+    val body =
+      if (content.startsWith("\uFEFF")) content.substring(1) else content
+    val lines = body.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val rules =
+      if (lines.headOption.exists(_.startsWith("#version"))) lines.tail
+      else lines
+    rules.map { l =>
+      val sp = l.indexOf(' ')
+      require(sp > 0 && l.indexOf(' ', sp + 1) < 0,
+        s"malformed merges line (want 'A B'): '$l'")
+      (decodeVisible(l.substring(0, sp)),
+        decodeVisible(l.substring(sp + 1)))
+    }
+  }
 
   /** Writer dual of [[parseGpt2Merges]] — round-trips any well-formed
     * byte-level table through the published file format. */

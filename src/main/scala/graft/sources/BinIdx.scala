@@ -13,13 +13,18 @@ import org.apache.spark.sql.types._
   * Byte layout written and parsed here (all integers little-endian):
   *
   *   .idx: magic `MMIDIDX\0\0` (9 bytes) · version u64 = 1 ·
-  *         dtype u8 = 8 (uint16 token ids) · n_seqs u64 · n_docs u64 ·
+  *         dtype u8 (8 = uint16, 4 = int32 token ids — both parsed) ·
+  *         n_seqs u64 · n_docs u64 ·
   *         sizes i32[n_seqs] (token count per sequence) ·
   *         pointers i64[n_seqs] (BYTE offset of each sequence in .bin) ·
   *         doc_idx i64[n_docs] (sequence index where each document
   *         starts, ending with the n_seqs sentinel — the identity ramp
-  *         when one document is one sequence, as this writer emits)
-  *   .bin: the token ids, uint16 LE, sequences concatenated.
+  *         when one document is one sequence, as this writer emits;
+  *         external files where documents span several sequences carry
+  *         FEWER entries, so any `n_docs ≤ n_seqs + 1` is accepted and
+  *         the doc_idx content, which this reader never consumes, is
+  *         ignored)
+  *   .bin: the token ids, uint16/int32 LE, sequences concatenated.
   *
   * Token ids here are the engine's hashed-vocabulary ids — the x59/x82
   * kernel `floorMod(mix64(fnv(token)), 65536)` via
@@ -31,7 +36,10 @@ import org.apache.spark.sql.types._
   * Torn-tail discipline (the [[Warc]]/[[Tar]] convention): a truncated
   * `.bin` keeps every sequence whose slice still fits and drops the
   * torn tail; junk or a mangled `.idx` header yields zero sequences,
-  * never an exception.
+  * never an exception. "Unsupported layout" is NOT silently conflated
+  * with junk: [[probe]] classifies a blob as `ok` / `unsupported_dtype`
+  * / `junk`, so a valid external Megatron dataset in a dtype this
+  * reader lacks is reported, not dropped.
   *
   * Scale posture: one shard = one (idx, bin) blob pair built inside its
   * own task from the shard's collected rows and parsed back inside the
@@ -44,7 +52,18 @@ object BinIdx {
     Array('M', 'M', 'I', 'D', 'I', 'D', 'X', 0, 0).map(_.toByte)
   private val Version = 1L
   private val DtypeU16: Byte = 8
+  private val DtypeI32: Byte = 4
   val VocabDim = 65536L
+
+  /** Hard per-shard `.bin` ceiling: one shard renders in one JVM byte
+    * array, so it can never exceed Int.MaxValue bytes — the builder
+    * REFUSES (with the sizing rule in the message) rather than
+    * overflowing. Sizing rule: pick `nShards ≥ ceil(2·Σ n_tokens /
+    * 1 GiB)` so shards stay well under the ceiling AND small enough
+    * that the per-task collect_list state (all of a shard's text)
+    * fits executor memory — the shard is the unit of parallelism, so
+    * more shards is also more parallelism, never a correctness risk. */
+  val MaxShardBytes: Long = Int.MaxValue.toLong - 64L
 
   /** Hashed-vocabulary token ids for a text (the x82 kernel). */
   def tokenIds(text: String): Array[Int] =
@@ -88,6 +107,19 @@ object BinIdx {
     out.toByteArray
   }
 
+  /** Render one shard's (idx, bin) pair, enforcing [[MaxShardBytes]]
+    * with the sizing rule spelled out — shared by every shard
+    * builder. */
+  private[sources] def buildShard(seqs: Seq[Array[Int]])
+      : (Array[Byte], Array[Byte]) = {
+    val total = seqs.iterator.map(_.length.toLong * 2L).sum
+    require(total <= MaxShardBytes,
+      s"shard .bin would be $total bytes (> $MaxShardBytes, the one-" +
+        "JVM-array ceiling); raise nShards — sizing rule: nShards >= " +
+        "ceil(2 * total corpus tokens / 1 GiB)")
+    (writeIdx(seqs.map(_.length).toArray), writeBin(seqs))
+  }
+
   // --------------------------------------------------------------- parse
 
   private def u64(b: Array[Byte], off: Int): Long = {
@@ -104,33 +136,63 @@ object BinIdx {
     v
   }
 
-  /** Parse one shard: per-sequence token-id arrays in file order.
-    * Junk / bad header / impossible counts → Nil; a torn `.bin` keeps
-    * the sequences whose slices still fit. */
-  def parse(idx: Array[Byte], bin: Array[Byte]): Seq[Array[Int]] = {
-    if (idx == null || bin == null || idx.length < 34) return Nil
-    if (!idx.take(9).sameElements(Magic)) return Nil
-    if (u64(idx, 9) != Version || idx(17) != DtypeU16) return Nil
+  /** Header sanity shared by [[probe]] and [[parse]]: Some((dtype,
+    * nSeqs, nDocs)) when the magic/version/counts are structurally
+    * sound (dtype NOT judged here), None for junk. */
+  private def header(idx: Array[Byte]): Option[(Byte, Long, Long)] = {
+    if (idx == null || idx.length < 34) return None
+    if (!idx.take(9).sameElements(Magic)) return None
+    if (u64(idx, 9) != Version) return None
     val nSeqs = u64(idx, 18)
     val nDocs = u64(idx, 26)
     // sizes alone need 4 bytes/seq — bounds nSeqs before any Long math
-    // can overflow, and rejects garbage counts from a mangled header
-    if (nSeqs < 0 || nSeqs > idx.length.toLong / 4) return Nil
+    // can overflow, and rejects garbage counts from a mangled header.
+    // doc_idx may be SHORTER than nSeqs+1 (external files where a
+    // document spans several sequences), never longer.
+    if (nSeqs < 0 || nSeqs > idx.length.toLong / 4) return None
+    if (nDocs < 0 || nDocs > nSeqs + 1) return None
     val need = 34L + nSeqs * 4 + nSeqs * 8 + nDocs * 8
-    if (nDocs != nSeqs + 1 || need > idx.length.toLong) return Nil
+    if (need > idx.length.toLong) return None
+    Some((idx(17), nSeqs, nDocs))
+  }
+
+  /** Classify an `.idx` blob: `"ok"` (this reader decodes it),
+    * `"unsupported_dtype"` (a structurally valid MMIDIDX file whose
+    * token width this reader lacks — uint8/int64/float…; the caller
+    * should surface it, not treat it as garbage), or `"junk"`. */
+  def probe(idx: Array[Byte]): String = header(idx) match {
+    case None => "junk"
+    case Some((dt, _, _)) if dt == DtypeU16 || dt == DtypeI32 => "ok"
+    case _ => "unsupported_dtype"
+  }
+
+  /** Parse one shard: per-sequence token-id arrays in file order.
+    * Junk / bad header / impossible counts / unsupported dtype → Nil
+    * (use [[probe]] to tell the last case apart); a torn `.bin` keeps
+    * the sequences whose slices still fit. uint16 and int32 ids both
+    * decode. */
+  def parse(idx: Array[Byte], bin: Array[Byte]): Seq[Array[Int]] = {
+    if (bin == null) return Nil
+    val (nSeqs, w) = header(idx) match {
+      case Some((DtypeU16, s, _)) => (s, 2)
+      case Some((DtypeI32, s, _)) => (s, 4)
+      case _ => return Nil
+    }
     val n = nSeqs.toInt
     val out = Seq.newBuilder[Array[Int]]
     var s = 0
     while (s < n) {
       val size = i32(idx, 34 + 4 * s)
       val ptr = u64(idx, 34 + 4 * n + 8 * s)
-      if (size < 0 || ptr < 0 || ptr + size.toLong * 2 > bin.length.toLong)
+      if (size < 0 || ptr < 0 || ptr + size.toLong * w > bin.length.toLong)
         return out.result() // torn bin: keep the fitting prefix
       val ids = new Array[Int](size)
       var i = 0
       while (i < size) {
-        val o = (ptr + 2L * i).toInt
-        ids(i) = (bin(o) & 0xFF) | ((bin(o + 1) & 0xFF) << 8)
+        val o = (ptr + w.toLong * i).toInt
+        ids(i) =
+          if (w == 2) (bin(o) & 0xFF) | ((bin(o + 1) & 0xFF) << 8)
+          else i32(bin, o)
         i += 1
       }
       out += ids
@@ -149,8 +211,7 @@ object BinIdx {
                      textCol: String = "text"): DataFrame = {
     require(nShards > 0, s"nShards must be positive: $nShards")
     val mk = udf((rows: Seq[Row]) => {
-      val seqs = rows.map(r => tokenIds(r.getString(1)))
-      (writeIdx(seqs.map(_.length).toArray), writeBin(seqs))
+      buildShard(rows.map(r => tokenIds(r.getString(1))))
     })
     docs
       .groupBy(pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))

@@ -237,6 +237,16 @@ class ByteBpeSpec extends AnyFunSuite {
     // that line is indistinguishable from a header, and the contract
     // (skip line 1 when it startsWith #version) drops it — documented
     assert(ByteBpe.parseGpt2Merges("#version !\nt h") == Seq("t" -> "h"))
+    // the header must also be recognized behind a UTF-8 BOM or a
+    // leading blank line (real exported files carry both) — without
+    // this, '#version: 0.2' parsed as the bogus rule ("#version:",
+    // "0.2") instead of being skipped
+    assert(ByteBpe.parseGpt2Merges("\uFEFF#version: 0.2\nt h") ==
+      Seq("t" -> "h"))
+    assert(ByteBpe.parseGpt2Merges("\n#version: 0.2\nt h") ==
+      Seq("t" -> "h"))
+    // and a BOM'd HEADERLESS file still keeps its first rule
+    assert(ByteBpe.parseGpt2Merges("\uFEFFt h") == Seq("t" -> "h"))
   }
 
   test("real-format merges.txt interop: a checked-in file in the " +

@@ -50,10 +50,57 @@ class BinIdxSpec extends AnyFunSuite {
     assert(BinIdx.parse(idx.take(20), bin).isEmpty)       // torn header
     val wrongVersion = idx.clone(); wrongVersion(9) = 2
     assert(BinIdx.parse(wrongVersion, bin).isEmpty)
-    val wrongDtype = idx.clone(); wrongDtype(17) = 4
-    assert(BinIdx.parse(wrongDtype, bin).isEmpty)
+    val floatDtype = idx.clone(); floatDtype(17) = 6      // float ids
+    assert(BinIdx.parse(floatDtype, bin).isEmpty)
     val badCount = idx.clone(); badCount(18) = 99         // n_seqs lies
     assert(BinIdx.parse(badCount, bin).isEmpty)
+  }
+
+  test("probe tells 'unsupported_dtype' apart from 'junk': a valid " +
+    "external Megatron file in a foreign dtype is reported, not " +
+    "silently dropped") {
+    val idx = BinIdx.writeIdx(Array(2, 1))
+    assert(BinIdx.probe(idx) == "ok")
+    val f = idx.clone(); f(17) = 6                        // float32
+    assert(BinIdx.probe(f) == "unsupported_dtype")
+    val i64 = idx.clone(); i64(17) = 5                    // int64
+    assert(BinIdx.probe(i64) == "unsupported_dtype")
+    assert(BinIdx.probe("garbage".getBytes) == "junk")
+    assert(BinIdx.probe(idx.take(20)) == "junk")
+    val badCount = idx.clone(); badCount(18) = 99
+    assert(BinIdx.probe(badCount) == "junk")
+  }
+
+  test("external layouts parse: int32 dtype decodes (ids above 65535 " +
+    "included) and a SHORT doc_idx (documents spanning sequences) is " +
+    "accepted — its content is ignored anyway") {
+    // int32 variant of the u16 writer: same header with dtype=4,
+    // pointers at 4 bytes/token, ids straddling the u16 range
+    val seqs = Seq(Array(1, 70000), Array(3))
+    val out = new java.io.ByteArrayOutputStream()
+    def u64(b: java.io.ByteArrayOutputStream, v: Long): Unit =
+      (0 until 8).foreach(i => b.write(((v >>> (8 * i)) & 0xFF).toInt))
+    def i32(b: java.io.ByteArrayOutputStream, v: Int): Unit =
+      (0 until 4).foreach(i => b.write((v >>> (8 * i)) & 0xFF))
+    out.write("MMIDIDX".getBytes); out.write(0); out.write(0)
+    u64(out, 1L); out.write(4)                            // version, int32
+    u64(out, 2L); u64(out, 2L)        // n_seqs=2, n_docs=2 (< n_seqs+1!)
+    seqs.foreach(s => i32(out, s.length))                 // sizes
+    u64(out, 0L); u64(out, 8L)                            // byte pointers
+    u64(out, 0L); u64(out, 2L)                            // 2-entry doc_idx
+    val bin = new java.io.ByteArrayOutputStream()
+    seqs.flatten.foreach(i32(bin, _))
+    val idxBytes = out.toByteArray
+    val binBytes = bin.toByteArray
+    assert(BinIdx.probe(idxBytes) == "ok")
+    val got = BinIdx.parse(idxBytes, binBytes)
+    assert(got.map(_.toSeq) == Seq(Seq(1, 70000), Seq(3)))
+    // u16 files with doc_idx SHORTER than n_seqs+1 parse too
+    val u16 = BinIdx.writeIdx(Array(2, 1))
+    val shortDoc = u16.dropRight(8)                       // drop one ramp row
+    val fix = shortDoc.clone(); fix(26) = 2               // n_docs = 2
+    assert(BinIdx.parse(fix, BinIdx.writeBin(Seq(Array(9, 9), Array(7))))
+      .map(_.toSeq) == Seq(Seq(9, 9), Seq(7)))
   }
 
   test("shardsFromDocs -> read round-trips the distributed path: ids " +
