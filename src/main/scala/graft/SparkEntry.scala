@@ -42,13 +42,17 @@ object SparkEntry {
 
   /** x105/x106 trained BPE merges, memoized per data dir (the
     * [[storedDir]] discipline): training runs once per JVM, every
-    * later query construction reads the learned table. */
+    * later query construction reads the learned table. Trains through
+    * the ONE-PASS trainer (one census job + driver delta maintenance
+    * instead of one corpus job per merge) — BIT-identical to the
+    * sequential trainer by BpeSpec/ByteBpeSpec, so the x105/x106
+    * oracles are untouched. */
   private val trainedBpe = new java.util.concurrent.ConcurrentHashMap[
     String, Seq[(String, String, Long)]]()
   private def bpeTrained(s: SparkSession, d: String)
       : Seq[(String, String, Long)] =
     trainedBpe.computeIfAbsent(d, _ =>
-      ext.TextOps.trainBpeMerges(t(s, d, "documents"), nMerges = 12))
+      ext.TextOps.trainBpeMergesFast(t(s, d, "documents"), nMerges = 12))
 
   /** x118/x119 trained BYTE-level merges, memoized per data dir (the
     * same discipline as [[bpeTrained]]); trained over the x115 fixture
@@ -58,7 +62,7 @@ object SparkEntry {
   private def byteBpeTrained(s: SparkSession, d: String)
       : Seq[(String, String, Long)] =
     trainedByteBpe.computeIfAbsent(d, _ =>
-      ext.TextOps.trainByteBpeMerges(
+      ext.TextOps.trainByteBpeMergesFast(
         t(s, d, "documents").withColumn("text", expr(byteTextSqlExpr)),
         nMerges = 12))
   private def storedDir(kind: String, d: String)(build: String => Unit): String =

@@ -292,6 +292,206 @@ object TextOps {
     out.toSeq
   }
 
+  /** ONE-PASS BPE training — [[trainBpeMerges]] with the per-merge
+    * corpus jobs removed: the corpus is scanned ONCE (the same
+    * occurrence-weighted distinct-word census), and ALL `nMerges`
+    * rounds run on the driver over that census with pair-count DELTA
+    * maintenance (only words containing the winning pair are touched
+    * per round, and only their changed pair counts update — nothing is
+    * recounted). This is how Sennrich 2016's own learn_bpe runs, and
+    * it removes the trainer's scale ceiling: the sequential form costs
+    * one Spark job PER MERGE (50k jobs for a production vocabulary —
+    * weeks of job-launch overhead alone at 100 TB); this form costs
+    * ONE job at any merge count, then driver compute bounded by the
+    * census size (Heaps-law sublinear in corpus size).
+    *
+    * EXACTNESS: identical tie-breaking ((cnt DESC, p1, p2) in UTF-8
+    * binary = code-point order — the engine's string order) and the
+    * identical left-to-right merge sweep, so the learned table is
+    * BIT-IDENTICAL to [[trainBpeMerges]]' at any merge count
+    * (ByteBpeSpec pins it on the 200-merge fixture). `minCount`
+    * (default 1 = exact) prunes census words below the threshold — the
+    * standard Zipf-tail cut that bounds driver memory on a 100 TB
+    * corpus (word types at minCount ≥ 2 shrink ~2×; the result may
+    * then differ from the unpruned trainer's on pairs whose counts
+    * ride hapax words, which is the documented approximation every
+    * production trainer makes). */
+  def trainBpeMergesFast(docs: DataFrame, nMerges: Int,
+                         textCol: String = "text", minCount: Long = 1L)
+      : Seq[(String, String, Long)] = {
+    require(nMerges >= 1, s"need nMerges >= 1: $nMerges")
+    val census = docs
+      .select(explode(filter(tokens(col(textCol)), t => length(t) > 0))
+        .as("w"))
+      .groupBy("w").agg(count(lit(1)).as("m"))
+      .filter(col("m") >= minCount)
+      .collect()
+      .map { r =>
+        val w = r.getString(0)
+        // code-point symbols — the local image of the engine census'
+        // substring(w, i, 1) over sequence(1, length(w))
+        val syms = w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp)))
+        (r.getLong(1), syms)
+      }
+    trainMergesLocal(census, nMerges)
+  }
+
+  /** BYTE-level sibling of [[trainBpeMergesFast]] — the one-pass form
+    * of [[trainByteBpeMerges]]: GPT-2 pre-token census in ONE job,
+    * byte symbols, the same exact driver loop. Bit-identical to the
+    * sequential trainer (ByteBpeSpec, 200-merge fixture). */
+  def trainByteBpeMergesFast(docs: DataFrame, nMerges: Int,
+                             textCol: String = "text", minCount: Long = 1L)
+      : Seq[(String, String, Long)] = {
+    require(nMerges >= 1, s"need nMerges >= 1: $nMerges")
+    val census = docs
+      .select(explode(graft.functions.Gpt2Pretokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("m"))
+      .filter(col("m") >= minCount)
+      .collect()
+      .map { r =>
+        val syms = graft.functions.ByteBpe.byteSyms(r.getString(0))
+          .toCharArray.map(String.valueOf)
+        (r.getLong(1), syms)
+      }
+    trainMergesLocal(census, nMerges)
+  }
+
+  /** UTF-8-binary string comparison (code-point lexicographic) — the
+    * order Spark's `orderBy` puts on StringType, which Java's UTF-16
+    * `compareTo` breaks above the BMP (surrogates sort below U+E000). */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** The engine's left-to-right single-rule merge sweep
+    * ([[applyMergePass]]'s local image): merge every non-overlapping
+    * (p1, p2) adjacency, left preferential. */
+  private def mergeSweep(syms: Array[String], p1: String, p2: String)
+      : Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == p1 && syms(i + 1) == p2) {
+        out += p1 + p2
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** The exact Sennrich loop over a collected (m, syms) census with
+    * pair-count delta maintenance: a TreeSet mirror of the pair-count
+    * map keeps the (cnt DESC, p1, p2) argmax O(log P) per round, a
+    * pair → word-index inverted list bounds each round's work to the
+    * words actually containing the winning pair, and per affected word
+    * only the CHANGED pair counts update. Same argmax total order and
+    * the same left-to-right sweep as [[trainMergesFromVocab]] ⇒ the
+    * merge tables are bit-identical. */
+  private[ext] def trainMergesLocal(census: Seq[(Long, Array[String])],
+                                    nMerges: Int)
+      : Seq[(String, String, Long)] = {
+    val ms = census.map(_._1).toArray
+    val syms = census.map(_._2).toArray
+    val pairCnt = scala.collection.mutable.HashMap
+      .empty[(String, String), Long]
+    val pairWords = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.BitSet]
+    val ordered = new java.util.TreeSet[(Long, String, String)](
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(x: (Long, String, String),
+                    y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(y._1, x._1) // cnt DESC
+          if (c != 0) return c
+          val a = cpCompare(x._2, y._2)
+          if (a != 0) a else cpCompare(x._3, y._3)
+        }
+      })
+
+    def pairBag(s: Array[String])
+        : scala.collection.mutable.HashMap[(String, String), Long] = {
+      val bag = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      var i = 0
+      while (i + 1 < s.length) {
+        val k = (s(i), s(i + 1))
+        bag.update(k, bag.getOrElse(k, 0L) + 1L)
+        i += 1
+      }
+      bag
+    }
+
+    def addDelta(p: (String, String), d: Long): Unit = {
+      if (d == 0) return
+      val old = pairCnt.getOrElse(p, 0L)
+      val nv = old + d
+      if (old > 0) ordered.remove((old, p._1, p._2))
+      if (nv > 0) {
+        pairCnt(p) = nv
+        ordered.add((nv, p._1, p._2))
+      } else pairCnt.remove(p)
+    }
+
+    // init: one pass over the census
+    var wi = 0
+    while (wi < syms.length) {
+      val bag = pairBag(syms(wi))
+      bag.foreach { case (p, c) =>
+        addDelta(p, c * ms(wi))
+        pairWords.getOrElseUpdate(p,
+          scala.collection.mutable.BitSet.empty) += wi
+      }
+      wi += 1
+    }
+
+    val out = scala.collection.mutable
+      .ArrayBuffer.empty[(String, String, Long)]
+    var r = 0
+    while (r < nMerges && !ordered.isEmpty) {
+      val (cnt, p1, p2) = ordered.first()
+      out += ((p1, p2, cnt))
+      val affected = pairWords.getOrElse((p1, p2),
+        scala.collection.mutable.BitSet.empty).toArray
+      affected.foreach { i =>
+        val before = pairBag(syms(i))
+        syms(i) = mergeSweep(syms(i), p1, p2)
+        val after = pairBag(syms(i))
+        before.foreach { case (p, c) =>
+          val nc = after.getOrElse(p, 0L)
+          addDelta(p, (nc - c) * ms(i))
+          if (nc == 0L) {
+            pairWords.get(p).foreach { s =>
+              s -= i
+              if (s.isEmpty) pairWords.remove(p)
+            }
+          }
+        }
+        after.foreach { case (p, c) =>
+          if (!before.contains(p)) {
+            addDelta(p, c * ms(i))
+            pairWords.getOrElseUpdate(p,
+              scala.collection.mutable.BitSet.empty) += i
+          }
+        }
+      }
+      r += 1
+    }
+    out.toSeq
+  }
+
   /** Language-ID stopword tables (tiny, language-distinctive function
     * words). N-gram/stopword heuristic — no external models. */
   val stopwords: Map[String, Seq[String]] = Map(

@@ -150,6 +150,29 @@ class BpeSpec extends AnyFunSuite {
     assert(l2 == Seq(("a", "b", 4L), ("ab", "c", 3L)))
   }
 
+  test("one-pass trainer (pair-delta maintenance) is BIT-IDENTICAL to " +
+       "the per-merge-job trainer: counts, ties, early stop, real corpus") {
+    import spark.implicits._
+    // the hand-checked cases above, replayed through the fast path
+    val docs = Seq((1L, "aa ab"), (2L, "aa")).toDF("doc_id", "text")
+    assert(TextOps.trainBpeMergesFast(docs, nMerges = 5) ==
+      Seq(("a", "a", 2L), ("a", "b", 1L)))           // incl. early stop
+    val tie = Seq((1L, "ba ca")).toDF("doc_id", "text")
+    assert(TextOps.trainBpeMergesFast(tie, nMerges = 1) ==
+      Seq(("b", "a", 1L)))
+    // real corpus, deep table: sequential vs one-pass, tuple-for-tuple
+    val corpus = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val seq30 = TextOps.trainBpeMerges(corpus, nMerges = 30)
+    val fast30 = TextOps.trainBpeMergesFast(corpus, nMerges = 30)
+    assert(fast30 == seq30,
+      "one-pass trainer diverged from the sequential trainer")
+    // minCount is the documented Zipf-tail approximation knob: at 1 it
+    // is exact; pruning can only remove count mass, never add it
+    val pruned = TextOps.trainBpeMergesFast(corpus, nMerges = 10,
+      minCount = 3L)
+    assert(pruned.nonEmpty && pruned.forall(_._3 > 0))
+  }
+
   test("packSequences re-denominated: BPE budget vs whitespace budget") {
     import spark.implicits._
     val docs = Seq(

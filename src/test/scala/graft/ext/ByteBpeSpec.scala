@@ -133,6 +133,11 @@ class ByteBpeSpec extends AnyFunSuite {
     val learned = TextOps.trainByteBpeMerges(docs, nMerges = 200)
     assert(learned.length == 200,
       s"trainer went dry at ${learned.length} rules")
+    // the one-pass trainer (ONE census job + driver delta maintenance,
+    // vs 200 sequential corpus jobs) must emit the IDENTICAL table —
+    // rule for rule, count for count — on the full 200-merge fixture
+    assert(TextOps.trainByteBpeMergesFast(docs, nMerges = 200) == learned,
+      "one-pass byte trainer diverged from the sequential trainer")
     val table = learned.map(m => (m._1, m._2))
     // compiles => well-formed by BpeKernel's invariants (every left/
     // right side is a base byte or an earlier merge's output)
