@@ -194,22 +194,12 @@ object Graph {
     val base = (1.0 - damping) / n
     var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val contrib = ed
-        .join(pr, ed("src") === pr("node"))
-        .groupBy(col("dst"))
-        .agg(Stable.sumD(col("pr") * (col("w") / col("sw")), 18).as("c"))
-      val massRow = pr
-        .join(dangling, Seq("node"), "left_semi")
-        .agg(coalesce(Stable.sumD(col("pr"), 18), lit(0.0)).as("dmass"))
-      pr = nodes
-        .join(contrib, nodes("node") === contrib("dst"), "left")
-        .crossJoin(massRow)
-        .select(nodes("node"),
-          (lit(base) + lit(damping) * coalesce(col("c"), lit(0.0)) +
-            lit(damping) * col("dmass") / lit(n.toDouble)).as("pr"))
-        .localCheckpoint(true)
-    }
+    for (_ <- 1 to iters)
+      pr = teleportRound(nodes,
+        propagate(ed, pr, "src", "dst", col("pr") * (col("w") / col("sw"))),
+        danglingMass(pr, dangling),
+        lit(base) + lit(damping) * coalesce(col("v"), lit(0.0)) +
+          lit(damping) * col("dmass") / lit(n.toDouble))
     e.unpersist(blocking = false)
     ed.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
@@ -403,22 +393,12 @@ object Graph {
       .localCheckpoint(true)
     var auth = nodes.select(col("node"), lit(0.0).as("auth"))
     for (_ <- 1 to iters) {
-      val aSum = e.join(hub, e("src") === hub("node"))
-        .groupBy(e("dst"))
-        .agg(Stable.sumD(col("hub"), 18).as("v"))
-      val aRaw = nodes
-        .join(aSum, nodes("node") === aSum("dst"), "left")
-        .select(nodes("node"), coalesce(col("v"), lit(0.0)).as("auth"))
-        .localCheckpoint(true)
-      auth = normalized(aRaw, "auth")
-      val hSum = e.join(auth, e("dst") === auth("node"))
-        .groupBy(e("src"))
-        .agg(Stable.sumD(col("auth"), 18).as("v"))
-      val hRaw = nodes
-        .join(hSum, nodes("node") === hSum("src"), "left")
-        .select(nodes("node"), coalesce(col("v"), lit(0.0)).as("hub"))
-        .localCheckpoint(true)
-      hub = normalized(hRaw, "hub")
+      auth = normalized(
+        scatter(nodes, propagate(e, hub, "src", "dst", col("hub")),
+          "dst", "auth"), "auth")
+      hub = normalized(
+        scatter(nodes, propagate(e, auth, "dst", "src", col("auth")),
+          "src", "hub"), "hub")
     }
     val out = hub.join(auth, "node")
     e.unpersist(blocking = false)
@@ -460,9 +440,12 @@ object Graph {
         col(dstCol).cast("string").as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val inDeg = e.groupBy("dst").agg(count(lit(1)).as("indeg"))
+    // BOTH degree columns ride the cached edge table (one join each,
+    // paid once) instead of re-joining a degree table every half-round
+    val ed = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .join(inDeg, "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -474,32 +457,23 @@ object Graph {
       .localCheckpoint(true)
     var hub: DataFrame = null
     for (_ <- 1 to iters) {
-      val hSum = e.join(auth, e("dst") === auth("node"))
-        .join(inDeg, "dst")
-        .groupBy(e("src"))
-        .agg(Stable.sumD(col("auth") / col("indeg").cast("double"), 18)
-          .as("hub"))
-        .select(col("src"), col("hub"))
+      hub = propagate(ed, auth, "dst", "src",
+          col("auth") / col("indeg").cast("double"))
+        .select(col("src").as("node"), col("v").as("hub"))
         .localCheckpoint(true)
-      hub = hSum
-      val aSum = e.join(hSum, "src")
-        .join(outDeg, "src")
-        .groupBy(e("dst"))
-        .agg(Stable.sumD(col("hub") / col("outdeg").cast("double"), 18)
-          .as("auth"))
-        .select(col("dst").as("node"), col("auth"))
+      auth = propagate(ed, hub, "src", "dst",
+          col("hub") / col("outdeg").cast("double"))
+        .select(col("dst").as("node"), col("v").as("auth"))
         .localCheckpoint(true)
-      auth = aSum
     }
     val out = nodes
-      .join(hub.select(col("src").as("node"), col("hub")), Seq("node"), "left")
+      .join(hub, Seq("node"), "left")
       .join(auth, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("hub"), lit(0.0)).as("hub"),
         coalesce(col("auth"), lit(0.0)).as("auth"))
     e.unpersist(blocking = false)
-    outDeg.unpersist(blocking = false)
-    inDeg.unpersist(blocking = false)
+    ed.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     out
   }
@@ -628,6 +602,60 @@ object Graph {
       .filter(col("n_common") >= minCount)
   }
 
+  // ------------------------------------------------------------------
+  // The rank-iteration kernel. Every recurrence in this file — five
+  // PageRank variants, HITS, SALSA — iterates the SAME two primitives;
+  // before this factoring each loop carried its own copy (~150
+  // duplicated lines), and a new variant meant re-writing the round.
+  // ------------------------------------------------------------------
+
+  /** ONE propagation half-round — the kernel image of every rank
+    * recurrence: the current vector `(node, …)` equi-joined onto the
+    * (cached) edge table at `inKey`, then a per-`outKey` partial+final
+    * aggregation of `term` through the fixed-scale decimal route
+    * ([[Stable.sumD]]) — shuffle size the edge count, skew bound one
+    * node's degree, result invariant under any partitioning. `term`
+    * is the recurrence's per-edge contribution (`pr/deg`, `pr·w/sw`,
+    * `auth/indeg`, plain `hub`, …). */
+  private def propagate(edges: DataFrame, vec: DataFrame, inKey: String,
+                        outKey: String, term: org.apache.spark.sql.Column)
+      : DataFrame =
+    edges.join(vec, edges(inKey) === vec("node"))
+      .groupBy(edges(outKey))
+      .agg(Stable.sumD(term, 18).as("v"))
+
+  /** The dangling-mass one-row aggregate every PageRank variant adds:
+    * rank held by nodes with no out-edges, as a cross-joinable scalar
+    * frame — never a driver collect inside the loop. */
+  private def danglingMass(pr: DataFrame, dangling: DataFrame): DataFrame =
+    pr.join(dangling, Seq("node"), "left_semi")
+      .agg(coalesce(Stable.sumD(col("pr"), 18), lit(0.0)).as("dmass"))
+
+  /** The teleport completion every PageRank variant shares: the node
+    * frame (which may carry a per-node teleport column) left-joined
+    * with the round's propagated sums, the one-row dangling mass
+    * cross-joined on, the caller's blend expression (over `v`, `dmass`
+    * and the frame's columns) named `pr`, and the result EAGERLY
+    * localCheckpoint'ed — the Pregel lineage discipline (two consumers
+    * per vector per round would otherwise double lineage every
+    * iteration, a 2^k recompute). */
+  private def teleportRound(frame: DataFrame, sums: DataFrame,
+                            massRow: DataFrame,
+                            blend: org.apache.spark.sql.Column): DataFrame =
+    frame.join(sums, frame("node") === sums("dst"), "left")
+      .crossJoin(massRow)
+      .select(frame("node"), blend.as("pr"))
+      .localCheckpoint(true)
+
+  /** Scatter propagated sums back over the full node set (absent key →
+    * 0.0), checkpointed — the completion HITS-family half-rounds use
+    * instead of a teleport blend. */
+  private def scatter(nodes: DataFrame, sums: DataFrame, key: String,
+                      outName: String): DataFrame =
+    nodes.join(sums, nodes("node") === sums(key), "left")
+      .select(nodes("node"), coalesce(col("v"), lit(0.0)).as(outName))
+      .localCheckpoint(true)
+
   /** The cached graph artifacts every power loop needs: dedup'd edge
     * table, degree-annotated edges, node set, dangling set, node
     * count. Built ONCE ([[prepare]]) and threaded through however many
@@ -692,22 +720,13 @@ object Graph {
     val base = (1.0 - damping) / g.n
     val pr0 = g.nodes.select(col("node"), lit(1.0 / g.n).as("pr"))
       .localCheckpoint(true)
-    def step(pr: DataFrame): DataFrame = {
-      val contrib = g.ed
-        .join(pr, g.ed("src") === pr("node"))
-        .groupBy(col("dst"))
-        .agg(Stable.sumD(col("pr") / col("deg").cast("double"), 18).as("c"))
-      val massRow = pr
-        .join(g.dangling, Seq("node"), "left_semi")
-        .agg(coalesce(Stable.sumD(col("pr"), 18), lit(0.0)).as("dmass"))
-      g.nodes
-        .join(contrib, g.nodes("node") === contrib("dst"), "left")
-        .crossJoin(massRow)
-        .select(g.nodes("node"),
-          (lit(base) + lit(damping) * coalesce(col("c"), lit(0.0)) +
-            lit(damping) * col("dmass") / lit(g.n.toDouble)).as("pr"))
-        .localCheckpoint(true)
-    }
+    def step(pr: DataFrame): DataFrame =
+      teleportRound(g.nodes,
+        propagate(g.ed, pr, "src", "dst",
+          col("pr") / col("deg").cast("double")),
+        danglingMass(pr, g.dangling),
+        lit(base) + lit(damping) * coalesce(col("v"), lit(0.0)) +
+          lit(damping) * col("dmass") / lit(g.n.toDouble))
     loop(step, pr0)
   }
 
@@ -729,23 +748,14 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var pr = ndt.select(col("node"), col("t").as("pr"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val contrib = g.ed
-        .join(pr, g.ed("src") === pr("node"))
-        .groupBy(col("dst"))
-        .agg(Stable.sumD(col("pr") / col("deg").cast("double"), 18).as("c"))
-      val massRow = pr
-        .join(g.dangling, Seq("node"), "left_semi")
-        .agg(coalesce(Stable.sumD(col("pr"), 18), lit(0.0)).as("dmass"))
-      pr = ndt
-        .join(contrib, ndt("node") === contrib("dst"), "left")
-        .crossJoin(massRow)
-        .select(ndt("node"),
-          (lit(1.0 - damping) * col("t") +
-            lit(damping) * coalesce(col("c"), lit(0.0)) +
-            lit(damping) * col("dmass") * col("t")).as("pr"))
-        .localCheckpoint(true)
-    }
+    for (_ <- 1 to iters)
+      pr = teleportRound(ndt,
+        propagate(g.ed, pr, "src", "dst",
+          col("pr") / col("deg").cast("double")),
+        danglingMass(pr, g.dangling),
+        lit(1.0 - damping) * col("t") +
+          lit(damping) * coalesce(col("v"), lit(0.0)) +
+          lit(damping) * col("dmass") * col("t"))
     ndt.unpersist(blocking = false)
     pr
   }
