@@ -1863,6 +1863,72 @@ object SparkEntry {
           col("n_tokens").cast("long").as("n_tokens"),
           aggregate(col("ids"), lit(0L), (a, x) => a + x).as("id_sum"))),
 
+    // x172 — the PRODUCTION export artifact: train byte-BPE (x118's
+    // cached table) → encode the fixture corpus to trained token ids →
+    // MMIDIDX shards + the merges.txt SIDECAR (the vocabulary the
+    // training job loads WITH the binary) persisted together → scan
+    // the shards back, parse the sidecar through the published file
+    // format, and DECODE every sequence — `roundtrip` asserts
+    // decode(sidecar, .bin) reproduces the original text bit for bit
+    // (byte-level BPE is lossless; any merge-table, id-assignment,
+    // layout or sidecar-serde bug flips it false). The oracle replays
+    // the x119 training chain (byteTrainCtes) into the binidx shard/
+    // rank layout: n_tokens per sequence must equal the replayed
+    // trained-tokenizer counts.
+    "x172_trained_binidx" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val merges = byteBpeTrained(s, d).map(m => (m._1, m._2))
+      val dir = storedDir("binidx_trained", d) { p =>
+        val ids = t(s, d, "documents")
+          .withColumn("text", expr(byteTextSqlExpr))
+          .select(col("doc_id"),
+            graft.functions.ByteBpeIds(col("text"), merges).as("ids"))
+        graft.sources.BinIdx.shardsFromIds(ids, nShards = 4)
+          .write.mode("overwrite").parquet(s"$p/shards")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(p, "merges.txt"),
+          graft.functions.ByteBpe.renderGpt2Merges(merges))
+      }
+      // query half: shards + sidecar only — the corpus text below is
+      // the TEST REFERENCE for the round-trip assert, not a decode
+      // input
+      val sidecar = graft.functions.ByteBpe.parseGpt2Merges(
+        java.nio.file.Files.readString(
+          java.nio.file.Paths.get(dir, "merges.txt")))
+      val parsed = graft.sources.BinIdx.read(s.read.parquet(s"$dir/shards"))
+        .withColumn("decoded",
+          graft.functions.ByteBpeDecode(col("ids"), sidecar))
+      val layout = t(s, d, "documents")
+        .withColumn("text", expr(byteTextSqlExpr))
+        .select(pmod(col("doc_id"), lit(4L)).as("shard"),
+          col("doc_id"), col("text"))
+        .withColumn("pos", (row_number().over(
+          Window.partitionBy("shard").orderBy("doc_id")) - 1).cast("int"))
+      parsed.join(layout, Seq("shard", "pos"))
+        .select(col("shard"), col("pos"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          (col("decoded") === col("text")).as("roundtrip"))
+    }),
+
+    // x173 — DETOKENIZATION PARITY: decode(encode(text)) == text per
+    // document under the trained table, WITHOUT the container layers —
+    // byte-level BPE is lossless by construction, and this proves it
+    // corpus-wide over the multilingual fixture (CJK, Cyrillic, emoji,
+    // code punctuation, contractions, whitespace runs). Catches merge-
+    // table ORDER bugs forward-only oracles can't: a re-ranked table
+    // tokenizes differently but still counts the same bytes — only the
+    // decode direction pins the id↔token bijection.
+    "x173_bpe_roundtrip" -> ((s, d) => {
+      val merges = byteBpeTrained(s, d).map(m => (m._1, m._2))
+      t(s, d, "documents")
+        .withColumn("text", expr(byteTextSqlExpr))
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          (graft.functions.ByteBpeDecode(
+            graft.functions.ByteBpeIds(col("text"), merges), merges)
+            === col("text")).as("lossless"))
+    }),
+
     // x145 — crawl-budget apportionment: the stored rank vector (the
     // x143 authority store) turned into integer per-domain fetch
     // quotas by the largest-remainder rule — Σ n_fetch == 300 exactly,
@@ -8667,6 +8733,36 @@ object SparkEntry {
                 COALESCE(a.n_tokens, 0) AS n_tokens,
                 COALESCE(a.id_sum, 0) AS id_sum
          FROM rk r LEFT JOIN agg a USING (doc_id)""",
+
+    // x172 — the x119 TRAINING chain replayed into the binidx layout:
+    // per-doc trained-tokenizer counts from the 12-round byteTrainCtes
+    // final state, shard = doc_id % 4, pos = rank within shard; the
+    // export/parse/sidecar/decode layers cancel (roundtrip TRUE) —
+    // the engine earns that constant only if decode(sidecar, .bin)
+    // reproduced the text
+    "x172_trained_binidx" ->
+      s"""WITH ${byteTrainCtes(12)},
+         agg AS (SELECT o.doc_id,
+                        CAST(SUM(len(v.syms)) AS BIGINT) AS n_tokens
+                 FROM boc o JOIN btw12 v USING (w)
+                 GROUP BY o.doc_id),
+         rk AS (SELECT doc_id, doc_id % 4 AS shard,
+                       CAST(row_number() OVER (PARTITION BY doc_id % 4
+                                               ORDER BY doc_id) - 1
+                            AS INTEGER) AS pos
+                FROM documents)
+         SELECT r.shard, r.pos, a.n_tokens, TRUE AS roundtrip
+         FROM rk r JOIN agg a USING (doc_id)""",
+
+    // x173 — losslessness: the byte length replays closed-form from
+    // the fixture text (strlen = UTF-8 bytes, Spark's octet_length);
+    // `lossless` TRUE is earned only when decode(encode(text)) == text
+    // in the engine — the id↔token bijection audit
+    "x173_bpe_roundtrip" ->
+      s"""SELECT doc_id,
+                 CAST(strlen($byteTextSqlExpr) AS BIGINT) AS n_bytes,
+                 TRUE AS lossless
+          FROM documents""",
 
     // x145 — the x124 rank replay feeding the Hamilton apportionment:
     // decimal-routed rank sum, the exact quota/floor/frac algebra, the

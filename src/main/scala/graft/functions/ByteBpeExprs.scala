@@ -242,6 +242,42 @@ object ByteBpe {
     parts
   }
 
+  /** The id → token inverse of [[ranksFromMerges]], as a dense array:
+    * ids 0–255 are the single bytes (byte order), id 256+i is merge
+    * i's output — the decode table of the trained vocabulary. */
+  def vocabOfMerges(merges: Seq[(String, String)]): Array[String] = {
+    val v = new Array[String](256 + merges.size)
+    var b = 0
+    while (b < 256) { v(b) = b.toChar.toString; b += 1 }
+    var i = 0
+    merges.foreach { case (a, c) => v(256 + i) = a + c; i += 1 }
+    v
+  }
+
+  /** DECODE token ids back to text under a trained vocabulary — the
+    * inverse the training-export lifecycle needs audited: byte-level
+    * BPE is lossless by construction (tokens partition the byte
+    * stream), so `decodeIds(encode(text)) == text` for ANY input, and
+    * a merge-table/ordering bug anywhere surfaces as a round-trip
+    * mismatch. Ids outside the vocabulary (possible only on foreign
+    * or corrupted id streams) decode to U+FFFD rather than throwing —
+    * the torn-tail discipline carried to the id layer. */
+  def decodeIds(ids: Array[Int], vocab: Array[String]): String = {
+    val sb = new java.lang.StringBuilder(ids.length * 2)
+    var i = 0
+    while (i < ids.length) {
+      val id = ids(i)
+      if (id >= 0 && id < vocab.length) sb.append(vocab(id))
+      else sb.append("\u00EF\u00BF\u00BD") // U+FFFD's UTF-8 bytes as syms
+      i += 1
+    }
+    val syms = sb.toString
+    val bytes = new Array[Byte](syms.length)
+    var j = 0
+    while (j < syms.length) { bytes(j) = syms.charAt(j).toByte; j += 1 }
+    new String(bytes, StandardCharsets.UTF_8)
+  }
+
   /** Pad a trained table to `n` rules with INERT rules over the 8
     * byte values 0xF8–0xFF — bytes no valid UTF-8 encoding ever emits,
     * so [[byteSyms]] of any real string never contains them and the
@@ -410,5 +446,102 @@ case class ByteBpeStats(child: Expression, mergesTxt: String)
 object ByteBpeStats {
   def apply(text: Column, merges: Seq[(String, String)]): Column =
     GraftBridge.column(ByteBpeStats(GraftBridge.expression(text),
+      ByteBpe.renderGpt2Merges(merges)))
+}
+
+/** `byte_bpe_ids(text)`: the document's TOKEN-ID SEQUENCE under the
+  * compiled trained table — ids per [[ByteBpe.ranksFromMerges]] (0–255
+  * the single bytes, 256+i merge i's output), the column a training
+  * export actually writes. Same table-as-one-string serde and
+  * per-(instance, thread) pre-token cache as [[ByteBpeStats]]; null
+  * text → empty array (no tokens, not null). */
+case class ByteBpeIds(child: Expression, mergesTxt: String)
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val rules =
+    BpeKernel.compileCached(ByteBpe.parseGpt2Merges(mergesTxt))
+  @transient private lazy val rankOf: Map[String, Int] =
+    ByteBpe.ranksFromMerges(ByteBpe.parseGpt2Merges(mergesTxt))
+
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"<merges:${mergesTxt.length}B>")
+
+  @transient private lazy val cache
+      : ThreadLocal[java.util.HashMap[String, Array[Int]]] =
+    ThreadLocal.withInitial(() =>
+      new java.util.HashMap[String, Array[Int]]())
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val pts = Gpt2Split.pretokenize(s)
+    val c = cache.get()
+    if (c.size > BpeKernel.CacheCap) c.clear()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](s.length / 2 + 4)
+    var i = 0
+    while (i < pts.length) {
+      val p = pts(i)
+      var ids = c.get(p)
+      if (ids == null) {
+        // every token the merge loop emits is a single byte or a merge
+        // output, so the rank lookup is total on well-formed tables
+        ids = BpeKernel.encodeWord(ByteBpe.byteSyms(p), rules)
+          .map(t => rankOf(t))
+        c.put(p, ids)
+      }
+      var j = 0
+      while (j < ids.length) { out += ids(j); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "byte_bpe_ids"
+}
+
+object ByteBpeIds {
+  def apply(text: Column, merges: Seq[(String, String)]): Column =
+    GraftBridge.column(ByteBpeIds(GraftBridge.expression(text),
+      ByteBpe.renderGpt2Merges(merges)))
+}
+
+/** `byte_bpe_decode(ids)`: token ids back to text under the same
+  * trained vocabulary — the detokenization audit surface
+  * ([[ByteBpe.decodeIds]] as a column). Byte-level BPE is lossless, so
+  * `byte_bpe_decode(byte_bpe_ids(text)) = text` for any input; foreign
+  * ids decode to U+FFFD rather than throwing. */
+case class ByteBpeDecode(child: Expression, mergesTxt: String)
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = StringType
+
+  @transient private lazy val vocab =
+    ByteBpe.vocabOfMerges(ByteBpe.parseGpt2Merges(mergesTxt))
+
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"<merges:${mergesTxt.length}B>")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val ids = arr.toIntArray()
+    UTF8String.fromString(ByteBpe.decodeIds(ids, vocab))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "byte_bpe_decode"
+}
+
+object ByteBpeDecode {
+  def apply(ids: Column, merges: Seq[(String, String)]): Column =
+    GraftBridge.column(ByteBpeDecode(GraftBridge.expression(ids),
       ByteBpe.renderGpt2Merges(merges)))
 }

@@ -221,6 +221,34 @@ object BinIdx {
       .select(col("shard"), col("c._1").as("idx"), col("c._2").as("bin"))
   }
 
+  /** [[shardsFromDocs]] with CALLER-SUPPLIED token ids — the trained-
+    * tokenizer export path: `docs` carries `(doc_id, idsCol:
+    * array<int>)` where ids came from a real tokenizer (e.g.
+    * [[graft.functions.ByteBpeIds]] under a trained byte-BPE table),
+    * and the binary artifact pairs with that tokenizer's vocab/merges
+    * sidecar. Same deterministic shard/rank layout, same per-shard
+    * [[MaxShardBytes]] guard; ids must fit uint16 (a trained vocab of
+    * ≤ 65 536 entries — the dtype this writer emits). */
+  def shardsFromIds(docs: DataFrame, nShards: Int = 8,
+                    idsCol: String = "ids"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val mk = udf((rows: Seq[Row]) => {
+      val seqs = rows.map { r =>
+        val ids = r.getSeq[Int](1).toArray
+        ids.foreach(v => require(v >= 0 && v < VocabDim,
+          s"token id $v outside the uint16 vocab [0, $VocabDim)"))
+        ids
+      }
+      buildShard(seqs)
+    })
+    docs
+      .groupBy(pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col(idsCol))))
+        .as("recs"))
+      .select(col("shard"), mk(col("recs")).as("c"))
+      .select(col("shard"), col("c._1").as("idx"), col("c._2").as("bin"))
+  }
+
   /** Parse (shard, idx, bin) blobs back to one row per sequence:
     * `(shard, pos, n_tokens, ids)` — pos is the sequence's 0-based
     * index within its shard. Runs inside the task that holds the blob

@@ -210,6 +210,37 @@ class ByteBpeSpec extends AnyFunSuite {
       Seq((" ", "t")))
   }
 
+  test("decode(encode(text)) == text: the id<->token bijection on " +
+    "CJK/emoji/code mixed text, kernel-level and expression-level") {
+    import spark.implicits._
+    import graft.functions.{ByteBpeDecode, ByteBpeIds}
+    val table = TextOps.byteBpeFixtureMerges
+    val vocab = ByteBpe.vocabOfMerges(table)
+    val ranks = ByteBpe.ranksFromMerges(table)
+    // vocab is the dense inverse of the rank map
+    ranks.foreach { case (tok, r) => assert(vocab(r) == tok) }
+    val rules = BpeKernel.compile(table)
+    val cases = Seq("it's  two  spaces ", "дd 😀! don't stop",
+      "水水水 water 99'", "x=42; a[i]*99 !!'s 'quote",
+      "// code: for(i=0;i<n;i++){sum+=a[i];} 語", "", "   \t\n")
+    // kernel level: pretokenize -> encode -> rank ids -> decode
+    cases.foreach { text =>
+      val ids = Gpt2Split.pretokenize(text).flatMap(p =>
+        BpeKernel.encodeWord(ByteBpe.byteSyms(p), rules).map(ranks))
+      assert(ByteBpe.decodeIds(ids, vocab) == text,
+        s"kernel round trip broke on: '$text'")
+    }
+    // expression level: the registered x173 shape
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        ByteBpeDecode(ByteBpeIds(col("text"), table), table).as("rt"))
+    assert(df.filter(col("rt") =!= col("text")).count() == 0)
+    // foreign ids (corrupted stream / wrong vocab) decode to U+FFFD,
+    // never throw — the torn-tail discipline at the id layer
+    assert(ByteBpe.decodeIds(Array(65, 99999), vocab) == "A\uFFFD")
+  }
+
   test("merges round trip preserves '#'-prefixed rules (markdown/code " +
     "corpora train them; only the #version header line is skipped)") {
     // '#' is its own visible-alphabet char, so a ('#','#') -> '##'

@@ -103,6 +103,43 @@ class BinIdxSpec extends AnyFunSuite {
       .map(_.toSeq) == Seq(Seq(9, 9), Seq(7)))
   }
 
+  test("trained-vocab export: shardsFromIds + merges.txt sidecar -> " +
+    "read -> decode(sidecar, .bin) round-trips CJK/emoji/code text") {
+    import graft.functions.{ByteBpe, ByteBpeIds}
+    val texts = Map(
+      0L -> "the cat sat on the mat",
+      3L -> "水水水 water it's 99",
+      5L -> "x=42; a[i]*99 дd 😀!",
+      8L -> "the the the")
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val merges = graft.ext.TextOps
+      .trainByteBpeMergesFast(docs, nMerges = 10).map(m => (m._1, m._2))
+    // the sidecar travels through the PUBLISHED file format — what a
+    // training job would read next to the .bin/.idx shards
+    val sidecar = ByteBpe.parseGpt2Merges(ByteBpe.renderGpt2Merges(merges))
+    assert(sidecar == merges, "sidecar did not round-trip the table")
+    val ids = docs.select(col("doc_id"),
+      ByteBpeIds(col("text"), merges).as("ids"))
+    val rows = BinIdx.read(BinIdx.shardsFromIds(ids, nShards = 4))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Int](3))
+      .toMap
+    // layout: shard = doc_id % 4, pos = doc_id rank within shard
+    val layout = Map((0L, 0) -> 0L, (0L, 1) -> 8L, (3L, 0) -> 3L,
+      (1L, 0) -> 5L)
+    assert(rows.keySet == layout.keySet)
+    val vocab = ByteBpe.vocabOfMerges(sidecar)
+    layout.foreach { case (k, docId) =>
+      assert(ByteBpe.decodeIds(rows(k).toArray, vocab) == texts(docId),
+        s"decode(sidecar, .bin) broke on doc $docId")
+    }
+    // ids above the vocab ceiling refuse at the writer (uint16 dtype)
+    val bad = Seq((1L, Seq(70000))).toDF("doc_id", "ids")
+    val ex = intercept[org.apache.spark.SparkException] {
+      BinIdx.shardsFromIds(bad, nShards = 1).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("shardsFromDocs -> read round-trips the distributed path: ids " +
     "are the x82 hashed-vocab kernel, order is doc_id rank per shard") {
     val docs = Seq(
