@@ -1910,6 +1910,49 @@ object SparkEntry {
           (col("decoded") === col("text")).as("roundtrip"))
     }),
 
+    // x171 — the END-TO-END CORPUS BUILD: crawl → training binary as
+    // ONE registered DAG, composing eight oracle-proven stages the way
+    // the reference chains its whole pipeline in one driver
+    // (DataDownloader_V2.py:110-168) — composition is where stage-
+    // boundary bugs (schema drift, row-identity loss, gate ordering)
+    // live, and this query hashes ALL of them at once:
+    //   1. robots gate (x109): doc_id-derived (domain, path) against
+    //      per-domain Allow/Disallow tables, longest-prefix allow-wins;
+    //   2. PII scrub (x32): planted email/IP/phone redacted — plus a
+    //      VARIED stopword plant (tokens rotate mod 37/41/43 so the
+    //      line censor below cannot df-drop them) that makes the
+    //      Gopher stopword rule discriminate on this synthetic corpus;
+    //   3. line boilerplate censor (x33): 2-token reline, drop lines
+    //      in ≥20 docs, reassemble;
+    //   4. Gopher gates (x68) with corpus-tuned word-count cut (≥20 —
+    //      the fixture runs 10-100 words; thresholds are corpus-tuned
+    //      in the Gopher paper too), mean-word-len/symbol/alpha/
+    //      stopword rules at paper values;
+    //   5. near-dup removal (x4/x27/x28): exact-jaccard 0.35 edges on
+    //      the CLEANED text (the plants legitimately dilute J — real
+    //      pipelines dedup post-cleanse for exactly this reason),
+    //      component-min survivor;
+    //   6. DSIR selection (x168): src0-target LLR, top-180 on the
+    //      9-dp-rounded per-gram ratio;
+    //   7. sequence packing (x26) at a 256-token budget;
+    //   8. MMIDIDX export → scan (x170): hashed-vocab ids, 4 shards,
+    //      parse back and reconcile per sequence.
+    // Output: one row per EXPORTED sequence carrying every stage's
+    // fingerprint — n_lines/n_kept (censor), pack_id/n_tokens (pack),
+    // shard/pos/n_tokens_idx/id_sum (export) — against an oracle that
+    // replays the whole chain in one WITH. Stage tables are node-small
+    // after gating, so each boundary eagerly localCheckpoints (the
+    // Pregel discipline): s4-s6 feed 2-3 consumers each and would
+    // otherwise replay the full upstream chain per consumer.
+    "x171_corpus_build" -> ((s, d) =>
+      ext.CorpusBuild.run(x171Docs(t(s, d, "documents")),
+        x171Urls(t(s, d, "documents")),
+        ext.UrlOps.parseRobots(x171Robots(t(s, d, "documents"))),
+        isTarget = col("source") === "src0",
+        minWords = 20L, minDfLine = 20L, minJaccard = 0.35,
+        selectK = 180, packBudget = 256L, nShards = 4,
+        reline = _ => twoTokenRelined).report),
+
     // x173 — DETOKENIZATION PARITY: decode(encode(text)) == text per
     // document under the trained table, WITHOUT the container layers —
     // byte-level BPE is lossless by construction, and this proves it
@@ -3221,6 +3264,63 @@ object SparkEntry {
         .withColumn("top2_frac", round(col("top2_frac"), 10)))
   )
 
+  /** x171's fixture corpus: the documents table with a VARIED stopword
+    * plant (tokens rotate mod 37/41/43 so no two adjacent plant tokens
+    * are constant — the line censor cannot df-drop any plant line, and
+    * the Gopher stopword rule genuinely discriminates: doc_id%4==1
+    * docs get no plant and fail it) plus the x32 PII plants. Shared
+    * with CorpusBuildSpec so the spec audits the exact registered
+    * fixture. */
+  private[graft] def x171Docs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(4L)) =!= 1,
+          concat(lit(" the data"),
+            pmod(col("doc_id"), lit(37L)).cast("string"),
+            lit(" and table"),
+            pmod(col("doc_id"), lit(41L)).cast("string"),
+            lit(" of page"),
+            pmod(col("doc_id"), lit(43L)).cast("string"),
+            lit(" holds"))).otherwise(lit("")),
+        lit(" user"), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+        lit("."), pmod(col("doc_id"), lit(100L)).cast("string"),
+        lit(" +1 (202) 555-0"),
+        lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"))
+        .as("text"))
+
+  /** x171's doc_id-derived (domain, path) fixture: 7 domains, 10 path
+    * roots, /Page segments on even ids — so the Allow-rescues-Disallow
+    * branch of the robots verdict fires. */
+  private[graft] def x171Urls(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(lit("site"), pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit(".example")).as("domain"),
+      concat(lit("/src"), pmod(col("doc_id"), lit(10L)).cast("string"),
+        when(pmod(col("doc_id"), lit(2L)) === 0, lit("/Page/p"))
+          .otherwise(lit("/p")),
+        col("doc_id").cast("string")).as("path"))
+
+  /** x171's per-domain robots.txt fixture: Disallow /srcI where
+    * (I + domain#) % 3 == 0, Allow /srcI/Page where (I + domain#) % 2
+    * == 0 — plain prefixes (wildcard parsing is x109/x122's stress;
+    * the composition query stresses the CHAIN). */
+  private[graft] def x171Robots(docs: DataFrame): DataFrame = {
+    val dn = substring(col("domain"), 5, 1).cast("int")
+    val rlines = flatten(transform(sequence(lit(0), lit(9)), i =>
+      concat(
+        when(pmod(i + dn, lit(3)) === 0,
+          array(concat(lit("Disallow: /src"), i.cast("string"))))
+          .otherwise(array().cast("array<string>")),
+        when(pmod(i + dn, lit(2)) === 0,
+          array(concat(lit("Allow: /src"), i.cast("string"),
+            lit("/Page"))))
+          .otherwise(array().cast("array<string>")))))
+    x171Urls(docs).select("domain").distinct()
+      .withColumn("robots_txt",
+        concat_ws("\n", concat(array(lit("User-agent: *")), rlines)))
+  }
+
   /** The x33/x164/x165 re-lining: the doc's whitespace tokens (empties
     * filtered) re-joined two per line — turns the single-line synthetic
     * corpus into a multi-line one with naturally repeating lines. */
@@ -4008,18 +4108,20 @@ object SparkEntry {
          FROM na4 n JOIN tr4 c ON c.media_id = n.media_id"""
   }
 
-  /** x82/x170's shared hashed-vocabulary token chain: whitespace
+  /** x82/x170/x171's shared hashed-vocabulary token chain: whitespace
     * tokens → per-token FNV fold (the ASCII two-byte trick) → mix64 in
     * HUGEINT → one SIGNED 64-bit `sh` row per (doc_id, token
-    * occurrence) — CTEs `tok`..`sgn`. Buckets/ids derive downstream
-    * per query (`floorMod(sh, 65536)`). */
-  private lazy val hashedTokenCtes: String = {
+    * occurrence) — CTEs `{pfx}tok`..`{pfx}sgn` over any (doc_id, text)
+    * relation `src` (the prefix is the salsaCtes composition
+    * convention). Buckets/ids derive downstream per query
+    * (`floorMod(sh, 65536)`). */
+  private def hashedTokenCtesOver(src: String, pfx: String = ""): String = {
     val M = "18446744073709551616::HUGEINT"
-    s"""tok AS (
+    s"""${pfx}tok AS (
            SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
                                       t -> length(t) > 0) AS ts
-           FROM documents),
-         th AS (
+           FROM $src),
+         ${pfx}th AS (
            SELECT doc_id, unnest(list_transform(ts, t ->
              list_reduce(
                list_prepend(14695981039346656037::HUGEINT,
@@ -4027,15 +4129,17 @@ object SparkEntry {
                    unicode(substr(t, CAST(i AS INTEGER), 1))::HUGEINT)),
                (h, c) -> ((xor(h, c) * 1099511628211::HUGEINT) % $M
                           * 1099511628211::HUGEINT) % $M))) AS f
-           FROM tok),
-         z1 AS (SELECT doc_id, ${mulmodSql("xor(f, f // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM th),
-         z2 AS (SELECT doc_id, ${mulmodSql("xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM z1),
-         zf AS (SELECT doc_id, xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM z2),
-         sgn AS (SELECT doc_id,
+           FROM ${pfx}tok),
+         ${pfx}z1 AS (SELECT doc_id, ${mulmodSql("xor(f, f // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM ${pfx}th),
+         ${pfx}z2 AS (SELECT doc_id, ${mulmodSql("xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM ${pfx}z1),
+         ${pfx}zf AS (SELECT doc_id, xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM ${pfx}z2),
+         ${pfx}sgn AS (SELECT doc_id,
                    CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
                              THEN uh - 18446744073709551616::HUGEINT
-                             ELSE uh END AS BIGINT) AS sh FROM zf)"""
+                             ELSE uh END AS BIGINT) AS sh FROM ${pfx}zf)"""
   }
+
+  private lazy val hashedTokenCtes: String = hashedTokenCtesOver("documents")
 
   /** x168/x169's DSIR chain over the `docSrc` relation (doc_id,
     * source, text): token FNV / 2-gram combine / mix64 / pmod buckets,
@@ -8733,6 +8837,155 @@ object SparkEntry {
                 COALESCE(a.n_tokens, 0) AS n_tokens,
                 COALESCE(a.id_sum, 0) AS id_sum
          FROM rk r LEFT JOIN agg a USING (doc_id)""",
+
+    // x171 — the WHOLE corpus-build chain replayed in one WITH: the
+    // robots rule table closed-form (the x109 shape, plain prefixes),
+    // the x32 scrub chain over the planted text, the x33 reline/censor,
+    // the x68 gopher signals at the tuned cuts, the x2/x27 all-pairs
+    // jaccard + recursive component closure, the x168 DSIR chain + the
+    // rounded-ratio top-180, the x26 pack window at 256, and the x82
+    // hashed-token census in the x170 shard/rank layout — every stage
+    // feeding the next, exactly as the engine composes them
+    "x171_corpus_build" ->
+      s"""WITH RECURSIVE
+         rb AS (SELECT doc_id, lang, source, text,
+                       CAST(doc_id % 7 AS BIGINT) AS dn,
+                       '/src' || CAST(doc_id % 10 AS VARCHAR) ||
+                       CASE WHEN doc_id % 2 = 0 THEN '/Page/p' ELSE '/p' END ||
+                       CAST(doc_id AS VARCHAR) AS path
+                FROM documents),
+         rl AS (SELECT d.dn, '/src' || CAST(t.i AS VARCHAR) AS prefix, 0 AS aw
+                FROM (SELECT DISTINCT dn FROM rb) d, range(0, 10) t(i)
+                WHERE (t.i + d.dn) % 3 = 0
+                UNION ALL
+                SELECT d.dn, '/src' || CAST(t.i AS VARCHAR) || '/Page', 1
+                FROM (SELECT DISTINCT dn FROM rb) d, range(0, 10) t(i)
+                WHERE (t.i + d.dn) % 2 = 0),
+         rmt AS (SELECT r.doc_id, l.prefix, l.aw, length(l.prefix) AS plen
+                 FROM rb r LEFT JOIN rl l
+                   ON l.dn = r.dn AND starts_with(r.path, l.prefix)),
+         rvr AS (SELECT doc_id, (prefix IS NULL OR aw = 1) AS allowed
+                 FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY plen DESC NULLS LAST, aw DESC NULLS LAST,
+                                  prefix DESC NULLS LAST) AS rn
+                       FROM rmt) WHERE rn = 1),
+         s1 AS (SELECT r.doc_id, r.source, r.text
+                FROM rb r JOIN rvr USING (doc_id) WHERE rvr.allowed),
+         s2 AS (SELECT doc_id, source,
+                  regexp_replace(regexp_replace(regexp_replace(
+                    text ||
+                    CASE WHEN doc_id % 4 <> 1
+                         THEN ' the data' || (doc_id % 37) || ' and table' ||
+                              (doc_id % 41) || ' of page' || (doc_id % 43) ||
+                              ' holds'
+                         ELSE '' END ||
+                    ' ' || 'user' || doc_id || '@example.com' ||
+                    ' ' || '10.0.' || (doc_id % 256) || '.' || (doc_id % 100) ||
+                    ' ' || '+1 (202) 555-0' ||
+                    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                    '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
+                    '\\+[0-9][0-9 ()./-]{5,18}[0-9]', '<PHONE>', 'g') AS text
+                FROM s1),
+         l3tok AS (SELECT doc_id, list_filter(
+                     regexp_split_to_array(lower(text), '\\s+'),
+                     t -> length(t) > 0) AS l
+                   FROM s2),
+         l3lines AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+                       array_to_string(l[u.i*2+1 : u.i*2+2], ' ') AS line
+                     FROM l3tok,
+                          unnest(range(0, greatest((len(l)+1)//2, 1))) AS u(i)),
+         l3df AS (SELECT line, COUNT(DISTINCT doc_id) AS df
+                  FROM l3lines GROUP BY 1),
+         l3kept AS (SELECT * FROM l3lines
+                    WHERE line NOT IN (SELECT line FROM l3df WHERE df >= 20)),
+         l3agg AS (SELECT doc_id,
+                          string_agg(line, chr(10) ORDER BY pos) AS text,
+                          COUNT(*) AS n_kept
+                   FROM l3kept GROUP BY 1),
+         l3base AS (SELECT doc_id,
+                           CAST(greatest((len(l)+1)//2, 1) AS BIGINT) AS n_lines
+                    FROM l3tok),
+         s3 AS (SELECT b.doc_id, d.source, a.text, b.n_lines,
+                       CAST(a.n_kept AS BIGINT) AS n_kept
+                FROM l3base b
+                JOIN l3agg a ON a.doc_id = b.doc_id
+                JOIN s2 d ON d.doc_id = b.doc_id
+                WHERE a.n_kept > 0),
+         ${gopherCtesOver("s3", "text")},
+         s4 AS (SELECT s3.* FROM s3 JOIN g2 USING (doc_id)
+                WHERE g2.n_words >= 20 AND g2.n_words <= 100000
+                  AND g2.r_mean_word_len AND g2.r_symbol_ratio
+                  AND g2.r_alpha_words AND g2.r_stopwords),
+         j5tok AS (SELECT doc_id, list_filter(
+                     regexp_split_to_array(lower(text), '\\s+'),
+                     t -> length(t) > 0) AS l
+                   FROM s4),
+         j5sh AS (SELECT DISTINCT doc_id, unnest(list_filter(
+                    list_transform(range(1, greatest(len(l) - 1, 1)),
+                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]),
+                    x -> x IS NOT NULL)) AS shingle
+                  FROM j5tok),
+         j5sizes AS (SELECT doc_id, COUNT(*) AS n FROM j5sh GROUP BY 1),
+         j5capped AS (SELECT x.* FROM j5sh x
+                      WHERE x.shingle IN (SELECT shingle FROM j5sh
+                                          GROUP BY shingle
+                                          HAVING COUNT(*) <= 4096)),
+         j5inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                            COUNT(*) AS c
+                     FROM j5capped x JOIN j5capped y ON x.shingle = y.shingle
+                     WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+         j5edges AS (SELECT doc_a, doc_b
+                     FROM j5inter
+                     JOIN j5sizes sa ON sa.doc_id = doc_a
+                     JOIN j5sizes sb ON sb.doc_id = doc_b
+                     WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.35),
+         j5und AS (SELECT doc_a AS s, doc_b AS t FROM j5edges
+                   UNION ALL SELECT doc_b, doc_a FROM j5edges),
+         j5nodes AS (SELECT DISTINCT s AS id FROM j5und),
+         walk(id, cur) AS (
+           SELECT id, id FROM j5nodes
+           UNION
+           SELECT w.id, u.t FROM walk w JOIN j5und u ON u.s = w.cur),
+         cc AS (SELECT id, MIN(cur) AS rep FROM walk GROUP BY id),
+         s5 AS (SELECT * FROM s4
+                WHERE doc_id NOT IN (SELECT id FROM cc WHERE rep <> id)),
+         ${dsirCtes("s5")},
+         rk6 AS (SELECT doc_id, row_number()
+                          OVER (ORDER BY round(llr / n_grams, 9) DESC,
+                                doc_id) AS rn
+                 FROM agg),
+         s6 AS (SELECT s5.* FROM s5 JOIN rk6 USING (doc_id)
+                WHERE rk6.rn <= 180),
+         pk0 AS (SELECT doc_id, source,
+                        CAST(len(regexp_split_to_array(lower(text), '\\s+'))
+                             AS BIGINT) AS n_tokens
+                 FROM s6),
+         pk AS (SELECT doc_id, n_tokens,
+                       CAST((SUM(n_tokens) OVER (PARTITION BY source
+                               ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                             - n_tokens) // 256 AS BIGINT) AS pack_id
+                FROM pk0),
+         ${hashedTokenCtesOver("s6", "h8")},
+         h8tid AS (SELECT doc_id, ((sh % 65536) + 65536) % 65536 AS tid
+                   FROM h8sgn),
+         h8agg AS (SELECT doc_id,
+                          CAST(COUNT(*) AS BIGINT) AS n_tokens_idx,
+                          CAST(SUM(tid) AS BIGINT) AS id_sum
+                   FROM h8tid GROUP BY doc_id),
+         rk8 AS (SELECT doc_id, doc_id % 4 AS shard,
+                        CAST(row_number() OVER (PARTITION BY doc_id % 4
+                                                ORDER BY doc_id) - 1
+                             AS INTEGER) AS pos
+                 FROM s6)
+         SELECT s6.doc_id, s6.source, s6.n_lines, s6.n_kept,
+                pk.n_tokens, pk.pack_id, r.shard, r.pos,
+                a.n_tokens_idx, a.id_sum
+         FROM s6
+         JOIN pk USING (doc_id)
+         JOIN rk8 r USING (doc_id)
+         JOIN h8agg a USING (doc_id)""",
 
     // x172 — the x119 TRAINING chain replayed into the binidx layout:
     // per-doc trained-tokenizer counts from the 12-round byteTrainCtes
