@@ -1137,6 +1137,100 @@ object TextOps {
       idCol, count(lit(1)))
   }
 
+  /** The COMPOSED ingest gate — the streaming twin of the x171 batch
+    * corpus build's per-document stages: every arriving document is
+    * (1) PII-censused and SCRUBBED at the door ([[piiReport]] — all
+    * downstream signals run on the REDACTED text, the x171 ordering),
+    * (2) DSIR-priced against the stored bucket model, and (3) probed
+    * against the stored minhash corpus index for near-dups — ONE
+    * verdict row per document.
+    *
+    * Streaming legality is the design constraint: stages (1)-(3) are
+    * stateless column algebra and stream-static broadcast joins, and
+    * the whole composition ends in EXACTLY ONE stateful aggregation —
+    * the three signal families ride one unioned row set (`self` rows
+    * carry the PII census, `dsir` rows the per-occurrence ln-ratio
+    * terms, `dup` rows the verified candidate jaccards) and fold in
+    * one groupBy(doc). Chaining the three gates' own aggregations
+    * would be 2+ stateful operators, which streaming rejects — the
+    * same reshaping [[dsirScoreStream]] documents, applied to the
+    * composition.
+    *
+    * Equivalences (StreamingSpec): streaming ≡ batch on the same call;
+    * `(n_grams, llr)` BIT-equal to [[dsirScoreStream]] on the redacted
+    * text (identical per-occurrence b-ordered fold — null-skipping
+    * collect_list drops the self/dup rows from it); `max_jaccard` =
+    * the per-doc max of the pairwise near-dup gate; PII columns ≡
+    * [[piiReport]]. `dup_hit` is non-null max_jaccard (candidates are
+    * pre-filtered at `minJaccard`). Docs with no 2-gram still emit
+    * (the self row): n_grams 0, llr 0.0. */
+  def ingestGate(spark: org.apache.spark.sql.SparkSession,
+                 docs: DataFrame, dsirDir: String, index: DataFrame,
+                 dim: Int = 16384, minJaccard: Double = 0.5,
+                 numHashes: Int = 128, bands: Int = 32,
+                 shingleK: Int = 3, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val pii = piiReport(docs, textCol, idCol)
+    val nullL = lit(null).cast("long")
+    val nullD = lit(null).cast("double")
+    val self = pii.select(col(idCol), col("n_email"), col("n_ipv4"),
+      col("n_phone"), col("n_pii"), nullL.as("b"), nullD.as("term"),
+      nullD.as("jac"))
+    // DSIR rows: the shared bucket kernel over the REDACTED text, the
+    // stored model + totals broadcast (model ≤ dim rows)
+    val model = spark.read.parquet(s"$dsirDir/buckets")
+    val np = model.agg(sum("cp").as("np"))
+    val nq = model.agg(sum("cq").as("nq"))
+    val dsirRows = dsirBuckets(
+        pii.select(col(idCol), col("redacted")), dim, "redacted",
+        Seq(idCol))
+      .join(broadcast(model), Seq("b"), "left")
+      .crossJoin(broadcast(np)).crossJoin(broadcast(nq))
+      .select(col(idCol), nullL.as("n_email"), nullL.as("n_ipv4"),
+        nullL.as("n_phone"), nullL.as("n_pii"), col("b"),
+        dsirLnRatio(dim).as("term"), nullD.as("jac"))
+    // near-dup rows: banded minhash of the redacted text probing the
+    // stored index (two stream-static equi-joins, both stateless);
+    // multi-band collisions need no pre-dedup — the per-doc max below
+    // is idempotent over repeats
+    val rows = numHashes / bands
+    def bandCols(mh: Column): Column = array((0 until bands).map { bd =>
+      xxhash64(concat_ws(",",
+        (0 until rows).map(r => element_at(mh, bd * rows + r + 1)): _*),
+        lit(bd))
+    }: _*)
+    val bInc = pii
+      .select(col(idCol),
+        Dedup.tokenHashes(col("redacted"), shingleK).as("hs_b"))
+      .withColumn("mh",
+        graft.functions.HashExprs.min_hash(col("hs_b"), numHashes))
+      .select(col(idCol), col("hs_b"),
+        posexplode(bandCols(col("mh"))).as(Seq("band", "bucket")))
+    val aKeys = index.select(col("doc_id").as("doc_a"),
+      posexplode(bandCols(col("minhash"))).as(Seq("band", "bucket")))
+    val aSets = index.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val dupRows = bInc.join(aKeys, Seq("band", "bucket"))
+      .select(col(idCol), col("doc_a"), col("hs_b"))
+      .join(aSets, "doc_a")
+      .withColumn("jac",
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))))
+      .filter(col("jac") >= minJaccard)
+      .select(col(idCol), nullL.as("n_email"), nullL.as("n_ipv4"),
+        nullL.as("n_phone"), nullL.as("n_pii"), nullL.as("b"),
+        nullD.as("term"), col("jac"))
+    self.unionByName(dsirRows).unionByName(dupRows)
+      .groupBy(col(idCol))
+      .agg(max("n_email").as("n_email"), max("n_ipv4").as("n_ipv4"),
+        max("n_phone").as("n_phone"), max("n_pii").as("n_pii"),
+        count(col("term")).as("n_grams"),
+        aggregate(array_sort(collect_list(
+            when(col("b").isNotNull, struct(col("b"), col("term"))))),
+          lit(0.0), (a, x) => a + x.getField("term")).as("llr"),
+        max("jac").as("max_jaccard"))
+      .withColumn("dup_hit", col("max_jaccard").isNotNull)
+  }
+
   /** ORDER-N interpolated Kneser-Ney (Chen & Goodman 1999 §3, the full
     * recursion KenLM ships at its production default order 5):
     *

@@ -257,6 +257,26 @@ object StreamingOps {
                         dim: Int = 16384): DataFrame =
     graft.ext.TextOps.dsirScoreStream(spark, docStream, dir, dim)
 
+  /** The COMPOSED streaming ingest gate — the streaming twin of the
+    * x171 batch corpus build's per-document stages, in ONE query:
+    * PII scrub at the door, DSIR pricing against the stored bucket
+    * model, near-dup probe against the stored minhash index — one
+    * verdict row per arriving document,
+    * [[graft.ext.TextOps.ingestGate]] verbatim. The composition is
+    * stateless column algebra + stream-static broadcast joins ending
+    * in EXACTLY ONE stateful aggregation (the three signal families
+    * ride one unioned row set) — chaining the three gates' own
+    * aggregations would be multiple stateful operators, which
+    * streaming rejects. StreamingSpec pins streaming ≡ batch AND the
+    * composition ≡ each piecewise gate (DSIR bit-exact, near-dup as
+    * the per-doc max, PII columns verbatim). */
+  def streamingIngestGate(spark: SparkSession, docStream: DataFrame,
+                          dsirDir: String, index: DataFrame,
+                          dim: Int = 16384, minJaccard: Double = 0.5)
+      : DataFrame =
+    graft.ext.TextOps.ingestGate(spark, docStream, dsirDir, index,
+      dim = dim, minJaccard = minJaccard)
+
   /** Streaming SHARD MANIFEST: the dataset-versioning digests
     * ([[graft.ext.Curation.shardManifest]]) kept incrementally over a
     * document stream — ONE update-mode shard aggregation whose state
