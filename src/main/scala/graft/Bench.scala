@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * the first measured query isn't charged for it.
   *
   * Robustness (rounds 2-4 hardening): the suite runs as
-  * `SPARK_GRAFT_PASSES` (default 2) temporally separated FULL passes of
+  * `SPARK_GRAFT_PASSES` (default 3) temporally separated FULL passes of
   * `SPARK_GRAFT_REPS` (default 2) reps each; `queries` reports the MIN
   * across all runs. Rationale: on this shared VM, host CPU-steal bursts
   * inflate wall times 5-50x, and a burst long enough to span one query's
@@ -30,7 +30,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    // 3 temporally separated passes by default (round-14 verdict item
+    // 7: later same-day runs carried ~12 s ambient drift on unchanged
+    // queries — per-query minima over >= 3 passes make BENCH artifacts
+    // comparable across rounds without a drift footnote)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
