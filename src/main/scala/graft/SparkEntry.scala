@@ -1200,6 +1200,20 @@ object SparkEntry {
       ext.Multimodal.sampleMjpegFrames(
         ext.Multimodal.mjpegFromDocs(t(s, d, "documents")), everyNth = 2)),
 
+    // x174 — REAL compressed-video decode in the MP4 container: each
+    // doc gets a true ISO-BMFF file whose 'jpeg' sample track sits
+    // behind a full stts/stsc/stsz/stco sample table; the engine runs
+    // the demuxer walk an MP4 player runs (chunk offsets + per-sample
+    // sizes -> byte ranges) and decodes every other sample's baseline
+    // JPEG to pixels. Closes the round-8+ FakeCodec carry for this
+    // profile: the documented fake boundary now covers ONLY
+    // H.264/VP9/AAC. Flat DC-only frames make the JPEG layer exact, so
+    // the oracle is the same closed form as x102 — the whole container
+    // + sample-table + entropy-decode stack cancels.
+    "x174_mp4_jpeg_frames" -> ((s, d) =>
+      ext.Multimodal.sampleMp4JpegFrames(
+        ext.Multimodal.mp4JpegFromDocs(t(s, d, "documents")), everyNth = 2)),
+
     // x100 — quantile SKETCH (HDR histogram — integer exponent+mantissa
     // buckets, the published hdrhistogram.org layout; DDSketch's
     // guarantee in pure integer arithmetic): exact-rank quantiles with
@@ -8037,6 +8051,14 @@ object SparkEntry {
     // x102 — the flat-frame formula directly: frames 0 and 2 of 4
     // (everyNth = 2), mean luminance = the frame's single gray value
     "x102_mjpeg_frames" ->
+      """SELECT doc_id AS media_id, CAST(k AS INTEGER) AS frame_idx,
+                CAST((doc_id * 13 + k * 29) % 256 AS DOUBLE) AS mean_lum
+         FROM documents CROSS JOIN (VALUES (0), (2)) AS ks(k)""",
+
+    // x174 — the MP4 sample-table + JPEG layers cancel (flat frames
+    // are DC-exact): same closed form as x102, different container —
+    // a hash match proves the stsc/stsz/stco demux walk end to end
+    "x174_mp4_jpeg_frames" ->
       """SELECT doc_id AS media_id, CAST(k AS INTEGER) AS frame_idx,
                 CAST((doc_id * 13 + k * 29) % 256 AS DOUBLE) AS mean_lum
          FROM documents CROSS JOIN (VALUES (0), (2)) AS ks(k)""",

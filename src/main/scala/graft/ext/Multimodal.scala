@@ -790,6 +790,63 @@ object Multimodal {
     }(encoder)
   }
 
+  /** Motion-JPEG-in-MP4 table from documents — the ISO-BMFF twin of
+    * [[mjpegFromDocs]]: each doc gets a REAL MP4 whose 'jpeg' sample
+    * track carries `nFrames` FLAT 8×8 baseline JPEGs (frame k
+    * uniformly `(doc_id·13 + k·29) mod 256` — DC-only, so the JPEG
+    * layer is exact and per-frame luminance is closed-form for the
+    * oracle) behind a full stts/stsc/stsz/stco sample table. This is
+    * the one compressed-video MP4 profile whose PIXELS decode for
+    * real in a pure JVM — the documented FakeCodec boundary stays
+    * only for H.264/VP9/AAC. */
+  def mp4JpegFromDocs(docs: DataFrame, nFrames: Int = 4): DataFrame = {
+    val mp4Udf = udf((docId: Long) => {
+      val jpegs = (0 until nFrames).map { k =>
+        MjpegCodec.jpegEncodeGray(
+          Array.fill[Byte](64)(((docId * 13 + k * 29) % 256).toByte), 8, 8)
+      }
+      Mp4Probe.encodeMp4Jpeg(jpegs, 8, 8)
+    })
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("video").as("kind"),
+      mp4Udf(col("doc_id")).as("payload"),
+      struct(
+        lit(8).as("width"), lit(8).as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(nFrames).as("n_frames"),
+        lit("video/mp4").as("mime")).as("meta"))
+  }
+
+  /** [[sampleMjpegFrames]] for the MP4 container: demux the 'jpeg'
+    * sample track ([[Mp4Probe.jpegSamples]] — the real stsc/stsz/stco
+    * walk), decode every `everyNth` sample, emit (media_id, frame_idx,
+    * mean_lum). mapPartitions, no shuffle; non-MP4 / non-jpeg-track
+    * payloads drop. */
+  def sampleMp4JpegFrames(media: DataFrame, everyNth: Int): DataFrame = {
+    require(everyNth > 0, s"everyNth must be positive, got $everyNth")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("mean_lum", DoubleType, nullable = false)))
+    val encoder = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        Mp4Probe.jpegSamples(payload).zipWithIndex
+          .collect { case (j, k) if k % everyNth == 0 => (j, k) }
+          .flatMap { case (j, k) =>
+            MjpegCodec.jpegDecodeGray(j).map { case (f, _, _) =>
+              var sum = 0L
+              var i = 0
+              while (i < f.length) { sum += f(i) & 0xFF; i += 1 }
+              Row(r.getLong(0), k, sum.toDouble / f.length)
+            }
+          }
+      }
+    }(encoder)
+  }
+
   /** Build an AVI video table from documents: each doc gets a REAL
     * uncompressed-DIB AVI whose 8×8 gray frames follow a closed integer
     * formula — pixel i of frame k = `(doc_id·11 + k·17 + i·5) mod 241` —
@@ -1485,6 +1542,171 @@ object Multimodal {
       val out = java.nio.ByteBuffer.allocate(vs.length * 4)
       vs.foreach(v => out.putInt(v.toInt))
       out.array()
+    }
+
+    private def u16(vs: Int*): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(vs.length * 2)
+      vs.foreach(v => out.putShort(v.toShort))
+      out.array()
+    }
+
+    /** Write a REAL ISO-BMFF file carrying `jpegs` as a 'jpeg' video
+      * sample track — full sample table (stts/stsc/stsz/stco,
+      * VisualSampleEntry per 14496-12 §12.1.3, vmhd/dinf), all samples
+      * in ONE chunk inside mdat. The Motion-JPEG-in-MP4 profile: the
+      * one compressed-video MP4 whose pixel layer a pure JVM decodes
+      * for real (ImageIO baseline JPEG), closing the FakeCodec gap for
+      * this profile. Two-pass build: the moov renders once to learn
+      * its size, then re-renders with the true mdat payload offset in
+      * stco (the offset does not change the moov's length). */
+    def encodeMp4Jpeg(jpegs: Seq[Array[Byte]], width: Int, height: Int,
+                      timescale: Long = 1000L, frameDelta: Long = 100L)
+        : Array[Byte] = {
+      require(jpegs.nonEmpty, "need at least one sample")
+      val duration = frameDelta * jpegs.length
+      val ftyp = box("ftyp", "isom".getBytes, u32(512),
+        "isomiso2".getBytes)
+      def moovAt(chunkOff: Long): Array[Byte] = {
+        val mvhd = box("mvhd", u32(0, 0, 0, timescale, duration),
+          u32(0x00010000, 0), new Array[Byte](8),
+          u32(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000),
+          new Array[Byte](24), u32(2))
+        val tkhd = box("tkhd", u32(7, 0, 0, 1, 0, duration, 0, 0),
+          new Array[Byte](4), u32(0),
+          u32(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000),
+          u32(width.toLong << 16, height.toLong << 16))
+        val mdhd = box("mdhd", u32(0, 0, 0, timescale, duration),
+          Array[Byte](0x55, 0xC4.toByte, 0, 0))
+        val hdlr = box("hdlr", u32(0, 0), "vide".getBytes,
+          new Array[Byte](12), Array[Byte](0))
+        val entry = box("jpeg", new Array[Byte](6), Array[Byte](0, 1),
+          new Array[Byte](16), u16(width, height),
+          u32(0x00480000, 0x00480000, 0), u16(1),
+          new Array[Byte](32), u16(24, 0xFFFF))
+        val stsd = box("stsd", u32(0, 1), entry)
+        val stts = box("stts", u32(0, 1, jpegs.length.toLong, frameDelta))
+        val stsc = box("stsc", u32(0, 1, 1, jpegs.length.toLong, 1))
+        val stsz = box("stsz",
+          u32((Seq(0L, 0L, jpegs.length.toLong) ++
+            jpegs.map(_.length.toLong)): _*))
+        val stco = box("stco", u32(0, 1, chunkOff))
+        val vmhd = box("vmhd", u32(1, 0, 0))
+        val dinf = box("dinf", box("dref", u32(0, 1),
+          box("url ", u32(1))))
+        val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+        val minf = box("minf", vmhd, dinf, stbl)
+        val mdia = box("mdia", mdhd, hdlr, minf)
+        box("moov", mvhd, box("trak", tkhd, mdia))
+      }
+      val m0 = moovAt(0L)
+      val moov = moovAt(ftyp.length.toLong + m0.length + 8)
+      require(moov.length == m0.length, "moov size changed on repass")
+      ftyp ++ moov ++ box("mdat", jpegs: _*)
+    }
+
+    /** Extract the video track's JPEG samples from an ISO-BMFF payload
+      * — the full sample-table walk an MP4 demuxer runs: stsd fourcc
+      * must be `jpeg`; stsz fixed OR per-sample sizes; stsc
+      * sample-to-chunk runs expanded per chunk; stco/co64 chunk
+      * offsets. A sample whose byte range falls outside the payload
+      * ends the walk (torn-tail discipline: the fitting prefix
+      * survives); non-BMFF or a non-jpeg video track → Nil, never a
+      * throw. */
+    def jpegSamples(payload: Array[Byte]): Seq[Array[Byte]] = {
+      if (payload == null || payload.length < 8) return Nil
+      // `out` survives the catch: a torn TRAILING box (truncated mdat,
+      // raw bytes after the last box) must not discard samples already
+      // demuxed from an intact moov — the torn-tail discipline
+      var out: Seq[Array[Byte]] = Nil
+      try {
+        boxes(payload, 0, payload.length).foreach {
+          case ("moov", ms, me) =>
+            boxes(payload, ms, me).foreach {
+              case ("trak", ts, te) =>
+                var handler = ""
+                var codec = ""
+                var sizes: Array[Long] = null
+                var fixedSize = 0L
+                var nSamples = 0
+                var chunkOffs: Array[Long] = null
+                var stscRuns: Array[(Long, Long)] = null
+                boxes(payload, ts, te).foreach {
+                  case ("mdia", ds, de) =>
+                    boxes(payload, ds, de).foreach {
+                      case ("hdlr", s, _) =>
+                        handler = fourcc(payload, s + 8)
+                      case ("minf", fs, fe) =>
+                        boxes(payload, fs, fe).foreach {
+                          case ("stbl", bs, be2) =>
+                            boxes(payload, bs, be2).foreach {
+                              case ("stsd", s, _) =>
+                                if (be32(payload, s + 4) >= 1)
+                                  codec = fourcc(payload, s + 12)
+                              case ("stsz", s, _) =>
+                                fixedSize = be32(payload, s + 4)
+                                nSamples = be32(payload, s + 8).toInt
+                                if (fixedSize == 0)
+                                  sizes = Array.tabulate(nSamples)(i =>
+                                    be32(payload, s + 12 + 4 * i))
+                              case ("stco", s, _) =>
+                                chunkOffs = Array.tabulate(
+                                  be32(payload, s + 4).toInt)(i =>
+                                  be32(payload, s + 8 + 4 * i))
+                              case ("co64", s, _) =>
+                                chunkOffs = Array.tabulate(
+                                  be32(payload, s + 4).toInt)(i =>
+                                  (be32(payload, s + 8 + 8 * i) << 32) |
+                                    be32(payload, s + 12 + 8 * i))
+                              case ("stsc", s, _) =>
+                                stscRuns = Array.tabulate(
+                                  be32(payload, s + 4).toInt)(i =>
+                                  (be32(payload, s + 8 + 12 * i),
+                                    be32(payload, s + 12 + 12 * i)))
+                              case _ => ()
+                            }
+                          case _ => ()
+                        }
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+                if (handler == "vide" && codec == "jpeg" && nSamples > 0 &&
+                  chunkOffs != null && chunkOffs.nonEmpty &&
+                  stscRuns != null && stscRuns.nonEmpty) {
+                  val buf = Seq.newBuilder[Array[Byte]]
+                  var ri = 0
+                  var si = 0
+                  var c = 0
+                  var keep = true
+                  while (c < chunkOffs.length && si < nSamples && keep) {
+                    // the stsc run in force for 1-based chunk c+1
+                    while (ri + 1 < stscRuns.length &&
+                      stscRuns(ri + 1)._1 <= c + 1) ri += 1
+                    var off = chunkOffs(c)
+                    var k = 0L
+                    while (k < stscRuns(ri)._2 && si < nSamples && keep) {
+                      val sz = if (fixedSize > 0) fixedSize
+                        else sizes(si)
+                      if (off < 0 || sz <= 0 ||
+                        off + sz > payload.length.toLong) keep = false
+                      else {
+                        buf += java.util.Arrays.copyOfRange(
+                          payload, off.toInt, (off + sz).toInt)
+                        off += sz
+                        si += 1
+                      }
+                      k += 1
+                    }
+                    c += 1
+                  }
+                  out = buf.result()
+                }
+              case _ => ()
+            }
+          case _ => ()
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+      out
     }
 
     /** Minimal deterministic ISO-BMFF skeleton: ftyp + moov with one video
