@@ -1967,6 +1967,55 @@ object SparkEntry {
         selectK = 180, packBudget = 256L, nShards = 4,
         reline = _ => twoTokenRelined).report),
 
+    // x175 — training SEQUENCES are PACKED GROUPS, not documents: the
+    // x26 pack window composed INTO the MMIDIDX export — each exported
+    // sequence is one pack's documents concatenated in doc_id order
+    // with the EOD separator id (65535) after every document, the
+    // Megatron preprocessing convention (a training loader consumes
+    // near-budget sequences, not ragged documents). Pack identity is
+    // the CLOSED-FORM puid = src# · 2^16 + pack_id — the pack ordinal
+    // is already per-source, so a corpus-scale export never needs a
+    // global row_number. Sums are concat-order-invariant by design, so
+    // the oracle replays the pack window + per-doc census + order-free
+    // group sums (+EOD terms) into the shard/rank layout without ever
+    // simulating the concatenation; the PARSED n_tokens/id_sum prove
+    // the bytes.
+    "x175_packed_binidx" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val ids = transform(
+        graft.functions.ShingleHashesAll(col("text"), 1),
+        h => pmod(h, lit(65536L)).cast("int"))
+      val packed = ext.Curation.packSequences(docs, "source", 256L)
+      val groups = packed
+        .join(docs.select(col("doc_id"), ids.as("ids")), "doc_id")
+        .groupBy("source", "pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          aggregate(
+            sort_array(collect_list(struct(col("doc_id"), col("ids")))),
+            array().cast("array<int>"),
+            (acc, x) => concat(acc, x.getField("ids"),
+              array(lit(65535)))).as("ids"))
+        .withColumn("puid",
+          regexp_extract(col("source"), "^src([0-9]+)$", 1).cast("long")
+            * 65536L + col("pack_id"))
+      val parsed = graft.sources.BinIdx.read(
+          graft.sources.BinIdx.shardsFromIds(
+            groups.select(col("puid").as("doc_id"), col("ids")),
+            nShards = 4))
+        .select(col("shard"), col("pos"),
+          col("n_tokens").cast("long").as("n_tokens_idx"),
+          aggregate(col("ids"), lit(0L), (a, x) => a + x).as("id_sum"))
+      val layout = groups
+        .select(col("source"), col("pack_id"), col("n_docs"), col("puid"),
+          pmod(col("puid"), lit(4L)).as("shard"))
+        .withColumn("pos", (row_number().over(
+          Window.partitionBy("shard").orderBy("puid")) - 1).cast("int"))
+      parsed.join(layout, Seq("shard", "pos"))
+        .select(col("source"), col("pack_id"), col("shard"), col("pos"),
+          col("n_docs"), col("n_tokens_idx"), col("id_sum"))
+    }),
+
     // x173 — DETOKENIZATION PARITY: decode(encode(text)) == text per
     // document under the trained table, WITHOUT the container layers —
     // byte-level BPE is lossless by construction, and this proves it
@@ -9028,6 +9077,45 @@ object SparkEntry {
                 FROM documents)
          SELECT r.shard, r.pos, a.n_tokens, TRUE AS roundtrip
          FROM rk r JOIN agg a USING (doc_id)""",
+
+    // x175 — the x26 pack window + the x82 per-doc census summed
+    // order-free per pack (+ the EOD term per member), the closed-form
+    // puid, and the x170 shard/rank layout — the concatenation itself
+    // cancels because counts and sums are order-invariant
+    "x175_packed_binidx" ->
+      s"""WITH ${hashedTokenCtesOver("documents")},
+         tid AS (SELECT doc_id, ((sh % 65536) + 65536) % 65536 AS tid
+                 FROM sgn),
+         aggd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+                         CAST(SUM(tid) AS BIGINT) AS id_s
+                  FROM tid GROUP BY doc_id),
+         pk0 AS (SELECT doc_id, source,
+                   CAST(len(regexp_split_to_array(lower(text), '\\s+'))
+                        AS BIGINT) AS n_tokens
+                 FROM documents),
+         pk AS (SELECT doc_id, source,
+                  CAST((SUM(n_tokens) OVER (PARTITION BY source
+                          ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                        - n_tokens) // 256 AS BIGINT) AS pack_id
+                FROM pk0),
+         grp AS (SELECT p.source, p.pack_id,
+                   CAST(substr(p.source, 4) AS BIGINT) * 65536
+                     + p.pack_id AS puid,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(COALESCE(a.n_tok, 0)) + COUNT(*)
+                        AS BIGINT) AS n_tokens_idx,
+                   CAST(SUM(COALESCE(a.id_s, 0)) + 65535 * COUNT(*)
+                        AS BIGINT) AS id_sum
+                 FROM pk p LEFT JOIN aggd a USING (doc_id)
+                 GROUP BY p.source, p.pack_id),
+         rk AS (SELECT puid, puid % 4 AS shard,
+                       CAST(row_number() OVER (PARTITION BY puid % 4
+                                               ORDER BY puid) - 1
+                            AS INTEGER) AS pos
+                FROM grp)
+         SELECT g.source, g.pack_id, r.shard, r.pos, g.n_docs,
+                g.n_tokens_idx, g.id_sum
+         FROM grp g JOIN rk r USING (puid)""",
 
     // x173 — losslessness: the byte length replays closed-form from
     // the fixture text (strlen = UTF-8 bytes, Spark's octet_length);

@@ -140,6 +140,24 @@ class BinIdxSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("packed-group export: the EOD separator (65535) sits AFTER EACH " +
+    "member document, members in doc_id order — the position property " +
+    "x175's order-free sum oracle cannot pin") {
+    // the x175 grouping aggregate verbatim, on a hand-checked pack
+    val members = Seq((5L, Seq(1, 2, 3)), (2L, Seq(7, 8)), (9L, Seq()))
+      .toDF("doc_id", "ids")
+    val got = members
+      .groupBy()
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("doc_id"), col("ids")))),
+        array().cast("array<int>"),
+        (acc, x) => concat(acc, x.getField("ids"),
+          array(lit(65535)))).as("ids"))
+      .head().getSeq[Int](0)
+    assert(got == Seq(7, 8, 65535, 1, 2, 3, 65535, 65535),
+      s"EOD placement/member order broke: $got")
+  }
+
   test("shardsFromDocs -> read round-trips the distributed path: ids " +
     "are the x82 hashed-vocab kernel, order is doc_id rank per shard") {
     val docs = Seq(
