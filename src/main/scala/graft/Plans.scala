@@ -104,7 +104,10 @@ object Plans {
       "x165_repetition" -> "Gopher repetition signals: line half = two hash aggs keyed (id, h) then (id); gram half = doc-keyed counts, per-doc max, argmax join — every exchange carries the doc id, skew bounded by the longest document.",
       "x166_kn5_score" -> "Order-5 Kneser-Ney: occurrences collapse map-side; 8 model tables (all bounded by distinct-5-gram cardinality, strictly shrinking down the continuation chain) join back by suffix key; type total ONE broadcast row.",
       "f7_osgb_datum" -> "Legacy-datum CRS to WGS84: range source + one scalar projection (Krueger inverse + Helmert shift in a single UDF), no exchange — the datum shift is free at any raster volume.",
-      "x168_dsir_select" -> "DSIR selection: both bucket models reduce to <= dim rows and broadcast; the corpus side is one shingle explode collapsing map-side, two broadcast joins, a doc-keyed fold, and a bounded TakeOrdered cut broadcast back — never a corpus sort.")
+      "x168_dsir_select" -> "DSIR selection: both bucket models reduce to <= dim rows and broadcast; the corpus side is one shingle explode collapsing map-side, two broadcast joins, a doc-keyed fold, and a bounded TakeOrdered cut broadcast back — never a corpus sort.",
+      "x173_bpe_roundtrip" -> "Detokenization parity: encode and decode are TWO chained native expressions fused into the scan (both tables ride the expression tree as one string each) — zero exchange; the bijection audit is free at any corpus size.",
+      "x174_mp4_jpeg_frames" -> "MP4 'jpeg' sample-track decode: the stsc/stsz/stco demux walk + baseline JPEG decode run per container inside the scan task via mapPartitions — no exchange; the container is the unit of parallelism, the x102 posture in the ISO-BMFF container.",
+      "x175_packed_binidx" -> "Packed-sequence export: the x26 pack window (ONE source-key exchange), a pack-keyed concat aggregation, the in-task shard render, and the parse — pack identity is closed-form (src#·2^16 + pack_id), so NO global row_number anywhere.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")
@@ -120,6 +123,13 @@ object Plans {
     sb.append("of the same vector — is a checkpoint scan; the per-round shape is\n")
     sb.append("one edge equi-join + one dest-key partial+final agg + a one-row\n")
     sb.append("dangling cross join (see Graph.pageRank scaladoc + GraphSpec).\n")
+    sb.append("x171's corpus-build stages likewise checkpoint at each gate\n")
+    sb.append("boundary (s3-s6 each feed 2-3 consumers), so its final plan reads\n")
+    sb.append("checkpoints; each STAGE's plan is its standalone operator's shape,\n")
+    sb.append("already planned here (x109/x32/x33/x68/x4+x27/x168/x26/x170).\n")
+    sb.append("x172's build half persists shards+sidecar once (storedDir); the\n")
+    sb.append("query half is a parquet scan + mapPartitions parse + the decode\n")
+    sb.append("expression + a 4-partition layout window — the x96 stored shape.\n")
     picks.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sf)
       sb.append(s"\n## $name\n\n$note\n\n```\n")
