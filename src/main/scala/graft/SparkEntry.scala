@@ -1155,6 +1155,26 @@ object SparkEntry {
             lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"))))
           .as("text"))),
 
+    // x176 — ftfy-style MOJIBAKE repair (the encoding-damage cleanse
+    // step): three plants per doc_id branch — Latin-1 mojibake
+    // ('cafÃ© mÃ¼nchen' → 'café münchen'), cp1252 smart-quote mojibake
+    // ('itâ€™s' → 'it's', exercising the €/™ reverse specials), and a
+    // TRUNCATED UTF-8 tail ('badÃ') that must fail closed. The corpus
+    // text is pure ASCII (verified at every SF), so the repair outcome
+    // is closed-form per branch; the oracle writes the repaired
+    // literals from chr() code points.
+    "x176_mojibake_repair" -> ((s, d) => {
+      val plant = when(pmod(col("doc_id"), lit(3L)) === 0,
+          lit(" cafÃ© mÃ¼nchen"))
+        .when(pmod(col("doc_id"), lit(3L)) === 1,
+          lit(" itâ€™s fine"))
+        .otherwise(lit(" badÃ"))
+      val fixed = graft.functions.FixMojibake(concat(col("text"), plant))
+      t(s, d, "documents").select(col("doc_id"),
+        fixed.getField("text").as("text"),
+        fixed.getField("repaired").as("repaired"))
+    }),
+
     // x33 — corpus-wide line-level boilerplate removal (CCNet/RefinedWeb
     // step) on a re-lined corpus: the flat synthetic text is chunked into
     // 2-token lines (deterministically, mirrored in the oracle), then any
@@ -6549,6 +6569,19 @@ object SparkEntry {
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
              '\+[0-9][0-9 ()./-]{5,18}[0-9]', '<PHONE>', 'g') AS text
+         FROM documents""",
+
+    // x176 — the repair outcome closed-form per plant branch: the
+    // engine's real byte-map + strict-UTF-8 decode must land exactly
+    // on the chr()-built repaired literals (branches 0/1) or leave the
+    // truncated-tail plant untouched (branch 2)
+    "x176_mojibake_repair" ->
+      """SELECT doc_id,
+           text || CASE CAST(doc_id % 3 AS INTEGER)
+             WHEN 0 THEN ' caf' || chr(233) || ' m' || chr(252) || 'nchen'
+             WHEN 1 THEN ' it' || chr(8217) || 's fine'
+             ELSE ' bad' || chr(195) END AS text,
+           doc_id % 3 <> 2 AS repaired
          FROM documents""",
 
     // x33 — same 2-token re-lining, line df over distinct docs, drop at

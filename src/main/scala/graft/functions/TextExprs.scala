@@ -61,3 +61,94 @@ object NfcNormalize {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 }
+
+/** ftfy-style MOJIBAKE repair as a native expression — the encoding-
+  * damage cleanse step every web-scale text pipeline runs (the fix
+  * ftfy popularized; public algorithm): text that was UTF-8 on the
+  * wire but got DECODED as Latin-1/cp1252 shows the signature
+  * `Ã©`/`â€™` digraphs. The repair inverts the mistake — map each char
+  * back to the byte it mis-decoded from (identity for U+0000-U+00FF,
+  * the published cp1252 table for the 27 specials like €/™/’ that
+  * occupy 0x80-0x9F), then STRICT-decode those bytes as UTF-8.
+  *
+  * Fails closed three ways (the repair can never damage clean text):
+  * a char outside both maps → unchanged; the byte image not valid
+  * UTF-8 → unchanged; a decode that shortens nothing (pure ASCII —
+  * no multibyte sequence ever fired) → unchanged. Consequence:
+  * repaired output is a FIXED POINT (its own re-repair fails the
+  * validity test), so the operator is idempotent — CleanseSpec pins
+  * it. Single-pass: doubly-mojibaked text repairs one layer per
+  * application, deliberately (looping belongs to the caller's
+  * policy). Returns struct(text, repaired). */
+case class FixMojibake(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("repaired", BooleanType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val (out, rep) = FixMojibake.repair(s)
+    org.apache.spark.sql.catalyst.InternalRow(
+      if (rep) UTF8String.fromString(out)
+      else input.asInstanceOf[UTF8String], rep)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "fix_mojibake"
+}
+
+object FixMojibake {
+
+  def apply(text: Column): Column =
+    GraftBridge.column(FixMojibake(GraftBridge.expression(text)))
+
+  /** cp1252's 0x80-0x9F specials, reverse-keyed (char → byte). The
+    * five undefined slots (0x81/0x8D/0x8F/0x90/0x9D) are absent —
+    * text containing their round-trip image is not cp1252 mojibake. */
+  private val reverseCp1252: Map[Char, Int] = Map(
+    '€' -> 0x80, '‚' -> 0x82, 'ƒ' -> 0x83,
+    '„' -> 0x84, '…' -> 0x85, '†' -> 0x86,
+    '‡' -> 0x87, 'ˆ' -> 0x88, '‰' -> 0x89,
+    'Š' -> 0x8A, '‹' -> 0x8B, 'Œ' -> 0x8C,
+    'Ž' -> 0x8E, '‘' -> 0x91, '’' -> 0x92,
+    '“' -> 0x93, '”' -> 0x94, '•' -> 0x95,
+    '–' -> 0x96, '—' -> 0x97, '˜' -> 0x98,
+    '™' -> 0x99, 'š' -> 0x9A, '›' -> 0x9B,
+    'œ' -> 0x9C, 'ž' -> 0x9E, 'Ÿ' -> 0x9F)
+
+  /** The repair kernel: (repaired text, did it fire). */
+  def repair(s: String): (String, Boolean) = {
+    if (s.isEmpty) return (s, false)
+    val bytes = new Array[Byte](s.length)
+    var i = 0
+    var multibyte = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val b =
+        if (c < 0x100) c.toInt
+        else reverseCp1252.getOrElse(c, -1)
+      if (b < 0) return (s, false) // not a byte's mis-decode image
+      if (b >= 0x80) multibyte = true
+      bytes(i) = b.toByte
+      i += 1
+    }
+    if (!multibyte) return (s, false) // pure ASCII: nothing to repair
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try {
+      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      // a real repair SHORTENS (every multibyte sequence collapses);
+      // equal length would mean the high bytes were all standalone
+      // code points, i.e. not UTF-8 — REPORT already rejects that
+      if (out.length < s.length) (out, true) else (s, false)
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => (s, false)
+    }
+  }
+}

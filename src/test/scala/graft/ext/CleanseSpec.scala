@@ -147,4 +147,36 @@ class CleanseSpec extends AnyFunSuite {
     assert(rewrite(2L) == r(2L)._2)
     assert(rewrite(3L) == r(3L)._2)
   }
+  test("FixMojibake: inverts Latin-1 and cp1252 mis-decodes, fails " +
+    "closed on clean/invalid text, and is idempotent") {
+    import graft.functions.FixMojibake
+    def fix(s: String) = FixMojibake.repair(s)
+    // the two signature damages
+    assert(fix("caf\u00C3\u00A9") == ("caf\u00E9", true))
+    assert(fix("m\u00C3\u00BCnchen") == ("m\u00FCnchen", true))
+    assert(fix("it\u00E2\u20AC\u2122s") == ("it\u2019s", true))   // cp1252 specials
+    // U+009D round-trips as a raw C1 control char (0x9D is undefined
+    // in cp1252), so the right-quote mojibake repairs through the
+    // Latin-1 identity map, not the specials table
+    assert(fix("\u00E2\u20AC\u0153q\u00E2\u20AC\u009D") ==
+      ("\u201Cq\u201D", true))
+    // fail-closed: pure ASCII, REAL accented text, truncated UTF-8,
+    // chars outside both maps
+    assert(fix("plain ascii") == ("plain ascii", false))
+    assert(fix("caf\u00E9 already fine") == ("caf\u00E9 already fine", false))
+    assert(fix("bad\u00C3") == ("bad\u00C3", false))
+    assert(fix("\u6C34 cjk") == ("\u6C34 cjk", false))
+    // idempotent: a repaired string is a fixed point
+    val (once, rep) = fix("caf\u00C3\u00A9 m\u00C3\u00BCnchen")
+    assert(rep && fix(once) == (once, false))
+    // the expression wraps the kernel and flags per row
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq((1L, "caf\u00C3\u00A9"), (2L, "ok")).toDF("doc_id", "text")
+      .select(col("doc_id"), FixMojibake(col("text")).as("f"))
+      .select(col("doc_id"), col("f.text"), col("f.repaired"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2)))
+      .toMap
+    assert(rows(1L) == ("caf\u00E9", true) && rows(2L) == ("ok", false))
+  }
 }
