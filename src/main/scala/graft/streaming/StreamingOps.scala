@@ -257,6 +257,23 @@ object StreamingOps {
                         dim: Int = 16384): DataFrame =
     graft.ext.TextOps.dsirScoreStream(spark, docStream, dir, dim)
 
+  /** Streaming MOJIBAKE gate: [[graft.functions.FixMojibake]] per
+    * arriving document — encoding damage is repaired BEFORE any
+    * downstream signal reads the text (regex patterns, shingles and
+    * token hashes all key on bytes, so unrepaired mojibake silently
+    * forks every content-keyed operator). Pure column algebra, ZERO
+    * state, append mode; fail-closed semantics mean a clean stream
+    * passes through byte-identical. StreamingSpec pins ≡ batch. */
+  def streamingMojibakeGate(docStream: DataFrame,
+                            textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    val f = graft.functions.FixMojibake(col(textCol))
+    docStream.withColumn("__f", f)
+      .withColumn(textCol, col("__f.text"))
+      .withColumn("repaired", col("__f.repaired"))
+      .drop("__f")
+  }
+
   /** The COMPOSED streaming ingest gate — the streaming twin of the
     * x171 batch corpus build's per-document stages, in ONE query:
     * PII scrub at the door, DSIR pricing against the stored bucket

@@ -447,6 +447,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(s == b && s.nonEmpty, s"stream=$s\nbatch=$b")
   }
 
+  test("streaming mojibake gate equals the batch repair — stateless, " +
+       "and a clean stream passes through byte-identical") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    def plant(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("text", concat(col("text"),
+        when(pmod(col("doc_id"), lit(3L)) === 0, lit(" cafÃ© mÃ¼nchen"))
+          .when(pmod(col("doc_id"), lit(3L)) === 1, lit(" itâ€™s fine"))
+          .otherwise(lit(""))))
+    val docsBatch = plant(spark.read.parquet(s"$dir/documents.parquet"))
+    val docStream = plant(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir))
+    val streamed = StreamingOps.runBounded(spark,
+      StreamingOps.streamingMojibakeGate(docStream),
+      "mojibake_gate_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = StreamingOps.streamingMojibakeGate(docsBatch)
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b && s.nonEmpty)
+    // clean (%3==2) docs pass byte-identical; planted docs repaired
+    val byId = batch.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("repaired"))
+      .toMap
+    assert(byId.forall { case (id, rep) => rep == (id % 3 != 2) })
+  }
+
   test("composed streaming ingest gate (PII + DSIR + near-dup in ONE " +
        "stateful agg) equals batch, and each signal equals its " +
        "piecewise gate") {
