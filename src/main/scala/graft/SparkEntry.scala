@@ -3200,6 +3200,21 @@ object SparkEntry {
     // joined to the x76 container clock per media id; a transcript that
     // outruns its audio is an association-error candidate (the x63
     // discipline pointed at the time axis).
+    // x177 — IMAGE-TEXT WebDataset shards (the LAION sample triple):
+    // each doc becomes {key}.jpg (REAL baseline JPEG, flat DC-exact
+    // frame) + {key}.txt caption + {key}.json, tar-packed per shard;
+    // the scan re-groups samples, DECODES the jpg pixels and pairs
+    // them with the caption — the multimodal-training artifact
+    // written AND consumed end to end. x95 proved the txt/json sample
+    // plumbing; the new claim is the binary member round trip through
+    // the same tar layer. Oracle: container + JPEG layers cancel
+    // (flat frames are DC-only) — closed form per doc.
+    "x177_webdataset_images" -> ((s, d) =>
+      ext.Multimodal.webdatasetImageStats(
+        graft.sources.Tar.webdatasetSamples(
+          ext.Multimodal.webdatasetImagesFromDocs(
+            t(s, d, "documents"))))),
+
     "x94_av_alignment" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val cues = graft.sources.Vtt
@@ -9721,6 +9736,15 @@ object SparkEntry {
     // the sidecar was built from the table, so per-sample truth is the
     // table row itself — agreement proves headers, octal fields,
     // checksums, padding, pairing and the JSON hop all at once
+    // x177 — flat DC-exact frames: mean = the frame's single value;
+    // caption length replays from the doc text (code-point count,
+    // Spark length() ≡ DuckDB length() on VARCHAR)
+    "x177_webdataset_images" ->
+      """SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+                CAST((doc_id * 7 + 13) % 256 AS DOUBLE) AS mean_lum,
+                CAST(length(text) AS INTEGER) AS caption_chars
+         FROM documents""",
+
     "x95_webdataset_scan" ->
       """SELECT doc_id, text AS caption, source, lang,
                 CAST(length(text) AS INTEGER) AS caption_chars

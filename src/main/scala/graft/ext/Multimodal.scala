@@ -847,6 +847,72 @@ object Multimodal {
     }(encoder)
   }
 
+  /** IMAGE-TEXT WebDataset shards — the LAION-style sample triple a
+    * contrastive-training job consumes: per document, `{key}.jpg` (a
+    * REAL baseline JPEG — the flat 8×8 frame `(doc_id·7 + 13) % 256`,
+    * DC-exact so the pixel layer is closed-form), `{key}.txt` (the
+    * caption) and `{key}.json` (metadata), packed doc_id-ordered into
+    * `doc_id % nShards` tar shards via [[graft.sources.Tar.write]].
+    * The image twin of [[graft.sources.Tar.webdatasetFromDocs]]: x95
+    * proved the txt/json sample plumbing; this adds the binary member
+    * a multimodal shard actually exists for. One shard = one blob
+    * built inside its task — nothing pixel-level rides an exchange. */
+  def webdatasetImagesFromDocs(docs: DataFrame, nShards: Int = 8)
+      : DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val mk = udf((rows: Seq[Row]) =>
+      graft.sources.Tar.write(rows.flatMap { r =>
+        val id = r.getLong(0)
+        val jpg = MjpegCodec.jpegEncodeGray(
+          Array.fill[Byte](64)(((id * 7 + 13) % 256).toByte), 8, 8)
+        val json = s"""{"doc_id":$id,"width":8,"height":8}"""
+        Seq(s"$id.jpg" -> jpg,
+          s"$id.txt" -> r.getString(1)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          s"$id.json" -> json
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }))
+    docs
+      .groupBy((col("doc_id") % nShards).as("shard"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+        .as("recs"))
+      .select(col("shard").cast("string").as("archive"),
+        mk(col("recs")).as("content"))
+  }
+
+  /** Decode the `.jpg` member of each WebDataset sample and pair it
+    * with its caption: (media_id, width, height, mean_lum,
+    * caption_chars). mapPartitions over the sample rows
+    * ([[graft.sources.Tar.webdatasetSamples]] output) — no shuffle;
+    * samples missing either member, or with undecodable image bytes,
+    * drop (the probe contract). */
+  def webdatasetImageStats(samples: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_lum", DoubleType, nullable = false),
+      StructField("caption_chars", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    samples.select("key", "parts").mapPartitions { it =>
+      it.flatMap { r =>
+        val parts = r.getAs[Map[String, Array[Byte]]](1)
+        for {
+          id <- scala.util.Try(r.getString(0).toLong).toOption
+          jpg <- parts.get("jpg")
+          txt <- parts.get("txt")
+          (f, w, h) <- MjpegCodec.jpegDecodeGray(jpg)
+        } yield {
+          var sum = 0L
+          var i = 0
+          while (i < f.length) { sum += f(i) & 0xFF; i += 1 }
+          Row(id, w, h, sum.toDouble / f.length,
+            new String(txt, java.nio.charset.StandardCharsets.UTF_8).length)
+        }
+      }
+    }(enc)
+  }
+
   /** Build an AVI video table from documents: each doc gets a REAL
     * uncompressed-DIB AVI whose 8×8 gray frames follow a closed integer
     * formula — pixel i of frame k = `(doc_id·11 + k·17 + i·5) mod 241` —

@@ -150,6 +150,79 @@ class BpeSpec extends AnyFunSuite {
     assert(l2 == Seq(("a", "b", 4L), ("ab", "c", 3L)))
   }
 
+  test("one-pass trainer property: identical to an INDEPENDENT naive " +
+       "recount-per-round reference on 40 random weighted corpora") {
+    // the reference re-derives everything per round from scratch — no
+    // delta maintenance, no TreeSet, no inverted list — so a bookkeeping
+    // bug in any of those three structures diverges here
+    def cp(a: String, b: String): Int = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
+    def sweep(s: Vector[String], p1: String, p2: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == p1 && s(i + 1) == p2) {
+          out += p1 + p2; i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.result()
+    }
+    def naive(census: Seq[(Long, Vector[String])], n: Int)
+        : Seq[(String, String, Long)] = {
+      var st = census
+      val out = Seq.newBuilder[(String, String, Long)]
+      var r = 0
+      var dry = false
+      while (r < n && !dry) {
+        val counts = scala.collection.mutable
+          .HashMap.empty[(String, String), Long]
+        st.foreach { case (m, s) =>
+          var i = 0
+          while (i + 1 < s.length) {
+            counts.updateWith((s(i), s(i + 1)))(o =>
+              Some(o.getOrElse(0L) + m))
+            i += 1
+          }
+        }
+        if (counts.isEmpty) dry = true
+        else {
+          val ((p1, p2), c) = counts.minBy { case ((a, b), c) =>
+            (-c, a, b) }(Ordering.Tuple3(Ordering.Long,
+              Ordering.comparatorToOrdering(
+                new java.util.Comparator[String] {
+                  def compare(x: String, y: String) = cp(x, y) }),
+              Ordering.comparatorToOrdering(
+                new java.util.Comparator[String] {
+                  def compare(x: String, y: String) = cp(x, y) })))
+          out += ((p1, p2, c))
+          st = st.map { case (m, s) => (m, sweep(s, p1, p2)) }
+          r += 1
+        }
+      }
+      out.result()
+    }
+    val rng = new scala.util.Random(1515L)
+    val alphabet = Vector("a", "b", "c", "д", "水")
+    (1 to 40).foreach { trial =>
+      val census = (1 to (2 + rng.nextInt(10))).map { _ =>
+        val len = rng.nextInt(7)
+        (1L + rng.nextInt(5),
+          Vector.fill(len)(alphabet(rng.nextInt(alphabet.size))))
+      }
+      val want = naive(census, 15)
+      val got = TextOps.trainMergesLocal(
+        census.map { case (m, s) => (m, s.toArray) }, 15)
+      assert(got == want, s"trial $trial diverged:\n got=$got\nwant=$want")
+    }
+  }
+
   test("one-pass trainer (pair-delta maintenance) is BIT-IDENTICAL to " +
        "the per-merge-job trainer: counts, ties, early stop, real corpus") {
     import spark.implicits._
