@@ -3215,6 +3215,28 @@ object SparkEntry {
           ext.Multimodal.webdatasetImagesFromDocs(
             t(s, d, "documents"))))),
 
+    // x178 — the MULTIMODAL corpus build (the x171 shape for media):
+    // media table → perceptual-hash near-dup dedup (the x58
+    // machinery: aHash banding → hamming ≤ 3 pairs → connected
+    // components → keep min-id) → the SURVIVORS exported as image-text
+    // WebDataset shards (payload VERBATIM — the export moves bytes,
+    // never re-encodes) → scan back, decode pixels, pair captions.
+    // The oracle replays the x49 pixel/hash algebra, the x58 closure,
+    // and the closed-form stats — membership AND content hash at once.
+    "x178_media_corpus_build" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val kept = ext.Multimodal.dedupImages(
+        ext.Multimodal.mediaFromDocs(docs), maxDist = 3)
+      val curated = kept.select(col("media_id"), col("payload"))
+        .join(docs.select(col("doc_id").as("media_id"), col("text")),
+          "media_id")
+      ext.Multimodal.webdatasetImageStats(
+        graft.sources.Tar.webdatasetSamples(
+          ext.Multimodal.webdatasetFromMedia(curated, imgExt = "png",
+            nShards = 4)),
+        imgExt = "png")
+    }),
+
     "x94_av_alignment" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val cues = graft.sources.Vtt
@@ -9744,6 +9766,32 @@ object SparkEntry {
                 CAST((doc_id * 7 + 13) % 256 AS DOUBLE) AS mean_lum,
                 CAST(length(text) AS INTEGER) AS caption_chars
          FROM documents""",
+
+    // x178 — the x58 dedup closure (pixel/aHash replay + recursive
+    // components) gating the closed-form per-survivor stats: the
+    // export/scan/decode layers cancel because the payload moves
+    // verbatim and the pixels are the text bytes (ASCII corpus:
+    // code point = UTF-8 byte, verified at every SF)
+    "x178_media_corpus_build" ->
+      s"""WITH RECURSIVE $imageHashCtes,
+         iedges AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM h a JOIN h b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.ahash_hi, b.ahash_hi)) +
+                 bit_count(xor(a.ahash_lo, b.ahash_lo)) <= 3),
+         und AS (SELECT doc_a AS s, doc_b AS t FROM iedges
+                 UNION ALL SELECT doc_b, doc_a FROM iedges),
+         cnodes AS (SELECT DISTINCT s AS id FROM und),
+         walk(id, cur) AS (
+           SELECT id, id FROM cnodes
+           UNION
+           SELECT w.id, u.t FROM walk w JOIN und u ON u.s = w.cur),
+         cc AS (SELECT id, MIN(cur) AS rep FROM walk GROUP BY id)
+         SELECT d.doc_id AS media_id, 8 AS width, 8 AS height,
+                CAST(p.tot AS DOUBLE) / 64.0 AS mean_lum,
+                CAST(length(d.text) AS INTEGER) AS caption_chars
+         FROM documents d JOIN ps p ON p.doc_id = d.doc_id
+         WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE rep <> id)""",
 
     "x95_webdataset_scan" ->
       """SELECT doc_id, text AS caption, source, lang,

@@ -880,13 +880,41 @@ object Multimodal {
         mk(col("recs")).as("content"))
   }
 
-  /** Decode the `.jpg` member of each WebDataset sample and pair it
-    * with its caption: (media_id, width, height, mean_lum,
+  /** Pack an ALREADY-CURATED media table `(media_id, payload, text)`
+    * into image-text WebDataset shards: `{key}.{imgExt}` carries the
+    * payload VERBATIM (whatever codec produced it — the export is a
+    * byte mover, never a re-encoder), plus `{key}.txt` caption and
+    * `{key}.json`. The terminal step of a multimodal corpus build:
+    * gates and dedup run upstream on the media table, survivors land
+    * here. */
+  def webdatasetFromMedia(media: DataFrame, imgExt: String = "png",
+                          nShards: Int = 8): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val mk = udf((rows: Seq[Row]) =>
+      graft.sources.Tar.write(rows.flatMap { r =>
+        val id = r.getLong(0)
+        Seq(s"$id.$imgExt" -> r.getAs[Array[Byte]](1),
+          s"$id.txt" -> r.getString(2)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          s"$id.json" -> s"""{"media_id":$id}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }))
+    media
+      .groupBy((col("media_id") % nShards).as("shard"))
+      .agg(sort_array(collect_list(struct(
+        col("media_id"), col("payload"), col("text")))).as("recs"))
+      .select(col("shard").cast("string").as("archive"),
+        mk(col("recs")).as("content"))
+  }
+
+  /** Decode the `.{imgExt}` member of each WebDataset sample and pair
+    * it with its caption: (media_id, width, height, mean_lum,
     * caption_chars). mapPartitions over the sample rows
     * ([[graft.sources.Tar.webdatasetSamples]] output) — no shuffle;
     * samples missing either member, or with undecodable image bytes,
     * drop (the probe contract). */
-  def webdatasetImageStats(samples: DataFrame): DataFrame = {
+  def webdatasetImageStats(samples: DataFrame, imgExt: String = "jpg")
+      : DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("width", IntegerType, nullable = false),
@@ -899,9 +927,9 @@ object Multimodal {
         val parts = r.getAs[Map[String, Array[Byte]]](1)
         for {
           id <- scala.util.Try(r.getString(0).toLong).toOption
-          jpg <- parts.get("jpg")
+          img <- parts.get(imgExt)
           txt <- parts.get("txt")
-          (f, w, h) <- MjpegCodec.jpegDecodeGray(jpg)
+          (f, w, h) <- MjpegCodec.jpegDecodeGray(img)
         } yield {
           var sum = 0L
           var i = 0
