@@ -671,4 +671,46 @@ class PlanSpec extends AnyFunSuite {
     // both cuts stay TakeOrderedAndProject — no global sort
     assert(p.contains("TakeOrderedAndProject"), s"no top-k cut:\n$p")
   }
+  test("x173/x176 scan-stage expressions: encode+decode and the " +
+    "mojibake repair run with zero exchange") {
+    val p1 = executed("x173_bpe_roundtrip").toString
+    assert(!p1.contains("Exchange"), s"roundtrip audit shuffles:\n$p1")
+    val p2 = executed("x176_mojibake_repair").toString
+    assert(!p2.contains("Exchange"), s"mojibake repair shuffles:\n$p2")
+  }
+
+  test("x174 MP4 sample-track decode: demux + JPEG in the scan task, " +
+    "zero exchange") {
+    val p = executed("x174_mp4_jpeg_frames").toString
+    assert(!p.contains("Exchange"), s"mp4 frame sampling shuffles:\n$p")
+  }
+
+  test("x175 packed export: pack window + group agg + layout — no " +
+    "single-partition window, no cartesian product") {
+    val p = planString("x175_packed_binidx")
+    assert(!p.contains("CartesianProduct"), s"all-pairs crept in:\n$p")
+    // every windowspecdefinition must carry a partition column (the
+    // closed-form puid replaced any global row_number)
+    import scala.util.matching.Regex
+    val specs = new Regex("windowspecdefinition\\(([^)]*)\\)")
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty)
+    specs.foreach { args =>
+      val first = args.split(",").head.trim
+      assert(!(first.contains(" ASC") || first.contains(" DESC")),
+        s"partitionless window in x175: $args")
+    }
+  }
+
+  test("x177/x178 WebDataset: shard build is one group exchange; the " +
+    "scan side decodes in its task — no extra corpus exchange, never " +
+    "all-pairs") {
+    val p1 = executed("x177_webdataset_images").toString
+    assert(p1.sliding(8).count(_ == "Exchange") <= 2 &&
+      !p1.contains("CartesianProduct"),
+      s"x177 shuffles beyond the shard group-by:\n$p1")
+    val p2 = executed("x178_media_corpus_build").toString
+    assert(!p2.contains("CartesianProduct"),
+      s"x178 went all-pairs:\n$p2")
+  }
 }
