@@ -2055,6 +2055,26 @@ object SparkEntry {
             === col("text")).as("lossless"))
     }),
 
+    // x179 — dataset VERSIONING of the training binary: the x152
+    // manifest discipline applied to the binidx export — per shard,
+    // sequence count, token mass, and the order-independent XOR set
+    // digest over pos-mixed sequence id-sums (pos-mixing defeats XOR
+    // cancellation of identical sequences). The fingerprint a training
+    // job pins in its run config; two exports disagree => the digest
+    // names the shard. Computed FROM the parsed artifact, so the hash
+    // also re-proves the export round trip.
+    "x179_binidx_manifest" -> ((s, d) =>
+      graft.sources.BinIdx.read(
+          graft.sources.BinIdx.shardsFromDocs(t(s, d, "documents"),
+            nShards = 8))
+        .select(col("shard"), col("pos").cast("long").as("pos"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          aggregate(col("ids"), lit(0L), (a, x) => a + x).as("id_sum"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_seqs"),
+          sum("n_tokens").as("token_sum"),
+          expr("bit_xor(id_sum ^ pos)").as("id_digest"))),
+
     // x145 — crawl-budget apportionment: the stored rank vector (the
     // x143 authority store) turned into integer per-domain fetch
     // quotas by the largest-remainder rule — Σ n_fetch == 300 exactly,
@@ -9196,6 +9216,31 @@ object SparkEntry {
                  CAST(strlen($byteTextSqlExpr) AS BIGINT) AS n_bytes,
                  TRUE AS lossless
           FROM documents""",
+
+    // x179 — the x170 census + layout rolled to the per-shard
+    // manifest: counts/sums/the pos-mixed XOR digest are all
+    // order-independent, so the replay needs no sequence order
+    "x179_binidx_manifest" ->
+      s"""WITH $hashedTokenCtes,
+         tid AS (SELECT doc_id, ((sh % 65536) + 65536) % 65536 AS tid
+                 FROM sgn),
+         agg AS (SELECT doc_id,
+                        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                        CAST(SUM(tid) AS BIGINT) AS id_sum
+                 FROM tid GROUP BY doc_id),
+         rk AS (SELECT doc_id, doc_id % 8 AS shard,
+                       CAST(row_number() OVER (PARTITION BY doc_id % 8
+                                               ORDER BY doc_id) - 1
+                            AS BIGINT) AS pos
+                FROM documents),
+         seqs AS (SELECT r.shard, r.pos,
+                         COALESCE(a.n_tokens, 0) AS n_tokens,
+                         COALESCE(a.id_sum, 0) AS id_sum
+                  FROM rk r LEFT JOIN agg a USING (doc_id))
+         SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+                CAST(SUM(n_tokens) AS BIGINT) AS token_sum,
+                CAST(bit_xor(xor(id_sum, pos)) AS BIGINT) AS id_digest
+         FROM seqs GROUP BY shard""",
 
     // x145 — the x124 rank replay feeding the Hamilton apportionment:
     // decimal-routed rank sum, the exact quota/floor/frac algebra, the
