@@ -2055,6 +2055,40 @@ object SparkEntry {
             === col("text")).as("lossless"))
     }),
 
+    // x180 — LONG-DOCUMENT handling composed into the export: docs
+    // split into context-length windows (the x56 chunker: 32 tokens,
+    // 8 overlap — documents exceeding context length are windowed, not
+    // truncated) and each CHUNK becomes a binidx sequence under the
+    // closed-form uid = doc_id·256 + chunk_idx (stride 24 over ≤109-
+    // token docs ⇒ ≤ 5 chunks, far under 256; no global ordinal at any
+    // scale). The oracle replays the x56 window algebra, the x82 token
+    // census over the REBUILT chunk text, and the x170 layout — and
+    // chunk_tokens (the chunker's arithmetic) must equal n_tokens_idx
+    // (the parsed artifact) row for row, the boundary reconciliation.
+    "x180_chunked_binidx" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val chunks = ext.Curation
+        .chunkDocs(t(s, d, "documents"), chunkTokens = 32, overlap = 8)
+        .withColumn("uid", col("doc_id") * 256L + col("chunk_idx"))
+      val ids = chunks.select(col("uid").as("doc_id"),
+        transform(graft.functions.ShingleHashesAll(col("chunk_text"), 1),
+          h => pmod(h, lit(65536L)).cast("int")).as("ids"))
+      val parsed = graft.sources.BinIdx.read(
+          graft.sources.BinIdx.shardsFromIds(ids, nShards = 4))
+        .select(col("shard"), col("pos"),
+          col("n_tokens").cast("long").as("n_tokens_idx"),
+          aggregate(col("ids"), lit(0L), (a, x) => a + x).as("id_sum"))
+      val layout = chunks
+        .select(col("doc_id"), col("chunk_idx"),
+          col("chunk_tokens").cast("long").as("chunk_tokens"),
+          col("uid"), pmod(col("uid"), lit(4L)).as("shard"))
+        .withColumn("pos", (row_number().over(
+          Window.partitionBy("shard").orderBy("uid")) - 1).cast("int"))
+      parsed.join(layout, Seq("shard", "pos"))
+        .select(col("doc_id"), col("chunk_idx"), col("shard"), col("pos"),
+          col("chunk_tokens"), col("n_tokens_idx"), col("id_sum"))
+    }),
+
     // x179 — dataset VERSIONING of the training binary: the x152
     // manifest discipline applied to the binidx export — per shard,
     // sequence count, token mass, and the order-independent XOR set
@@ -9216,6 +9250,44 @@ object SparkEntry {
                  CAST(strlen($byteTextSqlExpr) AS BIGINT) AS n_bytes,
                  TRUE AS lossless
           FROM documents""",
+
+    // x180 — the x56 window replay rebuilt as (uid, text) so the x82
+    // census chain runs verbatim over chunks; layout by uid; the
+    // chunker's token arithmetic and the parsed artifact must agree
+    "x180_chunked_binidx" ->
+      s"""WITH c0 AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '\\s+'),
+             t -> length(t) > 0) AS ts
+           FROM documents),
+         c1 AS (SELECT doc_id, ts, len(ts) AS n FROM c0 WHERE len(ts) > 0),
+         c2 AS (SELECT doc_id, ts, n,
+                       unnest(range(0, greatest(n - 8, 1), 24)) AS start
+                FROM c1),
+         ch AS (SELECT doc_id * 256 + (start // 24) AS doc_id,
+                       doc_id AS orig_id,
+                       CAST(start // 24 AS INTEGER) AS chunk_idx,
+                       CAST(LEAST(32, n - start) AS BIGINT) AS chunk_tokens,
+                       array_to_string(ts[CAST(start + 1 AS INTEGER):
+                                          CAST(start + 32 AS INTEGER)], ' ')
+                         AS text
+                FROM c2),
+         ${hashedTokenCtesOver("ch", "h9")},
+         h9tid AS (SELECT doc_id, ((sh % 65536) + 65536) % 65536 AS tid
+                   FROM h9sgn),
+         h9agg AS (SELECT doc_id,
+                          CAST(COUNT(*) AS BIGINT) AS n_tokens_idx,
+                          CAST(SUM(tid) AS BIGINT) AS id_sum
+                   FROM h9tid GROUP BY doc_id),
+         rk AS (SELECT doc_id AS uid, orig_id, chunk_idx, chunk_tokens,
+                       doc_id % 4 AS shard,
+                       CAST(row_number() OVER (PARTITION BY doc_id % 4
+                                               ORDER BY doc_id) - 1
+                            AS INTEGER) AS pos
+                FROM ch)
+         SELECT r.orig_id AS doc_id, r.chunk_idx, r.shard, r.pos,
+                r.chunk_tokens, a.n_tokens_idx, a.id_sum
+         FROM rk r JOIN h9agg a ON a.doc_id = r.uid""",
 
     // x179 — the x170 census + layout rolled to the per-shard
     // manifest: counts/sums/the pos-mixed XOR digest are all
