@@ -107,7 +107,11 @@ object Plans {
       "x168_dsir_select" -> "DSIR selection: both bucket models reduce to <= dim rows and broadcast; the corpus side is one shingle explode collapsing map-side, two broadcast joins, a doc-keyed fold, and a bounded TakeOrdered cut broadcast back — never a corpus sort.",
       "x173_bpe_roundtrip" -> "Detokenization parity: encode and decode are TWO chained native expressions fused into the scan (both tables ride the expression tree as one string each) — zero exchange; the bijection audit is free at any corpus size.",
       "x174_mp4_jpeg_frames" -> "MP4 'jpeg' sample-track decode: the stsc/stsz/stco demux walk + baseline JPEG decode run per container inside the scan task via mapPartitions — no exchange; the container is the unit of parallelism, the x102 posture in the ISO-BMFF container.",
-      "x175_packed_binidx" -> "Packed-sequence export: the x26 pack window (ONE source-key exchange), a pack-keyed concat aggregation, the in-task shard render, and the parse — pack identity is closed-form (src#·2^16 + pack_id), so NO global row_number anywhere.")
+      "x175_packed_binidx" -> "Packed-sequence export: the x26 pack window (ONE source-key exchange), a pack-keyed concat aggregation, the in-task shard render, and the parse — pack identity is closed-form (src#·2^16 + pack_id), so NO global row_number anywhere.",
+      "x181_fim_transform" -> "FIM transform: three splitmix64 streams, the cut/substr/concat algebra and the apply gate are ALL codegen'd column math fused into the scan — zero exchange, zero state; infilling prep is free at any corpus size.",
+      "x182_blocklist_census" -> "Blocklist census: the literal IN-list evaluates map-side inside the token explode (no join for a list-sized vocabulary); the only exchange carries term keys into a partial+final count bounded by |blocklist|.",
+      "x183_entropy_gate" -> "Entropy gate: the per-row CharEntropy kernel + 6-dp round + tail cut fuse into the scan — zero exchange; the compressibility signal costs one pass over the bytes it reads.",
+      "x184_chat_loss_mask" -> "SFT loss-mask spans: closed-form offsets mean explode + per-row arithmetic only — no window, no join, zero exchange; the mask rides the same narrow pass that renders the template.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")

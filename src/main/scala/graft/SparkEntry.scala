@@ -1175,6 +1175,37 @@ object SparkEntry {
         fixed.getField("repaired").as("repaired"))
     }),
 
+    // x181 — fill-in-the-middle transform (Bavarian et al. 2022): a
+    // deterministic 50% of docs re-emit as <pre>P<suf>S<mid>M with
+    // character cuts from three independent splitmix64 streams off the
+    // doc id; the oracle replays the chains in HUGEINT and the same
+    // signed-pmod/substr algebra.
+    "x181_fim_transform" -> ((s, d) =>
+      ext.Curation.fimTransform(t(s, d, "documents"), fimPct = 50)),
+
+    // x182 — C4-style word-blocklist census: per blocked term, distinct
+    // docs containing it and total token occurrences — the corpus-cost
+    // pricing run before committing to a list. "quantum" never occurs,
+    // pinning the inner-count semantics (absent terms emit no row).
+    "x182_blocklist_census" -> ((s, d) =>
+      ext.Curation.blocklistCensus(t(s, d, "documents"),
+        Seq("hash", "vector", "stream", "quantum"))),
+
+    // x183 — character-entropy (compressibility) gate: order-0 code-point
+    // entropy per doc via the native CharEntropy kernel, 6-dp rounded
+    // (the x151 ln() libm rule), with both quality tails cut. The
+    // oracle recomputes the same ascending-code-point Σ c·ln c fold.
+    "x183_entropy_gate" -> ((s, d) =>
+      ext.Curation.entropyGate(t(s, d, "documents"),
+        minBits = 3.5, maxBits = 5.0)),
+
+    // x184 — SFT loss-mask spans over the x93 chat template: one row per
+    // assistant turn with the 0-based [start,end) character span of its
+    // content inside the rendered string, plus the extracted span text
+    // (self-checking against the template fold).
+    "x184_chat_loss_mask" -> ((s, d) =>
+      ext.Curation.chatLossMask(t(s, d, "documents"))),
+
     // x33 — corpus-wide line-level boilerplate removal (CCNet/RefinedWeb
     // step) on a re-lined corpus: the flat synthetic text is chunked into
     // 2-token lines (deterministically, mirrored in the oracle), then any
@@ -3574,6 +3605,30 @@ object SparkEntry {
 
   private val Mix64C1 = BigInt("BF58476D1CE4E5B9", 16)
   private val Mix64C2 = BigInt("94D049BB133111EB", 16)
+
+  /** One full splitmix64-finalizer replay in HUGEINT over CTE `src`:
+    * emits CTEs `${p}1..${p}3`, where `${p}3` carries src's columns
+    * (intermediates excluded) plus unsigned `$out`. `$in` must be an
+    * unsigned HUGEINT in [0, 2⁶⁴) — chains compose by feeding one
+    * chain's `$out` as the next one's `$in`. */
+  private def smixCtes(src: String, in: String, out: String,
+                       p: String): String =
+    s"""${p}1 AS (SELECT *, ${mulmodSql(
+           s"xor($in, $in // 1073741824::HUGEINT)", Mix64C1)} AS ${p}u1
+            FROM $src),
+       |${p}2 AS (SELECT *, ${mulmodSql(
+           s"xor(${p}u1, ${p}u1 // 134217728::HUGEINT)", Mix64C2)} AS ${p}u2
+            FROM ${p}1),
+       |${p}3 AS (SELECT * EXCLUDE (${p}u1, ${p}u2),
+       |          xor(${p}u2, ${p}u2 // 2147483648::HUGEINT) AS $out
+       |          FROM ${p}2)""".stripMargin
+
+  /** Two's-complement reinterpretation of an unsigned HUGEINT as the
+    * signed BIGINT Spark's mix64 column carries. */
+  private def signedSql(u: String): String =
+    s"""CAST(CASE WHEN $u >= 9223372036854775808::HUGEINT
+        |          THEN $u - 18446744073709551616::HUGEINT
+        |          ELSE $u END AS BIGINT)""".stripMargin
 
   /** The x60 retrieval query text (shared by the Spark query and the
     * oracle's literal-weight construction). */
@@ -6674,6 +6729,111 @@ object SparkEntry {
              ELSE ' bad' || chr(195) END AS text,
            doc_id % 3 <> 2 AS repaired
          FROM documents""",
+
+    // x181 — three composed splitmix64 chains replayed in HUGEINT (the
+    // x22 technique), then the same signed-pmod cuts and 1-based substr
+    // algebra; the PSM sentinel order is pinned byte for byte
+    "x181_fim_transform" ->
+      s"""WITH f0 AS (SELECT doc_id, text,
+                 CAST(length(text) AS BIGINT) AS n,
+                 doc_id::HUGEINT AS u0 FROM documents),
+          ${smixCtes("f0", "u0", "ua", "fa")},
+          ${smixCtes("fa3", "ua", "ub", "fb")},
+          ${smixCtes("fb3", "ub", "uc", "fc")},
+          sgn AS (SELECT doc_id, text, n,
+                    ${signedSql("ua")} AS sa,
+                    ${signedSql("ub")} AS sb,
+                    ${signedSql("uc")} AS sc
+                  FROM fc3),
+          cuts AS (SELECT doc_id, text, n,
+                     ((sa % (n + 1)) + (n + 1)) % (n + 1) AS ca,
+                     ((sb % (n + 1)) + (n + 1)) % (n + 1) AS cb,
+                     ((sc % 100) + 100) % 100 < 50 AS fim_applied
+                   FROM sgn),
+          lh AS (SELECT doc_id, text, n, fim_applied,
+                   least(ca, cb) AS lo, greatest(ca, cb) AS hi
+                 FROM cuts)
+          SELECT doc_id, fim_applied, lo AS cut_lo, hi AS cut_hi,
+                 CASE WHEN fim_applied THEN
+                   '<|fim_prefix|>' ||
+                   substr(text, 1, CAST(lo AS INTEGER)) ||
+                   '<|fim_suffix|>' ||
+                   substr(text, CAST(hi + 1 AS INTEGER),
+                          CAST(n - hi AS INTEGER)) ||
+                   '<|fim_middle|>' ||
+                   substr(text, CAST(lo + 1 AS INTEGER),
+                          CAST(hi - lo AS INTEGER))
+                 ELSE text END AS text
+          FROM lh""",
+
+    // x182 — the same whitespace tokens, literal IN-list, distinct-doc
+    // and occurrence counts (absent terms emit no row — inner semantics)
+    "x182_blocklist_census" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(lower(text), '\s+'),
+             t -> length(t) > 0)) AS term
+           FROM documents)
+         SELECT term, COUNT(DISTINCT doc_id) AS n_docs,
+                COUNT(*) AS n_occurrences
+         FROM tok WHERE term IN ('hash', 'vector', 'stream', 'quantum')
+         GROUP BY 1""",
+
+    // x183 — the entropy kernel replayed: per-code-point counts, the
+    // Σ c·ln c fold in the SAME ascending character order (so only
+    // per-term libm ulps differ — absorbed by the 6-dp round), the
+    // identical (ln n − S/n)/ln 2 parenthesization, inclusive tails
+    "x183_entropy_gate" ->
+      """WITH ch AS (
+           SELECT doc_id, unnest(list_transform(
+             range(1, length(text) + 1),
+             i -> substr(text, CAST(i AS INTEGER), 1))) AS c
+           FROM documents WHERE length(text) > 0),
+         cnt AS (SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS k
+                 FROM ch GROUP BY 1, 2),
+         agg AS (SELECT doc_id,
+                   CAST(SUM(k) AS BIGINT) AS n_chars,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   SUM(k) AS nd,
+                   list_reduce(
+                     list_prepend(0.0::DOUBLE, list(k * ln(k) ORDER BY c)),
+                     (a, b) -> a + b) AS s
+                 FROM cnt GROUP BY 1)
+         SELECT doc_id, n_chars, n_distinct,
+                round((ln(nd) - s / nd) / ln(2), 6) AS ent_bits,
+                round((ln(nd) - s / nd) / ln(2), 6) >= 3.5 AND
+                round((ln(nd) - s / nd) / ln(2), 6) <= 5.0 AS keep
+         FROM agg""",
+
+    // x184 — the x93 template's offsets replayed closed-form: header +
+    // ⌊i/2⌋·21+8 role chars + 2i newlines + the char mass of the first
+    // 8i tokens + 7i separators + 14 for '<|assistant|>\n'
+    "x184_chat_loss_mask" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '\s+'),
+             t -> length(t) > 0) AS ts
+           FROM documents),
+         nt AS (SELECT doc_id, ts, len(ts) AS n FROM tok WHERE len(ts) > 0),
+         r AS (SELECT doc_id, ts, n, (n + 7) // 8 AS k FROM nt),
+         ast AS (SELECT doc_id, ts, n, unnest(range(0, k)) AS i FROM r),
+         calc AS (
+           SELECT doc_id, CAST(i AS INTEGER) AS turn_idx,
+             length('<|system|>' || chr(10) ||
+                    'You are a helpful assistant.' || chr(10)) +
+             (i // 2) * 21 + 8 + i * 2 +
+             length(array_to_string(ts[1:CAST(i * 8 AS INTEGER)], '')) +
+             i * 7 + 14 AS s,
+             array_to_string(
+               ts[CAST(i * 8 + 1 AS INTEGER):CAST(LEAST(n, i * 8 + 8) AS INTEGER)],
+               ' ') AS span_text
+           FROM ast WHERE i % 2 = 1)
+         SELECT doc_id, turn_idx,
+                CAST(s AS BIGINT) AS span_start,
+                CAST(s + length(span_text) AS BIGINT) AS span_end,
+                CAST(length(span_text) AS BIGINT) AS span_chars,
+                span_text
+         FROM calc""",
 
     // x33 — same 2-token re-lining, line df over distinct docs, drop at
     // df >= 20, reassemble in line order (the engine keys df on the

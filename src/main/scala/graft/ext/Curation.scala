@@ -505,6 +505,165 @@ object Curation {
       rendered.as("rendered"))
   }
 
+  /** Fill-in-the-middle transform — the code/infilling training-data
+    * prep step (Bavarian et al. 2022, "Efficient Training of Language
+    * Models to Fill in the Middle"): a deterministic `fimPct`% of
+    * documents are split at two character cuts into (prefix, middle,
+    * suffix) and re-emitted in PSM sentinel order
+    * `<pre>P<suf>S<mid>M`, teaching the model to infill; the rest pass
+    * through untouched. Character-level splitting (the SantaCoder
+    * variant) so the op runs BEFORE tokenization.
+    *
+    * Determinism discipline (the [[hashSample]] rule): no RNG state —
+    * three independent splitmix64 streams off the document id drive
+    * cut 1 (`mix64(id)`), cut 2 (`mix64²(id)`) and the apply gate
+    * (`mix64³(id)`), each folded by signed pmod. The same doc gets the
+    * same cuts on every run, retry, partitioning, and engine — and the
+    * oracle replays the chains in HUGEINT. Cut columns ride along for
+    * auditability. Pure narrow column algebra: fuses into the scan,
+    * zero shuffle at any corpus size. */
+  def fimTransform(docs: DataFrame, fimPct: Int = 50,
+                   preTok: String = "<|fim_prefix|>",
+                   sufTok: String = "<|fim_suffix|>",
+                   midTok: String = "<|fim_middle|>",
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(fimPct >= 0 && fimPct <= 100, s"fimPct in [0,100]: $fimPct")
+    val h1 = graft.functions.HashExprs.mix64_col(col(idCol))
+    val h2 = graft.functions.HashExprs.mix64_col(h1)
+    val h3 = graft.functions.HashExprs.mix64_col(h2)
+    val n = length(col(textCol)).cast("long")
+    val m = n + lit(1L)
+    val c1 = pmod(h1, m)
+    val c2 = pmod(h2, m)
+    val staged = docs.select(col(idCol), col(textCol),
+      n.as("n"),
+      least(c1, c2).cast("int").as("cut_lo"),
+      greatest(c1, c2).cast("int").as("cut_hi"),
+      (pmod(h3, lit(100L)) < fimPct.toLong).as("fim_applied"))
+    val pre = col(textCol).substr(lit(1), col("cut_lo"))
+    val mid = col(textCol).substr(col("cut_lo") + 1,
+      col("cut_hi") - col("cut_lo"))
+    val suf = col(textCol).substr(col("cut_hi") + 1,
+      col("n").cast("int") - col("cut_hi"))
+    staged.select(col(idCol), col("fim_applied"),
+      col("cut_lo").cast("long").as("cut_lo"),
+      col("cut_hi").cast("long").as("cut_hi"),
+      when(col("fim_applied"),
+        concat(lit(preTok), pre, lit(sufTok), suf, lit(midTok), mid))
+        .otherwise(col(textCol)).as(textCol))
+  }
+
+  /** Word-blocklist census — the C4-style "bad words" curation stage
+    * (Raffel et al. 2020 dropped any page containing a term from a
+    * fixed blocklist; RefinedWeb and FineWeb keep the same gate): for
+    * each blocklist term, how many documents contain it and how many
+    * token occurrences exist. The census is what you run BEFORE
+    * committing to a list — it prices each term's corpus cost.
+    *
+    * Shape at 100 TB: the blocklist is list-sized (hundreds to a few
+    * thousand terms), so membership is a literal IN-list evaluated
+    * map-side inside the token explode — no join, and the only
+    * exchange carries (term) keys for the final list-sized count
+    * aggregation, with map-side partial counts collapsing each
+    * partition to ≤|list| rows first. */
+  def blocklistCensus(docs: DataFrame, terms: Seq[String],
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "empty blocklist")
+    docs.select(col(idCol),
+        explode(filter(TextOps.tokens(col(textCol)),
+          t => length(t) > 0)).as("term"))
+      .filter(col("term").isin(terms.map(_.toLowerCase): _*))
+      .groupBy("term")
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+           count(lit(1)).as("n_occurrences"))
+  }
+
+  /** The enforcement half of [[blocklistCensus]]: drop every document
+    * containing ANY blocklist term (token-boundary matching — "class"
+    * does not trip on "ass"; the exact C4 rule). Pure column algebra:
+    * `arrays_overlap(tokens, lit(list))` fuses into the scan — no
+    * explode, no join, no shuffle. */
+  def blocklistGate(docs: DataFrame, terms: Seq[String],
+                    textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "empty blocklist")
+    val lst = array(terms.map(t => lit(t.toLowerCase)): _*)
+    docs.filter(!arrays_overlap(TextOps.tokens(col(textCol)), lst))
+  }
+
+  /** Character-entropy gate — the compressibility quality signal: pages
+    * whose order-0 character entropy is far below the language's norm
+    * are template/repetition junk, far above it are gibberish or
+    * binary-in-text; both tails get cut. Per doc: character count,
+    * distinct code points, entropy in bits (6-dp rounded — the house
+    * ln() libm rule) and the keep verdict. One narrow pass — the
+    * [[graft.functions.CharEntropy]] kernel fuses into the scan. */
+  def entropyGate(docs: DataFrame, minBits: Double = 2.0,
+                  maxBits: Double = 6.0,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val e = graft.functions.CharEntropy(col(textCol))
+    docs.select(col(idCol),
+        length(col(textCol)).cast("long").as("n_chars"),
+        e.getField("n_distinct").cast("long").as("n_distinct"),
+        round(e.getField("ent_bits"), 6).as("ent_bits"))
+      .filter(col("n_chars") > 0)
+      .withColumn("keep",
+        col("ent_bits") >= minBits && col("ent_bits") <= maxBits)
+  }
+
+  /** Loss-mask spans for the [[chatRender]] template — the SFT step
+    * after rendering: training runs loss ONLY on assistant content, so
+    * the pipeline must emit, per conversation, the exact character
+    * spans of each assistant turn's content inside the rendered string.
+    * One row per assistant turn: 0-based `[span_start, span_end)`, the
+    * span's length, and the extracted `span_text` itself (self-checking:
+    * it must equal the turn content the template folded in).
+    *
+    * Offsets are CLOSED-FORM over the token array — every turn before
+    * turn i is a full `turnTokens`-token turn, so the running offset is
+    * header + role sentinels + separators + the character mass of the
+    * first i·turnTokens tokens — which keeps the op pure per-row column
+    * algebra (explode + arithmetic, no window, no shuffle) and lets an
+    * independent engine replay it exactly. */
+  def chatLossMask(docs: DataFrame, turnTokens: Int = 8,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(turnTokens > 0, s"turnTokens must be positive: $turnTokens")
+    val header = "<|system|>\nYou are a helpful assistant.\n"
+    val toks = filter(TextOps.tokens(col(textCol)), t => length(t) > 0)
+    val staged = docs
+      .select(col(idCol), toks.as("ts"))
+      .withColumn("ntok", size(col("ts")))
+      .filter(col("ntok") > 0)
+      .withColumn("k",
+        ceil(col("ntok").cast("double") / lit(turnTokens.toDouble)).cast("int"))
+      // assistant turns are the odd indices 1, 3, … below k
+      .select(col(idCol), col("ts"), col("ntok"),
+        explode(filter(sequence(lit(0), col("k") - 1),
+          i => i % 2 === 1)).as("turn_idx"))
+    val i = col("turn_idx")
+    // char mass of the first i·T tokens (all prior turns are full)
+    val priorChars = length(array_join(
+      slice(col("ts"), lit(1), i * turnTokens), ""))
+    // prior turn strings: role sentinel + '\n' + content + '\n', where
+    // content adds (T−1) separators per full turn. i is odd, so the i
+    // prior turns are ⌈i/2⌉ user (8 chars) + ⌊i/2⌋ assistant (13):
+    // Σ = ⌊i/2⌋·21 + 8
+    val priorLen = floor(i / 2).cast("int") * (8 + 13) + lit(8) + i * 2 +
+      priorChars + i * (turnTokens - 1)
+    val content = array_join(slice(col("ts"), i * turnTokens + 1,
+      lit(turnTokens)), " ")
+    val start = lit(header.length).cast("long") + priorLen.cast("long") +
+      lit(13L + 1L) // "<|assistant|>" + '\n'
+    staged.select(col(idCol), i.cast("int").as("turn_idx"),
+      start.as("span_start"),
+      (start + length(content)).as("span_end"),
+      length(content).cast("long").as("span_chars"),
+      content.as("span_text"))
+  }
+
   /** Crawl snapshot diff — the monthly-recrawl bookkeeping step every
     * web corpus needs (Common Crawl ships a fresh snapshot every month;
     * an incremental pipeline wants to re-process only what moved): two

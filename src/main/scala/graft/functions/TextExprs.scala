@@ -80,6 +80,70 @@ object NfcNormalize {
   * it. Single-pass: doubly-mojibaked text repairs one layer per
   * application, deliberately (looping belongs to the caller's
   * policy). Returns struct(text, repaired). */
+/** Character-distribution entropy as a native expression — the
+  * compressibility quality signal (gibberish and binary-junk pages score
+  * high; template/boilerplate pages score low; both tails get cut in
+  * web-corpus curation — the heuristic family of Rae et al. 2021's
+  * quality gates). Order-0 Shannon entropy over UNICODE CODE POINTS:
+  * H = ln(n) − (Σ c·ln c)/n nats, reported in bits.
+  *
+  * Engine-replayability discipline: the Σ c·ln c reduction runs in
+  * ASCENDING code-point order (a TreeMap walk), so an oracle that sums
+  * its per-character terms in the same order differs only by per-term
+  * libm ulps — absorbed by the house 6-dp rounding rule (the x151
+  * ln() precedent). Returns struct(n_distinct, ent_bits); empty input
+  * yields (0, 0.0). One O(n log d) pass per row, no allocation beyond
+  * the count map — a scalar kernel in the [[HashExprs]] mold. */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("ent_bits", DoubleType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val (d, e) = CharEntropy.entropyBits(input.asInstanceOf[UTF8String].toString)
+    org.apache.spark.sql.catalyst.InternalRow(d, e)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "char_entropy"
+}
+
+object CharEntropy {
+
+  def apply(text: Column): Column =
+    GraftBridge.column(CharEntropy(GraftBridge.expression(text)))
+
+  private val Ln2 = java.lang.Math.log(2.0)
+
+  /** The kernel: (distinct code points, order-0 entropy in bits), with
+    * the Σ c·ln c fold pinned to ascending code-point order. */
+  def entropyBits(s: String): (Int, Double) = {
+    if (s.isEmpty) return (0, 0.0)
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      i += Character.charCount(cp)
+      n += 1L
+    }
+    var sum = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      sum += c * java.lang.Math.log(c)
+    }
+    val nats = java.lang.Math.log(n.toDouble) - sum / n.toDouble
+    (counts.size(), nats / Ln2)
+  }
+}
+
 case class FixMojibake(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {

@@ -274,6 +274,30 @@ object StreamingOps {
       .drop("__f")
   }
 
+  /** Streaming FIM transform: [[graft.ext.Curation.fimTransform]] per
+    * arriving document — the infilling prep runs at the ingest door
+    * because its splitmix cut/gate streams depend only on the doc id,
+    * never on corpus state. Pure column algebra, ZERO state, append
+    * mode; the same call on a batch DataFrame is the bit-exact twin
+    * (StreamingSpec pins it). */
+  def streamingFimGate(docStream: DataFrame,
+                       fimPct: Int = 50): DataFrame =
+    graft.ext.Curation.fimTransform(docStream, fimPct)
+
+  /** Streaming word-blocklist gate: the C4 rule enforced per arrival —
+    * `arrays_overlap` against the literal term list, stateless, append
+    * mode. A document either passes whole or is dropped at the door. */
+  def streamingBlocklistGate(docStream: DataFrame,
+                             terms: Seq[String]): DataFrame =
+    graft.ext.Curation.blocklistGate(docStream, terms)
+
+  /** Streaming entropy gate: the compressibility quality verdict per
+    * arrival ([[graft.ext.Curation.entropyGate]]) — the CharEntropy
+    * kernel is per-row, so the gate is stateless column algebra. */
+  def streamingEntropyGate(docStream: DataFrame, minBits: Double = 2.0,
+                           maxBits: Double = 6.0): DataFrame =
+    graft.ext.Curation.entropyGate(docStream, minBits, maxBits)
+
   /** The COMPOSED streaming ingest gate — the streaming twin of the
     * x171 batch corpus build's per-document stages, in ONE query:
     * PII scrub at the door, DSIR pricing against the stored bucket

@@ -679,6 +679,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p2.contains("Exchange"), s"mojibake repair shuffles:\n$p2")
   }
 
+  test("x181/x183/x184 curation transforms: FIM, entropy gate and " +
+    "loss-mask spans are scan-fused — zero exchange") {
+    Seq("x181_fim_transform", "x183_entropy_gate", "x184_chat_loss_mask")
+      .foreach { q =>
+        val p = executed(q).toString
+        assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+        assert(!p.contains("CartesianProduct"), s"$q goes all-pairs:\n$p")
+      }
+  }
+
+  test("x182 blocklist census: no join — the IN-list is map-side; ONE " +
+    "exchange keyed by term with partial aggregation") {
+    val p = executed("x182_blocklist_census").toString
+    assert(!p.contains("Join"), s"list-sized vocabulary joined:\n$p")
+    val nEx = "Exchange".r.findAllIn(p).length
+    assert(nEx <= 2, s"expected the term-key count exchanges only:\n$p")
+    assert(p.contains("partial"), s"no map-side partial aggregation:\n$p")
+  }
+
   test("x174 MP4 sample-track decode: demux + JPEG in the scan task, " +
     "zero exchange") {
     val p = executed("x174_mp4_jpeg_frames").toString

@@ -1972,6 +1972,96 @@ class ExtSpec extends AnyFunSuite {
     assert(row.getAs[Int]("rendered_chars") == expected.length)
   }
 
+  test("chat loss mask: spans extract exactly the assistant contents") {
+    val df = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+                 (2L, "a b c d e f g h i"),
+                 (3L, "solo")) // single turn: no assistant span
+      .toDF("doc_id", "text")
+    val rendered = Curation.chatRender(df, turnTokens = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("rendered")).toMap
+    val spans = Curation.chatLossMask(df, turnTokens = 4).collect()
+    assert(!spans.exists(_.getAs[Long]("doc_id") == 3L))
+    assert(spans.length == 2) // one assistant turn each for docs 1 and 2
+    spans.foreach { r =>
+      val full = rendered(r.getAs[Long]("doc_id"))
+      val s = r.getAs[Long]("span_start").toInt
+      val e = r.getAs[Long]("span_end").toInt
+      assert(full.substring(s, e) == r.getAs[String]("span_text"))
+      // the span is the content line of an assistant turn
+      assert(full.regionMatches(s - 14, "<|assistant|>\n", 0, 14))
+      assert(full.charAt(e) == '\n')
+      assert(r.getAs[Long]("span_chars") == e - s)
+    }
+    assert(spans.find(_.getAs[Long]("doc_id") == 1L).get
+      .getAs[String]("span_text") == "w5 w6 w7 w8")
+    assert(spans.find(_.getAs[Long]("doc_id") == 2L).get
+      .getAs[String]("span_text") == "e f g h")
+  }
+
+  test("fim transform: splitmix-derived cuts, PSM reassembly, rate gates") {
+    val df = Seq(5L -> "abcdefghij", 6L -> "0123456789", 7L -> "",
+                 8L -> "xy").toDF("doc_id", "text")
+    val all = Curation.fimTransform(df, fimPct = 100).collect()
+    all.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val orig = Map(5L -> "abcdefghij", 6L -> "0123456789", 7L -> "",
+                     8L -> "xy")(id)
+      assert(r.getAs[Boolean]("fim_applied"))
+      // cuts replay the published splitmix64 chains exactly
+      val m = orig.length + 1L
+      val c1 = Math.floorMod(graft.functions.HashExprs.mix64(id), m)
+      val c2 = Math.floorMod(
+        graft.functions.HashExprs.mix64(graft.functions.HashExprs.mix64(id)), m)
+      val (lo, hi) = (math.min(c1, c2).toInt, math.max(c1, c2).toInt)
+      assert(r.getAs[Long]("cut_lo") == lo && r.getAs[Long]("cut_hi") == hi)
+      val expected = "<|fim_prefix|>" + orig.substring(0, lo) +
+        "<|fim_suffix|>" + orig.substring(hi) +
+        "<|fim_middle|>" + orig.substring(lo, hi)
+      assert(r.getAs[String]("text") == expected)
+    }
+    // rate 0: pure pass-through, text byte-identical
+    val none = Curation.fimTransform(df, fimPct = 0).collect()
+    assert(none.forall(r => !r.getAs[Boolean]("fim_applied")))
+    assert(none.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap == Map(5L -> "abcdefghij", 6L -> "0123456789", 7L -> "",
+                    8L -> "xy"))
+  }
+
+  test("blocklist: token-boundary gate and term-priced census") {
+    val df = Seq(
+      (1L, "the Glass class surpasses expectations"), // substrings only
+      (2L, "ass backwards plan"),
+      (3L, "plain clean text"),
+      (4L, "ASS loud ass")) // case-folded, twice in one doc
+      .toDF("doc_id", "text")
+    val kept = Curation.blocklistGate(df, Seq("ass")).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 3L)) // "class"/"surpasses" don't trip the gate
+    val census = Curation.blocklistCensus(df, Seq("ass", "quantum")).collect()
+    assert(census.length == 1) // absent terms emit no row
+    val row = census.head
+    assert(row.getAs[String]("term") == "ass")
+    assert(row.getAs[Long]("n_docs") == 2L)
+    assert(row.getAs[Long]("n_occurrences") == 3L)
+  }
+
+  test("entropy gate: closed-form entropies, tails cut, empty dropped") {
+    val df = Seq((1L, "aaaaaaaa"),      // 0 bits
+                 (2L, "abababab"),      // 1 bit
+                 (3L, "abcdabcd"),      // 2 bits
+                 (4L, "abcdefgh"),      // 3 bits
+                 (5L, "")).toDF("doc_id", "text")
+    val r = Curation.entropyGate(df, minBits = 0.5, maxBits = 2.5).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_distinct"), x.getAs[Double]("ent_bits"),
+         x.getAs[Boolean]("keep"))).toMap
+    assert(!r.contains(5L))
+    assert(r(1L) == ((1L, 0.0, false)))
+    assert(r(2L) == ((2L, 1.0, true)))
+    assert(r(3L) == ((4L, 2.0, true)))
+    assert(r(4L) == ((8L, 3.0, false)))
+  }
+
   test("pca top component: recovers a planted dominant axis, " +
        "partitioning-invariant") {
     // coordinate 7 carries all the variance; every other axis is constant

@@ -477,6 +477,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(byId.forall { case (id, rep) => rep == (id % 3 != 2) })
   }
 
+  test("streaming curation gates (FIM / blocklist / entropy) equal " +
+       "batch — all stateless, append mode") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docsBatch = spark.read.parquet(s"$dir/documents.parquet")
+    def docStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val terms = Seq("hash", "vector")
+    val pairs = Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+      ("fim_gate_test", df => StreamingOps.streamingFimGate(df)),
+      ("blocklist_gate_test",
+        df => StreamingOps.streamingBlocklistGate(df, terms)),
+      ("entropy_gate_test",
+        df => StreamingOps.streamingEntropyGate(df, 3.5, 5.0)))
+    pairs.foreach { case (name, gate) =>
+      val streamed = StreamingOps.runBounded(spark, gate(docStream), name,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      val s = streamed.collect().map(_.toSeq).toSet
+      val b = gate(docsBatch).collect().map(_.toSeq).toSet
+      assert(s == b && s.nonEmpty, s"$name diverged from batch")
+    }
+  }
+
   test("composed streaming ingest gate (PII + DSIR + near-dup in ONE " +
        "stateful agg) equals batch, and each signal equals its " +
        "piecewise gate") {
