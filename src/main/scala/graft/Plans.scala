@@ -111,7 +111,10 @@ object Plans {
       "x181_fim_transform" -> "FIM transform: three splitmix64 streams, the cut/substr/concat algebra and the apply gate are ALL codegen'd column math fused into the scan — zero exchange, zero state; infilling prep is free at any corpus size.",
       "x182_blocklist_census" -> "Blocklist census: the literal IN-list evaluates map-side inside the token explode (no join for a list-sized vocabulary); the only exchange carries term keys into a partial+final count bounded by |blocklist|.",
       "x183_entropy_gate" -> "Entropy gate: the per-row CharEntropy kernel + 6-dp round + tail cut fuse into the scan — zero exchange; the compressibility signal costs one pass over the bytes it reads.",
-      "x184_chat_loss_mask" -> "SFT loss-mask spans: closed-form offsets mean explode + per-row arithmetic only — no window, no join, zero exchange; the mask rides the same narrow pass that renders the template.")
+      "x184_chat_loss_mask" -> "SFT loss-mask spans: closed-form offsets mean explode + per-row arithmetic only — no window, no join, zero exchange; the mask rides the same narrow pass that renders the template.",
+      "x185_span_corrupt" -> "T5 span corruption: per-block splitmix offsets and both token reassemblies are higher-order column functions fused into the scan — zero exchange, zero state; denoising prep never shuffles.",
+      "x186_ngram_novelty" -> "n-gram novelty: only (doc_id, shingle-long) pairs ride the exchanges; the df table is ONE shingle-keyed count bounded by gram cardinality and the re-agg is doc-keyed — the x33 census shape, never all-pairs.",
+      "x187_token_drift" -> "Token-distribution drift: one term-keyed census with map-side partials, totals and the decimal-routed KL each ONE broadcast row, TakeOrderedAndProject cut — the corpora never shuffle their text.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")

@@ -1206,6 +1206,32 @@ object SparkEntry {
     "x184_chat_loss_mask" -> ((s, d) =>
       ext.Curation.chatLossMask(t(s, d, "documents"))),
 
+    // x185 — T5 span corruption (Raffel et al. 2020 §3.1.4): blocked
+    // deterministic spans — every full 20-token block hides a 3-token
+    // span (15% corruption) at a mix64(doc_id·2^20+block)-derived
+    // offset; inputs/targets carry the sentinel numbering. The oracle
+    // replays the per-block chains through staged list_transforms.
+    "x185_span_corrupt" -> ((s, d) =>
+      ext.Curation.spanCorrupt(t(s, d, "documents"))),
+
+    // x186 — n-gram novelty (the WIMBD memorization audit): per doc,
+    // the fraction of its distinct 5-gram shingles occurring in no
+    // other document. Hash-keyed, string-mirrored in the oracle (the
+    // x21 collision-immaterial equivalence).
+    "x186_ngram_novelty" -> ((s, d) =>
+      ext.Curation.ngramNovelty(t(s, d, "documents"), shingleK = 5)),
+
+    // x187 — token-distribution drift between snapshots (even doc_ids
+    // = old crawl, odd = new): add-one KL(new||old) over the union
+    // vocabulary; top-20 contributing terms with the decimal-routed
+    // corpus total on every row.
+    "x187_token_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      ext.Curation.tokenDrift(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1))
+    }),
+
     // x33 — corpus-wide line-level boilerplate removal (CCNet/RefinedWeb
     // step) on a re-lined corpus: the flat synthetic text is chunked into
     // 2-token lines (deterministically, mirrored in the oracle), then any
@@ -6804,6 +6830,107 @@ object SparkEntry {
                 round((ln(nd) - s / nd) / ln(2), 6) >= 3.5 AND
                 round((ln(nd) - s / nd) / ln(2), 6) <= 5.0 AS keep
          FROM agg""",
+
+    // x185 — the per-block splitmix64 chains replayed through staged
+    // list_transform lambdas (one stage per finalizer step — nesting
+    // the chain would duplicate the HUGEINT algebra 16x), then the
+    // same inclusive-slice reassembly and sentinel numbering
+    "x185_span_corrupt" ->
+      s"""WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '\\s+'),
+             t -> length(t) > 0) AS ts
+           FROM documents),
+         base AS (SELECT doc_id, ts, len(ts) AS n, len(ts) // 20 AS nb
+                  FROM tok),
+         h0 AS (SELECT *, list_transform(range(0, nb),
+                  b -> (doc_id * 1048576 + b)::HUGEINT) AS u0s FROM base),
+         h1 AS (SELECT *, list_transform(u0s, u -> ${mulmodSql(
+             "xor(u, u // 1073741824::HUGEINT)", Mix64C1)}) AS u1s FROM h0),
+         h2 AS (SELECT *, list_transform(u1s, u -> ${mulmodSql(
+             "xor(u, u // 134217728::HUGEINT)", Mix64C2)}) AS u2s FROM h1),
+         h3 AS (SELECT *, list_transform(u2s,
+                  u -> xor(u, u // 2147483648::HUGEINT)) AS uhs FROM h2),
+         offs AS (SELECT doc_id, ts, n, nb,
+                    list_transform(uhs,
+                      u -> ((${signedSql("u")} % 18) + 18) % 18) AS os
+                  FROM h3),
+         built AS (SELECT doc_id, n, nb,
+           array_to_string(
+             flatten(list_transform(range(0, nb), b ->
+               ts[CAST(b*20+1 AS INTEGER):CAST(b*20 + os[b+1] AS INTEGER)]
+               || ['<extra_id_' || b || '>']
+               || ts[CAST(b*20 + os[b+1] + 4 AS INTEGER):CAST((b+1)*20 AS INTEGER)]))
+             || ts[CAST(nb*20+1 AS INTEGER):CAST(n AS INTEGER)],
+             ' ') AS inputs,
+           array_to_string(
+             flatten(list_transform(range(0, nb), b ->
+               ['<extra_id_' || b || '>']
+               || ts[CAST(b*20 + os[b+1] + 1 AS INTEGER):CAST(b*20 + os[b+1] + 3 AS INTEGER)]))
+             || ['<extra_id_' || nb || '>'],
+             ' ') AS targets
+           FROM offs)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                CAST(nb AS BIGINT) AS n_spans, inputs, targets
+         FROM built""",
+
+    // x186 — the x21 equivalence at k=5: STRING shingles, distinct per
+    // doc, df = plain count over the distinct sets; novelty is one
+    // correctly-rounded integer division
+    "x186_ngram_novelty" ->
+      """WITH vtok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '\s+'),
+             t -> length(t) > 0) AS l
+           FROM documents),
+         vsh AS (
+           SELECT DISTINCT doc_id, unnest(list_filter(
+             list_transform(range(1, greatest(len(l) - 3, 1)),
+               i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+                    l[i+3] || ' ' || l[i+4]),
+             x -> x IS NOT NULL)) AS shingle
+           FROM vtok),
+         vsizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM vsh GROUP BY 1),
+         vdf AS (SELECT shingle, COUNT(*) AS df FROM vsh GROUP BY 1),
+         vnov AS (SELECT s.doc_id,
+                    SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_novel
+                  FROM vsh s JOIN vdf d ON d.shingle = s.shingle
+                  GROUP BY 1)
+         SELECT z.doc_id, CAST(z.n_sh AS BIGINT) AS n_sh,
+                CAST(v.n_novel AS BIGINT) AS n_novel,
+                CAST(v.n_novel AS DOUBLE) / z.n_sh AS novelty
+         FROM vsizes z JOIN vnov v ON v.doc_id = z.doc_id""",
+
+    // x187 — identical add-one smoothing and p·ln(p/q) parenthesization
+    // (9-dp round per term — the ln() libm rule), the total through the
+    // DECIMAL(28,12) route, the same (contribution, term) cut order
+    "x187_token_drift" ->
+      """WITH wtok AS (
+           SELECT doc_id % 2 AS snap, unnest(list_filter(
+             regexp_split_to_array(lower(text), '\s+'),
+             t -> length(t) > 0)) AS term
+           FROM documents),
+         wcen AS (SELECT term,
+             CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+             CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+           FROM wtok GROUP BY 1),
+         wtot AS (SELECT CAST(SUM(c_old) AS BIGINT) AS n_old,
+                         CAST(SUM(c_new) AS BIGINT) AS n_new,
+                         COUNT(*) AS v
+                  FROM wcen),
+         wscore AS (SELECT term, c_old, c_new,
+             round(((c_new + 1)::DOUBLE / (n_new + v)::DOUBLE)
+               * ln(((c_new + 1)::DOUBLE / (n_new + v)::DOUBLE)
+                    / ((c_old + 1)::DOUBLE / (n_old + v)::DOUBLE)),
+               9) AS contribution
+           FROM wcen, wtot),
+         wkl AS (SELECT round(CAST(SUM(CAST(contribution
+                   AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl_total
+                 FROM wscore)
+         SELECT term, c_old, c_new, contribution, kl_total
+         FROM wscore, wkl
+         ORDER BY contribution DESC, term
+         LIMIT 20""",
 
     // x184 — the x93 template's offsets replayed closed-form: header +
     // ⌊i/2⌋·21+8 role chars + 2i newlines + the char mass of the first

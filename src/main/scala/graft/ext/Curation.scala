@@ -53,6 +53,76 @@ object Curation {
         col("n_hit").cast("double") / col("n_sh"))
   }
 
+  /** n-gram novelty — the memorization/duplication audit (the WIMBD
+    * "how much of this corpus is unique text" analysis, Elazar et al.
+    * 2023): for every document, the fraction of its distinct k-gram
+    * shingles that occur in NO other document. Low novelty marks docs
+    * assembled from corpus-common text (boilerplate, mirrors, spam
+    * spinners) — the doc-level complement of [[contamination]]'s
+    * benchmark-level audit, on the same 64-bit shingle machinery.
+    * Docs with fewer than k tokens have no shingles and are dropped.
+    *
+    * 100 TB posture (the x33 line-census shape): only (doc_id,
+    * shingle-long) pairs ride the exchanges; the df table is ONE
+    * shingle-keyed count bounded by distinct-gram cardinality, both
+    * join sides canonicalize to the same exchange, and the re-agg is
+    * doc-keyed — nothing all-pairs, no text on the wire. */
+  def ngramNovelty(docs: DataFrame, shingleK: Int = 5,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val pairs = docs
+      .select(col(idCol), Dedup.tokenHashes(col(textCol), shingleK).as("hs"))
+      .select(col(idCol), size(col("hs")).cast("long").as("n_sh"),
+              explode(col("hs")).as("shingle"))
+    // per-doc shingle sets are distinct, so count(*) = distinct docs
+    val dfq = pairs.groupBy("shingle").agg(count(lit(1)).as("df"))
+    pairs.join(dfq, "shingle")
+      .groupBy(idCol)
+      .agg(first("n_sh").as("n_sh"),
+           sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_sh"))
+  }
+
+  /** Token-distribution drift between two corpus snapshots — the
+    * monitoring report a recurring-ingest pipeline alerts on (a crawl
+    * whose unigram distribution lurches between months usually means a
+    * scraper regression or a spam flood, not the web changing): add-one
+    * smoothed KL(new‖old) over the union vocabulary, reported as the
+    * top-`topK` contributing terms plus the corpus-wide total on every
+    * row. Contributions are 9-dp rounded (the ln() libm rule) and the
+    * total folds through the decimal route ([[graft.ops.Stable]]) so it
+    * is order-independent; ties at the cut break on the term.
+    *
+    * Shape at 100 TB: one term-keyed census (map-side partials, bounded
+    * by vocabulary size), the totals and the KL sum each ONE aggregated
+    * row broadcast back, and the cut is TakeOrderedAndProject — the
+    * corpora never shuffle their text. */
+  def tokenDrift(oldDocs: DataFrame, newDocs: DataFrame, topK: Int = 20,
+                 textCol: String = "text"): DataFrame = {
+    def terms(df: DataFrame, snap: Int) = df.select(
+      explode(filter(TextOps.tokens(col(textCol)),
+        t => length(t) > 0)).as("term"), lit(snap).as("snap"))
+    val census = terms(oldDocs, 0).unionByName(terms(newDocs, 1))
+      .groupBy("term")
+      .agg(sum(when(col("snap") === 0, 1L).otherwise(0L)).as("c_old"),
+           sum(when(col("snap") === 1, 1L).otherwise(0L)).as("c_new"))
+    val totals = census.agg(
+      sum("c_old").as("n_old"), sum("c_new").as("n_new"),
+      count(lit(1)).as("v"))
+    val p = (col("c_new") + 1).cast("double") /
+      (col("n_new") + col("v")).cast("double")
+    val q = (col("c_old") + 1).cast("double") /
+      (col("n_old") + col("v")).cast("double")
+    val scored = census.crossJoin(broadcast(totals))
+      .withColumn("contribution", round(p * log(p / q), 9))
+    val klRow = scored.agg(
+      round(graft.ops.Stable.sumD(col("contribution"), 12), 6).as("kl_total"))
+    scored.crossJoin(broadcast(klRow))
+      .orderBy(col("contribution").desc, col("term"))
+      .limit(topK)
+      .select("term", "c_old", "c_new", "contribution", "kl_total")
+  }
+
   /** Deterministic hash-based sampling: keep a document iff
     * pmod(mix64(doc_id), den) < num — an exact num/den-rate sample that is
     * reproducible across runs, retries, partitionings, and engines
@@ -552,6 +622,67 @@ object Curation {
       when(col("fim_applied"),
         concat(lit(preTok), pre, lit(sufTok), suf, lit(midTok), mid))
         .otherwise(col(textCol)).as(textCol))
+  }
+
+  /** T5-style span corruption — the denoising-objective data prep
+    * (Raffel et al. 2020 §3.1.4; UL2's R-denoiser): mask contiguous
+    * token spans with sentinel tokens, emit the `inputs` sequence
+    * (spans replaced by `<extra_id_k>`) and the `targets` sequence
+    * (each sentinel followed by the tokens it hid, closed by a final
+    * sentinel) — the (inputs, targets) pair an encoder-decoder trains
+    * on.
+    *
+    * Deterministic blocked variant (so an independent engine can
+    * replay it exactly — the [[fimTransform]] discipline): the token
+    * stream partitions into fixed `blockTokens` blocks; every FULL
+    * block contributes one `spanTokens`-token span whose offset inside
+    * the block is `pmod(mix64(doc_id·2²⁰ + blockIdx), blockTokens −
+    * spanTokens + 1)` — corruption rate = spanTokens/blockTokens
+    * (3/20 = the paper's 15%), spans never overlap by construction,
+    * and the tail short block stays clean. Ids must stay below 2⁴³
+    * (the block index packs into the low 20 bits).
+    *
+    * Pure narrow column algebra — the per-block offsets, both token
+    * reassemblies and the sentinel numbering all fuse into the scan;
+    * zero shuffle at any corpus size. */
+  def spanCorrupt(docs: DataFrame, blockTokens: Int = 20,
+                  spanTokens: Int = 3,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    require(blockTokens > spanTokens && spanTokens > 0,
+      s"need blockTokens > spanTokens > 0: $blockTokens/$spanTokens")
+    val B = blockTokens
+    val L = spanTokens
+    val toks = filter(TextOps.tokens(col(textCol)), t => length(t) > 0)
+    val staged = docs.select(col(idCol), toks.as("ts"))
+      .withColumn("n", size(col("ts")))
+      .withColumn("nb", expr(s"CAST(n DIV $B AS INT)"))
+      .withColumn("blocks",
+        when(col("nb") > 0, sequence(lit(0), col("nb") - 1))
+          .otherwise(array().cast("array<int>")))
+    def off(b: Column) = pmod(
+      graft.functions.HashExprs.mix64_col(
+        col(idCol) * lit(1048576L) + b.cast("long")),
+      lit((B - L + 1).toLong)).cast("int")
+    def sentinel(k: Column) =
+      concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+    val inputsToks = concat(
+      flatten(transform(col("blocks"), b =>
+        concat(
+          slice(col("ts"), b * B + 1, off(b)),
+          array(sentinel(b)),
+          slice(col("ts"), b * B + off(b) + L + 1, lit(B) - off(b) - L)))),
+      slice(col("ts"), col("nb") * B + 1, col("n") - col("nb") * B))
+    val targetsToks = concat(
+      flatten(transform(col("blocks"), b =>
+        concat(array(sentinel(b)),
+               slice(col("ts"), b * B + off(b) + 1, lit(L))))),
+      array(sentinel(col("nb"))))
+    staged.select(col(idCol),
+      col("n").cast("long").as("n_tokens"),
+      col("nb").cast("long").as("n_spans"),
+      array_join(inputsToks, " ").as("inputs"),
+      array_join(targetsToks, " ").as("targets"))
   }
 
   /** Word-blocklist census — the C4-style "bad words" curation stage

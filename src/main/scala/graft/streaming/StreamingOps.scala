@@ -284,6 +284,15 @@ object StreamingOps {
                        fimPct: Int = 50): DataFrame =
     graft.ext.Curation.fimTransform(docStream, fimPct)
 
+  /** Streaming span corruption: [[graft.ext.Curation.spanCorrupt]] per
+    * arriving document — like the FIM gate, the blocked offsets depend
+    * only on (doc id, block index), so denoising prep is stateless
+    * column algebra at the ingest door. */
+  def streamingSpanCorrupt(docStream: DataFrame,
+                           blockTokens: Int = 20,
+                           spanTokens: Int = 3): DataFrame =
+    graft.ext.Curation.spanCorrupt(docStream, blockTokens, spanTokens)
+
   /** Streaming word-blocklist gate: the C4 rule enforced per arrival —
     * `arrays_overlap` against the literal term list, stateless, append
     * mode. A document either passes whole or is dropped at the door. */

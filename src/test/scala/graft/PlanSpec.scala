@@ -689,6 +689,29 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
+  test("x185 span corruption: per-block offsets and both reassemblies " +
+    "fuse into the scan — zero exchange") {
+    val p = executed("x185_span_corrupt").toString
+    assert(!p.contains("Exchange"), s"span corruption shuffles:\n$p")
+  }
+
+  test("x186 ngram novelty: shingle-keyed df + doc re-agg, nothing " +
+    "all-pairs, no text on the exchanges") {
+    val p = executed("x186_ngram_novelty").toString
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoop"), s"all-pairs crept in:\n$p")
+    // the only join key is the 64-bit shingle — a SortMergeJoin or
+    // shuffled hash join on `shingle` is the expected 100 TB shape
+    assert(p.contains("shingle"), s"novelty lost its shingle key:\n$p")
+  }
+
+  test("x187 token drift: term census + one-row broadcasts + " +
+    "TakeOrdered cut — no global sort of the vocabulary") {
+    val p = executed("x187_token_drift").toString
+    assert(p.contains("TakeOrderedAndProject"), s"full sort at the cut:\n$p")
+    assert(!p.contains("CartesianProduct"), s"non-broadcast cross:\n$p")
+  }
+
   test("x182 blocklist census: no join — the IN-list is map-side; ONE " +
     "exchange keyed by term with partial aggregation") {
     val p = executed("x182_blocklist_census").toString

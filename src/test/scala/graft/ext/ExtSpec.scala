@@ -2062,6 +2062,74 @@ class ExtSpec extends AnyFunSuite {
     assert(r(4L) == ((8L, 3.0, false)))
   }
 
+  test("span corruption: offsets replay splitmix, targets splice back " +
+       "to the original, short docs stay clean") {
+    val text25 = (1 to 25).map(i => s"w$i").mkString(" ")
+    val df = Seq(9L -> text25, 10L -> "a b c").toDF("doc_id", "text")
+    val r = Curation.spanCorrupt(df).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // doc 9: one full block; offset = pmod(mix64(9*2^20 + 0), 18)
+    val row = r(9L)
+    assert(row.getAs[Long]("n_tokens") == 25 && row.getAs[Long]("n_spans") == 1)
+    val off = Math.floorMod(
+      graft.functions.HashExprs.mix64(9L * 1048576L), 18L).toInt
+    val toks = text25.split(" ")
+    val expIn = (toks.slice(0, off) ++ Array("<extra_id_0>") ++
+      toks.slice(off + 3, 20) ++ toks.slice(20, 25)).mkString(" ")
+    val expTg = ("<extra_id_0>" +: toks.slice(off, off + 3)).mkString(" ") +
+      " <extra_id_1>"
+    assert(row.getAs[String]("inputs") == expIn)
+    assert(row.getAs[String]("targets") == expTg)
+    // splicing targets back into inputs reconstructs the original
+    val spliced = row.getAs[String]("inputs").replace("<extra_id_0>",
+      row.getAs[String]("targets")
+        .stripPrefix("<extra_id_0> ").stripSuffix(" <extra_id_1>"))
+    assert(spliced == text25)
+    // doc 10: below one block — untouched inputs, empty-span targets
+    assert(r(10L).getAs[Long]("n_spans") == 0)
+    assert(r(10L).getAs[String]("inputs") == "a b c")
+    assert(r(10L).getAs[String]("targets") == "<extra_id_0>")
+  }
+
+  test("ngram novelty: shared text scores 0, unique text 1, short dropped") {
+    val shared = "one two three four five six seven eight"
+    val df = Seq(
+      (1L, shared), (2L, shared),
+      (3L, "nine ten eleven twelve thirteen fourteen"),
+      (4L, "too few words here")) // < 5 tokens: no shingles
+      .toDF("doc_id", "text")
+    val r = Curation.ngramNovelty(df, shingleK = 5).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_sh"), x.getAs[Long]("n_novel"),
+         x.getAs[Double]("novelty"))).toMap
+    assert(!r.contains(4L))
+    assert(r(1L) == ((4L, 0L, 0.0)) && r(2L) == ((4L, 0L, 0.0)))
+    assert(r(3L) == ((2L, 2L, 1.0)))
+  }
+
+  test("token drift: hand-checked add-one KL, total equals the " +
+       "contribution sum, cut ordered") {
+    val oldDocs = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val newDocs = Seq((2L, "a b b b")).toDF("doc_id", "text")
+    val rows = Curation.tokenDrift(oldDocs, newDocs, topK = 20).collect()
+    assert(rows.length == 2)
+    val byTerm = rows.map(r => r.getAs[String]("term") -> r).toMap
+    // vocab v=2, n_old=3, n_new=4: p_a=2/6, q_a=3/5; p_b=4/6, q_b=2/5
+    def contrib(cn: Long, co: Long): Double = {
+      val p = (cn + 1).toDouble / 6.0; val q = (co + 1).toDouble / 5.0
+      BigDecimal(p * math.log(p / q))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(byTerm("a").getAs[Long]("c_old") == 2 &&
+           byTerm("a").getAs[Long]("c_new") == 1)
+    assert(byTerm("a").getAs[Double]("contribution") == contrib(1, 2))
+    assert(byTerm("b").getAs[Double]("contribution") == contrib(3, 1))
+    val total = byTerm("a").getAs[Double]("kl_total")
+    val expTotal = BigDecimal(contrib(1, 2)) + BigDecimal(contrib(3, 1))
+    assert(math.abs(total - expTotal.toDouble) < 1e-6)
+    assert(total > 0.0) // KL of genuinely drifted corpora is positive
+  }
+
   test("pca top component: recovers a planted dominant axis, " +
        "partitioning-invariant") {
     // coordinate 7 carries all the variance; every other axis is constant

@@ -493,7 +493,9 @@ class StreamingSpec extends AnyFunSuite {
       ("blocklist_gate_test",
         df => StreamingOps.streamingBlocklistGate(df, terms)),
       ("entropy_gate_test",
-        df => StreamingOps.streamingEntropyGate(df, 3.5, 5.0)))
+        df => StreamingOps.streamingEntropyGate(df, 3.5, 5.0)),
+      ("span_corrupt_test",
+        df => StreamingOps.streamingSpanCorrupt(df)))
     pairs.foreach { case (name, gate) =>
       val streamed = StreamingOps.runBounded(spark, gate(docStream), name,
         org.apache.spark.sql.streaming.OutputMode.Append())
