@@ -114,7 +114,8 @@ object Plans {
       "x184_chat_loss_mask" -> "SFT loss-mask spans: closed-form offsets mean explode + per-row arithmetic only — no window, no join, zero exchange; the mask rides the same narrow pass that renders the template.",
       "x185_span_corrupt" -> "T5 span corruption: per-block splitmix offsets and both token reassemblies are higher-order column functions fused into the scan — zero exchange, zero state; denoising prep never shuffles.",
       "x186_ngram_novelty" -> "n-gram novelty: only (doc_id, shingle-long) pairs ride the exchanges; the df table is ONE shingle-keyed count bounded by gram cardinality and the re-agg is doc-keyed — the x33 census shape, never all-pairs.",
-      "x187_token_drift" -> "Token-distribution drift: one term-keyed census with map-side partials, totals and the decimal-routed KL each ONE broadcast row, TakeOrderedAndProject cut — the corpora never shuffle their text.")
+      "x187_token_drift" -> "Token-distribution drift: one term-keyed census with map-side partials, totals and the decimal-routed KL each ONE broadcast row, TakeOrderedAndProject cut — the corpora never shuffle their text.",
+      "x188_ul2_denoisers" -> "UL2 mixture: mode routing and all three denoiser branches (R/S/X) ride one CaseWhen of higher-order column functions in the scan stage — zero exchange, zero state; codegen evaluates only the matched branch per row.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")

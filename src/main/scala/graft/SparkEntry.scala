@@ -1214,6 +1214,15 @@ object SparkEntry {
     "x185_span_corrupt" -> ((s, d) =>
       ext.Curation.spanCorrupt(t(s, d, "documents"))),
 
+    // x188 — UL2 mixture-of-denoisers (Tay et al. 2022): each doc is
+    // hash-assigned R (3-of-20 spans), S (prefix-LM cut) or X (8-of-16
+    // extreme spans); the mode stream (mix64(doc_id+1000003)) is
+    // independent of the span/cut streams. The oracle replays mode and
+    // cut through composed smix chains and the block offsets through
+    // the x185 staged lambdas with mode-CASEd block geometry.
+    "x188_ul2_denoisers" -> ((s, d) =>
+      ext.Curation.ul2Denoisers(t(s, d, "documents"))),
+
     // x186 — n-gram novelty (the WIMBD memorization audit): per doc,
     // the fraction of its distinct 5-gram shingles occurring in no
     // other document. Hash-keyed, string-mirrored in the oracle (the
@@ -6872,6 +6881,74 @@ object SparkEntry {
            FROM offs)
          SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
                 CAST(nb AS BIGINT) AS n_spans, inputs, targets
+         FROM built""",
+
+    // x188 — mode and prefix cut through composed smix chains (per-row),
+    // block offsets through the x185 staged lambdas with mode-CASEd
+    // geometry (bb/bl/nb columns close over the lambdas); every branch
+    // is total so the vectorized CASE can evaluate either side safely
+    "x188_ul2_denoisers" ->
+      s"""WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '\\s+'),
+             t -> length(t) > 0) AS ts
+           FROM documents),
+         u0 AS (SELECT doc_id, ts, len(ts) AS n,
+                  (doc_id + 1000003)::HUGEINT AS um,
+                  (doc_id * 1048576)::HUGEINT AS uc
+                FROM tok),
+         ${smixCtes("u0", "um", "uhm", "ga")},
+         ${smixCtes("ga3", "uc", "uhc", "gb")},
+         modal0 AS (SELECT doc_id, ts, n,
+             CAST(((${signedSql("uhm")} % 3) + 3) % 3 AS INTEGER) AS mode,
+             CAST(((${signedSql("uhc")} % (n + 1)) + (n + 1)) % (n + 1)
+                  AS INTEGER) AS scut
+           FROM gb3),
+         modal AS (SELECT *,
+             CASE mode WHEN 0 THEN n // 20 WHEN 2 THEN n // 16
+                       ELSE 0 END AS nb,
+             CASE mode WHEN 0 THEN 20 WHEN 2 THEN 16 ELSE 1 END AS bb,
+             CASE mode WHEN 0 THEN 3 WHEN 2 THEN 8 ELSE 0 END AS bl
+           FROM modal0),
+         g0 AS (SELECT *, list_transform(range(0, nb),
+                  b -> (doc_id * 1048576 + b)::HUGEINT) AS l0 FROM modal),
+         g1 AS (SELECT *, list_transform(l0, u -> ${mulmodSql(
+             "xor(u, u // 1073741824::HUGEINT)", Mix64C1)}) AS l1 FROM g0),
+         g2 AS (SELECT *, list_transform(l1, u -> ${mulmodSql(
+             "xor(u, u // 134217728::HUGEINT)", Mix64C2)}) AS l2 FROM g1),
+         g3 AS (SELECT *, list_transform(l2,
+                  u -> xor(u, u // 2147483648::HUGEINT)) AS lh FROM g2),
+         goffs AS (SELECT doc_id, ts, n, mode, scut, nb, bb, bl,
+             list_transform(lh,
+               u -> ((${signedSql("u")} % (bb - bl + 1)) + (bb - bl + 1))
+                    % (bb - bl + 1)) AS os
+           FROM g3),
+         built AS (SELECT doc_id, mode, n, nb,
+             CASE WHEN mode = 1
+               THEN array_to_string(
+                 ts[1:CAST(scut AS INTEGER)] || ['<extra_id_0>'], ' ')
+               ELSE array_to_string(
+                 flatten(list_transform(range(0, nb), b ->
+                   ts[CAST(b*bb+1 AS INTEGER):CAST(b*bb + os[b+1] AS INTEGER)]
+                   || ['<extra_id_' || b || '>']
+                   || ts[CAST(b*bb + os[b+1] + bl + 1 AS INTEGER):CAST((b+1)*bb AS INTEGER)]))
+                 || ts[CAST(nb*bb+1 AS INTEGER):CAST(n AS INTEGER)], ' ')
+             END AS inputs,
+             CASE WHEN mode = 1
+               THEN array_to_string(
+                 ['<extra_id_0>'] ||
+                 ts[CAST(scut+1 AS INTEGER):CAST(n AS INTEGER)], ' ')
+               ELSE array_to_string(
+                 flatten(list_transform(range(0, nb), b ->
+                   ['<extra_id_' || b || '>']
+                   || ts[CAST(b*bb + os[b+1] + 1 AS INTEGER):CAST(b*bb + os[b+1] + bl AS INTEGER)]))
+                 || ['<extra_id_' || nb || '>'], ' ')
+             END AS targets
+           FROM goffs)
+         SELECT doc_id, mode, CAST(n AS BIGINT) AS n_tokens,
+                CAST(CASE WHEN mode = 1 THEN 1 ELSE nb END AS BIGINT)
+                  AS n_spans,
+                inputs, targets
          FROM built""",
 
     // x186 — the x21 equivalence at k=5: STRING shingles, distinct per

@@ -649,17 +649,28 @@ object Curation {
                   spanTokens: Int = 3,
                   textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame = {
-    require(blockTokens > spanTokens && spanTokens > 0,
-      s"need blockTokens > spanTokens > 0: $blockTokens/$spanTokens")
-    val B = blockTokens
-    val L = spanTokens
     val toks = filter(TextOps.tokens(col(textCol)), t => length(t) > 0)
     val staged = docs.select(col(idCol), toks.as("ts"))
       .withColumn("n", size(col("ts")))
-      .withColumn("nb", expr(s"CAST(n DIV $B AS INT)"))
-      .withColumn("blocks",
-        when(col("nb") > 0, sequence(lit(0), col("nb") - 1))
-          .otherwise(array().cast("array<int>")))
+    val (nb, inputs, targets) =
+      corruptCols(col("ts"), col("n"), blockTokens, spanTokens, idCol)
+    staged.select(col(idCol),
+      col("n").cast("long").as("n_tokens"),
+      nb.cast("long").as("n_spans"),
+      inputs.as("inputs"),
+      targets.as("targets"))
+  }
+
+  /** The blocked-corruption kernel shared by [[spanCorrupt]] and
+    * [[ul2Denoisers]]: over a token-array column `ts` of size `n`,
+    * returns (block count, inputs string, targets string) for block
+    * size `B` and span length `L`. */
+  private def corruptCols(ts: Column, n: Column, B: Int, L: Int,
+                          idCol: String): (Column, Column, Column) = {
+    require(B > L && L > 0, s"need blockTokens > spanTokens > 0: $B/$L")
+    val nb = floor(n / B).cast("int")
+    val blocks = when(nb > 0, sequence(lit(0), nb - 1))
+      .otherwise(array().cast("array<int>"))
     def off(b: Column) = pmod(
       graft.functions.HashExprs.mix64_col(
         col(idCol) * lit(1048576L) + b.cast("long")),
@@ -667,22 +678,57 @@ object Curation {
     def sentinel(k: Column) =
       concat(lit("<extra_id_"), k.cast("string"), lit(">"))
     val inputsToks = concat(
-      flatten(transform(col("blocks"), b =>
+      flatten(transform(blocks, b =>
         concat(
-          slice(col("ts"), b * B + 1, off(b)),
+          slice(ts, b * B + 1, off(b)),
           array(sentinel(b)),
-          slice(col("ts"), b * B + off(b) + L + 1, lit(B) - off(b) - L)))),
-      slice(col("ts"), col("nb") * B + 1, col("n") - col("nb") * B))
+          slice(ts, b * B + off(b) + L + 1, lit(B) - off(b) - L)))),
+      slice(ts, nb * B + 1, n - nb * B))
     val targetsToks = concat(
-      flatten(transform(col("blocks"), b =>
+      flatten(transform(blocks, b =>
         concat(array(sentinel(b)),
-               slice(col("ts"), b * B + off(b) + 1, lit(L))))),
-      array(sentinel(col("nb"))))
-    staged.select(col(idCol),
+               slice(ts, b * B + off(b) + 1, lit(L))))),
+      array(sentinel(nb)))
+    (nb, array_join(inputsToks, " "), array_join(targetsToks, " "))
+  }
+
+  /** UL2 mixture-of-denoisers (Tay et al. 2022): every document is
+    * deterministically assigned one of three denoising objectives and
+    * prepped for it — mode 0 = R (regular: the [[spanCorrupt]] 15%
+    * short spans, 3-of-20), mode 1 = S (sequential/prefix-LM: one cut,
+    * inputs = prefix + sentinel, targets = sentinel + continuation),
+    * mode 2 = X (extreme: long spans at high rate, 8-of-16 = 50%).
+    * The mode stream is `mix64(doc_id + 1000003)` — independent of the
+    * block-offset and cut streams, so re-bucketing the mixture never
+    * moves any span. All three branches are column algebra under ONE
+    * CaseWhen (codegen evaluates only the matched branch); zero
+    * shuffle at any corpus size. */
+  def ul2Denoisers(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val toks = filter(TextOps.tokens(col(textCol)), t => length(t) > 0)
+    val staged = docs.select(col(idCol), toks.as("ts"))
+      .withColumn("n", size(col("ts")))
+    val mode = pmod(
+      graft.functions.HashExprs.mix64_add_col(col(idCol), 1000003L),
+      lit(3L)).cast("int")
+    val (nbR, inR, tgR) = corruptCols(col("ts"), col("n"), 20, 3, idCol)
+    val (nbX, inX, tgX) = corruptCols(col("ts"), col("n"), 16, 8, idCol)
+    val cut = pmod(
+      graft.functions.HashExprs.mix64_col(col(idCol) * lit(1048576L)),
+      col("n").cast("long") + 1L).cast("int")
+    val inS = array_join(concat(
+      slice(col("ts"), lit(1), cut), array(lit("<extra_id_0>"))), " ")
+    val tgS = array_join(concat(
+      array(lit("<extra_id_0>")),
+      slice(col("ts"), cut + 1, col("n") - cut)), " ")
+    staged.select(col(idCol), mode.as("mode"),
       col("n").cast("long").as("n_tokens"),
-      col("nb").cast("long").as("n_spans"),
-      array_join(inputsToks, " ").as("inputs"),
-      array_join(targetsToks, " ").as("targets"))
+      when(mode === 1, lit(1)).when(mode === 0, nbR).otherwise(nbX)
+        .cast("long").as("n_spans"),
+      when(mode === 1, inS).when(mode === 0, inR).otherwise(inX)
+        .as("inputs"),
+      when(mode === 1, tgS).when(mode === 0, tgR).otherwise(tgX)
+        .as("targets"))
   }
 
   /** Word-blocklist census — the C4-style "bad words" curation stage

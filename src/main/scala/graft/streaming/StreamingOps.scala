@@ -293,6 +293,13 @@ object StreamingOps {
                            spanTokens: Int = 3): DataFrame =
     graft.ext.Curation.spanCorrupt(docStream, blockTokens, spanTokens)
 
+  /** Streaming UL2 prep: [[graft.ext.Curation.ul2Denoisers]] per
+    * arriving document — mode routing and every denoiser branch are
+    * id-keyed column algebra, so the mixture assignment is stable
+    * however the stream is micro-batched. */
+  def streamingUl2Gate(docStream: DataFrame): DataFrame =
+    graft.ext.Curation.ul2Denoisers(docStream)
+
   /** Streaming word-blocklist gate: the C4 rule enforced per arrival —
     * `arrays_overlap` against the literal term list, stateless, append
     * mode. A document either passes whole or is dropped at the door. */

@@ -695,6 +695,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"span corruption shuffles:\n$p")
   }
 
+  test("x188 UL2 mixture: all three denoiser branches ride one CaseWhen " +
+    "in the scan stage — zero exchange") {
+    val p = executed("x188_ul2_denoisers").toString
+    assert(!p.contains("Exchange"), s"UL2 prep shuffles:\n$p")
+  }
+
   test("x186 ngram novelty: shingle-keyed df + doc re-agg, nothing " +
     "all-pairs, no text on the exchanges") {
     val p = executed("x186_ngram_novelty").toString

@@ -2091,6 +2091,43 @@ class ExtSpec extends AnyFunSuite {
     assert(r(10L).getAs[String]("targets") == "<extra_id_0>")
   }
 
+  test("ul2 denoisers: hash-routed modes, each branch equals its " +
+       "dedicated prep") {
+    import graft.functions.HashExprs.mix64
+    val text25 = (1 to 25).map(i => s"w$i").mkString(" ")
+    val ids = (0L until 30L)
+    val df = ids.map(i => (i, text25)).toDF("doc_id", "text")
+    val r = Curation.ul2Denoisers(df).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    val modes = ids.map(i => i -> Math.floorMod(mix64(i + 1000003L), 3L).toInt)
+    assert(modes.map(_._2).distinct.sorted == Seq(0, 1, 2)) // all modes hit
+    modes.foreach { case (id, m) =>
+      assert(r(id).getAs[Int]("mode") == m, s"doc $id mode")
+      m match {
+        case 0 => // R ≡ spanCorrupt(20, 3)
+          val exp = Curation.spanCorrupt(df.filter(col("doc_id") === id))
+            .head()
+          assert(r(id).getAs[String]("inputs") == exp.getAs[String]("inputs"))
+          assert(r(id).getAs[String]("targets") == exp.getAs[String]("targets"))
+          assert(r(id).getAs[Long]("n_spans") == 1) // 25 tokens, one block
+        case 1 => // S: prefix-LM — splice reconstructs the original
+          val cut = Math.floorMod(mix64(id * 1048576L), 26L).toInt
+          val toks = text25.split(" ")
+          assert(r(id).getAs[String]("inputs") ==
+            (toks.take(cut) :+ "<extra_id_0>").mkString(" "))
+          assert(r(id).getAs[String]("targets") ==
+            ("<extra_id_0>" +: toks.drop(cut)).mkString(" "))
+          assert(r(id).getAs[Long]("n_spans") == 1)
+        case _ => // X ≡ spanCorrupt(16, 8): 25 tokens → one 8-token span
+          val exp = Curation.spanCorrupt(df.filter(col("doc_id") === id),
+            blockTokens = 16, spanTokens = 8).head()
+          assert(r(id).getAs[String]("inputs") == exp.getAs[String]("inputs"))
+          assert(r(id).getAs[String]("targets") == exp.getAs[String]("targets"))
+          assert(r(id).getAs[Long]("n_spans") == 1)
+      }
+    }
+  }
+
   test("ngram novelty: shared text scores 0, unique text 1, short dropped") {
     val shared = "one two three four five six seven eight"
     val df = Seq(

@@ -495,7 +495,9 @@ class StreamingSpec extends AnyFunSuite {
       ("entropy_gate_test",
         df => StreamingOps.streamingEntropyGate(df, 3.5, 5.0)),
       ("span_corrupt_test",
-        df => StreamingOps.streamingSpanCorrupt(df)))
+        df => StreamingOps.streamingSpanCorrupt(df)),
+      ("ul2_gate_test",
+        df => StreamingOps.streamingUl2Gate(df)))
     pairs.foreach { case (name, gate) =>
       val streamed = StreamingOps.runBounded(spark, gate(docStream), name,
         org.apache.spark.sql.streaming.OutputMode.Append())
