@@ -1230,6 +1230,19 @@ object SparkEntry {
     "x186_ngram_novelty" -> ((s, d) =>
       ext.Curation.ngramNovelty(t(s, d, "documents"), shingleK = 5)),
 
+    // x189 — length-bucketed batching report: padding waste per
+    // (source, 16-token length bucket) under 8-doc batches, with the
+    // id-ordered per-source baseline waste on every row — the report
+    // that prices dynamic batching.
+    "x189_length_batching" -> ((s, d) =>
+      ext.Curation.lengthBatching(t(s, d, "documents"))),
+
+    // x190 — the per-source data card (Gebru et al. 2021 datasheet
+    // rollup): doc/token/char mass, declared-language spread + entropy
+    // (ascending-lang fold, 6dp), and the Gopher pass rate.
+    "x190_data_card" -> ((s, d) =>
+      ext.Curation.dataCard(t(s, d, "documents"))),
+
     // x187 — token-distribution drift between snapshots (even doc_ids
     // = old crawl, odd = new): add-one KL(new||old) over the union
     // vocabulary; top-20 contributing terms with the decimal-routed
@@ -6950,6 +6963,78 @@ object SparkEntry {
                   AS n_spans,
                 inputs, targets
          FROM built""",
+
+    // x189 — the same bucket/batch windows replayed: unfiltered token
+    // count (the x9 convention), row_number batching in (source,
+    // bucket, doc_id) order, waste = cnt·max − sum per batch
+    "x189_length_batching" ->
+      """WITH lb AS (
+           SELECT source, doc_id,
+             CAST(len(regexp_split_to_array(lower(text), '\s+'))
+                  AS BIGINT) AS nt
+           FROM documents),
+         lbb AS (SELECT *, CAST(nt // 16 AS INTEGER) AS bucket FROM lb),
+         wb AS (SELECT source, bucket, nt,
+                  CAST((ROW_NUMBER() OVER (PARTITION BY source, bucket
+                        ORDER BY doc_id) - 1) // 8 AS INTEGER) AS batch
+                FROM lbb),
+         bb AS (SELECT source, bucket, batch, COUNT(*) AS cnt,
+                       MAX(nt) AS mx, CAST(SUM(nt) AS BIGINT) AS sm
+                FROM wb GROUP BY 1, 2, 3),
+         bro AS (SELECT source, CAST(bucket AS BIGINT) AS bucket,
+                        CAST(SUM(cnt) AS BIGINT) AS n_docs,
+                        COUNT(*) AS n_batches,
+                        CAST(SUM(cnt * mx - sm) AS BIGINT) AS waste_tokens
+                 FROM bb GROUP BY 1, 2),
+         sb AS (SELECT source, nt,
+                  CAST((ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY doc_id) - 1) // 8 AS INTEGER) AS batch
+                FROM lb),
+         sbb AS (SELECT source, batch, COUNT(*) AS cnt, MAX(nt) AS mx,
+                        CAST(SUM(nt) AS BIGINT) AS sm
+                 FROM sb GROUP BY 1, 2),
+         bl AS (SELECT source,
+                  CAST(SUM(cnt * mx - sm) AS BIGINT) AS baseline_waste_tokens
+                FROM sbb GROUP BY 1)
+         SELECT b.source, b.bucket, b.n_docs, b.n_batches, b.waste_tokens,
+                l.baseline_waste_tokens
+         FROM bro b JOIN bl l ON l.source = b.source""",
+
+    // x190 — the datasheet rollup replayed on the x68 gopher CTEs: the
+    // same two-level (source, lang) → source aggregation, the entropy
+    // fold ascending by lang (the x183 replay-order rule), exact
+    // integer pass fraction
+    "x190_data_card" ->
+      s"""WITH ${gopherCtesOver("documents", "text")},
+          db AS (SELECT d.source, d.lang, d.doc_id,
+                   CAST(len(list_filter(
+                     regexp_split_to_array(lower(d.text), '\\s+'),
+                     t -> length(t) > 0)) AS BIGINT) AS nt,
+                   CAST(length(d.text) AS BIGINT) AS nc,
+                   (g.r_word_count AND g.r_mean_word_len AND g.r_symbol_ratio
+                    AND g.r_alpha_words AND g.r_stopwords) AS keep
+                 FROM documents d JOIN g2 g ON g.doc_id = d.doc_id),
+          dl AS (SELECT source, lang, COUNT(*) AS c,
+                        CAST(SUM(nt) AS BIGINT) AS nt,
+                        CAST(SUM(nc) AS BIGINT) AS nc,
+                        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END)
+                             AS BIGINT) AS nk
+                 FROM db GROUP BY 1, 2),
+          ds AS (SELECT source,
+                   CAST(SUM(c) AS BIGINT) AS n_docs,
+                   CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                   CAST(SUM(nc) AS BIGINT) AS n_chars,
+                   COUNT(*) AS n_langs,
+                   CAST(SUM(nk) AS BIGINT) AS n_keep,
+                   list_reduce(list_prepend(0.0::DOUBLE,
+                     list(c::DOUBLE * ln(c::DOUBLE) ORDER BY lang)),
+                     (a, b) -> a + b) AS s
+                 FROM dl GROUP BY 1)
+          SELECT source, n_docs, n_tokens, n_chars, n_langs,
+                 round((ln(n_docs::DOUBLE) - s / n_docs::DOUBLE) / ln(2), 6)
+                   AS lang_entropy,
+                 n_keep::DOUBLE / n_docs::DOUBLE AS gopher_keep_frac
+          FROM ds""",
 
     // x186 — the x21 equivalence at k=5: STRING shingles, distinct per
     // doc, df = plain count over the distinct sets; novelty is one

@@ -247,6 +247,82 @@ object Curation {
       .select("doc_id", shardCol, "n_tokens", "pack_id")
   }
 
+  /** Length-bucketed batching report — the dynamic-batching question
+    * (padding waste): eval and SFT loaders pad every sequence in a
+    * batch to the batch maximum, so batching similar lengths together
+    * is the lever. Documents bucket by `n_tokens div bucketWidth`,
+    * batch in deterministic doc_id order within (shard, bucket), and
+    * each batch's waste is `count·max − Σ len`. The per-(shard,bucket)
+    * rollup carries the same-shard BASELINE waste (id-ordered batching
+    * that ignores length) so the report prices the bucketing directly.
+    *
+    * Shape: two windows partitioned by (shard, bucket) and (shard) —
+    * the [[packSequences]] skew contract (one shard's docs per
+    * partition); output rows = shard × bucket count. */
+  def lengthBatching(docs: DataFrame, shardCol: String = "source",
+                     batchSize: Int = 8, bucketWidth: Int = 16,
+                     textCol: String = "text"): DataFrame = {
+    require(batchSize > 0 && bucketWidth > 0, "positive batch/bucket sizes")
+    val base = docs.select(col(shardCol), col("doc_id"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("nt"))
+      .withColumn("bucket", expr(s"CAST(nt DIV $bucketWidth AS INT)"))
+    def wasteOf(df: DataFrame, parts: Seq[String], out: String) = {
+      df.withColumn("batch",
+          expr(s"CAST((ROW_NUMBER() OVER (PARTITION BY ${parts.mkString(", ")} " +
+               s"ORDER BY doc_id) - 1) DIV $batchSize AS INT)"))
+        .groupBy((parts.map(col) :+ col("batch")): _*)
+        .agg(count(lit(1)).as("cnt"), max("nt").as("mx"), sum("nt").as("sm"))
+        .withColumn(out, col("cnt") * col("mx") - col("sm"))
+    }
+    val bucketed = wasteOf(base, Seq(shardCol, "bucket"), "waste")
+      .groupBy(shardCol, "bucket")
+      .agg(sum("cnt").as("n_docs"), count(lit(1)).as("n_batches"),
+           sum("waste").as("waste_tokens"))
+    val baseline = wasteOf(base, Seq(shardCol), "waste")
+      .groupBy(shardCol)
+      .agg(sum("waste").as("baseline_waste_tokens"))
+    bucketed.join(broadcast(baseline), shardCol)
+      .select(col(shardCol), col("bucket").cast("long").as("bucket"),
+        col("n_docs"), col("n_batches"), col("waste_tokens"),
+        col("baseline_waste_tokens"))
+  }
+
+  /** Per-source DATA CARD — the datasheet rollup every corpus release
+    * ships (Gebru et al. 2021's "Datasheets for Datasets"; the model-
+    * card data section): document and token mass, declared-language
+    * spread with its entropy, and the Gopher-gate pass rate, one row
+    * per source. The entropy folds ascending by language (the x183
+    * replay-order rule, 6-dp rounded); the pass fraction is an exact
+    * integer division. Two bounded aggregations — (source, lang) then
+    * source — plus the per-doc gopher flags fused into the scan. */
+  def dataCard(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val keep = TextOps.gopherRules(docs, textCol)
+      .select(col("doc_id"), col("keep"))
+    val base = docs.select(col("source"), col("lang"), col("doc_id"),
+        size(filter(TextOps.tokens(col(textCol)),
+          t => length(t) > 0)).cast("long").as("nt"),
+        length(col(textCol)).cast("long").as("nc"))
+      .join(keep, "doc_id")
+    val perLang = base.groupBy("source", "lang")
+      .agg(count(lit(1)).as("c"), sum("nt").as("nt"), sum("nc").as("nc"),
+           sum(when(col("keep"), 1L).otherwise(0L)).as("nk"))
+    val langs = array_sort(collect_list(struct(col("lang"), col("c"))))
+    val s = aggregate(col("ls"), lit(0.0),
+      (acc, x) => acc + x.getField("c").cast("double") *
+        log(x.getField("c").cast("double")))
+    perLang.groupBy("source")
+      .agg(sum("c").as("n_docs"), sum("nt").as("n_tokens"),
+           sum("nc").as("n_chars"), count(lit(1)).as("n_langs"),
+           sum("nk").as("n_keep"), langs.as("ls"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_chars"), col("n_langs"),
+        round((log(col("n_docs").cast("double")) -
+          s / col("n_docs").cast("double")) /
+          log(lit(2.0)), 6).as("lang_entropy"),
+        (col("n_keep").cast("double") / col("n_docs").cast("double"))
+          .as("gopher_keep_frac"))
+  }
+
   /** Packing-efficiency report over [[packSequences]] — the number a
     * pipeline owner reads before touching the pack budget: per shard,
     * pack count, token mass, the largest pack, how many packs overflow

@@ -701,6 +701,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"UL2 prep shuffles:\n$p")
   }
 
+  test("x189/x190 reports: every window carries a partition key, small " +
+    "sides broadcast, nothing all-pairs") {
+    Seq("x189_length_batching", "x190_data_card").foreach { q =>
+      val p = executed(q).toString
+      assert(!p.contains("CartesianProduct"), s"$q goes all-pairs:\n$p")
+      val specs = "windowspecdefinition\\(([^)]*)\\)".r
+        .findAllMatchIn(p).map(_.group(1)).toList
+      specs.foreach { s =>
+        assert(s.split(",").length > 2, s"$q: unpartitioned window: $s\n$p")
+      }
+    }
+    val p189 = executed("x189_length_batching").toString
+    assert(p189.contains("BroadcastHashJoin") ||
+           p189.contains("BroadcastExchange"),
+      s"baseline rollup not broadcast:\n$p189")
+  }
+
   test("x186 ngram novelty: shingle-keyed df + doc re-agg, nothing " +
     "all-pairs, no text on the exchanges") {
     val p = executed("x186_ngram_novelty").toString

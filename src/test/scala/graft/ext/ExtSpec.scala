@@ -2144,6 +2144,47 @@ class ExtSpec extends AnyFunSuite {
     assert(r(3L) == ((2L, 2L, 1.0)))
   }
 
+  test("length batching: exact waste arithmetic, bucketing beats the " +
+       "id-ordered baseline on bimodal lengths") {
+    // bimodal: ids alternate 2-token and 30-token docs → id-ordered
+    // batches mix both lengths (waste ≈ 28/doc), buckets separate them
+    val docs = (0L until 32L).map { i =>
+      val n = if (i % 2 == 0) 2 else 30
+      (i, "src", (1 to n).map(k => s"t$k").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val r = Curation.lengthBatching(docs, batchSize = 8, bucketWidth = 16)
+      .collect()
+    assert(r.length == 2) // bucket 0 (2-token) and bucket 1 (30-token)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_docs") == 16)
+      assert(row.getAs[Long]("n_batches") == 2)
+      assert(row.getAs[Long]("waste_tokens") == 0) // uniform inside bucket
+      // baseline: each 8-doc batch mixes 2s and 30s → 4·28 waste/batch
+      assert(row.getAs[Long]("baseline_waste_tokens") == 4 * 28 * 4)
+    }
+  }
+
+  test("data card: hand-checked masses, language entropy, gopher rate") {
+    // 60 words, mean length 3.9, stopwords the/and → passes every gate
+    val good = Array.fill(6)(
+      "the quick brown fox jumps over and lazy dogs run").mkString(" ")
+    val docs = Seq(
+      (1L, "a", "en", good), (2L, "a", "en", good),
+      (3L, "a", "fr", good), (4L, "a", "fr", good),
+      (5L, "b", "de", "x y")) // fails gopher word count
+      .toDF("doc_id", "source", "lang", "text")
+    val r = Curation.dataCard(docs).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("a").getAs[Long]("n_docs") == 4)
+    assert(r("a").getAs[Long]("n_langs") == 2)
+    assert(r("a").getAs[Double]("lang_entropy") == 1.0) // 2+2 split
+    assert(r("a").getAs[Double]("gopher_keep_frac") == 1.0)
+    assert(r("b").getAs[Long]("n_docs") == 1)
+    assert(r("b").getAs[Long]("n_tokens") == 2)
+    assert(r("b").getAs[Double]("lang_entropy") == 0.0)
+    assert(r("b").getAs[Double]("gopher_keep_frac") == 0.0)
+  }
+
   test("token drift: hand-checked add-one KL, total equals the " +
        "contribution sum, cut ordered") {
     val oldDocs = Seq((1L, "a a b")).toDF("doc_id", "text")
