@@ -117,7 +117,8 @@ object Plans {
       "x187_token_drift" -> "Token-distribution drift: one term-keyed census with map-side partials, totals and the decimal-routed KL each ONE broadcast row, TakeOrderedAndProject cut — the corpora never shuffle their text.",
       "x188_ul2_denoisers" -> "UL2 mixture: mode routing and all three denoiser branches (R/S/X) ride one CaseWhen of higher-order column functions in the scan stage — zero exchange, zero state; codegen evaluates only the matched branch per row.",
       "x189_length_batching" -> "Length-bucketed batching report: two shard-partitioned windows (bucketed + baseline), bounded per-batch aggs, the per-shard baseline broadcast back — output rows = shard x bucket, never a global sort.",
-      "x190_data_card" -> "Per-source data card: gopher flags fuse into the scan, then (source, lang) -> source two-level aggregation with map-side partials; the entropy fold rides a bounded collect_list per source — output rows = source count.")
+      "x190_data_card" -> "Per-source data card: gopher flags fuse into the scan, then (source, lang) -> source two-level aggregation with map-side partials; the entropy fold rides a bounded collect_list per source — output rows = source count.",
+      "x191_bestfit_pack" -> "Best-fit-decreasing packing: ONE shard-keyed exchange of (shard, id, len) triples into a per-shard sequential flatMapGroups (TreeMap best-fit, 16 bytes/doc of state) — the honest shape for an inherently sequential recurrence; text never crosses the wire.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")

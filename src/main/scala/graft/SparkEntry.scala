@@ -1243,6 +1243,13 @@ object SparkEntry {
     "x190_data_card" -> ((s, d) =>
       ext.Curation.dataCard(t(s, d, "documents"))),
 
+    // x191 — best-fit-decreasing bin packing (Ding et al. 2024): the
+    // never-split packing tier; per-source sequential BFD in
+    // flatMapGroups, assignment replayed doc by doc in the oracle's
+    // recursive CTE (list-state per shard, lockstep iterations).
+    "x191_bestfit_pack" -> ((s, d) =>
+      ext.Curation.packBestFit(t(s, d, "documents"))),
+
     // x187 — token-distribution drift between snapshots (even doc_ids
     // = old crawl, odd = new): add-one KL(new||old) over the union
     // vocabulary; top-20 contributing terms with the decimal-routed
@@ -7035,6 +7042,51 @@ object SparkEntry {
                    AS lang_entropy,
                  n_keep::DOUBLE / n_docs::DOUBLE AS gopher_keep_frac
           FROM ds""",
+
+    // x191 — BFD replayed exactly: per-shard list state (bin
+    // remainders + assignments) advancing one doc per recursive
+    // iteration, all shards in lockstep; best fit = list_min of the
+    // fitting remainders, ties to the first (lowest) bin index;
+    // oversize docs open a negative-remainder bin that never fits
+    // again — the engine's single rule
+    "x191_bestfit_pack" ->
+      """WITH RECURSIVE pbr AS (
+           SELECT source, doc_id,
+             CAST(len(regexp_split_to_array(lower(text), '\s+'))
+                  AS BIGINT) AS nt
+           FROM documents),
+         prk AS (SELECT source, doc_id, nt,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY nt DESC, doc_id) AS rk
+                 FROM pbr),
+         pst AS (
+           SELECT source, 0::BIGINT AS it, []::BIGINT[] AS rems,
+                  []::STRUCT(doc_id BIGINT, nt BIGINT, bin BIGINT)[]
+                    AS assigns
+           FROM (SELECT DISTINCT source FROM pbr)
+           UNION ALL
+           SELECT s.source, s.it + 1,
+             CASE WHEN l.best IS NULL
+                  THEN list_append(s.rems, 128 - r.nt)
+                  ELSE list_transform(s.rems, (x, i) ->
+                         CASE WHEN i = list_position(s.rems, l.best)
+                              THEN x - r.nt ELSE x END) END,
+             list_append(s.assigns, {'doc_id': r.doc_id, 'nt': r.nt,
+               'bin': CASE WHEN l.best IS NULL THEN len(s.rems)
+                           ELSE list_position(s.rems, l.best) - 1 END})
+           FROM pst s
+           JOIN prk r ON r.source = s.source AND r.rk = s.it + 1,
+           LATERAL (SELECT list_min(list_filter(s.rems,
+                      x -> x >= r.nt)) AS best) l
+         ),
+         pfin AS (SELECT source, assigns,
+                    ROW_NUMBER() OVER (PARTITION BY source
+                      ORDER BY it DESC) AS rr
+                  FROM pst)
+         SELECT f.source, u.a.doc_id AS doc_id, u.a.nt AS n_tokens,
+                u.a.bin AS bin_id
+         FROM pfin f, LATERAL (SELECT unnest(f.assigns) AS a) u
+         WHERE f.rr = 1""",
 
     // x186 — the x21 equivalence at k=5: STRING shingles, distinct per
     // doc, df = plain count over the distinct sets; novelty is one

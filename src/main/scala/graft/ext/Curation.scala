@@ -323,6 +323,61 @@ object Curation {
           .as("gopher_keep_frac"))
   }
 
+  /** Best-fit-decreasing BIN packing — the "fewer truncations" packing
+    * tier (Ding et al. 2024, "Fewer Truncations Improve Language
+    * Modeling"): unlike [[packSequences]]' contiguous window (a doc may
+    * straddle a budget boundary), BFD never splits a document — docs
+    * sort by (tokens DESC, doc_id) within a shard and each goes to the
+    * bin with the SMALLEST remaining capacity that still fits (ties →
+    * lowest bin id); no fit opens a new bin. An oversize doc opens its
+    * own bin whose remainder goes negative and never fits again — one
+    * rule, no special case.
+    *
+    * This is the sequential per-shard pass the packSequences scaladoc
+    * prices: `flatMapGroups` with one shard's (id, len) pairs in
+    * memory — 16 bytes/doc, so a billion-doc shard costs ~16 GB and
+    * the shard key must be sized accordingly (source×day, not source).
+    * The shuffle carries (shard, id, len) triples only; assignment is
+    * deterministic on every engine — the oracle replays it doc by doc
+    * in a recursive CTE. */
+  def packBestFit(docs: DataFrame, shardCol: String = "source",
+                  budget: Long = 128L,
+                  textCol: String = "text"): DataFrame = {
+    require(budget > 0, s"pack budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(shardCol).cast("string"),
+        col("doc_id").cast("long"),
+        TextOps.tokenCount(col(textCol)).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard: String, rows: Iterator[(String, Long, Long)]) =>
+        val sorted = rows.map(r => (r._2, r._3)).toArray
+          .sortBy { case (id, nt) => (-nt, id) }
+        // best-fit state: remaining capacity → bin ids holding it
+        val byRem = new java.util.TreeMap[Long, java.util.TreeSet[Long]]()
+        var nBins = 0L
+        def park(rem: Long, bin: Long): Unit =
+          byRem.computeIfAbsent(rem,
+            _ => new java.util.TreeSet[Long]()).add(bin)
+        sorted.iterator.map { case (id, nt) =>
+          val e = byRem.ceilingEntry(nt)
+          val bin =
+            if (e == null) {
+              val b = nBins; nBins += 1
+              park(budget - nt, b); b
+            } else {
+              val set = e.getValue
+              val b = set.pollFirst()
+              if (set.isEmpty) byRem.remove(e.getKey)
+              park(e.getKey - nt, b); b
+            }
+          (shard, id, nt, bin)
+        }
+      }
+      .toDF(shardCol, "doc_id", "n_tokens", "bin_id")
+  }
+
   /** Packing-efficiency report over [[packSequences]] — the number a
     * pipeline owner reads before touching the pack budget: per shard,
     * pack count, token mass, the largest pack, how many packs overflow

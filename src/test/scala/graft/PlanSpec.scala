@@ -701,6 +701,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"UL2 prep shuffles:\n$p")
   }
 
+  test("x191 best-fit packing: ONE shard-keyed exchange carrying " +
+    "(shard, id, len) triples only — text never shuffles") {
+    val p = executed("x191_bestfit_pack").toString
+    val nEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nEx == 1, s"expected the one groupByKey exchange:\n$p")
+    // token counting happens below the exchange: the shuffled row is
+    // the serialized (shard, id, len) triple, not the document
+    assert(p.contains("SerializeFromObject"), s"object boundary missing:\n$p")
+  }
+
   test("x189/x190 reports: every window carries a partition key, small " +
     "sides broadcast, nothing all-pairs") {
     Seq("x189_length_batching", "x190_data_card").foreach { q =>

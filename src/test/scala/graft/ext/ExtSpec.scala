@@ -2164,6 +2164,32 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("best-fit packing: hand-checked assignment, bins never overflow " +
+       "(except lone oversize docs), partitioning-invariant") {
+    def doc(n: Int) = (1 to n).map(k => s"w$k").mkString(" ")
+    // budget 10, lengths desc 9,5,5,4,3: BFD → bins 0 | 1,1 | 2,2
+    val docs = Seq((1L, doc(9)), (2L, doc(5)), (3L, doc(5)),
+                   (4L, doc(4)), (5L, doc(3)), (6L, doc(14))) // oversize
+      .toDF("doc_id", "text").withColumn("source", lit("a"))
+    val r = Curation.packBestFit(docs, budget = 10L).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("bin_id")).toMap
+    // doc 6 (14 tokens) sorts first and owns bin 0; the rest follow
+    assert(r == Map(6L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 2L,
+                    4L -> 3L, 5L -> 3L))
+    // invariant: no multi-doc bin exceeds the budget
+    val fills = Curation.packBestFit(docs, budget = 10L)
+      .groupBy("bin_id").agg(sum("n_tokens").as("fill"),
+        count(lit(1)).as("m")).collect()
+    fills.foreach { f =>
+      assert(f.getAs[Long]("m") == 1 || f.getAs[Long]("fill") <= 10L)
+    }
+    // partitioning-invariant: 7-way repartition packs identically
+    val r7 = Curation.packBestFit(docs.repartition(7), budget = 10L)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        x.getAs[Long]("bin_id")).toMap
+    assert(r7 == r)
+  }
+
   test("data card: hand-checked masses, language entropy, gopher rate") {
     // 60 words, mean length 3.9, stopwords the/and → passes every gate
     val good = Array.fill(6)(
