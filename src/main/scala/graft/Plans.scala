@@ -118,7 +118,11 @@ object Plans {
       "x188_ul2_denoisers" -> "UL2 mixture: mode routing and all three denoiser branches (R/S/X) ride one CaseWhen of higher-order column functions in the scan stage — zero exchange, zero state; codegen evaluates only the matched branch per row.",
       "x189_length_batching" -> "Length-bucketed batching report: two shard-partitioned windows (bucketed + baseline), bounded per-batch aggs, the per-shard baseline broadcast back — output rows = shard x bucket, never a global sort.",
       "x190_data_card" -> "Per-source data card: gopher flags fuse into the scan, then (source, lang) -> source two-level aggregation with map-side partials; the entropy fold rides a bounded collect_list per source — output rows = source count.",
-      "x191_bestfit_pack" -> "Best-fit-decreasing packing: ONE shard-keyed exchange of (shard, id, len) triples into a per-shard sequential flatMapGroups (TreeMap best-fit, 16 bytes/doc of state) — the honest shape for an inherently sequential recurrence; text never crosses the wire.")
+      "x191_bestfit_pack" -> "Best-fit-decreasing packing: ONE shard-keyed exchange of (shard, id, len) triples into a per-shard sequential flatMapGroups (TreeMap best-fit, 16 bytes/doc of state) — the honest shape for an inherently sequential recurrence; text never crosses the wire.",
+      "x193_rare_token_scrub" -> "Rare-token scrub: the x33 census shape — (doc, pos, term) triples, ONE term-keyed distinct-doc df bounded by vocabulary size, join back, doc-keyed position-sorted reassembly; no text on the df exchange.",
+      "x194_edit_neardup" -> "Blocked Levenshtein near-dup: ONE block-keyed exchange, pairs stream from posexplode+slice (no m^2 array), levenshtein once per unordered pair; group cap bounds the quadratic core — never all-pairs.",
+      "x195_preference_pairs" -> "Preference pairs: ONE prompt-keyed aggregate — both extremes ride min/max(struct) partials with map-side combine; no window, no per-prompt list, texts never shuffle.",
+      "x197_unigram_tokens" -> "Unigram tokenizer apply: the trained piece table is a broadcast local value inside one scan-stage UDF over the token array — zero exchange, zero join; training cost was paid ONCE by the memoized census-job trainer.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")

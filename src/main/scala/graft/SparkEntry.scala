@@ -65,6 +65,16 @@ object SparkEntry {
       ext.TextOps.trainByteBpeMergesFast(
         t(s, d, "documents").withColumn("text", expr(byteTextSqlExpr)),
         nMerges = 12))
+  /** x196/x197 trained unigram-LM vocabulary, memoized per data dir
+    * (the [[bpeTrained]] discipline): ONE census job + driver EM;
+    * scaled-integer log-probs make the table exactly replayable. */
+  private val trainedUnigram = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, Long, Long)]]()
+  private def unigramTrained(s: SparkSession, d: String)
+      : Seq[(String, Long, Long)] =
+    trainedUnigram.computeIfAbsent(d, _ =>
+      ext.Unigram.train(t(s, d, "documents")))
+
   private def storedDir(kind: String, d: String)(build: String => Unit): String =
     storeBuilt.computeIfAbsent(s"$kind|$d", _ => {
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -1249,6 +1259,93 @@ object SparkEntry {
     // recursive CTE (list-state per shard, lockstep iterations).
     "x191_bestfit_pack" -> ((s, d) =>
       ext.Curation.packBestFit(t(s, d, "documents"))),
+
+    // x192 — tokenizer-selection audit: the trained WORD-level table
+    // (x106) and the trained BYTE-level table (x119, on its fixture
+    // text) scored side by side per document — the bytes-vs-words
+    // token-budget comparison a pipeline reads before pinning its
+    // tokenizer. Both training chains are the memoized one-pass
+    // trainers; the oracle composes both proven replay chains.
+    "x192_tokenizer_compare" -> ((s, d) => {
+      val w = ext.TextOps.bpeReport(t(s, d, "documents"),
+          merges = bpeTrained(s, d).map(m => (m._1, m._2)))
+        .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+      val b = ext.TextOps.byteBpeReport(
+          t(s, d, "documents").withColumn("text", expr(byteTextSqlExpr)),
+          merges = byteBpeTrained(s, d).map(m => (m._1, m._2)))
+        .select(col("doc_id"), col("n_bytes"), col("n_byte_tokens"))
+      w.join(b, "doc_id").withColumn("byte_per_word_ratio",
+        col("n_byte_tokens").cast("double") /
+          col("n_bpe_tokens").cast("double"))
+    }),
+
+    // x193 — rare-token scrub (vocabulary pruning / UNK-ing): any token
+    // in fewer than 3 distinct documents is replaced by <unk> — the
+    // classic closed-vocabulary step doubling as rare-identifier
+    // suppression. The x33 census shape: term-keyed df, join back,
+    // position-ordered reassembly.
+    "x193_rare_token_scrub" -> ((s, d) =>
+      ext.Cleanse.rareTokenScrub(t(s, d, "documents"), minDf = 3L)),
+
+    // x194 — edit-distance (Levenshtein) nearest neighbor under
+    // (first-token, length-bucket) blocking: the short-string near-dup
+    // tier (instruction/title dedup). Oracle recomputes levenshtein()
+    // itself — both engines implement the same classic DP.
+    "x194_edit_neardup" -> ((s, d) =>
+      ext.Dedup.editNearDups(t(s, d, "documents"))),
+
+    // x198 — the three-family tokenizer BAKEOFF: trained word-BPE
+    // (x106), trained byte-BPE (x119, on its fixture text) and the
+    // trained unigram-LM (x196) scored per document in ONE report — the
+    // complete tokenizer-selection table (x192 widened by the third
+    // family). All three training chains are memoized one-census
+    // trainers; the oracle composes all three proven replays.
+    "x198_tokenizer_bakeoff" -> ((s, d) => {
+      val w = ext.TextOps.bpeReport(t(s, d, "documents"),
+          merges = bpeTrained(s, d).map(m => (m._1, m._2)))
+        .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+      val b = ext.TextOps.byteBpeReport(
+          t(s, d, "documents").withColumn("text", expr(byteTextSqlExpr)),
+          merges = byteBpeTrained(s, d).map(m => (m._1, m._2)))
+        .select(col("doc_id"), col("n_byte_tokens"))
+      val u = ext.Unigram.report(t(s, d, "documents"),
+          unigramTrained(s, d))
+        .select(col("doc_id"), col("n_pieces").as("n_unigram_pieces"))
+      w.join(b, "doc_id").join(u, "doc_id")
+        .withColumn("bpe_fertility",
+          col("n_bpe_tokens").cast("double") /
+            col("n_words").cast("double"))
+        .withColumn("unigram_fertility",
+          col("n_unigram_pieces").cast("double") /
+            col("n_words").cast("double"))
+    }),
+
+    // x196 — unigram-LM (SentencePiece-family) tokenizer TRAINING: the
+    // other subword family next to BPE, fit by hard-EM (Viterbi-EM)
+    // with zero-count pruning; every score is a scaled-integer log-prob
+    // so the oracle replays the whole trainer bit-for-bit — seed census,
+    // top-K cut, and both EM rounds as recursive-CTE Viterbi chains.
+    "x196_unigram_train" -> ((s, d) =>
+      ext.Unigram.trainReport(s, unigramTrained(s, d))),
+
+    // x197 — the trained unigram tokenizer APPLIED: per-doc fertility
+    // under the x196 vocabulary (the unigram twin of x106); the piece
+    // table rides a broadcast into one scan-stage pass — zero exchange.
+    "x197_unigram_tokens" -> ((s, d) =>
+      ext.Unigram.report(t(s, d, "documents"), unigramTrained(s, d))),
+
+    // x195 — DPO/RLHF preference-pair assembly: prompts = doc_id mod 64,
+    // reward = the x8 quality score; per prompt the best-vs-worst pair
+    // with a 0.05 margin gate. ONE prompt-keyed aggregate carrying both
+    // extremes as min/max(struct) partials.
+    "x195_preference_pairs" -> ((s, d) =>
+      ext.Curation.preferencePairs(
+        t(s, d, "documents")
+          .withColumn("prompt_id", pmod(col("doc_id"), lit(64L)))
+          .withColumn("reward",
+            ext.TextOps.qualityScore(col("text"))),
+        promptCol = "prompt_id", rewardCol = "reward",
+        minMargin = 0.05)),
 
     // x187 — token-distribution drift between snapshots (even doc_ids
     // = old crawl, odd = new): add-one KL(new||old) over the union
@@ -5939,6 +6036,138 @@ object SparkEntry {
                    + least((sw_hits / greatest(n_tokens, 1.0)) * 5.0, 1.0)) / 4.0 AS quality
            FROM qsig)"""
 
+  /** The x196/x197 unigram-LM trainer replay — scaled-integer log-prob
+    * lattice: `lp = round_half_away(ln(cnt/total) * 1e9)` as BIGINT, so
+    * every Viterbi path score below is an EXACT integer sum. Base CTEs:
+    * word census `uw`, seed substring census, the (freq DESC, piece)
+    * top-32 multi-char cut + all single chars, and the `uv0` seed
+    * vocabulary. Constants mirror `ext.Unigram.train` defaults:
+    * maxPieceLen 4, topMulti 32, maxWordLen 64. */
+  private val unigramBaseCtes: String =
+    """u0 AS (
+      |    SELECT doc_id, list_filter(
+      |      regexp_split_to_array(lower(text), '\s+'),
+      |      t -> length(t) > 0 AND length(t) <= 64) AS ws
+      |    FROM documents),
+      |  uw AS (
+      |    SELECT p.w, CAST(COUNT(*) AS BIGINT) AS n
+      |    FROM u0, unnest(u0.ws) p(w) GROUP BY 1),
+      |  useed AS (
+      |    SELECT substr(uw.w, CAST(ii.i + 1 AS INTEGER),
+      |                  CAST(ll.l AS INTEGER)) AS piece,
+      |           CAST(SUM(uw.n) AS BIGINT) AS freq
+      |    FROM uw,
+      |         unnest(range(0, length(uw.w))) ii(i),
+      |         unnest(range(1, 5)) ll(l)
+      |    WHERE ll.l <= length(uw.w) - ii.i
+      |    GROUP BY 1),
+      |  uch AS (SELECT piece, freq FROM useed WHERE length(piece) = 1),
+      |  umu AS (SELECT piece, freq FROM (
+      |            SELECT piece, freq, ROW_NUMBER() OVER (
+      |              ORDER BY freq DESC, piece) AS rk
+      |            FROM useed WHERE length(piece) > 1)
+      |          WHERE rk <= 32),
+      |  usel AS (SELECT * FROM uch UNION ALL SELECT * FROM umu),
+      |  utot0 AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM usel),
+      |  uv0 AS (
+      |    SELECT s.piece, s.freq AS cnt,
+      |""".stripMargin + unigramLnSql("s.freq", "t.t") +
+    """ AS lp
+      |    FROM usel s, utot0 t)""".stripMargin
+
+  /** `round_half_away(ln(c/t) * 1e9)::BIGINT` — the ONE ln
+    * parenthesization `ext.Unigram.lnScaled` uses. */
+  private def unigramLnSql(c: String, t: String): String =
+    s"""           CAST(CASE WHEN ln(CAST($c AS DOUBLE) / CAST($t AS DOUBLE)) * 1e9 >= 0
+       |                THEN floor(ln(CAST($c AS DOUBLE) / CAST($t AS DOUBLE)) * 1e9 + 0.5)
+       |                ELSE ceil(ln(CAST($c AS DOUBLE) / CAST($t AS DOUBLE)) * 1e9 - 0.5) END
+       |             AS BIGINT)""".stripMargin
+
+  /** One Viterbi E-step chain over the word census under vocabulary
+    * `vocabCte(piece, lp)`: the per-(word, position) option lists, the
+    * recursive DP in lockstep over all census words (BIGINT scores;
+    * ties → smallest last-piece length via list_max then list_min), the
+    * backtrack recursion, and the weighted piece counts. Emits
+    * `u{tag}seg(w, n, pieces, np)` and `u{tag}cnt(piece, c)`. */
+  private def unigramViterbiCtes(tag: String, vocabCte: String): String =
+    s"""u${tag}tr AS (
+       |    SELECT uw.w, ii.i, ll.l, v.lp
+       |    FROM uw,
+       |         unnest(range(1, length(uw.w) + 1)) ii(i),
+       |         unnest(range(1, 5)) ll(l)
+       |    JOIN $vocabCte v
+       |      ON ll.l <= ii.i AND v.piece = substr(uw.w,
+       |           CAST(ii.i - ll.l + 1 AS INTEGER), CAST(ll.l AS INTEGER))),
+       |  u${tag}opt AS (
+       |    SELECT w, i, array_agg({'l': l, 'lp': lp} ORDER BY l) AS opts
+       |    FROM u${tag}tr GROUP BY w, i),
+       |  u${tag}vit AS (
+       |    SELECT w, n, 0::BIGINT AS it,
+       |           [0::BIGINT] AS best, [0::BIGINT] AS bl
+       |    FROM uw
+       |    UNION ALL
+       |    SELECT v.w, v.n, v.it + 1,
+       |           list_append(v.best, pick.s), list_append(v.bl, pick.l)
+       |    FROM u${tag}vit v
+       |    JOIN u${tag}opt o ON o.w = v.w AND o.i = v.it + 1,
+       |    LATERAL (
+       |      SELECT mx.s,
+       |             list_min(list_transform(
+       |               list_filter(o.opts,
+       |                 x -> v.best[CAST(v.it + 2 - x.l AS INTEGER)] + x.lp = mx.s),
+       |               x -> x.l)) AS l
+       |      FROM (SELECT list_max(list_transform(o.opts,
+       |              x -> v.best[CAST(v.it + 2 - x.l AS INTEGER)] + x.lp)) AS s) mx
+       |    ) pick
+       |    WHERE v.it < length(v.w)),
+       |  u${tag}fin AS (
+       |    SELECT w, n, bl, length(w)::BIGINT AS nlen
+       |    FROM u${tag}vit WHERE it = length(w)),
+       |  u${tag}bt AS (
+       |    SELECT w, n, bl, nlen AS pos, []::VARCHAR[] AS pieces,
+       |           0::BIGINT AS np
+       |    FROM u${tag}fin
+       |    UNION ALL
+       |    SELECT w, n, bl, pos - bl[CAST(pos + 1 AS INTEGER)],
+       |           list_append(pieces,
+       |             substr(w, CAST(pos - bl[CAST(pos + 1 AS INTEGER)] + 1 AS INTEGER),
+       |                    CAST(bl[CAST(pos + 1 AS INTEGER)] AS INTEGER))),
+       |           np + 1
+       |    FROM u${tag}bt WHERE pos > 0),
+       |  u${tag}seg AS (SELECT w, n, pieces, np FROM u${tag}bt WHERE pos = 0),
+       |  u${tag}cnt AS (
+       |    SELECT p.piece, CAST(SUM(s.n) AS BIGINT) AS c
+       |    FROM u${tag}seg s, unnest(s.pieces) p(piece)
+       |    GROUP BY 1)""".stripMargin
+
+  /** The M-step: single-char pieces always survive with count floored
+    * at 1; multi-char pieces survive iff their Viterbi count is
+    * positive; log-probs re-estimated over the kept total. Emits
+    * `u{tag}v(piece, cnt, lp)`. */
+  private def unigramMstepCtes(tag: String, prevVocab: String,
+                               cntCte: String): String =
+    s"""u${tag}kept AS (
+       |    SELECT v.piece,
+       |           CASE WHEN length(v.piece) = 1
+       |                THEN greatest(coalesce(c.c, 0), 1)
+       |                ELSE coalesce(c.c, 0) END AS cnt
+       |    FROM $prevVocab v LEFT JOIN $cntCte c USING (piece)
+       |    WHERE length(v.piece) = 1 OR coalesce(c.c, 0) > 0),
+       |  u${tag}tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM u${tag}kept),
+       |  u${tag}v AS (
+       |    SELECT k.piece, k.cnt,
+       |""".stripMargin + unigramLnSql("k.cnt", "t.t") +
+    s""" AS lp
+       |    FROM u${tag}kept k, u${tag}tot t)""".stripMargin
+
+  /** The full two-round trainer replay ending at vocabulary `ur2v`. */
+  private val unigramTrainCtes: String =
+    unigramBaseCtes + ",\n  " +
+      unigramViterbiCtes("r1", "uv0") + ",\n  " +
+      unigramMstepCtes("r1", "uv0", "ur1cnt") + ",\n  " +
+      unigramViterbiCtes("r2", "ur1v") + ",\n  " +
+      unigramMstepCtes("r2", "ur1v", "ur2cnt")
+
   /** x23's repetition-ratio CTEs → `rep(doc_id, n_grams, n_distinct,
     * rep_ratio, keep)` — shared by x23 and x36. */
   private val repCtes =
@@ -7042,6 +7271,151 @@ object SparkEntry {
                    AS lang_entropy,
                  n_keep::DOUBLE / n_docs::DOUBLE AS gopher_keep_frac
           FROM ds""",
+
+    // x192 — both proven training/apply chains composed in one WITH
+    // (the word chain's t* CTEs and the byte chain's b* CTEs are
+    // disjoint by prefix), joined per doc; one correctly-rounded ratio
+    "x192_tokenizer_compare" ->
+      s"""WITH ${bpeTrainCtes(12)},
+          ${byteTrainCtes(12)},
+          wagg AS (SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                          CAST(SUM(len(v.syms)) AS BIGINT) AS n_bpe_tokens
+                   FROM twordocc o JOIN tw12 v USING (w)
+                   GROUP BY o.doc_id),
+          bagg AS (SELECT o.doc_id, CAST(SUM(v.nb) AS BIGINT) AS n_bytes,
+                          CAST(SUM(len(v.syms)) AS BIGINT) AS n_byte_tokens
+                   FROM boc o JOIN btw12 v USING (w)
+                   GROUP BY o.doc_id)
+          SELECT w.doc_id, w.n_words, w.n_bpe_tokens, b.n_bytes,
+                 b.n_byte_tokens,
+                 CAST(b.n_byte_tokens AS DOUBLE) /
+                   CAST(w.n_bpe_tokens AS DOUBLE) AS byte_per_word_ratio
+          FROM wagg w JOIN bagg b USING (doc_id)""",
+
+    // x193 — the same df census and position-ordered reassembly: terms
+    // with fewer than 3 distinct docs become <unk>; string keys
+    // coincide with the engine's term keys verbatim
+    "x193_rare_token_scrub" ->
+      """WITH rt0 AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '\s+'),
+             t -> length(t) > 0) AS l
+           FROM documents),
+         rt AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+                       l[CAST(u.i + 1 AS INTEGER)] AS term
+                FROM rt0, unnest(range(0, len(l))) AS u(i)),
+         rdf AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+                 FROM rt GROUP BY 1),
+         rj AS (SELECT r.doc_id, r.pos,
+                  CASE WHEN d.df < 3 THEN '<unk>' ELSE r.term END AS term2,
+                  CASE WHEN d.df < 3 THEN 1 ELSE 0 END AS sc
+                FROM rt r JOIN rdf d ON d.term = r.term)
+         SELECT doc_id, COUNT(*) AS n_tokens,
+                CAST(SUM(sc) AS BIGINT) AS n_scrubbed,
+                string_agg(term2, ' ' ORDER BY pos) AS text
+         FROM rj GROUP BY 1""",
+
+    // x194 — blocked Levenshtein nearest neighbor: DuckDB recomputes
+    // edit distance with its own levenshtein(); blocking (first token,
+    // length div 16, group cap 256) replayed verbatim; argmin tiebreak
+    // = (distance, neighbor id) via row_number
+    "x194_edit_neardup" ->
+      """WITH ek AS (
+           SELECT doc_id, text AS txt,
+                  list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              t -> length(t) > 0)[1] AS k1,
+                  length(text) // 16 AS k2
+           FROM documents),
+         eg AS (SELECT k1, k2 FROM ek GROUP BY 1, 2
+                HAVING COUNT(*) > 1 AND COUNT(*) <= 256),
+         en AS (SELECT a.doc_id, b.doc_id AS nb,
+                       CAST(levenshtein(a.txt, b.txt) AS BIGINT) AS d
+                FROM ek a
+                JOIN eg g ON g.k1 IS NOT DISTINCT FROM a.k1
+                         AND g.k2 = a.k2
+                JOIN ek b ON b.k1 IS NOT DISTINCT FROM a.k1
+                         AND b.k2 = a.k2 AND b.doc_id <> a.doc_id)
+         SELECT doc_id, d AS min_edit_dist, nb AS neighbor_id
+         FROM (SELECT doc_id, d, nb, ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY d, nb) AS rn FROM en)
+         WHERE rn = 1""",
+
+    // x198 — all THREE proven trainer replays composed in one WITH
+    // (prefix-disjoint: t*/tw* word chain, b* byte chain, u* unigram
+    // chain), joined per doc
+    "x198_tokenizer_bakeoff" ->
+      s"""WITH RECURSIVE ${bpeTrainCtes(12)},
+          ${byteTrainCtes(12)},
+          $unigramTrainCtes,
+          ${unigramViterbiCtes("r3", "ur2v")},
+          uwp AS (SELECT w, np FROM ur3seg),
+          wagg AS (SELECT o.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                          CAST(SUM(len(v.syms)) AS BIGINT) AS n_bpe_tokens
+                   FROM twordocc o JOIN tw12 v USING (w)
+                   GROUP BY o.doc_id),
+          bagg AS (SELECT o.doc_id,
+                          CAST(SUM(len(v.syms)) AS BIGINT) AS n_byte_tokens
+                   FROM boc o JOIN btw12 v USING (w)
+                   GROUP BY o.doc_id),
+          uagg AS (SELECT u0.doc_id,
+                          CAST(SUM(p.np) AS BIGINT) AS n_unigram_pieces
+                   FROM u0, unnest(u0.ws) t(w) JOIN uwp p USING (w)
+                   GROUP BY u0.doc_id)
+          SELECT w.doc_id, w.n_words, w.n_bpe_tokens, b.n_byte_tokens,
+                 u.n_unigram_pieces,
+                 CAST(w.n_bpe_tokens AS DOUBLE) /
+                   CAST(w.n_words AS DOUBLE) AS bpe_fertility,
+                 CAST(u.n_unigram_pieces AS DOUBLE) /
+                   CAST(w.n_words AS DOUBLE) AS unigram_fertility
+          FROM wagg w JOIN bagg b USING (doc_id)
+          JOIN uagg u USING (doc_id)""",
+
+    // x196 — the WHOLE unigram trainer replayed: seed census, top-32
+    // cut, two hard-EM rounds (recursive-CTE Viterbi over the word
+    // census in lockstep, scaled-integer scores → exact BIGINT sums),
+    // zero-count pruning with the single-char floor
+    "x196_unigram_train" ->
+      s"""WITH RECURSIVE $unigramTrainCtes
+          SELECT piece, cnt AS count, lp AS lp_scaled FROM ur2v""",
+
+    // x197 — one more Viterbi chain under the final ur2v vocabulary;
+    // per-word piece counts join back to the docs' word lists
+    "x197_unigram_tokens" ->
+      s"""WITH RECURSIVE $unigramTrainCtes,
+          ${unigramViterbiCtes("r3", "ur2v")},
+          uwp AS (SELECT w, np FROM ur3seg)
+          SELECT u0.doc_id, CAST(len(u0.ws) AS BIGINT) AS n_words,
+                 CAST(SUM(p.np) AS BIGINT) AS n_pieces,
+                 CAST(SUM(p.np) AS DOUBLE) / CAST(len(u0.ws) AS DOUBLE)
+                   AS fertility
+          FROM u0, unnest(u0.ws) t(w) JOIN uwp p USING (w)
+          WHERE len(u0.ws) > 0
+          GROUP BY u0.doc_id, u0.ws""",
+
+    // x195 — preference pairs on the x8 quality CTEs: best/worst per
+    // prompt via row_number with the engine's exact tiebreaks
+    // (reward DESC, id) / (reward ASC, id); the 0.05 margin gate on the
+    // same one-op IEEE subtraction
+    "x195_preference_pairs" ->
+      s"""WITH $qualityCtes,
+          pp AS (SELECT doc_id, doc_id % 64 AS prompt_id, quality
+                 FROM qual),
+          pag AS (SELECT prompt_id, COUNT(*) AS n_candidates
+                  FROM pp GROUP BY 1),
+          pch AS (SELECT prompt_id, doc_id, quality, ROW_NUMBER() OVER (
+                    PARTITION BY prompt_id
+                    ORDER BY quality DESC, doc_id) AS rn FROM pp),
+          prj AS (SELECT prompt_id, doc_id, quality, ROW_NUMBER() OVER (
+                    PARTITION BY prompt_id
+                    ORDER BY quality ASC, doc_id) AS rn FROM pp)
+          SELECT c.prompt_id, a.n_candidates, c.doc_id AS chosen_id,
+                 r.doc_id AS rejected_id, c.quality AS chosen_reward,
+                 r.quality AS rejected_reward,
+                 c.quality - r.quality AS margin
+          FROM pch c
+          JOIN prj r USING (prompt_id) JOIN pag a USING (prompt_id)
+          WHERE c.rn = 1 AND r.rn = 1 AND a.n_candidates > 1
+            AND c.quality - r.quality >= 0.05""",
 
     // x191 — BFD replayed exactly: per-shard list state (bin
     // remainders + assignments) advancing one doc per recursive

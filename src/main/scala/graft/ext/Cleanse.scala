@@ -149,4 +149,38 @@ object Cleanse {
         col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
+
+  /** Rare-token scrub — closed-vocabulary UNK-ing doubling as rare-
+    * identifier suppression: any token appearing in fewer than `minDf`
+    * DISTINCT documents is replaced by `unk` (a token unique to a
+    * handful of documents is both useless to a word-level model and a
+    * re-identification handle — the df-threshold mirror of
+    * [[removeBoilerplateLines]]' high-df cut). Per doc: token count,
+    * scrub count, and the rebuilt text in original token order.
+    *
+    * The x33 census shape at 100 TB: exchanges carry (doc_id, pos,
+    * term) triples; the df table is ONE term-keyed distinct-doc count
+    * bounded by vocabulary size; reassembly is a doc-keyed sort of
+    * in-doc positions. Docs with no tokens are dropped. */
+  def rareTokenScrub(docs: DataFrame, minDf: Long,
+                     textCol: String = "text",
+                     unk: String = "<unk>"): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val toks = filter(TextOps.tokens(col(textCol)), t => length(t) > 0)
+    val positioned = docs
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "term")))
+    val dfq = positioned.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scrubbed = positioned.join(dfq, "term")
+      .select(col("doc_id"), col("pos"),
+        when(col("df") < minDf, lit(unk)).otherwise(col("term"))
+          .as("term2"),
+        when(col("df") < minDf, 1L).otherwise(0L).as("sc"))
+    scrubbed.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           sum("sc").as("n_scrubbed"),
+           array_join(transform(
+             sort_array(collect_list(struct(col("pos"), col("term2")))),
+             s => s.getField("term2")), " ").as("text"))
+  }
 }

@@ -1148,4 +1148,34 @@ object Curation {
       .select(col(idCol), col("n_grams"),
         (col("val_sum") / col("n_grams")).as("dsir_score"))
   }
+
+  /** Preference-pair assembly for DPO/RLHF training data (Rafailov et
+    * al. 2023 §4: each prompt contributes one (chosen, rejected)
+    * completion pair; Ouyang et al. 2022 §3.2 ranks K completions per
+    * prompt by reward). Given docs carrying a prompt key and a scalar
+    * reward, emit per prompt the best-vs-worst pair — chosen = highest
+    * (reward, then LOWEST id on ties), rejected = lowest (reward, then
+    * lowest id) — and keep only pairs whose reward margin clears
+    * `minMargin` (near-tie pairs teach the model noise; the margin gate
+    * is the standard filter).
+    *
+    * 100 TB shape: ONE exchange keyed by prompt; both extremes ride one
+    * aggregate (two min/max(struct) partials, map-side combined), so
+    * completions-per-prompt never materializes as a list. Texts stay
+    * behind — output is (prompt, ids, rewards, margin); the trainer
+    * joins text back by id. */
+  def preferencePairs(docs: DataFrame, promptCol: String,
+                      rewardCol: String, minMargin: Double,
+                      idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(col(promptCol))
+      .agg(count(lit(1)).as("n_candidates"),
+        max(struct(col(rewardCol).as("r"), (-col(idCol)).as("ni"),
+          col(idCol).as("id"))).as("c"),
+        min(struct(col(rewardCol).as("r"), col(idCol).as("id"))).as("j"))
+      .filter(col("n_candidates") > 1 &&
+        col("c.r") - col("j.r") >= minMargin)
+      .select(col(promptCol), col("n_candidates"),
+        col("c.id").as("chosen_id"), col("j.id").as("rejected_id"),
+        col("c.r").as("chosen_reward"), col("j.r").as("rejected_reward"),
+        (col("c.r") - col("j.r")).as("margin"))
 }

@@ -686,4 +686,60 @@ object Dedup {
       .withColumn("dup_frac",
         col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"))
   }
+
+  /** Edit-distance (Levenshtein) nearest neighbor under blocking — the
+    * short-string near-dup tier (instruction/title dedup: Self-Instruct
+    * §3.2 keeps a new instruction only when its similarity to every
+    * stored one is below threshold; news pipelines dedup headlines the
+    * same way). Shingle tiers miss single-character edits on SHORT
+    * strings (one edit flips most of a 3-gram set), and edit distance is
+    * exactly the metric they're compared under.
+    *
+    * Blocking, not all-pairs: candidates must share (first token,
+    * `length(text) div lenBucket`). A true near-dup pair that disagrees
+    * in its first token or falls across a length boundary is missed —
+    * the standard recall/cost trade of blocked record linkage
+    * (documented, parameterized). Groups above `maxGroup` are dropped
+    * and counted via `observe("edit_block_cap")` — same contract as
+    * [[jaccardPairs]]' df cap.
+    *
+    * Per surviving doc: the minimum edit distance to any block-mate and
+    * the arg-min neighbor (ties → lower neighbor id, via one
+    * min(struct)). 100 TB shape: ONE exchange keyed by block; pairs are
+    * generated map-side by the posexplode+slice stream (no m² array);
+    * `levenshtein()` is evaluated once per unordered pair and both
+    * orientations are exploded from the same row. Text rides the block
+    * exchange — this tier is priced for short strings, so the cap and
+    * the length of the strings bound the cost, not corpus size. */
+  def editNearDups(docs: DataFrame, lenBucket: Int = 16,
+                   maxGroup: Int = 256,
+                   textCol: String = "text"): DataFrame = {
+    val toks = filter(TextOps.tokens(col(textCol)), t => length(t) > 0)
+    val keyed = docs.select(col("doc_id"), col(textCol).as("txt"),
+      element_at(toks, 1).as("k1"),
+      expr(s"length($textCol) div $lenBucket").as("k2"))
+    val blocks = keyed.groupBy("k1", "k2")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("txt"))))
+        .as("ds"))
+      .filter(size(col("ds")) > 1)
+      .observe("edit_block_cap",
+        sum(when(size(col("ds")) > maxGroup, 1L).otherwise(0L))
+          .as("blocks_dropped"))
+      .filter(size(col("ds")) <= maxGroup)
+    val pairs = blocks
+      .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
+      .select(col("a"), explode(
+        slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("b"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        levenshtein(col("a.txt"), col("b.txt")).cast("long").as("d"))
+    pairs
+      .select(explode(array(
+        struct(col("ia").as("doc_id"), col("d"), col("ib").as("nb")),
+        struct(col("ib").as("doc_id"), col("d"), col("ia").as("nb"))))
+        .as("e"))
+      .groupBy(col("e.doc_id").as("doc_id"))
+      .agg(min(struct(col("e.d"), col("e.nb"))).as("m"))
+      .select(col("doc_id"), col("m.d").as("min_edit_dist"),
+        col("m.nb").as("neighbor_id"))
+  }
 }

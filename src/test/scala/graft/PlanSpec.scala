@@ -711,6 +711,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SerializeFromObject"), s"object boundary missing:\n$p")
   }
 
+  test("x192/x193: tokenizer compare joins two scan-fused reports; the " +
+    "scrub is the census shape — nothing all-pairs") {
+    Seq("x192_tokenizer_compare", "x193_rare_token_scrub").foreach { q =>
+      val p = executed(q).toString
+      assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoop"), s"$q all-pairs:\n$p")
+    }
+  }
+
+  test("x194 edit near-dup: block-keyed pair generation, never a " +
+    "cartesian; x195 preference pairs: one aggregate, no window") {
+    Seq("x194_edit_neardup", "x195_preference_pairs").foreach { q =>
+      val p = executed(q).toString
+      assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoop"), s"$q all-pairs:\n$p")
+    }
+    val pp = executed("x195_preference_pairs").toString
+    assert(!pp.contains("Window"), s"x195 grew a window:\n$pp")
+    assert(pp.contains("partial_min") || pp.contains("partial"),
+      s"x195 lost map-side partials:\n$pp")
+  }
+
+  test("x197 unigram apply: the piece table is broadcast-local — one " +
+    "scan stage, zero exchange, zero join") {
+    val p = executed("x197_unigram_tokens").toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"x197 grew an exchange or join:\n$p")
+  }
+
   test("x189/x190 reports: every window carries a partition key, small " +
     "sides broadcast, nothing all-pairs") {
     Seq("x189_length_batching", "x190_data_card").foreach { q =>

@@ -179,4 +179,21 @@ class CleanseSpec extends AnyFunSuite {
       .toMap
     assert(rows(1L) == ("caf\u00E9", true) && rows(2L) == ("ok", false))
   }
+  test("rare-token scrub: df-threshold UNK-ing preserves order and counts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta RareOne gamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "alpha beta gamma rubyx"),
+      (4L, "alpha beta gamma")).toDF("doc_id", "text")
+    val r = graft.ext.Cleanse.rareTokenScrub(df, minDf = 3L).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("n_scrubbed"),
+         x.getAs[String]("text"))).toMap
+    // alpha/beta/gamma in 4 docs; rareone (case-folded) and rubyx in 1
+    assert(r(1L) == ((4L, 1L, "alpha beta <unk> gamma")))
+    assert(r(3L) == ((4L, 1L, "alpha beta gamma <unk>")))
+    assert(r(2L) == ((3L, 0L, "alpha beta gamma")))
+    assert(r(4L) == ((3L, 0L, "alpha beta gamma")))
+  }
 }

@@ -39,8 +39,14 @@ class ExtSpec extends AnyFunSuite {
     val r = Dedup.minhashVerifiedDups(docs, minJaccard = 0.4)
     val pairs = r.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(pairs.contains((1L, 4L))) // exact dup pair always survives
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "minhashVerifiedDups must not pin executor storage (round-3 leak)")
+    // scope the guard to THIS operator's RDDs: graph queries running in
+    // a concurrent suite legitimately hold eager localCheckpoints
+    // (Graph.scala's Pregel lineage discipline) until GC'd, and the
+    // shared session makes the global map racy
+    val pinned = spark.sparkContext.getPersistentRDDs.values
+      .map(_.toString).filter(_.contains("Dedup"))
+    assert(pinned.isEmpty,
+      s"minhashVerifiedDups must not pin executor storage (round-3 leak): $pinned")
   }
 
   test("incrementalVerifiedDups checks new docs against index AND " +
@@ -2616,5 +2622,47 @@ class ExtSpec extends AnyFunSuite {
     // the all-off-target doc scores lowest; the pure-target profile wins
     assert(got(3L)._2 < got(2L)._2 && got(3L)._2 < got(1L)._2)
     assert(got(1L)._2 > got(4L)._2 || got(1L)._2 > got(3L)._2)
+  }
+
+  test("edit near-dup: blocked levenshtein argmin with (dist, id) ties; " +
+    "cross-block pairs never compared") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta"), // 1/2/3 share block (alpha, 22/16=1)
+      (2L, "alpha beta gamma delt"),  //   but len 21 -> also bucket 1
+      (3L, "alpha beta gamme delta"), // dist(1,3)=1, dist(1,2)=1 tie -> nb 2
+      (4L, "omega psi chi"),          // lone block -> no output row
+      (5L, "alpha " + "x" * 60)       // same k1, different len bucket
+    ).toDF("doc_id", "text")
+    val r = Dedup.editNearDups(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("min_edit_dist"), x.getAs[Long]("neighbor_id")))
+      .toMap
+    assert(!r.contains(4L) && !r.contains(5L))
+    assert(r(1L) == ((1L, 2L))) // dist 1 to both 2 and 3; tie -> lower id
+    assert(r(2L) == ((1L, 1L)))
+    assert(r(3L) == ((1L, 1L))) // "gamme"->"gamma" is 1 edit from doc 1
+  }
+
+  test("preference pairs: best-vs-worst per prompt, margin gate, " +
+    "deterministic tiebreaks") {
+    import spark.implicits._
+    val d = Seq(
+      // prompt 0: rewards 0.9/0.9/0.1 -> chosen ties break to LOW id
+      (10L, 0L, 0.9), (11L, 0L, 0.9), (12L, 0L, 0.1),
+      // prompt 1: margin 0.02 < 0.05 -> gated out
+      (20L, 1L, 0.50), (21L, 1L, 0.48),
+      // prompt 2: single candidate -> no pair
+      (30L, 2L, 0.7)
+    ).toDF("doc_id", "prompt_id", "reward")
+    val r = Curation.preferencePairs(d, "prompt_id", "reward", 0.05)
+      .collect()
+    assert(r.length == 1)
+    val p = r.head
+    assert(p.getAs[Long]("prompt_id") == 0L &&
+      p.getAs[Long]("n_candidates") == 3L &&
+      p.getAs[Long]("chosen_id") == 10L &&
+      p.getAs[Long]("rejected_id") == 12L &&
+      math.abs(p.getAs[Double]("margin") - 0.8) < 1e-12)
   }
 }
