@@ -122,7 +122,8 @@ object Plans {
       "x193_rare_token_scrub" -> "Rare-token scrub: the x33 census shape — (doc, pos, term) triples, ONE term-keyed distinct-doc df bounded by vocabulary size, join back, doc-keyed position-sorted reassembly; no text on the df exchange.",
       "x194_edit_neardup" -> "Blocked Levenshtein near-dup: ONE block-keyed exchange, pairs stream from posexplode+slice (no m^2 array), levenshtein once per unordered pair; group cap bounds the quadratic core — never all-pairs.",
       "x195_preference_pairs" -> "Preference pairs: ONE prompt-keyed aggregate — both extremes ride min/max(struct) partials with map-side combine; no window, no per-prompt list, texts never shuffle.",
-      "x197_unigram_tokens" -> "Unigram tokenizer apply: the trained piece table is a broadcast local value inside one scan-stage UDF over the token array — zero exchange, zero join; training cost was paid ONCE by the memoized census-job trainer.")
+      "x197_unigram_tokens" -> "Unigram tokenizer apply: the trained piece table is a broadcast local value inside one scan-stage UDF over the token array — zero exchange, zero join; training cost was paid ONCE by the memoized census-job trainer.",
+      "x199_kmeans_census" -> "K-means census: assignment is a literal-centroid argmax fused into the scan (vectors never shuffle), then ONE cid-keyed aggregate; each Lloyd training iteration was ONE aggregation whose exchange carries k x dim scalars, never vectors.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")

@@ -1294,6 +1294,22 @@ object SparkEntry {
     "x194_edit_neardup" -> ((s, d) =>
       ext.Dedup.editNearDups(t(s, d, "documents"))),
 
+    // x199 — semantic cluster census (Tirumala et al. 2023 D4): Lloyd-
+    // trained k-means over the embedding corpus (k=8, 2 iterations),
+    // then per cluster the member count, decimal-routed mean cohesion
+    // cosine, and the exemplar member. The oracle replays the WHOLE
+    // trainer: seed = first-8 vectors, each iteration's argmax
+    // assignment and decimal-sum means as CTEs, empty clusters carrying
+    // their previous centroid.
+    "x199_kmeans_census" -> ((s, d) =>
+      ext.Similarity.kmeansCensus(t(s, d, "embeddings"))),
+
+    // x200 — cluster-balanced sample: 10 members per trained cluster by
+    // splitmix64 rank — the D4 diversification cut; composes the x199
+    // assignment with the x24 stratified-sample rank rule.
+    "x200_cluster_sample" -> ((s, d) =>
+      ext.Similarity.kmeansBalancedSample(t(s, d, "embeddings"))),
+
     // x198 — the three-family tokenizer BAKEOFF: trained word-BPE
     // (x106), trained byte-BPE (x119, on its fixture text) and the
     // trained unigram-LM (x196) scored per document in ONE report — the
@@ -6036,6 +6052,68 @@ object SparkEntry {
                    + least((sw_hits / greatest(n_tokens, 1.0)) * 5.0, 1.0)) / 4.0 AS quality
            FROM qsig)"""
 
+  /** One Lloyd iteration of the x199/x200 k-means replay: cosine
+    * argmax assignment under the previous centroid table (`cc DESC,
+    * cid DESC` = the engine's greatest(struct) tiebreak), decimal-
+    * routed component means (the exact `Stable.sumD` route:
+    * float → double → DECIMAL(28,6) sum → double, divided by the
+    * member count), and the empty-cluster carry (absent cid keeps its
+    * previous centroid). Emits `{tag}c(cid, cvec)`. */
+  private def kmeansIterCtes(tag: String, prevCent: String): String =
+    s"""${tag}p AS (
+       |  SELECT e.vec_id, c.cid,
+       |         list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+       |         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+       |                                  CAST(e.embedding AS DOUBLE[])))
+       |            * sqrt(list_dot_product(c.cvec, c.cvec))) AS cc
+       |  FROM embeddings e, $prevCent c),
+       |${tag}a AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY cc DESC, cid DESC) AS rn
+       |    FROM ${tag}p) WHERE rn = 1),
+       |${tag}m AS (
+       |  SELECT a.cid, ii.i AS pos,
+       |         CAST(SUM(CAST(CAST(e.embedding[CAST(ii.i + 1 AS INTEGER)]
+       |                   AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+       |           / COUNT(*) AS comp
+       |  FROM ${tag}a a JOIN embeddings e USING (vec_id),
+       |       unnest(range(0, len(e.embedding))) ii(i)
+       |  GROUP BY 1, 2),
+       |${tag}x AS (
+       |  SELECT c0.cid, ii.i AS pos,
+       |         c0.cvec[CAST(ii.i + 1 AS INTEGER)] AS prevcomp
+       |  FROM $prevCent c0, unnest(range(0, len(c0.cvec))) ii(i)),
+       |${tag}r AS (
+       |  SELECT x.cid, x.pos, coalesce(m.comp, x.prevcomp) AS comp
+       |  FROM ${tag}x x
+       |  LEFT JOIN ${tag}m m ON m.cid = x.cid AND m.pos = x.pos),
+       |${tag}c AS (
+       |  SELECT cid, array_agg(comp ORDER BY pos) AS cvec
+       |  FROM ${tag}r GROUP BY cid)""".stripMargin
+
+  /** The x199/x200 shared chain: first-8 seed, two Lloyd iterations,
+    * and the final assignment `kfa(vec_id, cid, cc)`. */
+  private val kmeansFinalCtes: String =
+    """kc0 AS (
+      |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+      |  FROM embeddings WHERE vec_id < 8),
+      |""".stripMargin +
+      kmeansIterCtes("k1", "kc0") + ",\n" +
+      kmeansIterCtes("k2", "k1c") + ",\n" +
+      """kfp AS (
+        |  SELECT e.vec_id, c.cid,
+        |         list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+        |         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+        |                                  CAST(e.embedding AS DOUBLE[])))
+        |            * sqrt(list_dot_product(c.cvec, c.cvec))) AS cc
+        |  FROM embeddings e, k2c c),
+        |kfa AS (
+        |  SELECT vec_id, cid, cc FROM (
+        |    SELECT vec_id, cid, cc, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY cc DESC, cid DESC) AS rn
+        |    FROM kfp) WHERE rn = 1)""".stripMargin
+
   /** The x196/x197 unigram-LM trainer replay — scaled-integer log-prob
     * lattice: `lp = round_half_away(ln(cnt/total) * 1e9)` as BIGINT, so
     * every Viterbi path score below is an EXACT integer sum. Base CTEs:
@@ -7339,6 +7417,41 @@ object SparkEntry {
          FROM (SELECT doc_id, d, nb, ROW_NUMBER() OVER (
                  PARTITION BY doc_id ORDER BY d, nb) AS rn FROM en)
          WHERE rn = 1""",
+
+    // x199 — the whole Lloyd trainer replayed (seed, two iterations,
+    // final assignment), then the census: member count, decimal-routed
+    // mean cohesion, exemplar = (cc DESC, vec_id) first
+    "x199_kmeans_census" ->
+      s"""WITH $kmeansFinalCtes,
+          kex AS (
+            SELECT cid, vec_id FROM (
+              SELECT cid, vec_id, ROW_NUMBER() OVER (
+                PARTITION BY cid ORDER BY cc DESC, vec_id) AS rn
+              FROM kfa) WHERE rn = 1),
+          kcen AS (
+            SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   round(${graft.ops.Stable.avgSql("cc")}, 6) AS mean_cos
+            FROM kfa GROUP BY 1)
+          SELECT c.cid, c.n_vecs, c.mean_cos, e.vec_id AS exemplar_id
+          FROM kcen c JOIN kex e USING (cid)""",
+
+    // x200 — the x24 splitmix64 rank rule stratified on the trained
+    // cluster id: 10 members per cluster
+    "x200_cluster_sample" ->
+      s"""WITH $kmeansFinalCtes,
+          km0 AS (SELECT vec_id, cid, vec_id::HUGEINT AS u0 FROM kfa),
+          km1 AS (SELECT *, ${mulmodSql("xor(u0, u0 // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM km0),
+          km2 AS (SELECT *, ${mulmodSql("xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM km1),
+          km3 AS (SELECT *, xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM km2),
+          ksgn AS (SELECT *, CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+                                       THEN uh - 18446744073709551616::HUGEINT
+                                       ELSE uh END AS BIGINT) AS sh FROM km3),
+          kranked AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY cid
+                                      ORDER BY sh, vec_id) AS rk
+            FROM ksgn)
+          SELECT vec_id, cid FROM kranked WHERE rk <= 10""",
 
     // x198 — all THREE proven trainer replays composed in one WITH
     // (prefix-disjoint: t*/tw* word chain, b* byte chain, u* unigram

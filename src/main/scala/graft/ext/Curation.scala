@@ -152,10 +152,11 @@ object Curation {
     * [[hashSample]] at a rate that over-samples `perStratum` and rank the
     * survivors. */
   def stratifiedSample(docs: DataFrame, strataCol: String,
-                       perStratum: Int): DataFrame = {
+                       perStratum: Int,
+                       idCol: String = "doc_id"): DataFrame = {
     val w = Window.partitionBy(col(strataCol))
-      .orderBy(graft.functions.HashExprs.mix64_col(col("doc_id")),
-               col("doc_id"))
+      .orderBy(graft.functions.HashExprs.mix64_col(col(idCol)),
+               col(idCol))
     docs.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= perStratum)
       .drop("rk")

@@ -356,6 +356,65 @@ object Similarity {
     ivfQuery(embeddings, centDf, q, k, nProbe, idCol, vecCol)
   }
 
+  /** Per-vector cluster assignment under literal centroids, carrying
+    * the winning cosine: the x17 argmax fused into the scan — no join,
+    * no exchange, the vector payload never shuffles; ties → higher cid
+    * (the [[coarseCellCol]] struct-greatest convention). */
+  def kmeansAssign(embeddings: DataFrame, cents: Array[Array[Double]],
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    require(cents.forall(_.exists(_ != 0.0)),
+      "zero-norm centroid: cosine cluster assignment is undefined")
+    val b = greatest(cents.zipWithIndex.map { case (c, j) =>
+      struct(cosineLiteral(col(vecCol), c).as("cc"),
+             lit(j.toLong).as("cid")) }: _*)
+    embeddings.select(col(idCol), b.as("b"))
+      .select(col(idCol), col("b.cid").as("cid"), col("b.cc").as("cc"))
+  }
+
+  /** Semantic cluster census over the corpus embedding space — the
+    * curation report cluster-aware selection reads first (Tirumala et
+    * al. 2023, "D4": k-means clusters of document embeddings drive
+    * both dedup and diversification): Lloyd-trained centroids
+    * ([[trainIvfCentroids]] — ONE aggregation per iteration, only the
+    * k × dim matrix reaches the driver), then per cluster the member
+    * count, the decimal-routed mean assignment cosine (cohesion), and
+    * the exemplar — the member nearest its centroid (ties → lower id),
+    * which is what a labeling pass reads instead of the whole cluster.
+    * Assignment is the literal-centroid argmax fused into the scan, so
+    * the census is scan → one cid-keyed aggregate at any corpus size. */
+  def kmeansCensus(embeddings: DataFrame, nCentroids: Int = 8,
+                   iters: Int = 2, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val cents = trainIvfCentroids(embeddings, nCentroids, iters,
+      idCol, vecCol)
+    kmeansAssign(embeddings, cents, idCol, vecCol)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(graft.ops.Stable.avgD(col("cc")), 6).as("mean_cos"),
+        max(struct(col("cc"), (-col(idCol)).as("ni"))).as("b"))
+      .select(col("cid"), col("n_vecs"), col("mean_cos"),
+        (-col("b.ni")).as("exemplar_id"))
+  }
+
+  /** Cluster-balanced sample: `perCluster` members from every trained
+    * cluster by splitmix64 rank — the diversification cut (D4's
+    * counter to semantic over-concentration: a corpus 90% one topic
+    * contributes at most `perCluster` from that topic's clusters).
+    * Composes [[kmeansAssign]] with [[Curation.stratifiedSample]]'s
+    * rank rule, stratified on the CLUSTER id. */
+  def kmeansBalancedSample(embeddings: DataFrame, nCentroids: Int = 8,
+                           iters: Int = 2, perCluster: Int = 10,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val cents = trainIvfCentroids(embeddings, nCentroids, iters,
+      idCol, vecCol)
+    Curation.stratifiedSample(
+      kmeansAssign(embeddings, cents, idCol, vecCol)
+        .select(col(idCol), col("cid")),
+      "cid", perCluster, idCol = idCol)
+  }
+
   /** IVF-style per-label top-k: nearest neighbors within each coarse
     * partition (label = cluster id), e.g. for per-cluster diversity
     * sampling. Window rank — one shuffle on label. */

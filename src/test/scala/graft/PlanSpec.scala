@@ -740,6 +740,19 @@ class PlanSpec extends AnyFunSuite {
       s"x197 grew an exchange or join:\n$p")
   }
 
+  test("x199 kmeans census: literal-centroid argmax fused into the " +
+    "scan — no join; one cid-keyed aggregate") {
+    val p = executed("x199_kmeans_census").toString
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"x199 grew a join:\n$p")
+    val p2 = executed("x200_cluster_sample").toString
+    assert(!p2.contains("Join") && p2.contains("Window"),
+      s"x200 shape off:\n$p2")
+    assert(!p2.contains("Window [")
+      || !p2.contains("windowspecdefinition()"),
+      s"x200 window lost its partition key:\n$p2")
+  }
+
   test("x189/x190 reports: every window carries a partition key, small " +
     "sides broadcast, nothing all-pairs") {
     Seq("x189_length_batching", "x190_data_card").foreach { q =>

@@ -2644,6 +2644,43 @@ class ExtSpec extends AnyFunSuite {
     assert(r(3L) == ((1L, 1L))) // "gamme"->"gamma" is 1 edit from doc 1
   }
 
+  test("kmeans census: counts cover the corpus, exemplars are members, " +
+    "cohesion sane; balanced sample caps every cluster") {
+    import spark.implicits._
+    def jit(base: Array[Float], i: Int): Array[Float] =
+      base.zipWithIndex.map { case (v, d) => v + 0.01f * ((i + d) % 5) }
+    val a = Array(1f, 0f, 0f, 0f)
+    val b = Array(0f, 1f, 0f, 0f)
+    val vecs = (0L until 12L).map(i => (i, jit(a, i.toInt))) ++
+               (12L until 40L).map(i => (i, jit(b, i.toInt)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val cen = Similarity.kmeansCensus(df, nCentroids = 4, iters = 2)
+      .collect()
+    assert(cen.map(_.getAs[Long]("n_vecs")).sum == 40L)
+    assert(cen.forall(r => r.getAs[Double]("mean_cos") <= 1.0 &&
+      r.getAs[Double]("mean_cos") > 0.9)) // tight jitter -> high cohesion
+    // the exemplar belongs to its own cluster
+    val cents = Similarity.trainIvfCentroids(df, 4, 2)
+    val assign = Similarity.kmeansAssign(df, cents).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cid")).toMap
+    cen.foreach(r => assert(
+      assign(r.getAs[Long]("exemplar_id")) == r.getAs[Long]("cid")))
+    // balanced sample: every cluster contributes min(perCluster, size)
+    val samp = Similarity.kmeansBalancedSample(df, nCentroids = 4,
+      iters = 2, perCluster = 5).collect()
+      .groupBy(_.getAs[Long]("cid")).map { case (c, rs) => c -> rs.length }
+    val sizes = cen.map(r => r.getAs[Long]("cid") ->
+      r.getAs[Long]("n_vecs")).toMap
+    samp.foreach { case (c, n) => assert(n == math.min(5L, sizes(c))) }
+    assert(samp.keySet == sizes.keySet)
+    // partitioning-invariant
+    val samp2 = Similarity.kmeansBalancedSample(df.repartition(7),
+      nCentroids = 4, iters = 2, perCluster = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(samp2 == Similarity.kmeansBalancedSample(df, 4, 2, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("preference pairs: best-vs-worst per prompt, margin gate, " +
     "deterministic tiebreaks") {
     import spark.implicits._
