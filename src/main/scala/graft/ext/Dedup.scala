@@ -711,6 +711,16 @@ object Dedup {
     * orientations are exploded from the same row. Text rides the block
     * exchange — this tier is priced for short strings, so the cap and
     * the length of the strings bound the cost, not corpus size. */
+  /** The stored short-string index the streaming edit gate probes:
+    * (doc_id, txt, k1, k2) under [[editNearDups]]' block keys. */
+  def editIndex(docs: DataFrame, lenBucket: Int = 16,
+                textCol: String = "text"): DataFrame = {
+    val toks = filter(TextOps.tokens(col(textCol)), t => length(t) > 0)
+    docs.select(col("doc_id"), col(textCol).as("txt"),
+      element_at(toks, 1).as("k1"),
+      expr(s"length($textCol) div $lenBucket").as("k2"))
+  }
+
   def editNearDups(docs: DataFrame, lenBucket: Int = 16,
                    maxGroup: Int = 256,
                    textCol: String = "text"): DataFrame = {

@@ -372,6 +372,41 @@ object StreamingOps {
   /** Run a streaming aggregation over existing parquet as a bounded stream
     * (memory sink), for batch-equivalence testing. Returns the final table.
     */
+  /** Streaming EDIT-DISTANCE ingest gate — the short-string
+    * (instruction/title) twin of [[streamingNearDupGate]]: each arriving
+    * string takes its [[graft.ext.Dedup.editNearDups]] block key (first
+    * token, `length div lenBucket`) in the scan stage and probes the
+    * STORED index through one stateless stream-static equi-join;
+    * `levenshtein()` verifies only bucket collisions. Emits
+    * (doc_a = index, doc_b = arrival, dist ≤ maxDist); zero state —
+    * arrival-internal dups are the batch job's business. Same blocking
+    * recall trade as the batch operator, documented there. */
+  def streamingEditGate(docStream: DataFrame, index: DataFrame,
+                        maxDist: Long = 3, lenBucket: Int = 16): DataFrame = {
+    val toks = filter(graft.ext.TextOps.tokens(col("text")),
+      t => length(t) > 0)
+    val inc = docStream.select(col("doc_id").as("doc_b"),
+      col("text").as("txt_b"), element_at(toks, 1).as("k1"),
+      expr(s"length(text) div $lenBucket").as("k2"))
+    inc.join(
+        index.select(col("doc_id").as("doc_a"), col("txt").as("txt_a"),
+          col("k1"), col("k2")),
+        Seq("k1", "k2"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("txt_a"), col("txt_b")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Streaming CLUSTER assignment — the x199 argmax on a stream:
+    * arriving embeddings take their trained-centroid cluster via the
+    * literal-centroid cosine argmax, a pure scan-stage projection with
+    * zero state (the centroids were trained ONCE by the batch
+    * [[graft.ext.Similarity.trainIvfCentroids]] job and ride in as
+    * literals). Feeds routing/drift monitoring without a batch pass. */
+  def streamingClusterAssign(vecStream: DataFrame,
+                             cents: Array[Array[Double]]): DataFrame =
+    graft.ext.Similarity.kmeansAssign(vecStream, cents)
+
   def runBounded(spark: SparkSession, agg: DataFrame, name: String,
                  mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q: StreamingQuery = agg.writeStream

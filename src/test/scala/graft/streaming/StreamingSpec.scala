@@ -619,4 +619,58 @@ class StreamingSpec extends AnyFunSuite {
     val b = batch.collect().map(_.toSeq).toSet
     assert(s == b && s.nonEmpty, s"stream=$s\nbatch=$b")
   }
+
+  test("streaming edit gate: arrivals probe the stored blocked index, " +
+       "stateless, stream equals batch") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // arrivals: exact copies (dist 0) and one-char-appended copies
+    // (dist 1) of the stored corpus, offset ids
+    def arrivals(df: org.apache.spark.sql.DataFrame) = df
+      .filter(pmod(col("doc_id"), lit(5L)) < 2)
+      .withColumn("doc_id", col("doc_id") + 1000L)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(5L)) === 0, col("text"))
+          .otherwise(concat(col("text"), lit("x"))))
+    val docsBatch = spark.read.parquet(s"$dir/documents.parquet")
+    val index = graft.ext.Dedup.editIndex(docsBatch)
+    val docStream = arrivals(spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir))
+    val streamed = StreamingOps.runBounded(spark,
+      StreamingOps.streamingEditGate(docStream, index, maxDist = 2),
+      "edit_gate_test", OutputMode.Append())
+    val batch = StreamingOps.streamingEditGate(
+      arrivals(docsBatch), index, maxDist = 2)
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b && s.nonEmpty, s"stream=$s\nbatch=$b")
+    // every exact copy is caught at distance 0 against its original
+    val caught = batch.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("dist")))
+    assert(caught.exists { case (a, bb, d) => d == 0L && bb == a + 1000L })
+  }
+
+  test("streaming cluster assignment: trained centroids as literals, " +
+       "zero state, stream equals batch") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val vecsBatch = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = graft.ext.Similarity.trainIvfCentroids(vecsBatch, 8, 2)
+    val vecStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+    val streamed = StreamingOps.runBounded(spark,
+      StreamingOps.streamingClusterAssign(vecStream, cents),
+      "cluster_assign_test", OutputMode.Append())
+    val batch = graft.ext.Similarity.kmeansAssign(vecsBatch, cents)
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b && s.size == 500, s"stream ${s.size} vs batch ${b.size}")
+  }
 }
