@@ -75,6 +75,16 @@ object SparkEntry {
     trainedUnigram.computeIfAbsent(d, _ =>
       ext.Unigram.train(t(s, d, "documents")))
 
+  /** x199/x200 Lloyd-trained k-means centroids, memoized per data dir
+    * (the [[bpeTrained]] discipline): training runs once per JVM. */
+  private val trainedKmeans = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Double]]]()
+  private def kmeansTrained(s: SparkSession, d: String)
+      : Array[Array[Double]] =
+    trainedKmeans.computeIfAbsent(d, _ =>
+      ext.Similarity.trainIvfCentroids(t(s, d, "embeddings"),
+        nCentroids = 8, iters = 2))
+
   private def storedDir(kind: String, d: String)(build: String => Unit): String =
     storeBuilt.computeIfAbsent(s"$kind|$d", _ => {
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -1302,13 +1312,15 @@ object SparkEntry {
     // assignment and decimal-sum means as CTEs, empty clusters carrying
     // their previous centroid.
     "x199_kmeans_census" -> ((s, d) =>
-      ext.Similarity.kmeansCensus(t(s, d, "embeddings"))),
+      ext.Similarity.kmeansCensusOf(t(s, d, "embeddings"),
+        kmeansTrained(s, d))),
 
     // x200 — cluster-balanced sample: 10 members per trained cluster by
     // splitmix64 rank — the D4 diversification cut; composes the x199
     // assignment with the x24 stratified-sample rank rule.
     "x200_cluster_sample" -> ((s, d) =>
-      ext.Similarity.kmeansBalancedSample(t(s, d, "embeddings"))),
+      ext.Similarity.kmeansBalancedSampleOf(t(s, d, "embeddings"),
+        kmeansTrained(s, d))),
 
     // x198 — the three-family tokenizer BAKEOFF: trained word-BPE
     // (x106), trained byte-BPE (x119, on its fixture text) and the

@@ -385,9 +385,17 @@ object Similarity {
     * the census is scan → one cid-keyed aggregate at any corpus size. */
   def kmeansCensus(embeddings: DataFrame, nCentroids: Int = 8,
                    iters: Int = 2, idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
-    val cents = trainIvfCentroids(embeddings, nCentroids, iters,
+                   vecCol: String = "embedding"): DataFrame =
+    kmeansCensusOf(embeddings,
+      trainIvfCentroids(embeddings, nCentroids, iters, idCol, vecCol),
       idCol, vecCol)
+
+  /** [[kmeansCensus]] under an ALREADY-trained centroid table — the
+    * memoized-trainer entry point (training runs once per JVM, every
+    * consumer reads the learned matrix). */
+  def kmeansCensusOf(embeddings: DataFrame, cents: Array[Array[Double]],
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
     kmeansAssign(embeddings, cents, idCol, vecCol)
       .groupBy("cid")
       .agg(count(lit(1)).as("n_vecs"),
@@ -406,14 +414,21 @@ object Similarity {
   def kmeansBalancedSample(embeddings: DataFrame, nCentroids: Int = 8,
                            iters: Int = 2, perCluster: Int = 10,
                            idCol: String = "vec_id",
-                           vecCol: String = "embedding"): DataFrame = {
-    val cents = trainIvfCentroids(embeddings, nCentroids, iters,
-      idCol, vecCol)
+                           vecCol: String = "embedding"): DataFrame =
+    kmeansBalancedSampleOf(embeddings,
+      trainIvfCentroids(embeddings, nCentroids, iters, idCol, vecCol),
+      perCluster, idCol, vecCol)
+
+  /** [[kmeansBalancedSample]] under already-trained centroids. */
+  def kmeansBalancedSampleOf(embeddings: DataFrame,
+                             cents: Array[Array[Double]],
+                             perCluster: Int = 10,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame =
     Curation.stratifiedSample(
       kmeansAssign(embeddings, cents, idCol, vecCol)
         .select(col(idCol), col("cid")),
       "cid", perCluster, idCol = idCol)
-  }
 
   /** IVF-style per-label top-k: nearest neighbors within each coarse
     * partition (label = cluster id), e.g. for per-cluster diversity

@@ -392,9 +392,12 @@ object StreamingOps {
         index.select(col("doc_id").as("doc_a"), col("txt").as("txt_a"),
           col("k1"), col("k2")),
         Seq("k1", "k2"))
+      // threshold form: the DP early-exits at O(maxDist · n) per pair
+      // instead of O(m · n), and returns -1 beyond the threshold
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("txt_a"), col("txt_b")).cast("long").as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("txt_a"), col("txt_b"), maxDist.toInt)
+          .cast("long").as("dist"))
+      .filter(col("dist") >= 0L && col("dist") <= maxDist)
   }
 
   /** Streaming CLUSTER assignment — the x199 argmax on a stream:
