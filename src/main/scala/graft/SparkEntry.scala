@@ -1322,6 +1322,13 @@ object SparkEntry {
       ext.Similarity.kmeansBalancedSampleOf(t(s, d, "embeddings"),
         kmeansTrained(s, d))),
 
+    // x201 — embedding isotropy diagnostics (Mu & Viswanath 2018): the
+    // decimal-routed corpus mean vector, then mean norm, mean-vector
+    // norm, and the anisotropy score (mean cosine to the mean
+    // direction) in one scan-stage aggregate.
+    "x201_embedding_isotropy" -> ((s, d) =>
+      ext.Similarity.isotropyReport(t(s, d, "embeddings"))),
+
     // x198 — the three-family tokenizer BAKEOFF: trained word-BPE
     // (x106), trained byte-BPE (x119, on its fixture text) and the
     // trained unigram-LM (x196) scored per document in ONE report — the
@@ -7429,6 +7436,37 @@ object SparkEntry {
          FROM (SELECT doc_id, d, nb, ROW_NUMBER() OVER (
                  PARTITION BY doc_id ORDER BY d, nb) AS rn FROM en)
          WHERE rn = 1""",
+
+    // x201 — the mean vector replayed as the same pos-keyed decimal
+    // aggregate; norms and cosines via list_dot_product (bit-identical
+    // to the Spark fold); the mean-vector norm is the same
+    // sqrt-of-self-dot both engines compute
+    "x201_embedding_isotropy" ->
+      s"""WITH im AS (
+            SELECT ii.i AS pos,
+                   CAST(SUM(CAST(CAST(e.embedding[CAST(ii.i + 1 AS INTEGER)]
+                             AS DOUBLE) AS DECIMAL(28,6))) AS DOUBLE)
+                     / COUNT(*) AS comp
+            FROM embeddings e,
+                 unnest(range(0, len(e.embedding))) ii(i)
+            GROUP BY 1),
+          imv AS (SELECT array_agg(comp ORDER BY pos) AS mvec FROM im)
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                 round(${graft.ops.Stable.avgSql(
+                   "sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))")},
+                   6) AS mean_norm,
+                 round(sqrt(list_dot_product(v.mvec, v.mvec)), 6)
+                   AS mu_norm,
+                 CASE WHEN sqrt(list_dot_product(v.mvec, v.mvec)) = 0
+                      THEN NULL ELSE
+                 round(${graft.ops.Stable.avgSql(
+                   """(list_dot_product(CAST(e.embedding AS DOUBLE[]), v.mvec)
+                      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                               CAST(e.embedding AS DOUBLE[])))
+                         * sqrt(list_dot_product(v.mvec, v.mvec))))""")},
+                   6) END AS mean_cos_to_mu
+          FROM embeddings e, imv v
+          GROUP BY v.mvec""",
 
     // x199 — the whole Lloyd trainer replayed (seed, two iterations,
     // final assignment), then the census: member count, decimal-routed

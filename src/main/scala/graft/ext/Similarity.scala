@@ -356,6 +356,51 @@ object Similarity {
     ivfQuery(embeddings, centDf, q, k, nProbe, idCol, vecCol)
   }
 
+  /** The decimal-routed corpus mean vector: posexplode to (pos,
+    * component), ONE pos-keyed aggregate whose exchange carries dim ×
+    * nPartitions scalars (the Lloyd-iteration shape), exact
+    * DECIMAL(28,6) sums so the result is partitioning-invariant; only
+    * the dim-length array reaches the driver. */
+  def meanVector(embeddings: DataFrame,
+                 vecCol: String = "embedding"): Array[Double] = {
+    val rows = embeddings
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg((graft.ops.Stable.sumD(col("v").cast("double")) /
+        count(lit(1))).as("comp"))
+      .collect()
+    val m = new Array[Double](rows.map(_.getInt(0)).max + 1)
+    rows.foreach(r => m(r.getInt(0)) = r.getDouble(1))
+    m
+  }
+
+  /** Embedding isotropy diagnostics — the corpus-geometry report read
+    * before trusting ANY cosine-based stage (Ethayarajh 2019:
+    * contextual embeddings are anisotropic; Mu & Viswanath 2018:
+    * removing the common mean direction restores contrast). One row:
+    * vector count, mean L2 norm, the mean-vector norm (≈0 for an
+    * isotropic cloud, approaching the mean norm as the corpus
+    * collapses into a cone), and the mean cosine to the mean direction
+    * — the anisotropy score itself. The mean vector is ONE pos-keyed
+    * decimal aggregate ([[meanVector]]); the report is then a single
+    * scan-stage aggregate with the mean as a literal — vectors never
+    * shuffle. */
+  def isotropyReport(embeddings: DataFrame,
+                     vecCol: String = "embedding"): DataFrame = {
+    val m = meanVector(embeddings, vecCol)
+    val muNorm = math.sqrt(m.map(x => x * x).sum)
+    // an exactly-zero mean (a perfectly symmetric cloud) leaves the
+    // mean DIRECTION undefined — report NULL anisotropy, not a throw
+    val anis =
+      if (muNorm == 0.0) lit(null).cast("double")
+      else round(graft.ops.Stable.avgD(cosineLiteral(col(vecCol), m)), 6)
+    embeddings.agg(
+      count(lit(1)).as("n_vecs"),
+      round(graft.ops.Stable.avgD(norm(col(vecCol))), 6).as("mean_norm"),
+      round(lit(muNorm), 6).as("mu_norm"),
+      anis.as("mean_cos_to_mu"))
+  }
+
   /** Per-vector cluster assignment under literal centroids, carrying
     * the winning cosine: the x17 argmax fused into the scan — no join,
     * no exchange, the vector payload never shuffles; ties → higher cid

@@ -2644,6 +2644,29 @@ class ExtSpec extends AnyFunSuite {
     assert(r(3L) == ((1L, 1L))) // "gamme"->"gamma" is 1 edit from doc 1
   }
 
+  test("isotropy report: symmetric cloud scores ~0, collapsed cone " +
+    "scores ~1, mu_norm tracks the collapse") {
+    import spark.implicits._
+    // perfectly symmetric: every vector and its negation -> zero mean
+    val sym = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(-1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)), (4L, Array(0f, -1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val rs = Similarity.isotropyReport(sym).head
+    assert(rs.getAs[Long]("n_vecs") == 4L)
+    assert(math.abs(rs.getAs[Double]("mean_norm") - 1.0) < 1e-6)
+    assert(rs.getAs[Double]("mu_norm") < 1e-6)
+    assert(rs.isNullAt(rs.fieldIndex("mean_cos_to_mu"))) // direction undefined
+    // fully collapsed: identical direction -> anisotropy 1
+    val cone = Seq(
+      (1L, Array(2f, 0f, 0f, 0f)), (2L, Array(4f, 0f, 0f, 0f)),
+      (3L, Array(6f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val rc = Similarity.isotropyReport(cone).head
+    assert(math.abs(rc.getAs[Double]("mean_cos_to_mu") - 1.0) < 1e-6)
+    assert(math.abs(rc.getAs[Double]("mu_norm") - 4.0) < 1e-6)
+    assert(math.abs(rc.getAs[Double]("mean_norm") - 4.0) < 1e-6)
+  }
+
   test("kmeans census: counts cover the corpus, exemplars are members, " +
     "cohesion sane; balanced sample caps every cluster") {
     import spark.implicits._
