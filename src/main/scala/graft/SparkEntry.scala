@@ -1329,6 +1329,15 @@ object SparkEntry {
     "x201_embedding_isotropy" -> ((s, d) =>
       ext.Similarity.isotropyReport(t(s, d, "embeddings"))),
 
+    // x202 — all-but-the-top corrected retrieval (Mu & Viswanath
+    // 2018): mean-center, remove the trained top principal direction
+    // (the x90 axis off the SAME memoized moment pass), then cosine
+    // top-10 of the corrected query against the corrected corpus.
+    "x202_abtt_topk" -> ((s, d) =>
+      ext.Similarity.abttTopK(t(s, d, "embeddings"), queryVector,
+        k = 10, moments = pcaMomentsFor(s, d))
+        .withColumn("cos", round(col("cos"), 6))),
+
     // x198 — the three-family tokenizer BAKEOFF: trained word-BPE
     // (x106), trained byte-BPE (x119, on its fixture text) and the
     // trained unigram-LM (x196) scored per document in ONE report — the
@@ -7436,6 +7445,47 @@ object SparkEntry {
          FROM (SELECT doc_id, d, nb, ROW_NUMBER() OVER (
                  PARTITION BY doc_id ORDER BY d, nb) AS rn FROM en)
          WHERE rn = 1""",
+
+    // x202 — ABTT replayed on the full x90 chain: μ and the trained
+    // axis re-derived from scratch, the query corrected in SQL with
+    // the same fold orders, per-vector corrected components as (vec, i)
+    // rows re-assembled for the list_dot_product cosine
+    "x202_abtt_topk" ->
+      s"""WITH $pcaOracleCtes,
+          abmuw AS (SELECT ${pcaFold("list(a.mu * v.w ORDER BY a.i)")} AS c0
+            FROM me a JOIN it20 v ON v.i = a.i),
+          abq AS (SELECT ii.i AS i,
+                         ($queryVectorSql)[CAST(ii.i + 1 AS INTEGER)] AS qv
+                  FROM range(0, 64) ii(i)),
+          abdpq AS (SELECT ${pcaFold("list(q.qv * v.w ORDER BY q.i)")} - m.c0
+                      AS dpq
+                    FROM abq q JOIN it20 v ON v.i = q.i
+                    CROSS JOIN abmuw m GROUP BY m.c0),
+          abqp AS (SELECT q.i, (q.qv - a.mu) - d.dpq * v.w AS comp
+                   FROM abq q JOIN me a ON a.i = q.i
+                   JOIN it20 v ON v.i = q.i CROSS JOIN abdpq d),
+          abqpl AS (SELECT array_agg(comp ORDER BY i) AS qpl FROM abqp),
+          abdp AS (SELECT e.vec_id,
+            ${pcaFold("list(CAST(e.embedding[CAST(v.i + 1 AS INTEGER)] AS DOUBLE) * v.w ORDER BY v.i)")}
+              - m.c0 AS dp
+            FROM embeddings e CROSS JOIN it20 v CROSS JOIN abmuw m
+            GROUP BY e.vec_id, m.c0),
+          abxp AS (SELECT d.vec_id, v.i,
+              (CAST(e.embedding[CAST(v.i + 1 AS INTEGER)] AS DOUBLE)
+                 - a.mu) - d.dp * v.w AS comp
+            FROM abdp d JOIN embeddings e USING (vec_id)
+            CROSS JOIN it20 v JOIN me a ON a.i = v.i),
+          abxpl AS (SELECT vec_id, array_agg(comp ORDER BY i) AS xpl
+                    FROM abxp GROUP BY vec_id)
+          SELECT vec_id,
+                 round(list_dot_product(x.xpl, q.qpl)
+                   / (sqrt(list_dot_product(x.xpl, x.xpl))
+                      * sqrt(list_dot_product(q.qpl, q.qpl))), 6) AS cos
+          FROM abxpl x CROSS JOIN abqpl q
+          ORDER BY list_dot_product(x.xpl, q.qpl)
+                   / (sqrt(list_dot_product(x.xpl, x.xpl))
+                      * sqrt(list_dot_product(q.qpl, q.qpl))) DESC, vec_id
+          LIMIT 10""",
 
     // x201 — the mean vector replayed as the same pos-keyed decimal
     // aggregate; norms and cosines via list_dot_product (bit-identical

@@ -1376,6 +1376,50 @@ object Similarity {
         array(w.toIndexedSeq.map(lit): _*)) - lit(muw), 6).as("pc1"))
   }
 
+  /** All-but-the-top corrected retrieval (Mu & Viswanath 2018 §3):
+    * subtract the common mean, remove the top principal direction,
+    * THEN retrieve — the post-processing that restores cosine contrast
+    * on anisotropic embeddings (the fix [[isotropyReport]] diagnoses
+    * the need for). Per vector
+    *   x' = (x − μ) − ⟨x − μ, w⟩·w
+    * with μ and w from the SAME exact decimal moment pass the whole
+    * spectral family shares (x90/x97/x101); the query gets the
+    * identical treatment driver-side, and top-k ranks by
+    * cosine(x', q'). Every per-vector step is a literal fold or
+    * projection fused into the scan — zero exchange before the
+    * TakeOrdered cut, vectors never shuffle. Ranking uses the exact
+    * value; `cos` is rounded to 6dp for the oracle (the x5
+    * convention). */
+  def abttTopK(embeddings: DataFrame, q: Array[Double], k: Int,
+               dim: Int = 64, iters: Int = 20,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               moments: Option[(Array[Array[Double]], Array[Double])] =
+                 None): DataFrame = {
+    val (cm, mu) = moments.getOrElse(pcaMoments(embeddings, dim, vecCol))
+    val w = powerIterate(cm, dim, iters)
+    val muw = (0 until dim).foldLeft(0.0)((a, i) => a + mu(i) * w(i))
+    // the query under the same correction, same fold orders
+    val dpq = (0 until dim).foldLeft(0.0)((a, i) => a + q(i) * w(i)) - muw
+    val qp = Array.tabulate(dim)(i => (q(i) - mu(i)) - dpq * w(i))
+    val qn = math.sqrt(qp.foldLeft(0.0)((a, x) => a + x * x))
+    val wArr = array(w.toIndexedSeq.map(lit): _*)
+    val muArr = array(mu.toIndexedSeq.map(lit): _*)
+    val qpArr = array(qp.toIndexedSeq.map(lit): _*)
+    val withDp = embeddings.select(col(idCol), col(vecCol),
+      (graft.functions.VectorExprs.dot_fold(col(vecCol), wArr) - lit(muw))
+        .as("dp"))
+    val xp = transform(col(vecCol), (x, i) =>
+      (x.cast("double") - element_at(muArr, i + 1)) -
+        col("dp") * element_at(wArr, i + 1))
+    withDp
+      .select(col(idCol),
+        (graft.functions.VectorExprs.dot_fold(xp, qpArr) /
+          (sqrt(graft.functions.VectorExprs.dot_fold(xp, xp)) * lit(qn)))
+          .as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+  }
+
   /** Shared training half of the PCA tier: exact moments → covariance →
     * `iters` power-iteration rounds. Returns (covariance, mean, axis). */
   private def pcaTrain(embeddings: DataFrame, dim: Int, iters: Int,

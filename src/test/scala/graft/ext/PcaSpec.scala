@@ -89,4 +89,55 @@ class PcaSpec extends AnyFunSuite {
       s"rotated recall $recallPca < raw-slice recall $recallRaw")
     assert(recallPca >= 8, s"rotated subspace recall too low: $recallPca")
   }
+
+  test("ABTT: removing the common direction restores cosine contrast " +
+    "on an anisotropic cloud") {
+    import spark.implicits._
+    // anisotropic fixture: a common direction (axis 0) carries a huge
+    // positive, VARYING component — it dominates both the mean (the
+    // cosine cone) and the variance (so it IS the top principal
+    // direction ABTT removes); the discriminative signal lives in the
+    // remaining axes
+    val aniso = fixture.map { case (id, v) =>
+      (id, v.zipWithIndex.map { case (x, i) =>
+        if (i == 0) 50.0f + 200.0f * (id % 3) else x })
+    }
+    val adf = aniso.toDF("vec_id", "embedding")
+    // raw cosines all collapse toward 1 (everything looks like a
+    // near-dup of everything); the corrected ranking must not
+    val rawIso = Similarity.isotropyReport(adf).head
+    assert(rawIso.getAs[Double]("mean_cos_to_mu") > 0.9)
+    val q = aniso(7)._2.map(_.toDouble)
+    val corrected = Similarity.abttTopK(adf, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("cos")))
+    // the query's own corrected representation is its best match...
+    assert(corrected.head._1 == 7L)
+    // ...and the corrected neighborhood recovers the cone-free truth:
+    // cosine over the mean-centered data with the common axis dropped
+    def c(a: Array[Double], b: Array[Double]) = {
+      val d = a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val muRest = Array.tabulate(dim)(i =>
+      aniso.map(_._2(i).toDouble).sum / aniso.length)
+    def rest(v: Array[Float]): Array[Double] =
+      Array.tabulate(dim)(i =>
+        if (i == 0) 0.0 else v(i) - muRest(i))
+    val qr = rest(aniso(7)._2)
+    val truth = aniso.map(v => (v._1, c(rest(v._2), qr)))
+      .sortBy { case (id, cc) => (-cc, id) }.take(10).map(_._1).toSet
+    val got = corrected.map(_._1).toSet
+    // raw (uncorrected) cosine ranks by cone position, not content
+    val rawTop = aniso.map(v => (v._1,
+        c(v._2.map(_.toDouble), aniso(7)._2.map(_.toDouble))))
+      .sortBy { case (id, cc) => (-cc, id) }.take(10).map(_._1).toSet
+    val gotRecall = got.intersect(truth).size
+    val rawRecall = rawTop.intersect(truth).size
+    assert(gotRecall > rawRecall,
+      s"ABTT ($gotRecall) must beat raw cosine ($rawRecall) on the cone")
+    // the trained axis is a close (not exact) e0, so allow tilt slack
+    assert(gotRecall >= 5,
+      s"ABTT recall vs cone-free truth too low: $got vs $truth")
+  }
 }
