@@ -1329,6 +1329,13 @@ object SparkEntry {
     "x201_embedding_isotropy" -> ((s, d) =>
       ext.Similarity.isotropyReport(t(s, d, "embeddings"))),
 
+    // x203 — temperature-scaled mixture weights (XLM-R §3.1, alpha
+    // 0.3): the multi-source up-sampling report; pow rounds at 9dp
+    // before any arithmetic, the powered masses sum through
+    // DECIMAL(28,9).
+    "x203_temperature_mix" -> ((s, d) =>
+      ext.Curation.temperatureMix(t(s, d, "documents"))),
+
     // x202 — all-but-the-top corrected retrieval (Mu & Viswanath
     // 2018): mean-center, remove the trained top principal direction
     // (the x90 axis off the SAME memoized moment pass), then cosine
@@ -7445,6 +7452,29 @@ object SparkEntry {
          FROM (SELECT doc_id, d, nb, ROW_NUMBER() OVER (
                  PARTITION BY doc_id ORDER BY d, nb) AS rn FROM en)
          WHERE rn = 1""",
+
+    // x203 — same 9dp-rounded pow, DECIMAL(28,9) powered-mass total,
+    // identical division parenthesization on every share
+    "x203_temperature_mix" ->
+      """WITH tm AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(len(regexp_split_to_array(lower(text), '\s+')))
+                    AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         tp AS (SELECT *,
+                  round(pow(CAST(n_tokens AS DOUBLE), 0.3), 9) AS r
+                FROM tm),
+         tt AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt,
+                       CAST(SUM(CAST(r AS DECIMAL(28,9))) AS DOUBLE) AS tr
+                FROM tp)
+         SELECT p.source, p.n_docs, p.n_tokens,
+                round(CAST(p.n_tokens AS DOUBLE) / CAST(t.tt AS DOUBLE), 9)
+                  AS natural_share,
+                round(p.r / t.tr, 9) AS temp_share,
+                round((p.r / t.tr) /
+                  (CAST(p.n_tokens AS DOUBLE) / CAST(t.tt AS DOUBLE)), 9)
+                  AS boost
+         FROM tp p, tt t""",
 
     // x202 — ABTT replayed on the full x90 chain: μ and the trained
     // axis re-derived from scratch, the query corrected in SQL with

@@ -1150,6 +1150,44 @@ object Curation {
         (col("val_sum") / col("n_grams")).as("dsir_score"))
   }
 
+  /** Temperature-scaled mixture weights (Conneau et al. 2020 XLM-R
+    * §3.1; Lample & Conneau 2019 §3.1): sampling share
+    * `w_s ∝ n_s^alpha` with `alpha = 1/T < 1` flattens the corpus-size
+    * distribution so low-resource sources are up-sampled — THE standard
+    * multilingual/multi-source mixing rule ([[inverseSqrtSample]] is
+    * the alpha = 0.5 special case; this is the report for arbitrary
+    * temperature). Per source: doc/token mass, natural share,
+    * temperature share, and the boost factor (temperature ÷ natural —
+    * > 1 means up-sampled).
+    *
+    * DETERMINISM: `pow` is the one libm call — its result is rounded
+    * to 9 dp (the suite's ln() rule) BEFORE any arithmetic, the powered
+    * masses sum through an exact DECIMAL(28,9) route, and every output
+    * share is one IEEE division of exactly-reproducible operands,
+    * rounded at 9 dp. 100 TB shape: ONE source-keyed aggregate (rows =
+    * source count), a one-row broadcast of the two totals — text never
+    * shuffles. */
+  def temperatureMix(docs: DataFrame, alpha: Double = 0.3,
+                     keyCol: String = "source",
+                     textCol: String = "text"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0, 1], got $alpha")
+    val m = docs.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+      .withColumn("r",
+        round(pow(col("n_tokens").cast("double"), lit(alpha)), 9))
+    val totals = m.agg(sum("n_tokens").as("tt"),
+      graft.ops.Stable.sumD(col("r"), 9).as("tr"))
+    m.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tt").cast("double"), 9)
+          .as("natural_share"),
+        round(col("r") / col("tr"), 9).as("temp_share"),
+        round((col("r") / col("tr")) /
+          (col("n_tokens").cast("double") / col("tt").cast("double")), 9)
+          .as("boost"))
+  }
+
   /** Preference-pair assembly for DPO/RLHF training data (Rafailov et
     * al. 2023 §4: each prompt contributes one (chosen, rejected)
     * completion pair; Ouyang et al. 2022 §3.2 ranks K completions per

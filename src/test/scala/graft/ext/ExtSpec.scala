@@ -2644,6 +2644,30 @@ class ExtSpec extends AnyFunSuite {
     assert(r(3L) == ((1L, 1L))) // "gamme"->"gamma" is 1 edit from doc 1
   }
 
+  test("temperature mix: low-resource sources boosted above natural " +
+    "share, shares sum to 1, alpha=1 is the identity") {
+    import spark.implicits._
+    val d = Seq.tabulate(90)(i => (i.toLong, ("w " * 10).trim, "big")) ++
+      Seq.tabulate(10)(i => ((i + 90).toLong, ("w " * 10).trim, "small"))
+    val df = d.toDF("doc_id", "text", "source")
+    val r = Curation.temperatureMix(df, alpha = 0.3).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Double]("natural_share"), x.getAs[Double]("temp_share"),
+         x.getAs[Double]("boost"))).toMap
+    assert(math.abs(r("big")._1 - 0.9) < 1e-9)
+    assert(math.abs(r("small")._1 - 0.1) < 1e-9)
+    // temperature flattens: small gets > natural, big gets < natural
+    assert(r("small")._2 > 0.1 && r("big")._2 < 0.9)
+    assert(r("small")._3 > 1.0 && r("big")._3 < 1.0)
+    assert(math.abs(r("small")._2 + r("big")._2 - 1.0) < 1e-8)
+    // alpha = 1 reduces to the natural distribution
+    val id = Curation.temperatureMix(df, alpha = 1.0).collect()
+      .map(x => x.getAs[String]("source") -> x.getAs[Double]("boost"))
+      .toMap
+    assert(math.abs(id("big") - 1.0) < 1e-8 &&
+      math.abs(id("small") - 1.0) < 1e-8)
+  }
+
   test("isotropy report: symmetric cloud scores ~0, collapsed cone " +
     "scores ~1, mu_norm tracks the collapse") {
     import spark.implicits._
