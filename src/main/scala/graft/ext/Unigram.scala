@@ -30,6 +30,14 @@ import org.apache.spark.sql.functions._
   * DP take the SMALLEST last-piece length; the seed cut ranks
   * (freq DESC, piece ASC).
   *
+  * UNIT CONTRACT: positions, lengths, and substrings are UTF-16 code
+  * units (the JVM string model). For BMP text — every fixture corpus —
+  * these coincide with code points in both engines; supplementary-plane
+  * text (emoji, rare CJK) would segment on surrogate boundaries, so a
+  * corpus carrying it belongs on the byte-level BPE path
+  * ([[TextOps.trainByteBpeMergesFast]]), which is unit-exact for ALL of
+  * Unicode by construction.
+  *
   * 100 TB shape: ONE corpus job (the occurrence-weighted distinct-word
   * census — the same scan [[TextOps.trainBpeMergesFast]] rides), then
   * driver compute bounded by census size × maxPieceLen (Heaps-law
