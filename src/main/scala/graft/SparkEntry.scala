@@ -1329,6 +1329,18 @@ object SparkEntry {
     "x201_embedding_isotropy" -> ((s, d) =>
       ext.Similarity.isotropyReport(t(s, d, "embeddings"))),
 
+    // x204 — per-prompt reward z-normalization (Stiennon et al. 2020):
+    // the standardization RM training data gets before pairwise loss;
+    // same prompt/reward construction as x195, decimal-routed moments,
+    // NULL z for degenerate prompts.
+    "x204_reward_standardize" -> ((s, d) =>
+      ext.Curation.rewardStandardize(
+        t(s, d, "documents")
+          .withColumn("prompt_id", pmod(col("doc_id"), lit(64L)))
+          .withColumn("reward",
+            ext.TextOps.qualityScore(col("text"))),
+        promptCol = "prompt_id", rewardCol = "reward")),
+
     // x203 — temperature-scaled mixture weights (XLM-R §3.1, alpha
     // 0.3): the multi-source up-sampling report; pow rounds at 9dp
     // before any arithmetic, the powered masses sum through
@@ -7452,6 +7464,30 @@ object SparkEntry {
          FROM (SELECT doc_id, d, nb, ROW_NUMBER() OVER (
                  PARTITION BY doc_id ORDER BY d, nb) AS rn FROM en)
          WHERE rn = 1""",
+
+    // x204 — the x8 quality CTEs feed the SCALED-INTEGER moment route:
+    // ri = round(round(r,9)*1e9), exact HUGEINT S and Q, z =
+    // (n*ri - S)/sqrt(n*Q - S^2) — the cancellation-proof form
+    "x204_reward_standardize" ->
+      s"""WITH $qualityCtes,
+          zp AS (SELECT doc_id, doc_id % 64 AS prompt_id,
+                        quality AS reward,
+                        CAST(round(round(quality, 9) * 1e9, 0) AS BIGINT)
+                          AS ri
+                 FROM qual),
+          zs AS (SELECT prompt_id, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(ri) AS BIGINT) AS s,
+                        SUM(ri::HUGEINT * ri::HUGEINT) AS q
+                 FROM zp GROUP BY 1),
+          zd AS (SELECT prompt_id, n, s,
+                        n::HUGEINT * q - s::HUGEINT * s::HUGEINT AS rad
+                 FROM zs)
+          SELECT p.doc_id, p.prompt_id, p.reward,
+                 CASE WHEN d.n > 1 AND d.rad > 0
+                      THEN round(CAST(d.n * p.ri - d.s AS DOUBLE)
+                                 / sqrt(CAST(d.rad AS DOUBLE)), 9)
+                      ELSE NULL END AS z
+          FROM zp p JOIN zd d USING (prompt_id)""",
 
     // x203 — same 9dp-rounded pow, DECIMAL(28,9) powered-mass total,
     // identical division parenthesization on every share

@@ -1188,6 +1188,46 @@ object Curation {
           .as("boost"))
   }
 
+  /** Per-prompt reward standardization — the normalization reward-model
+    * training data gets before pairwise loss construction (Stiennon et
+    * al. 2020 §C: rewards are only comparable WITHIN a prompt; raw
+    * scales drift across prompts and annotators): z = (r − μ_p)/σ_p per
+    * prompt. Prompts with one candidate or zero variance carry NULL z
+    * (undefined, not a throw — the ANSI divide guard).
+    *
+    * DETERMINISM — the SCALED-INTEGER moment route (the unigram-trainer
+    * discipline): the naive `E[r²] − μ²` over decimal-routed doubles is
+    * catastrophic-cancellation territory (sub-ulp cast differences
+    * between engines amplify through the subtraction into 1e-8 z
+    * drift). Instead each reward quantizes ONCE to the 9-dp integer
+    * `ri = round(round(r, 9)·1e9)`, the per-prompt sums S = Σri and
+    * Q = Σri² are EXACT integers (Q rides a decimal ring — ri² alone
+    * is ~1e18, a prompt of 10 would overflow a BIGINT sum), and
+    *   z = (n·ri − S) / sqrt(n·Q − S²)
+    * is algebraically identical to (r − μ)/σ with exact-integer
+    * numerator and radicand — ONE sqrt, ONE division, one 9-dp round.
+    * ONE prompt-keyed aggregate broadcast-joined back. */
+  def rewardStandardize(docs: DataFrame, promptCol: String,
+                        rewardCol: String,
+                        idCol: String = "doc_id"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ri = round(round(col(rewardCol), 9) * lit(1e9), 0).cast("long")
+    val scaled = docs.select(col(idCol), col(promptCol),
+      col(rewardCol).as("reward"), ri.as("ri"))
+    val stats = scaled.groupBy(col(promptCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("ri")).as("s"),
+      sum(col("ri").cast(dec) * col("ri").cast(dec)).as("q"))
+      .withColumn("rad",
+        col("n").cast(dec) * col("q") - col("s").cast(dec) * col("s").cast(dec))
+    scaled.join(broadcast(stats), promptCol)
+      .select(col(idCol), col(promptCol), col("reward"),
+        when(col("n") > 1 && col("rad") > 0,
+          round((col("n") * col("ri") - col("s")).cast("double") /
+            sqrt(col("rad").cast("double")), 9))
+          .otherwise(lit(null).cast("double")).as("z"))
+  }
+
   /** Preference-pair assembly for DPO/RLHF training data (Rafailov et
     * al. 2023 §4: each prompt contributes one (chosen, rejected)
     * completion pair; Ouyang et al. 2022 §3.2 ranks K completions per

@@ -2644,6 +2644,27 @@ class ExtSpec extends AnyFunSuite {
     assert(r(3L) == ((1L, 1L))) // "gamme"->"gamma" is 1 edit from doc 1
   }
 
+  test("reward standardize: exact z on a hand case; NULL for singleton " +
+    "and zero-variance prompts") {
+    import spark.implicits._
+    val d = Seq(
+      // prompt 0: rewards 0.1/0.2/0.3 -> z = -1/sqrt(2)*? hand-check:
+      // ri = 1e8,2e8,3e8; S=6e8, Q=14e16, n=3; rad = 3*14e16-36e16=6e16
+      // z_i = (3*ri - 6e8)/sqrt(6e16) -> (-3e8,0,3e8)/2.4494...e8
+      (1L, 0L, 0.1), (2L, 0L, 0.2), (3L, 0L, 0.3),
+      (4L, 1L, 0.7),                 // singleton -> NULL
+      (5L, 2L, 0.5), (6L, 2L, 0.5))  // zero variance -> NULL
+      .toDF("doc_id", "prompt_id", "reward")
+    val r = Curation.rewardStandardize(d, "prompt_id", "reward")
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (if (x.isNullAt(x.fieldIndex("z"))) None
+         else Some(x.getAs[Double]("z")))).toMap
+    val e = 3e8 / math.sqrt(6e16)
+    assert(math.abs(r(1L).get + e) < 1e-9 && math.abs(r(2L).get) < 1e-12)
+    assert(math.abs(r(3L).get - e) < 1e-9)
+    assert(r(4L).isEmpty && r(5L).isEmpty && r(6L).isEmpty)
+  }
+
   test("temperature mix: low-resource sources boosted above natural " +
     "share, shares sum to 1, alpha=1 is the identity") {
     import spark.implicits._
