@@ -1329,6 +1329,21 @@ object SparkEntry {
     "x201_embedding_isotropy" -> ((s, d) =>
       ext.Similarity.isotropyReport(t(s, d, "embeddings"))),
 
+    // x205 — the KN model's ARPA artifact lifecycle: train the x144
+    // bigram model, WRITE the standard ARPA file (the KenLM/CCNet
+    // interchange format), reload it, and score from the stored
+    // 9dp-quantized log10 probabilities. The file layer cancels (the
+    // x95/x113 container discipline) — the oracle replays the KN chain
+    // plus the exact quantization wrapper, so a hash match proves the
+    // render/parse round trip end to end.
+    "x205_kn_arpa_stored" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = storedDir("arpa", d)(p =>
+        graft.sources.Arpa.write(s"$p/model.arpa",
+          ext.TextOps.knBigramModel(docs)))
+      ext.TextOps.knScoreStoredArpa(s, docs, s"$dir/model.arpa")
+    }),
+
     // x204 — per-prompt reward z-normalization (Stiennon et al. 2020):
     // the standardization RM training data gets before pairwise loss;
     // same prompt/reward construction as x195, decimal-routed moments,
@@ -7464,6 +7479,54 @@ object SparkEntry {
          FROM (SELECT doc_id, d, nb, ROW_NUMBER() OVER (
                  PARTITION BY doc_id ORDER BY d, nb) AS rn FROM en)
          WHERE rn = 1""",
+
+    // x205 — the x144 chain with the ARPA quantization wrapper:
+    // pq = round(10^round(log10(p), 9), 9); on the training corpus
+    // every bigram is in the model, so only the present branch fires
+    "x205_kn_arpa_stored" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                             t -> length(t) > 0) AS ts
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, w1, w2, COUNT(*) AS m
+        |  FROM (SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+        |        FROM (SELECT doc_id,
+        |                     unnest(list_transform(range(1, len(ts)), i ->
+        |                       [ts[CAST(i AS INTEGER)],
+        |                        ts[CAST(i + 1 AS INTEGER)]])) AS bg
+        |              FROM tok))
+        |  GROUP BY doc_id, w1, w2),
+        |c2t AS (SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS c2
+        |        FROM occ GROUP BY w1, w2),
+        |h1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+        |              CAST(COUNT(*) AS BIGINT) AS n1f
+        |       FROM c2t GROUP BY w1),
+        |p2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p
+        |       FROM c2t GROUP BY w2),
+        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1tot FROM c2t),
+        |q2 AS (
+        |  SELECT c.w1, c.w2,
+        |         round(pow(10.0, round(log10(
+        |           GREATEST(CAST(c.c2 AS DOUBLE) - 0.75, 0.0)
+        |             / CAST(h.c1 AS DOUBLE)
+        |           + ((0.75 * CAST(h.n1f AS DOUBLE))
+        |              / CAST(h.c1 AS DOUBLE))
+        |             * (CAST(p.n1p AS DOUBLE)
+        |                / CAST(tt.n1tot AS DOUBLE))), 9)), 9) AS pq
+        |  FROM c2t c
+        |  JOIN h1 h ON h.w1 = c.w1
+        |  JOIN p2 p ON p.w2 = c.w2
+        |  CROSS JOIN tt),
+        |valued AS (
+        |  SELECT o.doc_id, o.w1, o.w2, o.m,
+        |         CAST(o.m AS DOUBLE) / q.pq AS val
+        |  FROM occ o JOIN q2 q ON q.w1 = o.w1 AND q.w2 = o.w2)
+        |SELECT doc_id,
+        |       CAST(SUM(m) AS BIGINT) AS n_bigrams,
+        |       list_reduce(list(val ORDER BY w1, w2), (a, b) -> a + b)
+        |         / CAST(SUM(m) AS BIGINT) AS kn_score_q
+        |FROM valued GROUP BY doc_id""".stripMargin,
 
     // x204 — the x8 quality CTEs feed the SCALED-INTEGER moment route:
     // ri = round(round(r,9)*1e9), exact HUGEINT S and Q, z =

@@ -913,6 +913,112 @@ object TextOps {
         (col("val_sum") / col("n_bigrams")).as("kn_score"))
   }
 
+  /** The bigram-KN MODEL half of [[knBigramScore]]'s chain, extracted
+    * as an ARPA artifact (CCNet ships its KenLM filter models this
+    * way): unigram continuation probabilities `N1+(·w)/N1+(··)` with
+    * per-history backoff weights `d·N1+(w1·)/c1`, and the full
+    * interpolated bigram probabilities — every input an integer count
+    * off the same tables x144 replays, converted to log10 and
+    * quantized HALF-UP at 9 dp ([[graft.sources.Arpa.q9]]).
+    * Driver-collected: model size is bounded by distinct-bigram
+    * cardinality (Heaps-law sublinear — the BPE-census contract).
+    * Words with no continuation statistic carry lp = −99 (the SRILM
+    * zeroprob convention); words that never head a bigram omit the
+    * backoff (log 0). */
+  def knBigramModel(docs: DataFrame, discount: Double = 0.75,
+                    textCol: String = "text"): graft.sources.Arpa.Model = {
+    require(discount > 0 && discount < 1, s"need 0 < d < 1: $discount")
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val nTok = size(toks)
+    val c2t = docs.select(
+        explode(arrays_zip(
+          slice(toks, lit(1), greatest(nTok - 1, lit(0))),
+          slice(toks, lit(2), greatest(nTok - 1, lit(0))))).as("bg"))
+      .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val h1 = c2t.groupBy("w1")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("n1f"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val p2 = c2t.groupBy("w2").agg(count(lit(1)).as("n1p"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bi = c2t.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val n1tot = bi.length.toDouble
+    val d = discount
+    import graft.sources.Arpa.q9
+    val bigrams = bi.map { case (w1, w2, c2) =>
+      val (c1, n1f) = h1(w1)
+      val p = math.max(c2.toDouble - d, 0.0) / c1.toDouble +
+        ((d * n1f.toDouble) / c1.toDouble) * (p2(w2).toDouble / n1tot)
+      (w1, w2) -> q9(math.log10(p))
+    }.toMap
+    val vocab = (h1.keySet ++ p2.keySet).toSeq.sorted
+    val unigrams = vocab.map { w =>
+      val lp = p2.get(w)
+        .map(n1p => q9(math.log10(n1p.toDouble / n1tot)))
+        .getOrElse(-99.0)
+      val lbow = h1.get(w).map { case (c1, n1f) =>
+        q9(math.log10((d * n1f.toDouble) / c1.toDouble)) }
+        .getOrElse(0.0)
+      w -> ((lp, lbow))
+    }.toMap
+    graft.sources.Arpa.Model(unigrams, bigrams)
+  }
+
+  /** Score documents from a STORED ARPA model — the x144 mean-inverse-
+    * probability convention under the artifact's QUANTIZED
+    * probabilities: `p_q = round(10^lp, 9)` for a bigram the model
+    * holds, else the backoff route
+    * `round(round(10^lbow, 9) · round(10^lp_cont, 9), 9)` (the
+    * standard ARPA evaluation rule; unseen words fall to the −99
+    * zeroprob). The model rides a broadcast literal map into one
+    * scan-stage join — the inline/stored pair differs ONLY by the 9-dp
+    * artifact quantization (ArpaSpec pins the relative gap). */
+  def knScoreStoredArpa(spark: org.apache.spark.sql.SparkSession,
+                        docs: DataFrame, arpaPath: String,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    val m = graft.sources.Arpa.read(arpaPath)
+    val biDf = broadcast(m.bigrams.toSeq
+      .map { case ((a, b), lp) => (a, b, lp) }.toDF("w1", "w2", "lp2"))
+    val uniDf = broadcast(m.unigrams.toSeq
+      .map { case (w, (lp, lbow)) => (w, lp, lbow) }
+      .toDF("uw", "lp1", "lbow"))
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val nTok = size(toks)
+    val occ = docs.select(col(idCol),
+        explode(arrays_zip(
+          slice(toks, lit(1), greatest(nTok - 1, lit(0))),
+          slice(toks, lit(2), greatest(nTok - 1, lit(0))))).as("bg"))
+      .select(col(idCol), col("bg.0").as("w1"), col("bg.1").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+    val pq = occ
+      .join(biDf, Seq("w1", "w2"), "left")
+      .join(uniDf.select(col("uw").as("w1"), col("lbow")), Seq("w1"), "left")
+      .join(uniDf.select(col("uw").as("w2"), col("lp1")), Seq("w2"), "left")
+      // present branch: artifact-quantized (p is corpus-scaled, the
+      // 9-dp round is the oracle-replayed contract). Backoff branch:
+      // ADD the logs then exponentiate ONCE — a 9-dp round of a
+      // product near the −99 zeroprob floor would floor to exact 0
+      // and turn the inverse-probability score into a divide-by-zero.
+      .withColumn("pq", when(col("lp2").isNotNull,
+          round(pow(lit(10.0), col("lp2")), 9))
+        .otherwise(pow(lit(10.0),
+          coalesce(col("lbow"), lit(0.0)) +
+            coalesce(col("lp1"), lit(-99.0)))))
+      .withColumn("val", col("m").cast("double") / col("pq"))
+    pq.groupBy(col(idCol)).agg(
+        sum("m").as("n_bigrams"),
+        aggregate(
+          array_sort(collect_list(struct(col("w1"), col("w2"), col("val")))),
+          lit(0.0), (acc, x) => acc + x.getField("val")).as("val_sum"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("val_sum") / col("n_bigrams")).as("kn_score_q"))
+  }
+
   /** TRIGRAM interpolated Kneser-Ney (Chen & Goodman 1999 §3 — the
     * full one-level recursion [[knBigramScore]] truncates):
     *
