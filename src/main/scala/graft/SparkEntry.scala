@@ -1329,6 +1329,28 @@ object SparkEntry {
     "x201_embedding_isotropy" -> ((s, d) =>
       ext.Similarity.isotropyReport(t(s, d, "embeddings"))),
 
+    // x206 — the safetensors weight-artifact lifecycle: train the x85
+    // logistic model, write the weights as a .safetensors file (the
+    // HF tensor format: u64 header length, JSON header, raw LE
+    // buffers), reload, score from storage. Raw F64 bytes round-trip
+    // bit-exactly, so this query IS x85 through the artifact boundary
+    // and shares its oracle verbatim.
+    "x206_safetensors_stored" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = storedDir("safetensors", d) { p =>
+        val w = ext.TextOps.trainLogisticWeights(docs)
+        graft.sources.Safetensors.write(s"$p/model.safetensors",
+          Map("quality.weight" ->
+            graft.sources.Safetensors.F64(Seq(3L), w)),
+          Map("format" -> "graft-logistic-v1"))
+      }
+      val (tensors, _) =
+        graft.sources.Safetensors.read(s"$dir/model.safetensors")
+      val w = tensors("quality.weight")
+        .asInstanceOf[graft.sources.Safetensors.F64].data
+      ext.TextOps.scoreLogisticQuality(docs, w)
+    }),
+
     // x205 — the KN model's ARPA artifact lifecycle: train the x144
     // bigram model, WRITE the standard ARPA file (the KenLM/CCNet
     // interchange format), reload it, and score from the stored
@@ -3901,6 +3923,42 @@ object SparkEntry {
     * covariance, and all 20 power-iteration rounds as MATERIALIZED CTEs
     * (DuckDB would otherwise inline the chain exponentially), ending at
     * `it20(i, w)` with `m(i, j, c)` and `me(i, mu)` in scope. */
+  /** The x85 full-batch-GD logistic replay — shared verbatim by x206
+    * (safetensors is lossless, so stored scoring ≡ inline). */
+  private lazy val logisticOracleSql: String = {
+    val iters = 8
+    val lr = "4.0"
+    val sig = "1.0/(1.0 + exp(-(w.w0 + w.w1 * f.f1 + w.w2 * f.f2)))"
+    val steps = (1 to iters).map { k =>
+      s"""p$k AS (SELECT f.doc_id, f.y, f.f1, f.f2, $sig AS p
+           FROM feats f CROSS JOIN it${k - 1} w),
+         g$k AS (SELECT ${graft.ops.Stable.sumSql("(p - y)")} AS s0,
+                        ${graft.ops.Stable.sumSql("(p - y) * f1")} AS s1,
+                        ${graft.ops.Stable.sumSql("(p - y) * f2")} AS s2,
+                        COUNT(*) AS n FROM p$k),
+         it$k AS (SELECT w.w0 - $lr * (g.s0 / g.n) AS w0,
+                         w.w1 - $lr * (g.s1 / g.n) AS w1,
+                         w.w2 - $lr * (g.s2 / g.n) AS w2
+                  FROM it${k - 1} w CROSS JOIN g$k g)"""
+    }.mkString(",\n         ")
+    s"""WITH feats AS (
+           SELECT doc_id,
+             CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y,
+             CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS DOUBLE)
+               / 100.0 AS f1,
+             CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                    t -> t IN ('the','and','of','to','in','is','that','with','for','was')))
+                  AS DOUBLE)
+               / GREATEST(CAST(len(regexp_split_to_array(lower(text), '\\s+'))
+                               AS DOUBLE), 1.0) AS f2
+           FROM documents),
+         it0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+         $steps
+         SELECT f.doc_id, round($sig, 9) AS p_keep,
+                round($sig, 9) >= 0.5 AS pred_keep
+         FROM feats f CROSS JOIN it$iters w"""
+  }
+
   private lazy val pcaOracleCtes: String = {
     val dim = 64
     val iters = 20
@@ -11233,39 +11291,13 @@ object SparkEntry {
     // sums ⇒ the weights agree bit-for-bit at every round), then scores
     // with the identical expression tree; round-to-9dp absorbs the
     // ≤1-ulp cross-engine exp() difference (the F7 convention)
-    "x85_trained_quality" -> {
-      val iters = 8
-      val lr = "4.0"
-      val sig = "1.0/(1.0 + exp(-(w.w0 + w.w1 * f.f1 + w.w2 * f.f2)))"
-      val steps = (1 to iters).map { k =>
-        s"""p$k AS (SELECT f.doc_id, f.y, f.f1, f.f2, $sig AS p
-           FROM feats f CROSS JOIN it${k - 1} w),
-         g$k AS (SELECT ${graft.ops.Stable.sumSql("(p - y)")} AS s0,
-                        ${graft.ops.Stable.sumSql("(p - y) * f1")} AS s1,
-                        ${graft.ops.Stable.sumSql("(p - y) * f2")} AS s2,
-                        COUNT(*) AS n FROM p$k),
-         it$k AS (SELECT w.w0 - $lr * (g.s0 / g.n) AS w0,
-                         w.w1 - $lr * (g.s1 / g.n) AS w1,
-                         w.w2 - $lr * (g.s2 / g.n) AS w2
-                  FROM it${k - 1} w CROSS JOIN g$k g)"""
-      }.mkString(",\n         ")
-      s"""WITH feats AS (
-           SELECT doc_id,
-             CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y,
-             CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS DOUBLE)
-               / 100.0 AS f1,
-             CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                    t -> t IN ('the','and','of','to','in','is','that','with','for','was')))
-                  AS DOUBLE)
-               / GREATEST(CAST(len(regexp_split_to_array(lower(text), '\\s+'))
-                               AS DOUBLE), 1.0) AS f2
-           FROM documents),
-         it0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
-         $steps
-         SELECT f.doc_id, round($sig, 9) AS p_keep,
-                round($sig, 9) >= 0.5 AS pred_keep
-         FROM feats f CROSS JOIN it$iters w"""
-    },
+    "x85_trained_quality" -> logisticOracleSql,
+
+    // x206 — safetensors is LOSSLESS (raw IEEE bytes), so the stored-
+    // weights scoring is BIT-IDENTICAL to the inline x85 run and the
+    // x85 oracle transfers verbatim; the hash match proves the header
+    // layout, offsets, and the F64 byte round trip end to end
+    "x206_safetensors_stored" -> logisticOracleSql,
 
     // x86 — both snapshots' pages rebuilt closed-form, md5'd as the
     // engine md5s the real parsed bytes, and the same full-outer

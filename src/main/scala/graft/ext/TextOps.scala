@@ -1610,20 +1610,39 @@ object TextOps {
                            idCol: String = "doc_id",
                            labelCol: String = "n_chars"): DataFrame = {
     require(iters >= 1 && lr > 0, s"need iters >= 1, lr > 0: $iters, $lr")
+    val feats = logisticFeats(docs, textCol, idCol, labelCol)
+    val w = trainLogisticWeightsOn(feats, iters, lr)
+    scoreLogisticOn(feats, w, idCol)
+  }
+
+  /** The feature projection [[trainLogisticQuality]] trains on —
+    * ONE definition so the stored-model lifecycle (x206) trains and
+    * scores on the identical columns. Materialized ONCE
+    * (localCheckpoint, the x45 discipline): the training loop re-reads
+    * it iters times and the scorer once more — without this the corpus
+    * scan would be paid 9×. */
+  private[ext] def logisticFeats(docs: DataFrame, textCol: String,
+                                 idCol: String,
+                                 labelCol: String): DataFrame = {
     val toks = tokens(col(textCol))
-    // materialize the tiny feature projection ONCE (localCheckpoint, the
-    // x45 discipline): the training loop re-reads it iters times and the
-    // scorer once more — without this the corpus scan would be paid 9×
-    val feats = docs.select(
+    docs.select(
       col(idCol),
       when(col(labelCol) >= 300L, 1.0).otherwise(0.0).as("y"),
       (size(toks).cast("double") / lit(100.0)).as("f1"),
       (size(filter(toks, t => t.isin(stopwords("en"): _*))).cast("double") /
         greatest(size(toks).cast("double"), lit(1.0))).as("f2"))
       .localCheckpoint()
+  }
+
+  private def zOf(wv: Array[Double]) =
+    lit(wv(0)) + lit(wv(1)) * col("f1") + lit(wv(2)) * col("f2")
+
+  /** The full-batch GD loop on a prepared feature frame; returns the
+    * trained (bias, w1, w2). Deterministic: decimal-routed gradients,
+    * driver arithmetic in a fixed order. */
+  private def trainLogisticWeightsOn(feats: DataFrame, iters: Int,
+                                     lr: Double): Array[Double] = {
     var w = Array(0.0, 0.0, 0.0)
-    def zOf(wv: Array[Double]) =
-      lit(wv(0)) + lit(wv(1)) * col("f1") + lit(wv(2)) * col("f2")
     for (_ <- 0 until iters) {
       val p = lit(1.0) / (lit(1.0) + exp(-zOf(w)))
       val r = feats.agg(
@@ -1637,9 +1656,37 @@ object TextOps {
         w(1) - lr * (r.getDouble(1) / n),
         w(2) - lr * (r.getDouble(2) / n))
     }
+    w
+  }
+
+  private def scoreLogisticOn(feats: DataFrame, w: Array[Double],
+                              idCol: String): DataFrame = {
     val p = lit(1.0) / (lit(1.0) + exp(-zOf(w)))
     feats.select(col(idCol), round(p, 9).as("p_keep"),
       (round(p, 9) >= 0.5).as("pred_keep"))
+  }
+
+  /** Train the logistic quality model and return the WEIGHTS —
+    * the artifact the x206 safetensors lifecycle persists. */
+  def trainLogisticWeights(docs: DataFrame, iters: Int = 8,
+                           lr: Double = 4.0, textCol: String = "text",
+                           idCol: String = "doc_id",
+                           labelCol: String = "n_chars"): Array[Double] = {
+    require(iters >= 1 && lr > 0, s"need iters >= 1, lr > 0: $iters, $lr")
+    trainLogisticWeightsOn(
+      logisticFeats(docs, textCol, idCol, labelCol), iters, lr)
+  }
+
+  /** Score documents under GIVEN logistic weights (e.g. reloaded from
+    * a safetensors artifact) — the same zero-shuffle literal-fold
+    * scoring [[trainLogisticQuality]] ends with; weights persisted as
+    * raw F64 round-trip bit-exactly, so stored scoring ≡ inline. */
+  def scoreLogisticQuality(docs: DataFrame, w: Array[Double],
+                           textCol: String = "text",
+                           idCol: String = "doc_id",
+                           labelCol: String = "n_chars"): DataFrame = {
+    require(w.length == 3, s"need 3 weights, got ${w.length}")
+    scoreLogisticOn(logisticFeats(docs, textCol, idCol, labelCol), w, idCol)
   }
 
   // ----------------------------------------------------------------- PII
