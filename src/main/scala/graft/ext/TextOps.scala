@@ -1617,21 +1617,22 @@ object TextOps {
 
   /** The feature projection [[trainLogisticQuality]] trains on —
     * ONE definition so the stored-model lifecycle (x206) trains and
-    * scores on the identical columns. Materialized ONCE
-    * (localCheckpoint, the x45 discipline): the training loop re-reads
-    * it iters times and the scorer once more — without this the corpus
-    * scan would be paid 9×. */
+    * scores on the identical columns. `checkpoint = true` materializes
+    * it ONCE (localCheckpoint, the x45 discipline) for the training
+    * loop, which re-reads it iters times — without this the corpus
+    * scan would be paid 9×. Score-only consumers (one scan) and
+    * STREAMS (where checkpointing is illegal) pass false. */
   private[ext] def logisticFeats(docs: DataFrame, textCol: String,
-                                 idCol: String,
-                                 labelCol: String): DataFrame = {
+                                 idCol: String, labelCol: String,
+                                 checkpoint: Boolean = true): DataFrame = {
     val toks = tokens(col(textCol))
-    docs.select(
+    val f = docs.select(
       col(idCol),
       when(col(labelCol) >= 300L, 1.0).otherwise(0.0).as("y"),
       (size(toks).cast("double") / lit(100.0)).as("f1"),
       (size(filter(toks, t => t.isin(stopwords("en"): _*))).cast("double") /
         greatest(size(toks).cast("double"), lit(1.0))).as("f2"))
-      .localCheckpoint()
+    if (checkpoint) f.localCheckpoint() else f
   }
 
   private def zOf(wv: Array[Double]) =
@@ -1686,7 +1687,10 @@ object TextOps {
                            idCol: String = "doc_id",
                            labelCol: String = "n_chars"): DataFrame = {
     require(w.length == 3, s"need 3 weights, got ${w.length}")
-    scoreLogisticOn(logisticFeats(docs, textCol, idCol, labelCol), w, idCol)
+    // one scan — no checkpoint; also makes this valid on a STREAM
+    scoreLogisticOn(
+      logisticFeats(docs, textCol, idCol, labelCol, checkpoint = false),
+      w, idCol)
   }
 
   // ----------------------------------------------------------------- PII

@@ -400,6 +400,15 @@ object StreamingOps {
       .filter(col("dist") >= 0L && col("dist") <= maxDist)
   }
 
+  /** Streaming QUALITY gate from the STORED model: arriving documents
+    * score under safetensors-persisted logistic weights (the x206
+    * artifact) — weights ride in as literals, features project in the
+    * scan stage, zero state. Batch ≡ stream because raw-F64 weights
+    * round-trip bit-exactly and the scorer never checkpoints. */
+  def streamingQualityGate(docStream: DataFrame,
+                           weights: Array[Double]): DataFrame =
+    graft.ext.TextOps.scoreLogisticQuality(docStream, weights)
+
   /** Streaming CLUSTER assignment — the x199 argmax on a stream:
     * arriving embeddings take their trained-centroid cluster via the
     * literal-centroid cosine argmax, a pure scan-stage projection with

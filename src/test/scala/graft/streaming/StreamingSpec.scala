@@ -654,6 +654,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(caught.exists { case (a, bb, d) => d == 0L && bb == a + 1000L })
   }
 
+  test("streaming quality gate: stored safetensors weights score a " +
+       "stream, zero state, stream equals batch") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docsBatch = spark.read.parquet(s"$dir/documents.parquet")
+    val w = graft.ext.TextOps.trainLogisticWeights(docsBatch)
+    val path = java.nio.file.Files.createTempDirectory("st_gate")
+      .resolve("m.safetensors").toString
+    graft.sources.Safetensors.write(path,
+      Map("w" -> graft.sources.Safetensors.F64(Seq(3L), w)))
+    val (ts, _) = graft.sources.Safetensors.read(path)
+    val w2 = ts("w").asInstanceOf[graft.sources.Safetensors.F64].data
+    val docStream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val streamed = StreamingOps.runBounded(spark,
+      StreamingOps.streamingQualityGate(docStream, w2),
+      "quality_gate_test", OutputMode.Append())
+    val batch = graft.ext.TextOps.scoreLogisticQuality(docsBatch, w)
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b && s.size == 500)
+  }
+
   test("streaming cluster assignment: trained centroids as literals, " +
        "zero state, stream equals batch") {
     val dir = "/root/testdata/sf0.001"
