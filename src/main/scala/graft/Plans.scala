@@ -123,7 +123,8 @@ object Plans {
       "x194_edit_neardup" -> "Blocked Levenshtein near-dup: ONE block-keyed exchange, pairs stream from posexplode+slice (no m^2 array), levenshtein once per unordered pair; group cap bounds the quadratic core — never all-pairs.",
       "x195_preference_pairs" -> "Preference pairs: ONE prompt-keyed aggregate — both extremes ride min/max(struct) partials with map-side combine; no window, no per-prompt list, texts never shuffle.",
       "x197_unigram_tokens" -> "Unigram tokenizer apply: the trained piece table is a broadcast local value inside one scan-stage UDF over the token array — zero exchange, zero join; training cost was paid ONCE by the memoized census-job trainer.",
-      "x199_kmeans_census" -> "K-means census: assignment is a literal-centroid argmax fused into the scan (vectors never shuffle), then ONE cid-keyed aggregate; each Lloyd training iteration was ONE aggregation whose exchange carries k x dim scalars, never vectors.")
+      "x199_kmeans_census" -> "K-means census: assignment is a literal-centroid argmax fused into the scan (vectors never shuffle), then ONE cid-keyed aggregate; each Lloyd training iteration was ONE aggregation whose exchange carries k x dim scalars, never vectors.",
+      "x202_abtt_topk" -> "ABTT retrieval: mean/axis are driver literals off the shared moment pass; per-vector correction + cosine are folds fused into the scan -> TakeOrdered. Zero exchange, zero join at any corpus size.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")

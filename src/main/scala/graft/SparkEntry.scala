@@ -1329,6 +1329,13 @@ object SparkEntry {
     "x201_embedding_isotropy" -> ((s, d) =>
       ext.Similarity.isotropyReport(t(s, d, "embeddings"))),
 
+    // x207 — needle-in-a-haystack eval synthesis (the NIAH long-
+    // context probe): 20 deterministic 256-token contexts from
+    // splitmix64-assigned filler docs, needle depth sweeping
+    // 0/25/50/75/100 % across evals, the expected answer riding along.
+    "x207_needle_evals" -> ((s, d) =>
+      ext.Curation.needleEvals(t(s, d, "documents"))),
+
     // x206 — the safetensors weight-artifact lifecycle: train the x85
     // logistic model, write the weights as a .safetensors file (the
     // HF tensor format: u64 header length, JSON header, raw LE
@@ -7537,6 +7544,45 @@ object SparkEntry {
          FROM (SELECT doc_id, d, nb, ROW_NUMBER() OVER (
                  PARTITION BY doc_id ORDER BY d, nb) AS rn FROM en)
          WHERE rn = 1""",
+
+    // x207 — the splitmix assignment (the x24 chain), the same
+    // (hash, id)-ordered filler concatenation, budget slice, and
+    // depth-swept splice; short evals dropped by the same len gate
+    "x207_needle_evals" ->
+      s"""WITH nm0 AS (SELECT doc_id, text, doc_id::HUGEINT AS u0 FROM documents),
+          nm1 AS (SELECT *, ${mulmodSql("xor(u0, u0 // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM nm0),
+          nm2 AS (SELECT *, ${mulmodSql("xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM nm1),
+          nm3 AS (SELECT *, xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM nm2),
+          nsgn AS (SELECT doc_id, text,
+                     CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+                               THEN uh - 18446744073709551616::HUGEINT
+                               ELSE uh END AS BIGINT) AS sh FROM nm3),
+          nas AS (SELECT doc_id, sh, ((sh % 20) + 20) % 20 AS ev,
+                    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                t -> length(t) > 0) AS ts
+                  FROM nsgn),
+          ncum AS (SELECT *, SUM(len(ts)) OVER (
+                     PARTITION BY ev ORDER BY sh, doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+                   FROM nas),
+          nkept AS (SELECT * FROM ncum WHERE cum - len(ts) < 256),
+          nfil AS (SELECT ev,
+                     flatten(list(ts ORDER BY sh, doc_id))[1:256] AS filler
+                   FROM nkept GROUP BY ev),
+          ngood AS (SELECT * FROM nfil WHERE len(filler) = 256),
+          nout AS (SELECT ev,
+                     CAST(floor(CAST(ev % 5 AS DOUBLE) / 4.0 * 256)
+                       AS INTEGER) AS np,
+                     filler FROM ngood)
+          SELECT ev AS eval_id, np AS needle_pos,
+                 ev * 7 + 13 AS answer,
+                 array_to_string(list_concat(list_concat(
+                   filler[1:np],
+                   ['the', 'magic', 'number', 'is',
+                    CAST(ev * 7 + 13 AS VARCHAR)]),
+                   filler[np + 1:256]), ' ') AS text,
+                 CAST(261 AS BIGINT) AS n_tokens
+          FROM nout""",
 
     // x205 — the x144 chain with the ARPA quantization wrapper:
     // pq = round(10^round(log10(p), 9), 9); on the training corpus

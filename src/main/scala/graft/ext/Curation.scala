@@ -1150,6 +1150,59 @@ object Curation {
         (col("val_sum") / col("n_grams")).as("dsir_score"))
   }
 
+  /** Needle-in-a-haystack eval synthesis (Kamradt's NIAH probe, the
+    * long-context recall harness every context-extension paper
+    * reports): `nEvals` synthetic contexts, each a deterministic
+    * filler of exactly `budget` tokens drawn from the corpus (docs
+    * assign to evals by splitmix64 mod nEvals and concatenate in
+    * (hash, id) order — no RNG state, stable across runs, engines and
+    * partitionings, the [[hashSample]] guarantee) with a needle
+    * sentence spliced in at a depth that sweeps 0 %, 25 %, 50 %, 75 %,
+    * 100 % across evals (depth is THE variable the harness plots). The
+    * expected answer (`7·eval+13`) rides along for the grader.
+    *
+    * 100 TB shape: ONE eval-keyed exchange of (hash, id, tokens)
+    * triples — each eval's group is bounded by the docs that fit the
+    * budget plus one, and `nEvals` bounds output rows; the splice is
+    * per-group array surgery, never a global sort. Evals whose filler
+    * pool undershoots the budget are DROPPED (a short context would
+    * silently distort the depth sweep — fail closed). */
+  def needleEvals(docs: DataFrame, nEvals: Int = 20,
+                  budget: Int = 256,
+                  textCol: String = "text"): DataFrame = {
+    require(nEvals >= 1 && budget >= 4, s"bad params: $nEvals, $budget")
+    val toks = filter(TextOps.tokens(col(textCol)), t => length(t) > 0)
+    val h = graft.functions.HashExprs.mix64_col(col("doc_id"))
+    val w = Window.partitionBy(col("ev")).orderBy(col("h"), col("doc_id"))
+    val assigned = docs.select(col("doc_id"), toks.as("ts"),
+        h.as("h"), pmod(h, lit(nEvals.toLong)).as("ev"))
+      .withColumn("cum", sum(size(col("ts"))).over(w))
+      // keep every doc that STARTS before the budget line (its tail is
+      // sliced off below), so the filler always reaches `budget` when
+      // the pool allows
+      .filter(col("cum") - size(col("ts")) < budget)
+    assigned.groupBy(col("ev"))
+      .agg(slice(flatten(transform(
+          array_sort(collect_list(struct(col("h"), col("doc_id"),
+            col("ts")))),
+          s => s.getField("ts"))), 1, budget).as("filler"))
+      .filter(size(col("filler")) === budget)
+      .select(col("ev").as("eval_id"),
+        (floor((col("ev") % 5).cast("double") / 4.0 * budget))
+          .cast("int").as("needle_pos"),
+        col("filler"),
+        (col("ev") * 7 + 13).as("answer"))
+      .withColumn("needle", array(lit("the"), lit("magic"),
+        lit("number"), lit("is"), col("answer").cast("string")))
+      .select(col("eval_id"), col("needle_pos"), col("answer"),
+        array_join(concat(
+          slice(col("filler"), lit(1), col("needle_pos")),
+          col("needle"),
+          slice(col("filler"), col("needle_pos") + 1,
+            lit(budget) - col("needle_pos"))), " ").as("text"),
+        (lit(budget) + size(col("needle"))).cast("long").as("n_tokens"))
+  }
+
   /** Temperature-scaled mixture weights (Conneau et al. 2020 XLM-R
     * §3.1; Lample & Conneau 2019 §3.1): sampling share
     * `w_s ∝ n_s^alpha` with `alpha = 1/T < 1` flattens the corpus-size

@@ -2644,6 +2644,36 @@ class ExtSpec extends AnyFunSuite {
     assert(r(3L) == ((1L, 1L))) // "gamme"->"gamma" is 1 edit from doc 1
   }
 
+  test("needle evals: exact budget, depth sweep, needle at its depth, " +
+    "short pools fail closed, partitioning-invariant") {
+    import spark.implicits._
+    val docs = Seq.tabulate(300)(i =>
+      (i.toLong, (("w" + i + " ") * 8).trim)).toDF("doc_id", "text")
+    val r = Curation.needleEvals(docs, nEvals = 4, budget = 32).collect()
+    assert(r.nonEmpty && r.length <= 4)
+    r.foreach { row =>
+      val ev = row.getAs[Long]("eval_id")
+      val pos = row.getAs[Int]("needle_pos")
+      val toks = row.getAs[String]("text").split(" ")
+      assert(row.getAs[Long]("n_tokens") == 37L) // 32 filler + 5 needle
+      assert(toks.length == 37)
+      assert(pos == ((ev % 5) * 32 / 4).toInt)
+      // the needle sits exactly at its depth
+      assert(toks.slice(pos, pos + 5).mkString(" ") ==
+        s"the magic number is ${7 * ev + 13}")
+      assert(row.getAs[Long]("answer") == 7 * ev + 13)
+    }
+    // a pool too small for the budget yields no evals, not short ones
+    val tiny = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(Curation.needleEvals(tiny, nEvals = 2, budget = 32).count() == 0)
+    // partitioning-invariant
+    val a = Curation.needleEvals(docs, 4, 32).collect()
+      .map(_.toSeq).toSet
+    val b = Curation.needleEvals(docs.repartition(7), 4, 32).collect()
+      .map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("reward standardize: exact z on a hand case; NULL for singleton " +
     "and zero-variance prompts") {
     import spark.implicits._
