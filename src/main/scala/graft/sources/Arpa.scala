@@ -49,6 +49,8 @@ object Arpa {
     sb.append(s"ngram 2=${m.bigrams.size}\n\n")
     sb.append("\\1-grams:\n")
     m.unigrams.toSeq.sortBy(_._1).foreach { case (w, (lp, lbow)) =>
+      require(!w.exists(_.isWhitespace),
+        s"token '$w' contains whitespace — unrepresentable in ARPA")
       if (lbow == 0.0) sb.append(s"${fmt(lp)}\t$w\n")
       else sb.append(s"${fmt(lp)}\t$w\t${fmt(lbow)}\n")
     }
@@ -66,12 +68,21 @@ object Arpa {
     var section = 0 // 0 = header, 1 = unigrams, 2 = bigrams
     val uni = Map.newBuilder[String, (Double, Double)]
     val bi = Map.newBuilder[(String, String), Double]
+    val SectionRe = """\\(\d+)-grams:""".r
     lines.foreach { line =>
       val t = line.trim
       if (t == "\\1-grams:") section = 1
       else if (t == "\\2-grams:") section = 2
       else if (t == "\\end\\") section = 3
-      else if (t.nonEmpty && !t.startsWith("\\") && !t.startsWith("ngram")
+      else SectionRe.findFirstMatchIn(t) match {
+        // a higher-order section silently parsed as bigram rows would
+        // misread every external trigram+ model — fail LOUD instead
+        case Some(mm) =>
+          throw new IllegalArgumentException(
+            s"unsupported ARPA order ${mm.group(1)} (this reader is bigram)")
+        case None =>
+      }
+      if (t.nonEmpty && !t.startsWith("\\") && !t.startsWith("ngram")
                && section > 0 && section < 3) {
         val f = t.split("\t")
         if (section == 1) {

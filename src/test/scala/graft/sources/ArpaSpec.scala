@@ -32,6 +32,19 @@ class ArpaSpec extends AnyFunSuite {
     assert(Arpa.parse(Arpa.render(model)) == model)
   }
 
+  test("a higher-order ARPA fails loud instead of misreading its rows " +
+    "as bigrams") {
+    val tri = Arpa.render(model).replace("\\end\\",
+      "\\3-grams:\n-0.5\ta b c\n\n\\end\\")
+    val e = intercept[IllegalArgumentException] { Arpa.parse(tri) }
+    assert(e.getMessage.contains("unsupported ARPA order 3"))
+    // and whitespace-bearing tokens are unrepresentable, not silently
+    // split on reload
+    intercept[IllegalArgumentException] {
+      Arpa.render(Arpa.Model(Map("a b" -> ((-1.0, 0.0))), Map.empty))
+    }
+  }
+
   test("trained model round-trips through the file and the stored " +
     "score stays within the quantization of the inline score") {
     import spark.implicits._
