@@ -2212,6 +2212,11 @@ object SparkEntry {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(p, "merges.txt"),
           graft.functions.ByteBpe.renderGpt2Merges(merges))
+        // the vocab.json half of the published GPT-2 tokenizer pair —
+        // ByteBpeSpec pins its duality with the merges table
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(p, "vocab.json"),
+          graft.functions.ByteBpe.renderGpt2Vocab(merges))
       }
       // query half: shards + sidecar only — the corpus text below is
       // the TEST REFERENCE for the round-trip assert, not a decode

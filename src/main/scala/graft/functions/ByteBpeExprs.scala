@@ -157,6 +157,80 @@ object ByteBpe {
       encodeVisible(a) + " " + encodeVisible(b)
     }).mkString("\n")
 
+  /** The `vocab.json` half of the GPT-2 tokenizer directory
+    * (`vocab.json` + `merges.txt` is the published pair every
+    * HF-format GPT-2/RoBERTa tokenizer ships): visible-alphabet token
+    * string → id, ids being exactly [[vocabOfMerges]]' positions
+    * (bytes 0–255, then one id per merge in rank order). Canonical
+    * render — entries in id order — so equal tables give byte-equal
+    * files. JSON escaping matters here: printable ASCII survives the
+    * visible encoding UNCHANGED, so tokens containing `"` or `\\` are
+    * legal vocabulary and must escape. */
+  def renderGpt2Vocab(merges: Seq[(String, String)]): String = {
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    vocabOfMerges(merges).zipWithIndex.map { case (tok, id) =>
+      "\"" + esc(encodeVisible(tok)) + "\":" + id
+    }.mkString("{", ",", "}")
+  }
+
+  /** Parser dual of [[renderGpt2Vocab]]: a flat JSON object of
+    * visible-token → integer id (any key order, whitespace, and the
+    * standard string escapes). Returns the visible → id map; compose
+    * with [[decodeVisible]] for internal strings. */
+  def parseGpt2Vocab(json: String): Map[String, Int] = {
+    var i = 0
+    def ws(): Unit = while (i < json.length && json(i).isWhitespace) i += 1
+    def str(): String = {
+      require(json(i) == '"', s"expected string at $i"); i += 1
+      val sb = new StringBuilder
+      while (json(i) != '"') {
+        if (json(i) == '\\') {
+          i += 1
+          json(i) match {
+            case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+            case 'r' => sb.append('\r'); case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f'); case '/' => sb.append('/')
+            case '"' => sb.append('"'); case '\\' => sb.append('\\')
+            case 'u' =>
+              sb.append(Integer.parseInt(json.substring(i + 1, i + 5), 16)
+                .toChar)
+              i += 4
+            case c => throw new IllegalArgumentException(s"escape \\$c")
+          }
+          i += 1
+        } else { sb.append(json(i)); i += 1 }
+      }
+      i += 1
+      sb.toString
+    }
+    ws()
+    require(i < json.length && json(i) == '{', "vocab.json: not an object")
+    i += 1
+    val b = Map.newBuilder[String, Int]
+    ws()
+    if (i < json.length && json(i) == '}') return b.result()
+    var more = true
+    while (more) {
+      ws(); val k = str(); ws()
+      require(json(i) == ':', s"expected : at $i"); i += 1; ws()
+      val st = i
+      while (i < json.length && (json(i).isDigit || json(i) == '-')) i += 1
+      b += k -> json.substring(st, i).toInt
+      ws()
+      if (i < json.length && json(i) == ',') i += 1
+      else {
+        require(i < json.length && json(i) == '}', s"expected }} at $i")
+        more = false
+      }
+    }
+    b.result()
+  }
+
   /** Parse a tiktoken-format rank file (the `.tiktoken` encoding the
     * tiktoken library publishes for the GPT-3.5/4 vocabularies): one
     * `base64(token_bytes) rank` pair per line. Returns token (Latin-1

@@ -391,4 +391,27 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(r("en")._4 > 1.0)
     assert(r("en")._1 == 1L && r("zh")._1 == 1L)
   }
+
+  test("vocab.json: render/parse duality, ids = vocabOfMerges positions, " +
+    "JSON-escaped quote and backslash tokens survive") {
+    // merges that FORM tokens containing '"' and '\' — printable ASCII
+    // passes the visible encoding unchanged, so these must JSON-escape
+    val merges = Seq(("\"", "a"), ("\\", "b"), ("\"a", "b"))
+    val json = graft.functions.ByteBpe.renderGpt2Vocab(merges)
+    val parsed = graft.functions.ByteBpe.parseGpt2Vocab(json)
+    assert(parsed.size == 256 + 3)
+    val vocab = graft.functions.ByteBpe.vocabOfMerges(merges)
+    // every id maps back to its vocabOfMerges position
+    parsed.foreach { case (visible, id) =>
+      assert(graft.functions.ByteBpe.decodeVisible(visible) == vocab(id),
+        s"id $id: $visible")
+    }
+    // the merge tokens land at 256/257/258 in rank order
+    val byId = parsed.map(_.swap)
+    assert(graft.functions.ByteBpe.decodeVisible(byId(256)) == "\"a")
+    assert(graft.functions.ByteBpe.decodeVisible(byId(257)) == "\\b")
+    assert(graft.functions.ByteBpe.decodeVisible(byId(258)) == "\"ab")
+    // canonical: id order in the file
+    assert(json.startsWith("{\"") && json.endsWith(":258}"))
+  }
 }
