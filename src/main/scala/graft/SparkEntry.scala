@@ -1329,6 +1329,12 @@ object SparkEntry {
     "x201_embedding_isotropy" -> ((s, d) =>
       ext.Similarity.isotropyReport(t(s, d, "embeddings"))),
 
+    // x208 — Zipf rank-frequency fit: OLS slope on (ln rank, ln freq)
+    // over the top-200 terms, scaled-integer moments (the x204
+    // discipline) — the one-row corpus-law sanity gate.
+    "x208_zipf_fit" -> ((s, d) =>
+      ext.TextOps.zipfFit(t(s, d, "documents"))),
+
     // x207 — needle-in-a-haystack eval synthesis (the NIAH long-
     // context probe): 20 deterministic 256-token contexts from
     // splitmix64-assigned filler docs, needle depth sweeping
@@ -7549,6 +7555,45 @@ object SparkEntry {
          FROM (SELECT doc_id, d, nb, ROW_NUMBER() OVER (
                  PARTITION BY doc_id ORDER BY d, nb) AS rn FROM en)
          WHERE rn = 1""",
+
+    // x208 — the same census, (freq DESC, term) cut, scaled-integer
+    // ln coordinates, exact HUGEINT moments, identical division and
+    // intercept parenthesization
+    "x208_zipf_fit" ->
+      """WITH zc AS (
+        |  SELECT t.term, CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(list_filter(
+        |          regexp_split_to_array(lower(text), '\s+'),
+        |          x -> length(x) > 0)) AS term
+        |        FROM documents) t
+        |  GROUP BY 1),
+        |zt AS (SELECT term, freq, ROW_NUMBER() OVER (
+        |         ORDER BY freq DESC, term) AS rank
+        |       FROM zc QUALIFY rank <= 200),
+        |zp AS (SELECT
+        |         CAST(round(ln(CAST(rank AS DOUBLE)) * 1e9, 0) AS BIGINT)
+        |           AS xi,
+        |         CAST(round(ln(CAST(freq AS DOUBLE)) * 1e9, 0) AS BIGINT)
+        |           AS yi
+        |       FROM zt),
+        |zs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |              CAST(SUM(xi) AS BIGINT) AS sx,
+        |              CAST(SUM(yi) AS BIGINT) AS sy,
+        |              SUM(xi::HUGEINT * yi::HUGEINT) AS sxy,
+        |              SUM(xi::HUGEINT * xi::HUGEINT) AS sxx
+        |       FROM zp)
+        |SELECT n AS n_ranks,
+        |       round(CAST(n::HUGEINT * sxy - sx::HUGEINT * sy::HUGEINT
+        |               AS DOUBLE)
+        |             / CAST(n::HUGEINT * sxx - sx::HUGEINT * sx::HUGEINT
+        |               AS DOUBLE), 9) AS slope,
+        |       round(((CAST(sy AS DOUBLE)
+        |               - (CAST(n::HUGEINT * sxy - sx::HUGEINT * sy::HUGEINT
+        |                    AS DOUBLE)
+        |                  / CAST(n::HUGEINT * sxx - sx::HUGEINT * sx::HUGEINT
+        |                    AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |              / CAST(n AS DOUBLE)) / 1e9, 9) AS ln_intercept
+        |FROM zs""".stripMargin,
 
     // x207 — the splitmix assignment (the x24 chain), the same
     // (hash, id)-ordered filler concatenation, budget slice, and

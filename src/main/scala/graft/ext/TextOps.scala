@@ -913,6 +913,62 @@ object TextOps {
         (col("val_sum") / col("n_bigrams")).as("kn_score"))
   }
 
+  /** Zipf rank–frequency fit — the corpus-law diagnostic (Zipf 1949;
+    * Piantadosi 2014 review): natural language's term frequencies
+    * follow `freq ∝ rank^s` with s ≈ −1, and a corpus whose fitted
+    * slope strays far from −1 is usually machine-generated, templated,
+    * or mis-tokenized — a one-row sanity gate on the whole text
+    * pipeline. OLS on (ln rank, ln freq) over the top `topK` ranks
+    * (the linear regime; the tail bends by design).
+    *
+    * DETERMINISM — the x204 scaled-integer discipline: ln is the one
+    * libm call per coordinate and is immediately scaled-and-rounded to
+    * an integer (`round(ln(v)·1e9)` as BIGINT), so Σx, Σy, Σxy, Σx²
+    * are EXACT (products on a decimal ring) and the slope/intercept
+    * are each ONE division of bit-reproducible operands. The naive
+    * double OLS is the same cancellation trap the reward-z fix closed.
+    *
+    * Shape: ONE term-keyed census (bounded by vocabulary), a
+    * TakeOrdered top-`topK` cut, then a rank window and the fit over a
+    * `topK`-row frame — the global window is BOUNDED by the cut, never
+    * by the corpus. */
+  def zipfFit(docs: DataFrame, topK: Int = 200,
+              textCol: String = "text"): DataFrame = {
+    require(topK >= 3, s"need topK >= 3: $topK")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val census = docs
+      .select(explode(filter(tokens(col(textCol)),
+        t => length(t) > 0)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("term")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("freq"), asc("term"))
+    def lnScaled(c: org.apache.spark.sql.Column) =
+      round(log(c.cast("double")) * lit(1e9), 0).cast("long")
+    val pts = census
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(lnScaled(col("rank")).as("xi"),
+        lnScaled(col("freq")).as("yi"))
+    pts.agg(
+        count(lit(1)).as("n"),
+        sum(col("xi")).as("sx"), sum(col("yi")).as("sy"),
+        sum(col("xi").cast(dec) * col("yi").cast(dec)).as("sxy"),
+        sum(col("xi").cast(dec) * col("xi").cast(dec)).as("sxx"))
+      .select(col("n").as("n_ranks"),
+        round((col("n").cast(dec) * col("sxy") -
+            col("sx").cast(dec) * col("sy").cast(dec)).cast("double") /
+          (col("n").cast(dec) * col("sxx") -
+            col("sx").cast(dec) * col("sx").cast(dec)).cast("double"), 9)
+          .as("slope"),
+        round(((col("sy").cast("double") -
+            ((col("n").cast(dec) * col("sxy") -
+              col("sx").cast(dec) * col("sy").cast(dec)).cast("double") /
+             (col("n").cast(dec) * col("sxx") -
+              col("sx").cast(dec) * col("sx").cast(dec)).cast("double")) *
+              col("sx").cast("double")) /
+            col("n").cast("double")) / lit(1e9), 9).as("ln_intercept"))
+  }
+
   /** The bigram-KN MODEL half of [[knBigramScore]]'s chain, extracted
     * as an ARPA artifact (CCNet ships its KenLM filter models this
     * way): unigram continuation probabilities `N1+(·w)/N1+(··)` with

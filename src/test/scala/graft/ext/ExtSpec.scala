@@ -2644,6 +2644,26 @@ class ExtSpec extends AnyFunSuite {
     assert(r(3L) == ((1L, 1L))) // "gamme"->"gamma" is 1 edit from doc 1
   }
 
+  test("zipf fit: a 1/rank corpus slopes to ~-1, a uniform corpus to " +
+    "exactly 0") {
+    import spark.implicits._
+    // term k appears floor(600/k) times -> freq ~ 1/rank
+    val zipfText = (1 to 30).flatMap(k =>
+      Seq.fill(600 / k)(s"t$k")).mkString(" ")
+    val z = TextOps.zipfFit(Seq((1L, zipfText)).toDF("doc_id", "text"))
+      .head
+    assert(z.getAs[Long]("n_ranks") == 30L)
+    val slope = z.getAs[Double]("slope")
+    assert(slope < -0.9 && slope > -1.1, s"zipf slope $slope")
+    // uniform frequencies: ln freq constant -> covariance exactly 0
+    val uniText = (1 to 20).flatMap(k => Seq.fill(5)(s"u$k"))
+      .mkString(" ")
+    val u = TextOps.zipfFit(Seq((1L, uniText)).toDF("doc_id", "text"))
+      .head
+    assert(u.getAs[Double]("slope") == 0.0)
+    assert(math.abs(u.getAs[Double]("ln_intercept") - math.log(5.0)) < 1e-8)
+  }
+
   test("needle evals: exact budget, depth sweep, needle at its depth, " +
     "short pools fail closed, partitioning-invariant") {
     import spark.implicits._
