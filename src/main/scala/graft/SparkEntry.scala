@@ -1329,6 +1329,12 @@ object SparkEntry {
     "x201_embedding_isotropy" -> ((s, d) =>
       ext.Similarity.isotropyReport(t(s, d, "embeddings"))),
 
+    // x209 — Heaps-law vocabulary growth: V(N) ∝ N^beta fitted at five
+    // prefix checkpoints via the first-occurrence trick (no per-prefix
+    // scans); the x208 scaled-integer OLS.
+    "x209_heaps_fit" -> ((s, d) =>
+      ext.TextOps.heapsFit(t(s, d, "documents"))),
+
     // x208 — Zipf rank-frequency fit: OLS slope on (ln rank, ln freq)
     // over the top-200 terms, scaled-integer moments (the x204
     // discipline) — the one-row corpus-law sanity gate.
@@ -7555,6 +7561,65 @@ object SparkEntry {
          FROM (SELECT doc_id, d, nb, ROW_NUMBER() OVER (
                  PARTITION BY doc_id ORDER BY d, nb) AS rn FROM en)
          WHERE rn = 1""",
+
+    // x209 — checkpoints from the row count (same ceil arithmetic),
+    // first-occurrence vocab counts, prefix token counts, the same
+    // scaled-ln coordinates and exact moments
+    "x209_heaps_fit" ->
+      """WITH hcnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+        |hk AS (SELECT CAST(ceil(0.05 * CAST(nd AS DOUBLE)) AS BIGINT) AS k1,
+        |              CAST(ceil(0.1 * CAST(nd AS DOUBLE)) AS BIGINT) AS k2,
+        |              CAST(ceil(0.2 * CAST(nd AS DOUBLE)) AS BIGINT) AS k3,
+        |              CAST(ceil(0.4 * CAST(nd AS DOUBLE)) AS BIGINT) AS k4,
+        |              CAST(ceil(0.8 * CAST(nd AS DOUBLE)) AS BIGINT) AS k5
+        |       FROM hcnt),
+        |htok AS (SELECT doc_id, unnest(list_filter(
+        |           regexp_split_to_array(lower(text), '\s+'),
+        |           x -> length(x) > 0)) AS term
+        |         FROM documents),
+        |hfir AS (SELECT term, MIN(doc_id) AS fid FROM htok GROUP BY 1),
+        |hv AS (SELECT
+        |         CAST(SUM(CASE WHEN fid < k.k1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |         CAST(SUM(CASE WHEN fid < k.k2 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |         CAST(SUM(CASE WHEN fid < k.k3 THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |         CAST(SUM(CASE WHEN fid < k.k4 THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+        |         CAST(SUM(CASE WHEN fid < k.k5 THEN 1 ELSE 0 END) AS BIGINT) AS v5
+        |       FROM hfir, hk k),
+        |hn AS (SELECT
+        |         CAST(SUM(CASE WHEN doc_id < k.k1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(SUM(CASE WHEN doc_id < k.k2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |         CAST(SUM(CASE WHEN doc_id < k.k3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |         CAST(SUM(CASE WHEN doc_id < k.k4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        |         CAST(SUM(CASE WHEN doc_id < k.k5 THEN 1 ELSE 0 END) AS BIGINT) AS n5
+        |       FROM htok, hk k),
+        |hp AS (SELECT n1 AS nn, v1 AS vv FROM hv, hn
+        |       UNION ALL SELECT n2, v2 FROM hv, hn
+        |       UNION ALL SELECT n3, v3 FROM hv, hn
+        |       UNION ALL SELECT n4, v4 FROM hv, hn
+        |       UNION ALL SELECT n5, v5 FROM hv, hn),
+        |hx AS (SELECT
+        |         CAST(round(ln(CAST(nn AS DOUBLE)) * 1e9, 0) AS BIGINT) AS xi,
+        |         CAST(round(ln(CAST(vv AS DOUBLE)) * 1e9, 0) AS BIGINT) AS yi
+        |       FROM hp),
+        |hs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |              CAST(SUM(xi) AS BIGINT) AS sx,
+        |              CAST(SUM(yi) AS BIGINT) AS sy,
+        |              SUM(xi::HUGEINT * yi::HUGEINT) AS sxy,
+        |              SUM(xi::HUGEINT * xi::HUGEINT) AS sxx
+        |       FROM hx)
+        |SELECT CAST(5 AS BIGINT) AS n_points, hv.v5 AS v_last,
+        |       hn.n5 AS n_last,
+        |       round(CAST(n::HUGEINT * sxy - sx::HUGEINT * sy::HUGEINT
+        |               AS DOUBLE)
+        |             / CAST(n::HUGEINT * sxx - sx::HUGEINT * sx::HUGEINT
+        |               AS DOUBLE), 9) AS beta,
+        |       round(((CAST(sy AS DOUBLE)
+        |               - (CAST(n::HUGEINT * sxy - sx::HUGEINT * sy::HUGEINT
+        |                    AS DOUBLE)
+        |                  / CAST(n::HUGEINT * sxx - sx::HUGEINT * sx::HUGEINT
+        |                    AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |              / CAST(n AS DOUBLE)) / 1e9, 9) AS ln_c
+        |FROM hs, hv, hn""".stripMargin,
 
     // x208 — the same census, (freq DESC, term) cut, scaled-integer
     // ln coordinates, exact HUGEINT moments, identical division and

@@ -969,6 +969,58 @@ object TextOps {
             col("n").cast("double")) / lit(1e9), 9).as("ln_intercept"))
   }
 
+  /** Heaps-law vocabulary-growth fit — [[zipfFit]]'s companion corpus
+    * law (Heaps 1978; Herdan): distinct vocabulary grows as
+    * `V(N) ∝ N^beta` with beta ≈ 0.4–0.6 for natural text; a corpus
+    * whose growth exponent collapses (template spam repeats the same
+    * vocabulary) or approaches 1 (random keys never repeat) fails the
+    * gate. Measured at five document-prefix checkpoints
+    * (5 %, 10 %, 20 %, 40 %, 80 % of the id range) WITHOUT any
+    * per-prefix scan: `V(k)` = terms whose FIRST document id is below
+    * k (one term-keyed min), `N(k)` = tokens in docs below k (one
+    * doc-keyed count) — both fall out of one census and five
+    * conditional sums. The OLS on (ln N, ln V) is the x204/x208
+    * scaled-integer route: exact moments, single divisions.
+    *
+    * Requires contiguous-from-zero doc ids (the fixture layout) for
+    * the prefix semantics; checkpoints derive from the row count. */
+  def heapsFit(docs: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nDocs = docs.count()
+    val fracs = Seq(0.05, 0.10, 0.20, 0.40, 0.80)
+    val ks = fracs.map(f => math.ceil(f * nDocs.toDouble).toLong)
+    val toks = docs.select(col(idCol),
+      explode(filter(tokens(col(textCol)), t => length(t) > 0)).as("term"))
+    val firsts = toks.groupBy("term").agg(min(col(idCol)).as("fid"))
+    val vCols = ks.map(k =>
+      sum(when(col("fid") < k, 1L).otherwise(0L)).as(s"v$k"))
+    val vRow = firsts.agg(vCols.head, vCols.tail: _*).head()
+    val nCols = ks.map(k =>
+      sum(when(col(idCol) < k, 1L).otherwise(0L)).as(s"n$k"))
+    val nRow = toks.agg(nCols.head, nCols.tail: _*).head()
+    def lnS(v: Long): Long = {
+      val x = math.log(v.toDouble) * 1e9
+      (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+    }
+    val pts = ks.indices.map(i =>
+      (lnS(nRow.getLong(i)), lnS(vRow.getLong(i))))
+    val n = BigInt(pts.length)
+    val sx = pts.map(p => BigInt(p._1)).sum
+    val sy = pts.map(p => BigInt(p._2)).sum
+    val sxy = pts.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val sxx = pts.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val lnC = ((sy.toDouble - slope * sx.toDouble) / n.toDouble) / 1e9
+    def r9(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    Seq((pts.length.toLong, vRow.getLong(ks.length - 1),
+      nRow.getLong(ks.length - 1), r9(slope), r9(lnC)))
+      .toDF("n_points", "v_last", "n_last", "beta", "ln_c")
+  }
+
   /** The bigram-KN MODEL half of [[knBigramScore]]'s chain, extracted
     * as an ARPA artifact (CCNet ships its KenLM filter models this
     * way): unigram continuation probabilities `N1+(·w)/N1+(··)` with

@@ -2664,6 +2664,22 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(u.getAs[Double]("ln_intercept") - math.log(5.0)) < 1e-8)
   }
 
+  test("heaps fit: fresh-vocabulary corpus grows with 0 < beta <= 1; " +
+    "saturated vocabulary collapses to exactly 0") {
+    import spark.implicits._
+    // every doc introduces some brand-new terms alongside a shared one
+    val grow = Seq.tabulate(100)(i =>
+      (i.toLong, s"common w${i}a w${i}b")).toDF("doc_id", "text")
+    val g = TextOps.heapsFit(grow).head
+    assert(g.getAs[Long]("n_points") == 5L)
+    val beta = g.getAs[Double]("beta")
+    assert(beta > 0.5 && beta <= 1.0, s"growth beta $beta")
+    // a 3-word vocabulary is fully seen by the first checkpoint
+    val flat = Seq.tabulate(100)(i =>
+      (i.toLong, "a b c")).toDF("doc_id", "text")
+    assert(TextOps.heapsFit(flat).head.getAs[Double]("beta") == 0.0)
+  }
+
   test("needle evals: exact budget, depth sweep, needle at its depth, " +
     "short pools fail closed, partitioning-invariant") {
     import spark.implicits._
