@@ -1380,8 +1380,24 @@ object SparkEntry {
     "x205_kn_arpa_stored" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val dir = storedDir("arpa", d)(p =>
-        graft.sources.Arpa.write(s"$p/model.arpa",
-          ext.TextOps.knBigramModel(docs)))
+        graft.sources.Arpa.writeLevels(s"$p/model.arpa",
+          ext.TextOps.knArpaLevels(docs, order = 2)))
+      ext.TextOps.knScoreStoredArpa(s, docs, s"$dir/model.arpa")
+    }),
+
+    // x210 — the ORDER-5 stored-LM lifecycle (KenLM's production
+    // default): train the x166 order-5 KN model as DISTRIBUTED ARPA
+    // level tables (no driver collect anywhere — the round-15 scale
+    // fix), stream-write the \1..\5-grams: sections from sorted
+    // partitions, reload, and score through the full ARPA backoff
+    // walk. On the training corpus every 5-gram is present, so the
+    // oracle is the x166 chain plus the exact 9-dp quantization
+    // wrapper — a hash match proves the whole artifact round trip.
+    "x210_kn5_arpa_stored" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = storedDir("arpa5", d)(p =>
+        graft.sources.Arpa.writeLevels(s"$p/model.arpa",
+          ext.TextOps.knArpaLevels(docs, order = 5)))
       ext.TextOps.knScoreStoredArpa(s, docs, s"$dir/model.arpa")
     }),
 
@@ -4749,8 +4765,13 @@ object SparkEntry {
   /** x166's ORDER-N Kneser-Ney oracle — the x149 trigram structure
     * GENERATED for any order: one n-gram type table, continuation type
     * tables chained below it, history normalizers per level, and the
-    * engine's per-level parenthesization reproduced term for term. */
-  private def knOracleSql(n: Int): String = {
+    * engine's per-level parenthesization reproduced term for term.
+    * `quantized = true` (x210's stored-ARPA lifecycle) wraps the
+    * top-level probability in the artifact contract —
+    * `pq = round(10^round(log10(p), 9), 9)` with the zero-floor guard
+    * — since on the training corpus every n-gram is present and only
+    * that branch of the stored scorer fires. */
+  private def knOracleSql(n: Int, quantized: Boolean = false): String = {
     require(n >= 3, s"generated form assumes a continuation chain: $n")
     val ws = (1 to n).map(i => s"w$i")
     val wsList = ws.mkString(", ")
@@ -4795,6 +4816,12 @@ object SparkEntry {
     }
     joins ++= s"  JOIN cont1 p ON o.${ws.last} = p.${ws.last}\n"
     joins ++= "  CROSS JOIN tt"
+    val denom =
+      if (!quantized) s"($pn)"
+      else s"""(CASE WHEN round(pow(10.0, round(log10($pn), 9)), 9) > 0
+              |       THEN round(pow(10.0, round(log10($pn), 9)), 9)
+              |       ELSE pow(10.0, round(log10($pn), 9)) END)""".stripMargin
+    val scoreCol = if (quantized) s"kn${n}_score_q" else s"kn${n}_score"
     s"""WITH tok AS MATERIALIZED (
        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'),
        |                             t -> length(t) > 0) AS ts
@@ -4819,13 +4846,13 @@ object SparkEntry {
        |valued AS MATERIALIZED (
        |  SELECT o.doc_id, ${ws.map(w => s"o.$w").mkString(", ")}, o.m,
        |         CAST(o.m AS DOUBLE) /
-       |           ($pn) AS val
+       |           $denom AS val
        |  FROM occ o
        |$joins)
        |SELECT doc_id,
        |       CAST(SUM(m) AS BIGINT) AS n_ngrams,
        |       list_reduce(list(val ORDER BY $wsList), (a, b) -> a + b)
-       |         / CAST(SUM(m) AS BIGINT) AS kn${n}_score
+       |         / CAST(SUM(m) AS BIGINT) AS $scoreCol
        |FROM valued GROUP BY doc_id""".stripMargin
   }
 
@@ -7701,7 +7728,10 @@ object SparkEntry {
 
     // x205 — the x144 chain with the ARPA quantization wrapper:
     // pq = round(10^round(log10(p), 9), 9); on the training corpus
-    // every bigram is in the model, so only the present branch fires
+    // every bigram is in the model, so only the present branch fires.
+    // A quantized probability that floors to exact 0 (possible below
+    // 5e-10 off-fixture) falls back to the unquantized 10^lp — the
+    // engine's guard, mirrored here
     "x205_kn_arpa_stored" ->
       """WITH tok AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -7725,18 +7755,23 @@ object SparkEntry {
         |       FROM c2t GROUP BY w2),
         |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1tot FROM c2t),
         |q2 AS (
-        |  SELECT c.w1, c.w2,
-        |         round(pow(10.0, round(log10(
-        |           GREATEST(CAST(c.c2 AS DOUBLE) - 0.75, 0.0)
-        |             / CAST(h.c1 AS DOUBLE)
-        |           + ((0.75 * CAST(h.n1f AS DOUBLE))
-        |              / CAST(h.c1 AS DOUBLE))
-        |             * (CAST(p.n1p AS DOUBLE)
-        |                / CAST(tt.n1tot AS DOUBLE))), 9)), 9) AS pq
-        |  FROM c2t c
-        |  JOIN h1 h ON h.w1 = c.w1
-        |  JOIN p2 p ON p.w2 = c.w2
-        |  CROSS JOIN tt),
+        |  SELECT w1, w2,
+        |         CASE WHEN round(pow(10.0, lp), 9) > 0
+        |              THEN round(pow(10.0, lp), 9)
+        |              ELSE pow(10.0, lp) END AS pq
+        |  FROM (
+        |    SELECT c.w1, c.w2,
+        |           round(log10(
+        |             GREATEST(CAST(c.c2 AS DOUBLE) - 0.75, 0.0)
+        |               / CAST(h.c1 AS DOUBLE)
+        |             + ((0.75 * CAST(h.n1f AS DOUBLE))
+        |                / CAST(h.c1 AS DOUBLE))
+        |               * (CAST(p.n1p AS DOUBLE)
+        |                  / CAST(tt.n1tot AS DOUBLE))), 9) AS lp
+        |    FROM c2t c
+        |    JOIN h1 h ON h.w1 = c.w1
+        |    JOIN p2 p ON p.w2 = c.w2
+        |    CROSS JOIN tt)),
         |valued AS (
         |  SELECT o.doc_id, o.w1, o.w2, o.m,
         |         CAST(o.m AS DOUBLE) / q.pq AS val
@@ -10414,6 +10449,13 @@ object SparkEntry {
     // x166 — the order-5 KN recursion, oracle GENERATED from the order
     // (knOracleSql): the x149 structure with four continuation levels
     "x166_kn5_score" -> knOracleSql(5),
+
+    // x210 — the order-5 stored-ARPA lifecycle: the x166 chain plus
+    // the artifact's 9-dp quantization wrapper on the top-level
+    // probability (training corpus → only the present branch fires);
+    // the file layer cancels, so a hash match proves the distributed
+    // level build, the streamed section write, and the reload
+    "x210_kn5_arpa_stored" -> knOracleSql(5, quantized = true),
 
     // x168 — the full DSIR replay: per-token FNV fold (the x82 ASCII
     // two-byte trick), 2-gram polynomial combine (×1000003 mod 2⁶⁴),

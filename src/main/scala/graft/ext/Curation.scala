@@ -832,7 +832,11 @@ object Curation {
     * mode 2 = X (extreme: long spans at high rate, 8-of-16 = 50%).
     * The mode stream is `mix64(doc_id + 1000003)` — independent of the
     * block-offset and cut streams, so re-bucketing the mixture never
-    * moves any span. All three branches are column algebra under ONE
+    * moves any span. (The S-branch cut input `mix64(doc_id·2^20)`
+    * COINCIDES with the R/X block-0 offset input — the same hash, not
+    * an independent stream; harmless because the three modes are
+    * mutually exclusive per document, so the two draws are never both
+    * consumed.) All three branches are column algebra under ONE
     * CaseWhen (codegen evaluates only the matched branch); zero
     * shuffle at any corpus size. */
   def ul2Denoisers(docs: DataFrame, textCol: String = "text",

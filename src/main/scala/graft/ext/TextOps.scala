@@ -989,6 +989,7 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val nDocs = docs.count()
+    require(nDocs > 0, "heapsFit on an empty corpus")
     val fracs = Seq(0.05, 0.10, 0.20, 0.40, 0.80)
     val ks = fracs.map(f => math.ceil(f * nDocs.toDouble).toLong)
     val toks = docs.select(col(idCol),
@@ -1000,12 +1001,25 @@ object TextOps {
     val nCols = ks.map(k =>
       sum(when(col(idCol) < k, 1L).otherwise(0L)).as(s"n$k"))
     val nRow = toks.agg(nCols.head, nCols.tail: _*).head()
+    // the contiguous-from-zero doc_id precondition the prefix
+    // semantics rest on — fail loud, not with a silently wrong fit
+    val maxId = docs.agg(max(col(idCol))).head().getLong(0)
+    require(maxId == nDocs - 1,
+      s"heapsFit needs contiguous-from-zero $idCol: max=$maxId, n=$nDocs")
     def lnS(v: Long): Long = {
       val x = math.log(v.toDouble) * 1e9
       (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
     }
+    ks.indices.foreach { i =>
+      require(nRow.getLong(i) > 0 && vRow.getLong(i) > 0,
+        s"heapsFit checkpoint ${fracs(i)} is empty (N=${nRow.getLong(i)}, " +
+          s"V=${vRow.getLong(i)}) — corpus too small for a log-log fit")
+    }
     val pts = ks.indices.map(i =>
       (lnS(nRow.getLong(i)), lnS(vRow.getLong(i))))
+    require(pts.map(_._1).distinct.length == pts.length,
+      s"heapsFit needs distinct checkpoint sizes (degenerate OLS x): " +
+        pts.map(_._1).mkString(","))
     val n = BigInt(pts.length)
     val sx = pts.map(p => BigInt(p._1)).sum
     val sy = pts.map(p => BigInt(p._2)).sum
@@ -1021,110 +1035,237 @@ object TextOps {
       .toDF("n_points", "v_last", "n_last", "beta", "ln_c")
   }
 
-  /** The bigram-KN MODEL half of [[knBigramScore]]'s chain, extracted
-    * as an ARPA artifact (CCNet ships its KenLM filter models this
-    * way): unigram continuation probabilities `N1+(·w)/N1+(··)` with
-    * per-history backoff weights `d·N1+(w1·)/c1`, and the full
-    * interpolated bigram probabilities — every input an integer count
-    * off the same tables x144 replays, converted to log10 and
-    * quantized HALF-UP at 9 dp ([[graft.sources.Arpa.q9]]).
-    * Driver-collected: model size is bounded by distinct-bigram
-    * cardinality (Heaps-law sublinear — the BPE-census contract).
-    * Words with no continuation statistic carry lp = −99 (the SRILM
-    * zeroprob convention); words that never head a bigram omit the
-    * backoff (log 0). */
-  def knBigramModel(docs: DataFrame, discount: Double = 0.75,
-                    textCol: String = "text"): graft.sources.Arpa.Model = {
+  /** The ORDER-N KN MODEL half of [[knScore]]'s chain, as distributed
+    * ARPA level tables (CCNet ships its KenLM filter models this way;
+    * KenLM's production default is order 5). `levels(k-1)` is the
+    * \k-grams: section — columns `(gram array<string>, lp, lbow)` —
+    * ready for [[graft.sources.Arpa.writeLevels]]'s streamed write:
+    *
+    *  - level n rows are the observed n-grams with the full
+    *    interpolated probability (the [[knScore]] recursion, same
+    *    parenthesization term for term, so the artifact round-trips
+    *    against the inline scorer bit-for-bit under the 9-dp
+    *    quantization);
+    *  - levels n−1..2 rows are the continuation-type grams plus every
+    *    CONTEXT gram the level above backs off through, with the
+    *    continuation probability P_k and backoff `d·N1+(g·)/ctot(g)`;
+    *  - level 1 is the full vocabulary (every word in any n-gram
+    *    position); words with no continuation statistic carry lp = −99
+    *    (the SRILM zeroprob convention), grams that never head a
+    *    higher-order gram omit the backoff (log 0).
+    *
+    * SCALE CONTRACT (the round-15 fix: no `collect()` of the n-gram
+    * table anywhere): every level is a DataFrame bounded by
+    * distinct-n-gram cardinality, built from ONE token census and
+    * written from sorted executor partitions. `vocabSize > 0` maps all
+    * but the top-V words (by count, ties word-asc) to `<unk>` BEFORE
+    * the n-gram census — standard ARPA practice that bounds the model
+    * at V^n-sparse and, at 100 TB, keeps the type tables Heaps-law
+    * sublinear in the corpus rather than unbounded. */
+  def knArpaLevels(docs: DataFrame, order: Int, discount: Double = 0.75,
+                   textCol: String = "text", vocabSize: Int = 0)
+  : Seq[DataFrame] = {
+    require(order >= 2 && order <= 8, s"need 2 <= order <= 8: $order")
     require(discount > 0 && discount < 1, s"need 0 < d < 1: $discount")
+    val n = order
+    val ws = (1 to n).map(i => s"w$i")
     val toks = filter(tokens(col(textCol)), t => length(t) > 0)
     val nTok = size(toks)
-    val c2t = docs.select(
-        explode(arrays_zip(
-          slice(toks, lit(1), greatest(nTok - 1, lit(0))),
-          slice(toks, lit(2), greatest(nTok - 1, lit(0))))).as("bg"))
-      .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val h1 = c2t.groupBy("w1")
-      .agg(sum("c2").as("c1"), count(lit(1)).as("n1f"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
-    val p2 = c2t.groupBy("w2").agg(count(lit(1)).as("n1p"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val bi = c2t.collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val n1tot = bi.length.toDouble
-    val d = discount
-    import graft.sources.Arpa.q9
-    val bigrams = bi.map { case (w1, w2, c2) =>
-      val (c1, n1f) = h1(w1)
-      val p = math.max(c2.toDouble - d, 0.0) / c1.toDouble +
-        ((d * n1f.toDouble) / c1.toDouble) * (p2(w2).toDouble / n1tot)
-      (w1, w2) -> q9(math.log10(p))
+    var grams = docs.select(
+        explode(arrays_zip((1 to n).map(i =>
+          slice(toks, lit(i), greatest(nTok - (n - 1), lit(0)))): _*))
+          .as("g"))
+      .select((0 until n).map(i => col(s"g.$i").as(s"w${i + 1}")): _*)
+    if (vocabSize > 0) {
+      // top-V keep list (deterministic ties) rides a broadcast into
+      // n map-side left joins; misses become <unk> before any census
+      val keep = docs.select(explode(toks).as("kw"))
+        .groupBy("kw").agg(count(lit(1)).as("kc"))
+        .orderBy(col("kc").desc, col("kw").asc).limit(vocabSize)
+        .select("kw")
+      for (i <- 1 to n) {
+        val ki = broadcast(keep.select(col("kw").as(s"kw$i")))
+        grams = grams
+          .join(ki, col(s"w$i") === col(s"kw$i"), "left")
+          .withColumn(s"w$i", coalesce(col(s"kw$i"), lit("<unk>")))
+          .drop(s"kw$i")
+      }
+    }
+    // the census — the one corpus-sized job; everything below is
+    // model-table sized, so pin it once
+    val tn = grams.groupBy(ws.map(col): _*).agg(count(lit(1)).as("cN"))
+      .localCheckpoint()
+    val hTop = tn.groupBy(ws.init.map(col): _*)
+      .agg(sum("cN").as("cHist"), count(lit(1)).as("nTopF"))
+    val conts = scala.collection.mutable.Map[Int, DataFrame]()
+    var cur = tn
+    for (k <- (n - 1) to 1 by -1) {
+      val tk = cur.groupBy(ws.takeRight(k).map(col): _*)
+        .agg(count(lit(1)).as(s"ck$k"))
+      conts(k) = tk
+      cur = tk
+    }
+    val hists = (2 to n - 1).map { k =>
+      k -> conts(k).groupBy(ws.takeRight(k).init.map(col): _*)
+        .agg(sum(s"ck$k").as(s"ctot$k"), count(lit(1)).as(s"nf$k"))
     }.toMap
-    val vocab = (h1.keySet ++ p2.keySet).toSeq.sorted
-    val unigrams = vocab.map { w =>
-      val lp = p2.get(w)
-        .map(n1p => q9(math.log10(n1p.toDouble / n1tot)))
-        .getOrElse(-99.0)
-      val lbow = h1.get(w).map { case (c1, n1f) =>
-        q9(math.log10((d * n1f.toDouble) / c1.toDouble)) }
-        .getOrElse(0.0)
-      w -> ((lp, lbow))
-    }.toMap
-    graft.sources.Arpa.Model(unigrams, bigrams)
+    val lvl2 = if (n == 2) tn else conts(2)
+    val tot = lvl2.agg(count(lit(1)).as("cktot"))
+    val d = lit(discount)
+    // P_k fold over continuation levels 2..k — knScore's expressions
+    // verbatim, so quantized artifact probabilities match the inline
+    // recursion bit-for-bit
+    def pUpTo(k: Int): Column = {
+      var p: Column = col("ck1").cast("double") / col("cktot").cast("double")
+      for (j <- 2 to k)
+        p = greatest(col(s"ck$j").cast("double") - d, lit(0.0)) /
+              col(s"ctot$j").cast("double") +
+            ((d * col(s"nf$j").cast("double")) /
+              col(s"ctot$j").cast("double")) * p
+      p
+    }
+    // backoff-weight source for level k: the contexts of level k+1
+    // (hTop for the top, hist(k+1) below), keys SHIFTED one position
+    // right into level k's gram columns
+    def bowSrc(k: Int): DataFrame = {
+      val (src, totCol, nfCol, srcKeys) =
+        if (k == n - 1) (hTop, "cHist", "nTopF", ws.init)
+        else (hists(k + 1), s"ctot${k + 1}", s"nf${k + 1}",
+          ws.takeRight(k + 1).init)
+      src.select(srcKeys.zip(ws.takeRight(k))
+        .map { case (s0, d0) => col(s0).as(d0) } :+
+        col(totCol).as("btot") :+ col(nfCol).as("bnf"): _*)
+    }
+    val lbowCol = when(col("btot").isNotNull,
+        round(log10((d * col("bnf").cast("double")) /
+          col("btot").cast("double")), 9))
+      .otherwise(lit(0.0))
+    // level 1: full vocabulary (any position of any n-gram)
+    val level1 = {
+      val vocab = tn.select(explode(array(ws.map(col): _*)).as(ws.last))
+        .distinct()
+      vocab.join(conts(1), Seq(ws.last), "left")
+        .crossJoin(broadcast(tot))
+        .join(bowSrc(1), Seq(ws.last), "left")
+        .select(array(col(ws.last)).as("gram"),
+          when(col("ck1").isNotNull,
+            round(log10(col("ck1").cast("double") /
+              col("cktot").cast("double")), 9))
+            .otherwise(lit(-99.0)).as("lp"),
+          lbowCol.as("lbow"))
+    }
+    // levels 2..n-1: continuation grams ∪ level-(k+1) contexts
+    val mids = (2 to n - 1).map { k =>
+      val gramCols = ws.takeRight(k)
+      val bows = bowSrc(k)
+      val rows = conts(k).select(gramCols.map(col): _*)
+        .unionByName(bows.select(gramCols.map(col): _*)).distinct()
+      var v = rows.join(conts(k), gramCols, "left")
+        .join(hists(k), gramCols.init.toSeq, "left")
+      for (j <- (k - 1) to 2 by -1)
+        v = v.join(conts(j), ws.takeRight(j), "left")
+          .join(hists(j), ws.takeRight(j).init, "left")
+      v = v.join(conts(1), Seq(ws.last), "left")
+        .crossJoin(broadcast(tot))
+        .join(bows, gramCols.toSeq, "left")
+      v.select(array(gramCols.map(col): _*).as("gram"),
+        when(col(s"ck$k").isNotNull, round(log10(pUpTo(k)), 9))
+          .otherwise(lit(-99.0)).as("lp"),
+        lbowCol.as("lbow"))
+    }
+    // level n: observed n-grams with the full interpolated probability
+    val levelN = {
+      var v = tn.join(hTop, ws.init.toSeq)
+      for (k <- (n - 1) to 2 by -1)
+        v = v.join(conts(k), ws.takeRight(k))
+          .join(hists(k), ws.takeRight(k).init)
+      v = v.join(conts(1), Seq(ws.last)).crossJoin(broadcast(tot))
+      val pn = greatest(col("cN").cast("double") - d, lit(0.0)) /
+            col("cHist").cast("double") +
+          ((d * col("nTopF").cast("double")) /
+            col("cHist").cast("double")) * pUpTo(n - 1)
+      v.select(array(ws.map(col): _*).as("gram"),
+        round(log10(pn), 9).as("lp"), lit(0.0).as("lbow"))
+    }
+    (level1 +: mids) :+ levelN
   }
 
-  /** Score documents from a STORED ARPA model — the x144 mean-inverse-
-    * probability convention under the artifact's QUANTIZED
-    * probabilities: `p_q = round(10^lp, 9)` for a bigram the model
-    * holds, else the backoff route
-    * `round(round(10^lbow, 9) · round(10^lp_cont, 9), 9)` (the
-    * standard ARPA evaluation rule; unseen words fall to the −99
-    * zeroprob). The model rides a broadcast literal map into one
-    * scan-stage join — the inline/stored pair differs ONLY by the 9-dp
-    * artifact quantization (ArpaSpec pins the relative gap). */
+  /** Score documents from a STORED ARPA model of ANY order — the x144
+    * mean-inverse-probability convention under the artifact's
+    * QUANTIZED probabilities: `p_q = round(10^lp, 9)` for an n-gram
+    * the model holds, else the standard ARPA backoff route — walk down
+    * the orders ADDING log backoff weights until a gram is found
+    * (unseen words fall to the −99 zeroprob). The model rides 2n−1
+    * broadcast literal frames into one scan-stage join cascade — the
+    * inline/stored pair differs ONLY by the 9-dp artifact
+    * quantization (ArpaSpec pins the relative gap). Backoff logs are
+    * ADDED then exponentiated ONCE, and a present-branch probability
+    * whose 9-dp round floors to exact 0 (possible below 5e-10 on real
+    * corpora) falls back to the unquantized `10^lp` instead of
+    * poisoning the inverse-probability score with Infinity. */
   def knScoreStoredArpa(spark: org.apache.spark.sql.SparkSession,
                         docs: DataFrame, arpaPath: String,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
     import spark.implicits._
     val m = graft.sources.Arpa.read(arpaPath)
-    val biDf = broadcast(m.bigrams.toSeq
-      .map { case ((a, b), lp) => (a, b, lp) }.toDF("w1", "w2", "lp2"))
-    val uniDf = broadcast(m.unigrams.toSeq
-      .map { case (w, (lp, lbow)) => (w, lp, lbow) }
-      .toDF("uw", "lp1", "lbow"))
+    val n = m.order
+    require(n >= 2, s"scoring needs order >= 2, model is order $n")
+    val ws = (1 to n).map(i => s"w$i")
+    // one broadcast frame per level: key = space-joined words (tokens
+    // are whitespace-free by the ARPA contract, so the join key is
+    // collision-free), lp + bow as payload
+    val lvl = m.grams.zipWithIndex.map { case (g, i) =>
+      val k = i + 1
+      broadcast(g.toSeq
+        .map { case (gr, (lp, bow)) => (gr.mkString(" "), lp, bow) }
+        .toDF(s"key$k", s"lp$k", s"bow$k"))
+    }
     val toks = filter(tokens(col(textCol)), t => length(t) > 0)
     val nTok = size(toks)
-    val occ = docs.select(col(idCol),
-        explode(arrays_zip(
-          slice(toks, lit(1), greatest(nTok - 1, lit(0))),
-          slice(toks, lit(2), greatest(nTok - 1, lit(0))))).as("bg"))
-      .select(col(idCol), col("bg.0").as("w1"), col("bg.1").as("w2"))
-      .groupBy(col(idCol), col("w1"), col("w2"))
+    var occ = docs.select(col(idCol),
+        explode(arrays_zip((1 to n).map(i =>
+          slice(toks, lit(i), greatest(nTok - (n - 1), lit(0)))): _*))
+          .as("g"))
+      .select(col(idCol) +:
+        (0 until n).map(i => col(s"g.$i").as(s"w${i + 1}")): _*)
+      .groupBy(col(idCol) +: ws.map(col): _*)
       .agg(count(lit(1)).as("m"))
-    val pq = occ
-      .join(biDf, Seq("w1", "w2"), "left")
-      .join(uniDf.select(col("uw").as("w1"), col("lbow")), Seq("w1"), "left")
-      .join(uniDf.select(col("uw").as("w2"), col("lp1")), Seq("w2"), "left")
-      // present branch: artifact-quantized (p is corpus-scaled, the
-      // 9-dp round is the oracle-replayed contract). Backoff branch:
-      // ADD the logs then exponentiate ONCE — a 9-dp round of a
-      // product near the −99 zeroprob floor would floor to exact 0
-      // and turn the inverse-probability score into a divide-by-zero.
-      .withColumn("pq", when(col("lp2").isNotNull,
-          round(pow(lit(10.0), col("lp2")), 9))
-        .otherwise(pow(lit(10.0),
-          coalesce(col("lbow"), lit(0.0)) +
-            coalesce(col("lp1"), lit(-99.0)))))
+    // gram lookups: suffix of length k; context lookups: the k words
+    // ending at w_{n-1} (what the level-(k+1) miss backs off through)
+    for (k <- 1 to n)
+      occ = occ.join(
+        lvl(k - 1).select(col(s"key$k"), col(s"lp$k")),
+        array_join(array(ws.takeRight(k).map(col): _*), " ") ===
+          col(s"key$k"), "left").drop(s"key$k")
+    for (k <- 1 to n - 1)
+      occ = occ.join(
+        lvl(k - 1).select(col(s"key$k").as(s"bkey$k"),
+          col(s"bow$k").as(s"cbow$k")),
+        array_join(array(ws.slice(n - 1 - k, n - 1).map(col): _*), " ") ===
+          col(s"bkey$k"), "left").drop(s"bkey$k")
+    var lg: Column = coalesce(col("lp1"), lit(-99.0))
+    for (k <- 2 to n - 1)
+      lg = when(col(s"lp$k").isNotNull, col(s"lp$k"))
+        .otherwise(coalesce(col(s"cbow${k - 1}"), lit(0.0)) + lg)
+    val backLog = coalesce(col(s"cbow${n - 1}"), lit(0.0)) + lg
+    val pqr = round(pow(lit(10.0), col(s"lp$n")), 9)
+    val pq = occ.withColumn("pq",
+        when(col(s"lp$n").isNotNull,
+          when(pqr > lit(0.0), pqr)
+            .otherwise(pow(lit(10.0), col(s"lp$n"))))
+        .otherwise(pow(lit(10.0), backLog)))
       .withColumn("val", col("m").cast("double") / col("pq"))
+    val (cntName, scoreName) =
+      if (n == 2) ("n_bigrams", "kn_score_q")
+      else ("n_ngrams", s"kn${n}_score_q")
     pq.groupBy(col(idCol)).agg(
-        sum("m").as("n_bigrams"),
+        sum("m").as(cntName),
         aggregate(
-          array_sort(collect_list(struct(col("w1"), col("w2"), col("val")))),
+          array_sort(collect_list(struct(ws.map(col) :+ col("val"): _*))),
           lit(0.0), (acc, x) => acc + x.getField("val")).as("val_sum"))
-      .select(col(idCol), col("n_bigrams"),
-        (col("val_sum") / col("n_bigrams")).as("kn_score_q"))
+      .select(col(idCol), col(cntName),
+        (col("val_sum") / col(cntName)).as(scoreName))
   }
 
   /** TRIGRAM interpolated Kneser-Ney (Chen & Goodman 1999 §3 — the
@@ -1718,28 +1859,32 @@ object TextOps {
                            idCol: String = "doc_id",
                            labelCol: String = "n_chars"): DataFrame = {
     require(iters >= 1 && lr > 0, s"need iters >= 1, lr > 0: $iters, $lr")
-    val feats = logisticFeats(docs, textCol, idCol, labelCol)
+    val feats = logisticFeats(docs, textCol, idCol, Some(labelCol))
     val w = trainLogisticWeightsOn(feats, iters, lr)
     scoreLogisticOn(feats, w, idCol)
   }
 
   /** The feature projection [[trainLogisticQuality]] trains on —
     * ONE definition so the stored-model lifecycle (x206) trains and
-    * scores on the identical columns. `checkpoint = true` materializes
-    * it ONCE (localCheckpoint, the x45 discipline) for the training
+    * scores on the identical columns. The label `y` is projected ONLY
+    * when `labelCol` is given (the training path) — stored-model
+    * scoring passes None, so it analyzes cleanly on label-free
+    * corpora and streams. `checkpoint = true` materializes the frame
+    * ONCE (localCheckpoint, the x45 discipline) for the training
     * loop, which re-reads it iters times — without this the corpus
     * scan would be paid 9×. Score-only consumers (one scan) and
     * STREAMS (where checkpointing is illegal) pass false. */
   private[ext] def logisticFeats(docs: DataFrame, textCol: String,
-                                 idCol: String, labelCol: String,
+                                 idCol: String, labelCol: Option[String],
                                  checkpoint: Boolean = true): DataFrame = {
     val toks = tokens(col(textCol))
-    val f = docs.select(
-      col(idCol),
-      when(col(labelCol) >= 300L, 1.0).otherwise(0.0).as("y"),
-      (size(toks).cast("double") / lit(100.0)).as("f1"),
-      (size(filter(toks, t => t.isin(stopwords("en"): _*))).cast("double") /
-        greatest(size(toks).cast("double"), lit(1.0))).as("f2"))
+    val cols = col(idCol) +:
+      (labelCol.map(lc =>
+        when(col(lc) >= 300L, 1.0).otherwise(0.0).as("y")).toSeq ++ Seq(
+        (size(toks).cast("double") / lit(100.0)).as("f1"),
+        (size(filter(toks, t => t.isin(stopwords("en"): _*))).cast("double") /
+          greatest(size(toks).cast("double"), lit(1.0))).as("f2")))
+    val f = docs.select(cols: _*)
     if (checkpoint) f.localCheckpoint() else f
   }
 
@@ -1783,7 +1928,7 @@ object TextOps {
                            labelCol: String = "n_chars"): Array[Double] = {
     require(iters >= 1 && lr > 0, s"need iters >= 1, lr > 0: $iters, $lr")
     trainLogisticWeightsOn(
-      logisticFeats(docs, textCol, idCol, labelCol), iters, lr)
+      logisticFeats(docs, textCol, idCol, Some(labelCol)), iters, lr)
   }
 
   /** Score documents under GIVEN logistic weights (e.g. reloaded from
@@ -1792,12 +1937,12 @@ object TextOps {
     * raw F64 round-trip bit-exactly, so stored scoring ≡ inline. */
   def scoreLogisticQuality(docs: DataFrame, w: Array[Double],
                            textCol: String = "text",
-                           idCol: String = "doc_id",
-                           labelCol: String = "n_chars"): DataFrame = {
+                           idCol: String = "doc_id"): DataFrame = {
     require(w.length == 3, s"need 3 weights, got ${w.length}")
-    // one scan — no checkpoint; also makes this valid on a STREAM
+    // one scan, no checkpoint, NO label projection — valid on a
+    // STREAM and on label-free corpora (the weights are given)
     scoreLogisticOn(
-      logisticFeats(docs, textCol, idCol, labelCol, checkpoint = false),
+      logisticFeats(docs, textCol, idCol, None, checkpoint = false),
       w, idCol)
   }
 

@@ -40,8 +40,12 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB shape: ONE corpus job (the occurrence-weighted distinct-word
   * census — the same scan [[TextOps.trainBpeMergesFast]] rides), then
-  * driver compute bounded by census size × maxPieceLen (Heaps-law
-  * sublinear in corpus size; seed map ≤ census chars × maxPieceLen).
+  * driver compute bounded by census size × maxPieceLen. The census
+  * itself is BOUNDED before the collect by `minCount` (the Zipf-tail
+  * cut [[TextOps.trainBpeMergesFast]] documents — words above the
+  * threshold number ≤ corpus_tokens/minCount) and optionally
+  * `maxCensusWords` (SentencePiece's seed_sentencepiece_size top-M
+  * cap), so the driver never holds an unbounded word table.
   * Words longer than `maxWordLen` are excluded from the census — the
   * standard guard against pathological unbroken blobs. The E-step is
   * embarrassingly parallel over census words if the census outgrows the
@@ -99,20 +103,39 @@ object Unigram {
     out.result()
   }
 
-  /** The occurrence-weighted word census: ONE corpus scan. */
-  private def census(docs: DataFrame, textCol: String,
-                     maxWordLen: Int): Map[String, Long] =
-    docs.select(explode(filter(TextOps.tokens(col(textCol)),
+  /** The occurrence-weighted word census: ONE corpus scan, with the
+    * [[TextOps.trainBpeMergesFast]] driver-memory bounds. `minCount`
+    * cuts the Zipf tail BEFORE the collect — distinct words grow
+    * Heaps-law sublinear, but at 100 TB "sublinear" is still billions,
+    * while words above any fixed count threshold are bounded by
+    * corpus_tokens/minCount and in practice by the ~10^6-word shape of
+    * natural language (SentencePiece's own default pipeline applies
+    * exactly this cut). `maxCensusWords > 0` additionally keeps only
+    * the top-M words (count DESC, word ASC — deterministic ties), the
+    * seed cap SentencePiece calls seed_sentencepiece_size. Both
+    * default OFF so the fixture vocabulary is bit-identical to the
+    * unbounded census. */
+  private def census(docs: DataFrame, textCol: String, maxWordLen: Int,
+                     minCount: Long, maxCensusWords: Int)
+  : Map[String, Long] = {
+    var c = docs.select(explode(filter(TextOps.tokens(col(textCol)),
         t => length(t) > 0 && length(t) <= maxWordLen)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (minCount > 1L) c = c.filter(col("n") >= minCount)
+    if (maxCensusWords > 0)
+      c = c.orderBy(col("n").desc, col("w").asc).limit(maxCensusWords)
+    c.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
 
   /** Train: returns the final vocabulary as (piece, count, lpScaled),
-    * sorted by piece. */
+    * sorted by piece. `minCount`/`maxCensusWords` bound the driver
+    * census (see [[census]]); the defaults replay the historical
+    * unbounded trainer bit-for-bit. */
   def train(docs: DataFrame, topMulti: Int = 32, maxPieceLen: Int = 4,
             rounds: Int = 2, maxWordLen: Int = 64,
-            textCol: String = "text"): Seq[(String, Long, Long)] = {
-    val cen = census(docs, textCol, maxWordLen)
+            textCol: String = "text", minCount: Long = 1L,
+            maxCensusWords: Int = 0): Seq[(String, Long, Long)] = {
+    val cen = census(docs, textCol, maxWordLen, minCount, maxCensusWords)
     // seed: every substring len 1..maxPieceLen, all start positions
     val seedF = collection.mutable.HashMap.empty[String, Long]
     cen.foreach { case (w, n) =>

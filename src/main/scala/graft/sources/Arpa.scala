@@ -3,6 +3,9 @@ package graft.sources
 import java.nio.file.{Files, Paths}
 import java.nio.charset.StandardCharsets
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
 /** ARPA n-gram language-model file — the Doug B. Paul interchange
   * format every n-gram toolchain reads and writes (SRILM's `ngram`,
   * KenLM's `lmplz`/`build_binary`, CMU-Cambridge SLM): a `\data\`
@@ -13,7 +16,9 @@ import java.nio.charset.StandardCharsets
   * terminated by `\end\`. CCNet-style perplexity filtering ships its
   * KenLM models in exactly this format, so the KN tier's model half
   * (x144's chain) gets a real artifact boundary: train → write ARPA →
-  * reload → score, the BM25/DSIR stored-lifecycle discipline.
+  * reload → score, the BM25/DSIR stored-lifecycle discipline. The
+  * reader/writer is ORDER-N (KenLM's production default is 5); the
+  * bigram model of earlier rounds is the n = 2 special case.
   *
   * QUANTIZATION CONTRACT: every log10 value is written HALF-UP at
   * 9 dp (`BigDecimal.setScale(9)` — the suite's libm rule, matching
@@ -21,16 +26,43 @@ import java.nio.charset.StandardCharsets
   * decimal string. Parsing that string back yields the double nearest
   * the 9-dp decimal — the SAME double the writer's in-memory model
   * holds — so write → read is EXACT on the quantized values and the
-  * artifact is byte-deterministic. Unigrams missing a continuation
-  * statistic carry `-99` (the SRILM zeroprob convention); the backoff
-  * field is OMITTED for words that never head a bigram (log-backoff 0
-  * = multiplier 1), exercising the format's optional-field rule. */
+  * artifact is byte-deterministic. N-grams missing a probability
+  * (vocabulary/context entries) carry `-99` (the SRILM zeroprob
+  * convention); the backoff field is OMITTED for grams that never
+  * head a higher-order gram (log-backoff 0 = multiplier 1),
+  * exercising the format's optional-field rule.
+  *
+  * ORDERING CONTRACT: sections sort by the gram's words under UTF-8
+  * BYTE order — the collation Spark's string sort uses — so the
+  * driver-side [[render]] and the distributed [[writeLevels]] emit
+  * byte-identical files for the same model. */
 object Arpa {
 
-  /** Bigram model: `unigrams(w → (log10 p_cont, log10 backoff))`,
-    * `bigrams((w1, w2) → log10 p)`. Values are 9-dp-quantized. */
-  case class Model(unigrams: Map[String, (Double, Double)],
-                   bigrams: Map[(String, String), Double])
+  /** Order-n model: `grams(k-1)` maps each k-gram (as a word vector)
+    * to `(log10 prob, log10 backoff)`; backoff 0.0 means omitted (the
+    * format's optional third field), and is structurally 0 at the top
+    * level, which nothing backs off INTO. */
+  case class Model(order: Int,
+                   grams: Vector[Map[Vector[String], (Double, Double)]]) {
+    require(order >= 1 && grams.length == order,
+      s"order $order needs exactly $order gram levels, got ${grams.length}")
+
+    /** Bigram-era accessors (the n = 2 views specs and the stored
+      * scorer's documentation still speak in). */
+    def unigrams: Map[String, (Double, Double)] =
+      grams(0).map { case (g, v) => g.head -> v }
+    def bigrams: Map[(String, String), Double] = {
+      require(order >= 2, s"no bigram section in an order-$order model")
+      grams(1).map { case (g, v) => (g(0), g(1)) -> v._1 }
+    }
+  }
+
+  /** Convenience constructor for the historical bigram shape. */
+  def bigramModel(unigrams: Map[String, (Double, Double)],
+                  bigrams: Map[(String, String), Double]): Model =
+    Model(2, Vector(
+      unigrams.map { case (w, v) => Vector(w) -> v },
+      bigrams.map { case ((a, b), lp) => Vector(a, b) -> ((lp, 0.0)) }))
 
   /** HALF-UP 9-dp quantization of a double — the value every log10
     * in the artifact carries. */
@@ -42,59 +74,97 @@ object Arpa {
     java.math.BigDecimal.valueOf(x)
       .setScale(9, java.math.RoundingMode.HALF_UP).toPlainString
 
+  /** UTF-8 byte-order string comparison — Spark's UTF8String
+    * collation, so driver-side sorts agree with `orderBy`. */
+  private[graft] def compareUtf8(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def compareGrams(a: Vector[String], b: Vector[String]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = compareUtf8(a(i), b(i))
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private val gramOrdering: Ordering[Vector[String]] =
+    (a: Vector[String], b: Vector[String]) => compareGrams(a, b)
+
+  private def rowString(gram: Seq[String], lp: Double, lbow: Double)
+  : String = {
+    gram.foreach(w => require(!w.exists(_.isWhitespace),
+      s"token '$w' contains whitespace — unrepresentable in ARPA"))
+    if (lbow == 0.0) s"${fmt(lp)}\t${gram.mkString(" ")}\n"
+    else s"${fmt(lp)}\t${gram.mkString(" ")}\t${fmt(lbow)}\n"
+  }
+
   def render(m: Model): String = {
     val sb = new StringBuilder
     sb.append("\\data\\\n")
-    sb.append(s"ngram 1=${m.unigrams.size}\n")
-    sb.append(s"ngram 2=${m.bigrams.size}\n\n")
-    sb.append("\\1-grams:\n")
-    m.unigrams.toSeq.sortBy(_._1).foreach { case (w, (lp, lbow)) =>
-      require(!w.exists(_.isWhitespace),
-        s"token '$w' contains whitespace — unrepresentable in ARPA")
-      if (lbow == 0.0) sb.append(s"${fmt(lp)}\t$w\n")
-      else sb.append(s"${fmt(lp)}\t$w\t${fmt(lbow)}\n")
+    (1 to m.order).foreach(k =>
+      sb.append(s"ngram $k=${m.grams(k - 1).size}\n"))
+    sb.append("\n")
+    (1 to m.order).foreach { k =>
+      sb.append(s"\\$k-grams:\n")
+      m.grams(k - 1).toSeq.sortBy(_._1)(gramOrdering)
+        .foreach { case (g, (lp, lbow)) => sb.append(rowString(g, lp, lbow)) }
+      sb.append("\n")
     }
-    sb.append("\n\\2-grams:\n")
-    m.bigrams.toSeq.sortBy { case ((a, b), _) => (a, b) }
-      .foreach { case ((w1, w2), lp) =>
-        sb.append(s"${fmt(lp)}\t$w1 $w2\n")
-      }
-    sb.append("\n\\end\\\n")
+    sb.append("\\end\\\n")
     sb.toString
   }
 
   def parse(text: String): Model = {
     val lines = text.split("\n", -1).iterator.map(_.stripLineEnd)
-    var section = 0 // 0 = header, 1 = unigrams, 2 = bigrams
-    val uni = Map.newBuilder[String, (Double, Double)]
-    val bi = Map.newBuilder[(String, String), Double]
     val SectionRe = """\\(\d+)-grams:""".r
+    val HeaderRe = """ngram (\d+)=(\d+)""".r
+    var order = 0
+    var section = 0 // 0 = header, k = inside \k-grams:, -1 = past \end\
+    val levels = scala.collection.mutable.Map[
+      Int, scala.collection.mutable.Map[Vector[String], (Double, Double)]]()
     lines.foreach { line =>
       val t = line.trim
-      if (t == "\\1-grams:") section = 1
-      else if (t == "\\2-grams:") section = 2
-      else if (t == "\\end\\") section = 3
+      if (t == "\\end\\") section = -1
       else SectionRe.findFirstMatchIn(t) match {
-        // a higher-order section silently parsed as bigram rows would
-        // misread every external trigram+ model — fail LOUD instead
         case Some(mm) =>
-          throw new IllegalArgumentException(
-            s"unsupported ARPA order ${mm.group(1)} (this reader is bigram)")
-        case None =>
-      }
-      if (t.nonEmpty && !t.startsWith("\\") && !t.startsWith("ngram")
-               && section > 0 && section < 3) {
-        val f = t.split("\t")
-        if (section == 1) {
-          val lbow = if (f.length > 2) f(2).toDouble else 0.0
-          uni += f(1) -> ((f(0).toDouble, lbow))
-        } else {
-          val ws = f(1).split(" ")
-          bi += ((ws(0), ws(1))) -> f(0).toDouble
+          section = mm.group(1).toInt
+          levels.getOrElseUpdate(section,
+            scala.collection.mutable.Map.empty)
+        case None => HeaderRe.findFirstMatchIn(t) match {
+          case Some(hm) if section == 0 =>
+            order = math.max(order, hm.group(1).toInt)
+            levels.getOrElseUpdate(hm.group(1).toInt,
+              scala.collection.mutable.Map.empty)
+          case _ =>
+            if (t.nonEmpty && !t.startsWith("\\") && section > 0) {
+              val f = t.split("\t")
+              val ws = f(1).split(" ").toVector
+              require(ws.length == section,
+                s"${ws.length}-word gram '${f(1)}' in \\$section-grams:")
+              val lbow = if (f.length > 2) f(2).toDouble else 0.0
+              levels(section) += ws -> ((f(0).toDouble, lbow))
+            }
         }
       }
     }
-    Model(uni.result(), bi.result())
+    val n = math.max(order, if (levels.isEmpty) 0 else levels.keys.max)
+    require(n >= 1, "no n-gram sections found")
+    Model(n, (1 to n).map(k =>
+      levels.getOrElse(k, scala.collection.mutable.Map.empty[
+        Vector[String], (Double, Double)]).toMap).toVector)
   }
 
   def write(path: String, m: Model): Unit = {
@@ -106,4 +176,38 @@ object Arpa {
   def read(path: String): Model =
     parse(new String(Files.readAllBytes(Paths.get(path)),
       StandardCharsets.UTF_8))
+
+  /** DISTRIBUTED writer — the 100 TB path. `levels(k-1)` is the
+    * level-(k) DataFrame with columns `gram: array<string>`,
+    * `lp: double`, `lbow: double` (0.0 = omit). Each section streams
+    * through `toLocalIterator` over the SORTED frame, so the driver
+    * holds at most one partition of one level at a time — never the
+    * whole model — and the per-order header counts are ordinary
+    * distributed aggregates. Spark's array<string> sort is element-
+    * wise UTF-8 byte order, the [[render]] collation, so the two
+    * writers are byte-identical on the same model. */
+  def writeLevels(path: String, levels: Seq[DataFrame]): Unit = {
+    val counts = levels.map(_.count())
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    val w = Files.newBufferedWriter(p, StandardCharsets.UTF_8)
+    try {
+      w.write("\\data\\\n")
+      counts.zipWithIndex.foreach { case (c, i) =>
+        w.write(s"ngram ${i + 1}=$c\n") }
+      w.write("\n")
+      levels.zipWithIndex.foreach { case (df, i) =>
+        w.write(s"\\${i + 1}-grams:\n")
+        val it = df.select(col("gram"), col("lp"), col("lbow"))
+          .orderBy(col("gram")).toLocalIterator()
+        while (it.hasNext) {
+          val r = it.next()
+          w.write(rowString(r.getSeq[String](0), r.getDouble(1),
+            r.getDouble(2)))
+        }
+        w.write("\n")
+      }
+      w.write("\\end\\\n")
+    } finally w.close()
+  }
 }

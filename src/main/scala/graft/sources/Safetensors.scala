@@ -68,6 +68,11 @@ object Safetensors {
     val pad = (8 - (body.length % 8)) % 8
     val header = body + (" " * pad)
     val hb = header.getBytes(StandardCharsets.UTF_8)
+    // a >2 GiB payload would silently truncate off.toInt and render a
+    // corrupt file — fail loud instead (shard the tensors upstream)
+    require(off + 8 + hb.length <= Int.MaxValue,
+      s"safetensors payload ${off + 8 + hb.length} bytes exceeds the " +
+        "2 GiB single-buffer render limit — split into shards")
     val out = ByteBuffer.allocate(8 + hb.length + off.toInt)
       .order(ByteOrder.LITTLE_ENDIAN)
     out.putLong(hb.length.toLong)

@@ -58,6 +58,33 @@ class UnigramSpec extends AnyFunSuite {
     assert(r(1L) == ((2L, 2L, 1.0)) && r(2L) == ((1L, 1L, 1.0)))
   }
 
+  test("census bounds: minCount=1 is bit-identical to the unbounded " +
+    "trainer; a Zipf-tail cut and a top-M cap shrink the vocabulary " +
+    "deterministically") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha alpha beta"),
+      (2L, "beta gamma delta epsilon"),
+      (3L, "alpha alphabet betamax zeta")).toDF("doc_id", "text")
+    val base = Unigram.train(docs)
+    assert(Unigram.train(docs, minCount = 1L) == base)
+    assert(Unigram.train(docs, minCount = 1L, maxCensusWords = 0) == base)
+    // minCount=2 drops the singleton words from the census entirely:
+    // chars appearing ONLY in dropped words (like 'x' of betamax or
+    // 'd' of delta) cannot appear in the vocabulary
+    val cut = Unigram.train(docs, minCount = 2L)
+    assert(!cut.exists(_._1 == "x") && !cut.exists(_._1 == "d"))
+    assert(cut.exists(_._1 == "a")) // alpha (x4) survives the cut
+    // top-M cap: census of the 2 most frequent words only
+    val capped = Unigram.train(docs, maxCensusWords = 2)
+    // alpha x4 and beta x3 are the top 2; gamma's 'g' and 'm' vanish
+    assert(capped.exists(_._1 == "alpha") || capped.exists(_._1 == "a"))
+    assert(!capped.exists(_._1 == "g"))
+    // both bounded runs are themselves deterministic under repartition
+    assert(Unigram.train(docs.repartition(5), minCount = 2L) == cut)
+    assert(Unigram.train(docs.repartition(5), maxCensusWords = 2) == capped)
+  }
+
   test("train is vocabulary-deterministic: repeated runs bit-identical") {
     import spark.implicits._
     val docs = Seq(

@@ -7,7 +7,7 @@ import graft.SharedSpark
 class ArpaSpec extends AnyFunSuite {
   lazy val spark = SharedSpark.spark
 
-  private def model = Arpa.Model(
+  private def model = Arpa.bigramModel(
     unigrams = Map(
       "the" -> (-0.5, -0.3),
       "cat" -> (-1.25, 0.0),       // never a history -> backoff omitted
@@ -32,16 +32,24 @@ class ArpaSpec extends AnyFunSuite {
     assert(Arpa.parse(Arpa.render(model)) == model)
   }
 
-  test("a higher-order ARPA fails loud instead of misreading its rows " +
-    "as bigrams") {
-    val tri = Arpa.render(model).replace("\\end\\",
-      "\\3-grams:\n-0.5\ta b c\n\n\\end\\")
-    val e = intercept[IllegalArgumentException] { Arpa.parse(tri) }
-    assert(e.getMessage.contains("unsupported ARPA order 3"))
+  test("order-3 model: three sections, parse round trip, and a " +
+    "wrong-arity gram row fails loud") {
+    val tri = Arpa.Model(3, Vector(
+      Map(Vector("a") -> ((-0.5, -0.2)), Vector("b") -> ((-0.7, 0.0))),
+      Map(Vector("a", "b") -> ((-0.3, -0.1))),
+      Map(Vector("a", "b", "a") -> ((-0.15, 0.0)))))
+    val text = Arpa.render(tri)
+    assert(text.contains("ngram 3=1\n"))
+    assert(text.contains("\\3-grams:\n-0.150000000\ta b a\n"))
+    assert(Arpa.parse(text) == tri)
+    // a 2-word gram inside \3-grams: is a corrupt file, not data
+    val bad = text.replace("-0.150000000\ta b a", "-0.150000000\ta b")
+    val e = intercept[IllegalArgumentException] { Arpa.parse(bad) }
+    assert(e.getMessage.contains("2-word gram"))
     // and whitespace-bearing tokens are unrepresentable, not silently
     // split on reload
     intercept[IllegalArgumentException] {
-      Arpa.render(Arpa.Model(Map("a b" -> ((-1.0, 0.0))), Map.empty))
+      Arpa.render(Arpa.bigramModel(Map("a b" -> ((-1.0, 0.0))), Map.empty))
     }
   }
 
@@ -52,11 +60,14 @@ class ArpaSpec extends AnyFunSuite {
       (1L, "the cat sat on the mat the cat ran"),
       (2L, "a dog sat on a log"),
       (3L, "the cat sat on the log")).toDF("doc_id", "text")
-    val m = graft.ext.TextOps.knBigramModel(docs)
     val path = java.nio.file.Files.createTempDirectory("arpa_spec")
       .resolve("m.arpa").toString
-    Arpa.write(path, m)
-    assert(Arpa.read(path) == m) // exact on quantized values
+    Arpa.writeLevels(path, graft.ext.TextOps.knArpaLevels(docs, order = 2))
+    val m = Arpa.read(path)
+    // the streamed write and the driver render agree byte for byte
+    assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8) == Arpa.render(m))
     val stored = graft.ext.TextOps.knScoreStoredArpa(spark, docs, path)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     val inline = graft.ext.TextOps.knBigramScore(docs)
@@ -75,7 +86,7 @@ class ArpaSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val path = java.nio.file.Files.createTempDirectory("arpa_spec2")
       .resolve("m.arpa").toString
-    Arpa.write(path, graft.ext.TextOps.knBigramModel(train))
+    Arpa.writeLevels(path, graft.ext.TextOps.knArpaLevels(train, order = 2))
     val m = Arpa.read(path)
     // "dog ran": both words in vocab, bigram unseen -> backoff branch
     val held = Seq((9L, "dog ran"), (10L, "dog zzz"))
@@ -88,5 +99,74 @@ class ArpaSpec extends AnyFunSuite {
       s"backoff score ${got(9L)} vs $expected")
     // unseen w2 falls to the -99 zeroprob -> enormous inverse
     assert(got(10L) > 1e9)
+  }
+
+  test("order-5 lifecycle: distributed write round-trips byte-" +
+    "identically, every observed 5-gram is present, and the stored " +
+    "score matches the inline knScore(5) under quantization") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat ran off the mat"),
+      (2L, "a dog sat on a log and a dog ran off a log"),
+      (3L, "the cat sat on the log and the dog sat on the mat"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("arpa_spec5")
+    val path = dir.resolve("m.arpa").toString
+    Arpa.writeLevels(path, graft.ext.TextOps.knArpaLevels(docs, order = 5))
+    val m = Arpa.read(path)
+    assert(m.order == 5)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))
+    assert(new String(bytes,
+      java.nio.charset.StandardCharsets.UTF_8) == Arpa.render(m))
+    // write the parsed model back through the driver path: identical
+    val path2 = dir.resolve("m2.arpa").toString
+    Arpa.write(path2, m)
+    assert(java.util.Arrays.equals(bytes,
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path2))))
+    // stored score vs the inline order-5 recursion: equal within the
+    // 9-dp artifact quantization
+    val stored = graft.ext.TextOps.knScoreStoredArpa(spark, docs, path)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val inline = graft.ext.TextOps.knScore(docs, order = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    inline.foreach { case (id, v) =>
+      assert(math.abs(stored(id) - v) / v < 1e-6,
+        s"doc $id stored ${stored(id)} vs inline $v")
+    }
+    // every level-5 entry covers an observed 5-gram (no zeroprob rows
+    // at the top), and every context of a 5-gram has a level-4 entry
+    // carrying its backoff weight
+    assert(m.grams(4).values.forall(_._1 > -99.0))
+    m.grams(4).keys.foreach { g =>
+      assert(m.grams(3).contains(g.take(4)), s"missing context ${g.take(4)}")
+    }
+  }
+
+  test("vocab cap: <unk> absorbs the Zipf tail ahead of the census " +
+    "and bounds every level table") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat ran"),
+      (2L, "a rare word appears once here only"),
+      (3L, "the cat sat on the mat again and again"))
+      .toDF("doc_id", "text")
+    val full = graft.ext.TextOps.knArpaLevels(docs, order = 2)
+    val capped = graft.ext.TextOps.knArpaLevels(docs, order = 2,
+      vocabSize = 5)
+    val fullVocab = full.head.count()
+    val cappedVocab = capped.head.count()
+    assert(cappedVocab <= 6L, // top-5 + <unk>
+      s"capped vocab $cappedVocab")
+    assert(cappedVocab < fullVocab)
+    val words = capped.head.select("gram").collect()
+      .map(_.getSeq[String](0).head).toSet
+    assert(words.contains("<unk>"))
+    // the capped model still scores (backoff-safe end to end)
+    val dir = java.nio.file.Files.createTempDirectory("arpa_cap")
+    val path = dir.resolve("m.arpa").toString
+    Arpa.writeLevels(path, capped)
+    val got = graft.ext.TextOps.knScoreStoredArpa(spark, docs, path)
+    assert(got.count() == 3)
   }
 }

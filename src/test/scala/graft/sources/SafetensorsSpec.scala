@@ -99,5 +99,11 @@ class SafetensorsSpec extends AnyFunSuite {
     val stored = graft.ext.TextOps.scoreLogisticQuality(docs, w2)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(inline == stored)
+    // stored-model scoring needs NO label column: a corpus without
+    // n_chars scores identically (the y projection is train-only)
+    val unlabeled = docs.drop("n_chars")
+    val storedNoLabel = graft.ext.TextOps.scoreLogisticQuality(unlabeled, w2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(storedNoLabel == stored)
   }
 }
