@@ -2310,6 +2310,29 @@ object SparkEntry {
         selectK = 180, packBudget = 256L, nShards = 4,
         reline = _ => twoTokenRelined).report),
 
+    // x211 — the ONE-DAG trained-tokenizer corpus build: the x171
+    // chain through s6, then stage 8 swaps the hashed-vocab kernel for
+    // the PRODUCTION artifact — byte-BPE trained ON THE SURVIVORS,
+    // survivors encoded to trained ids, MMIDIDX shards written next to
+    // merges.txt + vocab.json sidecars (the pair a training job
+    // loads), reloaded, and every sequence DECODED back through the
+    // sidecar. `roundtrip` is earned, not declared: it compares
+    // decode(sidecar, .bin) against the curated text per row.
+    "x211_corpus_build_tokenized" -> ((s, d) => {
+      val dir = storedDir("corpus_tok", d) { p =>
+        val st = ext.CorpusBuild.run(x171Docs(t(s, d, "documents")),
+          x171Urls(t(s, d, "documents")),
+          ext.UrlOps.parseRobots(x171Robots(t(s, d, "documents"))),
+          isTarget = col("source") === "src0",
+          minWords = 20L, minDfLine = 20L, minJaccard = 0.35,
+          selectK = 180, packBudget = 256L, nShards = 4,
+          reline = _ => twoTokenRelined)
+        ext.CorpusBuild.tokenizedExport(st.s6Selected, p,
+          nShards = 4, nMerges = 12)
+      }
+      ext.CorpusBuild.tokenizedReport(s, dir, nShards = 4)
+    }),
+
     // x175 — training SEQUENCES are PACKED GROUPS, not documents: the
     // x26 pack window composed INTO the MMIDIDX export — each exported
     // sequence is one pack's documents concatenated in doc_id order
@@ -4856,6 +4879,123 @@ object SparkEntry {
        |FROM valued GROUP BY doc_id""".stripMargin
   }
 
+  /** The x171/x211 shared oracle chain: fixture planting (robots
+    * tables, PII + stopword plants), robots gate, scrub, line censor,
+    * Gopher gates, near-dup components, DSIR top-K — everything
+    * through `s6`, the curated-survivor table both exports read.
+    * Callers must open with WITH RECURSIVE (the `walk` closure). */
+  private lazy val corpusBuildChainCtes: String =
+    s"""rb AS (SELECT doc_id, lang, source, text,
+                       CAST(doc_id % 7 AS BIGINT) AS dn,
+                       '/src' || CAST(doc_id % 10 AS VARCHAR) ||
+                       CASE WHEN doc_id % 2 = 0 THEN '/Page/p' ELSE '/p' END ||
+                       CAST(doc_id AS VARCHAR) AS path
+                FROM documents),
+         rl AS (SELECT d.dn, '/src' || CAST(t.i AS VARCHAR) AS prefix, 0 AS aw
+                FROM (SELECT DISTINCT dn FROM rb) d, range(0, 10) t(i)
+                WHERE (t.i + d.dn) % 3 = 0
+                UNION ALL
+                SELECT d.dn, '/src' || CAST(t.i AS VARCHAR) || '/Page', 1
+                FROM (SELECT DISTINCT dn FROM rb) d, range(0, 10) t(i)
+                WHERE (t.i + d.dn) % 2 = 0),
+         rmt AS (SELECT r.doc_id, l.prefix, l.aw, length(l.prefix) AS plen
+                 FROM rb r LEFT JOIN rl l
+                   ON l.dn = r.dn AND starts_with(r.path, l.prefix)),
+         rvr AS (SELECT doc_id, (prefix IS NULL OR aw = 1) AS allowed
+                 FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY plen DESC NULLS LAST, aw DESC NULLS LAST,
+                                  prefix DESC NULLS LAST) AS rn
+                       FROM rmt) WHERE rn = 1),
+         s1 AS (SELECT r.doc_id, r.source, r.text
+                FROM rb r JOIN rvr USING (doc_id) WHERE rvr.allowed),
+         s2 AS (SELECT doc_id, source,
+                  regexp_replace(regexp_replace(regexp_replace(
+                    text ||
+                    CASE WHEN doc_id % 4 <> 1
+                         THEN ' the data' || (doc_id % 37) || ' and table' ||
+                              (doc_id % 41) || ' of page' || (doc_id % 43) ||
+                              ' holds'
+                         ELSE '' END ||
+                    ' ' || 'user' || doc_id || '@example.com' ||
+                    ' ' || '10.0.' || (doc_id % 256) || '.' || (doc_id % 100) ||
+                    ' ' || '+1 (202) 555-0' ||
+                    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                    '<EMAIL>', 'g'),
+                    '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
+                    '\\+[0-9][0-9 ()./-]{5,18}[0-9]', '<PHONE>', 'g') AS text
+                FROM s1),
+         l3tok AS (SELECT doc_id, list_filter(
+                     regexp_split_to_array(lower(text), '\\s+'),
+                     t -> length(t) > 0) AS l
+                   FROM s2),
+         l3lines AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+                       array_to_string(l[u.i*2+1 : u.i*2+2], ' ') AS line
+                     FROM l3tok,
+                          unnest(range(0, greatest((len(l)+1)//2, 1))) AS u(i)),
+         l3df AS (SELECT line, COUNT(DISTINCT doc_id) AS df
+                  FROM l3lines GROUP BY 1),
+         l3kept AS (SELECT * FROM l3lines
+                    WHERE line NOT IN (SELECT line FROM l3df WHERE df >= 20)),
+         l3agg AS (SELECT doc_id,
+                          string_agg(line, chr(10) ORDER BY pos) AS text,
+                          COUNT(*) AS n_kept
+                   FROM l3kept GROUP BY 1),
+         l3base AS (SELECT doc_id,
+                           CAST(greatest((len(l)+1)//2, 1) AS BIGINT) AS n_lines
+                    FROM l3tok),
+         s3 AS (SELECT b.doc_id, d.source, a.text, b.n_lines,
+                       CAST(a.n_kept AS BIGINT) AS n_kept
+                FROM l3base b
+                JOIN l3agg a ON a.doc_id = b.doc_id
+                JOIN s2 d ON d.doc_id = b.doc_id
+                WHERE a.n_kept > 0),
+         ${gopherCtesOver("s3", "text")},
+         s4 AS (SELECT s3.* FROM s3 JOIN g2 USING (doc_id)
+                WHERE g2.n_words >= 20 AND g2.n_words <= 100000
+                  AND g2.r_mean_word_len AND g2.r_symbol_ratio
+                  AND g2.r_alpha_words AND g2.r_stopwords),
+         j5tok AS (SELECT doc_id, list_filter(
+                     regexp_split_to_array(lower(text), '\\s+'),
+                     t -> length(t) > 0) AS l
+                   FROM s4),
+         j5sh AS (SELECT DISTINCT doc_id, unnest(list_filter(
+                    list_transform(range(1, greatest(len(l) - 1, 1)),
+                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]),
+                    x -> x IS NOT NULL)) AS shingle
+                  FROM j5tok),
+         j5sizes AS (SELECT doc_id, COUNT(*) AS n FROM j5sh GROUP BY 1),
+         j5capped AS (SELECT x.* FROM j5sh x
+                      WHERE x.shingle IN (SELECT shingle FROM j5sh
+                                          GROUP BY shingle
+                                          HAVING COUNT(*) <= 4096)),
+         j5inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                            COUNT(*) AS c
+                     FROM j5capped x JOIN j5capped y ON x.shingle = y.shingle
+                     WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
+         j5edges AS (SELECT doc_a, doc_b
+                     FROM j5inter
+                     JOIN j5sizes sa ON sa.doc_id = doc_a
+                     JOIN j5sizes sb ON sb.doc_id = doc_b
+                     WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.35),
+         j5und AS (SELECT doc_a AS s, doc_b AS t FROM j5edges
+                   UNION ALL SELECT doc_b, doc_a FROM j5edges),
+         j5nodes AS (SELECT DISTINCT s AS id FROM j5und),
+         walk(id, cur) AS (
+           SELECT id, id FROM j5nodes
+           UNION
+           SELECT w.id, u.t FROM walk w JOIN j5und u ON u.s = w.cur),
+         cc AS (SELECT id, MIN(cur) AS rep FROM walk GROUP BY id),
+         s5 AS (SELECT * FROM s4
+                WHERE doc_id NOT IN (SELECT id FROM cc WHERE rep <> id)),
+         ${dsirCtes("s5")},
+         rk6 AS (SELECT doc_id, row_number()
+                          OVER (ORDER BY round(llr / n_grams, 9) DESC,
+                                doc_id) AS rn
+                 FROM agg),
+s6 AS (SELECT s5.* FROM s5 JOIN rk6 USING (doc_id)
+                WHERE rk6.rn <= 180)"""
+
   /** x164/x165's shared re-lining CTEs (the [[twoTokenRelined]] twin):
     * `tok(doc_id, l)` = empty-filtered whitespace tokens of the
     * lowered text, `rel(doc_id, text)` = two tokens per line,
@@ -4994,13 +5134,19 @@ object SparkEntry {
     * MATERIALIZED CTE per merge rank folding the byte merge loop over
     * the DISTINCT pre-token vocabulary (symbols = INT[] byte lists).
     * Ends at `bbN(w, nb, syms)` with `boc(doc_id, w)` in scope. */
-  private lazy val bytePretokCtes: String = {
+  private lazy val bytePretokCtes: String =
+    bytePretokCtesOver("documents", byteTextSqlExpr)
+
+  /** [[bytePretokCtes]] parameterized on the corpus CTE and text
+    * expression — x211 trains the tokenizer on the corpus-build
+    * SURVIVORS (`s6`, plain `text`) instead of the x115 fixture. */
+  private def bytePretokCtesOver(src: String, textExpr: String): String = {
     val contrCase = (c: String) =>
       s"""CASE WHEN $c LIKE 're%' THEN 're' WHEN $c LIKE 've%' THEN 've'
                WHEN $c LIKE 'll%' THEN 'll' WHEN $c LIKE 's%' THEN 's'
                WHEN $c LIKE 't%' THEN 't' WHEN $c LIKE 'm%' THEN 'm'
                WHEN $c LIKE 'd%' THEN 'd' ELSE NULL END"""
-    s"""bt0 AS (SELECT doc_id, $byteTextSqlExpr AS t FROM documents),
+    s"""bt0 AS (SELECT doc_id, $textExpr AS t FROM $src),
        brn0 AS (SELECT doc_id, regexp_extract_all(t,
                   '[ \\t\\n\\x0B\\f\\r]+|\\p{L}+|\\p{N}+|[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+')
                   AS rs FROM bt0),
@@ -5104,7 +5250,13 @@ object SparkEntry {
     * byte symbols; the argmax's `ORDER BY cnt DESC, p1, p2` on
     * INT[] lists is exactly the engine's Latin-1 string order (one
     * byte per char, lexicographic, shorter-prefix-first). */
-  private def byteTrainCtes(rounds: Int): String = {
+  private def byteTrainCtes(rounds: Int): String =
+    byteTrainCtesOver(rounds, "documents", byteTextSqlExpr)
+
+  /** [[byteTrainCtes]] parameterized on the training corpus — the
+    * x211 one-DAG build fits the vocabulary to the curated survivors. */
+  private def byteTrainCtesOver(rounds: Int, src: String,
+                                textExpr: String): String = {
     val steps = (1 to rounds).map { k =>
       s"""btp$k AS MATERIALIZED (
            SELECT m, unnest(list_transform(range(1, len(syms)), i ->
@@ -5126,7 +5278,7 @@ object SparkEntry {
                            ELSE list_concat(acc, x) END) AS syms
            FROM btw${k - 1} CROSS JOIN btt$k t)"""
     }.mkString(",\n       ")
-    s"""$bytePretokCtes,
+    s"""${bytePretokCtesOver(src, textExpr)},
        btw0 AS MATERIALIZED (
          SELECT b.w, c.m, b.nb, b.syms
          FROM bb0 b JOIN (SELECT w, CAST(COUNT(*) AS BIGINT) AS m
@@ -10521,116 +10673,7 @@ object SparkEntry {
     // feeding the next, exactly as the engine composes them
     "x171_corpus_build" ->
       s"""WITH RECURSIVE
-         rb AS (SELECT doc_id, lang, source, text,
-                       CAST(doc_id % 7 AS BIGINT) AS dn,
-                       '/src' || CAST(doc_id % 10 AS VARCHAR) ||
-                       CASE WHEN doc_id % 2 = 0 THEN '/Page/p' ELSE '/p' END ||
-                       CAST(doc_id AS VARCHAR) AS path
-                FROM documents),
-         rl AS (SELECT d.dn, '/src' || CAST(t.i AS VARCHAR) AS prefix, 0 AS aw
-                FROM (SELECT DISTINCT dn FROM rb) d, range(0, 10) t(i)
-                WHERE (t.i + d.dn) % 3 = 0
-                UNION ALL
-                SELECT d.dn, '/src' || CAST(t.i AS VARCHAR) || '/Page', 1
-                FROM (SELECT DISTINCT dn FROM rb) d, range(0, 10) t(i)
-                WHERE (t.i + d.dn) % 2 = 0),
-         rmt AS (SELECT r.doc_id, l.prefix, l.aw, length(l.prefix) AS plen
-                 FROM rb r LEFT JOIN rl l
-                   ON l.dn = r.dn AND starts_with(r.path, l.prefix)),
-         rvr AS (SELECT doc_id, (prefix IS NULL OR aw = 1) AS allowed
-                 FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-                         ORDER BY plen DESC NULLS LAST, aw DESC NULLS LAST,
-                                  prefix DESC NULLS LAST) AS rn
-                       FROM rmt) WHERE rn = 1),
-         s1 AS (SELECT r.doc_id, r.source, r.text
-                FROM rb r JOIN rvr USING (doc_id) WHERE rvr.allowed),
-         s2 AS (SELECT doc_id, source,
-                  regexp_replace(regexp_replace(regexp_replace(
-                    text ||
-                    CASE WHEN doc_id % 4 <> 1
-                         THEN ' the data' || (doc_id % 37) || ' and table' ||
-                              (doc_id % 41) || ' of page' || (doc_id % 43) ||
-                              ' holds'
-                         ELSE '' END ||
-                    ' ' || 'user' || doc_id || '@example.com' ||
-                    ' ' || '10.0.' || (doc_id % 256) || '.' || (doc_id % 100) ||
-                    ' ' || '+1 (202) 555-0' ||
-                    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
-                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                    '<EMAIL>', 'g'),
-                    '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
-                    '\\+[0-9][0-9 ()./-]{5,18}[0-9]', '<PHONE>', 'g') AS text
-                FROM s1),
-         l3tok AS (SELECT doc_id, list_filter(
-                     regexp_split_to_array(lower(text), '\\s+'),
-                     t -> length(t) > 0) AS l
-                   FROM s2),
-         l3lines AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
-                       array_to_string(l[u.i*2+1 : u.i*2+2], ' ') AS line
-                     FROM l3tok,
-                          unnest(range(0, greatest((len(l)+1)//2, 1))) AS u(i)),
-         l3df AS (SELECT line, COUNT(DISTINCT doc_id) AS df
-                  FROM l3lines GROUP BY 1),
-         l3kept AS (SELECT * FROM l3lines
-                    WHERE line NOT IN (SELECT line FROM l3df WHERE df >= 20)),
-         l3agg AS (SELECT doc_id,
-                          string_agg(line, chr(10) ORDER BY pos) AS text,
-                          COUNT(*) AS n_kept
-                   FROM l3kept GROUP BY 1),
-         l3base AS (SELECT doc_id,
-                           CAST(greatest((len(l)+1)//2, 1) AS BIGINT) AS n_lines
-                    FROM l3tok),
-         s3 AS (SELECT b.doc_id, d.source, a.text, b.n_lines,
-                       CAST(a.n_kept AS BIGINT) AS n_kept
-                FROM l3base b
-                JOIN l3agg a ON a.doc_id = b.doc_id
-                JOIN s2 d ON d.doc_id = b.doc_id
-                WHERE a.n_kept > 0),
-         ${gopherCtesOver("s3", "text")},
-         s4 AS (SELECT s3.* FROM s3 JOIN g2 USING (doc_id)
-                WHERE g2.n_words >= 20 AND g2.n_words <= 100000
-                  AND g2.r_mean_word_len AND g2.r_symbol_ratio
-                  AND g2.r_alpha_words AND g2.r_stopwords),
-         j5tok AS (SELECT doc_id, list_filter(
-                     regexp_split_to_array(lower(text), '\\s+'),
-                     t -> length(t) > 0) AS l
-                   FROM s4),
-         j5sh AS (SELECT DISTINCT doc_id, unnest(list_filter(
-                    list_transform(range(1, greatest(len(l) - 1, 1)),
-                      i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]),
-                    x -> x IS NOT NULL)) AS shingle
-                  FROM j5tok),
-         j5sizes AS (SELECT doc_id, COUNT(*) AS n FROM j5sh GROUP BY 1),
-         j5capped AS (SELECT x.* FROM j5sh x
-                      WHERE x.shingle IN (SELECT shingle FROM j5sh
-                                          GROUP BY shingle
-                                          HAVING COUNT(*) <= 4096)),
-         j5inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-                            COUNT(*) AS c
-                     FROM j5capped x JOIN j5capped y ON x.shingle = y.shingle
-                     WHERE x.doc_id < y.doc_id GROUP BY 1, 2),
-         j5edges AS (SELECT doc_a, doc_b
-                     FROM j5inter
-                     JOIN j5sizes sa ON sa.doc_id = doc_a
-                     JOIN j5sizes sb ON sb.doc_id = doc_b
-                     WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.35),
-         j5und AS (SELECT doc_a AS s, doc_b AS t FROM j5edges
-                   UNION ALL SELECT doc_b, doc_a FROM j5edges),
-         j5nodes AS (SELECT DISTINCT s AS id FROM j5und),
-         walk(id, cur) AS (
-           SELECT id, id FROM j5nodes
-           UNION
-           SELECT w.id, u.t FROM walk w JOIN j5und u ON u.s = w.cur),
-         cc AS (SELECT id, MIN(cur) AS rep FROM walk GROUP BY id),
-         s5 AS (SELECT * FROM s4
-                WHERE doc_id NOT IN (SELECT id FROM cc WHERE rep <> id)),
-         ${dsirCtes("s5")},
-         rk6 AS (SELECT doc_id, row_number()
-                          OVER (ORDER BY round(llr / n_grams, 9) DESC,
-                                doc_id) AS rn
-                 FROM agg),
-         s6 AS (SELECT s5.* FROM s5 JOIN rk6 USING (doc_id)
-                WHERE rk6.rn <= 180),
+         $corpusBuildChainCtes,
          pk0 AS (SELECT doc_id, source,
                         CAST(len(regexp_split_to_array(lower(text), '\\s+'))
                              AS BIGINT) AS n_tokens
@@ -10659,6 +10702,35 @@ object SparkEntry {
          JOIN pk USING (doc_id)
          JOIN rk8 r USING (doc_id)
          JOIN h8agg a USING (doc_id)""",
+
+    // x211 — the ONE-DAG trained-tokenizer corpus build: the x171
+    // chain through s6, then the tokenizer is TRAINED ON THE SURVIVORS
+    // (the production order: curate, then fit the vocabulary to the
+    // curated corpus), the survivors encode to trained byte-BPE ids,
+    // and the export is MMIDIDX shards + merges.txt/vocab.json
+    // sidecars — the artifact pair a training job actually loads. The
+    // oracle replays the corpus chain into the x172 byte-train CTEs
+    // over s6: per-doc token counts from the trained segmentation, the
+    // shard/rank layout, and roundtrip TRUE — earned in the engine
+    // only when decode(sidecar, .bin) reproduces every surviving doc.
+    "x211_corpus_build_tokenized" ->
+      s"""WITH RECURSIVE
+         $corpusBuildChainCtes,
+         ${byteTrainCtesOver(12, "s6", "text")},
+         tkagg AS (SELECT o.doc_id,
+                          CAST(SUM(len(v.syms)) AS BIGINT) AS n_tokens
+                   FROM boc o JOIN btw12 v USING (w)
+                   GROUP BY o.doc_id),
+         rk11 AS (SELECT doc_id, doc_id % 4 AS shard,
+                         CAST(row_number() OVER (PARTITION BY doc_id % 4
+                                                 ORDER BY doc_id) - 1
+                              AS INTEGER) AS pos
+                  FROM s6)
+         SELECT s6.doc_id, s6.source, s6.n_lines, s6.n_kept,
+                r.shard, r.pos, a.n_tokens, TRUE AS roundtrip
+         FROM s6
+         JOIN rk11 r USING (doc_id)
+         JOIN tkagg a USING (doc_id)""",
 
     // x172 — the x119 TRAINING chain replayed into the binidx layout:
     // per-doc trained-tokenizer counts from the 12-round byteTrainCtes

@@ -115,4 +115,65 @@ object CorpusBuild {
         col("n_tokens_idx"), col("id_sum"))
     Stages(s1, s2, s3, s4, s5, s6, packed, report)
   }
+
+  /** The TRAINED-TOKENIZER export — stage 8 of the one-DAG product
+    * (x211): the byte-BPE vocabulary is fitted to the CURATED
+    * SURVIVORS (the production order — curate first, then train the
+    * tokenizer on what survived, then tokenize), the survivors encode
+    * to trained ids, and the directory holds the complete loadable
+    * artifact set a training job consumes:
+    *
+    *   s6/          curated survivor table (parquet, for reconcile)
+    *   shards/      MMIDIDX binidx shards over trained token ids
+    *   merges.txt   the GPT-2-format merge table sidecar
+    *   vocab.json   the GPT-2-format id assignment sidecar
+    *
+    * Scale posture: training is the one-pass census trainer
+    * ([[TextOps.trainByteBpeMergesFast]], Zipf-tail-bounded driver
+    * state); encoding is a scan-stage expression; the shard write is
+    * one keyed exchange ([[graft.sources.BinIdx.shardsFromIds]]). */
+  def tokenizedExport(s6: DataFrame, outDir: String, nShards: Int = 4,
+                      nMerges: Int = 12): Unit = {
+    val cols = s6.select("doc_id", "source", "text", "n_lines", "n_kept")
+    cols.write.mode("overwrite").parquet(s"$outDir/s6")
+    val merges = TextOps.trainByteBpeMergesFast(cols, nMerges = nMerges)
+      .map(m => (m._1, m._2))
+    val ids = cols.select(col("doc_id"),
+      graft.functions.ByteBpeIds(col("text"), merges).as("ids"))
+    graft.sources.BinIdx.shardsFromIds(ids, nShards = nShards)
+      .write.mode("overwrite").parquet(s"$outDir/shards")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "merges.txt"),
+      graft.functions.ByteBpe.renderGpt2Merges(merges))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "vocab.json"),
+      graft.functions.ByteBpe.renderGpt2Vocab(merges))
+  }
+
+  /** Reload [[tokenizedExport]]'s artifacts and reconcile: parse the
+    * shards back, DECODE every sequence through the merges.txt
+    * sidecar, and join the survivor layout — `roundtrip` is TRUE only
+    * when decode(sidecar, .bin) reproduces the curated text bit for
+    * bit (byte-level BPE is lossless; any merge-table, id-assignment,
+    * layout or sidecar-serde bug flips it false). */
+  def tokenizedReport(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, nShards: Int = 4): DataFrame = {
+    val sidecar = graft.functions.ByteBpe.parseGpt2Merges(
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "merges.txt")))
+    val s6 = spark.read.parquet(s"$dir/s6")
+    val parsed = graft.sources.BinIdx.read(spark.read.parquet(s"$dir/shards"))
+      .withColumn("decoded",
+        graft.functions.ByteBpeDecode(col("ids"), sidecar))
+    val layout = s6
+      .select(col("doc_id"), col("source"), col("n_lines"), col("n_kept"),
+        col("text"), pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
+      .withColumn("pos", (row_number().over(
+        Window.partitionBy("shard").orderBy("doc_id")) - 1).cast("int"))
+    parsed.join(layout, Seq("shard", "pos"))
+      .select(col("doc_id"), col("source"), col("n_lines"), col("n_kept"),
+        col("shard"), col("pos"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        (col("decoded") === col("text")).as("roundtrip"))
+  }
 }
