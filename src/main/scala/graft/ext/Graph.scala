@@ -60,9 +60,7 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
                srcCol: String = "src", dstCol: String = "dst"): DataFrame =
     run(edges, damping, srcCol, dstCol) { (step, pr0) =>
-      var pr = pr0
-      for (_ <- 1 to iters) pr = step(pr)
-      pr
+      iterate(iters, pr0)(step)
     }
 
   /** [[pageRank]] run to TOLERANCE instead of a fixed round count —
@@ -131,9 +129,7 @@ object Graph {
         coalesce(col("pr"), lit(0.0)).as("pr"))
       .localCheckpoint(true)
     val out = runPrepared(g, damping) { (step, _) =>
-      var p = p0
-      for (_ <- 1 to iters) p = step(p)
-      p
+      iterate(iters, p0)(step)
     }
     g.release()
     out
@@ -182,24 +178,19 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sw = e.groupBy("src").agg(Stable.sumD(col("w"), 18).as("sw"))
     val ed = e.join(sw, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val dangling = nodes
-      .join(e.select("src").distinct(),
-        nodes("node") === col("src"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = nodeSet(e)
+    val dangling = danglingSet(nodes, e)
     val n = nodes.count()
     val base = (1.0 - damping) / n
-    var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters)
-      pr = teleportRound(nodes,
-        propagate(ed, pr, "src", "dst", col("pr") * (col("w") / col("sw"))),
-        danglingMass(pr, dangling),
+    val pr = iterate(iters,
+      nodes.select(col("node"), lit(1.0 / n).as("pr"))
+        .localCheckpoint(true)) { p =>
+      teleportRound(nodes,
+        propagate(ed, p, "src", "dst", col("pr") * (col("w") / col("sw"))),
+        danglingMass(p, dangling),
         lit(base) + lit(damping) * coalesce(col("v"), lit(0.0)) +
           lit(damping) * col("dmass") / lit(n.toDouble))
+    }
     e.unpersist(blocking = false)
     ed.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
@@ -289,9 +280,7 @@ object Graph {
     require(iters >= 1, s"need iters >= 1: $iters")
     val g = prepare(edges, srcCol, dstCol)
     val pr = runPrepared(g, damping) { (step, pr0) =>
-        var p = pr0
-        for (_ <- 1 to iters) p = step(p)
-        p
+        iterate(iters, pr0)(step)
       }.withColumnRenamed("pr", "pr_all")
     val core = pprPrepared(g, goodSeeds, iters, damping)
       .withColumnRenamed("pr", "pr_seed")
@@ -371,15 +360,8 @@ object Graph {
   def hits(edges: DataFrame, iters: Int = 5,
            srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iters >= 1, s"need iters >= 1: $iters")
-    val e = edges
-      .select(col(srcCol).cast("string").as("src"),
-        col(dstCol).cast("string").as("dst"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = dedupEdges(edges, srcCol, dstCol)
+    val nodes = nodeSet(e)
     def normalized(raw: DataFrame, vCol: String): DataFrame = {
       val nrm = raw.agg(
         sqrt(Stable.sumD(col(vCol) * col(vCol), 18)).as("nrm"))
@@ -435,11 +417,7 @@ object Graph {
   def salsa(edges: DataFrame, iters: Int = 5,
             srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iters >= 1, s"need iters >= 1: $iters")
-    val e = edges
-      .select(col(srcCol).cast("string").as("src"),
-        col(dstCol).cast("string").as("dst"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = dedupEdges(edges, srcCol, dstCol)
     val inDeg = e.groupBy("dst").agg(count(lit(1)).as("indeg"))
     // BOTH degree columns ride the cached edge table (one join each,
     // paid once) instead of re-joining a degree table every half-round
@@ -447,10 +425,7 @@ object Graph {
       .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .join(inDeg, "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = nodeSet(e)
     val nAuth = inDeg.count()
     var auth = inDeg.select(col("dst").as("node"),
         (lit(1.0) / lit(nAuth.toDouble)).as("auth"))
@@ -674,24 +649,48 @@ object Graph {
     }
   }
 
-  private def prepare(edges: DataFrame,
-                      srcCol: String, dstCol: String): PreparedGraph = {
-    val e = edges
+  /** The three cached graph artifacts EVERY recurrence in this file
+    * starts from, factored so no public operator re-inlines them:
+    * dedup'd string-keyed edges, the node set, the dangling (no
+    * out-edge) set. Expression trees are IDENTICAL to the historical
+    * inline copies — the oracle hashes guard this refactor. */
+  private def dedupEdges(edges: DataFrame,
+                         srcCol: String, dstCol: String): DataFrame =
+    edges
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
+
+  private def nodeSet(e: DataFrame): DataFrame =
+    e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val dangling = nodes
+
+  private def danglingSet(nodes: DataFrame, e: DataFrame): DataFrame =
+    nodes
       .join(e.select("src").distinct(),
         nodes("node") === col("src"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    new PreparedGraph(e, ed, nodes, dangling, nodes.count())
+
+  /** The fixed-count power loop every rank variant drives: iterate
+    * `step` from `init` — ONE image of "run k rounds", so variants
+    * differ only in their step expression, never in loop mechanics. */
+  private def iterate(iters: Int, init: DataFrame)
+                     (step: DataFrame => DataFrame): DataFrame = {
+    var p = init
+    for (_ <- 1 to iters) p = step(p)
+    p
+  }
+
+  private def prepare(edges: DataFrame,
+                      srcCol: String, dstCol: String): PreparedGraph = {
+    val e = dedupEdges(edges, srcCol, dstCol)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = nodeSet(e)
+    new PreparedGraph(e, ed, nodes, danglingSet(nodes, e), nodes.count())
   }
 
   /** Shared setup + round step: dedup the edges, cache the degree-
@@ -746,16 +745,17 @@ object Graph {
       .select(col("node"),
         when(col("is_seed"), lit(1.0 / nS)).otherwise(lit(0.0)).as("t"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var pr = ndt.select(col("node"), col("t").as("pr"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters)
-      pr = teleportRound(ndt,
-        propagate(g.ed, pr, "src", "dst",
+    val pr = iterate(iters,
+      ndt.select(col("node"), col("t").as("pr"))
+        .localCheckpoint(true)) { p =>
+      teleportRound(ndt,
+        propagate(g.ed, p, "src", "dst",
           col("pr") / col("deg").cast("double")),
-        danglingMass(pr, g.dangling),
+        danglingMass(p, g.dangling),
         lit(1.0 - damping) * col("t") +
           lit(damping) * coalesce(col("v"), lit(0.0)) +
           lit(damping) * col("dmass") * col("t"))
+    }
     ndt.unpersist(blocking = false)
     pr
   }
