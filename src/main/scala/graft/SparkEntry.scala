@@ -1509,6 +1509,25 @@ object SparkEntry {
         t(s, d, "documents").withColumn("text", relined), minDf = 20L)
     }),
 
+    // x212 — the STORED boilerplate-censor lifecycle (the batch half
+    // of the streaming corpus gate's line tier): census the corpus-df
+    // boilerplate set ONCE (x33's df >= 20 rule), persist it as the
+    // per-snapshot artifact, reload, and censor AGAINST the stored
+    // set — the stored-index discipline (x96/x126/x143) applied to
+    // the line tier. The oracle replays the df census inline, so a
+    // hash match proves persist → reload → censor ≡ the one-pass
+    // batch censor on every surviving row. (Contract difference from
+    // x33, by design: a doc losing every line emits nothing here —
+    // the stream twin cannot emit rows it never aggregates.)
+    "x212_stored_censor" -> ((s, d) => {
+      val relined = t(s, d, "documents")
+        .withColumn("text", twoTokenRelined)
+      val dir = storedDir("boiler", d)(p =>
+        ext.Cleanse.boilerplateLineSet(relined, minDf = 20L)
+          .write.mode("overwrite").parquet(s"$p/lines"))
+      ext.Cleanse.censorLinesAgainst(relined, s.read.parquet(s"$dir/lines"))
+    }),
+
     // x34 — BM25 retrieval (rational-idf variant — exact IEEE replay, no
     // rounding tolerance in the oracle): top-10 docs for a 3-term query
     "x34_bm25" -> ((s, d) =>
@@ -8325,6 +8344,35 @@ s6 AS (SELECT s5.* FROM s5 JOIN rk6 USING (doc_id)
          SELECT b.doc_id, COALESCE(a.clean_text, '') AS text, b.n_lines,
                 CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept
          FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id""",
+
+    // x212 — x33's inline df replay with an INNER join at the end
+    // (the stored-censor path emits only docs with >= 1 kept line);
+    // the artifact layer cancels, so the hash match proves the
+    // persist → reload → censor round trip
+    "x212_stored_censor" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '\s+'),
+             t -> length(t) > 0) AS l
+           FROM documents),
+         lines AS (
+           SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+                  array_to_string(l[u.i*2+1 : u.i*2+2], ' ') AS line
+           FROM tok, unnest(range(0, greatest((len(l)+1)//2, 1))) AS u(i)),
+         dfq AS (SELECT line, COUNT(DISTINCT doc_id) AS df
+                 FROM lines GROUP BY 1),
+         kept AS (SELECT * FROM lines
+                  WHERE line NOT IN (SELECT line FROM dfq WHERE df >= 20)),
+         agg AS (SELECT doc_id,
+                        string_agg(line, chr(10) ORDER BY pos) AS text,
+                        COUNT(*) AS n_kept
+                 FROM kept GROUP BY 1),
+         base AS (SELECT doc_id,
+                         CAST(greatest((len(l)+1)//2, 1) AS BIGINT) AS n_lines
+                  FROM tok)
+         SELECT b.doc_id, a.text, b.n_lines,
+                CAST(a.n_kept AS BIGINT) AS n_kept
+         FROM base b JOIN agg a ON a.doc_id = b.doc_id""",
 
     // x34 — identical rational-BM25 arithmetic, term by term in the same
     // parenthesization (every op is correctly-rounded IEEE, so scores are

@@ -127,12 +127,7 @@ object Cleanse {
                              sep: String = "\n"): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
     val lines = lineTable(docs, textCol, "doc_id", sep, dropEmpty = false)
-    // df on the line hash: per-doc distinct first so in-doc repeats
-    // count once
-    val boiler = lines.select("h", "doc_id").distinct()
-      .groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf)
-      .select("h")
+    val boiler = boilerplateLineSet(docs, minDf, textCol, sep)
     val kept = lines.join(boiler, Seq("h"), "left_anti")
     val reassembled = kept.groupBy("doc_id")
       .agg(array_join(transform(
@@ -148,6 +143,61 @@ object Cleanse {
         coalesce(col("clean_text"), lit("")).as("text"),
         col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** The boilerplate CENSUS half of [[removeBoilerplateLines]], as a
+    * persistable per-snapshot artifact: the 64-bit line hashes
+    * appearing in `minDf` or more DISTINCT documents (per-doc distinct
+    * first so in-doc repeats count once). A streaming ingest gate
+    * cannot see corpus-wide document frequency, so the batch job
+    * persists THIS table on the corpus snapshot cadence and the
+    * stream censors against it ([[censorLinesAgainst]]) — the stored-
+    * index discipline of the minhash/DSIR gates applied to the line
+    * tier. Bounded by distinct boilerplate lines (the df ≥ minDf
+    * survivor set is tiny), so it broadcasts. */
+  def boilerplateLineSet(docs: DataFrame, minDf: Long,
+                         textCol: String = "text",
+                         sep: String = "\n"): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    lineTable(docs, textCol, "doc_id", sep, dropEmpty = false)
+      .select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("h")
+  }
+
+  /** The CENSOR half of [[removeBoilerplateLines]] against a GIVEN
+    * boilerplate set — the streaming twin: per-row line explode, one
+    * stateless (stream-static) left-anti join on the line hash, and
+    * EXACTLY ONE stateful aggregation (the in-order reassembly).
+    * `passthrough` columns (constant per document, e.g. `source`)
+    * ride the explode and come back via `first()`.
+    *
+    * Contract difference from the batch operator, forced by the
+    * stream shape: a document whose EVERY line is boilerplate emits
+    * NOTHING (the batch form emits it with `n_kept = 0`) — the
+    * corpus-build composition filters `n_kept > 0` immediately, so
+    * the two prefixes agree on exactly the surviving rows
+    * (StreamingSpec pins it). */
+  def censorLinesAgainst(docs: DataFrame, boiler: DataFrame,
+                         textCol: String = "text", sep: String = "\n",
+                         passthrough: Seq[String] = Nil): DataFrame = {
+    val qsep = java.util.regex.Pattern.quote(sep)
+    val base = docs.select(
+      col("doc_id") +: passthrough.map(col) :+
+        size(split(col(textCol), qsep)).cast("long").as("n_lines") :+
+        posexplode(split(col(textCol), qsep)).as(Seq("pos", "line")): _*)
+    val kept = base.withColumn("h", lineHash(col("line")))
+      .join(boiler.select("h"), Seq("h"), "left_anti")
+    val aggs = passthrough.map(c => first(col(c)).as(c)) ++ Seq(
+      first(col("n_lines")).as("n_lines"),
+      array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("line")))),
+        s => s.getField("line")), sep).as("text"),
+      count(lit(1)).as("n_kept"))
+    kept.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id") +: passthrough.map(col) :+ col("text") :+
+        col("n_lines") :+ col("n_kept"): _*)
   }
 
   /** Rare-token scrub — closed-vocabulary UNK-ing doubling as rare-

@@ -743,27 +743,37 @@ object UrlOps {
     * pass. Full §2.2.3 wildcard matching — the composition the x120/
     * x137 fixtures exercise. */
   def robotsAllowedOnly(df: DataFrame, rules: DataFrame,
-                        urlCol: String = "u"): DataFrame = {
-    val (anchored, segs) = compileRule(col("prefix"))
-    val byDom = rules.groupBy("domain")
-      .agg(sort_array(collect_list(struct(
-        col("plen"), col("allow").cast("int").as("aw"),
-        col("prefix"), anchored.as("anch"), segs.as("segs")))).as("__rs"))
+                        urlCol: String = "u"): DataFrame =
     // the path projects BELOW the join — an expression referenced
     // inside the array lambda would otherwise inline into it and the
     // whole URL parse would re-evaluate PER RULE ELEMENT (a silent
     // rules-per-domain multiplier on the gate's per-row cost); the
     // join boundary pins it to once per row
-    df.withColumn("__path", pathOf(col(urlCol)))
-      .join(broadcast(byDom), Seq("domain"), "left")
+    robotsAllowedOnlyByPath(
+      df.withColumn("__path", pathOf(col(urlCol))), rules, "__path")
+      .drop("__path")
+
+  /** [[robotsAllowedOnly]] for tables that already CARRY the path —
+    * the streaming corpus gate's shape (no URL parse): same sorted-
+    * rule broadcast, same `element_at(filter(...), -1)` argmax, every
+    * input column survives, rows of domains with no rules pass, and
+    * the whole verdict is stateless — valid on a stream. */
+  def robotsAllowedOnlyByPath(df: DataFrame, rules: DataFrame,
+                              pathCol: String = "path"): DataFrame = {
+    val (anchored, segs) = compileRule(col("prefix"))
+    val byDom = rules.groupBy("domain")
+      .agg(sort_array(collect_list(struct(
+        col("plen"), col("allow").cast("int").as("aw"),
+        col("prefix"), anchored.as("anch"), segs.as("segs")))).as("__rs"))
+    df.join(broadcast(byDom), Seq("domain"), "left")
       .withColumn("__m", filter(coalesce(col("__rs"),
           array().cast("array<struct<plen:int,aw:int,prefix:string," +
             "anch:boolean,segs:array<string>>>")),
-        r => robotsRuleMatches(col("__path"), r.getField("anch"),
+        r => robotsRuleMatches(col(pathCol), r.getField("anch"),
           r.getField("segs"))))
       .filter(size(col("__m")) === 0 ||
         element_at(col("__m"), -1).getField("aw") === 1)
-      .drop("__rs", "__m", "__path")
+      .drop("__rs", "__m")
   }
 
   /** Crawl-TRAP detector — the hygiene gate between a frontier

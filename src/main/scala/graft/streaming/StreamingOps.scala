@@ -334,6 +334,50 @@ object StreamingOps {
     graft.ext.TextOps.ingestGate(spark, docStream, dsirDir, index,
       dim = dim, minJaccard = minJaccard)
 
+  /** The streaming twin of [[graft.ext.CorpusBuild.run]]'s s1-s4
+    * PREFIX — every per-document curation stage of the batch corpus
+    * build, run at the ingest door over ONE composed query:
+    *
+    *  1. robots gate — the RFC 9309 verdict per arrival
+    *     ([[graft.ext.UrlOps.robotsAllowedOnlyByPath]]: sorted rules
+    *     broadcast on the static side, stateless, every column
+    *     carried);
+    *  2. PII scrub — [[graft.ext.Cleanse.redactPii]], pure algebra;
+    *  3. line censor against the STORED boilerplate-line set
+    *     ([[graft.ext.Cleanse.boilerplateLineSet]], the batch census
+    *     persisted per corpus snapshot — corpus-wide df is state a
+    *     stream cannot see, the stored-index discipline again):
+    *     stream-static left-anti + the composition's ONE stateful
+    *     aggregation (the reassembly);
+    *  4. Gopher gates on the CLEANED text — pure algebra over the
+    *     aggregated rows, same signal expressions as the batch
+    *     [[graft.ext.TextOps.gopherRules]].
+    *
+    * Input must carry (doc_id, source, text, domain, path). Emits
+    * CorpusBuild's s4 schema (doc_id, source, text, n_lines, n_kept);
+    * the stages 5+ (near-dup, DSIR, pack, export) are corpus-level by
+    * nature and stay with the batch job — [[streamingIngestGate]]
+    * covers their per-arrival probes. StreamingSpec pins the streamed
+    * prefix ≡ batch s4 on the same documents. */
+  def streamingCorpusGate(docStream: DataFrame, rules: DataFrame,
+                          boiler: DataFrame, minWords: Long = 50L,
+                          reline: Column => Column = identity)
+      : DataFrame = {
+    val s1 = graft.ext.UrlOps.robotsAllowedOnlyByPath(docStream, rules)
+      .select("doc_id", "source", "text")
+    val s2 = s1.select(col("doc_id"), col("source"),
+      graft.ext.Cleanse.redactPii(col("text")).as("text"))
+    val s3 = graft.ext.Cleanse.censorLinesAgainst(
+        s2.withColumn("text", reline(col("text"))), boiler,
+        passthrough = Seq("source"))
+      .filter(col("n_kept") > 0)
+      .select("doc_id", "source", "text", "n_lines", "n_kept")
+    val sig = graft.ext.TextOps.gopherSignals(col("text")).toMap
+    s3.filter(sig("n_words") >= minWords && sig("n_words") <= 100000L &&
+      sig("r_mean_word_len") && sig("r_symbol_ratio") &&
+      sig("r_alpha_words") && sig("r_stopwords"))
+  }
+
   /** Streaming SHARD MANIFEST: the dataset-versioning digests
     * ([[graft.ext.Curation.shardManifest]]) kept incrementally over a
     * document stream — ONE update-mode shard aggregation whose state

@@ -699,4 +699,61 @@ class StreamingSpec extends AnyFunSuite {
     val b = batch.collect().map(_.toSeq).toSet
     assert(s == b && s.size == 500, s"stream ${s.size} vs batch ${b.size}")
   }
+
+  test("composed corpus gate: the streamed s1-s4 prefix (robots, " +
+    "scrub, stored-set censor, gopher) equals the batch corpus " +
+    "build's s4 on the same documents") {
+    val dir = "/root/testdata/sf0.001"
+    val docsBatch = graft.Tables.documents(spark, dir)
+    // the fixture reline CorpusBuildSpec uses (two tokens per line)
+    def reline(c: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = {
+      val toks = filter(split(lower(c), "\\s+"), t => length(t) > 0)
+      val nL = greatest(((size(toks) + lit(1)) / lit(2)).cast("int"),
+        lit(1))
+      array_join(transform(sequence(lit(0), nL - 1),
+        i => array_join(slice(toks, i * 2 + 1, lit(2)), " ")), "\n")
+    }
+    val rules = graft.ext.UrlOps.parseRobots(
+      graft.SparkEntry.x171Robots(docsBatch))
+    // batch side — the oracle: the corpus build's s4 stage
+    val stages = graft.ext.CorpusBuild.run(
+      graft.SparkEntry.x171Docs(docsBatch),
+      graft.SparkEntry.x171Urls(docsBatch), rules,
+      isTarget = col("source") === "src0",
+      minWords = 20L, minDfLine = 20L, minJaccard = 0.35,
+      selectK = 180, packBudget = 256L, nShards = 4,
+      reline = _ => reline(col("text")))
+    val batchS4 = stages.s4Gopher
+      .select("doc_id", "source", "text", "n_lines", "n_kept")
+    // the stored boilerplate artifact: the batch census over the
+    // scrubbed+relined corpus (what the batch censor derived)
+    val boiler = graft.ext.Cleanse.boilerplateLineSet(
+      stages.s2Scrubbed.withColumn("text", reline(col("text"))), 20L)
+      .localCheckpoint(true)
+    // stream side: same documents as a bounded stream, the x171
+    // plants + url derivation applied as stateless projections (the
+    // url expressions mirror x171Urls — drift would fail equivalence)
+    val docsStream = spark.readStream.schema(docsBatch.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val withUrls = graft.SparkEntry.x171Docs(docsStream)
+      .select(col("doc_id"), col("source"), col("text"),
+        concat(lit("site"), pmod(col("doc_id"), lit(7L)).cast("string"),
+          lit(".example")).as("domain"),
+        concat(lit("/src"), pmod(col("doc_id"), lit(10L)).cast("string"),
+          when(pmod(col("doc_id"), lit(2L)) === 0, lit("/Page/p"))
+            .otherwise(lit("/p")),
+          col("doc_id").cast("string")).as("path"))
+    val streamed = StreamingOps.runBounded(spark,
+      StreamingOps.streamingCorpusGate(withUrls, rules, boiler,
+        minWords = 20L, reline = _ => reline(col("text"))),
+      "corpus_gate_test", OutputMode.Complete())
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batchS4.collect().map(_.toSeq).toSet
+    assert(s == b && s.nonEmpty,
+      s"stream ${s.size} rows vs batch ${b.size}")
+    // all four gates bit on this fixture: the prefix is smaller than
+    // the corpus but non-trivial
+    assert(s.size < 500)
+  }
 }
