@@ -124,7 +124,9 @@ object Plans {
       "x195_preference_pairs" -> "Preference pairs: ONE prompt-keyed aggregate — both extremes ride min/max(struct) partials with map-side combine; no window, no per-prompt list, texts never shuffle.",
       "x197_unigram_tokens" -> "Unigram tokenizer apply: the trained piece table is a broadcast local value inside one scan-stage UDF over the token array — zero exchange, zero join; training cost was paid ONCE by the memoized census-job trainer.",
       "x199_kmeans_census" -> "K-means census: assignment is a literal-centroid argmax fused into the scan (vectors never shuffle), then ONE cid-keyed aggregate; each Lloyd training iteration was ONE aggregation whose exchange carries k x dim scalars, never vectors.",
-      "x202_abtt_topk" -> "ABTT retrieval: mean/axis are driver literals off the shared moment pass; per-vector correction + cosine are folds fused into the scan -> TakeOrdered. Zero exchange, zero join at any corpus size.")
+      "x202_abtt_topk" -> "ABTT retrieval: mean/axis are driver literals off the shared moment pass; per-vector correction + cosine are folds fused into the scan -> TakeOrdered. Zero exchange, zero join at any corpus size.",
+      "x210_kn5_arpa_stored" -> "Stored order-5 ARPA scoring: the reloaded model rides as 9 BROADCAST level frames (5 gram lookups + 4 backoff contexts) into the occurrence stream — the artifact is the bounded side, the corpus shuffles once into the doc-keyed occurrence agg and once into the score fold; no model-sized exchange anywhere.",
+      "x212_stored_censor" -> "Stored-set line censor: the persisted boilerplate table (df >= minDf survivors — tiny) anti-joins the line explode on the 64-bit hash, then ONE doc-keyed order-preserving reassembly — the streaming gate's exact batch shape.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")

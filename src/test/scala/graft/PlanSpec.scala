@@ -830,4 +830,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p2.contains("CartesianProduct"),
       s"x178 went all-pairs:\n$p2")
   }
+
+  test("x210 stored order-5 ARPA scoring: all nine model-level joins " +
+    "are BROADCAST (the artifact is the bounded side), no sort-merge " +
+    "join, no cartesian") {
+    val p = executed("x210_kn5_arpa_stored").toString
+    val nBroadcast = p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin")
+    assert(nBroadcast >= 9, s"expected >= 9 broadcast model joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a model join fell back to sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in x210:\n$p")
+  }
+
+  test("x212 stored-set censor: the boilerplate anti-join is hash-keyed " +
+    "(never all-pairs) and the reassembly window-free — one doc-keyed " +
+    "aggregation") {
+    val p = executed("x212_stored_censor").toString
+    assert(p.contains("LeftAnti"), s"no anti-join in x212:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"x212 join degenerated:\n$p")
+    assert(!p.contains("Window"), s"unexpected window in x212:\n$p")
+  }
 }
