@@ -1528,6 +1528,16 @@ object SparkEntry {
       ext.Cleanse.censorLinesAgainst(relined, s.read.parquet(s"$dir/lines"))
     }),
 
+    // x213 — ExactSubstr with OWNER ELECTION (Lee et al. 2022): the
+    // x37 window census extended with a deterministic owner per
+    // duplicated window (its globally first (doc_id, pos) occurrence);
+    // only non-owner occurrences strip, so the corpus keeps exactly
+    // one copy of every repeated span — the suffix-array dedup's
+    // actual product, where x37's strip removes all copies. Output is
+    // the rebuilt text per doc plus the removal census.
+    "x213_exactsubstr_strip" -> ((s, d) =>
+      ext.Dedup.exactSubstrStrip(t(s, d, "documents"), windowK = 8)),
+
     // x34 — BM25 retrieval (rational-idf variant — exact IEEE replay, no
     // rounding tolerance in the oracle): top-10 docs for a 3-term query
     "x34_bm25" -> ((s, d) =>
@@ -8373,6 +8383,59 @@ s6 AS (SELECT s5.* FROM s5 JOIN rk6 USING (doc_id)
          SELECT b.doc_id, a.text, b.n_lines,
                 CAST(a.n_kept AS BIGINT) AS n_kept
          FROM base b JOIN agg a ON a.doc_id = b.doc_id""",
+
+    // x213 — the x37 gram replay with owner election as a row_number
+    // over (doc_id, pos) per gram (rn = 1 is the keeper), islands on
+    // the non-owner positions, span list per doc, and the same
+    // index-filtered token rebuild the engine runs
+    "x213_exactsubstr_strip" ->
+      """WITH tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '\s+'),
+             t -> length(t) > 0) AS l
+           FROM documents),
+         win AS (
+           SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+                  array_to_string(l[u.i+1 : u.i+8], ' ') AS gram
+           FROM tok, unnest(range(0, greatest(len(l)-8+1, 0))) AS u(i)),
+         ownr AS (
+           SELECT doc_id, pos,
+                  row_number() OVER (PARTITION BY gram
+                                     ORDER BY doc_id, pos) AS rn,
+                  COUNT(*) OVER (PARTITION BY gram) AS n_occ
+           FROM win),
+         rem AS (SELECT doc_id, pos FROM ownr
+                 WHERE n_occ >= 2 AND rn > 1),
+         isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                       ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS brk
+           FROM rem),
+         grp AS (
+           SELECT doc_id, pos,
+                  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+           FROM isl),
+         sp AS (SELECT doc_id, MIN(pos) AS s, MAX(pos)+7 AS e
+                FROM grp GROUP BY doc_id, g),
+         spl AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans
+                 FROM sp GROUP BY doc_id),
+         outp AS (
+           SELECT t.doc_id, len(t.l) AS n_tokens,
+                  CASE WHEN p.spans IS NULL THEN t.l
+                       ELSE list_transform(
+                         list_filter(
+                           list_transform(range(0, len(t.l)), i ->
+                             {'i': i, 'tk': t.l[CAST(i+1 AS INTEGER)]}),
+                           s -> len(list_filter(p.spans,
+                             x -> x.s <= s.i AND s.i <= x.e)) = 0),
+                         s -> s.tk) END AS keptl
+           FROM tok t LEFT JOIN spl p USING (doc_id))
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(n_tokens - len(keptl) AS BIGINT) AS n_removed,
+                -- array_to_string of an EMPTY list is NULL in DuckDB;
+                -- the engine's array_join gives '' — align them
+                COALESCE(array_to_string(keptl, ' '), '') AS text
+         FROM outp""",
 
     // x34 — identical rational-BM25 arithmetic, term by term in the same
     // parenthesization (every op is correctly-rounded IEEE, so scores are

@@ -620,6 +620,75 @@ object Dedup {
       .select(col("doc_id"), col("clean_text"))
   }
 
+  /** ExactSubstr with OWNER ELECTION — the Lee et al. 2022 product
+    * itself (their suffix-array dedup keeps ONE occurrence of each
+    * repeated span and removes the rest), closing the limitation
+    * [[stripRepeatedSpans]] documents: that conservative variant
+    * removes ALL occurrences because it elects no owner. Here every
+    * duplicated k-token window has a deterministic owner — its
+    * globally FIRST occurrence in (doc_id, pos) order — and only
+    * NON-OWNER occurrences become removable; removable positions
+    * merge into maximal spans (the [[repeatedSpans]] gaps-and-islands)
+    * and strip from their documents. The first document to carry a
+    * span keeps it; every later copy loses it — window-resolution
+    * approximation of the suffix-array rule, exact for spans ≥ k
+    * (adjacent windows of one span can in principle elect owners in
+    * different documents, splitting custody of a long span — same
+    * resolution bound the census documents).
+    *
+    * Output per document (every input row survives): `n_tokens`,
+    * `n_removed`, and the rebuilt `text` (space-joined surviving
+    * tokens — empty when everything was someone else's span).
+    *
+    * 100 TB posture: ONE window-keyed hash agg carrying (count,
+    * min-(doc,pos)) partials that combine map-side, one equi-join
+    * back (never all-pairs), one doc-keyed window for the island
+    * merge, one bounded span list per doc. Owner election adds ZERO
+    * exchanges over the census — the min rides the same aggregate. */
+  def exactSubstrStrip(docs: DataFrame, windowK: Int = 8,
+                       textCol: String = "text"): DataFrame = {
+    require(windowK >= 2, s"windowK must be >= 2, got $windowK")
+    import org.apache.spark.sql.expressions.Window
+    val win = docs.select(col("doc_id"),
+      posexplode(graft.functions.ShingleHashesAll(col(textCol), windowK))
+        .as(Seq("pos", "wh")))
+    val own = win.groupBy("wh")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("owner"))
+      .filter(col("n_occ") >= 2)
+      .select(col("wh"), col("owner"))
+    val removable = win.join(own, Seq("wh"))
+      .filter(!(col("doc_id") === col("owner.doc_id") &&
+        col("pos") === col("owner.pos")))
+      .select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = removable
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= windowK, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("g", sum("brk").over(byDoc))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + lit(windowK - 1)).cast("long").as("span_end"))
+    val sp = spans.groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("spans"))
+    val toks = graft.functions.TokenSplit(col(textCol))
+    docs.join(sp, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, toks)
+          .otherwise(filter(
+            transform(toks, (t, i) => struct(i.as("i"), t.as("t"))),
+            s => !exists(col("spans"),
+              x => s.getField("i").between(x.getField("span_start"),
+                x.getField("span_end"))))
+            .getField("t")))
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (size(toks) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("text"))
+  }
+
   /** Content-defined chunk dedup — anchor-based chunking (Manber 1994,
     * "Finding similar files in a large file system"; the token-stream
     * shape of LBFS/rsync content-defined chunking): a token is an

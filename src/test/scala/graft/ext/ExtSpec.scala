@@ -1352,6 +1352,46 @@ class ExtSpec extends AnyFunSuite {
     assert(cleaned(2L) == "v1 v2 v3 v4")
   }
 
+  test("exactSubstrStrip keeps exactly ONE copy of every repeated " +
+    "span — the first (doc_id, pos) occurrence owns it") {
+    // the shared fixture: doc1 = doc4 verbatim, doc2 shares the
+    // 12-token prefix; under owner election doc1 (lowest id) keeps
+    // everything, doc2 and doc4 lose their shared spans
+    val r = Dedup.exactSubstrStrip(docs, windowK = 8)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r.size == 5) // every doc survives, even fully-stripped ones
+    val full = docs.collect()
+      .map(x => x.getLong(0) -> x.getString(1).toLowerCase).toMap
+    // doc1 owns every window it shares: nothing removed
+    assert(r(1L)._2 == 0L && r(1L)._3 == full(1L))
+    // doc4 is a verbatim copy: everything removed
+    assert(r(4L)._2 == r(4L)._1 && r(4L)._3 == "")
+    // doc2 loses its shared 12-token prefix, keeps the unique tail
+    assert(r(2L)._2 == 12L && r(2L)._3 == "bend")
+    // unique docs untouched (doc5 is shorter than one window)
+    assert(r(3L)._2 == 0L && r(5L)._2 == 0L)
+    // corpus-wide: exactly one copy of the shared material remains
+    val survivors = Seq(1L, 2L, 4L).map(r(_)._3).mkString(" ")
+    assert(survivors.split("\\s+").count(_ == "the") ==
+      full(1L).split("\\s+").count(_ == "the"))
+  }
+
+  test("exactSubstrStrip elects the earliest occurrence WITHIN a doc " +
+    "too: an in-document repeat keeps its first copy") {
+    import spark.implicits._
+    val d = Seq(
+      (7L, "p q r s t u v w x p q r s t u v w x tail1 tail2"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstrStrip(d, windowK = 8).collect().head
+    // 20 tokens; the second 9-token copy strips, the first stays.
+    // Window resolution: removable windows start at 9 (the second
+    // "p q r s ..." run), so tokens 9..17 go
+    assert(got.getLong(1) == 20L)
+    assert(got.getLong(2) == 9L)
+    assert(got.getString(3) == "p q r s t u v w x tail1 tail2")
+  }
+
   test("dedupProducts fuses component map, census, and kept split") {
     import spark.implicits._
     // reuse the shared fixture clusters ({1,2,4} rep 1; 3,5 unclustered)
