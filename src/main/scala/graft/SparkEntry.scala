@@ -2177,6 +2177,43 @@ object SparkEntry {
     "x166_kn5_score" -> ((s, d) =>
       ext.TextOps.knScore(t(s, d, "documents"), order = 5)),
 
+    // x214 — CCNet perplexity buckets (Wenzek et al. 2020 §4.3): the
+    // x144 KN score splits each LANGUAGE into head/middle/tail
+    // terciles by score GROUP (ties never straddle a boundary — CCNet
+    // thresholds by score value for the same reason); the tercile
+    // window runs over the (lang, 9-dp score) group table, never a
+    // per-document sort.
+    "x214_ccnet_buckets" -> ((s, d) =>
+      ext.Curation.ccnetBuckets(t(s, d, "documents"))),
+
+    // x215 — C4 cleaning rules (Raffel et al. 2020 §2.2) over a
+    // planted line structure: terminal-punctuation lines (doc+line
+    // keyed plant), a javascript boilerplate plant (mod 11), lorem
+    // ipsum (mod 31) and code-brace (mod 37) page plants — every rule
+    // bites, every plant is closed-form for the oracle. minWords = 2
+    // because the fixture relines at two tokens (odd-token docs leave
+    // a one-word tail line the rule drops).
+    "x215_c4_filters" -> ((s, d) => {
+      val planted = t(s, d, "documents").withColumn("text",
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(31L)) === 0L,
+            lit(" lorem ipsum dolor sit amet")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(37L)) === 0L,
+            lit(" function x { return }")).otherwise(lit(""))))
+      val toks = filter(split(lower(col("text")), "\\s+"),
+        t2 => length(t2) > 0)
+      val nL = greatest(((size(toks) + lit(1)) / lit(2)).cast("int"),
+        lit(1))
+      val relined = array_join(transform(sequence(lit(0), nL - 1), i =>
+        concat(array_join(slice(toks, i * 2 + 1, lit(2)), " "),
+          when(pmod(col("doc_id") + i.cast("long"), lit(11L)) === 0L,
+            lit(" javascript snippet")).otherwise(lit("")),
+          when(pmod(col("doc_id") + i.cast("long"), lit(3L)) =!= 0L,
+            lit(".")).otherwise(lit("")))), "\n")
+      ext.Curation.c4LineFilters(planted.withColumn("text", relined),
+        minWordsPerLine = 2)
+    }),
+
     // x168 — DSIR domain selection (Xie et al. 2023): hashed-bigram
     // log-likelihood ratio of every document under the src0 target
     // distribution vs the whole raw pool, then the deterministic
@@ -5024,6 +5061,51 @@ object SparkEntry {
                  FROM agg),
 s6 AS (SELECT s5.* FROM s5 JOIN rk6 USING (doc_id)
                 WHERE rk6.rn <= 180)"""
+
+  /** x144's KN bigram score chain, shared with x214 (which buckets on
+    * the same scores): ends at `knsc(doc_id, n_bigrams, kn_score)`. */
+  private lazy val knBigramOracleCtes: String =
+    """tok AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                             t -> length(t) > 0) AS ts
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id, w1, w2, COUNT(*) AS m
+      |  FROM (SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+      |        FROM (SELECT doc_id,
+      |                     unnest(list_transform(range(1, len(ts)), i ->
+      |                       [ts[CAST(i AS INTEGER)],
+      |                        ts[CAST(i + 1 AS INTEGER)]])) AS bg
+      |              FROM tok))
+      |  GROUP BY doc_id, w1, w2),
+      |c2t AS (SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS c2
+      |        FROM occ GROUP BY w1, w2),
+      |h1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+      |              CAST(COUNT(*) AS BIGINT) AS n1f
+      |       FROM c2t GROUP BY w1),
+      |p2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p
+      |       FROM c2t GROUP BY w2),
+      |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1tot FROM c2t),
+      |valued AS (
+      |  SELECT o.doc_id, o.w1, o.w2, o.m,
+      |         CAST(o.m AS DOUBLE) /
+      |           (GREATEST(CAST(c.c2 AS DOUBLE) - 0.75, 0.0)
+      |              / CAST(h.c1 AS DOUBLE)
+      |            + ((0.75 * CAST(h.n1f AS DOUBLE))
+      |               / CAST(h.c1 AS DOUBLE))
+      |              * (CAST(p.n1p AS DOUBLE)
+      |                 / CAST(tt.n1tot AS DOUBLE))) AS val
+      |  FROM occ o
+      |  JOIN c2t c ON o.w1 = c.w1 AND o.w2 = c.w2
+      |  JOIN h1 h ON o.w1 = h.w1
+      |  JOIN p2 p ON o.w2 = p.w2
+      |  CROSS JOIN tt),
+      |knsc AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(m) AS BIGINT) AS n_bigrams,
+      |         list_reduce(list(val ORDER BY w1, w2), (a, b) -> a + b)
+      |           / CAST(SUM(m) AS BIGINT) AS kn_score
+      |  FROM valued GROUP BY doc_id)""".stripMargin
 
   /** x164/x165's shared re-lining CTEs (the [[twoTokenRelined]] twin):
     * `tok(doc_id, l)` = empty-filtered whitespace tokens of the
@@ -10611,46 +10693,79 @@ s6 AS (SELECT s5.* FROM s5 JOIN rk6 USING (doc_id)
     // total, then the engine's exact expression tree per occurrence
     // and the (w1,w2)-ordered fold — the x51 chain with KN algebra
     "x144_kn_score" ->
-      """WITH tok AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |                             t -> length(t) > 0) AS ts
-        |  FROM documents),
-        |occ AS (
-        |  SELECT doc_id, w1, w2, COUNT(*) AS m
-        |  FROM (SELECT doc_id, bg[1] AS w1, bg[2] AS w2
-        |        FROM (SELECT doc_id,
-        |                     unnest(list_transform(range(1, len(ts)), i ->
-        |                       [ts[CAST(i AS INTEGER)],
-        |                        ts[CAST(i + 1 AS INTEGER)]])) AS bg
-        |              FROM tok))
-        |  GROUP BY doc_id, w1, w2),
-        |c2t AS (SELECT w1, w2, CAST(SUM(m) AS BIGINT) AS c2
-        |        FROM occ GROUP BY w1, w2),
-        |h1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
-        |              CAST(COUNT(*) AS BIGINT) AS n1f
-        |       FROM c2t GROUP BY w1),
-        |p2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p
-        |       FROM c2t GROUP BY w2),
-        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1tot FROM c2t),
-        |valued AS (
-        |  SELECT o.doc_id, o.w1, o.w2, o.m,
-        |         CAST(o.m AS DOUBLE) /
-        |           (GREATEST(CAST(c.c2 AS DOUBLE) - 0.75, 0.0)
-        |              / CAST(h.c1 AS DOUBLE)
-        |            + ((0.75 * CAST(h.n1f AS DOUBLE))
-        |               / CAST(h.c1 AS DOUBLE))
-        |              * (CAST(p.n1p AS DOUBLE)
-        |                 / CAST(tt.n1tot AS DOUBLE))) AS val
-        |  FROM occ o
-        |  JOIN c2t c ON o.w1 = c.w1 AND o.w2 = c.w2
-        |  JOIN h1 h ON o.w1 = h.w1
-        |  JOIN p2 p ON o.w2 = p.w2
-        |  CROSS JOIN tt)
-        |SELECT doc_id,
-        |       CAST(SUM(m) AS BIGINT) AS n_bigrams,
-        |       list_reduce(list(val ORDER BY w1, w2), (a, b) -> a + b)
-        |         / CAST(SUM(m) AS BIGINT) AS kn_score
-        |FROM valued GROUP BY doc_id""".stripMargin,
+      s"WITH $knBigramOracleCtes SELECT doc_id, n_bigrams, kn_score FROM knsc",
+
+    // x214 — the x144 score chain feeding the per-language tercile
+    // window over the SCORE-GROUP table; the integer 3·cum ≤ n rule
+    // replays exactly and ties never split a boundary
+    "x214_ccnet_buckets" ->
+      s"""WITH $knBigramOracleCtes,
+         sl AS (SELECT k.doc_id, d.lang, k.n_bigrams,
+                       round(k.kn_score, 9) AS ppl
+                FROM knsc k JOIN documents d USING (doc_id)),
+         grp AS (SELECT lang, ppl, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM sl GROUP BY 1, 2),
+         cum AS (SELECT lang, ppl,
+                        SUM(c) OVER (PARTITION BY lang ORDER BY ppl
+                                     ROWS UNBOUNDED PRECEDING) AS cum,
+                        SUM(c) OVER (PARTITION BY lang) AS n
+                 FROM grp),
+         bk AS (SELECT lang, ppl,
+                       CASE WHEN cum * 3 <= n THEN 'head'
+                            WHEN cum * 3 <= 2 * n THEN 'middle'
+                            ELSE 'tail' END AS bucket
+                FROM cum)
+         SELECT s.doc_id, s.lang, s.n_bigrams, s.ppl, b.bucket
+         FROM sl s JOIN bk b ON b.lang = s.lang AND b.ppl = s.ppl""",
+
+    // x215 — the plants and the two-token reline rebuilt closed-form,
+    // then every C4 rule replayed on the same joined string: terminal
+    // punctuation via ends_with, word count on the empty-filtered
+    // split, the javascript/lorem-ipsum/brace contains checks
+    // verbatim (the phrase check runs on the RELINED text, so a
+    // plant split across a line break correctly does not fire —
+    // engine and oracle agree by construction)
+    "x215_c4_filters" ->
+      """WITH t0 AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 31 = 0
+                  THEN ' lorem ipsum dolor sit amet' ELSE '' END ||
+             CASE WHEN doc_id % 37 = 0
+                  THEN ' function x { return }' ELSE '' END AS text
+           FROM documents),
+         tok AS (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '\s+'),
+             t -> length(t) > 0) AS l
+           FROM t0),
+         rel AS (
+           SELECT doc_id,
+             list_transform(range(0, greatest((len(l)+1)//2, 1)), i ->
+               array_to_string(l[i*2+1 : i*2+2], ' ') ||
+               CASE WHEN (doc_id + i) % 11 = 0
+                    THEN ' javascript snippet' ELSE '' END ||
+               CASE WHEN (doc_id + i) % 3 <> 0
+                    THEN '.' ELSE '' END) AS lines
+           FROM tok),
+         flt AS (
+           SELECT doc_id, lines,
+             list_filter(lines, ln ->
+               (ends_with(ln, '.') OR ends_with(ln, '!') OR
+                ends_with(ln, '?') OR ends_with(ln, '"')) AND
+               len(list_filter(regexp_split_to_array(lower(ln), '\s+'),
+                               t -> length(t) > 0)) >= 2 AND
+               NOT contains(lower(ln), 'javascript')) AS kept
+           FROM rel)
+         SELECT doc_id,
+                CAST(len(lines) AS BIGINT) AS n_lines,
+                CAST(len(kept) AS BIGINT) AS n_kept,
+                COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+                (len(kept) >= 3 AND
+                 NOT contains(lower(array_to_string(lines, chr(10))),
+                              'lorem ipsum') AND
+                 NOT contains(lower(array_to_string(lines, chr(10))),
+                              '{')) AS keep
+         FROM flt""",
 
     // x149 — the trigram recursion replayed: every count table derives
     // from the one trigram-type table (t3), continuation type counts

@@ -1314,4 +1314,93 @@ object Curation {
         col("c.id").as("chosen_id"), col("j.id").as("rejected_id"),
         col("c.r").as("chosen_reward"), col("j.r").as("rejected_reward"),
         (col("c.r") - col("j.r")).as("margin"))
+
+  /** CCNet perplexity buckets (Wenzek et al. 2020, "CCNet: Extracting
+    * high quality monolingual datasets from web crawl data" §4.3) —
+    * the curation move that made Common Crawl usable: score every
+    * document under a language model and split each LANGUAGE into
+    * head / middle / tail perplexity terciles; training recipes then
+    * sample head-heavy. The LM here is the in-repo KN bigram scorer
+    * ([[TextOps.knBigramScore]] — x144's engine-portable mean inverse
+    * probability; CCNet ships KenLM 5-grams, and [[TextOps.knScore]]
+    * order-5 slots in without changing this operator's shape).
+    *
+    * Assignment is by SCORE GROUP, not per-row rank: per (lang,
+    * 9-dp-rounded score) group, the group is `head` iff its inclusive
+    * cumulative count fits in the first third (`3·cum ≤ n`), `middle`
+    * through the second (`3·cum ≤ 2n`), else `tail` — ties never
+    * split across a boundary (CCNet thresholds by score VALUE for the
+    * same reason), and the integer rule replays exactly. Documents
+    * too short to carry a bigram are unscored and drop, as in x144.
+    *
+    * Shape at 100 TB: scoring is the x144 plan; the tercile window
+    * runs over the (lang, score) GROUP table — bounded by distinct
+    * rounded scores per language, never a per-document sort — and the
+    * verdict joins back by (lang, score) equi-key. For corpora where
+    * distinct scores approach corpus size, CCNet's own production
+    * answer (thresholds from a hash-sample — [[hashSample]]) slots in
+    * front without changing the plan shape. */
+  def ccnetBuckets(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id",
+                   langCol: String = "lang"): DataFrame = {
+    val scored = TextOps.knBigramScore(docs, textCol = textCol,
+        idCol = idCol)
+      .withColumn("ppl", round(col("kn_score"), 9))
+    val withLang = scored
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    val groups = withLang.groupBy(col(langCol), col("ppl"))
+      .agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(langCol).orderBy(col("ppl").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucketed = groups
+      .withColumn("cum", sum("c").over(wcum))
+      .withColumn("n", sum("c").over(Window.partitionBy(langCol)))
+      .withColumn("bucket",
+        when(col("cum") * 3 <= col("n"), lit("head"))
+          .when(col("cum") * 3 <= col("n") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(langCol), col("ppl"), col("bucket"))
+    withLang.join(bucketed, Seq(langCol, "ppl"))
+      .select(col(idCol), col(langCol), col("n_bigrams"), col("ppl"),
+        col("bucket"))
+  }
+
+  /** C4 cleaning rules (Raffel et al. 2020 §2.2 — the heuristics that
+    * built the T5 corpus, still the baseline cleaning pass RefinedWeb/
+    * FineWeb compare against). Line level: keep a line only when it
+    * ends in terminal punctuation (`.` `!` `?` `"` — the paper's
+    * sentence heuristic), carries at least `minWordsPerLine` words,
+    * and does not mention "javascript" (the paper's boilerplate-
+    * warning tell). Page level: `keep` is false for documents with
+    * fewer than `minKeptLines` surviving lines (the "< 3 sentences"
+    * rule), containing the phrase "lorem ipsum", or containing `{`
+    * (the code tell). Documents are REPORTED, not dropped — the gate
+    * composes downstream like [[TextOps.gopherRules]].
+    *
+    * Pure per-row column algebra (every check is string/array math on
+    * the document itself — unlike the x33 censor there is no corpus
+    * state), so the plan is scan → project with ZERO exchange at any
+    * corpus size and the same call is valid on a stream. */
+  def c4LineFilters(docs: DataFrame, minWordsPerLine: Int = 5,
+                    minKeptLines: Int = 3, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    def words(l: Column) =
+      size(filter(split(lower(l), "\\s+"), x => length(x) > 0))
+    val keptArr = filter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) &&
+      words(l) >= minWordsPerLine &&
+      !lower(l).contains("javascript"))
+    docs.select(col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        size(keptArr).cast("long").as("n_kept"),
+        array_join(keptArr, "\n").as("clean_text"),
+        lower(col(textCol)).as("__lt"))
+      .withColumn("keep",
+        col("n_kept") >= minKeptLines &&
+        !col("__lt").contains("lorem ipsum") &&
+        !col("__lt").contains("{"))
+      .drop("__lt")
+  }
 }

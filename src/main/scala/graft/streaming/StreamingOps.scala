@@ -300,6 +300,15 @@ object StreamingOps {
   def streamingUl2Gate(docStream: DataFrame): DataFrame =
     graft.ext.Curation.ul2Denoisers(docStream)
 
+  /** Streaming C4 cleaning gate: the full Raffel et al. 2020 §2.2
+    * rule set ([[graft.ext.Curation.c4LineFilters]]) per arriving
+    * document — every check is string/array algebra on the document
+    * itself (no corpus state, unlike the x33 censor), so the gate is
+    * stateless column math at the ingest door. */
+  def streamingC4Gate(docStream: DataFrame,
+                      minWordsPerLine: Int = 5): DataFrame =
+    graft.ext.Curation.c4LineFilters(docStream, minWordsPerLine)
+
   /** Streaming word-blocklist gate: the C4 rule enforced per arrival —
     * `arrays_overlap` against the literal term list, stateless, append
     * mode. A document either passes whole or is dropped at the door. */

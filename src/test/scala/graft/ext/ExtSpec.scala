@@ -1392,6 +1392,80 @@ class ExtSpec extends AnyFunSuite {
     assert(got.getString(3) == "p q r s t u v w x tail1 tail2")
   }
 
+  test("ccnetBuckets: per-language terciles by score group; ties " +
+    "never straddle a bucket boundary") {
+    import spark.implicits._
+    // six 'en' docs with six distinct fluency levels (more repeated
+    // bigrams -> lower mean inverse probability -> head), plus one
+    // 'de' doc (its own language: bucket must be computed per lang)
+    val base = "the cat sat on the mat and the cat ran to the mat"
+    val docs = Seq(
+      (1L, "en", base + " " + base),                 // most fluent
+      (2L, "en", base),
+      (3L, "en", base + " zig1 zag1"),
+      (4L, "en", base + " zig2 zag2 zog2 zug2"),
+      (5L, "en", "zip3 zap3 zop3 zup3 zep3 " + base),
+      (6L, "en", "a1 b1 c1 d1 e1 f1 g1 h1 i1 j1 k1 l1"), // all-unique
+      (7L, "de", "der hund lief zum haus und der hund lief"))
+      .toDF("doc_id", "lang", "text")
+    val r = Curation.ccnetBuckets(docs)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getString(4), x.getDouble(3)))).toMap
+    assert(r.size == 7)
+    // per-language: the lone 'de' doc is its whole distribution ->
+    // cum*3 <= n fails (3 > 1), middle fails (3 > 2) -> tail
+    assert(r(7L)._1 == "tail")
+    // en: 6 docs, 2 per tercile in score order
+    val enByScore = (1L to 6L).map(id => id -> r(id)).sortBy(_._2._2)
+    val buckets = enByScore.map(_._2._1)
+    assert(buckets == Seq("head", "head", "middle", "middle",
+      "tail", "tail"), s"got $enByScore")
+    // tie case: two identical docs share a score group -> same bucket
+    // even when a per-row rank would split them across a boundary
+    val tied = Seq(
+      (1L, "en", base), (2L, "en", base), (3L, "en", base),
+      (4L, "en", base + " q1 q2 q3 q4 q5 q6"))
+      .toDF("doc_id", "lang", "text")
+    val tr = Curation.ccnetBuckets(tied)
+      .collect().map(x => x.getLong(0) -> x.getString(4)).toMap
+    // the tied group (cum 3 of n=4): 3·3 > 4 and 3·3 > 8 -> the WHOLE
+    // group is tail (a per-row rank would have split it head/middle/
+    // tail); doc4 (cum 4) is tail too
+    assert(tr(1L) == "tail" && tr(2L) == "tail" && tr(3L) == "tail")
+    assert(tr(4L) == "tail")
+  }
+
+  test("c4LineFilters: terminal punctuation, min words, javascript " +
+    "line rule; lorem ipsum / brace / min-lines page rules") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "This line is long enough.\nshort.\nNo terminal punct here\n" +
+        "Please enable JavaScript to view.\nAnother good line here!\n" +
+        "A third good line stays?\nHe said \"fine.\""),
+      (2L, "Lorem ipsum dolor sit amet.\nSecond proper line here.\n" +
+        "Third proper line here.\nFourth proper line here."),
+      (3L, "function f() { return 1; }\nGood line one stays here.\n" +
+        "Good line two stays here.\nGood line three stays here."),
+      (4L, "Only one good line here.\nnope\nnope again"))
+      .toDF("doc_id", "text")
+    val r = Curation.c4LineFilters(d, minWordsPerLine = 3).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getString(3), x.getBoolean(4)))).toMap
+    // doc 1: 7 lines; drops = "short." (2 words), "No terminal punct
+    // here", the JavaScript line -> 4 kept, page keeps
+    assert(r(1L)._1 == 7L && r(1L)._2 == 4L && r(1L)._4,
+      s"doc1: ${r(1L)}")
+    assert(r(1L)._3.split("\n").toSeq == Seq(
+      "This line is long enough.", "Another good line here!",
+      "A third good line stays?", "He said \"fine.\""))
+    // doc 2: 4 kept lines but the lorem ipsum phrase kills the page
+    assert(r(2L)._2 == 4L && !r(2L)._4)
+    // doc 3: the brace kills the page (3 good lines notwithstanding)
+    assert(r(3L)._2 == 3L && !r(3L)._4)
+    // doc 4: only 1 kept line < 3 -> page drops
+    assert(r(4L)._2 == 1L && !r(4L)._4)
+  }
+
   test("dedupProducts fuses component map, census, and kept split") {
     import spark.implicits._
     // reuse the shared fixture clusters ({1,2,4} rep 1; 3,5 unclustered)
