@@ -1538,6 +1538,26 @@ object SparkEntry {
     "x213_exactsubstr_strip" -> ((s, d) =>
       ext.Dedup.exactSubstrStrip(t(s, d, "documents"), windowK = 8)),
 
+    // x216 — Luhn-validated credit-card PII (ISO/IEC 7812): the
+    // checksum tier the x32/x161 pattern scrub cannot express — a
+    // card-shaped digit run is only PII when its Luhn check passes,
+    // so the fixture plants two valid test numbers (Visa/MC shapes),
+    // one Amex, and one check-digit-off INVALID run that must survive
+    // unredacted (the false-positive guard real scrubbers need).
+    "x216_luhn_cc_scrub" -> ((s, d) => {
+      val planted = t(s, d, "documents").withColumn("text",
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(5L)) === 0L,
+            lit(" card 4111 1111 1111 1111 billed")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7L)) === 0L,
+            lit(" via 5500-0055-5555-5559 thanks")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11L)) === 0L,
+            lit(" ref 4111 1111 1111 1112 invalid")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13L)) === 0L,
+            lit(" amex 378282246310005 ok")).otherwise(lit(""))))
+      ext.Cleanse.ccReport(planted)
+    }),
+
     // x34 — BM25 retrieval (rational-idf variant — exact IEEE replay, no
     // rounding tolerance in the oracle): top-10 docs for a 3-term query
     "x34_bm25" -> ((s, d) =>
@@ -8518,6 +8538,47 @@ s6 AS (SELECT s5.* FROM s5 JOIN rk6 USING (doc_id)
                 -- the engine's array_join gives '' — align them
                 COALESCE(array_to_string(keptl, ' '), '') AS text
          FROM outp""",
+
+    // x216 — plants replayed, candidates re-extracted with the same
+    // RE2-common pattern, the Luhn fold digit for digit (right-offset
+    // doubling, subtract-9 clamp, mod 10), and the redaction as the
+    // SAME left-fold of exact replaces over the valid list
+    "x216_luhn_cc_scrub" -> {
+      val nm = "regexp_replace(c, '[^0-9]', '', 'g')"
+      val dig = s"CAST(substr($nm, CAST(length($nm) - i AS INTEGER), 1) AS INTEGER)"
+      s"""WITH t0 AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN ' card 4111 1111 1111 1111 billed' ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0
+                  THEN ' via 5500-0055-5555-5559 thanks' ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0
+                  THEN ' ref 4111 1111 1111 1112 invalid' ELSE '' END ||
+             CASE WHEN doc_id % 13 = 0
+                  THEN ' amex 378282246310005 ok' ELSE '' END AS text
+           FROM documents),
+         cnd AS (
+           SELECT doc_id, text,
+                  regexp_extract_all(text, '[0-9][0-9 -]{11,22}[0-9]')
+                    AS cands
+           FROM t0),
+         vv AS (
+           SELECT doc_id, text, cands,
+                  list_filter(cands, c ->
+                    length($nm) BETWEEN 13 AND 19 AND
+                    list_sum(list_transform(range(0, length($nm)), i ->
+                      CASE WHEN i % 2 = 1 THEN
+                        CASE WHEN 2 * $dig > 9 THEN 2 * $dig - 9
+                             ELSE 2 * $dig END
+                      ELSE $dig END)) % 10 = 0) AS valids
+           FROM cnd)
+         SELECT doc_id,
+                CAST(len(cands) AS BIGINT) AS n_candidates,
+                CAST(len(valids) AS BIGINT) AS n_valid_cc,
+                list_reduce(list_prepend(text, valids),
+                  (a, c) -> replace(a, c, '<CC>')) AS redacted
+         FROM vv"""
+    },
 
     // x34 — identical rational-BM25 arithmetic, term by term in the same
     // parenthesization (every op is correctly-rounded IEEE, so scores are

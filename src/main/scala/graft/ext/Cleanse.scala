@@ -66,6 +66,56 @@ object Cleanse {
     regexp_replace(noIp, PhoneRe, "<PHONE>")
   }
 
+  /** Payment-card candidate runs: 13-24 chars of digits with optional
+    * single spaces/dashes, digit-anchored at both ends — the
+    * RE2-common subset (no lookaround), the [[PhoneRe]] discipline.
+    * A CANDIDATE is only PII once [[luhnValid]] confirms it; bare
+    * digit runs (ids, timestamps) fail the checksum and stay. */
+  private[ext] val CcCandRe = "[0-9][0-9 -]{11,22}[0-9]"
+
+  /** ISO/IEC 7812 Luhn checksum over a DIGITS-ONLY string — the check
+    * every real PII scrubber (e.g. presidio) runs before redacting a
+    * card-shaped digit run: from the right, double every second
+    * digit, subtract 9 when the double exceeds 9, and the total must
+    * be ≡ 0 (mod 10). Pure integer column algebra (one `aggregate`
+    * fold over digit positions) — engine-portable, the oracle replays
+    * it digit for digit. */
+  def luhnValid(num: Column): Column = {
+    val n = length(num)
+    val total = aggregate(sequence(lit(0), n - 1), lit(0), (acc, i) => {
+      val d = num.substr(n - i, lit(1)).cast("int")
+      val dd = when(i % 2 === 1,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      acc + dd
+    })
+    total % 10 === 0
+  }
+
+  /** Credit-card census + redaction — the Luhn-validated PII tier the
+    * x32/x161 pattern scrub cannot cover (a card number is only PII
+    * when its CHECKSUM validates; redacting every 16-digit run would
+    * eat order ids and timestamps). Per document: candidate runs
+    * ([[CcCandRe]]), the Luhn-valid subset (13-19 digits after
+    * separator strip — the ISO/IEC 7812 length range), and `redacted`
+    * with every VALID card replaced by `<CC>` (a left-fold of exact
+    * string replaces — deterministic, and invalid candidates are
+    * untouched by construction). Pure per-row column algebra: zero
+    * shuffle at any corpus size, stream-valid. */
+  def ccReport(docs: DataFrame, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit(CcCandRe), lit(0))
+    def digitsOf(c: Column) = regexp_replace(c, "[^0-9]", "")
+    val valids = filter(cands, c => {
+      val num = digitsOf(c)
+      length(num) >= 13 && length(num) <= 19 && luhnValid(num)
+    })
+    docs.select(col(idCol),
+      size(cands).cast("long").as("n_candidates"),
+      size(valids).cast("long").as("n_valid_cc"),
+      aggregate(valids, col(textCol),
+        (acc, c) => replace(acc, c, lit("<CC>"))).as("redacted"))
+  }
+
   /** THE line-hash primitive engine-wide: FNV-1a 64 over the line's
     * UTF-8 bytes (via `RollingFnvFingerprint` on a one-element array —
     * `rotl5(0) = 0`, so the rolling mix is the identity and the result

@@ -196,4 +196,24 @@ class CleanseSpec extends AnyFunSuite {
     assert(r(2L) == ((3L, 0L, "alpha beta gamma")))
     assert(r(4L) == ((3L, 0L, "alpha beta gamma")))
   }
+
+  test("ccReport: Luhn-valid cards redact, check-digit failures and " +
+    "wrong-length runs survive untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "pay with 4111 1111 1111 1111 today"),       // valid Visa test
+      (2L, "ref 4111 1111 1111 1112 is an order id"),    // Luhn fails
+      (3L, "amex 378282246310005 and mc 5500-0055-5555-5559"), // 2 valid
+      (4L, "short 1234 5678 901 run"),      // card-shaped, 12 digits: no
+      (5L, "no digits at all here")).toDF("doc_id", "text")
+    val r = graft.ext.Cleanse.ccReport(df).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((1L, 1L, "pay with <CC> today")))
+    assert(r(2L)._2 == 0L &&
+      r(2L)._3 == "ref 4111 1111 1111 1112 is an order id")
+    assert(r(3L) == ((2L, 2L, "amex <CC> and mc <CC>")))
+    assert(r(4L) == ((1L, 0L, "short 1234 5678 901 run")))
+    assert(r(5L) == ((0L, 0L, "no digits at all here")))
+  }
 }
