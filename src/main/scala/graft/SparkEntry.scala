@@ -2206,6 +2206,15 @@ object SparkEntry {
     "x214_ccnet_buckets" -> ((s, d) =>
       ext.Curation.ccnetBuckets(t(s, d, "documents"))),
 
+    // x217 — replayable HyperLogLog: the vocabulary-cardinality
+    // sketch over the published hash family (Spark's own
+    // approx_count_distinct hashes internally and can't be oracled);
+    // registers, the exact-decimal harmonic sum, and the estimate all
+    // replay bit-for-bit, and the exact distinct count rides the same
+    // register shuffle so the report prices its own error.
+    "x217_hll_vocab" -> ((s, d) =>
+      ext.TextOps.hllVocabEstimate(t(s, d, "documents"), p = 10)),
+
     // x215 — C4 cleaning rules (Raffel et al. 2020 §2.2) over a
     // planted line structure: terminal-punctuation lines (doc+line
     // keyed plant), a javascript boilerplate plant (mod 11), lorem
@@ -10778,6 +10787,57 @@ s6 AS (SELECT s5.* FROM s5 JOIN rk6 USING (doc_id)
                 FROM cum)
          SELECT s.doc_id, s.lang, s.n_bigrams, s.ppl, b.bucket
          FROM sl s JOIN bk b ON b.lang = s.lang AND b.ppl = s.ppl""",
+
+    // x217 — HLL replayed end to end on the x82 hash chain: unsigned
+    // bucket/suffix split at 2^54, the integer comparison-fold rho,
+    // max-register group, EXACT HUGEINT harmonic sum, and the same
+    // alpha/branch/round arithmetic with identical double literals
+    "x217_hll_vocab" -> {
+      val alpha = 0.7213 / (1.0 + 1.079 / 1024.0)
+      val two64d = math.pow(2.0, 64)
+      s"""WITH ${hashedTokenCtesOver("documents")},
+         hb AS (
+           SELECT uh,
+                  CAST(uh // 18014398509481984::HUGEINT AS BIGINT) AS b,
+                  CAST(uh % 18014398509481984::HUGEINT AS BIGINT) AS z
+           FROM zf),
+         hr AS (
+           SELECT uh, b,
+                  55 - list_sum(list_transform(range(0, 54), i ->
+                    CASE WHEN z >= CAST(power(2.0, i) AS BIGINT)
+                         THEN 1 ELSE 0 END)) AS rho
+           FROM hb),
+         regs AS (
+           SELECT b, MAX(rho) AS mr, COUNT(DISTINCT uh) AS nd
+           FROM hr GROUP BY b),
+         ag AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_hit,
+                  SUM(CAST(power(2.0, 64 - mr) AS HUGEINT)) AS zs_hit,
+                  CAST(SUM(nd) AS BIGINT) AS exact_distinct
+           FROM regs),
+         fin AS (
+           SELECT 1024 - n_hit AS n_zero, exact_distinct,
+                  zs_hit + (1024 - n_hit)::HUGEINT
+                    * 18446744073709551616::HUGEINT AS zsum
+           FROM ag),
+         es AS (
+           SELECT n_zero, exact_distinct,
+                  (${alpha}::DOUBLE * 1048576.0::DOUBLE) *
+                    ($two64d / CAST(zsum AS DOUBLE)) AS est_raw
+           FROM fin),
+         ev AS (
+           SELECT n_zero, exact_distinct,
+                  CASE WHEN est_raw <= 2560.0 AND n_zero > 0
+                       THEN round(1024.0 *
+                              ln(1024.0 / CAST(n_zero AS DOUBLE)), 6)
+                       ELSE round(est_raw, 6) END AS estimate
+           FROM es)
+         SELECT CAST(1024 AS BIGINT) AS m, CAST(n_zero AS BIGINT) AS n_zero,
+                estimate, exact_distinct,
+                round((estimate - CAST(exact_distinct AS DOUBLE))
+                      / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
+         FROM ev"""
+    },
 
     // x215 — the plants and the two-token reline rebuilt closed-form,
     // then every C4 rule replayed on the same joined string: terminal

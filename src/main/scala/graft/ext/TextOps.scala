@@ -913,6 +913,77 @@ object TextOps {
         (col("val_sum") / col("n_bigrams")).as("kn_score"))
   }
 
+  /** HyperLogLog vocabulary-cardinality estimate (Flajolet, Fusy,
+    * Gandouet, Meunier 2007) — the sketch a 100 TB ingest uses to
+    * price a vocabulary/census job BEFORE running it: distinct-token
+    * count to ~1.04/√m relative error from m fixed registers, one
+    * pass, no census. Spark's own `approx_count_distinct` is HLL++
+    * with engine-internal hashing (unreplayable); this build is the
+    * textbook HLL over the repo's ONE published hash family
+    * (FNV-1a → splitmix64 — the x82 kernel), so the DuckDB oracle
+    * reproduces every register and the estimate BIT-FOR-BIT:
+    *
+    *  - bucket = top p hash bits (unsigned shift), suffix z = the
+    *    low 64−p bits;
+    *  - rho(z) = leading-zero count of the suffix window + 1,
+    *    computed as an INTEGER comparison fold (Σ [z ≥ 2^i] =
+    *    floor(log2 z)+1 — no clz builtin, no floating log);
+    *  - registers = max rho per bucket (duplicates are absorbed by
+    *    max — the whole point); absent buckets are zero registers;
+    *  - Z = Σ 2^−M over all m registers, carried ×2^64 as EXACT
+    *    decimal integers (powers of two; a double sum would be
+    *    merge-order-dependent);
+    *  - E_raw = α_m·m²·2^64/Z_scaled (α_m = 0.7213/(1+1.079/m), the
+    *    paper's constant for m ≥ 128), with the small-range linear-
+    *    counting branch E = m·ln(m/V) when E_raw ≤ 2.5m and V > 0
+    *    zero registers remain. 6-dp round on the estimate (the libm
+    *    rule); the 64-bit hash needs no large-range correction.
+    *
+    * The exact distinct count rides the SAME register shuffle
+    * (Σ per-bucket distinct suffixes), so the report prices its own
+    * error. ONE bucket-keyed exchange (m keys, max/count partials
+    * collapse map-side), one m-row final fold — scan-bound at any
+    * corpus size. */
+  def hllVocabEstimate(docs: DataFrame, p: Int = 10,
+                       textCol: String = "text"): DataFrame = {
+    require(p >= 7 && p <= 16, s"need 7 <= p <= 16 (alpha_m rule): $p")
+    val m = 1 << p
+    val zBits = 64 - p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val toks = docs.select(
+        explode(graft.functions.ShingleHashesAll(col(textCol), 1)).as("sh"))
+      .select(col("sh"),
+        shiftrightunsigned(col("sh"), zBits).as("b"),
+        col("sh").bitwiseAND(lit((1L << zBits) - 1L)).as("z"))
+    val f = aggregate(sequence(lit(0), lit(zBits - 1)), lit(0),
+      (acc, i) => acc +
+        when(col("z") >= pow(lit(2.0), i).cast("long"), 1).otherwise(0))
+    val regs = toks.withColumn("rho", lit(zBits + 1) - f)
+      .groupBy("b")
+      .agg(max("rho").as("mr"), countDistinct("sh").as("nd"))
+    val two64 = new java.math.BigDecimal(
+      java.math.BigInteger.ONE.shiftLeft(64))
+    val one = regs.agg(
+        count(lit(1)).as("n_hit"),
+        sum(pow(lit(2.0), lit(64) - col("mr")).cast("decimal(38,0)"))
+          .as("zs_hit"),
+        sum("nd").as("exact_distinct"))
+      .withColumn("n_zero", lit(m.toLong) - col("n_hit"))
+      .withColumn("zsum",
+        col("zs_hit") + col("n_zero").cast("decimal(38,0)") * lit(two64))
+    val estRaw = (lit(alpha) * lit(m.toDouble * m.toDouble)) *
+      (lit(math.pow(2.0, 64)) / col("zsum").cast("double"))
+    val est = when(estRaw <= lit(2.5 * m) && col("n_zero") > 0L,
+        round(lit(m.toDouble) *
+          log(lit(m.toDouble) / col("n_zero").cast("double")), 6))
+      .otherwise(round(estRaw, 6))
+    one.select(lit(m.toLong).as("m"), col("n_zero"),
+        est.as("estimate"), col("exact_distinct"))
+      .withColumn("rel_err",
+        round((col("estimate") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double"), 6))
+  }
+
   /** Zipf rank–frequency fit — the corpus-law diagnostic (Zipf 1949;
     * Piantadosi 2014 review): natural language's term frequencies
     * follow `freq ∝ rank^s` with s ≈ −1, and a corpus whose fitted

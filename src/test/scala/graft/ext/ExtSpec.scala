@@ -1435,6 +1435,28 @@ class ExtSpec extends AnyFunSuite {
     assert(tr(4L) == "tail")
   }
 
+  test("hllVocabEstimate: exact count rides the register shuffle, " +
+    "the estimate lands in the 1.04/sqrt(m) band, and duplicates " +
+    "cannot move a register") {
+    import spark.implicits._
+    val docs = (0 until 200).map { i =>
+      val toks = (0 until 25).map(j => s"tok${i * 25 + j}").mkString(" ")
+      (i.toLong, toks)
+    }.toDF("doc_id", "text")
+    val r = TextOps.hllVocabEstimate(docs, p = 10).collect().head
+    assert(r.getAs[Long]("m") == 1024L)
+    assert(r.getAs[Long]("exact_distinct") == 5000L)
+    // sigma = 1.04/sqrt(1024) = 3.25%; assert within ~3 sigma
+    assert(math.abs(r.getAs[Double]("rel_err")) < 0.10,
+      s"estimate ${r.getAs[Double]("estimate")} off by ${r.getAs[Double]("rel_err")}")
+    // registers are max-folds: repeating every token changes nothing
+    val doubled = docs.withColumn("text",
+      concat(col("text"), lit(" "), col("text")))
+    val r2 = TextOps.hllVocabEstimate(doubled, p = 10).collect().head
+    assert(r2.getAs[Double]("estimate") == r.getAs[Double]("estimate"))
+    assert(r2.getAs[Long]("exact_distinct") == 5000L)
+  }
+
   test("c4LineFilters: terminal punctuation, min words, javascript " +
     "line rule; lorem ipsum / brace / min-lines page rules") {
     import spark.implicits._
