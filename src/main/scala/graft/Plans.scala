@@ -126,7 +126,11 @@ object Plans {
       "x199_kmeans_census" -> "K-means census: assignment is a literal-centroid argmax fused into the scan (vectors never shuffle), then ONE cid-keyed aggregate; each Lloyd training iteration was ONE aggregation whose exchange carries k x dim scalars, never vectors.",
       "x202_abtt_topk" -> "ABTT retrieval: mean/axis are driver literals off the shared moment pass; per-vector correction + cosine are folds fused into the scan -> TakeOrdered. Zero exchange, zero join at any corpus size.",
       "x210_kn5_arpa_stored" -> "Stored order-5 ARPA scoring: the reloaded model rides as 9 BROADCAST level frames (5 gram lookups + 4 backoff contexts) into the occurrence stream — the artifact is the bounded side, the corpus shuffles once into the doc-keyed occurrence agg and once into the score fold; no model-sized exchange anywhere.",
-      "x212_stored_censor" -> "Stored-set line censor: the persisted boilerplate table (df >= minDf survivors — tiny) anti-joins the line explode on the 64-bit hash, then ONE doc-keyed order-preserving reassembly — the streaming gate's exact batch shape.")
+      "x212_stored_censor" -> "Stored-set line censor: the persisted boilerplate table (df >= minDf survivors — tiny) anti-joins the line explode on the 64-bit hash, then ONE doc-keyed order-preserving reassembly — the streaming gate's exact batch shape.",
+      "x213_exactsubstr_strip" -> "ExactSubstr owner election: the min-(doc,pos) owner rides the SAME window-census aggregate (no extra exchange over x37), non-owner positions island-merge in one doc-keyed window, spans strip as a bounded per-doc list.",
+      "x214_ccnet_buckets" -> "CCNet terciles: the x144 scoring plan, then the bucket window over the (lang, score) GROUP table — bounded by distinct rounded scores, never a per-document sort; the verdict joins back by equi-key.",
+      "x216_luhn_cc_scrub" -> "Luhn card scrub: candidate extraction, the checksum fold, and the replace fold are ALL codegen'd column algebra fused into the scan — zero exchange; checksum-gated PII costs one pass.",
+      "x217_hll_vocab" -> "Relational HyperLogLog: rho via an integer comparison fold in the scan stage, ONE m-key exchange whose max/count-distinct partials collapse map-side, an m-row final fold — cardinality at scan speed, no census.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")

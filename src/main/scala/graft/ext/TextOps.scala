@@ -918,10 +918,14 @@ object TextOps {
     * price a vocabulary/census job BEFORE running it: distinct-token
     * count to ~1.04/√m relative error from m fixed registers, one
     * pass, no census. Spark's own `approx_count_distinct` is HLL++
-    * with engine-internal hashing (unreplayable); this build is the
-    * textbook HLL over the repo's ONE published hash family
-    * (FNV-1a → splitmix64 — the x82 kernel), so the DuckDB oracle
-    * reproduces every register and the estimate BIT-FOR-BIT:
+    * with engine-internal hashing (unreplayable); [[HllAggregator]]
+    * (x16) is the repo's typed-UDAF form of the same published
+    * sketch. THIS is its RELATIONAL twin — registers as rows, every
+    * step plain DataFrame algebra over the x82 hash kernel — which
+    * buys two things the buffer form can't: the oracle inspects the
+    * register TABLE itself, and the exact distinct count rides the
+    * same bucket exchange (Σ per-bucket distinct suffixes), so the
+    * one-row report prices its own error with zero extra passes:
     *
     *  - bucket = top p hash bits (unsigned shift), suffix z = the
     *    low 64−p bits;
@@ -939,11 +943,9 @@ object TextOps {
     *    zero registers remain. 6-dp round on the estimate (the libm
     *    rule); the 64-bit hash needs no large-range correction.
     *
-    * The exact distinct count rides the SAME register shuffle
-    * (Σ per-bucket distinct suffixes), so the report prices its own
-    * error. ONE bucket-keyed exchange (m keys, max/count partials
-    * collapse map-side), one m-row final fold — scan-bound at any
-    * corpus size. */
+    * ONE bucket-keyed exchange (m keys, max/count partials collapse
+    * map-side), one m-row final fold — scan-bound at any corpus
+    * size. */
   def hllVocabEstimate(docs: DataFrame, p: Int = 10,
                        textCol: String = "text"): DataFrame = {
     require(p >= 7 && p <= 16, s"need 7 <= p <= 16 (alpha_m rule): $p")

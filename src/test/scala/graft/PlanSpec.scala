@@ -853,4 +853,23 @@ class PlanSpec extends AnyFunSuite {
       s"x212 join degenerated:\n$p")
     assert(!p.contains("Window"), s"unexpected window in x212:\n$p")
   }
+
+  test("x213 owner election rides the census aggregate; x216/x217 " +
+    "scan-fused kernels never join the corpus against itself") {
+    // x213: every window is doc-partitioned (the island merge), the
+    // candidate join is hash-keyed, nothing all-pairs
+    val p13 = executed("x213_exactsubstr_strip").toString
+    assert(!p13.contains("CartesianProduct") &&
+      !p13.contains("BroadcastNestedLoopJoin"),
+      s"x213 went all-pairs:\n$p13")
+    // x216: pure scan-stage algebra — no join, no exchange at all
+    val p16 = executed("x216_luhn_cc_scrub").toString
+    assert(!p16.contains("Exchange") && !p16.contains("Join"),
+      s"x216 should be scan-fused:\n$p16")
+    // x217: one bucket-keyed exchange pair (partial+final agg) plus
+    // the one-row finisher; no join anywhere
+    val p17 = executed("x217_hll_vocab").toString
+    assert(!p17.contains("Join"), s"x217 should be join-free:\n$p17")
+    assert(p17.contains("partial"), s"x217 partials missing:\n$p17")
+  }
 }
