@@ -1558,6 +1558,19 @@ object SparkEntry {
       ext.Cleanse.ccReport(planted)
     }),
 
+    // x218 — span-level benchmark DECONTAMINATION: the x21 audit made
+    // surgical — the training pool (non-src0) loses exactly the token
+    // spans whose 3-gram windows appear in the eval slice (src0),
+    // keeping the surrounding document (x42's split would discard it
+    // whole). 397 docs lose spans at sf0.01 — the gate bites wide
+    // without eating the corpus.
+    "x218_decontam_strip" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      ext.Curation.decontaminateSpans(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), shingleK = 3)
+    }),
+
     // x34 — BM25 retrieval (rational-idf variant — exact IEEE replay, no
     // rounding tolerance in the oracle): top-10 docs for a 3-term query
     "x34_bm25" -> ((s, d) =>
@@ -8588,6 +8601,54 @@ s6 AS (SELECT s5.* FROM s5 JOIN rk6 USING (doc_id)
                   (a, c) -> replace(a, c, '<CC>')) AS redacted
          FROM vv"""
     },
+
+    // x218 — the x213 island/strip replay with the removable set
+    // coming from a benchmark gram semi-join instead of owner
+    // election; grams by string (hash distinctness = gram
+    // distinctness, the x37 convention)
+    "x218_decontam_strip" ->
+      """WITH tok AS (
+           SELECT doc_id, source, list_filter(
+             regexp_split_to_array(lower(text), '\s+'),
+             t -> length(t) > 0) AS l
+           FROM documents),
+         win AS (
+           SELECT doc_id, source, CAST(u.i AS INTEGER) AS pos,
+                  array_to_string(l[u.i+1 : u.i+3], ' ') AS gram
+           FROM tok, unnest(range(0, greatest(len(l)-3+1, 0))) AS u(i)),
+         bench AS (SELECT DISTINCT gram FROM win WHERE source = 'src0'),
+         rem AS (SELECT w.doc_id, w.pos FROM win w
+                 WHERE w.source <> 'src0'
+                   AND w.gram IN (SELECT gram FROM bench)),
+         isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                       ORDER BY pos) <= 3 THEN 0 ELSE 1 END AS brk
+           FROM rem),
+         grp AS (
+           SELECT doc_id, pos,
+                  SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+           FROM isl),
+         sp AS (SELECT doc_id, MIN(pos) AS s, MAX(pos)+2 AS e
+                FROM grp GROUP BY doc_id, g),
+         spl AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans
+                 FROM sp GROUP BY doc_id),
+         outp AS (
+           SELECT t.doc_id, len(t.l) AS n_tokens,
+                  CASE WHEN p.spans IS NULL THEN t.l
+                       ELSE list_transform(
+                         list_filter(
+                           list_transform(range(0, len(t.l)), i ->
+                             {'i': i, 'tk': t.l[CAST(i+1 AS INTEGER)]}),
+                           s -> len(list_filter(p.spans,
+                             x -> x.s <= s.i AND s.i <= x.e)) = 0),
+                         s -> s.tk) END AS keptl
+           FROM tok t LEFT JOIN spl p USING (doc_id)
+           WHERE t.source <> 'src0')
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(n_tokens - len(keptl) AS BIGINT) AS n_removed,
+                COALESCE(array_to_string(keptl, ' '), '') AS text
+         FROM outp""",
 
     // x34 — identical rational-BM25 arithmetic, term by term in the same
     // parenthesization (every op is correctly-rounded IEEE, so scores are

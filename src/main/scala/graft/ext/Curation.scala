@@ -1365,6 +1365,40 @@ object Curation {
         col("bucket"))
   }
 
+  /** SPAN-level benchmark DECONTAMINATION — the surgical form of the
+    * x21 audit: instead of DROPPING a contaminated document (x42's
+    * split discards real data around a quoted benchmark line), strip
+    * exactly the token spans whose k-gram windows appear in the
+    * benchmark set — the PaLM/GPT-4-era decontamination contract
+    * (remove the overlapping subsequence, keep the document).
+    *
+    * Mechanics: the benchmark's window hashes distinct and (being
+    * eval-sized) broadcast; corpus windows that hit merge into
+    * maximal spans and strip through the [[Dedup.exactSubstrStrip]]
+    * tail — `(doc_id, n_tokens, n_removed, text)`, every input row
+    * surviving. Spans shorter than `shingleK` tokens are invisible
+    * (window resolution — the same bound the census documents).
+    *
+    * Shape at 100 TB: one semi-join of corpus windows against the
+    * broadcast benchmark set, one doc-keyed island window, a bounded
+    * span list per doc. The same call gates a STREAM (stream-static
+    * semi-join, the near-dup-gate discipline) when the reassembly
+    * aggregation is its only stateful operator. */
+  def decontaminateSpans(docs: DataFrame, benchmark: DataFrame,
+                         shingleK: Int = 3, textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val bset = benchmark.select(
+        explode(graft.functions.ShingleHashesAll(col(textCol), shingleK))
+          .as("wh"))
+      .distinct()
+    val win = docs.select(col(idCol).as("doc_id"),
+      posexplode(graft.functions.ShingleHashesAll(col(textCol), shingleK))
+        .as(Seq("pos", "wh")))
+    val removable = win.join(broadcast(bset), Seq("wh"), "left_semi")
+      .select("doc_id", "pos")
+    Dedup.stripPositionsReport(docs, removable, shingleK, textCol)
+  }
+
   /** C4 cleaning rules (Raffel et al. 2020 §2.2 — the heuristics that
     * built the T5 corpus, still the baseline cleaning pass RefinedWeb/
     * FineWeb compare against). Line level: keep a line only when it

@@ -661,6 +661,20 @@ object Dedup {
       .filter(!(col("doc_id") === col("owner.doc_id") &&
         col("pos") === col("owner.pos")))
       .select("doc_id", "pos")
+    stripPositionsReport(docs, removable, windowK, textCol)
+  }
+
+  /** The shared STRIP TAIL of [[exactSubstrStrip]] and
+    * [[Curation.decontaminateSpans]]: merge removable window
+    * positions into maximal spans (gaps-and-islands, one doc-keyed
+    * window), strip the covered tokens, and report
+    * `(doc_id, n_tokens, n_removed, text)` — every input row
+    * survives; the span list per doc is bounded (≤ nTokens/k). */
+  private[ext] def stripPositionsReport(docs: DataFrame,
+                                        removable: DataFrame,
+                                        windowK: Int,
+                                        textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val spans = removable
       .withColumn("brk",

@@ -1457,6 +1457,28 @@ class ExtSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("exact_distinct") == 5000L)
   }
 
+  test("decontaminateSpans strips exactly the benchmark-overlapping " +
+    "span and keeps the rest of the document") {
+    import spark.implicits._
+    val bench = Seq((100L, "the exam answer is forty two exactly"))
+      .toDF("doc_id", "text")
+    val pool = Seq(
+      (1L, "intro words then the exam answer is forty two exactly and " +
+        "more tail content"),
+      (2L, "completely clean document with no overlap at all"))
+      .toDF("doc_id", "text")
+    val r = Curation.decontaminateSpans(pool, bench, shingleK = 3)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    // doc 1: windows 3..7 hit -> one span over tokens 3..9 (the whole
+    // quoted sentence); the intro and tail survive
+    assert(r(1L) == ((14L, 7L, "intro words then and more tail content")),
+      s"doc1: ${r(1L)}")
+    // doc 2 untouched
+    assert(r(2L)._2 == 0L &&
+      r(2L)._3 == "completely clean document with no overlap at all")
+  }
+
   test("c4LineFilters: terminal punctuation, min words, javascript " +
     "line rule; lorem ipsum / brace / min-lines page rules") {
     import spark.implicits._
