@@ -1558,6 +1558,13 @@ object SparkEntry {
       ext.Cleanse.ccReport(planted)
     }),
 
+    // x219 — cross-source duplication matrix: the data-card table
+    // next to the per-source masses — how much of source A near-
+    // copies source B; verified jaccard pairs pick up endpoint
+    // sources and roll up per unordered source pair.
+    "x219_dup_matrix" -> ((s, d) =>
+      ext.Curation.crossSourceDupMatrix(t(s, d, "documents"))),
+
     // x218 — span-level benchmark DECONTAMINATION: the x21 audit made
     // surgical — the training pool (non-src0) loses exactly the token
     // spans whose 3-gram windows appear in the eval slice (src0),
@@ -8601,6 +8608,19 @@ s6 AS (SELECT s5.* FROM s5 JOIN rk6 USING (doc_id)
                   (a, c) -> replace(a, c, '<CC>')) AS redacted
          FROM vv"""
     },
+
+    // x219 — the x4 edge CTEs with endpoint-source joins and the
+    // least/greatest unordered-pair rollup
+    "x219_dup_matrix" ->
+      s"""WITH $jaccardEdgeCtes
+         SELECT LEAST(da.source, db.source) AS source_1,
+                GREATEST(da.source, db.source) AS source_2,
+                CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                MAX(e.jaccard) AS max_jaccard
+         FROM edges e
+         JOIN documents da ON da.doc_id = e.doc_a
+         JOIN documents db ON db.doc_id = e.doc_b
+         GROUP BY 1, 2""",
 
     // x218 — the x213 island/strip replay with the removable set
     // coming from a benchmark gram semi-join instead of owner

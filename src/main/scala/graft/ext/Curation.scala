@@ -1365,6 +1365,32 @@ object Curation {
         col("bucket"))
   }
 
+  /** Cross-source DUPLICATION MATRIX — the data-card table a corpus
+    * release needs next to the per-source masses: how much of source
+    * A is a near-copy of source B (web mirrors, syndication, the
+    * books/web leak). Verified near-dup pairs ([[Dedup.jaccardPairs]]
+    * — LSH-banded, exact-jaccard checked, never all-pairs) pick up
+    * their endpoints' sources through two doc-keyed joins and roll up
+    * per UNORDERED source pair (`least/greatest` — the matrix is
+    * symmetric, so (A,B) and (B,A) are one row; the diagonal is the
+    * intra-source dup load). `max_jaccard` rides along (max is
+    * merge-order-safe; per-pair jaccards are IEEE-exact, x4's
+    * contract). Pair volume is the dedup tier's own bound; the rollup
+    * is source²-sized. */
+  def crossSourceDupMatrix(docs: DataFrame, shingleK: Int = 3,
+                           minJaccard: Double = 0.4): DataFrame = {
+    val pairs = Dedup.jaccardPairs(docs, shingleK, minJaccard)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_1"),
+        greatest(col("sa"), col("sb")).as("source_2"))
+      .agg(count(lit(1)).as("n_pairs"), max("jaccard").as("max_jaccard"))
+  }
+
   /** SPAN-level benchmark DECONTAMINATION — the surgical form of the
     * x21 audit: instead of DROPPING a contaminated document (x42's
     * split discards real data around a quoted benchmark line), strip

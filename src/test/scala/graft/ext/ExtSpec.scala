@@ -1457,6 +1457,21 @@ class ExtSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("exact_distinct") == 5000L)
   }
 
+  test("crossSourceDupMatrix: unordered source pairs, diagonal = " +
+    "intra-source load") {
+    // shared fixture clusters {1,2,4}; sources: 1,2 -> web; 3,4,5 -> books
+    val d = docs.withColumn("source",
+      when(col("doc_id") <= 2, "web").otherwise("books"))
+    val r = Curation.crossSourceDupMatrix(d)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getDouble(3)))).toMap
+    // pairs: (1,2) web-web; (1,4) and (2,4) web-books
+    assert(r(("web", "web"))._1 == 1L)
+    assert(r(("books", "web"))._1 == 2L)
+    assert(r(("books", "web"))._2 == 1.0) // the exact dup pair (1,4)
+    assert(r.size == 2)
+  }
+
   test("decontaminateSpans strips exactly the benchmark-overlapping " +
     "span and keeps the rest of the document") {
     import spark.implicits._
