@@ -149,17 +149,13 @@ object Bench {
     // host sits near 1.2; round 5 shipped a 1.8 artifact from exactly
     // this). Flagged runs are self-describing as untrustworthy records.
     val runContended = total > 0 && totalMed > 1.5 * total
-    // Round-over-round provenance notes, embedded so minima stay
-    // interpretable without the repo history: r16 investigated the
-    // r14→r15 media-tier drift (x15/x19/x49/x50/x63 +20-90%) — the
-    // shared decode code and payloads are unchanged (r15's media diffs
-    // were purely additive defs), the non-media suite IMPROVED over the
-    // same interval (146.0 → 142.7 s on shared queries), and an
-    // ISOLATED uncontended 3-pass re-run reproduces the elevated level
-    // — so the shift is host/JVM ambient on the ImageIO/javax.sound
-    // UDF-decode family, not a plan regression; r14 media minima are
-    // stale as a baseline.
-    val notes = "media-tier minima (x15/x19/x49/x50/x63, ImageIO/javax.sound decode) carry a host/JVM level shift vs r14: code+payloads unchanged, isolated uncontended rerun reproduces it, non-media queries improved over the same interval"
+    // Run-specific provenance notes belong to the RUN, not the source:
+    // hard-coding one round's investigation here made every later
+    // artifact misdescribe itself (the r16 media-drift note shipped
+    // verbatim into runs it said nothing about). Durable findings live
+    // in VERDICT.md / the committed BENCH_r{N} history; a run that
+    // needs a note passes it explicitly.
+    val notes = esc(sys.env.getOrElse("SPARK_GRAFT_BENCH_NOTES", ""))
     // "stat":"min" labels the statistic change vs BENCH_r01/r02 (medians)
     // so cross-round artifact diffs are not silently apples-to-oranges
     val detail = s"""{"diag":"bench_detail","stat":"min","notes":"$notes","run_contended":$runContended,"total_median":$totalMed,"queries_full":$qsFull,"queries_median":$qsMed,"contended":$contendedJson,"errors":$errJson,"reps":$reps,"passes":$passes,"other_jvms":$otherJvms}"""

@@ -8571,7 +8571,9 @@ s6 AS (SELECT s5.* FROM s5 JOIN rk6 USING (doc_id)
     // x216 — plants replayed, candidates re-extracted with the same
     // RE2-common pattern, the Luhn fold digit for digit (right-offset
     // doubling, subtract-9 clamp, mod 10), and the redaction as the
-    // SAME left-fold of exact replaces over the valid list
+    // SAME positional segment/candidate interleave (split on the one
+    // candidate regex, valid matches slot back as <CC>, invalid ones
+    // verbatim — never a value-based global replace)
     "x216_luhn_cc_scrub" -> {
       val nm = "regexp_replace(c, '[^0-9]', '', 'g')"
       val dig = s"CAST(substr($nm, CAST(length($nm) - i AS INTEGER), 1) AS INTEGER)"
@@ -8589,10 +8591,12 @@ s6 AS (SELECT s5.* FROM s5 JOIN rk6 USING (doc_id)
          cnd AS (
            SELECT doc_id, text,
                   regexp_extract_all(text, '[0-9][0-9 -]{11,22}[0-9]')
-                    AS cands
+                    AS cands,
+                  regexp_split_to_array(text, '[0-9][0-9 -]{11,22}[0-9]')
+                    AS segs
            FROM t0),
          vv AS (
-           SELECT doc_id, text, cands,
+           SELECT doc_id, text, cands, segs,
                   list_filter(cands, c ->
                     length($nm) BETWEEN 13 AND 19 AND
                     list_sum(list_transform(range(0, length($nm)), i ->
@@ -8604,8 +8608,14 @@ s6 AS (SELECT s5.* FROM s5 JOIN rk6 USING (doc_id)
          SELECT doc_id,
                 CAST(len(cands) AS BIGINT) AS n_candidates,
                 CAST(len(valids) AS BIGINT) AS n_valid_cc,
-                list_reduce(list_prepend(text, valids),
-                  (a, c) -> replace(a, c, '<CC>')) AS redacted
+                COALESCE(array_to_string(
+                  list_transform(range(0, len(cands)), i ->
+                    segs[CAST(i + 1 AS INTEGER)] ||
+                    CASE WHEN list_contains(valids,
+                                 cands[CAST(i + 1 AS INTEGER)])
+                         THEN '<CC>'
+                         ELSE cands[CAST(i + 1 AS INTEGER)] END), ''), '')
+                  || segs[len(segs)] AS redacted
          FROM vv"""
     },
 

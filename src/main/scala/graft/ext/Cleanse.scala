@@ -97,23 +97,40 @@ object Cleanse {
     * eat order ids and timestamps). Per document: candidate runs
     * ([[CcCandRe]]), the Luhn-valid subset (13-19 digits after
     * separator strip — the ISO/IEC 7812 length range), and `redacted`
-    * with every VALID card replaced by `<CC>` (a left-fold of exact
-    * string replaces — deterministic, and invalid candidates are
-    * untouched by construction). Pure per-row column algebra: zero
+    * with every VALID candidate MATCH replaced by `<CC>`.
+    *
+    * Redaction is BY MATCH POSITION, not by substring value: the text
+    * splits on the same candidate pattern (both passes use one regex
+    * engine, so the match spans are identical), each candidate slots
+    * back between its neighboring segments — `<CC>` when its checksum
+    * validates, verbatim otherwise. A value-based global replace would
+    * also rewrite a valid card string occurring INSIDE a longer
+    * invalid digit run the checksum never blessed (e.g. a 21-digit id
+    * containing 16 valid digits) — the positional rebuild cannot touch
+    * text outside a validated span. Pure per-row column algebra: zero
     * shuffle at any corpus size, stream-valid. */
   def ccReport(docs: DataFrame, textCol: String = "text",
                idCol: String = "doc_id"): DataFrame = {
     val cands = regexp_extract_all(col(textCol), lit(CcCandRe), lit(0))
     def digitsOf(c: Column) = regexp_replace(c, "[^0-9]", "")
-    val valids = filter(cands, c => {
+    def isValid(c: Column): Column = {
       val num = digitsOf(c)
       length(num) >= 13 && length(num) <= 19 && luhnValid(num)
-    })
+    }
+    val valids = filter(cands, isValid(_))
+    // segs(i) + cands(i) + segs(i+1) + … + segs(last) IS the text:
+    // split(limit = -1) keeps leading/trailing empty segments, so the
+    // interleave is exact by construction
+    val segs = split(col(textCol), CcCandRe, -1)
+    val redacted = concat(
+      array_join(zip_with(slice(segs, lit(1), size(cands)), cands,
+        (s, c) => concat(s,
+          when(isValid(c), lit("<CC>")).otherwise(c))), ""),
+      element_at(segs, -1))
     docs.select(col(idCol),
       size(cands).cast("long").as("n_candidates"),
       size(valids).cast("long").as("n_valid_cc"),
-      aggregate(valids, col(textCol),
-        (acc, c) => replace(acc, c, lit("<CC>"))).as("redacted"))
+      redacted.as("redacted"))
   }
 
   /** THE line-hash primitive engine-wide: FNV-1a 64 over the line's

@@ -151,6 +151,11 @@ object Arpa {
           case _ =>
             if (t.nonEmpty && !t.startsWith("\\") && section > 0) {
               val f = t.split("\t")
+              // a body line without a tab-separated gram field (stray
+              // header text, a truncated row) is a corrupt file — name
+              // it instead of throwing ArrayIndexOutOfBounds at f(1)
+              require(f.length >= 2,
+                s"malformed ARPA row '$t' in \\$section-grams:")
               val ws = f(1).split(" ").toVector
               require(ws.length == section,
                 s"${ws.length}-word gram '${f(1)}' in \\$section-grams:")
@@ -187,7 +192,14 @@ object Arpa {
     * wise UTF-8 byte order, the [[render]] collation, so the two
     * writers are byte-identical on the same model. */
   def writeLevels(path: String, levels: Seq[DataFrame]): Unit = {
-    val counts = levels.map(_.count())
+    // each level is consumed TWICE (count() for the header, then the
+    // sorted section scan) and its DAG above the checkpointed census is
+    // a heavy multi-join plan — persist so the header count pays the
+    // build once and the section write reads the cache, then release
+    // each level as soon as its section is on disk
+    val cached = levels.map(
+      _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val counts = cached.map(_.count())
     val p = Paths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)
     val w = Files.newBufferedWriter(p, StandardCharsets.UTF_8)
@@ -196,7 +208,7 @@ object Arpa {
       counts.zipWithIndex.foreach { case (c, i) =>
         w.write(s"ngram ${i + 1}=$c\n") }
       w.write("\n")
-      levels.zipWithIndex.foreach { case (df, i) =>
+      cached.zipWithIndex.foreach { case (df, i) =>
         w.write(s"\\${i + 1}-grams:\n")
         val it = df.select(col("gram"), col("lp"), col("lbow"))
           .orderBy(col("gram")).toLocalIterator()
@@ -206,6 +218,7 @@ object Arpa {
             r.getDouble(2)))
         }
         w.write("\n")
+        df.unpersist(blocking = false)
       }
       w.write("\\end\\\n")
     } finally w.close()

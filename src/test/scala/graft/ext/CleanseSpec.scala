@@ -216,4 +216,21 @@ class CleanseSpec extends AnyFunSuite {
     assert(r(4L) == ((1L, 0L, "short 1234 5678 901 run")))
     assert(r(5L) == ((0L, 0L, "no digits at all here")))
   }
+
+  test("ccReport redacts by match position: a valid card string " +
+    "occurring INSIDE a longer invalid digit run stays untouched") {
+    import spark.implicits._
+    // the standalone 16-digit Visa test number is Luhn-valid; the
+    // 20-digit id CONTAINS it as a substring but is itself one
+    // (invalid) candidate match — a value-based global replace would
+    // rewrite the id's interior, the positional rebuild must not
+    val df = Seq(
+      (1L, "card 4111111111111111 and id 94111111111111111999 end"))
+      .toDF("doc_id", "text")
+    val r = graft.ext.Cleanse.ccReport(df).collect().head
+    assert(r.getLong(1) == 2L) // both runs are candidates
+    assert(r.getLong(2) == 1L) // only the standalone card validates
+    assert(r.getString(3) ==
+      "card <CC> and id 94111111111111111999 end")
+  }
 }
