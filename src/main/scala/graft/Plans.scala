@@ -130,7 +130,12 @@ object Plans {
       "x213_exactsubstr_strip" -> "ExactSubstr owner election: the min-(doc,pos) owner rides the SAME window-census aggregate (no extra exchange over x37), non-owner positions island-merge in one doc-keyed window, spans strip as a bounded per-doc list.",
       "x214_ccnet_buckets" -> "CCNet terciles: the x144 scoring plan, then the bucket window over the (lang, score) GROUP table — bounded by distinct rounded scores, never a per-document sort; the verdict joins back by equi-key.",
       "x216_luhn_cc_scrub" -> "Luhn card scrub: candidate extraction, the checksum fold, and the replace fold are ALL codegen'd column algebra fused into the scan — zero exchange; checksum-gated PII costs one pass.",
-      "x217_hll_vocab" -> "Relational HyperLogLog: rho via an integer comparison fold in the scan stage, ONE m-key exchange whose max/count-distinct partials collapse map-side, an m-row final fold — cardinality at scan speed, no census.")
+      "x217_hll_vocab" -> "Relational HyperLogLog: rho via an integer comparison fold in the scan stage, ONE m-key exchange whose max/count-distinct partials collapse map-side, an m-row final fold — cardinality at scan speed, no census.",
+      "x215_c4_filters" -> "C4 cleaning rules: every line rule and page tell is string/array algebra fused into the scan — zero exchange at any corpus size, the same call is stream-valid.",
+      "x218_decontam_strip" -> "Span decontamination: the benchmark shingle set distinct'd then BROADCAST into one semi-join; removable positions island-merge in ONE doc-keyed window; the span list per doc is bounded.",
+      "x219_dup_matrix" -> "Cross-source dup matrix: rides the banded jaccardPairs tier (never all-pairs); endpoint sources attach via two doc-keyed equi-joins, the rollup is source²-sized.",
+      "x220_kn_arpa_pruned" -> "Capped+pruned stored ARPA scoring: the pruned model rides as 5 broadcast level frames; the corpus shuffles once into the doc-keyed occurrence agg — pruning changed the artifact, not the scoring plan.",
+      "x221_ccnet_stored_kn5" -> "CCNet terciles over the STORED order-5 score: the x210 broadcast-level scoring cascade feeds the same score-GROUP tercile window as x214 — swapping the LM swapped one input, no new corpus-sized exchange.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")
@@ -153,6 +158,10 @@ object Plans {
     sb.append("x172's build half persists shards+sidecar once (storedDir); the\n")
     sb.append("query half is a parquet scan + mapPartitions parse + the decode\n")
     sb.append("expression + a 4-partition layout window — the x96 stored shape.\n")
+    sb.append("x211 composes the x171 chain (same checkpointed gate boundaries)\n")
+    sb.append("with the x119 trained-byte-BPE expression over the s6 survivors —\n")
+    sb.append("its final plan likewise reads checkpoints; the added stage is the\n")
+    sb.append("zero-exchange native-expression encode already planned at x119.\n")
     picks.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sf)
       sb.append(s"\n## $name\n\n$note\n\n```\n")

@@ -1401,6 +1401,25 @@ object SparkEntry {
       ext.TextOps.knScoreStoredArpa(s, docs, s"$dir/model.arpa")
     }),
 
+    // x220 — the PRODUCTION stored-LM shape: vocabulary-capped
+    // (top-64 + <unk>) AND count-pruned (SRILM gtNmin-style cutoffs 2
+    // at levels 2/3 with context/suffix closure and RENORMALIZED
+    // backoff weights) order-3 ARPA, written, reloaded, and scored
+    // over the <unk>-mapped stream — the two bounds a 100 TB model
+    // actually ships with. Scoring the training corpus now exercises
+    // the full backoff walk: pruned trigrams miss at the top and
+    // route through recomputed bows onto genuine mid-level entries
+    // (including context-only grams — the -99-placeholder class the
+    // round-16 advisory flagged, now carrying real probabilities).
+    "x220_kn_arpa_pruned" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = storedDir("arpa3p", d)(p =>
+        graft.sources.Arpa.writeLevels(s"$p/model.arpa",
+          ext.TextOps.knArpaLevels(docs, order = 3, vocabSize = 64,
+            prune = Seq(1, 2, 2))))
+      ext.TextOps.knScoreStoredArpa(s, docs, s"$dir/model.arpa")
+    }),
+
     // x204 — per-prompt reward z-normalization (Stiennon et al. 2020):
     // the standardization RM training data gets before pairwise loss;
     // same prompt/reward construction as x195, decimal-routed moments,
@@ -2234,6 +2253,22 @@ object SparkEntry {
     // register shuffle so the report prices its own error.
     "x217_hll_vocab" -> ((s, d) =>
       ext.TextOps.hllVocabEstimate(t(s, d, "documents"), p = 10)),
+
+    // x221 — CCNet buckets in the PRODUCTION shape (Wenzek et al.
+    // 2020 ship KenLM 5-grams): the x214 tercile operator fed by the
+    // STORED order-5 ARPA score instead of the inline bigram chain —
+    // the x210 artifact (memoized: one training pays both queries)
+    // reloads and scores, then the same group-table window buckets
+    // per language. Swapping the LM swaps one input, not the plan.
+    "x221_ccnet_stored_kn5" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = storedDir("arpa5", d)(p =>
+        graft.sources.Arpa.writeLevels(s"$p/model.arpa",
+          ext.TextOps.knArpaLevels(docs, order = 5)))
+      ext.Curation.ccnetBucketsScored(
+        ext.TextOps.knScoreStoredArpa(s, docs, s"$dir/model.arpa"),
+        docs, scoreCol = "kn5_score_q", cntCol = "n_ngrams")
+    }),
 
     // x215 — C4 cleaning rules (Raffel et al. 2020 §2.2) over a
     // planted line structure: terminal-punctuation lines (doc+line
@@ -4992,6 +5027,196 @@ object SparkEntry {
        |       list_reduce(list(val ORDER BY $wsList), (a, b) -> a + b)
        |         / CAST(SUM(m) AS BIGINT) AS $scoreCol
        |FROM valued GROUP BY doc_id""".stripMargin
+  }
+
+  /** x220's oracle — the CAPPED + PRUNED order-3 stored-ARPA lifecycle
+    * replayed end to end: top-V vocabulary keep (count desc, word asc)
+    * mapping the token stream to `<unk>` BEFORE the census, the
+    * trigram/continuation/history tables, quantized level
+    * probabilities (level 2 through the null-safe fold — context-only
+    * grams get genuine values), count pruning with the context/suffix
+    * closure, backoff weights RENORMALIZED over the kept quantized
+    * mass through the exact decimal route, and the full ARPA backoff
+    * walk over the model-vocabulary-mapped scoring stream — every
+    * branch of the engine's builder + scorer, term for term. */
+  private def knPrunedArpaOracleSql(v: Int, t2: Long, t3: Long): String = {
+    // the null-safe level-2 probability (pSafe(2)): base = continuation
+    // unigram or the 1e-99 zeroprob; a context with no level-2
+    // statistic passes the base through unchanged
+    val base = """(CASE WHEN p.ck1 IS NOT NULL
+                        THEN CAST(p.ck1 AS DOUBLE) / CAST(tt.cktot AS DOUBLE)
+                        ELSE 1e-99 END)"""
+    val p2safe = s"""(CASE WHEN g2.ctot2 IS NOT NULL THEN
+              GREATEST(CAST(COALESCE(c2.ck2, 0) AS DOUBLE) - 0.75, 0.0)
+                / CAST(g2.ctot2 AS DOUBLE)
+              + ((0.75 * CAST(g2.nf2 AS DOUBLE))
+                 / CAST(g2.ctot2 AS DOUBLE)) * $base
+            ELSE $base END)"""
+    val p2full = """(GREATEST(CAST(c2.ck2 AS DOUBLE) - 0.75, 0.0)
+              / CAST(g2.ctot2 AS DOUBLE)
+            + ((0.75 * CAST(g2.nf2 AS DOUBLE))
+               / CAST(g2.ctot2 AS DOUBLE))
+              * (CAST(p.ck1 AS DOUBLE) / CAST(tt.cktot AS DOUBLE)))"""
+    val p3 = s"""(GREATEST(CAST(t.cN AS DOUBLE) - 0.75, 0.0)
+              / CAST(h.chist AS DOUBLE)
+            + ((0.75 * CAST(h.ntopf AS DOUBLE))
+               / CAST(h.chist AS DOUBLE)) * $p2full)"""
+    def decSum(x: String) =
+      s"CAST(SUM(CAST($x AS DECIMAL(28,18))) AS DOUBLE)"
+    s"""WITH tok0 AS MATERIALIZED (
+         SELECT doc_id, list_filter(
+           regexp_split_to_array(lower(text), '\\s+'),
+           t -> length(t) > 0) AS ts
+         FROM documents),
+       wc AS (SELECT u.t AS w, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tok0, unnest(ts) AS u(t) GROUP BY 1),
+       kl AS (SELECT list(w) AS kws FROM
+                (SELECT w FROM wc ORDER BY c DESC, w ASC LIMIT $v)),
+       tokm AS MATERIALIZED (
+         SELECT doc_id, list_transform(ts, t ->
+           CASE WHEN list_contains(kl.kws, t) THEN t ELSE '<unk>' END) AS ts
+         FROM tok0 CROSS JOIN kl),
+       tn AS MATERIALIZED (
+         SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS cN
+         FROM (SELECT tg[1] AS w1, tg[2] AS w2, tg[3] AS w3
+               FROM (SELECT unnest(list_transform(range(1, len(ts) - 1),
+                       i -> [ts[CAST(i AS INTEGER)],
+                             ts[CAST(i + 1 AS INTEGER)],
+                             ts[CAST(i + 2 AS INTEGER)]])) AS tg
+                     FROM tokm))
+         GROUP BY 1, 2, 3),
+       htop AS MATERIALIZED (
+         SELECT w1, w2, CAST(SUM(cN) AS BIGINT) AS chist,
+                CAST(COUNT(*) AS BIGINT) AS ntopf
+         FROM tn GROUP BY 1, 2),
+       cont2 AS MATERIALIZED (
+         SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS ck2
+         FROM tn GROUP BY 1, 2),
+       hist2 AS MATERIALIZED (
+         SELECT w2, CAST(SUM(ck2) AS BIGINT) AS ctot2,
+                CAST(COUNT(*) AS BIGINT) AS nf2
+         FROM cont2 GROUP BY 1),
+       cont1 AS MATERIALIZED (
+         SELECT w3, CAST(COUNT(*) AS BIGINT) AS ck1
+         FROM cont2 GROUP BY 1),
+       tt AS MATERIALIZED (
+         SELECT CAST(COUNT(*) AS BIGINT) AS cktot FROM cont2),
+       l3 AS MATERIALIZED (
+         SELECT t.w1, t.w2, t.w3, round(log10($p3), 9) AS lp
+         FROM tn t
+         JOIN htop h ON h.w1 = t.w1 AND h.w2 = t.w2
+         JOIN cont2 c2 ON c2.w2 = t.w2 AND c2.w3 = t.w3
+         JOIN hist2 g2 ON g2.w2 = t.w2
+         JOIN cont1 p ON p.w3 = t.w3
+         CROSS JOIN tt
+         WHERE t.cN >= $t3),
+       k2 AS (SELECT w2, w3 FROM cont2 WHERE ck2 >= $t2
+              UNION SELECT w1 AS w2, w2 AS w3 FROM l3
+              UNION SELECT w2, w3 FROM l3),
+       l2 AS MATERIALIZED (
+         SELECT k.w2, k.w3, round(log10($p2safe), 9) AS lp
+         FROM k2 k
+         LEFT JOIN cont2 c2 ON c2.w2 = k.w2 AND c2.w3 = k.w3
+         LEFT JOIN hist2 g2 ON g2.w2 = k.w2
+         LEFT JOIN cont1 p ON p.w3 = k.w3
+         CROSS JOIN tt),
+       v1 AS MATERIALIZED (
+         SELECT DISTINCT w FROM (
+           SELECT w1 AS w FROM tn UNION ALL SELECT w2 FROM tn
+           UNION ALL SELECT w3 FROM tn)),
+       l1 AS MATERIALIZED (
+         SELECT v.w AS w3,
+                CASE WHEN p.ck1 IS NOT NULL
+                     THEN round(log10(CAST(p.ck1 AS DOUBLE)
+                                      / CAST(tt.cktot AS DOUBLE)), 9)
+                     ELSE -99.0 END AS lp
+         FROM v1 v LEFT JOIN cont1 p ON p.w3 = v.w CROSS JOIN tt),
+       b2hi AS (SELECT w1 AS w2, w2 AS w3,
+                       ${decSum("round(pow(10.0, lp), 9)")} AS shi
+                FROM l3 GROUP BY 1, 2),
+       b2lo AS (SELECT l.w1 AS w2, l.w2 AS w3,
+                       ${decSum("round(pow(10.0, s.lp), 9)")} AS slo
+                FROM l3 l JOIN l2 s ON s.w2 = l.w2 AND s.w3 = l.w3
+                GROUP BY 1, 2),
+       l2b AS MATERIALIZED (
+         SELECT k.w2, k.w3, k.lp,
+                CASE WHEN h.shi IS NOT NULL
+                       AND 1.0 - h.shi > 0 AND 1.0 - o.slo > 0
+                     THEN round(log10((1.0 - h.shi) / (1.0 - o.slo)), 9)
+                     ELSE 0.0 END AS bow
+         FROM l2 k
+         LEFT JOIN b2hi h ON h.w2 = k.w2 AND h.w3 = k.w3
+         LEFT JOIN b2lo o ON o.w2 = k.w2 AND o.w3 = k.w3),
+       b1hi AS (SELECT w2 AS w3,
+                       ${decSum("round(pow(10.0, lp), 9)")} AS shi
+                FROM l2 GROUP BY 1),
+       b1lo AS (SELECT l.w2 AS w3,
+                       ${decSum("round(pow(10.0, s.lp), 9)")} AS slo
+                FROM l2 l JOIN l1 s ON s.w3 = l.w3 GROUP BY 1),
+       l1b AS MATERIALIZED (
+         SELECT k.w3, k.lp,
+                CASE WHEN h.shi IS NOT NULL
+                       AND 1.0 - h.shi > 0 AND 1.0 - o.slo > 0
+                     THEN round(log10((1.0 - h.shi) / (1.0 - o.slo)), 9)
+                     ELSE 0.0 END AS bow
+         FROM l1 k
+         LEFT JOIN b1hi h ON h.w3 = k.w3
+         LEFT JOIN b1lo o ON o.w3 = k.w3),
+       vl AS (SELECT list(w) AS vws FROM v1),
+       toks AS MATERIALIZED (
+         SELECT doc_id, list_transform(ts, t ->
+           CASE WHEN list_contains(vl.vws, t) THEN t ELSE '<unk>' END) AS ts
+         FROM tok0 CROSS JOIN vl),
+       occ AS MATERIALIZED (
+         SELECT doc_id, w1, w2, w3, COUNT(*) AS m
+         FROM (SELECT doc_id, tg[1] AS w1, tg[2] AS w2, tg[3] AS w3
+               FROM (SELECT doc_id,
+                            unnest(list_transform(range(1, len(ts) - 1),
+                       i -> [ts[CAST(i AS INTEGER)],
+                             ts[CAST(i + 1 AS INTEGER)],
+                             ts[CAST(i + 2 AS INTEGER)]])) AS tg
+                     FROM toks))
+         GROUP BY 1, 2, 3, 4),
+       sc AS (
+         SELECT o.doc_id, o.w1, o.w2, o.w3, o.m,
+                t3.lp AS lp3, s2.lp AS lp2, s1.lp AS lp1,
+                c2b.bow AS cbow2, c1b.bow AS cbow1
+         FROM occ o
+         LEFT JOIN l3 t3 ON t3.w1 = o.w1 AND t3.w2 = o.w2 AND t3.w3 = o.w3
+         LEFT JOIN l2b s2 ON s2.w2 = o.w2 AND s2.w3 = o.w3
+         LEFT JOIN l1b s1 ON s1.w3 = o.w3
+         LEFT JOIN l2b c2b ON c2b.w2 = o.w1 AND c2b.w3 = o.w2
+         LEFT JOIN l1b c1b ON c1b.w3 = o.w2),
+       walk AS (
+         SELECT doc_id, w1, w2, w3, m,
+                CASE WHEN lp3 IS NOT NULL THEN
+                  CASE WHEN round(pow(10.0, lp3), 9) > 0
+                       THEN round(pow(10.0, lp3), 9)
+                       ELSE pow(10.0, lp3) END
+                ELSE
+                  CASE WHEN round(pow(10.0, COALESCE(cbow2, 0.0) +
+                         CASE WHEN lp2 IS NOT NULL THEN lp2
+                              ELSE COALESCE(cbow1, 0.0) +
+                                   COALESCE(lp1, -99.0) END), 9) > 0
+                       THEN round(pow(10.0, COALESCE(cbow2, 0.0) +
+                         CASE WHEN lp2 IS NOT NULL THEN lp2
+                              ELSE COALESCE(cbow1, 0.0) +
+                                   COALESCE(lp1, -99.0) END), 9)
+                       ELSE pow(10.0, COALESCE(cbow2, 0.0) +
+                         CASE WHEN lp2 IS NOT NULL THEN lp2
+                              ELSE COALESCE(cbow1, 0.0) +
+                                   COALESCE(lp1, -99.0) END) END
+                END AS pq
+         FROM sc),
+       valued AS (
+         SELECT doc_id, w1, w2, w3, m,
+                CAST(m AS DOUBLE) / pq AS val
+         FROM walk)
+       SELECT doc_id,
+              CAST(SUM(m) AS BIGINT) AS n_ngrams,
+              list_reduce(list(val ORDER BY w1, w2, w3), (a, b) -> a + b)
+                / CAST(SUM(m) AS BIGINT) AS kn3_score_q
+       FROM valued GROUP BY doc_id"""
   }
 
   /** The x171/x211 shared oracle chain: fixture planting (robots
@@ -11046,6 +11271,36 @@ s6 AS (SELECT s5.* FROM s5 JOIN rk6 USING (doc_id)
     // the file layer cancels, so a hash match proves the distributed
     // level build, the streamed section write, and the reload
     "x210_kn5_arpa_stored" -> knOracleSql(5, quantized = true),
+
+    // x221 — the x210 stored-score replay (knOracleSql quantized,
+    // nested as one CTE) feeding the x214 tercile rule verbatim: the
+    // CCNet production composition, both halves already proven alone
+    "x221_ccnet_stored_kn5" ->
+      s"""WITH knsc AS (${knOracleSql(5, quantized = true)}),
+         sl AS (SELECT k.doc_id, d.lang, k.n_ngrams,
+                       round(k.kn5_score_q, 9) AS ppl
+                FROM knsc k JOIN documents d USING (doc_id)),
+         grp AS (SELECT lang, ppl, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM sl GROUP BY 1, 2),
+         cum AS (SELECT lang, ppl,
+                        SUM(c) OVER (PARTITION BY lang ORDER BY ppl
+                                     ROWS UNBOUNDED PRECEDING) AS cum,
+                        SUM(c) OVER (PARTITION BY lang) AS n
+                 FROM grp),
+         bk AS (SELECT lang, ppl,
+                       CASE WHEN cum * 3 <= n THEN 'head'
+                            WHEN cum * 3 <= 2 * n THEN 'middle'
+                            ELSE 'tail' END AS bucket
+                FROM cum)
+         SELECT s.doc_id, s.lang, s.n_ngrams, s.ppl, b.bucket
+         FROM sl s JOIN bk b ON b.lang = s.lang AND b.ppl = s.ppl""",
+
+    // x220 — the capped + pruned order-3 lifecycle: cap, census,
+    // null-safe level probabilities, prune + closure, renormalized
+    // bows, and the quantized ARPA backoff walk, all replayed
+    // (knPrunedArpaOracleSql) — a hash match proves both bounds AND
+    // the backoff branch of the stored scorer end to end
+    "x220_kn_arpa_pruned" -> knPrunedArpaOracleSql(64, 2, 2),
 
     // x168 — the full DSIR replay: per-token FNV fold (the x82 ASCII
     // two-byte trick), 2-gram polynomial combine (×1000003 mod 2⁶⁴),

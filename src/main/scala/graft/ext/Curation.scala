@@ -1322,8 +1322,9 @@ object Curation {
     * head / middle / tail perplexity terciles; training recipes then
     * sample head-heavy. The LM here is the in-repo KN bigram scorer
     * ([[TextOps.knBigramScore]] — x144's engine-portable mean inverse
-    * probability; CCNet ships KenLM 5-grams, and [[TextOps.knScore]]
-    * order-5 slots in without changing this operator's shape).
+    * probability); CCNet ships KenLM 5-grams, and the
+    * [[ccnetBucketsScored]] seam runs the SAME tercile operator over
+    * the stored order-5 ARPA score (x221 — the production shape).
     *
     * Assignment is by SCORE GROUP, not per-row rank: per (lang,
     * 9-dp-rounded score) group, the group is `head` iff its inclusive
@@ -1342,11 +1343,27 @@ object Curation {
     * front without changing the plan shape. */
   def ccnetBuckets(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id",
-                   langCol: String = "lang"): DataFrame = {
-    val scored = TextOps.knBigramScore(docs, textCol = textCol,
-        idCol = idCol)
-      .withColumn("ppl", round(col("kn_score"), 9))
+                   langCol: String = "lang"): DataFrame =
+    ccnetBucketsScored(
+      TextOps.knBigramScore(docs, textCol = textCol, idCol = idCol),
+      docs, scoreCol = "kn_score", cntCol = "n_bigrams",
+      idCol = idCol, langCol = langCol)
+
+  /** The tercile HALF of [[ccnetBuckets]] over an ALREADY-SCORED
+    * frame — the seam CCNet's production shape needs: Wenzek et al.
+    * score with a stored KenLM 5-gram, so the x221 composition feeds
+    * this exact operator with [[TextOps.knScoreStoredArpa]] over the
+    * x210 artifact instead of the inline bigram chain. `scored` must
+    * carry (idCol, cntCol, scoreCol); the group-table window, the
+    * integer `3·cum ≤ n` rule and the (lang, ppl) equi-join back are
+    * the x214 plan unchanged — swapping the language model swaps ONE
+    * input, not the operator shape. */
+  def ccnetBucketsScored(scored: DataFrame, docs: DataFrame,
+                         scoreCol: String, cntCol: String,
+                         idCol: String = "doc_id",
+                         langCol: String = "lang"): DataFrame = {
     val withLang = scored
+      .withColumn("ppl", round(col(scoreCol), 9))
       .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
     val groups = withLang.groupBy(col(langCol), col("ppl"))
       .agg(count(lit(1)).as("c"))
@@ -1361,7 +1378,7 @@ object Curation {
           .otherwise(lit("tail")))
       .select(col(langCol), col("ppl"), col("bucket"))
     withLang.join(bucketed, Seq(langCol, "ppl"))
-      .select(col(idCol), col(langCol), col("n_bigrams"), col("ppl"),
+      .select(col(idCol), col(langCol), col(cntCol), col("ppl"),
         col("bucket"))
   }
 
@@ -1443,7 +1460,8 @@ object Curation {
     * corpus size and the same call is valid on a stream. */
   def c4LineFilters(docs: DataFrame, minWordsPerLine: Int = 5,
                     minKeptLines: Int = 3, textCol: String = "text",
-                    idCol: String = "doc_id"): DataFrame = {
+                    idCol: String = "doc_id",
+                    passthrough: Seq[String] = Nil): DataFrame = {
     val lines = split(col(textCol), "\n")
     def words(l: Column) =
       size(filter(split(lower(l), "\\s+"), x => length(x) > 0))
@@ -1452,11 +1470,11 @@ object Curation {
         l.endsWith("\"")) &&
       words(l) >= minWordsPerLine &&
       !lower(l).contains("javascript"))
-    docs.select(col(idCol),
-        size(lines).cast("long").as("n_lines"),
-        size(keptArr).cast("long").as("n_kept"),
-        array_join(keptArr, "\n").as("clean_text"),
-        lower(col(textCol)).as("__lt"))
+    docs.select(col(idCol) +: passthrough.map(col) :+
+        size(lines).cast("long").as("n_lines") :+
+        size(keptArr).cast("long").as("n_kept") :+
+        array_join(keptArr, "\n").as("clean_text") :+
+        lower(col(textCol)).as("__lt"): _*)
       .withColumn("keep",
         col("n_kept") >= minKeptLines &&
         !col("__lt").contains("lorem ipsum") &&

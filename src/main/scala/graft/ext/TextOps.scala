@@ -1120,26 +1120,71 @@ object TextOps {
     *    against the inline scorer bit-for-bit under the 9-dp
     *    quantization);
     *  - levels n−1..2 rows are the continuation-type grams plus every
-    *    CONTEXT gram the level above backs off through, with the
-    *    continuation probability P_k and backoff `d·N1+(g·)/ctot(g)`;
+    *    CONTEXT gram the level above backs off through; every row
+    *    carries a GENUINE probability — continuation grams the
+    *    interpolated P_k, context-only grams (present only because a
+    *    higher level backs off through them, e.g. document-tail
+    *    windows) the null-safe backoff-interpolated value the ARPA
+    *    walk itself would produce (`bow(ctx)·P_{k-1}(suffix)`, levels
+    *    with no statistic passing straight through). Real toolchains
+    *    (KenLM/SRILM) store genuine probabilities for such grams too:
+    *    a −99 placeholder would be read as TERMINAL by any conforming
+    *    scorer and poison held-out scores;
     *  - level 1 is the full vocabulary (every word in any n-gram
     *    position); words with no continuation statistic carry lp = −99
     *    (the SRILM zeroprob convention), grams that never head a
     *    higher-order gram omit the backoff (log 0).
     *
+    * COUNT PRUNING (`prune`, 1-indexed by level like the SRILM
+    * `gtNmin` cutoffs; empty = keep everything): a level-k entry is
+    * emitted outright only when its count clears `prune(k-1)` — the
+    * raw n-gram count at the top level, the continuation type count at
+    * mid levels — plus the CLOSURE every valid ARPA needs: contexts of
+    * kept level-(k+1) grams (they must exist to carry the backoff
+    * weight) and suffixes of kept level-(k+1) grams (the walk must
+    * land on a stored entry). Level 1 is never pruned (the SRILM
+    * convention; `prune.head` must be ≤ 1). Probabilities of kept
+    * entries are estimated from the UNPRUNED statistics (the
+    * estimate-then-drop semantics of SRILM `ngram -prune` / KenLM
+    * `--prune`); backoff weights are then RECOMPUTED so every
+    * context's distribution renormalizes over what was actually kept:
+    *
+    *   `bow(c) = (1 − Σ_kept p(c·w)) / (1 − Σ_kept p_lower(suffix(c)·w))`
+    *
+    * with both mass sums over the 9-dp-quantized artifact
+    * probabilities through the exact decimal route (order-invariant,
+    * oracle-replayable; sub-resolution entries contribute 0 by
+    * definition). In exact arithmetic this formula reduces to the
+    * closed-form leftover mass `d·N1+(g·)/ctot(g)` when nothing is
+    * pruned — the unpruned path keeps the closed form so existing
+    * artifacts replay bit-for-bit.
+    *
     * SCALE CONTRACT (the round-15 fix: no `collect()` of the n-gram
     * table anywhere): every level is a DataFrame bounded by
     * distinct-n-gram cardinality, built from ONE token census and
-    * written from sorted executor partitions. `vocabSize > 0` maps all
-    * but the top-V words (by count, ties word-asc) to `<unk>` BEFORE
-    * the n-gram census — standard ARPA practice that bounds the model
-    * at V^n-sparse and, at 100 TB, keeps the type tables Heaps-law
-    * sublinear in the corpus rather than unbounded. */
+    * written from sorted executor partitions; pruning adds only
+    * model-table-sized group-bys and equi-joins. `vocabSize > 0` maps
+    * all but the top-V words (by count, ties word-asc) to `<unk>`
+    * BEFORE the n-gram census — standard ARPA practice that bounds the
+    * model at V^n-sparse and, at 100 TB, keeps the type tables
+    * Heaps-law sublinear in the corpus rather than unbounded. A
+    * 100 TB model needs BOTH bounds: the cap tames the vocabulary,
+    * the count cutoffs tame the gram tail nobody can load. */
   def knArpaLevels(docs: DataFrame, order: Int, discount: Double = 0.75,
-                   textCol: String = "text", vocabSize: Int = 0)
+                   textCol: String = "text", vocabSize: Int = 0,
+                   prune: Seq[Long] = Nil)
   : Seq[DataFrame] = {
     require(order >= 2 && order <= 8, s"need 2 <= order <= 8: $order")
     require(discount > 0 && discount < 1, s"need 0 < d < 1: $discount")
+    require(prune.isEmpty || prune.length == order,
+      s"prune needs one threshold per level (got ${prune.length} for " +
+        s"order $order)")
+    val thr = if (prune.isEmpty) Seq.fill(order)(1L)
+              else prune.map(math.max(_, 1L))
+    require(thr.head <= 1L,
+      "level 1 (the vocabulary) is never count-pruned — cap it with " +
+        "vocabSize instead")
+    val pruning = thr.exists(_ > 1L)
     val n = order
     val ws = (1 to n).map(i => s"w$i")
     val toks = filter(tokens(col(textCol)), t => length(t) > 0)
@@ -1185,21 +1230,29 @@ object TextOps {
     val lvl2 = if (n == 2) tn else conts(2)
     val tot = lvl2.agg(count(lit(1)).as("cktot"))
     val d = lit(discount)
-    // P_k fold over continuation levels 2..k — knScore's expressions
-    // verbatim, so quantized artifact probabilities match the inline
-    // recursion bit-for-bit
-    def pUpTo(k: Int): Column = {
-      var p: Column = col("ck1").cast("double") / col("cktot").cast("double")
+    // null-safe P_k fold over continuation levels 2..k — knScore's
+    // expressions verbatim wherever the statistic exists (so quantized
+    // artifact probabilities match the inline recursion bit-for-bit),
+    // with the two genuine-miss completions the ARPA walk itself uses:
+    // a context with no level-j statistic passes P_{j-1} through
+    // unchanged (absent bow = multiplier 1) and a word with no
+    // continuation count bottoms out at the 1e-99 zeroprob
+    def pSafe(k: Int): Column = {
+      var p: Column = when(col("ck1").isNotNull,
+          col("ck1").cast("double") / col("cktot").cast("double"))
+        .otherwise(lit(1e-99))
       for (j <- 2 to k)
-        p = greatest(col(s"ck$j").cast("double") - d, lit(0.0)) /
-              col(s"ctot$j").cast("double") +
+        p = when(col(s"ctot$j").isNotNull,
+            greatest(coalesce(col(s"ck$j"), lit(0L)).cast("double") - d,
+              lit(0.0)) / col(s"ctot$j").cast("double") +
             ((d * col(s"nf$j").cast("double")) /
-              col(s"ctot$j").cast("double")) * p
+              col(s"ctot$j").cast("double")) * p)
+          .otherwise(p)
       p
     }
-    // backoff-weight source for level k: the contexts of level k+1
-    // (hTop for the top, hist(k+1) below), keys SHIFTED one position
-    // right into level k's gram columns
+    // backoff-weight source for level k (UNPRUNED closed form): the
+    // contexts of level k+1 (hTop for the top, hist(k+1) below), keys
+    // SHIFTED one position right into level k's gram columns
     def bowSrc(k: Int): DataFrame = {
       val (src, totCol, nfCol, srcKeys) =
         if (k == n - 1) (hTop, "cHist", "nTopF", ws.init)
@@ -1213,26 +1266,47 @@ object TextOps {
         round(log10((d * col("bnf").cast("double")) /
           col("btot").cast("double")), 9))
       .otherwise(lit(0.0))
-    // level 1: full vocabulary (any position of any n-gram)
-    val level1 = {
-      val vocab = tn.select(explode(array(ws.map(col): _*)).as(ws.last))
-        .distinct()
-      vocab.join(conts(1), Seq(ws.last), "left")
-        .crossJoin(broadcast(tot))
-        .join(bowSrc(1), Seq(ws.last), "left")
-        .select(array(col(ws.last)).as("gram"),
-          when(col("ck1").isNotNull,
-            round(log10(col("ck1").cast("double") /
-              col("cktot").cast("double")), 9))
-            .otherwise(lit(-99.0)).as("lp"),
-          lbowCol.as("lbow"))
+    // kept-gram key sets per level, TOP-DOWN: threshold survivors plus
+    // the context/suffix closure of the level above (contexts carry
+    // the backoff weight, suffixes are where the walk lands) — only
+    // materialized when pruning is active
+    val keptKeys = scala.collection.mutable.Map[Int, DataFrame]()
+    if (pruning) {
+      keptKeys(n) = tn.filter(col("cN") >= thr(n - 1))
+        .select(ws.map(col): _*)
+      for (k <- (n - 1) to 2 by -1) {
+        val gramCols = ws.takeRight(k)
+        val up = keptKeys(k + 1)
+        val base = conts(k).filter(col(s"ck$k") >= thr(k - 1))
+          .select(gramCols.map(col): _*)
+        val ctx = up.select(ws.takeRight(k + 1).init.zip(gramCols)
+          .map { case (s0, d0) => col(s0).as(d0) }: _*)
+        val suf = up.select(gramCols.map(col): _*)
+        keptKeys(k) = base.unionByName(ctx).unionByName(suf).distinct()
+      }
     }
-    // levels 2..n-1: continuation grams ∪ level-(k+1) contexts
-    val mids = (2 to n - 1).map { k =>
+    // per-level LP frames keyed by word columns (bows attach below).
+    // level 1: full vocabulary (any position of any n-gram), never
+    // pruned
+    val vocab = tn.select(explode(array(ws.map(col): _*)).as(ws.last))
+      .distinct()
+    val lp1 = vocab.join(conts(1), Seq(ws.last), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(ws.last),
+        when(col("ck1").isNotNull,
+          round(log10(col("ck1").cast("double") /
+            col("cktot").cast("double")), 9))
+          .otherwise(lit(-99.0)).as("lp"))
+    // levels 2..n-1: kept grams (pruned) or continuation grams ∪
+    // level-(k+1) contexts (unpruned); every row carries a GENUINE
+    // probability via the null-safe fold — no -99 placeholders a
+    // conforming scorer would read as terminal
+    val lpMids = (2 to n - 1).map { k =>
       val gramCols = ws.takeRight(k)
-      val bows = bowSrc(k)
-      val rows = conts(k).select(gramCols.map(col): _*)
-        .unionByName(bows.select(gramCols.map(col): _*)).distinct()
+      val rows =
+        if (pruning) keptKeys(k)
+        else conts(k).select(gramCols.map(col): _*)
+          .unionByName(bowSrc(k).select(gramCols.map(col): _*)).distinct()
       var v = rows.join(conts(k), gramCols, "left")
         .join(hists(k), gramCols.init.toSeq, "left")
       for (j <- (k - 1) to 2 by -1)
@@ -1240,15 +1314,15 @@ object TextOps {
           .join(hists(j), ws.takeRight(j).init, "left")
       v = v.join(conts(1), Seq(ws.last), "left")
         .crossJoin(broadcast(tot))
-        .join(bows, gramCols.toSeq, "left")
-      v.select(array(gramCols.map(col): _*).as("gram"),
-        when(col(s"ck$k").isNotNull, round(log10(pUpTo(k)), 9))
-          .otherwise(lit(-99.0)).as("lp"),
-        lbowCol.as("lbow"))
-    }
-    // level n: observed n-grams with the full interpolated probability
-    val levelN = {
-      var v = tn.join(hTop, ws.init.toSeq)
+      k -> v.select(gramCols.map(col) :+
+        round(log10(pSafe(k)), 9).as("lp"): _*)
+    }.toMap
+    // level n: observed (kept) n-grams with the full interpolated
+    // probability
+    val lpN = {
+      val src = if (pruning) tn.join(keptKeys(n), ws.toSeq, "left_semi")
+                else tn
+      var v = src.join(hTop, ws.init.toSeq)
       for (k <- (n - 1) to 2 by -1)
         v = v.join(conts(k), ws.takeRight(k))
           .join(hists(k), ws.takeRight(k).init)
@@ -1256,11 +1330,54 @@ object TextOps {
       val pn = greatest(col("cN").cast("double") - d, lit(0.0)) /
             col("cHist").cast("double") +
           ((d * col("nTopF").cast("double")) /
-            col("cHist").cast("double")) * pUpTo(n - 1)
-      v.select(array(ws.map(col): _*).as("gram"),
-        round(log10(pn), 9).as("lp"), lit(0.0).as("lbow"))
+            col("cHist").cast("double")) * pSafe(n - 1)
+      v.select(ws.map(col) :+ round(log10(pn), 9).as("lp"): _*)
     }
-    (level1 +: mids) :+ levelN
+    def lpFrame(k: Int): DataFrame =
+      if (k == n) lpN else if (k == 1) lp1 else lpMids(k)
+    // bow attach per level k (1..n-1). Pruned: renormalized over the
+    // KEPT level-(k+1) mass, both sums 9-dp-quantized through the
+    // exact decimal route (order-invariant, oracle-replayable);
+    // degenerate contexts (quantized kept mass rounding to >= 1) clamp
+    // to bow 0 = multiplier 1, the SRILM recompute-BOW clamp.
+    // Unpruned: the historical closed form, bit-identical artifacts.
+    def withBow(k: Int): DataFrame = {
+      val gramCols = ws.takeRight(k)
+      val lpK = lpFrame(k)
+      val bowed =
+        if (!pruning) lpK.join(bowSrc(k), gramCols.toSeq, "left")
+          .select(gramCols.map(col) :+ col("lp") :+ lbowCol.as("lbow"): _*)
+        else {
+          val upCols = ws.takeRight(k + 1)
+          val ctxAs = upCols.init.zip(gramCols)
+            .map { case (s0, d0) => col(s0).as(d0) }
+          val up = lpFrame(k + 1)
+          val pq = round(pow(lit(10.0), col("lp")), 9)
+          val hi = up.select(ctxAs :+ pq.as("pq"): _*)
+            .groupBy(gramCols.map(col): _*)
+            .agg(graft.ops.Stable.sumD(col("pq"), 18).as("shi"))
+          val lo = up.select(upCols.map(col): _*)
+            .join(lpK.select(gramCols.map(col) :+
+              col("lp").as("lp_suf"): _*), gramCols.toSeq)
+            .select(ctxAs :+
+              round(pow(lit(10.0), col("lp_suf")), 9).as("pql"): _*)
+            .groupBy(gramCols.map(col): _*)
+            .agg(graft.ops.Stable.sumD(col("pql"), 18).as("slo"))
+          lpK.join(hi, gramCols.toSeq, "left")
+            .join(lo, gramCols.toSeq, "left")
+            .select(gramCols.map(col) :+ col("lp") :+
+              when(col("shi").isNotNull &&
+                  lit(1.0) - col("shi") > 0 && lit(1.0) - col("slo") > 0,
+                round(log10((lit(1.0) - col("shi")) /
+                  (lit(1.0) - col("slo"))), 9))
+                .otherwise(lit(0.0)).as("lbow"): _*)
+        }
+      bowed.select(array(gramCols.map(col): _*).as("gram"),
+        col("lp"), col("lbow"))
+    }
+    val levelN = lpN.select(array(ws.map(col): _*).as("gram"),
+      col("lp"), lit(0.0).as("lbow"))
+    ((1 to n - 1).map(withBow) :+ levelN)
   }
 
   /** Score documents from a STORED ARPA model of ANY order — the x144
@@ -1272,10 +1389,21 @@ object TextOps {
     * broadcast literal frames into one scan-stage join cascade — the
     * inline/stored pair differs ONLY by the 9-dp artifact
     * quantization (ArpaSpec pins the relative gap). Backoff logs are
-    * ADDED then exponentiated ONCE, and a present-branch probability
-    * whose 9-dp round floors to exact 0 (possible below 5e-10 on real
-    * corpora) falls back to the unquantized `10^lp` instead of
-    * poisoning the inverse-probability score with Infinity. */
+    * ADDED then exponentiated ONCE; BOTH branches publish the
+    * probability through the artifact's 9-dp round (pow over summed
+    * logs is a libm call — unquantized it leaks cross-engine ulps
+    * into the score), and a probability whose 9-dp round floors to
+    * exact 0 (possible below 5e-10 on real corpora) falls back to the
+    * raw `10^lp` instead of poisoning the inverse-probability score
+    * with Infinity.
+    *
+    * Models trained with a vocabulary cap carry `<unk>` in their
+    * unigram section; when present, every scored token OUTSIDE the
+    * model vocabulary maps to `<unk>` before lookup — the KenLM query
+    * convention, and the inverse of the training-side cap, so a
+    * capped model scores its own training corpus through the present
+    * path rather than raining −99 zeroprobs. Models without `<unk>`
+    * take the unmapped path unchanged. */
   def knScoreStoredArpa(spark: org.apache.spark.sql.SparkSession,
                         docs: DataFrame, arpaPath: String,
                         textCol: String = "text",
@@ -1294,6 +1422,7 @@ object TextOps {
         .map { case (gr, (lp, bow)) => (gr.mkString(" "), lp, bow) }
         .toDF(s"key$k", s"lp$k", s"bow$k"))
     }
+    val hasUnk = m.grams(0).contains(Vector("<unk>"))
     val toks = filter(tokens(col(textCol)), t => length(t) > 0)
     val nTok = size(toks)
     var occ = docs.select(col(idCol),
@@ -1302,6 +1431,21 @@ object TextOps {
           .as("g"))
       .select(col(idCol) +:
         (0 until n).map(i => col(s"g.$i").as(s"w${i + 1}")): _*)
+    if (hasUnk) {
+      // the model vocabulary (unigram section — bounded by the cap
+      // that produced it) rides a broadcast into n map-side left
+      // joins; out-of-vocabulary words become <unk> BEFORE lookups,
+      // mirroring the builder's pre-census cap joins
+      val vocabDf = m.grams(0).keys.map(_.head).toSeq.toDF("kw")
+      for (i <- 1 to n) {
+        val ki = broadcast(vocabDf.select(col("kw").as(s"kw$i")))
+        occ = occ
+          .join(ki, col(s"w$i") === col(s"kw$i"), "left")
+          .withColumn(s"w$i", coalesce(col(s"kw$i"), lit("<unk>")))
+          .drop(s"kw$i")
+      }
+    }
+    occ = occ
       .groupBy(col(idCol) +: ws.map(col): _*)
       .agg(count(lit(1)).as("m"))
     // gram lookups: suffix of length k; context lookups: the k words
@@ -1322,12 +1466,18 @@ object TextOps {
       lg = when(col(s"lp$k").isNotNull, col(s"lp$k"))
         .otherwise(coalesce(col(s"cbow${k - 1}"), lit(0.0)) + lg)
     val backLog = coalesce(col(s"cbow${n - 1}"), lit(0.0)) + lg
+    // BOTH branches publish through the artifact's 9-dp quantization
+    // (with the zero-floor raw fallback): the backoff product is a
+    // pow() over summed logs, and an unquantized pow leaks cross-
+    // engine libm ulps straight into the score hash
     val pqr = round(pow(lit(10.0), col(s"lp$n")), 9)
+    val bqr = round(pow(lit(10.0), backLog), 9)
     val pq = occ.withColumn("pq",
         when(col(s"lp$n").isNotNull,
           when(pqr > lit(0.0), pqr)
             .otherwise(pow(lit(10.0), col(s"lp$n"))))
-        .otherwise(pow(lit(10.0), backLog)))
+        .otherwise(when(bqr > lit(0.0), bqr)
+          .otherwise(pow(lit(10.0), backLog))))
       .withColumn("val", col("m").cast("double") / col("pq"))
     val (cntName, scoreName) =
       if (n == 2) ("n_bigrams", "kn_score_q")

@@ -367,10 +367,19 @@ object StreamingOps {
     * the stages 5+ (near-dup, DSIR, pack, export) are corpus-level by
     * nature and stay with the batch job — [[streamingIngestGate]]
     * covers their per-arrival probes. StreamingSpec pins the streamed
-    * prefix ≡ batch s4 on the same documents. */
+    * prefix ≡ batch s4 on the same documents.
+    *
+    * `c4MinWordsPerLine > 0` folds the x215 C4 cleaning rules
+    * ([[graft.ext.Curation.c4LineFilters]]) in as a FIFTH stage over
+    * the censored text: pure per-row algebra AFTER the composition's
+    * one stateful aggregation, so the stream shape is unchanged —
+    * page-level failures drop, survivors emit the C4-cleaned text and
+    * the C4 stage's line counts in the same five-column schema
+    * (StreamingSpec pins ≡ the batch s4→C4 composition). */
   def streamingCorpusGate(docStream: DataFrame, rules: DataFrame,
                           boiler: DataFrame, minWords: Long = 50L,
-                          reline: Column => Column = identity)
+                          reline: Column => Column = identity,
+                          c4MinWordsPerLine: Int = 0)
       : DataFrame = {
     val s1 = graft.ext.UrlOps.robotsAllowedOnlyByPath(docStream, rules)
       .select("doc_id", "source", "text")
@@ -382,9 +391,80 @@ object StreamingOps {
       .filter(col("n_kept") > 0)
       .select("doc_id", "source", "text", "n_lines", "n_kept")
     val sig = graft.ext.TextOps.gopherSignals(col("text")).toMap
-    s3.filter(sig("n_words") >= minWords && sig("n_words") <= 100000L &&
+    val s4 = s3.filter(sig("n_words") >= minWords &&
+      sig("n_words") <= 100000L &&
       sig("r_mean_word_len") && sig("r_symbol_ratio") &&
       sig("r_alpha_words") && sig("r_stopwords"))
+    if (c4MinWordsPerLine <= 0) s4
+    else graft.ext.Curation.c4LineFilters(s4,
+        minWordsPerLine = c4MinWordsPerLine,
+        passthrough = Seq("source"))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("source"),
+        col("clean_text").as("text"), col("n_lines"), col("n_kept"))
+  }
+
+  /** Streaming SPAN-level benchmark decontamination — the x218 gate
+    * at the ingest door. Same semantics as
+    * [[graft.ext.Curation.decontaminateSpans]] (every arriving row
+    * survives; exactly the token spans whose k-gram windows appear in
+    * the static benchmark set strip out), re-expressed in the ONE
+    * stream-legal shape: the doc-keyed island-merge WINDOW of the
+    * batch strip tail is a window function (illegal on a stream), so
+    * here the benchmark-hit positions gather through the query's one
+    * stateful aggregation (`collect_list` per doc — bounded by the
+    * doc's window count) and the islands merge in a sorted column-
+    * algebra fold with the identical `pos − prev ≤ k` rule. The
+    * benchmark side is eval-sized and broadcasts; the mark join is a
+    * stateless stream-static left join. StreamingSpec pins streamed ≡
+    * batch on the x218 fixture. */
+  def streamingDecontamGate(docStream: DataFrame, benchmark: DataFrame,
+                            shingleK: Int = 3): DataFrame = {
+    val bset = benchmark.select(
+        explode(graft.functions.ShingleHashesAll(col("text"), shingleK))
+          .as("wh"))
+      .distinct().withColumn("hit", lit(true))
+    // posexplode_outer keeps window-less docs (short texts) flowing
+    val base = docStream.select(col("doc_id"), col("text"),
+      posexplode_outer(
+        graft.functions.ShingleHashesAll(col("text"), shingleK))
+        .as(Seq("pos", "wh")))
+    val marked = base.join(broadcast(bset), Seq("wh"), "left")
+    val agg = marked.groupBy("doc_id")
+      .agg(first(col("text")).as("text"),
+        sort_array(collect_list(when(col("hit"), col("pos"))))
+          .as("rps"))
+    // gaps-and-islands as a fold over the sorted hit positions — the
+    // batch rule verbatim (break when pos − prev > k; span end =
+    // island's last pos + k − 1), no window function anywhere
+    val spans = expr(s"""
+      aggregate(rps,
+        named_struct(
+          'sp', cast(array() as array<struct<s: int, e: int>>),
+          'prev', -${shingleK + 1}),
+        (acc, p) -> if(size(acc.sp) > 0 and p - acc.prev <= $shingleK,
+          named_struct(
+            'sp', concat(slice(acc.sp, 1, size(acc.sp) - 1),
+              array(named_struct('s', element_at(acc.sp, -1).s,
+                'e', p + ${shingleK - 1}))),
+            'prev', p),
+          named_struct(
+            'sp', concat(acc.sp,
+              array(named_struct('s', p, 'e', p + ${shingleK - 1}))),
+            'prev', p)),
+        acc -> acc.sp)""")
+    val toks = graft.functions.TokenSplit(col("text"))
+    agg.withColumn("spans", spans)
+      .withColumn("kept",
+        filter(transform(toks, (t, i) => struct(i.as("i"), t.as("t"))),
+          s => !exists(col("spans"),
+            x => s.getField("i").between(x.getField("s"),
+              x.getField("e"))))
+          .getField("t"))
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (size(toks) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("text"))
   }
 
   /** Streaming SHARD MANIFEST: the dataset-versioning digests

@@ -93,8 +93,8 @@ class ArpaSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val got = graft.ext.TextOps.knScoreStoredArpa(spark, held, path)
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
-    val expected =
-      1.0 / math.pow(10.0, m.unigrams("dog")._2 + m.unigrams("ran")._1)
+    val expected = 1.0 / Arpa.q9(
+      math.pow(10.0, m.unigrams("dog")._2 + m.unigrams("ran")._1))
     assert(math.abs(got(9L) - expected) < 1e-9,
       s"backoff score ${got(9L)} vs $expected")
     // unseen w2 falls to the -99 zeroprob -> enormous inverse
@@ -141,6 +141,128 @@ class ArpaSpec extends AnyFunSuite {
     m.grams(4).keys.foreach { g =>
       assert(m.grams(3).contains(g.take(4)), s"missing context ${g.take(4)}")
     }
+  }
+
+  test("context-only mid-level grams carry GENUINE backoff-" +
+    "interpolated probabilities, and a held-out walk terminating on " +
+    "one scores it, not a -99 placeholder") {
+    import spark.implicits._
+    // doc-head construction: the bigram (q, r) is the CONTEXT of the
+    // trigram (q, r, s) but never a trigram suffix — the row class the
+    // old builder wrote as lp = -99, which any conforming ARPA scorer
+    // reads as TERMINAL. Docs 2/3 give both its words real statistics
+    // ("r" a continuation word via (x, r), "q" a continuation-bigram
+    // head via (q, p)) so the genuine value is nontrivial:
+    // P(r|q) = (d·N1+(q·)/ctot(q)) · P1(r) > 1e-99
+    val train = Seq(
+      (1L, "q r s t u"), (2L, "z x r y w"), (3L, "m n q p o"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("arpa_ctx")
+      .resolve("m.arpa").toString
+    Arpa.writeLevels(path, graft.ext.TextOps.knArpaLevels(train, order = 3))
+    val m = Arpa.read(path)
+    val lpQR = m.grams(1)(Vector("q", "r"))._1
+    assert(lpQR > -99.0 && lpQR < 0.0,
+      s"context-only bigram (q,r) should carry a genuine lp, got $lpQR")
+    // held-out "x q r": the trigram (x,q,r) is unseen, the context
+    // (x,q) is unstored (bow 1), so the walk must terminate exactly at
+    // the stored (q,r) entry -> score = 1 / 10^lp(q,r)
+    val held = Seq((9L, "x q r")).toDF("doc_id", "text")
+    val got = graft.ext.TextOps.knScoreStoredArpa(spark, held, path)
+      .collect().head.getDouble(2)
+    val expected = 1.0 / Arpa.q9(math.pow(10.0, lpQR))
+    assert(math.abs(got - expected) / expected < 1e-9,
+      s"held-out walk scored $got, expected $expected")
+    assert(got < 1e9, "a -99 placeholder would blow the inverse up")
+  }
+
+  test("count pruning: order-5 fixture round-trips, closure holds, " +
+    "and backoff weights renormalize over the kept mass") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat ran off the mat"),
+      (2L, "a dog sat on a log and a dog ran off a log"),
+      (3L, "the cat sat on the log and the dog sat on the mat"),
+      (4L, "the cat sat on the mat and the dog sat on the log"))
+      .toDF("doc_id", "text")
+    val full = graft.ext.TextOps.knArpaLevels(docs, order = 5)
+    val pruned = graft.ext.TextOps.knArpaLevels(docs, order = 5,
+      prune = Seq(1, 1, 2, 2, 2))
+    val dir = java.nio.file.Files.createTempDirectory("arpa_prune")
+    val path = dir.resolve("m.arpa").toString
+    Arpa.writeLevels(path, pruned)
+    val m = Arpa.read(path)
+    assert(m.order == 5)
+    // round trip: streamed write == driver render of the parsed model
+    assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8) == Arpa.render(m))
+    // pruning bit: the top level shrank (singleton 5-grams dropped)
+    assert(m.grams(4).size < full(4).count(),
+      "prune=2 at the top level should drop singleton 5-grams")
+    assert(m.grams(4).nonEmpty, "repeated 5-grams must survive")
+    // ARPA validity closure: every level-k entry's context and suffix
+    // are stored one level down (context carries the bow, the walk
+    // lands on the suffix)
+    for (k <- 2 to 5; g <- m.grams(k - 1).keys) {
+      assert(m.grams(k - 2).contains(g.init),
+        s"missing context ${g.init} of level-$k $g")
+      assert(m.grams(k - 2).contains(g.tail),
+        s"missing suffix ${g.tail} of level-$k $g")
+    }
+    // renormalization: for every context of kept level-(k+1) grams,
+    // bow == (1 - sum kept quantized p) / (1 - sum kept lower p),
+    // both sums over exact decimals (the engine's decimal route)
+    def q9(x: Double) = Arpa.q9(x)
+    for (k <- 1 to 4) {
+      val up = m.grams(k).toSeq
+      val byCtx = up.groupBy(_._1.init)
+      byCtx.foreach { case (ctx, entries) =>
+        val shi = entries.map { case (_, (lp, _)) =>
+          BigDecimal(q9(math.pow(10.0, lp))) }.sum
+        val slo = entries.map { case (g, _) =>
+          BigDecimal(q9(math.pow(10.0, m.grams(k - 1)(g.tail)._1))) }.sum
+        val stored = m.grams(k - 1)(ctx)._2
+        if (shi < 1 && slo < 1) {
+          val want = q9(math.log10(
+            ((BigDecimal(1) - shi) / (BigDecimal(1) - slo)).toDouble))
+          assert(math.abs(stored - want) < 2e-9,
+            s"level-$k ctx $ctx bow $stored, want $want")
+        } else assert(stored == 0.0,
+          s"degenerate ctx $ctx must clamp to bow 0")
+      }
+    }
+    // the pruned model still scores its training corpus: backoff walks
+    // through pruned grams land on genuine entries, never a blowup
+    val got = graft.ext.TextOps.knScoreStoredArpa(spark, docs, path)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.size == 4)
+    got.values.foreach(v => assert(v > 0 && v < 1e9, s"score $v"))
+  }
+
+  test("capped + pruned model: <unk> mapping at score time routes " +
+    "OOV words through the present path") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta gamma alpha beta"),
+      (2L, "beta gamma delta beta gamma delta beta gamma"),
+      (3L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("arpa_capprune")
+    val path = dir.resolve("m.arpa").toString
+    Arpa.writeLevels(path, graft.ext.TextOps.knArpaLevels(docs, order = 3,
+      vocabSize = 4, prune = Seq(1, 1, 2)))
+    val m = Arpa.read(path)
+    assert(m.grams(0).contains(Vector("<unk>")))
+    // every stored word is either kept vocabulary or <unk>
+    assert(m.grams(2).keys.flatten.toSet.subsetOf(
+      m.grams(0).keys.map(_.head).toSet))
+    val got = graft.ext.TextOps.knScoreStoredArpa(spark, docs, path)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.size == 3)
+    // doc 3 is pure Zipf tail -> all <unk>; with mapping its grams hit
+    // stored entries, so the inverse-probability mean stays bounded
+    got.values.foreach(v => assert(v > 0 && v < 1e9, s"score $v"))
   }
 
   test("vocab cap: <unk> absorbs the Zipf tail ahead of the census " +

@@ -755,5 +755,98 @@ class StreamingSpec extends AnyFunSuite {
     // all four gates bit on this fixture: the prefix is smaller than
     // the corpus but non-trivial
     assert(s.size < 500)
+
+    // the C4-folded gate (fifth stage, stateless after the one
+    // aggregation) equals the batch s4 -> c4LineFilters composition
+    val batchC4 = graft.ext.Curation.c4LineFilters(batchS4,
+        minWordsPerLine = 2, passthrough = Seq("source"))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("source"),
+        col("clean_text").as("text"), col("n_lines"), col("n_kept"))
+    val streamedC4 = StreamingOps.runBounded(spark,
+      StreamingOps.streamingCorpusGate(withUrls, rules, boiler,
+        minWords = 20L, reline = _ => reline(col("text")),
+        c4MinWordsPerLine = 2),
+      "corpus_gate_c4_test", OutputMode.Complete())
+    val sc4 = streamedC4.collect().map(_.toSeq).toSet
+    val bc4 = batchC4.collect().map(_.toSeq).toSet
+    assert(sc4 == bc4, s"C4 stream ${sc4.size} vs batch ${bc4.size}")
+    // the synthetic corpus carries no terminal punctuation, so the C4
+    // sentence rule legitimately drops every page here — the folded
+    // stage and the batch composition must agree on exactly that; the
+    // keep/drop split is exercised on the punctuated fixture below
+    assert(sc4.size < s.size)
+  }
+
+  test("C4-folded corpus gate: the fifth stage keeps punctuated pages " +
+    "and drops C4 failures, stream equals the batch composition") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over to the lazy dog."
+    val docs = Seq(
+      (1L, "srcA", Seq(good, good, good, good).mkString("\n")),
+      (2L, "srcA", // no terminal punctuation -> 0 kept lines
+        Seq.fill(4)(good.stripSuffix(".")).mkString("\n")),
+      (3L, "srcA", // page-level phrase tell
+        Seq(good, good, good, "and lorem ipsum filler text here.")
+          .mkString("\n")),
+      (4L, "srcA", // code tell
+        Seq(good, good, good, "the brace token { appears here.")
+          .mkString("\n")),
+      (5L, "srcA", // only 2 kept lines < minKeptLines
+        Seq(good, good).mkString("\n")))
+      .toDF("doc_id", "source", "text")
+      .withColumn("domain", lit("d.com"))
+      .withColumn("path", concat(lit("/p"), col("doc_id")))
+    val rules = graft.ext.UrlOps.parseRobots(
+      Seq(("d.com", "User-agent: *\nAllow: /")).toDF("domain", "robots_txt"))
+      .localCheckpoint(true)
+    val boiler = Seq.empty[Long].toDF("h") // nothing is boilerplate
+    // batch twin: the s1-s4 stages (same DataFrame program on a batch
+    // frame) composed with the batch c4LineFilters
+    val batchS4 = StreamingOps.streamingCorpusGate(docs, rules, boiler,
+      minWords = 5L)
+    val batchC4 = graft.ext.Curation.c4LineFilters(batchS4,
+        minWordsPerLine = 2, passthrough = Seq("source"))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("source"),
+        col("clean_text").as("text"), col("n_lines"), col("n_kept"))
+    val dir = java.nio.file.Files.createTempDirectory("c4gate")
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val docsStream = spark.readStream.schema(docs.schema)
+      .parquet(s"$dir/documents.parquet")
+    val streamed = StreamingOps.runBounded(spark,
+      StreamingOps.streamingCorpusGate(docsStream, rules, boiler,
+        minWords = 5L, c4MinWordsPerLine = 2),
+      "c4_fold_test", OutputMode.Complete())
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batchC4.collect().map(_.toSeq).toSet
+    assert(s == b, s"stream $s vs batch $b")
+    // exactly doc 1 survives: 2 fails the sentence rule, 3/4 the page
+    // tells, 5 the minKeptLines floor
+    assert(s.map(_.head) == Set(1L), s"survivors $s")
+  }
+
+  test("streaming span decontamination: the window-free island fold " +
+    "equals the batch x218 strip on every document") {
+    val dir = "/root/testdata/sf0.001"
+    val docsBatch = graft.Tables.documents(spark, dir)
+    val bench = docsBatch.filter(col("source") === "src0")
+    val batch = graft.ext.Curation.decontaminateSpans(
+      docsBatch.filter(col("source") =!= "src0"), bench, shingleK = 3)
+    val docsStream = spark.readStream.schema(docsBatch.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val streamed = StreamingOps.runBounded(spark,
+      StreamingOps.streamingDecontamGate(
+        docsStream.filter(col("source") =!= "src0"),
+        bench.localCheckpoint(true), shingleK = 3),
+      "decontam_gate_test", OutputMode.Complete())
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b && s.nonEmpty, s"stream ${s.size} vs batch ${b.size}")
+    // the gate bites: some docs lose spans, all docs survive
+    assert(streamed.filter(col("n_removed") > 0).count() > 0)
+    assert(streamed.count() ==
+      docsBatch.filter(col("source") =!= "src0").count())
   }
 }
