@@ -410,7 +410,9 @@ object Graph {
     * cached once; each half-round is one edge equi-join + one
     * partial+final agg on the receiving key; no driver collect, no
     * normalization aggregate at all (mass conservation replaces it);
-    * both vectors eagerly localCheckpoint'ed. Per-edge division before
+    * ONE eager localCheckpoint per round (auth — the vector two
+    * consumers read; hub is single-consumer and rides inside the auth
+    * plan un-materialized). Per-edge division before
     * the decimal-routed sum, so rounds replay bit-for-bit cross-engine.
     * Returns `(node, hub, auth)` over all nodes (0.0 on the missing
     * side). */
@@ -431,11 +433,16 @@ object Graph {
         (lit(1.0) / lit(nAuth.toDouble)).as("auth"))
       .localCheckpoint(true)
     var hub: DataFrame = null
+    // checkpoint discipline: each hub vector is consumed EXACTLY once
+    // (the auth half-round below it; the final hub once by the output
+    // join), so hub rides INSIDE auth's round plan un-materialized —
+    // lineage stays bounded because auth checkpoints every round.
+    // Eagerly materializing hub too (the historical form) paid 2×iters
+    // blocking barriers for vectors nothing reads twice.
     for (_ <- 1 to iters) {
       hub = propagate(ed, auth, "dst", "src",
           col("auth") / col("indeg").cast("double"))
         .select(col("src").as("node"), col("v").as("hub"))
-        .localCheckpoint(true)
       auth = propagate(ed, hub, "src", "dst",
           col("hub") / col("outdeg").cast("double"))
         .select(col("dst").as("node"), col("v").as("auth"))
