@@ -2270,6 +2270,27 @@ object SparkEntry {
         docs, scoreCol = "kn5_score_q", cntCol = "n_ngrams")
     }),
 
+    // x222 — Moore-Lewis cross-entropy difference selection (Moore &
+    // Lewis 2010): the classical domain-selection tier — an in-domain
+    // (src0) capped bigram ARPA and a general one (whole corpus, same
+    // cap) both train/write/reload, every document scores under both
+    // through the LOG-domain walk (pure rational arithmetic — no
+    // pow/log in the scoring path), ml = H_general − H_target, and
+    // the deterministic top-100 marks `selected`.
+    "x222_moore_lewis" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dirT = storedDir("arpa_mlt", d)(p =>
+        graft.sources.Arpa.writeLevels(s"$p/m.arpa",
+          ext.TextOps.knArpaLevels(
+            docs.filter(col("source") === "src0"), order = 2,
+            vocabSize = 128)))
+      val dirG = storedDir("arpa_mlg", d)(p =>
+        graft.sources.Arpa.writeLevels(s"$p/m.arpa",
+          ext.TextOps.knArpaLevels(docs, order = 2, vocabSize = 128)))
+      ext.TextOps.mooreLewisSelect(s, docs, s"$dirT/m.arpa",
+        s"$dirG/m.arpa", selectK = 100)
+    }),
+
     // x215 — C4 cleaning rules (Raffel et al. 2020 §2.2) over a
     // planted line structure: terminal-punctuation lines (doc+line
     // keyed plant), a javascript boilerplate plant (mod 11), lorem
@@ -5027,6 +5048,97 @@ object SparkEntry {
        |       list_reduce(list(val ORDER BY $wsList), (a, b) -> a + b)
        |         / CAST(SUM(m) AS BIGINT) AS $scoreCol
        |FROM valued GROUP BY doc_id""".stripMargin
+  }
+
+  /** ONE capped-bigram-ARPA LOG-scoring chain for x222's oracle,
+    * CTE-name-prefixed so the target and general models coexist in a
+    * single WITH: top-V keep over the TRAIN table, <unk>-mapped
+    * census, quantized level-1/2 probabilities + closed-form bows,
+    * then every document of the SCORING stream (model-vocab-mapped)
+    * walked in the log domain — `lg` is the stored lp on a hit, the
+    * summed backoff logs on a miss, no pow() anywhere — into the
+    * decimal-routed per-doc mean. Ends at `${pfx}h(doc_id, n, h10)`. */
+  private def bigramArpaLogCtes(pfx: String, trainTok: String,
+                                v: Int): String = {
+    val p2 = """(GREATEST(CAST(c.c2 AS DOUBLE) - 0.75, 0.0)
+              / CAST(h.c1 AS DOUBLE)
+            + ((0.75 * CAST(h.n1f AS DOUBLE))
+               / CAST(h.c1 AS DOUBLE))
+              * (CAST(p.n1p AS DOUBLE) / CAST(tt.n1tot AS DOUBLE)))"""
+    s"""${pfx}wc AS (SELECT u.t AS w, CAST(COUNT(*) AS BIGINT) AS c
+              FROM $trainTok, unnest(ts) AS u(t) GROUP BY 1),
+       ${pfx}kl AS (SELECT list(w) AS kws FROM
+                (SELECT w FROM ${pfx}wc ORDER BY c DESC, w ASC LIMIT $v)),
+       ${pfx}tokm AS MATERIALIZED (
+         SELECT doc_id, list_transform(ts, t ->
+           CASE WHEN list_contains(${pfx}kl.kws, t)
+                THEN t ELSE '<unk>' END) AS ts
+         FROM $trainTok CROSS JOIN ${pfx}kl),
+       ${pfx}c2t AS MATERIALIZED (
+         SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+         FROM (SELECT bg[1] AS w1, bg[2] AS w2
+               FROM (SELECT unnest(list_transform(range(1, len(ts)), i ->
+                       [ts[CAST(i AS INTEGER)],
+                        ts[CAST(i + 1 AS INTEGER)]])) AS bg
+                     FROM ${pfx}tokm))
+         GROUP BY 1, 2),
+       ${pfx}h1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+                     CAST(COUNT(*) AS BIGINT) AS n1f
+              FROM ${pfx}c2t GROUP BY 1),
+       ${pfx}p2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p
+              FROM ${pfx}c2t GROUP BY 1),
+       ${pfx}tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1tot
+              FROM ${pfx}c2t),
+       ${pfx}l2 AS MATERIALIZED (
+         SELECT c.w1, c.w2, round(log10($p2), 9) AS lp
+         FROM ${pfx}c2t c
+         JOIN ${pfx}h1 h ON h.w1 = c.w1
+         JOIN ${pfx}p2 p ON p.w2 = c.w2
+         CROSS JOIN ${pfx}tt tt),
+       ${pfx}v1 AS MATERIALIZED (
+         SELECT DISTINCT w FROM (
+           SELECT w1 AS w FROM ${pfx}c2t
+           UNION ALL SELECT w2 FROM ${pfx}c2t)),
+       ${pfx}l1 AS MATERIALIZED (
+         SELECT v.w,
+                CASE WHEN p.n1p IS NOT NULL
+                     THEN round(log10(CAST(p.n1p AS DOUBLE)
+                                      / CAST(tt.n1tot AS DOUBLE)), 9)
+                     ELSE -99.0 END AS lp,
+                CASE WHEN h.c1 IS NOT NULL
+                     THEN round(log10((0.75 * CAST(h.n1f AS DOUBLE))
+                                      / CAST(h.c1 AS DOUBLE)), 9)
+                     ELSE 0.0 END AS bow
+         FROM ${pfx}v1 v
+         LEFT JOIN ${pfx}p2 p ON p.w2 = v.w
+         LEFT JOIN ${pfx}h1 h ON h.w1 = v.w
+         CROSS JOIN ${pfx}tt tt),
+       ${pfx}vl AS (SELECT list(w) AS vws FROM ${pfx}v1),
+       ${pfx}occ AS MATERIALIZED (
+         SELECT doc_id, w1, w2, COUNT(*) AS m
+         FROM (SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+               FROM (SELECT t0.doc_id,
+                            unnest(list_transform(range(1, len(ms)), i ->
+                       [ms[CAST(i AS INTEGER)],
+                        ms[CAST(i + 1 AS INTEGER)]])) AS bg
+                     FROM (SELECT doc_id, list_transform(ts, t ->
+                             CASE WHEN list_contains(${pfx}vl.vws, t)
+                                  THEN t ELSE '<unk>' END) AS ms
+                           FROM tok0 CROSS JOIN ${pfx}vl) t0))
+         GROUP BY 1, 2, 3),
+       ${pfx}h AS (
+         SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n,
+                -CAST(CAST(SUM(m * CAST(round(
+                       (CASE WHEN s2.lp IS NOT NULL THEN s2.lp
+                             ELSE COALESCE(c1.bow, 0.0) +
+                                  COALESCE(s1.lp, -99.0) END) * 1e9)
+                       AS BIGINT)) AS BIGINT) AS DOUBLE)
+                  / CAST(SUM(m) AS BIGINT) / 1000000000.0 AS h10
+         FROM ${pfx}occ o
+         LEFT JOIN ${pfx}l2 s2 ON s2.w1 = o.w1 AND s2.w2 = o.w2
+         LEFT JOIN ${pfx}l1 s1 ON s1.w = o.w2
+         LEFT JOIN ${pfx}l1 c1 ON c1.w = o.w1
+         GROUP BY doc_id)"""
   }
 
   /** x220's oracle — the CAPPED + PRUNED order-3 stored-ARPA lifecycle
@@ -11301,6 +11413,34 @@ s6 AS (SELECT s5.* FROM s5 JOIN rk6 USING (doc_id)
     // (knPrunedArpaOracleSql) — a hash match proves both bounds AND
     // the backoff branch of the stored scorer end to end
     "x220_kn_arpa_pruned" -> knPrunedArpaOracleSql(64, 2, 2),
+
+    // x222 — two capped bigram-ARPA log chains (target trained on
+    // src0, general on the corpus — bigramArpaLogCtes twice under
+    // distinct prefixes), the cross-entropy difference, and the
+    // deterministic top-100 rank; the log-domain walk has no pow()
+    // so the whole replay is rational over 9-dp decimals
+    "x222_moore_lewis" ->
+      s"""WITH tok0 AS MATERIALIZED (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '\\s+'),
+             t -> length(t) > 0) AS ts
+           FROM documents),
+         tokt AS MATERIALIZED (
+           SELECT t0.* FROM tok0 t0
+           JOIN documents d USING (doc_id)
+           WHERE d.source = 'src0'),
+         ${bigramArpaLogCtes("t_", "tokt", 128)},
+         ${bigramArpaLogCtes("g_", "tok0", 128)},
+         ml AS (SELECT t.doc_id, t.n AS n_grams,
+                       t.h10 AS h_target, g.h10 AS h_general,
+                       g.h10 - t.h10 AS ml_score
+                FROM t_h t JOIN g_h g USING (doc_id)),
+         rk AS (SELECT *, row_number()
+                            OVER (ORDER BY ml_score DESC, doc_id) AS rn
+                FROM ml)
+         SELECT doc_id, n_grams, h_target, h_general, ml_score,
+                rn <= 100 AS selected
+         FROM rk""",
 
     // x168 — the full DSIR replay: per-token FNV fold (the x82 ASCII
     // two-byte trick), 2-gram polynomial combine (×1000003 mod 2⁶⁴),

@@ -1408,6 +1408,131 @@ object TextOps {
                         docs: DataFrame, arpaPath: String,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
+    val (occ, n) = arpaOccLookups(spark, docs, arpaPath, textCol, idCol)
+    val ws = (1 to n).map(i => s"w$i")
+    var lg: Column = coalesce(col("lp1"), lit(-99.0))
+    for (k <- 2 to n - 1)
+      lg = when(col(s"lp$k").isNotNull, col(s"lp$k"))
+        .otherwise(coalesce(col(s"cbow${k - 1}"), lit(0.0)) + lg)
+    val backLog = coalesce(col(s"cbow${n - 1}"), lit(0.0)) + lg
+    // BOTH branches publish through the artifact's 9-dp quantization
+    // (with the zero-floor raw fallback): the backoff product is a
+    // pow() over summed logs, and an unquantized pow leaks cross-
+    // engine libm ulps straight into the score hash
+    val pqr = round(pow(lit(10.0), col(s"lp$n")), 9)
+    val bqr = round(pow(lit(10.0), backLog), 9)
+    val pq = occ.withColumn("pq",
+        when(col(s"lp$n").isNotNull,
+          when(pqr > lit(0.0), pqr)
+            .otherwise(pow(lit(10.0), col(s"lp$n"))))
+        .otherwise(when(bqr > lit(0.0), bqr)
+          .otherwise(pow(lit(10.0), backLog))))
+      .withColumn("val", col("m").cast("double") / col("pq"))
+    val (cntName, scoreName) =
+      if (n == 2) ("n_bigrams", "kn_score_q")
+      else ("n_ngrams", s"kn${n}_score_q")
+    pq.groupBy(col(idCol)).agg(
+        sum("m").as(cntName),
+        aggregate(
+          array_sort(collect_list(struct(ws.map(col) :+ col("val"): _*))),
+          lit(0.0), (acc, x) => acc + x.getField("val")).as("val_sum"))
+      .select(col(idCol), col(cntName),
+        (col("val_sum") / col(cntName)).as(scoreName))
+  }
+
+  /** Per-gram LOG cross-entropy from a stored ARPA model — the LOG-
+    * DOMAIN twin of [[knScoreStoredArpa]] and the statistic data-
+    * selection methods actually subtract (Moore & Lewis 2010 select on
+    * cross-entropy DIFFERENCE; CCNet thresholds perplexity = the same
+    * quantity exponentiated). `h10 = −Σ m·log10 P / Σ m` where log10 P
+    * is the ARPA walk's own log: the stored `lp` when the gram is
+    * present, the SUMMED backoff logs on a miss — and every walk log
+    * is a 9-dp decimal (or a short sum of them), so the score rides
+    * the x204/x208 SCALED-INTEGER route: `round(lg·10⁹)` is an exact
+    * long (the product sits within 1e-5 of its integer), the per-doc
+    * sum `Σ m·lgi` is exact 64-bit arithmetic (overflow headroom:
+    * a 10⁶-gram doc of −99 floors is ~1e17 ≪ 2⁶³), and the only
+    * floating-point steps are two final divisions — deterministic
+    * cross-engine with NO pow()/log()/decimal-cast anywhere. */
+  def knCrossEntropyStoredArpa(spark: org.apache.spark.sql.SparkSession,
+                               docs: DataFrame, arpaPath: String,
+                               textCol: String = "text",
+                               idCol: String = "doc_id"): DataFrame = {
+    val (occ, n) = arpaOccLookups(spark, docs, arpaPath, textCol, idCol)
+    var lg: Column = coalesce(col("lp1"), lit(-99.0))
+    for (k <- 2 to n - 1)
+      lg = when(col(s"lp$k").isNotNull, col(s"lp$k"))
+        .otherwise(coalesce(col(s"cbow${k - 1}"), lit(0.0)) + lg)
+    val full = when(col(s"lp$n").isNotNull, col(s"lp$n"))
+      .otherwise(coalesce(col(s"cbow${n - 1}"), lit(0.0)) + lg)
+    val cntName = if (n == 2) "n_bigrams" else "n_ngrams"
+    val lgi = round(full * lit(1e9)).cast("long")
+    occ.withColumn("ti", col("m") * lgi)
+      .groupBy(col(idCol)).agg(
+        sum("m").as(cntName),
+        sum("ti").as("tsum"))
+      .select(col(idCol), col(cntName),
+        (-col("tsum").cast("double") / col(cntName) / lit(1e9))
+          .as("h10"))
+  }
+
+  /** Moore-Lewis cross-entropy difference selection (Moore & Lewis
+    * 2010, "Intelligent selection of language model training data") —
+    * THE classical domain-data-selection method, and the third
+    * selection tier next to [[dsirLlr]] (distribution matching on
+    * hashed features) and [[trainLogisticQuality]] (supervised
+    * quality): score every document under an in-domain (TARGET)
+    * language model and a GENERAL one, rank by
+    * `ml_score = H_general − H_target` (documents the target model
+    * finds easy relative to the general model look like the domain),
+    * and mark the deterministic top-K (score desc, id asc — the x168
+    * TakeOrderedAndProject cut, never a corpus sort).
+    *
+    * Both models are STORED ARPA artifacts ([[knArpaLevels]] →
+    * [[graft.sources.Arpa.writeLevels]] — train once per snapshot,
+    * score any stream), scored through the log-domain
+    * [[knCrossEntropyStoredArpa]], so the whole statistic is rational
+    * arithmetic over parsed 9-dp decimals — no transcendental call
+    * anywhere in the scoring path. Train the models with a `vocabSize`
+    * cap so OOV routes through `<unk>` (the Moore-Lewis paper's own
+    * out-of-vocabulary handling) rather than −99 zeroprobs dominating
+    * the difference.
+    *
+    * Shape at 100 TB: two broadcast-level scoring cascades + one
+    * doc-keyed join; the cut is a bounded top-K broadcast back as a
+    * membership flag. Docs too short to carry a gram drop (no
+    * features), as across the KN tier. */
+  def mooreLewisSelect(spark: org.apache.spark.sql.SparkSession,
+                       docs: DataFrame, targetArpa: String,
+                       generalArpa: String, selectK: Int,
+                       textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(selectK >= 1, s"need selectK >= 1: $selectK")
+    val ht = knCrossEntropyStoredArpa(spark, docs, targetArpa,
+      textCol, idCol).toDF(idCol, "n_grams", "h_target")
+    val hg = knCrossEntropyStoredArpa(spark, docs, generalArpa,
+      textCol, idCol).toDF(idCol, "ng2", "h_general")
+    val scored = ht.join(hg.select(col(idCol), col("h_general")),
+        Seq(idCol))
+      .withColumn("ml_score", col("h_general") - col("h_target"))
+    val cut = scored.orderBy(col("ml_score").desc, col(idCol))
+      .limit(selectK).select(col(idCol)).withColumn("sel", lit(true))
+    scored.join(broadcast(cut), Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"), col("h_target"),
+        col("h_general"), col("ml_score"),
+        coalesce(col("sel"), lit(false)).as("selected"))
+  }
+
+  /** The shared occurrence/lookup cascade of the stored-ARPA scorers:
+    * n-gram occurrences of `docs` (OOV mapped to `<unk>` when the
+    * model carries one), joined against the model's 2n−1 broadcast
+    * level frames — gram lookups `lp1..lpn` on every suffix length,
+    * context backoffs `cbow1..cbow(n−1)` on the windows ending at
+    * w_{n−1}. Returns the joined frame and the model order. */
+  private def arpaOccLookups(spark: org.apache.spark.sql.SparkSession,
+                             docs: DataFrame, arpaPath: String,
+                             textCol: String, idCol: String)
+  : (DataFrame, Int) = {
     import spark.implicits._
     val m = graft.sources.Arpa.read(arpaPath)
     val n = m.order
@@ -1461,34 +1586,7 @@ object TextOps {
           col(s"bow$k").as(s"cbow$k")),
         array_join(array(ws.slice(n - 1 - k, n - 1).map(col): _*), " ") ===
           col(s"bkey$k"), "left").drop(s"bkey$k")
-    var lg: Column = coalesce(col("lp1"), lit(-99.0))
-    for (k <- 2 to n - 1)
-      lg = when(col(s"lp$k").isNotNull, col(s"lp$k"))
-        .otherwise(coalesce(col(s"cbow${k - 1}"), lit(0.0)) + lg)
-    val backLog = coalesce(col(s"cbow${n - 1}"), lit(0.0)) + lg
-    // BOTH branches publish through the artifact's 9-dp quantization
-    // (with the zero-floor raw fallback): the backoff product is a
-    // pow() over summed logs, and an unquantized pow leaks cross-
-    // engine libm ulps straight into the score hash
-    val pqr = round(pow(lit(10.0), col(s"lp$n")), 9)
-    val bqr = round(pow(lit(10.0), backLog), 9)
-    val pq = occ.withColumn("pq",
-        when(col(s"lp$n").isNotNull,
-          when(pqr > lit(0.0), pqr)
-            .otherwise(pow(lit(10.0), col(s"lp$n"))))
-        .otherwise(when(bqr > lit(0.0), bqr)
-          .otherwise(pow(lit(10.0), backLog))))
-      .withColumn("val", col("m").cast("double") / col("pq"))
-    val (cntName, scoreName) =
-      if (n == 2) ("n_bigrams", "kn_score_q")
-      else ("n_ngrams", s"kn${n}_score_q")
-    pq.groupBy(col(idCol)).agg(
-        sum("m").as(cntName),
-        aggregate(
-          array_sort(collect_list(struct(ws.map(col) :+ col("val"): _*))),
-          lit(0.0), (acc, x) => acc + x.getField("val")).as("val_sum"))
-      .select(col(idCol), col(cntName),
-        (col("val_sum") / col(cntName)).as(scoreName))
+    (occ, n)
   }
 
   /** TRIGRAM interpolated Kneser-Ney (Chen & Goodman 1999 §3 — the

@@ -265,6 +265,65 @@ class ArpaSpec extends AnyFunSuite {
     got.values.foreach(v => assert(v > 0 && v < 1e9, s"score $v"))
   }
 
+  test("log-domain stored scorer: h10 equals the hand-walked mean of " +
+    "stored logs, and Moore-Lewis selects the in-domain doc") {
+    import spark.implicits._
+    val target = Seq(
+      (1L, "alpha beta gamma alpha beta gamma alpha beta"),
+      (2L, "beta gamma alpha beta gamma alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val general = Seq(
+      (1L, "alpha beta gamma alpha beta gamma alpha beta"),
+      (2L, "beta gamma alpha beta gamma alpha beta gamma"),
+      (3L, "one two three four five six seven eight nine"),
+      (4L, "red green blue red green blue red green blue"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("arpa_ml")
+    val tPath = dir.resolve("t.arpa").toString
+    val gPath = dir.resolve("g.arpa").toString
+    Arpa.writeLevels(tPath,
+      graft.ext.TextOps.knArpaLevels(target, order = 2, vocabSize = 8))
+    Arpa.writeLevels(gPath,
+      graft.ext.TextOps.knArpaLevels(general, order = 2, vocabSize = 8))
+    val m = Arpa.read(tPath)
+    // hand-walk doc 1 under the target model: per-bigram log is the
+    // stored lp on a hit, bow(w1) + lp(w2) on a miss; OOV words map
+    // to <unk> first — the scaled-integer mean must match exactly
+    val got = graft.ext.TextOps.knCrossEntropyStoredArpa(
+        spark, general, tPath)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def vocabMap(w: String) =
+      if (m.grams(0).contains(Vector(w))) w else "<unk>"
+    def walk(text: String): Double = {
+      val ws = text.split(" ").map(vocabMap).toVector
+      val ts = ws.sliding(2).toSeq
+      val s = ts.map { bg =>
+        val lg = m.grams(1).get(bg) match {
+          case Some((lp, _)) => lp
+          case None =>
+            m.grams(0).get(Vector(bg(0))).map(_._2).getOrElse(0.0) +
+              m.grams(0).get(Vector(bg(1))).map(_._1).getOrElse(-99.0)
+        }
+        math.round(lg * 1e9)
+      }.sum
+      -s.toDouble / ts.size / 1e9
+    }
+    Seq(1L, 3L).foreach { id =>
+      val text = general.filter(col("doc_id") === id)
+        .head().getString(1)
+      assert(got(id) == walk(text), s"doc $id: ${got(id)} vs hand walk")
+    }
+    // in-domain docs carry LOWER target cross-entropy
+    assert(got(1L) < got(3L) && got(2L) < got(4L))
+    val sel = graft.ext.TextOps.mooreLewisSelect(
+        spark, general, tPath, gPath, selectK = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(sel(1L)._2 && sel(2L)._2, s"expected 1,2 selected: $sel")
+    assert(!sel(3L)._2 && !sel(4L)._2)
+    assert(sel(1L)._1 > sel(3L)._1)
+  }
+
   test("vocab cap: <unk> absorbs the Zipf tail ahead of the census " +
     "and bounds every level table") {
     import spark.implicits._
