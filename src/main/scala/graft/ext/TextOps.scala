@@ -1453,12 +1453,19 @@ object TextOps {
     * sum `Σ m·lgi` is exact 64-bit arithmetic (overflow headroom:
     * a 10⁶-gram doc of −99 floors is ~1e17 ≪ 2⁶³), and the only
     * floating-point steps are two final divisions — deterministic
-    * cross-engine with NO pow()/log()/decimal-cast anywhere. */
+    * cross-engine with NO pow()/log()/decimal-cast anywhere.
+    *
+    * `collapse = false` scores one row per occurrence instead of
+    * collapsing (id, gram) multiplicities first — the STREAM-legal
+    * shape (one stateful aggregation); the exact integer sums make
+    * the two forms equal bit for bit, which StreamingSpec pins. */
   def knCrossEntropyStoredArpa(spark: org.apache.spark.sql.SparkSession,
                                docs: DataFrame, arpaPath: String,
                                textCol: String = "text",
-                               idCol: String = "doc_id"): DataFrame = {
-    val (occ, n) = arpaOccLookups(spark, docs, arpaPath, textCol, idCol)
+                               idCol: String = "doc_id",
+                               collapse: Boolean = true): DataFrame = {
+    val (occ, n) =
+      arpaOccLookups(spark, docs, arpaPath, textCol, idCol, collapse)
     var lg: Column = coalesce(col("lp1"), lit(-99.0))
     for (k <- 2 to n - 1)
       lg = when(col(s"lp$k").isNotNull, col(s"lp$k"))
@@ -1531,7 +1538,8 @@ object TextOps {
     * w_{n−1}. Returns the joined frame and the model order. */
   private def arpaOccLookups(spark: org.apache.spark.sql.SparkSession,
                              docs: DataFrame, arpaPath: String,
-                             textCol: String, idCol: String)
+                             textCol: String, idCol: String,
+                             collapse: Boolean = true)
   : (DataFrame, Int) = {
     import spark.implicits._
     val m = graft.sources.Arpa.read(arpaPath)
@@ -1570,9 +1578,15 @@ object TextOps {
           .drop(s"kw$i")
       }
     }
-    occ = occ
-      .groupBy(col(idCol) +: ws.map(col): _*)
-      .agg(count(lit(1)).as("m"))
+    // collapse = the batch shape (distinct grams join once, m carries
+    // the multiplicity); collapse = false keeps one row per occurrence
+    // (m = 1) — the STREAM shape, where the per-gram collapse would be
+    // a second stateful aggregation and the integer walk sums make the
+    // two provably equal
+    occ =
+      if (collapse) occ.groupBy(col(idCol) +: ws.map(col): _*)
+        .agg(count(lit(1)).as("m"))
+      else occ.withColumn("m", lit(1L))
     // gram lookups: suffix of length k; context lookups: the k words
     // ending at w_{n-1} (what the level-(k+1) miss backs off through)
     for (k <- 1 to n)

@@ -533,6 +533,26 @@ object StreamingOps {
       .filter(col("dist") >= 0L && col("dist") <= maxDist)
   }
 
+  /** Streaming PERPLEXITY gate from a STORED ARPA language model —
+    * CCNet's production gate shape (Wenzek et al. 2020 score arriving
+    * crawl text under a stored KenLM and threshold on perplexity) at
+    * the ingest door: each arriving document walks the model's
+    * broadcast level frames in the LOG domain
+    * ([[graft.ext.TextOps.knCrossEntropyStoredArpa]] with
+    * `collapse = false` — the per-gram multiplicity collapse would be
+    * a second stateful aggregation, and the scaled-integer walk sums
+    * make the uncollapsed form bit-identical), then thresholds the
+    * per-gram log10 cross-entropy. Emits
+    * `(doc_id, n_grams, h10, pass)`; state is ONE doc-keyed integer
+    * aggregation, the model is static broadcast data. Docs too short
+    * to carry a gram have no signal and drop, as across the KN tier. */
+  def streamingPerplexityGate(spark: SparkSession, docStream: DataFrame,
+                              arpaPath: String, maxH10: Double)
+      : DataFrame =
+    graft.ext.TextOps.knCrossEntropyStoredArpa(spark, docStream,
+        arpaPath, collapse = false)
+      .withColumn("pass", col("h10") <= maxH10)
+
   /** Streaming QUALITY gate from the STORED model: arriving documents
     * score under safetensors-persisted logistic weights (the x206
     * artifact) — weights ride in as literals, features project in the

@@ -827,6 +827,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.map(_.head) == Set(1L), s"survivors $s")
   }
 
+  test("streaming perplexity gate: the uncollapsed stored-ARPA walk " +
+    "equals the batch log-domain scorer bit for bit") {
+    val dir = "/root/testdata/sf0.001"
+    val docsBatch = graft.Tables.documents(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("st_ppl")
+      .resolve("m.arpa").toString
+    graft.sources.Arpa.writeLevels(path,
+      graft.ext.TextOps.knArpaLevels(docsBatch, order = 2,
+        vocabSize = 256))
+    val scoredBatch = graft.ext.TextOps.knCrossEntropyStoredArpa(
+      spark, docsBatch, path)
+    // gate at the corpus median so the threshold demonstrably splits
+    val thr = scoredBatch.select("h10").collect().map(_.getDouble(0))
+      .sorted.apply(250)
+    val batch = scoredBatch.withColumn("pass", col("h10") <= thr)
+    val docsStream = spark.readStream.schema(docsBatch.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val streamed = StreamingOps.runBounded(spark,
+      StreamingOps.streamingPerplexityGate(spark, docsStream, path,
+        maxH10 = thr),
+      "ppl_gate_test", OutputMode.Complete())
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b && s.size == 500, s"stream ${s.size} vs batch ${b.size}")
+    // the threshold splits the corpus (gate is non-trivial)
+    val nPass = streamed.filter(col("pass")).count()
+    assert(nPass > 0 && nPass < 500, s"pass count $nPass")
+  }
+
   test("streaming span decontamination: the window-free island fold " +
     "equals the batch x218 strip on every document") {
     val dir = "/root/testdata/sf0.001"
