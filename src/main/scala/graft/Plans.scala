@@ -136,7 +136,8 @@ object Plans {
       "x219_dup_matrix" -> "Cross-source dup matrix: rides the banded jaccardPairs tier (never all-pairs); endpoint sources attach via two doc-keyed equi-joins, the rollup is source²-sized.",
       "x220_kn_arpa_pruned" -> "Capped+pruned stored ARPA scoring: the pruned model rides as 5 broadcast level frames; the corpus shuffles once into the doc-keyed occurrence agg — pruning changed the artifact, not the scoring plan.",
       "x221_ccnet_stored_kn5" -> "CCNet terciles over the STORED order-5 score: the x210 broadcast-level scoring cascade feeds the same score-GROUP tercile window as x214 — swapping the LM swapped one input, no new corpus-sized exchange.",
-      "x222_moore_lewis" -> "Moore-Lewis selection: two broadcast-level log-domain scoring cascades (scaled-integer sums, no pow anywhere), one doc-keyed join, and the top-K cut as TakeOrderedAndProject broadcast back as a flag — never a corpus sort.")
+      "x222_moore_lewis" -> "Moore-Lewis selection: two broadcast-level log-domain scoring cascades (scaled-integer sums, no pow anywhere), one doc-keyed join, and the top-K cut as TakeOrderedAndProject broadcast back as a flag — never a corpus sort.",
+      "x223_lm_mixture" -> "LM interpolation: one bigram explode with SIX broadcast lookups (lp2/lp1/bow1 per model), the λ-blend as scan-stage algebra, one doc-keyed positional fold — domain adaptation costs one narrow pass, zero corpus-sized state.")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shapes are scale-\n")

@@ -2291,6 +2291,27 @@ object SparkEntry {
         s"$dirG/m.arpa", selectK = 100)
     }),
 
+    // x223 — static LM interpolation (Jelinek & Mercer 1980; SRILM
+    // ngram -mix-lm): per gram p = λ·p_indomain + (1−λ)·p_general,
+    // each component its stored model's full ARPA walk — the
+    // classical domain-adaptation move over the SAME two artifacts
+    // x222 trains (memoized: one training pays both queries). The
+    // models carry different vocabularies, so occurrences map into
+    // each separately and the walks join by POSITION.
+    "x223_lm_mixture" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dirT = storedDir("arpa_mlt", d)(p =>
+        graft.sources.Arpa.writeLevels(s"$p/m.arpa",
+          ext.TextOps.knArpaLevels(
+            docs.filter(col("source") === "src0"), order = 2,
+            vocabSize = 128)))
+      val dirG = storedDir("arpa_mlg", d)(p =>
+        graft.sources.Arpa.writeLevels(s"$p/m.arpa",
+          ext.TextOps.knArpaLevels(docs, order = 2, vocabSize = 128)))
+      ext.TextOps.knMixtureScoreStoredArpa(s, docs, s"$dirT/m.arpa",
+        s"$dirG/m.arpa", lambda = 0.5)
+    }),
+
     // x215 — C4 cleaning rules (Raffel et al. 2020 §2.2) over a
     // planted line structure: terminal-punctuation lines (doc+line
     // keyed plant), a javascript boilerplate plant (mod 11), lorem
@@ -5059,7 +5080,41 @@ object SparkEntry {
     * summed backoff logs on a miss, no pow() anywhere — into the
     * decimal-routed per-doc mean. Ends at `${pfx}h(doc_id, n, h10)`. */
   private def bigramArpaLogCtes(pfx: String, trainTok: String,
-                                v: Int): String = {
+                                v: Int): String =
+    s"""${bigramArpaModelCtes(pfx, trainTok, v)},
+       ${pfx}occ AS MATERIALIZED (
+         SELECT doc_id, w1, w2, COUNT(*) AS m
+         FROM (SELECT doc_id, bg[1] AS w1, bg[2] AS w2
+               FROM (SELECT t0.doc_id,
+                            unnest(list_transform(range(1, len(ms)), i ->
+                       [ms[CAST(i AS INTEGER)],
+                        ms[CAST(i + 1 AS INTEGER)]])) AS bg
+                     FROM (SELECT doc_id, list_transform(ts, t ->
+                             CASE WHEN list_contains(${pfx}vl.vws, t)
+                                  THEN t ELSE '<unk>' END) AS ms
+                           FROM tok0 CROSS JOIN ${pfx}vl) t0))
+         GROUP BY 1, 2, 3),
+       ${pfx}h AS (
+         SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n,
+                -CAST(CAST(SUM(m * CAST(round(
+                       (CASE WHEN s2.lp IS NOT NULL THEN s2.lp
+                             ELSE COALESCE(c1.bow, 0.0) +
+                                  COALESCE(s1.lp, -99.0) END) * 1e9)
+                       AS BIGINT)) AS BIGINT) AS DOUBLE)
+                  / CAST(SUM(m) AS BIGINT) / 1000000000.0 AS h10
+         FROM ${pfx}occ o
+         LEFT JOIN ${pfx}l2 s2 ON s2.w1 = o.w1 AND s2.w2 = o.w2
+         LEFT JOIN ${pfx}l1 s1 ON s1.w = o.w2
+         LEFT JOIN ${pfx}l1 c1 ON c1.w = o.w1
+         GROUP BY doc_id)"""
+
+  /** The MODEL half of [[bigramArpaLogCtes]] — the capped bigram ARPA
+    * rebuilt as CTEs (keep list, <unk>-mapped census, quantized
+    * level-1/2 probabilities, closed-form bows, vocab list), shared by
+    * the x222 log chains and x223's positional mixture walk. Ends at
+    * `${"$"}{pfx}l1/l2/vl`. */
+  private def bigramArpaModelCtes(pfx: String, trainTok: String,
+                                  v: Int): String = {
     val p2 = """(GREATEST(CAST(c.c2 AS DOUBLE) - 0.75, 0.0)
               / CAST(h.c1 AS DOUBLE)
             + ((0.75 * CAST(h.n1f AS DOUBLE))
@@ -5113,32 +5168,7 @@ object SparkEntry {
          LEFT JOIN ${pfx}p2 p ON p.w2 = v.w
          LEFT JOIN ${pfx}h1 h ON h.w1 = v.w
          CROSS JOIN ${pfx}tt tt),
-       ${pfx}vl AS (SELECT list(w) AS vws FROM ${pfx}v1),
-       ${pfx}occ AS MATERIALIZED (
-         SELECT doc_id, w1, w2, COUNT(*) AS m
-         FROM (SELECT doc_id, bg[1] AS w1, bg[2] AS w2
-               FROM (SELECT t0.doc_id,
-                            unnest(list_transform(range(1, len(ms)), i ->
-                       [ms[CAST(i AS INTEGER)],
-                        ms[CAST(i + 1 AS INTEGER)]])) AS bg
-                     FROM (SELECT doc_id, list_transform(ts, t ->
-                             CASE WHEN list_contains(${pfx}vl.vws, t)
-                                  THEN t ELSE '<unk>' END) AS ms
-                           FROM tok0 CROSS JOIN ${pfx}vl) t0))
-         GROUP BY 1, 2, 3),
-       ${pfx}h AS (
-         SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n,
-                -CAST(CAST(SUM(m * CAST(round(
-                       (CASE WHEN s2.lp IS NOT NULL THEN s2.lp
-                             ELSE COALESCE(c1.bow, 0.0) +
-                                  COALESCE(s1.lp, -99.0) END) * 1e9)
-                       AS BIGINT)) AS BIGINT) AS DOUBLE)
-                  / CAST(SUM(m) AS BIGINT) / 1000000000.0 AS h10
-         FROM ${pfx}occ o
-         LEFT JOIN ${pfx}l2 s2 ON s2.w1 = o.w1 AND s2.w2 = o.w2
-         LEFT JOIN ${pfx}l1 s1 ON s1.w = o.w2
-         LEFT JOIN ${pfx}l1 c1 ON c1.w = o.w1
-         GROUP BY doc_id)"""
+       ${pfx}vl AS (SELECT list(w) AS vws FROM ${pfx}v1)"""
   }
 
   /** x220's oracle — the CAPPED + PRUNED order-3 stored-ARPA lifecycle
@@ -11265,6 +11295,63 @@ s6 AS (SELECT s5.* FROM s5 JOIN rk6 USING (doc_id)
                 round((estimate - CAST(exact_distinct AS DOUBLE))
                       / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
          FROM ev"""
+    },
+
+    // x223 — the two model halves of x222 (bigramArpaModelCtes under
+    // the same prefixes), each occurrence mapped into EACH vocabulary,
+    // both walks joined by position, the λ-blend quantized at 9 dp
+    // (the x220 discipline), and the position-ordered inverse-
+    // probability fold
+    "x223_lm_mixture" -> {
+      def lgSql(l2: String, l1a: String, l1b: String) =
+        s"""(CASE WHEN $l2.lp IS NOT NULL THEN $l2.lp
+                  ELSE COALESCE($l1b.bow, 0.0) +
+                       COALESCE($l1a.lp, -99.0) END)"""
+      val mixExpr = s"""(0.5 * pow(10.0, ${lgSql("a2l", "a1l", "a1b")})
+               + 0.5 * pow(10.0, ${lgSql("b2l", "b1l", "b1b")}))"""
+      s"""WITH tok0 AS MATERIALIZED (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '\\s+'),
+             t -> length(t) > 0) AS ts
+           FROM documents),
+         tokt AS MATERIALIZED (
+           SELECT t0.* FROM tok0 t0
+           JOIN documents d USING (doc_id)
+           WHERE d.source = 'src0'),
+         ${bigramArpaModelCtes("t_", "tokt", 128)},
+         ${bigramArpaModelCtes("g_", "tok0", 128)},
+         mocc AS MATERIALIZED (
+           SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+                  ts[CAST(u.i + 1 AS INTEGER)] AS w1,
+                  ts[CAST(u.i + 2 AS INTEGER)] AS w2
+           FROM tok0, unnest(range(0, len(ts) - 1)) AS u(i)),
+         mmap AS (
+           SELECT doc_id, pos,
+                  CASE WHEN list_contains(t_vl.vws, w1)
+                       THEN w1 ELSE '<unk>' END AS a1,
+                  CASE WHEN list_contains(t_vl.vws, w2)
+                       THEN w2 ELSE '<unk>' END AS a2,
+                  CASE WHEN list_contains(g_vl.vws, w1)
+                       THEN w1 ELSE '<unk>' END AS b1,
+                  CASE WHEN list_contains(g_vl.vws, w2)
+                       THEN w2 ELSE '<unk>' END AS b2
+           FROM mocc CROSS JOIN t_vl CROSS JOIN g_vl),
+         mwalk AS (
+           SELECT j.doc_id, j.pos,
+                  CASE WHEN round($mixExpr, 9) > 0
+                       THEN round($mixExpr, 9)
+                       ELSE $mixExpr END AS pq
+           FROM mmap j
+           LEFT JOIN t_l2 a2l ON a2l.w1 = j.a1 AND a2l.w2 = j.a2
+           LEFT JOIN t_l1 a1l ON a1l.w = j.a2
+           LEFT JOIN t_l1 a1b ON a1b.w = j.a1
+           LEFT JOIN g_l2 b2l ON b2l.w1 = j.b1 AND b2l.w2 = j.b2
+           LEFT JOIN g_l1 b1l ON b1l.w = j.b2
+           LEFT JOIN g_l1 b1b ON b1b.w = j.b1)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                list_reduce(list(1.0 / pq ORDER BY pos), (a, b) -> a + b)
+                  / CAST(COUNT(*) AS BIGINT) AS mix_score_q
+         FROM mwalk GROUP BY doc_id"""
     },
 
     // x215 — the plants and the two-token reline rebuilt closed-form,

@@ -1530,6 +1530,98 @@ object TextOps {
         coalesce(col("sel"), lit(false)).as("selected"))
   }
 
+  /** BIGRAM stored-model MIXTURE scoring — static LM interpolation
+    * (Jelinek & Mercer 1980; SRILM's `ngram -mix-lm`): per gram,
+    * `p = λ·p_A + (1−λ)·p_B` where each component is its model's full
+    * ARPA walk — THE classical domain adaptation move (a small
+    * in-domain model sharpened by a large general one) and the
+    * score-level companion of [[mooreLewisSelect]]'s selection. The
+    * two models carry DIFFERENT vocabularies (an in-domain cap and a
+    * general cap disagree by construction), so each occurrence maps
+    * into each model's vocabulary SEPARATELY (`<unk>` per model) and
+    * the walks join by POSITION, not by gram spelling. Published
+    * score is the x144 convention — mean inverse probability over
+    * the 9-dp-quantized mixture (the λ-blend is a pow() sum; the
+    * round absorbs cross-engine libm ulps, the established x220
+    * discipline), folded in position order.
+    *
+    * Shape at 100 TB: one bigram explode, 2×3 broadcast lookups
+    * (lp2/lp1/bow1 per model), one doc-keyed fold — the stored-scorer
+    * plan twice over, still zero corpus-sized state. */
+  def knMixtureScoreStoredArpa(spark: org.apache.spark.sql.SparkSession,
+                               docs: DataFrame, pathA: String,
+                               pathB: String, lambda: Double,
+                               textCol: String = "text",
+                               idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    require(lambda > 0 && lambda < 1, s"need 0 < lambda < 1: $lambda")
+    val ma = graft.sources.Arpa.read(pathA)
+    val mb = graft.sources.Arpa.read(pathB)
+    require(ma.order == 2 && mb.order == 2,
+      s"bigram mixture needs two order-2 models: ${ma.order}/${mb.order}")
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val nTok = size(toks)
+    var occ = docs.select(col(idCol),
+        posexplode(arrays_zip(
+          slice(toks, lit(1), greatest(nTok - 1, lit(0))),
+          slice(toks, lit(2), greatest(nTok - 1, lit(0)))))
+          .as(Seq("pos", "bg")))
+      .select(col(idCol), col("pos"),
+        col("bg.0").as("w1"), col("bg.1").as("w2"))
+    // per-model vocabulary mapping + level lookups, suffixed columns
+    def attach(m: graft.sources.Arpa.Model, sfx: String): Unit = {
+      val hasUnk = m.grams(0).contains(Vector("<unk>"))
+      for (i <- 1 to 2) {
+        val base = col(s"w$i")
+        val mapped =
+          if (!hasUnk) base
+          else {
+            val vocabDf = broadcast(m.grams(0).keys.map(_.head).toSeq
+              .toDF(s"kw$sfx$i"))
+            occ = occ.join(vocabDf, base === col(s"kw$sfx$i"), "left")
+            coalesce(col(s"kw$sfx$i"), lit("<unk>"))
+          }
+        occ = occ.withColumn(s"$sfx$i", mapped)
+        if (hasUnk) occ = occ.drop(s"kw$sfx$i")
+      }
+      val l2 = broadcast(m.grams(1).toSeq
+        .map { case (g, (lp, _)) => (g(0), g(1), lp) }
+        .toDF(s"k2a$sfx", s"k2b$sfx", s"lp2$sfx"))
+      val l1 = broadcast(m.grams(0).toSeq
+        .map { case (g, (lp, bow)) => (g.head, lp, bow) }
+        .toDF(s"k1$sfx", s"lp1$sfx", s"bow1$sfx"))
+      occ = occ
+        .join(l2, col(s"${sfx}1") === col(s"k2a$sfx") &&
+          col(s"${sfx}2") === col(s"k2b$sfx"), "left")
+        .drop(s"k2a$sfx", s"k2b$sfx")
+        .join(l1.select(col(s"k1$sfx"), col(s"lp1$sfx")),
+          col(s"${sfx}2") === col(s"k1$sfx"), "left").drop(s"k1$sfx")
+        .join(l1.select(col(s"k1$sfx").as(s"bk$sfx"),
+          col(s"bow1$sfx")),
+          col(s"${sfx}1") === col(s"bk$sfx"), "left").drop(s"bk$sfx")
+    }
+    attach(ma, "a")
+    attach(mb, "b")
+    def lg(sfx: String): Column =
+      when(col(s"lp2$sfx").isNotNull, col(s"lp2$sfx"))
+        .otherwise(coalesce(col(s"bow1$sfx"), lit(0.0)) +
+          coalesce(col(s"lp1$sfx"), lit(-99.0)))
+    val mix = round(lit(lambda) * pow(lit(10.0), lg("a")) +
+      lit(1.0 - lambda) * pow(lit(10.0), lg("b")), 9)
+    val pq = occ.withColumn("pq",
+        when(mix > lit(0.0), mix)
+          .otherwise(lit(lambda) * pow(lit(10.0), lg("a")) +
+            lit(1.0 - lambda) * pow(lit(10.0), lg("b"))))
+      .withColumn("val", lit(1.0) / col("pq"))
+    pq.groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_bigrams"),
+        aggregate(
+          array_sort(collect_list(struct(col("pos"), col("val")))),
+          lit(0.0), (acc, x) => acc + x.getField("val")).as("val_sum"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("val_sum") / col("n_bigrams")).as("mix_score_q"))
+  }
+
   /** The shared occurrence/lookup cascade of the stored-ARPA scorers:
     * n-gram occurrences of `docs` (OOV mapped to `<unk>` when the
     * model carries one), joined against the model's 2n−1 broadcast

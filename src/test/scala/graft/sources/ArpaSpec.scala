@@ -324,6 +324,53 @@ class ArpaSpec extends AnyFunSuite {
     assert(sel(1L)._1 > sel(3L)._1)
   }
 
+  test("mixture scorer: self-mixture equals the single-model score, " +
+    "and the blend obeys the convexity bound") {
+    import spark.implicits._
+    val target = Seq(
+      (1L, "alpha beta gamma alpha beta gamma alpha beta"),
+      (2L, "beta gamma alpha beta gamma alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val general = Seq(
+      (1L, "alpha beta gamma alpha beta gamma alpha beta"),
+      (2L, "beta gamma alpha beta gamma alpha beta gamma"),
+      (3L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("arpa_mix")
+    val tPath = dir.resolve("t.arpa").toString
+    val gPath = dir.resolve("g.arpa").toString
+    Arpa.writeLevels(tPath,
+      graft.ext.TextOps.knArpaLevels(target, order = 2, vocabSize = 8))
+    Arpa.writeLevels(gPath,
+      graft.ext.TextOps.knArpaLevels(general, order = 2, vocabSize = 8))
+    // λ·p + (1−λ)·p = p: the self-mixture reproduces the single-model
+    // inverse-probability score (fold order differs, so 1e-9 rel)
+    val self = graft.ext.TextOps.knMixtureScoreStoredArpa(
+        spark, general, tPath, tPath, lambda = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val single = graft.ext.TextOps.knScoreStoredArpa(
+        spark, general, tPath)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    single.foreach { case (id, v) =>
+      assert(math.abs(self(id) - v) / v < 1e-9,
+        s"doc $id self-mix ${self(id)} vs single $v")
+    }
+    // convexity: 1/(λpA+(1−λ)pB) ≤ λ/pA + (1−λ)/pB per gram, so the
+    // mixture score is bounded by the blend of component scores
+    val mix = graft.ext.TextOps.knMixtureScoreStoredArpa(
+        spark, general, tPath, gPath, lambda = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val sg = graft.ext.TextOps.knScoreStoredArpa(spark, general, gPath)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    mix.foreach { case (id, v) =>
+      assert(v <= 0.5 * single(id) + 0.5 * sg(id) + 1e-6,
+        s"doc $id mixture $v above the convexity bound")
+    }
+    // the general-only doc 3 is rescued by the general component:
+    // strictly better than under the target model alone
+    assert(mix(3L) < single(3L))
+  }
+
   test("vocab cap: <unk> absorbs the Zipf tail ahead of the census " +
     "and bounds every level table") {
     import spark.implicits._
