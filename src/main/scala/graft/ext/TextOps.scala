@@ -1553,12 +1553,73 @@ object TextOps {
                                pathB: String, lambda: Double,
                                textCol: String = "text",
                                idCol: String = "doc_id"): DataFrame = {
-    import spark.implicits._
     require(lambda > 0 && lambda < 1, s"need 0 < lambda < 1: $lambda")
+    val occ = bigramDualLookups(spark, docs, pathA, pathB, textCol, idCol)
+    val mix = round(lit(lambda) * pow(lit(10.0), dualLg("a")) +
+      lit(1.0 - lambda) * pow(lit(10.0), dualLg("b")), 9)
+    val pq = occ.withColumn("pq",
+        when(mix > lit(0.0), mix)
+          .otherwise(lit(lambda) * pow(lit(10.0), dualLg("a")) +
+            lit(1.0 - lambda) * pow(lit(10.0), dualLg("b"))))
+      .withColumn("val", lit(1.0) / col("pq"))
+    pq.groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_bigrams"),
+        aggregate(
+          array_sort(collect_list(struct(col("pos"), col("val")))),
+          lit(0.0), (acc, x) => acc + x.getField("val")).as("val_sum"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("val_sum") / col("n_bigrams")).as("mix_score_q"))
+  }
+
+  /** Dual-model Moore-Lewis gate over ONE pass — the per-document
+    * cross-entropy difference ([[mooreLewisSelect]]'s statistic) with
+    * BOTH stored bigram models walked on the same occurrence rows: the
+    * x223 positional dual-lookup cascade feeds one doc-keyed integer
+    * aggregation carrying both scaled log sums, so the whole gate has
+    * exactly ONE stateful operator — the stream-legal shape
+    * ([[graft.streaming.StreamingOps.streamingDomainGate]] is this
+    * call verbatim; two chained [[knCrossEntropyStoredArpa]] scorers
+    * would be two stateful aggregations). The scaled-integer sums make
+    * this form bit-identical to the two-scorer batch composition.
+    * Emits `(doc_id, n_bigrams, h_target, h_general, ml_score, pass)`
+    * with `pass = ml_score ≥ minMl`. */
+  def mooreLewisGate(spark: org.apache.spark.sql.SparkSession,
+                     docs: DataFrame, targetArpa: String,
+                     generalArpa: String, minMl: Double,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val occ = bigramDualLookups(spark, docs, targetArpa, generalArpa,
+      textCol, idCol)
+    def lgi(sfx: String) = round(dualLg(sfx) * lit(1e9)).cast("long")
+    val agg = occ
+      .withColumn("ta", lgi("a")).withColumn("tb", lgi("b"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_bigrams"),
+        sum("ta").as("sa"), sum("tb").as("sb"))
+    def h(c: String) =
+      -col(c).cast("double") / col("n_bigrams") / lit(1e9)
+    agg.select(col(idCol), col("n_bigrams"),
+        h("sa").as("h_target"), h("sb").as("h_general"))
+      .withColumn("ml_score", col("h_general") - col("h_target"))
+      .withColumn("pass", col("ml_score") >= minMl)
+  }
+
+  /** The POSITIONAL dual-model lookup cascade shared by
+    * [[knMixtureScoreStoredArpa]] and [[mooreLewisGate]]: bigram
+    * occurrences with their in-doc position, each occurrence mapped
+    * into EACH model's vocabulary separately (`<unk>` per model —
+    * the two caps disagree by construction), and both models'
+    * lp2/lp1/bow1 broadcast lookups attached under `a`/`b` column
+    * suffixes. [[dualLg]] builds the per-model walk log on top. */
+  private def bigramDualLookups(
+      spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+      pathA: String, pathB: String, textCol: String, idCol: String)
+  : DataFrame = {
+    import spark.implicits._
     val ma = graft.sources.Arpa.read(pathA)
     val mb = graft.sources.Arpa.read(pathB)
     require(ma.order == 2 && mb.order == 2,
-      s"bigram mixture needs two order-2 models: ${ma.order}/${mb.order}")
+      s"the dual walk needs two order-2 models: ${ma.order}/${mb.order}")
     val toks = filter(tokens(col(textCol)), t => length(t) > 0)
     val nTok = size(toks)
     var occ = docs.select(col(idCol),
@@ -1602,25 +1663,15 @@ object TextOps {
     }
     attach(ma, "a")
     attach(mb, "b")
-    def lg(sfx: String): Column =
-      when(col(s"lp2$sfx").isNotNull, col(s"lp2$sfx"))
-        .otherwise(coalesce(col(s"bow1$sfx"), lit(0.0)) +
-          coalesce(col(s"lp1$sfx"), lit(-99.0)))
-    val mix = round(lit(lambda) * pow(lit(10.0), lg("a")) +
-      lit(1.0 - lambda) * pow(lit(10.0), lg("b")), 9)
-    val pq = occ.withColumn("pq",
-        when(mix > lit(0.0), mix)
-          .otherwise(lit(lambda) * pow(lit(10.0), lg("a")) +
-            lit(1.0 - lambda) * pow(lit(10.0), lg("b"))))
-      .withColumn("val", lit(1.0) / col("pq"))
-    pq.groupBy(col(idCol)).agg(
-        count(lit(1)).as("n_bigrams"),
-        aggregate(
-          array_sort(collect_list(struct(col("pos"), col("val")))),
-          lit(0.0), (acc, x) => acc + x.getField("val")).as("val_sum"))
-      .select(col(idCol), col("n_bigrams"),
-        (col("val_sum") / col("n_bigrams")).as("mix_score_q"))
+    occ
   }
+
+  /** One model's bigram walk log over [[bigramDualLookups]] columns:
+    * the stored lp on a hit, `bow(w1) + lp(w2)` on a miss. */
+  private def dualLg(sfx: String): Column =
+    when(col(s"lp2$sfx").isNotNull, col(s"lp2$sfx"))
+      .otherwise(coalesce(col(s"bow1$sfx"), lit(0.0)) +
+        coalesce(col(s"lp1$sfx"), lit(-99.0)))
 
   /** The shared occurrence/lookup cascade of the stored-ARPA scorers:
     * n-gram occurrences of `docs` (OOV mapped to `<unk>` when the

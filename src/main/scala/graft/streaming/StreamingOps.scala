@@ -553,6 +553,23 @@ object StreamingOps {
         arpaPath, collapse = false)
       .withColumn("pass", col("h10") <= maxH10)
 
+  /** Streaming DOMAIN gate — Moore-Lewis cross-entropy difference at
+    * the ingest door ([[graft.ext.TextOps.mooreLewisGate]] verbatim):
+    * each arriving document walks BOTH stored bigram models (in-domain
+    * + general) on the same occurrence rows through the positional
+    * dual-lookup cascade, and the two scaled-integer log sums ride ONE
+    * doc-keyed aggregation — the stream-legal shape (two chained
+    * scorers would be two stateful operators). `pass = ml ≥ minMl`
+    * marks arrivals that look like the target domain; the models are
+    * static broadcast data, trained once per corpus snapshot by the
+    * batch job (x222's artifacts). StreamingSpec pins streamed ≡ the
+    * two-scorer batch composition bit for bit. */
+  def streamingDomainGate(spark: SparkSession, docStream: DataFrame,
+                          targetArpa: String, generalArpa: String,
+                          minMl: Double): DataFrame =
+    graft.ext.TextOps.mooreLewisGate(spark, docStream, targetArpa,
+      generalArpa, minMl)
+
   /** Streaming QUALITY gate from the STORED model: arriving documents
     * score under safetensors-persisted logistic weights (the x206
     * artifact) — weights ride in as literals, features project in the

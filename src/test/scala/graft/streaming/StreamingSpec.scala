@@ -856,6 +856,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(nPass > 0 && nPass < 500, s"pass count $nPass")
   }
 
+  test("streaming domain gate: the one-aggregation dual-model walk " +
+    "equals the two-scorer Moore-Lewis composition bit for bit") {
+    val dir = "/root/testdata/sf0.001"
+    val docsBatch = graft.Tables.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("st_ml")
+    val tPath = tmp.resolve("t.arpa").toString
+    val gPath = tmp.resolve("g.arpa").toString
+    graft.sources.Arpa.writeLevels(tPath,
+      graft.ext.TextOps.knArpaLevels(
+        docsBatch.filter(col("source") === "src0"), order = 2,
+        vocabSize = 128))
+    graft.sources.Arpa.writeLevels(gPath,
+      graft.ext.TextOps.knArpaLevels(docsBatch, order = 2,
+        vocabSize = 128))
+    // batch twin: the TWO-scorer composition (collapsed occurrences,
+    // separate walks) — the integer sums make the one-pass dual walk
+    // provably equal
+    val ht = graft.ext.TextOps.knCrossEntropyStoredArpa(
+      spark, docsBatch, tPath).toDF("doc_id", "n_bigrams", "h_target")
+    val hg = graft.ext.TextOps.knCrossEntropyStoredArpa(
+      spark, docsBatch, gPath).toDF("doc_id", "ng", "h_general")
+    val batch = ht.join(hg.select(col("doc_id"), col("h_general")),
+        Seq("doc_id"))
+      .withColumn("ml_score", col("h_general") - col("h_target"))
+      .withColumn("pass", col("ml_score") >= 0.0)
+    val docsStream = spark.readStream.schema(docsBatch.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val streamed = StreamingOps.runBounded(spark,
+      StreamingOps.streamingDomainGate(spark, docsStream, tPath, gPath,
+        minMl = 0.0),
+      "domain_gate_test", OutputMode.Complete())
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b && s.size == 500, s"stream ${s.size} vs batch ${b.size}")
+    val nPass = streamed.filter(col("pass")).count()
+    assert(nPass > 0 && nPass < 500, s"pass count $nPass")
+    // src0 (the in-domain slice the target model trained on) passes at
+    // a higher rate than the rest
+    val src0Ids = docsBatch.filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val passIds = streamed.filter(col("pass"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val r0 = src0Ids.count(passIds).toDouble / src0Ids.size
+    val rRest = (passIds.size - src0Ids.count(passIds)).toDouble /
+      (500 - src0Ids.size)
+    assert(r0 > rRest, s"src0 pass rate $r0 vs rest $rRest")
+  }
+
   test("streaming span decontamination: the window-free island fold " +
     "equals the batch x218 strip on every document") {
     val dir = "/root/testdata/sf0.001"
