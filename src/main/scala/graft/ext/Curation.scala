@@ -1362,9 +1362,16 @@ object Curation {
                          scoreCol: String, cntCol: String,
                          idCol: String = "doc_id",
                          langCol: String = "lang"): DataFrame = {
+    // TWO consumers read the scored frame (the group census and the
+    // verdict join) — materialize the narrow (id, lang, cnt, ppl)
+    // projection ONCE so the upstream scoring cascade (for x221 a
+    // 9-broadcast-join stored-ARPA walk over the corpus) never runs
+    // twice; a four-column row is far cheaper to pin than to rescore
     val withLang = scored
       .withColumn("ppl", round(col(scoreCol), 9))
       .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+      .select(col(idCol), col(langCol), col(cntCol), col("ppl"))
+      .localCheckpoint(true)
     val groups = withLang.groupBy(col(langCol), col("ppl"))
       .agg(count(lit(1)).as("c"))
     val wcum = Window.partitionBy(langCol).orderBy(col("ppl").asc)
