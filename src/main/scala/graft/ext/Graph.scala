@@ -433,12 +433,18 @@ object Graph {
         (lit(1.0) / lit(nAuth.toDouble)).as("auth"))
       .localCheckpoint(true)
     var hub: DataFrame = null
-    // checkpoint discipline: each hub vector is consumed EXACTLY once
-    // (the auth half-round below it; the final hub once by the output
-    // join), so hub rides INSIDE auth's round plan un-materialized —
-    // lineage stays bounded because auth checkpoints every round.
-    // Eagerly materializing hub too (the historical form) paid 2×iters
-    // blocking barriers for vectors nothing reads twice.
+    // checkpoint discipline: each IN-LOOP hub vector is consumed
+    // exactly once (the auth half-round below it), so hub rides
+    // INSIDE auth's round plan un-materialized — lineage stays
+    // bounded because auth checkpoints every round. Eagerly
+    // materializing hub too (the historical form) paid 2×iters
+    // blocking barriers for vectors nothing reads twice. The FINAL
+    // hub is the exception — it has a second consumer (the output
+    // join) after the last auth half-round already ran it once — so
+    // it alone checkpoints after the loop: the output join then reads
+    // a materialized vector instead of re-executing the backward
+    // half-step (plus the edge dedup/degree joins) after `ed` below
+    // is already unpersisted.
     for (_ <- 1 to iters) {
       hub = propagate(ed, auth, "dst", "src",
           col("auth") / col("indeg").cast("double"))
@@ -448,6 +454,7 @@ object Graph {
         .select(col("dst").as("node"), col("v").as("auth"))
         .localCheckpoint(true)
     }
+    hub = hub.localCheckpoint(true)
     val out = nodes
       .join(hub, Seq("node"), "left")
       .join(auth, Seq("node"), "left")
