@@ -94,6 +94,25 @@ object SparkEntry {
       dir
     })
 
+  /** The x222/x223 SHARED model pair — target (src0) and general
+    * (whole corpus) capped bigram ARPAs, each under the [[storedDir]]
+    * discipline. ONE definition so the artifact contract (cap 128,
+    * order 2, the source split) cannot drift between the two queries
+    * that read it: whichever runs first trains, the other reloads.
+    * Returns the two artifact paths. */
+  private def mooreLewisArpa(s: SparkSession, d: String,
+                             docs: DataFrame): (String, String) = {
+    val dirT = storedDir("arpa_mlt", d)(p =>
+      graft.sources.Arpa.writeLevels(s"$p/m.arpa",
+        ext.TextOps.knArpaLevels(
+          docs.filter(col("source") === "src0"), order = 2,
+          vocabSize = 128)))
+    val dirG = storedDir("arpa_mlg", d)(p =>
+      graft.sources.Arpa.writeLevels(s"$p/m.arpa",
+        ext.TextOps.knArpaLevels(docs, order = 2, vocabSize = 128)))
+    (s"$dirT/m.arpa", s"$dirG/m.arpa")
+  }
+
   /** Flagship: the reference's core product — calendar-month mean composite
     * per band (SURVEY §3.1/§2.9) — on the events stream analogue. */
   def entry(spark: SparkSession): DataFrame = {
@@ -2255,19 +2274,27 @@ object SparkEntry {
       ext.TextOps.hllVocabEstimate(t(s, d, "documents"), p = 10)),
 
     // x221 — CCNet buckets in the PRODUCTION shape (Wenzek et al.
-    // 2020 ship KenLM 5-grams): the x214 tercile operator fed by the
-    // STORED order-5 ARPA score instead of the inline bigram chain —
-    // the x210 artifact (memoized: one training pays both queries)
-    // reloads and scores, then the same group-table window buckets
-    // per language. Swapping the LM swaps one input, not the plan.
-    "x221_ccnet_stored_kn5" -> ((s, d) => {
+    // 2020): the x214 tercile operator fed by a STORED, BOUNDED ARPA
+    // score instead of the inline bigram chain. The model is the x220
+    // artifact (memoized: one training pays both queries) — capped
+    // top-64 + <unk> AND count-pruned with renormalized bows, the two
+    // bounds CCNet's own KenLM ships with — so the composition's
+    // model side stays driver-loadable BY CONSTRUCTION at any corpus
+    // scale (the round-17 verdict's scale finding: the previous
+    // uncapped order-5 artifact was corpus-sized). Scoring walks the
+    // full backoff cascade (pruned grams miss at the top), then the
+    // same group-table window buckets per language. Swapping the LM
+    // swaps one input, not the plan; x225 proves the
+    // bigger-than-driver model route for the same scorer.
+    "x221_ccnet_stored_pruned" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val dir = storedDir("arpa5", d)(p =>
+      val dir = storedDir("arpa3p", d)(p =>
         graft.sources.Arpa.writeLevels(s"$p/model.arpa",
-          ext.TextOps.knArpaLevels(docs, order = 5)))
+          ext.TextOps.knArpaLevels(docs, order = 3, vocabSize = 64,
+            prune = Seq(1, 2, 2))))
       ext.Curation.ccnetBucketsScored(
         ext.TextOps.knScoreStoredArpa(s, docs, s"$dir/model.arpa"),
-        docs, scoreCol = "kn5_score_q", cntCol = "n_ngrams")
+        docs, scoreCol = "kn3_score_q", cntCol = "n_ngrams")
     }),
 
     // x222 — Moore-Lewis cross-entropy difference selection (Moore &
@@ -2279,37 +2306,56 @@ object SparkEntry {
     // the deterministic top-100 marks `selected`.
     "x222_moore_lewis" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val dirT = storedDir("arpa_mlt", d)(p =>
-        graft.sources.Arpa.writeLevels(s"$p/m.arpa",
-          ext.TextOps.knArpaLevels(
-            docs.filter(col("source") === "src0"), order = 2,
-            vocabSize = 128)))
-      val dirG = storedDir("arpa_mlg", d)(p =>
-        graft.sources.Arpa.writeLevels(s"$p/m.arpa",
-          ext.TextOps.knArpaLevels(docs, order = 2, vocabSize = 128)))
-      ext.TextOps.mooreLewisSelect(s, docs, s"$dirT/m.arpa",
-        s"$dirG/m.arpa", selectK = 100)
+      val (arpaT, arpaG) = mooreLewisArpa(s, d, docs)
+      ext.TextOps.mooreLewisSelect(s, docs, arpaT, arpaG,
+        selectK = 100)
     }),
 
     // x223 — static LM interpolation (Jelinek & Mercer 1980; SRILM
     // ngram -mix-lm): per gram p = λ·p_indomain + (1−λ)·p_general,
     // each component its stored model's full ARPA walk — the
     // classical domain-adaptation move over the SAME two artifacts
-    // x222 trains (memoized: one training pays both queries). The
-    // models carry different vocabularies, so occurrences map into
-    // each separately and the walks join by POSITION.
+    // x222 trains ([[mooreLewisArpa]] — one definition, one training,
+    // both queries). The models carry different vocabularies, so
+    // occurrences map into each separately and the walks join by
+    // POSITION.
     "x223_lm_mixture" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val dirT = storedDir("arpa_mlt", d)(p =>
-        graft.sources.Arpa.writeLevels(s"$p/m.arpa",
-          ext.TextOps.knArpaLevels(
-            docs.filter(col("source") === "src0"), order = 2,
-            vocabSize = 128)))
-      val dirG = storedDir("arpa_mlg", d)(p =>
-        graft.sources.Arpa.writeLevels(s"$p/m.arpa",
-          ext.TextOps.knArpaLevels(docs, order = 2, vocabSize = 128)))
-      ext.TextOps.knMixtureScoreStoredArpa(s, docs, s"$dirT/m.arpa",
-        s"$dirG/m.arpa", lambda = 0.5)
+      val (arpaT, arpaG) = mooreLewisArpa(s, d, docs)
+      ext.TextOps.knMixtureScoreStoredArpa(s, docs, arpaT, arpaG,
+        lambda = 0.5)
+    }),
+
+    // x224 — CCNet SAMPLED thresholds (Wenzek et al. 2020's two-phase
+    // production form): per-language tercile cutoffs estimated on a
+    // deterministic 10% splitmix64 hash-sample of the scored corpus,
+    // then EVERY document verdicts against the broadcast cutoff
+    // table — the answer when distinct scores approach corpus size
+    // and the full group-table window would no longer be bounded.
+    // Scoring is the x144/x214 inline KN bigram chain; the oracle
+    // replays the splitmix sample membership, the sample-side group
+    // rule, and the ≤-threshold verdict.
+    "x224_ccnet_sampled" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      ext.Curation.ccnetBucketsSampledScored(
+        ext.TextOps.knBigramScore(docs), docs,
+        scoreCol = "kn_score", cntCol = "n_bigrams",
+        num = 10, den = 100)
+    }),
+
+    // x225 — the order-5 stored-ARPA lifecycle scored through the
+    // DISTRIBUTED model route: the same x210 artifact reads back as
+    // per-level DataFrames (Arpa.readLevels' parquet sidecar — the
+    // model never transits the driver) and the identical backoff walk
+    // joins against scans, sort-merge-able when the model outgrows
+    // the broadcast threshold (PlanSpec pins the strategy flip). Same
+    // oracle as x210 — a hash match proves route equivalence.
+    "x225_kn5_arpa_dist" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = storedDir("arpa5", d)(p =>
+        graft.sources.Arpa.writeLevels(s"$p/model.arpa",
+          ext.TextOps.knArpaLevels(docs, order = 5)))
+      ext.TextOps.knScoreStoredArpaLevels(s, docs, s"$dir/model.arpa")
     }),
 
     // x215 — C4 cleaning rules (Raffel et al. 2020 §2.2) over a
@@ -5180,8 +5226,15 @@ object SparkEntry {
     * closure, backoff weights RENORMALIZED over the kept quantized
     * mass through the exact decimal route, and the full ARPA backoff
     * walk over the model-vocabulary-mapped scoring stream — every
-    * branch of the engine's builder + scorer, term for term. */
-  private def knPrunedArpaOracleSql(v: Int, t2: Long, t3: Long): String = {
+    * branch of the engine's builder + scorer, term for term. Exposed
+    * as CTEs ending at `knp(doc_id, n_ngrams, kn3_score_q)` so x220
+    * (the bare lifecycle) and x221 (the CCNet tercile composition
+    * over the same bounded model) share one replay. */
+  private def knPrunedArpaOracleSql(v: Int, t2: Long, t3: Long): String =
+    s"""WITH ${knPrunedArpaChainCtes(v, t2, t3)}
+       SELECT doc_id, n_ngrams, kn3_score_q FROM knp"""
+
+  private def knPrunedArpaChainCtes(v: Int, t2: Long, t3: Long): String = {
     // the null-safe level-2 probability (pSafe(2)): base = continuation
     // unigram or the 1e-99 zeroprob; a context with no level-2
     // statistic passes the base through unchanged
@@ -5205,7 +5258,7 @@ object SparkEntry {
                / CAST(h.chist AS DOUBLE)) * $p2full)"""
     def decSum(x: String) =
       s"CAST(SUM(CAST($x AS DECIMAL(28,18))) AS DOUBLE)"
-    s"""WITH tok0 AS MATERIALIZED (
+    s"""tok0 AS MATERIALIZED (
          SELECT doc_id, list_filter(
            regexp_split_to_array(lower(text), '\\s+'),
            t -> length(t) > 0) AS ts
@@ -5353,12 +5406,13 @@ object SparkEntry {
        valued AS (
          SELECT doc_id, w1, w2, w3, m,
                 CAST(m AS DOUBLE) / pq AS val
-         FROM walk)
-       SELECT doc_id,
-              CAST(SUM(m) AS BIGINT) AS n_ngrams,
-              list_reduce(list(val ORDER BY w1, w2, w3), (a, b) -> a + b)
-                / CAST(SUM(m) AS BIGINT) AS kn3_score_q
-       FROM valued GROUP BY doc_id"""
+         FROM walk),
+       knp AS (
+         SELECT doc_id,
+                CAST(SUM(m) AS BIGINT) AS n_ngrams,
+                list_reduce(list(val ORDER BY w1, w2, w3), (a, b) -> a + b)
+                  / CAST(SUM(m) AS BIGINT) AS kn3_score_q
+         FROM valued GROUP BY doc_id)"""
   }
 
   /** The x171/x211 shared oracle chain: fixture planting (robots
@@ -11471,14 +11525,15 @@ s6 AS (SELECT s5.* FROM s5 JOIN rk6 USING (doc_id)
     // level build, the streamed section write, and the reload
     "x210_kn5_arpa_stored" -> knOracleSql(5, quantized = true),
 
-    // x221 — the x210 stored-score replay (knOracleSql quantized,
-    // nested as one CTE) feeding the x214 tercile rule verbatim: the
-    // CCNet production composition, both halves already proven alone
-    "x221_ccnet_stored_kn5" ->
-      s"""WITH knsc AS (${knOracleSql(5, quantized = true)}),
+    // x221 — the x220 capped+pruned stored-score replay (the shared
+    // chain CTEs) feeding the x214 tercile rule verbatim: the CCNet
+    // production composition over a BOUNDED model, both halves
+    // already proven alone
+    "x221_ccnet_stored_pruned" ->
+      s"""WITH ${knPrunedArpaChainCtes(64, 2, 2)},
          sl AS (SELECT k.doc_id, d.lang, k.n_ngrams,
-                       round(k.kn5_score_q, 9) AS ppl
-                FROM knsc k JOIN documents d USING (doc_id)),
+                       round(k.kn3_score_q, 9) AS ppl
+                FROM knp k JOIN documents d USING (doc_id)),
          grp AS (SELECT lang, ppl, CAST(COUNT(*) AS BIGINT) AS c
                  FROM sl GROUP BY 1, 2),
          cum AS (SELECT lang, ppl,
@@ -11493,6 +11548,47 @@ s6 AS (SELECT s5.* FROM s5 JOIN rk6 USING (doc_id)
                 FROM cum)
          SELECT s.doc_id, s.lang, s.n_ngrams, s.ppl, b.bucket
          FROM sl s JOIN bk b ON b.lang = s.lang AND b.ppl = s.ppl""",
+
+    // x224 — CCNet sampled thresholds: the x144 score chain, the x22
+    // splitmix64 sample membership replayed in HUGEINT, per-language
+    // cutoffs from the SAMPLE's score-group rule (max score whose
+    // cumulative group count fits each third), and the ≤-threshold
+    // verdict over every document (NULL cutoffs fall through 'tail')
+    "x224_ccnet_sampled" ->
+      s"""WITH $knBigramOracleCtes,
+         sl AS (SELECT k.doc_id, d.lang, k.n_bigrams,
+                       round(k.kn_score, 9) AS ppl
+                FROM knsc k JOIN documents d USING (doc_id)),
+         m0 AS (SELECT doc_id, doc_id::HUGEINT AS u0 FROM sl),
+         m1 AS (SELECT doc_id, ${mulmodSql("xor(u0, u0 // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM m0),
+         m2 AS (SELECT doc_id, ${mulmodSql("xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM m1),
+         m3 AS (SELECT doc_id, xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM m2),
+         sgn AS (SELECT doc_id,
+                        CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT
+                                  THEN uh - 18446744073709551616::HUGEINT
+                                  ELSE uh END AS BIGINT) AS sh FROM m3),
+         smp AS (SELECT s.* FROM sl s JOIN sgn g USING (doc_id)
+                 WHERE ((g.sh % 100) + 100) % 100 < 10),
+         sgrp AS (SELECT lang, ppl, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM smp GROUP BY 1, 2),
+         scum AS (SELECT lang, ppl,
+                         SUM(c) OVER (PARTITION BY lang ORDER BY ppl
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                         SUM(c) OVER (PARTITION BY lang) AS n
+                  FROM sgrp),
+         thr AS (SELECT lang,
+                        MAX(CASE WHEN cum * 3 <= n THEN ppl END) AS t_head,
+                        MAX(CASE WHEN cum * 3 <= 2 * n THEN ppl END) AS t_mid
+                 FROM scum GROUP BY lang)
+         SELECT s.doc_id, s.lang, s.n_bigrams, s.ppl,
+                CASE WHEN s.ppl <= t.t_head THEN 'head'
+                     WHEN s.ppl <= t.t_mid THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM sl s LEFT JOIN thr t ON t.lang = s.lang""",
+
+    // x225 — the distributed-read scoring route over the same order-5
+    // artifact: route equivalence means the x210 oracle verbatim
+    "x225_kn5_arpa_dist" -> knOracleSql(5, quantized = true),
 
     // x220 — the capped + pruned order-3 lifecycle: cap, census,
     // null-safe level probabilities, prune + closure, renormalized

@@ -1339,8 +1339,13 @@ object Curation {
     * rounded scores per language, never a per-document sort — and the
     * verdict joins back by (lang, score) equi-key. For corpora where
     * distinct scores approach corpus size, CCNet's own production
-    * answer (thresholds from a hash-sample — [[hashSample]]) slots in
-    * front without changing the plan shape. */
+    * answer is thresholds from a hash-sample —
+    * [[ccnetBucketsSampledScored]], proven by x224.
+    *
+    * LAZINESS NOTE: construction EAGERLY executes the scoring cascade
+    * ([[ccnetBucketsScored]] pins the narrow scored projection with a
+    * blocking `localCheckpoint` for its two consumers), so building
+    * this frame runs jobs — it is not a pure plan. */
   def ccnetBuckets(docs: DataFrame, textCol: String = "text",
                    idCol: String = "doc_id",
                    langCol: String = "lang"): DataFrame =
@@ -1385,6 +1390,89 @@ object Curation {
           .otherwise(lit("tail")))
       .select(col(langCol), col("ppl"), col("bucket"))
     withLang.join(bucketed, Seq(langCol, "ppl"))
+      .select(col(idCol), col(langCol), col(cntCol), col("ppl"),
+        col("bucket"))
+  }
+
+  /** Per-language tercile THRESHOLDS from a scored frame — the
+    * boundary VALUES the [[ccnetBuckets]] group rule implies:
+    * `t_head` = the largest score whose inclusive score-group
+    * cumulative count fits the first third (`3·cum ≤ n`), `t_mid`
+    * the largest through the second. CCNet's production pipeline
+    * ships exactly this artifact (per-language `p33`/`p66` cutoffs
+    * computed once, applied to every shard); a language so skewed
+    * that no score group fits a third carries a NULL cutoff and the
+    * apply rule routes everything past it. Input needs one row per
+    * document with (`langCol`, `scoreCol`); output is one row per
+    * language — bounded by language cardinality, always
+    * broadcastable. */
+  def ccnetThresholds(scored: DataFrame, scoreCol: String = "ppl",
+                      langCol: String = "lang"): DataFrame = {
+    val groups = scored.groupBy(col(langCol), col(scoreCol))
+      .agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy(langCol).orderBy(col(scoreCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    groups
+      .withColumn("cum", sum("c").over(wcum))
+      .withColumn("n", sum("c").over(Window.partitionBy(langCol)))
+      .groupBy(col(langCol))
+      .agg(max(when(col("cum") * 3 <= col("n"), col(scoreCol)))
+             .as("t_head"),
+           max(when(col("cum") * 3 <= col("n") * 2, col(scoreCol)))
+             .as("t_mid"))
+  }
+
+  /** Apply stored per-language cutoffs to a scored frame: bucket =
+    * `head` iff score ≤ t_head, `middle` iff ≤ t_mid, else `tail`
+    * (the ≤-rule is the group rule's value form: on thresholds from
+    * the full corpus the two assignments coincide exactly, because
+    * t_head IS the head groups' max score). NULL cutoffs — a language
+    * missing from the threshold table, or one whose sample never
+    * filled a third — compare to nothing and fall through to `tail`.
+    * One broadcast left join; zero shuffles beyond the score's own.
+    * This is the shard-scoring half of CCNet's two-phase production
+    * shape (thresholds once, applied everywhere) and the streaming
+    * bucket gate's verbatim batch twin. */
+  def ccnetApplyThresholds(scored: DataFrame, thresholds: DataFrame,
+                           scoreCol: String = "ppl",
+                           langCol: String = "lang"): DataFrame =
+    scored.join(broadcast(thresholds), Seq(langCol), "left")
+      .withColumn("bucket",
+        when(col(scoreCol) <= col("t_head"), lit("head"))
+          .when(col(scoreCol) <= col("t_mid"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("t_head", "t_mid")
+
+  /** CCNet buckets with SAMPLED thresholds — the production
+    * composition for corpora where distinct scores approach corpus
+    * size (the [[ccnetBuckets]] scaladoc's own caveat): estimate the
+    * per-language cutoffs on a deterministic [[hashSample]] of the
+    * scored corpus (splitmix64 of the id — reproducible across runs,
+    * partitionings, engines), then verdict EVERY document against the
+    * broadcast cutoff table. The group-table window now runs over the
+    * sample's score groups (num/den of the corpus) instead of the
+    * full corpus's, and the full-corpus side does no window at all —
+    * one broadcast join. Same five-column schema as
+    * [[ccnetBucketsScored]]; x224 proves the composition against the
+    * sample-replaying oracle. */
+  def ccnetBucketsSampledScored(scored: DataFrame, docs: DataFrame,
+                                scoreCol: String, cntCol: String,
+                                num: Int, den: Int,
+                                idCol: String = "doc_id",
+                                langCol: String = "lang"): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"bad sample rate $num/$den")
+    // same narrow pinned projection as ccnetBucketsScored: the scored
+    // cascade feeds two consumers (the sampled census, the verdict)
+    val withLang = scored
+      .withColumn("ppl", round(col(scoreCol), 9))
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+      .select(col(idCol), col(langCol), col(cntCol), col("ppl"))
+      .localCheckpoint(true)
+    val sample = withLang.filter(
+      pmod(graft.functions.HashExprs.mix64_col(col(idCol)),
+        lit(den.toLong)) < num.toLong)
+    ccnetApplyThresholds(withLang,
+        ccnetThresholds(sample, "ppl", langCol), "ppl", langCol)
       .select(col(idCol), col(langCol), col(cntCol), col("ppl"),
         col("bucket"))
   }

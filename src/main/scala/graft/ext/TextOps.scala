@@ -1409,6 +1409,36 @@ object TextOps {
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
     val (occ, n) = arpaOccLookups(spark, docs, arpaPath, textCol, idCol)
+    knScoreTail(occ, n, idCol)
+  }
+
+  /** [[knScoreStoredArpa]] through the DISTRIBUTED model route: the
+    * artifact reads back as per-level DataFrames
+    * ([[graft.sources.Arpa.readLevels]]'s parquet sidecar) and the
+    * lookup cascade joins against SCANS instead of driver-broadcast
+    * literals — same walk, same quantization, hash-identical scores
+    * (x225 proves it against x210's oracle), but the model never
+    * transits the driver and each level join is free to go sort-merge
+    * when the model side outgrows the broadcast threshold. This is
+    * the scoring route for models past
+    * [[graft.sources.Arpa.MaxReadBytes]] — at 100 TB even a pruned
+    * order-5 web-corpus LM can be worker-RAM-sized, and the corpus ⋈
+    * model joins then want the exchange, not a broadcast. */
+  def knScoreStoredArpaLevels(spark: org.apache.spark.sql.SparkSession,
+                              docs: DataFrame, arpaPath: String,
+                              textCol: String = "text",
+                              idCol: String = "doc_id"): DataFrame = {
+    val (occ, n) =
+      arpaOccLookupsDist(spark, docs, arpaPath, textCol, idCol)
+    knScoreTail(occ, n, idCol)
+  }
+
+  /** The published-score tail shared by the two stored-ARPA scoring
+    * routes: the n-level backoff walk over the cascade's lookup
+    * columns, the artifact's 9-dp quantization on both branches, and
+    * the (gram-sorted, order-independent) per-document fold. */
+  private def knScoreTail(occ: DataFrame, n: Int, idCol: String)
+  : DataFrame = {
     val ws = (1 to n).map(i => s"w$i")
     var lg: Column = coalesce(col("lp1"), lit(-99.0))
     for (k <- 2 to n - 1)
@@ -1463,9 +1493,11 @@ object TextOps {
                                docs: DataFrame, arpaPath: String,
                                textCol: String = "text",
                                idCol: String = "doc_id",
-                               collapse: Boolean = true): DataFrame = {
-    val (occ, n) =
-      arpaOccLookups(spark, docs, arpaPath, textCol, idCol, collapse)
+                               collapse: Boolean = true,
+                               passthrough: Seq[String] = Nil)
+  : DataFrame = {
+    val (occ, n) = arpaOccLookups(spark, docs, arpaPath, textCol,
+      idCol, collapse, passthrough)
     var lg: Column = coalesce(col("lp1"), lit(-99.0))
     for (k <- 2 to n - 1)
       lg = when(col(s"lp$k").isNotNull, col(s"lp$k"))
@@ -1474,13 +1506,14 @@ object TextOps {
       .otherwise(coalesce(col(s"cbow${n - 1}"), lit(0.0)) + lg)
     val cntName = if (n == 2) "n_bigrams" else "n_ngrams"
     val lgi = round(full * lit(1e9)).cast("long")
+    val keyCols = (idCol +: passthrough).map(col)
     occ.withColumn("ti", col("m") * lgi)
-      .groupBy(col(idCol)).agg(
+      .groupBy(keyCols: _*).agg(
         sum("m").as(cntName),
         sum("ti").as("tsum"))
-      .select(col(idCol), col(cntName),
+      .select(keyCols ++ Seq(col(cntName),
         (-col("tsum").cast("double") / col(cntName) / lit(1e9))
-          .as("h10"))
+          .as("h10")): _*)
   }
 
   /** Moore-Lewis cross-entropy difference selection (Moore & Lewis
@@ -1682,13 +1715,13 @@ object TextOps {
   private def arpaOccLookups(spark: org.apache.spark.sql.SparkSession,
                              docs: DataFrame, arpaPath: String,
                              textCol: String, idCol: String,
-                             collapse: Boolean = true)
+                             collapse: Boolean = true,
+                             passthrough: Seq[String] = Nil)
   : (DataFrame, Int) = {
     import spark.implicits._
     val m = graft.sources.Arpa.read(arpaPath)
     val n = m.order
     require(n >= 2, s"scoring needs order >= 2, model is order $n")
-    val ws = (1 to n).map(i => s"w$i")
     // one broadcast frame per level: key = space-joined words (tokens
     // are whitespace-free by the ARPA contract, so the join key is
     // collision-free), lp + bow as payload
@@ -1699,22 +1732,77 @@ object TextOps {
         .toDF(s"key$k", s"lp$k", s"bow$k"))
     }
     val hasUnk = m.grams(0).contains(Vector("<unk>"))
+    val vocab =
+      if (!hasUnk) None
+      else Some(broadcast(m.grams(0).keys.map(_.head).toSeq.toDF("kw")))
+    (occLookupsOver(docs, lvl, n, vocab, textCol, idCol, collapse,
+      passthrough), n)
+  }
+
+  /** The DISTRIBUTED twin of [[arpaOccLookups]]: level frames come
+    * from the artifact's parquet sidecar
+    * ([[graft.sources.Arpa.readLevels]]) instead of driver maps, so
+    * the model never transits the driver and Catalyst picks the join
+    * strategy per level from real scan stats — broadcast-hash when a
+    * level fits the threshold, sort-merge when the model has outgrown
+    * worker memory. The only driver-side actions are two bounded
+    * scalars off the pruned level-1 partition (the order, the `<unk>`
+    * probe). */
+  private def arpaOccLookupsDist(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, arpaPath: String,
+      textCol: String, idCol: String,
+      collapse: Boolean = true, passthrough: Seq[String] = Nil)
+  : (DataFrame, Int) = {
+    val levels = graft.sources.Arpa.readLevels(spark, arpaPath)
+    val n = levels.agg(max(col("k"))).head().getInt(0)
+    require(n >= 2, s"scoring needs order >= 2, model is order $n")
+    val lvl = (1 to n).map(k =>
+      levels.filter(col("k") === k)
+        .select(col("key").as(s"key$k"), col("lp").as(s"lp$k"),
+          col("bow").as(s"bow$k")))
+    val hasUnk = levels.filter(col("k") === 1 && col("key") === "<unk>")
+      .limit(1).count() > 0
+    val vocab =
+      if (!hasUnk) None
+      else Some(levels.filter(col("k") === 1)
+        .select(col("key").as("kw")))
+    (occLookupsOver(docs, lvl, n, vocab, textCol, idCol, collapse,
+      passthrough), n)
+  }
+
+  /** The shared occurrence/lookup cascade body: n-gram occurrences of
+    * `docs` (OOV mapped to `<unk>` through `vocab` when present),
+    * joined against `lvl(k-1) = (key$k, lp$k, bow$k)` level frames —
+    * gram lookups `lp1..lpn` on every suffix length, context backoffs
+    * `cbow1..cbow(n−1)` on the windows ending at w_{n−1}. The level
+    * frames' physical side is the CALLER's choice: [[arpaOccLookups]]
+    * passes driver-built broadcast frames (the bounded-model route),
+    * [[arpaOccLookupsDist]] passes sidecar scans (the big-model
+    * route). `passthrough` columns survive next to `idCol`. */
+  private def occLookupsOver(docs: DataFrame, lvl: Seq[DataFrame],
+                             n: Int, vocab: Option[DataFrame],
+                             textCol: String, idCol: String,
+                             collapse: Boolean,
+                             passthrough: Seq[String] = Nil)
+  : DataFrame = {
+    val ws = (1 to n).map(i => s"w$i")
+    val keyCols = (idCol +: passthrough).map(col)
     val toks = filter(tokens(col(textCol)), t => length(t) > 0)
     val nTok = size(toks)
-    var occ = docs.select(col(idCol),
+    var occ = docs.select(keyCols :+
         explode(arrays_zip((1 to n).map(i =>
           slice(toks, lit(i), greatest(nTok - (n - 1), lit(0)))): _*))
-          .as("g"))
-      .select(col(idCol) +:
+          .as("g"): _*)
+      .select(keyCols ++
         (0 until n).map(i => col(s"g.$i").as(s"w${i + 1}")): _*)
-    if (hasUnk) {
+    vocab.foreach { vocabDf =>
       // the model vocabulary (unigram section — bounded by the cap
-      // that produced it) rides a broadcast into n map-side left
-      // joins; out-of-vocabulary words become <unk> BEFORE lookups,
+      // that produced it) rides into n map-side left joins;
+      // out-of-vocabulary words become <unk> BEFORE lookups,
       // mirroring the builder's pre-census cap joins
-      val vocabDf = m.grams(0).keys.map(_.head).toSeq.toDF("kw")
       for (i <- 1 to n) {
-        val ki = broadcast(vocabDf.select(col("kw").as(s"kw$i")))
+        val ki = vocabDf.select(col("kw").as(s"kw$i"))
         occ = occ
           .join(ki, col(s"w$i") === col(s"kw$i"), "left")
           .withColumn(s"w$i", coalesce(col(s"kw$i"), lit("<unk>")))
@@ -1727,7 +1815,7 @@ object TextOps {
     // a second stateful aggregation and the integer walk sums make the
     // two provably equal
     occ =
-      if (collapse) occ.groupBy(col(idCol) +: ws.map(col): _*)
+      if (collapse) occ.groupBy(keyCols ++ ws.map(col): _*)
         .agg(count(lit(1)).as("m"))
       else occ.withColumn("m", lit(1L))
     // gram lookups: suffix of length k; context lookups: the k words
@@ -1743,7 +1831,7 @@ object TextOps {
           col(s"bow$k").as(s"cbow$k")),
         array_join(array(ws.slice(n - 1 - k, n - 1).map(col): _*), " ") ===
           col(s"bkey$k"), "left").drop(s"bkey$k")
-    (occ, n)
+    occ
   }
 
   /** TRIGRAM interpolated Kneser-Ney (Chen & Goodman 1999 §3 — the
@@ -2062,6 +2150,108 @@ object TextOps {
           lit(0.0), (a, x) => a + x.getField("term")).as("llr"),
         max("jac").as("max_jaccard"))
       .withColumn("dup_hit", col("max_jaccard").isNotNull)
+  }
+
+  /** The CORPUS GATE composed with the stored-LM gates in ONE
+    * stream-legal query — the round-17 composition gap: the s1-s4
+    * ingest prefix (robots, PII scrub, stored-set line censor, Gopher)
+    * AND the dual-model Moore-Lewis/perplexity verdicts, with exactly
+    * ONE stateful aggregation. The trick is the [[ingestGate]]
+    * union-of-row-families shape: the censor's line rows and the LM
+    * walk's bigram-occurrence rows (both stateless scan-stage
+    * derivations — the line side a stream-static anti-join, the gram
+    * side the positional dual-lookup cascade with scaled-integer walk
+    * logs) union into one row set, and a single doc-keyed aggregation
+    * collects the kept lines AND both models' integer log sums.
+    * Post-aggregation everything is column algebra: reassembly,
+    * Gopher signals on the CLEANED text, `h_target`/`h_general`/
+    * `ml_score` from the sums, the `h_general ≤ maxH10` perplexity
+    * gate and the `ml_score ≥ minMl` domain gate, then optionally the
+    * C4 stage (x215 rules, stateless).
+    *
+    * SCORING CONTRACT: the LM walks score the scrubbed, relined,
+    * PRE-CENSOR text — at the door the censored text does not exist
+    * until the composition's one aggregation has run, and a second
+    * post-reassembly scoring pass would be a second stateful
+    * operator. (Reline itself is score-neutral: it only rewrites
+    * whitespace, and the tokenizer splits on any whitespace run.)
+    * StreamingSpec pins the fused form ≡ the piecewise batch
+    * composition (corpus gate ⋈ [[mooreLewisGate]]) bit for bit —
+    * the integer sums make the equality exact. Docs whose text
+    * carries no bigram have no LM signal and drop, the KN-tier
+    * convention.
+    *
+    * Emits `(doc_id, source, text, n_lines, n_kept, n_bigrams,
+    * h_target, h_general, ml_score)`. */
+  def corpusLmGate(spark: org.apache.spark.sql.SparkSession,
+                   docs: DataFrame, rules: DataFrame, boiler: DataFrame,
+                   targetArpa: String, generalArpa: String,
+                   maxH10: Double, minMl: Double, minWords: Long = 50L,
+                   reline: Column => Column = identity,
+                   c4MinWordsPerLine: Int = 0): DataFrame = {
+    val s1 = graft.ext.UrlOps.robotsAllowedOnlyByPath(docs, rules)
+      .select("doc_id", "source", "text")
+    val s2 = s1.select(col("doc_id"), col("source"),
+      reline(Cleanse.redactPii(col("text"))).as("text"))
+    val nullL = lit(null).cast("long")
+    val nullI = lit(null).cast("int")
+    val nullS = lit(null).cast("string")
+    // line rows: the censor's exploded/anti-joined lines (stateless)
+    val lineRows = s2
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("h", Cleanse.lineHash(col("line")))
+      .join(boiler.select("h"), Seq("h"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_lines"), col("pos"),
+        col("line"), nullL.as("m"), nullL.as("ta"), nullL.as("tb"))
+    // gram rows: the x223/mooreLewisGate dual-model walk columns
+    // (stateless broadcast lookups), one row per bigram occurrence
+    val occ = bigramDualLookups(spark, s2, targetArpa, generalArpa,
+      "text", "doc_id")
+    def lgi(sfx: String) = round(dualLg(sfx) * lit(1e9)).cast("long")
+    val gramRows = occ
+      .select(col("doc_id"), nullS.as("source"), nullL.as("n_lines"),
+        nullI.as("pos"), nullS.as("line"), lit(1L).as("m"),
+        lgi("a").as("ta"), lgi("b").as("tb"))
+    // THE one stateful aggregation: kept-line reassembly + LM sums
+    val agg = lineRows.unionByName(gramRows)
+      .groupBy(col("doc_id"))
+      .agg(first(col("source"), ignoreNulls = true).as("source"),
+        first(col("n_lines"), ignoreNulls = true).as("n_lines"),
+        array_join(transform(sort_array(collect_list(
+            when(col("line").isNotNull,
+              struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("text"),
+        count(col("line")).as("n_kept"),
+        sum("m").as("n_bigrams"),
+        sum("ta").as("sa"), sum("tb").as("sb"))
+      .filter(col("n_kept") > 0)
+    val sig = gopherSignals(col("text")).toMap
+    def h(c: String) =
+      -col(c).cast("double") / col("n_bigrams") / lit(1e9)
+    val gated = agg
+      .filter(sig("n_words") >= minWords &&
+        sig("n_words") <= 100000L &&
+        sig("r_mean_word_len") && sig("r_symbol_ratio") &&
+        sig("r_alpha_words") && sig("r_stopwords"))
+      .withColumn("h_target", h("sa"))
+      .withColumn("h_general", h("sb"))
+      .withColumn("ml_score", col("h_general") - col("h_target"))
+      .filter(col("h_general") <= maxH10 && col("ml_score") >= minMl)
+      .select(col("doc_id"), col("source"), col("text"), col("n_lines"),
+        col("n_kept"), col("n_bigrams"), col("h_target"),
+        col("h_general"), col("ml_score"))
+    if (c4MinWordsPerLine <= 0) gated
+    else graft.ext.Curation.c4LineFilters(gated,
+        minWordsPerLine = c4MinWordsPerLine,
+        passthrough = Seq("source", "n_bigrams", "h_target",
+          "h_general", "ml_score"))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("source"),
+        col("clean_text").as("text"), col("n_lines"), col("n_kept"),
+        col("n_bigrams"), col("h_target"), col("h_general"),
+        col("ml_score"))
   }
 
   /** ORDER-N interpolated Kneser-Ney (Chen & Goodman 1999 §3, the full

@@ -178,9 +178,77 @@ object Arpa {
     Files.write(p, render(m).getBytes(StandardCharsets.UTF_8))
   }
 
-  def read(path: String): Model =
+  /** Driver-heap ceiling for [[read]] — the KenLM-shaped contract:
+    * a model you load whole is a CAPPED + PRUNED artifact (x220's
+    * bounds), which at production vocabulary sizes stays in the tens
+    * of MB. 256 MB of ARPA text is far past any sane bounded model
+    * and well under driver heap, so the guard never bites a
+    * legitimate artifact and turns the unbounded-model mistake from
+    * a driver OOM into a one-line diagnosis. */
+  val MaxReadBytes: Long = 256L << 20
+
+  /** Whole-file reader for BOUNDED models (the broadcast-lookup
+    * scoring route). Guarded mirroring the safetensors render limit
+    * (`Safetensors.scala`): an artifact past [[MaxReadBytes]] is an
+    * unpruned model nobody should hold in one heap — fail loud and
+    * point at the distributed route ([[readLevels]] /
+    * [[graft.ext.TextOps.knScoreStoredArpaLevels]]) instead of
+    * OOMing the driver mid-broadcast. */
+  def read(path: String): Model = {
+    val sz = Files.size(Paths.get(path))
+    require(sz <= MaxReadBytes,
+      s"ARPA artifact $path is $sz bytes — past the $MaxReadBytes-byte " +
+        "driver-load ceiling for the broadcast scoring route. A model " +
+        "this size should be trained with vocabSize + prune bounds " +
+        "(knArpaLevels), or scored through the distributed level-table " +
+        "route (Arpa.readLevels / knScoreStoredArpaLevels)")
     parse(new String(Files.readAllBytes(Paths.get(path)),
       StandardCharsets.UTF_8))
+  }
+
+  /** DISTRIBUTED reader — the big-model half of the stored-LM
+    * lifecycle, closing the write/read asymmetry: [[writeLevels]]
+    * streams a model OUT without ever holding it whole, and this
+    * reads one back the same way. The ARPA text parses as a
+    * DataFrame (`spark.read.text`; a body row is
+    * `lp<TAB>w1 … wk[<TAB>bow]`, so the level is the gram field's
+    * word count and no line needs section context — headers,
+    * section markers and `\end\` carry no TAB and filter out), and
+    * the parse lands ONCE in a parquet sidecar at `<path>.levels`
+    * partitioned by level, so per-level consumers get pruned,
+    * column-pruned, stats-bearing scans instead of 2n−1 rescans of
+    * the text. Returns the sidecar frame:
+    * `(key: string, lp: double, bow: double, k: int)` with `key`
+    * the space-joined gram — the scorers' join key verbatim.
+    *
+    * The sidecar is derived state: byte-determined by the artifact
+    * (same rows, 9-dp-quantized values), built under a JVM-wide
+    * lock on first use, keyed complete by parquet's `_SUCCESS`
+    * marker. Scoring through these frames instead of [[read]]'s
+    * driver maps is [[graft.ext.TextOps.knScoreStoredArpaLevels]] —
+    * the route whose model side Catalyst is free to broadcast when
+    * small and sort-merge when not. */
+  def readLevels(spark: org.apache.spark.sql.SparkSession,
+                 path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, get, lit, size,
+      split}
+    val sidecar = path + ".levels"
+    Arpa.synchronized {
+      if (!Files.exists(Paths.get(sidecar, "_SUCCESS"))) {
+        spark.read.text(path)
+          .filter(col("value").contains("\t"))
+          .select(split(col("value"), "\t").as("f"))
+          .select(
+            get(col("f"), lit(1)).as("key"),
+            get(col("f"), lit(0)).cast("double").as("lp"),
+            coalesce(get(col("f"), lit(2)).cast("double"), lit(0.0))
+              .as("bow"),
+            size(split(get(col("f"), lit(1)), " ")).as("k"))
+          .write.mode("overwrite").partitionBy("k").parquet(sidecar)
+      }
+    }
+    spark.read.parquet(sidecar)
+  }
 
   /** DISTRIBUTED writer — the 100 TB path. `levels(k-1)` is the
     * level-(k) DataFrame with columns `gram: array<string>`,

@@ -843,6 +843,47 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in x210:\n$p")
   }
 
+  test("x225 distributed-read stored scoring: the model side is " +
+    "parquet sidecar scans (never a driver literal) — broadcast-hash " +
+    "under the default threshold, sort-merge once broadcast is off") {
+    // default threshold: the sf0.001 sidecar is tiny -> every model
+    // join broadcasts, exactly the x210 shape but fed by scans
+    val sBc = spark.newSession()
+    sBc.conf.set("spark.sql.adaptive.enabled", "false")
+    val pB = SparkEntry.queries("x225_kn5_arpa_dist")(sBc, sf)
+      .queryExecution.executedPlan.toString
+    val nBroadcast = pB.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin")
+    assert(nBroadcast >= 9, s"expected >= 9 broadcast model joins:\n$pB")
+    assert(!pB.contains("LocalTableScan"),
+      s"a model level rode the driver as a literal:\n$pB")
+    assert(!pB.contains("CartesianProduct"), s"cartesian in x225:\n$pB")
+    // broadcast off = the at-scale plan for a model past worker
+    // memory: the SAME query flips every model join to sort-merge —
+    // the route an unbounded artifact takes instead of a driver OOM
+    val sSm = spark.newSession()
+    sSm.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sSm.conf.set("spark.sql.adaptive.enabled", "false")
+    val pS = SparkEntry.queries("x225_kn5_arpa_dist")(sSm, sf)
+      .queryExecution.executedPlan.toString
+    assert(pS.contains("SortMergeJoin"),
+      s"model joins did not flip to sort-merge:\n$pS")
+    assert(!pS.contains("BroadcastHashJoin"),
+      s"a broadcast survived the -1 threshold:\n$pS")
+    assert(!pS.contains("CartesianProduct"), s"cartesian in x225:\n$pS")
+  }
+
+  test("x224 ccnet sampled thresholds: the cutoff table joins back " +
+    "BROADCAST, the tercile window runs on the sample side only, and " +
+    "nothing goes all-pairs") {
+    val p = executed("x224_ccnet_sampled").toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"threshold verdict join is not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"x224 join degenerated:\n$p")
+  }
+
   test("x212 stored-set censor: the boilerplate anti-join is hash-keyed " +
     "(never all-pairs) and the reassembly window-free — one doc-keyed " +
     "aggregation") {

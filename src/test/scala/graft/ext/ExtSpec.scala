@@ -1435,6 +1435,54 @@ class ExtSpec extends AnyFunSuite {
     assert(tr(4L) == "tail")
   }
 
+  test("ccnet thresholds: full-corpus cutoffs reproduce the group-" +
+    "rule assignment, num=den sampling is the identity, and a NULL " +
+    "cutoff falls through to tail") {
+    import spark.implicits._
+    val base = "the cat sat on the mat and the cat ran to the mat"
+    val cdocs = Seq(
+      (1L, "en", base + " " + base),
+      (2L, "en", base),
+      (3L, "en", base + " zig1 zag1"),
+      (4L, "en", base + " zig2 zag2 zog2 zug2"),
+      (5L, "en", "zip3 zap3 zop3 zup3 zep3 " + base),
+      (6L, "en", "a1 b1 c1 d1 e1 f1 g1 h1 i1 j1 k1 l1"),
+      (7L, "de", "der hund lief zum haus und der hund lief"))
+      .toDF("doc_id", "lang", "text")
+    val scored = TextOps.knBigramScore(cdocs)
+    val grouped = Curation.ccnetBucketsScored(scored, cdocs,
+        scoreCol = "kn_score", cntCol = "n_bigrams")
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    // value-form thresholds from the FULL corpus = the group rule's
+    // verdicts exactly (t_head IS the head groups' max score)
+    val sl = scored.withColumn("ppl", round(col("kn_score"), 9))
+      .join(cdocs.select("doc_id", "lang"), Seq("doc_id"))
+    val thr = Curation.ccnetThresholds(sl)
+    val applied = Curation.ccnetApplyThresholds(sl, thr)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("bucket")).toMap
+    assert(applied == grouped, s"applied $applied vs grouped $grouped")
+    // the lone-doc language: no group fits a third -> NULL cutoffs ->
+    // the apply rule lands it in tail (same as the group rule)
+    val thrDe = thr.filter(col("lang") === "de").collect()
+    assert(thrDe.length == 1 && thrDe.head.isNullAt(1) &&
+      thrDe.head.isNullAt(2), "de cutoffs should be NULL")
+    assert(applied(7L) == "tail")
+    // sampling at num = den keeps every document in the census: the
+    // sampled composition degenerates to the full threshold form
+    val all = Curation.ccnetBucketsSampledScored(scored, cdocs,
+        scoreCol = "kn_score", cntCol = "n_bigrams",
+        num = 100, den = 100)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(all == grouped, s"num=den $all vs grouped $grouped")
+    // an empty threshold table (language never sampled) -> all tail
+    val noThr = Seq.empty[(String, Double, Double)]
+      .toDF("lang", "t_head", "t_mid")
+    val tails = Curation.ccnetApplyThresholds(sl, noThr)
+      .select("bucket").distinct().collect().map(_.getString(0)).toSet
+    assert(tails == Set("tail"))
+  }
+
   test("hllVocabEstimate: exact count rides the register shuffle, " +
     "the estimate lands in the 1.04/sqrt(m) band, and duplicates " +
     "cannot move a register") {

@@ -397,4 +397,61 @@ class ArpaSpec extends AnyFunSuite {
     val got = graft.ext.TextOps.knScoreStoredArpa(spark, docs, path)
     assert(got.count() == 3)
   }
+
+  test("read size guard: an artifact past MaxReadBytes fails loud " +
+    "and names the distributed route") {
+    val dir = java.nio.file.Files.createTempDirectory("arpa_guard")
+    val path = dir.resolve("big.arpa")
+    // a sparse file trips Files.size without writing 256 MB
+    val ch = java.nio.channels.FileChannel.open(path,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      ch.position(Arpa.MaxReadBytes)
+      ch.write(java.nio.ByteBuffer.wrap(Array[Byte]('x')))
+    } finally ch.close()
+    val e = intercept[IllegalArgumentException](Arpa.read(path.toString))
+    assert(e.getMessage.contains("readLevels"),
+      s"guard should point at the distributed route: ${e.getMessage}")
+  }
+
+  test("readLevels: the parquet sidecar holds exactly the parsed " +
+    "model's rows per level, and the distributed scorer matches the " +
+    "broadcast scorer hash-for-hash") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat ran off the mat"),
+      (2L, "a dog sat on a log and a dog ran off a log"),
+      (3L, "the cat sat on the log and the dog sat on the mat"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("arpa_lvl")
+    val path = dir.resolve("m.arpa").toString
+    Arpa.writeLevels(path,
+      graft.ext.TextOps.knArpaLevels(docs, order = 3, vocabSize = 8))
+    val m = Arpa.read(path)
+    val lv = Arpa.readLevels(spark, path)
+    // sidecar rows == model rows, level by level, value for value
+    // (bow 0.0 = the format's omitted-field convention on both sides)
+    (1 to 3).foreach { k =>
+      val got = lv.filter(org.apache.spark.sql.functions.col("k") === k)
+        .collect()
+        .map(r => r.getAs[String]("key") ->
+          ((r.getAs[Double]("lp"), r.getAs[Double]("bow")))).toMap
+      val want = m.grams(k - 1).map { case (g, v) => g.mkString(" ") -> v }
+      assert(got == want, s"level $k sidecar mismatch")
+    }
+    // sidecar is built once: a second call reads, never rewrites
+    val marker = java.nio.file.Paths.get(path + ".levels", "_SUCCESS")
+    val t0 = java.nio.file.Files.getLastModifiedTime(marker)
+    Arpa.readLevels(spark, path).count()
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == t0)
+    // route equivalence on a capped model (exercises the <unk> joins)
+    val a = graft.ext.TextOps.knScoreStoredArpa(spark, docs, path)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val b = graft.ext.TextOps.knScoreStoredArpaLevels(spark, docs, path)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(a == b, s"broadcast route $a vs distributed route $b")
+  }
 }
