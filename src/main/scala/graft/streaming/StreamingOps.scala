@@ -570,6 +570,52 @@ object StreamingOps {
     graft.ext.TextOps.mooreLewisGate(spark, docStream, targetArpa,
       generalArpa, minMl)
 
+  /** Streaming CCNet BUCKET gate — the ingest-door form of the x221/
+    * x224 composition: arriving documents score under the stored
+    * (capped+pruned) ARPA model through the one-aggregation
+    * log-domain walk ([[graft.ext.TextOps.knCrossEntropyStoredArpa]],
+    * uncollapsed — bit-identical to batch by the scaled-integer
+    * sums), then take their head/middle/tail verdict from the STORED
+    * per-language threshold table the batch job computed
+    * ([[graft.ext.Curation.ccnetThresholds]] over a corpus snapshot —
+    * corpus-wide terciles are state a stream cannot see, the
+    * stored-index discipline). The threshold apply is one stateless
+    * broadcast left join ([[graft.ext.Curation.ccnetApplyThresholds]]
+    * verbatim — languages missing from the table fall through to
+    * `tail`), so the whole gate keeps EXACTLY one stateful operator.
+    * Input must carry a `lang` column (it rides the aggregation as a
+    * doc-functional group key). Emits
+    * `(lang, doc_id, n_grams, h10, bucket)`; StreamingSpec pins ≡ the
+    * batch threshold application on the same scores. */
+  def streamingCcnetBucketGate(spark: SparkSession,
+                               docStream: DataFrame, arpaPath: String,
+                               thresholds: DataFrame): DataFrame =
+    graft.ext.Curation.ccnetApplyThresholds(
+      graft.ext.TextOps.knCrossEntropyStoredArpa(spark, docStream,
+        arpaPath, collapse = false, passthrough = Seq("lang")),
+      thresholds, scoreCol = "h10")
+
+  /** The corpus gate COMPOSED with the stored-LM gates
+    * ([[graft.ext.TextOps.corpusLmGate]] verbatim): robots, PII
+    * scrub, stored-set censor, Gopher, the dual-model Moore-Lewis /
+    * perplexity verdicts, and optionally the C4 stage — in ONE query
+    * with ONE stateful aggregation (the censor's line rows and the LM
+    * walk's gram rows union into a single doc-keyed agg, the
+    * [[streamingIngestGate]] row-family shape). The LM scores the
+    * scrubbed pre-censor text — the door-side contract documented on
+    * the operator. StreamingSpec pins ≡ the piecewise batch
+    * composition bit for bit. */
+  def streamingCorpusLmGate(spark: SparkSession, docStream: DataFrame,
+                            rules: DataFrame, boiler: DataFrame,
+                            targetArpa: String, generalArpa: String,
+                            maxH10: Double, minMl: Double,
+                            minWords: Long = 50L,
+                            reline: Column => Column = identity,
+                            c4MinWordsPerLine: Int = 0): DataFrame =
+    graft.ext.TextOps.corpusLmGate(spark, docStream, rules, boiler,
+      targetArpa, generalArpa, maxH10, minMl, minWords, reline,
+      c4MinWordsPerLine)
+
   /** Streaming QUALITY gate from the STORED model: arriving documents
     * score under safetensors-persisted logistic weights (the x206
     * artifact) — weights ride in as literals, features project in the

@@ -904,6 +904,105 @@ class StreamingSpec extends AnyFunSuite {
     assert(r0 > rRest, s"src0 pass rate $r0 vs rest $rRest")
   }
 
+  test("streaming ccnet bucket gate: arrivals verdict against the " +
+    "STORED per-language thresholds, equal to the batch threshold " +
+    "application") {
+    val dir = "/root/testdata/sf0.001"
+    val docsBatch = graft.Tables.documents(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("st_ccnet")
+      .resolve("m.arpa").toString
+    graft.sources.Arpa.writeLevels(path,
+      graft.ext.TextOps.knArpaLevels(docsBatch, order = 2,
+        vocabSize = 256))
+    // the batch job's stored artifact: per-language h10 terciles
+    val scoredBatch = graft.ext.TextOps.knCrossEntropyStoredArpa(
+      spark, docsBatch, path, passthrough = Seq("lang"))
+    val thr = graft.ext.Curation.ccnetThresholds(scoredBatch,
+      scoreCol = "h10").localCheckpoint(true)
+    val batch = graft.ext.Curation.ccnetApplyThresholds(scoredBatch,
+      thr, scoreCol = "h10")
+    val docsStream = spark.readStream.schema(docsBatch.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val streamed = StreamingOps.runBounded(spark,
+      StreamingOps.streamingCcnetBucketGate(spark, docsStream, path,
+        thr),
+      "ccnet_bucket_gate_test", OutputMode.Complete())
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b && s.size == 500, s"stream ${s.size} vs batch ${b.size}")
+    // the verdict is non-trivial: all three buckets occur
+    val buckets = streamed.select("bucket").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(buckets == Set("head", "middle", "tail"), s"got $buckets")
+  }
+
+  test("composed corpus+LM gate: ONE aggregation carries the censor " +
+    "reassembly AND both model walks; stream equals the piecewise " +
+    "batch composition bit for bit") {
+    import spark.implicits._
+    val fox = "the quick brown fox jumps over to the lazy dog."
+    val greek = "alpha beta gamma delta epsilon zeta eta theta iota."
+    val docs = Seq(
+      (1L, "srcA", Seq.fill(4)(fox).mkString("\n")),
+      (2L, "srcA", Seq.fill(4)(greek).mkString("\n")),
+      (3L, "srcA", Seq(fox, greek, fox, greek).mkString("\n")),
+      (4L, "srcA", Seq(fox, fox, greek, fox).mkString("\n")),
+      (5L, "srcA", "too short."), // fails the gopher word floor
+      (6L, "srcA", Seq.fill(3)(greek + " " + greek).mkString("\n")))
+      .toDF("doc_id", "source", "text")
+      .withColumn("domain", lit("d.com"))
+      .withColumn("path", concat(lit("/p"), col("doc_id")))
+    val rules = graft.ext.UrlOps.parseRobots(
+      Seq(("d.com", "User-agent: *\nAllow: /"))
+        .toDF("domain", "robots_txt")).localCheckpoint(true)
+    val boiler = Seq.empty[Long].toDF("h")
+    val tmp = java.nio.file.Files.createTempDirectory("st_clm")
+    val tPath = tmp.resolve("t.arpa").toString
+    val gPath = tmp.resolve("g.arpa").toString
+    // target model: the fox dialect; general: everything
+    graft.sources.Arpa.writeLevels(tPath,
+      graft.ext.TextOps.knArpaLevels(
+        docs.filter(col("doc_id").isin(1L, 4L)), order = 2,
+        vocabSize = 64))
+    graft.sources.Arpa.writeLevels(gPath,
+      graft.ext.TextOps.knArpaLevels(docs, order = 2, vocabSize = 64))
+    // piecewise batch twin: the s1-s4 corpus prefix joined with the
+    // dual-model scorer over the SAME scrubbed pre-censor text, both
+    // verdicts applied — what the fused one-agg form must reproduce
+    val s4 = StreamingOps.streamingCorpusGate(docs, rules, boiler,
+      minWords = 10L)
+    val s2batch = graft.ext.UrlOps.robotsAllowedOnlyByPath(docs, rules)
+      .select(col("doc_id"), col("source"),
+        graft.ext.Cleanse.redactPii(col("text")).as("text"))
+    val ml = graft.ext.TextOps.mooreLewisGate(spark, s2batch, tPath,
+      gPath, minMl = 0.0)
+    val maxH10 = 10.0
+    val batch = s4.join(ml.select("doc_id", "n_bigrams", "h_target",
+        "h_general", "ml_score"), Seq("doc_id"))
+      .filter(col("h_general") <= maxH10 && col("ml_score") >= 0.0)
+      .select("doc_id", "source", "text", "n_lines", "n_kept",
+        "n_bigrams", "h_target", "h_general", "ml_score")
+    val fdir = java.nio.file.Files.createTempDirectory("st_clm_docs")
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(s"$fdir/documents.parquet")
+    val docsStream = spark.readStream.schema(docs.schema)
+      .parquet(s"$fdir/documents.parquet")
+    val streamed = StreamingOps.runBounded(spark,
+      StreamingOps.streamingCorpusLmGate(spark, docsStream, rules,
+        boiler, tPath, gPath, maxH10 = maxH10, minMl = 0.0,
+        minWords = 10L),
+      "corpus_lm_gate_test", OutputMode.Complete())
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b, s"stream ${s.size} rows vs batch ${b.size}")
+    // both gate families bite: doc 5 falls to gopher, the greek docs
+    // to the domain gate; at least one fox doc survives everything
+    val ids = streamed.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids.nonEmpty && ids.subsetOf(Set(1L, 3L, 4L)), s"got $ids")
+    assert(!ids.contains(2L) && !ids.contains(5L) && !ids.contains(6L))
+  }
+
   test("streaming span decontamination: the window-free island fold " +
     "equals the batch x218 strip on every document") {
     val dir = "/root/testdata/sf0.001"
