@@ -51,6 +51,35 @@ object Bench {
         .filter(p => p.info().command().map[Boolean](_.contains("java")).orElse(false))
         .count(p => p.pid() != self.pid())
     }
+    // ENVIRONMENT FINGERPRINT (round-17 verdict: three consecutive
+    // rounds re-litigated ambient host drift with A/B commits because
+    // the artifact recorded only other_jvms). JVM + governor identify
+    // the platform; load average and CPU-steal jiffies sample at run
+    // START and END so a cross-round tier swing is adjudicated from
+    // the record: high steal_pct / load delta = the host, not the plan.
+    def firstLine(p: String): String =
+      try Files.readString(Paths.get(p)).linesIterator.take(1)
+        .mkString.trim
+      catch { case _: Throwable => "" }
+    // (steal, total) jiffies from the aggregate cpu line — cumulative
+    // counters, meaningful as a start-to-end delta
+    def cpuStat(): Option[(Long, Long)] =
+      try {
+        val f = firstLine("/proc/stat").split("\\s+").drop(1)
+          .map(_.toLong)
+        if (f.length >= 8) Some((f(7), f.sum)) else None
+      } catch { case _: Throwable => None }
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val jvmVersion = System.getProperty("java.version", "unknown")
+    val governor = firstLine(
+      "/sys/devices/system/cpu/cpu0/cpufreq/scaling_governor") match {
+      case "" => "unknown"; case g => g
+    }
+    val loadStart = loadAvg()
+    val statStart = cpuStat()
+
     // warmup: JIT the codegen, parquet-reader, and hash-agg paths the
     // measured queries exercise (not charged to any query)
     spark.range(10000000L).selectExpr("sum(id)").collect()
@@ -156,9 +185,24 @@ object Bench {
     // in VERDICT.md / the committed BENCH_r{N} history; a run that
     // needs a note passes it explicitly.
     val notes = esc(sys.env.getOrElse("SPARK_GRAFT_BENCH_NOTES", ""))
+    // close the environment fingerprint: steal% over the run, load
+    // average at both ends (fmt is locale-pinned; -1 = unavailable)
+    val loadEnd = loadAvg()
+    val stealPct = (for {
+      (s0, t0) <- statStart
+      (s1, t1) <- cpuStat()
+      if t1 > t0
+    } yield 100.0 * (s1 - s0) / (t1 - t0)).getOrElse(-1.0)
+    def fmtE(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val envJson = s"""{"jvm":"${esc(jvmVersion)}","cpus_avail":${
+      Runtime.getRuntime.availableProcessors()},"governor":"${
+      esc(governor)}","load_start":${fmtE(loadStart)},"load_end":${
+      fmtE(loadEnd)},"steal_pct":${fmtE(stealPct)}}"""
     // "stat":"min" labels the statistic change vs BENCH_r01/r02 (medians)
     // so cross-round artifact diffs are not silently apples-to-oranges
-    val detail = s"""{"diag":"bench_detail","stat":"min","notes":"$notes","run_contended":$runContended,"total_median":$totalMed,"queries_full":$qsFull,"queries_median":$qsMed,"contended":$contendedJson,"errors":$errJson,"reps":$reps,"passes":$passes,"other_jvms":$otherJvms}"""
+    val detail = s"""{"diag":"bench_detail","stat":"min","notes":"$notes","env":$envJson,"run_contended":$runContended,"total_median":$totalMed,"queries_full":$qsFull,"queries_median":$qsMed,"contended":$contendedJson,"errors":$errJson,"reps":$reps,"passes":$passes,"other_jvms":$otherJvms}"""
     println(detail)
     // full-precision detail also lands in the repo (BENCH_DETAIL.json) —
     // the driver's artifact keeps only the last ~2 KB of stdout, which a
