@@ -131,6 +131,8 @@ object Plans {
       "x214_ccnet_buckets" -> "CCNet terciles: the x144 scoring plan, then the bucket window over the (lang, score) GROUP table — bounded by distinct rounded scores, never a per-document sort; the verdict joins back by equi-key.",
       "x216_luhn_cc_scrub" -> "Luhn card scrub: candidate extraction, the checksum fold, and the replace fold are ALL codegen'd column algebra fused into the scan — zero exchange; checksum-gated PII costs one pass.",
       "x217_hll_vocab" -> "Relational HyperLogLog: rho via an integer comparison fold in the scan stage, ONE m-key exchange whose max/count-distinct partials collapse map-side, an m-row final fold — cardinality at scan speed, no census.",
+      "x226_bloom_decontam" -> "Relational Bloom filter: the word table is ONE bit_or aggregation bounded at m/32 rows and BROADCASTS into the probe join; probing is scan-stage seed-hash algebra + one doc-keyed verdict agg — membership at scan speed, state independent of the benchmark size.",
+      "x227_countmin_heavy" -> "Count-Min heavy hitters: registers are ONE count aggregation bounded at d·w cells and BROADCAST back into the estimate join; the exact top-20 cut is TakeOrderedAndProject — frequency estimates at scan speed, state independent of vocabulary.",
       "x215_c4_filters" -> "C4 cleaning rules: every line rule and page tell is string/array algebra fused into the scan — zero exchange at any corpus size, the same call is stream-valid.",
       "x218_decontam_strip" -> "Span decontamination: the benchmark shingle set distinct'd then BROADCAST into one semi-join; removable positions island-merge in ONE doc-keyed window; the span list per doc is bounded.",
       "x219_dup_matrix" -> "Cross-source dup matrix: rides the banded jaccardPairs tier (never all-pairs); endpoint sources attach via two doc-keyed equi-joins, the rollup is source²-sized.",

@@ -2273,6 +2273,67 @@ object SparkEntry {
     "x217_hll_vocab" -> ((s, d) =>
       ext.TextOps.hllVocabEstimate(t(s, d, "documents"), p = 10)),
 
+    // x226 — relational BLOOM-FILTER decontamination (Bloom 1970; the
+    // x217 design rule: sketch state as inspectable rows): the
+    // benchmark slice's 3-gram windows build a 2^15-bit filter as
+    // 1024 bit_or'd words (~0.3% FP at this fill), every document's
+    // distinct windows probe it
+    // (3 seed hashes via the MinHash splitmix family), and the exact
+    // membership join rides alongside so the report prices the
+    // filter's own false positives — n_bloom_hits ≥ n_exact_hits per
+    // doc BY CONSTRUCTION (no false negatives), with the gap = the FP
+    // load at this m/k/n operating point.
+    "x226_bloom_decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val keyOf = graft.functions.ShingleHashesAll(col("text"), 3)
+      val benchKeys = docs.filter(pmod(col("doc_id"), lit(13L)) === 0L)
+        .select(explode(keyOf).as("key")).distinct()
+      val words = ext.Sketch.bloomBuild(benchKeys, "key",
+        mBits = 1 << 15, k = 3)
+      val probes = docs
+        .select(col("doc_id"), explode(keyOf).as("key")).distinct()
+      ext.Sketch.bloomProbe(probes, words, "key", mBits = 1 << 15,
+          k = 3, keep = Seq("doc_id"))
+        .join(benchKeys.withColumn("ex", lit(true)), Seq("key"), "left")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_windows"),
+          sum(when(col("maybe"), 1L).otherwise(0L)).as("n_bloom_hits"),
+          sum(when(col("ex").isNotNull, 1L).otherwise(0L))
+            .as("n_exact_hits"))
+    }),
+
+    // x227 — COUNT-MIN heavy hitters (Cormode & Muthukrishnan 2005):
+    // every token occurrence increments d = 3 rows of a w = 16
+    // register table (one aggregation, 48 cells — the synthetic
+    // corpus carries a 31-term vocabulary, so a realistic width would
+    // be collision-free and price nothing; w = 16 forces the
+    // colliding-mass regime), then the exact top-20 terms read their
+    // min-of-rows
+    // estimate back — c_est ≥ c_exact always (one-sided error, the
+    // CMS guarantee), the overestimate column pricing the colliding
+    // mass at this d/w operating point. Registers and estimates replay
+    // bit-for-bit in the oracle through the x82 token-hash chain.
+    "x227_countmin_heavy" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val occ = docs.select(
+        explode(graft.functions.ShingleHashesAll(col("text"), 1))
+          .as("key"))
+      val regs = ext.Sketch.countMinRegisters(occ, "key",
+        width = 16, depth = 3)
+      val top = docs
+        .select(explode(graft.functions.TokenSplit(col("text")))
+          .as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c_exact"))
+        .orderBy(col("c_exact").desc, col("term")).limit(20)
+      ext.Sketch.countMinEstimate(
+          top.withColumn("key", element_at(
+            graft.functions.ShingleHashesAll(col("term"), 1), 1)),
+          regs, "key", width = 16, depth = 3,
+          keep = Seq("term", "c_exact"))
+        .select(col("term"), col("c_exact"), col("c_est"),
+          (col("c_est") - col("c_exact")).as("overestimate"))
+    }),
+
     // x221 — CCNet buckets in the PRODUCTION shape (Wenzek et al.
     // 2020): the x214 tercile operator fed by a STORED, BOUNDED ARPA
     // score instead of the inline bigram chain. The model is the x220
@@ -4116,6 +4177,34 @@ object SparkEntry {
     s"""((($a) * $bl::HUGEINT) % $M +
        |   ((($a) * $bh::HUGEINT) % 4294967296::HUGEINT)
        |   * 4294967296::HUGEINT) % $M""".stripMargin
+  }
+
+  /** x226/x227's seed-hash probe chain over a source CTE carrying an
+    * unsigned HUGEINT key column `uh`: seed i is
+    * `splitmix64(key + GOLDEN·i)` (the MinHash seed family Sketch
+    * reuses), taken signed and pmod'd to a position in [0, m). Emits
+    * the stepwise CTEs ending at `${pfx}p$i(<carry>, pos)`; rows pass
+    * through 1:1 (multiplicity preserved — the CMS register build
+    * counts occurrences). */
+  private def seedPosCtes(src: String, i: Int, m: Int, pfx: String,
+                          carry: String): String = {
+    val M = "18446744073709551616::HUGEINT"
+    val off = (BigInt("9E3779B97F4A7C15", 16) * i) % (BigInt(1) << 64)
+    s"""${pfx}a$i AS (SELECT $carry, ((uh + $off::HUGEINT) % $M) AS s0
+           FROM $src),
+       ${pfx}b$i AS (SELECT $carry, ${mulmodSql(
+          "xor(s0, s0 // 1073741824::HUGEINT)", Mix64C1)} AS s1
+           FROM ${pfx}a$i),
+       ${pfx}c$i AS (SELECT $carry, ${mulmodSql(
+          "xor(s1, s1 // 134217728::HUGEINT)", Mix64C2)} AS s2
+           FROM ${pfx}b$i),
+       ${pfx}d$i AS (SELECT $carry,
+           xor(s2, s2 // 2147483648::HUGEINT) AS sf FROM ${pfx}c$i),
+       ${pfx}p$i AS (SELECT $carry,
+           ((CAST(CASE WHEN sf >= 9223372036854775808::HUGEINT
+                       THEN sf - 18446744073709551616::HUGEINT
+                       ELSE sf END AS BIGINT) % $m) + $m) % $m AS pos
+         FROM ${pfx}d$i)"""
   }
 
   /** x152/x153's manifest row chain over a (doc_id, text) source CTE:
@@ -11589,6 +11678,140 @@ s6 AS (SELECT s5.* FROM s5 JOIN rk6 USING (doc_id)
     // x225 — the distributed-read scoring route over the same order-5
     // artifact: route equivalence means the x210 oracle verbatim
     "x225_kn5_arpa_dist" -> knOracleSql(5, quantized = true),
+
+    // x226 — the Bloom filter replayed end to end: 3-gram window
+    // hashes (per-token FNV, ×1000003 polynomial combine, mix64 — the
+    // x168 chain at k = 3), the benchmark slice's distinct keys, the
+    // three seed positions per key (splitmix64(key + GOLDEN·i), the
+    // seedPosCtes chain), the bit_or'd word table, the probe verdict
+    // (all three bits set), and the exact membership join — words,
+    // verdicts, and counts all rebuilt from scratch
+    "x226_bloom_decontam" -> {
+      val M = "18446744073709551616::HUGEINT"
+      val m = 1 << 15
+      s"""WITH tok0 AS MATERIALIZED (
+           SELECT doc_id, list_filter(
+             regexp_split_to_array(lower(text), '\\s+'),
+             t -> length(t) > 0) AS ts
+           FROM documents),
+         thl AS MATERIALIZED (
+           SELECT doc_id, list_transform(ts, t ->
+             list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(range(1, length(t) + 1), i ->
+                   unicode(substr(t, CAST(i AS INTEGER), 1))::HUGEINT)),
+               (h, c) -> ((xor(h, c) * 1099511628211::HUGEINT) % $M
+                          * 1099511628211::HUGEINT) % $M)) AS hs
+           FROM tok0),
+         w3 AS MATERIALIZED (
+           SELECT doc_id, unnest(list_transform(range(1, len(hs) - 1),
+             i -> ((((hs[CAST(i AS INTEGER)] * 1000003::HUGEINT) % $M
+                     + hs[CAST(i + 1 AS INTEGER)]) % $M
+                    * 1000003::HUGEINT) % $M
+                   + hs[CAST(i + 2 AS INTEGER)]) % $M)) AS f
+           FROM thl),
+         z1 AS (SELECT doc_id, ${mulmodSql(
+            "xor(f, f // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM w3),
+         z2 AS (SELECT doc_id, ${mulmodSql(
+            "xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM z1),
+         keys AS MATERIALIZED (
+           SELECT DISTINCT doc_id,
+                  xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM z2),
+         bkeys AS MATERIALIZED (
+           SELECT DISTINCT uh FROM keys WHERE doc_id % 13 = 0),
+         ${seedPosCtes("bkeys", 1, m, "bb", "uh")},
+         ${seedPosCtes("bkeys", 2, m, "bb", "uh")},
+         ${seedPosCtes("bkeys", 3, m, "bb", "uh")},
+         words AS MATERIALIZED (
+           SELECT pos // 32 AS wi,
+                  bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS w
+           FROM (SELECT pos FROM bbp1 UNION ALL
+                 SELECT pos FROM bbp2 UNION ALL
+                 SELECT pos FROM bbp3)
+           GROUP BY 1),
+         ${seedPosCtes("keys", 1, m, "pp", "doc_id, uh")},
+         ${seedPosCtes("keys", 2, m, "pp", "doc_id, uh")},
+         ${seedPosCtes("keys", 3, m, "pp", "doc_id, uh")},
+         pbit AS (
+           SELECT p.doc_id, p.uh,
+                  (w.w IS NOT NULL AND
+                   (w.w & (1::BIGINT << CAST(p.pos % 32 AS INTEGER)))
+                     = (1::BIGINT << CAST(p.pos % 32 AS INTEGER))) AS bit
+           FROM (SELECT doc_id, uh, pos FROM ppp1 UNION ALL
+                 SELECT doc_id, uh, pos FROM ppp2 UNION ALL
+                 SELECT doc_id, uh, pos FROM ppp3) p
+           LEFT JOIN words w ON w.wi = p.pos // 32),
+         pv AS (SELECT doc_id, uh, bool_and(bit) AS maybe
+                FROM pbit GROUP BY 1, 2),
+         ex AS (SELECT k.doc_id, k.uh,
+                       (b.uh IS NOT NULL) AS ex
+                FROM keys k LEFT JOIN bkeys b ON b.uh = k.uh)
+         SELECT v.doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_windows,
+                CAST(SUM(CASE WHEN v.maybe THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_bloom_hits,
+                CAST(SUM(CASE WHEN e.ex THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_exact_hits
+         FROM pv v JOIN ex e ON e.doc_id = v.doc_id AND e.uh = v.uh
+         GROUP BY 1"""
+    },
+
+    // x227 — Count-Min replayed end to end: the x82 token-hash chain
+    // per occurrence, three seed buckets per occurrence into the
+    // (j, b) register census, the exact term census with the
+    // deterministic top-20 rank, each top term re-hashed from its own
+    // string, and the min-of-rows estimate — registers and estimates
+    // bit for bit
+    "x227_countmin_heavy" -> {
+      val M = "18446744073709551616::HUGEINT"
+      s"""WITH ${hashedTokenCtesOver("documents")},
+         occ AS MATERIALIZED (SELECT uh FROM zf),
+         ${seedPosCtes("occ", 1, 16, "rr", "uh")},
+         ${seedPosCtes("occ", 2, 16, "rr", "uh")},
+         ${seedPosCtes("occ", 3, 16, "rr", "uh")},
+         reg AS MATERIALIZED (
+           SELECT j, b, CAST(COUNT(*) AS BIGINT) AS c
+           FROM (SELECT 0 AS j, pos AS b FROM rrp1 UNION ALL
+                 SELECT 1, pos FROM rrp2 UNION ALL
+                 SELECT 2, pos FROM rrp3)
+           GROUP BY 1, 2),
+         census AS (
+           SELECT u.t AS term, CAST(COUNT(*) AS BIGINT) AS c_exact
+           FROM tok, unnest(ts) AS u(t) GROUP BY 1),
+         top AS (
+           SELECT term, c_exact FROM (
+             SELECT *, row_number()
+                         OVER (ORDER BY c_exact DESC, term) AS rn
+             FROM census) WHERE rn <= 20),
+         tf AS (
+           SELECT term, c_exact,
+             list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(range(1, length(term) + 1), i ->
+                   unicode(substr(term, CAST(i AS INTEGER), 1))::HUGEINT)),
+               (h, c) -> ((xor(h, c) * 1099511628211::HUGEINT) % $M
+                          * 1099511628211::HUGEINT) % $M) AS f
+           FROM top),
+         tz1 AS (SELECT term, c_exact, ${mulmodSql(
+            "xor(f, f // 1073741824::HUGEINT)", Mix64C1)} AS u1 FROM tf),
+         tz2 AS (SELECT term, c_exact, ${mulmodSql(
+            "xor(u1, u1 // 134217728::HUGEINT)", Mix64C2)} AS u2 FROM tz1),
+         tq AS (SELECT term, c_exact,
+                       xor(u2, u2 // 2147483648::HUGEINT) AS uh FROM tz2),
+         ${seedPosCtes("tq", 1, 16, "qq", "term, c_exact, uh")},
+         ${seedPosCtes("tq", 2, 16, "qq", "term, c_exact, uh")},
+         ${seedPosCtes("tq", 3, 16, "qq", "term, c_exact, uh")},
+         est AS (
+           SELECT p.term, p.c_exact,
+                  MIN(COALESCE(r.c, 0)) AS c_est
+           FROM (SELECT term, c_exact, 0 AS j, pos FROM qqp1 UNION ALL
+                 SELECT term, c_exact, 1, pos FROM qqp2 UNION ALL
+                 SELECT term, c_exact, 2, pos FROM qqp3) p
+           LEFT JOIN reg r ON r.j = p.j AND r.b = p.pos
+           GROUP BY 1, 2)
+         SELECT term, c_exact, c_est, c_est - c_exact AS overestimate
+         FROM est"""
+    },
 
     // x220 — the capped + pruned order-3 lifecycle: cap, census,
     // null-safe level probabilities, prune + closure, renormalized

@@ -616,6 +616,49 @@ object StreamingOps {
       targetArpa, generalArpa, maxH10, minMl, minWords, reline,
       c4MinWordsPerLine)
 
+  /** Streaming BLOOM membership gate — x226 at the ingest door: each
+    * arriving document's k-gram windows probe the STORED Bloom word
+    * table ([[graft.ext.Sketch.bloomBuild]] over the benchmark set,
+    * persisted by the batch job) and the doc reports how many of its
+    * windows the filter claims. The word table is m/32 rows — SMALLER
+    * than the exact distinct-hash set [[streamingDecontamGate]]
+    * broadcasts, which is the production reason this gate exists: when
+    * the reference set outgrows the exact broadcast, the filter keeps
+    * membership at the door O(m) with ZERO false negatives (a clean
+    * doc can read contaminated, never the reverse — route flagged docs
+    * to the batch exact join). Probing is scan-stage seed-hash algebra
+    * + one stream-static broadcast join; the per-(doc, window) verdict
+    * AND the per-doc rollup ride ONE stateful aggregation (the window
+    * bit-verdict folds into the same groupBy via a conjunction over
+    * the k bits). Emits `(doc_id, n_windows, n_maybe_hits)`.
+    * StreamingSpec pins ≡ the batch probe rollup. */
+  def streamingBloomGate(docStream: DataFrame, words: DataFrame,
+                         mBits: Int, k: Int,
+                         shingleK: Int = 3): DataFrame = {
+    val probes = docStream.select(col("doc_id"),
+      explode_outer(array_distinct(
+        graft.functions.ShingleHashesAll(col("text"), shingleK)))
+        .as("key"))
+    // ONE stateful aggregation: the per-(key, seed) bit rows gather
+    // per doc (bounded by k × the doc's window count), and both the
+    // per-window conjunction and the per-doc rollup are column
+    // algebra over the collected list — a distinct key is a maybe-hit
+    // iff NO seed row of it reads false
+    graft.ext.Sketch.bloomProbeBits(probes, words, "key", mBits, k,
+        keep = Seq("doc_id"))
+      .groupBy("doc_id")
+      .agg(collect_list(when(col("key").isNotNull,
+        struct(col("key"), col("bit")))).as("lst"))
+      .select(col("doc_id"),
+        size(array_distinct(transform(col("lst"),
+          x => x.getField("key")))).cast("long").as("n_windows"),
+        (size(array_distinct(transform(col("lst"),
+            x => x.getField("key")))) -
+          size(array_distinct(transform(filter(col("lst"),
+            x => !x.getField("bit")), x => x.getField("key")))))
+          .cast("long").as("n_maybe_hits"))
+  }
+
   /** Streaming QUALITY gate from the STORED model: arriving documents
     * score under safetensors-persisted logistic weights (the x206
     * artifact) — weights ride in as literals, features project in the

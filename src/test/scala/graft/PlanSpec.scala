@@ -884,6 +884,23 @@ class PlanSpec extends AnyFunSuite {
       s"x224 join degenerated:\n$p")
   }
 
+  test("x226/x227 sketches: the bounded state table (Bloom words / CMS " +
+    "registers) broadcasts into the probe join; nothing goes all-pairs; " +
+    "the CMS top-20 cut is TakeOrderedAndProject") {
+    val pb = executed("x226_bloom_decontam").toString
+    assert(pb.contains("BroadcastHashJoin"),
+      s"Bloom word table did not broadcast:\n$pb")
+    assert(!pb.contains("CartesianProduct") &&
+      !pb.contains("BroadcastNestedLoopJoin"),
+      s"x226 join degenerated:\n$pb")
+    val pc = executed("x227_countmin_heavy").toString
+    assert(pc.contains("BroadcastHashJoin"),
+      s"CMS register table did not broadcast:\n$pc")
+    assert(pc.contains("TakeOrderedAndProject"),
+      s"x227 top-20 is not a bounded cut:\n$pc")
+    assert(!pc.contains("CartesianProduct"), s"cartesian in x227:\n$pc")
+  }
+
   test("x212 stored-set censor: the boilerplate anti-join is hash-keyed " +
     "(never all-pairs) and the reassembly window-free — one doc-keyed " +
     "aggregation") {

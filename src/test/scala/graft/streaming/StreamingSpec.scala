@@ -1003,6 +1003,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(!ids.contains(2L) && !ids.contains(5L) && !ids.contains(6L))
   }
 
+  test("streaming bloom gate: arrivals probe the stored word table " +
+    "in ONE aggregation; stream equals the batch probe rollup; " +
+    "benchmark docs are always fully claimed (no false negatives)") {
+    val dir = "/root/testdata/sf0.001"
+    val docsBatch = graft.Tables.documents(spark, dir)
+    val keyOf = graft.functions.ShingleHashesAll(col("text"), 3)
+    val benchKeys = docsBatch
+      .filter(pmod(col("doc_id"), lit(13L)) === 0L)
+      .select(explode(keyOf).as("key")).distinct()
+    val m = 1 << 15
+    val words = graft.ext.Sketch.bloomBuild(benchKeys, "key", m, 3)
+      .localCheckpoint(true)
+    val probesB = docsBatch.select(col("doc_id"),
+      explode_outer(array_distinct(keyOf)).as("key"))
+    val batch = graft.ext.Sketch
+      .bloomProbe(probesB, words, "key", m, 3, keep = Seq("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(col("key")).as("n_windows"),
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe_hits"))
+    val docsStream = spark.readStream.schema(docsBatch.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val streamed = StreamingOps.runBounded(spark,
+      StreamingOps.streamingBloomGate(docsStream, words, m, 3),
+      "bloom_gate_test", OutputMode.Complete())
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s == b && s.size == 500, s"stream ${s.size} vs batch ${b.size}")
+    // the one-sided guarantee at the door: every benchmark doc's
+    // windows are all claimed
+    val fn = streamed
+      .filter(pmod(col("doc_id"), lit(13L)) === 0L &&
+        col("n_maybe_hits") < col("n_windows")).count()
+    assert(fn == 0, s"$fn benchmark docs read partially absent")
+  }
+
   test("streaming span decontamination: the window-free island fold " +
     "equals the batch x218 strip on every document") {
     val dir = "/root/testdata/sf0.001"
