@@ -234,7 +234,14 @@ object Arpa {
       split}
     val sidecar = path + ".levels"
     Arpa.synchronized {
-      if (!Files.exists(Paths.get(sidecar, "_SUCCESS"))) {
+      // derived state must track its source: a sidecar older than the
+      // artifact (the model was retrained in place) rebuilds instead
+      // of silently scoring against the previous snapshot
+      val marker = Paths.get(sidecar, "_SUCCESS")
+      val stale = Files.exists(marker) &&
+        Files.getLastModifiedTime(Paths.get(path))
+          .compareTo(Files.getLastModifiedTime(marker)) > 0
+      if (stale || !Files.exists(marker)) {
         spark.read.text(path)
           .filter(col("value").contains("\t"))
           .select(split(col("value"), "\t").as("f"))

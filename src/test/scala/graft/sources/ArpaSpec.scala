@@ -445,6 +445,23 @@ class ArpaSpec extends AnyFunSuite {
     val t0 = java.nio.file.Files.getLastModifiedTime(marker)
     Arpa.readLevels(spark, path).count()
     assert(java.nio.file.Files.getLastModifiedTime(marker) == t0)
+    // ... but a RETRAINED artifact (newer mtime) invalidates it: the
+    // sidecar is derived state and must track its source
+    Arpa.writeLevels(path,
+      graft.ext.TextOps.knArpaLevels(docs, order = 2, vocabSize = 4))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(path),
+      java.nio.file.attribute.FileTime.fromMillis(
+        t0.toMillis + 5000))
+    val m2 = Arpa.read(path)
+    val lv2 = Arpa.readLevels(spark, path)
+    assert(lv2.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.col("k"))).head().getInt(0) == 2)
+    val got2 = lv2.filter(org.apache.spark.sql.functions.col("k") === 1)
+      .collect().map(r => r.getAs[String]("key") ->
+        ((r.getAs[Double]("lp"), r.getAs[Double]("bow")))).toMap
+    assert(got2 == m2.grams(0).map { case (g, v) => g.mkString(" ") -> v },
+      "stale sidecar survived a retrain")
     // route equivalence on a capped model (exercises the <unk> joins)
     val a = graft.ext.TextOps.knScoreStoredArpa(spark, docs, path)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
