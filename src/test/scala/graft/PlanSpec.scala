@@ -873,6 +873,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!pS.contains("CartesianProduct"), s"cartesian in x225:\n$pS")
   }
 
+  test("x221 ccnet over the bounded stored model: the tercile window " +
+    "is lang-partitioned over the score-GROUP table (never a global " +
+    "or per-document sort), the verdict joins back hash-keyed") {
+    val p = executed("x221_ccnet_stored_pruned").toString
+    assert(p.contains("Window"), s"no tercile window in x221:\n$p")
+    assert(!p.contains("windowspecdefinition()"),
+      s"an UNPARTITIONED window would serialize the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"x221 join degenerated:\n$p")
+  }
+
   test("x224 ccnet sampled thresholds: the cutoff table joins back " +
     "BROADCAST, the tercile window runs on the sample side only, and " +
     "nothing goes all-pairs") {
