@@ -139,6 +139,8 @@ object Plans {
       "x220_kn_arpa_pruned" -> "Capped+pruned stored ARPA scoring: the pruned model rides as 5 broadcast level frames; the corpus shuffles once into the doc-keyed occurrence agg — pruning changed the artifact, not the scoring plan.",
       "x221_ccnet_stored_pruned" -> "CCNet terciles over the STORED capped+pruned score: the bounded-model broadcast-level cascade feeds the same score-GROUP tercile window as x214 — the model side is driver-loadable by construction at any corpus scale.",
       "x224_ccnet_sampled" -> "CCNet sampled thresholds: the x144 scoring plan, a pushed splitmix64 hash-filter carves the sample, the tercile window runs over the SAMPLE's score groups only, and every document verdicts through one BROADCAST cutoff join — no full-corpus window anywhere.",
+      "x228_kn5_arpa_pruned" -> "The production LM artifact: capped+pruned ORDER-5 scoring — same broadcast-level cascade as x220, the model 59x smaller than the unbounded x210 artifact; pruning changed the artifact, not the plan.",
+      "x229_ccnet_kn5_pruned" -> "CCNet at full production fidelity (pruned KenLM 5-gram): the bounded order-5 cascade feeds the x214 score-GROUP tercile window — the end state of the stored-LM arc, driver-loadable at any corpus scale.",
       "x225_kn5_arpa_dist" -> "Distributed-read stored scoring: the model is 9 partition-pruned parquet sidecar scans (never a driver literal) joined into the occurrence stream — broadcast-hash while the model fits the threshold, sort-merge-able past it; same walk, same hashes as x210.",
       "x222_moore_lewis" -> "Moore-Lewis selection: two broadcast-level log-domain scoring cascades (scaled-integer sums, no pow anywhere), one doc-keyed join, and the top-K cut as TakeOrderedAndProject broadcast back as a flag — never a corpus sort.",
       "x223_lm_mixture" -> "LM interpolation: one bigram explode with SIX broadcast lookups (lp2/lp1/bow1 per model), the λ-blend as scan-stage algebra, one doc-keyed positional fold — domain adaptation costs one narrow pass, zero corpus-sized state.")

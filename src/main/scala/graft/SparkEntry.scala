@@ -1439,6 +1439,39 @@ object SparkEntry {
       ext.TextOps.knScoreStoredArpa(s, docs, s"$dir/model.arpa")
     }),
 
+    // x228 — the LITERAL production artifact: a capped AND count-
+    // pruned ORDER-5 ARPA (KenLM's production order with SRILM gtNmin
+    // cutoffs 2 at levels 3-5), trained, written, reloaded, scored —
+    // x220's bounds at x210's order. The oracle is GENERATED
+    // (knPrunedOracleChainCtes, the order-generic form of the x220
+    // replay, proven cell-identical to the handwritten order-3 chain
+    // on this corpus), so every closure/renorm/backoff branch replays
+    // at order 5 too.
+    "x228_kn5_arpa_pruned" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = storedDir("arpa5p", d)(p =>
+        graft.sources.Arpa.writeLevels(s"$p/model.arpa",
+          ext.TextOps.knArpaLevels(docs, order = 5, vocabSize = 64,
+            prune = Seq(1, 1, 2, 2, 2))))
+      ext.TextOps.knScoreStoredArpa(s, docs, s"$dir/model.arpa")
+    }),
+
+    // x229 — CCNet at FULL production fidelity: Wenzek et al. 2020
+    // ship a PRUNED KenLM 5-gram; this is the x221 composition with
+    // exactly that artifact (the memoized x228 model — one training
+    // pays both queries). Bounded at any corpus scale AND the
+    // production order — the end state of the r17-r18 stored-LM arc.
+    "x229_ccnet_kn5_pruned" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = storedDir("arpa5p", d)(p =>
+        graft.sources.Arpa.writeLevels(s"$p/model.arpa",
+          ext.TextOps.knArpaLevels(docs, order = 5, vocabSize = 64,
+            prune = Seq(1, 1, 2, 2, 2))))
+      ext.Curation.ccnetBucketsScored(
+        ext.TextOps.knScoreStoredArpa(s, docs, s"$dir/model.arpa"),
+        docs, scoreCol = "kn5_score_q", cntCol = "n_ngrams")
+    }),
+
     // x204 — per-prompt reward z-normalization (Stiennon et al. 2020):
     // the standardization RM training data gets before pairwise loss;
     // same prompt/reward construction as x195, decimal-routed moments,
@@ -5121,6 +5154,251 @@ object SparkEntry {
     * `pq = round(10^round(log10(p), 9), 9)` with the zero-floor guard
     * — since on the training corpus every n-gram is present and only
     * that branch of the stored scorer fires. */
+  /** ORDER-GENERIC capped + pruned stored-ARPA replay — the
+    * [[knPrunedArpaChainCtes]] build generalized the way
+    * [[knOracleSql]] generalizes the unpruned recursion: top-V keep
+    * list and `<unk>`-mapped census, the n-gram/continuation/history
+    * table pyramid, null-safe per-level probabilities (context-only
+    * grams carry genuine values), per-level count pruning with the
+    * context/suffix closure, backoff weights RENORMALIZED over the
+    * kept quantized mass through the exact decimal route, and the
+    * full quantized backoff walk over the model-vocabulary-mapped
+    * scoring stream. Ends at `knp(doc_id, n_ngrams, kn{n}_score_q)`.
+    * OracleGenSpec proves the generated order-3 chain row-identical
+    * in DuckDB to the independently handwritten x220 formulation;
+    * x228/x229 run it at order 5 — the literal CCNet production
+    * artifact shape (Wenzek et al. ship a PRUNED KenLM 5-gram). */
+  private def knPrunedOracleChainCtes(n: Int, v: Int,
+                                      thr: Seq[Long]): String = {
+    require(n >= 3, s"generated form assumes a continuation chain: $n")
+    require(thr.length == n && thr.head <= 1L,
+      s"one threshold per level, level 1 never pruned: $thr")
+    val ws = (1 to n).map(i => s"w$i")
+    val last = ws.last
+    def gc(k: Int): Seq[String] = ws.takeRight(k)
+    def decSum(x: String) =
+      s"CAST(SUM(CAST($x AS DECIMAL(28,18))) AS DOUBLE)"
+    def on(a: String, b: String, cols: Seq[String]): String =
+      cols.map(c => s"$a.$c = $b.$c").mkString(" AND ")
+    val sb = new StringBuilder
+    // capped, <unk>-mapped training stream + n-gram census
+    val gramArr = (0 until n)
+      .map(j => if (j == 0) "ts[CAST(i AS INTEGER)]"
+                else s"ts[CAST(i + $j AS INTEGER)]").mkString(", ")
+    val gramSel = ws.zipWithIndex
+      .map { case (w, i) => s"tg[${i + 1}] AS $w" }.mkString(", ")
+    sb ++= s"""tok0 AS MATERIALIZED (
+         SELECT doc_id, list_filter(
+           regexp_split_to_array(lower(text), '\\s+'),
+           t -> length(t) > 0) AS ts
+         FROM documents),
+       wc AS (SELECT u.t AS w, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tok0, unnest(ts) AS u(t) GROUP BY 1),
+       kl AS (SELECT list(w) AS kws FROM
+                (SELECT w FROM wc ORDER BY c DESC, w ASC LIMIT $v)),
+       tokm AS MATERIALIZED (
+         SELECT doc_id, list_transform(ts, t ->
+           CASE WHEN list_contains(kl.kws, t) THEN t ELSE '<unk>' END) AS ts
+         FROM tok0 CROSS JOIN kl),
+       tn AS MATERIALIZED (
+         SELECT ${ws.mkString(", ")}, CAST(COUNT(*) AS BIGINT) AS cN
+         FROM (SELECT $gramSel
+               FROM (SELECT unnest(list_transform(
+                       range(1, len(ts) - ${n - 2}),
+                       i -> [$gramArr])) AS tg
+                     FROM tokm))
+         GROUP BY ${ws.mkString(", ")}),
+       htop AS MATERIALIZED (
+         SELECT ${ws.init.mkString(", ")},
+                CAST(SUM(cN) AS BIGINT) AS chist,
+                CAST(COUNT(*) AS BIGINT) AS ntopf
+         FROM tn GROUP BY ${ws.init.mkString(", ")}),\n"""
+    // continuation pyramid + histories + the type total
+    for (k <- (n - 1) to 1 by -1) {
+      val src = if (k == n - 1) "tn" else s"cont${k + 1}"
+      sb ++= s"""       cont$k AS MATERIALIZED (
+         SELECT ${gc(k).mkString(", ")}, CAST(COUNT(*) AS BIGINT) AS ck$k
+         FROM $src GROUP BY ${gc(k).mkString(", ")}),\n"""
+    }
+    for (k <- 2 to n - 1)
+      sb ++= s"""       hist$k AS MATERIALIZED (
+         SELECT ${gc(k).init.mkString(", ")},
+                CAST(SUM(ck$k) AS BIGINT) AS ctot$k,
+                CAST(COUNT(*) AS BIGINT) AS nf$k
+         FROM cont$k GROUP BY ${gc(k).init.mkString(", ")}),\n"""
+    sb ++= s"""       tt AS MATERIALIZED (
+         SELECT CAST(COUNT(*) AS BIGINT) AS cktot FROM cont2),\n"""
+    // kept-key sets, top-down: threshold survivors + context/suffix
+    // closure of the level above
+    sb ++= s"""       kept$n AS MATERIALIZED (
+         SELECT ${ws.mkString(", ")} FROM tn WHERE cN >= ${thr(n - 1)}),\n"""
+    for (k <- (n - 1) to 2 by -1) {
+      val up = gc(k + 1)
+      val ctxAlias = up.init.zip(gc(k))
+        .map { case (s0, d0) => s"$s0 AS $d0" }.mkString(", ")
+      sb ++= s"""       kept$k AS MATERIALIZED (
+         SELECT ${gc(k).mkString(", ")} FROM cont$k
+           WHERE ck$k >= ${thr(k - 1)}
+         UNION SELECT $ctxAlias FROM kept${k + 1}
+         UNION SELECT ${gc(k).mkString(", ")} FROM kept${k + 1}),\n"""
+    }
+    // null-safe P_k with qualified aliases (c$j / g$j / p / tt)
+    def pSafe(k: Int): String = {
+      var p = """(CASE WHEN p.ck1 IS NOT NULL
+                       THEN CAST(p.ck1 AS DOUBLE) / CAST(tt.cktot AS DOUBLE)
+                       ELSE 1e-99 END)"""
+      for (j <- 2 to k)
+        p = s"""(CASE WHEN g$j.ctot$j IS NOT NULL THEN
+              GREATEST(CAST(COALESCE(c$j.ck$j, 0) AS DOUBLE) - 0.75, 0.0)
+                / CAST(g$j.ctot$j AS DOUBLE)
+              + ((0.75 * CAST(g$j.nf$j AS DOUBLE))
+                 / CAST(g$j.ctot$j AS DOUBLE)) * $p
+            ELSE $p END)"""
+      p
+    }
+    // level-1 lp over the full vocabulary (never pruned)
+    sb ++= s"""       v1 AS MATERIALIZED (
+         SELECT DISTINCT w FROM (
+           ${ws.map(w => s"SELECT $w AS w FROM tn")
+              .mkString("\n           UNION ALL ")})),
+       l1 AS MATERIALIZED (
+         SELECT v.w AS $last,
+                CASE WHEN p.ck1 IS NOT NULL
+                     THEN round(log10(CAST(p.ck1 AS DOUBLE)
+                                      / CAST(tt.cktot AS DOUBLE)), 9)
+                     ELSE -99.0 END AS lp
+         FROM v1 v LEFT JOIN cont1 p ON p.$last = v.w CROSS JOIN tt),\n"""
+    // mid-level lp tables over the kept keys
+    for (k <- 2 to n - 1) {
+      val joins = new StringBuilder
+      joins ++= s"         LEFT JOIN cont$k c$k ON ${on(s"c$k", "k", gc(k))}\n"
+      joins ++= s"         LEFT JOIN hist$k g$k ON ${on(s"g$k", "k", gc(k).init)}\n"
+      for (j <- (k - 1) to 2 by -1) {
+        joins ++= s"         LEFT JOIN cont$j c$j ON ${on(s"c$j", "k", gc(j))}\n"
+        joins ++= s"         LEFT JOIN hist$j g$j ON ${on(s"g$j", "k", gc(j).init)}\n"
+      }
+      joins ++= s"         LEFT JOIN cont1 p ON p.$last = k.$last\n"
+      joins ++= "         CROSS JOIN tt"
+      sb ++= s"""       l$k AS MATERIALIZED (
+         SELECT ${gc(k).map(c => s"k.$c").mkString(", ")},
+                round(log10(${pSafe(k)}), 9) AS lp
+         FROM kept$k k
+$joins),\n"""
+    }
+    // level-n lp over the kept observed n-grams (inner joins: every
+    // statistic exists for an observed gram, so the null-safe fold
+    // evaluates its full branch)
+    {
+      val joins = new StringBuilder
+      joins ++= s"         JOIN htop h ON ${on("h", "t", ws.init)}\n"
+      for (j <- (n - 1) to 2 by -1) {
+        joins ++= s"         JOIN cont$j c$j ON ${on(s"c$j", "t", gc(j))}\n"
+        joins ++= s"         JOIN hist$j g$j ON ${on(s"g$j", "t", gc(j).init)}\n"
+      }
+      joins ++= s"         JOIN cont1 p ON p.$last = t.$last\n"
+      joins ++= "         CROSS JOIN tt"
+      sb ++= s"""       l$n AS MATERIALIZED (
+         SELECT ${ws.map(c => s"t.$c").mkString(", ")},
+                round(log10(
+                  GREATEST(CAST(t.cN AS DOUBLE) - 0.75, 0.0)
+                    / CAST(h.chist AS DOUBLE)
+                  + ((0.75 * CAST(h.ntopf AS DOUBLE))
+                     / CAST(h.chist AS DOUBLE)) * ${pSafe(n - 1)}), 9)
+                  AS lp
+         FROM tn t
+$joins
+         WHERE t.cN >= ${thr(n - 1)}),\n"""
+    }
+    // renormalized backoff weights, top-down: level k's bow over the
+    // KEPT level-(k+1) quantized mass vs the suffix mass
+    for (k <- (n - 1) to 1 by -1) {
+      val up = gc(k + 1)
+      val upName = s"l${k + 1}"
+      val ctxAlias = up.init.zip(gc(k))
+        .map { case (s0, d0) => s"$s0 AS $d0" }.mkString(", ")
+      val ctxAliasQ = up.init.zip(gc(k))
+        .map { case (s0, d0) => s"l.$s0 AS $d0" }.mkString(", ")
+      val lpTable = if (k == 1) "l1" else s"l$k"
+      val ords = (1 to k).mkString(", ")
+      sb ++= s"""       b${k}hi AS (
+         SELECT $ctxAlias, ${decSum("round(pow(10.0, lp), 9)")} AS shi
+         FROM $upName GROUP BY $ords),
+       b${k}lo AS (
+         SELECT $ctxAliasQ,
+                ${decSum("round(pow(10.0, s.lp), 9)")} AS slo
+         FROM $upName l JOIN $lpTable s ON ${on("s", "l", gc(k))}
+         GROUP BY $ords),
+       l${k}b AS MATERIALIZED (
+         SELECT ${gc(k).map(c => s"k.$c").mkString(", ")}, k.lp,
+                CASE WHEN h.shi IS NOT NULL
+                       AND 1.0 - h.shi > 0 AND 1.0 - o.slo > 0
+                     THEN round(log10((1.0 - h.shi) / (1.0 - o.slo)), 9)
+                     ELSE 0.0 END AS bow
+         FROM $lpTable k
+         LEFT JOIN b${k}hi h ON ${on("h", "k", gc(k))}
+         LEFT JOIN b${k}lo o ON ${on("o", "k", gc(k))}),\n"""
+    }
+    // the scoring stream mapped by the MODEL vocabulary, its n-gram
+    // occurrences, the 2n-1 lookup joins and the quantized walk
+    val sufJoins = (1 to n - 1).map { k =>
+      s"         LEFT JOIN l${k}b s$k ON ${gc(k)
+        .map(c => s"s$k.$c = o.$c").mkString(" AND ")}"
+    }.mkString("\n")
+    val ctxJoins = (1 to n - 1).map { k =>
+      val pairs = gc(k).zip(ws.slice(n - 1 - k, n - 1))
+        .map { case (mc, oc) => s"c$k.$mc = o.$oc" }.mkString(" AND ")
+      s"         LEFT JOIN l${k}b c$k ON $pairs"
+    }.mkString("\n")
+    var lg = "COALESCE(lp1, -99.0)"
+    for (k <- 2 to n - 1)
+      lg = s"""CASE WHEN lp$k IS NOT NULL THEN lp$k
+                    ELSE COALESCE(cbow${k - 1}, 0.0) + $lg END"""
+    val back = s"COALESCE(cbow${n - 1}, 0.0) + $lg"
+    def qBranch(x: String) =
+      s"""CASE WHEN round(pow(10.0, $x), 9) > 0
+               THEN round(pow(10.0, $x), 9)
+               ELSE pow(10.0, $x) END"""
+    sb ++= s"""       vl AS (SELECT list(w) AS vws FROM v1),
+       toks AS MATERIALIZED (
+         SELECT doc_id, list_transform(ts, t ->
+           CASE WHEN list_contains(vl.vws, t) THEN t ELSE '<unk>' END) AS ts
+         FROM tok0 CROSS JOIN vl),
+       occ AS MATERIALIZED (
+         SELECT doc_id, ${ws.mkString(", ")}, COUNT(*) AS m
+         FROM (SELECT doc_id, $gramSel
+               FROM (SELECT doc_id, unnest(list_transform(
+                       range(1, len(ts) - ${n - 2}),
+                       i -> [$gramArr])) AS tg
+                     FROM toks))
+         GROUP BY doc_id, ${ws.mkString(", ")}),
+       sc AS (
+         SELECT o.doc_id, ${ws.map(c => s"o.$c").mkString(", ")}, o.m,
+                t$n.lp AS lp$n,
+                ${(1 to n - 1).map(k => s"s$k.lp AS lp$k").mkString(", ")},
+                ${(1 to n - 1).map(k => s"c$k.bow AS cbow$k").mkString(", ")}
+         FROM occ o
+         LEFT JOIN l$n t$n ON ${on(s"t$n", "o", ws)}
+$sufJoins
+$ctxJoins),
+       walk AS (
+         SELECT doc_id, ${ws.mkString(", ")}, m,
+                CASE WHEN lp$n IS NOT NULL THEN ${qBranch(s"lp$n")}
+                ELSE ${qBranch(back)} END AS pq
+         FROM sc),
+       valued AS (
+         SELECT doc_id, ${ws.mkString(", ")}, m,
+                CAST(m AS DOUBLE) / pq AS val
+         FROM walk),
+       knp AS (
+         SELECT doc_id,
+                CAST(SUM(m) AS BIGINT) AS n_ngrams,
+                list_reduce(list(val ORDER BY ${ws.mkString(", ")}),
+                            (a, b) -> a + b)
+                  / CAST(SUM(m) AS BIGINT) AS kn${n}_score_q
+         FROM valued GROUP BY doc_id)"""
+    sb.toString
+  }
+
   private def knOracleSql(n: Int, quantized: Boolean = false): String = {
     require(n >= 3, s"generated form assumes a continuation chain: $n")
     val ws = (1 to n).map(i => s"w$i")
@@ -5318,7 +5596,15 @@ object SparkEntry {
     * branch of the engine's builder + scorer, term for term. Exposed
     * as CTEs ending at `knp(doc_id, n_ngrams, kn3_score_q)` so x220
     * (the bare lifecycle) and x221 (the CCNet tercile composition
-    * over the same bounded model) share one replay. */
+    * over the same bounded model) share one replay.
+    *
+    * [[knPrunedOracleChainCtes]] is the ORDER-GENERIC generator of
+    * the same replay (x228/x229 use it at order 5). The two are
+    * INDEPENDENT formulations kept deliberately: the driver's gate
+    * checks the engine against both (handwritten at order 3 via
+    * x220/x221, generated at orders 3 and 5 — the generated order-3
+    * chain was verified cell-identical to this handwritten one on the
+    * sf0.01 corpus before the generator shipped). */
   private def knPrunedArpaOracleSql(v: Int, t2: Long, t3: Long): String =
     s"""WITH ${knPrunedArpaChainCtes(v, t2, t3)}
        SELECT doc_id, n_ngrams, kn3_score_q FROM knp"""
@@ -11678,6 +11964,34 @@ s6 AS (SELECT s5.* FROM s5 JOIN rk6 USING (doc_id)
     // x225 — the distributed-read scoring route over the same order-5
     // artifact: route equivalence means the x210 oracle verbatim
     "x225_kn5_arpa_dist" -> knOracleSql(5, quantized = true),
+
+    // x228 — the GENERATED order-5 capped+pruned replay: the x220
+    // chain's order-generic form at KenLM's production order
+    "x228_kn5_arpa_pruned" ->
+      s"""WITH ${knPrunedOracleChainCtes(5, 64, Seq(1L, 1L, 2L, 2L, 2L))}
+         SELECT doc_id, n_ngrams, kn5_score_q FROM knp""",
+
+    // x229 — the generated order-5 pruned chain feeding the x214
+    // tercile rule: CCNet replayed at full production fidelity
+    "x229_ccnet_kn5_pruned" ->
+      s"""WITH ${knPrunedOracleChainCtes(5, 64, Seq(1L, 1L, 2L, 2L, 2L))},
+         sl AS (SELECT k.doc_id, d.lang, k.n_ngrams,
+                       round(k.kn5_score_q, 9) AS ppl
+                FROM knp k JOIN documents d USING (doc_id)),
+         grp AS (SELECT lang, ppl, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM sl GROUP BY 1, 2),
+         cum AS (SELECT lang, ppl,
+                        SUM(c) OVER (PARTITION BY lang ORDER BY ppl
+                                     ROWS UNBOUNDED PRECEDING) AS cum,
+                        SUM(c) OVER (PARTITION BY lang) AS n
+                 FROM grp),
+         bk AS (SELECT lang, ppl,
+                       CASE WHEN cum * 3 <= n THEN 'head'
+                            WHEN cum * 3 <= 2 * n THEN 'middle'
+                            ELSE 'tail' END AS bucket
+                FROM cum)
+         SELECT s.doc_id, s.lang, s.n_ngrams, s.ppl, b.bucket
+         FROM sl s JOIN bk b ON b.lang = s.lang AND b.ppl = s.ppl""",
 
     // x226 — the Bloom filter replayed end to end: 3-gram window
     // hashes (per-token FNV, ×1000003 polynomial combine, mix64 — the
