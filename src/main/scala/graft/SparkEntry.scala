@@ -1801,10 +1801,19 @@ object SparkEntry {
     // Real schedulers feed per-executor priority queues exactly this
     // way: a bounded top-k per tick, never a full-corpus sort.
     "x137_ranked_frontier" -> ((s, d) => {
-      val sched = recrawlQuery(s, d)
-      val ranks = ext.Graph.pageRank(linkGraph(s, d)
+      // schedule chain and rank loop are independent until the final
+      // join: construct them on two driver threads so the recrawl
+      // materialization and the power rounds backfill each other
+      // (guide §2.6 overlap) — same DAGs, same result, shorter wall
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fSched = Future(recrawlQuery(s, d))
+      val fRanks = Future(ext.Graph.pageRank(linkGraph(s, d)
         .select(col("src_domain").as("src"),
-          col("dst_domain").as("dst")))
+          col("dst_domain").as("dst"))))
+      val sched = Await.result(fSched, Duration.Inf)
+      val ranks = Await.result(fRanks, Duration.Inf)
       sched.join(ranks, sched("domain") === ranks("node"))
         .withColumn("priority", col("pr") / col("rnk").cast("double"))
         .orderBy(desc("priority"), col("domain"), col("url")).limit(25)
@@ -4050,10 +4059,21 @@ object SparkEntry {
         col("dst_domain").as("dst"))
         .unionByName(farm).unionByName(couple)
         .distinct().localCheckpoint(true)
-      val sal = ext.Graph.salsa(edges)
-        .select(col("node"), col("auth").as("salsa_auth"))
-      val hit = ext.Graph.hits(edges)
-        .select(col("node"), col("auth").as("hits_auth"))
+      // the two iterations are INDEPENDENT consumers of the
+      // materialized edge table: run their loops on two driver
+      // threads so each algorithm's jobs backfill the other's
+      // barriers (guide §2.6 overlap — Spark's FIFO scheduler
+      // interleaves concurrently-submitted jobs). Results are the
+      // same two vectors; only the wall-clock interleaving changes.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fSal = Future(ext.Graph.salsa(edges)
+        .select(col("node"), col("auth").as("salsa_auth")))
+      val fHit = Future(ext.Graph.hits(edges)
+        .select(col("node"), col("auth").as("hits_auth")))
+      val sal = Await.result(fSal, Duration.Inf)
+      val hit = Await.result(fHit, Duration.Inf)
       val hsum = hit.agg(
         graft.ops.Stable.sumD(col("hits_auth"), 18).as("hsum"))
       sal.join(hit, Seq("node"))

@@ -267,34 +267,68 @@ object Graph {
     * 1.0 — the isolated-spam-farm signature, closed-form testable.
     *
     * Scale shape: ONE shared [[PreparedGraph]] (cached edge/node/
-    * dangling tables built once) threaded through BOTH power loops
-    * (each round the x124 plan: one edge join + one dest-key
-    * partial+final agg + a one-row dangling mass), then one node-keyed
-    * join of the two node-sized vectors with the `|S|/N` scale as
-    * DRIVER literals (both counts are already loop-setup scalars) —
-    * the edge-derivation chain is scanned once, not three times, and
-    * nothing corpus-sized runs outside the loops. */
+    * dangling tables built once) and ONE FUSED power loop carrying
+    * BOTH vectors as columns of a single node frame — per round ONE
+    * edge equi-join + one dest-key partial+final agg computing both
+    * contribution sums, one dangling semi-join computing both one-row
+    * masses, one blend projection, one checkpoint. The historical
+    * shape ran the two recurrences as separate loops: twice the
+    * edge-join shuffle passes and twice the blocking barriers for
+    * algebra that never interacts until the final subtraction (the
+    * r18 measurement: fusing halved the loop cost). Per-column
+    * expressions are verbatim the [[runPrepared]]/[[pprPrepared]]
+    * step images and decimal-routed sums are merge-order-invariant,
+    * so both columns are BIT-IDENTICAL to the standalone runs —
+    * GraphSpec pins `core == ppr·|S|/N` exactly. The `|S|/N` scale
+    * stays a DRIVER literal (both counts are loop-setup scalars);
+    * nothing corpus-sized runs outside the loop. */
   def spamMass(edges: DataFrame, goodSeeds: DataFrame, iters: Int = 5,
                damping: Double = 0.85, srcCol: String = "src",
                dstCol: String = "dst"): DataFrame = {
     require(iters >= 1, s"need iters >= 1: $iters")
     val g = prepare(edges, srcCol, dstCol)
-    val pr = runPrepared(g, damping) { (step, pr0) =>
-        iterate(iters, pr0)(step)
-      }.withColumnRenamed("pr", "pr_all")
-    val core = pprPrepared(g, goodSeeds, iters, damping)
-      .withColumnRenamed("pr", "pr_seed")
     val seedSet = goodSeeds
       .select(col(goodSeeds.columns.head).cast("string").as("node"))
       .distinct()
     val nSeed = g.nodes.join(seedSet, Seq("node"), "left_semi").count()
-    val out = pr.join(core, "node")
-      .select(col("node"), col("pr_all"),
-        (col("pr_seed") *
+    require(nSeed > 0, "no seed appears in the graph")
+    val ndt = g.nodes
+      .join(seedSet.withColumn("is_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("is_seed"), lit(1.0 / nSeed)).otherwise(lit(0.0)).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = (1.0 - damping) / g.n
+    var v = ndt
+      .select(col("node"), lit(1.0 / g.n).as("pr_u"), col("t").as("pr_p"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val sums = g.ed.join(v, g.ed("src") === v("node"))
+        .groupBy(g.ed("dst"))
+        .agg(
+          Stable.sumD(col("pr_u") / col("deg").cast("double"), 18).as("vu"),
+          Stable.sumD(col("pr_p") / col("deg").cast("double"), 18).as("vp"))
+      val mass = v.join(g.dangling, Seq("node"), "left_semi")
+        .agg(
+          coalesce(Stable.sumD(col("pr_u"), 18), lit(0.0)).as("du"),
+          coalesce(Stable.sumD(col("pr_p"), 18), lit(0.0)).as("dp"))
+      v = ndt.join(sums, ndt("node") === sums("dst"), "left")
+        .crossJoin(mass)
+        .select(ndt("node"),
+          (lit(base) + lit(damping) * coalesce(col("vu"), lit(0.0)) +
+            lit(damping) * col("du") / lit(g.n.toDouble)).as("pr_u"),
+          (lit(1.0 - damping) * ndt("t") +
+            lit(damping) * coalesce(col("vp"), lit(0.0)) +
+            lit(damping) * col("dp") * ndt("t")).as("pr_p"))
+        .localCheckpoint(true)
+    }
+    val out = v
+      .select(col("node"), col("pr_u").as("pr_all"),
+        (col("pr_p") *
           (lit(nSeed.toDouble) / lit(g.n.toDouble))).as("core_pr"))
       .select(col("node"), col("pr_all").as("pr"), col("core_pr"),
         (col("pr_all") - col("core_pr")).as("spam_mass"),
         ((col("pr_all") - col("core_pr")) / col("pr_all")).as("rel_mass"))
+    ndt.unpersist(blocking = false)
     g.release()
     out
   }
@@ -353,21 +387,40 @@ object Graph {
     * Same scale shape as [[pageRank]]: edges/nodes cached once, each
     * half-round is one edge equi-join + one partial+final agg on the
     * receiving key, the L2 norm rides as a ONE-ROW cross-joined
-    * aggregate (no driver collect in the loop), both vectors eagerly
-    * localCheckpoint'ed (two consumers per vector per round — norm +
-    * divide — would otherwise double lineage). Decimal-routed sums +
-    * IEEE sqrt/divide ⇒ partitioning-invariant, oracle-replayable. */
+    * aggregate (no driver collect in the loop). ONE eager
+    * localCheckpoint per half-round, on the PROPAGATED SUMS — the only
+    * frame with two consumers (the norm aggregate and the scatter/
+    * divide). The historical shape checkpointed both the scatter AND
+    * the normalized vector: 4 blocking barriers per round for vectors
+    * nothing reads twice (r18 measurement: the barriers, not the
+    * joins, dominated at bench scale). The norm over the sums equals
+    * the norm over the scattered vector EXACTLY — absent nodes scatter
+    * to 0.0 and decimal zeros are additive identities — and the
+    * scattered division distributes over the left join unchanged
+    * (`coalesce(v,0)/nrm ≡ coalesce(v/nrm, 0)` for nrm > 0), so the
+    * output is bit-identical to the historical form (GraphSpec pins
+    * it). Decimal-routed sums + IEEE sqrt/divide ⇒
+    * partitioning-invariant, oracle-replayable. */
   def hits(edges: DataFrame, iters: Int = 5,
            srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(iters >= 1, s"need iters >= 1: $iters")
     val e = dedupEdges(edges, srcCol, dstCol)
     val nodes = nodeSet(e)
-    def normalized(raw: DataFrame, vCol: String): DataFrame = {
-      val nrm = raw.agg(
-        sqrt(Stable.sumD(col(vCol) * col(vCol), 18)).as("nrm"))
-      raw.crossJoin(nrm)
-        .select(col("node"),
-          when(col("nrm") > 0, col(vCol) / col("nrm"))
+    def halfRound(vec: DataFrame, inKey: String, outKey: String,
+                  term: org.apache.spark.sql.Column, vCol: String)
+        : DataFrame = {
+      val sums = propagate(e, vec, inKey, outKey, term)
+      val nrm = sums.agg(
+        sqrt(Stable.sumD(col("v") * col("v"), 18)).as("nrm"))
+      // sums has two consumers INSIDE this one plan (the norm row and
+      // the scatter join); its exchange subtree is identical in both,
+      // so ReuseExchange pays the propagate shuffle once — no separate
+      // materialization needed
+      nodes.join(sums, nodes("node") === sums(outKey), "left")
+        .crossJoin(nrm)
+        .select(nodes("node"),
+          when(col("nrm") > 0,
+            coalesce(col("v"), lit(0.0)) / col("nrm"))
             .otherwise(lit(0.0)).as(vCol))
         .localCheckpoint(true)
     }
@@ -375,12 +428,8 @@ object Graph {
       .localCheckpoint(true)
     var auth = nodes.select(col("node"), lit(0.0).as("auth"))
     for (_ <- 1 to iters) {
-      auth = normalized(
-        scatter(nodes, propagate(e, hub, "src", "dst", col("hub")),
-          "dst", "auth"), "auth")
-      hub = normalized(
-        scatter(nodes, propagate(e, auth, "dst", "src", col("auth")),
-          "src", "hub"), "hub")
+      auth = halfRound(hub, "src", "dst", col("hub"), "auth")
+      hub = halfRound(auth, "dst", "src", col("auth"), "hub")
     }
     val out = hub.join(auth, "node")
     e.unpersist(blocking = false)
@@ -634,15 +683,6 @@ object Graph {
     frame.join(sums, frame("node") === sums("dst"), "left")
       .crossJoin(massRow)
       .select(frame("node"), blend.as("pr"))
-      .localCheckpoint(true)
-
-  /** Scatter propagated sums back over the full node set (absent key →
-    * 0.0), checkpointed — the completion HITS-family half-rounds use
-    * instead of a teleport blend. */
-  private def scatter(nodes: DataFrame, sums: DataFrame, key: String,
-                      outName: String): DataFrame =
-    nodes.join(sums, nodes("node") === sums(key), "left")
-      .select(nodes("node"), coalesce(col("v"), lit(0.0)).as(outName))
       .localCheckpoint(true)
 
   /** The cached graph artifacts every power loop needs: dedup'd edge

@@ -1712,6 +1712,19 @@ object TextOps {
     * level frames — gram lookups `lp1..lpn` on every suffix length,
     * context backoffs `cbow1..cbow(n−1)` on the windows ending at
     * w_{n−1}. Returns the joined frame and the model order. */
+  /** One-slot cache for the broadcast-route level frames: building
+    * them costs a driver-side encode of every model row into a
+    * LocalRelation (`toDF` over up to 10⁶ tuples), which the bench
+    * paid on EVERY scoring invocation. Keyed like [[graft.sources
+    * .Arpa.read]]'s parse memo — (session, path, size, mtime) — so a
+    * retrained artifact or a fresh session rebuilds; one slot bounds
+    * retained heap to one model's frames. Model-ARTIFACT state, never
+    * query results. */
+  private val lvlFrameCache =
+    new java.util.concurrent.atomic.AtomicReference[
+      ((org.apache.spark.sql.SparkSession, String, Long, Long),
+        (Seq[DataFrame], Int, Option[DataFrame]))]()
+
   private def arpaOccLookups(spark: org.apache.spark.sql.SparkSession,
                              docs: DataFrame, arpaPath: String,
                              textCol: String, idCol: String,
@@ -1719,22 +1732,35 @@ object TextOps {
                              passthrough: Seq[String] = Nil)
   : (DataFrame, Int) = {
     import spark.implicits._
-    val m = graft.sources.Arpa.read(arpaPath)
-    val n = m.order
-    require(n >= 2, s"scoring needs order >= 2, model is order $n")
-    // one broadcast frame per level: key = space-joined words (tokens
-    // are whitespace-free by the ARPA contract, so the join key is
-    // collision-free), lp + bow as payload
-    val lvl = m.grams.zipWithIndex.map { case (g, i) =>
-      val k = i + 1
-      broadcast(g.toSeq
-        .map { case (gr, (lp, bow)) => (gr.mkString(" "), lp, bow) }
-        .toDF(s"key$k", s"lp$k", s"bow$k"))
-    }
-    val hasUnk = m.grams(0).contains(Vector("<unk>"))
-    val vocab =
-      if (!hasUnk) None
-      else Some(broadcast(m.grams(0).keys.map(_.head).toSeq.toDF("kw")))
+    val p = java.nio.file.Paths.get(arpaPath)
+    val key = (spark, arpaPath, java.nio.file.Files.size(p),
+      java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    val hit = lvlFrameCache.get()
+    val (lvl0, n, vocab0) =
+      if (hit != null && hit._1 == key) hit._2
+      else {
+        val m = graft.sources.Arpa.read(arpaPath)
+        val ord = m.order
+        require(ord >= 2, s"scoring needs order >= 2, model is order $ord")
+        // one frame per level: key = space-joined words (tokens are
+        // whitespace-free by the ARPA contract, so the join key is
+        // collision-free), lp + bow as payload
+        val frames = m.grams.zipWithIndex.map { case (g, i) =>
+          val k = i + 1
+          g.toSeq
+            .map { case (gr, (lp, bow)) => (gr.mkString(" "), lp, bow) }
+            .toDF(s"key$k", s"lp$k", s"bow$k")
+        }
+        val hasUnk = m.grams(0).contains(Vector("<unk>"))
+        val voc =
+          if (!hasUnk) None
+          else Some(m.grams(0).keys.map(_.head).toSeq.toDF("kw"))
+        val built = (frames: Seq[DataFrame], ord, voc)
+        lvlFrameCache.set((key, built))
+        built
+      }
+    val lvl = lvl0.map(broadcast)
+    val vocab = vocab0.map(broadcast)
     (occLookupsOver(docs, lvl, n, vocab, textCol, idCol, collapse,
       passthrough), n)
   }
@@ -2669,31 +2695,48 @@ object TextOps {
     * cancellation of a line repeated within one document; the x152
     * manifest discipline).
     *
-    * Shape: one explode → one (h)-keyed distinct-doc count → one
-    * (h)-keyed equi-join back → one (id)-keyed agg. The line FREQUENCY
-    * table is line-cardinality-sized, the join is hash-partitioned on
-    * a 64-bit key — nothing all-pairs, no raw-string exchange; the one
-    * skew risk (the empty/near-empty mega-line) is removed up front by
-    * the trim-empty filter. 64-bit collisions conflate two lines'
-    * frequencies (never corrupt a digest asymmetrically) — at 10¹⁰
-    * distinct lines the birthday term is ~3·10⁻⁶ per line, documented
-    * as acceptable for a keep/drop frequency gate. */
+    * Shape: one explode → one (id, h) partial+final collapse → one
+    * (h)-keyed doc count → one (h)-keyed equi-join back → one
+    * (id)-keyed agg. The corpus-sized line derivation (re-lining,
+    * split, FNV hashes) runs ONCE: every per-line statistic the census
+    * publishes distributes exactly over (id, h) groups — counts and
+    * char masses are sums, the digest is an XOR (associative,
+    * commutative), and `line_df = countDistinct(id) per h` is a plain
+    * count over the collapsed groups — so the frequency table and the
+    * join-back both read the SAME group aggregate, whose exchange
+    * ReuseExchange pays once (the historical shape derived the line
+    * table twice: once under the countDistinct expand, once under the
+    * join). The line FREQUENCY table is line-cardinality-sized, the
+    * join is hash-partitioned on a 64-bit key — nothing all-pairs, no
+    * raw-string exchange; the one skew risk (the empty/near-empty
+    * mega-line) is removed up front by the trim-empty filter. 64-bit
+    * collisions conflate two lines' frequencies (never corrupt a
+    * digest asymmetrically) — at 10¹⁰ distinct lines the birthday
+    * term is ~3·10⁻⁶ per line, documented as acceptable for a
+    * keep/drop frequency gate. */
   def lineBoilerplate(docs: DataFrame, minDf: Long = 5L,
                       textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
     val lines = lineTable(docs, textCol, idCol)
-    val freq = lines.groupBy("h")
-      .agg(countDistinct(col(idCol)).as("line_df"))
+    // per-(doc, line-hash) collapse: every downstream statistic is a
+    // sum/XOR over these groups, bit-identical to the per-line form
+    val grp = lines.groupBy(col(idCol), col("h"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("len")).as("len_sum"),
+        bit_xor(col("h").bitwiseXOR(col("pos"))).as("dig"))
+    val freq = grp.groupBy("h")
+      .agg(count(lit(1)).as("line_df"))
     val kept = col("line_df") < lit(minDf)
-    lines.join(freq, "h")
+    grp.join(freq, "h")
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_lines"),
-        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
-        sum(when(kept, col("len")).otherwise(0L)).as("kept_chars"),
-        sum(when(kept, lit(0L)).otherwise(col("len"))).as("boiler_chars"),
-        coalesce(bit_xor(when(kept, col("h").bitwiseXOR(col("pos")))),
-          lit(0L)).as("kept_digest"))
+        sum(col("cnt")).as("n_lines"),
+        sum(when(kept, col("cnt")).otherwise(0L)).as("n_kept"),
+        sum(when(kept, col("len_sum")).otherwise(0L)).as("kept_chars"),
+        sum(when(kept, lit(0L)).otherwise(col("len_sum")))
+          .as("boiler_chars"),
+        coalesce(bit_xor(when(kept, col("dig"))), lit(0L))
+          .as("kept_digest"))
   }
 
   // ------------------------------------------- within-doc repetition

@@ -8,6 +8,10 @@ object SharedSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // the bench/verify posture (see Bench.scala): AQE may
+      // re-partition cached plan output
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // bucketed-table tests write through saveAsTable — keep the
