@@ -229,7 +229,7 @@ object SparkEntry {
       // expression tree and whole-stage codegen JIT-compiles each copy
       // (measured: ~11 s of Janino per action at sf0.1 vs ~1.6 s of
       // actual execution). At the 100 TB design point the same narrow
-      // projection would be recomputed statelessly (the x120 shape —
+      // projection would be recomputed statelessly (the x114b shape —
       // per-row cost is trivial); at fixture scale the compile cost
       // dominates, so one bounded checkpoint is the honest trade.
       val urls = t(s, d, "documents")
@@ -1889,6 +1889,13 @@ object SparkEntry {
         .withColumn("crawled_at", date_add(to_date(lit("2026-01-15")),
           (col("doc_id") % 30).cast("int")))
         .select("doc_id", "domain", "norm", "lastmod", "crawled_at")
+        // materialized ONCE, the x116 trade: four consumers below
+        // (listing slice, phantom domains, crawl state, robots
+        // domains) would each re-derive — and whole-stage codegen
+        // re-JIT — the ~67 KB url→domain chain; at fixture scale the
+        // Janino time dwarfs execution (x114b keeps the stateless
+        // 100 TB shape benched)
+        .localCheckpoint()
       val listed = urls.filter(col("doc_id") % 2 === 0)
         .groupBy("domain", "norm").agg(max("lastmod").as("lastmod"))
         .select(col("domain"), col("norm").as("u"), col("lastmod"))
@@ -1961,7 +1968,7 @@ object SparkEntry {
     "x111_sitemap_audit" -> ((s, d) => {
       // materialized once — four consumers of the url→domain chain
       // (even listing, all-domain phantoms, crawled set); see the
-      // x114/x116 JIT measurement for why, and x120 for the stateless
+      // x114/x116 JIT measurement for why, and x114b for the stateless
       // 100 TB shape
       val urls = t(s, d, "documents")
         .withColumn("url", expr(urlSqlExpr))
