@@ -26,15 +26,17 @@ object Graph {
     * completion, without which rank leaks and the vector stops summing
     * to 1). Edges are deduplicated; self-loops are legal and kept.
     *
-    * Scale design: the deduplicated edge table, out-degrees, node set
-    * and dangling set are computed ONCE and cached (`MEMORY_AND_DISK`)
+    * Scale design: the deduplicated edge table, out-degrees, and node
+    * set (carrying the dangling no-out-edge flag as a column) are
+    * computed ONCE and cached (`MEMORY_AND_DISK`)
     * for the k reuses, then released; each round is one equi-join of
     * edges with the previous rank vector plus ONE partial+final hash
     * aggregation on the destination key — shuffle size is the edge
     * count, skew bound is one node's in-degree. The dangling mass rides
     * as a ONE-ROW aggregate cross-joined back (no driver collect in the
-    * loop); the only driver-side scalar is the node COUNT, once, up
-    * front. Each round's rank vector is EAGERLY `localCheckpoint`ed —
+    * loop) computed by FILTERING the vector's carried flag — no
+    * per-round join against a dangling table; the only driver-side
+    * scalar is the node COUNT, once, up front. Each round's rank vector is EAGERLY `localCheckpoint`ed —
     * the Pregel discipline: without it the two consumers per round
     * (contribution join + dangling mass) double the lineage every
     * iteration, a 2^k recompute. The vector is node-sized (bounded by
@@ -126,7 +128,7 @@ object Graph {
       .join(prior.select(col("node").cast("string").as("node"),
         col("pr").cast("double").as("pr")), Seq("node"), "left")
       .select(col("node"),
-        coalesce(col("pr"), lit(0.0)).as("pr"))
+        coalesce(col("pr"), lit(0.0)).as("pr"), col("dang"))
       .localCheckpoint(true)
     val out = runPrepared(g, damping) { (step, _) =>
       iterate(iters, p0)(step)
@@ -178,24 +180,22 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sw = e.groupBy("src").agg(Stable.sumD(col("w"), 18).as("sw"))
     val ed = e.join(sw, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = nodeSet(e)
-    val dangling = danglingSet(nodes, e)
+    val nodes = nodeSetD(e)
     val n = nodes.count()
     val base = (1.0 - damping) / n
     val pr = iterate(iters,
-      nodes.select(col("node"), lit(1.0 / n).as("pr"))
-        .localCheckpoint(true)) { p =>
+      // projection of the cached node table — no init barrier needed
+      nodes.select(col("node"), lit(1.0 / n).as("pr"), col("dang"))) { p =>
       teleportRound(nodes,
         propagate(ed, p, "src", "dst", col("pr") * (col("w") / col("sw"))),
-        danglingMass(p, dangling),
+        danglingMass(p),
         lit(base) + lit(damping) * coalesce(col("v"), lit(0.0)) +
           lit(damping) * col("dmass") / lit(n.toDouble))
     }
     e.unpersist(blocking = false)
     ed.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
-    dangling.unpersist(blocking = false)
-    pr
+    pr.select("node", "pr")
   }
 
   /** PERSONALIZED PageRank — teleportation restricted to a SEED set
@@ -270,7 +270,7 @@ object Graph {
     * dangling tables built once) and ONE FUSED power loop carrying
     * BOTH vectors as columns of a single node frame — per round ONE
     * edge equi-join + one dest-key partial+final agg computing both
-    * contribution sums, one dangling semi-join computing both one-row
+    * contribution sums, one dangling-flag filter computing both one-row
     * masses, one blend projection, one checkpoint. The historical
     * shape ran the two recurrences as separate loops: twice the
     * edge-join shuffle passes and twice the blocking barriers for
@@ -295,19 +295,21 @@ object Graph {
     val ndt = g.nodes
       .join(seedSet.withColumn("is_seed", lit(true)), Seq("node"), "left")
       .select(col("node"),
-        when(col("is_seed"), lit(1.0 / nSeed)).otherwise(lit(0.0)).as("t"))
+        when(col("is_seed"), lit(1.0 / nSeed)).otherwise(lit(0.0)).as("t"),
+        col("dang"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = (1.0 - damping) / g.n
+    // projection of the persisted ndt — no init barrier needed
     var v = ndt
-      .select(col("node"), lit(1.0 / g.n).as("pr_u"), col("t").as("pr_p"))
-      .localCheckpoint(true)
+      .select(col("node"), lit(1.0 / g.n).as("pr_u"), col("t").as("pr_p"),
+        col("dang"))
     for (_ <- 1 to iters) {
       val sums = g.ed.join(v, g.ed("src") === v("node"))
         .groupBy(g.ed("dst"))
         .agg(
           Stable.sumD(col("pr_u") / col("deg").cast("double"), 18).as("vu"),
           Stable.sumD(col("pr_p") / col("deg").cast("double"), 18).as("vp"))
-      val mass = v.join(g.dangling, Seq("node"), "left_semi")
+      val mass = v.filter(col("dang"))
         .agg(
           coalesce(Stable.sumD(col("pr_u"), 18), lit(0.0)).as("du"),
           coalesce(Stable.sumD(col("pr_p"), 18), lit(0.0)).as("dp"))
@@ -318,7 +320,8 @@ object Graph {
             lit(damping) * col("du") / lit(g.n.toDouble)).as("pr_u"),
           (lit(1.0 - damping) * ndt("t") +
             lit(damping) * coalesce(col("vp"), lit(0.0)) +
-            lit(damping) * col("dp") * ndt("t")).as("pr_p"))
+            lit(damping) * col("dp") * ndt("t")).as("pr_p"),
+          ndt("dang"))
         .localCheckpoint(true)
     }
     val out = v
@@ -424,8 +427,9 @@ object Graph {
             .otherwise(lit(0.0)).as(vCol))
         .localCheckpoint(true)
     }
+    // init vectors are projections of the cached node table, each
+    // consumed once inside round 1's plan — no init barrier needed
     var hub = nodes.select(col("node"), lit(1.0).as("hub"))
-      .localCheckpoint(true)
     var auth = nodes.select(col("node"), lit(0.0).as("auth"))
     for (_ <- 1 to iters) {
       auth = halfRound(hub, "src", "dst", col("hub"), "auth")
@@ -478,9 +482,10 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = nodeSet(e)
     val nAuth = inDeg.count()
+    // init vector: one small agg over the cached edge table, consumed
+    // once inside round 1's plan — no init barrier needed
     var auth = inDeg.select(col("dst").as("node"),
         (lit(1.0) / lit(nAuth.toDouble)).as("auth"))
-      .localCheckpoint(true)
     var hub: DataFrame = null
     // checkpoint discipline: each IN-LOOP hub vector is consumed
     // exactly once (the auth half-round below it), so hub rides
@@ -664,9 +669,17 @@ object Graph {
 
   /** The dangling-mass one-row aggregate every PageRank variant adds:
     * rank held by nodes with no out-edges, as a cross-joinable scalar
-    * frame — never a driver collect inside the loop. */
-  private def danglingMass(pr: DataFrame, dangling: DataFrame): DataFrame =
-    pr.join(dangling, Seq("node"), "left_semi")
+    * frame — never a driver collect inside the loop. The dangling
+    * membership rides the vector itself as a boolean `dang` column
+    * (stamped once at loop setup from the node frame), so each round
+    * pays a FILTER over the already-checkpointed vector instead of a
+    * semi-join against a cached dangling table — one join and one
+    * broadcast exchange fewer per round at any scale (r18 measurement:
+    * the per-round planning/broadcast floor, guide §2.4 "remove
+    * shuffles outright"). Same row set feeds the same decimal-routed
+    * sum, so the scalar is bit-identical to the historical semi-join. */
+  private def danglingMass(pr: DataFrame): DataFrame =
+    pr.filter(col("dang"))
       .agg(coalesce(Stable.sumD(col("pr"), 18), lit(0.0)).as("dmass"))
 
   /** The teleport completion every PageRank variant shares: the node
@@ -676,13 +689,15 @@ object Graph {
     * and the frame's columns) named `pr`, and the result EAGERLY
     * localCheckpoint'ed — the Pregel lineage discipline (two consumers
     * per vector per round would otherwise double lineage every
-    * iteration, a 2^k recompute). */
+    * iteration, a 2^k recompute). The frame's `dang` flag is carried
+    * onto the output vector so the NEXT round's [[danglingMass]] is a
+    * filter, not a join. */
   private def teleportRound(frame: DataFrame, sums: DataFrame,
                             massRow: DataFrame,
                             blend: org.apache.spark.sql.Column): DataFrame =
     frame.join(sums, frame("node") === sums("dst"), "left")
       .crossJoin(massRow)
-      .select(frame("node"), blend.as("pr"))
+      .select(frame("node"), blend.as("pr"), frame("dang"))
       .localCheckpoint(true)
 
   /** The cached graph artifacts every power loop needs: dedup'd edge
@@ -694,12 +709,11 @@ object Graph {
     * derives the edges). Caller releases. */
   private final class PreparedGraph(
       val e: DataFrame, val ed: DataFrame, val nodes: DataFrame,
-      val dangling: DataFrame, val n: Long) {
+      val n: Long) {
     def release(): Unit = {
       e.unpersist(blocking = false)
       ed.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
-      dangling.unpersist(blocking = false)
     }
   }
 
@@ -722,11 +736,22 @@ object Graph {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-  private def danglingSet(nodes: DataFrame, e: DataFrame): DataFrame =
-    nodes
+  /** The node set ANNOTATED with the dangling flag (`dang` = no
+    * out-edge) — ONE cached node-sized table replacing the historical
+    * separate nodes + dangling pair: the flag membership is exactly
+    * the old left-anti set (left join on distinct sources, null test),
+    * and carrying it as a column lets every loop's dangling mass be a
+    * filter over the vector instead of a per-round semi-join. */
+  private def nodeSetD(e: DataFrame): DataFrame = {
+    val nodes0 = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+    nodes0
       .join(e.select("src").distinct(),
-        nodes("node") === col("src"), "left_anti")
+        nodes0("node") === col("src"), "left")
+      .select(nodes0("node"), col("src").isNull.as("dang"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** The fixed-count power loop every rank variant drives: iterate
     * `step` from `init` — ONE image of "run k rounds", so variants
@@ -743,8 +768,8 @@ object Graph {
     val e = dedupEdges(edges, srcCol, dstCol)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val ed = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = nodeSet(e)
-    new PreparedGraph(e, ed, nodes, danglingSet(nodes, e), nodes.count())
+    val nodes = nodeSetD(e)
+    new PreparedGraph(e, ed, nodes, nodes.count())
   }
 
   /** Shared setup + round step: dedup the edges, cache the degree-
@@ -771,16 +796,21 @@ object Graph {
                          (loop: (DataFrame => DataFrame, DataFrame)
                             => DataFrame): DataFrame = {
     val base = (1.0 - damping) / g.n
-    val pr0 = g.nodes.select(col("node"), lit(1.0 / g.n).as("pr"))
-      .localCheckpoint(true)
+    // pr0 is a plain projection of the CACHED node table — both of
+    // round 1's consumers (propagate join + dangling filter) re-read
+    // the cache, and round 1's output checkpoints, so lineage stays
+    // bounded without an init barrier (one eager action fewer per
+    // query; the r18 planning-floor measurement)
+    val pr0 = g.nodes
+      .select(col("node"), lit(1.0 / g.n).as("pr"), col("dang"))
     def step(pr: DataFrame): DataFrame =
       teleportRound(g.nodes,
         propagate(g.ed, pr, "src", "dst",
           col("pr") / col("deg").cast("double")),
-        danglingMass(pr, g.dangling),
+        danglingMass(pr),
         lit(base) + lit(damping) * coalesce(col("v"), lit(0.0)) +
           lit(damping) * col("dmass") / lit(g.n.toDouble))
-    loop(step, pr0)
+    loop(step, pr0).select("node", "pr")
   }
 
   /** [[personalizedPageRank]]'s loop half over a shared
@@ -797,20 +827,21 @@ object Graph {
     val ndt = g.nodes
       .join(seedSet.withColumn("is_seed", lit(true)), Seq("node"), "left")
       .select(col("node"),
-        when(col("is_seed"), lit(1.0 / nS)).otherwise(lit(0.0)).as("t"))
+        when(col("is_seed"), lit(1.0 / nS)).otherwise(lit(0.0)).as("t"),
+        col("dang"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pr = iterate(iters,
-      ndt.select(col("node"), col("t").as("pr"))
-        .localCheckpoint(true)) { p =>
+      // projection of the persisted ndt — no init barrier needed
+      ndt.select(col("node"), col("t").as("pr"), col("dang"))) { p =>
       teleportRound(ndt,
         propagate(g.ed, p, "src", "dst",
           col("pr") / col("deg").cast("double")),
-        danglingMass(p, g.dangling),
+        danglingMass(p),
         lit(1.0 - damping) * col("t") +
           lit(damping) * coalesce(col("v"), lit(0.0)) +
           lit(damping) * col("dmass") * col("t"))
     }
     ndt.unpersist(blocking = false)
-    pr
+    pr.select("node", "pr")
   }
 }

@@ -1744,17 +1744,27 @@ object TextOps {
         require(ord >= 2, s"scoring needs order >= 2, model is order $ord")
         // one frame per level: key = space-joined words (tokens are
         // whitespace-free by the ARPA contract, so the join key is
-        // collision-free), lp + bow as payload
+        // collision-free), lp + bow as payload. Each frame is EAGERLY
+        // localCheckpoint'ed at build: a bare `toDF` is a LocalRelation
+        // whose rows live INSIDE the logical plan, so every scoring
+        // invocation re-pays plan-embedded serialization and the
+        // broadcast job re-ships the literal rows from the driver (r18
+        // measurement: the broadcast-literal route ran ~2.4x the
+        // sidecar-scan route on the SAME walk). Checkpointed once per
+        // artifact, the frames are RDD blocks — scoring plans carry a
+        // scan node, not a million-row literal.
         val frames = m.grams.zipWithIndex.map { case (g, i) =>
           val k = i + 1
           g.toSeq
             .map { case (gr, (lp, bow)) => (gr.mkString(" "), lp, bow) }
             .toDF(s"key$k", s"lp$k", s"bow$k")
+            .localCheckpoint(true)
         }
         val hasUnk = m.grams(0).contains(Vector("<unk>"))
         val voc =
           if (!hasUnk) None
-          else Some(m.grams(0).keys.map(_.head).toSeq.toDF("kw"))
+          else Some(m.grams(0).keys.map(_.head).toSeq.toDF("kw")
+            .localCheckpoint(true))
         val built = (frames: Seq[DataFrame], ord, voc)
         lvlFrameCache.set((key, built))
         built
