@@ -1568,17 +1568,10 @@ object SparkEntry {
     // step) on a re-lined corpus: the flat synthetic text is chunked into
     // 2-token lines (deterministically, mirrored in the oracle), then any
     // line occurring in >= 20 distinct docs is dropped from every doc
-    "x33_line_dedup" -> ((s, d) => {
-      val toks = filter(split(lower(col("text")), "\\s+"),
-        t => length(t) > 0)
-      val nLines = greatest(((size(toks) + lit(1)) / lit(2)).cast("int"),
-        lit(1))
-      val relined = array_join(
-        transform(sequence(lit(0), nLines - 1),
-          i => array_join(slice(toks, i * 2 + 1, lit(2)), " ")), "\n")
+    "x33_line_dedup" -> ((s, d) =>
       ext.Cleanse.removeBoilerplateLines(
-        t(s, d, "documents").withColumn("text", relined), minDf = 20L)
-    }),
+        t(s, d, "documents").withColumn("text", twoTokenRelined),
+        minDf = 20L)),
 
     // x212 — the STORED boilerplate-censor lifecycle (the batch half
     // of the streaming corpus gate's line tier): census the corpus-df
@@ -4202,16 +4195,21 @@ object SparkEntry {
 
   /** The x33/x164/x165 re-lining: the doc's whitespace tokens (empties
     * filtered) re-joined two per line — turns the single-line synthetic
-    * corpus into a multi-line one with naturally repeating lines. */
-  private def twoTokenRelined: Column = {
-    val toks = filter(split(lower(col("text")), "\\s+"),
-      t => length(t) > 0)
-    val nLines = greatest(((size(toks) + lit(1)) / lit(2)).cast("int"),
-      lit(1))
-    array_join(
-      transform(sequence(lit(0), nLines - 1),
-        i => array_join(slice(toks, i * 2 + 1, lit(2)), " ")), "\n")
-  }
+    * corpus into a multi-line one with naturally repeating lines.
+    *
+    * Implementation: two codegen'd regex passes — collapse+trim to the
+    * single-space token join, then rewrite every second inter-token
+    * space to a newline via leftmost-greedy group replacement (the
+    * scan continues AFTER each match, so pairs never overlap; an odd
+    * trailing token has no trailing space and stays). Proven equal to
+    * the historical split/sequence/transform/slice form over the full
+    * sf0.1 corpus including the x171 PII plants (r18: the nested
+    * higher-order functions were interpreted per line and dominated
+    * the x171 scrub stage — guide §4.1, prefer codegen'd built-ins). */
+  private def twoTokenRelined: Column =
+    regexp_replace(
+      trim(regexp_replace(lower(col("text")), "\\s+", " ")),
+      "([^ ]+ [^ ]+) ", "$1\n")
 
   /** DuckDB mirror of the inverse Krüger series in [[ops.Utm.toLatLon]]:
     * identical expression structure and bit-identical double constants

@@ -71,11 +71,21 @@ object CorpusBuild {
     // 2. scrub at the door — PII never flows further downstream
     val s2 = s1.select(col("doc_id"), col("source"),
       Cleanse.redactPii(col("text")).as("text"))
-    // 3. corpus-wide line censor; a doc losing every line drops out
-    val s3 = Cleanse.removeBoilerplateLines(
-        s2.withColumn("text", reline(col("text"))), minDf = minDfLine)
+    // 3. corpus-wide line censor; a doc losing every line drops out.
+    // The scrubbed+relined table materializes ONCE before the censor:
+    // removeBoilerplateLines reads its input three times (line table,
+    // df census, n_lines count), and without this boundary each pass
+    // re-ran the robots join + the redactPii regex battery + the
+    // reline transform over the whole corpus (r18 stage profile: s3
+    // was 83% of the chain). localCheckpoint stores partitions in
+    // place — no exchange carries line strings — so the censor's
+    // split+hash re-derivation stays the honest strings-stay-put
+    // trade while the regex CPU is paid once.
+    val s2r = s2.withColumn("text", reline(col("text")))
+      .localCheckpoint(true)
+    val s3 = Cleanse.removeBoilerplateLines(s2r, minDf = minDfLine)
       .filter(col("n_kept") > 0)
-      .join(s2.select("doc_id", "source"), "doc_id")
+      .join(s2r.select("doc_id", "source"), "doc_id")
       .localCheckpoint(true)
     // 4. Gopher quality gates on the CLEANED text
     val keep4 = TextOps.gopherRules(s3)
