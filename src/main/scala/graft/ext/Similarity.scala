@@ -787,12 +787,27 @@ object Similarity {
     require(q.length == books.length * dsub,
       s"query dim ${q.length} != m*dsub = ${books.length * dsub}")
     val tables = adcTables(books, q)
-    val adist = pqCodeCols(col(vecCol), books).zipWithIndex.map { case (cc, s) =>
-      element_at(typedLit(tables(s)), cc + 1)
+    // The code table materializes ONCE (id + m small ints — exactly
+    // the artifact [[annPqStored]] persists) before the ADC sum: fused
+    // with its consumers the m unrolled argmins exceeded Janino's
+    // 64 KB method limit, so whole-stage codegen FAILED and every
+    // execution re-paid the doomed compile and ran the scan
+    // interpreted (r18 measurement; the x107/x116 JIT lesson). Raw
+    // vectors re-enter only through the rerank-row equi-join — the
+    // [[annPqStoredQuery]] discipline, so the checkpoint never holds
+    // the vector payload. Same folds, tiebreaks, and lookups — every
+    // score bit-identical.
+    val coded = embeddings
+      .select(col(idCol) +: pqCodeCols(col(vecCol), books).zipWithIndex
+        .map { case (c, s) => c.as(s"code_$s") }: _*)
+      .localCheckpoint(true)
+    val adist = books.indices.map { s =>
+      element_at(typedLit(tables(s)), col(s"code_$s") + 1)
     }.reduce(_ + _)
-    embeddings
-      .select(col(idCol), col(vecCol), adist.as("adist"))
+    coded
+      .select(col(idCol), adist.as("adist"))
       .orderBy(col("adist"), col(idCol)).limit(rerank)
+      .join(embeddings.select(col(idCol), col(vecCol)), Seq(idCol))
       .select(col(idCol), col("adist"),
         cosineLiteral(col(vecCol), q).as("cos"))
       .orderBy(desc("cos"), col(idCol)).limit(k)
@@ -1075,21 +1090,38 @@ object Similarity {
       }
     }.toMap
     val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    // STAGE SPLITS (the x107/x116 Janino lesson): fused, the coarse
+    // argmax (16 unrolled cosines), the 8 residual argmins (128
+    // unrolled subspace dots) and the ADC table CASE exceed Janino's
+    // 64 KB method limit — whole-stage codegen then FAILS, every
+    // execution re-pays the doomed compile AND evaluates the whole
+    // scan interpreted (r18 measurement: 1.7 s/run over 2,000
+    // vectors). Two bounded materialization points cut the plan into
+    // stages that each compile: the pruned-residual table
+    // (nProbe/nCoarse of the corpus) and its code table (id + m
+    // small ints + the carried vector for the rerank). Expressions
+    // are UNCHANGED — same folds, same tiebreaks, same table
+    // lookups — so every score is bit-identical.
     val pruned = embeddings
       .withColumn("cid", coarseCellCol(col(vecCol), cents))
       .filter(col("cid").isin(probeCids: _*))
       .withColumn("resid", zip_with(col(vecCol).cast("array<double>"),
         element_at(centsLit, (col("cid") + 1).cast("int")), (x, c) => x - c))
-    val codeCols = pqCodeCols(col("resid"), books)
+      .localCheckpoint(true)
+    val coded = pruned
+      .select(Seq(col(idCol), col(vecCol), col("cid")) ++
+        pqCodeCols(col("resid"), books).zipWithIndex
+          .map { case (c, s) => c.as(s"code_$s") }: _*)
+      .localCheckpoint(true)
     val adist = probeCids.map { l =>
-      val sumL = codeCols.zipWithIndex.map { case (cc, s) =>
-        element_at(typedLit(tables(l)(s)), cc + 1)
+      val sumL = books.indices.map { s =>
+        element_at(typedLit(tables(l)(s)), col(s"code_$s") + 1)
       }.reduce(_ + _)
       (l, sumL)
     }.foldRight(lit(Double.NaN): Column) { case ((l, sumL), acc) =>
       when(col("cid") === l, sumL).otherwise(acc)
     }
-    pruned
+    coded
       .select(col(idCol), col(vecCol), adist.as("adist"))
       .orderBy(col("adist"), col(idCol)).limit(rerank)
       .select(col(idCol), col("adist"),
@@ -1193,20 +1225,33 @@ object Similarity {
     * (id, int, long) ever reaches an exchange. */
   private[graft] def pqBandKeys(embeddings: DataFrame, m: Int, k: Int,
                                 bands: Int, idCol: String,
-                                vecCol: String): DataFrame = {
+                                vecCol: String,
+                                materializeCodes: Boolean = true)
+      : DataFrame = {
     require(bands >= 1 && m % bands == 0,
       s"m=$m must split into whole bands, got bands=$bands")
     val perBand = m / bands
     val weights = bandKeyWeights(k, perBand)
     val books = pqCodebooks(embeddings, m, k, idCol, vecCol)
-    val codeCols = pqCodeCols(col(vecCol), books)
+    // code table materializes once (id + m small ints) before the
+    // band-key packing: fused with [[pqNearDups]]' self-join/verify
+    // machinery the m unrolled argmins blew Janino's 64 KB limit and
+    // the encode scan ran interpreted on every execution (r18
+    // measurement; same fix as [[annPqWithBooks]]). The one-pass
+    // aggregation consumer ([[pqBandBalance]]) compiles WITHOUT the
+    // split and measured faster un-materialized — it opts out.
+    val codeTbl = embeddings
+      .select(col(idCol) +: pqCodeCols(col(vecCol), books).zipWithIndex
+        .map { case (c, s) => c.as(s"code_$s") }: _*)
+    val coded = if (materializeCodes) codeTbl.localCheckpoint(true)
+      else codeTbl
     val bandStructs = (0 until bands).map { b =>
       val key = (0 until perBand).map(i =>
-        codeCols(b * perBand + i).cast("long") * lit(weights(i)))
+        col(s"code_${b * perBand + i}").cast("long") * lit(weights(i)))
         .reduce(_ + _)
       struct(lit(b).as("band"), key.as("key"))
     }
-    embeddings
+    coded
       .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
   }
@@ -1224,7 +1269,8 @@ object Similarity {
                     m: Int = 8, k: Int = 16, bands: Int = 2,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
-    val counts = pqBandKeys(embeddings, m, k, bands, idCol, vecCol)
+    val counts = pqBandKeys(embeddings, m, k, bands, idCol, vecCol,
+        materializeCodes = false)
       .groupBy("band", "key").agg(count(lit(1)).as("n"))
     counts.groupBy("band").agg(
       count(lit(1)).as("n_keys"),

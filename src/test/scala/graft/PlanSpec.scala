@@ -479,12 +479,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"PQ encode joins:\n$p")
   }
 
-  test("x66 PQ ADC: literal distance table (no join), rerank cut is a " +
-       "TakeOrdered, never a full sort") {
-    val p = executed("x66_pq_ann").toString
-    assert(!p.contains("Join"), s"ADC table became a join:\n$p")
+  test("x66 PQ ADC: literal distance table (never a model join), rerank " +
+       "is ONE bounded broadcast id-join, cut is a TakeOrdered, " +
+       "never a full sort") {
+    // r18: the code table materializes before the ADC sum (the Janino
+    // 64 KB stage split) and raw vectors re-enter through a rerank-row
+    // broadcast equi-join — the annPqStoredQuery discipline. The ADC
+    // TABLE itself must stay a literal (no join against the model),
+    // and nothing may shuffle: the only join allowed is broadcast.
+    val plan = executed("x66_pq_ann")
+    val p = plan.toString
     assert(p.contains("TakeOrderedAndProject"), s"no top-k cut:\n$p")
     assert(!p.toLowerCase.contains("sortexec"), s"full sort crept in:\n$p")
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, s"PQ ADC shuffles:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"rerank join is not broadcast:\n$p")
   }
 
   test("x67 int8 audit and x68 gopher rules: pure per-row algebra, " +
@@ -496,11 +508,17 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("x70 IVF-PQ: probe list and cell argmax are literals — scan → " +
-       "filter → ADC → TakeOrdered, zero exchange, zero join") {
-    val p = executed("x70_ivfpq_ann").toString
-    assert(!p.contains("Exchange"), s"IVF-PQ shuffles:\n$p")
-    assert(!p.contains("Join"), s"IVF-PQ joins:\n$p")
+       "filter → ADC → TakeOrdered; no shuffle, rerank join broadcast") {
+    // r18: same code-table stage split + broadcast rerank join as x66.
+    val plan = executed("x70_ivfpq_ann")
+    val p = plan.toString
     assert(p.contains("TakeOrderedAndProject"), s"no rerank cut:\n$p")
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, s"IVF-PQ shuffles:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"rerank join is not broadcast:\n$p")
   }
 
   test("x72 residual IVFADC: same zero-exchange zero-join shape as x70") {
