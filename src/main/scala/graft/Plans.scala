@@ -71,7 +71,7 @@ object Plans {
       "x104_domain_rollup" -> "Registered-domain rollup: narrow normalize/domain projection into ONE partial+final hash agg on the domain key.",
       "x100_quantile_sketch" -> "HDR quantile sketch: typed UDAF with map-side partial merge (vector adds) — one exchange carrying 14.8 KiB sketches per partition, no sort of the corpus.",
       "x101_pca_topk" -> "Top-k PCA projections: all three deflated axes ride as literals into codegen'd dot folds — scan → project, zero exchange (training reused ONE moment pass).",
-      "x102_mjpeg_frames" -> "MJPEG frame sampling: per-container RIFF walk + JPEG entropy decode inside the scan task via mapPartitions — no exchange; the unit of parallelism is the container.",
+      "x102_mjpeg_frames" -> "MJPEG frame sampling: per-container RIFF walk + JPEG entropy decode inside the map task via mapPartitions. The one exchange is the narrow round-robin generator spread (ids only, before payloads exist) — at production scale containers arrive already wide and the spread is a guarded no-op.",
       "f7_tmerc_reproject" -> "Parameterized TM CRS: range source + one scalar projection (the EPSG:27700 Krüger inverse UDF with the rectified-origin offset), no exchange.",
       "x108_subword_census" -> "Subword census via the custom Generator: scan → Generate(bpe_explode) → partial+final hash agg → TakeOrderedAndProject — one exchange, no array materialization, no global sort.",
       "x107_domain_mix" -> "Domain-aware rebalancing: per-domain counts reduce small and broadcast back; the corpus side is scan → derived-domain project → broadcast-join → splitmix filter, never shuffled.",
@@ -108,7 +108,7 @@ object Plans {
       "f7_osgb_datum" -> "Legacy-datum CRS to WGS84: range source + one scalar projection (Krueger inverse + Helmert shift in a single UDF), no exchange — the datum shift is free at any raster volume.",
       "x168_dsir_select" -> "DSIR selection: both bucket models reduce to <= dim rows and broadcast; the corpus side is one shingle explode collapsing map-side, two broadcast joins, a doc-keyed fold, and a bounded TakeOrdered cut broadcast back — never a corpus sort.",
       "x173_bpe_roundtrip" -> "Detokenization parity: encode and decode are TWO chained native expressions fused into the scan (both tables ride the expression tree as one string each) — zero exchange; the bijection audit is free at any corpus size.",
-      "x174_mp4_jpeg_frames" -> "MP4 'jpeg' sample-track decode: the stsc/stsz/stco demux walk + baseline JPEG decode run per container inside the scan task via mapPartitions — no exchange; the container is the unit of parallelism, the x102 posture in the ISO-BMFF container.",
+      "x174_mp4_jpeg_frames" -> "MP4 'jpeg' sample-track decode: the stsc/stsz/stco demux walk + baseline JPEG decode run per container inside the map task via mapPartitions — the x102 posture (one narrow guarded generator-spread exchange, ids only) in the ISO-BMFF container.",
       "x175_packed_binidx" -> "Packed-sequence export: the x26 pack window (ONE source-key exchange), a pack-keyed concat aggregation, the in-task shard render, and the parse — pack identity is closed-form (src#·2^16 + pack_id), so NO global row_number anywhere.",
       "x181_fim_transform" -> "FIM transform: three splitmix64 streams, the cut/substr/concat algebra and the apply gate are ALL codegen'd column math fused into the scan — zero exchange, zero state; infilling prep is free at any corpus size.",
       "x182_blocklist_census" -> "Blocklist census: the literal IN-list evaluates map-side inside the token explode (no join for a list-sized vocabulary); the only exchange carries term keys into a partial+final count bounded by |blocklist|.",

@@ -29,6 +29,27 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** Spread a fixture-generator input across the session's task width
+    * before per-row codec CPU. A single small parquet fixture file
+    * scans as ONE partition (one row group, under maxPartitionBytes),
+    * so every downstream encode/decode UDF and mapPartitions codec pass
+    * runs serially on one core — the one-straggler shape of guide §2.5
+    * (r18 measurement: x102's three stages ran 3 tasks TOTAL; the
+    * entire 3 s bench cost was one core's MJPEG work while 31 idled).
+    * The exchange moves only the generator's NARROW input (ids, or ids
+    * + the text a payload derives from — never a generated payload or
+    * decoded pixels, keeping the media-tier "nothing pixel-level rides
+    * an exchange" posture), and the guard derives the decision from the
+    * OBSERVED input width: a production-scale input that already
+    * arrives thousands-of-partitions wide from object storage skips
+    * the shuffle entirely, so this is scale-adaptive, not a local
+    * constant (guide §2.2's "derive from input size" applied in the
+    * too-narrow direction). */
+  private def spreadNarrowInput(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
+
   /** Media row schema: payload + sidecar metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -42,8 +63,18 @@ object Multimodal {
       StructField("mime", StringType, nullable = true))), nullable = true)))
 
   /** Real image codec on the JDK's ImageIO. All operations are
-    * deterministic: 8-bit gray PNG round-trips samples losslessly. */
+    * deterministic: 8-bit gray PNG round-trips samples losslessly.
+    *
+    * ImageIO's stream cache defaults to DISK: every read/write spills
+    * through a temp file plus synchronized registry work, which
+    * serializes concurrent decode tasks on filesystem churn (r18
+    * measurement: 32-wide decode stages burned ~20x the single-task
+    * CPU in cache-file syscalls). Payloads here are in-memory byte
+    * arrays — force memory-backed streams once, JVM-wide (set in each
+    * ImageIO-using codec object so executor-side init also gets it). */
   object ImageCodec {
+    javax.imageio.ImageIO.setUseCache(false)
+
     def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
       if (payload == null) None
       else Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(payload)))
@@ -262,6 +293,8 @@ object Multimodal {
     * Containers the JDK cannot read (mp4/webm/…) fall back to the
     * declared [[FakeCodec]] stub. */
   object VideoCodec {
+    javax.imageio.ImageIO.setUseCache(false) // see ImageCodec
+
     /** Encode gray frames (row-major, all w×h) as an animated GIF. */
     def encodeAnimatedGifGray(frames: Seq[Array[Byte]], width: Int,
                               height: Int): Array[Byte] = {
@@ -753,7 +786,7 @@ object Multimodal {
       }
       MjpegCodec.encodeAviMjpeg(frames, 8, 8, fps = 10)
     })
-    docs.select(
+    spreadNarrowInput(docs.select(col("doc_id"))).select(
       col("doc_id").as("media_id"),
       lit("video").as("kind"),
       aviUdf(col("doc_id")).as("payload"),
@@ -807,7 +840,7 @@ object Multimodal {
       }
       Mp4Probe.encodeMp4Jpeg(jpegs, 8, 8)
     })
-    docs.select(
+    spreadNarrowInput(docs.select(col("doc_id"))).select(
       col("doc_id").as("media_id"),
       lit("video").as("kind"),
       mp4Udf(col("doc_id")).as("payload"),
@@ -954,6 +987,9 @@ object Multimodal {
       }
       AviCodec.encodeAviGray(frames, 8, 8, fps = 10)
     })
+    // NOT spread: consumers are header/metadata walks (~0.1 s serial
+    // at fixture scale) — the spread exchange costs more than the CPU
+    // it would parallelize (r18 subset A/B: probes regressed ~2x).
     docs.select(
       col("doc_id").as("media_id"),
       lit("video").as("kind"),
@@ -1031,7 +1067,7 @@ object Multimodal {
       val px = Array.tabulate(64)(i => if (i < bs.length) bs(i) else 0: Byte)
       ImageCodec.encodeGrayPng(px, 8, 8)
     })
-    docs.select(
+    spreadNarrowInput(docs.select(col("doc_id"), col("text"))).select(
       col("doc_id").as("media_id"),
       lit("image").as("kind"),
       pngUdf(col("text")).as("payload"),
@@ -1055,6 +1091,10 @@ object Multimodal {
         ((docId * 31 + i.toLong * 7) % 2048).toInt - 1024)
       AudioCodec.encodeWavPcm16(samples, 8000)
     })
+    // NOT spread: AudioSystem encode/decode funnels through the JDK's
+    // synchronized service-provider registry — wide stages convoy on
+    // that lock (r18: 8-wide x46 tasks sat ~2 s blocked per task at
+    // 0.3 s CPU) and measure SLOWER than the serial scan chain.
     docs.select(
       col("doc_id").as("media_id"),
       lit("audio").as("kind"),
@@ -1079,6 +1119,10 @@ object Multimodal {
         ((docId * 31 + i.toLong * 17) % 256).toByte)
       AudioCodec.encodeWavG711(codes, 8000, aLaw = docId % 2 == 1)
     })
+    // NOT spread: AudioSystem encode/decode funnels through the JDK's
+    // synchronized service-provider registry — wide stages convoy on
+    // that lock (r18: 8-wide x46 tasks sat ~2 s blocked per task at
+    // 0.3 s CPU) and measure SLOWER than the serial scan chain.
     docs.select(
       col("doc_id").as("media_id"),
       lit("audio").as("kind"),
@@ -1129,7 +1173,7 @@ object Multimodal {
       }
       VideoCodec.encodeAnimatedGifGray(frames, 8, 8)
     })
-    docs.select(
+    spreadNarrowInput(docs.select(col("doc_id"))).select(
       col("doc_id").as("media_id"),
       lit("video").as("kind"),
       gifUdf(col("doc_id")).as("payload"),
@@ -1283,6 +1327,10 @@ object Multimodal {
         if (i < bs.length) bs(i) & 0xFF else 0)
       AudioCodec.encodeWavPcm16(samples, 8000)
     })
+    // NOT spread: AudioSystem encode/decode funnels through the JDK's
+    // synchronized service-provider registry — wide stages convoy on
+    // that lock (r18: 8-wide x46 tasks sat ~2 s blocked per task at
+    // 0.3 s CPU) and measure SLOWER than the serial scan chain.
     docs.select(
       col("doc_id").as("media_id"),
       lit("audio").as("kind"),
@@ -2019,6 +2067,9 @@ object Multimodal {
         height = 144 + (docId % 4).toInt * 96,
         videoCodec = if (docId % 2 == 0) "V_VP9" else "V_VP8",
         audioCodec = "A_OPUS"))
+    // NOT spread: consumers are header/metadata walks (~0.1 s serial
+    // at fixture scale) — the spread exchange costs more than the CPU
+    // it would parallelize (r18 subset A/B: probes regressed ~2x).
     docs.select(
       col("doc_id").as("media_id"),
       lit("video").as("kind"),
@@ -2066,6 +2117,9 @@ object Multimodal {
         videoCodec = if (docId % 2 == 0) "avc1" else "hev1",
         audioCodec = "mp4a",
         nFrames = 24L + (docId % 10) * 6L))
+    // NOT spread: consumers are header/metadata walks (~0.1 s serial
+    // at fixture scale) — the spread exchange costs more than the CPU
+    // it would parallelize (r18 subset A/B: probes regressed ~2x).
     docs.select(
       col("doc_id").as("media_id"),
       lit("video").as("kind"),
@@ -2272,6 +2326,9 @@ object Multimodal {
           srIdx = ((docId / 2) % 3).toInt,            // 44100/48000/32000
           mono = (docId / 2) % 2 == 0,
           nFrames = 8 + (docId % 16).toInt))
+    // NOT spread: consumers are header/metadata walks (~0.1 s serial
+    // at fixture scale) — the spread exchange costs more than the CPU
+    // it would parallelize (r18 subset A/B: probes regressed ~2x).
     docs.select(
       col("doc_id").as("media_id"),
       lit("audio").as("kind"),
@@ -2614,6 +2671,9 @@ object Multimodal {
           lonRef = if (docId % 8 == 5) "W" else "E",
           lonDeg = 77, lonMin = ((docId * 3) % 60).toInt,
           lonSecNum = ((docId * 91) % 6000).toInt))))
+    // NOT spread: consumers are header/metadata walks (~0.1 s serial
+    // at fixture scale) — the spread exchange costs more than the CPU
+    // it would parallelize (r18 subset A/B: probes regressed ~2x).
     docs.select(
       col("doc_id").as("media_id"),
       lit("image").as("kind"),

@@ -360,9 +360,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("x49 image hashes: decode in the scan stage, zero exchange") {
+  test("x49 image hashes: decode stays in the map task; the only " +
+       "exchange is the narrow generator spread (ids + text, no payload)") {
     val p = executed("x49_image_hash").toString
-    assert(!p.contains("Exchange"), s"hash extraction shuffles:\n$p")
+    assert("Exchange".r.findAllIn(p).length == 1, s"extra exchanges:\n$p")
+    assert(p.contains("RoundRobinPartitioning"),
+      s"spread exchange not round-robin:\n$p")
   }
 
   test("x54 AVI frames: container walk in the scan stage, zero exchange") {
@@ -623,10 +626,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Sort"), s"sketch path sorts the corpus:\n$p")
   }
 
-  test("x102 MJPEG sampling: per-container decode in the scan task — " +
-       "zero exchange") {
+  test("x102 MJPEG sampling: per-container decode stays in the map task " +
+       "— the only exchange is the narrow generator spread (ids only)") {
     val p = executed("x102_mjpeg_frames").toString
-    assert(!p.contains("Exchange"), s"x102 shuffles:\n$p")
+    assert("Exchange".r.findAllIn(p).length == 1, s"extra exchanges:\n$p")
+    assert(p.contains("RoundRobinPartitioning"),
+      s"spread exchange not round-robin:\n$p")
   }
 
   test("x129 crawl traps: no join — one expand-backed hash agg per host") {
@@ -814,10 +819,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial"), s"no map-side partial aggregation:\n$p")
   }
 
-  test("x174 MP4 sample-track decode: demux + JPEG in the scan task, " +
-    "zero exchange") {
+  test("x174 MP4 sample-track decode: demux + JPEG stay in the map task; " +
+    "the only exchange is the narrow generator spread (ids, no payload)") {
     val p = executed("x174_mp4_jpeg_frames").toString
-    assert(!p.contains("Exchange"), s"mp4 frame sampling shuffles:\n$p")
+    assert("Exchange".r.findAllIn(p).length == 1, s"extra exchanges:\n$p")
+    assert(p.contains("RoundRobinPartitioning"),
+      s"spread exchange not round-robin:\n$p")
   }
 
   test("x175 packed export: pack window + group agg + layout — no " +
