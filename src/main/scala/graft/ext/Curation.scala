@@ -640,15 +640,19 @@ object Curation {
                        keepLang: String = "en", minQuality: Double = 0.5,
                        maxRep: Double = 0.5, maxContam: Double = 0.5,
                        minJaccard: Double = 0.4): DataFrame = {
-    val sig = docs.select(col("doc_id"), col("lang"), col("source"),
+    // spread the one-partition fixture scan before the per-row text
+    // signals / shingle hashing (guarded no-op on wide inputs; see
+    // Multimodal.spreadNarrowInput and curationAudit)
+    val docsW = Multimodal.spreadNarrowInput(docs)
+    val sig = docsW.select(col("doc_id"), col("lang"), col("source"),
       col("n_chars"),
       TextOps.langId(col("text")).as("pred_lang"),
       TextOps.qualityScore(col("text")).as("quality"),
       repetitionKeep(k = 2, maxRatio = maxRep).as("rep_keep"))
-    val cont = contamination(docs, benchmark)
+    val cont = contamination(docsW, benchmark)
       .select(col("doc_id"), col("contamination"))
     val drop = Dedup.connectedComponents(
-        Dedup.jaccardPairs(docs, shingleK = 3, minJaccard = minJaccard)
+        Dedup.jaccardPairs(docsW, shingleK = 3, minJaccard = minJaccard)
           .select("doc_a", "doc_b"))
       .where(col("rep_id") =!= col("doc_id"))
       .select("doc_id")

@@ -45,7 +45,7 @@ object Multimodal {
     * the shuffle entirely, so this is scale-adaptive, not a local
     * constant (guide §2.2's "derive from input size" applied in the
     * too-narrow direction). */
-  private def spreadNarrowInput(df: DataFrame): DataFrame = {
+  private[graft] def spreadNarrowInput(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
   }
