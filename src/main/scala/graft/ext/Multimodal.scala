@@ -46,6 +46,10 @@ object Multimodal {
     * constant (guide §2.2's "derive from input size" applied in the
     * too-narrow direction). */
   private[graft] def spreadNarrowInput(df: DataFrame): DataFrame = {
+    // streaming inputs pass through untouched: observing the partition
+    // count (.rdd) is illegal on a stream, and microbatch parallelism
+    // is the source's rate/partitioning concern, not the generator's
+    if (df.isStreaming) return df
     val want = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
   }
